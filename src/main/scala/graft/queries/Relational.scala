@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** The relational query surface (SURVEY.md §2.4, Q1–Q22), written as
+  * DataFrame programs so Catalyst plans them (pushdown, pruning, join
+  * selection, AQE all apply).
+  *
+  * Determinism contract (must hash-match a DuckDB oracle, SURVEY §2.4):
+  *  - total ORDER BY on output, NULLS FIRST made explicit;
+  *  - money/measure sums go through exact integer cents:
+  *    `SUM(CAST(FLOOR(x * 100 + 0.5) AS BIGINT))`;
+  *  - timestamps only surface as `CAST(ts AS DATE)` (session TZ = UTC);
+  *  - LIMIT only after a total order.
+  *
+  * Scale notes are attached per-query: what the plan does at 100 TB on a
+  * real cluster, not just at the local test scale.
+  */
+object Relational {
+
+  /** Exact integer cents: FLOOR on IEEE doubles is bit-identical across
+    * engines, unlike double→int casts (Spark truncates, DuckDB rounds). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast("long")
+
+  /** Q1 — full scan + count. Parquet footer row-count short-circuit: the
+    * scan reads no data pages, only metadata (count(*) pushdown). */
+  def q01Count(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+
+  /** Q2 — projection + derived column (reference R12 analog,
+    * etl_connector.py:130-164). Column-pruned scan: only 4 of 11
+    * lineitem columns are read (check ReadSchema). */
+  def q02ProjectCents(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_cents"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Q3 — conjunctive predicate filter (reference R16 analog,
+    * etl_connector.py:194-203). Both predicates push to the parquet scan
+    * (PushedFilters: GreaterThan, EqualTo) → row-group skipping via
+    * min/max stats at scale. */
+  def q03FilterPred(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45.0 && col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("n"))
+
+  /** Q4 — null-check filter (reference R16, required-fields predicate,
+    * etl_connector.py:199-202). IsNotNull pushes to the scan. */
+  def q04NullFilter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull && col("props").isNotNull)
+      .agg(count(lit(1)).as("n"))
+
+  /** Q5 — inner equi join + agg. orders ⋈ customer are both fact-scale
+    * at 100 TB, so no broadcast hint: AQE picks broadcast at small SF and
+    * shuffled hash/sort-merge at scale. Aggregation is partial+final
+    * (map-side combine) automatically. */
+  def q05JoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+
+  /** Q6 — multi-way dimension join. nation (25 rows) and region (5 rows)
+    * are bounded by schema, so broadcast them EXPLICITLY — at 100 TB the
+    * customer side is huge and the two broadcasts eliminate both
+    * shuffles; the whole join chain stays map-side. */
+  def q06MultiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name").agg(count(lit(1)).as("customers"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Q7 — left outer join + IS NULL (anti-join shape). Catalyst does NOT
+    * rewrite outer+IsNull to anti automatically; the filter runs after
+    * the join but the join itself is key-shuffled once. (A user wanting
+    * the faster plan writes left_anti — covered by Q8's semi twin.) */
+  def q07LeftAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("o_orderkey").isNull)
+      .agg(count(lit(1)).as("n"))
+
+  /** Q8 — semi join (EXISTS). left_semi short-circuits per probe row and
+    * never materializes lineitem columns past the join. The non-key
+    * predicate (quantity ≥ 49) is pushed into the lineitem scan first. */
+  def q08SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .join(
+        Tables.lineitem(s, d).filter(col("l_quantity") >= 49.0),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+
+  /** Q9 — TPC-H Q1 shape: scan-heavy multi-key hash agg with a date
+    * filter. The group-by has tiny cardinality (RF×LS ≤ 9) so the
+    * partial agg collapses nearly everything map-side; the shuffle moves
+    * a handful of rows regardless of input size. */
+  def q09Tpch1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(cents(col("l_quantity"))).as("qty_c"),
+        sum(cents(col("l_extendedprice"))).as("price_c"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q10 — distinct aggregate. Planned as two-phase: partial distinct on
+    * o_custkey then exact count; for approximate at-scale variants use
+    * approx_count_distinct (HLL) — exposed in extensions. */
+  def q10CountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(count_distinct(col("o_custkey")).as("active_customers"))
+
+  /** Q11 — ROLLUP (grouping sets). Spark expands to a union of grouping
+    * sets in one shuffle via the Expand operator. */
+  def q11Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+               col("o_orderstatus").asc_nulls_first, col("n"))
+
+  /** Q12 — window ranking, top-1 per group (reference R18 last-wins
+    * shape, etl_connector.py:179-183). One hash-partition shuffle on
+    * o_custkey; rank ties broken by o_orderkey for determinism. */
+  def q12WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey")
+      .orderBy("o_custkey")
+      .limit(100)
+  }
+
+  /** Q13 — window frame (ROWS 2 PRECEDING). Running aggregate over a
+    * bounded frame: single shuffle on user_id, sorted within partition,
+    * O(1) state per row. */
+  def q13WindowFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), sum(cents(col("value"))).over(w).as("roll_c"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
+  /** Q14 — global sort + top-k. Catalyst plans TakeOrderedAndProject:
+    * per-partition top-10 then a driver-side merge of 10×partitions
+    * rows — no global sort shuffle at any scale. */
+  def q14TopkSort(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
+      .orderBy(col("total_c").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q15 — INTERSECT (distinct semantics, same as SQL default). */
+  def q15Intersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q16 — EXCEPT (distinct semantics). Output keeps the left column
+    * name per SQL rules. */
+  def q16Except(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(col("n_nationkey"))
+      .except(Tables.customer(s, d).select(col("c_nationkey").as("n_nationkey")))
+      .orderBy("n_nationkey")
+
+  /** Q17 — string scalar functions + group by expression. All built-in
+    * codegen'd expressions; stays inside one WholeStageCodegen span up
+    * to the exchange. */
+  def q17StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(
+        upper(substring(col("p_name"), 1, 4)).as("pre"),
+        length(col("p_name")).as("len"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pre").asc_nulls_first, col("len"), col("n"))
+
+  /** Q18 — key-based last-write-wins dedup: the batch form of the
+    * reference's upsert sink (R18, etl_connector.py:167-183,
+    * `replace_one(..., upsert=True)` ⇒ latest per key). */
+  def q18LastWinsDedup(s: SparkSession, d: String): DataFrame = {
+    // order on ts_ns: the oracle compares the raw parquet nanos
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id")
+      .orderBy("user_id")
+  }
+
+  /** Q19 — event-time tumbling-day window, batch form (streaming twin in
+    * graft.streaming uses window(ts, "1 day") + watermark). */
+  def q19DateAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("d").asc_nulls_first, col("event_type").asc_nulls_first)
+
+  /** Q20 — JSON payload extraction (reference R6/R13 analog,
+    * etl_connector.py:100,148-154). get_json_object is a codegen'd
+    * built-in; the LIKE prefilter pushes to the scan. */
+  def q20JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("props").like("""{"k": %}"""))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+
+  /** Q21 — text-analysis extension: per-language corpus stats. */
+  def q21TextAgg(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(sum("n_chars").as("chars"), count(lit(1)).as("docs"))
+      .orderBy(col("lang").asc_nulls_first)
+
+  /** Q22 — embedding table scan + agg (vector math itself is Spark-side
+    * golden-tested; arrays are excluded from cross-engine hashing). */
+  def q22EmbedGroup(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy(col("label").asc_nulls_first)
+}

@@ -1,0 +1,51 @@
+import duckdb, json, sys, glob
+import pyarrow.parquet as pq
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_sf0001'
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        ddf = con.execute(sql).df()
+        files = glob.glob(f'{outdir}/{name}/*.parquet')
+        sdf = pq.ParquetDataset(files).read().to_pandas()
+        # driver-style: sort columns by name, compare values
+        ddf = ddf[sorted(ddf.columns)].reset_index(drop=True)
+        sdf = sdf[sorted(sdf.columns)].reset_index(drop=True)
+        if list(ddf.columns) != list(sdf.columns):
+            print(f'FAIL {name}: columns duck={list(ddf.columns)} spark={list(sdf.columns)}'); fail += 1; continue
+        if len(ddf) != len(sdf):
+            print(f'FAIL {name}: rows duck={len(ddf)} spark={len(sdf)}'); fail += 1; continue
+        # normalize dtypes for compare
+        mismatch = False
+        for c in ddf.columns:
+            a, b = ddf[c], sdf[c]
+            if 'datetime' in str(a.dtype) or 'object' == str(a.dtype) and len(a) and hasattr(a.iloc[0], 'year'):
+                try:
+                    a = pd.to_datetime(a).dt.date
+                    b = pd.to_datetime(b).dt.date
+                except Exception: pass
+            try:
+                if not a.astype(object).equals(b.astype(object)):
+                    neq = (a.astype(object) != b.astype(object))
+                    print(f'FAIL {name}: col {c} first diffs:\n', pd.DataFrame({"duck": a[neq].head(3), "spark": b[neq].head(3)}))
+                    mismatch = True; break
+            except Exception as e:
+                print(f'FAIL {name}: col {c} compare error {e}'); mismatch = True; break
+        if mismatch: fail += 1
+        else: ok += 1; print(f'OK   {name} ({len(ddf)} rows)')
+    except Exception as e:
+        print(f'ERR  {name}: {type(e).__name__}: {e}'); fail += 1
+# rows-only queries
+import os
+for name in sorted(os.listdir(outdir)):
+    if name != 'oracle_sql.json' and name not in oracle:
+        files = glob.glob(f'{outdir}/{name}/*.parquet')
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files) if files else -1
+        print(f'ROWS {name}: {n}')
+print(f'\n{ok} ok, {fail} fail')
