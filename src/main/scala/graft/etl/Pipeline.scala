@@ -1,0 +1,147 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference ETL pipeline re-expressed Spark-first:
+  * extract (DSv2 paged source) → transform (column expressions) →
+  * validate (filter + observe + quarantine) → load (last-wins upsert).
+  *
+  * Reference lifecycle: etl_connector.py:206-239 (main loop). Where the
+  * reference streams one dict at a time through Python, here every
+  * stage is a declarative plan over a distributed DataFrame — the 20-doc
+  * sink buffer (R17) becomes partition-level writes, the per-row upsert
+  * (R18) becomes a snapshot merge keyed like `replace_one(upsert=True)`.
+  */
+object Pipeline {
+
+  /** Typed shape of the fields the reference touches inside a pulse
+    * (FIXTURES.md §1.2; etl_connector.py:148-162). Everything else
+    * stays in the untyped `raw` JSON string. */
+  val pulseSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("indicator_count", LongType),
+    StructField("pulse_info", StructType(Seq(
+      StructField("name", StringType),
+      StructField("id", LongType),
+      StructField("created", StringType),
+      StructField("modified", StringType))))))
+
+  /** Extract (R4): read fixture pages through the DSv2 source. */
+  def extract(spark: SparkSession, fixtureDir: String, cfg: EtlConfig): DataFrame =
+    spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", fixtureDir)
+      .option("perPage", cfg.perPage)
+      .option("maxPages", cfg.maxPages)
+      .option("maxRetries", cfg.maxRetries)
+      .load()
+
+  /** Transform (R12–R15, etl_connector.py:130-164): constant metadata
+    * columns, event-time ingestion timestamp, empty-string→null city,
+    * nested-field hoist from pulse_info, COALESCE key derivation, and
+    * the full raw payload kept verbatim. Pure column expressions —
+    * whole-stage codegen, no UDF. */
+  def transform(raw: DataFrame, cfg: EtlConfig): DataFrame = {
+    val parsed = raw.withColumn("p", from_json(col("raw_json"), pulseSchema))
+    parsed.select(
+      current_timestamp().as("ingestion_timestamp"),              // R12 :138
+      lit(cfg.connectorName).as("connector_name"),                // R12 :139
+      lit("otx").as("source"),                                    // R12 :140
+      lit(cfg.baseUrl).as("source_base_url"),                     // R12 :141
+      cfg.city.filter(_.nonEmpty)                                 // R12 :142
+        .map(c => lit(c)).getOrElse(lit(null).cast(StringType)).as("source_city"),
+      col("raw_json").as("raw"),                                  // R12 :143 keep-raw
+      col("p.pulse_info.name").as("pulse_name"),                  // R13 :150
+      coalesce(col("p.pulse_info.id"), col("p.id")).as("pulse_id"), // R14 :156-158
+      col("p.pulse_info.created").as("pulse_created"),            // R13 :153
+      col("p.pulse_info.modified").as("pulse_modified"),          // R13 :154
+      col("p.indicator_count").as("indicator_count"),             // R15 :160-162
+      col("page").as("source_page")) // provenance: arrival order for last-wins ties
+  }
+
+  /** Validation predicate (R16, etl_connector.py:194-203): required
+    * fields present. */
+  def isValid: Column =
+    col("ingestion_timestamp").isNotNull && col("raw").isNotNull
+
+  /** Validate (R16): split valid/quarantine instead of silently
+    * dropping — the reference logs a warning per dropped doc
+    * (etl_connector.py:221-223); here dropped rows land in a
+    * quarantine DataFrame and valid-row counts surface via observe()
+    * metrics (R20 analog of the processed-count log). */
+  def validate(df: DataFrame): (DataFrame, DataFrame) = {
+    val valid = df.filter(isValid)
+      .observe("etl", count(lit(1)).as("valid_rows"))
+    val quarantine = df.filter(!isValid)
+    (valid, quarantine)
+  }
+
+  /** Last-write-wins batch-internal dedup (R18 semantics: the last
+    * write for a key replaces earlier ones; keyless rows all append,
+    * R19). Orders by (ingestion_timestamp, page) — the reference's
+    * arrival order within a run. */
+  def lastWins(df: DataFrame, key: String, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(orderCols.map(_.desc): _*)
+    val keyed = df.filter(col(key).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    keyed.unionByName(df.filter(col(key).isNull))
+  }
+
+  /** Load (R17–R19, etl_connector.py:167-191): key-based upsert into a
+    * parquet snapshot, emulating `replace_one({key: id}, doc,
+    * upsert=True)` without a MERGE-capable table format:
+    * read current snapshot → union with batch (batch wins) → keep one
+    * row per key → write to a temp dir → atomic swap. Keyed rows are
+    * idempotent (re-upserting the same batch changes nothing); keyless
+    * rows append on every run — faithful to the reference's R19 insert
+    * path (etl_connector.py:184-191, `insert_one` with no key).
+    *
+    * Scale: the snapshot rewrite is the no-Delta fallback; the merge
+    * itself is one hash shuffle on the key. On a real deployment this
+    * slot is a Delta/Iceberg MERGE — same logical semantics. */
+  def upsert(spark: SparkSession, batch: DataFrame, snapshotDir: String,
+             key: String = "pulse_id"): Unit = {
+    val fs = new java.io.File(snapshotDir)
+    // within a batch, arrival order = (ingestion ts, page) — the
+    // reference's sequential page loop means the later page wins ties
+    val arrival: Seq[Column] =
+      if (batch.columns.contains("source_page"))
+        Seq(col("ingestion_timestamp"), col("source_page"))
+      else Seq(col("ingestion_timestamp"))
+    val batchDeduped = lastWins(batch.withColumn("__gen", lit(1)), key, arrival)
+    val merged =
+      if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty) {
+        val existing = spark.read.parquet(snapshotDir).withColumn("__gen", lit(0))
+        // batch rows (gen=1) beat snapshot rows (gen=0) per key
+        lastWins(existing.unionByName(batchDeduped), key, col("__gen") +: arrival)
+      } else batchDeduped
+    val tmp = snapshotDir + ".tmp-" + java.util.UUID.randomUUID().toString
+    merged.drop("__gen").write.mode("overwrite").parquet(tmp)
+    // atomic swap (SURVEY §7: write temp + rename)
+    val old = new java.io.File(snapshotDir + ".old-" + java.util.UUID.randomUUID())
+    if (fs.exists()) { fs.renameTo(old) }
+    new java.io.File(tmp).renameTo(fs)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Full run (reference main(), etl_connector.py:206-239): extract →
+    * transform → validate → upsert. Returns (validCount, quarantineCount). */
+  def run(spark: SparkSession, fixtureDir: String, snapshotDir: String,
+          cfg: EtlConfig): (Long, Long) = {
+    val (valid, quarantine) = validate(transform(extract(spark, fixtureDir, cfg), cfg))
+    val v = valid.cache()
+    val q = quarantine.count()
+    upsert(spark, v, snapshotDir)
+    val n = v.count()
+    v.unpersist()
+    (n, q)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads +
+  * typed metadata, with decode / feature-extract / resize / frame-sample
+  * as per-partition batch transforms.
+  *
+  * The decode step is STUBBED (no image/audio libs in this container)
+  * with a deterministic fake: features derive from the payload bytes
+  * via a stable hash. Everything Spark-side is real — schema,
+  * partition-level batching, the typed Dataset plumbing — so swapping
+  * the stub for an actual JNI/FFI decoder changes one function.
+  *
+  * Scale notes: media blobs are large; the operators below never
+  * shuffle payload bytes — feature extraction is a narrow map, and
+  * downstream joins/groups carry only (id, features/metadata).
+  * `spark.sql.files.maxPartitionBytes` governs blobs-per-task; at
+  * 100 TB set it so one task holds O(100) blobs, not O(100k).
+  */
+object Multimodal {
+
+  /** Canonical multimodal column group: payload + typed metadata
+    * (SURVEY §2.3 "multimodal columns"). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  final case class Media(media_id: Long, modality: String,
+                         content: Array[Byte], meta: Map[String, String])
+  final case class MediaFeatures(media_id: Long, modality: String,
+                                 width: Int, height: Int, features: Array[Float])
+
+  /** Build a media table from the documents corpus: text bytes stand in
+    * for an opaque payload; modality assigned deterministically. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("content"),
+      map(lit("src"), col("source"), lit("lang"), col("lang")).as("meta"))
+
+  /** STUB decoder — deterministic fake standing in for a real image
+    * decode. Dimensions and features derive only from the payload, so
+    * results are stable across runs/partitionings. A real build links
+    * an actual decoder here; the signature (bytes → dims + dense
+    * features) is the real contract. */
+  private[operators] def fakeDecode(content: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    val h0 = scala.util.hashing.MurmurHash3.bytesHash(content, 42)
+    val width = 16 + math.floorMod(h0, 64)
+    val height = 16 + math.floorMod(h0 >> 8, 64)
+    val feats = Array.tabulate(dim) { i =>
+      val h = scala.util.hashing.MurmurHash3.bytesHash(content, i + 1)
+      (h.toFloat / Int.MaxValue.toFloat)
+    }
+    (width, height, feats)
+  }
+
+  /** Decode + feature-extract as a partition-batched typed transform:
+    * the per-partition iterator is the batch (the Scala analog of a
+    * pandas-batch UDF) — a real decoder amortizes model/codec init
+    * once per partition here, not per row. */
+  def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // per-partition init happens HERE (decoder/model handle)
+      batch.map { m =>
+        val (w, h, f) = fakeDecode(Option(m.content).getOrElse(Array.emptyByteArray), dim)
+        MediaFeatures(m.media_id, m.modality, w, h, f)
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: every k-th fixed-size window of
+    * the byte stream becomes a "frame" payload. Pure column expressions
+    * over binary — no UDF. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32, everyK: Int = 4): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("media_id"),
+        posexplode(transform(
+          sequence(lit(0), (octet_length(col("content")) / lit(frameBytes * everyK)).cast("int")),
+          i => substring(col("content"), (i * frameBytes * everyK + 1).cast("int"), lit(frameBytes)))))
+      .toDF("media_id", "frame_idx", "frame")
+      .filter(octet_length(col("frame")) > 0)
+
+  /** Embedding-cosine near-duplicate detection across media: features
+    * from [[extractFeatures]] feed [[Similarity.cosineTopK]] — media
+    * dedup composes from the same primitives as text/vector dedup. */
+  def nearDupMedia(media: Dataset[Media], k: Int = 3, dim: Int = 16): DataFrame = {
+    val feats = extractFeatures(media, dim)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    Similarity.cosineTopK(feats, feats, k)
+  }
+}

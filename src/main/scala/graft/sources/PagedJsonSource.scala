@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{StructField, StructType, StringType, IntegerType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the reference's paginated REST scan (R3–R5, R11,
+  * etl_connector.py:53-127), fixture-driven for the zero-egress env:
+  * each "page" is a local JSON file `page-<N>.json` under `path`.
+  *
+  * Spark-first design:
+  *  - one InputPartition per page → pages fetched IN PARALLEL across
+  *    executor slots (the reference is strictly sequential; at scale a
+  *    1000-executor cluster fetches 1000 pages concurrently),
+  *  - retry with exponential backoff lives INSIDE the partition reader
+  *    (R3), so a transient failure retries one page, not the job,
+  *  - LIMIT pushdown (R5): `df.limit(n)` reaches the source via
+  *    SupportsPushDownLimit and caps the number of page partitions —
+  *    the analog of the reference pushing `limit` to the server,
+  *  - envelope handling (R7/R8): items under `results`, else `pulses`,
+  *    else the first array-valued member, else the payload itself if
+  *    it is an array (etl_connector.py:102-117),
+  *  - rows surface as one `raw_json STRING` column (+ page provenance);
+  *    typed columns are derived downstream with `from_json`, keeping
+  *    the source schema-free like the reference (SURVEY §1.1).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.PagedJsonSource")
+  *     .option("path", fixtureDir)
+  *     .option("maxPages", 100)    // scan cap, reference R5
+  *     .option("maxRetries", 5)    // transport retries, reference R3
+  *     .load()
+  * }}}
+  */
+class PagedJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedJsonSource.SCHEMA
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    // fail-fast option validation (reference R2, etl_connector.py:33-34)
+    require(opts.containsKey("path"), "option 'path' is required (fail-fast, R2)")
+    new PagedJsonTable(opts)
+  }
+}
+
+object PagedJsonSource {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("raw_json", StringType, nullable = false),
+    StructField("page", IntegerType, nullable = false)))
+
+  /** Names of page files in fetch order; missing dir = no pages. */
+  def pageFiles(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.getName.matches("page-\\d+\\.json"))
+      .sortBy(f => f.getName.stripPrefix("page-").stripSuffix(".json").toInt)
+  }
+
+  /** Envelope extraction (R7/R8, etl_connector.py:102-117): `results`,
+    * else `pulses` (empty array counts as absent, like Python `or`),
+    * else the first array-valued member, else the payload itself when
+    * it is an array, else no items. */
+  def extractItems(root: JsonNode): Seq[JsonNode] = {
+    def nonEmptyArray(n: JsonNode): Option[Seq[JsonNode]] =
+      if (n != null && n.isArray && n.size() > 0) Some(n.elements().asScala.toSeq) else None
+    if (root.isArray) root.elements().asScala.toSeq
+    else nonEmptyArray(root.get("results"))
+      .orElse(nonEmptyArray(root.get("pulses")))
+      .orElse(root.properties().asScala.map(_.getValue).find(_.isArray)
+        .map(_.elements().asScala.toSeq))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Generic retry with exponential backoff ×2 (R3,
+    * etl_connector.py:53-85). Pluggable so transports are unit-testable
+    * without a network (SURVEY §7 risk list). */
+  def withRetry[T](maxRetries: Int, backoffMs: Long, sleep: Long => Unit = Thread.sleep)
+                  (fetch: () => T): T = {
+    var attempt = 0
+    var backoff = backoffMs
+    while (true) {
+      try return fetch()
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new RuntimeException(s"fetch failed after $maxRetries attempts", e)
+          sleep(backoff)
+          backoff *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+class PagedJsonTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"paged_json(${options.get("path")})"
+  override def schema(): StructType = PagedJsonSource.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedJsonScanBuilder(options)
+}
+
+/** LIMIT pushdown (R5): a pushed limit caps how many page partitions
+  * are planned — `ceil(limit / perPage)` pages, mirroring the
+  * reference's server-side `limit` + `max_pages` cap. */
+class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownLimit {
+  private var pushedLimit: Int = Int.MaxValue
+  override def pushLimit(limit: Int): Boolean = { pushedLimit = limit; false }
+  override def build(): Scan = new PagedJsonScan(options, pushedLimit)
+}
+
+class PagedJsonScan(options: CaseInsensitiveStringMap, pushedLimit: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = PagedJsonSource.SCHEMA
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PagedJsonScan(path=${options.get("path")}, pushedLimit=$pushedLimit)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = options.get("path")
+    val perPage = options.getInt("perPage", 50)
+    val maxPages = options.getInt("maxPages", 100)
+    val pageCap =
+      if (pushedLimit == Int.MaxValue) maxPages
+      else math.min(maxPages, (pushedLimit + perPage - 1) / perPage)
+    PagedJsonSource.pageFiles(path).take(pageCap).zipWithIndex.map {
+      case (f, i) => PagedJsonPartition(f.getAbsolutePath, i): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedJsonReaderFactory(
+      options.getInt("maxRetries", 5),
+      options.getLong("retryBackoffMs", 10L),
+      options.getInt("failFirstN", 0))
+}
+
+case class PagedJsonPartition(file: String, page: Int) extends InputPartition
+
+class PagedJsonReaderFactory(maxRetries: Int, backoffMs: Long, failFirstN: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PagedJsonReader(partition.asInstanceOf[PagedJsonPartition],
+      maxRetries, backoffMs, failFirstN)
+}
+
+/** Per-page reader. The fetch (file read + JSON parse) runs under the
+  * R3 retry loop; `failFirstN` injects transient failures for tests. */
+class PagedJsonReader(p: PagedJsonPartition, maxRetries: Int, backoffMs: Long,
+                      failFirstN: Int) extends PartitionReader[InternalRow] {
+  private var items: Iterator[JsonNode] = _
+  private var current: InternalRow = _
+
+  private def fetchPage(): Seq[JsonNode] = {
+    var failures = 0
+    PagedJsonSource.withRetry(maxRetries, backoffMs) { () =>
+      if (failures < failFirstN) {
+        failures += 1
+        throw new java.io.IOException(s"injected transient failure $failures")
+      }
+      val mapper = new ObjectMapper()
+      PagedJsonSource.extractItems(mapper.readTree(new java.io.File(p.file)))
+    }
+  }
+
+  override def next(): Boolean = {
+    if (items == null) items = fetchPage().iterator
+    if (items.hasNext) {
+      val node = items.next()
+      current = InternalRow(UTF8String.fromString(node.toString), p.page)
+      true
+    } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

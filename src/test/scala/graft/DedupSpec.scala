@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "spark makes big data small again with catalyst and tungsten " +
+    "columnar execution whole stage codegen adaptive query execution shuffle partitions"
+
+  private def corpus = Seq(
+    1L -> base,
+    2L -> base, // exact dup of 1
+    3L -> (base + " extra tail tokens appended here"),     // near dup of 1
+    4L -> "completely different text about cooking pasta with tomatoes and basil and olive oil and garlic and a pinch of salt",
+    5L -> "yet another unrelated document mentioning mountains rivers forests lakes glaciers valleys and meadows in spring"
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id and counts dups") {
+    val out = Dedup.exact(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 2L)  // docs 1+2 collapse
+    assert(out(3L) === 1L)
+    assert(out.size === 4)
+  }
+
+  test("jaccard pairs: exact dup = 1000 permille, near dup high, unrelated low") {
+    val out = Dedup.jaccardPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) === 1000L)
+    assert(out((1L, 3L)) > 700L)
+    assert(out.getOrElse((1L, 4L), 0L) < 200L)
+  }
+
+  test("minhash LSH finds planted exact and near dup, skips unrelated") {
+    val out = Dedup.minHashLsh(corpus, shingleK = 2, minPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+    assert(out.contains((1L, 3L)) || out.contains((2L, 3L)))
+    assert(!out.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0; near dups close") {
+    val sigs = Dedup.simHashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val pairs = Dedup.simHashPairs(corpus, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)
+  }
+
+  test("minhash LSH scales candidate count: banding keeps pairs sparse") {
+    // 100 docs with disjoint token ranges pushed through an integer mix
+    // (no token shared between docs) → banding must produce no pairs
+    val many = (1L to 100L).map(i =>
+      i -> (1 to 30).map(j => s"tok${(31L * i + j) * 2654435761L % 1000003L}")
+        .mkString(" ")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(many, shingleK = 2, minPermille = 900).collect()
+    assert(pairs.isEmpty) // no near-dups planted, none found
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+import graft.etl.{EtlConfig, Pipeline}
+import graft.sources.PagedJsonSource
+import org.apache.spark.sql.functions._
+
+/** End-to-end ETL semantics over the authored JSON page fixtures
+  * (FIXTURES.md §1): extract (all envelope shapes) → transform
+  * (R12–R15) → validate (R16) → upsert (R17–R19). */
+class EtlPipelineSpec extends SparkSpec {
+
+  private val fixtures = getClass.getResource("/pages").getPath
+  private val cfg = EtlConfig(apiKey = "test-key", city = Some("Berlin"))
+
+  test("config: fail-fast on missing api key (R2)") {
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map("CITY" -> "x"))
+    }
+  }
+
+  test("config: empty CITY becomes None (R12 empty→null)") {
+    val c = EtlConfig.fromEnv(Map("OTX_API_KEY" -> "k", "CITY" -> ""))
+    assert(c.city.isEmpty)
+  }
+
+  test("extract reads every envelope shape (R4, R7, R8)") {
+    val df = Pipeline.extract(spark, fixtures, cfg)
+    // 3 + 2 + 1 + 1 + 0 items across the five fixture pages
+    assert(df.count() === 7L)
+    assert(df.select("page").distinct().count() === 4L) // empty page yields no rows
+  }
+
+  test("limit pushdown caps page partitions (R5)") {
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", fixtures).option("perPage", 3)
+      .load().limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=3") || df.count() === 3L)
+    // ceil(3/3) = 1 page planned
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PagedJsonScan"))
+  }
+
+  test("maxPages caps the scan (R5/R11)") {
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", fixtures).option("maxPages", 1).load()
+    assert(df.count() === 3L) // only page-0
+  }
+
+  test("retry with backoff recovers from transient failures (R3)") {
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", fixtures).option("failFirstN", 2)
+      .option("maxRetries", 5).option("retryBackoffMs", 1).load()
+    assert(df.count() === 7L)
+  }
+
+  test("retry gives up after maxRetries (R3 terminal failure)") {
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", fixtures).option("failFirstN", 10)
+      .option("maxRetries", 2).option("retryBackoffMs", 1).load()
+    val e = intercept[Exception] { df.count() }
+    assert(e.getMessage.contains("attempts") ||
+      Option(e.getCause).exists(_.getMessage.contains("attempts")))
+  }
+
+  test("missing path option fails fast (R2)") {
+    intercept[Exception] {
+      spark.read.format("graft.sources.PagedJsonSource").load().count()
+    }
+  }
+
+  test("transform hoists nested fields, coalesces keys, keeps raw (R12–R15)") {
+    val out = Pipeline.transform(Pipeline.extract(spark, fixtures, cfg), cfg)
+    val rows = out.collect()
+    assert(rows.length === 7)
+    val byName = out.filter(col("pulse_name") === "Pulse One").head()
+    assert(byName.getAs[Long]("pulse_id") === 101L)          // pulse_info.id preferred
+    assert(byName.getAs[Long]("indicator_count") === 10L)
+    assert(byName.getAs[String]("source_city") === "Berlin")
+    assert(byName.getAs[String]("raw").contains("\"nested\"")) // raw kept verbatim
+    // doc with no pulse_info: falls back to top-level id (R14)
+    val fallback = out.filter(col("pulse_id") === 3L).collect()
+    assert(fallback.length === 1)
+    assert(fallback.head.getAs[String]("pulse_name") === null)
+    // keyless doc: null pulse_id (append path, R19)
+    assert(out.filter(col("pulse_id").isNull).count() === 1L)
+  }
+
+  test("validation splits valid from quarantine (R16)") {
+    import spark.implicits._
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "{}"),
+      (null.asInstanceOf[java.sql.Timestamp], "{}"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), null.asInstanceOf[String]))
+      .toDF("ingestion_timestamp", "raw")
+    val (valid, quarantine) = Pipeline.validate(df)
+    assert(valid.count() === 1L)
+    assert(quarantine.count() === 2L)
+  }
+
+  test("upsert: last-write-wins per key, append for keyless, idempotent (R17–R19)") {
+    val dir = Files.createTempDirectory("graft-upsert").toFile
+    val snap = dir.getAbsolutePath + "/snapshot"
+    val batch = Pipeline.transform(Pipeline.extract(spark, fixtures, cfg), cfg).cache()
+
+    Pipeline.upsert(spark, batch, snap)
+    val after1 = spark.read.parquet(snap)
+    // 7 items, two share pulse_id 106 → 6 survive (5 keyed + 1 keyless)
+    assert(after1.count() === 6L)
+    assert(after1.filter(col("pulse_id") === 106L).count() === 1L)
+    // the later page wins the tie — reference's sequential arrival order
+    assert(after1.filter(col("pulse_id") === 106L).head()
+      .getAs[String]("pulse_name") === "Pulse Six v2")
+
+    // re-upsert: keyed rows are idempotent (last-wins), the keyless row
+    // appends again — faithful to the reference's R19 insert path
+    // (etl_connector.py:184-191: no key → insert_one per run)
+    Pipeline.upsert(spark, batch, snap)
+    val after2 = spark.read.parquet(snap)
+    assert(after2.filter(col("pulse_id").isNotNull).count() === 5L)
+    assert(after2.filter(col("pulse_id").isNull).count() === 2L)
+
+    // new batch with an updated doc for key 101 replaces it (last wins)
+    import spark.implicits._
+    val update = Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+      "updated", 101L, """{"id": 1, "v": 2}"""))
+      .toDF("ingestion_timestamp", "pulse_name", "pulse_id", "raw")
+    val aligned = update.select(
+      col("ingestion_timestamp"), lit(cfg.connectorName).as("connector_name"),
+      lit("otx").as("source"), lit(cfg.baseUrl).as("source_base_url"),
+      lit("Berlin").as("source_city"), col("raw"), col("pulse_name"),
+      col("pulse_id"), lit(null).cast("string").as("pulse_created"),
+      lit(null).cast("string").as("pulse_modified"),
+      lit(null).cast("long").as("indicator_count"),
+      lit(99).as("source_page"))
+    Pipeline.upsert(spark, aligned, snap)
+    val after3 = spark.read.parquet(snap)
+    assert(after3.filter(col("pulse_id").isNotNull).count() === 5L)
+    assert(after3.filter(col("pulse_id") === 101L).head()
+      .getAs[String]("pulse_name") === "updated")
+    batch.unpersist()
+  }
+
+  test("full pipeline run returns counts (R20)") {
+    val dir = Files.createTempDirectory("graft-run").toFile
+    val (valid, quarantined) = Pipeline.run(
+      spark, fixtures, dir.getAbsolutePath + "/snap", cfg)
+    assert(valid === 7L)
+    assert(quarantined === 0L)
+  }
+
+  test("envelope extraction precedence: results beats pulses beats discovery") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val both = mapper.readTree("""{"pulses": [{"a": 1}], "results": [{"b": 2}, {"b": 3}]}""")
+    assert(PagedJsonSource.extractItems(both).size === 2)
+    val emptyResults = mapper.readTree("""{"results": [], "pulses": [{"a": 1}]}""")
+    assert(PagedJsonSource.extractItems(emptyResults).size === 1) // empty≈absent, Python `or`
+    val discovery = mapper.readTree("""{"meta": 1, "things": [{"a": 1}]}""")
+    assert(PagedJsonSource.extractItems(discovery).size === 1)
+    val none = mapper.readTree("""{"meta": 1}""")
+    assert(PagedJsonSource.extractItems(none).isEmpty)
+  }
+
+  test("withRetry backoff doubles (R3 exponential)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = PagedJsonSource.withRetry(5, 100L, sleeps.append(_)) { () =>
+      calls += 1
+      if (calls < 4) throw new RuntimeException("boom")
+      42
+    }
+    assert(out === 42)
+    assert(sleeps.toSeq === Seq(100L, 200L, 400L))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // closest to 1
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 1
+    (5L, Array(1.0f, 0.1f, 0.0f, 0.0f))   // also close to 1
+  ).toDF("vec_id", "embedding")
+
+  test("dot/cosine column math") {
+    val row = vecs.filter($"vec_id" === 1).crossJoin(
+      vecs.filter($"vec_id" === 4).select($"embedding".as("e2")))
+      .select(Similarity.cosine(
+        $"embedding".cast("array<double>"), $"e2".cast("array<double>")).as("c"))
+      .head()
+    assert(math.abs(row.getDouble(0) + 1.0) < 1e-9)
+  }
+
+  test("brute-force cosine top-k ranks by similarity, excludes self") {
+    val out = Similarity.cosineTopK(vecs.filter($"vec_id" === 1), vecs, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.length === 3)
+    // rank 1 must be vec 5 or 2 (cos ≈ .995 both); tie impossible here:
+    // cos(1,2)=0.9/|(.9,.1)| = .9938..., cos(1,5)=1/sqrt(1.01)=.99503...
+    assert(out(0)._1 === 5L)
+    assert(out(1)._1 === 2L)
+    assert(out(2)._1 === 3L) // orthogonal beats opposite
+    assert(out.map(_._3).toSeq === out.map(_._3).toSeq.sorted.reverse)
+  }
+
+  test("LSH top-k finds the identical vector (same bucket by construction)") {
+    val corpus = (1L to 50L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dup = corpus.filter($"vec_id" === 7).select(
+      lit(999L).as("vec_id"), $"embedding")
+    val out = Similarity.lshTopK(dup, corpus.union(dup), k = 1, numPlanes = 8)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 7L)       // nearest = its source vector
+    assert(out.head.getLong(3) === 1000L)    // cosine 1.000
+  }
+
+  test("lsh signature is deterministic") {
+    val sigs1 = vecs.select(Similarity.lshSignature($"embedding".cast("array<double>"), 8)).collect()
+    val sigs2 = vecs.select(Similarity.lshSignature($"embedding".cast("array<double>"), 8)).collect()
+    assert(sigs1.map(_.getLong(0)).toSeq === sigs2.map(_.getLong(0)).toSeq)
+  }
+}

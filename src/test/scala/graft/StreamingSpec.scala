@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+/** Structured Streaming semantics via MemoryStream: windows, watermark
+  * late-drop, stateful dedup, arbitrary state (SURVEY §5.2). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runBatches[T](stream: MemoryStream[T], out: String,
+                            df: org.apache.spark.sql.DataFrame,
+                            mode: OutputMode,
+                            batches: Seq[Seq[T]]): Unit = {
+    val q = df.writeStream.format("memory").queryName(out).outputMode(mode).start()
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("tumbling window counts with watermark drop of late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val windowed = EventStreams.tumblingCounts(
+      input.toDF(), windowLen = "1 hour", watermark = "10 minutes")
+    runBatches(input, "tumbling", windowed, OutputMode.Append(), Seq(
+      Seq(
+        Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:45:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-01 01:20:00"), 2, "view", 1.0)),
+      // advance watermark far beyond hour 0 so its window closes
+      Seq(Ev(4, ts("2024-01-01 03:00:00"), 2, "view", 1.0)),
+      // late row for hour 0 — behind the watermark, must be dropped
+      Seq(Ev(5, ts("2024-01-01 00:10:00"), 3, "click", 1.0)),
+      Seq(Ev(6, ts("2024-01-01 05:00:00"), 2, "view", 1.0))))
+    val rows = spark.table("tumbling")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 2L))) // late row NOT counted
+    assert(rows.contains(("2024-01-01 01:00:00", "view", 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by event_id (streaming R18)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val deduped = EventStreams.dedupWithinWatermark(input.toDF(), "10 minutes")
+    runBatches(input, "dedup", deduped, OutputMode.Append(), Seq(
+      Seq(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0)), // dup in-batch
+      Seq(Ev(1, ts("2024-01-01 00:00:02"), 1, "click", 1.0), // dup cross-batch
+        Ev(2, ts("2024-01-01 00:01:00"), 1, "view", 1.0))))
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+  }
+
+  test("session window groups events within gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionCounts(input.toDF(), gap = "30 minutes",
+      watermark = "0 seconds")
+    runBatches(input, "sessions", sessions, OutputMode.Append(), Seq(
+      Seq(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:10:00"), 1, "click", 1.0),   // same session
+        Ev(3, ts("2024-01-01 02:00:00"), 1, "click", 1.0)),  // new session
+      Seq(Ev(9, ts("2024-01-02 00:00:00"), 9, "view", 1.0)))) // close windows
+    val rows = spark.table("sessions").select("user_id", "n")
+      .as[(Long, Long)].collect().filter(_._1 == 1L).map(_._2).sorted.toSeq
+    assert(rows === Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserEvent]
+    val totals = EventStreams.runningUserTotals(input.toDS())
+    val q = totals.toDF().writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Seq(
+        EventStreams.UserEvent(1, 1, 1.00),
+        EventStreams.UserEvent(1, 2, 2.50)))
+      q.processAllAvailable()
+      input.addData(Seq(EventStreams.UserEvent(1, 3, 0.25)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("totals").filter($"user_id" === 1)
+      .orderBy($"events".desc).head()
+    assert(last.getAs[Long]("events") === 3L)
+    assert(last.getAs[Long]("value_cents") === 375L)
+  }
+
+  test("streaming ETL ingest upserts per micro-batch (R17 streaming twin)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-etl").toFile
+    val snap = dir.getAbsolutePath + "/snap"
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val raw = input.toDF().select(col("value").as("raw_json"), lit(0).as("page"))
+    val cfg = graft.etl.EtlConfig(apiKey = "k")
+    val q = EventStreams.etlStream(raw, cfg, snap).start()
+    try {
+      input.addData(Seq("""{"id": 1, "pulse_info": {"name": "a", "id": 11}}"""))
+      q.processAllAvailable()
+      input.addData(Seq("""{"id": 1, "pulse_info": {"name": "b", "id": 11}}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snapDf = spark.read.parquet(snap)
+    assert(snapDf.count() === 1L)
+    assert(snapDf.head().getAs[String]("pulse_name") === "b") // last write wins
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("token count: whitespace formula") {
+    val out = TextAnalysis.tokenCount(docs(1L -> "a b c", 2L -> "one", 3L -> "x  y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 3L)
+    assert(out(2L) === 1L)
+    assert(out(3L) === 3L) // double space counts the empty token, same as the SQL formula
+  }
+
+  test("bpe-ish token count splits punctuation") {
+    val df = docs(1L -> "hello, world!  it's 42").select(
+      TextAnalysis.bpeishTokenCountCol($"text").as("n"))
+    // hello , world ! it ' s 42  (spaces dropped? spaces are non-alnum → kept as tokens)
+    val n = df.head().getLong(0)
+    assert(n > 5)
+  }
+
+  test("quality score fields are exact integers") {
+    val out = TextAnalysis.qualityScore(
+      docs(1L -> "the cat in the hat").toDF("doc_id", "text")).head()
+    assert(out.getAs[Long]("n_chars_m") === 18L)
+    assert(out.getAs[Long]("n_tokens") === 5L)
+    // nospace=14 chars → 14*1000/5 = 2800
+    assert(out.getAs[Long]("awl_permille") === 2800L)
+    assert(out.getAs[Long]("the_cnt") === 2L)
+  }
+
+  test("langid argmax with deterministic tie-break") {
+    val out = TextAnalysis.languageId(
+      docs(1L -> "data data table row", 2L -> "table table row", 3L -> "row"),
+      Seq("en" -> Seq("data"), "fr" -> Seq("table"), "de" -> Seq("row")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "fr", 3L -> "de"))
+  }
+
+  test("rolling hash is stable and order-sensitive") {
+    val a = TextAnalysis.rollingHash(docs(1L -> "a b c")).head().getLong(1)
+    val b = TextAnalysis.rollingHash(docs(1L -> "a b c")).head().getLong(1)
+    val c = TextAnalysis.rollingHash(docs(1L -> "c b a")).head().getLong(1)
+    assert(a === b)
+    assert(a !== c)
+    assert(a >= 0 && a < 2147483647L)
+  }
+
+  test("media meta: byte length and sha256 hex") {
+    val out = TextAnalysis.mediaMeta(docs(1L -> "abc")).head()
+    assert(out.getAs[Long]("n_bytes") === 3L)
+    assert(out.getAs[String]("sha") ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+}
