@@ -65,6 +65,21 @@ object SparkEntry {
     },
     "x11_media_meta"      -> ((s, d) => TextAnalysis.mediaMeta(Tables.documents(s, d))),
     "x12_rolling_hash"    -> ((s, d) => TextAnalysis.rollingHash(Tables.documents(s, d))),
+    "x13_cosine_native"   -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineTopKNative(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    "x14_label_centroid"  -> { (s, d) =>
+      graft.functions.VectorAgg.register(s)
+      Tables.embeddings(s, d).groupBy("label")
+        .agg(expr("vec_avg(embedding)").as("centroid"))
+        .orderBy(col("label").asc_nulls_first)
+    },
+    "x15_cube"            -> (Relational.cube _),
+    "x16_full_join"       -> (Relational.fullJoin _),
+    "x17_theta_join"      -> (Relational.thetaJoin _),
+    "x18_asof_join"       -> (Relational.asofJoin _),
   )
 
   /** DuckDB oracle SQL, same parquet tables. Column aliases match the
@@ -189,6 +204,27 @@ object SparkEntry {
     "x11_media_meta" ->
       """SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes, SHA256(text) AS sha
          FROM documents ORDER BY doc_id""",
+    "x15_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders
+         GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""",
+    "x16_full_join" ->
+      "SELECT COUNT(*) AS n FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey",
+    "x17_theta_join" ->
+      """SELECT COUNT(*) AS n FROM part p JOIN supplier s
+         ON p.p_size >= s.s_suppkey AND p.p_size <= s.s_suppkey + 20""",
+    "x18_asof_join" ->
+      """WITH pairs AS (
+           SELECT o.o_orderkey, e.event_id, e.ts
+           FROM orders o LEFT JOIN events e
+             ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
+         r AS (
+           SELECT o_orderkey, event_id,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey
+               ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+           FROM pairs)
+         SELECT o_orderkey, event_id FROM r WHERE rn = 1
+         ORDER BY o_orderkey, event_id""",
     // x07/x08 (minhash, simhash), x09/x10 (vector topk), x12 (rolling
     // hash) use engine-specific hash functions / FP summation order —
     // excluded from cross-engine hashing per SURVEY §2.4 rule 6;

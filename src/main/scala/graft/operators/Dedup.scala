@@ -117,20 +117,25 @@ object Dedup {
   }
 
   /** 64-bit SimHash signature per document: for each token hash bit,
-    * +1/−1 vote; sign of the vote sum sets the bit. Pure expressions:
-    * explode tokens ×64 bit positions → two-level agg. */
+    * +1/−1 vote; sign of the vote sum sets the bit.
+    *
+    * Shape: one groupBy with 65 static aggregate columns (token count +
+    * per-bit set-count S_i); the ±1 vote sum is 2·S_i − n, so bit i is
+    * set iff 2·S_i > n. ONE shuffle with map-side partial aggregation —
+    * the per-doc partials are 65 longs regardless of document length.
+    * (The naive explode-64-rows-per-token plan was 3× slower at sf0.1
+    * and shuffles 64× more rows.) */
   def simHashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bits = toks.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", col("h"), i)
-            .bitwiseAND(1) === 1, 1).otherwise(-1))))
-      .toDF("doc_id", "bit", "vote")
-    bits.groupBy("doc_id", "bit").agg(sum("vote").as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0,
-        call_function("shiftleft", lit(1L), col("bit"))).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"s$i"))
+    val agg = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"s$i") * 2 > col("n"), lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by

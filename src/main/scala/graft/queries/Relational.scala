@@ -232,4 +232,49 @@ object Relational {
     Tables.embeddings(s, d)
       .groupBy("label").agg(count(lit(1)).as("n"))
       .orderBy(col("label").asc_nulls_first)
+
+  /** CUBE (full grouping-set lattice; rollup's sibling in SURVEY §2.3).
+    * One Expand + one shuffle, like rollup. */
+  def cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+               col("o_orderstatus").asc_nulls_first, col("n"))
+
+  /** FULL OUTER equi join. Sort-merge at scale (outer sides cannot
+    * broadcast-build); AQE still coalesces post-shuffle partitions. */
+  def fullJoin(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"), "full")
+      .agg(count(lit(1)).as("n"))
+
+  /** Theta (non-equi range predicate) join — planned as broadcast
+    * nested-loop with the small side broadcast; the only join shape
+    * where NL is the right answer. */
+  def thetaJoin(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).join(
+      Tables.supplier(s, d),
+      col("p_size") >= col("s_suppkey") && col("p_size") <= col("s_suppkey") + 20)
+      .agg(count(lit(1)).as("n"))
+
+  /** Backward as-of join: each order picks the latest event of the
+    * matching user at or before the order date (ns-exact comparison —
+    * the oracle compares raw parquet nanos). Runs through
+    * [[graft.operators.AsOfJoin]]: one shuffle + sort, no range
+    * explosion. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val left = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey").as("k"),
+      // NTZ → LTZ cast is identity under the pinned UTC session TZ
+      (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t"))
+    val right = Tables.events(s, d).select(
+      col("user_id").as("k"), col("ts_ns").as("t"),
+      col("event_id"))
+    graft.operators.AsOfJoin.backward(
+      left, right, key = "k", leftTime = "t", rightTime = "t",
+      rightCols = Seq("event_id"), tieBreak = Some("event_id"))
+      .select("o_orderkey", "event_id")
+      .orderBy(col("o_orderkey"), col("event_id"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward as-of picks latest right row at or before left time") {
+    val left = Seq(
+      (1L, 100L, "a"),  // matches t=100 (equality counts)
+      (1L, 150L, "b"),  // matches t=100
+      (1L, 250L, "c"),  // matches t=200
+      (2L, 50L, "d"),   // no right row yet → null
+      (3L, 500L, "e")   // key with no right rows at all → null
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, 10L),
+      (1L, 200L, 20L),
+      (2L, 60L, 30L)
+    ).toDF("k", "t", "rid")
+
+    val out = AsOfJoin.backward(left, right, "k", "t", "t", Seq("rid"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("rid")).map(_.asInstanceOf[Long])).toMap
+    assert(out === Map(
+      "a" -> Some(10L), "b" -> Some(10L), "c" -> Some(20L),
+      "d" -> None, "e" -> None))
+  }
+
+  test("tie at identical times: highest tiebreak wins") {
+    val left = Seq((1L, 100L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 99L, 5L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.backward(left, right, "k", "t", "t",
+      Seq("rid"), tieBreak = Some("rid")).collect()
+    assert(out.head.getAs[Long]("rid") === 9L)
+  }
+
+  test("multiple payload columns come from the same right row") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 90L, 1L, "old"), (1L, 95L, 2L, "new")).toDF("k", "t", "rid", "name")
+    val out = AsOfJoin.backward(left, right, "k", "t", "t", Seq("rid", "name")).head()
+    assert(out.getAs[Long]("rid") === 2L)
+    assert(out.getAs[String]("name") === "new")
+  }
+
+  test("plan shape: one exchange, no cartesian/range explosion") {
+    val left = (1L to 1000L).map(i => (i % 10, i)).toDF("k", "t")
+    val right = (1L to 1000L).map(i => (i % 10, i, i * 2)).toDF("k", "t", "rid")
+    val df = AsOfJoin.backward(left, right, "k", "t", "t", Seq("rid"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+    assert(df.count() === 1000L)
+  }
+}

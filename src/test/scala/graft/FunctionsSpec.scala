@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, VectorAgg}
+import graft.operators.Similarity
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_f32 / cosine_f32 match the higher-order-function math") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.0f, 0.0f), Array(0.0f, 0.0f)), // zero norm → cosine 0
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val out = df.select(
+      call_function("dot_f32", $"a", $"b").as("dot"),
+      call_function("cosine_f32", $"a", $"b").as("cos"),
+      Similarity.dot($"a".cast("array<double>"), $"b".cast("array<double>")).as("dot_hof"),
+      Similarity.cosine($"a".cast("array<double>"), $"b".cast("array<double>")).as("cos_hof"))
+      .collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-9)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-9)
+    }
+    assert(out(0).getDouble(0) === 32.0)
+    assert(out(1).getDouble(1) === 0.0)
+  }
+
+  test("native expressions usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Seq((Array(1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val cos = spark.sql("SELECT cosine_f32(a, b) AS c FROM vecs").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
+
+  test("cosine_f32 participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = graft.core.Tables.embeddings(spark, sf).limit(10)
+      .select(call_function("cosine_f32", $"embedding", $"embedding").as("c"))
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    val codegen = df.queryExecution.executedPlan.collectFirst {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegen.isDefined, "expression must stay inside a WholeStageCodegen span")
+  }
+
+  test("native top-k matches the built-in top-k on real embeddings") {
+    GraftFunctions.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val a = Similarity.cosineTopK(emb.filter($"vec_id" < 5), emb, k = 5).collect()
+    val b = Similarity.cosineTopKNative(emb.filter($"vec_id" < 5), emb, k = 5).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ===
+           b.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+  }
+
+  test("vec_avg aggregator computes element-wise centroids") {
+    VectorAgg.register(spark)
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)),
+      (0, Array(3.0f, 4.0f)),
+      (1, Array(10.0f, 20.0f))
+    ).toDF("label", "embedding")
+    val out = df.groupBy("label").agg(expr("vec_avg(embedding)").as("c"))
+      .orderBy("label").collect()
+    assert(out(0).getSeq[Double](1) === Seq(2.0, 3.0))
+    assert(out(1).getSeq[Double](1) === Seq(10.0, 20.0))
+  }
+
+  test("vec_avg merge is partition-invariant") {
+    VectorAgg.register(spark)
+    val data = (1 to 100).map(i => (i % 3, Array.tabulate(8)(j => (i * j).toFloat)))
+    val one = data.toDF("label", "embedding").coalesce(1)
+      .groupBy("label").agg(expr("vec_avg(embedding)").as("c")).orderBy("label").collect()
+    val many = data.toDF("label", "embedding").repartition(7)
+      .groupBy("label").agg(expr("vec_avg(embedding)").as("c")).orderBy("label").collect()
+    one.zip(many).foreach { case (a, b) =>
+      a.getSeq[Double](1).zip(b.getSeq[Double](1)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-6)
+      }
+    }
+  }
+}
