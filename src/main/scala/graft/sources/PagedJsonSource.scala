@@ -108,7 +108,7 @@ class PagedJsonTable(options: CaseInsensitiveStringMap) extends Table with Suppo
   override def name(): String = s"paged_json(${options.get("path")})"
   override def schema(): StructType = PagedJsonSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new PagedJsonScanBuilder(options)
 }
@@ -127,6 +127,8 @@ class PagedJsonScan(options: CaseInsensitiveStringMap, pushedLimit: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = PagedJsonSource.SCHEMA
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new PagedJsonMicroBatchStream(options)
   override def description(): String =
     s"PagedJsonScan(path=${options.get("path")}, pushedLimit=$pushedLimit)"
 
@@ -150,6 +152,46 @@ class PagedJsonScan(options: CaseInsensitiveStringMap, pushedLimit: Int)
 }
 
 case class PagedJsonPartition(file: String, page: Int) extends InputPartition
+
+/** Streaming form of the paginated scan (reference R4's incremental
+  * generator, SURVEY §2.1: "in streaming: a micro-batch source with
+  * page number as offset"). The offset IS the page counter: each
+  * trigger picks up pages that appeared since the last committed
+  * offset, one partition per new page — exactly-once via offset replay,
+  * no source-side state beyond the integer. */
+case class PagedJsonOffset(page: Int) extends streaming.Offset {
+  override def json(): String = page.toString
+}
+
+class PagedJsonMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends streaming.MicroBatchStream {
+  private val path = options.get("path")
+  private val maxPages = options.getInt("maxPages", 100)
+
+  override def latestOffset(): streaming.Offset =
+    PagedJsonOffset(math.min(PagedJsonSource.pageFiles(path).size, maxPages))
+  override def initialOffset(): streaming.Offset = PagedJsonOffset(0)
+  override def deserializeOffset(json: String): streaming.Offset =
+    PagedJsonOffset(json.toInt)
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PagedJsonOffset].page
+    val e = end.asInstanceOf[PagedJsonOffset].page
+    PagedJsonSource.pageFiles(path).slice(s, e).zipWithIndex.map {
+      case (f, i) => PagedJsonPartition(f.getAbsolutePath, s + i): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedJsonReaderFactory(
+      options.getInt("maxRetries", 5),
+      options.getLong("retryBackoffMs", 10L),
+      options.getInt("failFirstN", 0))
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class PagedJsonReaderFactory(maxRetries: Int, backoffMs: Long, failFirstN: Int)
     extends PartitionReaderFactory {

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.Relational
+
+/** Physical-plan regression guards: these assert the plan SHAPE that
+  * makes each query scale — pushdown reaching the scan, dimension
+  * broadcasts, top-k short-circuits. A change that silently loses one
+  * of these properties would still be correct at test scale and
+  * disastrous at 100 TB; this suite is where it fails instead. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q03: both predicates push down to the parquet scan") {
+    val p = plan(Relational.q03FilterPred(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_returnflag), GreaterThan(l_quantity,45.0)"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+      "scan must be pruned to exactly the two referenced columns")
+  }
+
+  test("q06: both dimension joins broadcast — zero shuffles before the agg") {
+    val p = plan(Relational.q06MultiJoin(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q08: EXISTS plans as a semi join with the filter below the join") {
+    val p = plan(Relational.q08SemiJoin(spark, sf))
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,49.0)"),
+      "the quantity predicate must reach the lineitem scan, not sit above the join")
+  }
+
+  test("q09: cast-to-date filter is rewritten into a pushable timestamp range") {
+    val p = plan(Relational.q09Tpch1Agg(spark, sf))
+    assert(p.contains("LessThan(l_shipdate"), "date filter must push to the scan")
+    assert(p.contains("partial_sum"), "aggregation must be partial+final (map-side combine)")
+  }
+
+  test("q14: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q14TopkSort(spark, sf))
+    assert(p.contains("TakeOrderedAndProject(limit=10"))
+    assert(!p.contains("rangepartitioning"), "no global sort exchange for a bounded top-k")
+  }
+
+  test("q02: projection prunes the lineitem scan to 4 of 11 columns") {
+    val p = plan(Relational.q02ProjectCents(spark, sf))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q01: count(*) over parquet never reads data columns") {
+    val p = plan(Relational.q01Count(spark, sf))
+    assert(p.contains("ReadSchema: struct<>"),
+      "bare count should read only parquet footers/row-group metadata")
+  }
+}

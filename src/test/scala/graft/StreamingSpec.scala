@@ -97,6 +97,29 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Long]("value_cents") === 375L)
   }
 
+  test("paged source streams new pages as micro-batches (page offset = R4 generator)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-stream").toFile
+    def writePage(n: Int, items: String): Unit = {
+      val f = new java.io.File(dir, s"page-$n.json")
+      java.nio.file.Files.writeString(f.toPath, s"""{"results": [$items]}""")
+    }
+    writePage(0, """{"id": 1}, {"id": 2}""")
+    val stream = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("path", dir.getAbsolutePath).load()
+    val q = stream.writeStream.format("memory").queryName("paged")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("paged").count() === 2L)
+      writePage(1, """{"id": 3}""")
+      q.processAllAvailable()
+      val rows = spark.table("paged").select("raw_json", "page").collect()
+      assert(rows.length === 3)
+      // page provenance follows the offset, and no page is re-read
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(0, 0, 1))
+    } finally q.stop()
+  }
+
   test("streaming ETL ingest upserts per micro-batch (R17 streaming twin)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-etl").toFile
     val snap = dir.getAbsolutePath + "/snap"
