@@ -77,6 +77,14 @@ object SparkEntry {
         .orderBy(col("label").asc_nulls_first)
     },
     "x15_cube"            -> (Relational.cube _),
+    "x19_scalar_funcs"    -> (Relational.scalarFuncs _),
+    "x20_approx_distinct" -> (Relational.approxDistinct _),
+    "x21_salted_agg"      -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_c")),
+        keys = Seq("l_returnflag"), aggs = Map("qty_c" -> "sum"))
+        .orderBy(col("l_returnflag").asc_nulls_first)),
     "x16_full_join"       -> (Relational.fullJoin _),
     "x17_theta_join"      -> (Relational.thetaJoin _),
     "x18_asof_join"       -> (Relational.asofJoin _),
@@ -210,6 +218,19 @@ object SparkEntry {
          ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""",
     "x16_full_join" ->
       "SELECT COUNT(*) AS n FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey",
+    "x19_scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(ABS(FLOOR(l_discount * 100 + 0.5)) AS BIGINT) AS disc_c,
+         CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month,
+         CONCAT(l_returnflag, '-', l_linestatus) AS rf_ls,
+         REPLACE(UPPER(l_returnflag), 'R', 'X') AS rf_x,
+         l_orderkey % 7 AS m7
+         FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber""",
+    "x21_salted_agg" ->
+      """SELECT l_returnflag,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c_sum
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
     "x17_theta_join" ->
       """SELECT COUNT(*) AS n FROM part p JOIN supplier s
          ON p.p_size >= s.s_suppkey AND p.p_size <= s.s_suppkey + 20""",

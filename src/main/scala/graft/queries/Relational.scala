@@ -258,6 +258,29 @@ object Relational {
       col("p_size") >= col("s_suppkey") && col("p_size") <= col("s_suppkey") + 20)
       .agg(count(lit(1)).as("n"))
 
+  /** Scalar-function breadth: math (abs/floor/mod), date (month trunc),
+    * string (concat/replace/upper/trim) — all codegen'd built-ins in
+    * one narrow projection over a pruned scan. */
+  def scalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(floor(col("l_discount") * 100 + 0.5)).cast("long").as("disc_c"),
+        trunc(col("l_shipdate").cast("date"), "month").as("ship_month"),
+        concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("rf_ls"),
+        regexp_replace(upper(col("l_returnflag")), "R", "X").as("rf_x"),
+        pmod(col("l_orderkey"), lit(7)).as("m7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Approximate distinct-count sketch (HyperLogLog++): the at-scale
+    * substitute for q10's exact distinct — fixed-size sketch per
+    * partition, one tiny merge, 2% default error. Engine-specific
+    * sketch values → rows-only check + accuracy-bounded spec. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+
   /** Backward as-of join: each order picks the latest event of the
     * matching user at or before the order date (ns-exact comparison —
     * the oracle compares raw parquet nanos). Runs through

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.etl.Pipeline
+import graft.operators.TextAnalysis
+
+/** Property-based checks (SURVEY §5.2) for the determinism-sensitive
+  * pieces: cents conversion, last-wins dedup idempotence, token
+  * counting, rolling-hash range. Small test counts keep the Spark
+  * round-trips affordable; the generators still cover negatives,
+  * zeros, ties, null keys and empty strings. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("cents conversion matches local floor(x*100+0.5) for plausible money") {
+    check(Prop.forAll(Gen.listOfN(20, Gen.chooseNum(-10000.0, 10000.0))) { xs =>
+      xs.isEmpty || {
+        val viaSpark = xs.toDF("x")
+          .select(floor(col("x") * 100 + 0.5).cast("long").as("c"))
+          .collect().map(_.getLong(0)).toSeq
+        viaSpark == xs.map(x => math.floor(x * 100 + 0.5).toLong)
+      }
+    })
+  }
+
+  test("lastWins is idempotent and yields one row per non-null key") {
+    val rows = Gen.listOfN(30, for {
+      k <- Gen.chooseNum(0L, 5L)
+      ts <- Gen.chooseNum(0L, 100L)
+      v <- Gen.alphaStr.map(_.take(5))
+    } yield (if (k == 0L) None else Some(k), ts, v))
+    check(Prop.forAll(rows) { xs =>
+      xs.isEmpty || {
+        val df = xs.map { case (k, ts, v) => (k.map(Long.box).orNull, ts, v) }
+          .toDF("k", "ts", "v")
+        val once = Pipeline.lastWins(df, "k", Seq(col("ts"), col("v")))
+        val twice = Pipeline.lastWins(once, "k", Seq(col("ts"), col("v")))
+        val keyed = once.filter(col("k").isNotNull)
+        keyed.count() == keyed.select("k").distinct().count() &&
+          twice.filter(col("k").isNotNull).count() == keyed.count() &&
+          once.filter(col("k").isNull).count() == xs.count(_._1.isEmpty).toLong
+      }
+    })
+  }
+
+  test("token count equals the split length for single-spaced text") {
+    val words = Gen.listOfN(8, Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString))
+    check(Prop.forAll(words) { ws =>
+      ws.isEmpty || {
+        val text = ws.mkString(" ")
+        Seq((1L, text)).toDF("doc_id", "text")
+          .select(TextAnalysis.tokenCountCol(col("text"))).head().getLong(0) ==
+          ws.length.toLong
+      }
+    })
+  }
+
+  test("rolling hash stays inside its modular field for arbitrary text") {
+    val texts = Gen.listOfN(5, Gen.listOfN(10,
+      Gen.oneOf(Gen.alphaStr.map(_.take(6)), Gen.numStr.map(_.take(4))))
+      .map(_.filter(_.nonEmpty).mkString(" ")))
+    check(Prop.forAll(texts) { ts =>
+      ts.isEmpty || {
+        val out = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        TextAnalysis.rollingHash(out).collect().map(_.getLong(1))
+          .forall(h => h >= 0 && h < 2147483647L)
+      }
+    }, n = 5)
+  }
+}
