@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Layout, Tables}
+import graft.operators.{AsOfJoin, Dedup, Similarity, Skew}
+
+/** Executable tour of the library surface — end-to-end smoke of every
+  * module through the public API, printing one line per feature.
+  * Usage: runMain graft.Tour [sfDir]
+  */
+object Tour {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+
+    // native functions through the extensions-configured session
+    val cos = spark.sql(
+      "SELECT cosine_f32(array(1.0f,2.0f), array(1.0f,2.0f)) AS c").head().getDouble(0)
+    println(f"[tour] cosine_f32 via SparkSessionExtensions = $cos%.3f")
+
+    // bucketed layout → shuffle-free join
+    spark.sql("DROP TABLE IF EXISTS tour_orders_b")
+    spark.sql("DROP TABLE IF EXISTS tour_lineitem_b")
+    Layout.writeBucketed(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "tour_orders_b", 4, Seq("o_orderkey"))
+    Layout.writeBucketed(Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "tour_lineitem_b", 4, Seq("l_orderkey"))
+    val bucketed = spark.table("tour_orders_b")
+      .join(spark.table("tour_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(bucketed.queryExecution.executedPlan.toString).size
+    println(s"[tour] bucketed join rows=${bucketed.count()} hash-exchanges=$exchanges (want 0)")
+
+    // dedup family
+    val docs = Tables.documents(spark, sf)
+    println(s"[tour] exact-dedup groups=${Dedup.exact(docs).count()}")
+    println(s"[tour] minhash-lsh pairs=${Dedup.minHashLsh(docs, minPermille = 300).count()}")
+    println(s"[tour] simhash pairs(h<=3)=${Dedup.simHashPairs(docs).count()}")
+
+    // similarity
+    val emb = Tables.embeddings(spark, sf)
+    val knn = Similarity.cosineTopKNative(emb.filter(col("vec_id") < 3), emb, k = 3)
+    println(s"[tour] native cosine top-3 rows=${knn.count()}")
+
+    // as-of join
+    println(s"[tour] as-of join rows=${graft.queries.Relational.asofJoin(spark, sf).count()}")
+
+    // skew-safe aggregation
+    val salted = Skew.saltedAgg(
+      Tables.lineitem(spark, sf).select(col("l_returnflag"), col("l_quantity")),
+      Seq("l_returnflag"), Map("l_quantity" -> "count"))
+    println(s"[tour] salted agg groups=${salted.count()}")
+
+    println("[tour] ok")
+    spark.stop()
+  }
+}
