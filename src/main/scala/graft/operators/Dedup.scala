@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Row-level exact dedup on explicit keys — the thin built-in form
+    * (`dropDuplicates`): keeps an arbitrary row per key, one shuffle.
+    * Use [[exact]] when you need deterministic survivor choice or dup
+    * counts. */
+  def exactRows(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
   /** Exact dedup: keep the smallest doc_id per identical text.
     * At scale group on md5(text) (16 bytes) instead of text; the
     * digest collision probability is negligible at 100 TB corpus
@@ -82,7 +89,13 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, shingleK: Int = 2, numHashes: Int = 16,
                  rowsPerBand: Int = 4, minPermille: Long = 500): DataFrame = {
+    // the shingle table feeds signatures, sizes AND the verification
+    // join — materialize it once instead of recomputing the
+    // scan+shingle+distinct pipeline four times. (At scale this is the
+    // standard design anyway: persist the signature/shingle tables,
+    // they are reused across dedup runs.)
     val sh = shingles(docs, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mins = sh.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("sh"))).as("h0"),
       (1 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
