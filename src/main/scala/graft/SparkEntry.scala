@@ -88,6 +88,13 @@ object SparkEntry {
     "x16_full_join"       -> (Relational.fullJoin _),
     "x17_theta_join"      -> (Relational.thetaJoin _),
     "x18_asof_join"       -> (Relational.asofJoin _),
+    "x22_range_join_banded" -> { (s, d) =>
+      val supplierIntervals = Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_suppkey").as("lo"), (col("s_suppkey") + 20).as("hi"))
+      graft.operators.RangeJoin.banded(
+        Tables.part(s, d), supplierIntervals, "p_size", "lo", "hi", binWidth = 16)
+        .agg(count(lit(1)).as("n"))
+    },
   )
 
   /** DuckDB oracle SQL, same parquet tables. Column aliases match the
@@ -232,6 +239,11 @@ object SparkEntry {
          SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c_sum
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
     "x17_theta_join" ->
+      """SELECT COUNT(*) AS n FROM part p JOIN supplier s
+         ON p.p_size >= s.s_suppkey AND p.p_size <= s.s_suppkey + 20""",
+    // x22: same semantics as x17, executed through the banded equi-join
+    // plan instead of the nested loop — the oracle certifies equality
+    "x22_range_join_banded" ->
       """SELECT COUNT(*) AS n FROM part p JOIN supplier s
          ON p.p_size >= s.s_suppkey AND p.p_size <= s.s_suppkey + 20""",
     "x18_asof_join" ->
