@@ -88,6 +88,19 @@ object SparkEntry {
     "x16_full_join"       -> (Relational.fullJoin _),
     "x17_theta_join"      -> (Relational.thetaJoin _),
     "x18_asof_join"       -> (Relational.asofJoin _),
+    "x23_embed_neardup"   -> ((s, d) =>
+      // 4 planes × 4 tables: tuned to the corpus's natural similarity
+      // ceiling (~0.51 cosine) so the query demonstrates real recall
+      Similarity.nearDupPairs(Tables.embeddings(s, d), minPermille = 400,
+        numPlanes = 4, numTables = 4)),
+    "x24_bpeish_tokens"   -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.bpeishTokenCountCol(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")),
+    "x25_ivf_topk"        -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
     "x22_range_join_banded" -> { (s, d) =>
       val supplierIntervals = Tables.supplier(s, d).select(
         col("s_suppkey"), col("s_suppkey").as("lo"), (col("s_suppkey") + 20).as("hi"))

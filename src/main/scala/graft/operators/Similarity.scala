@@ -96,14 +96,96 @@ object Similarity {
     (mixed.cast("double") / lit(Long.MaxValue.toDouble))
   }
 
-  /** Random-hyperplane signature: bit p = sign(dot(plane_p, v)). */
-  def lshSignature(vec: Column, numPlanes: Int): Column =
+  /** Random-hyperplane signature: bit p = sign(dot(plane_p, v)).
+    * `planeOffset` selects a disjoint plane family — the handle for
+    * multi-table LSH. */
+  def lshSignature(vec: Column, numPlanes: Int, planeOffset: Int = 0): Column =
     (0 until numPlanes).map { p =>
       val s = aggregate(
-        zip_with(vec, sequence(lit(0L), lit(63L)), (x, i) => x * planeCoef(p, i)),
+        zip_with(vec, sequence(lit(0L), lit(63L)),
+          (x, i) => x * planeCoef(planeOffset + p, i)),
         lit(0.0d), (acc, x) => acc + x)
       when(s > 0.0d, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Embedding-cosine NEAR-DUP PAIRS (the dedup use of similarity):
+    * all pairs with cosine ≥ threshold, found via LSH-bucketed
+    * self-join — same-signature vectors pair up, everything else never
+    * meets. O(bucket²) per bucket instead of O(n²); identical and
+    * near-identical vectors share all sign bits so recall at high
+    * thresholds is excellent.
+    *
+    * Recall math: P(bucket collision per table) = (1 − θ/π)^numPlanes
+    * for angle θ, so `numTables` disjoint plane families union their
+    * candidates: recall = 1 − (1 − p)^T. More planes → smaller buckets
+    * (cheaper) but lower per-table recall; more tables buy it back. */
+  def nearDupPairs(corpus: DataFrame, minPermille: Long = 950, numPlanes: Int = 12,
+                   numTables: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val candidates = (0 until numTables).map { t =>
+      val sig = base.withColumn("sig", lshSignature(col("v"), numPlanes, t * numPlanes))
+      sig.select(col("id").as("da"), col("sig"))
+        .join(sig.select(col("id").as("db"), col("sig")), Seq("sig"))
+        .filter(col("da") < col("db"))
+        .select("da", "db")
+    }.reduce(_ unionByName _).distinct()
+    candidates
+      .join(base.select(col("id").as("da"), col("v").as("va")), Seq("da"))
+      .join(base.select(col("id").as("db"), col("v").as("vb")), Seq("db"))
+      .select(col("da"), col("db"),
+        floor(cosine(col("va"), col("vb")) * 1000 + 0.5).cast("long").as("cos_permille"))
+      .filter(col("cos_permille") >= minPermille)
+      .orderBy("da", "db", "cos_permille")
+  }
+
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * (seeded, few iterations) partitions the corpus into `nlist`
+    * cells; each query probes only its `nprobe` nearest cells. The
+    * classic ANN scale path: scoring cost drops to ~nprobe/nlist of
+    * brute force, recall governed by nprobe. Everything distributed —
+    * cell assignment is a model transform, the query→cell ranking is a
+    * broadcast join against the (tiny) centroid table. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("feat", array_to_vector(col("cv")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("feat").setPredictionCol("cell").fit(c)
+    val assigned = model.transform(c).select("neighbor_id", "cv", "cell")
+
+    // tiny centroid table (model params) → broadcast-joined to queries
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "center")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("cell"))
+    val probed = q.crossJoin(broadcast(centers))
+      .withColumn("cdist", aggregate(
+        zip_with(col("qv"), col("center"), (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= nprobe)
+      .select("query_id", "qv", "cell")
+
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("score") * 1000 + 0.5).cast("long").as("cos_permille"))
+      .orderBy("query_id", "rank", "neighbor_id", "cos_permille")
+  }
 
   /** Approximate top-k: bucket by LSH signature, score only same-bucket
     * pairs. At 100 TB the bucket join is an equi-shuffle on the

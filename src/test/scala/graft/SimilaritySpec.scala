@@ -48,6 +48,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getLong(3) === 1000L)    // cosine 1.000
   }
 
+  test("embedding near-dup pairs: planted duplicate found, unrelated not paired") {
+    val corpus = (1L to 40L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }
+    val withDup = corpus :+ (999L, corpus(6)._2.clone()) // exact dup of vec 7
+    val out = Similarity.nearDupPairs(withDup.toDF("vec_id", "embedding"),
+      minPermille = 950).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).contains((7L, 999L)))
+    assert(out.forall(_.getLong(2) >= 950L))
+  }
+
+  test("IVF top-k: identical vector recalled at rank 1, k respected") {
+    val corpus = (1L to 60L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dup = corpus.filter($"vec_id" === 11).select(lit(888L).as("vec_id"), $"embedding")
+    val out = Similarity.ivfTopK(dup, corpus.union(dup), k = 4, nlist = 8, nprobe = 2)
+      .collect()
+    assert(out.length <= 4)
+    assert(out.head.getLong(1) === 11L && out.head.getLong(3) === 1000L)
+  }
+
   test("lsh signature is deterministic") {
     val sigs1 = vecs.select(Similarity.lshSignature($"embedding".cast("array<double>"), 8)).collect()
     val sigs2 = vecs.select(Similarity.lshSignature($"embedding".cast("array<double>"), 8)).collect()
