@@ -122,9 +122,14 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, minPermille: Long = 950, numPlanes: Int = 12,
                    numTables: Int = 1,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // candidate verification is the hot loop — score with the native
+    // codegen'd CosineF32 (fused float loop), not the HOF interpreter
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+    val baseD = base.withColumn("vd", asDouble(col("v")))
     val candidates = (0 until numTables).map { t =>
-      val sig = base.withColumn("sig", lshSignature(col("v"), numPlanes, t * numPlanes))
+      val sig = baseD.withColumn("sig", lshSignature(col("vd"), numPlanes, t * numPlanes))
       sig.select(col("id").as("da"), col("sig"))
         .join(sig.select(col("id").as("db"), col("sig")), Seq("sig"))
         .filter(col("da") < col("db"))
@@ -134,7 +139,8 @@ object Similarity {
       .join(base.select(col("id").as("da"), col("v").as("va")), Seq("da"))
       .join(base.select(col("id").as("db"), col("v").as("vb")), Seq("db"))
       .select(col("da"), col("db"),
-        floor(cosine(col("va"), col("vb")) * 1000 + 0.5).cast("long").as("cos_permille"))
+        floor(call_function("cosine_f32", col("va"), col("vb")) * 1000 + 0.5)
+          .cast("long").as("cos_permille"))
       .filter(col("cos_permille") >= minPermille)
       .orderBy("da", "db", "cos_permille")
   }
