@@ -26,14 +26,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // best of two timed passes per query — damps GC/IO jitter that
-    // otherwise dominates sub-second queries
+    // otherwise dominates sub-second queries. Failures report -1, not
+    // a (fast-looking) elapsed time.
     def timeOne(n: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(n)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
-    val results = names.map { n => n -> math.min(timeOne(n), timeOne(n)) }
+    val results = names.map { n =>
+      val (a, b) = (timeOne(n), timeOne(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -120,10 +120,18 @@ object Pipeline {
       } else batchDeduped
     val tmp = snapshotDir + ".tmp-" + java.util.UUID.randomUUID().toString
     merged.drop("__gen").write.mode("overwrite").parquet(tmp)
-    // atomic swap (SURVEY §7: write temp + rename)
+    // swap via checked renames (SURVEY §7: write temp + rename). A
+    // failed rename must surface, not silently strand the new snapshot
+    // in tmp; true crash-atomicity needs a manifest/table format
+    // (Delta/Iceberg MERGE is the production slot for this sink).
     val old = new java.io.File(snapshotDir + ".old-" + java.util.UUID.randomUUID())
-    if (fs.exists()) { fs.renameTo(old) }
-    new java.io.File(tmp).renameTo(fs)
+    if (fs.exists() && !fs.renameTo(old))
+      throw new java.io.IOException(s"upsert swap: could not move $fs aside")
+    if (!new java.io.File(tmp).renameTo(fs)) {
+      old.renameTo(fs) // best-effort rollback of the first rename
+      throw new java.io.IOException(
+        s"upsert swap: could not move $tmp into place (same filesystem required)")
+    }
     deleteRecursively(old)
   }
 

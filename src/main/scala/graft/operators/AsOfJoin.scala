@@ -43,14 +43,21 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val payload = struct(rightCols.map(col): _*)
 
-    val l = left
+    // equi-join semantics: NULL keys never match (partitionBy would
+    // otherwise group all nulls together and pair them up). Null-key
+    // left rows bypass the window and come back with null payload.
+    val (leftKeyed, leftNullKey) =
+      (left.filter(col(key).isNotNull), left.filter(col(key).isNull))
+    val rightKeyed = right.filter(col(key).isNotNull)
+
+    val l = leftKeyed
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1)) // left sorts after right at equal t
       .withColumn("__tb", lit(Long.MaxValue))
       .withColumn("__payload",
         lit(null).cast(right.select(payload.as("p")).schema("p").dataType))
 
-    val r = right
+    val r = rightKeyed
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tb", tieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)))
@@ -68,10 +75,13 @@ object AsOfJoin {
         leftCols.filterNot(_ == key).map(col): _*)
       .unionByName(r)
 
-    unioned
+    val matched = unioned
       .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__m.$c").as(c)): _*)
+    matched.unionByName(
+      leftNullKey.select(leftCols.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: candidate generation is O(n·bands) via bucket
   *    join, never O(n²); only candidates pay the exact-Jaccard
   *    verification join.
-  *  - SimHash: 64-bit signature per doc; banding on 16-bit sub-keys
+  *  - SimHash: 64-bit signature per doc; banding into k+1 sub-keys
   *    finds Hamming-≤k pairs without a cross join.
   */
 object Dedup {
@@ -48,6 +48,10 @@ object Dedup {
     * immediately — downstream joins/groups never carry the strings. */
   private def shingles(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // docs shorter than k tokens have no k-shingle; without the guard
+      // sequence(0, size-k) goes DESCENDING into negative indices and
+      // slice() throws at runtime
+      .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(0), size(col("toks")) - k),
@@ -93,7 +97,10 @@ object Dedup {
     // join — materialize it once instead of recomputing the
     // scan+shingle+distinct pipeline four times. (At scale this is the
     // standard design anyway: persist the signature/shingle tables,
-    // they are reused across dedup runs.)
+    // they are reused across dedup runs.) The cache is intentionally
+    // left to LRU eviction — callers running many dedup passes in one
+    // long-lived session should spark.catalog.clearCache() between
+    // corpora.
     val sh = shingles(docs, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mins = sh.groupBy("doc_id").agg(
@@ -151,15 +158,23 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
-    * banding the 64-bit signature into four 16-bit sub-keys (pigeonhole:
-    * any pair within Hamming ≤ 3 shares at least one exact sub-key). */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
+    * by banding the 64-bit signature into `maxHamming + 1` sub-keys
+    * (pigeonhole: ≤ maxHamming differing bits cannot touch every band,
+    * so a qualifying pair always shares one exact sub-key — recall 1.0
+    * for ANY maxHamming ≤ 63, not just the 4-band special case). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val numBands = maxHamming + 1
+    val bounds = (0 to numBands).map(i => i * 64 / numBands)
     val sig = simHashSignatures(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(bnd =>
+        explode(array((0 until numBands).map { bnd =>
+          val lo = bounds(bnd); val width = bounds(bnd + 1) - lo
+          val mask = if (width >= 64) -1L else (1L << width) - 1
           struct(lit(bnd).as("band"),
-            shiftright(col("simhash"), bnd * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bb"))
+            shiftright(col("simhash"), lo).bitwiseAND(mask).as("key"))
+        }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.key").as("key"))
     banded.select(col("doc_id").as("da"), col("simhash").as("sa"), col("band"), col("key"))
       .join(banded.select(col("doc_id").as("db"), col("simhash").as("sb"), col("band"), col("key")),

@@ -34,6 +34,21 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Shared final stage for every top-k path: rank scored pairs per
+    * query (ties broken by neighbor id), keep k, surface the score as
+    * integer permille. One implementation so rounding and tie-break
+    * semantics cannot drift between variants. */
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("score") * 1000 + 0.5).cast("long").as("cos_permille"))
+      .orderBy("query_id", "rank", "neighbor_id", "cos_permille")
+  }
+
+
   /** Exact top-k nearest neighbors (cosine) of each query vector.
     *
     * `queries` and `corpus` both carry (id, embedding). The query side
@@ -55,13 +70,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        floor(col("score") * 1000 + 0.5).cast("long").as("cos_permille"))
-      .orderBy("query_id", "rank", "neighbor_id", "cos_permille")
+    topKByScore(scored, k)
   }
 
   /** Exact top-k via the native codegen'd [[graft.functions.CosineF32]]
@@ -79,13 +88,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         call_function("cosine_f32", col("qv"), col("cv")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        floor(col("score") * 1000 + 0.5).cast("long").as("cos_permille"))
-      .orderBy("query_id", "rank", "neighbor_id", "cos_permille")
+    topKByScore(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: coefficient for (plane p,
@@ -98,12 +101,16 @@ object Similarity {
 
   /** Random-hyperplane signature: bit p = sign(dot(plane_p, v)).
     * `planeOffset` selects a disjoint plane family — the handle for
-    * multi-table LSH. */
+    * multi-table LSH. Plane coefficients are indexed by the vector's
+    * OWN dimensions (not a fixed 64), so any dimensionality works;
+    * zero-length vectors get signature 0. */
   def lshSignature(vec: Column, numPlanes: Int, planeOffset: Int = 0): Column =
     (0 until numPlanes).map { p =>
+      val dims = when(size(vec) > 0,
+        sequence(lit(0L), size(vec).cast("long") - 1))
+        .otherwise(array().cast("array<bigint>"))
       val s = aggregate(
-        zip_with(vec, sequence(lit(0L), lit(63L)),
-          (x, i) => x * planeCoef(planeOffset + p, i)),
+        zip_with(vec, dims, (x, i) => x * planeCoef(planeOffset + p, i)),
         lit(0.0d), (acc, x) => acc + x)
       when(s > 0.0d, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -184,13 +191,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        floor(col("score") * 1000 + 0.5).cast("long").as("cos_permille"))
-      .orderBy("query_id", "rank", "neighbor_id", "cos_permille")
+    topKByScore(scored, k)
   }
 
   /** Approximate top-k: bucket by LSH signature, score only same-bucket
@@ -209,12 +210,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        floor(col("score") * 1000 + 0.5).cast("long").as("cos_permille"))
-      .orderBy("query_id", "rank", "neighbor_id", "cos_permille")
+    topKByScore(scored, k)
   }
 }

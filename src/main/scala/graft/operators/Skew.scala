@@ -20,11 +20,16 @@ object Skew {
     * over at most `buckets` rows per key. The first shuffle is even by
     * construction; the second moves `keys × buckets` rows only.
     *
-    * Salt derives from a row hash (deterministic under retries, unlike
-    * rand()). */
+    * Salt derives from a row hash mixed with the row's position
+    * (monotonically_increasing_id): byte-identical duplicate rows of a
+    * hot key still scatter across buckets, and the salt value never
+    * affects the aggregate result, so retry non-determinism of the
+    * position is harmless. */
   def saltedAgg(df: DataFrame, keys: Seq[String], aggs: Map[String, String],
                 buckets: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).as("__salt")
+    val salt = pmod(
+      xxhash64((df.columns.map(col) :+ monotonically_increasing_id()): _*),
+      lit(buckets)).as("__salt")
     val partialAggs = aggs.toSeq.map {
       case (c, "sum")   => sum(col(c)).as(s"__p_$c")
       case (c, "count") => count(col(c)).as(s"__p_$c")
@@ -56,7 +61,8 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(buckets)).cast("int"))
+      pmod(xxhash64((big.columns.map(col) :+ monotonically_increasing_id()): _*),
+        lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -75,7 +75,10 @@ object EventStreams {
     * CLOSED session (gap exceeded) and keeps the open session in
     * state — the generator-style arbitrary-state API (0..n outputs per
     * group per batch), complementing [[runningUserTotals]]'s 1-output
-    * mapGroups form. Event-time timeout closes idle sessions. */
+    * mapGroups form. NOTE: uses NoTimeout, so an idle user's open
+    * session stays in state until their next event; production would
+    * add EventTimeTimeout over a watermarked timestamp column to flush
+    * idle sessions and bound state size. */
   case class SessionOut(user_id: Long, events: Long, start_ms: Long, end_ms: Long)
   // public: ExpressionEncoder codegen needs accessible accessors
   case class OpenSession(events: Long, startMs: Long, lastMs: Long)

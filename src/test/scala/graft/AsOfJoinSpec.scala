@@ -43,6 +43,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getAs[String]("name") === "new")
   }
 
+  test("null keys never match (equi-join semantics, regression)") {
+    val left = Seq((Some(1L), 100L, "keyed"), (None, 100L, "nullkey"))
+      .map { case (k, t, tag) => (k.map(Long.box).orNull, t, tag) }
+      .toDF("k", "t", "tag")
+    val right = Seq((Some(1L), 50L, 10L), (None, 50L, 99L))
+      .map { case (k, t, rid) => (k.map(Long.box).orNull, t, rid) }
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.backward(left, right, "k", "t", "t", Seq("rid"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("rid")).map(_.asInstanceOf[Long])).toMap
+    assert(out === Map("keyed" -> Some(10L), "nullkey" -> None))
+  }
+
   test("plan shape: one exchange, no cartesian/range explosion") {
     val left = (1L to 1000L).map(i => (i % 10, i)).toDF("k", "t")
     val right = (1L to 1000L).map(i => (i % 10, i, i * 2)).toDF("k", "t", "rid")

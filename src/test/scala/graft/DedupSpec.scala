@@ -48,6 +48,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0)
   }
 
+  test("docs shorter than the shingle size don't crash minhash (regression)") {
+    val tiny = Seq(1L -> "solo", 2L -> "", 3L -> "two tokens here okay").toDF("doc_id", "text")
+    // doc 1 (1 token) and doc 2 (1 empty token) have no 2-shingles —
+    // they are simply absent, not a runtime slice() error
+    assert(Dedup.minHashLsh(tiny, shingleK = 2, minPermille = 0).count() === 0L)
+  }
+
+  test("simhash banding guarantees recall for any maxHamming (regression)") {
+    val sigs = Dedup.simHashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force ground truth over the 5-doc corpus
+    val ids = sigs.keys.toSeq.sorted
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 16
+    } yield (a, b)).toSet
+    val found = Dedup.simHashPairs(corpus, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === truth, "17-band pigeonhole must find every pair with hamming <= 16")
+  }
+
   test("minhash LSH scales candidate count: banding keeps pairs sparse") {
     // 100 docs with disjoint token ranges pushed through an integer mix
     // (no token shared between docs) → banding must produce no pairs

@@ -70,9 +70,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getLong(1) === 11L && out.head.getLong(3) === 1000L)
   }
 
-  test("lsh signature is deterministic") {
+  test("lsh signature is deterministic and non-degenerate for non-64-dim vectors") {
     val sigs1 = vecs.select(Similarity.lshSignature($"embedding".cast("array<double>"), 8)).collect()
     val sigs2 = vecs.select(Similarity.lshSignature($"embedding".cast("array<double>"), 8)).collect()
     assert(sigs1.map(_.getLong(0)).toSeq === sigs2.map(_.getLong(0)).toSeq)
+    // regression: 4-dim vectors used to all hash to signature 0
+    // (hardcoded 64-dim zip poisoned the sum with nulls); opposite
+    // vectors must now land in different buckets
+    val byId = vecs.select($"vec_id",
+      Similarity.lshSignature($"embedding".cast("array<double>"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) !== byId(4L))
   }
 }
