@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, IsNull, Literal}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: `l LEFT JOIN r ON lk = rk` followed by
+  * `WHERE rk IS NULL` is the classic hand-written anti join — but
+  * Catalyst executes it literally: the outer join materializes every
+  * matched row (potentially many per left row for 1:N keys) only for
+  * the filter to discard them all. This rule rewrites the pair into a
+  * real LEFT ANTI join: the probe stops at the first match, matched
+  * rows never surface, and the join output carries only the left side.
+  *
+  * Correctness: a left-outer row has `rk IS NULL` for a RIGHT EQUI-JOIN
+  * KEY iff the row is unmatched — a matched row satisfies `lk = rk`,
+  * which requires rk non-null; an unmatched row has every right column
+  * null. (This holds for join KEYS regardless of rk's pre-join
+  * nullability — null keys never match — and does NOT hold for
+  * arbitrary right columns, so the rule fires only on keys.) Right
+  * columns referenced above the filter are replaced by null literals
+  * aliased under their original exprIds: in every surviving row they
+  * were null anyway.
+  *
+  * At 100 TB the difference is structural: anti joins build a hash set
+  * of keys only (no payload), skew-matched rows are never produced,
+  * and AQE can pick broadcast-anti for a small right side.
+  *
+  * Registered via [[graft.functions.GraftExtensions]]
+  * (injectOptimizerRule) or `spark.experimental.extraOptimizations`.
+  */
+object AntiJoinRewrite extends Rule[LogicalPlan] {
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Is `a` a right-side equi-join key of `j`? */
+  private def isRightEquiKey(a: Attribute, j: Join): Boolean =
+    j.condition.exists { cond =>
+      splitConjuncts(cond).exists {
+        case EqualTo(l, r: Attribute) =>
+          r.semanticEquals(a) && j.right.outputSet.contains(a) &&
+            l.references.subsetOf(j.left.outputSet)
+        case EqualTo(l: Attribute, r) =>
+          l.semanticEquals(a) && j.right.outputSet.contains(a) &&
+            r.references.subsetOf(j.left.outputSet)
+        case _ => false
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(IsNull(a: Attribute), j @ Join(l, r, LeftOuter, Some(_), hint))
+        if isRightEquiKey(a, j) =>
+      val anti = Join(l, r, LeftAnti, j.condition, hint)
+      // keep the original output shape: right columns become typed null
+      // literals under their original exprIds (they are null in every
+      // surviving row by definition of "unmatched")
+      val projList = l.output ++ r.output.map { ra =>
+        Alias(Literal(null, ra.dataType), ra.name)(exprId = ra.exprId,
+          qualifier = ra.qualifier)
+      }
+      Project(projList, anti)
+  }
+}
