@@ -88,6 +88,8 @@ object SparkEntry {
     "x16_full_join"       -> (Relational.fullJoin _),
     "x17_theta_join"      -> (Relational.thetaJoin _),
     "x18_asof_join"       -> (Relational.asofJoin _),
+    "x26_percentile"      -> (Relational.percentiles _),
+    "x27_pivot"           -> (Relational.pivotCounts _),
     "x23_embed_neardup"   -> ((s, d) =>
       // 4 planes × 4 tables: tuned to the corpus's natural similarity
       // ceiling (~0.51 cosine) so the query demonstrates real recall
@@ -247,6 +249,17 @@ object SparkEntry {
          l_orderkey % 7 AS m7
          FROM lineitem WHERE l_orderkey < 100
          ORDER BY l_orderkey, l_linenumber""",
+    "x26_percentile" ->
+      """SELECT lang,
+         CAST(FLOOR(QUANTILE_CONT(n_chars, 0.5) * 100 + 0.5) AS BIGINT) AS p50_c,
+         CAST(FLOOR(QUANTILE_CONT(n_chars, 0.9) * 100 + 0.5) AS BIGINT) AS p90_c
+         FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""",
+    "x27_pivot" ->
+      """SELECT lang,
+         COUNT(CASE WHEN source = 'src0' THEN 1 END) AS src0,
+         COUNT(CASE WHEN source = 'src1' THEN 1 END) AS src1,
+         COUNT(CASE WHEN source = 'src2' THEN 1 END) AS src2
+         FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""",
     "x21_salted_agg" ->
       """SELECT l_returnflag,
          SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c_sum

@@ -281,6 +281,32 @@ object Relational {
     Tables.orders(s, d)
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
 
+  /** Exact interpolated median per language — Spark `percentile` and
+    * DuckDB `quantile_cont` both linear-interpolate over the sorted
+    * values; on integer inputs the arithmetic is double-exact, so the
+    * cents guard makes it cross-engine stable. (The at-scale variant is
+    * approx_percentile's KLL-ish sketch — engine-specific, so the exact
+    * form carries the oracle.) */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        floor(expr("percentile(n_chars, 0.5)") * 100 + 0.5).cast("long").as("p50_c"),
+        floor(expr("percentile(n_chars, 0.9)") * 100 + 0.5).cast("long").as("p90_c"))
+      .orderBy(col("lang").asc_nulls_first)
+
+  /** Pivot: per-language counts fanned out to one column per source.
+    * Fixed pivot value list (deterministic schema — at scale an
+    * unpinned pivot triggers a distinct-scan of the pivot column);
+    * missing cells filled 0 to match COUNT(CASE ...) semantics. */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .pivot("source", Seq("src0", "src1", "src2"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("src0", "src1", "src2"))
+      .orderBy(col("lang").asc_nulls_first)
+
   /** Backward as-of join: each order picks the latest event of the
     * matching user at or before the order date (ns-exact comparison —
     * the oracle compares raw parquet nanos). Runs through
