@@ -89,6 +89,7 @@ object SparkEntry {
     "x17_theta_join"      -> (Relational.thetaJoin _),
     "x18_asof_join"       -> (Relational.asofJoin _),
     "x26_percentile"      -> (Relational.percentiles _),
+    "x28_variant"         -> (Relational.variantExtract _),
     "x27_pivot"           -> (Relational.pivotCounts _),
     "x23_embed_neardup"   -> ((s, d) =>
       // 4 planes × 4 tables: tuned to the corpus's natural similarity
@@ -254,6 +255,9 @@ object SparkEntry {
          CAST(FLOOR(QUANTILE_CONT(n_chars, 0.5) * 100 + 0.5) AS BIGINT) AS p50_c,
          CAST(FLOOR(QUANTILE_CONT(n_chars, 0.9) * 100 + 0.5) AS BIGINT) AS p90_c
          FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""",
+    "x28_variant" ->
+      """SELECT event_id, CAST(props::JSON->>'k' AS BIGINT) AS k
+         FROM events WHERE props LIKE '{"k": %}' ORDER BY event_id""",
     "x27_pivot" ->
       """SELECT lang,
          COUNT(CASE WHEN source = 'src0' THEN 1 END) AS src0,

@@ -281,6 +281,19 @@ object Relational {
     Tables.orders(s, d)
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
 
+  /** Open-JSON navigation through Spark 4's VariantType: parse once
+    * into the binary variant encoding, extract typed fields lazily —
+    * the modern replacement for get_json_object string re-parsing when
+    * payload shapes are heterogeneous (SURVEY §1.2's escape hatch).
+    * Extracted values are plain longs, so the oracle can certify them
+    * from DuckDB's JSON operators. */
+  def variantExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("props").like("""{"k": %}"""))
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .orderBy("event_id")
+
   /** Exact interpolated median per language — Spark `percentile` and
     * DuckDB `quantile_cont` both linear-interpolate over the sorted
     * values; on integer inputs the arithmetic is double-exact, so the

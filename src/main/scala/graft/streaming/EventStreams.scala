@@ -110,6 +110,52 @@ object EventStreams {
 
   case class UserStamped(user_id: Long, event_id: Long, ts_ms: Long)
 
+  /** [[sessionize]] with EventTimeTimeout: when the watermark passes an
+    * idle user's last event + gap, the open session is FLUSHED and its
+    * state cleared — output completeness and bounded state, the
+    * production form. Input needs a real event-time column so the
+    * watermark can advance. */
+  case class TimedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
+  def sessionizeWithTimeout(events: Dataset[TimedEvent], gapMs: Long,
+                            watermark: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[TimedEvent], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed lastMs + gap: close and emit the idle session
+            val out = state.getOption
+              .map(s => SessionOut(user, s.events, s.startMs, s.lastMs)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(OpenSession(s.events + 1, s.startMs, t))
+                case Some(s) =>
+                  closed += SessionOut(user, s.events, s.startMs, s.lastMs)
+                  open = Some(OpenSession(1, t, t))
+                case None =>
+                  open = Some(OpenSession(1, t, t))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming ETL ingest: the full reference pipeline shape on a
     * stream — transform + validate per micro-batch, then foreachBatch
     * does the upsert (≙ R17 micro-batching + R18 upsert). */

@@ -141,6 +141,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.events === 2L && rows.head.end_ms === 30000L)
   }
 
+  test("sessionizeWithTimeout flushes idle sessions when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.TimedEvent]
+    val sessions = EventStreams.sessionizeWithTimeout(
+      input.toDS(), gapMs = 60000L, watermark = "0 seconds")
+    val q = sessions.toDF().writeStream.format("memory").queryName("fmgs_to")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        EventStreams.TimedEvent(1, 1, ts("2024-01-01 00:00:00")),
+        EventStreams.TimedEvent(1, 2, ts("2024-01-01 00:00:30"))))
+      q.processAllAvailable()
+      assert(spark.table("fmgs_to").count() === 0L) // open, not timed out
+      // another user's much later event advances the watermark far past
+      // user 1's last event + gap → user 1's idle session must flush
+      input.addData(Seq(EventStreams.TimedEvent(2, 9, ts("2024-01-01 06:00:00"))))
+      q.processAllAvailable()
+      input.addData(Seq(EventStreams.TimedEvent(2, 10, ts("2024-01-01 07:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fmgs_to").as[EventStreams.SessionOut].collect()
+      .filter(_.user_id == 1L)
+    assert(rows.length === 1)
+    assert(rows.head.events === 2L)
+  }
+
   test("streaming ETL ingest upserts per micro-batch (R17 streaming twin)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-etl").toFile
     val snap = dir.getAbsolutePath + "/snap"
