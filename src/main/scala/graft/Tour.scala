@@ -19,18 +19,8 @@ object Tour {
     println(f"[tour] cosine_f32 via SparkSessionExtensions = $cos%.3f")
 
     // bucketed layout → shuffle-free join
-    def dropTable(name: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      // the in-memory catalog forgets tables across JVMs but the
-      // warehouse dir survives — clear it or saveAsTable refuses
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(s"spark-warehouse/$name"))
-    }
-    dropTable("tour_orders_b")
-    dropTable("tour_lineitem_b")
+    Layout.dropManagedTable(spark, "tour_orders_b")
+    Layout.dropManagedTable(spark, "tour_lineitem_b")
     Layout.writeBucketed(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
       "tour_orders_b", 4, Seq("o_orderkey"))
     Layout.writeBucketed(Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),

@@ -18,6 +18,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Layout {
 
+  /** Drop a managed table AND its leftover warehouse directory — the
+    * in-memory catalog forgets tables across JVMs but the directory
+    * survives, making a later saveAsTable refuse with
+    * LOCATION_ALREADY_EXISTS. */
+  def dropManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+      .stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(warehouse, name))
+  }
+
   /** Write `df` as a bucketed+sorted managed table. Spark's bucket
     * layout requires the table catalog (`saveAsTable`); readers then
     * get `HashPartitioning(bucketCols, n)` from the scan for free. */

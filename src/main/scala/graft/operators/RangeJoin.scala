@@ -33,10 +33,14 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     val l = left.withColumn("__bin",
       floor(col(leftVal).cast("double") / binWidth).cast("long"))
-    val r = right.withColumn("__bin",
-      explode(sequence(
-        floor(col(lo).cast("double") / binWidth).cast("long"),
-        floor(col(hi).cast("double") / binWidth).cast("long"))))
+    val r = right
+      // inverted intervals are empty, not a descending bin explosion
+      // (sequence(start, stop) steps -1 when start > stop)
+      .filter(col(lo) <= col(hi))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(lo).cast("double") / binWidth).cast("long"),
+          floor(col(hi).cast("double") / binWidth).cast("long"))))
     l.join(r, Seq("__bin"))
       .filter(col(leftVal) >= col(lo) && col(leftVal) <= col(hi))
       .drop("__bin")

@@ -20,16 +20,17 @@ object Skew {
     * over at most `buckets` rows per key. The first shuffle is even by
     * construction; the second moves `keys × buckets` rows only.
     *
-    * Salt derives from a row hash mixed with the row's position
-    * (monotonically_increasing_id): byte-identical duplicate rows of a
-    * hot key still scatter across buckets, and the salt value never
-    * affects the aggregate result, so retry non-determinism of the
-    * position is harmless. */
+    * Salt derives from a pure row-content hash — fully deterministic
+    * under task retries (a positional component like
+    * monotonically_increasing_id can change on partial stage recompute
+    * and double-count/lose rows). Byte-identical duplicate rows share
+    * a salt, but that is fine for AGGREGATION: the map-side partial
+    * aggregate collapses identical rows per partition before the
+    * shuffle, so each map task emits at most one partial per
+    * (key, salt) regardless of duplicate volume. */
   def saltedAgg(df: DataFrame, keys: Seq[String], aggs: Map[String, String],
                 buckets: Int = 16): DataFrame = {
-    val salt = pmod(
-      xxhash64((df.columns.map(col) :+ monotonically_increasing_id()): _*),
-      lit(buckets)).as("__salt")
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).as("__salt")
     val partialAggs = aggs.toSeq.map {
       case (c, "sum")   => sum(col(c)).as(s"__p_$c")
       case (c, "count") => count(col(c)).as(s"__p_$c")
@@ -60,9 +61,11 @@ object Skew {
     * dominates the big side. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
+    // content hash, not position: deterministic under retries. Fully
+    // byte-identical big-side rows share a salt; if THAT is the skew,
+    // pre-aggregate duplicates (groupBy all columns + count) first.
     val salted = big.withColumn("__salt",
-      pmod(xxhash64((big.columns.map(col) :+ monotonically_increasing_id()): _*),
-        lit(buckets)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -25,7 +25,9 @@ object TextAnalysis {
   def bpeishTokenCountCol(text: Column): Column =
     size(filter(
       split(text, """(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"""),
-      t => length(t) > 0)).cast("long")
+      // drop empty AND whitespace-only fragments — a BPE pre-tokenizer
+      // folds spaces into word tokens, it does not count them
+      t => length(trim(t)) > 0)).cast("long")
 
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))

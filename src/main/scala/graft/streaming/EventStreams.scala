@@ -95,7 +95,11 @@ object EventStreams {
           sorted.foreach { e =>
             open match {
               case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
-                open = Some(OpenSession(s.events + 1, s.startMs, e.ts_ms))
+                // min/max guards: a LATE in-gap event must widen the
+                // session, never rewind lastMs (a rewound lastMs makes
+                // the next on-time event split the session wrongly)
+                open = Some(OpenSession(s.events + 1,
+                  math.min(s.startMs, e.ts_ms), math.max(s.lastMs, e.ts_ms)))
               case Some(s) =>
                 closed += SessionOut(user, s.events, s.startMs, s.lastMs)
                 open = Some(OpenSession(1, e.ts_ms, e.ts_ms))
@@ -139,7 +143,10 @@ object EventStreams {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  open = Some(OpenSession(s.events + 1, s.startMs, t))
+                  // never rewind on late in-gap events (see sessionize);
+                  // also keeps the timeout anchored at the TRUE last event
+                  open = Some(OpenSession(s.events + 1,
+                    math.min(s.startMs, t), math.max(s.lastMs, t)))
                 case Some(s) =>
                   closed += SessionOut(user, s.events, s.startMs, s.lastMs)
                   open = Some(OpenSession(1, t, t))

@@ -7,19 +7,9 @@ import graft.core.{Layout, Tables}
   * Exchange; partitioned reads must prune directories at the scan. */
 class LayoutSpec extends SparkSpec {
 
-  private def dropTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    // a previous JVM's warehouse dir survives the in-memory metastore
-    val loc = new java.io.File(s"spark-warehouse/$name")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    if (loc.exists()) rm(loc)
-  }
-
   test("bucketed self-layout join plans without any Exchange") {
-    dropTable("orders_b"); dropTable("lineitem_b")
+    Layout.dropManagedTable(spark, "orders_b")
+    Layout.dropManagedTable(spark, "lineitem_b")
     val orders = Tables.orders(spark, sf)
     val lineitem = Tables.lineitem(spark, sf)
     Layout.writeBucketed(orders.select("o_orderkey", "o_totalprice"),

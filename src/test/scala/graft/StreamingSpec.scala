@@ -141,6 +141,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.events === 2L && rows.head.end_ms === 30000L)
   }
 
+  test("late in-gap event widens the session instead of rewinding it (regression)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserStamped]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("fmgs_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        EventStreams.UserStamped(1, 1, 0L),
+        EventStreams.UserStamped(1, 2, 50000L)))
+      q.processAllAvailable()
+      // late event at t=10000 (inside the session) must NOT rewind lastMs
+      input.addData(Seq(EventStreams.UserStamped(1, 3, 10000L)))
+      q.processAllAvailable()
+      // t=80000 is within gap of the TRUE last event (50000) → same session
+      input.addData(Seq(EventStreams.UserStamped(1, 4, 80000L)))
+      q.processAllAvailable()
+      // force a close to observe the assembled session
+      input.addData(Seq(EventStreams.UserStamped(1, 5, 9000000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fmgs_late").as[EventStreams.SessionOut].collect()
+    assert(rows.length === 1)
+    assert(rows.head.events === 4L && rows.head.end_ms === 80000L)
+  }
+
   test("sessionizeWithTimeout flushes idle sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.TimedEvent]
