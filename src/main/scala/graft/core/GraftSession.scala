@@ -20,6 +20,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // consistent ns-parquet handling from the start (Tables.events
+      // needs it; setting it here means no read-order dependence)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.VectorAgg.register(s) // UDAFs cannot ride extensions

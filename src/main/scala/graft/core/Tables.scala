@@ -32,7 +32,13 @@ object Tables {
     * TimestampType (µs). We read nanos as a long (full precision kept in
     * `ts_ns` — the DuckDB oracle compares at ns precision, so last-wins
     * ordering must too) and derive `ts` as a µs TimestampType via
-    * truncation, which matches DuckDB's ns→DATE/µs truncation. */
+    * truncation, which matches DuckDB's ns→DATE/µs truncation.
+    *
+    * SIDE EFFECT: enables `spark.sql.legacy.parquet.nanosAsLong` on the
+    * SESSION (there is no per-read switch) — other parquet reads with
+    * NANOS columns in the same session will surface them as longs too.
+    * GraftSession.local sets it up front so behavior never depends on
+    * whether this loader ran first. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")

@@ -43,6 +43,8 @@ object EtlConfig {
       city = env.get("CITY").filter(_.nonEmpty),
       perPage = env.getOrElse("PER_PAGE", "50").toInt,
       maxPages = env.getOrElse("MAX_PAGES", "100").toInt,
-      batchSize = env.getOrElse("BATCH_SIZE", "20").toInt)
+      batchSize = env.getOrElse("BATCH_SIZE", "20").toInt,
+      maxRetries = env.getOrElse("MAX_RETRIES", "5").toInt,
+      backoffMs = env.getOrElse("BACKOFF_MS", "1000").toLong)
   }
 }

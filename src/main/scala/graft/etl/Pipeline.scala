@@ -36,6 +36,7 @@ object Pipeline {
       .option("perPage", cfg.perPage)
       .option("maxPages", cfg.maxPages)
       .option("maxRetries", cfg.maxRetries)
+      .option("retryBackoffMs", cfg.backoffMs)
       .load()
 
   /** Transform (R12–R15, etl_connector.py:130-164): constant metadata

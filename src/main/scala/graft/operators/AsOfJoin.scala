@@ -41,6 +41,14 @@ object AsOfJoin {
                leftTime: String, rightTime: String,
                rightCols: Seq[String], tieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("__t", "__side", "__tb", "__payload", "__m")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"input columns may not use the reserved names ${reserved.mkString(", ")}")
+    tieBreak.foreach { tb =>
+      require(right.schema(tb).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"tieBreak column '$tb' must be numeric — a lossy cast would turn it " +
+          "into nulls and silently break highest-wins ordering")
+    }
     val payload = struct(rightCols.map(col): _*)
 
     // equi-join semantics: NULL keys never match (partitionBy would

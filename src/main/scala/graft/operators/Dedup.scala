@@ -64,7 +64,10 @@ object Dedup {
     * subsets or as the verification stage after LSH blocking; the
     * scalable candidate generator is [[minHashLsh]]. */
   def jaccardPairs(docs: DataFrame, minPermille: Long = 0): DataFrame = {
+    // feeds sizes + both join sides — materialize once (same rationale
+    // and cache policy as the minHashLsh shingle table)
     val t = distinctTokens(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = t.select(col("doc_id").as("da"), col("tok"))
     val b = t.select(col("doc_id").as("db"), col("tok"))
@@ -93,6 +96,10 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, shingleK: Int = 2, numHashes: Int = 16,
                  rowsPerBand: Int = 4, minPermille: Long = 500): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes >= rowsPerBand &&
+      numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand " +
+        s"($rowsPerBand) — otherwise bands are empty or hashes are discarded")
     // the shingle table feeds signatures, sizes AND the verification
     // join — materialize it once instead of recomputing the
     // scan+shingle+distinct pipeline four times. (At scale this is the

@@ -104,7 +104,10 @@ object Similarity {
     * multi-table LSH. Plane coefficients are indexed by the vector's
     * OWN dimensions (not a fixed 64), so any dimensionality works;
     * zero-length vectors get signature 0. */
-  def lshSignature(vec: Column, numPlanes: Int, planeOffset: Int = 0): Column =
+  def lshSignature(vec: Column, numPlanes: Int, planeOffset: Int = 0): Column = {
+    require(numPlanes >= 1 && numPlanes <= 62,
+      s"numPlanes ($numPlanes) must be in [1, 62]: bit 63 is the sign bit and " +
+        "Java shifts wrap mod 64, which would alias plane weights")
     (0 until numPlanes).map { p =>
       val dims = when(size(vec) > 0,
         sequence(lit(0L), size(vec).cast("long") - 1))
@@ -114,6 +117,7 @@ object Similarity {
         lit(0.0d), (acc, x) => acc + x)
       when(s > 0.0d, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Embedding-cosine NEAR-DUP PAIRS (the dedup use of similarity):
     * all pairs with cosine ≥ threshold, found via LSH-bucketed

@@ -136,8 +136,15 @@ class PagedJsonScan(options: CaseInsensitiveStringMap, pushedLimit: Int)
     val path = options.get("path")
     val perPage = options.getInt("perPage", 50)
     val maxPages = options.getInt("maxPages", 100)
+    // A pushed limit may cap pages ONLY under the server contract that
+    // every non-final page is full (the reference's `limit` query param
+    // guarantees exactly that). Pages here are local fixtures with
+    // arbitrary item counts, so the cap is opt-in: without
+    // assumeFullPages, skipping pages could under-return LIMIT rows
+    // (pushLimit returns false — Spark still expects the full set).
     val pageCap =
-      if (pushedLimit == Int.MaxValue) maxPages
+      if (pushedLimit == Int.MaxValue || !options.getBoolean("assumeFullPages", false))
+        maxPages
       else math.min(maxPages, (pushedLimit + perPage - 1) / perPage)
     PagedJsonSource.pageFiles(path).take(pageCap).zipWithIndex.map {
       case (f, i) => PagedJsonPartition(f.getAbsolutePath, i): InputPartition

@@ -171,8 +171,12 @@ object EventStreams {
     transformed.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val valid = batch.filter(graft.etl.Pipeline.isValid)
+        // same contract as the batch pipeline: invalid rows are
+        // quarantined (reference logs each dropped doc, R16), never
+        // silently discarded
+        val (valid, quarantine) = graft.etl.Pipeline.validate(batch)
         graft.etl.Pipeline.upsert(batch.sparkSession, valid, snapshotDir)
+        quarantine.write.mode("append").parquet(snapshotDir + ".quarantine")
       }
   }
 }

@@ -31,15 +31,21 @@ class EtlPipelineSpec extends SparkSpec {
     assert(df.select("page").distinct().count() === 4L) // empty page yields no rows
   }
 
-  test("limit pushdown caps page partitions (R5)") {
-    val df = spark.read.format("graft.sources.PagedJsonSource")
+  test("limit pushdown caps page partitions only under the full-pages contract (R5)") {
+    // default (no contract): limit must return exactly n rows even
+    // though fixture pages are partially filled
+    val safe = spark.read.format("graft.sources.PagedJsonSource")
       .option("path", fixtures).option("perPage", 3)
+      .load().limit(5)
+    assert(safe.count() === 5L)
+    // with assumeFullPages (the reference's server guarantees full
+    // non-final pages) the pushed limit caps planned pages
+    val capped = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", fixtures).option("perPage", 3)
+      .option("assumeFullPages", "true")
       .load().limit(3)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("pushedLimit=3") || df.count() === 3L)
-    // ceil(3/3) = 1 page planned
-    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PagedJsonScan"))
+    assert(capped.queryExecution.executedPlan.toString.contains("PagedJsonScan"))
+    assert(capped.count() === 3L) // = page-0's 3 items, 1 page planned
   }
 
   test("maxPages caps the scan (R5/R11)") {

@@ -28,6 +28,26 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).getDouble(1) === 0.0)
   }
 
+  test("native expressions return NULL on length mismatch / null elements (HOF parity)") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // length mismatch
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))        // clean
+    ).toDF("a", "b")
+    val out = df.select(
+      call_function("cosine_f32", $"a", $"b").as("c"),
+      call_function("dot_f32", $"a", $"b").as("d"),
+      Similarity.cosine($"a".cast("array<double>"), $"b".cast("array<double>")).as("c_hof"))
+      .collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(!out(1).isNullAt(0) && math.abs(out(1).getDouble(0) - 1.0) < 1e-9)
+    // null element inside an array → null score, same as the HOF path
+    val withNullElem = spark.sql(
+      "SELECT cosine_f32(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c")
+    assert(withNullElem.head().isNullAt(0))
+  }
+
   test("native expressions usable from SQL after registration") {
     GraftFunctions.register(spark)
     Seq((Array(1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
