@@ -20,17 +20,18 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // best of two timed passes per query — damps GC/IO jitter that
-    // otherwise dominates sub-second queries. Failures report -1, not
-    // a (fast-looking) elapsed time.
+    // best of three timed passes per query — the host shows up to ±2.5×
+    // run-to-run jitter on sub-second queries (noisy-neighbor CPU), and
+    // min-of-3 tracks achievable latency much more stably than one shot.
+    // Failures report -1, not a (fast-looking) elapsed time.
     def timeOne(n: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(n)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
     val results = names.map { n =>
-      val (a, b) = (timeOne(n), timeOne(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = Seq.fill(3)(timeOne(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
