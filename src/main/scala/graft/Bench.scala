@@ -20,6 +20,11 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // drop caches the warm-up pass accumulated (dedup shingle/token
+    // tables persist per CALL, so stale entries are dead weight that
+    // would spill to disk across 4×|queries| invocations)
+    graft.operators.Dedup.releaseCaches()
+    spark.catalog.clearCache()
     // best of three timed passes per query — the host shows up to ±2.5×
     // run-to-run jitter on sub-second queries (noisy-neighbor CPU), and
     // min-of-3 tracks achievable latency much more stably than one shot.
@@ -28,6 +33,7 @@ object Bench {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(n)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
+      finally graft.operators.Dedup.releaseCaches() // outside the next run's clock
     }
     val results = names.map { n =>
       val ts = Seq.fill(3)(timeOne(n))

@@ -72,8 +72,15 @@ object SparkEntry {
     },
     "x14_label_centroid"  -> { (s, d) =>
       graft.functions.VectorAgg.register(s)
+      // Project SCALARS from the centroid, never the raw array: the
+      // driver's pandas compare cannot sort/hash ndarray cells. The
+      // full-array contract is covered by FunctionsSpec goldens.
       Tables.embeddings(s, d).groupBy("label")
-        .agg(expr("vec_avg(embedding)").as("centroid"))
+        .agg(expr("vec_avg(embedding)").as("centroid"), count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"),
+          size(col("centroid")).cast("long").as("dim"),
+          floor(sqrt(aggregate(col("centroid"), lit(0.0d),
+            (acc, x) => acc + x * x)) * 1000 + 0.5).cast("long").as("norm_permille"))
         .orderBy(col("label").asc_nulls_first)
     },
     "x15_cube"            -> (Relational.cube _),
@@ -142,8 +149,8 @@ object SparkEntry {
          (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49.0)""",
     "q09_tpch1_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c,
-         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_c
+         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c
          FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -161,8 +168,9 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY o_custkey LIMIT 100""",
     "q13_window_frame" ->
       """SELECT event_id,
-         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-           OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_c
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS roll_c
          FROM events ORDER BY event_id LIMIT 200""",
     "q14_topk_sort" ->
       """SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
@@ -186,10 +194,10 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n FROM events
          GROUP BY 1, 2 ORDER BY d NULLS FIRST, event_type NULLS FIRST""",
     "q20_json_extract" ->
-      """SELECT SUM(CAST(SUBSTR(props, 7, LENGTH(props) - 7) AS BIGINT)) AS k_sum
+      """SELECT CAST(SUM(CAST(SUBSTR(props, 7, LENGTH(props) - 7) AS BIGINT)) AS BIGINT) AS k_sum
          FROM events WHERE props LIKE '{"k": %}'""",
     "q21_text_agg" ->
-      """SELECT lang, SUM(n_chars) AS chars, COUNT(*) AS docs FROM documents
+      """SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars, COUNT(*) AS docs FROM documents
          GROUP BY lang ORDER BY lang NULLS FIRST""",
     "q22_embed_group" ->
       """SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
@@ -266,8 +274,22 @@ object SparkEntry {
          FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""",
     "x21_salted_agg" ->
       """SELECT l_returnflag,
-         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c_sum
+         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c_sum
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
+    // x14: per-position centroid means computed independently (DuckDB
+    // zipped-UNNEST AVG vs the Spark UDAF); both accumulate in double,
+    // so the permille-rounded L2 norm is cross-engine exact.
+    "x14_label_centroid" ->
+      """WITH pos AS (
+           SELECT label, UNNEST(embedding) AS e, UNNEST(range(len(embedding))) AS i
+           FROM embeddings),
+         c AS (SELECT label, i, AVG(e) AS m FROM pos GROUP BY label, i),
+         n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+         SELECT c.label, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS dim,
+           CAST(FLOOR(SQRT(SUM(m * m)) * 1000 + 0.5) AS BIGINT) AS norm_permille
+         FROM c JOIN n ON c.label = n.label
+         GROUP BY c.label, n.n_vecs ORDER BY c.label NULLS FIRST""",
     "x17_theta_join" ->
       """SELECT COUNT(*) AS n FROM part p JOIN supplier s
          ON p.p_size >= s.s_suppkey AND p.p_size <= s.s_suppkey + 20""",
@@ -288,9 +310,28 @@ object SparkEntry {
            FROM pairs)
          SELECT o_orderkey, event_id FROM r WHERE rn = 1
          ORDER BY o_orderkey, event_id""",
-    // x07/x08 (minhash, simhash), x09/x10 (vector topk), x12 (rolling
-    // hash) use engine-specific hash functions / FP summation order —
-    // excluded from cross-engine hashing per SURVEY §2.4 rule 6;
-    // covered by Spark-side golden specs instead.
+    // x12: the per-token value is md5-derived (first 8 hex digits),
+    // bit-identical in both engines; the polynomial fold is the same
+    // mod-2³¹−1 recurrence (DuckDB list_reduce ≡ Spark aggregate).
+    "x12_rolling_hash" ->
+      """SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+               t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 2147483647)),
+           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS roll_fp
+         FROM documents ORDER BY doc_id""",
+    // x24: the lookaround split isn't RE2-expressible, but its fragment
+    // count is exactly (# maximal alnum runs) + (# non-alnum non-space
+    // chars) — both RE2-computable, so the oracle checks the same count.
+    "x24_bpeish_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+              length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_bpeish
+         FROM documents ORDER BY doc_id""",
+    // x07/x08 (minhash, simhash) and x09/x10/x23/x25 (vector topk) use
+    // engine-specific hash functions / FP summation order — excluded
+    // from cross-engine hashing per SURVEY §2.4 rule 6; covered by
+    // Spark-side golden specs instead.
   )
 }

@@ -11,7 +11,10 @@ package graft.etl
   *                      (etl_connector.py:31,142)
   * @param perPage       server page size, pushed as a limit (R5)
   * @param maxPages      scan cap (etl_connector.py:88,96)
-  * @param batchSize     sink micro-batch size (etl_connector.py:206)
+  * @param batchSize     sink batch size (etl_connector.py:206): bounds
+  *                      rows per output file in the batch sink
+  *                      (maxRecordsPerFile) and the flush cadence of
+  *                      the streaming sink
   * @param maxRetries    transport retry attempts (etl_connector.py:53)
   * @param backoffMs     initial backoff, doubles per attempt
   *                      (etl_connector.py:55,62)

@@ -104,7 +104,7 @@ object Pipeline {
     * itself is one hash shuffle on the key. On a real deployment this
     * slot is a Delta/Iceberg MERGE — same logical semantics. */
   def upsert(spark: SparkSession, batch: DataFrame, snapshotDir: String,
-             key: String = "pulse_id"): Unit = {
+             key: String = "pulse_id", maxRecordsPerFile: Int = 0): Unit = {
     val fs = new java.io.File(snapshotDir)
     // within a batch, arrival order = (ingestion ts, page) — the
     // reference's sequential page loop means the later page wins ties
@@ -120,7 +120,13 @@ object Pipeline {
         lastWins(existing.unionByName(batchDeduped), key, col("__gen") +: arrival)
       } else batchDeduped
     val tmp = snapshotDir + ".tmp-" + java.util.UUID.randomUUID().toString
-    merged.drop("__gen").write.mode("overwrite").parquet(tmp)
+    // R17's sink batch size, Spark-shaped: the reference flushes every
+    // `batchSize` docs per bulk write (etl_connector.py:206,229); the
+    // parquet analog bounds rows per output file.
+    val writer = merged.drop("__gen").write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+     else writer).parquet(tmp)
     // swap via checked renames (SURVEY §7: write temp + rename). A
     // failed rename must surface, not silently strand the new snapshot
     // in tmp; true crash-atomicity needs a manifest/table format
@@ -148,7 +154,7 @@ object Pipeline {
     val (valid, quarantine) = validate(transform(extract(spark, fixtureDir, cfg), cfg))
     val v = valid.cache()
     val q = quarantine.count()
-    upsert(spark, v, snapshotDir)
+    upsert(spark, v, snapshotDir, maxRecordsPerFile = cfg.batchSize)
     val n = v.count()
     v.unpersist()
     (n, q)

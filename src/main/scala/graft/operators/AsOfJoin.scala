@@ -45,9 +45,13 @@ object AsOfJoin {
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"input columns may not use the reserved names ${reserved.mkString(", ")}")
     tieBreak.foreach { tb =>
-      require(right.schema(tb).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"tieBreak column '$tb' must be numeric — a lossy cast would turn it " +
-          "into nulls and silently break highest-wins ordering")
+      import org.apache.spark.sql.types._
+      val dt = right.schema(tb).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"tieBreak column '$tb' must be an integral type (byte/short/int/long), " +
+          s"got $dt — casting fractional values to long collapses distinct " +
+          "tiebreaks (2.9 and 2.1 both become 2), making highest-wins " +
+          "nondeterministic among the collapsed ties")
     }
     val payload = struct(rightCols.map(col): _*)
 

@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Caches created by the dedup operators. The shingle/token tables
+    * feed several internal stages of one query, so they cannot be
+    * unpersisted inline (the returned DataFrame is lazy and still reads
+    * them); instead every cache is registered here and long-lived
+    * sessions release them once results are materialized. */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def registerCache(df: DataFrame): DataFrame = {
+    val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(c)
+    c
+  }
+
+  /** Caches currently held (visible for tests / monitoring). */
+  def liveCacheCount: Int = liveCaches.size()
+
+  /** Unpersist every cache the dedup operators have created and return
+    * how many were released. Call after materializing results; calling
+    * mid-query is safe — Spark just recomputes the stages that would
+    * have hit the cache. */
+  def releaseCaches(): Int = {
+    var n = 0
+    var c = liveCaches.poll()
+    while (c != null) { c.unpersist(blocking = false); n += 1; c = liveCaches.poll() }
+    n
+  }
+
   /** Row-level exact dedup on explicit keys — the thin built-in form
     * (`dropDuplicates`): keeps an arbitrary row per key, one shuffle.
     * Use [[exact]] when you need deterministic survivor choice or dup
@@ -66,8 +93,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, minPermille: Long = 0): DataFrame = {
     // feeds sizes + both join sides — materialize once (same rationale
     // and cache policy as the minHashLsh shingle table)
-    val t = distinctTokens(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = registerCache(distinctTokens(docs))
     val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = t.select(col("doc_id").as("da"), col("tok"))
     val b = t.select(col("doc_id").as("db"), col("tok"))
@@ -104,12 +130,10 @@ object Dedup {
     // join — materialize it once instead of recomputing the
     // scan+shingle+distinct pipeline four times. (At scale this is the
     // standard design anyway: persist the signature/shingle tables,
-    // they are reused across dedup runs.) The cache is intentionally
-    // left to LRU eviction — callers running many dedup passes in one
-    // long-lived session should spark.catalog.clearCache() between
-    // corpora.
-    val sh = shingles(docs, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // they are reused across dedup runs.) Callers running many dedup
+    // passes in one long-lived session call [[releaseCaches]] between
+    // corpora so disk-spilled blocks don't outlive their query.
+    val sh = registerCache(shingles(docs, shingleK))
     val mins = sh.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("sh"))).as("h0"),
       (1 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)

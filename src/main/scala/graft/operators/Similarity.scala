@@ -164,7 +164,7 @@ object Similarity {
     * cell assignment is a model transform, the query→cell ranking is a
     * broadcast join against the (tiny) centroid table. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 3,
+              nlist: Int = 16, nprobe: Int = 3, maxFitRows: Int = 100000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -172,8 +172,16 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("feat", array_to_vector(col("cv")))
+    // The quantizer is FIT on a bounded deterministic sample (hash-
+    // ordered cap): at 100 TB a full-corpus KMeans fit is itself a
+    // multi-iteration job over every vector, while cluster geometry
+    // learned from 10^5 vectors is statistically the same — standard
+    // IVF practice. The full corpus is still ASSIGNED (transform) below.
+    val fitInput =
+      if (maxFitRows > 0) c.orderBy(xxhash64(col("neighbor_id"))).limit(maxFitRows)
+      else c
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("feat").setPredictionCol("cell").fit(c)
+      .setFeaturesCol("feat").setPredictionCol("cell").fit(fitInput)
     val assigned = model.transform(c).select("neighbor_id", "cv", "cell")
 
     // tiny centroid table (model params) → broadcast-joined to queries

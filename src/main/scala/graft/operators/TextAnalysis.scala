@@ -95,7 +95,12 @@ object TextAnalysis {
   /** Rolling (polynomial) content hash over the token stream — a
     * Rabin-Karp-style fingerprint usable for chunk-level dedup. Computed
     * with the built-in higher-order `aggregate` over the token array:
-    * h = Σ tok_hash · B^i  (mod 2^64, via Long overflow wrap).
+    *   h ← (h · B + v(tok)) mod p,  B = 1000003, p = 2147483647 (2³¹−1).
+    * The Mersenne-prime field keeps every intermediate below 2^52 —
+    * safe under Spark 4's ANSI overflow checking, no wraparound needed.
+    * The per-token value v(tok) is the first 8 hex digits of md5(tok):
+    * md5 is bit-identical in every engine (xxhash64 seeds are not), so
+    * the fingerprint is oracle-checkable cross-engine.
     * Pure expression — no UDF, no shuffle. */
   def rollingHash(docs: DataFrame): DataFrame =
     docs.select(
@@ -103,8 +108,10 @@ object TextAnalysis {
       aggregate(
         split(col("text"), " "),
         lit(0L),
-        // modular field keeps every step < 2^52: ANSI-safe, no overflow
-        (acc, tok) => pmod(acc * lit(1000003L) + pmod(xxhash64(tok), lit(2147483647L)),
+        (acc, tok) => pmod(
+          acc * lit(1000003L) +
+            pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
+              lit(2147483647L)),
           lit(2147483647L))).as("roll_fp"))
       .orderBy("doc_id")
 

@@ -13,15 +13,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * real LEFT ANTI join: the probe stops at the first match, matched
   * rows never surface, and the join output carries only the left side.
   *
-  * Correctness: a left-outer row has `rk IS NULL` for a RIGHT EQUI-JOIN
-  * KEY iff the row is unmatched — a matched row satisfies `lk = rk`,
-  * which requires rk non-null; an unmatched row has every right column
-  * null. (This holds for join KEYS regardless of rk's pre-join
-  * nullability — null keys never match — and does NOT hold for
-  * arbitrary right columns, so the rule fires only on keys.) Right
-  * columns referenced above the filter are replaced by null literals
-  * aliased under their original exprIds: in every surviving row they
-  * were null anyway.
+  * Correctness — the rule fires in exactly two provably-sound cases:
+  *  1. The filtered column is a RIGHT EQUI-JOIN KEY: a matched row
+  *     satisfies `lk = rk`, which requires rk non-null; an unmatched row
+  *     has every right column null. Holds regardless of rk's pre-join
+  *     nullability — null keys never match.
+  *  2. The filtered column is NON-NULLABLE in the right child's own
+  *     output schema: a matched row copies the right row's value, which
+  *     cannot be null, so post-join null ⟺ unmatched. (Nullability must
+  *     be read off the right CHILD — the join's output marks every
+  *     right column nullable by outer-join convention. Parquet scans
+  *     usually report nullable, so this arm typically fires when the
+  *     query declares the invariant, e.g. `coalesce(pk, lit(-1))`.)
+  * It does NOT fire on a nullable non-key right column: there a matched
+  * row may legitimately carry a null and the rewrite would drop it.
+  * Right columns referenced above the filter are replaced by null
+  * literals aliased under their original exprIds: in every surviving
+  * row they were null anyway.
   *
   * At 100 TB the difference is structural: anti joins build a hash set
   * of keys only (no payload), skew-matched rows are never produced,
@@ -52,9 +60,14 @@ object AntiJoinRewrite extends Rule[LogicalPlan] {
       }
     }
 
+  /** Is `a` non-nullable in the right CHILD's output (not the join's —
+    * there every right attribute is nullable by outer-join convention)? */
+  private def isNonNullableRightCol(a: Attribute, j: Join): Boolean =
+    j.right.output.exists(ra => ra.exprId == a.exprId && !ra.nullable)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(IsNull(a: Attribute), j @ Join(l, r, LeftOuter, Some(_), hint))
-        if isRightEquiKey(a, j) =>
+        if isRightEquiKey(a, j) || isNonNullableRightCol(a, j) =>
       val anti = Join(l, r, LeftAnti, j.condition, hint)
       // keep the original output shape: right columns become typed null
       // literals under their original exprIds (they are null in every

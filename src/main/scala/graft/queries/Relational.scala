@@ -80,13 +80,22 @@ object Relational {
       .groupBy("r_name", "n_name").agg(count(lit(1)).as("customers"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
 
-  /** Q7 — left outer join + IS NULL (anti-join shape). Catalyst does NOT
-    * rewrite outer+IsNull to anti automatically; the filter runs after
-    * the join but the join itself is key-shuffled once. (A user wanting
-    * the faster plan writes left_anti — covered by Q8's semi twin.) */
+  /** Q7 — left outer join + IS NULL (the classic hand-written anti-join
+    * shape). Catalyst does NOT rewrite outer+IsNull to anti on its own;
+    * executed literally, the outer join materializes every matched row
+    * just for the filter to discard it — 2–3× wasted join work at scale.
+    * `coalesce(o_orderkey, -1)` declares the primary-key NOT NULL
+    * invariant (parquet reports all columns nullable), which lets
+    * [[graft.plans.AntiJoinRewrite]] prove post-join null ⟺ unmatched
+    * and plan a true LeftAnti under the graft extensions — same rows,
+    * matched rows never materialize. Without the extensions the literal
+    * outer-join plan runs and returns the same result. */
   def q07LeftAnti(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .join(
+        Tables.orders(s, d)
+          .withColumn("o_orderkey", coalesce(col("o_orderkey"), lit(-1L))),
+        col("c_custkey") === col("o_custkey"), "left")
       .filter(col("o_orderkey").isNull)
       .agg(count(lit(1)).as("n"))
 

@@ -82,9 +82,24 @@ object PagedJsonSource {
       .getOrElse(Seq.empty)
   }
 
-  /** Generic retry with exponential backoff ×2 (R3,
-    * etl_connector.py:53-85). Pluggable so transports are unit-testable
-    * without a network (SURVEY §7 risk list). */
+  /** Typed transport failure carrying the HTTP status (and the server's
+    * optional Retry-After hint) so the retry loop can give each status
+    * class the fate the reference gives it (etl_connector.py:67-83).
+    * Transports that can't classify their failures just throw plain
+    * exceptions and get the generic backoff path. */
+  final case class FetchException(status: Int, retryAfterMs: Option[Long] = None,
+      cause: Throwable = null)
+    extends RuntimeException(s"HTTP $status", cause)
+
+  /** Status-aware retry (R3, etl_connector.py:53-85):
+    *  - non-429 4xx (bad key, bad request): the request can never
+    *    succeed — fail fast, zero retries (etl_connector.py:83),
+    *  - 429 with Retry-After: sleep exactly what the server asked for
+    *    (etl_connector.py:67-74); the exponential counter is untouched,
+    *  - 5xx / transport / unclassified: exponential backoff ×2
+    *    (etl_connector.py:75-80).
+    * Pluggable `sleep` + `fetch` so transports are unit-testable without
+    * a network (SURVEY §7 risk list). */
   def withRetry[T](maxRetries: Int, backoffMs: Long, sleep: Long => Unit = Thread.sleep)
                   (fetch: () => T): T = {
     var attempt = 0
@@ -92,12 +107,17 @@ object PagedJsonSource {
     while (true) {
       try return fetch()
       catch {
+        case e @ FetchException(status, _, _)
+            if status >= 400 && status < 500 && status != 429 =>
+          throw e // fatal client error: retrying burns attempts for nothing
         case e: Exception =>
           attempt += 1
           if (attempt >= maxRetries)
             throw new RuntimeException(s"fetch failed after $maxRetries attempts", e)
-          sleep(backoff)
-          backoff *= 2
+          e match {
+            case FetchException(429, Some(ra), _) => sleep(ra)
+            case _ => sleep(backoff); backoff *= 2
+          }
       }
     }
     throw new IllegalStateException("unreachable")

@@ -43,17 +43,41 @@ class AntiJoinRewriteSpec extends SparkSpec {
     }
   }
 
-  test("does NOT fire on a non-key right column (unsound without non-null proof)") {
-    // o_orderkey is not a join key: a matched row could legitimately
-    // carry a null there (the engine cannot see PK constraints), so
-    // IS NULL on it must keep the outer-join semantics — no rewrite.
-    // This is exactly q07's oracle shape, which therefore stays an
-    // outer join by design.
+  test("does NOT fire on a NULLABLE non-key right column (unsound without non-null proof)") {
+    // o_orderkey is not a join key and parquet reports it nullable: a
+    // matched row could legitimately carry a null there (the engine
+    // cannot see PK constraints), so IS NULL on it must keep the
+    // outer-join semantics — no rewrite.
     withRule {
       val df = Tables.customer(spark, sf)
         .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left")
         .filter(col("o_orderkey").isNull)
       assert(!df.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+    }
+  }
+
+  test("fires on a NON-NULLABLE non-key right column (post-join null ⟺ unmatched)") {
+    // primitive-typed Datasets have non-nullable columns: rv cannot be
+    // null in a matched row, so IS NULL proves the row unmatched even
+    // though rv is not a join key
+    withRule {
+      val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+      val r = Seq((1L, 10L)).toDF("rk", "rv")
+      val df = l.join(r, col("k") === col("rk"), "left").filter(col("rv").isNull)
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+        df.queryExecution.optimizedPlan.toString)
+      assert(df.select("lv").as[String].collect().toSeq === Seq("b"))
+    }
+  }
+
+  test("q07's declared-PK shape plans as LeftAnti and keeps its count") {
+    val plain = graft.queries.Relational.q07LeftAnti(spark, sf).head().getLong(0)
+    withRule {
+      val df = graft.queries.Relational.q07LeftAnti(spark, sf)
+      // coalesce(o_orderkey, -1) declares the PK non-null → arm 2 fires
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+        df.queryExecution.optimizedPlan.toString)
+      assert(df.head().getLong(0) === plain)
     }
   }
 
@@ -66,9 +90,7 @@ class AntiJoinRewriteSpec extends SparkSpec {
     }
   }
 
-  test("fires through the GraftExtensions-configured session path too") {
-    // same rule object is what GraftExtensions injects; spot-check the
-    // rewrite on a tiny in-memory shape with a compound condition
+  test("compound join conditions still rewrite (right key + extra predicate)") {
     withRule {
       val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
       val r = Seq((1L, 10L)).toDF("k", "rv")
@@ -78,5 +100,15 @@ class AntiJoinRewriteSpec extends SparkSpec {
       assert(df.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
       assert(df.select("lv").as[String].collect().toSeq === Seq("b"))
     }
+  }
+
+  test("fires through the real GraftExtensions session (injectOptimizerRule wiring)") {
+    // TestSession configures spark.sql.extensions=GraftExtensions
+    // (extensions are a STATIC conf, applied when the SparkContext is
+    // built), so the shared session's optimizer holds the rule via
+    // injectOptimizerRule — NO withRule/extraOptimizations here.
+    val df = keyShape
+    assert(df.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+      df.queryExecution.optimizedPlan.toString)
   }
 }

@@ -35,6 +35,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.getAs[Long]("rid") === 9L)
   }
 
+  test("fractional tieBreak types are rejected (long cast would collapse ties)") {
+    val left = Seq((1L, 100L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 2.9), (1L, 100L, 2.1)).toDF("k", "t", "score")
+    // 2.9 and 2.1 both truncate to 2 under cast("long") — 'highest wins'
+    // would pick nondeterministically, so the guard must refuse upfront
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, "k", "t", "t",
+        Seq("score"), tieBreak = Some("score"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("multiple payload columns come from the same right row") {
     val left = Seq((1L, 100L)).toDF("k", "t")
     val right = Seq((1L, 90L, 1L, "old"), (1L, 95L, 2L, "new")).toDF("k", "t", "rid", "name")

@@ -48,6 +48,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0)
   }
 
+  test("releaseCaches unpersists every dedup-created cache") {
+    // parallel suites may register dedup caches of their own, so the
+    // assertions are on deltas, not on a global count of zero
+    Dedup.releaseCaches() // drain strays from earlier tests
+    Dedup.minHashLsh(corpus, shingleK = 2, minPermille = 500).count()
+    Dedup.jaccardPairs(corpus).count()
+    assert(Dedup.liveCacheCount >= 2)
+    assert(Dedup.releaseCaches() >= 2) // ours were in the ledger and got unpersisted
+  }
+
   test("docs shorter than the shingle size don't crash minhash (regression)") {
     val tiny = Seq(1L -> "solo", 2L -> "", 3L -> "two tokens here okay").toDF("doc_id", "text")
     // doc 1 (1 token) and doc 2 (1 empty token) have no 2-shingles —

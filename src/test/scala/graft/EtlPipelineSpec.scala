@@ -179,4 +179,54 @@ class EtlPipelineSpec extends SparkSpec {
     assert(out === 42)
     assert(sleeps.toSeq === Seq(100L, 200L, 400L))
   }
+
+  test("status-aware retry: fatal 4xx fails fast, zero retries (R3)") {
+    var calls = 0
+    val e = intercept[PagedJsonSource.FetchException] {
+      PagedJsonSource.withRetry(5, 100L, _ => fail("fatal 4xx must not sleep")) { () =>
+        calls += 1
+        throw PagedJsonSource.FetchException(401)
+      }
+    }
+    assert(e.status === 401)
+    assert(calls === 1) // one attempt — a bad API key never fixes itself
+  }
+
+  test("status-aware retry: 429 honors Retry-After verbatim (R3)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = PagedJsonSource.withRetry(5, 100L, sleeps.append(_)) { () =>
+      calls += 1
+      if (calls < 3) throw PagedJsonSource.FetchException(429, Some(777L))
+      "ok"
+    }
+    assert(out === "ok")
+    assert(sleeps.toSeq === Seq(777L, 777L)) // server's price, not 100/200
+  }
+
+  test("status-aware retry: 5xx backs off exponentially (R3)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = PagedJsonSource.withRetry(5, 100L, sleeps.append(_)) { () =>
+      calls += 1
+      if (calls < 4) throw PagedJsonSource.FetchException(503)
+      "ok"
+    }
+    assert(out === "ok")
+    assert(sleeps.toSeq === Seq(100L, 200L, 400L))
+  }
+
+  test("batchSize bounds rows per sink file (R17 batch analog)") {
+    val dir = Files.createTempDirectory("graft-batchsize").toFile
+    val snap = dir.getAbsolutePath + "/snap"
+    Pipeline.run(spark, fixtures, snap, cfg.copy(batchSize = 2))
+    val files = new java.io.File(snap).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.nonEmpty)
+    // 6 merged rows with ≤2 rows per file → every data file respects the cap
+    val counts = files.map(f =>
+      spark.read.parquet(f.getAbsolutePath).count())
+    assert(counts.sum === 6L)
+    assert(counts.forall(_ <= 2L), s"file row counts ${counts.mkString(",")} exceed batchSize=2")
+  }
 }

@@ -13,6 +13,10 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the shipped session config (GraftSession) runs with the graft
+      // extensions active; tests run the same way so specs exercise the
+      // injectOptimizerRule / injectFunction wiring end-to-end
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

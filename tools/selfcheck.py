@@ -22,6 +22,14 @@ for name, sql in sorted(oracle.items()):
         if len(ddf) != len(sdf):
             print(f'FAIL {name}: rows duck={len(ddf)} spark={len(sdf)}'); fail += 1; continue
         # normalize dtypes for compare
+        def norm_dtype(dt):
+            s = str(dt)
+            # int width doesn't affect the driver hash; int-vs-float DOES
+            # (DuckDB HUGEINT -> pandas float64 vs Spark int64 broke r2)
+            if s.startswith('int') or s.startswith('uint'): return 'int'
+            if s.startswith('float'): return 'float'
+            if s.startswith('datetime'): return 'datetime'
+            return s
         mismatch = False
         for c in ddf.columns:
             a, b = ddf[c], sdf[c]
@@ -30,6 +38,11 @@ for name, sql in sorted(oracle.items()):
                     a = pd.to_datetime(a).dt.date
                     b = pd.to_datetime(b).dt.date
                 except Exception: pass
+            # dtype-strict FIRST: object equality (3.0 == 3) must never
+            # mask a dtype divergence that the driver's hash would catch
+            elif norm_dtype(a.dtype) != norm_dtype(b.dtype):
+                print(f'FAIL {name}: col {c} dtype duck={a.dtype} spark={b.dtype}')
+                mismatch = True; break
             try:
                 if not a.astype(object).equals(b.astype(object)):
                     neq = (a.astype(object) != b.astype(object))
