@@ -329,9 +329,113 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_bpeish
          FROM documents ORDER BY doc_id""",
-    // x07/x08 (minhash, simhash) and x09/x10/x23/x25 (vector topk) use
-    // engine-specific hash functions / FP summation order — excluded
-    // from cross-engine hashing per SURVEY §2.4 rule 6; covered by
-    // Spark-side golden specs instead.
+    // x09/x13: cosine scores are bit-identical cross-engine because both
+    // engines fold the zipped products left-to-right in double (Spark
+    // `aggregate` ≡ DuckDB `list_reduce`), so rank and permille match
+    // exactly — verified at sf0.001 and sf0.01.
+    "x09_cosine_topk" -> cosineTopKOracle,
+    "x13_cosine_native" -> cosineTopKOracle,
+    // x08: pigeonhole banding has recall 1.0, so the LSH result set is
+    // plan-independent — the oracle certifies it by brute-force
+    // all-pairs Hamming filtering over md5-keyed 60-bit signatures.
+    "x08_simhash_pairs" -> simHashOracle,
+    // x07: the ENTIRE MinHash+LSH pipeline — shingles, 16 seeded
+    // md5-keyed minhashes, 4-band buckets, candidate join, exact-Jaccard
+    // verification — replicated step for step in DuckDB. Unlike x08 the
+    // candidate set is probabilistic (S-curve), so the oracle must run
+    // the same hashes; md5 keying makes that possible.
+    "x07_minhash_lsh" -> minHashLshOracle,
+    // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
+    // engine-specific hash seeds or trained models; x20 is a HLL++
+    // sketch. Excluded from cross-engine hashing per SURVEY §2.4 rule 6;
+    // covered by Spark-side golden specs instead.
   )
+
+  /** Full cross-engine replication of [[graft.operators.Dedup.minHashLsh]]
+    * with the x07 parameters (shingleK=2, 16 hashes, 4 rows/band,
+    * minPermille=300). Every hash is md5-derived, so signatures, band
+    * buckets, candidates and verified Jaccard all agree bit for bit. */
+  private def minHashLshOracle: String = {
+    val (numHashes, rowsPerBand, shingleK, minPermille) = (16, 4, 2, 300)
+    val minsCols = (0 until numHashes).map(i =>
+      s"MIN(CAST('0x' || substr(md5(concat('$i,', CAST(sh AS VARCHAR))), 1, 15) AS BIGINT)) AS h$i")
+      .mkString(", ")
+    val numBands = numHashes / rowsPerBand
+    val bandSelects = (0 until numBands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(", ")
+      s"""SELECT doc_id, $b AS band,
+         CAST('0x' || substr(md5(concat_ws(',', $hs)), 1, 15) AS BIGINT) AS bucket
+         FROM mins"""
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       le AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= $shingleK),
+       pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - $shingleK + 2)) AS i FROM le),
+       sh0 AS (SELECT doc_id, array_to_string(ts[i:i+$shingleK-1], chr(1)) AS s FROM pos),
+       sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS sh FROM sh0),
+       mins AS (SELECT doc_id, $minsCols FROM sh GROUP BY doc_id),
+       banded AS ($bandSelects),
+       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       cm AS (SELECT c.da, c.db, COUNT(s2.sh) AS common
+              FROM cand c
+              LEFT JOIN sh s1 ON s1.doc_id = c.da
+              LEFT JOIN sh s2 ON s2.doc_id = c.db AND s2.sh = s1.sh
+              GROUP BY c.da, c.db)
+       SELECT cm.da, cm.db,
+         (cm.common * 1000) // (sa.sz + sb.sz - cm.common) AS jac_permille
+       FROM cm JOIN sizes sa ON cm.da = sa.doc_id JOIN sizes sb ON cm.db = sb.doc_id
+       WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= $minPermille
+       ORDER BY da, db, jac_permille"""
+  }
+
+  /** Shared oracle for the exact cosine top-k twins (x09 HOF path, x13
+    * native-expression path): same fold order as the Spark plan, so the
+    * scores are bit-identical, not merely close. */
+  private def cosineTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id AS neighbor_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings),
+       s AS (SELECT query_id, neighbor_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(qv, cv), p -> p[1] * p[2])), (a, b) -> a + b) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(qv, x -> x * x)), (a, b) -> a + b)) *
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS n
+         FROM q, c WHERE query_id <> neighbor_id),
+       r AS (SELECT query_id, neighbor_id,
+           CASE WHEN n = 0 THEN 0.0 ELSE d / n END AS score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) DESC, neighbor_id) AS rank
+         FROM s)
+       SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS cos_permille
+       FROM r WHERE rank <= 5
+       ORDER BY query_id, rank, neighbor_id, cos_permille"""
+
+  /** Brute-force simhash oracle: identical md5-keyed 60-bit signatures,
+    * then ALL pairs at Hamming ≤ 3 — sound because the Spark side's
+    * pigeonhole banding guarantees recall 1.0 (same result set). */
+  private def simHashOracle: String = {
+    val bits = graft.operators.Dedup.SimHashBits
+    val bitSums = (0 until bits).map(i => s"SUM((h >> $i) & 1) AS s$i").mkString(", ")
+    val sigExpr = (0 until bits)
+      .map(i => s"(CASE WHEN 2 * s$i > n THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+       tok AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok0),
+       agg AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM tok GROUP BY doc_id),
+       sig AS (SELECT doc_id, $sigExpr AS simhash FROM agg)
+       SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ORDER BY da, db, hamming"""
+  }
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   *
   * Exact dedup, n-gram Jaccard pairs, MinHash+LSH near-dup, SimHash
   * near-dup. All are pure DataFrame programs (no UDFs): hashes come
-  * from the codegen'd xxhash64 expression, set ops from explode +
+  * from codegen'd native expressions (md5-derived 60-bit ints, so every
+  * pipeline is reproducible cross-engine), set ops from explode +
   * groupBy, so every stage is a standard shuffle Catalyst can size
   * with AQE.
   *
@@ -17,7 +18,7 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: candidate generation is O(n·bands) via bucket
   *    join, never O(n²); only candidates pay the exact-Jaccard
   *    verification join.
-  *  - SimHash: 64-bit signature per doc; banding into k+1 sub-keys
+  *  - SimHash: 60-bit signature per doc; banding into k+1 sub-keys
   *    finds Hamming-≤k pairs without a cross join.
   */
 object Dedup {
@@ -71,8 +72,10 @@ object Dedup {
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
 
-  /** Word k-shingles per doc (distinct). Shingles are hashed to 64-bit
-    * immediately — downstream joins/groups never carry the strings. */
+  /** Word k-shingles per doc (distinct). Shingles are hashed to 60-bit
+    * ints immediately — downstream joins/groups never carry
+    * the strings. md5-keyed (like [[simHashSignatures]]) so the whole
+    * minhash pipeline is reproducible in any engine. */
   private def shingles(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       // docs shorter than k tokens have no k-shingle; without the guard
@@ -82,7 +85,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(0), size(col("toks")) - k),
-          i => xxhash64(concat_ws("\u0001",
+          i => md5i60(concat_ws("\u0001",
             slice(col("toks"), i + lit(1), lit(k)))))).as("sh"))
       .distinct()
 
@@ -110,10 +113,11 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs.
     *
-    * numHashes seeded minhashes per doc (seed folded into xxhash64 as a
-    * leading literal column) → bands of `rowsPerBand` hashed to a bucket
-    * key → docs sharing any (band, bucket) become candidates → exact
-    * shingle-Jaccard verification on candidates only.
+    * numHashes seeded minhashes per doc (seed folded into the md5-keyed
+    * hash input, so each family member is portable) → bands of
+    * `rowsPerBand` hashed to a bucket key → docs sharing any
+    * (band, bucket) become candidates → exact shingle-Jaccard
+    * verification on candidates only.
     *
     * Collision math: P(candidate) = 1 - (1 - s^r)^b for true Jaccard s,
     * r = rowsPerBand, b = numHashes/r — the standard S-curve.
@@ -133,15 +137,21 @@ object Dedup {
     // they are reused across dedup runs.) Callers running many dedup
     // passes in one long-lived session call [[releaseCaches]] between
     // corpora so disk-spilled blocks don't outlive their query.
+    // seeded minhash h_i = md5i60("<i>,<shingle>") — the seed is folded
+    // into the hashed string, so every h_i is an independent portable
+    // hash family member (reproducible cross-engine, unlike xxhash64
+    // seed columns)
     val sh = registerCache(shingles(docs, shingleK))
+    def seeded(i: Int): Column =
+      md5i60(concat(lit(s"$i,"), col("sh").cast("string")))
     val mins = sh.groupBy("doc_id").agg(
-      min(xxhash64(lit(0), col("sh"))).as("h0"),
-      (1 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+      min(seeded(0)).as("h0"),
+      (1 until numHashes).map(i => min(seeded(i)).as(s"h$i")): _*)
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { bnd =>
       struct(lit(bnd).as("band"),
-        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-          .map(i => col(s"h$i")): _*).as("bucket"))
+        md5i60(concat_ws(",", (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => col(s"h$i").cast("string")): _*)).as("bucket"))
     }
     val banded = mins.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -167,37 +177,52 @@ object Dedup {
       .orderBy("da", "db", "jac_permille")
   }
 
-  /** 64-bit SimHash signature per document: for each token hash bit,
+  /** Signature width in bits. 60 = the largest multiple of 4 hex digits
+    * that fits a signed Long, so the per-token hash can be the first 15
+    * hex digits of md5 — bit-identical in every engine, which makes the
+    * whole simhash pipeline oracle-checkable cross-engine. (xxhash64 is
+    * a drop-in for raw speed, at the cost of that verifiability.) */
+  val SimHashBits = 60
+
+  /** Portable 60-bit token hash: first 15 hex digits of md5. */
+  private def md5i60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash signature per document: for each token hash bit,
     * +1/−1 vote; sign of the vote sum sets the bit.
     *
-    * Shape: one groupBy with 65 static aggregate columns (token count +
+    * Shape: one groupBy with 61 static aggregate columns (token count +
     * per-bit set-count S_i); the ±1 vote sum is 2·S_i − n, so bit i is
     * set iff 2·S_i > n. ONE shuffle with map-side partial aggregation —
-    * the per-doc partials are 65 longs regardless of document length.
-    * (The naive explode-64-rows-per-token plan was 3× slower at sf0.1
-    * and shuffles 64× more rows.) */
+    * the per-doc partials are 61 longs regardless of document length.
+    * (The naive explode-a-row-per-bit-per-token plan was 3× slower at
+    * sf0.1 and shuffles 60× more rows.) */
   def simHashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+      .select(col("doc_id"), md5i60(col("tok")).as("h"))
+    val bitSums = (0 until SimHashBits).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"s$i"))
     val agg = toks.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sig = (0 until 64).map(i =>
+    val sig = (0 until SimHashBits).map(i =>
       when(col(s"s$i") * 2 > col("n"), lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
-    * by banding the 64-bit signature into `maxHamming + 1` sub-keys
+    * by banding the 60-bit signature into `maxHamming + 1` sub-keys
     * (pigeonhole: ≤ maxHamming differing bits cannot touch every band,
     * so a qualifying pair always shares one exact sub-key — recall 1.0
-    * for ANY maxHamming ≤ 63, not just the 4-band special case). */
+    * for ANY maxHamming < 60, not just the 4-band special case).
+    * Recall 1.0 also means the result set is plan-independent: it
+    * equals brute-force all-pairs Hamming filtering, which is exactly
+    * how the cross-engine oracle certifies it. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    require(maxHamming >= 0 && maxHamming < SimHashBits,
+      s"maxHamming must be in [0, ${SimHashBits - 1}]")
     val numBands = maxHamming + 1
-    val bounds = (0 to numBands).map(i => i * 64 / numBands)
+    val bounds = (0 to numBands).map(i => i * SimHashBits / numBands)
     val sig = simHashSignatures(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until numBands).map { bnd =>

@@ -43,7 +43,7 @@ object Similarity {
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         floor(col("score") * 1000 + 0.5).cast("long").as("cos_permille"))
       .orderBy("query_id", "rank", "neighbor_id", "cos_permille")
   }

@@ -72,8 +72,8 @@ class FunctionsSpec extends SparkSpec {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val a = Similarity.cosineTopK(emb.filter($"vec_id" < 5), emb, k = 5).collect()
     val b = Similarity.cosineTopKNative(emb.filter($"vec_id" < 5), emb, k = 5).collect()
-    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ===
-           b.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+           b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
   test("vec_avg aggregator computes element-wise centroids") {

@@ -25,7 +25,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("brute-force cosine top-k ranks by similarity, excludes self") {
     val out = Similarity.cosineTopK(vecs.filter($"vec_id" === 1), vecs, k = 3)
-      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.length === 3)
     // rank 1 must be vec 5 or 2 (cos ≈ .995 both); tie impossible here:
     // cos(1,2)=0.9/|(.9,.1)| = .9938..., cos(1,5)=1/sqrt(1.01)=.99503...
