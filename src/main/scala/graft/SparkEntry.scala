@@ -357,16 +357,16 @@ object SparkEntry {
     * buckets, candidates and verified Jaccard all agree bit for bit. */
   private def minHashLshOracle: String = {
     val (numHashes, rowsPerBand, shingleK, minPermille) = (16, 4, 2, 300)
-    val minsCols = (0 until numHashes).map(i =>
-      s"MIN(CAST('0x' || substr(md5(concat('$i,', CAST(sh AS VARCHAR))), 1, 15) AS BIGINT)) AS h$i")
-      .mkString(", ")
+    val P = graft.operators.Dedup.P31
+    val minsCols = (0 until numHashes).map { i =>
+      val (a, b) = (graft.operators.Dedup.affineA(i), graft.operators.Dedup.affineB(i))
+      s"MIN(($a * (sh % $P) + $b) % $P) AS h$i"
+    }.mkString(", ")
     val numBands = numHashes / rowsPerBand
     val bandSelects = (0 until numBands).map { b =>
-      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => s"CAST(h$i AS VARCHAR)").mkString(", ")
-      s"""SELECT doc_id, $b AS band,
-         CAST('0x' || substr(md5(concat_ws(',', $hs)), 1, 15) AS BIGINT) AS bucket
-         FROM mins"""
+      val bucket = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 1000003 + h$i) % $P")
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM mins"
     }.mkString(" UNION ALL ")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        le AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= $shingleK),
