@@ -14,7 +14,12 @@ object Bench {
     // AntiJoinRewrite) active, so the bench measures the shipped config
     val spark = graft.core.GraftSession.local(cpus)
 
+    // optional subset filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=x07_minhash_lsh,x10_ann_lsh
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warm-up: JIT + codegen cache + parquet footer cache
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
@@ -33,7 +38,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(n)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
-      finally graft.operators.Dedup.releaseCaches() // outside the next run's clock
+      // blocking: cleanup must FINISH outside the clock, not drift into
+      // the next query's timed window as async block-removal work
+      finally graft.operators.Dedup.releaseCaches(blocking = true)
     }
     val results = names.map { n =>
       val ts = Seq.fill(3)(timeOne(n))

@@ -277,8 +277,12 @@ object SparkEntry {
          CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c_sum
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
     // x14: per-position centroid means computed independently (DuckDB
-    // zipped-UNNEST AVG vs the Spark UDAF); both accumulate in double,
-    // so the permille-rounded L2 norm is cross-engine exact.
+    // zipped-UNNEST AVG vs the Spark UDAF); both accumulate in double.
+    // The permille-rounded L2 norm is empirically stable at the tested
+    // scale factors — NOT guaranteed bit-identical: summation order
+    // differs between engines, so a norm landing within an ULP of a
+    // .0005 boundary could flip the rounding (selfcheck flags that case
+    // as a WARN; coarsen the rounding if it ever fires).
     "x14_label_centroid" ->
       """WITH pos AS (
            SELECT label, UNNEST(embedding) AS e, UNNEST(range(len(embedding))) AS i

@@ -47,11 +47,18 @@ object AsOfJoin {
     tieBreak.foreach { tb =>
       import org.apache.spark.sql.types._
       val dt = right.schema(tb).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"tieBreak column '$tb' must be an integral type (byte/short/int/long), " +
-          s"got $dt — casting fractional values to long collapses distinct " +
-          "tiebreaks (2.9 and 2.1 both become 2), making highest-wins " +
-          "nondeterministic among the collapsed ties")
+      val exactLong = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        // scale-0 decimals are exact sequence numbers; precision ≤ 18
+        // guarantees every value fits a long, so the cast is lossless
+        case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
+        case _ => false
+      }
+      require(exactLong,
+        s"tieBreak column '$tb' must be an integral type (byte/short/int/long) " +
+          s"or DECIMAL(≤18, 0), got $dt — casting fractional values to long " +
+          "collapses distinct tiebreaks (2.9 and 2.1 both become 2), making " +
+          "highest-wins nondeterministic among the collapsed ties")
     }
     val payload = struct(rightCols.map(col): _*)
 

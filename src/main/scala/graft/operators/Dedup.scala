@@ -42,11 +42,13 @@ object Dedup {
   /** Unpersist every cache the dedup operators have created and return
     * how many were released. Call after materializing results; calling
     * mid-query is safe — Spark just recomputes the stages that would
-    * have hit the cache. */
-  def releaseCaches(): Int = {
+    * have hit the cache. `blocking = true` waits for block removal —
+    * use it when the caller needs cleanup cost fenced off from
+    * whatever runs next (e.g. between timed benchmark queries). */
+  def releaseCaches(blocking: Boolean = false): Int = {
     var n = 0
     var c = liveCaches.poll()
-    while (c != null) { c.unpersist(blocking = false); n += 1; c = liveCaches.poll() }
+    while (c != null) { c.unpersist(blocking); n += 1; c = liveCaches.poll() }
     n
   }
 
@@ -146,9 +148,12 @@ object Dedup {
     val sh = registerCache(shingles(docs, shingleK))
     def seeded(i: Int): Column =
       pmod(lit(affineA(i)) * pmod(col("sh"), lit(P31)) + lit(affineB(i)), lit(P31))
+    // ONE groupBy produces the signature AND the shingle-set size: the
+    // verification stage needs |set| per doc, and folding it in here
+    // removes a second full aggregation pass over the shingle table.
     val mins = sh.groupBy("doc_id").agg(
-      min(seeded(0)).as("h0"),
-      (1 until numHashes).map(i => min(seeded(i)).as(s"h$i")): _*)
+      count(lit(1)).as("sz"),
+      (0 until numHashes).map(i => min(seeded(i)).as(s"h$i")): _*)
     val numBands = numHashes / rowsPerBand
     // band bucket: rolling polynomial combine of the band's minhashes.
     // 2³¹−1 bucket space is ample here; collisions only ADD candidates
@@ -161,24 +166,32 @@ object Dedup {
           .foldLeft(lit(0L): Column)((acc, h) =>
             pmod(acc * lit(1000003L) + h, lit(P31))).as("bucket"))
     }
-    val banded = mins.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.select(col("doc_id").as("da"), col("band"), col("bucket"))
-      .join(banded.select(col("doc_id").as("db"), col("band"), col("bucket")),
+    // sizes ride along on the banded rows (carried through the
+    // candidate join) so verification never re-joins a sizes table —
+    // two fewer shuffle stages than the textbook
+    // cand⋈sizes(da)⋈sizes(db) shape, same answer.
+    val banded = mins.select(col("doc_id"), col("sz"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col("doc_id").as("da"), col("sz").as("sa"), col("band"), col("bucket"))
+      .join(banded.select(col("doc_id").as("db"), col("sz").as("sb"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+      .select("da", "db", "sa", "sb").distinct()
 
     // exact shingle-Jaccard verification, candidates only
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairSh = cand
       .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
       .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-      .groupBy("da", "db").agg(count(lit(1)).as("common"))
-    cand.join(pairSh, Seq("da", "db"), "left")
-      .na.fill(0L, Seq("common"))
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), Seq("db"))
+      .groupBy("da", "db", "sa", "sb").agg(count(lit(1)).as("common"))
+    // minPermille > 0 ⟹ zero-overlap candidates can never qualify, so
+    // the inner-join shape is exact; only the permille-0 "keep every
+    // candidate" contract needs them retained via the left join.
+    val scored =
+      if (minPermille > 0) pairSh
+      else cand.join(pairSh, Seq("da", "db", "sa", "sb"), "left")
+        .na.fill(0L, Seq("common"))
+    scored
       .select(col("da"), col("db"),
         expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
       .filter(col("jac_permille") >= minPermille)

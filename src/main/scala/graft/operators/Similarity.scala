@@ -165,21 +165,33 @@ object Similarity {
     * broadcast join against the (tiny) centroid table. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 3, maxFitRows: Int = 100000,
+              fitFraction: Double = 1.0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction ($fitFraction) must be in (0, 1]")
 
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("feat", array_to_vector(col("cv")))
-    // The quantizer is FIT on a bounded deterministic sample (hash-
-    // ordered cap): at 100 TB a full-corpus KMeans fit is itself a
-    // multi-iteration job over every vector, while cluster geometry
-    // learned from 10^5 vectors is statistically the same — standard
-    // IVF practice. The full corpus is still ASSIGNED (transform) below.
-    val fitInput =
-      if (maxFitRows > 0) c.orderBy(xxhash64(col("neighbor_id"))).limit(maxFitRows)
+    // The quantizer is FIT on a bounded sample: at 100 TB a full-corpus
+    // KMeans fit is itself a multi-iteration job over every vector,
+    // while cluster geometry learned from 10^5 vectors is statistically
+    // the same — standard IVF practice. Sampling is scan-only:
+    // `fitFraction` keeps a deterministic hash-threshold subset (an
+    // unbiased filter — NO global sort; at 100 TB an orderBy(hash)
+    // sample would cost as much as the fit it avoids), and `maxFitRows`
+    // is a safety cap (LocalLimit — early-exits the scan). Size
+    // fitFraction so the cap rarely binds; the cap alone keeps the fit
+    // bounded even when the caller misjudges the corpus size. The full
+    // corpus is still ASSIGNED (transform) below.
+    val sampled =
+      if (fitFraction < 1.0)
+        c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
+          < lit((fitFraction * 1000000L).toLong))
       else c
+    val fitInput = if (maxFitRows > 0) sampled.limit(maxFitRows) else sampled
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("feat").setPredictionCol("cell").fit(fitInput)
     val assigned = model.transform(c).select("neighbor_id", "cv", "cell")

@@ -46,6 +46,17 @@ for name, sql in sorted(oracle.items()):
             try:
                 if not a.astype(object).equals(b.astype(object)):
                     neq = (a.astype(object) != b.astype(object))
+                    # norm_permille is a rounded double: cross-engine
+                    # summation-order ULPs can flip it by exactly 1 near a
+                    # .0005 boundary. That is a float artifact, not an
+                    # engine bug — surface it distinctly (the driver's
+                    # strict hash WOULD flag it; if this warning ever
+                    # fires, coarsen the rounding in entry + oracle).
+                    if c == 'norm_permille' and norm_dtype(a.dtype) == 'int' \
+                            and (a[neq] - b[neq]).abs().max() <= 1:
+                        print(f'WARN {name}: col {c} differs by ±1 on '
+                              f'{int(neq.sum())} row(s) — ULP rounding boundary')
+                        continue
                     print(f'FAIL {name}: col {c} first diffs:\n', pd.DataFrame({"duck": a[neq].head(3), "spark": b[neq].head(3)}))
                     mismatch = True; break
             except Exception as e:
