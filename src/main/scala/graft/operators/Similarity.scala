@@ -221,19 +221,31 @@ object Similarity {
   /** Approximate top-k: bucket by LSH signature, score only same-bucket
     * pairs. At 100 TB the bucket join is an equi-shuffle on the
     * signature (or a broadcast of the query signatures), never a cross
-    * join. Recall < 1 by design; raise numPlanes↓bucket size,
-    * or run multiple tables (seed offset) and union, to trade cost for
-    * recall. */
+    * join.
+    *
+    * Recall < 1 by design, tuned by the classic two knobs: per-table
+    * collision probability is (1 − θ/π)^numPlanes, and `numTables`
+    * disjoint plane families union their candidates, so
+    * recall ≈ 1 − (1 − p)^T. Fewer planes → bigger buckets (more pairs
+    * scored, higher p); more tables buy recall linearly in scan cost.
+    * Each table is a narrow map (signature) + broadcast join — the
+    * corpus is never shuffled; duplicate candidates from different
+    * tables are deduped before ranking (scores are deterministic, so
+    * the dedup is exact). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int = 8,
+              numTables: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numTables >= 1, s"numTables ($numTables) must be >= 1")
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("sig", lshSignature(col("qv"), numPlanes))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("sig", lshSignature(col("cv"), numPlanes))
-    val scored = c.join(broadcast(q), Seq("sig"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+    val scored = (0 until numTables).map { t =>
+      val qs = q.withColumn("sig", lshSignature(col("qv"), numPlanes, t * numPlanes))
+      val cs = c.withColumn("sig", lshSignature(col("cv"), numPlanes, t * numPlanes))
+      cs.join(broadcast(qs), Seq("sig"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("score"))
+    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
     topKByScore(scored, k)
   }
 }
