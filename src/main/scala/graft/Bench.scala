@@ -18,6 +18,16 @@ object Bench {
     // SPARK_GRAFT_ONLY=x07_minhash_lsh,x10_ann_lsh
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd (or leaked) ONLY var silently shrinking the run would
+    // print a legitimate-looking total — make subsets loud, and fail on
+    // names that match nothing rather than benching the wrong set
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      System.err.println(
+        s"[bench] SPARK_GRAFT_ONLY active: ${o.size} of ${SparkEntry.queries.size} queries")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // warm-up: JIT + codegen cache + parquet footer cache

@@ -98,11 +98,19 @@ object SparkEntry {
     "x26_percentile"      -> (Relational.percentiles _),
     "x28_variant"         -> (Relational.variantExtract _),
     "x27_pivot"           -> (Relational.pivotCounts _),
+    // x23 operates hyperplane LSH at its honest operating point: a HIGH
+    // threshold (900 permille), where ≤-multiProbe-bit signature
+    // agreement has real recall and the candidate volume stays
+    // ~n²·137·T/2^16 — linear-ish in n, never the all-pairs join a
+    // 16-bucket (4-plane) config degrades to. The corpus's natural
+    // cosine ceiling is ~0.51 (no qualifying pairs), so the demo plants
+    // deterministic near-identical copies (ids +1e6) and recovers them;
+    // low-threshold sweeps belong to the exact scorers (see
+    // nearDupPairs scaladoc). Recall at these parameters is certified
+    // by x31 + RecallSpec.
     "x23_embed_neardup"   -> ((s, d) =>
-      // 4 planes × 4 tables: tuned to the corpus's natural similarity
-      // ceiling (~0.51 cosine) so the query demonstrates real recall
-      Similarity.nearDupPairs(Tables.embeddings(s, d), minPermille = 400,
-        numPlanes = 4, numTables = 4)),
+      Similarity.nearDupPairs(embeddingsWithPlantedDups(s, d), minPermille = 900,
+        numPlanes = 16, numTables = 2, multiProbe = 2)),
     "x24_bpeish_tokens"   -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.bpeishTokenCountCol(col("text")).as("n_bpeish"))
@@ -118,7 +126,61 @@ object SparkEntry {
         Tables.part(s, d), supplierIntervals, "p_size", "lo", "hi", binWidth = 16)
         .agg(count(lit(1)).as("n"))
     },
+    // —— recall certification (x29–x31): the `no_oracle` ANN entries'
+    //    driver-level assertion surface. Each emits one deterministic
+    //    scalar row = recall of the SHIPPED config (x10/x25/x23) vs the
+    //    exact seeded baseline; RecallSpec asserts calibrated floors. ——
+    "x29_recall_lsh"      -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      graft.operators.Recall.pairRecall(
+        Similarity.cosineTopK(q, emb, k = 5),
+        Similarity.lshTopK(q, emb, k = 5),
+        Seq("query_id", "neighbor_id"))
+    },
+    "x30_recall_ivf"      -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      graft.operators.Recall.pairRecall(
+        Similarity.cosineTopK(q, emb, k = 5),
+        Similarity.ivfTopK(q, emb, k = 5),
+        Seq("query_id", "neighbor_id"))
+    },
+    "x31_recall_neardup"  -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val demo = embeddingsWithPlantedDups(s, d)
+      val base = demo.select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("v"))
+      // exact all-pairs baseline at the same 900-permille threshold —
+      // bounded demo scale only (n ≈ 2k ⇒ ~2M native-scored pairs);
+      // certification at larger corpora restricts to a probe subset
+      val a = base.select(col("id").as("da"), col("v").as("va"))
+      val b = base.select(col("id").as("db"), col("v").as("vb"))
+      val exactPairs = a.crossJoin(b).filter(col("da") < col("db"))
+        .filter(floor(call_function("cosine_f32", col("va"), col("vb")) * 1000 + 0.5) >= 900)
+        .select("da", "db")
+      val found = Similarity.nearDupPairs(demo, minPermille = 900,
+        numPlanes = 16, numTables = 2, multiProbe = 2)
+      graft.operators.Recall.pairRecall(exactPairs, found, Seq("da", "db"))
+    },
   )
+
+  /** x23/x31 demo corpus: the embeddings table has a natural cosine
+    * ceiling of ~0.51 — no true near-dups — so the near-dup demo
+    * plants one deterministic near-identical copy (per-dimension
+    * perturbation ~N·0.02, xxhash64-derived, reproducible) of each of
+    * the first 64 vectors under id+1 000 000. Planted cosines are
+    * ≥ ~0.99; every qualifying pair is (i, i+1e6). */
+  private def embeddingsWithPlantedDups(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") < 64).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") + lit(0.02d) *
+          (call_function("xxhash64", col("vec_id"), i).cast("double")
+            / lit(Long.MaxValue.toDouble))).cast("float")).as("embedding"),
+      col("label"))
+    emb.unionByName(planted)
+  }
 
   /** DuckDB oracle SQL, same parquet tables. Column aliases match the
     * Spark output column names exactly (driver sorts columns by name

@@ -4,10 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expression for the embedding hot path: dot product
@@ -155,6 +155,111 @@ case class CosineF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd random-hyperplane LSH signature — the bucketing
+  * hot path of [[graft.operators.Similarity.lshTopK]] and
+  * [[graft.operators.Similarity.nearDupPairs]].
+  *
+  * Bit p = sign(Σ_i v_i · coef(planeOffset + p, i)) with
+  * coef(p, i) = xxhash64(p, i) / Long.MaxValue — EXACTLY the
+  * arithmetic of the HOF reference [[graft.operators.Similarity
+  * .lshSignature]] (same seed chain XXH64(i, XXH64(p, 42)), same
+  * double fold order), so both paths produce bit-identical signatures
+  * (spec-asserted). The HOF form drives a lambda interpreter with one
+  * xxhash64 Expression eval per (plane × dim × row); this compiles to
+  * a tight loop of static XXH64.hashLong calls with the per-plane seed
+  * hoisted — the difference between interpreting ~2k expression nodes
+  * per row and ~1k fused multiply-adds.
+  *
+  * Null contract: a null ELEMENT or an empty array yields signature 0
+  * (HOF parity: null poisons every plane's sum, `when(null > 0)` is
+  * false). A null ARRAY yields NULL (standard expression semantics;
+  * the HOF form yields 0 there — callers drop null embeddings before
+  * bucketing). Accepts array<float> and array<double>; float elements
+  * widen exactly, so signatures agree across the two encodings. */
+case class LshSignature(child: Expression, numPlanes: Int, planeOffset: Int)
+    extends UnaryExpression {
+
+  require(numPlanes >= 1 && numPlanes <= 62,
+    s"numPlanes ($numPlanes) must be in [1, 62]")
+
+  private val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sig"
+  override def nullable: Boolean = child.nullable
+
+  // per-plane outer hash of the xxhash64(p, i) chain, hoisted out of
+  // the per-row loop (it only depends on the plane index)
+  private lazy val planeSeeds: Array[Long] =
+    Array.tabulate(numPlanes)(p => XXH64.hashLong((planeOffset + p).toLong, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return 0L; i += 1 }
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val seed = planeSeeds(p)
+      var s = 0.0d
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * (XXH64.hashLong(i.toLong, seed).toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (s > 0.0d) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val seeds = ctx.addReferenceObj("planeSeeds", planeSeeds, "long[]")
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      val poisoned = ctx.freshName("poisoned")
+      val getter = if (isFloat) s"(double) $v.getFloat" else s"$v.getDouble"
+      s"""
+         |int $n = $v.numElements();
+         |long $sig = 0L;
+         |boolean $poisoned = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { $poisoned = true; break; }
+         |}
+         |if (!$poisoned) {
+         |  for (int $p = 0; $p < $numPlanes; $p++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $getter($i) *
+         |        ((double) $xxh.hashLong((long) $i, $seeds[$p]) / 9.223372036854775807E18);
+         |    }
+         |    if ($s > 0.0) $sig |= 1L << $p;
+         |  }
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Function registration, two ways:
   *  - session extension: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
   *  - programmatic: `GraftFunctions.register(spark)`
@@ -177,7 +282,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProductF32(args(0), args(1))),
     (FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineF32].getName, "cosine_f32"),
-      (args: Seq[Expression]) => CosineF32(args(0), args(1))))
+      (args: Seq[Expression]) => CosineF32(args(0), args(1))),
+    (FunctionIdentifier("lsh_sig"),
+      new ExpressionInfo(classOf[LshSignature].getName, "lsh_sig"),
+      (args: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_sig $what must be an integer literal, got $other")
+        }
+        LshSignature(args(0), intLit(args(1), "numPlanes"), intLit(args(2), "planeOffset"))
+      }))
 
   /** Idempotent programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -119,32 +119,71 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** All XOR masks over `numPlanes` bits with at most `maxFlips` bits
+    * set (including the zero mask — the exact bucket). Multi-probe LSH
+    * expands ONE side of the bucket join by these masks, so a pair is
+    * a candidate iff its signatures differ in ≤ maxFlips bits — recall
+    * of a (maxFlips+1)-table union for the join cost of masks·n probe
+    * rows, without re-hashing the corpus. */
+  private[graft] def probeMasks(numPlanes: Int, maxFlips: Int): Seq[Long] = {
+    def combos(from: Int, choose: Int): Seq[Long] =
+      if (choose == 0) Seq(0L)
+      else (from until numPlanes).flatMap(b => combos(b + 1, choose - 1).map(_ | (1L << b)))
+    (0 to maxFlips).flatMap(k => combos(0, k))
+  }
+
   /** Embedding-cosine NEAR-DUP PAIRS (the dedup use of similarity):
     * all pairs with cosine ≥ threshold, found via LSH-bucketed
-    * self-join — same-signature vectors pair up, everything else never
-    * meets. O(bucket²) per bucket instead of O(n²); identical and
+    * self-join — same-signature (up to `multiProbe` flipped bits)
+    * vectors pair up, everything else never meets. Identical and
     * near-identical vectors share all sign bits so recall at high
     * thresholds is excellent.
     *
-    * Recall math: P(bucket collision per table) = (1 − θ/π)^numPlanes
-    * for angle θ, so `numTables` disjoint plane families union their
-    * candidates: recall = 1 − (1 − p)^T. More planes → smaller buckets
-    * (cheaper) but lower per-table recall; more tables buy it back. */
-  def nearDupPairs(corpus: DataFrame, minPermille: Long = 950, numPlanes: Int = 12,
-                   numTables: Int = 1,
+    * Recall math: each plane's bit flips between two vectors at angle θ
+    * with probability θ/π, so P(candidate per table) =
+    * P(Binomial(numPlanes, θ/π) ≤ multiProbe), and `numTables`
+    * disjoint plane families union: recall = 1 − (1 − p)^T.
+    *
+    * Candidate-volume bound (the 100 TB contract): the probe side emits
+    * M = Σ_{i≤multiProbe} C(numPlanes, i) rows per vector and random
+    * (dissimilar) pairs collide with probability M / 2^numPlanes, so
+    * expected noise candidates ≈ n²·M·T / 2^numPlanes. Size
+    * numPlanes ≈ log2(n) + log2(M) + c and the noise volume is O(n/2^c)
+    * — LINEAR in corpus size, never the all-pairs join a fixed small
+    * bucket count degrades to. (16 planes + multiProbe 2 ⇒ M = 137,
+    * 65 536 buckets: fine to ~10^6 rows/partition-of-the-problem; at
+    * 10^9+ raise planes to ~30 via two 15-plane half-signatures or a
+    * wider signature column.)
+    *
+    * Hyperplane LSH only EARNS its keep at high thresholds (≥ ~0.9
+    * cosine ⇒ flip prob ≈ 0.14): at low thresholds (≤ ~0.6) qualifying
+    * pairs flip ~1/3 of their bits and every parameterization is either
+    * near-quadratic or near-zero-recall — use the exact brute/blocked
+    * scorers ([[cosineTopK]]/[[cosineTopKNative]]) for low-threshold
+    * sweeps instead. */
+  def nearDupPairs(corpus: DataFrame, minPermille: Long = 950, numPlanes: Int = 16,
+                   numTables: Int = 2, multiProbe: Int = 1,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // candidate verification is the hot loop — score with the native
-    // codegen'd CosineF32 (fused float loop), not the HOF interpreter
+    require(multiProbe >= 0 && multiProbe <= numPlanes,
+      s"multiProbe ($multiProbe) must be in [0, numPlanes]")
+    // bucketing and verification are both hot loops — native codegen'd
+    // LshSignature / CosineF32, not the HOF interpreter
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val masks = probeMasks(numPlanes, multiProbe)
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
-    val baseD = base.withColumn("vd", asDouble(col("v")))
     val candidates = (0 until numTables).map { t =>
-      val sig = baseD.withColumn("sig", lshSignature(col("vd"), numPlanes, t * numPlanes))
-      sig.select(col("id").as("da"), col("sig"))
-        .join(sig.select(col("id").as("db"), col("sig")), Seq("sig"))
-        .filter(col("da") < col("db"))
-        .select("da", "db")
+      val sig = base.select(col("id"),
+        call_function("lsh_sig", col("v"), lit(numPlanes), lit(t * numPlanes)).as("sig"))
+      // expand ONE side by the probe masks: for a pair at Hamming h ≤
+      // multiProbe exactly one mask (sig_a ⊕ sig_b) matches, so each
+      // pair surfaces ≤ 2× (once per direction) before the distinct
+      val probes = sig.select(col("id").as("pa"),
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+      probes.join(sig.select(col("id").as("pb"), col("sig")), Seq("sig"))
+        .filter(col("pa") =!= col("pb"))
+        .select(least(col("pa"), col("pb")).as("da"),
+          greatest(col("pa"), col("pb")).as("db"))
     }.reduce(_ unionByName _).distinct()
     candidates
       .join(base.select(col("id").as("da"), col("v").as("va")), Seq("da"))
@@ -183,15 +222,24 @@ object Similarity {
     // unbiased filter — NO global sort; at 100 TB an orderBy(hash)
     // sample would cost as much as the fit it avoids), and `maxFitRows`
     // is a safety cap (LocalLimit — early-exits the scan). Size
-    // fitFraction so the cap rarely binds; the cap alone keeps the fit
-    // bounded even when the caller misjudges the corpus size. The full
-    // corpus is still ASSIGNED (transform) below.
-    val sampled =
-      if (fitFraction < 1.0)
-        c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
+    // fitFraction so the cap rarely binds. On the DEFAULT path
+    // (fitFraction == 1.0) the cap is the only bound, and a bare limit
+    // takes whatever rows the scan yields first — order-dependent
+    // across partitioning/AQE changes and biased on clustered corpora —
+    // so there the cap is applied as orderBy(xxhash64).limit: a
+    // deterministic unbiased pseudo-random top-k. That plans as
+    // TakeOrderedAndProject (per-partition heap of maxFitRows + driver
+    // merge), NOT a full global sort; at scales where even that merge
+    // is too heavy, set fitFraction — the filter path stays scan-only.
+    // The full corpus is still ASSIGNED (transform) below.
+    val fitInput =
+      if (fitFraction < 1.0) {
+        val sampled = c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
           < lit((fitFraction * 1000000L).toLong))
+        if (maxFitRows > 0) sampled.limit(maxFitRows) else sampled
+      } else if (maxFitRows > 0)
+        c.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id")).limit(maxFitRows)
       else c
-    val fitInput = if (maxFitRows > 0) sampled.limit(maxFitRows) else sampled
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("feat").setPredictionCol("cell").fit(fitInput)
     val assigned = model.transform(c).select("neighbor_id", "cv", "cell")
@@ -223,29 +271,52 @@ object Similarity {
     * signature (or a broadcast of the query signatures), never a cross
     * join.
     *
-    * Recall < 1 by design, tuned by the classic two knobs: per-table
-    * collision probability is (1 − θ/π)^numPlanes, and `numTables`
+    * Recall < 1 by design, tuned by three knobs: per-table candidate
+    * probability is P(Binomial(numPlanes, θ/π) ≤ multiProbe) — the
+    * chance at most `multiProbe` sign bits disagree — and `numTables`
     * disjoint plane families union their candidates, so
     * recall ≈ 1 − (1 − p)^T. Fewer planes → bigger buckets (more pairs
-    * scored, higher p); more tables buy recall linearly in scan cost.
-    * Each table is a narrow map (signature) + broadcast join — the
-    * corpus is never shuffled; duplicate candidates from different
-    * tables are deduped before ranking (scores are deterministic, so
-    * the dedup is exact). */
+    * scored, higher p); multi-probe and tables buy recall back.
+    * Multi-probe expands the QUERY side only (it is the broadcast
+    * side): each query probes every bucket within `multiProbe` bit
+    * flips of its own signature — Σ_{i≤m} C(planes, i) probe rows per
+    * query, so per-query candidate mass is ~n·M/2^planes instead of
+    * n/2^planes, still ≪ n when planes are sized to the corpus. Each
+    * table is a narrow map (signature) + broadcast join — the corpus is
+    * never shuffled; duplicate candidates (multi-table collisions) are
+    * deduped before ranking (scores are deterministic, so the dedup is
+    * exact). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int = 8,
-              numTables: Int = 1,
+              numTables: Int = 2, multiProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(numTables >= 1, s"numTables ($numTables) must be >= 1")
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    require(multiProbe >= 0 && multiProbe <= numPlanes,
+      s"multiProbe ($multiProbe) must be in [0, numPlanes]")
+    // signature + scoring via the native codegen'd expressions; float
+    // elements widen exactly, so scores and buckets match the HOF/
+    // double path bit for bit (FunctionsSpec parity)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val masks = probeMasks(numPlanes, multiProbe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<float>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<float>").as("cv"))
     val scored = (0 until numTables).map { t =>
-      val qs = q.withColumn("sig", lshSignature(col("qv"), numPlanes, t * numPlanes))
-      val cs = c.withColumn("sig", lshSignature(col("cv"), numPlanes, t * numPlanes))
+      val qs = q.withColumn("sig0",
+          call_function("lsh_sig", col("qv"), lit(numPlanes), lit(t * numPlanes)))
+        .select(col("query_id"), col("qv"),
+          explode(array(masks.map(m => col("sig0").bitwiseXOR(lit(m))): _*)).as("sig"))
+      val cs = c.withColumn("sig",
+        call_function("lsh_sig", col("cv"), lit(numPlanes), lit(t * numPlanes)))
       cs.join(broadcast(qs), Seq("sig"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          cosine(col("qv"), col("cv")).as("score"))
-    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
-    topKByScore(scored, k)
+          call_function("cosine_f32", col("qv"), col("cv")).as("score"))
+    }.reduce(_ unionByName _)
+    // duplicates only arise when a pair collides in 2+ tables: with one
+    // table each vector has exactly one signature, so the dedup (a full
+    // shuffle of all scored pairs) would be pure overhead on the
+    // default path
+    val merged = if (numTables == 1) scored
+      else scored.dropDuplicates("query_id", "neighbor_id")
+    topKByScore(merged, k)
   }
 }

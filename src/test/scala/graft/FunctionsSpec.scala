@@ -76,6 +76,35 @@ class FunctionsSpec extends SparkSpec {
            b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("lsh_sig native signature is bit-identical to the HOF reference") {
+    GraftFunctions.register(spark)
+    val df = (1L to 200L).map { i =>
+      (i, Array.tabulate(37)(j => math.sin(i * 37 + j).toFloat)) // odd dim on purpose
+    }.toDF("id", "v")
+    val out = df.select(
+      call_function("lsh_sig", $"v", lit(16), lit(5)).as("native"),
+      Similarity.lshSignature($"v".cast("array<double>"), 16, 5).as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // non-degenerate: the correlated sin-pattern vectors still spread
+    // across multiple buckets (regression guard for an all-zero sig)
+    assert(out.map(_.getLong(0)).distinct.length > 5)
+  }
+
+  test("lsh_sig null contract: null element / empty array → 0; null array → NULL") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array.empty[Float]),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("id", "v")
+    val out = df.select($"id", call_function("lsh_sig", $"v", lit(8), lit(0)).as("s"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1))
+    assert(out(1).getLong(1) === 0L)
+    assert(out(2).isNullAt(1))
+  }
+
   test("vec_avg aggregator computes element-wise centroids") {
     VectorAgg.register(spark)
     val df = Seq(

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Recall, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Recall certification for the approximate (no_oracle) entries —
+  * x29/x30/x31 run the SHIPPED x10/x25/x23 configurations against
+  * exact seeded baselines and must clear calibrated floors, so the
+  * ANN knobs can never silently regress below their demonstrated
+  * recall. Floors are set from measured values at sf0.001/sf0.01
+  * (deterministic hashes; KMeans seeded on a deterministic fit
+  * sample) with headroom for centroid ULP jitter on the IVF path.
+  */
+class RecallSpec extends SparkSpec {
+
+  private def recallOf(name: String, dir: String): (Long, Long, Long, Long) = {
+    val r = SparkEntry.queries(name)(spark, dir).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("x29: shipped LSH top-k recall clears its floor at sf0.001") {
+    val (nExact, _, nHit, permille) = recallOf("x29_recall_lsh", sf)
+    info(s"lsh recall: $nHit/$nExact = $permille permille")
+    assert(nExact === 50L) // 10 queries × k=5 — baseline is well-formed
+    // measured 460 at sf0.001 — fully deterministic (xxhash64-derived
+    // planes), so the floor sits just under the measured value
+    assert(permille >= 450L,
+      s"lshTopK(planes=8, tables=2, probe=2) recall $permille below calibrated floor")
+  }
+
+  test("x30: shipped IVF top-k recall clears its floor at sf0.001") {
+    val (nExact, _, nHit, permille) = recallOf("x30_recall_ivf", sf)
+    info(s"ivf recall: $nHit/$nExact = $permille permille")
+    assert(nExact === 50L)
+    // measured 640 at sf0.001; floor leaves headroom for KMeans
+    // centroid ULP jitter across partitioning changes
+    assert(permille >= 500L,
+      s"ivfTopK(nlist=16, nprobe=3) recall $permille below calibrated floor")
+  }
+
+  test("x31: near-dup pair recall at the shipped x23 parameters is total") {
+    val (nExact, nFound, nHit, permille) = recallOf("x31_recall_neardup", sf)
+    info(s"neardup recall: hit=$nHit found=$nFound exact=$nExact = $permille permille")
+    // planted dups are ≥ ~0.99 cosine ⇒ ≤ ~2-bit signatures flips;
+    // multiProbe=2 × 2 tables must recover every planted pair
+    assert(nExact >= 64L, "planted near-dup pairs missing from the exact baseline")
+    assert(permille === 1000L,
+      s"nearDupPairs(16 planes, 2 tables, probe 2) lost planted pairs: $permille")
+    // verification stage is exact ⇒ zero false positives by construction
+    assert(nFound === nHit)
+  }
+
+  test("multi-probe masks enumerate exactly C(n,0..m) signatures") {
+    assert(Similarity.probeMasks(16, 0) === Seq(0L))
+    assert(Similarity.probeMasks(16, 1).length === 17)
+    assert(Similarity.probeMasks(16, 2).length === 1 + 16 + 120)
+    assert(Similarity.probeMasks(16, 2).distinct.length === 137)
+    assert(Similarity.probeMasks(16, 2).forall(m =>
+      java.lang.Long.bitCount(m) <= 2 && m < (1L << 16)))
+  }
+
+  test("pairRecall: empty exact set is vacuously complete; partial hit counted") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L), (3L, 4L)).toDF("da", "db")
+    val found = Seq((1L, 2L), (9L, 9L)).toDF("da", "db")
+    val r = Recall.pairRecall(exact, found, Seq("da", "db")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 2L, 1L, 500L)))
+    val empty = Recall.pairRecall(exact.filter(lit(false)), found, Seq("da", "db")).head()
+    assert(empty.getLong(3) === 1000L)
+  }
+}

@@ -8,7 +8,7 @@ con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
-ok = fail = 0
+ok = fail = warn = 0
 for name, sql in sorted(oracle.items()):
     try:
         ddf = con.execute(sql).df()
@@ -52,10 +52,16 @@ for name, sql in sorted(oracle.items()):
                     # engine bug — surface it distinctly (the driver's
                     # strict hash WOULD flag it; if this warning ever
                     # fires, coarsen the rounding in entry + oracle).
+                    # ±1 on at most ~1% of rows: genuine ULP boundary.
+                    # A SYSTEMATIC ±1 across many rows is a rounding-mode
+                    # divergence the driver's strict hash would fail —
+                    # that must be a FAIL here too, not a warning.
                     if c == 'norm_permille' and norm_dtype(a.dtype) == 'int' \
-                            and (a[neq] - b[neq]).abs().max() <= 1:
+                            and (a[neq] - b[neq]).abs().max() <= 1 \
+                            and int(neq.sum()) <= max(1, len(a) // 100):
                         print(f'WARN {name}: col {c} differs by ±1 on '
                               f'{int(neq.sum())} row(s) — ULP rounding boundary')
+                        warn += 1
                         continue
                     print(f'FAIL {name}: col {c} first diffs:\n', pd.DataFrame({"duck": a[neq].head(3), "spark": b[neq].head(3)}))
                     mismatch = True; break
@@ -72,4 +78,5 @@ for name in sorted(os.listdir(outdir)):
         files = glob.glob(f'{outdir}/{name}/*.parquet')
         n = sum(pq.ParquetFile(f).metadata.num_rows for f in files) if files else -1
         print(f'ROWS {name}: {n}')
-print(f'\n{ok} ok, {fail} fail')
+print(f'\n{ok} ok, {fail} fail, {warn} warn '
+      '(warn = passed with a bounded ULP tolerance the driver hash would not grant)')
