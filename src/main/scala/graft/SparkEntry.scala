@@ -95,6 +95,8 @@ object SparkEntry {
     "x16_full_join"       -> (Relational.fullJoin _),
     "x17_theta_join"      -> (Relational.thetaJoin _),
     "x18_asof_join"       -> (Relational.asofJoin _),
+    "x32_asof_forward"    -> (Relational.asofForward _),
+    "x33_asof_nearest"    -> (Relational.asofNearest _),
     "x26_percentile"      -> (Relational.percentiles _),
     "x28_variant"         -> (Relational.variantExtract _),
     "x27_pivot"           -> (Relational.pivotCounts _),
@@ -376,6 +378,35 @@ object SparkEntry {
            FROM pairs)
          SELECT o_orderkey, event_id FROM r WHERE rn = 1
          ORDER BY o_orderkey, event_id""",
+    // x32/x33: forward and nearest as-of twins of x18 — same tables,
+    // same ns-exact comparison, tie rules spelled out in the ORDER BY
+    "x32_asof_forward" ->
+      """WITH pairs AS (
+           SELECT o.o_orderkey, e.event_id, e.ts
+           FROM orders o LEFT JOIN events e
+             ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+         r AS (
+           SELECT o_orderkey, event_id,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey
+               ORDER BY ts ASC NULLS LAST, event_id DESC NULLS LAST) AS rn
+           FROM pairs)
+         SELECT o_orderkey, event_id FROM r WHERE rn = 1
+         ORDER BY o_orderkey, event_id""",
+    "x33_asof_nearest" ->
+      """WITH pairs AS (
+           SELECT o.o_orderkey, e.event_id,
+             epoch_ns(e.ts) AS tn,
+             epoch_ns(CAST(o.o_orderdate AS TIMESTAMP)) AS od
+           FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey),
+         r AS (
+           SELECT o_orderkey, event_id,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey
+               ORDER BY ABS(tn - od) ASC NULLS LAST,
+                 (CASE WHEN tn <= od THEN 0 ELSE 1 END) ASC,
+                 event_id DESC NULLS LAST) AS rn
+           FROM pairs)
+         SELECT o_orderkey, event_id FROM r WHERE rn = 1
+         ORDER BY o_orderkey, event_id""",
     // x12: the per-token value is md5-derived (first 8 hex digits),
     // bit-identical in both engines; the polynomial fold is the same
     // mod-2³¹−1 recurrence (DuckDB list_reduce ≡ Spark aggregate).
@@ -419,7 +450,9 @@ object SparkEntry {
 
   /** Full cross-engine replication of [[graft.operators.Dedup.minHashLsh]]
     * with the x07 parameters (shingleK=2, 16 hashes, 4 rows/band,
-    * minPermille=300). Every hash is md5-derived, so signatures, band
+    * minPermille=300). Every hash is md5-derived — shingle keys are the
+    * rolling polynomial of per-token 60-bit md5 prefixes mod 2³¹−1,
+    * exactly [[graft.functions.ShingleHashes]] — so signatures, band
     * buckets, candidates and verified Jaccard all agree bit for bit. */
   private def minHashLshOracle: String = {
     val (numHashes, rowsPerBand, shingleK, minPermille) = (16, 4, 2, 300)
@@ -434,11 +467,15 @@ object SparkEntry {
         .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 1000003 + h$i) % $P")
       s"SELECT doc_id, $b AS band, $bucket AS bucket FROM mins"
     }.mkString(" UNION ALL ")
+    // ShingleHashes replay: tokh = first 60 md5 bits mod P;
+    // shingle = fold_j (acc·1000003 + tokh_{i+j}) mod P, acc₀ = 0
+    val shingleExpr = (0 until shingleK)
+      .foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+        s"(($acc) * 1000003 + (CAST('0x' || substr(md5(ts[i+$j]), 1, 15) AS BIGINT) % $P)) % $P")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        le AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= $shingleK),
        pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - $shingleK + 2)) AS i FROM le),
-       sh0 AS (SELECT doc_id, array_to_string(ts[i:i+$shingleK-1], chr(1)) AS s FROM pos),
-       sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS sh FROM sh0),
+       sh AS (SELECT DISTINCT doc_id, $shingleExpr AS sh FROM pos),
        mins AS (SELECT doc_id, $minsCols FROM sh GROUP BY doc_id),
        banded AS ($bandSelects),
        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db

@@ -260,6 +260,195 @@ case class LshSignature(child: Expression, numPlanes: Int, planeOffset: Int)
     copy(child = newChild)
 }
 
+/** Native codegen'd minhash signature bank — the signature hot path of
+  * [[graft.operators.Dedup.minHashLsh]].
+  *
+  * Input: the per-document array of (md5-derived, non-negative 60-bit)
+  * shingle hashes. Output: `numHashes` minhashes
+  * min_e (A_i · (e mod P) + B_i) mod P over the affine family
+  * [[graft.operators.Dedup.affineA]]/[[affineB]] with P = 2³¹−1 —
+  * EXACTLY the arithmetic the DuckDB oracle replays, so signatures
+  * stay bit-identical cross-engine.
+  *
+  * One compiled pass over the array with `numHashes` running minima:
+  * the HOF spelling (`array_min(transform(...))` × numHashes) walks
+  * the array numHashes times through the lambda interpreter, and the
+  * exploded-groupBy spelling pays a full (doc, shingle) shuffle just
+  * to re-aggregate what the row already holds. Empty array → NULL
+  * (no shingles ⇒ no signature); a null element → NULL. */
+case class MinHashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes >= 1, s"numHashes ($numHashes) must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+  override def nullable: Boolean = true
+
+  private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(graft.operators.Dedup.affineA)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(graft.operators.Dedup.affineB)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val m = v.getLong(i) % graft.operators.Dedup.P31
+      var h = 0
+      while (h < numHashes) {
+        val x = (as(h) * m + bs(h)) % graft.operators.Dedup.P31
+        if (x < mins(h)) mins(h) = x
+        h += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val aRef = ctx.addReferenceObj("affineA", as, "long[]")
+      val bRef = ctx.addReferenceObj("affineB", bs, "long[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      val x = ctx.freshName("x")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $m = $v.getLong($i) % 2147483647L;
+         |    for (int $h = 0; $h < $numHashes; $h++) {
+         |      long $x = ($aRef[$h] * $m + $bRef[$h]) % 2147483647L;
+         |      if ($x < $mins[$h]) $mins[$h] = $x;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen'd k-shingle hash set — the document-side hot path of
+  * [[graft.operators.Dedup.minHashLsh]].
+  *
+  * Input: the token array of one document. Output: the DISTINCT
+  * (insertion-ordered) hashes of its word k-shingles, where each token
+  * hashes to the first 60 bits of its md5 and a shingle is the rolling
+  * polynomial of its tokens' hashes mod P = 2³¹−1:
+  * acc_0 = 0, acc_j = (acc_{j−1}·1000003 + tokh_j mod P) mod P.
+  * Every ingredient (md5, substr-equivalent bit slice, integer
+  * arithmetic) is replayed verbatim by the DuckDB oracle, so the whole
+  * minhash pipeline stays bit-identical cross-engine.
+  *
+  * One compiled pass per document: md5 per TOKEN (not per shingle — a
+  * k-gram's joined string never materializes) and integer ops per
+  * window, vs the HOF spelling's per-position lambda interpretation of
+  * slice + concat_ws + md5 + hex-parse. 2³¹ shingle space only ever
+  * feeds per-doc set ops (minhash, intersect), where the oracle replays
+  * the same collisions, so narrower-than-60-bit keys cost nothing.
+  *
+  * Fewer than k tokens → empty array (no k-shingle exists); null
+  * token or null array → NULL. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"k ($k) must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullable: Boolean = true
+
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes) as a non-negative long — equals
+    * parsing the first 15 hex digits (the md5i60 contract). */
+  private def md5i60(bytes: Array[Byte]): Long = {
+    val d = md5.get().digest(bytes)
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  /** Shared by eval and codegen; null ⇔ a null token was present. */
+  def compute(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (input.isNullAt(i)) return null
+      th(i) = md5i60(input.getUTF8String(i).getBytes) % graft.operators.Dedup.P31
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= n - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        acc = (acc * 1000003L + th(i + j)) % graft.operators.Dedup.P31
+        j += 1
+      }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      // the loop body lives in compiled Scala (compute); codegen just
+      // dispatches, keeping the surrounding stage in whole-stage codegen
+      val self = ctx.addReferenceObj("shingler", this, classOf[ShingleHashes].getName)
+      s"""
+         |${ev.value} = $self.compute($v);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Function registration, two ways:
   *  - session extension: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
   *  - programmatic: `GraftFunctions.register(spark)`
@@ -292,6 +481,26 @@ object GraftFunctions {
             s"lsh_sig $what must be an integer literal, got $other")
         }
         LshSignature(args(0), intLit(args(1), "numPlanes"), intLit(args(2), "planeOffset"))
+      }),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => {
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs numHashes must be an integer literal, got $other")
+        }
+        MinHashSigs(args(0), n)
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes k must be an integer literal, got $other")
+        }
+        ShingleHashes(args(0), k)
       }))
 
   /** Idempotent programmatic registration on an existing session. */

@@ -3,49 +3,44 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 
-/** Backward as-of join: for each left row, attach the most recent right
-  * row (same key) whose time is ≤ the left row's time.
+/** As-of joins: for each left row, attach one right row (same key)
+  * chosen by temporal proximity —
+  *  - [[backward]]: the most recent right row with time ≤ left time,
+  *  - [[forward]]:  the earliest right row with time ≥ left time,
+  *  - [[nearest]]:  whichever of the two is closer (ties → backward).
   *
   * Implementation is the union-sort-window trick, the scalable shape
   * for temporal alignment:
   *   1. tag both sides, union on (key, time, tag, payload-struct),
   *   2. ONE hash shuffle on the key, sort within partition by
-  *      (time, tag, tiebreak) — right rows sort before left rows at
-  *      equal time so equality means "≤",
-  *   3. `last(payload_struct, ignoreNulls)` over an unbounded-preceding
-  *      window carries the latest right row forward (one struct, so all
+  *      (time, tag, tiebreak) — sides ordered so that equal times fall
+  *      inside the matching frame,
+  *   3. a frame-bounded window aggregate (`last`/`first`/`max_by`/
+  *      `min_by` with ignored-null left rows) carries the chosen right
+  *      row's payload struct to each left row (one struct, so all
   *      payload columns come from the SAME right row),
   *   4. keep the left rows, expand the struct.
   *
   * Cost: one shuffle + one sort, O(n log n) per key group — no
   * range-join explosion, no per-row binary search; skew is handled by
-  * AQE like any other keyed shuffle. A naive
+  * AQE like any other keyed shuffle. [[nearest]] computes BOTH
+  * direction champions in the same single sorted pass (two frames over
+  * one window ordering) and picks per row — still one shuffle. A naive
   * `l JOIN r ON key AND r.t <= l.t` + max() is quadratic in dense keys
   * and collapses at 100 TB; this shape does not.
   */
 object AsOfJoin {
 
-  /** @param left       left (probe) side
-    * @param right      right (reference) side
-    * @param key        equi key column name present on both sides
-    * @param leftTime   event-time column on the left
-    * @param rightTime  event-time column on the right — MUST have the
-    *                   same type as leftTime (no implicit coercion)
-    * @param rightCols  right payload columns to attach (all null when
-    *                   no right row is at or before the left time)
-    * @param tieBreak   right-side tiebreak column for identical times —
-    *                   highest wins (mirrors "latest write wins")
-    */
-  def backward(left: DataFrame, right: DataFrame, key: String,
-               leftTime: String, rightTime: String,
-               rightCols: Seq[String], tieBreak: Option[String] = None): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val reserved = Seq("__t", "__side", "__tb", "__payload", "__m")
-    require(!(left.columns ++ right.columns).exists(reserved.contains),
-      s"input columns may not use the reserved names ${reserved.mkString(", ")}")
+  private val Reserved =
+    Seq("__t", "__tn", "__side", "__tb", "__payload", "__m", "__bw", "__fw")
+
+  private def validate(left: DataFrame, right: DataFrame,
+                       tieBreak: Option[String]): Unit = {
+    require(!(left.columns ++ right.columns).exists(Reserved.contains),
+      s"input columns may not use the reserved names ${Reserved.mkString(", ")}")
     tieBreak.foreach { tb =>
-      import org.apache.spark.sql.types._
       val dt = right.schema(tb).dataType
       val exactLong = dt match {
         case ByteType | ShortType | IntegerType | LongType => true
@@ -60,6 +55,52 @@ object AsOfJoin {
           "collapses distinct tiebreaks (2.9 and 2.1 both become 2), making " +
           "highest-wins nondeterministic among the collapsed ties")
     }
+  }
+
+  /** Time as an exactly-ordered numeric for distance math: temporal
+    * types to epoch micros, integral types kept as long (a double would
+    * round ns-scale epochs above 2^53), fractional types to double. */
+  private def timeAsNum(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp"))
+    case DateType => unix_micros(c.cast("timestamp"))
+    case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+    case _: NumericType => c.cast("double")
+    case other => throw new IllegalArgumentException(
+      s"as-of time column must be temporal or numeric, got $other")
+  }
+
+  /** @param left       left (probe) side
+    * @param right      right (reference) side
+    * @param key        equi key column name present on both sides
+    * @param leftTime   event-time column on the left
+    * @param rightTime  event-time column on the right — MUST have the
+    *                   same type as leftTime (no implicit coercion)
+    * @param rightCols  right payload columns to attach (all null when
+    *                   no right row qualifies)
+    * @param tieBreak   right-side tiebreak column for identical times —
+    *                   highest wins (mirrors "latest write wins")
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String], tieBreak: Option[String] = None): DataFrame =
+    directional(left, right, key, leftTime, rightTime, rightCols, tieBreak,
+      isBackward = true)
+
+  /** Forward as-of: earliest right row with time ≥ the left time —
+    * the exact time-mirror of [[backward]], including the tie rule
+    * (identical right times resolved by highest tieBreak). */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              rightCols: Seq[String], tieBreak: Option[String] = None): DataFrame =
+    directional(left, right, key, leftTime, rightTime, rightCols, tieBreak,
+      isBackward = false)
+
+  private def directional(left: DataFrame, right: DataFrame, key: String,
+                          leftTime: String, rightTime: String,
+                          rightCols: Seq[String], tieBreak: Option[String],
+                          isBackward: Boolean): DataFrame = {
+    validate(left, right, tieBreak)
+    val leftCols = left.columns.toSeq
     val payload = struct(rightCols.map(col): _*)
 
     // equi-join semantics: NULL keys never match (partitionBy would
@@ -69,12 +110,101 @@ object AsOfJoin {
       (left.filter(col(key).isNotNull), left.filter(col(key).isNull))
     val rightKeyed = right.filter(col(key).isNotNull)
 
+    // side tags order equal times INTO the frame: backward's frame ends
+    // at the left row, so right sorts first (≤ includes equality);
+    // forward's frame starts at the left row, so left sorts first
+    val (leftSide, rightSide) = if (isBackward) (1, 0) else (0, 1)
+
     val l = leftKeyed
       .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1)) // left sorts after right at equal t
-      .withColumn("__tb", lit(Long.MaxValue))
+      .withColumn("__side", lit(leftSide))
+      .withColumn("__tb", lit(if (isBackward) Long.MaxValue else Long.MinValue))
       .withColumn("__payload",
         lit(null).cast(right.select(payload.as("p")).schema("p").dataType))
+
+    val r = rightKeyed
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(rightSide))
+      .withColumn("__tb", tieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)))
+      .withColumn("__payload", payload)
+      .select(Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__payload")) ++
+        leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    // backward: latest right at-or-before → last() over the preceding
+    // frame, __tb ascending so the highest tiebreak is last at equal t.
+    // forward: earliest right at-or-after → first() over the following
+    // frame, __tb DESCENDING so the highest tiebreak is first at equal t.
+    val (w, matchExpr) =
+      if (isBackward) (
+        Window.partitionBy(col(key))
+          .orderBy(col("__t"), col("__side"), col("__tb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        (c: Column) => last(c, ignoreNulls = true))
+      else (
+        Window.partitionBy(col(key))
+          .orderBy(col("__t"), col("__side"), col("__tb").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        (c: Column) => first(c, ignoreNulls = true))
+
+    val unioned = l.select(
+      Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__payload")) ++
+        leftCols.filterNot(_ == key).map(col): _*)
+      .unionByName(r)
+
+    val matched = unioned
+      .withColumn("__m", matchExpr(col("__payload")).over(w))
+      .filter(col("__side") === leftSide)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__m.$c").as(c)): _*)
+    matched.unionByName(
+      leftNullKey.select(leftCols.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
+  }
+
+  /** Nearest as-of: the right row minimizing |right time − left time|;
+    * equal distances prefer the backward (at-or-before) match, and
+    * identical right times within a side resolve by highest tieBreak —
+    * consistent with [[backward]]/[[forward]].
+    *
+    * ONE shuffle + ONE sort for both directions: the union is sorted
+    * once (right before left at equal t) and two frame-bounded window
+    * aggregates pick each direction's champion —
+    * `max_by(payload, (t, tb))` over the preceding frame (latest ≤,
+    * highest tb) and `min_by(payload, (t, −1−tb))` over the following
+    * frame (earliest >, highest tb; the −1−x bit-flip avoids the
+    * Long.MinValue negation overflow). Left rows carry a NULL ordering
+    * struct, which both aggregates skip. The following frame excludes
+    * equal-time right rows (they sort before the left row), but those
+    * are distance 0 on the backward side, which wins ties anyway —
+    * semantics are unaffected.
+    *
+    * Distance math runs on exact numerics (epoch micros for temporal
+    * types, long for integral) — see [[timeAsNum]]. */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              rightCols: Seq[String], tieBreak: Option[String] = None): DataFrame = {
+    validate(left, right, tieBreak)
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"leftTime/rightTime types must match, got " +
+        s"${left.schema(leftTime).dataType} vs ${right.schema(rightTime).dataType}")
+    val leftCols = left.columns.toSeq
+    val timeType = right.schema(rightTime).dataType
+    // payload carries the right time's numeric so the driver row can
+    // compare distances after the window pass
+    val payload = struct(
+      rightCols.map(col) :+ timeAsNum(col(rightTime), timeType).as("__tn"): _*)
+
+    val (leftKeyed, leftNullKey) =
+      (left.filter(col(key).isNotNull), left.filter(col(key).isNull))
+    val rightKeyed = right.filter(col(key).isNotNull)
+
+    val l = leftKeyed
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(Long.MaxValue))
+      .withColumn("__payload",
+        lit(null).cast(rightKeyed.select(payload.as("p")).schema("p").dataType))
 
     val r = rightKeyed
       .withColumn("__t", col(rightTime))
@@ -85,21 +215,34 @@ object AsOfJoin {
         leftCols.filterNot(_ == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy(col(key))
+    val order = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // ordering structs are NULL on left rows — max_by/min_by skip them
+    val bwOrd = when(col("__side") === 0,
+      struct(col("__payload.__tn"), col("__tb"))).otherwise(lit(null))
+    val fwOrd = when(col("__side") === 0,
+      struct(col("__payload.__tn"), lit(-1L) - col("__tb"))).otherwise(lit(null))
 
     val unioned = l.select(
       Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__payload")) ++
         leftCols.filterNot(_ == key).map(col): _*)
       .unionByName(r)
 
-    val matched = unioned
-      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
+    val lnum = timeAsNum(col("__t"), timeType)
+    val chosen = unioned
+      .withColumn("__bw", max_by(col("__payload"), bwOrd).over(wPrev))
+      .withColumn("__fw", min_by(col("__payload"), fwOrd).over(wNext))
       .filter(col("__side") === 1)
+      .withColumn("__m",
+        when(col("__fw").isNull, col("__bw"))
+          .when(col("__bw").isNull, col("__fw"))
+          .when(lnum - col("__bw.__tn") <= col("__fw.__tn") - lnum, col("__bw"))
+          .otherwise(col("__fw")))
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__m.$c").as(c)): _*)
-    matched.unionByName(
+    chosen.unionByName(
       leftNullKey.select(leftCols.map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
   }

@@ -74,22 +74,26 @@ object Dedup {
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
 
-  /** Word k-shingles per doc (distinct). Shingles are hashed to 60-bit
-    * ints immediately — downstream joins/groups never carry
-    * the strings. md5-keyed (like [[simHashSignatures]]) so the whole
-    * minhash pipeline is reproducible in any engine. */
-  private def shingles(docs: DataFrame, k: Int): DataFrame =
+  /** Distinct word k-shingles per doc as a COMPACT ARRAY column,
+    * hashed by the native [[graft.functions.ShingleHashes]] expression
+    * (md5 per token + rolling polynomial per window, one compiled pass)
+    * — downstream joins/groups never carry the strings, and every
+    * arithmetic step is replayed verbatim by the DuckDB oracle.
+    *
+    * The array form is the scale shape: shingle sets, sizes AND minhash
+    * signatures all derive ROW-LOCALLY (`size`, [[graft.functions
+    * .MinHashSigs]]), so signature construction costs zero shuffles —
+    * the exploded row-per-shingle form needed a distinct + a 16-agg
+    * groupBy, two full shuffles of |docs|·|shingles| rows that only
+    * re-assembled what the source row already had. */
+  private def shingleArrays(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      // docs shorter than k tokens have no k-shingle; without the guard
-      // sequence(0, size-k) goes DESCENDING into negative indices and
-      // slice() throws at runtime
+      // docs shorter than k tokens have no k-shingle (the expression
+      // would yield an empty array; filtering keeps the doc set
+      // identical to the exploded form's)
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(col("toks")) - k),
-          i => md5i60(concat_ws("\u0001",
-            slice(col("toks"), i + lit(1), lit(k)))))).as("sh"))
-      .distinct()
+        call_function("shingle_hashes", col("toks"), lit(k)).as("shs"))
 
   /** Exact pairwise token-Jaccard (permille) over an inverted-index
     * self-join. O(pairs-sharing-a-token) — intended for bounded
@@ -132,28 +136,29 @@ object Dedup {
       numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand " +
         s"($rowsPerBand) — otherwise bands are empty or hashes are discarded")
-    // the shingle table feeds signatures, sizes AND the verification
-    // join — materialize it once instead of recomputing the
-    // scan+shingle+distinct pipeline four times. (At scale this is the
+    // the compact shingle-array table feeds signatures, sizes AND the
+    // verification join — materialize it once instead of recomputing
+    // the scan+shingle pipeline three times. (At scale this is the
     // standard design anyway: persist the signature/shingle tables,
     // they are reused across dedup runs.) Callers running many dedup
     // passes in one long-lived session call [[releaseCaches]] between
     // corpora so disk-spilled blocks don't outlive their query.
     // seeded minhash via a UNIVERSAL HASH FAMILY over the (already
     // md5-derived, uniform) shingle int: h_i = (a_i·h + b_i) mod 2³¹−1.
-    // One md5 per shingle total; each family member costs two integer
-    // ops instead of an md5+hex-parse — ~40% off the x07 wall time at
-    // sf0.1 — and the arithmetic is trivially portable, so the DuckDB
-    // oracle replays it exactly. All intermediates < 2^62 (ANSI-safe).
-    val sh = registerCache(shingles(docs, shingleK))
-    def seeded(i: Int): Column =
-      pmod(lit(affineA(i)) * pmod(col("sh"), lit(P31)) + lit(affineB(i)), lit(P31))
-    // ONE groupBy produces the signature AND the shingle-set size: the
-    // verification stage needs |set| per doc, and folding it in here
-    // removes a second full aggregation pass over the shingle table.
-    val mins = sh.groupBy("doc_id").agg(
-      count(lit(1)).as("sz"),
-      (0 until numHashes).map(i => min(seeded(i)).as(s"h$i")): _*)
+    // One md5 per TOKEN total (ShingleHashes); each family member costs
+    // two integer ops instead of an md5+hex-parse, and the arithmetic
+    // is trivially portable, so the DuckDB oracle replays it exactly.
+    // All intermediates < 2^62 (ANSI-safe).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = registerCache(shingleArrays(docs, shingleK))
+    // signature + size are ROW-LOCAL over the array — zero shuffles
+    // where the exploded form paid a distinct and a 16-agg groupBy over
+    // every (doc, shingle) row — and the whole signature bank is ONE
+    // compiled pass over the array (native MinHashSigs expression; the
+    // HOF spelling re-walks the array through the lambda interpreter
+    // once per hash).
+    val mins = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
+      call_function("minhash_sigs", col("shs"), lit(numHashes)).as("hs"))
     val numBands = numHashes / rowsPerBand
     // band bucket: rolling polynomial combine of the band's minhashes.
     // 2³¹−1 bucket space is ample here; collisions only ADD candidates
@@ -162,7 +167,7 @@ object Dedup {
     val bandCols = (0 until numBands).map { bnd =>
       struct(lit(bnd).as("band"),
         (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-          .map(i => col(s"h$i"))
+          .map(i => element_at(col("hs"), i + 1))
           .foldLeft(lit(0L): Column)((acc, h) =>
             pmod(acc * lit(1000003L) + h, lit(P31))).as("bucket"))
     }
@@ -179,18 +184,18 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select("da", "db", "sa", "sb").distinct()
 
-    // exact shingle-Jaccard verification, candidates only
-    val pairSh = cand
-      .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-      .groupBy("da", "db", "sa", "sb").agg(count(lit(1)).as("common"))
-    // minPermille > 0 ⟹ zero-overlap candidates can never qualify, so
-    // the inner-join shape is exact; only the permille-0 "keep every
-    // candidate" contract needs them retained via the left join.
-    val scored =
-      if (minPermille > 0) pairSh
-      else cand.join(pairSh, Seq("da", "db", "sa", "sb"), "left")
-        .na.fill(0L, Seq("common"))
+    // exact shingle-Jaccard verification, candidates only: fetch both
+    // docs' compact arrays and set-intersect ROW-LOCALLY. The exploded
+    // form shuffled the full (doc, shingle) table twice and re-grouped;
+    // this shuffles array payloads for CANDIDATE docs only — bytes
+    // bounded by the S-curve's candidate mass, not the corpus. Zero-
+    // overlap candidates keep their row (common = 0), so the
+    // permille-0 "keep every candidate" contract needs no special case.
+    val scored = cand
+      .join(sh.select(col("doc_id").as("da"), col("shs").as("sha")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("shs").as("shb")), Seq("db"))
+      .select(col("da"), col("db"), col("sa"), col("sb"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("common"))
     scored
       .select(col("da"), col("db"),
         expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))

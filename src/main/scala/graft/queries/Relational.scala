@@ -348,4 +348,37 @@ object Relational {
       .select("o_orderkey", "event_id")
       .orderBy(col("o_orderkey"), col("event_id"))
   }
+
+  private def asofInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = (
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey").as("k"),
+      // NTZ → LTZ cast is identity under the pinned UTC session TZ
+      (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t")),
+    Tables.events(s, d).select(
+      col("user_id").as("k"), col("ts_ns").as("t"), col("event_id")))
+
+  /** Forward as-of: each order picks the EARLIEST event of the
+    * matching user at or after the order date (tie → highest
+    * event_id, mirroring [[asofJoin]]). */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofInputs(s, d)
+    graft.operators.AsOfJoin.forward(
+      left, right, key = "k", leftTime = "t", rightTime = "t",
+      rightCols = Seq("event_id"), tieBreak = Some("event_id"))
+      .select("o_orderkey", "event_id")
+      .orderBy(col("o_orderkey"), col("event_id"))
+  }
+
+  /** Nearest as-of: each order picks the event minimizing |ts − order
+    * date| (equal distance → the at-or-before event; equal times →
+    * highest event_id). Both direction champions come from one
+    * shuffle + sort — see [[graft.operators.AsOfJoin.nearest]]. */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofInputs(s, d)
+    graft.operators.AsOfJoin.nearest(
+      left, right, key = "k", leftTime = "t", rightTime = "t",
+      rightCols = Seq("event_id"), tieBreak = Some("event_id"))
+      .select("o_orderkey", "event_id")
+      .orderBy(col("o_orderkey"), col("event_id"))
+  }
 }

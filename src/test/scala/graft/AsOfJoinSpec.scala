@@ -68,6 +68,83 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Map("keyed" -> Some(10L), "nullkey" -> None))
   }
 
+  test("forward as-of picks earliest right row at or after left time") {
+    val left = Seq(
+      (1L, 100L, "a"),  // matches t=100 (equality counts)
+      (1L, 150L, "b"),  // matches t=200
+      (1L, 250L, "c"),  // nothing after → null
+      (2L, 50L, "d"),   // matches t=60
+      (3L, 500L, "e")   // key with no right rows at all → null
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, 10L),
+      (1L, 200L, 20L),
+      (2L, 60L, 30L)
+    ).toDF("k", "t", "rid")
+    val out = AsOfJoin.forward(left, right, "k", "t", "t", Seq("rid"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("rid")).map(_.asInstanceOf[Long])).toMap
+    assert(out === Map(
+      "a" -> Some(10L), "b" -> Some(20L), "c" -> None,
+      "d" -> Some(30L), "e" -> None))
+  }
+
+  test("forward tie at identical times: highest tiebreak wins (mirror of backward)") {
+    val left = Seq((1L, 100L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 101L, 5L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.forward(left, right, "k", "t", "t",
+      Seq("rid"), tieBreak = Some("rid")).collect()
+    assert(out.head.getAs[Long]("rid") === 9L)
+  }
+
+  test("nearest as-of picks least |Δt|; equal distance prefers backward") {
+    val left = Seq(
+      (1L, 100L, "exact"),   // right at 100 → distance 0
+      (1L, 149L, "back"),    // 100 (Δ49) vs 200 (Δ51) → 100
+      (1L, 151L, "fwd"),     // 100 (Δ51) vs 200 (Δ49) → 200
+      (1L, 150L, "tie"),     // Δ50 both ways → backward (100)
+      (1L, 999L, "tail"),    // only backward exists
+      (2L, 10L, "head"),     // only forward exists
+      (3L, 5L, "none")       // no right rows → null
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, 10L),
+      (1L, 200L, 20L),
+      (2L, 60L, 30L)
+    ).toDF("k", "t", "rid")
+    val out = AsOfJoin.nearest(left, right, "k", "t", "t", Seq("rid"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("rid")).map(_.asInstanceOf[Long])).toMap
+    assert(out === Map(
+      "exact" -> Some(10L), "back" -> Some(10L), "fwd" -> Some(20L),
+      "tie" -> Some(10L), "tail" -> Some(20L), "head" -> Some(30L),
+      "none" -> None))
+  }
+
+  test("nearest tiebreak: identical right times resolve by highest tieBreak both sides") {
+    val left = Seq((1L, 100L, "bw"), (2L, 100L, "fw")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 90L, 7L), (1L, 90L, 9L),     // backward side tie at t=90
+      (2L, 110L, 3L), (2L, 110L, 8L)    // forward side tie at t=110
+    ).toDF("k", "t", "rid")
+    val out = AsOfJoin.nearest(left, right, "k", "t", "t",
+      Seq("rid"), tieBreak = Some("rid"))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Long]("rid")).toMap
+    assert(out === Map("bw" -> 9L, "fw" -> 8L))
+  }
+
+  test("nearest on timestamp times uses exact epoch distance") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 00:00:10"), "x")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:07"), 1L),   // Δ3s
+      (1L, ts("2024-01-01 00:00:12"), 2L))   // Δ2s → wins
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.nearest(left, right, "k", "t", "t", Seq("rid")).head()
+    assert(out.getAs[Long]("rid") === 2L)
+  }
+
   test("plan shape: one exchange, no cartesian/range explosion") {
     val left = (1L to 1000L).map(i => (i % 10, i)).toDF("k", "t")
     val right = (1L to 1000L).map(i => (i % 10, i, i * 2)).toDF("k", "t", "rid")

@@ -120,6 +120,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("paged source restart from checkpoint: offset replay, no dups, no gaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-ckpt").toFile
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val sink = new java.io.File(dir, "sink").getAbsolutePath
+    val pages = new java.io.File(dir, "pages"); pages.mkdirs()
+    def writePage(n: Int, items: String): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(pages, s"page-$n.json").toPath, s"""{"results": [$items]}""")
+    def startQuery() = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("path", pages.getAbsolutePath).load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    writePage(0, """{"id": 1}, {"id": 2}""")
+    writePage(1, """{"id": 3}""")
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(sink).count() === 3L)
+
+    // pages appear while the query is DOWN; restart must resume from
+    // the committed page offset — replaying nothing, skipping nothing
+    writePage(2, """{"id": 4}, {"id": 5}""")
+    writePage(3, """{"id": 6}""")
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val rows = spark.read.parquet(sink)
+      .select(get_json_object(col("raw_json"), "$.id").cast("long").as("id"), col("page"))
+      .collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 6L))           // no dup, no gap
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ===
+      Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2), (5L, 2), (6L, 3)))         // provenance intact
+  }
+
   test("flatMapGroupsWithState sessionize emits closed sessions, keeps open state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.UserStamped]
