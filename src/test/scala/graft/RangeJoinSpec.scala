@@ -37,6 +37,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.toSet === Set((1L, 100L), (2L, 100L), (3L, 100L), (2L, 200L)))
   }
 
+  test("property: banded equals theta for random intervals at every bin width") {
+    val rnd = new scala.util.Random(4242)
+    val points = (1L to 400L).map(i => (i, rnd.between(-50L, 150L))).toDF("id", "v")
+    val intervals = (1L to 60L).map { i =>
+      val lo = rnd.between(-60L, 140L)
+      (i, lo, lo + rnd.between(0L, 40L))
+    }.toDF("rid", "lo", "hi")
+    val expected = points.join(intervals,
+      col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1, 3, 7, 16, 64, 1000)) {
+      val got = RangeJoin.banded(points, intervals, "v", "lo", "hi", binWidth = w)
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.distinct.length, s"dup pairs at binWidth=$w")
+      assert(got.toSet === expected, s"mismatch at binWidth=$w")
+    }
+  }
+
   test("negative values bin correctly (floor toward -inf)") {
     val left = Seq((1L, -7L), (2L, -1L)).toDF("id", "v")
     val right = Seq((9L, -8L, -2L)).toDF("rid", "lo", "hi")
