@@ -372,6 +372,23 @@ case class MinHashSigs(child: Expression, numHashes: Int)
   *
   * Fewer than k tokens → empty array (no k-shingle exists); null
   * token or null array → NULL. */
+/** Shared md5-prefix hashing for the native text expressions: first
+  * 60 bits of md5 as a non-negative long ≡ parsing the first 15 hex
+  * digits (the md5i60 contract the DuckDB oracles replay). */
+private[functions] object Md5Prefix {
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def i60(bytes: Array[Byte]): Long = {
+    val d = md5.get().digest(bytes)
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+}
+
 case class ShingleHashes(child: Expression, k: Int)
     extends UnaryExpression {
 
@@ -387,20 +404,6 @@ case class ShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "shingle_hashes"
   override def nullable: Boolean = true
 
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  /** First 60 bits of md5(bytes) as a non-negative long — equals
-    * parsing the first 15 hex digits (the md5i60 contract). */
-  private def md5i60(bytes: Array[Byte]): Long = {
-    val d = md5.get().digest(bytes)
-    var v = 0L
-    var j = 0
-    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-    (v << 4) | ((d(7) >> 4) & 0xfL)
-  }
-
   /** Shared by eval and codegen; null ⇔ a null token was present. */
   def compute(input: ArrayData): ArrayData = {
     val n = input.numElements()
@@ -409,7 +412,7 @@ case class ShingleHashes(child: Expression, k: Int)
     var i = 0
     while (i < n) {
       if (input.isNullAt(i)) return null
-      th(i) = md5i60(input.getUTF8String(i).getBytes) % graft.operators.Dedup.P31
+      th(i) = Md5Prefix.i60(input.getUTF8String(i).getBytes) % graft.operators.Dedup.P31
       i += 1
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -442,6 +445,69 @@ case class ShingleHashes(child: Expression, k: Int)
       s"""
          |${ev.value} = $self.compute($v);
          |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen'd 60-bit SimHash signature — the signature hot path
+  * of [[graft.operators.Dedup.simHashSignatures]].
+  *
+  * Input: a document's token array (duplicates count — each occurrence
+  * votes). Each token hashes to the first 60 bits of its md5; bit b of
+  * the signature is set iff the b-set tokens are a strict majority
+  * (2·S_b > n) — EXACTLY the arithmetic of the exploded 61-agg groupBy
+  * spelling and of the DuckDB oracle's brute-force replay, so
+  * signatures are bit-identical cross-engine.
+  *
+  * One compiled pass per document with 60 running counters, zero
+  * shuffles — the groupBy spelling pays a full (doc, token-hash)
+  * shuffle (map-side-combined to 61 longs, but still a shuffle per
+  * doc) just to tally what the row already holds. Empty array →
+  * signature 0 (no majorities); null token or null array → NULL. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+  override def nullable: Boolean = true
+
+  /** Shared by eval and codegen; null ⇔ a null token was present. */
+  def compute(input: ArrayData): Any = {
+    val n = input.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (input.isNullAt(i)) return null
+      val h = Md5Prefix.i60(input.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 60) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (2 * counts(b) > n) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("simhasher", this, classOf[SimHash60].getName)
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = $self.compute($v);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $boxed).longValue(); }
        """.stripMargin
     })
 
@@ -501,7 +567,10 @@ object GraftFunctions {
             s"shingle_hashes k must be an integer literal, got $other")
         }
         ShingleHashes(args(0), k)
-      }))
+      }),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => SimHash60(args(0))))
 
   /** Idempotent programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit = {

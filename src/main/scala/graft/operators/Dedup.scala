@@ -210,10 +210,6 @@ object Dedup {
     * a drop-in for raw speed, at the cost of that verifiability.) */
   val SimHashBits = 60
 
-  /** Portable 60-bit token hash: first 15 hex digits of md5. */
-  private def md5i60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Mersenne prime 2³¹−1: the modular field for the affine minhash
     * family and band buckets (products stay < 2^62 under ANSI mode). */
   val P31 = 2147483647L
@@ -224,25 +220,18 @@ object Dedup {
   def affineB(i: Int): Long = (0x85EBCA77L * (i + 1)) % P31
 
   /** 60-bit SimHash signature per document: for each token hash bit,
-    * +1/−1 vote; sign of the vote sum sets the bit.
+    * +1/−1 vote; sign of the vote sum sets the bit (2·S_i > n).
     *
-    * Shape: one groupBy with 61 static aggregate columns (token count +
-    * per-bit set-count S_i); the ±1 vote sum is 2·S_i − n, so bit i is
-    * set iff 2·S_i > n. ONE shuffle with map-side partial aggregation —
-    * the per-doc partials are 61 longs regardless of document length.
-    * (The naive explode-a-row-per-bit-per-token plan was 3× slower at
-    * sf0.1 and shuffles 60× more rows.) */
+    * Shape: ROW-LOCAL via the native [[graft.functions.SimHash60]]
+    * expression — one compiled pass per document, ZERO shuffles.
+    * (History: the explode-a-row-per-bit-per-token plan shuffled 60×
+    * the tokens; the 61-agg groupBy collapsed that to one shuffle of
+    * 61-long partials; the native expression removes the shuffle
+    * entirely — the signature is a function of the row.) */
   def simHashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), md5i60(col("tok")).as("h"))
-    val bitSums = (0 until SimHashBits).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"s$i"))
-    val agg = toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sig = (0 until SimHashBits).map(i =>
-      when(col(s"s$i") * 2 > col("n"), lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sig.as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("simhash60", split(col("text"), " ")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
