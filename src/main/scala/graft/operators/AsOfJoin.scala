@@ -79,29 +79,48 @@ object AsOfJoin {
     *                   no right row qualifies)
     * @param tieBreak   right-side tiebreak column for identical times —
     *                   highest wins (mirrors "latest write wins")
+    * @param tolerance  max |right time − left time| for a match, in the
+    *                   time column's exact numeric units (epoch MICROS
+    *                   for timestamp/date times, the raw value for
+    *                   numeric times — see [[timeAsNum]]); matches
+    *                   farther away come back as null payload. None =
+    *                   unbounded (the classic as-of).
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightCols: Seq[String], tieBreak: Option[String] = None): DataFrame =
+               rightCols: Seq[String], tieBreak: Option[String] = None,
+               tolerance: Option[Long] = None): DataFrame =
     directional(left, right, key, leftTime, rightTime, rightCols, tieBreak,
-      isBackward = true)
+      tolerance, isBackward = true)
 
   /** Forward as-of: earliest right row with time ≥ the left time —
     * the exact time-mirror of [[backward]], including the tie rule
     * (identical right times resolved by highest tieBreak). */
   def forward(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
-              rightCols: Seq[String], tieBreak: Option[String] = None): DataFrame =
+              rightCols: Seq[String], tieBreak: Option[String] = None,
+              tolerance: Option[Long] = None): DataFrame =
     directional(left, right, key, leftTime, rightTime, rightCols, tieBreak,
-      isBackward = false)
+      tolerance, isBackward = false)
 
   private def directional(left: DataFrame, right: DataFrame, key: String,
                           leftTime: String, rightTime: String,
                           rightCols: Seq[String], tieBreak: Option[String],
+                          tolerance: Option[Long],
                           isBackward: Boolean): DataFrame = {
     validate(left, right, tieBreak)
+    val timeType = right.schema(rightTime).dataType
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance ($t) must be >= 0")
+      require(left.schema(leftTime).dataType == timeType,
+        s"tolerance needs matching leftTime/rightTime types, got " +
+          s"${left.schema(leftTime).dataType} vs $timeType")
+    }
     val leftCols = left.columns.toSeq
-    val payload = struct(rightCols.map(col): _*)
+    // the payload carries the right time's exact numeric only when a
+    // tolerance bound must be checked after the window pass
+    val payload = struct(rightCols.map(col) ++
+      tolerance.map(_ => timeAsNum(col(rightTime), timeType).as("__tn")): _*)
 
     // equi-join semantics: NULL keys never match (partitionBy would
     // otherwise group all nulls together and pair them up). Null-key
@@ -152,11 +171,18 @@ object AsOfJoin {
         leftCols.filterNot(_ == key).map(col): _*)
       .unionByName(r)
 
+    val pick: String => Column = tolerance match {
+      case Some(t) =>
+        val inRange = col("__m").isNotNull &&
+          abs(timeAsNum(col("__t"), timeType) - col("__m.__tn")) <= lit(t)
+        c => when(inRange, col(s"__m.$c"))
+          .otherwise(lit(null).cast(right.schema(c).dataType)).as(c)
+      case None => c => col(s"__m.$c").as(c)
+    }
     val matched = unioned
       .withColumn("__m", matchExpr(col("__payload")).over(w))
       .filter(col("__side") === leftSide)
-      .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__m.$c").as(c)): _*)
+      .select(leftCols.map(col) ++ rightCols.map(pick): _*)
     matched.unionByName(
       leftNullKey.select(leftCols.map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
@@ -180,11 +206,15 @@ object AsOfJoin {
     * semantics are unaffected.
     *
     * Distance math runs on exact numerics (epoch micros for temporal
-    * types, long for integral) — see [[timeAsNum]]. */
+    * types, long for integral) — see [[timeAsNum]]; `tolerance` bounds
+    * the accepted distance in those units (same contract as
+    * [[backward]]/[[forward]]). */
   def nearest(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
-              rightCols: Seq[String], tieBreak: Option[String] = None): DataFrame = {
+              rightCols: Seq[String], tieBreak: Option[String] = None,
+              tolerance: Option[Long] = None): DataFrame = {
     validate(left, right, tieBreak)
+    tolerance.foreach(t => require(t >= 0, s"tolerance ($t) must be >= 0"))
     require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
       s"leftTime/rightTime types must match, got " +
         s"${left.schema(leftTime).dataType} vs ${right.schema(rightTime).dataType}")
@@ -231,15 +261,21 @@ object AsOfJoin {
       .unionByName(r)
 
     val lnum = timeAsNum(col("__t"), timeType)
+    val choose =
+      when(col("__fw").isNull, col("__bw"))
+        .when(col("__bw").isNull, col("__fw"))
+        .when(lnum - col("__bw.__tn") <= col("__fw.__tn") - lnum, col("__bw"))
+        .otherwise(col("__fw"))
+    val bounded = tolerance match {
+      case Some(t) => when(abs(lnum - col("__m.__tn")) <= lit(t), col("__m"))
+      case None => col("__m")
+    }
     val chosen = unioned
       .withColumn("__bw", max_by(col("__payload"), bwOrd).over(wPrev))
       .withColumn("__fw", min_by(col("__payload"), fwOrd).over(wNext))
       .filter(col("__side") === 1)
-      .withColumn("__m",
-        when(col("__fw").isNull, col("__bw"))
-          .when(col("__bw").isNull, col("__fw"))
-          .when(lnum - col("__bw.__tn") <= col("__fw.__tn") - lnum, col("__bw"))
-          .otherwise(col("__fw")))
+      .withColumn("__m", choose)
+      .withColumn("__m", bounded)
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__m.$c").as(c)): _*)
     chosen.unionByName(

@@ -41,6 +41,28 @@ object EventStreams {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-stream event-time INTERVAL join (e.g. impressions ⋈
+    * clicks): equi key + a bounded time range, the canonical
+    * streaming-join shape. The interval condition is what lets BOTH
+    * sides' state stores purge as the watermarks advance — an
+    * unconstrained stream-stream join would buffer unbounded state.
+    * Emits one row per (left event, right event within
+    * [left.ts, left.ts + within]) pair on the same key. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String = "user_id",
+                   within: String = "5 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_key").as(key), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Stateful streaming dedup on event_id within the watermark — the
     * streaming twin of the reference's key-upsert (R18): the first
     * arrival wins within the state horizon, duplicates are dropped

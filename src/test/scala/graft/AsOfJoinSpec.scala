@@ -145,6 +145,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getAs[Long]("rid") === 2L)
   }
 
+  test("tolerance bounds the match distance in all three directions") {
+    val left = Seq((1L, 100L, "x"), (1L, 500L, "far")).toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 1L), (1L, 130L, 2L)).toDF("k", "t", "rid")
+    def rids(df: org.apache.spark.sql.DataFrame): Map[String, Option[Long]] =
+      df.collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("rid")).map(_.asInstanceOf[Long])).toMap
+    // backward: 100 matches 90 (Δ10 ≤ 15); 500's nearest-before is 130 (Δ370 > 15) → null
+    assert(rids(AsOfJoin.backward(left, right, "k", "t", "t", Seq("rid"),
+      tolerance = Some(15L))) === Map("x" -> Some(1L), "far" -> None))
+    // forward: 100 matches 130 only within Δ≥30
+    assert(rids(AsOfJoin.forward(left, right, "k", "t", "t", Seq("rid"),
+      tolerance = Some(15L))) === Map("x" -> None, "far" -> None))
+    assert(rids(AsOfJoin.forward(left, right, "k", "t", "t", Seq("rid"),
+      tolerance = Some(30L))) === Map("x" -> Some(2L), "far" -> None))
+    // nearest: picks 90 (Δ10); with tolerance 5 nothing qualifies
+    assert(rids(AsOfJoin.nearest(left, right, "k", "t", "t", Seq("rid"),
+      tolerance = Some(10L))) === Map("x" -> Some(1L), "far" -> None))
+    assert(rids(AsOfJoin.nearest(left, right, "k", "t", "t", Seq("rid"),
+      tolerance = Some(5L))) === Map("x" -> None, "far" -> None))
+  }
+
   test("plan shape: one exchange, no cartesian/range explosion") {
     val left = (1L to 1000L).map(i => (i % 10, i)).toDF("k", "t")
     val right = (1L to 1000L).map(i => (i % 10, i, i * 2)).toDF("k", "t", "rid")

@@ -59,6 +59,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getLong(2) >= 950L))
   }
 
+  test("lshTopK single table + multi-probe emits no duplicate pairs (dedup skipped)") {
+    // single-table runs skip the dropDuplicates shuffle; this guards the
+    // claim that makes the skip sound — within one table each query's
+    // probe signatures are distinct, so a neighbor can match at most once
+    val corpus = (1L to 80L).map { i =>
+      (i, Array.tabulate(32)(j => math.cos(i * 17 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(corpus.filter($"vec_id" <= 3), corpus, k = 20,
+      numPlanes = 6, numTables = 1, multiProbe = 2).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.length === pairs.distinct.length)
+  }
+
   test("IVF top-k: identical vector recalled at rank 1, k respected") {
     val corpus = (1L to 60L).map { i =>
       (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))

@@ -120,6 +120,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches in-window pairs, drops out-of-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventStreams.intervalJoin(
+      imps.toDF(), clicks.toDF(), key = "user_id",
+      within = "5 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(Seq(
+        Ev(10, ts("2024-01-01 00:00:00"), 1, "imp", 1.0),
+        Ev(11, ts("2024-01-01 00:00:00"), 2, "imp", 1.0)))
+      clicks.addData(Seq(
+        Ev(20, ts("2024-01-01 00:03:00"), 1, "click", 1.0),  // in window
+        Ev(21, ts("2024-01-01 00:09:00"), 2, "click", 1.0),  // past 5 min
+        Ev(22, ts("2024-01-01 00:04:00"), 3, "click", 1.0))) // no impression
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin").select("l_id", "r_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rows === Set((10L, 20L)))
+  }
+
   test("paged source restart from checkpoint: offset replay, no dups, no gaps") {
     val dir = java.nio.file.Files.createTempDirectory("graft-paged-ckpt").toFile
     val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
