@@ -55,6 +55,9 @@ object SparkEntry {
     "x07_minhash_lsh"     -> ((s, d) =>
       Dedup.minHashLsh(Tables.documents(s, d), shingleK = 2, minPermille = 300)),
     "x08_simhash_pairs"   -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
+    "x34_dup_clusters"    -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minHashLsh(Tables.documents(s, d), shingleK = 2, minPermille = 300))),
     "x09_cosine_topk"     -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -442,6 +445,9 @@ object SparkEntry {
     // candidate set is probabilistic (S-curve), so the oracle must run
     // the same hashes; md5 keying makes that possible.
     "x07_minhash_lsh" -> minHashLshOracle,
+    // x34: connected components over the x07 pair graph — the oracle
+    // re-derives the pairs and closes them with a recursive CTE
+    "x34_dup_clusters" -> dupClustersOracle,
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch. Excluded from cross-engine hashing per SURVEY §2.4 rule 6;
@@ -454,7 +460,14 @@ object SparkEntry {
     * rolling polynomial of per-token 60-bit md5 prefixes mod 2³¹−1,
     * exactly [[graft.functions.ShingleHashes]] — so signatures, band
     * buckets, candidates and verified Jaccard all agree bit for bit. */
-  private def minHashLshOracle: String = {
+  private def minHashLshOracle: String =
+    s"WITH $minHashPairsCtes\n       " +
+      "SELECT da, db, jac_permille FROM pairs ORDER BY da, db, jac_permille"
+
+  /** CTE chain ending in `pairs(da, db, jac_permille)` — shared by the
+    * x07 pair oracle and the x34 cluster oracle (which closes the pair
+    * graph with a recursive CTE). */
+  private def minHashPairsCtes: String = {
     val (numHashes, rowsPerBand, shingleK, minPermille) = (16, 4, 2, 300)
     val P = graft.operators.Dedup.P31
     val minsCols = (0 until numHashes).map { i =>
@@ -472,7 +485,7 @@ object SparkEntry {
     val shingleExpr = (0 until shingleK)
       .foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
         s"(($acc) * 1000003 + (CAST('0x' || substr(md5(ts[i+$j]), 1, 15) AS BIGINT) % $P)) % $P")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        le AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= $shingleK),
        pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - $shingleK + 2)) AS i FROM le),
        sh AS (SELECT DISTINCT doc_id, $shingleExpr AS sh FROM pos),
@@ -486,13 +499,26 @@ object SparkEntry {
               FROM cand c
               LEFT JOIN sh s1 ON s1.doc_id = c.da
               LEFT JOIN sh s2 ON s2.doc_id = c.db AND s2.sh = s1.sh
-              GROUP BY c.da, c.db)
-       SELECT cm.da, cm.db,
-         (cm.common * 1000) // (sa.sz + sb.sz - cm.common) AS jac_permille
-       FROM cm JOIN sizes sa ON cm.da = sa.doc_id JOIN sizes sb ON cm.db = sb.doc_id
-       WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= $minPermille
-       ORDER BY da, db, jac_permille"""
+              GROUP BY c.da, c.db),
+       pairs AS (SELECT cm.da, cm.db,
+           (cm.common * 1000) // (sa.sz + sb.sz - cm.common) AS jac_permille
+         FROM cm JOIN sizes sa ON cm.da = sa.doc_id JOIN sizes sb ON cm.db = sb.doc_id
+         WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= $minPermille)"""
   }
+
+  /** x34 oracle: close the x07 pair graph transitively (recursive CTE
+    * — sound because near-dup clusters are tiny) and label every node
+    * with its minimum reachable doc id, replaying
+    * [[graft.operators.Dedup.connectedComponents]]'s fixpoint. */
+  private def dupClustersOracle: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       sym AS (SELECT da AS s, db AS d FROM pairs
+               UNION SELECT db AS s, da AS d FROM pairs),
+       verts AS (SELECT DISTINCT s AS v FROM sym),
+       reach AS (SELECT v AS a, v AS b FROM verts
+                 UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s)
+       SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY a ORDER BY doc_id, cluster_id"""
 
   /** Shared oracle for the exact cosine top-k twins (x09 HOF path, x13
     * native-expression path): same fold order as the Spark plan, so the

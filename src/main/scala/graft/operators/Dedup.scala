@@ -203,6 +203,63 @@ object Dedup {
       .orderBy("da", "db", "jac_permille")
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (da, db) — the survivor-selection stage of dedup: every document
+    * in a duplicate cluster maps to the cluster's MINIMUM doc id
+    * (which is the canonical survivor; all other cluster members are
+    * the drop set).
+    *
+    * Iterative min-label propagation: labels start as self; each round
+    * every node adopts the minimum label among itself and its
+    * neighbors; converged when no label changes. Rounds = O(cluster
+    * diameter) — near-dup graphs are overwhelmingly small cliques and
+    * short chains, so single-digit rounds in practice. Each round is
+    * one edge⋈label join + a min-aggregate — all hash-partitioned by
+    * node id, no driver-side data. The per-round `count()` is a scalar
+    * convergence check (the standard shape for iterative graph
+    * algorithms). Each round's labels are `localCheckpoint`ed: a
+    * persist alone keeps the LOGICAL plan nesting (it doubles per
+    * round — by round 25 the analyzed plan itself OOMs the driver),
+    * while the checkpoint truncates lineage to the materialized
+    * blocks. On a real cluster swap in reliable `checkpoint` if
+    * executor loss during the fixpoint must be recoverable. Fails
+    * loudly if maxIter rounds do not converge rather than returning
+    * partial labels.
+    *
+    * @return (doc_id, cluster_id) for every doc appearing in a pair,
+    *         cluster_id = min doc id reachable in the pair graph. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = registerCache(
+      pairs.select(col("da").as("src"), col("db").as("dst"))
+        .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy("dst").agg(min("label").as("nbr"))
+      val next = labels
+        .join(nbrMin.select(col("dst").as("node"), col("nbr")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint() // eager: materializes AND truncates lineage
+      changed = next
+        .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
+        "(diameter of the pair graph exceeds the bound); refusing to return partial labels")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id", "cluster_id")
+  }
+
   /** Signature width in bits. 60 = the largest multiple of 4 hex digits
     * that fits a signed Long, so the per-token hash can be the first 15
     * hex digits of md5 — bit-identical in every engine, which makes the

@@ -240,6 +240,9 @@ object Similarity {
       } else if (maxFitRows > 0)
         c.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id")).limit(maxFitRows)
       else c
+    // init mode is immaterial to cost here: the fit input is already
+    // bounded by fitFraction/maxFitRows, so k-means||'s extra init
+    // passes run over a capped sample — keep the quality default
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("feat").setPredictionCol("cell").fit(fitInput)
     val assigned = model.transform(c).select("neighbor_id", "cv", "cell")

@@ -48,6 +48,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0)
   }
 
+  test("connected components: chains merge, singletons in pairs keep min label") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),   // chain 1-2-3 → cluster 1
+      (10L, 11L),           // pair → cluster 10
+      (20L, 21L), (21L, 20L) // duplicate/reversed edges are harmless
+    ).toDF("da", "db")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long chain needs multiple propagation rounds") {
+    // a 12-node path graph has diameter 11: the min label travels one
+    // hop per round, so this genuinely exercises the fixpoint loop
+    // (and its lineage truncation — see the localCheckpoint note)
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    val out = Dedup.connectedComponents(pairs, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 12)
+    assert(out.values.forall(_ == 1L))
+  }
+
   test("releaseCaches unpersists every dedup-created cache") {
     // parallel suites may register dedup caches of their own, so the
     // assertions are on deltas, not on a global count of zero
