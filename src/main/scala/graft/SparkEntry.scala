@@ -58,6 +58,14 @@ object SparkEntry {
     "x34_dup_clusters"    -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minHashLsh(Tables.documents(s, d), shingleK = 2, minPermille = 300))),
+    "x35_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedHashSample(
+        Tables.documents(s, d), strataCol = "lang", keyCol = "doc_id",
+        rates = Map("en" -> 300L, "fr" -> 800L, "zh" -> 500L),
+        defaultPermille = 100L)
+        .select("doc_id", "lang").orderBy("doc_id", "lang")),
+    "x36_heavy_hitters"   -> ((s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d), minCount = 500L)),
     "x09_cosine_topk"     -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -448,6 +456,17 @@ object SparkEntry {
     // x34: connected components over the x07 pair graph — the oracle
     // re-derives the pairs and closes them with a recursive CTE
     "x34_dup_clusters" -> dupClustersOracle,
+    // x35: md5-keyed sampling is engine-portable by construction —
+    // the oracle replays the keep decision bit for bit
+    "x35_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+           < (CASE lang WHEN 'en' THEN 300 WHEN 'fr' THEN 800 WHEN 'zh' THEN 500 ELSE 100 END)
+         ORDER BY doc_id, lang""",
+    "x36_heavy_hitters" ->
+      """SELECT tok, COUNT(*) AS n
+         FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok HAVING COUNT(*) >= 500 ORDER BY tok, n""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch. Excluded from cross-engine hashing per SURVEY §2.4 rule 6;

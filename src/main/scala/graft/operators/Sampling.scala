@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data pipelines.
+  *
+  * The core primitive is DETERMINISTIC hash sampling: a row is kept
+  * iff a uniform value derived from its key falls under the stratum's
+  * rate. Three properties matter at 100 TB and distinguish this from
+  * `df.sample`/`sampleBy` (partition-order-seeded RNG):
+  *  - scan-only: a narrow filter, no shuffle, pushes past column
+  *    pruning;
+  *  - retry/replan-stable: the keep decision is a pure function of the
+  *    KEY, so task retries, AQE re-plans and re-runs keep the same
+  *    rows — reproducible datasets;
+  *  - portable: md5-keyed, so any engine (and the DuckDB oracle)
+  *    reproduces the exact sample.
+  */
+object Sampling {
+
+  /** Uniform permille in [0, 1000) derived from the key's md5 (first
+    * 60 bits mod 1000 — the ~2⁻⁵⁰ modulo bias is far below sampling
+    * noise at any real rate). */
+  def hashPermille(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(1000L))
+
+  /** Keep each row with probability ratePermille/1000, deterministically
+    * keyed by `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, ratePermille: Long): DataFrame = {
+    require(ratePermille >= 0 && ratePermille <= 1000,
+      s"ratePermille ($ratePermille) must be in [0, 1000]")
+    df.filter(hashPermille(col(keyCol)) < lit(ratePermille))
+  }
+
+  /** Stratified variant: per-stratum keep rates (permille), e.g.
+    * down-sampling over-represented languages or sources when
+    * rebalancing a training corpus. Strata absent from `rates` fall
+    * back to `defaultPermille`; a NULL stratum always falls back. */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, keyCol: String,
+                           rates: Map[String, Long],
+                           defaultPermille: Long = 0): DataFrame = {
+    require((rates.values ++ Seq(defaultPermille)).forall(r => r >= 0 && r <= 1000),
+      "all rates must be permille values in [0, 1000]")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille): Column) {
+      case (acc, (stratum, r)) => when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(hashPermille(col(keyCol)) < rate)
+  }
+}

@@ -125,4 +125,17 @@ object TextAnalysis {
       octet_length(col("text")).cast("long").as("n_bytes"),
       sha2(col("text"), 256).as("sha"))
       .orderBy("doc_id")
+
+  /** Exact corpus-wide heavy hitters: whitespace tokens with total
+    * count ≥ minCount. One explode + one map-side-combined groupBy —
+    * the vocabulary (distinct tokens) is what shuffles, not the corpus.
+    * For vocabularies too large even for that, the sketch route is
+    * `df.stat.countMinSketch` (estimate within ε·N with the classic
+    * over-count-only bias — spec-asserted in TextAnalysisSpec); this
+    * exact form is the oracle-checkable contract. */
+  def heavyHitters(docs: DataFrame, minCount: Long): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy("tok", "n")
 }

@@ -58,4 +58,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[String]("sha") ===
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
   }
+
+  test("heavy hitters: exact counts above the floor, minor tokens excluded") {
+    val corpus = docs(
+      1L -> "a a a b b c",
+      2L -> "a b d",
+      3L -> "a a")
+    val out = TextAnalysis.heavyHitters(corpus, minCount = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 6L, "b" -> 3L)) // c:1, d:1 below floor
+  }
+
+  test("count-min sketch estimates dominate exact counts within eps*N (over-count only)") {
+    val corpus = docs((1L to 50L).map(i =>
+      i -> Seq.fill((i % 7 + 1).toInt)(s"tok${i % 11}").mkString(" ")): _*)
+    val toks = corpus.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+    val n = toks.count()
+    val eps = 0.01
+    val sketch = toks.stat.countMinSketch("tok", eps = eps, confidence = 0.99, seed = 42)
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (tok, cnt) =>
+      val est = sketch.estimateCount(tok)
+      assert(est >= cnt, s"CMS under-counted $tok: $est < $cnt")
+      assert(est <= cnt + (eps * n).ceil.toLong,
+        s"CMS over-count for $tok beyond eps*N: $est vs $cnt (N=$n)")
+    }
+  }
 }
