@@ -55,6 +55,10 @@ object SparkEntry {
     "x07_minhash_lsh"     -> ((s, d) =>
       Dedup.minHashLsh(Tables.documents(s, d), shingleK = 2, minPermille = 300)),
     "x08_simhash_pairs"   -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
+    // x34 is a COMPOSITE pipeline (full x07 minhash dedup + the
+    // cluster fixpoint): its wall time ≈ x07 + rounds×(join+agg), and
+    // at toy scale the per-round cost is job scheduling, not data —
+    // the fixpoint is 2 jobs/round regardless of corpus size
     "x34_dup_clusters"    -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minHashLsh(Tables.documents(s, d), shingleK = 2, minPermille = 300))),

@@ -242,15 +242,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy("dst").agg(min("label").as("nbr"))
-      val next = labels
+      // the OLD label rides along so convergence is a filter-count on
+      // the just-materialized round, not a third join
+      val round = labels
         .join(nbrMin.select(col("dst").as("node"), col("nbr")), Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint() // eager: materializes AND truncates lineage
-      changed = next
-        .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = round.filter(col("label") =!= col("old")).count()
+      labels = round.select("node", "label")
       iter += 1
     }
     require(changed == 0,
