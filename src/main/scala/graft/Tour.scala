@@ -43,8 +43,19 @@ object Tour {
     val knn = Similarity.cosineTopKNative(emb.filter(col("vec_id") < 3), emb, k = 3)
     println(s"[tour] native cosine top-3 rows=${knn.count()}")
 
-    // as-of join
+    // dup-cluster formation over the pair graph
+    val clusters = Dedup.connectedComponents(Dedup.minHashLsh(docs, minPermille = 300))
+    println(s"[tour] dup clusters labeled docs=${clusters.count()}")
+
+    // deterministic stratified sampling
+    val sampled = graft.operators.Sampling.stratifiedHashSample(
+      docs, "lang", "doc_id", Map("en" -> 300L), defaultPermille = 100L)
+    println(s"[tour] stratified sample kept=${sampled.count()} of ${docs.count()}")
+
+    // as-of joins, all three directions
     println(s"[tour] as-of join rows=${graft.queries.Relational.asofJoin(spark, sf).count()}")
+    println(s"[tour] as-of forward rows=${graft.queries.Relational.asofForward(spark, sf).count()}")
+    println(s"[tour] as-of nearest rows=${graft.queries.Relational.asofNearest(spark, sf).count()}")
 
     // skew-safe aggregation
     val salted = Skew.saltedAgg(

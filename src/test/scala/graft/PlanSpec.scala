@@ -55,4 +55,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<>"),
       "bare count should read only parquet footers/row-group metadata")
   }
+
+  test("x33: nearest as-of computes both directions from ONE shuffle") {
+    val p = plan(Relational.asofNearest(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // one hash exchange feeds the window (the final presentation sort's
+    // range exchange is separate); both max_by and min_by ride it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"nearest must not shuffle per direction:\n$p")
+    assert(p.contains("max_by") && p.contains("min_by"))
+  }
+
+  test("x23: embedding near-dup is a signature equi-join on native lsh_sig") {
+    val p = plan(SparkEntry.queries("x23_embed_neardup")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "LSH self-join must never degrade to an all-pairs join")
+    assert(p.contains("lsh_sig"), "bucketing must use the native signature expression")
+  }
 }
