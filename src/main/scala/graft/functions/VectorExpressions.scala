@@ -303,7 +303,10 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
-      val m = v.getLong(i) % graft.operators.Dedup.P31
+      // floorMod, not %: a negative input (e.g. raw xxhash64 from an
+      // SQL caller) must still land in [0, P) or the affine family's
+      // documented range — and the oracle replay — silently breaks
+      val m = java.lang.Math.floorMod(v.getLong(i), graft.operators.Dedup.P31)
       var h = 0
       while (h < numHashes) {
         val x = (as(h) * m + bs(h)) % graft.operators.Dedup.P31
@@ -334,7 +337,7 @@ case class MinHashSigs(child: Expression, numHashes: Int)
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    long $m = $v.getLong($i) % 2147483647L;
+         |    long $m = java.lang.Math.floorMod($v.getLong($i), 2147483647L);
          |    for (int $h = 0; $h < $numHashes; $h++) {
          |      long $x = ($aRef[$h] * $m + $bRef[$h]) % 2147483647L;
          |      if ($x < $mins[$h]) $mins[$h] = $x;

@@ -103,6 +103,50 @@ object AsOfJoin {
     directional(left, right, key, leftTime, rightTime, rightCols, tieBreak,
       tolerance, isBackward = false)
 
+  /** Tagged union scaffold shared by every direction: split out left
+    * rows that can never match — NULL key (equi semantics) or NULL
+    * time (t ⋚ NULL is unknowable, and the window's NULLS-FIRST sort
+    * would otherwise treat them as "earliest" and hand them a real
+    * match) — and drop right rows with NULL key/time for the same
+    * reason; tag sides and union on the shared
+    * (key, __t, __side, __tb, __payload, left…) shape. Left rows get
+    * __tb 0: sides never tie on it because __side separates them at
+    * equal __t. */
+  private case class Tagged(unioned: DataFrame, leftDegenerate: DataFrame,
+                            leftCols: Seq[String])
+
+  private def tagAndUnion(left: DataFrame, right: DataFrame, key: String,
+                          leftTime: String, rightTime: String, payload: Column,
+                          leftSide: Int, tieBreak: Option[String]): Tagged = {
+    val leftCols = left.columns.toSeq
+    val leftLive = left.filter(col(key).isNotNull && col(leftTime).isNotNull)
+    val leftDegenerate = left.filter(col(key).isNull || col(leftTime).isNull)
+    val rightLive = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+    val payloadType = right.select(payload.as("p")).schema("p").dataType
+    val l = leftLive
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(leftSide))
+      .withColumn("__tb", lit(0L))
+      .withColumn("__payload", lit(null).cast(payloadType))
+      .select(Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__payload")) ++
+        leftCols.filterNot(_ == key).map(col): _*)
+    val r = rightLive
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(1 - leftSide))
+      .withColumn("__tb", tieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)))
+      .withColumn("__payload", payload)
+      .select(Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__payload")) ++
+        leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    Tagged(l.unionByName(r), leftDegenerate, leftCols)
+  }
+
+  /** Degenerate left rows re-enter the result with all-null payload. */
+  private def nullPayloadFor(df: DataFrame, leftCols: Seq[String],
+                             right: DataFrame, rightCols: Seq[String]): DataFrame =
+    df.select(leftCols.map(col) ++
+      rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+
   private def directional(left: DataFrame, right: DataFrame, key: String,
                           leftTime: String, rightTime: String,
                           rightCols: Seq[String], tieBreak: Option[String],
@@ -116,39 +160,17 @@ object AsOfJoin {
         s"tolerance needs matching leftTime/rightTime types, got " +
           s"${left.schema(leftTime).dataType} vs $timeType")
     }
-    val leftCols = left.columns.toSeq
     // the payload carries the right time's exact numeric only when a
     // tolerance bound must be checked after the window pass
     val payload = struct(rightCols.map(col) ++
       tolerance.map(_ => timeAsNum(col(rightTime), timeType).as("__tn")): _*)
 
-    // equi-join semantics: NULL keys never match (partitionBy would
-    // otherwise group all nulls together and pair them up). Null-key
-    // left rows bypass the window and come back with null payload.
-    val (leftKeyed, leftNullKey) =
-      (left.filter(col(key).isNotNull), left.filter(col(key).isNull))
-    val rightKeyed = right.filter(col(key).isNotNull)
-
     // side tags order equal times INTO the frame: backward's frame ends
     // at the left row, so right sorts first (≤ includes equality);
     // forward's frame starts at the left row, so left sorts first
-    val (leftSide, rightSide) = if (isBackward) (1, 0) else (0, 1)
-
-    val l = leftKeyed
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(leftSide))
-      .withColumn("__tb", lit(if (isBackward) Long.MaxValue else Long.MinValue))
-      .withColumn("__payload",
-        lit(null).cast(right.select(payload.as("p")).schema("p").dataType))
-
-    val r = rightKeyed
-      .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(rightSide))
-      .withColumn("__tb", tieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)))
-      .withColumn("__payload", payload)
-      .select(Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__payload")) ++
-        leftCols.filterNot(_ == key)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftSide = if (isBackward) 1 else 0
+    val tg = tagAndUnion(left, right, key, leftTime, rightTime, payload,
+      leftSide, tieBreak)
 
     // backward: latest right at-or-before → last() over the preceding
     // frame, __tb ascending so the highest tiebreak is last at equal t.
@@ -166,11 +188,6 @@ object AsOfJoin {
           .rowsBetween(Window.currentRow, Window.unboundedFollowing),
         (c: Column) => first(c, ignoreNulls = true))
 
-    val unioned = l.select(
-      Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__payload")) ++
-        leftCols.filterNot(_ == key).map(col): _*)
-      .unionByName(r)
-
     val pick: String => Column = tolerance match {
       case Some(t) =>
         val inRange = col("__m").isNotNull &&
@@ -179,13 +196,11 @@ object AsOfJoin {
           .otherwise(lit(null).cast(right.schema(c).dataType)).as(c)
       case None => c => col(s"__m.$c").as(c)
     }
-    val matched = unioned
+    val matched = tg.unioned
       .withColumn("__m", matchExpr(col("__payload")).over(w))
       .filter(col("__side") === leftSide)
-      .select(leftCols.map(col) ++ rightCols.map(pick): _*)
-    matched.unionByName(
-      leftNullKey.select(leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
+      .select(tg.leftCols.map(col) ++ rightCols.map(pick): _*)
+    matched.unionByName(nullPayloadFor(tg.leftDegenerate, tg.leftCols, right, rightCols))
   }
 
   /** Nearest as-of: the right row minimizing |right time − left time|;
@@ -218,32 +233,13 @@ object AsOfJoin {
     require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
       s"leftTime/rightTime types must match, got " +
         s"${left.schema(leftTime).dataType} vs ${right.schema(rightTime).dataType}")
-    val leftCols = left.columns.toSeq
     val timeType = right.schema(rightTime).dataType
-    // payload carries the right time's numeric so the driver row can
-    // compare distances after the window pass
+    // payload always carries the right time's numeric: the champion
+    // choice itself is a distance comparison
     val payload = struct(
       rightCols.map(col) :+ timeAsNum(col(rightTime), timeType).as("__tn"): _*)
-
-    val (leftKeyed, leftNullKey) =
-      (left.filter(col(key).isNotNull), left.filter(col(key).isNull))
-    val rightKeyed = right.filter(col(key).isNotNull)
-
-    val l = leftKeyed
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-      .withColumn("__tb", lit(Long.MaxValue))
-      .withColumn("__payload",
-        lit(null).cast(rightKeyed.select(payload.as("p")).schema("p").dataType))
-
-    val r = rightKeyed
-      .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
-      .withColumn("__tb", tieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)))
-      .withColumn("__payload", payload)
-      .select(Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__payload")) ++
-        leftCols.filterNot(_ == key)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val tg = tagAndUnion(left, right, key, leftTime, rightTime, payload,
+      leftSide = 1, tieBreak)
 
     val order = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__tb"))
@@ -255,11 +251,6 @@ object AsOfJoin {
     val fwOrd = when(col("__side") === 0,
       struct(col("__payload.__tn"), lit(-1L) - col("__tb"))).otherwise(lit(null))
 
-    val unioned = l.select(
-      Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__payload")) ++
-        leftCols.filterNot(_ == key).map(col): _*)
-      .unionByName(r)
-
     val lnum = timeAsNum(col("__t"), timeType)
     val choose =
       when(col("__fw").isNull, col("__bw"))
@@ -270,16 +261,14 @@ object AsOfJoin {
       case Some(t) => when(abs(lnum - col("__m.__tn")) <= lit(t), col("__m"))
       case None => col("__m")
     }
-    val chosen = unioned
+    val chosen = tg.unioned
       .withColumn("__bw", max_by(col("__payload"), bwOrd).over(wPrev))
       .withColumn("__fw", min_by(col("__payload"), fwOrd).over(wNext))
       .filter(col("__side") === 1)
       .withColumn("__m", choose)
       .withColumn("__m", bounded)
-      .select(leftCols.map(col) ++
+      .select(tg.leftCols.map(col) ++
         rightCols.map(c => col(s"__m.$c").as(c)): _*)
-    chosen.unionByName(
-      leftNullKey.select(leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
+    chosen.unionByName(nullPayloadFor(tg.leftDegenerate, tg.leftCols, right, rightCols))
   }
 }

@@ -145,6 +145,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getAs[Long]("rid") === 2L)
   }
 
+  test("null TIMES never match: null-t left rows get null payload, null-t right rows are no champions") {
+    // regression: NULLS-FIRST window sort used to treat null times as
+    // "earliest" — forward handed a null-t left row a real match, and a
+    // null-t right row could become every backward champion
+    val left = Seq((Some(1L), Some(100L), "ok"), (Some(1L), None, "null_t"))
+      .map { case (k, t, tag) => (k.map(Long.box).orNull, t.map(Long.box).orNull, tag) }
+      .toDF("k", "t", "tag")
+    val right = Seq((Some(1L), Some(90L), 1L), (Some(1L), None, 99L))
+      .map { case (k, t, rid) => (k.map(Long.box).orNull, t.map(Long.box).orNull, rid) }
+      .toDF("k", "t", "rid")
+    def rids(df: org.apache.spark.sql.DataFrame): Map[String, Option[Long]] =
+      df.collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("rid")).map(_.asInstanceOf[Long])).toMap
+    assert(rids(AsOfJoin.backward(left, right, "k", "t", "t", Seq("rid")))
+      === Map("ok" -> Some(1L), "null_t" -> None))
+    assert(rids(AsOfJoin.forward(left, right, "k", "t", "t", Seq("rid")))
+      === Map("ok" -> None, "null_t" -> None)) // nothing at/after 100 with a real time
+    assert(rids(AsOfJoin.nearest(left, right, "k", "t", "t", Seq("rid")))
+      === Map("ok" -> Some(1L), "null_t" -> None))
+  }
+
   test("tolerance bounds the match distance in all three directions") {
     val left = Seq((1L, 100L, "x"), (1L, 500L, "far")).toDF("k", "t", "tag")
     val right = Seq((1L, 90L, 1L), (1L, 130L, 2L)).toDF("k", "t", "rid")

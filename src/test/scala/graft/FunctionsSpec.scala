@@ -105,6 +105,16 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2).isNullAt(1))
   }
 
+  test("minhash_sigs maps negative inputs into [0, P) via floorMod (SQL-caller contract)") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Array(-5L, 7L, Long.MinValue))).toDF("id", "shs")
+    val sigs = df.select(call_function("minhash_sigs", $"shs", lit(4)).as("hs"))
+      .head().getSeq[Long](0)
+    assert(sigs.length === 4)
+    assert(sigs.forall(s => s >= 0 && s < 2147483647L),
+      s"signatures must stay in the affine family's field: $sigs")
+  }
+
   test("vec_avg aggregator computes element-wise centroids") {
     VectorAgg.register(spark)
     val df = Seq(
