@@ -78,19 +78,37 @@ object EventStreams {
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserTotals(user_id: Long, events: Long, value_cents: Long)
 
+  private val foldTotals =
+    (user: Long, batch: Iterator[UserEvent], state: GroupState[UserTotals]) => {
+      val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L))
+      val next = batch.foldLeft(prev) { (acc, e) =>
+        UserTotals(user, acc.events + 1,
+          acc.value_cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      state.update(next)
+      next
+    }
+
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserTotals]) =>
-          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L))
-          val next = batch.foldLeft(prev) { (acc, e) =>
-            UserTotals(user, acc.events + 1,
-              acc.value_cents + math.floor(e.value * 100 + 0.5).toLong)
-          }
-          state.update(next)
-          next
-      }
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout)(foldTotals)
+  }
+
+  /** [[runningUserTotals]] seeded from a prior snapshot — the
+    * batch-to-stream handoff: totals computed offline (or read back
+    * from the previous run's sink) become the INITIAL state, so the
+    * stream resumes counting where the snapshot left off instead of
+    * restarting from zero. Keys absent from the snapshot start fresh;
+    * snapshot keys with no live events keep their seeded totals in
+    * state until traffic arrives. */
+  def runningUserTotalsFrom(events: Dataset[UserEvent],
+                            snapshot: Dataset[UserTotals]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](
+        GroupStateTimeout.NoTimeout,
+        snapshot.groupByKey(_.user_id))(foldTotals)
   }
 
   /** Session assembly via flatMapGroupsWithState: emits a row per

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.apache.spark.sql.functions._
 import graft.etl.Pipeline
-import graft.operators.TextAnalysis
+import graft.operators.{AsOfJoin, TextAnalysis}
 
 /** Property-based checks (SURVEY §5.2) for the determinism-sensitive
   * pieces: cents conversion, last-wins dedup idempotence, token
@@ -72,6 +72,59 @@ class PropertySpec extends SparkSpec {
           .toDF("doc_id", "text")
         TextAnalysis.rollingHash(out).collect().map(_.getLong(1))
           .forall(h => h >= 0 && h < 2147483647L)
+      }
+    }, n = 5)
+  }
+
+  /** Brute-force as-of reference: for one left row, scan every right
+    * row and apply the declared contract directly. */
+  private def bruteAsOf(dir: String, k: Long, t: Long,
+                        right: Seq[(Long, Long, Long)]): Option[Long] = {
+    val same = right.filter(_._1 == k)
+    val bw = same.filter(_._2 <= t)
+      .sortBy(r => (r._2, r._3)).lastOption // latest t, then highest tb
+    val fw = same.filter(_._2 >= t)
+      .sortBy(r => (-r._2, r._3)).lastOption // earliest t, then highest tb
+    val chosen = dir match {
+      case "backward" => bw
+      case "forward" => fw
+      case "nearest" => (bw, fw) match {
+        case (Some(b), Some(f)) => if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+    }
+    chosen.map(_._3)
+  }
+
+  test("as-of joins match a brute-force reference on random dense-tie data") {
+    // few keys + a tiny time domain force heavy key/time collisions —
+    // exactly the tie territory where window-frame mistakes hide
+    val rows = Gen.listOfN(40, Gen.zip(
+      Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 12L), Gen.chooseNum(1L, 1000L)))
+    check(Prop.forAll(Gen.zip(rows, rows)) { case (ls, rs) =>
+      ls.isEmpty || rs.isEmpty || {
+        val left = ls.zipWithIndex.map { case ((k, t, _), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "t")
+        val right = rs.map { case (k, t, tb) => (k, t, tb) }.toDF("k", "t", "rid")
+        Seq("backward", "forward", "nearest").forall { dir =>
+          val out = (dir match {
+            case "backward" => AsOfJoin.backward(left, right, "k", "t", "t",
+              Seq("rid"), tieBreak = Some("rid"))
+            case "forward" => AsOfJoin.forward(left, right, "k", "t", "t",
+              Seq("rid"), tieBreak = Some("rid"))
+            case "nearest" => AsOfJoin.nearest(left, right, "k", "t", "t",
+              Seq("rid"), tieBreak = Some("rid"))
+          }).collect()
+            .map(r => r.getLong(0) -> Option(r.getAs[Any]("rid"))
+              .map(_.asInstanceOf[Long])).toMap
+          ls.zipWithIndex.forall { case ((k, t, _), i) =>
+            val expect = bruteAsOf(dir, k, t, rs)
+            val got = out(i.toLong)
+            if (got != expect)
+              println(s"MISMATCH dir=$dir left=($k,$t) got=$got want=$expect")
+            got == expect
+          }
+        }
       }
     }, n = 5)
   }

@@ -97,6 +97,26 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Long]("value_cents") === 375L)
   }
 
+  test("mapGroupsWithState resumes from a seeded snapshot (batch-to-stream handoff)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val snapshot = Seq(EventStreams.UserTotals(1, 2, 100L)).toDS()
+    val input = MemoryStream[EventStreams.UserEvent]
+    val totals = EventStreams.runningUserTotalsFrom(input.toDS(), snapshot)
+    val q = totals.toDF().writeStream.format("memory").queryName("seeded")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Seq(
+        EventStreams.UserEvent(1, 10, 0.50),   // continues the snapshot
+        EventStreams.UserEvent(2, 11, 2.00)))  // fresh key starts at zero
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("seeded").as[EventStreams.UserTotals].collect()
+      .map(t => t.user_id -> ((t.events, t.value_cents))).toMap
+    assert(rows(1L) === ((3L, 150L))) // 2+1 events, 100+50 cents
+    assert(rows(2L) === ((1L, 200L)))
+  }
+
   test("paged source streams new pages as micro-batches (page offset = R4 generator)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-paged-stream").toFile
     def writePage(n: Int, items: String): Unit = {
