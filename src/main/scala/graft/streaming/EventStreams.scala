@@ -101,14 +101,31 @@ object EventStreams {
     * stream resumes counting where the snapshot left off instead of
     * restarting from zero. Keys absent from the snapshot start fresh;
     * snapshot keys with no live events keep their seeded totals in
-    * state until traffic arrives. */
+    * state and EMIT NOTHING until traffic arrives (hence the flatMap
+    * form — the map form must return a row per seeded group, echoing
+    * the whole snapshot into the first micro-batch's output).
+    *
+    * Duplicate snapshot keys (an Update-mode sink emits one row per
+    * key per micro-batch, so re-reading one yields several versions)
+    * are resolved latest-wins before seeding — Spark refuses
+    * multi-row initial state per key outright. "Latest" = highest
+    * event count (totals only grow), cents as tiebreak. */
   def runningUserTotalsFrom(events: Dataset[UserEvent],
                             snapshot: Dataset[UserTotals]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
+    val latest = snapshot.groupByKey(_.user_id)
+      .reduceGroups((a, b) =>
+        if (a.events > b.events ||
+          (a.events == b.events && a.value_cents >= b.value_cents)) a else b)
+      .map(_._2)
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserTotals, UserTotals](
-        GroupStateTimeout.NoTimeout,
-        snapshot.groupByKey(_.user_id))(foldTotals)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout,
+        latest.groupByKey(_.user_id)) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          if (!batch.hasNext) Iterator.empty // seeded key, no traffic yet
+          else Iterator.single(foldTotals(user, batch, state))
+      }
   }
 
   /** Session assembly via flatMapGroupsWithState: emits a row per

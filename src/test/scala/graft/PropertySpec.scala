@@ -105,9 +105,9 @@ class PropertySpec extends SparkSpec {
       ls.isEmpty || rs.isEmpty || {
         val left = ls.zipWithIndex.map { case ((k, t, _), i) => (i.toLong, k, t) }
           .toDF("lid", "k", "t")
-        val right = rs.map { case (k, t, tb) => (k, t, tb) }.toDF("k", "t", "rid")
+        val right = rs.toDF("k", "t", "rid")
         Seq("backward", "forward", "nearest").forall { dir =>
-          val out = (dir match {
+          val rows = (dir match {
             case "backward" => AsOfJoin.backward(left, right, "k", "t", "t",
               Seq("rid"), tieBreak = Some("rid"))
             case "forward" => AsOfJoin.forward(left, right, "k", "t", "t",
@@ -115,6 +115,10 @@ class PropertySpec extends SparkSpec {
             case "nearest" => AsOfJoin.nearest(left, right, "k", "t", "t",
               Seq("rid"), tieBreak = Some("rid"))
           }).collect()
+          // exactly one output row per left row — a duplicate would
+          // otherwise vanish into the map below and pass unseen
+          assert(rows.length === ls.length, s"$dir emitted ${rows.length} rows for ${ls.length}")
+          val out = rows
             .map(r => r.getLong(0) -> Option(r.getAs[Any]("rid"))
               .map(_.asInstanceOf[Long])).toMap
           ls.zipWithIndex.forall { case ((k, t, _), i) =>

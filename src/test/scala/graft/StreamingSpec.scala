@@ -100,7 +100,11 @@ class StreamingSpec extends SparkSpec {
   test("mapGroupsWithState resumes from a seeded snapshot (batch-to-stream handoff)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val snapshot = Seq(EventStreams.UserTotals(1, 2, 100L)).toDS()
+    val snapshot = Seq(
+      EventStreams.UserTotals(1, 1, 40L),   // stale version — latest must win
+      EventStreams.UserTotals(1, 2, 100L),  // duplicate key from an Update sink
+      EventStreams.UserTotals(7, 5, 999L)   // idle seeded key: no traffic
+    ).toDS()
     val input = MemoryStream[EventStreams.UserEvent]
     val totals = EventStreams.runningUserTotalsFrom(input.toDS(), snapshot)
     val q = totals.toDF().writeStream.format("memory").queryName("seeded")
@@ -110,11 +114,17 @@ class StreamingSpec extends SparkSpec {
         EventStreams.UserEvent(1, 10, 0.50),   // continues the snapshot
         EventStreams.UserEvent(2, 11, 2.00)))  // fresh key starts at zero
       q.processAllAvailable()
+      // idle seeded key must NOT be echoed into the first batch...
+      assert(spark.table("seeded").filter($"user_id" === 7).count() === 0L)
+      // ...but its state is live: traffic resumes from the seeded totals
+      input.addData(Seq(EventStreams.UserEvent(7, 12, 0.01)))
+      q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table("seeded").as[EventStreams.UserTotals].collect()
       .map(t => t.user_id -> ((t.events, t.value_cents))).toMap
-    assert(rows(1L) === ((3L, 150L))) // 2+1 events, 100+50 cents
+    assert(rows(1L) === ((3L, 150L))) // latest snapshot (2, 100) + one event
     assert(rows(2L) === ((1L, 200L)))
+    assert(rows(7L) === ((6L, 1000L))) // seeded (5, 999) + one event
   }
 
   test("paged source streams new pages as micro-batches (page offset = R4 generator)") {
