@@ -128,6 +128,45 @@ object EventStreams {
       }
   }
 
+  /** [[runningUserTotals]] on the transformWithState API (Spark 4's
+    * StatefulProcessor): named state cells via the handle, explicit
+    * TimeMode/OutputMode at declaration, per-cell TTL support — the
+    * successor surface to mapGroupsWithState. Requires the RocksDB
+    * state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`); same fold, same results as
+    * the classic form (spec-asserted). */
+  class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserTotals] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      val prev = Option(totals.get()).getOrElse(UserTotals(key, 0L, 0L))
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserTotals(key, acc.events + 1,
+          acc.value_cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Session assembly via flatMapGroupsWithState: emits a row per
     * CLOSED session (gap exceeded) and keeps the open session in
     * state — the generator-style arbitrary-state API (0..n outputs per

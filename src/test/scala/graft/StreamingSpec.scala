@@ -97,6 +97,34 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Long]("value_cents") === 375L)
   }
 
+  test("transformWithState (StatefulProcessor) matches the classic fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.UserEvent]
+      val totals = EventStreams.runningUserTotalsTws(input.toDS())
+      val q = totals.toDF().writeStream.format("memory").queryName("tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(Seq(
+          EventStreams.UserEvent(1, 1, 1.00),
+          EventStreams.UserEvent(1, 2, 2.50)))
+        q.processAllAvailable()
+        input.addData(Seq(EventStreams.UserEvent(1, 3, 0.25)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("tws").filter($"user_id" === 1)
+        .orderBy($"events".desc).head()
+      assert(last.getAs[Long]("events") === 3L)
+      assert(last.getAs[Long]("value_cents") === 375L)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("mapGroupsWithState resumes from a seeded snapshot (batch-to-stream handoff)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
