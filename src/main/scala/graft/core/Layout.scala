@@ -26,11 +26,15 @@ object Layout {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
       .stripPrefix("file:")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
+    // the catalog lowercases unquoted identifiers, and a db-qualified
+    // managed table lives under <db>.db/<table> — mirror both, or the
+    // delete misses the real directory and the next saveAsTable still
+    // fails with LOCATION_ALREADY_EXISTS
+    val rel = name.toLowerCase.split('.') match {
+      case Array(db, tbl) => s"$db.db/$tbl"
+      case _ => name.toLowerCase
     }
-    rm(new java.io.File(warehouse, name))
+    Fs.deleteRecursively(new java.io.File(warehouse, rel))
   }
 
   /** Write `df` as a bucketed+sorted managed table. Spark's bucket

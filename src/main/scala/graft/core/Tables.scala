@@ -43,7 +43,11 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // FLOOR division, not `div` (which truncates toward zero): a
+      // pre-epoch ts_ns off a µs boundary must round down like
+      // DuckDB's ns→µs conversion, or boundary rows disagree
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -59,13 +59,29 @@ object Pipeline {
       col("p.pulse_info.created").as("pulse_created"),            // R13 :153
       col("p.pulse_info.modified").as("pulse_modified"),          // R13 :154
       col("p.indicator_count").as("indicator_count"),             // R15 :160-162
-      col("page").as("source_page")) // provenance: arrival order for last-wins ties
+      col("page").as("source_page"), // provenance: arrival order for last-wins ties
+      // intra-page position (final last-wins tiebreak; streams built
+      // outside the paged source may not carry it)
+      (if (raw.columns.contains("item")) col("item") else lit(0)).as("source_item"))
   }
 
   /** Validation predicate (R16, etl_connector.py:194-203): required
-    * fields present. */
-  def isValid: Column =
-    col("ingestion_timestamp").isNotNull && col("raw").isNotNull
+    * fields present AND the payload parses as a JSON object — the
+    * analog of the reference's per-doc required-field check. Without
+    * the parse term the gate is vacuous in real runs (ingestion ts is
+    * current_timestamp() and raw comes from a non-null source column),
+    * so malformed payloads would sail through as keyless rows.
+    * Detection goes through a corrupt-record probe: PERMISSIVE
+    * from_json yields an all-NULL row (not NULL) for bad records since
+    * Spark 3.3, so only the corrupt column tells parse failure from a
+    * legitimately empty object. */
+  def isValid: Column = {
+    val probeSchema = pulseSchema.add(StructField("_corrupt", StringType))
+    val parsed = from_json(col("raw"), probeSchema,
+      Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    col("ingestion_timestamp").isNotNull && col("raw").isNotNull &&
+      parsed.getField("_corrupt").isNull
+  }
 
   /** Validate (R16): split valid/quarantine instead of silently
     * dropping — the reference logs a warning per dropped doc
@@ -106,12 +122,14 @@ object Pipeline {
   def upsert(spark: SparkSession, batch: DataFrame, snapshotDir: String,
              key: String = "pulse_id", maxRecordsPerFile: Int = 0): Unit = {
     val fs = new java.io.File(snapshotDir)
-    // within a batch, arrival order = (ingestion ts, page) — the
-    // reference's sequential page loop means the later page wins ties
+    // within a batch, arrival order = (ingestion ts, page, item) — the
+    // reference's sequential page-then-item loop; without the item
+    // index, two same-key docs in ONE page tie on (ts, page) and the
+    // survivor depends on shuffle order
     val arrival: Seq[Column] =
-      if (batch.columns.contains("source_page"))
-        Seq(col("ingestion_timestamp"), col("source_page"))
-      else Seq(col("ingestion_timestamp"))
+      Seq(col("ingestion_timestamp")) ++
+        (if (batch.columns.contains("source_page")) Seq(col("source_page")) else Nil) ++
+        (if (batch.columns.contains("source_item")) Seq(col("source_item")) else Nil)
     val batchDeduped = lastWins(batch.withColumn("__gen", lit(1)), key, arrival)
     val merged =
       if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty) {
@@ -142,21 +160,22 @@ object Pipeline {
     deleteRecursively(old)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.core.Fs.deleteRecursively(f)
 
   /** Full run (reference main(), etl_connector.py:206-239): extract →
-    * transform → validate → upsert. Returns (validCount, quarantineCount). */
+    * transform → validate → upsert. Returns (validCount, quarantineCount).
+    * The TRANSFORMED frame is what gets cached: both the quarantine
+    * count and the upsert read it, so the source (with its retries and
+    * JSON parsing) is scanned once, not once per consumer. */
   def run(spark: SparkSession, fixtureDir: String, snapshotDir: String,
           cfg: EtlConfig): (Long, Long) = {
-    val (valid, quarantine) = validate(transform(extract(spark, fixtureDir, cfg), cfg))
-    val v = valid.cache()
-    val q = quarantine.count()
-    upsert(spark, v, snapshotDir, maxRecordsPerFile = cfg.batchSize)
-    val n = v.count()
-    v.unpersist()
-    (n, q)
+    val t = transform(extract(spark, fixtureDir, cfg), cfg).cache()
+    try {
+      val (valid, quarantine) = validate(t)
+      val q = quarantine.count()
+      upsert(spark, valid, snapshotDir, maxRecordsPerFile = cfg.batchSize)
+      (valid.count(), q)
+    } finally { t.unpersist(); () }
   }
 }

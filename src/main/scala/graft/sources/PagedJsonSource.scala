@@ -57,15 +57,29 @@ class PagedJsonSource extends TableProvider {
 object PagedJsonSource {
   val SCHEMA: StructType = StructType(Seq(
     StructField("raw_json", StringType, nullable = false),
-    StructField("page", IntegerType, nullable = false)))
+    StructField("page", IntegerType, nullable = false),
+    // position within the page — the intra-page arrival order the
+    // reference's sequential item loop implies; last-wins ties inside
+    // one page are deterministic only with this as the final tiebreak
+    StructField("item", IntegerType, nullable = false)))
 
-  /** Names of page files in fetch order; missing dir = no pages. */
-  def pageFiles(dir: String): Seq[java.io.File] = {
+  private val PageName = "page-(\\d+)\\.json".r
+
+  /** (file, page number) in page-number order; missing dir = no pages.
+    * Non-page files and numbers beyond Int range are IGNORED (one stray
+    * filename must not take down every scan and offset computation). */
+  def pages(dir: String): Seq[(java.io.File, Int)] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.getName.matches("page-\\d+\\.json"))
-      .sortBy(f => f.getName.stripPrefix("page-").stripSuffix(".json").toInt)
+      .flatMap(f => f.getName match {
+        case PageName(num) => num.toIntOption.map(f -> _)
+        case _ => None
+      })
+      .sortBy(_._2)
   }
+
+  /** Page files in fetch order (legacy shape of [[pages]]). */
+  def pageFiles(dir: String): Seq[java.io.File] = pages(dir).map(_._1)
 
   /** Envelope extraction (R7/R8, etl_connector.py:102-117): `results`,
     * else `pulses` (empty array counts as absent, like Python `or`),
@@ -77,8 +91,10 @@ object PagedJsonSource {
     if (root.isArray) root.elements().asScala.toSeq
     else nonEmptyArray(root.get("results"))
       .orElse(nonEmptyArray(root.get("pulses")))
-      .orElse(root.properties().asScala.map(_.getValue).find(_.isArray)
-        .map(_.elements().asScala.toSeq))
+      // the fallback honors the same empty≈absent rule: a present-but-
+      // empty `results` must not shadow a populated sibling array
+      .orElse(root.properties().asScala.map(_.getValue)
+        .collectFirst { case n if n.isArray && n.size() > 0 => n.elements().asScala.toSeq })
       .getOrElse(Seq.empty)
   }
 
@@ -156,6 +172,8 @@ class PagedJsonScan(options: CaseInsensitiveStringMap, pushedLimit: Int)
     val path = options.get("path")
     val perPage = options.getInt("perPage", 50)
     val maxPages = options.getInt("maxPages", 100)
+    require(perPage > 0, s"perPage ($perPage) must be positive")
+    require(maxPages >= 0, s"maxPages ($maxPages) must be >= 0")
     // A pushed limit may cap pages ONLY under the server contract that
     // every non-final page is full (the reference's `limit` query param
     // guarantees exactly that). Pages here are local fixtures with
@@ -166,8 +184,8 @@ class PagedJsonScan(options: CaseInsensitiveStringMap, pushedLimit: Int)
       if (pushedLimit == Int.MaxValue || !options.getBoolean("assumeFullPages", false))
         maxPages
       else math.min(maxPages, (pushedLimit + perPage - 1) / perPage)
-    PagedJsonSource.pageFiles(path).take(pageCap).zipWithIndex.map {
-      case (f, i) => PagedJsonPartition(f.getAbsolutePath, i): InputPartition
+    PagedJsonSource.pages(path).take(pageCap).map {
+      case (f, num) => PagedJsonPartition(f.getAbsolutePath, num): InputPartition
     }.toArray
   }
 
@@ -182,10 +200,16 @@ case class PagedJsonPartition(file: String, page: Int) extends InputPartition
 
 /** Streaming form of the paginated scan (reference R4's incremental
   * generator, SURVEY §2.1: "in streaming: a micro-batch source with
-  * page number as offset"). The offset IS the page counter: each
-  * trigger picks up pages that appeared since the last committed
-  * offset, one partition per new page — exactly-once via offset replay,
-  * no source-side state beyond the integer. */
+  * page number as offset"). The offset is the next PAGE NUMBER to
+  * read — a page IDENTITY, not a position in the current file
+  * listing: a positional offset replays the wrong files whenever the
+  * listing shifts between commits (an out-of-order page appearing
+  * below the committed offset, or a deleted page sliding later pages
+  * back into the committed range). Number-based offsets make replay
+  * exact under the producer contract the reference's sequential
+  * pagination implies: page numbers are appended monotonically; a
+  * page materializing BELOW the committed offset is skipped (and
+  * never duplicates committed data). */
 case class PagedJsonOffset(page: Int) extends streaming.Offset {
   override def json(): String = page.toString
 }
@@ -196,7 +220,8 @@ class PagedJsonMicroBatchStream(options: CaseInsensitiveStringMap)
   private val maxPages = options.getInt("maxPages", 100)
 
   override def latestOffset(): streaming.Offset =
-    PagedJsonOffset(math.min(PagedJsonSource.pageFiles(path).size, maxPages))
+    PagedJsonOffset(PagedJsonSource.pages(path)
+      .map(_._2 + 1).filter(_ <= maxPages).maxOption.getOrElse(0))
   override def initialOffset(): streaming.Offset = PagedJsonOffset(0)
   override def deserializeOffset(json: String): streaming.Offset =
     PagedJsonOffset(json.toInt)
@@ -205,9 +230,10 @@ class PagedJsonMicroBatchStream(options: CaseInsensitiveStringMap)
                                    end: streaming.Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PagedJsonOffset].page
     val e = end.asInstanceOf[PagedJsonOffset].page
-    PagedJsonSource.pageFiles(path).slice(s, e).zipWithIndex.map {
-      case (f, i) => PagedJsonPartition(f.getAbsolutePath, s + i): InputPartition
-    }.toArray
+    PagedJsonSource.pages(path)
+      .filter { case (_, num) => num >= s && num < e }
+      .map { case (f, num) => PagedJsonPartition(f.getAbsolutePath, num): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -246,11 +272,14 @@ class PagedJsonReader(p: PagedJsonPartition, maxRetries: Int, backoffMs: Long,
     }
   }
 
+  private var itemIdx = -1
+
   override def next(): Boolean = {
     if (items == null) items = fetchPage().iterator
     if (items.hasNext) {
       val node = items.next()
-      current = InternalRow(UTF8String.fromString(node.toString), p.page)
+      itemIdx += 1
+      current = InternalRow(UTF8String.fromString(node.toString), p.page, itemIdx)
       true
     } else false
   }

@@ -139,7 +139,7 @@ class EtlPipelineSpec extends SparkSpec {
       col("pulse_id"), lit(null).cast("string").as("pulse_created"),
       lit(null).cast("string").as("pulse_modified"),
       lit(null).cast("long").as("indicator_count"),
-      lit(99).as("source_page"))
+      lit(99).as("source_page"), lit(0).as("source_item"))
     Pipeline.upsert(spark, aligned, snap)
     val after3 = spark.read.parquet(snap)
     assert(after3.filter(col("pulse_id").isNotNull).count() === 5L)
@@ -166,6 +166,40 @@ class EtlPipelineSpec extends SparkSpec {
     assert(PagedJsonSource.extractItems(discovery).size === 1)
     val none = mapper.readTree("""{"meta": 1}""")
     assert(PagedJsonSource.extractItems(none).isEmpty)
+    // a present-but-EMPTY results must not shadow a populated sibling
+    // array in the discovery fallback (empty≈absent applies there too)
+    val shadowed = mapper.readTree("""{"results": [], "other": [{"a": 1}, {"a": 2}]}""")
+    assert(PagedJsonSource.extractItems(shadowed).size === 2)
+  }
+
+  test("intra-page duplicate keys: the LATER item wins deterministically (R18)") {
+    val dir = Files.createTempDirectory("graft-intra-page").toFile
+    val pages = new java.io.File(dir, "pages"); pages.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(pages, "page-0.json").toPath,
+      """{"results": [
+        {"id": 1, "pulse_info": {"name": "first", "id": 42}},
+        {"id": 1, "pulse_info": {"name": "second", "id": 42}}]}""")
+    val snap = dir.getAbsolutePath + "/snap"
+    // repartition widely so a nondeterministic tie would actually flip
+    val batch = Pipeline.transform(
+      Pipeline.extract(spark, pages.getAbsolutePath, cfg), cfg).repartition(7)
+    Pipeline.upsert(spark, batch, snap)
+    val row = spark.read.parquet(snap).filter(col("pulse_id") === 42L).collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[String]("pulse_name") === "second")
+  }
+
+  test("malformed payloads are quarantined, parseable keyless ones are not (R16)") {
+    val dir = Files.createTempDirectory("graft-malformed").toFile
+    val pages = new java.io.File(dir, "pages"); pages.mkdirs()
+    // a JSON ARRAY payload: items 1-2 are objects (one keyless), item 3
+    // is a bare scalar — not an object, fails the pulse parse
+    java.nio.file.Files.writeString(new java.io.File(pages, "page-0.json").toPath,
+      """[{"id": 1, "pulse_info": {"id": 7, "name": "ok"}}, {"note": "keyless"}, 5]""")
+    val (valid, quarantine) = Pipeline.validate(Pipeline.transform(
+      Pipeline.extract(spark, pages.getAbsolutePath, cfg), cfg))
+    assert(valid.count() === 2L)       // keyed + keyless object both pass
+    assert(quarantine.count() === 1L)  // the scalar fails the parse gate
   }
 
   test("withRetry backoff doubles (R3 exponential)") {

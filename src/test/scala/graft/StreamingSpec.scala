@@ -237,6 +237,34 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2), (5L, 2), (6L, 3)))         // provenance intact
   }
 
+  test("page-number offsets: late lower pages are skipped (never replayed), strays ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-identity").toFile
+    def writePage(n: String, items: String): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, s"page-$n.json").toPath, s"""{"results": [$items]}""")
+    writePage("1", """{"id": 11}""") // producer starts at 1 — no page-0 yet
+    // a stray over-Int filename must be ignored, not crash the listing
+    writePage("99999999999", """{"id": 666}""")
+    val stream = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("path", dir.getAbsolutePath).load()
+    val q = stream.writeStream.format("memory").queryName("paged_id")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("paged_id").count() === 1L) // page-1 only
+      // page-0 materializes BELOW the committed offset: skipped, and
+      // crucially page-1 is NOT replayed (the positional-offset bug)
+      writePage("0", """{"id": 10}""")
+      q.processAllAvailable()
+      assert(spark.table("paged_id").count() === 1L)
+      writePage("2", """{"id": 12}""")
+      q.processAllAvailable()
+      val rows = spark.table("paged_id")
+        .select(get_json_object(col("raw_json"), "$.id").cast("long")).collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(11L, 12L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionize emits closed sessions, keeps open state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.UserStamped]
