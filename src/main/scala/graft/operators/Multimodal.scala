@@ -78,15 +78,24 @@ object Multimodal {
 
   /** Frame sampling for video payloads: every k-th fixed-size window of
     * the byte stream becomes a "frame" payload. Pure column expressions
-    * over binary — no UDF. */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 32, everyK: Int = 4): DataFrame =
+    * over binary — no UDF. The INDEX sequence is exploded first and the
+    * frame sliced per emitted row: transforming content into a per-row
+    * array of frames would hold every sampled frame of a payload in
+    * memory at once (~frames × frameBytes per row — an executor OOM at
+    * exactly the large-blob scale this module targets). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32, everyK: Int = 4): DataFrame = {
+    require(frameBytes > 0 && everyK > 0,
+      s"frameBytes ($frameBytes) and everyK ($everyK) must be positive")
+    val stride = frameBytes * everyK
     media.filter(col("modality") === "video")
-      .select(col("media_id"),
-        posexplode(transform(
-          sequence(lit(0), (octet_length(col("content")) / lit(frameBytes * everyK)).cast("int")),
-          i => substring(col("content"), (i * frameBytes * everyK + 1).cast("int"), lit(frameBytes)))))
-      .toDF("media_id", "frame_idx", "frame")
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0),
+          (octet_length(col("content")) / lit(stride)).cast("int"))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        col("content").substr((col("frame_idx") * stride + 1).cast("int"),
+          lit(frameBytes)).as("frame"))
       .filter(octet_length(col("frame")) > 0)
+  }
 
   /** Embedding-cosine near-duplicate detection across media: features
     * from [[extractFeatures]] feed [[Similarity.cosineTopK]] — media

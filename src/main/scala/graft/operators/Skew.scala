@@ -30,6 +30,8 @@ object Skew {
     * (key, salt) regardless of duplicate volume. */
   def saltedAgg(df: DataFrame, keys: Seq[String], aggs: Map[String, String],
                 buckets: Int = 16): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive — pmod(x, 0) " +
+      "surfaces as an opaque mid-job DIVIDE_BY_ZERO under ANSI")
     val salt = pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).as("__salt")
     val partialAggs = aggs.toSeq.map {
       case (c, "sum")   => sum(col(c)).as(s"__p_$c")
@@ -61,6 +63,7 @@ object Skew {
     * dominates the big side. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
     // content hash, not position: deterministic under retries. Fully
     // byte-identical big-side rows share a salt; if THAT is the skew,
     // pre-aggregate duplicates (groupBy all columns + count) first.

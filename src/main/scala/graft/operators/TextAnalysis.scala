@@ -41,13 +41,16 @@ object TextAnalysis {
     *    proxy; REPLACE counts non-overlapping occurrences identically
     *    in every engine). */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val nospace = length(regexp_replace(col("text"), " ", ""))
-    val ntok    = tokenCountCol(col("text"))
+    val ntok = tokenCountCol(col("text"))
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_m"),
       ntok.as("n_tokens"),
-      expr("CAST(LENGTH(REPLACE(text, ' ', '')) * 1000 AS BIGINT) div (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)").as("awl_permille"),
+      // widen to BIGINT BEFORE the ×1000: a document with > ~2.1M
+      // non-space chars (routine in a crawl corpus) would overflow the
+      // 32-bit multiply — an ANSI ArithmeticException mid-job
+      expr("CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) * 1000" +
+        " div (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)").as("awl_permille"),
       ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))).cast("long") / lit(3)).cast("long").as("the_cnt"))
       .orderBy("doc_id")
   }

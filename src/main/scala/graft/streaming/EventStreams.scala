@@ -78,13 +78,18 @@ object EventStreams {
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserTotals(user_id: Long, events: Long, value_cents: Long)
 
+  /** One event's contribution to the running totals — the single copy
+    * of the cents-rounding rule, shared by the classic fold and the
+    * StatefulProcessor so their spec-asserted equivalence cannot
+    * drift. */
+  private def totalsStep(user: Long)(acc: UserTotals, e: UserEvent): UserTotals =
+    UserTotals(user, acc.events + 1,
+      acc.value_cents + math.floor(e.value * 100 + 0.5).toLong)
+
   private val foldTotals =
     (user: Long, batch: Iterator[UserEvent], state: GroupState[UserTotals]) => {
       val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L))
-      val next = batch.foldLeft(prev) { (acc, e) =>
-        UserTotals(user, acc.events + 1,
-          acc.value_cents + math.floor(e.value * 100 + 0.5).toLong)
-      }
+      val next = batch.foldLeft(prev)(totalsStep(user))
       state.update(next)
       next
     }
@@ -151,10 +156,7 @@ object EventStreams {
                                  timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[UserTotals] = {
       val prev = Option(totals.get()).getOrElse(UserTotals(key, 0L, 0L))
-      val next = rows.foldLeft(prev) { (acc, e) =>
-        UserTotals(key, acc.events + 1,
-          acc.value_cents + math.floor(e.value * 100 + 0.5).toLong)
-      }
+      val next = rows.foldLeft(prev)(totalsStep(key))
       totals.update(next)
       Iterator.single(next)
     }
@@ -179,6 +181,33 @@ object EventStreams {
   // public: ExpressionEncoder codegen needs accessible accessors
   case class OpenSession(events: Long, startMs: Long, lastMs: Long)
 
+  /** One sorted-event step of gap sessionization — the single shared
+    * copy for [[sessionize]] and [[sessionizeWithTimeout]] (their
+    * earlier private copies had already drifted a bug apiece).
+    * An event merges into the open session iff it lies within
+    * [start − gap, last + gap]:
+    *  - past last + gap → the open session closes, a new one opens
+    *    (the classic rule);
+    *  - inside the window → widen via min/max, never rewind lastMs
+    *    (a rewound lastMs makes the next on-time event split wrongly);
+    *  - BEFORE start − gap → DROPPED: the event predates the open
+    *    session's horizon. An unbounded lower edge would let one very
+    *    late event "merge" across an arbitrarily long internal
+    *    silence and rewind startMs — a session spanning a gap larger
+    *    than gapMs, violating the invariant. */
+  private def sessionStep(user: Long, t: Long, open: Option[OpenSession],
+                          closed: scala.collection.mutable.ArrayBuffer[SessionOut],
+                          gapMs: Long): Option[OpenSession] =
+    open match {
+      case Some(s) if t > s.lastMs + gapMs =>
+        closed += SessionOut(user, s.events, s.startMs, s.lastMs)
+        Some(OpenSession(1, t, t))
+      case Some(s) if t >= s.startMs - gapMs =>
+        Some(OpenSession(s.events + 1, math.min(s.startMs, t), math.max(s.lastMs, t)))
+      case Some(_) => open // too late for this session's horizon: drop
+      case None => Some(OpenSession(1, t, t))
+    }
+
   def sessionize(events: Dataset[UserStamped], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -188,21 +217,7 @@ object EventStreams {
           val sorted = batch.toSeq.sortBy(e => (e.ts_ms, e.event_id))
           var open = state.getOption
           val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
-                // min/max guards: a LATE in-gap event must widen the
-                // session, never rewind lastMs (a rewound lastMs makes
-                // the next on-time event split the session wrongly)
-                open = Some(OpenSession(s.events + 1,
-                  math.min(s.startMs, e.ts_ms), math.max(s.lastMs, e.ts_ms)))
-              case Some(s) =>
-                closed += SessionOut(user, s.events, s.startMs, s.lastMs)
-                open = Some(OpenSession(1, e.ts_ms, e.ts_ms))
-              case None =>
-                open = Some(OpenSession(1, e.ts_ms, e.ts_ms))
-            }
-          }
+          sorted.foreach(e => open = sessionStep(user, e.ts_ms, open, closed, gapMs))
           open.foreach(state.update)
           closed.iterator
       }
@@ -235,21 +250,11 @@ object EventStreams {
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var open = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  // never rewind on late in-gap events (see sessionize);
-                  // also keeps the timeout anchored at the TRUE last event
-                  open = Some(OpenSession(s.events + 1,
-                    math.min(s.startMs, t), math.max(s.lastMs, t)))
-                case Some(s) =>
-                  closed += SessionOut(user, s.events, s.startMs, s.lastMs)
-                  open = Some(OpenSession(1, t, t))
-                case None =>
-                  open = Some(OpenSession(1, t, t))
-              }
-            }
+            // shared step (see sessionStep): bounded merge window, no
+            // lastMs rewind — also keeps the timeout anchored at the
+            // TRUE last event
+            sorted.foreach(e =>
+              open = sessionStep(user, e.ts.getTime, open, closed, gapMs))
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + gapMs)
@@ -261,18 +266,41 @@ object EventStreams {
 
   /** Streaming ETL ingest: the full reference pipeline shape on a
     * stream — transform + validate per micro-batch, then foreachBatch
-    * does the upsert (≙ R17 micro-batching + R18 upsert). */
+    * does the upsert (≙ R17 micro-batching + R18 upsert).
+    *
+    * foreachBatch is at-least-once, and the sink is NOT idempotent
+    * across replays (keyless valid rows append per run — R19 — and the
+    * quarantine is append-mode), so the batchId guards replays: a
+    * marker file records the last completed batch and re-delivered
+    * batches are skipped. The unguarded window (crash between the
+    * writes and the marker) is the fallback's known gap — a
+    * transactional table format (Delta/Iceberg) closes it for real.
+    * The micro-batch is cached for its two consumers (upsert +
+    * quarantine append): unpersisted, each would re-run the transform
+    * and the validation parse over the source. */
   def etlStream(raw: DataFrame, cfg: graft.etl.EtlConfig, snapshotDir: String) = {
     val transformed = graft.etl.Pipeline.transform(raw, cfg)
     transformed.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // same contract as the batch pipeline: invalid rows are
-        // quarantined (reference logs each dropped doc, R16), never
-        // silently discarded
-        val (valid, quarantine) = graft.etl.Pipeline.validate(batch)
-        graft.etl.Pipeline.upsert(batch.sparkSession, valid, snapshotDir)
-        quarantine.write.mode("append").parquet(snapshotDir + ".quarantine")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(snapshotDir + ".batchid")
+        val done = marker.exists() &&
+          scala.util.Try(
+            java.nio.file.Files.readString(marker.toPath).trim.toLong).toOption
+            .exists(_ >= batchId)
+        if (!done) {
+          val b = batch.persist()
+          try {
+            // same contract as the batch pipeline: invalid rows are
+            // quarantined (reference logs each dropped doc, R16),
+            // never silently discarded
+            val (valid, quarantine) = graft.etl.Pipeline.validate(b)
+            graft.etl.Pipeline.upsert(b.sparkSession, valid, snapshotDir)
+            quarantine.write.mode("append").parquet(snapshotDir + ".quarantine")
+            java.nio.file.Files.writeString(marker.toPath, batchId.toString)
+            ()
+          } finally { b.unpersist(); () }
+        }
       }
   }
 }

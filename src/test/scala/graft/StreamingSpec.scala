@@ -312,6 +312,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.events === 4L && rows.head.end_ms === 80000L)
   }
 
+  test("event far before the session horizon is dropped, not merged (regression)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserStamped]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("fmgs_horizon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        EventStreams.UserStamped(1, 1, 100000L),
+        EventStreams.UserStamped(1, 2, 160000L)))
+      q.processAllAvailable()
+      // t=0 is before start - gap (40000): the old unbounded check
+      // "merged" it, rewinding the session across a 100s silence
+      input.addData(Seq(EventStreams.UserStamped(1, 3, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq(EventStreams.UserStamped(1, 4, 9000000L))) // close
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fmgs_horizon").as[EventStreams.SessionOut].collect()
+    assert(rows.length === 1)
+    assert(rows.head.events === 2L && rows.head.start_ms === 100000L)
+  }
+
   test("sessionizeWithTimeout flushes idle sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.TimedEvent]
