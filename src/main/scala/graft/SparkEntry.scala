@@ -345,11 +345,12 @@ object SparkEntry {
     "x28_variant" ->
       """SELECT event_id, CAST(props::JSON->>'k' AS BIGINT) AS k
          FROM events WHERE props LIKE '{"k": %}' ORDER BY event_id""",
+    // generated from the same PivotSources list the query pivots on —
+    // query and oracle cannot cover different source subsets
     "x27_pivot" ->
-      """SELECT lang,
-         COUNT(CASE WHEN source = 'src0' THEN 1 END) AS src0,
-         COUNT(CASE WHEN source = 'src1' THEN 1 END) AS src1,
-         COUNT(CASE WHEN source = 'src2' THEN 1 END) AS src2
+      s"""SELECT lang,
+         ${Relational.PivotSources.map(s =>
+           s"COUNT(CASE WHEN source = '$s' THEN 1 END) AS $s").mkString(",\n         ")}
          FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""",
     "x21_salted_agg" ->
       """SELECT l_returnflag,

@@ -29,25 +29,40 @@ final case class EtlConfig(
     batchSize: Int = 20,
     maxRetries: Int = 5,
     backoffMs: Long = 1000L) {
+  // ALL invariants fail at construction, not hours later mid-retry-loop:
+  // a negative backoff would reach Thread.sleep, a non-positive
+  // batchSize would silently disable the documented per-file bound
   require(apiKey.nonEmpty, "apiKey must be set (fail-fast, reference R2)")
+  require(perPage > 0, s"perPage ($perPage) must be positive")
+  require(maxPages >= 0, s"maxPages ($maxPages) must be >= 0")
+  require(batchSize > 0, s"batchSize ($batchSize) must be positive")
+  require(maxRetries >= 1, s"maxRetries ($maxRetries) must be >= 1")
+  require(backoffMs >= 0, s"backoffMs ($backoffMs) must be >= 0")
 }
 
 object EtlConfig {
-  /** Build from an env-style map with the reference's defaults;
-    * missing/empty api key aborts (R2). Empty CITY → None (R12's
-    * empty-string→null rule, etl_connector.py:142). */
+  /** Build from an env-style map, overriding only the keys present —
+    * the case class is the single source of defaults AND validation
+    * (fromEnv used to restate every default, so a changed default
+    * would silently not apply to env-built configs). Missing/empty api
+    * key aborts (R2). Empty CITY → None (R12's empty-string→null rule,
+    * etl_connector.py:142). Numeric parse failures name the variable. */
   def fromEnv(env: Map[String, String]): EtlConfig = {
     val key = env.getOrElse("OTX_API_KEY", "")
     require(key.nonEmpty, "OTX_API_KEY missing — aborting (reference R2)")
-    EtlConfig(
-      apiKey = key,
-      baseUrl = env.getOrElse("OTX_BASE_URL", "https://otx.alienvault.com/api/v1"),
-      connectorName = env.getOrElse("CONNECTOR_NAME", "otx_pulses_connector"),
-      city = env.get("CITY").filter(_.nonEmpty),
-      perPage = env.getOrElse("PER_PAGE", "50").toInt,
-      maxPages = env.getOrElse("MAX_PAGES", "100").toInt,
-      batchSize = env.getOrElse("BATCH_SIZE", "20").toInt,
-      maxRetries = env.getOrElse("MAX_RETRIES", "5").toInt,
-      backoffMs = env.getOrElse("BACKOFF_MS", "1000").toLong)
+    def num[T](name: String, parse: String => T): Option[T] =
+      env.get(name).map(v => try parse(v) catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(s"$name: not a number: '$v'", e)
+      })
+    val base = EtlConfig(apiKey = key, city = env.get("CITY").filter(_.nonEmpty))
+    base.copy(
+      baseUrl = env.getOrElse("OTX_BASE_URL", base.baseUrl),
+      connectorName = env.getOrElse("CONNECTOR_NAME", base.connectorName),
+      perPage = num("PER_PAGE", _.toInt).getOrElse(base.perPage),
+      maxPages = num("MAX_PAGES", _.toInt).getOrElse(base.maxPages),
+      batchSize = num("BATCH_SIZE", _.toInt).getOrElse(base.batchSize),
+      maxRetries = num("MAX_RETRIES", _.toInt).getOrElse(base.maxRetries),
+      backoffMs = num("BACKOFF_MS", _.toLong).getOrElse(base.backoffMs))
   }
 }

@@ -15,32 +15,43 @@ import org.apache.spark.sql.functions.udaf
   */
 object VectorAgg {
 
-  case class AvgBuf(sums: Array[Double], n: Long)
+  /** Per-ELEMENT counts, not one vector count: for ragged
+    * (mixed-length) inputs — which reduce/merge deliberately accept —
+    * an element absent from shorter vectors must average over only the
+    * vectors that HAVE it, not be deflated as if the missing entries
+    * were zeros. Fixed-dimension groups (the common case) behave
+    * identically to a single count. */
+  case class AvgBuf(sums: Array[Double], counts: Array[Long])
 
   class VectorAvg extends Aggregator[Array[Float], AvgBuf, Array[Double]] {
-    override def zero: AvgBuf = AvgBuf(Array.emptyDoubleArray, 0L)
+    override def zero: AvgBuf = AvgBuf(Array.emptyDoubleArray, Array.emptyLongArray)
 
     override def reduce(b: AvgBuf, v: Array[Float]): AvgBuf = {
       if (v == null) return b
-      val sums = if (b.sums.length >= v.length) b.sums
-                 else java.util.Arrays.copyOf(b.sums, v.length)
+      val n = math.max(b.sums.length, v.length)
+      val sums = if (b.sums.length >= n) b.sums else java.util.Arrays.copyOf(b.sums, n)
+      val counts = if (b.counts.length >= n) b.counts else java.util.Arrays.copyOf(b.counts, n)
       var i = 0
-      while (i < v.length) { sums(i) += v(i); i += 1 }
-      AvgBuf(sums, b.n + 1)
+      while (i < v.length) { sums(i) += v(i); counts(i) += 1; i += 1 }
+      AvgBuf(sums, counts)
     }
 
     override def merge(a: AvgBuf, b: AvgBuf): AvgBuf = {
-      if (a.n == 0) return b
-      if (b.n == 0) return a
+      if (a.sums.isEmpty) return b
+      if (b.sums.isEmpty) return a
       val (big, small) = if (a.sums.length >= b.sums.length) (a, b) else (b, a)
       val sums = big.sums.clone()
+      val counts = big.counts.clone()
       var i = 0
-      while (i < small.sums.length) { sums(i) += small.sums(i); i += 1 }
-      AvgBuf(sums, a.n + b.n)
+      while (i < small.sums.length) {
+        sums(i) += small.sums(i); counts(i) += small.counts(i); i += 1
+      }
+      AvgBuf(sums, counts)
     }
 
     override def finish(b: AvgBuf): Array[Double] =
-      if (b.n == 0) Array.emptyDoubleArray else b.sums.map(_ / b.n)
+      Array.tabulate(b.sums.length)(i =>
+        if (b.counts(i) == 0) 0.0 else b.sums(i) / b.counts(i))
 
     override def bufferEncoder: Encoder[AvgBuf] = Encoders.product[AvgBuf]
     override def outputEncoder: Encoder[Array[Double]] =

@@ -23,7 +23,9 @@ import graft.core.Tables
 object Relational {
 
   /** Exact integer cents: FLOOR on IEEE doubles is bit-identical across
-    * engines, unlike double→int casts (Spark truncates, DuckDB rounds). */
+    * engines, unlike double→int casts (Spark truncates, DuckDB rounds).
+    * The ONE spelling of the determinism-critical formula — every query
+    * must use it (three inline copies had crept in). */
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100 + 0.5).cast("long")
 
@@ -275,7 +277,7 @@ object Relational {
       .filter(col("l_orderkey") < 100)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        abs(floor(col("l_discount") * 100 + 0.5)).cast("long").as("disc_c"),
+        abs(cents(col("l_discount"))).as("disc_c"),
         trunc(col("l_shipdate").cast("date"), "month").as("ship_month"),
         concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("rf_ls"),
         regexp_replace(upper(col("l_returnflag")), "R", "X").as("rf_x"),
@@ -313,20 +315,26 @@ object Relational {
     Tables.documents(s, d)
       .groupBy("lang")
       .agg(
-        floor(expr("percentile(n_chars, 0.5)") * 100 + 0.5).cast("long").as("p50_c"),
-        floor(expr("percentile(n_chars, 0.9)") * 100 + 0.5).cast("long").as("p90_c"))
+        cents(expr("percentile(n_chars, 0.5)")).as("p50_c"),
+        cents(expr("percentile(n_chars, 0.9)")).as("p90_c"))
       .orderBy(col("lang").asc_nulls_first)
 
-  /** Pivot: per-language counts fanned out to one column per source.
-    * Fixed pivot value list (deterministic schema — at scale an
-    * unpinned pivot triggers a distinct-scan of the pivot column);
-    * missing cells filled 0 to match COUNT(CASE ...) semantics. */
+  /** The documents table's full source domain — shared by the pivot
+    * query and its generated oracle so neither can silently cover a
+    * subset of the fan-out. */
+  val PivotSources: Seq[String] = (0 until 20).map(i => s"src$i")
+
+  /** Pivot: per-language counts fanned out to one column per source —
+    * ALL sources, not a sample. Fixed pivot value list (deterministic
+    * schema — at scale an unpinned pivot triggers a distinct-scan of
+    * the pivot column); missing cells filled 0 to match
+    * COUNT(CASE ...) semantics. */
   def pivotCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .groupBy("lang")
-      .pivot("source", Seq("src0", "src1", "src2"))
+      .pivot("source", PivotSources)
       .agg(count(lit(1)))
-      .na.fill(0L, Seq("src0", "src1", "src2"))
+      .na.fill(0L, PivotSources)
       .orderBy(col("lang").asc_nulls_first)
 
   /** Backward as-of join: each order picks the latest event of the
@@ -335,13 +343,7 @@ object Relational {
     * [[graft.operators.AsOfJoin]]: one shuffle + sort, no range
     * explosion. */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
-    val left = Tables.orders(s, d).select(
-      col("o_orderkey"), col("o_custkey").as("k"),
-      // NTZ → LTZ cast is identity under the pinned UTC session TZ
-      (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t"))
-    val right = Tables.events(s, d).select(
-      col("user_id").as("k"), col("ts_ns").as("t"),
-      col("event_id"))
+    val (left, right) = asofInputs(s, d)
     graft.operators.AsOfJoin.backward(
       left, right, key = "k", leftTime = "t", rightTime = "t",
       rightCols = Seq("event_id"), tieBreak = Some("event_id"))

@@ -24,6 +24,21 @@ class EtlPipelineSpec extends SparkSpec {
     assert(c.city.isEmpty)
   }
 
+  test("config: numeric invariants fail at construction, parse errors name the var") {
+    intercept[IllegalArgumentException] { EtlConfig(apiKey = "k", backoffMs = -1L) }
+    intercept[IllegalArgumentException] { EtlConfig(apiKey = "k", batchSize = 0) }
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map("OTX_API_KEY" -> "k", "BACKOFF_MS" -> "-5"))
+    }
+    val e = intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map("OTX_API_KEY" -> "k", "PER_PAGE" -> "abc"))
+    }
+    assert(e.getMessage.contains("PER_PAGE"))
+    // overriding one key keeps the class defaults for the rest
+    val c = EtlConfig.fromEnv(Map("OTX_API_KEY" -> "k", "PER_PAGE" -> "7"))
+    assert(c.perPage === 7 && c.maxPages === 100 && c.batchSize === 20)
+  }
+
   test("extract reads every envelope shape (R4, R7, R8)") {
     val df = Pipeline.extract(spark, fixtures, cfg)
     // 3 + 2 + 1 + 1 + 0 items across the five fixture pages

@@ -128,6 +128,18 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).getSeq[Double](1) === Seq(10.0, 20.0))
   }
 
+  test("vec_avg averages ragged inputs per ELEMENT, not over the vector count") {
+    VectorAgg.register(spark)
+    val df = Seq(
+      (0, Array(2.0f)),
+      (0, Array(4.0f, 6.0f))
+    ).toDF("label", "embedding")
+    val out = df.groupBy("label").agg(expr("vec_avg(embedding)").as("c")).head()
+    // element 0 over both vectors; element 1 over the ONE vector that
+    // has it (the old single-count form deflated it to 3.0)
+    assert(out.getSeq[Double](1) === Seq(3.0, 6.0))
+  }
+
   test("vec_avg merge is partition-invariant") {
     VectorAgg.register(spark)
     val data = (1 to 100).map(i => (i % 3, Array.tabulate(8)(j => (i * j).toFloat)))
