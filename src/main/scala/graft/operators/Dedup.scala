@@ -39,18 +39,53 @@ object Dedup {
   /** Caches currently held (visible for tests / monitoring). */
   def liveCacheCount: Int = liveCaches.size()
 
-  /** Unpersist every cache the dedup operators have created and return
-    * how many were released. Call after materializing results; calling
-    * mid-query is safe — Spark just recomputes the stages that would
-    * have hit the cache. `blocking = true` waits for block removal —
-    * use it when the caller needs cleanup cost fenced off from
-    * whatever runs next (e.g. between timed benchmark queries). */
+  /** `localCheckpoint` blocks that back RETURNED results (currently:
+    * the final round of [[connectedComponents]]). Unlike [[liveCaches]]
+    * these are NOT recomputable — a local checkpoint truncates lineage,
+    * so the blocks must outlive every read of the result. They are
+    * registered here and released by [[releaseCaches]], which callers
+    * invoke only after materializing (collect/write) what they need. */
+  private val liveCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Checkpoint block sets currently held (tests / monitoring). */
+  def liveCheckpointCount: Int = liveCheckpoints.size()
+
+  /** RDD ids the most recent [[connectedComponents]] call checkpointed,
+    * in round order (test hook: proves every round but the last was
+    * unpersisted before the operator returned). */
+  @volatile private[graft] var lastFixpointCheckpointIds: Seq[Int] = Nil
+
+  /** Unpersist every cache and checkpoint the dedup operators have
+    * created and return how many were released. Call after
+    * materializing results. For plain caches, calling mid-query is
+    * safe — Spark just recomputes the stages that would have hit the
+    * cache; checkpoint blocks however are the ONLY copy of their data
+    * (lineage is truncated), so release them strictly after the last
+    * read. `blocking = true` waits for block removal — use it when the
+    * caller needs cleanup cost fenced off from whatever runs next
+    * (e.g. between timed benchmark queries). */
   def releaseCaches(blocking: Boolean = false): Int = {
     var n = 0
     var c = liveCaches.poll()
     while (c != null) { c.unpersist(blocking); n += 1; c = liveCaches.poll() }
+    var r = liveCheckpoints.poll()
+    while (r != null) { r.unpersist(blocking); n += 1; r = liveCheckpoints.poll() }
     n
   }
+
+  /** The materialized RDD behind an eager `localCheckpoint()`ed
+    * DataFrame — its logical plan is a `LogicalRDD` over the
+    * checkpointed blocks. Dataset.unpersist only talks to the SQL
+    * CacheManager, so this handle is the only way to free checkpoint
+    * blocks deterministically (instead of waiting for the
+    * ContextCleaner to GC the RDD). */
+  private def checkpointRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      case other => throw new IllegalStateException(
+        s"expected a checkpointed LogicalRDD plan, got ${other.getClass.getName}")
+    }
 
   /** Row-level exact dedup on explicit keys — the thin built-in form
     * (`dropDuplicates`): keeps an arbitrary row per key, one shuffle.
@@ -221,42 +256,85 @@ object Dedup {
     * persist alone keeps the LOGICAL plan nesting (it doubles per
     * round — by round 25 the analyzed plan itself OOMs the driver),
     * while the checkpoint truncates lineage to the materialized
-    * blocks. On a real cluster swap in reliable `checkpoint` if
-    * executor loss during the fixpoint must be recoverable. Fails
-    * loudly if maxIter rounds do not converge rather than returning
-    * partial labels.
+    * blocks. The fixpoint's storage footprint is O(1) rounds: as soon
+    * as round k materializes (the convergence `count()` forces it),
+    * round k−1's blocks can never be read again and are unpersisted
+    * immediately; the edge cache is released on exit; only the FINAL
+    * round's blocks survive the call — they back the returned
+    * DataFrame and are registered for [[releaseCaches]]. On a real
+    * cluster swap in reliable `checkpoint` if executor loss during the
+    * fixpoint must be recoverable. Fails loudly if maxIter rounds do
+    * not converge rather than returning partial labels.
+    *
+    * Each round also POINTER-JUMPS (path halving): after adopting the
+    * neighborhood minimum, every node adopts its new label's own label
+    * from the previous round — `label ← prev(label)`. Labels only
+    * decrease and always name a node inside the same component, so
+    * correctness is untouched, but the minimum now travels ~2 hops per
+    * round on chain-shaped clusters: rounds drop from O(diameter) to
+    * ~O(log diameter) at the cost of one extra equi-join per round.
     *
     * @return (doc_id, cluster_id) for every doc appearing in a pair,
     *         cluster_id = min doc id reachable in the pair graph. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = registerCache(
-      pairs.select(col("da").as("src"), col("db").as("dst"))
-        .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
-        .distinct())
-    var labels = edges.select(col("src").as("node")).distinct()
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var current = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    var currentRdd = checkpointRdd(current)
+    val ckIds = Seq.newBuilder[Int]
+    ckIds += currentRdd.id
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
-        .groupBy("dst").agg(min("label").as("nbr"))
-      // the OLD label rides along so convergence is a filter-count on
-      // the just-materialized round, not a third join
-      val round = labels
-        .join(nbrMin.select(col("dst").as("node"), col("nbr")), Seq("node"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
-      changed = round.filter(col("label") =!= col("old")).count()
-      labels = round.select("node", "label")
-      iter += 1
+    try {
+      while (changed > 0 && iter < maxIter) {
+        val labels = current.select("node", "label")
+        val nbrMin = edges
+          .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+          .groupBy("dst").agg(min("label").as("nbr"))
+        // the OLD label rides along so convergence is a filter-count on
+        // the just-materialized round, not a third join
+        val stepped = labels
+          .join(nbrMin.select(col("dst").as("node"), col("nbr")), Seq("node"), "left")
+          .select(col("node"), col("label").as("old"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        // pointer jump: label ← prev(label). Every label value is a
+        // node id (min over node ids), so the lookup always resolves;
+        // left join + coalesce keeps the row if it somehow didn't.
+        val round = stepped
+          .join(labels.select(col("node").as("jnode"), col("label").as("jlabel")),
+            col("label") === col("jnode"), "left")
+          .select(col("node"), col("old"),
+            least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
+          .localCheckpoint() // eager: materializes AND truncates lineage
+        val roundRdd = checkpointRdd(round)
+        ckIds += roundRdd.id
+        changed = round.filter(col("label") =!= col("old")).count()
+        // round k is materialized — round k−1's blocks are unreachable
+        // from here on; free them now instead of leaking one label-table
+        // generation per round until the ContextCleaner GCs them
+        currentRdd.unpersist(blocking = false)
+        current = round
+        currentRdd = roundRdd
+        iter += 1
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
+          "(diameter of the pair graph exceeds the bound); refusing to return partial labels")
+    } catch {
+      // failure path: the in-flight round's blocks back nothing visible
+      case t: Throwable => currentRdd.unpersist(blocking = false); throw t
+    } finally {
+      edges.unpersist(blocking = false)
+      lastFixpointCheckpointIds = ckIds.result()
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
-        "(diameter of the pair graph exceeds the bound); refusing to return partial labels")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // the final round's blocks back the returned DataFrame — hold them
+    // until the caller materializes and calls releaseCaches()
+    liveCheckpoints.add(currentRdd)
+    current.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id", "cluster_id")
   }
 

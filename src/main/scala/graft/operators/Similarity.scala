@@ -125,7 +125,28 @@ object Similarity {
     * a candidate iff its signatures differ in ≤ maxFlips bits — recall
     * of a (maxFlips+1)-table union for the join cost of masks·n probe
     * rows, without re-hashing the corpus. */
+  /** Hard ceiling on Σ_{i≤maxFlips} C(numPlanes, i): every mask both
+    * lives on the driver AND multiplies one side of the probe join, so
+    * an unbounded count (numPlanes=30, multiProbe=10 ⇒ ~30M masks) is
+    * a driver OOM plus an executor row explosion from one mis-tuning.
+    * Past this bound the cheap recall knob is more TABLES (disjoint
+    * plane families, linear cost), not more flips (combinatorial). */
+  private[graft] val MaxProbeMasks = 4096L
+
   private[graft] def probeMasks(numPlanes: Int, maxFlips: Int): Seq[Long] = {
+    // closed-form count first — fail fast BEFORE materializing anything
+    var total = 0L
+    var c = 1L
+    for (i <- 0 to maxFlips) {
+      total += c
+      require(total <= MaxProbeMasks,
+        s"multi-probe over $numPlanes planes with $maxFlips flips generates " +
+          s"> $MaxProbeMasks masks; each mask multiplies the probe side of the " +
+          "bucket join. Cap the flip count (≤ 2–3 is the useful range) and add " +
+          "recall with numTables — extra plane families cost LINEAR probe rows, " +
+          "extra flips cost combinatorial ones")
+      c = c * (numPlanes - i) / (i + 1)
+    }
     def combos(from: Int, choose: Int): Seq[Long] =
       if (choose == 0) Seq(0L)
       else (from until numPlanes).flatMap(b => combos(b + 1, choose - 1).map(_ | (1L << b)))

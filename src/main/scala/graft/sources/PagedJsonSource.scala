@@ -180,13 +180,23 @@ class PagedJsonScan(options: CaseInsensitiveStringMap, pushedLimit: Int)
     // arbitrary item counts, so the cap is opt-in: without
     // assumeFullPages, skipping pages could under-return LIMIT rows
     // (pushLimit returns false — Spark still expects the full set).
-    val pageCap =
+    val limitPages =
       if (pushedLimit == Int.MaxValue || !options.getBoolean("assumeFullPages", false))
-        maxPages
-      else math.min(maxPages, (pushedLimit + perPage - 1) / perPage)
-    PagedJsonSource.pages(path).take(pageCap).map {
-      case (f, num) => PagedJsonPartition(f.getAbsolutePath, num): InputPartition
-    }.toArray
+        Int.MaxValue
+      else (pushedLimit + perPage - 1) / perPage
+    // maxPages caps by PAGE NUMBER (num < maxPages) — the same rule the
+    // streaming offset applies — so with gapped or non-zero-based page
+    // numbering, batch and streaming read the IDENTICAL page set. (A
+    // count-based take() read pages numbered >= maxPages that the
+    // stream would never emit.) The pushed-limit cap stays a COUNT of
+    // pages: under assumeFullPages the first k surviving pages hold
+    // the LIMIT rows regardless of their numbers.
+    PagedJsonSource.pages(path)
+      .filter { case (_, num) => num < maxPages }
+      .take(limitPages)
+      .map {
+        case (f, num) => PagedJsonPartition(f.getAbsolutePath, num): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

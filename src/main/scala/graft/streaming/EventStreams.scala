@@ -190,11 +190,14 @@ object EventStreams {
     *    (the classic rule);
     *  - inside the window → widen via min/max, never rewind lastMs
     *    (a rewound lastMs makes the next on-time event split wrongly);
-    *  - BEFORE start − gap → DROPPED: the event predates the open
-    *    session's horizon. An unbounded lower edge would let one very
-    *    late event "merge" across an arbitrarily long internal
-    *    silence and rewind startMs — a session spanning a gap larger
-    *    than gapMs, violating the invariant. */
+    *  - BEFORE start − gap → emitted as its own ALREADY-CLOSED
+    *    singleton session. It can never merge with the open session
+    *    (an unbounded lower edge would let one very late event
+    *    "merge" across an arbitrarily long internal silence and
+    *    rewind startMs — a session spanning a gap larger than gapMs,
+    *    violating the invariant), but under session-window semantics
+    *    it still constitutes a session of its own; dropping it would
+    *    lose the event from session analytics entirely. */
   private def sessionStep(user: Long, t: Long, open: Option[OpenSession],
                           closed: scala.collection.mutable.ArrayBuffer[SessionOut],
                           gapMs: Long): Option[OpenSession] =
@@ -204,7 +207,9 @@ object EventStreams {
         Some(OpenSession(1, t, t))
       case Some(s) if t >= s.startMs - gapMs =>
         Some(OpenSession(s.events + 1, math.min(s.startMs, t), math.max(s.lastMs, t)))
-      case Some(_) => open // too late for this session's horizon: drop
+      case Some(_) => // too late for this session's horizon: its own closed singleton
+        closed += SessionOut(user, 1, t, t)
+        open
       case None => Some(OpenSession(1, t, t))
     }
 
@@ -272,9 +277,15 @@ object EventStreams {
     * across replays (keyless valid rows append per run — R19 — and the
     * quarantine is append-mode), so the batchId guards replays: a
     * marker file records the last completed batch and re-delivered
-    * batches are skipped. The unguarded window (crash between the
-    * writes and the marker) is the fallback's known gap — a
-    * transactional table format (Delta/Iceberg) closes it for real.
+    * batches are skipped. The marker is written via temp file +
+    * atomic rename so a crash mid-write can never leave a torn
+    * marker that parses as "not done" and double-applies a completed
+    * batch. The marker is a LOCAL-FILESYSTEM guard: it protects
+    * restarts on the same machine with a local snapshot path only
+    * (object stores lack atomic rename). The unguarded window (crash
+    * between the two sink writes and the marker) remains — a
+    * transactional table format (Delta/Iceberg) closes both gaps for
+    * real.
     * The micro-batch is cached for its two consumers (upsert +
     * quarantine append): unpersisted, each would re-run the transform
     * and the validation parse over the source. */
@@ -297,7 +308,14 @@ object EventStreams {
             val (valid, quarantine) = graft.etl.Pipeline.validate(b)
             graft.etl.Pipeline.upsert(b.sparkSession, valid, snapshotDir)
             quarantine.write.mode("append").parquet(snapshotDir + ".quarantine")
-            java.nio.file.Files.writeString(marker.toPath, batchId.toString)
+            // temp + atomic rename: the marker is either absent or the
+            // complete previous/new value, never a torn prefix
+            val tmp = java.nio.file.Files.createTempFile(
+              marker.getAbsoluteFile.getParentFile.toPath, ".batchid", ".tmp")
+            java.nio.file.Files.writeString(tmp, batchId.toString)
+            java.nio.file.Files.move(tmp, marker.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             ()
           } finally { b.unpersist(); () }
         }

@@ -71,6 +71,41 @@ class DedupSpec extends SparkSpec {
     assert(out.values.forall(_ == 1L))
   }
 
+  test("connected components: pointer-jumping converges a long chain in few rounds") {
+    // a 40-node path has diameter 39; pure hash-min needs ~39 rounds.
+    // With path halving the min label travels ~2× per round, so the
+    // default maxIter=20 must suffice — this FAILS (non-convergence
+    // require) if the pointer-jump step is ever dropped.
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("da", "db")
+    val out = Dedup.connectedComponents(pairs) // default maxIter = 20
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 40)
+    assert(out.values.forall(_ == 1L))
+  }
+
+  test("connected components: fixpoint storage is O(1) rounds, empty after release") {
+    val sc = spark.sparkContext
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    val out = Dedup.connectedComponents(pairs, maxIter = 15)
+    out.collect()
+    // every round was localCheckpoint'ed; ids are recorded in round
+    // order (attribution by id is race-free vs parallel suites, unlike
+    // diffing the global persistent-RDD registry)
+    val ids = Dedup.lastFixpointCheckpointIds
+    assert(ids.size >= 3) // diameter-11 chain: several genuine rounds
+    val persisted = sc.getPersistentRDDs.keySet
+    // intermediate rounds were unpersisted DURING the run — only the
+    // final round's blocks (backing `out`) may still be held
+    assert(ids.init.forall(id => !persisted.contains(id)),
+      s"intermediate fixpoint rounds leaked blocks: ${ids.init.filter(persisted.contains)}")
+    assert(Dedup.liveCheckpointCount >= 1)
+    Dedup.releaseCaches(blocking = true)
+    val after = sc.getPersistentRDDs.keySet
+    assert(ids.forall(id => !after.contains(id)),
+      s"fixpoint blocks survived releaseCaches: ${ids.filter(after.contains)}")
+    assert(Dedup.liveCheckpointCount === 0)
+  }
+
   test("releaseCaches unpersists every dedup-created cache") {
     // parallel suites may register dedup caches of their own, so the
     // assertions are on deltas, not on a global count of zero

@@ -69,6 +69,22 @@ class EtlPipelineSpec extends SparkSpec {
     assert(df.count() === 3L) // only page-0
   }
 
+  test("maxPages caps by PAGE NUMBER in batch, matching the streaming offset (regression)") {
+    // gapped, non-zero-based numbering: pages 5 and 7. The streaming
+    // offset admits pages numbered < maxPages; the batch scan must
+    // apply the same rule (a count-based take() read the first
+    // maxPages FILES, so batch returned page 7 here while streaming
+    // never would — the two forms of one source disagreed).
+    val dir = Files.createTempDirectory("gapped_pages").toFile
+    Files.writeString(new java.io.File(dir, "page-5.json").toPath,
+      """{"results": [{"id": "a5", "name": "n5"}]}""")
+    Files.writeString(new java.io.File(dir, "page-7.json").toPath,
+      """{"results": [{"id": "a7", "name": "n7"}]}""")
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", dir.getAbsolutePath).option("maxPages", 6).load()
+    assert(df.select("page").collect().map(_.getInt(0)).toSeq === Seq(5))
+  }
+
   test("retry with backoff recovers from transient failures (R3)") {
     val df = spark.read.format("graft.sources.PagedJsonSource")
       .option("path", fixtures).option("failFirstN", 2)

@@ -59,6 +59,18 @@ class RecallSpec extends SparkSpec {
       java.lang.Long.bitCount(m) <= 2 && m < (1L << 16)))
   }
 
+  test("multi-probe mask count is bounded — mis-tuning fails fast, not OOM") {
+    // numPlanes=30, maxFlips=10 would be ~30M masks on the driver and a
+    // 30M× probe-row explosion; the guard must trip BEFORE enumerating
+    val e = intercept[IllegalArgumentException] {
+      Similarity.probeMasks(30, 10)
+    }
+    assert(e.getMessage.contains("numTables"))
+    // the bound is on the mask COUNT, not the flip count: wide flips
+    // over few planes stay legal
+    assert(Similarity.probeMasks(6, 6).length === 64)
+  }
+
   test("pairRecall: empty exact set is vacuously complete; partial hit counted") {
     import spark.implicits._
     val exact = Seq((1L, 2L), (3L, 4L)).toDF("da", "db")

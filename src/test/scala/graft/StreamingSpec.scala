@@ -312,7 +312,7 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.events === 4L && rows.head.end_ms === 80000L)
   }
 
-  test("event far before the session horizon is dropped, not merged (regression)") {
+  test("event far before the session horizon closes as a singleton, never merges (regression)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.UserStamped]
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000L)
@@ -323,16 +323,21 @@ class StreamingSpec extends SparkSpec {
         EventStreams.UserStamped(1, 1, 100000L),
         EventStreams.UserStamped(1, 2, 160000L)))
       q.processAllAvailable()
-      // t=0 is before start - gap (40000): the old unbounded check
-      // "merged" it, rewinding the session across a 100s silence
+      // t=0 is before start - gap (40000): the original unbounded check
+      // "merged" it, rewinding the session across a 100s silence; a
+      // later revision DROPPED it, losing the event from session
+      // analytics. Correct: it is its own already-closed singleton.
       input.addData(Seq(EventStreams.UserStamped(1, 3, 0L)))
       q.processAllAvailable()
       input.addData(Seq(EventStreams.UserStamped(1, 4, 9000000L))) // close
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table("fmgs_horizon").as[EventStreams.SessionOut].collect()
-    assert(rows.length === 1)
-    assert(rows.head.events === 2L && rows.head.start_ms === 100000L)
+      .sortBy(_.start_ms)
+    assert(rows.length === 2)
+    // the too-late event: a closed singleton, open session untouched
+    assert(rows(0).events === 1L && rows(0).start_ms === 0L && rows(0).end_ms === 0L)
+    assert(rows(1).events === 2L && rows(1).start_ms === 100000L)
   }
 
   test("sessionizeWithTimeout flushes idle sessions when the watermark passes") {
