@@ -70,6 +70,13 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id", "lang")),
     "x36_heavy_hitters"   -> ((s, d) =>
       TextAnalysis.heavyHitters(Tables.documents(s, d), minCount = 500L)),
+    // sketch twin of x36: same bar, estimated counts (CMS is one-sided:
+    // superset of the exact result, overshoot ≤ ε·N). Estimates are
+    // sketch-seed-specific → rows-only driver check (rule 6); the ε
+    // bound is spec-asserted against x36's exact counts.
+    "x37_heavy_hitters_cms" -> ((s, d) =>
+      TextAnalysis.heavyHittersCms(Tables.documents(s, d), minCount = 500L,
+        eps = 0.0001, confidence = 0.99)),
     "x09_cosine_topk"     -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -474,8 +481,8 @@ object SparkEntry {
          GROUP BY tok HAVING COUNT(*) >= 500 ORDER BY tok, n""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
-    // sketch. Excluded from cross-engine hashing per SURVEY §2.4 rule 6;
-    // covered by Spark-side golden specs instead.
+    // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
+    // per SURVEY §2.4 rule 6; covered by Spark-side golden specs instead.
   )
 
   /** Full cross-engine replication of [[graft.operators.Dedup.minHashLsh]]

@@ -518,6 +518,63 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count-min-sketch point query: `cms_estimate(tok, sketchBytes)`
+  * returns the sketch's estimated count for the token. The sketch
+  * rides in as a BINARY LITERAL (the serialized form of
+  * `org.apache.spark.util.sketch.CountMinSketch`) so the expression
+  * works through the plain function registry — it deserializes once
+  * per task (transient lazy) and each row pays only the d hash+array
+  * probes of a CMS lookup, inside whole-stage codegen.
+  *
+  * This is the scan-side half of the sketch heavy-hitters pattern
+  * ([[graft.operators.TextAnalysis.heavyHittersCms]]): pass 1 folds
+  * the corpus into the O(1/ε·ln 1/δ) sketch, pass 2 filters token
+  * occurrences by estimated count BEFORE any shuffle — the vocabulary
+  * never shuffles, only occurrences of (estimated-)heavy tokens do. */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.BinaryType)
+        if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case (org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.BinaryType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName sketch argument must be foldable (a literal) — it is " +
+            "deserialized once per task, not per row")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, binary), got ${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+  override def nullable: Boolean = left.nullable
+
+  @transient private lazy val sketch: org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = right.eval(null).asInstanceOf[Array[Byte]]
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Shared by eval and codegen. `df.stat.countMinSketch` on a string
+    * column adds java.lang.String items, so the probe must hash the
+    * same representation. */
+  def compute(tok: org.apache.spark.unsafe.types.UTF8String): Long =
+    sketch.estimateCount(tok.toString)
+
+  override def nullSafeEval(tok: Any, bytes: Any): Any =
+    compute(tok.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      val self = ctx.addReferenceObj("cms", this, classOf[CmsEstimate].getName)
+      s"${ev.value} = $self.compute($t);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Function registration, two ways:
   *  - session extension: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
   *  - programmatic: `GraftFunctions.register(spark)`
@@ -573,7 +630,10 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      (args: Seq[Expression]) => SimHash60(args(0))))
+      (args: Seq[Expression]) => SimHash60(args(0))),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
 
   /** Idempotent programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -32,13 +32,13 @@ object Similarity {
     when(n === 0.0d, 0.0d).otherwise(d / n)
   }
 
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  private[operators] def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Shared final stage for every top-k path: rank scored pairs per
     * query (ties broken by neighbor id), keep k, surface the score as
     * integer permille. One implementation so rounding and tie-break
     * semantics cannot drift between variants. */
-  private def topKByScore(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -132,13 +132,57 @@ object TextAnalysis {
   /** Exact corpus-wide heavy hitters: whitespace tokens with total
     * count ≥ minCount. One explode + one map-side-combined groupBy —
     * the vocabulary (distinct tokens) is what shuffles, not the corpus.
-    * For vocabularies too large even for that, the sketch route is
-    * `df.stat.countMinSketch` (estimate within ε·N with the classic
-    * over-count-only bias — spec-asserted in TextAnalysisSpec); this
-    * exact form is the oracle-checkable contract. */
+    * Fine to ~10⁹ distinct tokens; past that, switch to the sketch
+    * form [[heavyHittersCms]] — this exact form is the
+    * oracle-checkable contract the sketch is validated against. */
   def heavyHitters(docs: DataFrame, minCount: Long): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .orderBy("tok", "n")
+
+  /** Sketch heavy hitters — the at-scale path when even the distinct
+    * vocabulary is too large to shuffle (≫10⁹ tokens: web-scale
+    * n-grams, URLs, user ids).
+    *
+    * Two corpus scans, NO vocabulary shuffle:
+    *  1. fold all token occurrences into a count-min sketch of
+    *     width 2/ε × depth ln(1/(1−confidence)) — fixed size
+    *     (~2.7 MB at ε=1e-5), merged tree-wise across partitions;
+    *  2. re-scan, probe the sketch per occurrence (native codegen'd
+    *     `cms_estimate`, deserialized once per task) and keep only
+    *     occurrences whose estimate clears minCount — the only rows
+    *     that ever reach the final tiny groupBy.
+    *
+    * CMS guarantees (one-sided): estimate ≥ true count always, and
+    * ≤ true count + ε·N with probability ≥ confidence (N = total
+    * occurrences). Hence NO FALSE NEGATIVES — every truly-heavy token
+    * is returned — and any false positive is within ε·N of the bar.
+    * Estimated counts are sketch-seed-specific (rule 6: rows-only
+    * driver check; the ε bound and the no-false-negative contract are
+    * spec-asserted against the exact form).
+    *
+    * @return (tok, n_est) for tokens whose ESTIMATED count ≥ minCount. */
+  def heavyHittersCms(docs: DataFrame, minCount: Long, eps: Double = 0.001,
+                      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps ($eps) must be in (0, 1)")
+    require(confidence > 0 && confidence < 1,
+      s"confidence ($confidence) must be in (0, 1)")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toks.stat.countMinSketch("tok", eps, confidence, seed)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos)
+      bos.toByteArray
+    }
+    toks.select(col("tok"),
+        call_function("cms_estimate", col("tok"), lit(bytes)).as("n_est"))
+      .filter(col("n_est") >= minCount)
+      // every surviving occurrence of a token carries the same
+      // estimate; the group both dedups and is bounded by heavy-token
+      // occurrences, not the vocabulary
+      .groupBy("tok").agg(max("n_est").as("n_est"))
+      .orderBy("tok", "n_est")
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.core.{Layout, Tables}
+import graft.operators.{AnnIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Prebuilt ANN index artifacts: results must equal the on-the-fly
+  * operators, and the probe join must not shuffle the index side —
+  * the corpus-scale shuffle is paid once at BUILD time. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def queriesDf = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+
+  test("lshTopKPrebuilt equals on-the-fly lshTopK; corpus side never shuffles") {
+    Layout.dropManagedTable(spark, "lsh_idx")
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.buildLshIndex(emb, "lsh_idx", numPlanes = 8, numTables = 2, buckets = 4)
+    val pre = AnnIndex.lshTopKPrebuilt(spark, queriesDf, "lsh_idx", k = 5, multiProbe = 2)
+    val fly = Similarity.lshTopK(queriesDf, emb, k = 5,
+      numPlanes = 8, numTables = 2, multiProbe = 2)
+    assert(pre.collect().toSeq === fly.collect().toSeq)
+
+    // scale shape: the only Exchanges in the probe plan are the
+    // broadcast of the (tiny) query side and the post-scoring rank
+    // stages — the index scan feeds its join with NO hash Exchange
+    val plan = pre.queryExecution.executedPlan.toString
+    val scanToJoin = plan.split("BroadcastHashJoin")
+    assert(scanToJoin.length >= 3, s"expected broadcast probe joins; plan:\n$plan")
+    // every corpus-side branch: scan -> filter -> join directly
+    assert(!plan.contains("Exchange hashpartitioning(sig"),
+      s"index side must be read in place, not re-shuffled; plan:\n$plan")
+  }
+
+  test("ivfTopKPrebuilt equals on-the-fly ivfTopK; assignment table read in place") {
+    Layout.dropManagedTable(spark, "ivf_assign")
+    Layout.dropManagedTable(spark, "ivf_centers")
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.buildIvfIndex(emb, "ivf_assign", "ivf_centers",
+      nlist = 8, maxFitRows = 10000, buckets = 4)
+    val pre = AnnIndex.ivfTopKPrebuilt(spark, queriesDf, "ivf_assign", "ivf_centers",
+      k = 5, nprobe = 2)
+    val fly = Similarity.ivfTopK(queriesDf, emb, k = 5,
+      nlist = 8, nprobe = 2, maxFitRows = 10000)
+    assert(pre.collect().toSeq === fly.collect().toSeq)
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(cell"),
+      s"assignment side must be read in place, not re-shuffled; plan:\n$plan")
+  }
+
+  test("index parameters are pinned in the catalog and validated at probe time") {
+    // built above with numPlanes=8 — a probe can never disagree with
+    // the build because the planes come FROM the table, and bad knobs
+    // fail fast
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.lshTopKPrebuilt(spark, queriesDf, "lsh_idx", k = 5, multiProbe = 99)
+    }
+    assert(e.getMessage.contains("numPlanes"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.ivfTopKPrebuilt(spark, queriesDf, "ivf_assign", "ivf_centers",
+        k = 5, nprobe = 99)
+    }
+    assert(e2.getMessage.contains("nlist"))
+  }
+}

@@ -179,6 +179,73 @@ class EtlPipelineSpec extends SparkSpec {
     batch.unpersist()
   }
 
+  test("incremental upsert: only touched buckets rewritten, untouched files byte-identical") {
+    import spark.implicits._
+    def mkBatch(rows: Seq[(String, Long, String)], ts: String): org.apache.spark.sql.DataFrame =
+      rows.toDF("pulse_name", "pulse_id", "raw")
+        .withColumn("ingestion_timestamp", lit(java.sql.Timestamp.valueOf(ts)))
+    val snap = Files.createTempDirectory("inc_upsert").toFile.getAbsolutePath + "/snap"
+    val seed = mkBatch((1L to 40L).map(i => (s"name$i", i, s"""{"id": $i}""")),
+      "2024-01-01 00:00:00")
+    Pipeline.upsertIncremental(spark, seed, snap, numBuckets = 8)
+    assert(Pipeline.readIncrementalSnapshot(spark, snap).count() === 40L)
+
+    // fingerprint every live parquet file (path -> (size, md5))
+    def files(): Map[String, (Long, String)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(snap)).filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        f.getAbsolutePath -> (f.length(), md5)
+      }.toMap
+    }
+    val before = files()
+
+    // single-key batch → exactly one bucket rewritten
+    val touchedBucket = spark.range(1).select(
+      pmod(xxhash64(lit(7L)), lit(8L)).cast("int")).head().getInt(0)
+    Pipeline.upsertIncremental(spark,
+      mkBatch(Seq(("name7-v2", 7L, """{"id": 7, "v": 2}""")), "2025-01-01 00:00:00"),
+      snap, numBuckets = 8)
+    val after = files()
+    val untouchedBefore = before.filter(!_._1.contains(s"bucket=$touchedBucket"))
+    val untouchedAfter = after.filter(!_._1.contains(s"bucket=$touchedBucket"))
+    // O(touched keys), not O(snapshot): every file outside the touched
+    // bucket is the SAME file — same path, same bytes
+    assert(untouchedAfter === untouchedBefore)
+    assert(after.keySet.filter(_.contains(s"bucket=$touchedBucket")) !=
+      before.keySet.filter(_.contains(s"bucket=$touchedBucket")))
+    // merge semantics unchanged: last write wins, other keys intact
+    val snapNow = Pipeline.readIncrementalSnapshot(spark, snap)
+    assert(snapNow.count() === 40L)
+    assert(snapNow.filter(col("pulse_id") === 7L).head()
+      .getAs[String]("pulse_name") === "name7-v2")
+    assert(snapNow.filter(col("pulse_id") === 8L).head()
+      .getAs[String]("pulse_name") === "name8")
+
+    // keyless rows append into the reserved bucket, nothing rewritten
+    val keyless = Seq(("stray", "{}")).toDF("pulse_name", "raw")
+      .withColumn("pulse_id", lit(null).cast("long"))
+      .withColumn("ingestion_timestamp",
+        lit(java.sql.Timestamp.valueOf("2025-01-02 00:00:00")))
+    Pipeline.upsertIncremental(spark, keyless, snap, numBuckets = 8)
+    Pipeline.upsertIncremental(spark, keyless, snap, numBuckets = 8)
+    val finalSnap = Pipeline.readIncrementalSnapshot(spark, snap)
+    assert(finalSnap.filter(col("pulse_id").isNull).count() === 2L) // R19: appends per run
+    assert(finalSnap.count() === 42L)
+    // keyed files untouched by the keyless-only upserts
+    assert(files().filter(!_._1.contains("bucket=-1")) === after)
+
+    // layout is pinned by the manifest — a different bucket count must fail
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.upsertIncremental(spark, seed, snap, numBuckets = 16)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+  }
+
   test("full pipeline run returns counts (R20)") {
     val dir = Files.createTempDirectory("graft-run").toFile
     val (valid, quarantined) = Pipeline.run(

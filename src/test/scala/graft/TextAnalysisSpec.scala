@@ -86,4 +86,33 @@ class TextAnalysisSpec extends SparkSpec {
         s"CMS over-count for $tok beyond eps*N: $est vs $cnt (N=$n)")
     }
   }
+
+  test("heavyHittersCms: no false negatives vs exact; estimates within eps*N") {
+    val corpus = docs((1L to 60L).map(i =>
+      i -> Seq.fill((i % 9 + 1).toInt)(s"tok${i % 13}").mkString(" ")): _*)
+    val n = corpus.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.split($"text", " "))).count()
+    val eps = 0.01
+    val minCount = 20L
+    val exact = TextAnalysis.heavyHitters(corpus, minCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = TextAnalysis.heavyHitters(corpus, 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = TextAnalysis.heavyHittersCms(corpus, minCount, eps = eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS is one-sided: estimate >= exact, so every truly-heavy token
+    // MUST appear (the sketch cannot lose one)
+    exact.keySet.foreach(tok => assert(est.contains(tok),
+      s"sketch heavy hitters lost truly-heavy token $tok"))
+    // and every returned estimate dominates its exact count within eps*N
+    est.foreach { case (tok, e) =>
+      val cnt = exactAll(tok)
+      assert(e >= cnt, s"under-count for $tok: $e < $cnt")
+      assert(e <= cnt + (eps * n).ceil.toLong,
+        s"over-count for $tok beyond eps*N: $e vs $cnt (N=$n)")
+      // any false positive is within eps*N below the bar
+      assert(cnt >= minCount - (eps * n).ceil.toLong,
+        s"$tok returned but exact count $cnt is further than eps*N below minCount")
+    }
+  }
 }
