@@ -253,45 +253,76 @@ object Pipeline {
     if (!keyless.isEmpty)
       keyless.write.mode("append").parquet(s"$snapshotDir/bucket=-1")
 
+    // persisted: the touched-bucket collect and the merge write are two
+    // jobs, and both MUST see the same batch rows — an unpersisted
+    // nondeterministic batch (e.g. rand-derived keys) could route rows
+    // to buckets the first job never saw
     val keyed = deduped.filter(col(key).isNotNull)
       .withColumn("bucket",
         pmod(xxhash64(col(key)), lit(manifest.numBuckets.toLong)).cast("int"))
-    // the touched-bucket list is O(numBuckets) scalars on the driver —
-    // the same cardinality a table format's file-pruning pass collects
-    val touched = keyed.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
-    val existingDirs = touched.map(p => new java.io.File(root, s"bucket=$p"))
-      .filter(d => d.exists() && Option(d.listFiles()).exists(_.nonEmpty))
-      .map(_.getAbsolutePath)
-    val merged =
-      if (existingDirs.nonEmpty) {
-        // basePath keeps the bucket partition column on the selective read
-        val existing = spark.read.option("basePath", snapshotDir)
-          .parquet(existingDirs.toIndexedSeq: _*)
-          .withColumn("__gen", lit(0))
-        lastWins(existing.unionByName(keyed), key, col("__gen") +: arrival)
-      } else keyed
-    val tmp = snapshotDir + ".tmp-" + java.util.UUID.randomUUID().toString
-    val writer = merged.drop("__gen").write.mode("overwrite").partitionBy("bucket")
-    (if (maxRecordsPerFile > 0)
-       writer.option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-     else writer).parquet(tmp)
-    // swap ONLY the touched bucket directories
-    touched.foreach { p =>
-      val newDir = new java.io.File(tmp, s"bucket=$p")
-      val liveDir = new java.io.File(root, s"bucket=$p")
-      val old = new java.io.File(root, s".old-$p-" + java.util.UUID.randomUUID())
-      if (liveDir.exists() && !liveDir.renameTo(old))
-        throw new java.io.IOException(s"upsertIncremental: could not move $liveDir aside")
-      if (newDir.exists() && !newDir.renameTo(liveDir)) {
-        old.renameTo(liveDir)
-        throw new java.io.IOException(
-          s"upsertIncremental: could not move $newDir into place (same filesystem required)")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the touched-bucket list is O(numBuckets) scalars on the driver —
+      // the same cardinality a table format's file-pruning pass collects
+      val touched = keyed.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val existingDirs = touched.map(p => new java.io.File(root, s"bucket=$p"))
+        .filter(d => d.exists() && Option(d.listFiles()).exists(_.nonEmpty))
+        .map(_.getAbsolutePath)
+      val merged =
+        if (existingDirs.nonEmpty) {
+          // basePath keeps the bucket partition column on the selective read
+          val existing = spark.read.option("basePath", snapshotDir)
+            .parquet(existingDirs.toIndexedSeq: _*)
+            .withColumn("__gen", lit(0))
+          lastWins(existing.unionByName(keyed), key, col("__gen") +: arrival)
+        } else keyed
+      val tmp = snapshotDir + ".tmp-" + java.util.UUID.randomUUID().toString
+      val writer = merged.drop("__gen").write.mode("overwrite").partitionBy("bucket")
+      (if (maxRecordsPerFile > 0)
+         writer.option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+       else writer).parquet(tmp)
+      // the swap list is what was ACTUALLY written — and it must equal
+      // `touched` exactly, verified BEFORE any rename. A written bucket
+      // outside `touched` was never merged with its live data (swapping
+      // it in would drop live rows; skipping it would drop batch rows),
+      // and a touched bucket with no output dir means the rewrite saw
+      // different rows than the plan — either way the batch recomputed
+      // nondeterministically and no swap is safe.
+      val written = Option(new java.io.File(tmp).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(_.getName.stripPrefix("bucket=").toInt).sorted
+      if (!java.util.Arrays.equals(written, touched)) {
+        deleteRecursively(new java.io.File(tmp))
+        throw new IllegalStateException(
+          s"upsertIncremental: written buckets [${written.mkString(",")}] != " +
+            s"planned buckets [${touched.mkString(",")}] — the batch recomputed " +
+            "nondeterministically between the plan and the write; snapshot left " +
+            "untouched. Materialize the batch (cache/checkpoint) before upserting.")
       }
-      deleteRecursively(old)
-    }
-    deleteRecursively(new java.io.File(tmp))
+      // swap ONLY the touched bucket directories; `written == touched`
+      // guarantees newDir exists for every p, so a missing dir can no
+      // longer strand the live data in the .old graveyard
+      touched.foreach { p =>
+        val newDir = new java.io.File(tmp, s"bucket=$p")
+        val liveDir = new java.io.File(root, s"bucket=$p")
+        val old = new java.io.File(root, s".old-$p-" + java.util.UUID.randomUUID())
+        if (liveDir.exists() && !liveDir.renameTo(old))
+          throw new java.io.IOException(s"upsertIncremental: could not move $liveDir aside")
+        if (!newDir.renameTo(liveDir)) {
+          if (old.exists() && !old.renameTo(liveDir))
+            throw new java.io.IOException(
+              s"upsertIncremental: bucket=$p swap failed AND rollback failed — " +
+                s"live data is at $old")
+          throw new java.io.IOException(
+            s"upsertIncremental: could not move $newDir into place (same filesystem required)")
+        }
+        deleteRecursively(old)
+      }
+      deleteRecursively(new java.io.File(tmp))
+    } finally { keyed.unpersist(); () }
   }
 
   /** Read back a snapshot written by [[upsertIncremental]]: standard

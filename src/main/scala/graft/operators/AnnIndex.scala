@@ -58,10 +58,16 @@ object AnnIndex {
     graft.functions.GraftFunctions.register(spark)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<float>").as("cv"))
-    val signed = (0 until numTables).map { t =>
-      c.select(lit(t).as("tbl"), col("neighbor_id"), col("cv"),
-        call_function("lsh_sig", col("cv"), lit(numPlanes), lit(t * numPlanes)).as("sig"))
-    }.reduce(_ unionByName _)
+    // all numTables signatures come from ONE projection over ONE corpus
+    // scan: posexplode over the array of per-table signature expressions
+    // (pos = table id, matching the t*numPlanes plane-family offset).
+    // The per-table unionByName spelling read the corpus numTables
+    // times before the write.
+    val signed = c.select(col("neighbor_id"), col("cv"),
+        posexplode(array((0 until numTables).map(t =>
+          call_function("lsh_sig", col("cv"), lit(numPlanes), lit(t * numPlanes))): _*))
+          .as(Seq("tbl", "sig")))
+      .select(col("tbl"), col("neighbor_id"), col("cv"), col("sig"))
     graft.core.Layout.writeBucketed(signed, table, buckets, Seq("sig"))
     setProps(spark, table, PlanesProp -> numPlanes.toString,
       TablesProp -> numTables.toString)

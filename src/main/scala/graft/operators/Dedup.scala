@@ -285,6 +285,10 @@ object Dedup {
       .withColumn("label", col("node"))
       .localCheckpoint()
     var currentRdd = checkpointRdd(current)
+    // newest checkpointed RDD, updated the moment a round is
+    // checkpointed (before the convergence count) — the failure path's
+    // handle on blocks that currentRdd does not yet cover
+    var newestRdd: org.apache.spark.rdd.RDD[_] = currentRdd
     val ckIds = Seq.newBuilder[Int]
     ckIds += currentRdd.id
     var changed = 1L
@@ -311,6 +315,11 @@ object Dedup {
             least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
           .localCheckpoint() // eager: materializes AND truncates lineage
         val roundRdd = checkpointRdd(round)
+        // registered before the convergence count: if anything between
+        // here and the end-of-round swap throws, the failure path must
+        // free THIS round's just-checkpointed blocks too, not only the
+        // previous round's
+        newestRdd = roundRdd
         ckIds += roundRdd.id
         changed = round.filter(col("label") =!= col("old")).count()
         // round k is materialized — round k−1's blocks are unreachable
@@ -325,8 +334,14 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
           "(diameter of the pair graph exceeds the bound); refusing to return partial labels")
     } catch {
-      // failure path: the in-flight round's blocks back nothing visible
-      case t: Throwable => currentRdd.unpersist(blocking = false); throw t
+      // failure path: neither the previous round's blocks nor the
+      // in-flight round's (if one was checkpointed) back anything
+      // visible to the caller — free both
+      case t: Throwable =>
+        currentRdd.unpersist(blocking = false)
+        if ((newestRdd ne null) && (newestRdd ne currentRdd))
+          newestRdd.unpersist(blocking = false)
+        throw t
     } finally {
       edges.unpersist(blocking = false)
       lastFixpointCheckpointIds = ckIds.result()

@@ -63,6 +63,32 @@ object EventStreams {
       .select(col("l_key").as(key), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — the other half of the
+    * canonical streaming-join surface: matched pairs emit exactly as
+    * [[intervalJoin]], and a left event with NO right match emits ONCE
+    * with null right columns, but only after the right-side watermark
+    * passes the end of its match window [l_ts, l_ts + within] — before
+    * that, a match could still arrive, so the row must be held in
+    * state (Spark's standard outer stream-join semantics: null-padded
+    * rows are emitted on state eviction, which is what bounds the
+    * join's state at scale). Funnel analysis is the canonical use:
+    * impressions with no click within the window. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            key: String = "user_id",
+                            within: String = "5 minutes",
+                            watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      "leftOuter")
+      .select(col("l_key").as(key), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Stateful streaming dedup on event_id within the watermark — the
     * streaming twin of the reference's key-upsert (R18): the first
     * arrival wins within the state horizon, duplicates are dropped
@@ -181,37 +207,67 @@ object EventStreams {
   // public: ExpressionEncoder codegen needs accessible accessors
   case class OpenSession(events: Long, startMs: Long, lastMs: Long)
 
-  /** One sorted-event step of gap sessionization — the single shared
-    * copy for [[sessionize]] and [[sessionizeWithTimeout]] (their
-    * earlier private copies had already drifted a bug apiece).
+  /** One sorted pass of gap sessionization over a micro-batch — the
+    * single shared copy for [[sessionize]] and [[sessionizeWithTimeout]]
+    * (their earlier private copies had already drifted a bug apiece).
     * An event merges into the open session iff it lies within
     * [start − gap, last + gap]:
     *  - past last + gap → the open session closes, a new one opens
     *    (the classic rule);
     *  - inside the window → widen via min/max, never rewind lastMs
     *    (a rewound lastMs makes the next on-time event split wrongly);
-    *  - BEFORE start − gap → emitted as its own ALREADY-CLOSED
-    *    singleton session. It can never merge with the open session
-    *    (an unbounded lower edge would let one very late event
-    *    "merge" across an arbitrarily long internal silence and
-    *    rewind startMs — a session spanning a gap larger than gapMs,
-    *    violating the invariant), but under session-window semantics
-    *    it still constitutes a session of its own; dropping it would
-    *    lose the event from session analytics entirely. */
-  private def sessionStep(user: Long, t: Long, open: Option[OpenSession],
-                          closed: scala.collection.mutable.ArrayBuffer[SessionOut],
-                          gapMs: Long): Option[OpenSession] =
-    open match {
-      case Some(s) if t > s.lastMs + gapMs =>
-        closed += SessionOut(user, s.events, s.startMs, s.lastMs)
-        Some(OpenSession(1, t, t))
-      case Some(s) if t >= s.startMs - gapMs =>
-        Some(OpenSession(s.events + 1, math.min(s.startMs, t), math.max(s.lastMs, t)))
-      case Some(_) => // too late for this session's horizon: its own closed singleton
-        closed += SessionOut(user, 1, t, t)
-        open
-      case None => Some(OpenSession(1, t, t))
+    *  - BEFORE start − gap → routed to a secondary LATE run. It can
+    *    never merge with the open session (an unbounded lower edge
+    *    would let one very late event "merge" across an arbitrarily
+    *    long internal silence and rewind startMs — a session spanning
+    *    a gap larger than gapMs, violating the invariant), but under
+    *    session-window semantics late events still form sessions of
+    *    their own: consecutive late events within gapMs of EACH OTHER
+    *    merge into ONE late session (emitting singletons here would
+    *    over-count sessions — two events 1 s apart are one session no
+    *    matter how late they arrive), and the run closes when the next
+    *    late event breaks the gap or the batch ends. The batch
+    *    boundary is the documented approximation: a late run is not
+    *    held in state, so late events split across micro-batches
+    *    close as separate sessions even if within gapMs (holding them
+    *    open would need an unbounded second state slot for data that
+    *    is already past the session's horizon).
+    *
+    * Events must arrive sorted ascending by time (both callers sort
+    * the batch); late events therefore precede the mergeable range,
+    * and the late run is itself gap-contiguous. Returns the new open
+    * session; closed sessions (including any finished late run) are
+    * appended to `closed` in close order. */
+  private final class SessionFold(user: Long, gapMs: Long,
+      closed: scala.collection.mutable.ArrayBuffer[SessionOut]) {
+    private var late: Option[OpenSession] = None
+
+    def step(t: Long, open: Option[OpenSession]): Option[OpenSession] =
+      open match {
+        case Some(s) if t > s.lastMs + gapMs =>
+          closed += SessionOut(user, s.events, s.startMs, s.lastMs)
+          Some(OpenSession(1, t, t))
+        case Some(s) if t >= s.startMs - gapMs =>
+          Some(OpenSession(s.events + 1, math.min(s.startMs, t), math.max(s.lastMs, t)))
+        case Some(_) => // below the open session's horizon: late run
+          late = late match {
+            case Some(l) if t <= l.lastMs + gapMs =>
+              Some(OpenSession(l.events + 1, math.min(l.startMs, t), math.max(l.lastMs, t)))
+            case Some(l) => // late events stopped chaining: close the run
+              closed += SessionOut(user, l.events, l.startMs, l.lastMs)
+              Some(OpenSession(1, t, t))
+            case None => Some(OpenSession(1, t, t))
+          }
+          open
+        case None => Some(OpenSession(1, t, t))
+      }
+
+    /** Close any unfinished late run (call once, after the last event). */
+    def finish(): Unit = {
+      late.foreach(l => closed += SessionOut(user, l.events, l.startMs, l.lastMs))
+      late = None
     }
+  }
 
   def sessionize(events: Dataset[UserStamped], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -222,7 +278,9 @@ object EventStreams {
           val sorted = batch.toSeq.sortBy(e => (e.ts_ms, e.event_id))
           var open = state.getOption
           val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          sorted.foreach(e => open = sessionStep(user, e.ts_ms, open, closed, gapMs))
+          val fold = new SessionFold(user, gapMs, closed)
+          sorted.foreach(e => open = fold.step(e.ts_ms, open))
+          fold.finish()
           open.foreach(state.update)
           closed.iterator
       }
@@ -255,11 +313,12 @@ object EventStreams {
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var open = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-            // shared step (see sessionStep): bounded merge window, no
+            // shared fold (see SessionFold): bounded merge window, no
             // lastMs rewind — also keeps the timeout anchored at the
             // TRUE last event
-            sorted.foreach(e =>
-              open = sessionStep(user, e.ts.getTime, open, closed, gapMs))
+            val fold = new SessionFold(user, gapMs, closed)
+            sorted.foreach(e => open = fold.step(e.ts.getTime, open))
+            fold.finish()
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + gapMs)

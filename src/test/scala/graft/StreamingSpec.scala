@@ -202,6 +202,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((10L, 20L)))
   }
 
+  test("left-outer interval join: matched pairs plus null-padded unmatched left after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventStreams.intervalJoinLeftOuter(
+      imps.toDF(), clicks.toDF(), key = "user_id",
+      within = "5 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_lo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(Seq(
+        Ev(10, ts("2024-01-01 00:00:00"), 1, "imp", 1.0),   // will match
+        Ev(11, ts("2024-01-01 00:00:00"), 2, "imp", 1.0)))  // never clicked
+      clicks.addData(Seq(
+        Ev(20, ts("2024-01-01 00:03:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // the unmatched imp may only emit once no in-window click can
+      // still arrive: advance BOTH watermarks far past 00:05 + delay,
+      // then one more batch — eviction emits on the batch AFTER the
+      // watermark moves
+      imps.addData(Seq(Ev(12, ts("2024-01-01 01:00:00"), 9, "imp", 1.0)))
+      clicks.addData(Seq(Ev(21, ts("2024-01-01 01:00:00"), 9, "click", 1.0)))
+      q.processAllAvailable()
+      imps.addData(Seq(Ev(13, ts("2024-01-01 02:00:00"), 9, "imp", 1.0)))
+      clicks.addData(Seq(Ev(22, ts("2024-01-01 02:00:00"), 9, "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin_lo").select("l_id", "r_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows.contains((10L, Some(20L)))) // in-window pair
+    assert(rows.contains((11L, None)))      // unmatched left, null right
+  }
+
   test("paged source restart from checkpoint: offset replay, no dups, no gaps") {
     val dir = java.nio.file.Files.createTempDirectory("graft-paged-ckpt").toFile
     val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
@@ -338,6 +371,36 @@ class StreamingSpec extends SparkSpec {
     // the too-late event: a closed singleton, open session untouched
     assert(rows(0).events === 1L && rows(0).start_ms === 0L && rows(0).end_ms === 0L)
     assert(rows(1).events === 2L && rows(1).start_ms === 100000L)
+  }
+
+  test("late events within gap of each other merge into ONE late session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserStamped]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("fmgs_laterun")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        EventStreams.UserStamped(1, 1, 500000L),
+        EventStreams.UserStamped(1, 2, 560000L)))
+      q.processAllAvailable()
+      // three below-horizon events (horizon = 500000 - 60000): t=0 and
+      // t=1000 lie within gap of EACH OTHER → one late session, not two
+      // singletons; t=200000 breaks the run's gap → its own session
+      input.addData(Seq(
+        EventStreams.UserStamped(1, 3, 0L),
+        EventStreams.UserStamped(1, 4, 1000L),
+        EventStreams.UserStamped(1, 5, 200000L)))
+      q.processAllAvailable()
+      input.addData(Seq(EventStreams.UserStamped(1, 6, 9000000L))) // close open
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fmgs_laterun").as[EventStreams.SessionOut].collect()
+      .sortBy(_.start_ms)
+    assert(rows.length === 3)
+    assert(rows(0).events === 2L && rows(0).start_ms === 0L && rows(0).end_ms === 1000L)
+    assert(rows(1).events === 1L && rows(1).start_ms === 200000L)
+    assert(rows(2).events === 2L && rows(2).start_ms === 500000L) // open session untouched
   }
 
   test("sessionizeWithTimeout flushes idle sessions when the watermark passes") {
