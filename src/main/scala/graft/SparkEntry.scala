@@ -55,13 +55,21 @@ object SparkEntry {
     "x07_minhash_lsh"     -> ((s, d) =>
       Dedup.minHashLsh(Tables.documents(s, d), shingleK = 2, minPermille = 300)),
     "x08_simhash_pairs"   -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
+    // low-threshold EXACT near-dup sweep: content-blocked, recall 1.0.
+    // shingleK=3 is the operator's own scale lever applied: 3-shingles
+    // cut the shared-shingle join mass ~30× vs k=2 on this corpus with
+    // the same result pairs (rarer blocks, same dups)
+    "x38_jaccard_sweep" -> ((s, d) =>
+      Dedup.jaccardSweep(Tables.documents(s, d), shingleK = 3, minPermille = 200)),
     // x34 is a COMPOSITE pipeline (full x07 minhash dedup + the
     // cluster fixpoint): its wall time ≈ x07 + rounds×(join+agg), and
     // at toy scale the per-round cost is job scheduling, not data —
     // the fixpoint is 2 jobs/round regardless of corpus size
     "x34_dup_clusters"    -> ((s, d) =>
       Dedup.connectedComponents(
-        Dedup.minHashLsh(Tables.documents(s, d), shingleK = 2, minPermille = 300))),
+        // the sort-free pair form: the fixpoint re-shuffles by node id
+        // anyway, so x07's presentation orderBy would be pure overhead
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2, minPermille = 300))),
     "x35_stratified_sample" -> ((s, d) =>
       graft.operators.Sampling.stratifiedHashSample(
         Tables.documents(s, d), strataCol = "lang", keyCol = "doc_id",
@@ -465,6 +473,7 @@ object SparkEntry {
     // candidate set is probabilistic (S-curve), so the oracle must run
     // the same hashes; md5 keying makes that possible.
     "x07_minhash_lsh" -> minHashLshOracle,
+    "x38_jaccard_sweep" -> jaccardSweepOracle,
     // x34: connected components over the x07 pair graph — the oracle
     // re-derives the pairs and closes them with a recursive CTE
     "x34_dup_clusters" -> dupClustersOracle,
@@ -484,6 +493,39 @@ object SparkEntry {
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
     // per SURVEY §2.4 rule 6; covered by Spark-side golden specs instead.
   )
+
+  /** Shared CTE chain ending in `sh(doc_id, sh)` — the distinct word
+    * k-shingle hashes per doc, replaying [[graft.functions
+    * .ShingleHashes]]: tokh = first 60 md5 bits mod P31; shingle =
+    * fold_j (acc·1000003 + tokh_{i+j}) mod P31, acc₀ = 0. */
+  private def shingleCtes(shingleK: Int): String = {
+    val P = graft.operators.Dedup.P31
+    val shingleExpr = (0 until shingleK)
+      .foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+        s"(($acc) * 1000003 + (CAST('0x' || substr(md5(ts[i+$j]), 1, 15) AS BIGINT) % $P)) % $P")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       le AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= $shingleK),
+       pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - $shingleK + 2)) AS i FROM le),
+       sh AS (SELECT DISTINCT doc_id, $shingleExpr AS sh FROM pos)"""
+  }
+
+  /** x38 oracle: [[graft.operators.Dedup.jaccardSweep]] has candidate
+    * recall 1.0 (a qualifying pair must share a shingle) and exact
+    * scoring, so its result is PLAN-INDEPENDENT — the oracle is
+    * brute-force all-pairs shingle Jaccard (the shared-shingle inner
+    * join is complete: zero-overlap pairs cannot reach the
+    * threshold). */
+  private def jaccardSweepOracle: String =
+    s"""WITH ${shingleCtes(3)},
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       cm AS (SELECT s1.doc_id AS da, s2.doc_id AS db, COUNT(*) AS common
+              FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2)
+       SELECT cm.da, cm.db,
+         (cm.common * 1000) // (sa.sz + sb.sz - cm.common) AS jac_permille
+       FROM cm JOIN sizes sa ON cm.da = sa.doc_id JOIN sizes sb ON cm.db = sb.doc_id
+       WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= 200
+       ORDER BY da, db, jac_permille"""
 
   /** Full cross-engine replication of [[graft.operators.Dedup.minHashLsh]]
     * with the x07 parameters (shingleK=2, 16 hashes, 4 rows/band,
@@ -511,15 +553,7 @@ object SparkEntry {
         .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 1000003 + h$i) % $P")
       s"SELECT doc_id, $b AS band, $bucket AS bucket FROM mins"
     }.mkString(" UNION ALL ")
-    // ShingleHashes replay: tokh = first 60 md5 bits mod P;
-    // shingle = fold_j (acc·1000003 + tokh_{i+j}) mod P, acc₀ = 0
-    val shingleExpr = (0 until shingleK)
-      .foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
-        s"(($acc) * 1000003 + (CAST('0x' || substr(md5(ts[i+$j]), 1, 15) AS BIGINT) % $P)) % $P")
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       le AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= $shingleK),
-       pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - $shingleK + 2)) AS i FROM le),
-       sh AS (SELECT DISTINCT doc_id, $shingleExpr AS sh FROM pos),
+    s"""${shingleCtes(shingleK)},
        mins AS (SELECT doc_id, $minsCols FROM sh GROUP BY doc_id),
        banded AS ($bandSelects),
        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db

@@ -166,7 +166,17 @@ object Dedup {
     * @return (da, db, jac_permille) for verified pairs ≥ minPermille.
     */
   def minHashLsh(docs: DataFrame, shingleK: Int = 2, numHashes: Int = 16,
-                 rowsPerBand: Int = 4, minPermille: Long = 500): DataFrame = {
+                 rowsPerBand: Int = 4, minPermille: Long = 500): DataFrame =
+    minHashLshPairs(docs, shingleK, numHashes, rowsPerBand, minPermille)
+      .orderBy("da", "db", "jac_permille")
+
+  /** [[minHashLsh]] WITHOUT the final global sort — the form to feed
+    * downstream operators ([[connectedComponents]], bulk drop-list
+    * writes) that don't need a total order: a global sort is a range
+    * shuffle plus a partition-sampling job, pure overhead when the
+    * consumer immediately re-shuffles by its own keys. */
+  def minHashLshPairs(docs: DataFrame, shingleK: Int = 2, numHashes: Int = 16,
+                      rowsPerBand: Int = 4, minPermille: Long = 500): DataFrame = {
     require(rowsPerBand >= 1 && numHashes >= rowsPerBand &&
       numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand " +
@@ -235,6 +245,55 @@ object Dedup {
       .select(col("da"), col("db"),
         expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
       .filter(col("jac_permille") >= minPermille)
+  }
+
+  /** EXACT shingle-Jaccard sweep for LOW thresholds — where LSH is the
+    * wrong tool ([[minHashLsh]]'s S-curve at low s passes huge
+    * candidate mass and still misses pairs) and the scaladoc of the
+    * approximate operators sends the user here.
+    *
+    * Blocking key: the SHINGLE ITSELF (content blocking). J(A,B) ≥
+    * t > 0 requires at least one shared shingle, so the inverted-index
+    * self-join on shingle hash has candidate RECALL 1.0 — a guarantee,
+    * not an S-curve — and `common` falls out of the SAME join as a
+    * group count: no per-pair array payloads ever move (a size-band
+    * design that shipped both shingle arrays per candidate measured
+    * 40× slower at sf0.1 — the payload duplication, not the candidate
+    * count, was the cost). Set sizes ride the index rows, so the
+    * integer size-ratio prune (1000·min ≥ t‰·max, implied by J ≥ t)
+    * drops hopeless join rows BEFORE the aggregation and no sizes
+    * table is re-joined afterward.
+    *
+    * Cost contract: Σ_s n_s(n_s−1)/2 join rows over shingle document
+    * frequencies n_s — bounded by co-occurrence, never n². The head of
+    * the frequency distribution (stop-pair shingles) is the scale
+    * lever: RAISE shingleK to make shingles rarer (k+1-shingles cut
+    * n_s roughly by the vocabulary factor), exactly the knob the
+    * similarity-join literature turns. Because candidate recall is 1.0
+    * and scoring is exact, the RESULT is plan-independent: identical
+    * to brute-force all-pairs Jaccard ≥ t — which is exactly how the
+    * cross-engine oracle certifies it.
+    *
+    * @return (da, db, jac_permille), da < db, jac_permille ≥ minPermille. */
+  def jaccardSweep(docs: DataFrame, shingleK: Int = 2,
+                   minPermille: Long = 200): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 999,
+      s"minPermille ($minPermille) must be in [1, 999] — at 1000 (identical " +
+        "shingle sets) use exact dedup on the shingle digest instead")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = registerCache(shingleArrays(docs, shingleK))
+    val rows = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
+      explode(col("shs")).as("sh"))
+    val a = rows.select(col("doc_id").as("da"), col("sz").as("sa"), col("sh"))
+    val b = rows.select(col("doc_id").as("db"), col("sz").as("sb"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("da") < col("db"))
+      .filter(lit(1000L) * least(col("sa"), col("sb")) >=
+        lit(minPermille) * greatest(col("sa"), col("sb")))
+      .groupBy("da", "db", "sa", "sb").agg(count(lit(1)).as("common"))
+      .select(col("da"), col("db"),
+        expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
+      .filter(col("jac_permille") >= minPermille)
       .orderBy("da", "db", "jac_permille")
   }
 
@@ -277,13 +336,24 @@ object Dedup {
     * @return (doc_id, cluster_id) for every doc appearing in a pair,
     *         cluster_id = min doc id reachable in the pair graph. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+    // symmetrize via ONE explode, not a self-union: the union spelling
+    // evaluates the (potentially expensive — e.g. a whole minHashLsh
+    // pipeline) pairs plan once per branch. Re-partitioned by src
+    // before the persist: the cached scan then ALREADY satisfies every
+    // round's join-on-src distribution, so the per-round contribution
+    // join shuffles only the (tiny) label table, never the edge set.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("da").as("src"), col("db").as("dst")),
+        struct(col("db").as("src"), col("da").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy: materialized by round 1's first scan — no standalone job
     var current = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var currentRdd = checkpointRdd(current)
     // newest checkpointed RDD, updated the moment a round is
     // checkpointed (before the convergence count) — the failure path's
@@ -294,26 +364,39 @@ object Dedup {
     var changed = 1L
     var iter = 0
     try {
+      val labelType = current.schema("label").dataType
       while (changed > 0 && iter < maxIter) {
         val labels = current.select("node", "label")
-        val nbrMin = edges
+        // neighbor-min and self-min in ONE aggregation: neighbor
+        // contributions (dst ← src's label) union the node's own row.
+        // The self row alone carries the OLD label (max over the group
+        // = the unique self value, nulls ignored), so convergence is a
+        // filter-count on the just-materialized round, not another
+        // join — and the old two-step (agg then left-join back onto
+        // labels) collapses to one shuffle.
+        val contrib = edges
           .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
-          .groupBy("dst").agg(min("label").as("nbr"))
-        // the OLD label rides along so convergence is a filter-count on
-        // the just-materialized round, not a third join
-        val stepped = labels
-          .join(nbrMin.select(col("dst").as("node"), col("nbr")), Seq("node"), "left")
-          .select(col("node"), col("label").as("old"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .select(col("dst").as("node"), col("label"),
+            lit(null).cast(labelType).as("old"))
+        val self = labels.select(col("node"), col("label"), col("label").as("old"))
+        val stepped = contrib.unionByName(self)
+          .groupBy("node").agg(min("label").as("label"), max("old").as("old"))
         // pointer jump: label ← prev(label). Every label value is a
         // node id (min over node ids), so the lookup always resolves;
         // left join + coalesce keeps the row if it somehow didn't.
-        val round = stepped
-          .join(labels.select(col("node").as("jnode"), col("label").as("jlabel")),
-            col("label") === col("jnode"), "left")
-          .select(col("node"), col("old"),
-            least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
-          .localCheckpoint() // eager: materializes AND truncates lineage
+        // SKIPPED in round 1: the initial labels are self (prev(l) = l),
+        // so the jump would be an identity join — one shuffle for free.
+        val jumped =
+          if (iter == 0) stepped.select(col("node"), col("old"), col("label"))
+          else stepped
+            .join(labels.select(col("node").as("jnode"), col("label").as("jlabel")),
+              col("label") === col("jnode"), "left")
+            .select(col("node"), col("old"),
+              least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
+        // LAZY checkpoint: the convergence count below is the
+        // materializing action, so each round is ONE job (the eager
+        // form ran a separate materialization job, then counted)
+        val round = jumped.localCheckpoint(eager = false)
         val roundRdd = checkpointRdd(round)
         // registered before the convergence count: if anything between
         // here and the end-of-round swap throws, the failure path must

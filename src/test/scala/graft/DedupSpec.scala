@@ -31,6 +31,35 @@ class DedupSpec extends SparkSpec {
     assert(out.getOrElse((1L, 4L), 0L) < 200L)
   }
 
+  test("exact jaccard sweep equals brute force, including size-diverse pairs") {
+    // brute force over the shingle sets = the ground truth the blocked
+    // scorer's recall-1.0 contract promises to reproduce exactly
+    def brute(docs: org.apache.spark.sql.DataFrame, minPermille: Long): Set[(Long, Long, Long)] = {
+      val rows = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+      val shs = rows.map { case (id, text) =>
+        id -> text.split(" ").sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+      (for {
+        (a, sa) <- shs; (b, sb) <- shs if a < b
+        j = (sa.intersect(sb).size.toLong * 1000L) / (sa ++ sb).size
+        if j >= minPermille
+      } yield (a, b, j)).toSet
+    }
+    // size-diverse corpus: doc 8 (3 shingles) against doc 6 (9
+    // shingles) exercises the size-ratio prune's boundary at J=333‰;
+    // doc 7 doubles doc 1
+    val sized = corpus.union(Seq(
+      6L -> base.split(" ").take(10).mkString(" "),
+      7L -> (base + " " + base),
+      8L -> base.split(" ").take(4).mkString(" ")
+    ).toDF("doc_id", "text"))
+    val out = Dedup.jaccardSweep(sized, shingleK = 3, minPermille = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === brute(sized, 200L))
+    assert(out.exists(p => p._1 == 1L && p._2 == 6L)) // containment pair
+    assert(out.exists(p => p._1 == 6L && p._2 == 8L)) // size-diverse pair found
+  }
+
   test("minhash LSH finds planted exact and near dup, skips unrelated") {
     val out = Dedup.minHashLsh(corpus, shingleK = 2, minPermille = 500)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
