@@ -64,7 +64,8 @@ object SparkEntry {
     // x34 is a COMPOSITE pipeline (full x07 minhash dedup + the
     // cluster fixpoint): its wall time ≈ x07 + rounds×(join+agg), and
     // at toy scale the per-round cost is job scheduling, not data —
-    // the fixpoint is 2 jobs/round regardless of corpus size
+    // the fixpoint is 1 job/round (lazy checkpoint; the convergence
+    // count materializes it) regardless of corpus size
     "x34_dup_clusters"    -> ((s, d) =>
       Dedup.connectedComponents(
         // the sort-free pair form: the fixpoint re-shuffles by node id
@@ -78,6 +79,20 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id", "lang")),
     "x36_heavy_hitters"   -> ((s, d) =>
       TextAnalysis.heavyHitters(Tables.documents(s, d), minCount = 500L)),
+    // loopy-text quality signal: 1000·(1 − distinct/total 3-grams)
+    "x39_repetition"      -> ((s, d) =>
+      TextAnalysis.repetitionScore(Tables.documents(s, d), k = 3)),
+    // concatenate-and-cut training layout: md5-sharded running token
+    // offsets, seq = start div budget
+    "x40_pack_sequences"  -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), budgetTokens = 2048L, numShards = 8)),
+    // eval-set decontamination: corpus docs sharing ≥3 3-shingles with
+    // a (stand-in) benchmark slice; benchmark side broadcasts
+    "x41_contamination"   -> ((s, d) =>
+      Dedup.contamination(
+        Tables.documents(s, d).filter(col("doc_id") >= 20),
+        Tables.documents(s, d).filter(col("doc_id") < 20),
+        shingleK = 3, minShared = 3L)),
     // sketch twin of x36: same bar, estimated counts (CMS is one-sided:
     // superset of the exact result, overshoot ≤ ε·N). Estimates are
     // sketch-seed-specific → rows-only driver check (rule 6); the ε
@@ -474,6 +489,9 @@ object SparkEntry {
     // the same hashes; md5 keying makes that possible.
     "x07_minhash_lsh" -> minHashLshOracle,
     "x38_jaccard_sweep" -> jaccardSweepOracle,
+    "x39_repetition" -> repetitionOracle,
+    "x40_pack_sequences" -> packSequencesOracle,
+    "x41_contamination" -> contaminationOracle,
     // x34: connected components over the x07 pair graph — the oracle
     // re-derives the pairs and closes them with a recursive CTE
     "x34_dup_clusters" -> dupClustersOracle,
@@ -494,20 +512,60 @@ object SparkEntry {
     // per SURVEY §2.4 rule 6; covered by Spark-side golden specs instead.
   )
 
-  /** Shared CTE chain ending in `sh(doc_id, sh)` — the distinct word
-    * k-shingle hashes per doc, replaying [[graft.functions
+  /** Shared CTE chain ending in `<p>sh(doc_id, sh)` — the distinct
+    * word k-shingle hashes per doc, replaying [[graft.functions
     * .ShingleHashes]]: tokh = first 60 md5 bits mod P31; shingle =
-    * fold_j (acc·1000003 + tokh_{i+j}) mod P31, acc₀ = 0. */
-  private def shingleCtes(shingleK: Int): String = {
+    * fold_j (acc·1000003 + tokh_{i+j}) mod P31, acc₀ = 0. `src` is the
+    * source relation (subquery allowed), `p` a CTE-name prefix so two
+    * chains can coexist in one statement (the contamination oracle). */
+  private def shingleCtes(shingleK: Int, src: String = "documents",
+                          p: String = ""): String = {
     val P = graft.operators.Dedup.P31
     val shingleExpr = (0 until shingleK)
       .foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
         s"(($acc) * 1000003 + (CAST('0x' || substr(md5(ts[i+$j]), 1, 15) AS BIGINT) % $P)) % $P")
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       le AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= $shingleK),
-       pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - $shingleK + 2)) AS i FROM le),
-       sh AS (SELECT DISTINCT doc_id, $shingleExpr AS sh FROM pos)"""
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
+       ${p}le AS (SELECT doc_id, ts FROM ${p}toks WHERE len(ts) >= $shingleK),
+       ${p}pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - $shingleK + 2)) AS i FROM ${p}le),
+       ${p}sh AS (SELECT DISTINCT doc_id, $shingleExpr AS sh FROM ${p}pos)"""
   }
+
+  /** x39 oracle: distinct vs total 3-gram counts per doc — `sh` is
+    * distinct by construction, `le` still has the raw token array for
+    * the total (len − k + 1). */
+  private def repetitionOracle: String =
+    s"""WITH ${shingleCtes(3)},
+       nd AS (SELECT doc_id, COUNT(*) AS ndist FROM sh GROUP BY doc_id),
+       tot AS (SELECT doc_id, len(ts) - 2 AS total FROM le)
+       SELECT nd.doc_id AS doc_id, 1000 - (nd.ndist * 1000) // tot.total AS rep_permille
+       FROM nd JOIN tot ON nd.doc_id = tot.doc_id
+       ORDER BY nd.doc_id, rep_permille"""
+
+  /** x40 oracle: the same md5-derived shard, running-sum window and
+    * integer div/mod cut — every step is engine-portable arithmetic. */
+  private def packSequencesOracle: String =
+    """WITH t AS (SELECT doc_id,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard
+         FROM documents),
+       p AS (SELECT doc_id, n_tokens, shard,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         FROM t)
+       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+         CAST(start_tok // 2048 AS BIGINT) AS seq_in_shard,
+         CAST(start_tok % 2048 AS BIGINT) AS offset_in_seq
+       FROM p ORDER BY doc_id"""
+
+  /** x41 oracle: two prefixed shingle chains (corpus ≥ 20, benchmark
+    * < 20) joined on the shingle hash — the exact contamination count. */
+  private def contaminationOracle: String =
+    s"""WITH ${shingleCtes(3, "(SELECT * FROM documents WHERE doc_id >= 20)", "c")},
+       ${shingleCtes(3, "(SELECT * FROM documents WHERE doc_id < 20)", "b")}
+       SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS shared
+       FROM csh c JOIN bsh b ON c.sh = b.sh
+       GROUP BY 1, 2 HAVING COUNT(*) >= 3
+       ORDER BY doc_id, bench_id, shared"""
 
   /** x38 oracle: [[graft.operators.Dedup.jaccardSweep]] has candidate
     * recall 1.0 (a qualifying pair must share a shingle) and exact

@@ -297,6 +297,35 @@ object Dedup {
       .orderBy("da", "db", "jac_permille")
   }
 
+  /** Benchmark-contamination check — the decontamination pass every
+    * LLM training pipeline runs against its eval sets: which corpus
+    * documents share at least `minShared` k-shingles with which
+    * benchmark documents.
+    *
+    * Same content-blocked exact shape as [[jaccardSweep]], but
+    * ASYMMETRIC: the benchmark side is tiny (eval suites are thousands
+    * of documents, the corpus is billions), so its exploded shingle
+    * rows BROADCAST and the corpus side never shuffles — at 100 TB the
+    * check is a broadcast-hash-join map pass riding the corpus scan,
+    * plus an aggregation bounded by matching (corpus, bench) pairs.
+    * Exact by construction (no S-curve): any pair sharing even one
+    * shingle is observable; `minShared` sets the reporting bar.
+    *
+    * @return (doc_id, bench_id, shared) with shared ≥ minShared. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, shingleK: Int = 3,
+                    minShared: Long = 1): DataFrame = {
+    require(minShared >= 1, s"minShared ($minShared) must be >= 1")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def shRows(df: DataFrame, idOut: String) =
+      shingleArrays(df, shingleK)
+        .select(col("doc_id").as(idOut), explode(col("shs")).as("sh"))
+    shRows(corpus, "doc_id")
+      .join(broadcast(shRows(benchmark, "bench_id")), Seq("sh"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy("doc_id", "bench_id", "shared")
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * (da, db) — the survivor-selection stage of dedup: every document
     * in a duplicate cluster maps to the cluster's MINIMUM doc id

@@ -118,6 +118,59 @@ object TextAnalysis {
           lit(2147483647L))).as("roll_fp"))
       .orderBy("doc_id")
 
+  /** Repetition ratio — the "loopy text" quality signal every crawl /
+    * synthetic-data filter needs: 1000·(1 − distinct k-grams ∕ total
+    * k-grams), integer permille. 0 = every k-gram unique; → 1000 = the
+    * same k-gram over and over (boilerplate, scraper loops, degenerate
+    * generations). Row-local over the native `shingle_hashes`
+    * expression (which is distinct-by-construction) — a narrow codegen
+    * map, ZERO shuffles. Docs shorter than k tokens have no k-gram and
+    * are excluded (no repetition evidence either way — same exclusion
+    * rule as the dedup shingle operators). */
+  def repetitionScore(docs: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        size(call_function("shingle_hashes", col("ts"), lit(k))).cast("long").as("ndist"),
+        (size(col("ts")) - k + 1).cast("long").as("total"))
+      .select(col("doc_id"),
+        expr("1000 - (ndist * 1000) div total").as("rep_permille"))
+      .orderBy("doc_id", "rep_permille")
+  }
+
+  /** Token-budget sequence packing — the "concatenate and cut" layout
+    * step of LLM pre-training: documents are laid out in a
+    * deterministic order, token offsets accumulate, and each document
+    * is assigned the training sequence where it STARTS
+    * (seq = start_offset div budget) plus its offset inside it —
+    * documents straddle sequence boundaries exactly as the token
+    * stream does in training.
+    *
+    * SHARDED by design: one global running sum would serialize the
+    * corpus through a single window task, so documents hash-shard
+    * first (md5-derived — portable, retry-stable) and each shard packs
+    * independently, exactly like per-file token streams; numShards is
+    * the writer parallelism. One shuffle (the per-shard sort window).
+    *
+    * @return (doc_id, n_tokens, shard, seq_in_shard, offset_in_seq). */
+  def packSequences(docs: DataFrame, budgetTokens: Long, numShards: Int = 8): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens ($budgetTokens) must be >= 1")
+    require(numShards >= 1, s"numShards ($numShards) must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(numShards.toLong)))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        expr(s"start_tok div $budgetTokens").as("seq_in_shard"),
+        expr(s"start_tok % $budgetTokens").as("offset_in_seq"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata projection: treat the payload as opaque bytes +
     * typed metadata (byte length, content hash). For real image/audio
     * the `content` column is BinaryType from the source; here the text

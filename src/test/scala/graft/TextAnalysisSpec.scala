@@ -69,6 +69,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Map("a" -> 6L, "b" -> 3L)) // c:1, d:1 below floor
   }
 
+  test("repetition score: unique text 0, degenerate loop near 1000, short docs excluded") {
+    val out = TextAnalysis.repetitionScore(docs(
+      1L -> "a b c d e f",          // 4 distinct 3-grams of 4 → 0
+      2L -> "x y x y x y x y x y",  // 8 windows, only 2 distinct → 750
+      3L -> "one two"               // shorter than k → excluded
+    ), k = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 750L))
+  }
+
+  test("pack sequences: per-shard running offsets, div/mod cut, straddling allowed") {
+    // one shard keeps the arithmetic readable: 3 docs of 3 tokens with
+    // budget 4 — doc offsets 0,3,6 → seqs 0,0,1; offsets-in-seq 0,3,2
+    val out = TextAnalysis.packSequences(docs(
+      1L -> "a b c", 2L -> "d e f", 3L -> "g h i"),
+      budgetTokens = 4L, numShards = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 0L, 0L)))
+    assert(out(2L) === ((3L, 0L, 3L))) // starts in seq 0, straddles into 1
+    assert(out(3L) === ((3L, 1L, 2L)))
+    // sharded: offsets restart per shard and every doc appears once
+    val sharded = TextAnalysis.packSequences(docs(
+      (1L to 20L).map(i => i -> "t o k e n s"): _*), budgetTokens = 8L, numShards = 4)
+      .collect()
+    assert(sharded.length === 20)
+    val perShard = sharded.groupBy(_.getLong(2))
+    // within a shard, offsets are consecutive multiples of 6 in doc order
+    perShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(0))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val startTok = r.getLong(3) * 8L + r.getLong(4)
+        assert(startTok === 6L * i)
+      }
+    }
+  }
+
+  test("contamination: shared 3-shingles across corpus/benchmark, bar applied") {
+    val corpus = docs(
+      100L -> "alpha beta gamma delta epsilon zeta",  // contains bench phrase
+      101L -> "totally unrelated words here now")
+    val bench = docs(1L -> "beta gamma delta epsilon")
+    val out = graft.operators.Dedup.contamination(corpus, bench, shingleK = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 100 shares the 2 3-shingles of the bench phrase; doc 101 none
+    assert(out === Map((100L, 1L) -> 2L))
+  }
+
   test("count-min sketch estimates dominate exact counts within eps*N (over-count only)") {
     val corpus = docs((1L to 50L).map(i =>
       i -> Seq.fill((i % 7 + 1).toInt)(s"tok${i % 11}").mkString(" ")): _*)
