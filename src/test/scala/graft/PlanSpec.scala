@@ -72,4 +72,29 @@ class PlanSpec extends SparkSpec {
       "LSH self-join must never degrade to an all-pairs join")
     assert(p.contains("lsh_sig"), "bucketing must use the native signature expression")
   }
+
+  test("x38: exact sweep is an equi-join with partial-aggregated group counts") {
+    val p = plan(SparkEntry.queries("x38_jaccard_sweep")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the sweep joins on the shingle hash, never all pairs")
+    // common counts are two-phase: partial on the join output, final
+    // after the (da, db) shuffle — the map-side combine is what bounds
+    // the shuffled bytes by groups, not join rows
+    assert(p.contains("partial_count"), s"expected a partial aggregation:\n$p")
+  }
+
+  test("x40: packing window is partitioned by shard, not a single global window") {
+    val p = plan(SparkEntry.queries("x40_pack_sequences")(spark, sf))
+    assert(p.contains("Window"), "packing must use a window, not a collect")
+    assert(!p.contains("SinglePartition"),
+      s"a global (unsharded) running sum would serialize the corpus through one task:\n$p")
+  }
+
+  test("x41: contamination broadcasts the benchmark side only") {
+    val p = plan(SparkEntry.queries("x41_contamination")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus side must never shuffle for the join")
+  }
 }
