@@ -93,6 +93,16 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") >= 20),
         Tables.documents(s, d).filter(col("doc_id") < 20),
         shingleK = 3, minShared = 3L)),
+    // deterministic 900/50/50 split assignment, md5-keyed (leak-free
+    // under retries and dataset growth)
+    "x42_split_assign"    -> ((s, d) =>
+      graft.operators.Sampling.splitAssign(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 900L, "val" -> 50L, "test" -> 50L))
+        .select("doc_id", "split").orderBy("doc_id", "split")),
+    // composite keep/drop gate with auditable reason bits — thresholds
+    // chosen to exercise every reason class on this corpus
+    "x43_quality_gate"    -> ((s, d) =>
+      TextAnalysis.qualityGate(Tables.documents(s, d))),
     // sketch twin of x36: same bar, estimated counts (CMS is one-sided:
     // superset of the exact result, overshoot ≤ ε·N). Estimates are
     // sketch-seed-specific → rows-only driver check (rule 6); the ε
@@ -492,6 +502,16 @@ object SparkEntry {
     "x39_repetition" -> repetitionOracle,
     "x40_pack_sequences" -> packSequencesOracle,
     "x41_contamination" -> contaminationOracle,
+    // x42: the same md5-permille uniform as x35, cut into cumulative
+    // slices — the assignment replays bit for bit
+    "x42_split_assign" ->
+      """SELECT doc_id,
+           CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS h
+           FROM documents)
+         ORDER BY doc_id, split""",
+    "x43_quality_gate" -> qualityGateOracle,
     // x34: connected components over the x07 pair graph — the oracle
     // re-derives the pairs and closes them with a recursive CTE
     "x34_dup_clusters" -> dupClustersOracle,
@@ -556,6 +576,32 @@ object SparkEntry {
          CAST(start_tok // 2048 AS BIGINT) AS seq_in_shard,
          CAST(start_tok % 2048 AS BIGINT) AS offset_in_seq
        FROM p ORDER BY doc_id"""
+
+  /** x43 oracle: the full gate replayed — token/word-length formulas,
+    * the x39 repetition chain (LEFT JOIN + COALESCE 0 for sub-k docs),
+    * and the reason bitmask as integer CASE arithmetic. */
+  private def qualityGateOracle: String =
+    s"""WITH ${shingleCtes(3)},
+       nd AS (SELECT doc_id, COUNT(*) AS ndist FROM sh GROUP BY doc_id),
+       tot AS (SELECT doc_id, len(ts) - 2 AS total FROM le),
+       rep AS (SELECT nd.doc_id AS doc_id,
+           1000 - (nd.ndist * 1000) // tot.total AS rp
+         FROM nd JOIN tot ON nd.doc_id = tot.doc_id),
+       m AS (SELECT d.doc_id AS doc_id,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) * 1000
+             // (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS awl_permille,
+           CAST(COALESCE(rep.rp, 0) AS BIGINT) AS rep_permille
+         FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id),
+       g AS (SELECT doc_id, n_tokens, awl_permille, rep_permille,
+           CAST((CASE WHEN n_tokens < 32 THEN 1 ELSE 0 END)
+             + (CASE WHEN rep_permille > 10 THEN 2 ELSE 0 END)
+             + (CASE WHEN awl_permille < 4200 OR awl_permille > 4800 THEN 4 ELSE 0 END)
+             AS BIGINT) AS reason_bits
+         FROM m)
+       SELECT doc_id, n_tokens, awl_permille, rep_permille, reason_bits,
+         CAST(CASE WHEN reason_bits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM g ORDER BY doc_id"""
 
   /** x41 oracle: two prefixed shingle chains (corpus ≥ 20, benchmark
     * < 20) joined on the shingle hash — the exact contamination count. */

@@ -48,4 +48,31 @@ object Sampling {
     }
     df.filter(hashPermille(col(keyCol)) < rate)
   }
+
+  /** Deterministic train/val/test split assignment: every row gets
+    * exactly one split label from cumulative permille thresholds over
+    * the SAME md5-keyed uniform as the samplers — disjoint, exhaustive
+    * (thresholds must sum to 1000), leak-free under retries and
+    * re-runs, and stable when the dataset GROWS (a key's label never
+    * changes as other rows arrive — the property random shuffles
+    * lack, and the reason eval contamination can't creep in on
+    * re-ingestion). Scan-only: a derived column, no shuffle.
+    *
+    * @param splits ordered (label, permille) slices, e.g.
+    *   Seq("train" -> 900L, "val" -> 50L, "test" -> 50L).
+    * @return input columns + `split`. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum == 1000L,
+      s"split permilles must be non-negative and sum to 1000, got $splits")
+    val h = hashPermille(col(keyCol))
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    // CASE h < c1 THEN l1 WHEN h < c2 THEN l2 ... (last branch always
+    // matches: h < 1000 by construction)
+    val assign = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((label, _), bound), other) => when(h < bound, lit(label)).otherwise(other)
+    }
+    df.withColumn("split", assign)
+  }
 }

@@ -171,6 +171,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Composite quality gate — the keep/drop decision stage of a
+    * training-data filter pipeline (the Dolma/FineWeb shape: several
+    * cheap signals, one decision, REASONS kept for auditing). Signals:
+    * token count, average word length, and k-gram repetition
+    * ([[repetitionScore]]'s formula; docs shorter than k score 0 — no
+    * repetition evidence). `reason_bits` is an auditable bitmask
+    * (1 = too short, 2 = too repetitive, 4 = word length out of band)
+    * so downstream can report WHY documents dropped, re-admit a reason
+    * class, or sample rejects per reason — dropping rows with a bare
+    * boolean loses exactly that. All signals are integer column
+    * arithmetic: one narrow codegen map, zero shuffles, and the whole
+    * gate (including the repetition term) replays in the cross-engine
+    * oracle. */
+  def qualityGate(docs: DataFrame, minTokens: Long = 32,
+                  maxRepPermille: Long = 10, minAwlPermille: Long = 4200,
+                  maxAwlPermille: Long = 4800, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val staged = docs.select(col("doc_id"),
+      tokenCountCol(col("text")).as("n_tokens"),
+      expr("CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) * 1000" +
+        " div (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)").as("awl_permille"),
+      split(col("text"), " ").as("ts"))
+    val withRep = staged.select(col("doc_id"), col("n_tokens"), col("awl_permille"),
+        when(size(col("ts")) >= k,
+          size(call_function("shingle_hashes", col("ts"), lit(k))).cast("long"))
+          .as("ndist"),
+        when(size(col("ts")) >= k, (size(col("ts")) - k + 1).cast("long")).as("total"))
+      .select(col("doc_id"), col("n_tokens"), col("awl_permille"),
+        coalesce(expr("1000 - (ndist * 1000) div total"), lit(0L)).as("rep_permille"))
+    withRep.select(col("doc_id"), col("n_tokens"), col("awl_permille"), col("rep_permille"),
+        (when(col("n_tokens") < minTokens, 1L).otherwise(0L)
+          + when(col("rep_permille") > maxRepPermille, 2L).otherwise(0L)
+          + when(col("awl_permille") < minAwlPermille
+              || col("awl_permille") > maxAwlPermille, 4L).otherwise(0L))
+          .as("reason_bits"))
+      .withColumn("keep", when(col("reason_bits") === 0L, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata projection: treat the payload as opaque bytes +
     * typed metadata (byte length, content hash). For real image/audio
     * the `content` column is BinaryType from the source; here the text

@@ -89,6 +89,25 @@ object EventStreams {
       .select(col("l_key").as(key), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Streaming dedup against a HISTORICAL fingerprint store — the
+    * incremental-ingest twin of batch exact dedup: new documents whose
+    * content fingerprint already exists in the accumulated corpus are
+    * dropped before they ever reach the sink. A stream-static LEFT
+    * ANTI join: the static side is the fingerprint table (16-byte md5
+    * per historical doc — at scale a bucketed table on `fp`, so the
+    * join is Exchange-free on re-read; the stream side is a narrow
+    * md5 map). The static side re-executes per micro-batch under
+    * normal batch-read rules — a growing store (each batch appends
+    * its survivors) is picked up across batches when read through a
+    * snapshot-refreshing source (catalog table + refresh, or a
+    * transactional format); a plain path-based parquet read caches
+    * its file listing at plan time. In-stream duplicates within one
+    * batch are NOT collapsed here (that is [[dedupWithinWatermark]]'s
+    * job); this operator answers "is it already in the corpus". */
+  def dedupAgainstHistory(docs: DataFrame, historyFps: DataFrame): DataFrame =
+    docs.withColumn("fp", md5(col("text")))
+      .join(historyFps.select(col("fp")), Seq("fp"), "left_anti")
+
   /** Stateful streaming dedup on event_id within the watermark — the
     * streaming twin of the reference's key-upsert (R18): the first
     * arrival wins within the state horizon, duplicates are dropped

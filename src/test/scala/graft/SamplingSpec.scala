@@ -40,4 +40,32 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
     assert(!plan.contains("BatchEvalPython"))
   }
+
+  test("split assignment is disjoint, exhaustive, growth-stable, near the target rates") {
+    val splits = Seq("train" -> 900L, "val" -> 50L, "test" -> 50L)
+    val out = Sampling.splitAssign(corpus, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // exhaustive: every row got exactly one label (toMap keeps 2000 keys)
+    assert(out.size === 2000)
+    val byLabel = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    // rates land near 90/5/5 (md5 uniform; generous tolerance)
+    assert(byLabel("train") > 1700 && byLabel("train") < 1950)
+    assert(byLabel("val") > 50 && byLabel("val") < 160)
+    assert(byLabel("test") > 50 && byLabel("test") < 160)
+    // growth-stable: the same key keeps its label in a larger dataset
+    val grown = (1L to 4000L).map(i => (i, "en")).toDF("id", "lang")
+    val out2 = Sampling.splitAssign(grown, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall { case (k, v) => out2(k) == v })
+    // hash-sample(900) is exactly the train slice — same uniform
+    val sampled = Sampling.hashSample(corpus, "id", 900)
+      .select("id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "train").keySet === sampled)
+  }
+
+  test("split permilles must sum to 1000") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(corpus, "id", Seq("a" -> 500L, "b" -> 400L))
+    }
+  }
 }

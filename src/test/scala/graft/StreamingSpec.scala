@@ -202,6 +202,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((10L, 20L)))
   }
 
+  test("dedup against history drops known fingerprints, keeps new docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq("already ingested doc", "another known doc")
+      .toDF("text").select(md5(col("text")).as("fp"))
+    val input = MemoryStream[(Long, String)]
+    val fresh = EventStreams.dedupAgainstHistory(
+      input.toDF().toDF("doc_id", "text"), history)
+    val q = fresh.writeStream.format("memory").queryName("hist_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        1L -> "already ingested doc",  // exact dup of history → dropped
+        2L -> "a brand new document",  // survives
+        3L -> "another known doc"))    // dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hist_dedup").select("doc_id")
+      .as[Long].collect().toSet
+    assert(rows === Set(2L))
+  }
+
   test("left-outer interval join: matched pairs plus null-padded unmatched left after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[Ev]

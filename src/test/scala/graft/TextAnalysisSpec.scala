@@ -104,6 +104,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("quality gate: reason bits compose, short docs score rep 0, keep iff clean") {
+    val out = TextAnalysis.qualityGate(docs(
+      // 40 tokens of 4-letter words → awl 4000... compute: awl = chars_nospace*1000/ntok
+      1L -> Seq.fill(40)("abcd").mkString(" "),        // awl 4000 < 4200 → bit 4
+      2L -> (Seq.fill(20)("abcde") ++ Seq.fill(20)("abcd")).mkString(" "), // awl 4500, 40 toks, rep? uniform repeat → high rep → bit 2
+      3L -> "tiny doc",                                 // 2 tokens → bit 1 (+rep 0, awl may add 4)
+      4L -> (1 to 40).map(i => "abcd" + ('a' + i % 26).toChar).mkString(" ") // 40 distinct 5-char words: awl 5000 > 4800 → bit 4
+    ), minTokens = 32, maxRepPermille = 10, minAwlPermille = 4200, maxAwlPermille = 4800)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 1: all "abcd" → rep ~ high too; just assert bits contain 4 and keep=0
+    assert((out(1L)._3 & 4L) === 4L && out(1L)._4 === 0L)
+    assert((out(2L)._3 & 2L) === 2L)                   // repetitive
+    assert((out(3L)._3 & 1L) === 1L && out(3L)._2 === 0L) // short; rep defaults 0
+    assert((out(4L)._3 & 4L) === 4L)                   // awl too high
+  }
+
   test("contamination: shared 3-shingles across corpus/benchmark, bar applied") {
     val corpus = docs(
       100L -> "alpha beta gamma delta epsilon zeta",  // contains bench phrase
