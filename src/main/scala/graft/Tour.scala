@@ -44,7 +44,7 @@ object Tour {
     println(s"[tour] native cosine top-3 rows=${knn.count()}")
 
     // dup-cluster formation over the pair graph
-    val clusters = Dedup.connectedComponents(Dedup.minHashLsh(docs, minPermille = 300))
+    val clusters = Dedup.connectedComponents(Dedup.minHashLshPairs(docs, minPermille = 300))
     println(s"[tour] dup clusters labeled docs=${clusters.count()}")
 
     // deterministic stratified sampling

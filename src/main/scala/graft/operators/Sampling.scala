@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform permille in [0, 1000) derived from the key's md5 (first
-    * 60 bits mod 1000 — the ~2⁻⁵⁰ modulo bias is far below sampling
-    * noise at any real rate). */
-  def hashPermille(key: Column): Column =
+  /** Uniform value in [0, n) from the key's md5 (first 60 bits mod n;
+    * modulo bias ≤ ~2⁻⁵⁰, far below sampling noise at any real rate) —
+    * the SINGLE spelling of the engine's portable hash-uniform
+    * contract, shared by the samplers, the split assigner and sequence
+    * packing, and replayed by every oracle as
+    * `CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) % n`. */
+  def hashMod(key: Column, n: Long): Column =
     pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(1000L))
+      lit(n))
+
+  /** Uniform permille in [0, 1000) derived from the key's md5. */
+  def hashPermille(key: Column): Column = hashMod(key, 1000L)
 
   /** Keep each row with probability ratePermille/1000, deterministically
     * keyed by `keyCol`. */

@@ -33,6 +33,14 @@ object TextAnalysis {
     docs.select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))
       .orderBy("doc_id", "n_tokens")
 
+  /** Average word length ×1000 (integer permille, BIGINT-widened) over
+    * a column named `text` — the single copy of the formula shared by
+    * [[qualityScore]] and [[qualityGate]], which the cross-engine
+    * oracle replays character for character. */
+  def awlPermilleCol: Column =
+    expr("CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) * 1000" +
+      " div (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)")
+
   /** Quality metrics, all exact integers (deterministic across engines):
     *  - n_chars_m: LENGTH(text)
     *  - n_tokens: whitespace token count
@@ -46,11 +54,10 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_m"),
       ntok.as("n_tokens"),
-      // widen to BIGINT BEFORE the ×1000: a document with > ~2.1M
-      // non-space chars (routine in a crawl corpus) would overflow the
-      // 32-bit multiply — an ANSI ArithmeticException mid-job
-      expr("CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) * 1000" +
-        " div (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)").as("awl_permille"),
+      // BIGINT-widened BEFORE the ×1000 (awlPermilleCol): a document
+      // with > ~2.1M non-space chars (routine in a crawl corpus) would
+      // overflow the 32-bit multiply — an ANSI exception mid-job
+      awlPermilleCol.as("awl_permille"),
       ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))).cast("long") / lit(3)).cast("long").as("the_cnt"))
       .orderBy("doc_id")
   }
@@ -131,13 +138,21 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= k)
-      .select(col("doc_id"),
-        size(call_function("shingle_hashes", col("ts"), lit(k))).cast("long").as("ndist"),
-        (size(col("ts")) - k + 1).cast("long").as("total"))
-      .select(col("doc_id"),
-        expr("1000 - (ndist * 1000) div total").as("rep_permille"))
+      .select(col("doc_id") +: repInputs(k): _*)
+      .select(col("doc_id"), repPermilleCol.as("rep_permille"))
       .orderBy("doc_id", "rep_permille")
   }
+
+  /** (ndist, total) k-gram inputs over a token-array column `ts`,
+    * NULL for docs shorter than k — the single copy shared by
+    * [[repetitionScore]] and [[qualityGate]] (the oracle replays the
+    * formula; two inline copies could silently diverge). */
+  private def repInputs(k: Int): Seq[Column] = Seq(
+    when(size(col("ts")) >= k,
+      size(call_function("shingle_hashes", col("ts"), lit(k))).cast("long")).as("ndist"),
+    when(size(col("ts")) >= k, (size(col("ts")) - k + 1).cast("long")).as("total"))
+
+  private def repPermilleCol: Column = expr("1000 - (ndist * 1000) div total")
 
   /** Token-budget sequence packing — the "concatenate and cut" layout
     * step of LLM pre-training: documents are laid out in a
@@ -161,9 +176,7 @@ object TextAnalysis {
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs.select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))
-      .withColumn("shard",
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(numShards.toLong)))
+      .withColumn("shard", Sampling.hashMod(col("doc_id"), numShards.toLong))
       .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("n_tokens"), col("shard"),
         expr(s"start_tok div $budgetTokens").as("seq_in_shard"),
@@ -190,16 +203,12 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val staged = docs.select(col("doc_id"),
       tokenCountCol(col("text")).as("n_tokens"),
-      expr("CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) * 1000" +
-        " div (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)").as("awl_permille"),
+      awlPermilleCol.as("awl_permille"),
       split(col("text"), " ").as("ts"))
-    val withRep = staged.select(col("doc_id"), col("n_tokens"), col("awl_permille"),
-        when(size(col("ts")) >= k,
-          size(call_function("shingle_hashes", col("ts"), lit(k))).cast("long"))
-          .as("ndist"),
-        when(size(col("ts")) >= k, (size(col("ts")) - k + 1).cast("long")).as("total"))
+    val withRep = staged.select(
+        Seq(col("doc_id"), col("n_tokens"), col("awl_permille")) ++ repInputs(k): _*)
       .select(col("doc_id"), col("n_tokens"), col("awl_permille"),
-        coalesce(expr("1000 - (ndist * 1000) div total"), lit(0L)).as("rep_permille"))
+        coalesce(repPermilleCol, lit(0L)).as("rep_permille"))
     withRep.select(col("doc_id"), col("n_tokens"), col("awl_permille"), col("rep_permille"),
         (when(col("n_tokens") < minTokens, 1L).otherwise(0L)
           + when(col("rep_permille") > maxRepPermille, 2L).otherwise(0L)

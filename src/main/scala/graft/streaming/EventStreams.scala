@@ -51,21 +51,13 @@ object EventStreams {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    key: String = "user_id",
                    within: String = "5 minutes",
-                   watermark: String = "10 minutes"): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-      .select(col(key).as("l_key"), col("ts").as("l_ts"), col("event_id").as("l_id"))
-    val r = right.withWatermark("ts", watermark)
-      .select(col(key).as("r_key"), col("ts").as("r_ts"), col("event_id").as("r_id"))
-    l.join(r,
-      col("l_key") === col("r_key") &&
-        col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
-      .select(col("l_key").as(key), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
-  }
+                   watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(left, right, key, within, watermark, "inner")
 
   /** LEFT-OUTER stream-stream interval join — the other half of the
     * canonical streaming-join surface: matched pairs emit exactly as
-    * [[intervalJoin]], and a left event with NO right match emits ONCE
+    * [[intervalJoin]] (one shared implementation, so the two forms
+    * cannot drift), and a left event with NO right match emits ONCE
     * with null right columns, but only after the right-side watermark
     * passes the end of its match window [l_ts, l_ts + within] — before
     * that, a match could still arrive, so the row must be held in
@@ -76,7 +68,12 @@ object EventStreams {
   def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
                             key: String = "user_id",
                             within: String = "5 minutes",
-                            watermark: String = "10 minutes"): DataFrame = {
+                            watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(left, right, key, within, watermark, "leftOuter")
+
+  private def intervalJoinImpl(left: DataFrame, right: DataFrame, key: String,
+                               within: String, watermark: String,
+                               joinType: String): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(key).as("l_key"), col("ts").as("l_ts"), col("event_id").as("l_id"))
     val r = right.withWatermark("ts", watermark)
@@ -85,7 +82,7 @@ object EventStreams {
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
-      "leftOuter")
+      joinType)
       .select(col("l_key").as(key), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
