@@ -103,6 +103,15 @@ object SparkEntry {
     // chosen to exercise every reason class on this corpus
     "x43_quality_gate"    -> ((s, d) =>
       TextAnalysis.qualityGate(Tables.documents(s, d))),
+    // epoch composition: down-sample to 50/30/20 en/fr/zh (other langs
+    // drop); rates derived from counts, bottleneck stratum sets the total
+    "x44_rebalance"       -> ((s, d) =>
+      graft.operators.Sampling.rebalance(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 500L, "fr" -> 300L, "zh" -> 200L))
+        .select("doc_id", "lang").orderBy("doc_id", "lang")),
+    // retrieval/embedding window layout: 32-token chunks, 8 overlap
+    "x45_chunk_tokens"    -> ((s, d) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, d), chunkTokens = 32, overlapTokens = 8)),
     // sketch twin of x36: same bar, estimated counts (CMS is one-sided:
     // superset of the exact result, overshoot ≤ ε·N). Estimates are
     // sketch-seed-specific → rows-only driver check (rule 6); the ε
@@ -512,6 +521,28 @@ object SparkEntry {
            FROM documents)
          ORDER BY doc_id, split""",
     "x43_quality_gate" -> qualityGateOracle,
+    // x44: the whole rate derivation is integer arithmetic over the
+    // stratum counts — bottleneck total, per-stratum rates, md5 filter
+    "x44_rebalance" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         t AS (SELECT lang, n, CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 300
+             WHEN 'zh' THEN 200 END AS tgt FROM cnt),
+         tm AS (SELECT MIN(n * 1000 // tgt) AS tmax FROM t WHERE tgt IS NOT NULL),
+         r AS (SELECT lang, (tgt * (SELECT tmax FROM tm)) // n AS rate
+           FROM t WHERE tgt IS NOT NULL)
+         SELECT d.doc_id AS doc_id, d.lang AS lang FROM documents d JOIN r ON d.lang = r.lang
+         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < r.rate
+         ORDER BY d.doc_id, d.lang""",
+    // x45: chunk boundaries are integer arithmetic; both engines slice
+    // the same 1-based inclusive windows and join with single spaces
+    "x45_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         n AS (SELECT doc_id, ts, GREATEST((len(ts) - 8 + 24 - 1) // 24, 1) AS nchunks FROM t),
+         c AS (SELECT doc_id, ts, UNNEST(range(0, nchunks)) AS i FROM n)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(ts[i*24+1 : i*24+32]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(ts[i*24+1 : i*24+32], ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
     // x34: connected components over the x07 pair graph — the oracle
     // re-derives the pairs and closes them with a recursive CTE
     "x34_dup_clusters" -> dupClustersOracle,

@@ -55,6 +55,37 @@ object Sampling {
     df.filter(hashPermille(col(keyCol)) < rate)
   }
 
+  /** Rebalance a corpus to TARGET per-stratum proportions (epoch
+    * composition: "train on 50% en, 30% fr, 20% zh") by down-sampling
+    * over-represented strata. The achievable total is set by the
+    * bottleneck stratum — T = min_s floor(n_s·1000 ∕ target_s), the
+    * largest total every stratum can still supply its share of — and
+    * each stratum keeps rate_s = floor(target_s·T ∕ n_s) permille, so
+    * realized counts track target_s·T∕1000 to integer rounding.
+    * Strata not in `targetPermille` drop entirely; a TARGETED stratum
+    * absent from the data fails loudly (its share is unsatisfiable).
+    *
+    * Two passes, like every stats-driven operator: a per-stratum count
+    * aggregation (O(#strata) driver scalars — the same cardinality a
+    * table format's stats pass collects) to derive the rates, then the
+    * scan-only deterministic stratified filter. All integer
+    * arithmetic ⇒ the whole derivation replays in the oracle. */
+  def rebalance(df: DataFrame, strataCol: String, keyCol: String,
+                targetPermille: Map[String, Long]): DataFrame = {
+    require(targetPermille.nonEmpty && targetPermille.values.forall(_ > 0),
+      "target shares must be positive")
+    require(targetPermille.values.sum == 1000L,
+      s"target shares must sum to 1000 permille, got ${targetPermille.values.sum}")
+    val counts = df.groupBy(col(strataCol)).count()
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1)).toMap
+    val missing = targetPermille.keySet.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"targeted strata absent from the data: ${missing.toSeq.sorted.mkString(", ")}")
+    val tMax = targetPermille.map { case (s, t) => counts(s) * 1000L / t }.min
+    val rates = targetPermille.map { case (s, t) => s -> t * tMax / counts(s) }
+    stratifiedHashSample(df, strataCol, keyCol, rates, defaultPermille = 0L)
+  }
+
   /** Deterministic train/val/test split assignment: every row gets
     * exactly one split label from cumulative permille thresholds over
     * the SAME md5-keyed uniform as the samplers — disjoint, exhaustive

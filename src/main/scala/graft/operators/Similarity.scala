@@ -179,9 +179,10 @@ object Similarity {
     * Hyperplane LSH only EARNS its keep at high thresholds (≥ ~0.9
     * cosine ⇒ flip prob ≈ 0.14): at low thresholds (≤ ~0.6) qualifying
     * pairs flip ~1/3 of their bits and every parameterization is either
-    * near-quadratic or near-zero-recall — use the exact brute/blocked
-    * scorers ([[cosineTopK]]/[[cosineTopKNative]]) for low-threshold
-    * sweeps instead. */
+    * near-quadratic or near-zero-recall — for low-threshold sweeps use
+    * the exact scorers instead: [[cosineTopK]]/[[cosineTopKNative]]
+    * for embeddings, [[graft.operators.Dedup.jaccardSweep]] for text
+    * (content-blocked, recall 1.0). */
   def nearDupPairs(corpus: DataFrame, minPermille: Long = 950, numPlanes: Int = 16,
                    numTables: Int = 2, multiProbe: Int = 1,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

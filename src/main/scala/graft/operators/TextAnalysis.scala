@@ -184,6 +184,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixed-size token chunking with overlap — the window layout for
+    * embedding / retrieval pipelines (and the long-document half of
+    * sequence preparation, where [[packSequences]] is the short-doc
+    * half). Chunk i starts at token i·stride (stride = chunk −
+    * overlap); chunks run while they add new tokens, and a document
+    * shorter than one chunk still yields its single partial chunk.
+    * Row-expanding narrow map (posexplode over computed starts +
+    * row-local array slice/join) — ZERO shuffles; every boundary is
+    * integer arithmetic and the chunk text a deterministic slice, so
+    * the oracle replays it verbatim.
+    *
+    * @return (doc_id, chunk_id, n_chunk_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens ($chunkTokens) must be >= 1")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens ($overlapTokens) must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        // ceil((ntok − overlap) / stride) by integer div, at least one
+        // chunk (a doc shorter than one chunk keeps its partial)
+        expr(s"greatest(CAST(size(ts) - $overlapTokens + $stride - 1 AS BIGINT)" +
+          s" div $stride, CAST(1 AS BIGINT))").as("nchunks"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, nchunks - 1), i -> " +
+          s"array_join(slice(ts, CAST(i AS INT) * $stride + 1, $chunkTokens), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        tokenCountCol(col("col")).as("n_chunk_tokens"),
+        col("col").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Composite quality gate — the keep/drop decision stage of a
     * training-data filter pipeline (the Dolma/FineWeb shape: several
     * cheap signals, one decision, REASONS kept for auditing). Signals:

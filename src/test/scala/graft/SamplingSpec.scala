@@ -63,6 +63,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._2 == "train").keySet === sampled)
   }
 
+  test("rebalance hits target proportions from the bottleneck total") {
+    // 1200 en / 300 fr / 500 other; target 60/40 en/fr.
+    // T = min(1200·1000/600, 300·1000/400) = 750 → keep ≈ 450 en, 300 fr
+    val df = (1L to 2000L).map(i =>
+      (i, if (i <= 1200) "en" else if (i <= 1500) "fr" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.rebalance(df, "lang", "id", Map("en" -> 600L, "fr" -> 400L))
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!byLang.contains("de"))                   // untargeted stratum drops
+    assert(byLang("fr") === 300)                     // bottleneck keeps everything
+    assert(byLang("en") > 380 && byLang("en") < 520) // ≈450 (hash noise)
+    // deterministic: same input → identical sample
+    val again = Sampling.rebalance(df, "lang", "id", Map("en" -> 600L, "fr" -> 400L))
+      .select("id").as[Long].collect().toSet
+    assert(again === out.map(_._1).toSet)
+    // a targeted stratum absent from the data is unsatisfiable → loud
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(df, "lang", "id", Map("en" -> 500L, "ja" -> 500L))
+    }
+  }
+
   test("split permilles must sum to 1000") {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(corpus, "id", Seq("a" -> 500L, "b" -> 400L))

@@ -104,6 +104,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("chunking: overlapped windows cover the doc, short docs keep one partial chunk") {
+    val out = TextAnalysis.chunkTokens(docs(
+      1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10",  // 10 toks, chunk 4, ov 1 → starts 0,3,6
+      2L -> "a b"                               // shorter than one chunk
+    ), chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out((1L, 0L)) === ((4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) === ((4L, "t4 t5 t6 t7"))) // overlap of 1 at each seam
+    assert(out((1L, 2L)) === ((4L, "t7 t8 t9 t10")))
+    assert(out((2L, 0L)) === ((2L, "a b")))         // single partial chunk
+    assert(out.size === 4)
+    // zero overlap: disjoint cover, last chunk partial
+    val nz = TextAnalysis.chunkTokens(docs(1L -> "a b c d e"), 2, 0)
+      .collect().map(r => r.getString(3)).toSeq
+    assert(nz === Seq("a b", "c d", "e"))
+  }
+
   test("quality gate: reason bits compose, short docs score rep 0, keep iff clean") {
     val out = TextAnalysis.qualityGate(docs(
       // 40 tokens of 4-letter words → awl 4000... compute: awl = chars_nospace*1000/ntok
