@@ -112,6 +112,9 @@ object SparkEntry {
     // retrieval/embedding window layout: 32-token chunks, 8 overlap
     "x45_chunk_tokens"    -> ((s, d) =>
       TextAnalysis.chunkTokens(Tables.documents(s, d), chunkTokens = 32, overlapTokens = 8)),
+    // corpus-level novelty: permille of a doc's 3-grams with df = 1
+    "x46_novelty"         -> ((s, d) =>
+      TextAnalysis.noveltyScore(Tables.documents(s, d), k = 3)),
     // sketch twin of x36: same bar, estimated counts (CMS is one-sided:
     // superset of the exact result, overshoot ≤ ε·N). Estimates are
     // sketch-seed-specific → rows-only driver check (rule 6); the ε
@@ -509,6 +512,16 @@ object SparkEntry {
     "x07_minhash_lsh" -> minHashLshOracle,
     "x38_jaccard_sweep" -> jaccardSweepOracle,
     "x39_repetition" -> repetitionOracle,
+    // x46: df over the same distinct shingle chain, then the per-doc
+    // unique fraction — pure integer arithmetic
+    "x46_novelty" ->
+      (s"""WITH ${shingleCtes(3)},
+         dfreq AS (SELECT sh AS shv, COUNT(*) AS df FROM sh GROUP BY sh)
+         SELECT s.doc_id AS doc_id,
+           CAST((CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             // COUNT(*) AS BIGINT) AS novel_permille
+         FROM sh s JOIN dfreq d ON s.sh = d.shv
+         GROUP BY s.doc_id ORDER BY doc_id, novel_permille"""),
     "x40_pack_sequences" -> packSequencesOracle,
     "x41_contamination" -> contaminationOracle,
     // x42: the same md5-permille uniform as x35, cut into cumulative

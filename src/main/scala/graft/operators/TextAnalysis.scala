@@ -216,6 +216,33 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Corpus-novelty score: permille of a document's DISTINCT k-grams
+    * that appear in no other document (corpus document-frequency 1) —
+    * high novelty marks genuinely fresh content, low novelty marks
+    * boilerplate and near-duplicates that survived exact dedup (the
+    * cheap corpus-level complement to the pairwise near-dup
+    * operators). Two shuffles, both bounded by the k-gram VOCABULARY
+    * (df aggregation keyed by k-gram hash with map-side partials —
+    * same scale contract as [[heavyHitters]] — then the per-doc
+    * re-group); docs shorter than k are excluded, as everywhere in the
+    * shingle family. */
+  def noveltyScore(docs: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // shingle_hashes is distinct-per-doc, so counting rows per hash IS
+    // the document frequency
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("ts"), lit(k))).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("sh"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("ndist"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("uniq"))
+      .select(col("doc_id"), expr("(uniq * 1000) div ndist").as("novel_permille"))
+      .orderBy("doc_id", "novel_permille")
+  }
+
   /** Composite quality gate — the keep/drop decision stage of a
     * training-data filter pipeline (the Dolma/FineWeb shape: several
     * cheap signals, one decision, REASONS kept for auditing). Signals:

@@ -121,6 +121,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nz === Seq("a b", "c d", "e"))
   }
 
+  test("novelty: duplicated docs score 0, fresh docs 1000, mixed in between") {
+    val out = TextAnalysis.noveltyScore(docs(
+      1L -> "alpha beta gamma delta",      // all 3-grams shared with doc 2 → 0
+      2L -> "alpha beta gamma delta",
+      3L -> "wholly original words here",  // df 1 everywhere → 1000
+      4L -> "alpha beta gamma epsilon zeta eta" // 1 shared of 4 → 750
+    ), k = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 0L && out(2L) === 0L)
+    assert(out(3L) === 1000L)
+    assert(out(4L) === 750L)
+  }
+
   test("quality gate: reason bits compose, short docs score rep 0, keep iff clean") {
     val out = TextAnalysis.qualityGate(docs(
       // 40 tokens of 4-letter words → awl 4000... compute: awl = chars_nospace*1000/ntok
