@@ -115,6 +115,30 @@ object SparkEntry {
     // corpus-level novelty: permille of a doc's 3-grams with df = 1
     "x46_novelty"         -> ((s, d) =>
       TextAnalysis.noveltyScore(Tables.documents(s, d), k = 3)),
+    // lexical retrieval: BM25 top-20 for a 3-term query — postings
+    // filtered before any shuffle, score ranked on rounded millis
+    "x47_bm25_topk"       -> ((s, d) =>
+      graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
+        Seq("vector", "stream", "join"), k = 20)),
+    // batch gap sessionization (12 h gap; median inter-event gap is
+    // ~7 h, p90 ~25 h → real multi-session splits per user). Runs at
+    // epoch MICROS: DuckDB truncates the parquet ns timestamps to µs
+    // at scan, so µs is the finest cross-engine-comparable resolution
+    // (Tables.events' `ts` is the matching floor-µs conversion).
+    "x48_sessionize"      -> ((s, d) =>
+      graft.operators.Sessions.sessionize(
+        Tables.events(s, d).withColumn("ts_us", expr("unix_micros(ts)")),
+        gap = 43_200_000_000L, tsCol = "ts_us")
+        .orderBy("user_id", "session_seq")),
+    // SCD2 compaction of the event_type history into validity
+    // intervals (µs resolution — same oracle constraint as x48)
+    "x49_scd2"            -> ((s, d) =>
+      graft.operators.Sessions.scd2(
+        Tables.events(s, d).withColumn("ts_us", expr("unix_micros(ts)")),
+        tsCol = "ts_us")
+        .orderBy("user_id", "version")),
+    // outlier-robust mean of the value signal, clipped at [p05, p95]
+    "x50_winsorize"       -> (Relational.winsorizedMean _),
     // sketch twin of x36: same bar, estimated counts (CMS is one-sided:
     // superset of the exact result, overshoot ≤ ε·N). Estimates are
     // sketch-seed-specific → rows-only driver check (rule 6); the ε
@@ -522,6 +546,67 @@ object SparkEntry {
              // COUNT(*) AS BIGINT) AS novel_permille
          FROM sh s JOIN dfreq d ON s.sh = d.shv
          GROUP BY s.doc_id ORDER BY doc_id, novel_permille"""),
+    // x47: the BM25 formula replayed term for term — every constant
+    // forced ::DOUBLE (a bare 1.2 is DECIMAL in DuckDB, and decimal
+    // arithmetic would diverge from Spark's doubles); milli rounding
+    // absorbs summation-order ulps
+    "x47_bm25_topk" ->
+      """WITH dl AS (SELECT doc_id,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+           WHERE tok IN ('vector', 'stream', 'join') GROUP BY doc_id, tok),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+         SELECT tf.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           CAST(FLOOR(SUM(
+             ln(1 + (stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+             * tf.tf * (1.2::DOUBLE + 1)
+             / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl.dl / stats.avgdl))
+           ) * 1000 + 0.5) AS BIGINT) AS score_milli
+         FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+         GROUP BY tf.doc_id
+         ORDER BY score_milli DESC, doc_id LIMIT 20""",
+    // x48: gaps-and-islands at epoch µs (DuckDB's scan already
+    // floor-truncated the ns parquet type, mirroring Tables.events);
+    // explicit ROWS frame (event_id is unique so RANGE would equal
+    // ROWS, but say what we mean); cents guard on the value total
+    "x48_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn, value FROM events),
+         g AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL
+               OR tn - lag(tn) OVER w > 43200000000 THEN 1 ELSE 0 END AS nw
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+         s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY tn, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(tn) AS start_ts, MAX(tn) AS end_ts,
+           CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS value_cents
+         FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    // x49: change points via null-safe inequality (IS DISTINCT FROM ≡
+    // Spark's <=> negation), intervals closed by lead over survivors
+    "x49_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn, event_type FROM events),
+         m AS (SELECT *, lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+         c AS (SELECT * FROM m WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+         SELECT user_id, event_type, tn AS valid_from_ts,
+           lead(tn) OVER w2 AS valid_to_ts,
+           CAST(row_number() OVER w2 AS BIGINT) AS version
+         FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY tn, event_id)
+         ORDER BY user_id, version""",
+    // x50: exact-percentile clip bands (same interop contract as x26),
+    // cents guard on the clipped mean
+    "x50_winsorize" ->
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+         SELECT e.event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)) * 100 + 0.5) AS BIGINT)
+             AS wmean_cents
+         FROM events e JOIN b USING (event_type)
+         GROUP BY e.event_type ORDER BY event_type NULLS FIRST""",
     "x40_pack_sequences" -> packSequencesOracle,
     "x41_contamination" -> contaminationOracle,
     // x42: the same md5-permille uniform as x35, cut into cumulative

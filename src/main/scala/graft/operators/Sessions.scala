@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch temporal reshaping of event streams: gap sessionization and
+  * SCD2 (slowly-changing-dimension) interval compaction.
+  *
+  * These are the BATCH twins of the streaming session windows in
+  * `graft.streaming.EventStreams` — backfills and historical reloads
+  * run over the full event history, where the classic
+  * gaps-and-islands window shape is the scalable form: ONE hash
+  * shuffle on the entity key, one in-partition sort, and every
+  * subsequent window function rides the same sorted run (Spark plans
+  * consecutive same-(partition, order) windows in a single Window
+  * operator without re-sorting). Per-key history must fit a
+  * partition's sort spill budget — the standard contract for keyed
+  * windows, and AQE splits skewed keys' shuffle blocks.
+  *
+  * All emitted measures are exact integers (counts, epoch longs,
+  * cents) so results are engine-portable and retry-stable.
+  */
+object Sessions {
+
+  /** Gap sessionization: events of one `user_id` belong to the same
+    * session while consecutive gaps are ≤ `gap`, in `tsCol`'s units
+    * (epoch long — nanos or micros, caller's choice). Emits one row
+    * per session with bounds and value totals — session_seq numbers a
+    * user's sessions in time order from 1.
+    *
+    * Events are ordered by (tsCol, event_id): the id tiebreak makes
+    * simultaneous events — and therefore session numbering — fully
+    * deterministic. A session-start flag via `lag`, a running sum to
+    * assign session ids, then an aggregate per (user, session): the
+    * aggregate's keys refine the window's partitioning, so the map-side
+    * partial aggregation is near-total and the second shuffle moves
+    * only one row per session. */
+  def sessionize(events: DataFrame, gap: Long,
+                 tsCol: String = "ts_ns"): DataFrame = {
+    require(gap >= 0, s"gap ($gap) must be >= 0")
+    val w = Window.partitionBy("user_id").orderBy(tsCol, "event_id")
+    events
+      .withColumn("__gap", col(tsCol) - lag(tsCol, 1).over(w))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gap, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(tsCol).as("start_ts"),
+        max(tsCol).as("end_ts"),
+        graft.queries.Relational.cents(sum("value")).as("value_cents"))
+  }
+
+  /** SCD2 interval build: compact a per-user event history into
+    * validity intervals of `event_type` — one row per RUN of equal
+    * consecutive values, `[valid_from_ts, valid_to_ts)` half-open,
+    * open-ended (NULL valid_to_ts) for the current state, `version`
+    * numbering a user's states from 1. The change-data-capture →
+    * dimension-table transform of every warehouse load.
+    *
+    * Shape: change points are rows whose previous value IS DISTINCT
+    * FROM theirs (null-safe, so NULL states form runs too); `lead`
+    * over the surviving rows closes each interval. Both windows share
+    * one (user_id) shuffle + sort. */
+  def scd2(events: DataFrame, tsCol: String = "ts_ns"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(tsCol, "event_id")
+    events
+      .withColumn("__prev", lag("event_type", 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col("__prev") <=> col("event_type")))
+      .withColumn("valid_from_ts", col(tsCol))
+      .withColumn("valid_to_ts", lead("valid_from_ts", 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select("user_id", "event_type", "valid_from_ts", "valid_to_ts", "version")
+  }
+}

@@ -25,8 +25,9 @@ object Relational {
   /** Exact integer cents: FLOOR on IEEE doubles is bit-identical across
     * engines, unlike double→int casts (Spark truncates, DuckDB rounds).
     * The ONE spelling of the determinism-critical formula — every query
-    * must use it (three inline copies had crept in). */
-  private def cents(c: org.apache.spark.sql.Column) =
+    * must use it (three inline copies had crept in); public so the
+    * operator package shares it instead of re-spelling it. */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + 0.5).cast("long")
 
   /** Q1 — full scan + count. Parquet footer row-count short-circuit: the
@@ -318,6 +319,28 @@ object Relational {
         cents(expr("percentile(n_chars, 0.5)")).as("p50_c"),
         cents(expr("percentile(n_chars, 0.9)")).as("p90_c"))
       .orderBy(col("lang").asc_nulls_first)
+
+  /** Winsorized mean: clip `value` to each event_type's exact
+    * [p05, p95] band, then average — the standard outlier-robust
+    * reduction for training-signal columns (reward stats, quality
+    * scores) where a handful of corrupt magnitudes would swamp a plain
+    * mean. Two passes over events: an exact-percentile aggregate
+    * (5 rows) broadcast back onto the scan, then one clipped aggregate
+    * — the group-by-key shuffle is the only data movement per pass,
+    * and the clip itself is a scan-side `least/greatest`. Exactness
+    * contract as [[percentiles]]; the cents guard absorbs
+    * summation-order ulps in the final mean. */
+  def winsorizedMean(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val bands = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bands), "event_type")
+      .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), cents(avg("clipped")).as("wmean_cents"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
 
   /** The documents table's full source domain — shared by the pivot
     * query and its generated oracle so neither can silently cover a

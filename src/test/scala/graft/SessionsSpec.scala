@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Sessions
+import org.apache.spark.sql.functions._
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user_id, event_id, ts_ns, event_type, value)
+  private def ev(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("user_id", "event_id", "ts_ns", "event_type", "value")
+
+  test("sessionize splits on gaps > gapNs and keeps runs together") {
+    val events = ev(
+      (1L, 1L, 0L, "a", 1.0), (1L, 2L, 50L, "a", 2.0),   // session 1
+      (1L, 3L, 200L, "b", 4.0),                          // gap 150 > 100
+      (2L, 4L, 0L, "a", 8.0))                            // separate user
+    val out = Sessions.sessionize(events, gap = 100L)
+      .orderBy("user_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 0L, 50L, 300L),
+      (1L, 2L, 1L, 200L, 200L, 400L),
+      (2L, 1L, 1L, 0L, 0L, 800L)))
+  }
+
+  test("sessionize gap exactly == gapNs stays in the session") {
+    val out = Sessions.sessionize(
+      ev((1L, 1L, 0L, "a", 0.0), (1L, 2L, 100L, "a", 0.0)), gap = 100L)
+    assert(out.count() === 1L)
+  }
+
+  test("sessionize ties on ts_ns resolve by event_id — deterministic") {
+    val out = Sessions.sessionize(
+      ev((1L, 2L, 0L, "a", 0.0), (1L, 1L, 0L, "a", 0.0), (1L, 3L, 500L, "a", 0.0)),
+      gap = 100L).orderBy("session_seq")
+      .select("session_seq", "n_events").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("scd2 compacts runs and closes intervals half-open") {
+    val out = Sessions.scd2(ev(
+      (1L, 1L, 0L, "a", 0.0), (1L, 2L, 10L, "a", 0.0),   // run of a
+      (1L, 3L, 20L, "b", 0.0),                           // change
+      (1L, 4L, 30L, "a", 0.0)))                          // back to a: new version
+      .orderBy("version")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("a", 0L, 20L, 1L), ("b", 20L, 30L, 2L), ("a", 30L, -1L, 3L)))
+  }
+
+  test("scd2 treats NULL states as runs (null-safe change detection)") {
+    val out = Sessions.scd2(ev(
+      (1L, 1L, 0L, null, 0.0), (1L, 2L, 10L, null, 0.0), (1L, 3L, 20L, "a", 0.0)))
+      .orderBy("version")
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq === Seq((None, 0L, 1L), (Some("a"), 20L, 2L)))
+  }
+
+  test("both operators run off ONE shuffle on the entity key") {
+    val events = ev((1L, 1L, 0L, "a", 1.0), (1L, 2L, 50L, "b", 2.0))
+    // sessionize: windows share one Exchange; the final agg adds its own
+    val sPlan = Sessions.sessionize(events, 100L).queryExecution.executedPlan.toString
+    assert(sPlan.split("Exchange").length - 1 <= 2,
+      s"sessionize should shuffle at most twice (window + agg):\n$sPlan")
+    val dPlan = Sessions.scd2(events).queryExecution.executedPlan.toString
+    assert(dPlan.split("Exchange").length - 1 <= 1,
+      s"scd2 should reuse the single user_id shuffle:\n$dPlan")
+  }
+}
