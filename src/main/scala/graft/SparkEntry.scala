@@ -139,6 +139,20 @@ object SparkEntry {
         .orderBy("user_id", "version")),
     // outlier-robust mean of the value signal, clipped at [p05, p95]
     "x50_winsorize"       -> (Relational.winsorizedMean _),
+    // LM-quality proxy: corpus-fit unigram model, per-doc mean
+    // negative log-prob in millinats
+    "x51_surprisal"       -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
+    // mixture health: Shannon entropy of each language's source
+    // distribution
+    "x52_source_entropy"  -> ((s, d) =>
+      TextAnalysis.sourceEntropy(Tables.documents(s, d))),
+    // int8 embedding quantization — scalar projections only (the
+    // driver's pandas compare cannot hash array cells; the array form
+    // is covered by SimilaritySpec)
+    "x53_quantize_int8"   -> ((s, d) =>
+      graft.operators.Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select("vec_id", "q_csv", "q_l1")),
     // sketch twin of x36: same bar, estimated counts (CMS is one-sided:
     // superset of the exact result, overshoot ≤ ε·N). Estimates are
     // sketch-seed-specific → rows-only driver check (rule 6); the ε
@@ -607,6 +621,48 @@ object SparkEntry {
              AS wmean_cents
          FROM events e JOIN b USING (event_type)
          GROUP BY e.event_type ORDER BY event_type NULLS FIRST""",
+    // x51: the unigram NLL replayed with the same double shapes
+    // (BIGINT/BIGINT division is true division in DuckDB, matching
+    // Spark's long/long → double); millinat rounding absorbs
+    // summation-order ulps
+    "x51_surprisal" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         t AS (SELECT SUM(cnt) AS total FROM c)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(SUM(-ln(c.cnt / t.total)) / COUNT(*) * 1000 + 0.5) AS BIGINT)
+             AS nll_millinats
+         FROM tok JOIN c USING (tok) CROSS JOIN t
+         GROUP BY doc_id ORDER BY doc_id""",
+    // x52: H = ln N − Σ n·ln n / N — the exact identity the Spark side
+    // computes from the same group totals
+    "x52_source_entropy" ->
+      """WITH per AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2)
+         SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(FLOOR((ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) * 1000 + 0.5) AS BIGINT)
+             AS entropy_millinats
+         FROM per GROUP BY lang ORDER BY lang NULLS FIRST""",
+    // x53: per-vector max-abs int8 quantization — floor(x·127/s + 0.5)
+    // is exact on the parquet floats widened to double, so the CSV
+    // form and l1 norm replay bit for bit
+    "x53_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, e -> ABS(CAST(e AS DOUBLE)))) AS scale
+           FROM embeddings)
+         SELECT vec_id,
+           array_to_string(CASE WHEN scale = 0 THEN
+               list_transform(embedding, e -> 0)
+             ELSE
+               list_transform(embedding, e ->
+                 CAST(FLOOR(CAST(e AS DOUBLE) * 127 / scale + 0.5) AS INTEGER))
+             END, ',') AS q_csv,
+           CAST(list_sum(CASE WHEN scale = 0 THEN
+               list_transform(embedding, e -> 0)
+             ELSE
+               list_transform(embedding, e ->
+                 CAST(ABS(FLOOR(CAST(e AS DOUBLE) * 127 / scale + 0.5)) AS INTEGER))
+             END) AS BIGINT) AS q_l1
+         FROM s ORDER BY vec_id""",
     "x40_pack_sequences" -> packSequencesOracle,
     "x41_contamination" -> contaminationOracle,
     // x42: the same md5-permille uniform as x35, cut into cumulative

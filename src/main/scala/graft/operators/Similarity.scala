@@ -34,6 +34,32 @@ object Similarity {
 
   private[operators] def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * prep step before an ANN index ships to serving (4× smaller than
+    * f32, and distance kernels stay SIMD-friendly). Per-vector max-abs
+    * scale, values mapped to round(x·127/scale) ∈ [−127, 127]; zero
+    * vectors (scale 0) quantize to all-zero rather than NaN. Purely a
+    * scan-side `transform` over the array column — zero shuffles, zero
+    * UDFs, survives column pruning — and the rounding is
+    * `floor(x + 0.5)` so the mapping replays exactly cross-engine.
+    * The quantized vector is surfaced both as the array (for
+    * downstream ops) and as a CSV string + l1 norm (scalar columns the
+    * oracle hash can certify). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val scale = array_max(transform(v, x => abs(x)))
+    val q = transform(v, x =>
+      floor(x * 127.0d / col("__scale") + 0.5d).cast("int"))
+    embeddings
+      .withColumn("__scale", scale)
+      .withColumn("q", when(col("__scale") === 0.0d,
+          transform(v, x => lit(0))).otherwise(q))
+      .select(col("vec_id"), col("q"),
+        concat_ws(",", transform(col("q"), x => x.cast("string"))).as("q_csv"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+      .orderBy("vec_id")
+  }
+
   /** Shared final stage for every top-k path: rank scored pairs per
     * query (ties broken by neighbor id), keep k, surface the score as
     * integer permille. One implementation so rounding and tie-break

@@ -243,6 +243,56 @@ object TextAnalysis {
       .orderBy("doc_id", "novel_permille")
   }
 
+  /** Unigram log-perplexity proxy — the classic LM-quality signal
+    * (the C4/Gopher-family filters score documents with a cheap
+    * language model and drop the tails; a corpus-fit unigram model is
+    * its cheapest honest form). Fits the model and scores in one
+    * pipeline: token df over the corpus (vocabulary-bounded shuffle
+    * with map-side partials), token probabilities broadcast back onto
+    * the token stream, per-doc mean negative log-prob in millinats.
+    * Self-fit means no OOV: every scored token has corpus support.
+    * High score = improbable token mix (gibberish, wrong-language,
+    * boilerplate-free noise); low = stereotyped text.
+    *
+    * At 100 TB the only corpus-sized movement is the per-doc re-group;
+    * the model itself stays vocabulary-sized (and would broadcast from
+    * a dictionary table in a two-job fit/apply split if the vocabulary
+    * outgrew a broadcast). */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    tok.join(broadcast(counts), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(-log(col("cnt") / col("total"))).as("nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("nll") / col("n_tokens") * 1000 + 0.5).cast("long")
+          .as("nll_millinats"))
+      .orderBy("doc_id")
+  }
+
+  /** Source-diversity entropy per language: Shannon entropy (millinats)
+    * of each language slice's source distribution — the mixture-health
+    * check a corpus curator runs per shard/epoch (entropy collapsing
+    * toward 0 means a language is effectively single-source, a
+    * concentration risk for dedup and contamination). Two aggregations,
+    * both bounded by |lang × source|, nothing corpus-sized moves twice. */
+  def sourceEntropy(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    per.groupBy("lang")
+      .agg(sum("n").as("n_docs"),
+        // -Σ p·ln p with p = n/n_docs, computed from the group totals:
+        // sum(n·ln n) and n_docs suffice — H = ln N − Σ n·ln n / N
+        sum(col("n") * log(col("n"))).as("snln"))
+      .select(col("lang"), col("n_docs"),
+        floor((log(col("n_docs")) - col("snln") / col("n_docs")) * 1000 + 0.5)
+          .cast("long").as("entropy_millinats"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
   /** Composite quality gate — the keep/drop decision stage of a
     * training-data filter pipeline (the Dolma/FineWeb shape: several
     * cheap signals, one decision, REASONS kept for auditing). Signals:

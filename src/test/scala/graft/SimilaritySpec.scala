@@ -95,4 +95,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byId(1L) !== byId(4L))
   }
+
+  test("quantizeInt8: max-abs symmetric mapping, zero vectors stay zero") {
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getString(2), r.getLong(3))).toMap
+    // scale=1.0: 127, floor(-63.5+0.5)=-63, floor(31.75+0.5)=32
+    assert(out(1L)._1 === Seq(127, -63, 32))
+    assert(out(1L)._2 === "127,-63,32")
+    assert(out(1L)._3 === 127L + 63L + 32L)
+    assert(out(2L)._1 === Seq(0, 0, 0) && out(2L)._3 === 0L)
+  }
+
+  test("quantizeInt8 is scan-side only: zero Exchange, codegen transform") {
+    val d = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val plan = Similarity.quantizeInt8(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
+      s"quantize should not shuffle (beyond the presentation sort):\n$plan")
+  }
 }

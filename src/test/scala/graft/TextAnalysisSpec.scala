@@ -206,4 +206,26 @@ class TextAnalysisSpec extends SparkSpec {
         s"$tok returned but exact count $cnt is further than eps*N below minCount")
     }
   }
+
+  test("unigramSurprisal: rare tokens raise the mean NLL; uniform doc scores ln(V)") {
+    // corpus: 'a' x9, 'b' x1 -> p(a)=0.9, p(b)=0.1
+    val out = TextAnalysis.unigramSurprisal(docs(
+      1L -> "a a a a a a a a a", 2L -> "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 === 9L && out(2L)._1 === 1L)
+    assert(out(1L)._2 === math.floor(-math.log(0.9) * 1000 + 0.5).toLong)
+    assert(out(2L)._2 === math.floor(-math.log(0.1) * 1000 + 0.5).toLong)
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
+  test("sourceEntropy: single-source lang is 0; uniform split is ln(k)") {
+    val d = Seq(
+      (1L, "en", "s1"), (2L, "en", "s2"), (3L, "en", "s3"), (4L, "en", "s4"),
+      (5L, "fr", "s1"), (6L, "fr", "s1"))
+      .toDF("doc_id", "lang", "source")
+    val out = TextAnalysis.sourceEntropy(d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("fr") === (2L, 0L))
+    assert(out("en") === (4L, math.floor(math.log(4.0) * 1000 + 0.5).toLong))
+  }
 }
