@@ -147,6 +147,15 @@ object SparkEntry {
     // distribution
     "x52_source_entropy"  -> ((s, d) =>
       TextAnalysis.sourceEntropy(Tables.documents(s, d))),
+    // regular-grid resample of the value signal (31 daily instants over
+    // the event month, µs resolution), composed from backward+forward
+    // as-of joins with linear interpolation between brackets
+    "x54_resample"        -> ((s, d) =>
+      graft.operators.Sessions.resampleLinear(
+        Tables.events(s, d).withColumn("ts_us", expr("unix_micros(ts)")),
+        startTs = 1704067200000000L, endTs = 1706659200000000L,
+        stepTs = 86_400_000_000L, tsCol = "ts_us")
+        .orderBy("user_id", "g_ts")),
     // int8 embedding quantization — scalar projections only (the
     // driver's pandas compare cannot hash array cells; the array form
     // is covered by SimilaritySpec)
@@ -642,6 +651,36 @@ object SparkEntry {
            CAST(FLOOR((ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) * 1000 + 0.5) AS BIGINT)
              AS entropy_millinats
          FROM per GROUP BY lang ORDER BY lang NULLS FIRST""",
+    // x54: DuckDB's native ASOF JOIN replays both bracket lookups
+    // (largest t ≤ g and smallest t ≥ g); the tie collapse, the lerp
+    // arithmetic shape and the cents guard mirror the Spark side
+    "x54_resample" ->
+      """WITH ev0 AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+         ded AS (SELECT user_id, t, value FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id, t ORDER BY event_id DESC) AS rn FROM ev0)
+           WHERE rn = 1),
+         grid AS (SELECT u.user_id, g.g_ts
+           FROM (SELECT DISTINCT user_id FROM ev0) u
+           CROSS JOIN (SELECT UNNEST(generate_series(
+             1704067200000000, 1706659200000000, 86400000000)) AS g_ts) g),
+         bw AS (SELECT grid.user_id, grid.g_ts, ded.t AS bt, ded.value AS bv
+           FROM grid ASOF LEFT JOIN ded
+           ON grid.user_id = ded.user_id AND ded.t <= grid.g_ts),
+         fw AS (SELECT grid.user_id, grid.g_ts, ded.t AS ft, ded.value AS fv
+           FROM grid ASOF LEFT JOIN ded
+           ON grid.user_id = ded.user_id AND ded.t >= grid.g_ts)
+         SELECT bw.user_id AS user_id, bw.g_ts AS g_ts,
+           CASE WHEN bt = ft THEN 'exact'
+                WHEN bt IS NOT NULL AND ft IS NOT NULL THEN 'lerp'
+                WHEN bt IS NOT NULL THEN 'hold' ELSE 'backfill' END AS kind,
+           CAST(FLOOR((CASE WHEN bt = ft THEN bv
+                WHEN bt IS NOT NULL AND ft IS NOT NULL
+                  THEN bv + (fv - bv) * (bw.g_ts - bt) / (ft - bt)
+                WHEN bt IS NOT NULL THEN bv ELSE fv END) * 100 + 0.5) AS BIGINT)
+             AS val_cents
+         FROM bw JOIN fw ON bw.user_id = fw.user_id AND bw.g_ts = fw.g_ts
+         ORDER BY user_id, g_ts""",
     // x53: per-vector max-abs int8 quantization — floor(x·127/s + 0.5)
     // is exact on the parquet floats widened to double, so the CSV
     // form and l1 norm replay bit for bit

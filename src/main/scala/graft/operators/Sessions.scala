@@ -65,6 +65,60 @@ object Sessions {
     * FROM theirs (null-safe, so NULL states form runs too); `lead`
     * over the surviving rows closes each interval. Both windows share
     * one (user_id) shuffle + sort. */
+  /** Regular-grid resampling with linear interpolation — the
+    * time-series alignment step before joining event-derived features
+    * onto a fixed cadence (training snapshots, daily aggregates,
+    * forecasting inputs). For each user and each grid instant in
+    * `[startTs, endTs]` stepped by `stepTs` (all in `tsCol` units):
+    * the exact event value if one lands on the instant, the linear
+    * interpolation between the bracketing events otherwise, hold-last
+    * after the final event, back-fill before the first — each case
+    * labeled in `kind` ('exact' | 'lerp' | 'hold' | 'backfill').
+    *
+    * COMPOSED from [[AsOfJoin.backward]] + [[AsOfJoin.forward]] — two
+    * single-shuffle sorted passes, no range explosion, no per-grid
+    * scans. Simultaneous events collapse latest-event_id-wins first
+    * (one more keyed window on the same shuffle key), so the bracketing
+    * values are uniquely determined and the oracle can replay them.
+    * The grid explodes from a `sequence` literal per user — rows scale
+    * as |users|·|grid|, never |users|·|events|. */
+  def resampleLinear(events: DataFrame, startTs: Long, endTs: Long,
+                     stepTs: Long, tsCol: String = "ts_ns"): DataFrame = {
+    require(stepTs > 0, s"stepTs ($stepTs) must be > 0")
+    require(endTs >= startTs, s"endTs ($endTs) must be >= startTs ($startTs)")
+    // collapse simultaneous events: latest event_id wins (the upsert
+    // tie rule), so each (user, ts) has ONE value
+    val wTie = Window.partitionBy("user_id", tsCol)
+      .orderBy(col("event_id").desc)
+    val ev = events
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col(tsCol).as("__et"), col("value").as("__ev"))
+    val grid = ev.select("user_id").distinct()
+      .withColumn("g_ts",
+        explode(sequence(lit(startTs), lit(endTs), lit(stepTs))))
+    val bw = AsOfJoin.backward(grid, ev.withColumnRenamed("__et", "__bt")
+        .withColumnRenamed("__ev", "__bv"),
+      key = "user_id", leftTime = "g_ts", rightTime = "__bt",
+      rightCols = Seq("__bt", "__bv"))
+    val both = AsOfJoin.forward(bw, ev.withColumnRenamed("__et", "__ft")
+        .withColumnRenamed("__ev", "__fv"),
+      key = "user_id", leftTime = "g_ts", rightTime = "__ft",
+      rightCols = Seq("__ft", "__fv"))
+    val lerp = col("__bv") + (col("__fv") - col("__bv")) *
+      (col("g_ts") - col("__bt")) / (col("__ft") - col("__bt"))
+    both.select(col("user_id"), col("g_ts"),
+        when(col("__bt") === col("__ft"), lit("exact"))
+          .when(col("__bt").isNotNull && col("__ft").isNotNull, lit("lerp"))
+          .when(col("__bt").isNotNull, lit("hold"))
+          .otherwise(lit("backfill")).as("kind"),
+        graft.queries.Relational.cents(
+          when(col("__bt") === col("__ft"), col("__bv"))
+            .when(col("__bt").isNotNull && col("__ft").isNotNull, lerp)
+            .when(col("__bt").isNotNull, col("__bv"))
+            .otherwise(col("__fv"))).as("val_cents"))
+  }
+
   def scd2(events: DataFrame, tsCol: String = "ts_ns"): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(tsCol, "event_id")
     events

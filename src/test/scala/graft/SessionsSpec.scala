@@ -69,4 +69,35 @@ class SessionsSpec extends SparkSpec {
     assert(dPlan.split("Exchange").length - 1 <= 1,
       s"scd2 should reuse the single user_id shuffle:\n$dPlan")
   }
+
+  test("resampleLinear: exact / lerp / hold / backfill cases") {
+    // user 1: events at t=100 (v=1.0) and t=300 (v=3.0)
+    val out = Sessions.resampleLinear(
+      ev((1L, 1L, 100L, "a", 1.0), (1L, 2L, 300L, "a", 3.0)),
+      startTs = 0L, endTs = 400L, stepTs = 100L)
+      .orderBy("g_ts")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, "backfill", 100L),    // before first -> first value 1.0
+      (100L, "exact", 100L),
+      (200L, "lerp", 200L),      // midpoint of 1.0..3.0 = 2.0
+      (300L, "exact", 300L),
+      (400L, "hold", 300L)))     // after last -> last value 3.0
+  }
+
+  test("resampleLinear: simultaneous events collapse latest-id-wins") {
+    val out = Sessions.resampleLinear(
+      ev((1L, 1L, 100L, "a", 1.0), (1L, 9L, 100L, "a", 7.0)),
+      startTs = 100L, endTs = 100L, stepTs = 1L)
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("exact", 700L)))
+  }
+
+  test("resampleLinear grid covers only users with events") {
+    val out = Sessions.resampleLinear(
+      ev((1L, 1L, 0L, "a", 1.0), (2L, 2L, 50L, "a", 2.0)),
+      startTs = 0L, endTs = 100L, stepTs = 50L)
+    assert(out.count() === 6L)   // 2 users x 3 grid points
+    assert(out.select("user_id").distinct().count() === 2L)
+  }
 }
