@@ -156,6 +156,12 @@ object SparkEntry {
         startTs = 1704067200000000L, endTs = 1706659200000000L,
         stepTs = 86_400_000_000L, tsCol = "ts_us")
         .orderBy("user_id", "g_ts")),
+    // PageRank centrality over the x07 near-dup pair graph — 10 fixed
+    // power iterations (hub documents of duplication neighborhoods)
+    "x55_pagerank"        -> ((s, d) =>
+      graft.operators.Graph.pageRank(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2, minPermille = 300),
+        iterations = 10)),
     // int8 embedding quantization — scalar projections only (the
     // driver's pandas compare cannot hash array cells; the array form
     // is covered by SimilaritySpec)
@@ -739,6 +745,7 @@ object SparkEntry {
     // x34: connected components over the x07 pair graph — the oracle
     // re-derives the pairs and closes them with a recursive CTE
     "x34_dup_clusters" -> dupClustersOracle,
+    "x55_pagerank" -> pageRankOracle,
     // x35: md5-keyed sampling is engine-portable by construction —
     // the oracle replays the keep decision bit for bit
     "x35_stratified_sample" ->
@@ -912,6 +919,31 @@ object SparkEntry {
                  UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s)
        SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
        FROM reach GROUP BY a ORDER BY doc_id, cluster_id"""
+
+  /** x55 oracle: the same 10 power iterations UNROLLED as chained CTEs
+    * over the x07 pair graph (recursive CTEs cannot aggregate in the
+    * recursive term, so fixed unrolling is the faithful SQL form).
+    * Every constant is forced ::DOUBLE; micros rounding absorbs
+    * summation-order ulps (tiny here — per-node fan-in is cluster
+    * degree). */
+  private def pageRankOracle: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""m$k AS (SELECT s.dst AS node, SUM(i.r / d.deg) AS m
+         FROM sym s JOIN it${k - 1} i ON s.src = i.node JOIN deg d ON s.src = d.src
+         GROUP BY s.dst),
+       it$k AS (SELECT node, tele.t + 0.85::DOUBLE * m AS r FROM m$k CROSS JOIN tele)"""
+    }.mkString(",\n       ")
+    s"""WITH $minHashPairsCtes,
+       sym AS (SELECT da AS src, db AS dst FROM pairs
+               UNION SELECT db AS src, da AS dst FROM pairs),
+       deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+       nn AS (SELECT COUNT(*) AS n FROM deg),
+       tele AS (SELECT (1 - 0.85::DOUBLE) / n AS t FROM nn),
+       it0 AS (SELECT src AS node, 1.0::DOUBLE / nn.n AS r FROM deg CROSS JOIN nn),
+       $rounds
+       SELECT node AS doc_id, CAST(FLOOR(r * 1000000 + 0.5) AS BIGINT) AS pr_micros
+       FROM it10 ORDER BY doc_id"""
+  }
 
   /** Shared oracle for the exact cosine top-k twins (x09 HOF path, x13
     * native-expression path): same fold order as the Spark plan, so the

@@ -30,7 +30,7 @@ object Dedup {
     * sessions release them once results are materialized. */
   private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def registerCache(df: DataFrame): DataFrame = {
+  private[operators] def registerCache(df: DataFrame): DataFrame = {
     val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveCaches.add(c)
     c
