@@ -284,6 +284,60 @@ object SparkEntry {
         numPlanes = 16, numTables = 2, multiProbe = 2)
       graft.operators.Recall.pairRecall(exactPairs, found, Seq("da", "db"))
     },
+    // fixed-point integer k-means (4 clusters, 2 Lloyd rounds) —
+    // integer state makes the whole trajectory, not just the labels,
+    // exactly oracle-replayable
+    "x56_kmeans"          -> ((s, d) =>
+      graft.operators.Clustering.kmeans(Tables.embeddings(s, d),
+        idCol = "vec_id", vecCol = "embedding", k = 4, iterations = 2)),
+    // robust per-language length outliers. The fence is pinned at
+    // 1.9·MAD for THIS query: the synthetic corpus has no heavy tail
+    // (max deviation ≈ 2.76·MAD), so the conventional 3.5 default
+    // would "pass" vacuously on an empty result at every SF
+    "x57_outliers_mad"    -> ((s, d) =>
+      TextAnalysis.madOutliers(Tables.documents(s, d), kMilli = 1900L)),
+    // Morton (Z-order) layout key over the low 8 bits of
+    // (custkey, orderkey) — the write-time sort key for
+    // two-dimensional min/max file skipping
+    "x58_zorder"          -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        graft.core.Layout.zValue(
+          pmod(col("o_custkey"), lit(256L)), pmod(col("o_orderkey"), lit(256L)),
+          bits = 8).as("zval"))
+        .orderBy("zval", "o_orderkey").limit(200)),
+    // one-pass per-column corpus profile (rows / nulls / exact distincts)
+    "x59_profile"         -> ((s, d) =>
+      graft.operators.Profiling.profile(Tables.documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // hybrid retrieval: RRF fusion of the x47 lexical pool and a dense
+    // cosine pool (query = vec 0), both at depth 50, fused top-20
+    "x60_hybrid_rrf"      -> ((s, d) =>
+      graft.operators.Retrieval.hybridRrf(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("vector", "stream", "join"), queryVecId = 0L, k = 20)),
+    // frequency-ranked vocabulary (V=512) + per-doc token-id encoding
+    "x61_vocab_encode"    -> ((s, d) =>
+      TextAnalysis.vocabEncode(Tables.documents(s, d), vocabSize = 512)),
+    // deterministic 5-per-language sample (md5-permutation rank)
+    "x62_group_sample"    -> ((s, d) =>
+      graft.operators.Sampling.groupSample(Tables.documents(s, d),
+        groupCol = "lang", keyCol = "doc_id", n = 5)
+        .select("doc_id", "lang").orderBy("doc_id", "lang")),
+    // snapshot diff vs a simulated next drop: doc_id%97 removed,
+    // doc_id%53 text-changed, 4 high-id rows added
+    "x63_snapshot_diff"   -> { (s, d) =>
+      val base = Tables.documents(s, d)
+      val next = base.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        .withColumn("text", when(pmod(col("doc_id"), lit(53L)) === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") < 4)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      graft.operators.Snapshot.diff(base, next, "doc_id", Seq("text"))
+    },
+    // 12-bin fixed-range histogram of n_chars over [0, 600)
+    "x64_histogram"       -> ((s, d) =>
+      graft.operators.Profiling.histogram(Tables.documents(s, d), "n_chars",
+        lo = 0L, hi = 600L, nbins = 12)),
   )
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine
@@ -757,6 +811,83 @@ object SparkEntry {
       """SELECT tok, COUNT(*) AS n
          FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY tok HAVING COUNT(*) >= 500 ORDER BY tok, n""",
+    // x56: the ENTIRE fixed-point k-means trajectory — micro-quantized
+    // coords, integer argmin assignments (ties → lowest index), rounded
+    // integer centroid updates — replayed iteration for iteration
+    "x56_kmeans" -> kmeansOracle,
+    // x57: exact interpolated medians over integers are x.0/x.5 —
+    // every quantity in the MAD fence is an exact double
+    "x57_outliers_mad" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+           FROM documents),
+         m AS (SELECT lang, median(n_tok) AS med FROM t GROUP BY lang),
+         d AS (SELECT t.doc_id, t.lang, t.n_tok, ABS(t.n_tok - m.med) AS dev
+           FROM t JOIN m ON t.lang = m.lang),
+         md AS (SELECT lang, median(dev) AS mad FROM d GROUP BY lang)
+         SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_tok AS n_tok,
+           CAST(FLOOR(d.dev * 1000.0) AS BIGINT) AS dev_milli
+         FROM d JOIN md ON d.lang = md.lang
+         WHERE d.dev * 1000.0 > 1900.0 * md.mad
+         ORDER BY doc_id, lang, n_tok, dev_milli""",
+    // x58: bit interleave is pure integer shift/mask arithmetic —
+    // identical spelling both engines
+    "x58_zorder" -> zOrderOracle,
+    "x59_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT($c) AS n_null,
+            COUNT(DISTINCT $c) AS n_distinct FROM documents""")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
+    // x60: both pools replayed (x47's BM25 at depth 50; x09's cosine
+    // restricted to query 0), then the two-term RRF sum — ranks are
+    // integers, the fusion is two IEEE divisions + one addition in a
+    // fixed order, rounded to micros
+    "x60_hybrid_rrf" -> hybridRrfOracle,
+    // x61: the vocabulary rank (count DESC, token ASC) and the OOV→0
+    // encoding are pure integer/string operations
+    "x61_vocab_encode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         tk AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS i, ts FROM t),
+         tt AS (SELECT doc_id, i, ts[CAST(i AS INT)] AS tok FROM tk),
+         cnt AS (SELECT tok, COUNT(*) AS n FROM tt GROUP BY tok),
+         v AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS id
+               FROM cnt ORDER BY n DESC, tok LIMIT 512),
+         e AS (SELECT tt.doc_id, tt.i, COALESCE(v.id, 0) AS id
+               FROM tt LEFT JOIN v USING (tok))
+         SELECT doc_id, string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS ids_csv,
+           COUNT(*) AS n_tok,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         FROM e GROUP BY doc_id ORDER BY doc_id""",
+    // x62: the md5 permutation rank replayed per group
+    "x62_group_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000007, doc_id) AS rn
+           FROM documents) WHERE rn <= 5 ORDER BY doc_id, lang""",
+    // x63: same simulated next drop, same md5 fingerprints
+    "x63_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS k, md5(text) AS fp FROM documents),
+         nn AS (SELECT doc_id AS k, md5(text) AS fp FROM (
+           SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 4)),
+         f AS (SELECT COALESCE(o.k, nn.k) AS doc_id,
+             CASE WHEN o.fp IS NULL THEN 'added' WHEN nn.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> nn.fp THEN 'changed' ELSE 'unchanged' END AS status
+           FROM o FULL OUTER JOIN nn ON o.k = nn.k)
+         SELECT doc_id, status FROM f WHERE status <> 'unchanged'
+         ORDER BY doc_id, status""",
+    // x64: integer bin arithmetic; negative-numerator div differences
+    // are clamped into bin 0 in both engines
+    "x64_histogram" ->
+      """SELECT LEAST(GREATEST((n_chars - 0) * 12 // 600, 0), 11) AS bin,
+           COUNT(*) AS n
+         FROM documents WHERE n_chars IS NOT NULL GROUP BY 1 ORDER BY bin""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
@@ -948,6 +1079,103 @@ object SparkEntry {
   /** Shared oracle for the exact cosine top-k twins (x09 HOF path, x13
     * native-expression path): same fold order as the Spark plan, so the
     * scores are bit-identical, not merely close. */
+  /** x56: chained-CTE replay of [[graft.operators.Clustering.kmeans]]
+    * (k=4, 2 iterations, dim 64) — quantize, assign (argmin of integer
+    * squared L2, ties → lowest centroid), update (rounded integer
+    * mean, empty clusters keep the old centroid), assign again. */
+  private def kmeansOracle: String = {
+    val (k, iters, dim) = (4, 2, 64)
+    def dist(qv: String, cv: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(list_zip($qv, $cv), p -> (p[1]-p[2])*(p[1]-p[2]))),
+         (a, b) -> a + b)"""
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, qv, c FROM (
+           SELECT q.vec_id, q.qv, $cents.c,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ${dist("q.qv", s"$cents.qv")} ASC, $cents.c ASC) AS rn
+           FROM q CROSS JOIN $cents) WHERE rn = 1)"""
+    def update(i: Int) =
+      s"""u$i AS (SELECT a$i.c, r.pos,
+           CAST(floor(CAST(SUM(a$i.qv[r.pos]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv
+           FROM a$i CROSS JOIN (SELECT CAST(range + 1 AS INT) AS pos FROM range($dim)) r
+           GROUP BY a$i.c, r.pos),
+         c$i AS (SELECT c${i - 1}.c, COALESCE(n.qv, c${i - 1}.qv) AS qv
+           FROM c${i - 1} LEFT JOIN
+             (SELECT c, list(cv ORDER BY pos) AS qv FROM u$i GROUP BY c) n
+           ON n.c = c${i - 1}.c)"""
+    val chain = (1 to iters).map(i => s"${assign(s"a$i", s"c${i - 1}")},\n${update(i)}")
+      .mkString(",\n")
+    s"""WITH q AS (SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+         FROM embeddings),
+       c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, qv
+         FROM q ORDER BY vec_id LIMIT $k),
+       $chain,
+       ${assign("afin", s"c$iters")}
+       SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM afin ORDER BY vec_id"""
+  }
+
+  /** x60: RRF fusion replay — the x47 BM25 formula at pool depth 50,
+    * the x09 cosine (same left-fold dot product) for query vec 0, then
+    * `Σ 1/(60 + rank)` in micros. */
+  private def hybridRrfOracle: String =
+    """WITH dl AS (SELECT doc_id,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS dl
+         FROM documents),
+       stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+         FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+         WHERE tok IN ('vector', 'stream', 'join') GROUP BY doc_id, tok),
+       dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       bm AS (SELECT tf.doc_id AS doc_id,
+           CAST(FLOOR(SUM(
+             ln(1 + (stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+             * tf.tf * (1.2::DOUBLE + 1)
+             / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl.dl / stats.avgdl))
+           ) * 1000 + 0.5) AS BIGINT) AS score_milli
+         FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+         GROUP BY tf.doc_id
+         ORDER BY score_milli DESC, doc_id LIMIT 50),
+       lex AS (SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS lex_rank FROM bm),
+       qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         FROM embeddings WHERE vec_id = 0),
+       cv AS (SELECT vec_id AS neighbor_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+       sc AS (SELECT neighbor_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(qv, cv), p -> p[1] * p[2])), (a, b) -> a + b) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(qv, x -> x * x)), (a, b) -> a + b)) *
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS n
+         FROM qv CROSS JOIN cv WHERE neighbor_id <> 0),
+       dense AS (SELECT neighbor_id AS doc_id, dense_rank FROM (
+           SELECT neighbor_id,
+             ROW_NUMBER() OVER (ORDER BY (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) DESC,
+               neighbor_id) AS dense_rank
+           FROM sc) WHERE dense_rank <= 50),
+       f AS (SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+           lex.lex_rank AS lex_rank, dense.dense_rank AS dense_rank
+         FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+       SELECT doc_id, lex_rank, dense_rank,
+         CAST(FLOOR((COALESCE(1.0/(60.0 + lex_rank), 0.0)
+           + COALESCE(1.0/(60.0 + dense_rank), 0.0)) * 1000000.0 + 0.5) AS BIGINT) AS rrf_micro
+       FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20"""
+
+  /** x58: the same shift/mask interleave as [[graft.core.Layout.zValue]]
+    * (bits=8 over the mod-256 reduced keys), spelled in SQL operators. */
+  private def zOrderOracle: String = {
+    val interleave = (0 until 8).map(i =>
+      s"((((o_custkey % 256) >> $i) & 1) << ${2 * i}) | " +
+        s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+    s"""SELECT o_orderkey, CAST($interleave AS BIGINT) AS zval
+       FROM orders ORDER BY zval, o_orderkey LIMIT 200"""
+  }
+
   private def cosineTopKOracle: String =
     """WITH q AS (SELECT vec_id AS query_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

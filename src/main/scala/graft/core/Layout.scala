@@ -55,4 +55,43 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Morton (Z-order) value of two non-negative dimension columns:
+    * the low `bits` bits of each are interleaved (a even positions, b
+    * odd), so sorting by the result places rows close in BOTH
+    * dimensions into the same neighborhood — and therefore the same
+    * files, giving parquet min/max row-group skipping on EITHER
+    * dimension from one sort order. Plain sort-by-(a,b) clusters only
+    * the leading column; Z-order is the standard multi-dimensional
+    * layout fix (Delta/Iceberg expose the same thing at table level).
+    *
+    * Pure integer shift/mask arithmetic (no UDF — stays in codegen and
+    * is exactly replayable by any engine with `>> & |`). Inputs must
+    * already be range-reduced to [0, 2^bits) — pass quantized/bucketed
+    * dimensions, not raw values; out-of-range bits are masked off. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits ($bits) must be in [1, 31]")
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order a frame for writing: range-partition by the interleaved
+    * key (contiguous Z-ranges per output file → tight per-file min/max
+    * on both dimensions), then sort within partitions. One full sort
+    * shuffle at write time, amortized over every later pruned scan —
+    * the same pay-once economics as [[writeBucketed]]. */
+  def zOrderBy(df: DataFrame, a: String, b: String, bits: Int,
+               partitions: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zValue(col(a), col(b), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 }

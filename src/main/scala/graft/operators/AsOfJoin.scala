@@ -174,8 +174,14 @@ object AsOfJoin {
 
     // backward: latest right at-or-before → last() over the preceding
     // frame, __tb ascending so the highest tiebreak is last at equal t.
-    // forward: earliest right at-or-after → first() over the following
-    // frame, __tb DESCENDING so the highest tiebreak is first at equal t.
+    // forward: the same shape over the TIME-REVERSED sort — NOT a
+    // (currentRow, unboundedFollowing) frame: Spark's unbounded-
+    // FOLLOWING frame re-aggregates from each row to the partition end
+    // (O(n²) per key group), while the unbounded-PRECEDING frame is the
+    // O(n) incremental path. Reversing the sort (__t desc, __side desc
+    // so equal-time right rows still precede the left row, __tb asc so
+    // the highest tiebreak is last) makes "earliest at-or-after" ≡
+    // "last over the preceding frame".
     val (w, matchExpr) =
       if (isBackward) (
         Window.partitionBy(col(key))
@@ -184,9 +190,9 @@ object AsOfJoin {
         (c: Column) => last(c, ignoreNulls = true))
       else (
         Window.partitionBy(col(key))
-          .orderBy(col("__t"), col("__side"), col("__tb").desc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing),
-        (c: Column) => first(c, ignoreNulls = true))
+          .orderBy(col("__t").desc, col("__side").desc, col("__tb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        (c: Column) => last(c, ignoreNulls = true))
 
     val pick: String => Column = tolerance match {
       case Some(t) =>
@@ -208,17 +214,19 @@ object AsOfJoin {
     * identical right times within a side resolve by highest tieBreak —
     * consistent with [[backward]]/[[forward]].
     *
-    * ONE shuffle + ONE sort for both directions: the union is sorted
-    * once (right before left at equal t) and two frame-bounded window
-    * aggregates pick each direction's champion —
-    * `max_by(payload, (t, tb))` over the preceding frame (latest ≤,
-    * highest tb) and `min_by(payload, (t, −1−tb))` over the following
-    * frame (earliest >, highest tb; the −1−x bit-flip avoids the
-    * Long.MinValue negation overflow). Left rows carry a NULL ordering
-    * struct, which both aggregates skip. The following frame excludes
-    * equal-time right rows (they sort before the left row), but those
-    * are distance 0 on the backward side, which wins ties anyway —
-    * semantics are unaffected.
+    * ONE shuffle for both directions: the backward champion is
+    * `max_by(payload, (t, tb))` over the ascending sort's preceding
+    * frame (latest ≤, highest tb), and the forward champion is
+    * `last(payload)` over the TIME-REVERSED sort's preceding frame
+    * (earliest >, highest tb) — two in-partition sorts, but never an
+    * unbounded-FOLLOWING frame, which Spark evaluates by re-scanning
+    * to the partition end for every row (O(n²) per key group) where
+    * the preceding frame is the O(n) incremental path. Left rows carry
+    * a NULL ordering struct / payload, which the aggregates skip. Both
+    * frames exclude equal-time right rows from the forward side (they
+    * sort on the backward side of the left row in each ordering), but
+    * those are distance 0 on the backward side, which wins ties
+    * anyway — semantics are unaffected.
     *
     * Distance math runs on exact numerics (epoch micros for temporal
     * types, long for integral) — see [[timeAsNum]]; `tolerance` bounds
@@ -241,15 +249,19 @@ object AsOfJoin {
     val tg = tagAndUnion(left, right, key, leftTime, rightTime, payload,
       leftSide = 1, tieBreak)
 
-    val order = Window.partitionBy(col(key))
+    val wPrev = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__tb"))
-    val wPrev = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    // ordering structs are NULL on left rows — max_by/min_by skip them
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward champions ride the time-reversed sort's preceding frame:
+    // __side desc keeps equal-time right rows (side 0) AFTER the left
+    // row (side 1) — out of the frame, as in the ascending spelling —
+    // and __tb asc puts the highest tiebreak last, where last() finds it
+    val wRev = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__side").desc, col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ordering struct is NULL on left rows — max_by skips them
     val bwOrd = when(col("__side") === 0,
       struct(col("__payload.__tn"), col("__tb"))).otherwise(lit(null))
-    val fwOrd = when(col("__side") === 0,
-      struct(col("__payload.__tn"), lit(-1L) - col("__tb"))).otherwise(lit(null))
 
     val lnum = timeAsNum(col("__t"), timeType)
     val choose =
@@ -263,7 +275,7 @@ object AsOfJoin {
     }
     val chosen = tg.unioned
       .withColumn("__bw", max_by(col("__payload"), bwOrd).over(wPrev))
-      .withColumn("__fw", min_by(col("__payload"), fwOrd).over(wNext))
+      .withColumn("__fw", last(col("__payload"), ignoreNulls = true).over(wRev))
       .filter(col("__side") === 1)
       .withColumn("__m", choose)
       .withColumn("__m", bounded)

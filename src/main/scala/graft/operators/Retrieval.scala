@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Keyword retrieval over a document corpus: BM25 scoring in the
@@ -82,6 +82,57 @@ object Retrieval {
       .select(col("doc_id"), col("n_hit"),
         floor(col("score") * 1000 + 0.5).cast("long").as("score_milli"))
       .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    * 2009) of a lexical BM25 pool and a dense cosine pool —
+    * `rrf(d) = Σ_pools 1/(rrfK + rank_pool(d))`, the standard fusion
+    * every hybrid search stack ships because it needs no score
+    * calibration between the pools (ranks only).
+    *
+    * Scale shape: both pools are top-`poolK` results (≤ poolK rows
+    * each — the corpus-sized work happens inside [[bm25TopK]] and
+    * [[Similarity.cosineTopK]], which keep their inverted-index /
+    * broadcast shapes); the fusion itself is a full-outer join of two
+    * tiny pools plus rank arithmetic. The single-partition rank
+    * windows run over poolK rows, not the corpus.
+    *
+    * Determinism: ranks are integers; each contribution is one double
+    * division and the fused score one addition — the same two IEEE
+    * ops in any engine — then rounded to integer micros for the
+    * ordering. Docs in one pool only get the other pool's
+    * contribution as 0 (null rank preserved in the output for
+    * provenance).
+    *
+    * @param docs       corpus (doc_id, text) for the lexical pool
+    * @param emb        embeddings (vec_id, embedding), vec_id ≍ doc_id
+    * @param terms      lexical query bag
+    * @param queryVecId dense query: this vector's embedding
+    * @param k          fused result size
+    * @param poolK      per-pool candidate depth
+    * @param rrfK       RRF dampening constant (classic 60)
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                queryVecId: Long, k: Int, poolK: Int = 50,
+                rrfK: Int = 60): DataFrame = {
+    require(k > 0 && poolK > 0 && rrfK > 0, "k, poolK, rrfK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, terms, poolK)
+      // poolK rows: a global rank window here is a 50-row sort, fine
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score_milli").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val dense = Similarity
+      .cosineTopK(emb.filter(col("vec_id") === queryVecId), emb, poolK)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+    def contrib(r: Column) =
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")), lit(0.0))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        floor((contrib(col("lex_rank")) + contrib(col("dense_rank")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(k)
   }
 }

@@ -112,4 +112,29 @@ object Sampling {
     }
     df.withColumn("split", assign)
   }
+
+  /** Deterministic fixed-size per-group sample: the `n` rows of each
+    * group whose md5-uniform (key-derived — see [[hashMod]]) is
+    * smallest, key ascending on hash ties. The md5 order is a
+    * reproducible random permutation, so this is an exact-size
+    * uniform-without-replacement sample per group — the distributed,
+    * retry-stable replacement for per-group reservoir sampling
+    * (a sequential algorithm that cannot shard).
+    *
+    * Scale shape: ONE shuffle keyed by the group + a per-group sort
+    * for the rank window. Group sizes bound the sort, not the corpus;
+    * for pathological mega-groups pre-filter with a permille hash
+    * band ([[hashSample]] at ~10·n/|group| rate) before ranking so
+    * the window sees a thin candidate slice instead of the full
+    * group. */
+  def groupSample(df: DataFrame, groupCol: String, keyCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 1, s"n ($n) must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashMod(col(keyCol), 1000000007L), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -395,4 +395,85 @@ object TextAnalysis {
       .groupBy("tok").agg(max("n_est").as("n_est"))
       .orderBy("tok", "n_est")
   }
+
+  /** Vocabulary build + token-id encoding — the final tokenizer-prep
+    * step of a training pipeline: fit a frequency-ranked vocabulary of
+    * size `vocabSize` over the corpus, then encode every document as
+    * the comma-joined id sequence (OOV → 0). Ids are 1-based ranks by
+    * (count DESC, token ASC) — fully deterministic, including the
+    * cut boundary at vocabSize.
+    *
+    * Scale shape: the vocabulary fit is a vocabulary-bounded groupBy
+    * (tokens, not documents, bound the shuffle) and the top-V cut is
+    * `ORDER BY … LIMIT V` → TakeOrderedAndProject (per-partition heaps,
+    * never a global sort); id assignment ranks only the V surviving
+    * rows. Encoding is a broadcast join of the V-row vocabulary onto
+    * the exploded tokens, re-assembled per doc with a bounded-by-
+    * doc-length collect_list — no corpus-sized sort anywhere.
+    *
+    * @return (doc_id, ids_csv, n_tok, n_oov), ordered by doc_id. */
+  def vocabEncode(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize ($vocabSize) must be >= 1")
+    val tk = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val vocab = tk.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      // rank over the V-row survivor set only (single tiny partition)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok"))).cast("long"))
+      .select("tok", "id")
+    tk.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          s => s("id").cast("string"))).as("ids_csv"),
+        count(lit(1)).as("n_tok"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  /** Robust per-group outlier detection on document length — the
+    * "garbage length" filter of a curation pipeline done properly:
+    * median/MAD instead of mean/stddev, so the detector itself is not
+    * dragged by the outliers it hunts (one 10 GB crawl artifact shifts
+    * a mean; it does not move a median).
+    *
+    * Per group g: med_g = median(n_tok), mad_g = median(|n_tok −
+    * med_g|); doc is an outlier iff 1000·|n_tok − med_g| >
+    * kMilli·mad_g (kMilli = 3500 ≈ the classic 3.5·MAD fence). All
+    * quantities are exact: token counts are integers, an interpolated
+    * median of integers is x.0/x.5 (exact in double), and both fence
+    * sides are products of exact doubles below 2⁵³ — deterministic and
+    * cross-engine replayable, no float-comparison haze. mad = 0
+    * (over half the group at the median) flags every deviating doc —
+    * the conventional degenerate-MAD behavior.
+    *
+    * Scale shape: two grouped EXACT percentile passes (shuffle keyed
+    * by group; `percentile` holds each group's value multiset — fine
+    * while groups fit an executor; at petabyte group sizes swap in
+    * `approx_percentile`, same plan shape) and two broadcast joins of
+    * the |groups|-row stats tables back onto the docs. The doc table
+    * itself shuffles only for the percentile aggregations.
+    *
+    * @return (doc_id, lang, n_tok, dev_milli) for outliers only,
+    *         dev_milli = 1000·|n_tok − med| floor-cast to long. */
+  def madOutliers(docs: DataFrame, kMilli: Long = 3500L): DataFrame = {
+    require(kMilli > 0, s"kMilli ($kMilli) must be > 0")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      tokenCountCol(col("text")).as("n_tok"))
+    val med = toks.groupBy("lang")
+      .agg(percentile(col("n_tok"), lit(0.5)).as("med"))
+    val withMed = toks.join(broadcast(med), Seq("lang"))
+      .withColumn("dev", abs(col("n_tok") - col("med")))
+    val mad = withMed.groupBy("lang")
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), Seq("lang"))
+      .filter(col("dev") * lit(1000.0) > lit(kMilli.toDouble) * col("mad"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor(col("dev") * lit(1000.0)).cast("long").as("dev_milli"))
+      .orderBy("doc_id", "lang", "n_tok", "dev_milli")
+  }
 }

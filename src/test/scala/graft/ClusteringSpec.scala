@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Profiling, TextAnalysis}
+import graft.core.Layout
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("kmeans: two obvious blobs split into two clusters") {
+    val df = vecs(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(10.0f, 10.0f),
+      2L -> Seq(0.1f, -0.1f), 3L -> Seq(9.9f, 10.1f),
+      4L -> Seq(0.05f, 0.02f), 5L -> Seq(10.2f, 9.8f))
+    val out = Clustering.kmeans(df, "vec_id", "embedding", k = 2, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // seeds are ids 0 (origin blob) and 1 (far blob)
+    assert(out(0L) === out(2L) && out(2L) === out(4L))
+    assert(out(1L) === out(3L) && out(3L) === out(5L))
+    assert(out(0L) !== out(1L))
+  }
+
+  test("kmeans: assignment argmin breaks distance ties on lowest centroid index") {
+    // point 2 is equidistant (in quantized micros) from both seeds
+    val df = vecs(
+      0L -> Seq(-1.0f), 1L -> Seq(1.0f), 2L -> Seq(0.0f))
+    val out = Clustering.kmeans(df, "vec_id", "embedding", k = 2, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(2L) === 0) // tie → cluster 0
+  }
+
+  test("kmeans: fixed-point trajectory matches a local integer replay") {
+    val data = Seq(
+      0L -> Seq(0.3f, -1.2f), 1L -> Seq(2.5f, 0.7f), 2L -> Seq(-0.4f, 0.9f),
+      3L -> Seq(1.1f, 1.1f), 4L -> Seq(-2.2f, 0.15f), 5L -> Seq(0.8f, -0.33f),
+      6L -> Seq(1.9f, 2.4f), 7L -> Seq(-1.5f, -1.5f))
+    val k = 3; val iters = 2
+    // local replay in exact integer arithmetic
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray
+    val q = data.map { case (id, v) => id -> quant(v) }.toMap
+    var cents: Array[Array[Long]] =
+      data.sortBy(_._1).take(k).map(r => quant(r._2)).toArray
+    def assign(): Map[Long, Int] = q.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.min._2
+    }
+    for (_ <- 1 to iters) {
+      val byC = assign().groupBy(_._2)
+      cents = cents.indices.map { c =>
+        byC.get(c) match {
+          case Some(members) =>
+            val vs = members.keys.map(q).toArray
+            (0 until 2).map(d => math.floor(
+              vs.map(_(d)).sum.toDouble / vs.length + 0.5).toLong).toArray
+          case None => cents(c)
+        }
+      }.toArray
+    }
+    val expected = assign()
+    val out = Clustering.kmeans(data.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = k, iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === expected)
+  }
+
+  test("kmeans: assignment pass plans without a shuffle (broadcast-literal centroids)") {
+    val df = vecs(0L -> Seq(0.0f), 1L -> Seq(1.0f), 2L -> Seq(2.0f))
+    val out = Clustering.kmeans(df, "vec_id", "embedding", k = 2, iterations = 1)
+    // the RETURNED frame is the final assignment: scan + project + sort
+    // only — the centroid literals must not drag in joins or aggregates
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"final assignment should not hash-shuffle:\n$plan")
+  }
+
+  test("kmeans: rejects k larger than the input") {
+    val df = vecs(0L -> Seq(0.0f))
+    val e = intercept[IllegalArgumentException](
+      Clustering.kmeans(df, "vec_id", "embedding", k = 3, iterations = 1))
+    assert(e.getMessage.contains("need at least k"))
+  }
+
+  test("madOutliers: flags the planted length outlier, not the bulk") {
+    val docs = ((1 to 20).map(i => (i.toLong, ("w " * 10).trim, "en")) :+
+      (99L, ("w " * 500).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.madOutliers(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(99L))
+    assert(out.head.getLong(2) === 500L) // n_tok of the outlier
+  }
+
+  test("madOutliers: zero MAD (constant group) flags every deviating doc") {
+    val docs = (Seq.fill(5)(("w " * 10).trim).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en") } :+
+      (50L, ("w " * 11).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.madOutliers(docs).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(50L))
+  }
+
+  test("zValue: interleaves bits (known values) and matches a local reference") {
+    val ref = (a: Long, b: Long, bits: Int) =>
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L), (170L, 85L))
+    val out = rows.toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === rows.map { case (a, b) => ref(a, b, 8) })
+    // spot values: z(1,0)=1, z(0,1)=2, z(255,255)=65535
+    assert(ref(1L, 0L, 8) === 1L && ref(0L, 1L, 8) === 2L &&
+      ref(255L, 255L, 8) === 65535L)
+  }
+
+  test("zOrderBy: sorted output is contiguous in z within partitions") {
+    val df = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b))
+      .toDF("a", "b")
+    val z = Layout.zOrderBy(df, "a", "b", bits = 4, partitions = 2)
+    val perPart = z.select(
+        spark_partition_id().as("p"), Layout.zValue(col("a"), col("b"), 4).as("zv"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    perPart.groupBy(_._1).foreach { case (_, rs) =>
+      val zs = rs.map(_._2).toSeq
+      assert(zs === zs.sorted, "z values must be sorted within each partition")
+    }
+    // range partitioning: partitions hold disjoint z ranges
+    val ranges = perPart.groupBy(_._1).view.mapValues(rs => (rs.map(_._2).min, rs.map(_._2).max))
+    val sorted = ranges.values.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
+  test("profile: per-column rows/nulls/distincts") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")), (Some(2L), None), (None, Some("b")))
+      .toDF("id", "s")
+    val out = Profiling.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("id") === ((4L, 1L, 2L)))
+    assert(out("s") === ((4L, 1L, 2L)))
+  }
+
+  test("profile: single aggregation pass (one job-side agg, no per-column scans)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val plan = Profiling.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString
+    // multi-distinct goes through ONE Expand over ONE scan of the
+    // input, not one aggregation sub-plan per column
+    assert(plan.contains("Expand"), s"expected a single Expand-based multi-distinct:\n$plan")
+    assert(!plan.contains("Union"), s"profile must not union per-column scans:\n$plan")
+  }
+
+  test("profile: unknown column fails loudly") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException](Profiling.profile(df, Seq("nope")))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("histogram: equal bins over [lo, hi), out-of-range clamps to edge bins") {
+    val df = Seq(-5L, 0L, 9L, 10L, 19L, 95L, 99L, 200L).toDF("v")
+    val out = Profiling.histogram(df, "v", lo = 0L, hi = 100L, nbins = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -5 clamps to bin 0; 0,9 -> bin 0; 10,19 -> bin 1; 95,99 -> bin 9;
+    // 200 clamps to bin 9
+    assert(out === Map(0L -> 3L, 1L -> 2L, 9L -> 3L))
+  }
+
+  test("histogram: nulls excluded, empty bins absent") {
+    val df = Seq(Some(5L), None, Some(5L)).toDF("v")
+    val out = Profiling.histogram(df, "v", 0L, 100L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 2L))
+  }
+}

@@ -59,11 +59,20 @@ class PlanSpec extends SparkSpec {
   test("x33: nearest as-of computes both directions from ONE shuffle") {
     val p = plan(Relational.asofNearest(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
-    // one hash exchange feeds the window (the final presentation sort's
-    // range exchange is separate); both max_by and min_by ride it
+    // one hash exchange feeds BOTH direction windows (the forward leg
+    // re-sorts within partitions on the reversed time order — a Sort,
+    // never a second Exchange; the final presentation sort's range
+    // exchange is separate)
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"nearest must not shuffle per direction:\n$p")
-    assert(p.contains("max_by") && p.contains("min_by"))
+    assert(p.contains("max_by"), "backward champion must ride max_by")
+    // the forward champion must be a running (unboundedpreceding)
+    // frame over the REVERSED sort — an unboundedfollowing frame is
+    // Spark's O(n²) per-group path
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"forward leg must not use the quadratic unbounded-following frame:\n$p")
+    assert(p.contains("__t#") && p.contains("DESC"),
+      s"forward leg should sort time-reversed:\n$p")
   }
 
   test("x23: embedding near-dup is a signature equi-join on native lsh_sig") {

@@ -45,4 +45,45 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  private def emb = Seq(
+    (0L, Seq(1.0f, 0.0f)),   // the query vector
+    (1L, Seq(0.9f, 0.1f)),   // closest to query
+    (2L, Seq(0.0f, 1.0f)),   // orthogonal
+    (3L, Seq(0.5f, 0.5f)),
+    (4L, Seq(-1.0f, 0.0f)))  // opposite
+    .toDF("vec_id", "embedding")
+
+  test("hybridRrf fuses lexical and dense ranks; both-pool docs outrank single-pool") {
+    val out = Retrieval.hybridRrf(docs, emb, Seq("cat", "fish"),
+      queryVecId = 0L, k = 10, poolK = 3, rrfK = 60)
+      .collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toMap
+    // doc 2: lex_rank 1 (both terms) AND dense_rank 2 (orthogonal but in pool)
+    assert(byId(2L)._1 === Some(1L) && byId(2L)._2.nonEmpty)
+    // doc 1: lex_rank 2, dense pool rank 1 (0.9,0.1 is closest to (1,0))
+    assert(byId(1L)._2 === Some(1L))
+    // fused scores replay: 1/(60+r_lex) + 1/(60+r_dense) in micros
+    byId.foreach { case (_, (lr, dr, micro)) =>
+      val expect = math.floor(
+        (lr.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          dr.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)) * 1000000.0 + 0.5).toLong
+      assert(micro === expect)
+    }
+    // a doc present in BOTH pools beats any single-pool doc at equal ranks:
+    // output is ordered by fused score desc
+    val micros = out.map(_.getLong(3)).toSeq
+    assert(micros === micros.sorted.reverse)
+    assert(out.head.getLong(0) === 2L || out.head.getLong(0) === 1L)
+  }
+
+  test("hybridRrf: docs outside both pools are absent; k truncates the fusion") {
+    val out = Retrieval.hybridRrf(docs, emb, Seq("cat"), queryVecId = 0L,
+      k = 2, poolK = 2, rrfK = 60).collect()
+    assert(out.length === 2)
+    // doc 4 (opposite embedding, no lexical hit) must not appear at poolK=2
+    assert(!out.map(_.getLong(0)).contains(4L))
+  }
 }

@@ -90,4 +90,27 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitAssign(corpus, "id", Seq("a" -> 500L, "b" -> 400L))
     }
   }
+
+  test("groupSample: exact n per group, deterministic, subset-stable") {
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val out = Sampling.groupSample(df, "g", "id", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "a") === 7)
+    assert(out.count(_._2 == "b") === 7)
+    // deterministic across runs
+    val again = Sampling.groupSample(df, "g", "id", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+    // growing n keeps the smaller sample as a prefix (md5 rank order)
+    val bigger = Sampling.groupSample(df, "g", "id", n = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.forall(bigger.contains))
+  }
+
+  test("groupSample: groups smaller than n come back whole") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val out = Sampling.groupSample(df, "g", "id", n = 5).collect()
+    assert(out.length === 3)
+  }
 }

@@ -228,4 +228,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("fr") === (2L, 0L))
     assert(out("en") === (4L, math.floor(math.log(4.0) * 1000 + 0.5).toLong))
   }
+
+  test("vocabEncode: frequency-ranked ids, OOV -> 0, order by position") {
+    val d = docs(
+      1L -> "the cat sat",
+      2L -> "the the dog",
+      3L -> "zebra the cat")
+    // counts: the=4, cat=2, sat=1, dog=1, zebra=1 -> rank: the=1, cat=2,
+    // then count-1 ties by token asc: dog=3, sat=4; V=4 cuts zebra -> OOV
+    val out = TextAnalysis.vocabEncode(d, vocabSize = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (("1,2,4", 3L, 0L)))
+    assert(out(2L) === (("1,1,3", 3L, 0L)))
+    assert(out(3L) === (("0,1,2", 3L, 1L)))
+  }
+
+  test("vocabEncode: vocabulary cut boundary is deterministic (count desc, token asc)") {
+    val d = docs(1L -> "b a b a c")
+    // counts: a=2, b=2, c=1; V=2 keeps a(1), b(2); c -> OOV
+    val out = TextAnalysis.vocabEncode(d, vocabSize = 2).collect().head
+    assert(out.getString(1) === "2,1,2,1,0")
+    assert(out.getLong(3) === 1L)
+  }
 }
