@@ -20,15 +20,20 @@ object Graph {
     * no dangling nodes (every node has out-degree ≥ 1), so no
     * dangling-mass redistribution term is needed.
     *
-    * Scale shape: the edge set (with source degree attached) is
-    * partitioned by `src` and cached ONCE — every iteration shuffles
-    * only the rank table (|V| rows) into that layout, aggregates
-    * partially map-side, and chains declaratively. Iterations are
-    * bounded (≤ 50), so the lineage stays shallow enough to plan; an
-    * unbounded fixpoint would use the per-round `localCheckpoint`
-    * cycle of [[Dedup.connectedComponents]] instead. The cached edges
-    * register in the operator cache registry and are freed by
-    * [[Dedup.releaseCaches]] after results materialize.
+    * Scale shape: the symmetrized edge set is built with ONE explode
+    * pass (a union spelling would evaluate the — potentially whole-
+    * LSH-pipeline — pairs plan once per branch), partitioned by `src`
+    * and cached; degree, N, the initial ranks, and the degree-attached
+    * edge cache all derive from that cache with NO further exchange
+    * (the groupBy and the edge⋈degree join both ride the src hash
+    * layout), so the upstream pairs plan executes exactly once. Every
+    * iteration then shuffles only the rank table (|V| rows) into that
+    * layout, aggregates partially map-side, and chains declaratively.
+    * Iterations are bounded (≤ 50), so the lineage stays shallow
+    * enough to plan; an unbounded fixpoint would use the per-round
+    * `localCheckpoint` cycle of [[Dedup.connectedComponents]] instead.
+    * Both caches register in the operator cache registry and are freed
+    * by [[Dedup.releaseCaches]] after results materialize.
     *
     * @return (doc_id, pr_micros) — rank in integer micros, ordered. */
   def pageRank(pairs: DataFrame, iterations: Int = 10,
@@ -37,14 +42,16 @@ object Graph {
       s"iterations ($iterations) must be in [1, 50] — beyond that use a " +
         "checkpointed fixpoint (see Dedup.connectedComponents)")
     require(damping > 0 && damping < 1, s"damping ($damping) must be in (0, 1)")
-    val sym = pairs
-      .select(col("da").as("src"), col("db").as("dst"))
-      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val sym = Dedup.registerCache(pairs
+      .select(explode(array(
+        struct(col("da").as("src"), col("db").as("dst")),
+        struct(col("db").as("src"), col("da").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+      .repartition(col("src")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edges = Dedup.registerCache(
-      sym.join(deg, Seq("src")).repartition(col("src")))
-    val n = deg.count()
+    val edges = Dedup.registerCache(sym.join(deg, Seq("src")))
+    val n = deg.count() // materializes sym — the pairs plan's only run
     require(n > 0, "pageRank needs a non-empty pair graph")
     val tele = lit(1.0 - damping) / lit(n)
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
