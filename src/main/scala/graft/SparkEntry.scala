@@ -338,6 +338,31 @@ object SparkEntry {
     "x64_histogram"       -> ((s, d) =>
       graft.operators.Profiling.histogram(Tables.documents(s, d), "n_chars",
         lo = 0L, hi = 600L, nbins = 12)),
+    // asymmetric near-dup: shingle containment (quote/partial-copy
+    // detection) with Jaccard alongside to expose the asymmetry gap
+    "x65_containment"     -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), shingleK = 2,
+        minPermille = 700)),
+    // materialized-view refresh: per-customer (count, sum-of-cents)
+    // state split at 1999-01-01, merged — must equal one full groupBy
+    "x66_incremental_agg" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val cut = lit("1999-01-01").cast("date")
+      def part(f: DataFrame) = graft.operators.Incremental.aggState(
+        f, Seq("o_custkey"), Relational.cents(col("o_totalprice")))
+      graft.operators.Incremental.merge(Seq(
+        part(o.filter(col("o_orderdate") < cut)),
+        part(o.filter(col("o_orderdate") >= cut))))
+        .orderBy("o_custkey")
+    },
+    // padding-waste accounting per power-of-two length bucket
+    "x67_length_buckets"  -> ((s, d) =>
+      TextAnalysis.lengthBuckets(Tables.documents(s, d))),
+    // span-level dedup: maximal shared token runs ≥ 15 via positional
+    // 5-gram diagonals (the substring-dedup signal set scores miss)
+    "x68_shared_runs"     -> ((s, d) =>
+      Dedup.sharedRuns(Tables.documents(s, d), gramK = 5,
+        minRunTokens = 15, maxDf = 8)),
   )
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine
@@ -888,11 +913,73 @@ object SparkEntry {
       """SELECT LEAST(GREATEST((n_chars - 0) * 12 // 600, 0), 11) AS bin,
            COUNT(*) AS n
          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1 ORDER BY bin""",
+    // x65: same shingle chain as x06/x38; containment normalizes by
+    // the SMALLER set, Jaccard by the union — both integer permille
+    "x65_containment" -> containmentOracle,
+    // x66: the merge law — split-state merge must equal one full
+    // aggregation over all rows (same cents spelling as q02)
+    "x66_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS tot
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    // x67: smallest power-of-two rung ≥ token count; integer waste
+    "x67_length_buckets" ->
+      """WITH t AS (SELECT LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tok
+           FROM documents),
+         b AS (SELECT CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+             WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+             WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+             ELSE 1024 END AS bucket, n_tok FROM t)
+         SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(1000 - (SUM(n_tok) * 1000) // (COUNT(*) * bucket) AS BIGINT)
+             AS waste_permille
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    // x68: positional 5-gram diagonals → islands; i is 1-based in the
+    // CTE chain, start offsets re-based to 0 to match posexplode
+    "x68_shared_runs" -> sharedRunsOracle,
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
     // per SURVEY §2.4 rule 6; covered by Spark-side golden specs instead.
   )
+
+  /** x65 oracle: shingle containment + Jaccard per candidate pair. */
+  private def containmentOracle: String =
+    s"""WITH ${shingleCtes(2)},
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT da, db,
+         (common * 1000) // LEAST(sa.sz, sb.sz) AS cont_permille,
+         (common * 1000) // (sa.sz + sb.sz - common) AS jac_permille
+       FROM pairs
+       JOIN sizes sa ON pairs.da = sa.doc_id
+       JOIN sizes sb ON pairs.db = sb.doc_id
+       WHERE (common * 1000) // LEAST(sa.sz, sb.sz) >= 700
+       ORDER BY da, db, cont_permille, jac_permille"""
+
+  /** x68 oracle: equal positional grams across docs → per-(pair,
+    * diagonal) islands via ia − ROW_NUMBER; maximal run ≥ 15 tokens
+    * (gram-run length + k − 1). df-prune (≤ 8 docs) replayed too. */
+  private def sharedRunsOracle: String =
+    s"""WITH ${gramCtes(5)},
+       df AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+                             FROM gr GROUP BY h) WHERE df <= 8),
+       g AS (SELECT gr.doc_id, gr.i, gr.h FROM gr JOIN df USING (h)),
+       hits AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib
+                FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+       r AS (SELECT da, db, ia - ib AS diag, ia,
+               ROW_NUMBER() OVER (PARTITION BY da, db, ia - ib ORDER BY ia) AS rn
+             FROM hits),
+       runs AS (SELECT da, db, diag, ia - rn AS grp, COUNT(*) AS glen,
+                  MIN(ia) AS sa
+                FROM r GROUP BY 1, 2, 3, 4)
+       SELECT da, db, sa - 1 AS start_a, sa - 1 - diag AS start_b,
+         CAST(glen + 4 AS BIGINT) AS run_tokens
+       FROM runs WHERE glen + 4 >= 15
+       ORDER BY da, db, start_a, start_b, run_tokens"""
 
   /** Shared CTE chain ending in `<p>sh(doc_id, sh)` — the distinct
     * word k-shingle hashes per doc, replaying [[graft.functions
@@ -900,17 +987,34 @@ object SparkEntry {
     * fold_j (acc·1000003 + tokh_{i+j}) mod P31, acc₀ = 0. `src` is the
     * source relation (subquery allowed), `p` a CTE-name prefix so two
     * chains can coexist in one statement (the contamination oracle). */
-  private def shingleCtes(shingleK: Int, src: String = "documents",
-                          p: String = ""): String = {
+  /** The k-gram polynomial fold over `ts[i..i+k)` shared by
+    * [[shingleCtes]] (distinct form) and [[gramCtes]] (positional). */
+  private def gramExpr(k: Int): String = {
     val P = graft.operators.Dedup.P31
-    val shingleExpr = (0 until shingleK)
+    (0 until k)
       .foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
         s"(($acc) * 1000003 + (CAST('0x' || substr(md5(ts[i+$j]), 1, 15) AS BIGINT) % $P)) % $P")
+  }
+
+  private def shingleCtes(shingleK: Int, src: String = "documents",
+                          p: String = ""): String = {
+    val shingleExpr = gramExpr(shingleK)
     s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
        ${p}le AS (SELECT doc_id, ts FROM ${p}toks WHERE len(ts) >= $shingleK),
        ${p}pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - $shingleK + 2)) AS i FROM ${p}le),
        ${p}sh AS (SELECT DISTINCT doc_id, $shingleExpr AS sh FROM ${p}pos)"""
   }
+
+  /** Positional twin of [[shingleCtes]] — chain ends in
+    * `<p>gr(doc_id, i, h)` with i 1-BASED (DuckDB range/ts indexing;
+    * consumers subtract 1 to match Spark's 0-based posexplode),
+    * duplicates kept: replays [[graft.functions.GramHashes]]. */
+  private def gramCtes(k: Int, src: String = "documents",
+                       p: String = ""): String =
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
+       ${p}le AS (SELECT doc_id, ts FROM ${p}toks WHERE len(ts) >= $k),
+       ${p}pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - $k + 2)) AS i FROM ${p}le),
+       ${p}gr AS (SELECT doc_id, i, ${gramExpr(k)} AS h FROM ${p}pos)"""
 
   /** x39 oracle: distinct vs total 3-gram counts per doc — `sh` is
     * distinct by construction, `le` still has the raw token array for

@@ -455,6 +455,73 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL k-gram rolling hashes — [[ShingleHashes]] without the
+  * dedup: element `i` of the result is the hash of the token window
+  * `[i, i+k)`, duplicates kept, order = position order. The span-level
+  * operators ([[graft.operators.Dedup.sharedRuns]]) need WHERE a gram
+  * occurs, not just the set of grams, so the distinct form cannot feed
+  * them. Same arithmetic as ShingleHashes (md5-prefix token hash,
+  * polynomial fold mod 2³¹−1), so the DuckDB oracle chain replays both
+  * from one spelling.
+  *
+  * Fewer than k tokens → empty array; null token or null array → NULL. */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"k ($k) must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+  override def nullable: Boolean = true
+
+  /** Shared by eval and codegen; null ⇔ a null token was present. */
+  def compute(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (input.isNullAt(i)) return null
+      th(i) = Md5Prefix.i60(input.getUTF8String(i).getBytes) % graft.operators.Dedup.P31
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        acc = (acc * 1000003L + th(i + j)) % graft.operators.Dedup.P31
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("grammer", this, classOf[GramHashes].getName)
+      s"""
+         |${ev.value} = $self.compute($v);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native codegen'd 60-bit SimHash signature — the signature hot path
   * of [[graft.operators.Dedup.simHashSignatures]].
   *
@@ -627,6 +694,16 @@ object GraftFunctions {
             s"shingle_hashes k must be an integer literal, got $other")
         }
         ShingleHashes(args(0), k)
+      }),
+    (FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_hashes k must be an integer literal, got $other")
+        }
+        GramHashes(args(0), k)
       }),
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),

@@ -297,6 +297,107 @@ object Dedup {
       .orderBy("da", "db", "jac_permille")
   }
 
+  /** Asymmetric near-duplicate detection: shingle CONTAINMENT, the
+    * signal Jaccard structurally misses. A 100-word quote embedded in
+    * a 10 000-word page has Jaccard ≈ 1% (union-normalized) but
+    * containment-of-the-smaller ≈ 100% — exactly the partial-copy /
+    * quoted-source / expanded-revision pattern a curation pipeline
+    * must catch separately from whole-document near-dups.
+    *
+    * `cont_permille = |A∩B|·1000 div min(|A|,|B|)` (containment of the
+    * smaller side in the larger); `jac_permille` rides along so the
+    * asymmetry gap is visible per pair. Same inverted-index shape as
+    * [[jaccardSweep]], but NO size-ratio prune — wildly different
+    * sizes are the point here, so the only admissible prune is the
+    * candidate bound itself (pairs sharing ≥1 shingle). At 100 TB
+    * that bound is governed by shingle document frequency: run after
+    * a df-cap on boilerplate shingles (see [[sharedRuns]]' maxDf for
+    * the same trick) or feed candidates from [[minHashLsh]] on the
+    * small side.
+    *
+    * @return (da, db, cont_permille, jac_permille), cont ≥ minPermille. */
+  def containmentPairs(docs: DataFrame, shingleK: Int = 2,
+                       minPermille: Long = 700): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille ($minPermille) must be in [1, 1000]")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = registerCache(shingleArrays(docs, shingleK))
+    val rows = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
+      explode(col("shs")).as("sh"))
+    val a = rows.select(col("doc_id").as("da"), col("sz").as("sa"), col("sh"))
+    val b = rows.select(col("doc_id").as("db"), col("sz").as("sb"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db", "sa", "sb").agg(count(lit(1)).as("common"))
+      .select(col("da"), col("db"),
+        expr("(common * 1000) div least(sa, sb)").as("cont_permille"),
+        expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
+      .filter(col("cont_permille") >= minPermille)
+      .orderBy("da", "db", "cont_permille", "jac_permille")
+  }
+
+  /** Shared-substring RUN detection — the span-level dedup signal of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed as a
+    * positional-gram equi-join + islands detection so it distributes:
+    * two documents share a run of ≥ minRunTokens consecutive tokens
+    * iff they share a DIAGONAL of consecutive equal k-gram hashes
+    * (positions `ia − ib` constant). Set-level scores (Jaccard,
+    * containment) can't see this: a 30-token verbatim quote inside two
+    * otherwise-unrelated pages moves Jaccard by ~zero.
+    *
+    * Pipeline: positional gram hashes (native [[graft.functions
+    * .GramHashes]], row-local) → df-prune (grams in > maxDf docs are
+    * boilerplate n-grams whose positional join would square — the
+    * standard frequency cap; the prune can only SPLIT a reported run
+    * at a boilerplate gram, never invent one) → hash equi-join bounded
+    * by co-occurring rare grams → per-(pair, diagonal) islands via one
+    * window (`ia − row_number`) → maximal runs ≥ the bar. Run length
+    * in TOKENS = gram-run length + k − 1. Grams are 31-bit hashes, so
+    * a reported run is exact up to md5-prefix collisions (~|grams
+    * per diagonal|/2³¹ false-extension odds — negligible; re-verify
+    * against raw text where bytes-exact cuts are required).
+    *
+    * @return (da, db, start_a, start_b, run_tokens) per maximal run
+    *         (0-based token offsets), run_tokens ≥ minRunTokens. */
+  def sharedRuns(docs: DataFrame, gramK: Int = 5, minRunTokens: Int = 15,
+                 maxDf: Int = 8): DataFrame = {
+    require(gramK >= 1, s"gramK ($gramK) must be >= 1")
+    require(minRunTokens >= gramK,
+      s"minRunTokens ($minRunTokens) must be >= gramK ($gramK) — shorter " +
+        "runs are invisible to k-gram matching")
+    require(maxDf >= 2, s"maxDf ($maxDf) must be >= 2 — below that no gram " +
+      "can appear in two documents and the result is empty")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = registerCache(
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= gramK)
+        .select(col("doc_id"),
+          posexplode(call_function("gram_hashes", col("toks"), lit(gramK))))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "h"))
+    // df-prune: distinct-doc counts per gram are vocabulary-bounded
+    val rare = grams.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val g = grams.join(rare, Seq("h"))
+    val hits = g.select(col("h"), col("doc_id").as("da"), col("i").as("ia"))
+      .join(g.select(col("h"), col("doc_id").as("db"), col("i").as("ib")), Seq("h"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("ia"), col("ib"),
+        (col("ia") - col("ib")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("da", "db", "diag").orderBy("ia")
+    hits
+      .withColumn("grp", col("ia") - row_number().over(w))
+      .groupBy("da", "db", "diag", "grp")
+      .agg(count(lit(1)).as("glen"), min("ia").as("start_a"))
+      .select(col("da"), col("db"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"),
+        (col("glen") + lit(gramK - 1)).cast("long").as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .orderBy("da", "db", "start_a", "start_b", "run_tokens")
+  }
+
   /** Benchmark-contamination check — the decontamination pass every
     * LLM training pipeline runs against its eval sets: which corpus
     * documents share at least `minShared` k-shingles with which

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — the materialized-view refresh
+  * shape. A full `groupBy` re-aggregation costs O(snapshot) every
+  * batch; keeping the aggregate as a MERGEABLE PARTIAL STATE table
+  * (per-key count + sum — a commutative monoid) makes the refresh
+  * cost O(|delta| + |touched keys|): aggregate the new batch alone,
+  * then merge states by key. The same law covers min/max/count/sum/
+  * avg (= sum÷count at read time) and every sketch with a merge
+  * (HLL, CMS, KLL) — count+sum is the canonical pair implemented
+  * here.
+  *
+  * Scale shape: `merge` is a union + key-groupBy, so Spark's partial
+  * aggregation combines map-side and the shuffle carries at most one
+  * row per (input-partition, key). With the state table stored
+  * hash-bucketed on the key ([[graft.core.Layout]]), the state side
+  * needs no exchange at all, and [[graft.etl.Pipeline.upsertIncremental]]
+  * writes back only the buckets whose keys the delta touched — the
+  * end-to-end refresh never rewrites or reshuffles the untouched
+  * snapshot.
+  */
+object Incremental {
+
+  /** Partial aggregate state of `valueCol` per `keys`: (n, tot).
+    * Deterministic and engine-portable as long as `valueCol` is
+    * integer (sum order then cannot matter — use scaled-integer
+    * money/metrics, e.g. [[graft.queries.Relational.cents]]). */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("tot"))
+
+  /** Merge partial states built by [[aggState]] over disjoint (or
+    * overlapping-key, disjoint-row) inputs. Associative + commutative:
+    * merge(merge(a,b),c) ≡ merge(a,b,c) ≡ one aggState over the
+    * concatenated input — the refresh invariant the x66 oracle checks
+    * end-to-end. */
+  def merge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "merge needs at least one state table")
+    val keys = states.head.columns.filterNot(Set("n", "tot")).toSeq
+    require(keys.nonEmpty, "state tables must carry at least one key column")
+    states.foreach(s => require(s.columns.sorted.sameElements(
+      states.head.columns.sorted),
+      s"state schemas differ: ${s.columns.mkString(",")} vs " +
+        states.head.columns.mkString(",")))
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("tot").as("tot"))
+  }
+}

@@ -476,4 +476,38 @@ object TextAnalysis {
         floor(col("dev") * lit(1000.0)).cast("long").as("dev_milli"))
       .orderBy("doc_id", "lang", "n_tok", "dev_milli")
   }
+
+  /** Padding-waste accounting for LENGTH-BUCKETED batching — the
+    * standard fix for the O(max-len) padding cost of naive batching
+    * when sequences can't be packed (masking constraints, inference
+    * serving): route each document to the smallest power-of-two-ish
+    * `ladder` rung that fits it, and report per bucket how much of the
+    * padded capacity real tokens fill. `waste_permille = 1000 −
+    * sum_tokens·1000 div (n_docs·bucket)` — all integer arithmetic.
+    * One scan + a ≤|ladder|-row aggregate (map-side combined): the
+    * planning pass a batcher runs to CHOOSE its ladder. Complements
+    * [[packSequences]] (which eliminates padding by concatenation when
+    * sequence boundaries may cross documents).
+    *
+    * @return (bucket, n_docs, sum_tokens, waste_permille). */
+  def lengthBuckets(docs: DataFrame,
+                    ladder: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L))
+      : DataFrame = {
+    require(ladder.nonEmpty && ladder == ladder.sorted && ladder.distinct == ladder,
+      s"ladder (${ladder.mkString(",")}) must be strictly increasing")
+    val nt = tokenCountCol(col("text"))
+    // smallest ladder rung ≥ n_tokens; longer docs CLAMP into the top
+    // rung (their waste goes negative — the signal that the ladder is
+    // too short for the corpus, surfaced rather than hidden)
+    val bucket = ladder.init.reverse.foldLeft(lit(ladder.last)) {
+      (acc, b) => when(nt <= b, lit(b)).otherwise(acc)
+    }
+    docs.select(bucket.as("bucket"), nt.as("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        expr("1000 - (sum_tokens * 1000) div (n_docs * bucket)")
+          .as("waste_permille"))
+      .orderBy("bucket")
+  }
 }

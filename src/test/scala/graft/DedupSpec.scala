@@ -175,4 +175,44 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.minHashLsh(many, shingleK = 2, minPermille = 900).collect()
     assert(pairs.isEmpty) // no near-dups planted, none found
   }
+  test("containment flags a quote embedded in a larger doc that jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val host = quote + " " + (1 to 28).map(i => s"w$i").mkString(" ")
+    val docs = Seq(10L -> quote, 11L -> host,
+      12L -> "unrelated words entirely").toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, shingleK = 2, minPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // all 11 of the quote's 2-shingles appear in the host: containment
+    // 1000 permille while union-normalized jaccard sits under 300
+    assert(out.toSeq === Seq((10L, 11L, 1000L, 282L)))
+  }
+
+  test("shared runs finds the exact span and offsets of a verbatim overlap") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val a = "pre1 pre2 pre3 " + shared + " posta"
+    val b = "qx " + shared + " postb1 postb2"
+    val docs = Seq(1L -> a, 2L -> b,
+      3L -> "totally different content here entirely").toDF("doc_id", "text")
+    val out = Dedup.sharedRuns(docs, gramK = 5, minRunTokens = 15, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // the 20-token run starts at token 3 of a, token 1 of b
+    assert(out.toSeq === Seq((1L, 2L, 3, 1, 20L)))
+  }
+
+  test("shared runs respects the minimum-run bar exactly") {
+    val s14 = (1 to 14).map(i => s"t$i").mkString(" ")
+    val docs = Seq(1L -> ("aa " + s14), 2L -> (s14 + " zz")).toDF("doc_id", "text")
+    assert(Dedup.sharedRuns(docs, gramK = 5, minRunTokens = 15).count() === 0L)
+    assert(Dedup.sharedRuns(docs, gramK = 5, minRunTokens = 14).count() === 1L)
+  }
+
+  test("shared runs df-prune drops boilerplate grams but cannot invent runs") {
+    // a 16-token boilerplate block in 10 docs: every interior gram has
+    // df 10 > maxDf 8, so the whole run is pruned; admitting df 10
+    // reports all 45 pairs. The prune only ever SPLITS/drops runs.
+    val bp = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 10L).map(i => i -> (s"u$i " + bp)).toDF("doc_id", "text")
+    assert(Dedup.sharedRuns(docs, gramK = 5, minRunTokens = 15, maxDf = 8).count() === 0L)
+    assert(Dedup.sharedRuns(docs, gramK = 5, minRunTokens = 15, maxDf = 10).count() === 45L)
+  }
 }

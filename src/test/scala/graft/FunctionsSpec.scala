@@ -153,4 +153,27 @@ class FunctionsSpec extends SparkSpec {
       }
     }
   }
+  test("gram_hashes is positional: dedup of grams == shingle set, order preserved") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "a b c a b c a b"),   // repeated grams
+      (2L, "x y"),               // shorter than k -> empty
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text").selectExpr("doc_id",
+      "gram_hashes(split(text, ' '), 3) AS g",
+      "shingle_hashes(split(text, ' '), 3) AS s")
+    df.collect().foreach { r =>
+      val g = r.getSeq[Long](1)
+      val sh = r.getSeq[Long](2)
+      // shingle_hashes keeps first-seen order, so positional dedup matches it
+      assert(g.distinct === sh, s"doc ${r.getLong(0)}")
+    }
+    // doc 1: 6 positions, 3 distinct grams repeating with period 3
+    val g1 = df.filter("doc_id = 1").collect().head.getSeq[Long](1)
+    assert(g1.length === 6 && g1(0) === g1(3) && g1(1) === g1(4) && g1(2) === g1(5))
+    // null token -> NULL array (same contract as shingle_hashes)
+    val n = Seq(Tuple1(Seq("a", null, "c"))).toDF("toks")
+      .selectExpr("gram_hashes(toks, 2) AS g").collect().head
+    assert(n.isNullAt(0))
+  }
 }

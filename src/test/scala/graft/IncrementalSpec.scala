@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Incremental
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = Seq(
+    (1L, 10L), (1L, 5L), (2L, 7L), (3L, 1L), (3L, 2L), (3L, 3L), (4L, 0L)
+  ).toDF("k", "v")
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("merged split states equal one full aggregation (the refresh law)") {
+    val full = Incremental.aggState(rows, Seq("k"), col("v"))
+    val even = Incremental.aggState(rows.filter(col("v") % 2 === 0), Seq("k"), col("v"))
+    val odd  = Incremental.aggState(rows.filter(col("v") % 2 =!= 0), Seq("k"), col("v"))
+    assert(asMap(Incremental.merge(Seq(even, odd))) === asMap(full))
+    // keys present on only one side survive untouched (k=4 is all-even)
+    assert(asMap(Incremental.merge(Seq(even, odd)))(4L) === ((1L, 0L)))
+  }
+
+  test("merge is associative: merge(merge(a,b),c) == merge(a,b,c)") {
+    val parts = Seq(0, 1, 2).map(m =>
+      Incremental.aggState(rows.filter(pmod(col("v"), lit(3)) === m), Seq("k"), col("v")))
+    val nested = Incremental.merge(Seq(Incremental.merge(parts.take(2)), parts(2)))
+    assert(asMap(nested) === asMap(Incremental.merge(parts)))
+  }
+
+  test("merge validates schemas and rejects empty input") {
+    intercept[IllegalArgumentException] { Incremental.merge(Nil) }
+    val good = Incremental.aggState(rows, Seq("k"), col("v"))
+    val bad = good.withColumnRenamed("k", "key2")
+    intercept[IllegalArgumentException] { Incremental.merge(Seq(good, bad)) }
+  }
+}

@@ -106,4 +106,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the corpus side must never shuffle for the join")
   }
+  test("x65: containment is an equi-join on shingle hashes, never all pairs") {
+    val p = plan(SparkEntry.queries("x65_containment")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "containment candidates come from the inverted index, not a cross join")
+    assert(p.contains("partial_count"),
+      s"common counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("x68: shared runs equi-join on gram hashes; islands window keyed per diagonal") {
+    val p = plan(SparkEntry.queries("x68_shared_runs")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "positional hits come from the gram equi-join, not a cross join")
+    assert(p.contains("Window"), "islands detection must be a window, not a collect")
+    assert(!p.contains("SinglePartition"),
+      s"the islands window is keyed by (pair, diagonal) — a global window would serialize:\n$p")
+  }
 }

@@ -250,4 +250,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getString(1) === "2,1,2,1,0")
     assert(out.getLong(3) === 1L)
   }
+  test("length buckets route to the smallest fitting rung; boundary inclusive") {
+    val docs = Seq(
+      1L -> (1 to 10).map(i => s"a$i").mkString(" "),  // 10 tokens -> 16
+      2L -> (1 to 16).map(i => s"b$i").mkString(" "),  // 16 -> 16 (boundary)
+      3L -> (1 to 17).map(i => s"c$i").mkString(" ")   // 17 -> 32
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBuckets(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // bucket 16: 2 docs, 26 tokens, capacity 32 -> waste 1000 - 812 = 188
+    assert(out(16L) === ((2L, 26L, 188L)))
+    // bucket 32: 1 doc, 17 tokens, capacity 32 -> waste 1000 - 531 = 469
+    assert(out(32L) === ((1L, 17L, 469L)))
+    assert(out.size === 2)
+  }
+
+  test("length buckets clamp overlong docs into the top rung, waste goes negative") {
+    val docs = Seq(1L -> (1 to 50).map(i => s"x$i").mkString(" ")).toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBuckets(docs, ladder = Seq(16L, 32L)).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 32L)
+    // 50 tokens in a 32-capacity rung: waste = 1000 - 50000 div 32 = -562
+    assert(out.head.getLong(3) === -562L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lengthBuckets(docs, ladder = Seq(32L, 16L))
+    }
+  }
 }
