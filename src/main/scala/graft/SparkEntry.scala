@@ -363,6 +363,21 @@ object SparkEntry {
     "x68_shared_runs"     -> ((s, d) =>
       Dedup.sharedRuns(Tables.documents(s, d), gramK = 5,
         minRunTokens = 15, maxDf = 8)),
+    // deterministic JL sign projection 64→8: exact integer sums over
+    // micro-quantized elements, md5-parity sign matrix (seed 42)
+    "x69_random_project"  -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), inDims = 64,
+        outDims = 8)),
+    // per-user majority event type + agreement (annotation-vote shape)
+    "x70_majority_vote"   -> ((s, d) =>
+      Relational.majorityVote(Tables.events(s, d), "user_id", "event_type")),
+    // per-language integer percent-rank of n_chars (score calibration)
+    "x71_rank_calibrate"  -> ((s, d) =>
+      Relational.rankCalibrate(Tables.documents(s, d), "lang", "n_chars",
+        "doc_id")),
+    // trending event types: exact power-of-two half-life decay (2 days)
+    "x72_decayed_counts"  -> ((s, d) =>
+      graft.operators.Sessions.decayedCounts(Tables.events(s, d))),
   )
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine
@@ -938,6 +953,45 @@ object SparkEntry {
     // x68: positional 5-gram diagonals → islands; i is 1-based in the
     // CTE chain, start offsets re-based to 0 to match posexplode
     "x68_shared_runs" -> sharedRunsOracle,
+    // x69: the same ±1 literals (generated from the same md5-parity
+    // function) baked into SQL — every yj an exact integer sum
+    "x69_random_project" -> randomProjectOracle,
+    // x70: count → window total + deterministic tie-break replayed
+    "x70_majority_vote" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+         t AS (SELECT user_id, event_type, n,
+                 SUM(n) OVER (PARTITION BY user_id) AS total,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY n DESC, event_type) AS rn
+               FROM c)
+         SELECT user_id, event_type AS winner, n AS votes,
+           CAST((n * 1000) // total AS BIGINT) AS agreement_permille
+         FROM t WHERE rn = 1 ORDER BY user_id""",
+    // x71: RANK ties share a calibrated score; 1-row groups pin to 0
+    "x71_rank_calibrate" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+             RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents)
+         SELECT doc_id, lang, n_chars,
+           CAST(CASE WHEN cnt = 1 THEN 0
+                ELSE ((r - 1) * 1000) // (cnt - 1) END AS BIGINT) AS pr_permille
+         FROM t ORDER BY doc_id, lang""",
+    // x72: same floor-div shift, same power-of-two weights — integers
+    // end to end, so the decayed totals hash-match
+    "x72_decayed_counts" ->
+      """WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS ad FROM events),
+         e AS (SELECT event_type,
+                 date_diff('day', CAST(ts AS DATE), (SELECT ad FROM a)) AS age
+               FROM events),
+         w AS (SELECT event_type,
+                 CASE WHEN age // 2 <= 19 THEN 1000000 // (1 << (age // 2))
+                      ELSE 0 END AS wt
+               FROM e)
+         SELECT event_type, COUNT(*) AS n_raw,
+           CAST(SUM(wt) AS BIGINT) AS decayed_micro
+         FROM w GROUP BY event_type ORDER BY event_type""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
@@ -959,6 +1013,22 @@ object SparkEntry {
        JOIN sizes sb ON pairs.db = sb.doc_id
        WHERE (common * 1000) // LEAST(sa.sz, sb.sz) >= 700
        ORDER BY da, db, cont_permille, jac_permille"""
+
+  /** x69 oracle: unrolled ±1 projection — the sign literals come from
+    * the SAME [[Similarity.signPlus]] the operator bakes into its
+    * plan, so the two engines cannot disagree on the matrix. Elements
+    * widen to double before scaling in both engines (identical IEEE
+    * rounding), then floor-quantize to exact integers. */
+  private def randomProjectOracle: String = {
+    val terms = (0 until 8).map { j =>
+      val sum = (0 until 64).map { i =>
+        val sgn = if (Similarity.signPlus(42L, j, i)) "+" else "-"
+        s"$sgn CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+      }.mkString(" ")
+      s"($sum) AS y$j"
+    }.mkString(", ")
+    s"SELECT vec_id, $terms FROM embeddings ORDER BY vec_id"
+  }
 
   /** x68 oracle: equal positional grams across docs → per-(pair,
     * diagonal) islands via ia − ROW_NUMBER; maximal run ≥ 15 tokens

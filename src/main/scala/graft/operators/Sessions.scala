@@ -130,4 +130,41 @@ object Sessions {
       .withColumn("version", row_number().over(w).cast("long"))
       .select("user_id", "event_type", "valid_from_ts", "valid_to_ts", "version")
   }
+  /** Recency-weighted ("trending") counts with integer half-life
+    * decay: each event contributes weight 1e6 div 2^(age div
+    * halfLifeDays) micros, where age is whole days before the anchor
+    * date. Powers of two keep every weight an exact integer (no float
+    * pow), so decayed totals replay bit-for-bit cross-engine; beyond
+    * 20 half-lives the weight is exactly 0 (1e6 < 2^20),
+    * which also bounds the arithmetic. Events AFTER the anchor (only
+    * possible with an explicit anchor) get full weight rather than a
+    * negative shift.
+    *
+    * Scale shape: the weighting is a row-local codegen map riding the
+    * scan; the aggregate is a |types|-bounded groupBy with map-side
+    * combine. The default anchor (max event date) costs one scalar
+    * aggregation job — pass `anchor` to skip it (the production shape:
+    * the pipeline clock, not the data max, defines "now").
+    *
+    * @return (event_type, n_raw, decayed_micro) ordered by type. */
+  def decayedCounts(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts", halfLifeDays: Int = 2,
+                    anchor: Option[java.sql.Date] = None): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays ($halfLifeDays) must be >= 1")
+    val anchorDate = anchor.getOrElse(
+      events.agg(max(to_date(col(tsCol)))).head().getDate(0))
+    require(anchorDate != null, "decayedCounts needs at least one non-null ts")
+    events
+      .withColumn("__age", datediff(lit(anchorDate), to_date(col(tsCol))))
+      .withColumn("__shift",
+        floor(col("__age").cast("double") / lit(halfLifeDays.toDouble)).cast("int"))
+      .withColumn("__w",
+        when(col("__shift") < 0, lit(1000000L))
+          .when(col("__shift") <= 19,
+            expr("CAST(1000000 AS BIGINT) div CAST(shiftleft(1, __shift) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_raw"), sum("__w").as("decayed_micro"))
+      .orderBy(typeCol)
+  }
 }

@@ -60,6 +60,48 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Deterministic Johnson–Lindenstrauss dimensionality reduction:
+    * an Achlioptas-style dense ±1 sign projection whose matrix is
+    * derived from md5(seed:j:i) parity — no RNG state, so the matrix
+    * is reproducible anywhere (retries, other engines, the oracle).
+    * Elements are micro-quantized first (floor(x·10⁶ + 0.5); float→
+    * double widening and floor are both exact), making each output
+    * coordinate an exact inDims-term INTEGER sum — bit-identical
+    * cross-engine, no float summation-order haze.
+    *
+    * Scale shape: the sign matrix is baked into the plan as literals
+    * (inDims·outDims = 512 terms here), so the projection is a
+    * row-local whole-stage-codegen map over the scan — zero shuffles,
+    * zero UDFs, nothing broadcast. For thousands-dim inputs swap the
+    * literal unroll for a broadcast matrix + native expression (same
+    * contract). Downstream: JL preserves pairwise distances within
+    * (1±ε) at outDims = O(log n / ε²) — the cheap pre-filter in front
+    * of exact cosine on the survivors.
+    *
+    * @return (vec_id, y0..y{outDims−1}) integer projections. */
+  def randomProject(embeddings: DataFrame, inDims: Int, outDims: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    require(inDims >= 1, s"inDims ($inDims) must be >= 1")
+    require(outDims >= 1, s"outDims ($outDims) must be >= 1")
+    val q = (0 until inDims).map(i =>
+      floor(col("embedding").getItem(i).cast("double") * lit(1000000.0d) + lit(0.5d))
+        .cast("long"))
+    val outs = (0 until outDims).map { j =>
+      (0 until inDims).map { i =>
+        if (signPlus(seed, j, i)) q(i) else -q(i)
+      }.reduce(_ + _).as(s"y$j")
+    }
+    embeddings.select((col("vec_id") +: outs): _*).orderBy("vec_id")
+  }
+
+  /** +1 iff md5("seed:j:i") has an even low bit — public so the oracle
+    * generator bakes the IDENTICAL sign literals into its SQL. */
+  def signPlus(seed: Long, j: Int, i: Int): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+    (d(15) & 1) == 0
+  }
+
   /** Shared final stage for every top-k path: rank scored pairs per
     * query (ties broken by neighbor id), keep k, surface the score as
     * integer permille. One implementation so rounding and tie-break

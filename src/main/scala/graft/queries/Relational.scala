@@ -406,4 +406,58 @@ object Relational {
       .select("o_orderkey", "event_id")
       .orderBy(col("o_orderkey"), col("event_id"))
   }
+  /** Majority-vote aggregation — the label-consolidation step of every
+    * multi-annotator pipeline (RLHF preference grading, quality
+    * rating, weak supervision): per key, the winning vote, its count,
+    * and the agreement ratio. Ties break deterministically by vote
+    * value ascending — engines must not disagree on the winner when
+    * counts tie.
+    *
+    * Scale shape: one (key, vote) groupBy (map-side combined — the
+    * shuffle carries at most one row per partition per (key, vote)),
+    * then two window functions over the SAME |keys × votes|-bounded
+    * counts table and one keyed shuffle. The raw vote table never
+    * shuffles twice.
+    *
+    * @return (key, winner, votes, agreement_permille). */
+  def majorityVote(df: DataFrame, keyCol: String, voteCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(voteCol))
+      .agg(count(lit(1)).as("n"))
+    val wk = Window.partitionBy(keyCol)
+    val wr = wk.orderBy(col("n").desc, col(voteCol).asc)
+    counts
+      .withColumn("total", sum("n").over(wk))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col(voteCol).as("winner"), col("n").as("votes"),
+        expr("(n * 1000) div total").as("agreement_permille"))
+      .orderBy(keyCol)
+  }
+
+  /** Rank calibration (integer percent-rank): maps a raw per-group
+    * metric onto a uniform [0, 1000] permille scale — the
+    * distribution-free normalization for combining heterogeneous
+    * quality signals (a perplexity and a length score become
+    * comparable once both are ranks). `pr = (rank − 1)·1000 div
+    * (n − 1)`; RANK() gives ties identical calibrated scores, and
+    * single-row groups pin to 0 rather than dividing by zero. All
+    * integer — replays exactly cross-engine.
+    *
+    * Scale shape: one keyed shuffle; rank and count ride the same
+    * window partitioning. Groups stream through the window operator
+    * sorted — no per-group memory beyond the frame.
+    *
+    * @return (idCol, groupCol, metricCol, pr_permille). */
+  def rankCalibrate(df: DataFrame, groupCol: String, metricCol: String,
+                    idCol: String): DataFrame = {
+    val wg = Window.partitionBy(groupCol)
+    val wr = wg.orderBy(col(metricCol).asc)
+    df.select(col(idCol), col(groupCol), col(metricCol))
+      .withColumn("r", rank().over(wr).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wg))
+      .select(col(idCol), col(groupCol), col(metricCol),
+        when(col("cnt") === 1, lit(0L))
+          .otherwise(expr("((r - 1) * 1000) div (cnt - 1)")).as("pr_permille"))
+      .orderBy(idCol, groupCol)
+  }
 }

@@ -55,4 +55,22 @@ class RelationalSpec extends SparkSpec {
     val users = spark.read.parquet(s"$sf/events.parquet").select("user_id").distinct().count()
     assert(rows.length.toLong === users)
   }
+  test("majority vote: deterministic tie-break, agreement permille") {
+    import spark.implicits._
+    val votes = Seq((1L, "b"), (1L, "a"), (1L, "b"), (1L, "a"),
+      (2L, "z"), (2L, "z"), (2L, "y")).toDF("k", "v")
+    val out = Relational.majorityVote(votes, "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // k=1 ties 2-2: 'a' wins by vote-value ascending; k=2: 2 of 3
+    assert(out.toSeq === Seq((1L, "a", 2L, 500L), (2L, "z", 2L, 666L)))
+  }
+
+  test("rank calibration: ties share a score, endpoints span 0..1000, singletons pin 0") {
+    import spark.implicits._
+    val df = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 20L),
+      (4L, "g1", 30L), (5L, "g2", 7L)).toDF("doc_id", "lang", "n_chars")
+    val out = Relational.rankCalibrate(df, "lang", "n_chars", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 333L, 3L -> 333L, 4L -> 1000L, 5L -> 0L))
+  }
 }

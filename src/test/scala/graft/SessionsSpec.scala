@@ -100,4 +100,22 @@ class SessionsSpec extends SparkSpec {
     assert(out.count() === 6L)   // 2 users x 3 grid points
     assert(out.select("user_id").distinct().count() === 2L)
   }
+  test("decayed counts: exact power-of-two weights, zero tail, future full weight") {
+    val df = Seq(
+      ("a", "2024-01-30 12:00:00"),  // age 0  -> 1000000
+      ("a", "2024-01-28 01:00:00"),  // age 2, shift 1 -> 500000
+      ("a", "2024-01-26 23:00:00"),  // age 4, shift 2 -> 250000
+      ("b", "2024-01-29 00:00:00"),  // age 1, shift 0 -> 1000000
+      ("b", "2020-01-01 00:00:00"))  // shift > 19 -> 0
+      .toDF("event_type", "s").withColumn("ts", to_timestamp(col("s")))
+    val out = Sessions.decayedCounts(df, halfLifeDays = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", 3L, 1750000L), ("b", 2L, 1000000L)))
+    // explicit anchor BEFORE an event: future events keep full weight
+    val anchored = Sessions.decayedCounts(df, halfLifeDays = 2,
+      anchor = Some(java.sql.Date.valueOf("2024-01-29")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // a: ages -1(full),1(shift 0),2(shift 1) = 1000000+1000000+500000
+    assert(anchored("a") === 2500000L)
+  }
 }

@@ -117,4 +117,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
       s"quantize should not shuffle (beyond the presentation sort):\n$plan")
   }
+  test("random projection: basis vectors recover the exact sign matrix") {
+    val dim = 8
+    val rows = (0 until dim).map { i =>
+      (i.toLong, (0 until dim).map(k => if (k == i) 1.0f else 0.0f)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, inDims = dim, outDims = 4)
+      .collect().map(r => r.getLong(0).toInt -> r).toMap
+    for (i <- 0 until dim; j <- 0 until 4) {
+      val exp = if (Similarity.signPlus(42L, j, i)) 1000000L else -1000000L
+      assert(out(i).getLong(1 + j) === exp, s"e_$i -> y$j")
+    }
+  }
+
+  test("random projection is scan-side: zero Exchange beyond the presentation sort") {
+    val df = Seq((1L, (0 until 8).map(_.toFloat))).toDF("vec_id", "embedding")
+    val plan = Similarity.randomProject(df, inDims = 8, outDims = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
+      s"projection should not shuffle (beyond the presentation sort):\n$plan")
+    intercept[IllegalArgumentException] { Similarity.randomProject(df, inDims = 0) }
+  }
 }
