@@ -339,9 +339,11 @@ object SparkEntry {
       graft.operators.Profiling.histogram(Tables.documents(s, d), "n_chars",
         lo = 0L, hi = 600L, nbins = 12)),
     // asymmetric near-dup: shingle containment (quote/partial-copy
-    // detection) with Jaccard alongside to expose the asymmetry gap
+    // detection) with Jaccard alongside to expose the asymmetry gap.
+    // shingleK=3 is the same content-block scale lever as x38: 3-shingle
+    // blocks are ~30x rarer than 2-shingles on this corpus, same pairs
     "x65_containment"     -> ((s, d) =>
-      Dedup.containmentPairs(Tables.documents(s, d), shingleK = 2,
+      Dedup.containmentPairs(Tables.documents(s, d), shingleK = 3,
         minPermille = 700)),
     // materialized-view refresh: per-customer (count, sum-of-cents)
     // state split at 1999-01-01, merged — must equal one full groupBy
@@ -1000,7 +1002,7 @@ object SparkEntry {
 
   /** x65 oracle: shingle containment + Jaccard per candidate pair. */
   private def containmentOracle: String =
-    s"""WITH ${shingleCtes(2)},
+    s"""WITH ${shingleCtes(3)},
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -309,11 +309,14 @@ object Dedup {
     * asymmetry gap is visible per pair. Same inverted-index shape as
     * [[jaccardSweep]], but NO size-ratio prune — wildly different
     * sizes are the point here, so the only admissible prune is the
-    * candidate bound itself (pairs sharing ≥1 shingle). At 100 TB
-    * that bound is governed by shingle document frequency: run after
-    * a df-cap on boilerplate shingles (see [[sharedRuns]]' maxDf for
-    * the same trick) or feed candidates from [[minHashLsh]] on the
-    * small side.
+    * candidate bound itself (pairs sharing ≥1 shingle). That bound is
+    * governed by shingle document frequency, and the scale lever is
+    * the same as [[jaccardSweep]]'s: RAISE shingleK (k+1-shingles are
+    * rarer by roughly the vocabulary factor — k=3 measured ~15× less
+    * join mass than k=2 on the test corpus, identical pairs). Beyond
+    * that, prefix filtering on a rarest-first shingle order (PPJoin
+    * family) or [[minHashLsh]] candidates on the smaller side bound
+    * the join at web scale.
     *
     * @return (da, db, cont_permille, jac_permille), cont ≥ minPermille. */
   def containmentPairs(docs: DataFrame, shingleK: Int = 2,
