@@ -443,18 +443,29 @@ object Relational {
     * single-row groups pin to 0 rather than dividing by zero. All
     * integer — replays exactly cross-engine.
     *
-    * Scale shape: one keyed shuffle; rank and count ride the same
-    * window partitioning. Groups stream through the window operator
-    * sorted — no per-group memory beyond the frame.
+    * Scale shape: a naive `rank() OVER (PARTITION BY group)` puts an
+    * ENTIRE group through one window task — a single dominant group
+    * (one language of a web corpus) serializes the job. Instead the
+    * rank comes from the cumulative-histogram identity RANK(v) = 1 +
+    * Σ_{u<v} count(u): aggregate to the (group, value) COUNTS table
+    * (map-side combined), run the running-sum window over that — its
+    * input is bounded by distinct metric values per group, not rows —
+    * and join the two derived columns back onto the scan by (group,
+    * value). Ties share a rank by construction.
     *
     * @return (idCol, groupCol, metricCol, pr_permille). */
   def rankCalibrate(df: DataFrame, groupCol: String, metricCol: String,
                     idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(metricCol))
+      .agg(count(lit(1)).as("c"))
     val wg = Window.partitionBy(groupCol)
-    val wr = wg.orderBy(col(metricCol).asc)
+    val wv = wg.orderBy(col(metricCol).asc)
+    val ranked = counts
+      .withColumn("r", sum("c").over(wv) - col("c") + lit(1L))
+      .withColumn("cnt", sum("c").over(wg))
+      .select(col(groupCol), col(metricCol), col("r"), col("cnt"))
     df.select(col(idCol), col(groupCol), col(metricCol))
-      .withColumn("r", rank().over(wr).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(wg))
+      .join(ranked, Seq(groupCol, metricCol))
       .select(col(idCol), col(groupCol), col(metricCol),
         when(col("cnt") === 1, lit(0L))
           .otherwise(expr("((r - 1) * 1000) div (cnt - 1)")).as("pr_permille"))
