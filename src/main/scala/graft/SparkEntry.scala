@@ -380,6 +380,33 @@ object SparkEntry {
     // trending event types: exact power-of-two half-life decay (2 days)
     "x72_decayed_counts"  -> ((s, d) =>
       graft.operators.Sessions.decayedCounts(Tables.events(s, d))),
+    // SemDeDup: k-means pre-bin (k=16) → within-cluster cosine ≥ 900‰
+    // → component survivors — paraphrase-level dedup, cluster-bounded.
+    // The corpus has no natural ≥900‰ pairs (ceiling ~0.51), so the
+    // demo plants md5-perturbed copies (the ORACLE-replayable variant
+    // of x23's xxhash64 planting) of the first 64 vectors — the drop
+    // set is non-empty and every stage is still exactly replayed
+    "x73_semantic_dedup"  -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // two-step select: the output column is ALSO named vec_id, and
+      // Spark's lateral column alias resolution would silently bind
+      // the lambda's vec_id to the just-shifted value (DuckDB binds
+      // the input) — hashing from the distinctly-named orig_id keeps
+      // both engines perturbing from the SAME key
+      val planted = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("orig_id"), col("embedding"), col("label"))
+        .select(
+          (col("orig_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + lit(0.02d) *
+              (conv(substring(md5(concat_ws(":", col("orig_id"), i)), 1, 15), 16, 10)
+                .cast("double") / lit(1152921504606846976.0d))).cast("float"))
+            .as("embedding"),
+          col("label"))
+      graft.operators.Clustering.semanticDedup(emb.unionByName(planted),
+        idCol = "vec_id", vecCol = "embedding", k = 16, iterations = 2,
+        minPermille = 900L)
+    },
   )
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine
@@ -980,6 +1007,8 @@ object SparkEntry {
            CAST(CASE WHEN cnt = 1 THEN 0
                 ELSE ((r - 1) * 1000) // (cnt - 1) END AS BIGINT) AS pr_permille
          FROM t ORDER BY doc_id, lang""",
+    // x73: kmeans chain + x09-parity cosine + x34-style closure
+    "x73_semantic_dedup" -> semanticDedupOracle,
     // x72: same floor-div shift, same power-of-two weights — integers
     // end to end, so the decayed totals hash-match
     "x72_decayed_counts" ->
@@ -1259,8 +1288,16 @@ object SparkEntry {
     * (k=4, 2 iterations, dim 64) — quantize, assign (argmin of integer
     * squared L2, ties → lowest centroid), update (rounded integer
     * mean, empty clusters keep the old centroid), assign again. */
-  private def kmeansOracle: String = {
-    val (k, iters, dim) = (4, 2, 64)
+  private def kmeansOracle: String =
+    s"""WITH ${kmeansChain(4, 2, 64)}
+       SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM afin ORDER BY vec_id"""
+
+  /** The k-means trajectory as a reusable CTE body ending in
+    * `afin(vec_id, qv, c)` — shared by the x56 oracle and the x73
+    * semantic-dedup oracle (which keeps composing after `afin`).
+    * `src` is the source relation (a prior CTE name is fine). */
+  private def kmeansChain(k: Int, iters: Int, dim: Int,
+                          src: String = "embeddings"): String = {
     def dist(qv: String, cv: String) =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          list_transform(list_zip($qv, $cv), p -> (p[1]-p[2])*(p[1]-p[2]))),
@@ -1282,16 +1319,53 @@ object SparkEntry {
            ON n.c = c${i - 1}.c)"""
     val chain = (1 to iters).map(i => s"${assign(s"a$i", s"c${i - 1}")},\n${update(i)}")
       .mkString(",\n")
-    s"""WITH q AS (SELECT vec_id,
+    s"""q AS (SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
-         FROM embeddings),
+         FROM $src),
        c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, qv
          FROM q ORDER BY vec_id LIMIT $k),
        $chain,
-       ${assign("afin", s"c$iters")}
-       SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM afin ORDER BY vec_id"""
+       ${assign("afin", s"c$iters")}"""
   }
+
+  /** x73: the x56 trajectory (k=16) composed with the x09-parity
+    * cosine spelling for within-cluster pairs and the x34 recursive
+    * closure for duplicate groups — three certified replays chained. */
+  private def semanticDedupOracle: String =
+    s"""WITH RECURSIVE emb2 AS (
+         SELECT vec_id, embedding, label FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000, list_transform(embedding, (x, i) ->
+             CAST(CAST(x AS DOUBLE) + 0.02 * (CAST('0x' ||
+               substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 15)
+               AS BIGINT) / 1152921504606846976.0) AS FLOAT)),
+           label
+         FROM embeddings WHERE vec_id < 64),
+       ${kmeansChain(16, 2, 64, src = "emb2")},
+       fv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM emb2),
+       nrm AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (a, b) -> a + b)) AS n
+         FROM fv),
+       pr AS (SELECT a.vec_id AS da, b.vec_id AS db
+         FROM afin a JOIN afin b ON a.c = b.c AND a.vec_id < b.vec_id
+         JOIN nrm na ON na.vec_id = a.vec_id
+         JOIN nrm nb ON nb.vec_id = b.vec_id
+         WHERE FLOOR((CASE WHEN na.n * nb.n = 0 THEN 0.0 ELSE
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(na.v, nb.v), p -> p[1] * p[2])),
+               (x, y) -> x + y) / (na.n * nb.n) END) * 1000 + 0.5) >= 900),
+       sym AS (SELECT da AS s, db AS d FROM pr UNION SELECT db AS s, da AS d FROM pr),
+       verts AS (SELECT DISTINCT s AS v FROM sym),
+       reach AS (SELECT v AS a, v AS b FROM verts
+                 UNION SELECT r.a, s2.d FROM reach r JOIN sym s2 ON r.b = s2.s),
+       comp AS (SELECT a AS vid, MIN(b) AS keep FROM reach GROUP BY a)
+       SELECT f.vec_id, CAST(f.c AS INTEGER) AS cluster,
+         CAST(COALESCE(comp.keep, f.vec_id) AS BIGINT) AS keep_id
+       FROM afin f LEFT JOIN comp ON comp.vid = f.vec_id
+       ORDER BY f.vec_id"""
 
   /** x60: RRF fusion replay — the x47 BM25 formula at pool depth 50,
     * the x09 cosine (same left-fold dot product) for query vec 0, then

@@ -98,4 +98,56 @@ object Clustering {
     }
     assign(centroids).select(col(idCol), col("cluster")).orderBy(idCol)
   }
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): embedding-space
+    * dedup that catches PARAPHRASE-level duplicates lexical
+    * (shingle/minhash) dedup cannot see. The paper's trick is the
+    * clustering PRE-BIN: k-means first, then the quadratic pairwise
+    * cosine pass runs only WITHIN clusters — pair mass drops from
+    * n²/2 to Σ_c n_c²/2 ≈ n²/(2k), and k scales with corpus size so
+    * per-cluster work stays bounded. Near-identical vectors land in
+    * the same cluster except at cell boundaries — the documented
+    * recall trade the paper accepts.
+    *
+    * Pipeline, every stage deterministic and engine-replayable:
+    * [[kmeans]] (integer trajectory) → within-cluster pairs with
+    * native `cosine_f32` ≥ minPermille (same fold order as the x09/
+    * x13 oracle parity) → [[Dedup.connectedComponents]] min-label
+    * closure → every vector maps to its duplicate-group survivor
+    * (the minimum id; itself when unpaired).
+    *
+    * Scale shape: the only corpus-wide shuffles are kmeans' bounded
+    * k·dim updates and the equi-join on `cluster`; the pairwise stage
+    * is per-cluster and the component fixpoint runs over found PAIRS
+    * only (a vanishing fraction of the corpus).
+    *
+    * @return (idCol, cluster, keep_id) ordered by id — keep_id == id
+    *         marks survivors; rows with keep_id < id are the drop set. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iterations: Int,
+                    minPermille: Long = 900L): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille ($minPermille) must be in [1, 1000]")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // cached: the assignment map feeds BOTH pair sides and the final
+    // projection (one scan instead of three), and the cache boundary
+    // also keeps the self-join's constraint inference away from the
+    // kmeans lambda expressions (Spark's InferFiltersFromConstraints
+    // can fail on a self-joined higher-order-function projection)
+    val assigned = Dedup.registerCache(kmeans(df, idCol, vecCol, k, iterations))
+    val withVec = assigned.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+    val a = withVec.select(col("cluster"), col(idCol).as("da"), col(vecCol).as("va"))
+    val b = withVec.select(col("cluster"), col(idCol).as("db"), col(vecCol).as("vb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("da") < col("db"))
+      .filter(floor(call_function("cosine_f32", col("va"), col("vb")) * 1000 + 0.5)
+        >= minPermille)
+      .select("da", "db")
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", idCol).withColumnRenamed("cluster_id", "keep_id")
+    assigned.join(comp, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("keep_id"), col(idCol)).as("keep_id"))
+      .orderBy(idCol)
+  }
 }

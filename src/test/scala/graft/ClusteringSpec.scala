@@ -177,4 +177,40 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(0L -> 2L))
   }
+  test("semanticDedup: co-clustered near-identical vectors collapse to the min id") {
+    // two well-separated blobs; in blob A ids 1,2,3 are a transitive
+    // near-dup chain (cos > 0.999), id 4 is same-cluster but angularly
+    // distinct; blob B ids 10,11 are near-identical
+    val df = vecs(
+      1L -> Seq(1.0f, 0.0f, 0.01f),
+      2L -> Seq(1.0f, 0.0f, 0.02f),   // ~dup of 1
+      3L -> Seq(1.0f, 0.0f, 0.03f),   // ~dup of 2 (chain -> one group)
+      4L -> Seq(0.6f, 0.0f, 0.8f),    // same blob side, low cosine
+      10L -> Seq(0.0f, 1.0f, 0.0f),
+      11L -> Seq(0.0f, 1.0f, 0.001f))
+    val out = Clustering.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iterations = 2, minPermille = 990L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L,
+      "the chain collapses transitively to the minimum id")
+    assert(out(4L) === 4L, "a same-cluster distinct vector survives")
+    assert(out(10L) === 10L && out(11L) === 10L)
+    graft.operators.Dedup.releaseCaches()
+  }
+
+  test("semanticDedup: dedup happens independently per k-means cell") {
+    // exact-dup seeds tie at distance 0 and the argmin tie-break puts
+    // both in cell 0; the opposite-direction pair lands in cell 1 —
+    // each cell collapses to its own minimum, nothing leaks across
+    val df = vecs(
+      1L -> Seq(1.0f, 0.0f),
+      2L -> Seq(1.0f, 0.0f),
+      3L -> Seq(-1.0f, 0.1f), 4L -> Seq(-1.0f, 0.2f))
+    val out = Clustering.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iterations = 1, minPermille = 900L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 1L && out(2L) === 1L)
+    assert(out(3L) === 3L && out(4L) === 3L)
+    graft.operators.Dedup.releaseCaches()
+  }
 }
