@@ -63,6 +63,28 @@ object Tour {
       Seq("l_returnflag"), Map("l_quantity" -> "count"))
     println(s"[tour] salted agg groups=${salted.count()}")
 
+    // span-level + asymmetric dedup signals
+    println(s"[tour] shared runs=${Dedup.sharedRuns(docs).count()}")
+    println(s"[tour] containment pairs=${Dedup.containmentPairs(docs, shingleK = 3).count()}")
+
+    // SemDeDup over the embeddings table
+    val sem = graft.operators.Clustering.semanticDedup(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", k = 8, iterations = 2)
+    println(s"[tour] semantic dedup survivors=${sem.filter(col("keep_id") === col("vec_id")).count()}")
+    Dedup.releaseCaches()
+
+    // O(delta) aggregate refresh: split state merge == full aggregation
+    val orders = Tables.orders(spark, sf)
+    val cut = lit("1999-01-01").cast("date")
+    def st(f: org.apache.spark.sql.DataFrame) = graft.operators.Incremental.aggState(
+      f, Seq("o_custkey"), graft.queries.Relational.cents(col("o_totalprice")))
+    val merged = graft.operators.Incremental.merge(Seq(
+      st(orders.filter(col("o_orderdate") < cut)), st(orders.filter(col("o_orderdate") >= cut))))
+    println(s"[tour] incremental agg keys=${merged.count()}")
+
+    // trending event types under half-life decay
+    println(s"[tour] decayed counts types=${graft.operators.Sessions.decayedCounts(Tables.events(spark, sf)).count()}")
+
     println("[tour] ok")
     spark.stop()
   }
