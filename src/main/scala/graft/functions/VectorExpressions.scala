@@ -455,6 +455,81 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Native squared-L2 distance over two `array<long>` columns — the
+  * assignment hot path of [[graft.operators.Clustering.kmeans]]
+  * (micro-quantized coordinates; centroids enter as array literals).
+  * The HOF spelling `aggregate(zip_with(q, c, (a,b) => (a−b)²), 0, +)`
+  * interprets two lambdas per element per centroid — at k=16 over a
+  * 64-dim corpus that is ~2 000 interpreted calls per ROW; this
+  * expression is one fused primitive loop per centroid. Same integer
+  * arithmetic, same left-to-right order, bit-identical sums (callers
+  * keep inputs under the documented 2⁶³ bound).
+  *
+  * Null element or null array → NULL; mismatched lengths → NULL (a
+  * quantized corpus row and a centroid always agree on dim). */
+case class L2SqI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def checkLongArrays: TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> args, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def checkInputDataTypes(): TypeCheckResult = checkLongArrays
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2sq_i64"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  int $i = 0;
+         |  boolean $anyNull = false;
+         |  while ($i < $n) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |    $i++;
+         |  }
+         |  if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** POSITIONAL k-gram rolling hashes — [[ShingleHashes]] without the
   * dedup: element `i` of the result is the hash of the token window
   * `[i, i+k)`, duplicates kept, order = position order. The span-level
@@ -695,6 +770,9 @@ object GraftFunctions {
         }
         ShingleHashes(args(0), k)
       }),
+    (FunctionIdentifier("l2sq_i64"),
+      new ExpressionInfo(classOf[L2SqI64].getName, "l2sq_i64"),
+      (args: Seq[Expression]) => L2SqI64(args(0), args(1))),
     (FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
       (args: Seq[Expression]) => {

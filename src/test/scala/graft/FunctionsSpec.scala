@@ -176,4 +176,20 @@ class FunctionsSpec extends SparkSpec {
       .selectExpr("gram_hashes(toks, 2) AS g").collect().head
     assert(n.isNullAt(0))
   }
+  test("l2sq_i64 matches the HOF reference and keeps the HOF null contract") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(1L, 0L, 5L)),
+      (2L, Seq(-1000000L, 1000000L), Seq(1000000L, -1000000L))
+    ).toDF("id", "a", "b")
+    val out = df.selectExpr("id",
+      "l2sq_i64(a, b) AS nat",
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v) AS hof")
+      .collect()
+    out.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}"))
+    // mismatched lengths -> NULL (HOF zip_with pads with null and poisons)
+    val m = df.selectExpr("l2sq_i64(a, slice(b, 1, 2)) AS v")
+      .filter("id = 1").collect().head
+    assert(m.isNullAt(0))
+  }
 }
