@@ -122,4 +122,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"the islands window is keyed by (pair, diagonal) — a global window would serialize:\n$p")
   }
+  test("x73: semantic dedup pairs come from the cluster equi-join, never all pairs") {
+    val p = plan(SparkEntry.queries("x73_semantic_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the pairwise pass must be bounded by the k-means cells:\n$p")
+    graft.operators.Dedup.releaseCaches()
+  }
 }
