@@ -407,6 +407,14 @@ object SparkEntry {
         idCol = "vec_id", vecCol = "embedding", k = 16, iterations = 2,
         minPermille = 900L)
     },
+    // PPJoin-style prefix-filtered containment: same parameters and
+    // same ORACLE FORM as x65 — candidate recall 1.0 + exact
+    // verification make the output bit-identical, certifying the
+    // web-scale plan (see the operator scaladoc for the measured
+    // df-distribution dependence of the prefix bound's payoff)
+    "x74_containment_prefix" -> ((s, d) =>
+      Dedup.containmentPairsPrefix(Tables.documents(s, d), shingleK = 3,
+        minPermille = 700)),
   )
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine
@@ -959,7 +967,10 @@ object SparkEntry {
          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1 ORDER BY bin""",
     // x65: same shingle chain as x06/x38; containment normalizes by
     // the SMALLER set, Jaccard by the union — both integer permille
-    "x65_containment" -> containmentOracle,
+    "x65_containment" -> containmentOracle(3),
+    // x74: the prefix-filtered plan answers to the same oracle FORM
+    // (at its own shingleK) — plan-independence is the claim certified
+    "x74_containment_prefix" -> containmentOracle(3),
     // x66: the merge law — split-state merge must equal one full
     // aggregation over all rows (same cents spelling as q02)
     "x66_incremental_agg" ->
@@ -1029,9 +1040,11 @@ object SparkEntry {
     // per SURVEY §2.4 rule 6; covered by Spark-side golden specs instead.
   )
 
-  /** x65 oracle: shingle containment + Jaccard per candidate pair. */
-  private def containmentOracle: String =
-    s"""WITH ${shingleCtes(3)},
+  /** x65/x74 oracle: shingle containment + Jaccard per pair, at the
+    * query's shingleK — the RESULT is plan-independent, so both the
+    * naive and the prefix-filtered operator answer to this form. */
+  private def containmentOracle(shingleK: Int): String =
+    s"""WITH ${shingleCtes(shingleK)},
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

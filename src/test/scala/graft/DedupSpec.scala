@@ -215,4 +215,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.sharedRuns(docs, gramK = 5, minRunTokens = 15, maxDf = 8).count() === 0L)
     assert(Dedup.sharedRuns(docs, gramK = 5, minRunTokens = 15, maxDf = 10).count() === 45L)
   }
+  test("prefix-filtered containment is bit-identical to the unfiltered operator") {
+    // size-diverse corpus: exact dup, a quote-in-host pair (the case
+    // the prefix bound must not lose), and noise docs sharing common
+    // shingles only
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val host = quote + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> base, 2L -> base,
+      10L -> quote, 11L -> host,
+      12L -> "unrelated words entirely about other things",
+      13L -> "more unrelated words entirely about different things"
+    ).toDF("doc_id", "text")
+    for (t <- Seq(300L, 700L, 950L)) {
+      val plain = Dedup.containmentPairs(docs, shingleK = 2, minPermille = t)
+        .collect().map(_.toSeq).toSeq
+      Dedup.releaseCaches()
+      val pref = Dedup.containmentPairsPrefix(docs, shingleK = 2, minPermille = t)
+        .collect().map(_.toSeq).toSeq
+      Dedup.releaseCaches()
+      assert(pref === plain, s"threshold $t")
+    }
+  }
 }

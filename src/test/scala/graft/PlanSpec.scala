@@ -128,4 +128,10 @@ class PlanSpec extends SparkSpec {
       s"the pairwise pass must be bounded by the k-means cells:\n$p")
     graft.operators.Dedup.releaseCaches()
   }
+  test("x74: prefix-filtered containment never goes quadratic") {
+    val p = plan(SparkEntry.queries("x74_containment_prefix")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidates come from the prefix equi-join:\n$p")
+    graft.operators.Dedup.releaseCaches()
+  }
 }
