@@ -415,6 +415,20 @@ object SparkEntry {
     "x74_containment_prefix" -> ((s, d) =>
       Dedup.containmentPairsPrefix(Tables.documents(s, d), shingleK = 3,
         minPermille = 700)),
+    // PII-pattern redaction with audit counts; the corpus has no
+    // natural emails/URLs, so the query plants deterministic ones
+    "x75_redact"          -> { (s, d) =>
+      val planted = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7L)) === 0L,
+            concat(lit(" contact user"), pmod(col("doc_id"), lit(100L)).cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13L)) === 0L,
+            concat(lit(" see https://ex.org/p"), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.redact(planted)
+    },
   )
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine
@@ -971,6 +985,25 @@ object SparkEntry {
     // x74: the prefix-filtered plan answers to the same oracle FORM
     // (at its own shingleK) — plan-independence is the claim certified
     "x74_containment_prefix" -> containmentOracle(3),
+    // x75: same planted text, same RE2-and-Java-common patterns;
+    // counts pre-redaction, replacements in rule order
+    "x75_redact" ->
+      """WITH t AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id % 100 AS VARCHAR) || '@example.com now'
+               ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+               THEN ' see https://ex.org/p' || CAST(doc_id AS VARCHAR)
+               ELSE '' END AS text2
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g') AS clean,
+           CAST(len(regexp_extract_all(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text2, 'https?://[^ ]+')) AS BIGINT) AS n_url
+         FROM t ORDER BY doc_id""",
     // x66: the merge law — split-state merge must equal one full
     // aggregation over all rows (same cents spelling as q02)
     "x66_incremental_agg" ->

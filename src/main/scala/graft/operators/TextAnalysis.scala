@@ -460,6 +460,38 @@ object TextAnalysis {
     *
     * @return (doc_id, lang, n_tok, dev_milli) for outliers only,
     *         dev_milli = 1000·|n_tok − med| floor-cast to long. */
+  /** Pattern redaction — the PII-scrubbing transform every published
+    * training corpus runs (emails, URLs, phone numbers → placeholder
+    * tokens). Each (name, regex, replacement) rule applies in order
+    * via `regexp_replace` (global, codegen'd) with a per-rule match
+    * count surfaced for audit — a scrub you can't measure is a scrub
+    * you can't trust. Counts are measured on the ORIGINAL text (so
+    * they are rule-order-independent); replacements then apply in
+    * rule order. Row-local: zero shuffles, the transform rides
+    * the corpus scan. Patterns must stay in the RE2 ∩ Java-regex
+    * common dialect (character classes, quantifiers, alternation — no
+    * backreferences or lookaround) so results are engine-portable.
+    *
+    * @return (doc_id, clean, n_<name> per rule) ordered by doc_id. */
+  def redact(docs: DataFrame,
+             rules: Seq[(String, String, String)] = Seq(
+               ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+               ("url", "https?://[^ ]+", "<URL>"))): DataFrame = {
+    require(rules.nonEmpty, "redact needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"rule names must be unique: ${rules.map(_._1).mkString(",")}")
+    val counted = rules.foldLeft(docs.select(col("doc_id"), col("text").as("clean"))) {
+      case (d, (name, pattern, _)) =>
+        d.withColumn(s"n_$name", regexp_count(col("clean"), lit(pattern)))
+    }
+    val cleaned = rules.foldLeft(counted) { case (d, (_, pattern, repl)) =>
+      d.withColumn("clean", regexp_replace(col("clean"), pattern, repl))
+    }
+    cleaned.select(col("doc_id") +: col("clean") +:
+        rules.map { case (name, _, _) => col(s"n_$name").cast("long") }: _*)
+      .orderBy("doc_id")
+  }
+
   def madOutliers(docs: DataFrame, kMilli: Long = 3500L): DataFrame = {
     require(kMilli > 0, s"kMilli ($kMilli) must be > 0")
     val toks = docs.select(col("doc_id"), col("lang"),

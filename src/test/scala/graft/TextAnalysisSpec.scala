@@ -275,4 +275,17 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.lengthBuckets(docs, ladder = Seq(32L, 16L))
     }
   }
+  test("redact replaces every match, counts pre-redaction, audits per rule") {
+    val docs = Seq(
+      1L -> "write a@b.io or c@d.org today",
+      2L -> "see https://x.io/a and http://y.io b@c.de",
+      3L -> "nothing to scrub here"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (("write <EMAIL> or <EMAIL> today", 2L, 0L)))
+    assert(out(2L) === (("see <URL> and <URL> <EMAIL>", 1L, 2L)))
+    assert(out(3L) === (("nothing to scrub here", 0L, 0L)))
+    intercept[IllegalArgumentException] { TextAnalysis.redact(docs, Nil) }
+  }
 }
