@@ -429,6 +429,20 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       TextAnalysis.redact(planted)
     },
+    // incremental-corpus dedup: the x63 drop's CONTENT-new rows only —
+    // the re-keyed copies (added under new ids, same text) are dups
+    // here, the content-changed rows are not; contrast with x63's
+    // keyed view of the same drop
+    "x76_new_docs"        -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val next = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        .withColumn("text", when(pmod(col("doc_id"), lit(53L)) === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 4)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.newAgainstBase(next, TextAnalysis.fingerprintMd5(docs).select("fp"))
+        .select("doc_id")
+    },
   )
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine
@@ -985,6 +999,17 @@ object SparkEntry {
     // x74: the prefix-filtered plan answers to the same oracle FORM
     // (at its own shingleK) — plan-independence is the claim certified
     "x74_containment_prefix" -> containmentOracle(3),
+    // x76: NOT EXISTS on the md5 fingerprint — content identity, not
+    // key identity (the added-but-copied rows vanish, unlike x63)
+    "x76_new_docs" ->
+      """WITH nn AS (
+           SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 4)
+         SELECT doc_id FROM nn n
+         WHERE NOT EXISTS (SELECT 1 FROM documents b WHERE md5(b.text) = md5(n.text))
+         ORDER BY doc_id""",
     // x75: same planted text, same RE2-and-Java-common patterns;
     // counts pre-redaction, replacements in rule order
     "x75_redact" ->

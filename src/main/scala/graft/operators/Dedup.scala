@@ -104,6 +104,31 @@ object Dedup {
       .select("keep_id", "dup_count")
       .orderBy("keep_id", "dup_count")
 
+  /** Incremental-corpus exact dedup: keep only the rows of a NEW batch
+    * whose content fingerprint is absent from the base corpus's
+    * fingerprint store — the batch twin of [[graft.streaming
+    * .EventStreams.dedupAgainstHistory]], and the content-level
+    * complement of [[graft.operators.Snapshot.diff]] (which is keyed:
+    * a re-keyed copy of existing content is "added" there but a dup
+    * here).
+    *
+    * Scale shape: the store is the persisted artifact of
+    * [[graft.operators.TextAnalysis.fingerprintMd5]] — 16 bytes/doc,
+    * not bodies — and the LEFT ANTI join shuffles only digests. Keep
+    * the store hash-bucketed on `fp` ([[graft.core.Layout]]) and the
+    * store side needs no exchange at all; each ingest batch is the
+    * only moving part, O(batch) not O(corpus). */
+  def newAgainstBase(newDocs: DataFrame, baseFingerprints: DataFrame): DataFrame = {
+    require(baseFingerprints.columns.contains("fp"),
+      s"fingerprint store needs an fp column, got " +
+        baseFingerprints.columns.mkString(","))
+    newDocs.withColumn("__fp", md5(col("text")))
+      .join(baseFingerprints.select(col("fp").as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .orderBy("doc_id")
+  }
+
   /** Distinct whitespace tokens per doc. */
   private def distinctTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

@@ -237,4 +237,14 @@ class DedupSpec extends SparkSpec {
       assert(pref === plain, s"threshold $t")
     }
   }
+  test("newAgainstBase keeps only content-new rows of a batch") {
+    val base = Seq(1L -> "aaa", 2L -> "bbb").toDF("doc_id", "text")
+    val batch = Seq(10L -> "bbb", 11L -> "ccc").toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.fingerprintMd5(base).select("fp")
+    val out = Dedup.newAgainstBase(batch, fps).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(11L), "the re-keyed copy of existing content is a dup")
+    intercept[IllegalArgumentException] {
+      Dedup.newAgainstBase(batch, base)
+    }
+  }
 }
