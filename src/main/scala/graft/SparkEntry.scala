@@ -443,6 +443,9 @@ object SparkEntry {
       Dedup.newAgainstBase(next, TextAnalysis.fingerprintMd5(docs).select("fp"))
         .select("doc_id")
     },
+    // context-aware LM-quality proxy: add-one-smoothed bigram NLL
+    "x77_bigram_surprisal" -> ((s, d) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
   )
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine
@@ -999,6 +1002,22 @@ object SparkEntry {
     // x74: the prefix-filtered plan answers to the same oracle FORM
     // (at its own shingleK) — plan-independence is the claim certified
     "x74_containment_prefix" -> containmentOracle(3),
+    // x77: same exact-integer ratios, same ln shapes as x51; millinat
+    // rounding absorbs summation-order ulps
+    "x77_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         le AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 2),
+         pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts))) AS i FROM le),
+         bi AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i + 1] AS bg FROM pos),
+         c2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+         tokt AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         c1 AS (SELECT tok, COUNT(*) AS c1 FROM tokt GROUP BY tok),
+         v AS (SELECT COUNT(*) AS v FROM c1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(FLOOR(SUM(ln((c1.c1 + v.v) / (c2.c2 + 1))) / COUNT(*) * 1000 + 0.5)
+             AS BIGINT) AS nll_millinats
+         FROM bi JOIN c2 USING (bg) JOIN c1 ON bi.w1 = c1.tok CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id""",
     // x76: NOT EXISTS on the md5 fingerprint — content identity, not
     // key identity (the added-but-copied rows vanish, unlike x63)
     "x76_new_docs" ->

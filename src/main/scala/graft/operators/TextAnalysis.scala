@@ -460,6 +460,46 @@ object TextAnalysis {
     *
     * @return (doc_id, lang, n_tok, dev_milli) for outliers only,
     *         dev_milli = 1000·|n_tok − med| floor-cast to long. */
+  /** Bigram surprisal — the CONTEXT-AWARE step up from
+    * [[unigramSurprisal]]: per-doc mean negative log-likelihood under
+    * an add-one-smoothed corpus bigram model, `NLL(w₁w₂) =
+    * ln((c(w₁) + V) ∕ (c(w₁w₂) + 1))`. Word-salad text that fools a
+    * unigram model (every word common, no pair ever seen) scores high
+    * here — the quality signal is the TRANSITIONS, not the vocabulary.
+    * Same determinism regime as x51: counts are exact integers, the
+    * division is one exact-int ratio per bigram, and millinat rounding
+    * absorbs summation-order ulps.
+    *
+    * Scale shape: bigrams derive ROW-LOCALLY (one transform over the
+    * token array — no positional self-join); the count tables are
+    * vocabulary-bounded aggregates, broadcast here and hash-joined
+    * when a web-scale bigram vocabulary outgrows broadcast. Docs
+    * shorter than 2 tokens have no bigram and are excluded.
+    *
+    * @return (doc_id, n_bigrams, nll_millinats) ordered by doc. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 2)," +
+          " j -> struct(ts[j] AS w1, ts[j] || ' ' || ts[j + 1] AS bg))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    bi.join(broadcast(c2), Seq("bg"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c1") + col("v")) / (col("c2") + lit(1L)))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("nll") / col("n_bigrams") * 1000 + 0.5).cast("long")
+          .as("nll_millinats"))
+      .orderBy("doc_id")
+  }
+
   /** Pattern redaction — the PII-scrubbing transform every published
     * training corpus runs (emails, URLs, phone numbers → placeholder
     * tokens). Each (name, regex, replacement) rule applies in order

@@ -288,4 +288,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === (("nothing to scrub here", 0L, 0L)))
     intercept[IllegalArgumentException] { TextAnalysis.redact(docs, Nil) }
   }
+  test("bigram surprisal: closed-form check, transitions not vocabulary") {
+    // corpus: "a b a b", "a a", "x". c1: a=4, b=2, x=1; V=3.
+    // bigrams doc1: ab, ba, ab -> c2(ab)=2, c2(ba)=1; doc2: aa -> 1
+    // doc1 NLL = (ln(7/3) + ln(5/2) + ln(7/3)) / 3 = 0.8700 -> 870
+    // doc2 NLL = ln((4+3)/(1+1)) = ln 3.5 = 1.2528 -> 1253
+    val docs = Seq(1L -> "a b a b", 2L -> "a a", 3L -> "x").toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((3L, 870L)))
+    assert(out(2L) === ((1L, 1253L)))
+    assert(!out.contains(3L), "single-token docs have no bigram evidence")
+  }
 }
