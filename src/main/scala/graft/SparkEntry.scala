@@ -446,6 +446,20 @@ object SparkEntry {
     // context-aware LM-quality proxy: add-one-smoothed bigram NLL
     "x77_bigram_surprisal" -> ((s, d) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    // incremental DISTINCT maintenance: HLL states split at the same
+    // date cut as x66, merged losslessly (sketch internals are
+    // engine-specific -> rows-only check, rule 6; the merge-law
+    // identity and error bound are IncrementalSpec-asserted)
+    "x78_incremental_distinct" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val cut = lit("1999-01-01").cast("date")
+      def st(f: DataFrame) = graft.operators.Incremental.distinctState(
+        f, Seq("o_custkey"), col("o_orderdate").cast("date").cast("string"))
+      graft.operators.Incremental.distinctEstimate(
+        graft.operators.Incremental.mergeDistinct(Seq(
+          st(o.filter(col("o_orderdate") < cut)),
+          st(o.filter(col("o_orderdate") >= cut)))))
+    },
   )
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine

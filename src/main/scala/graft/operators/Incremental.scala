@@ -49,4 +49,34 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(sum("n").as("n"), sum("tot").as("tot"))
   }
+
+  /** DISTINCT-count state per key as an HLL sketch (Apache DataSketches
+    * via `hll_sketch_agg`) — the sketch instance of the same refresh
+    * law: exact distinct counts don't merge (|A ∪ B| ≠ |A| + |B|), but
+    * sketch UNION is lossless for HLL, so `estimate(merge(s₁, s₂)) ≡
+    * estimate(sketch(rows₁ ∪ rows₂))` EXACTLY — not approximately —
+    * and IncrementalSpec asserts that identity. The estimate itself
+    * carries the usual HLL error vs the true distinct count (bounded
+    * in the spec); what the maintenance never adds is drift. */
+  def distinctState(df: DataFrame, keys: Seq[String], valueCol: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(valueCol).as("hll"))
+
+  /** Merge [[distinctState]] tables by key (lossless HLL union). */
+  def mergeDistinct(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeDistinct needs at least one state table")
+    val keys = states.head.columns.filterNot(_ == "hll").toSeq
+    require(keys.nonEmpty, "state tables must carry at least one key column")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+  }
+
+  /** Read the estimate off a [[distinctState]] table. */
+  def distinctEstimate(state: DataFrame): DataFrame = {
+    val keys = state.columns.filterNot(_ == "hll").toSeq
+    state.select(keys.map(col) :+
+      hll_sketch_estimate(col("hll")).as("n_distinct_est"): _*)
+      .orderBy(keys.map(col): _*)
+  }
 }

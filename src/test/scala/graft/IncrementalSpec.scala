@@ -35,4 +35,18 @@ class IncrementalSpec extends SparkSpec {
     val bad = good.withColumnRenamed("k", "key2")
     intercept[IllegalArgumentException] { Incremental.merge(Seq(good, bad)) }
   }
+  test("HLL distinct states merge losslessly: split == one-shot, error bounded") {
+    val data = (1L to 400L).map(i => (i % 4, s"v${i % 97}")).toDF("k", "v")
+    val oneShot = Incremental.distinctEstimate(
+      Incremental.distinctState(data, Seq("k"), col("v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Incremental.distinctEstimate(
+      Incremental.mergeDistinct(Seq(
+        Incremental.distinctState(data.filter(col("v") < "v5"), Seq("k"), col("v")),
+        Incremental.distinctState(data.filter(col("v") >= "v5"), Seq("k"), col("v")))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === oneShot, "HLL union must be lossless, not approximately equal")
+    // estimate error vs truth (97 distinct per key) within the HLL regime
+    merged.values.foreach(est => assert(math.abs(est - 97L) <= 5L, s"est $est"))
+  }
 }
