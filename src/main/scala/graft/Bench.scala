@@ -66,7 +66,10 @@ object Bench {
       // window stays inflated for 3 back-to-back passes; two spaced
       // retries (after the cleanup above settles) rescue the honest
       // number, and for genuinely slow queries cost ≤ 2 extra runs
-      if (best > 0.75) best = (best +: Seq.fill(2)(timeOne(n))).min
+      // a retry that itself fails transiently must not poison the min:
+      // three honest primary measurements stand on their own
+      if (best > 0.75)
+        best = (best +: Seq.fill(2)(timeOne(n)).filter(_ >= 0)).min
       n -> (if (best < 0 || ts.exists(_ < 0)) -1.0 else best)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

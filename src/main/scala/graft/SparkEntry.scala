@@ -327,12 +327,7 @@ object SparkEntry {
     // doc_id%53 text-changed, 4 high-id rows added
     "x63_snapshot_diff"   -> { (s, d) =>
       val base = Tables.documents(s, d)
-      val next = base.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
-        .withColumn("text", when(pmod(col("doc_id"), lit(53L)) === 0L,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-        .unionByName(base.filter(col("doc_id") < 4)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      graft.operators.Snapshot.diff(base, next, "doc_id", Seq("text"))
+      graft.operators.Snapshot.diff(base, nextDrop(base), "doc_id", Seq("text"))
     },
     // 12-bin fixed-range histogram of n_chars over [0, 600)
     "x64_histogram"       -> ((s, d) =>
@@ -435,12 +430,8 @@ object SparkEntry {
     // keyed view of the same drop
     "x76_new_docs"        -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val next = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
-        .withColumn("text", when(pmod(col("doc_id"), lit(53L)) === 0L,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-        .unionByName(docs.filter(col("doc_id") < 4)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      Dedup.newAgainstBase(next, TextAnalysis.fingerprintMd5(docs).select("fp"))
+      Dedup.newAgainstBase(nextDrop(docs),
+        TextAnalysis.fingerprintMd5(docs).select("fp"))
         .select("doc_id")
     },
     // context-aware LM-quality proxy: add-one-smoothed bigram NLL
@@ -461,6 +452,18 @@ object SparkEntry {
           st(o.filter(col("o_orderdate") >= cut)))))
     },
   )
+
+  /** The simulated "next drop" x63 (keyed diff) and x76 (content
+    * dedup) both view: doc_id%97 removed, doc_id%53 text-changed, the
+    * 4 lowest ids re-keyed high (same text). ONE copy — the two
+    * queries' commentary claims they are two views of the SAME drop,
+    * and each Scala spelling must stay in sync with its oracle CTE. */
+  private def nextDrop(base: DataFrame): DataFrame =
+    base.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      .withColumn("text", when(pmod(col("doc_id"), lit(53L)) === 0L,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(base.filter(col("doc_id") < 4)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
 
   /** x23/x31 demo corpus: the embeddings table has a natural cosine
     * ceiling of ~0.51 — no true near-dups — so the near-dup demo

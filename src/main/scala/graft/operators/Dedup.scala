@@ -129,6 +129,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Symmetrized (src, dst) edges of an undirected (da, db) pair
+    * graph, the shared input shape of the iterative graph operators
+    * ([[connectedComponents]], [[graft.operators.Graph.pageRank]]).
+    * Symmetrize via ONE explode, not a self-union: the union spelling
+    * evaluates the (potentially expensive — e.g. a whole minHashLsh
+    * pipeline) pairs plan once per branch. Re-partitioned by src
+    * before the caller's persist: the cached scan then ALREADY
+    * satisfies every iteration's join-on-src distribution, so the
+    * per-round joins shuffle only the (tiny) label/rank table, never
+    * the edge set. Callers persist (and register/release) the result
+    * themselves — its storage lifetime is theirs. */
+  private[operators] def symmetrizedEdges(pairs: DataFrame): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col("da").as("src"), col("db").as("dst")),
+        struct(col("db").as("src"), col("da").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+
   /** Distinct whitespace tokens per doc. */
   private def distinctTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -154,6 +174,32 @@ object Dedup {
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         call_function("shingle_hashes", col("toks"), lit(k)).as("shs"))
+
+  /** Exploded (doc_id, sz, sh) inverted-index rows over the CACHED
+    * shingle-array table — the shared core of [[jaccardSweep]],
+    * [[containmentPairs]] and [[containmentPairsPrefix]] (the explode
+    * itself is recomputed per consumer; the expensive shingle pass is
+    * what the cache holds). */
+  private def shingleRows(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    registerCache(shingleArrays(docs, k))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
+        explode(col("shs")).as("sh"))
+  }
+
+  /** Per-pair common-shingle counts from the inverted-index self-join
+    * (da < db); `prune` — over (da, db, sa, sb, sh) join rows — drops
+    * hopeless rows BEFORE the aggregation. One copy of the
+    * join-filter-groupBy shape so the sweep and containment scorers
+    * cannot drift. */
+  private def pairCommonCounts(rows: DataFrame,
+                               prune: Option[Column]): DataFrame = {
+    val a = rows.select(col("doc_id").as("da"), col("sz").as("sa"), col("sh"))
+    val b = rows.select(col("doc_id").as("db"), col("sz").as("sb"), col("sh"))
+    val joined = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+    prune.fold(joined)(joined.filter)
+      .groupBy("da", "db", "sa", "sb").agg(count(lit(1)).as("common"))
+  }
 
   /** Exact pairwise token-Jaccard (permille) over an inverted-index
     * self-join. O(pairs-sharing-a-token) — intended for bounded
@@ -305,22 +351,15 @@ object Dedup {
     require(minPermille >= 1 && minPermille <= 999,
       s"minPermille ($minPermille) must be in [1, 999] — at 1000 (identical " +
         "shingle sets) use exact dedup on the shingle digest instead")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = registerCache(shingleArrays(docs, shingleK))
-    val rows = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
-      explode(col("shs")).as("sh"))
-    val a = rows.select(col("doc_id").as("da"), col("sz").as("sa"), col("sh"))
-    val b = rows.select(col("doc_id").as("db"), col("sz").as("sb"), col("sh"))
-    a.join(b, Seq("sh"))
-      .filter(col("da") < col("db"))
-      .filter(lit(1000L) * least(col("sa"), col("sb")) >=
-        lit(minPermille) * greatest(col("sa"), col("sb")))
-      .groupBy("da", "db", "sa", "sb").agg(count(lit(1)).as("common"))
+    pairCommonCounts(shingleRows(docs, shingleK),
+      prune = Some(lit(1000L) * least(col("sa"), col("sb")) >=
+        lit(minPermille) * greatest(col("sa"), col("sb"))))
       .select(col("da"), col("db"),
         expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
       .filter(col("jac_permille") >= minPermille)
       .orderBy("da", "db", "jac_permille")
   }
+
 
   /** Asymmetric near-duplicate detection: shingle CONTAINMENT, the
     * signal Jaccard structurally misses. A 100-word quote embedded in
@@ -348,21 +387,14 @@ object Dedup {
                        minPermille: Long = 700): DataFrame = {
     require(minPermille >= 1 && minPermille <= 1000,
       s"minPermille ($minPermille) must be in [1, 1000]")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = registerCache(shingleArrays(docs, shingleK))
-    val rows = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
-      explode(col("shs")).as("sh"))
-    val a = rows.select(col("doc_id").as("da"), col("sz").as("sa"), col("sh"))
-    val b = rows.select(col("doc_id").as("db"), col("sz").as("sb"), col("sh"))
-    a.join(b, Seq("sh"))
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db", "sa", "sb").agg(count(lit(1)).as("common"))
+    pairCommonCounts(shingleRows(docs, shingleK), prune = None)
       .select(col("da"), col("db"),
         expr("(common * 1000) div least(sa, sb)").as("cont_permille"),
         expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
       .filter(col("cont_permille") >= minPermille)
       .orderBy("da", "db", "cont_permille", "jac_permille")
   }
+
 
   /** [[containmentPairs]] with PREFIX FILTERING (the PPJoin-family
     * candidate bound) — the web-scale plan for the same exact result.
@@ -407,11 +439,7 @@ object Dedup {
                              minPermille: Long = 700): DataFrame = {
     require(minPermille >= 1 && minPermille <= 1000,
       s"minPermille ($minPermille) must be in [1, 1000]")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val rows = registerCache(
-      shingleArrays(docs, shingleK)
-        .select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
-          explode(col("shs")).as("sh")))
+    val rows = shingleRows(docs, shingleK)
     val df = rows.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
@@ -572,19 +600,7 @@ object Dedup {
     * @return (doc_id, cluster_id) for every doc appearing in a pair,
     *         cluster_id = min doc id reachable in the pair graph. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // symmetrize via ONE explode, not a self-union: the union spelling
-    // evaluates the (potentially expensive — e.g. a whole minHashLsh
-    // pipeline) pairs plan once per branch. Re-partitioned by src
-    // before the persist: the cached scan then ALREADY satisfies every
-    // round's join-on-src distribution, so the per-round contribution
-    // join shuffles only the (tiny) label table, never the edge set.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("da").as("src"), col("db").as("dst")),
-        struct(col("db").as("src"), col("da").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .repartition(col("src"))
+    val edges = symmetrizedEdges(pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // lazy: materialized by round 1's first scan — no standalone job
     var current = edges.select(col("src").as("node")).distinct()

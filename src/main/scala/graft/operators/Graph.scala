@@ -42,13 +42,7 @@ object Graph {
       s"iterations ($iterations) must be in [1, 50] — beyond that use a " +
         "checkpointed fixpoint (see Dedup.connectedComponents)")
     require(damping > 0 && damping < 1, s"damping ($damping) must be in (0, 1)")
-    val sym = Dedup.registerCache(pairs
-      .select(explode(array(
-        struct(col("da").as("src"), col("db").as("dst")),
-        struct(col("db").as("src"), col("da").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .repartition(col("src")))
+    val sym = Dedup.registerCache(Dedup.symmetrizedEdges(pairs))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val edges = Dedup.registerCache(sym.join(deg, Seq("src")))
     val n = deg.count() // materializes sym — the pairs plan's only run

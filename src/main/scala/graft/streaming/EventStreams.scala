@@ -102,8 +102,12 @@ object EventStreams {
     * batch are NOT collapsed here (that is [[dedupWithinWatermark]]'s
     * job); this operator answers "is it already in the corpus". */
   def dedupAgainstHistory(docs: DataFrame, historyFps: DataFrame): DataFrame =
-    docs.withColumn("fp", md5(col("text")))
-      .join(historyFps.select(col("fp")), Seq("fp"), "left_anti")
+    // the fingerprint is internal plumbing — dropped so the output
+    // schema is exactly the input's (same contract as the batch twin
+    // Dedup.newAgainstBase; sinks with strict schemas rely on it)
+    docs.withColumn("__fp", md5(col("text")))
+      .join(historyFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
 
   /** Stateful streaming dedup on event_id within the watermark — the
     * streaming twin of the reference's key-upsert (R18): the first
@@ -232,13 +236,17 @@ object EventStreams {
     *    (the classic rule);
     *  - inside the window → widen via min/max, never rewind lastMs
     *    (a rewound lastMs makes the next on-time event split wrongly);
-    *  - BEFORE start − gap → routed to a secondary LATE run. It can
-    *    never merge with the open session (an unbounded lower edge
-    *    would let one very late event "merge" across an arbitrarily
-    *    long internal silence and rewind startMs — a session spanning
-    *    a gap larger than gapMs, violating the invariant), but under
-    *    session-window semantics late events still form sessions of
-    *    their own: consecutive late events within gapMs of EACH OTHER
+    *  - BEFORE start − gap → routed to a secondary LATE run. It
+    *    cannot merge with the open session DIRECTLY (an unbounded
+    *    lower edge would let one very late event "merge" across an
+    *    arbitrarily long internal silence and rewind startMs — a
+    *    session spanning a gap larger than gapMs, violating the
+    *    invariant); it CAN merge indirectly: when a later event
+    *    widens the open session's start downward to within gap of
+    *    the run's end, the chain's consecutive gaps are all ≤ gapMs
+    *    and the run is absorbed into the open session. Otherwise,
+    *    under session-window semantics late events still form
+    *    sessions of their own: consecutive late events within gapMs of EACH OTHER
     *    merge into ONE late session (emitting singletons here would
     *    over-count sessions — two events 1 s apart are one session no
     *    matter how late they arrive), and the run closes when the next
@@ -264,7 +272,21 @@ object EventStreams {
           closed += SessionOut(user, s.events, s.startMs, s.lastMs)
           Some(OpenSession(1, t, t))
         case Some(s) if t >= s.startMs - gapMs =>
-          Some(OpenSession(s.events + 1, math.min(s.startMs, t), math.max(s.lastMs, t)))
+          var ns = OpenSession(s.events + 1, math.min(s.startMs, t), math.max(s.lastMs, t))
+          // an event that widens startMs DOWNWARD can bridge the
+          // pending late run into the session window: if the run's end
+          // is within gap of the widened start, the whole chain has
+          // consecutive gaps ≤ gapMs and is ONE session — absorb it
+          // rather than over-splitting (the run itself is
+          // gap-contiguous, so only its end needs checking)
+          late match {
+            case Some(l) if l.lastMs + gapMs >= ns.startMs =>
+              ns = OpenSession(ns.events + l.events,
+                math.min(ns.startMs, l.startMs), ns.lastMs)
+              late = None
+            case _ => ()
+          }
+          Some(ns)
         case Some(_) => // below the open session's horizon: late run
           late = late match {
             case Some(l) if t <= l.lastMs + gapMs =>

@@ -468,4 +468,32 @@ class StreamingSpec extends SparkSpec {
     assert(snapDf.count() === 1L)
     assert(snapDf.head().getAs[String]("pulse_name") === "b") // last write wins
   }
+  test("a bridging event chains the late run into the open session (no over-split)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserStamped]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("fmgs_bridge")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(EventStreams.UserStamped(1, 1, 500000L)))
+      q.processAllAvailable()
+      // t=430000 is below the horizon (500000 - 60000) -> late run;
+      // t=450000 is on-time and widens startMs down to 450000, bringing
+      // the run's end (430000 + 60000 >= 450000) into range: the chain
+      // 430000 -> 450000 -> 500000 has every gap <= 60000 = ONE session
+      input.addData(Seq(
+        EventStreams.UserStamped(1, 2, 430000L),
+        EventStreams.UserStamped(1, 3, 450000L)))
+      q.processAllAvailable()
+      input.addData(Seq(EventStreams.UserStamped(1, 4, 9000000L))) // close open
+      q.processAllAvailable()
+      val out = spark.table("fmgs_bridge")
+        .select("events", "start_ms", "end_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out.contains((3L, 430000L, 500000L)),
+        s"the bridged chain must close as one 3-event session, got $out")
+      assert(!out.exists(_._1 == 1L && out.size > 1) || !out.contains((1L, 430000L, 430000L)),
+        s"no singleton late session when a bridge exists: $out")
+    } finally q.stop()
+  }
 }
