@@ -132,4 +132,24 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 5)
   }
+  test("prefix-filtered containment equals the naive scorer on random corpora") {
+    // small vocab forces heavy shingle sharing (the adversarial case
+    // for a prefix bound: few rare shingles to filter by) — the two
+    // plans must still agree bit for bit at any threshold
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(3, 8).flatMap(n => Gen.listOfN(n, doc))
+    val thresh = Gen.oneOf(100L, 500L, 900L)
+    check(Prop.forAll(corpus, thresh) { (texts, t) =>
+      val docs = texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+        .toDF("doc_id", "text")
+      val plain = graft.operators.Dedup.containmentPairs(docs, 2, t)
+        .collect().map(_.toSeq).toSeq
+      graft.operators.Dedup.releaseCaches()
+      val pref = graft.operators.Dedup.containmentPairsPrefix(docs, 2, t)
+        .collect().map(_.toSeq).toSeq
+      graft.operators.Dedup.releaseCaches()
+      pref == plain
+    }, n = 6)
+  }
 }
