@@ -33,6 +33,7 @@ object AnnIndex {
   private val PlanesProp = "graft.lsh.numPlanes"
   private val TablesProp = "graft.lsh.numTables"
   private val NlistProp = "graft.ivf.nlist"
+  private val BucketsProp = "graft.lsh.buckets"
 
   private def setProps(spark: SparkSession, table: String, kv: (String, String)*): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
@@ -70,7 +71,40 @@ object AnnIndex {
       .select(col("tbl"), col("neighbor_id"), col("cv"), col("sig"))
     graft.core.Layout.writeBucketed(signed, table, buckets, Seq("sig"))
     setProps(spark, table, PlanesProp -> numPlanes.toString,
-      TablesProp -> numTables.toString)
+      TablesProp -> numTables.toString, BucketsProp -> buckets.toString)
+  }
+
+  /** INCREMENTAL maintenance of a [[buildLshIndex]] table: sign a new
+    * batch with the index's OWN pinned parameters (read from table
+    * properties — a caller-supplied numPlanes could silently corrupt
+    * the index with incompatible signatures) and APPEND. Cost is
+    * O(batch): the corpus is never re-signed, and bucketed appends add
+    * per-bucket files without touching existing ones — the standard
+    * "index the delta" shape every ingest pipeline needs, paired with
+    * [[graft.operators.Dedup.newAgainstBase]] upstream so only
+    * content-new documents reach the index. Callers dedupe ids across
+    * batches (an id re-appended shadows nothing — both rows surface;
+    * the top-k tie-break keeps results deterministic regardless). */
+  def appendToLshIndex(batch: DataFrame, table: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val numPlanes = getProp(spark, table, PlanesProp)
+    val numTables = getProp(spark, table, TablesProp)
+    val buckets = getProp(spark, table, BucketsProp)
+    val c = batch.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<float>").as("cv"))
+    val signed = c.select(col("neighbor_id"), col("cv"),
+        posexplode(array((0 until numTables).map(t =>
+          call_function("lsh_sig", col("cv"), lit(numPlanes), lit(t * numPlanes))): _*))
+          .as(Seq("tbl", "sig")))
+      .select(col("tbl"), col("neighbor_id"), col("cv"), col("sig"))
+    // append through the SAME bucketed writer (bucket count pinned at
+    // build): new per-bucket files land beside the old ones and the
+    // scan's HashPartitioning guarantee survives the append
+    graft.core.Layout.writeBucketed(signed, table, buckets, Seq("sig"),
+      org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Probe a prebuilt LSH index: [[Similarity.lshTopK]] semantics, but

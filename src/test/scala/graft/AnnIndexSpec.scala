@@ -61,4 +61,22 @@ class AnnIndexSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("nlist"))
   }
+  test("appendToLshIndex: partial build + delta append equals a one-shot build") {
+    Layout.dropManagedTable(spark, "lsh_idx_inc")
+    Layout.dropManagedTable(spark, "lsh_idx_full")
+    val emb = Tables.embeddings(spark, sf)
+    val (oldHalf, delta) = (emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0))
+    AnnIndex.buildLshIndex(oldHalf, "lsh_idx_inc", numPlanes = 8, numTables = 2, buckets = 4)
+    AnnIndex.appendToLshIndex(delta, "lsh_idx_inc")
+    AnnIndex.buildLshIndex(emb, "lsh_idx_full", numPlanes = 8, numTables = 2, buckets = 4)
+    val inc = AnnIndex.lshTopKPrebuilt(spark, queriesDf, "lsh_idx_inc", k = 5, multiProbe = 2)
+    val full = AnnIndex.lshTopKPrebuilt(spark, queriesDf, "lsh_idx_full", k = 5, multiProbe = 2)
+    assert(inc.collect().toSeq === full.collect().toSeq,
+      "the appended index must answer identically to a from-scratch build")
+    // the appended table still reads in place (bucket layout survived)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(sig"),
+      s"append must not break the bucketed layout:\n$plan")
+  }
 }
