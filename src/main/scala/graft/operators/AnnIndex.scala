@@ -34,6 +34,7 @@ object AnnIndex {
   private val TablesProp = "graft.lsh.numTables"
   private val NlistProp = "graft.ivf.nlist"
   private val BucketsProp = "graft.lsh.buckets"
+  private val IvfBucketsProp = "graft.ivf.buckets"
 
   private def setProps(spark: SparkSession, table: String, kv: (String, String)*): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
@@ -107,6 +108,39 @@ object AnnIndex {
       org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** INCREMENTAL maintenance of a [[buildIvfIndex]] assignment table:
+    * assign a new batch to its nearest EXISTING centroid (the coarse
+    * quantizer is pinned at build — re-fitting would silently re-cell
+    * the whole corpus) and append, O(batch). Probe correctness is
+    * untouched: IVF cells are just partitions, and [[ivfTopKPrebuilt]]
+    * scores exactly within whatever cells it probes — the quantizer
+    * ages (recall at a given nprobe drifts as the corpus distribution
+    * moves), which is the standard IVF maintenance trade; rebuild the
+    * index when drift shows up in the recall certification (x30's
+    * shape). Spec-asserted: with nprobe = nlist an appended index
+    * answers bit-identically to brute force over the full corpus. */
+  def appendToIvfIndex(batch: DataFrame, assignTable: String,
+                       centersTable: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val buckets = getProp(spark, assignTable, IvfBucketsProp)
+    val centers = spark.table(centersTable)
+    val c = batch.select(col(idCol).as("neighbor_id"),
+      Similarity.asDouble(col(vecCol)).as("cv"))
+    val wCell = Window.partitionBy("neighbor_id")
+      .orderBy(col("cdist").asc, col("cell"))
+    val assigned = c.crossJoin(broadcast(centers))
+      .withColumn("cdist", aggregate(
+        zip_with(col("cv"), col("center"), (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") === 1)
+      .select("neighbor_id", "cv", "cell")
+    graft.core.Layout.writeBucketed(assigned, assignTable, buckets, Seq("cell"),
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Probe a prebuilt LSH index: [[Similarity.lshTopK]] semantics, but
     * the corpus-side signatures come from the bucketed index table —
     * no corpus scan-and-sign per call, no Exchange on the index side
@@ -169,7 +203,8 @@ object AnnIndex {
       .setFeaturesCol("feat").setPredictionCol("cell").fit(fitInput)
     val assigned = model.transform(c).select("neighbor_id", "cv", "cell")
     graft.core.Layout.writeBucketed(assigned, assignTable, buckets, Seq("cell"))
-    setProps(spark, assignTable, NlistProp -> nlist.toString)
+    setProps(spark, assignTable, NlistProp -> nlist.toString,
+      IvfBucketsProp -> buckets.toString)
     import spark.implicits._
     val centers = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "center")

@@ -79,4 +79,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(sig"),
       s"append must not break the bucketed layout:\n$plan")
   }
+
+  test("appendToIvfIndex: delta rows assigned to pinned centroids; nprobe=nlist is exact") {
+    Layout.dropManagedTable(spark, "ivf_assign_inc")
+    Layout.dropManagedTable(spark, "ivf_centers_inc")
+    val emb = Tables.embeddings(spark, sf)
+    val (oldHalf, delta) = (emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0))
+    AnnIndex.buildIvfIndex(oldHalf, "ivf_assign_inc", "ivf_centers_inc",
+      nlist = 8, maxFitRows = 10000, buckets = 4)
+    AnnIndex.appendToIvfIndex(delta, "ivf_assign_inc", "ivf_centers_inc")
+    // every appended row landed in some existing cell — no new cells,
+    // no rows lost
+    val cells = spark.table("ivf_assign_inc").select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 8).toSet), s"unexpected cells: $cells")
+    assert(spark.table("ivf_assign_inc").count() === emb.count())
+    // with nprobe = nlist every cell is probed, so the aged quantizer
+    // cannot cost recall: the appended index answers bit-identically
+    // to exact brute force over the full corpus
+    val pre = AnnIndex.ivfTopKPrebuilt(spark, queriesDf, "ivf_assign_inc",
+      "ivf_centers_inc", k = 5, nprobe = 8)
+    val brute = Similarity.cosineTopK(queriesDf, emb, k = 5)
+    assert(pre.collect().toSeq === brute.collect().toSeq,
+      "appended index at nprobe=nlist must equal brute force")
+    // the appended table still reads in place (bucket layout survived)
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(cell"),
+      s"append must not break the bucketed layout:\n$plan")
+  }
 }
