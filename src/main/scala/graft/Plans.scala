@@ -56,7 +56,35 @@ object Plans {
       ("x60_hybrid_rrf", "hybrid RRF fusion: corpus-sized work stays inside the pooled operators (inverted-index postings probe; broadcast cosine scoring); the fusion itself full-outer joins two ≤poolK-row pools",
         "x60_hybrid_rrf"),
       ("x63_snapshot_diff", "snapshot diff: md5 fingerprints projected scan-side, so the full-outer join shuffles only (key, fp) pairs — network cost is keys, not rows",
-        "x63_snapshot_diff"))
+        "x63_snapshot_diff"),
+      ("x65_containment", "asymmetric containment: inverted-index equi-join on shingle hashes with map-side partial counts; no size-ratio prune by design (size asymmetry IS the signal), no cross join anywhere",
+        "x65_containment"),
+      ("x66_incremental_agg", "materialized-view refresh law: two partial states union then key-groupBy — every aggregate partial_sum/partial_count combines map-side, so the merge shuffle carries at most one row per (partition, key)",
+        "x66_incremental_agg"),
+      ("x67_length_buckets", "length-bucketed padding accounting: one scan, bucket CASE stays in codegen, <=|ladder|-row aggregate after map-side combine",
+        "x67_length_buckets"),
+      ("x68_shared_runs", "span-level substring dedup: positional gram equi-join (df-pruned) then islands window keyed by (pair, diagonal) — never a cross join, never a global window",
+        "x68_shared_runs"),
+      ("x69_random_project", "deterministic JL sign projection: the ±1 matrix is plan literals, each output an exact integer sum — pure codegen map over the scan, no Exchange below the presentation sort",
+        "x69_random_project"),
+      ("x70_majority_vote", "majority vote: (key, vote) groupBy with map-side partial counts, then total + tie-broken row_number over the counts table — the raw vote table shuffles once",
+        "x70_majority_vote"),
+      ("x71_rank_calibrate", "rank calibration: rank and group count ride ONE window partitioning (single keyed shuffle); integer permille projection after",
+        "x71_rank_calibrate"),
+      ("x72_decayed_counts", "decayed trending counts: weights are a row-local codegen CASE over datediff, aggregate is a |types|-row groupBy with map-side combine (anchor = one scalar pre-job)",
+        "x72_decayed_counts"),
+      ("x73_semantic_dedup", "SemDeDup: the k-means assignment map is computed once into the operator cache; the pairwise cosine join is an equi-join on `cluster` (pair mass bounded per cell, native cosine_f32 in the filter); the survivor fixpoint runs over found pairs only",
+        "x73_semantic_dedup"),
+      ("x74_containment_prefix", "PPJoin-style containment: df table + per-doc rarest-first rank window feed the prefix equi-join; exact common counts re-derived for candidates only — everything keyed, nothing quadratic; output bit-identical to x65 (shared oracle)",
+        "x74_containment_prefix"),
+      ("x75_redact", "PII redaction: regexp counts + ordered replaces all ride the scan in one codegen stage — no Exchange below the presentation sort",
+        "x75_redact"),
+      ("x76_new_docs", "incremental-corpus dedup: LEFT ANTI on 16-byte md5 digests — the batch side shuffles fingerprints, never bodies; the store side is the persisted fingerprint artifact",
+        "x76_new_docs"),
+      ("x77_bigram_surprisal", "bigram surprisal: row-local bigram derivation (no positional self-join); unigram/bigram count tables broadcast back; one doc-keyed aggregate",
+        "x77_bigram_surprisal"),
+      ("x78_incremental_distinct", "HLL distinct maintenance: per-key hll_sketch_agg states union then hll_union_agg key-groupBy — sketch merge combines map-side, so the refresh shuffle carries fixed-size sketch bytes per (partition, key), never raw values",
+        "x78_incremental_distinct"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")
