@@ -451,6 +451,16 @@ object SparkEntry {
           st(o.filter(col("o_orderdate") < cut)),
           st(o.filter(col("o_orderdate") >= cut)))))
     },
+    // distribution-drift gate on the same simulated drop x63/x76 view:
+    // PSI over text-length bins (x64's binning rule), add-one smoothed
+    // across the full support, per-bin signed contributions in
+    // micronats — sums to the headline index
+    "x79_psi_drift"       -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def lens(f: DataFrame) = f.select(length(col("text")).as("len"))
+      graft.operators.Profiling.psiDrift(lens(docs), lens(nextDrop(docs)),
+        "len", lo = 0L, hi = 600L, nbins = 12)
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1128,6 +1138,34 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x79: bin rule is x64's exact integer arithmetic; ONE ln per bin
+    // over a ratio of exact integer products, p-differences are single
+    // IEEE divisions, floor-rounded micronats absorb ulp skew (x51/x77
+    // discipline). Same nn CTE as x76 — the same simulated drop.
+    "x79_psi_drift" ->
+      """WITH nn AS (
+           SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 4),
+         a AS (SELECT LEAST(GREATEST(length(text) * 12 // 600, 0), 11) AS bin
+               FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT LEAST(GREATEST(length(text) * 12 // 600, 0), 11) AS bin
+               FROM nn WHERE text IS NOT NULL),
+         ca AS (SELECT bin, COUNT(*) AS n_base FROM a GROUP BY bin),
+         cb AS (SELECT bin, COUNT(*) AS n_next FROM b GROUP BY bin),
+         spine AS (SELECT UNNEST(range(12)) AS bin),
+         j AS (SELECT spine.bin,
+                 COALESCE(ca.n_base, 0) AS n_base,
+                 COALESCE(cb.n_next, 0) AS n_next
+               FROM spine LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+         t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tot_base,
+                 CAST(SUM(n_next) AS BIGINT) AS tot_next FROM j)
+         SELECT bin, n_base, n_next,
+           CAST(FLOOR(((n_base + 1) / (tot_base + 12) - (n_next + 1) / (tot_next + 12))
+             * ln(((n_base + 1) * (tot_next + 12)) / ((n_next + 1) * (tot_base + 12)))
+             * 1000000 + 0.5) AS BIGINT) AS psi_micronats
+         FROM j CROSS JOIN t ORDER BY bin""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

@@ -68,14 +68,74 @@ object Profiling {
     require(hi > lo, s"hi ($hi) must be > lo ($lo)")
     require(nbins >= 1 && nbins <= (1 << 20), s"nbins ($nbins) out of range")
     val v = col(valueCol).cast("long")
-    // `div` (integral division) only exists as a SQL operator; negative
-    // numerators divide differently across engines (trunc vs floor) but
-    // the clamp folds both into bin 0, so the output is engine-exact
-    val bin = least(greatest(
+    df.filter(v.isNotNull)
+      .groupBy(binCol(valueCol, lo, hi, nbins).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
+  /** `div` (integral division) only exists as a SQL operator; negative
+    * numerators divide differently across engines (trunc vs floor) but
+    * the clamp folds both into bin 0, so the assignment is engine-exact. */
+  private def binCol(valueCol: String, lo: Long, hi: Long, nbins: Int) =
+    least(greatest(
       expr(s"(CAST($valueCol AS BIGINT) - ${lo}L) * ${nbins}L div ${hi - lo}L"),
       lit(0L)), lit(nbins - 1L))
-    df.filter(v.isNotNull)
-      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+
+  /** Population-stability-index drift between two corpus snapshots —
+    * THE standard "did this drop shift the distribution?" gate run
+    * before a new crawl enters training. Both frames are binned with
+    * [[histogram]]'s clamped integer rule, add-one smoothed over the
+    * FULL `nbins` support (so empty bins are well-defined and the
+    * index is finite without an arbitrary ε), and each bin reports its
+    * signed PSI contribution: (p_b − p_n)·ln(p_b/p_n) with
+    * p = (count+1)/(total+nbins). Σ psi over bins is the headline
+    * index (rule of thumb: <0.10 stable, 0.10–0.25 drifting, >0.25
+    * shifted); per-bin rows show WHERE the mass moved, which the
+    * scalar hides.
+    *
+    * Scale shape: one narrow map + aggregation pass per side (map-side
+    * combine; the shuffle carries ≤ nbins rows per task), then all
+    * arithmetic runs on the ≤ nbins-row bin table — the spine join,
+    * totals cross-join, and ln live entirely on driver-sized frames.
+    * Nothing data-scale ever joins or re-shuffles.
+    *
+    * Oracle parity: bin assignment is exact integer arithmetic; ln is
+    * taken over a single ratio of exact integer products (counts and
+    * totals — exact in doubles below 2⁵³, so range-reduce first at
+    * extreme scale), p-differences are single IEEE divisions and one
+    * subtraction, and the result is floor-rounded to micronats — the
+    * x51/x77 cross-engine ln discipline, with only ONE ln per output
+    * value (no summation-order ulps at all).
+    *
+    * @return (bin, n_base, n_next, psi_micronats), all nbins bins
+    *         present, ordered by bin. */
+  def psiDrift(base: DataFrame, next: DataFrame, valueCol: String,
+               lo: Long, hi: Long, nbins: Int): DataFrame = {
+    require(hi > lo, s"hi ($hi) must be > lo ($lo)")
+    require(nbins >= 1 && nbins <= (1 << 20), s"nbins ($nbins) out of range")
+    val v = col(valueCol).cast("long")
+    def binned(df: DataFrame, side: Int) =
+      df.filter(v.isNotNull)
+        .select(binCol(valueCol, lo, hi, nbins).as("bin"), lit(side).as("side"))
+    val counts = binned(base, 0).unionByName(binned(next, 1))
+      .groupBy("bin")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_base"),
+           sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_next"))
+    val spine = base.sparkSession.range(nbins).toDF("bin")
+    val full = spine.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_base", "n_next"))
+    val tot = full.agg(sum("n_base").as("tot_base"), sum("n_next").as("tot_next"))
+    val k = lit(nbins.toLong)
+    val pBase = (col("n_base") + lit(1L)) / (col("tot_base") + k)
+    val pNext = (col("n_next") + lit(1L)) / (col("tot_next") + k)
+    val lnRatio = log(
+      ((col("n_base") + lit(1L)) * (col("tot_next") + k)).cast("double") /
+      ((col("n_next") + lit(1L)) * (col("tot_base") + k)).cast("double"))
+    full.crossJoin(tot)
+      .select(col("bin"), col("n_base"), col("n_next"),
+        floor((pBase - pNext) * lnRatio * lit(1e6) + lit(0.5))
+          .cast("long").as("psi_micronats"))
       .orderBy("bin")
   }
 }

@@ -177,6 +177,46 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(0L -> 2L))
   }
+
+  test("psiDrift: identical populations score exactly zero in every bin") {
+    val df = Seq(5L, 15L, 15L, 95L).toDF("v")
+    val rows = Profiling.psiDrift(df, df, "v", 0L, 100L, 10).collect()
+    // full spine: all 10 bins present, empty ones included
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 10L))
+    // p_base ≡ p_next ⇒ (p−q)=0 and ln(ratio)=ln(1)=0 exactly
+    assert(rows.forall(_.getLong(3) === 0L))
+  }
+
+  test("psiDrift: matches the naive per-bin formula on a shifted population") {
+    val base = Seq(5L, 5L, 15L, 15L, 15L, 95L).toDF("v")
+    val next = Seq(5L, 95L, 95L, 95L, 85L).toDF("v")
+    val out = Profiling.psiDrift(base, next, "v", 0L, 100L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val baseCounts = Map(0L -> 2L, 1L -> 3L, 9L -> 1L)
+    val nextCounts = Map(0L -> 1L, 8L -> 1L, 9L -> 3L)
+    out.foreach { case (bin, nb, nn, psi) =>
+      assert(nb === baseCounts.getOrElse(bin, 0L))
+      assert(nn === nextCounts.getOrElse(bin, 0L))
+      val p = (nb + 1.0) / (6 + 10)
+      val q = (nn + 1.0) / (5 + 10)
+      val expect = math.floor(
+        (p - q) * math.log(((nb + 1.0) * (5 + 10)) / ((nn + 1.0) * (6 + 10))) * 1e6 + 0.5).toLong
+      assert(psi === expect, s"bin $bin")
+    }
+    // the drift is real: mass moved from bin 1 to bin 9, so those
+    // contributions dominate and the headline sum is clearly positive
+    assert(out.map(_._4).sum > 20000L)
+  }
+
+  test("psiDrift: nulls excluded, out-of-range values clamp like histogram") {
+    val base = Seq(Some(-50L), Some(5L), None).toDF("v")
+    val next = Seq(Some(500L), Some(95L), None).toDF("v")
+    val out = Profiling.psiDrift(base, next, "v", 0L, 100L, 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) === ((2L, 0L)))   // -50 clamps into bin 0; null dropped
+    assert(out(9L) === ((0L, 2L)))   // 500 clamps into bin 9
+    assert(out.values.map(_._1).sum === 2L && out.values.map(_._2).sum === 2L)
+  }
   test("semanticDedup: co-clustered near-identical vectors collapse to the min id") {
     // two well-separated blobs; in blob A ids 1,2,3 are a transitive
     // near-dup chain (cos > 0.999), id 4 is same-cluster but angularly
