@@ -86,7 +86,9 @@ object Plans {
       ("x78_incremental_distinct", "HLL distinct maintenance: per-key hll_sketch_agg states union then hll_union_agg key-groupBy — sketch merge combines map-side, so the refresh shuffle carries fixed-size sketch bytes per (partition, key), never raw values",
         "x78_incremental_distinct"),
       ("x79_psi_drift", "PSI drift gate: the only data-scale work is the two-sided histogram pass (bin CASE in codegen, map-side combine, ≤2·nbins rows per task in the shuffle); spine join, totals, and ln all run on the ≤nbins-row bin table",
-        "x79_psi_drift"))
+        "x79_psi_drift"),
+      ("x80_cross_neardup", "cross-corpus near-dup decontamination: corpus band rows probe the BROADCAST benchmark band table (corpus never self-joins, signatures row-local); exact-Jaccard verification joins arrays for band-collision candidates only",
+        "x80_cross_neardup"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")

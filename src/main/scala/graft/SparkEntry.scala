@@ -461,6 +461,21 @@ object SparkEntry {
       graft.operators.Profiling.psiDrift(lens(docs), lens(nextDrop(docs)),
         "len", lo = 0L, hi = 600L, nbins = 12)
     },
+    // NEAR-dup eval decontamination (x41's exact-overlap complement):
+    // the benchmark slice is a re-keyed, half-perturbed copy of docs
+    // 10-24, so every bench doc's corpus source must be caught even
+    // where the ' heldout' edit breaks exact matching. Two-step select
+    // (distinct intermediate name) — the lateral-alias resolution trap
+    "x80_cross_neardup"   -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") >= 10 && col("doc_id") < 25)
+        .select(col("doc_id").as("orig_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 0L,
+            concat(col("text"), lit(" heldout"))).otherwise(col("text")).as("text"))
+        .select((col("orig_id") + lit(9000000L)).as("doc_id"), col("text"))
+      Dedup.crossNearDup(docs.filter(col("doc_id") >= 10), bench,
+        shingleK = 2, numHashes = 16, rowsPerBand = 4, minPermille = 600)
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1138,6 +1153,9 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x80: the x07 full-replay discipline over two tables — signatures,
+    // banding, candidates and verification all re-derived in SQL
+    "x80_cross_neardup" -> crossNearDupOracle,
     // x79: bin rule is x64's exact integer arithmetic; ONE ln per bin
     // over a ratio of exact integer products, p-differences are single
     // IEEE divisions, floor-rounded micronats absorb ulp skew (x51/x77
@@ -1317,6 +1335,55 @@ object SparkEntry {
 
   /** x41 oracle: two prefixed shingle chains (corpus ≥ 20, benchmark
     * < 20) joined on the shingle hash — the exact contamination count. */
+  /** x80 oracle: [[graft.operators.Dedup.crossNearDup]] replayed end
+    * to end — per-side shingles, minhash signatures, band buckets, the
+    * cross candidate join and exact-Jaccard verification (the x07
+    * discipline over TWO tables). The bench CTE rebuilds the planted
+    * slice with a nested subquery (NOT a lateral alias — both engines
+    * resolve same-select alias references differently). */
+  private def crossNearDupOracle: String = {
+    val (numHashes, rowsPerBand, shingleK, minPermille) = (16, 4, 2, 600)
+    val P = graft.operators.Dedup.P31
+    val minsCols = (0 until numHashes).map { i =>
+      val (a, b) = (graft.operators.Dedup.affineA(i), graft.operators.Dedup.affineB(i))
+      s"MIN(($a * (sh % $P) + $b) % $P) AS h$i"
+    }.mkString(", ")
+    val numBands = numHashes / rowsPerBand
+    def bandSelects(mins: String) = (0 until numBands).map { b =>
+      val bucket = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 1000003 + h$i) % $P")
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM $mins"
+    }.mkString(" UNION ALL ")
+    val corpusSrc = "(SELECT * FROM documents WHERE doc_id >= 10)"
+    val benchSrc =
+      """(SELECT orig_id + 9000000 AS doc_id, text FROM (
+         SELECT doc_id AS orig_id,
+           CASE WHEN doc_id % 2 = 0 THEN text || ' heldout' ELSE text END AS text
+         FROM documents WHERE doc_id >= 10 AND doc_id < 25))"""
+    s"""WITH ${shingleCtes(shingleK, corpusSrc, "c")},
+       ${shingleCtes(shingleK, benchSrc, "b")},
+       cmins AS (SELECT doc_id, $minsCols FROM csh GROUP BY doc_id),
+       bmins AS (SELECT doc_id, $minsCols FROM bsh GROUP BY doc_id),
+       cbanded AS (${bandSelects("cmins")}),
+       bbanded AS (${bandSelects("bmins")}),
+       cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+                FROM cbanded c JOIN bbanded b
+                  ON c.band = b.band AND c.bucket = b.bucket),
+       csz AS (SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY doc_id),
+       bsz AS (SELECT doc_id, COUNT(*) AS sz FROM bsh GROUP BY doc_id),
+       cm AS (SELECT c.doc_id, c.bench_id, COUNT(s2.sh) AS common
+              FROM cand c
+              LEFT JOIN csh s1 ON s1.doc_id = c.doc_id
+              LEFT JOIN bsh s2 ON s2.doc_id = c.bench_id AND s2.sh = s1.sh
+              GROUP BY c.doc_id, c.bench_id)
+       SELECT cm.doc_id AS doc_id, cm.bench_id AS bench_id,
+         (cm.common * 1000) // (sa.sz + sb.sz - cm.common) AS jac_permille
+       FROM cm JOIN csz sa ON cm.doc_id = sa.doc_id
+            JOIN bsz sb ON cm.bench_id = sb.doc_id
+       WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= $minPermille
+       ORDER BY doc_id, bench_id, jac_permille"""
+  }
+
   private def contaminationOracle: String =
     s"""WITH ${shingleCtes(3, "(SELECT * FROM documents WHERE doc_id >= 20)", "c")},
        ${shingleCtes(3, "(SELECT * FROM documents WHERE doc_id < 20)", "b")}

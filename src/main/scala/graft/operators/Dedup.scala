@@ -175,6 +175,35 @@ object Dedup {
       .select(col("doc_id"),
         call_function("shingle_hashes", col("toks"), lit(k)).as("shs"))
 
+  /** (doc_id, sz, band, bucket) LSH banding rows over a shingle-array
+    * table — signature bank and banding are ROW-LOCAL (one compiled
+    * `minhash_sigs` pass, zero shuffles); the shared core of
+    * [[minHashLshPairs]] (self-join dedup) and [[crossNearDup]]
+    * (two-corpus decontamination), so the two operators cannot
+    * silently diverge on signature arithmetic.
+    *
+    * Band bucket: rolling polynomial combine of the band's minhashes.
+    * 2³¹−1 bucket space is ample here; collisions only ADD candidates
+    * (verified away by the exact-Jaccard stage), never lose pairs. At
+    * 10^9+ docs widen the bucket to an md5 digest (one-line swap). */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int,
+                               rowsPerBand: Int): DataFrame = {
+    val mins = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
+      call_function("minhash_sigs", col("shs"), lit(numHashes)).as("hs"))
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => element_at(col("hs"), i + 1))
+          .foldLeft(lit(0L): Column)((acc, h) =>
+            pmod(acc * lit(1000003L) + h, lit(P31))).as("bucket"))
+    }
+    mins.select(col("doc_id"), col("sz"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sz"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
   /** Exploded (doc_id, sz, sh) inverted-index rows over the CACHED
     * shingle-array table — the shared core of [[jaccardSweep]],
     * [[containmentPairs]] and [[containmentPairsPrefix]] (the explode
@@ -273,27 +302,11 @@ object Dedup {
     // compiled pass over the array (native MinHashSigs expression; the
     // HOF spelling re-walks the array through the lambda interpreter
     // once per hash).
-    val mins = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
-      call_function("minhash_sigs", col("shs"), lit(numHashes)).as("hs"))
-    val numBands = numHashes / rowsPerBand
-    // band bucket: rolling polynomial combine of the band's minhashes.
-    // 2³¹−1 bucket space is ample here; collisions only ADD candidates
-    // (verified away by the exact-Jaccard stage), never lose pairs. At
-    // 10^9+ docs widen the bucket to an md5 digest (one-line swap).
-    val bandCols = (0 until numBands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-          .map(i => element_at(col("hs"), i + 1))
-          .foldLeft(lit(0L): Column)((acc, h) =>
-            pmod(acc * lit(1000003L) + h, lit(P31))).as("bucket"))
-    }
     // sizes ride along on the banded rows (carried through the
     // candidate join) so verification never re-joins a sizes table —
     // two fewer shuffle stages than the textbook
     // cand⋈sizes(da)⋈sizes(db) shape, same answer.
-    val banded = mins.select(col("doc_id"), col("sz"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedSignatures(sh, numHashes, rowsPerBand)
     val cand = banded.select(col("doc_id").as("da"), col("sz").as("sa"), col("band"), col("bucket"))
       .join(banded.select(col("doc_id").as("db"), col("sz").as("sb"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -559,6 +572,60 @@ object Dedup {
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .orderBy("doc_id", "bench_id", "shared")
+  }
+
+  /** Eval-set decontamination at NEAR-dup level — [[contamination]]'s
+    * exact-overlap complement: corpus documents whose shingle-Jaccard
+    * against ANY benchmark document clears `minPermille`, caught even
+    * when the copy was lightly edited (the case the exact `minShared`
+    * count understates as the edit distance grows). The published
+    * train-test leakage sweeps (GPT-3 appendix C, The Pile) run
+    * exactly this shape: n-gram MinHash of the benchmark against the
+    * crawl.
+    *
+    * Scale design: the corpus side never self-joins and never
+    * shuffles — banded signatures ([[bandedSignatures]], row-local)
+    * probe the BROADCAST benchmark band table (a benchmark is MBs
+    * against the corpus's TBs), and only band-collision candidates
+    * fetch shingle arrays for exact verification, with the benchmark
+    * arrays broadcast too. Candidate mass per corpus doc is bounded by
+    * the S-curve at the benchmark's size, not the corpus's.
+    *
+    * Recall contract: identical S-curve to [[minHashLshPairs]]
+    * (P[collide] = 1−(1−j^r)^b); pairs at permille ≥ ~700 with 4
+    * bands × 4 rows collide with p ≥ .96 — raise `numHashes` for
+    * stricter floors. The oracle replays signatures, banding AND
+    * verification, so the contract is certified plan-for-plan, not
+    * assumed.
+    *
+    * @return (doc_id, bench_id, jac_permille), one row per caught
+    *         (corpus, benchmark) pair, ordered. */
+  def crossNearDup(corpus: DataFrame, bench: DataFrame, shingleK: Int = 2,
+                   numHashes: Int = 16, rowsPerBand: Int = 4,
+                   minPermille: Long = 500): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes >= rowsPerBand &&
+      numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand " +
+        s"($rowsPerBand) — otherwise bands are empty or hashes are discarded")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cSh = registerCache(shingleArrays(corpus, shingleK))
+    val bSh = registerCache(shingleArrays(bench, shingleK))
+    val cBand = bandedSignatures(cSh, numHashes, rowsPerBand)
+    val bBand = bandedSignatures(bSh, numHashes, rowsPerBand)
+      .select(col("doc_id").as("bench_id"), col("sz").as("bsz"),
+        col("band"), col("bucket"))
+    val cand = cBand.join(broadcast(bBand), Seq("band", "bucket"))
+      .select("doc_id", "bench_id", "sz", "bsz").distinct()
+    cand
+      .join(cSh.select(col("doc_id"), col("shs").as("sha")), Seq("doc_id"))
+      .join(broadcast(bSh.select(col("doc_id").as("bench_id"),
+        col("shs").as("shb"))), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("sz"), col("bsz"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("common"))
+      .select(col("doc_id"), col("bench_id"),
+        expr("(common * 1000) div (sz + bsz - common)").as("jac_permille"))
+      .filter(col("jac_permille") >= minPermille)
+      .orderBy("doc_id", "bench_id", "jac_permille")
   }
 
   /** Connected components over an undirected near-dup pair graph

@@ -175,6 +175,41 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.minHashLsh(many, shingleK = 2, minPermille = 900).collect()
     assert(pairs.isEmpty) // no near-dups planted, none found
   }
+  test("crossNearDup catches verbatim and lightly-edited benchmark leaks, skips clean docs") {
+    val leaked = (1 to 30).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      1L -> leaked,                       // verbatim leak -> jaccard 1000
+      2L -> (leaked + " extra trailing"), // edited leak -> still high
+      3L -> (1 to 30).map(i => s"c$i").mkString(" ")) // clean
+      .toDF("doc_id", "text")
+    val bench = Seq(100L -> leaked).toDF("doc_id", "text")
+    val out = Dedup.crossNearDup(corpus, bench, shingleK = 2, minPermille = 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 29 shared 2-shingles; doc 2 has 31 -> J = 29*1000 div 31 = 935
+    assert(out.toSeq === Seq((1L, 100L, 1000L), (2L, 100L, 935L)))
+  }
+
+  test("crossNearDup never pairs corpus docs with each other") {
+    val same = (1 to 20).map(i => s"t$i").mkString(" ")
+    // two identical CORPUS docs but an unrelated benchmark: the only
+    // candidate join is corpus x bench, so the corpus self-pair (1,2)
+    // must not appear
+    val corpus = Seq(1L -> same, 2L -> same).toDF("doc_id", "text")
+    val bench = Seq(50L -> (1 to 20).map(i => s"z$i").mkString(" "))
+      .toDF("doc_id", "text")
+    assert(Dedup.crossNearDup(corpus, bench, shingleK = 2).collect().isEmpty)
+  }
+
+  test("crossNearDup validates band geometry and broadcasts the bench side") {
+    val docs = Seq(1L -> "a b c").toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.crossNearDup(docs, docs, numHashes = 16, rowsPerBand = 5))
+    assert(e.getMessage.contains("multiple"))
+    val plan = Dedup.crossNearDup(docs, docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bench side must broadcast:\n$plan")
+  }
+
   test("containment flags a quote embedded in a larger doc that jaccard misses") {
     val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val host = quote + " " + (1 to 28).map(i => s"w$i").mkString(" ")
