@@ -476,6 +476,14 @@ object SparkEntry {
       Dedup.crossNearDup(docs.filter(col("doc_id") >= 10), bench,
         shingleK = 2, numHashes = 16, rowsPerBand = 4, minPermille = 600)
     },
+    // multilingual epoch mixing at temperature α=0.5 (mT5 rule):
+    // stratum budget ∝ √n_l — tail languages up-weighted vs x44's
+    // fixed shares; sqrt is the ONE correctly-rounded IEEE op both
+    // engines share, everything after is exact integer division
+    "x81_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureMix(Tables.documents(s, d), "lang",
+        "doc_id", alpha = 0.5, budget = 500L)
+        .select("doc_id", "lang").orderBy("doc_id", "lang")),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1153,6 +1161,22 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x81: floor(sqrt(n)·10⁶) is reproducible because IEEE sqrt is
+    // correctly rounded in both engines; quota/rate arithmetic is
+    // integer (HUGEINT here, BigInt in Spark); selection replays the
+    // x35/x44 md5-permille decision bit-for-bit
+    "x81_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+             WHERE lang IS NOT NULL GROUP BY lang),
+         w AS (SELECT lang, n, CAST(FLOOR(sqrt(n) * 1000000) AS BIGINT) AS w FROM c),
+         t AS (SELECT SUM(w) AS tw FROM w),
+         q AS (SELECT lang, n, LEAST(CAST(n AS HUGEINT), (500 * w) // tw) AS quota
+               FROM w CROSS JOIN t),
+         r AS (SELECT lang, (quota * 1000) // n AS rate FROM q)
+         SELECT d.doc_id AS doc_id, d.lang AS lang
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < r.rate
+         ORDER BY d.doc_id, d.lang""",
     // x80: the x07 full-replay discipline over two tables — signatures,
     // banding, candidates and verification all re-derived in SQL
     "x80_cross_neardup" -> crossNearDupOracle,

@@ -86,6 +86,46 @@ object Sampling {
     stratifiedHashSample(df, strataCol, keyCol, rates, defaultPermille = 0L)
   }
 
+  /** Temperature-weighted stratum mixing — the multilingual α-sampling
+    * rule (mT5/XLM-R): stratum l gets budget share ∝ n_l^α, so α = 1
+    * is proportional (head languages dominate), α → 0 approaches
+    * uniform (tail languages up-weighted), and the published default
+    * α ≈ 0.5 sits between. Quotas convert to per-stratum permille
+    * rates and selection is the scan-only deterministic hash filter
+    * ([[stratifiedHashSample]]) — retry/replan-stable, no rank window
+    * (a per-stratum rank would put an entire language through one
+    * task at 100 TB). Realized sizes are binomial around the quota,
+    * the standard trade for a shuffle-free sample; quotas cap at n_l
+    * (sampling is without replacement).
+    *
+    * Cross-engine exactness: weights are floor(n^α·10⁶) — ONE
+    * correctly-rounded IEEE operation when α = 0.5 (sqrt; the reason
+    * the default is spelled via `sqrt`, not `pow`, whose libm is only
+    * 1-ulp-bounded) — then all quota/rate arithmetic is exact integer
+    * division (BigInt here, HUGEINT in the oracle). Strata with a
+    * NULL key are excluded (no identity, no quota). The per-stratum
+    * count collect is |strata|-bounded — same contract as
+    * [[rebalance]]. */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+                     alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(budget > 0, s"budget ($budget) must be positive")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no non-null strata to mix")
+    def wMicro(n: Long): Long =
+      if (alpha == 0.5) math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+      else math.floor(math.pow(n.toDouble, alpha) * 1e6).toLong
+    val w = counts.map { case (s, n) => s -> wMicro(n) }
+    val totW = w.values.map(BigInt(_)).sum
+    val rates = counts.map { case (s, n) =>
+      val quota = (BigInt(budget) * w(s) / totW).min(BigInt(n))
+      s -> (quota * 1000 / n).toLong
+    }
+    stratifiedHashSample(df, strataCol, keyCol, rates, defaultPermille = 0L)
+  }
+
   /** Deterministic train/val/test split assignment: every row gets
     * exactly one split label from cumulative permille thresholds over
     * the SAME md5-keyed uniform as the samplers — disjoint, exhaustive

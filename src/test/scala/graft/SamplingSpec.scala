@@ -63,6 +63,46 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._2 == "train").keySet === sampled)
   }
 
+  test("temperatureMix: alpha=0.5 replays the exact sqrt-weight rate formula") {
+    // 900 a / 100 b, budget 100: w = (30e6, 10e6), quota = (75, 25),
+    // rate = (75*1000 div 900, 25*1000 div 100) = (83, 250)
+    val df = (1L to 1000L).map(i => (i, if (i <= 900) "a" else "b"))
+      .toDF("id", "lang")
+    val out = Sampling.temperatureMix(df, "lang", "id", alpha = 0.5, budget = 100L)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    val expected = df.filter(
+      (col("lang") === "a" && Sampling.hashPermille(col("id")) < 83) ||
+      (col("lang") === "b" && Sampling.hashPermille(col("id")) < 250))
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
+  test("temperatureMix: alpha=1 is proportional; lowering alpha up-weights the tail") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 900) "a" else "b"))
+      .toDF("id", "lang")
+    // alpha=1: w = (900e6, 100e6), quotas (90, 10), rates (100, 100)
+    val prop = Sampling.temperatureMix(df, "lang", "id", alpha = 1.0, budget = 100L)
+      .select("id", "lang").as[(Long, String)].collect()
+    val flat = df.filter(Sampling.hashPermille(col("id")) < 100)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(prop.toSet === flat)
+    // the tail stratum's share strictly grows as alpha drops (rate 250 vs 100)
+    val temp = Sampling.temperatureMix(df, "lang", "id", alpha = 0.5, budget = 100L)
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(temp.count(_._2 == "b") > prop.count(_._2 == "b"))
+  }
+
+  test("temperatureMix: null strata drop; bad parameters fail loudly") {
+    val out = Sampling.temperatureMix(corpus, "lang", "id", alpha = 0.5, budget = 2000L)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(out === Set("en", "fr")) // null-lang docs get no quota
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(corpus, "lang", "id", alpha = 0.0, budget = 10L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(corpus, "lang", "id", alpha = 0.5, budget = 0L))
+  }
+
   test("rebalance hits target proportions from the bottleneck total") {
     // 1200 en / 300 fr / 500 other; target 60/40 en/fr.
     // T = min(1200·1000/600, 300·1000/400) = 750 → keep ≈ 450 en, 300 fr
