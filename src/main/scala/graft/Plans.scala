@@ -88,7 +88,9 @@ object Plans {
       ("x79_psi_drift", "PSI drift gate: the only data-scale work is the two-sided histogram pass (bin CASE in codegen, map-side combine, ≤2·nbins rows per task in the shuffle); spine join, totals, and ln all run on the ≤nbins-row bin table",
         "x79_psi_drift"),
       ("x80_cross_neardup", "cross-corpus near-dup decontamination: corpus band rows probe the BROADCAST benchmark band table (corpus never self-joins, signatures row-local); exact-Jaccard verification joins arrays for band-collision candidates only",
-        "x80_cross_neardup"))
+        "x80_cross_neardup"),
+      ("x82_dsir_weights", "DSIR importance weights: gram→bucket rows row-local (native gram_hashes), both corpora collapse to ≤4096-row bucket tables (map-side combine), the ln-ratio table broadcasts back onto the gram rows, one doc-keyed aggregation — no data-scale×data-scale join",
+        "x82_dsir_weights"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")

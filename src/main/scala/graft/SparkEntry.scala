@@ -484,6 +484,14 @@ object SparkEntry {
       graft.operators.Sampling.temperatureMix(Tables.documents(s, d), "lang",
         "doc_id", alpha = 0.5, budget = 500L)
         .select("doc_id", "lang").orderBy("doc_id", "lang")),
+    // DSIR importance weights toward the long-doc slice (length as the
+    // classic weak-quality proxy): hashed-bigram multinomial
+    // log-likelihood ratio, add-one smoothed over 4096 buckets
+    "x82_dsir_weights"    -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirWeights(docs, docs.filter(col("n_chars") >= 300),
+        gramK = 2, buckets = 4096)
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1161,6 +1169,26 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x82: the gram chain replays gram_hashes (multiplicity kept);
+    // bucket = h % 4096 exact; ONE ln per bucket over exact integer
+    // products; per-doc SUM(ln) absorbed by millinat floor (x77)
+    "x82_dsir_weights" ->
+      s"""WITH ${gramCtes(2, "documents", "r")},
+         ${gramCtes(2, "(SELECT * FROM documents WHERE n_chars >= 300)", "t")},
+         rb AS (SELECT doc_id, h % 4096 AS b FROM rgr),
+         tb AS (SELECT h % 4096 AS b FROM tgr),
+         qc AS (SELECT b, COUNT(*) AS qcnt FROM rb GROUP BY b),
+         tc AS (SELECT b, COUNT(*) AS tcnt FROM tb GROUP BY b),
+         tot AS (SELECT (SELECT SUM(tcnt) FROM tc) AS ttot,
+                 (SELECT SUM(qcnt) FROM qc) AS qtot),
+         lnr AS (SELECT qc.b,
+             ln(((COALESCE(tc.tcnt, 0) + 1) * (tot.qtot + 4096))
+                / ((qc.qcnt + 1) * (tot.ttot + 4096))) AS lnr
+           FROM qc LEFT JOIN tc ON qc.b = tc.b CROSS JOIN tot)
+         SELECT rb.doc_id AS doc_id, COUNT(*) AS n_grams,
+           CAST(FLOOR(SUM(lnr.lnr) * 1000 + 0.5) AS BIGINT) AS logw_millinats
+         FROM rb JOIN lnr ON rb.b = lnr.b
+         GROUP BY rb.doc_id ORDER BY doc_id""",
     // x81: floor(sqrt(n)·10⁶) is reproducible because IEEE sqrt is
     // correctly rounded in both engines; quota/rate arithmetic is
     // integer (HUGEINT here, BigInt in Spark); selection replays the

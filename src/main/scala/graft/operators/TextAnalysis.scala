@@ -500,6 +500,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score every raw document by how much
+    * more likely its hashed n-gram bag is under a TARGET corpus than
+    * under the raw corpus — log w(d) = Σ_grams ln(p̂_target(b)/p̂_raw(b))
+    * over `buckets` hashed gram buckets, add-one smoothed. Docs with
+    * positive log-weight look like the target; resample by weight (or
+    * threshold) to tilt a 100 TB crawl toward a curated distribution
+    * without training a classifier.
+    *
+    * Scale shape: gram→bucket rows are row-local (native `gram_hashes`,
+    * multiplicity kept — the multinomial counts occurrences, not
+    * distincts); each side aggregates to a ≤`buckets`-row count table
+    * (map-side combine), the ln-ratio table broadcasts back, and the
+    * per-doc sum is ONE doc-keyed aggregation. Nothing data-scale
+    * joins anything data-scale.
+    *
+    * Oracle parity: bucket = md5-derived gram hash mod `buckets`
+    * (exact); ln over a single ratio of exact integer products per
+    * bucket ((tcnt+1)·(qtot+B) / (qcnt+1)·(ttot+B)); per-doc float
+    * summation is absorbed by millinat floor-rounding — the x77
+    * discipline. Target buckets unseen in raw contribute no term (no
+    * raw gram maps there); totals are FULL corpus gram counts, so the
+    * smoothing constant is identical in both engines.
+    *
+    * @return (doc_id, n_grams, logw_millinats) for every raw doc with
+    *         ≥ gramK tokens, ordered by doc_id. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, gramK: Int = 2,
+                  buckets: Int = 4096): DataFrame = {
+    require(gramK >= 1, s"gramK ($gramK) must be >= 1")
+    require(buckets >= 2 && buckets <= (1 << 24), s"buckets ($buckets) out of range")
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    val b = lit(buckets.toLong)
+    def gramBuckets(df: DataFrame) =
+      df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= gramK)
+        .select(col("doc_id"),
+          explode(call_function("gram_hashes", col("toks"), lit(gramK))).as("h"))
+        .select(col("doc_id"), pmod(col("h"), b).as("b"))
+    val rawG = gramBuckets(raw)
+    val tgtG = gramBuckets(target)
+    val qc = rawG.groupBy("b").agg(count(lit(1)).as("qcnt"))
+    val tc = tgtG.groupBy("b").agg(count(lit(1)).as("tcnt"))
+    // totals re-derived from the bounded bucket tables (Σ counts ≡
+    // corpus gram counts) — no second pass over the gram rows
+    val tots = tc.agg(sum("tcnt").as("ttot"))
+      .crossJoin(qc.agg(sum("qcnt").as("qtot")))
+    val lnr = qc.join(tc, Seq("b"), "left").na.fill(0L, Seq("tcnt"))
+      .crossJoin(tots)
+      .select(col("b"), log(
+        ((col("tcnt") + lit(1L)) * (col("qtot") + b)).cast("double") /
+        ((col("qcnt") + lit(1L)) * (col("ttot") + b)).cast("double")).as("lnr"))
+    rawG.join(broadcast(lnr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        floor(sum(col("lnr")) * 1000 + 0.5).cast("long").as("logw_millinats"))
+      .orderBy("doc_id")
+  }
+
   /** Pattern redaction — the PII-scrubbing transform every published
     * training corpus runs (emails, URLs, phone numbers → placeholder
     * tokens). Each (name, regex, replacement) rule applies in order

@@ -300,4 +300,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((1L, 1253L)))
     assert(!out.contains(3L), "single-token docs have no bigram evidence")
   }
+
+  test("dsirWeights: target-like docs outrank target-unlike docs") {
+    val liked = "the quick brown fox jumps over the lazy dog"
+    val raw = Seq(1L -> liked,
+      2L -> "zzz yyy xxx www vvv uuu ttt sss rrr",
+      3L -> "solo").toDF("doc_id", "text")
+    val target = Seq(10L -> liked).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 9 tokens -> 8 bigram occurrences each; single-token doc excluded
+    assert(out(1L)._1 === 8L && out(2L)._1 === 8L)
+    assert(!out.contains(3L))
+    // doc 1's bigrams all carry target mass, doc 2's carry none: the
+    // log-likelihood ratio must separate them with a positive gap
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out(1L)._2 > 0L && out(2L)._2 < 0L)
+  }
+
+  test("dsirWeights: deterministic and partition-invariant") {
+    val raw = (1L to 40L).map(i => i -> s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11}")
+      .toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" % 2 === 0)
+    val a = TextAnalysis.dsirWeights(raw, target).collect().toSeq
+    val b = TextAnalysis.dsirWeights(raw.repartition(13), target.repartition(7))
+      .collect().toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException](TextAnalysis.dsirWeights(raw, target, gramK = 0))
+    intercept[IllegalArgumentException](TextAnalysis.dsirWeights(raw, target, buckets = 1))
+  }
 }
