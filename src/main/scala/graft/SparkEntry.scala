@@ -492,6 +492,13 @@ object SparkEntry {
       TextAnalysis.dsirWeights(docs, docs.filter(col("n_chars") >= 300),
         gramK = 2, buckets = 4096)
     },
+    // hard-negative mining (DPR/ANCE): per probe query, top-5 most
+    // cosine-similar vectors with a DIFFERENT label — same broadcast
+    // scoring shape as x09/x13, plus the negatives-only filter
+    "x83_hard_negatives"  -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1169,6 +1176,32 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x83: the x09/x13 double-fold cosine replay with the label filter;
+    // null labels excluded both sides, ties broken by neighbor id
+    "x83_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10 AND label IS NOT NULL),
+         c AS (SELECT vec_id AS neighbor_id, label AS clabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE label IS NOT NULL),
+         s AS (SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(qv, cv), p -> p[1] * p[2])), (a, b) -> a + b) AS d,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(qv, x -> x * x)), (a, b) -> a + b)) *
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS n
+           FROM q, c WHERE qlabel <> clabel),
+         r AS (SELECT query_id, neighbor_id,
+             CASE WHEN n = 0 THEN 0.0 ELSE d / n END AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS cos_permille
+         FROM r WHERE rank <= 5
+         ORDER BY query_id, rank, neighbor_id, cos_permille""",
     // x82: the gram chain replays gram_hashes (multiplicity kept);
     // bucket = h % 4096 exact; ONE ln per bucket over exact integer
     // products; per-doc SUM(ln) absorbed by millinat floor (x77)

@@ -159,6 +159,39 @@ object Similarity {
     topKByScore(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label — the "looks relevant but isn't" examples that
+    * make in-batch negatives worth training on (DPR/ANCE recipe).
+    * Same-label vectors are never candidates (they are positives);
+    * vectors with a NULL label are excluded from BOTH sides — no
+    * identity, no supervision signal.
+    *
+    * Plan shape is [[cosineTopKNative]]'s: the query side broadcasts,
+    * the corpus is scored in place with the native `cosine_f32`
+    * expression and never shuffles; only (query_id, neighbor_id,
+    * score) triples reach the rank window. At training scale the
+    * standard refinement is mining from an ANN pool first
+    * ([[lshTopK]]/[[ivfTopK]]) and exact-rescoring the pool — this
+    * operator IS that rescoring stage when handed a pooled corpus.
+    *
+    * @return (query_id, neighbor_id, rank, cos_permille), rank ≤ k. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("qlabel"))
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("clabel"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qlabel") =!= col("clabel"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("cosine_f32", col("qv"), col("cv")).as("score"))
+    topKByScore(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient for (plane p,
     * dim i) derived from a splitmix64-style integer mix — reproducible
     * across runs and engines, no RNG state. Returns values in [-1, 1). */

@@ -138,4 +138,22 @@ class SimilaritySpec extends SparkSpec {
       s"projection should not shuffle (beyond the presentation sort):\n$plan")
     intercept[IllegalArgumentException] { Similarity.randomProject(df, inDims = 0) }
   }
+
+  test("hardNegatives: same-label positives excluded, negatives ranked by cosine") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), Some(1)),  // query
+      (2L, Seq(0.99f, 0.1f), Some(1)), // same label: excluded despite top cosine
+      (3L, Seq(0.9f, 0.4f), Some(2)),  // negative, cos = .9/.98489 = .9138
+      (4L, Seq(0.0f, 1.0f), Some(2)),  // negative, orthogonal
+      (5L, Seq(0.8f, 0.6f), Some(3)),  // negative, cos = .8
+      (6L, Seq(1.0f, 0.01f), None))    // null label: never a candidate
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df.filter($"vec_id" === 1), df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).toSeq === Seq(3L, 5L))
+    assert(out.map(_._4).toSeq === Seq(914L, 800L))
+    // a null-label query row contributes nothing
+    assert(Similarity.hardNegatives(df.filter($"vec_id" === 6), df, k = 2)
+      .collect().isEmpty)
+  }
 }
