@@ -499,6 +499,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb, k = 5)
     },
+    // fuzzy-exact dedup via C4/Dolma normalization: planted case/punct
+    // variants of docs 0-7 must collapse onto their originals where
+    // md5-exact dedup (x01) keeps them apart
+    "x84_dedup_normalized" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") < 8)
+        .select((col("doc_id") + lit(8000000L)).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text"))
+      Dedup.exactNormalized(docs.select("doc_id", "text").unionByName(planted))
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1176,6 +1186,18 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x84: normalization chain replayed with 'g'-flagged RE2∩Java
+    // patterns (x75 discipline); ASCII lower parity
+    "x84_dedup_normalized" ->
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 8000000 AS doc_id, upper(text) || '!!' AS text
+           FROM documents WHERE doc_id < 8)
+         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM u
+         GROUP BY MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+         ORDER BY keep_id, dup_count""",
     // x83: the x09/x13 double-fold cosine replay with the label filter;
     // null labels excluded both sides, ties broken by neighbor id
     "x83_hard_negatives" ->

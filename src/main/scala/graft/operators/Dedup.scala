@@ -104,6 +104,28 @@ object Dedup {
       .select("keep_id", "dup_count")
       .orderBy("keep_id", "dup_count")
 
+  /** Canonicalizing text normalization for fuzzy-EXACT dedup — the
+    * C4/Dolma preprocessing rule: lowercase, strip everything outside
+    * [a-z0-9 ], collapse space runs, trim. Catches the "same text,
+    * different casing/punctuation/spacing" near-copies that hash-exact
+    * dedup misses and MinHash is overkill for. Patterns are in the
+    * RE2∩Java-common subset (the x75 discipline) so any engine
+    * normalizes identically; ASCII-lowercase semantics (the corpus
+    * convention — locale-sensitive case folding differs per engine). */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** [[exact]] over the [[normalizedText]] canonical form: one
+    * groupBy on a 16-byte digest of the normalized text — the
+    * normalization is a row-local codegen map riding the scan, so the
+    * cost profile is identical to exact dedup (digests shuffle,
+    * bodies never). */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normalizedText(col("text"))).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count")
+      .orderBy("keep_id", "dup_count")
+
   /** Incremental-corpus exact dedup: keep only the rows of a NEW batch
     * whose content fingerprint is absent from the base corpus's
     * fingerprint store — the batch twin of [[graft.streaming

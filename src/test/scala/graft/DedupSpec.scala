@@ -175,6 +175,19 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.minHashLsh(many, shingleK = 2, minPermille = 900).collect()
     assert(pairs.isEmpty) // no near-dups planted, none found
   }
+  test("exactNormalized collapses case/punct/whitespace variants that exact dedup keeps apart") {
+    val docs = Seq(
+      1L -> "Hello, World!",
+      2L -> "hello   world",
+      3L -> "HELLO WORLD.",
+      4L -> "goodbye world").toDF("doc_id", "text")
+    val norm = Dedup.exactNormalized(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(norm === Map(1L -> 3L, 4L -> 1L))
+    // md5-exact dedup sees four distinct texts
+    assert(Dedup.exact(docs).collect().length === 4)
+  }
+
   test("crossNearDup catches verbatim and lightly-edited benchmark leaks, skips clean docs") {
     val leaked = (1 to 30).map(i => s"b$i").mkString(" ")
     val corpus = Seq(
