@@ -509,6 +509,15 @@ object SparkEntry {
           concat(upper(col("text")), lit("!!")).as("text"))
       Dedup.exactNormalized(docs.select("doc_id", "text").unionByName(planted))
     },
+    // quality-aware survivor selection on the x34 cluster graph: keep
+    // the LONGEST member per near-dup cluster (ties -> min id), not
+    // the min id — "which copy survives" as a curation decision
+    "x85_survivor_quality" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.survivorsByScore(
+        Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300),
+        docs.select(col("doc_id"), col("n_chars").as("score")))
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1186,6 +1195,27 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x85: x34's recursive-CTE closure, then the argmax replayed as a
+    // rank window over (n_chars DESC, doc_id)
+    "x85_survivor_quality" ->
+      s"""WITH RECURSIVE $minHashPairsCtes,
+         sym AS (SELECT da AS s, db AS d FROM pairs
+                 UNION SELECT db AS s, da AS d FROM pairs),
+         verts AS (SELECT DISTINCT s AS v FROM sym),
+         reach AS (SELECT v AS a, v AS b FROM verts
+                   UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+         cc AS (SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+                FROM reach GROUP BY a),
+         sc AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+                FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+         r AS (SELECT cluster_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+               FROM sc)
+         SELECT cluster_id, doc_id AS keep_id,
+           CAST(n_members AS BIGINT) AS n_members
+         FROM r WHERE rn = 1 ORDER BY cluster_id, keep_id, n_members""",
     // x84: normalization chain replayed with 'g'-flagged RE2∩Java
     // patterns (x75 discipline); ASCII lower parity
     "x84_dedup_normalized" ->

@@ -104,6 +104,36 @@ object Dedup {
       .select("keep_id", "dup_count")
       .orderBy("keep_id", "dup_count")
 
+  /** Quality-aware survivor selection over dup clusters: close the
+    * near-dup pair graph into components ([[connectedComponents]]) and
+    * keep the member with the HIGHEST score (ties → lowest doc_id) —
+    * the curation refinement of x34's min-id survivors, where "which
+    * copy survives" should be a quality decision (longest, highest
+    * quality gate, freshest), not an id accident.
+    *
+    * `scores` must cover every clustered doc (inner join — an
+    * unscored member would silently change the argmax, so it is
+    * dropped loudly from the cluster instead; validate coverage
+    * upstream). Both windows (argmax rank, member count) share the
+    * cluster_id partitioning — ONE extra shuffle over the bounded
+    * clustered-docs table, and near-dup clusters are tiny by
+    * construction so the windows see no skew.
+    *
+    * @return (cluster_id, keep_id, n_members) per cluster, ordered. */
+  def survivorsByScore(pairs: DataFrame, scores: DataFrame,
+                       scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy("cluster_id")
+    val cc = connectedComponents(pairs)
+    cc.join(scores.select(col("doc_id"), col(scoreCol)), Seq("doc_id"))
+      .withColumn("rn",
+        row_number().over(byCluster.orderBy(col(scoreCol).desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_members"))
+      .orderBy("cluster_id", "keep_id", "n_members")
+  }
+
   /** Canonicalizing text normalization for fuzzy-EXACT dedup — the
     * C4/Dolma preprocessing rule: lowercase, strip everything outside
     * [a-z0-9 ], collapse space runs, trim. Catches the "same text,

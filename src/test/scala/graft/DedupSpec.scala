@@ -175,6 +175,16 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.minHashLsh(many, shingleK = 2, minPermille = 900).collect()
     assert(pairs.isEmpty) // no near-dups planted, none found
   }
+  test("survivorsByScore keeps the highest-scored member per cluster, min id on ties") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val scores = Seq(1L -> 5L, 2L -> 9L, 3L -> 7L, 10L -> 4L, 11L -> 4L)
+      .toDF("doc_id", "score")
+    val out = Dedup.survivorsByScore(pairs, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // chain {1,2,3}: max score 9 -> keep 2 (NOT min-id 1); {10,11}: tie -> 10
+    assert(out.toSeq === Seq((1L, 2L, 3L), (10L, 10L, 2L)))
+  }
+
   test("exactNormalized collapses case/punct/whitespace variants that exact dedup keeps apart") {
     val docs = Seq(
       1L -> "Hello, World!",
