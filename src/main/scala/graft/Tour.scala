@@ -85,6 +85,27 @@ object Tour {
     // trending event types under half-life decay
     println(s"[tour] decayed counts types=${graft.operators.Sessions.decayedCounts(Tables.events(spark, sf)).count()}")
 
+    // drift gate between the corpus and a length-shifted copy
+    val lens = docs.select(length(col("text")).as("len"))
+    val drift = graft.operators.Profiling.psiDrift(lens,
+      lens.select((col("len") + 40L).as("len")), "len", 0L, 600L, 12)
+    println(s"[tour] psi drift bins=${drift.count()}")
+
+    // cross-corpus near-dup decontamination (bench = a tiny self-slice)
+    println(s"[tour] cross near-dups=${Dedup.crossNearDup(docs, docs.filter(col("doc_id") < 5), minPermille = 900).count()}")
+    Dedup.releaseCaches()
+
+    // normalized fuzzy-exact dedup
+    println(s"[tour] normalized-dedup groups=${Dedup.exactNormalized(docs).count()}")
+
+    // temperature mixing + DSIR weights + hard negatives
+    val mix = graft.operators.Sampling.temperatureMix(docs, "lang", "doc_id", 0.5, 200L)
+    println(s"[tour] temperature mix kept=${mix.count()}")
+    val dsir = graft.operators.TextAnalysis.dsirWeights(docs, docs.filter(col("n_chars") >= 300))
+    println(s"[tour] dsir-weighted docs=${dsir.count()}")
+    val hn = Similarity.hardNegatives(emb.filter(col("vec_id") < 3), emb, k = 3)
+    println(s"[tour] hard negatives rows=${hn.count()}")
+
     println("[tour] ok")
     spark.stop()
   }
