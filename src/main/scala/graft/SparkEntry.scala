@@ -1255,8 +1255,10 @@ object SparkEntry {
          FROM r WHERE rank <= 5
          ORDER BY query_id, rank, neighbor_id, cos_permille""",
     // x82: the gram chain replays gram_hashes (multiplicity kept);
-    // bucket = h % 4096 exact; ONE ln per bucket over exact integer
-    // products; per-doc SUM(ln) absorbed by millinat floor (x77)
+    // bucket = h % 4096 exact; ONE ln per bucket, factors cast to
+    // DOUBLE before the multiply (exact below 2^53, same IEEE product
+    // above — and never an ANSI Long overflow on the Spark side);
+    // per-doc SUM(ln) absorbed by millinat floor (x77)
     "x82_dsir_weights" ->
       s"""WITH ${gramCtes(2, "documents", "r")},
          ${gramCtes(2, "(SELECT * FROM documents WHERE n_chars >= 300)", "t")},
@@ -1267,8 +1269,8 @@ object SparkEntry {
          tot AS (SELECT (SELECT SUM(tcnt) FROM tc) AS ttot,
                  (SELECT SUM(qcnt) FROM qc) AS qtot),
          lnr AS (SELECT qc.b,
-             ln(((COALESCE(tc.tcnt, 0) + 1) * (tot.qtot + 4096))
-                / ((qc.qcnt + 1) * (tot.ttot + 4096))) AS lnr
+             ln((CAST(COALESCE(tc.tcnt, 0) + 1 AS DOUBLE) * CAST(tot.qtot + 4096 AS DOUBLE))
+                / (CAST(qc.qcnt + 1 AS DOUBLE) * CAST(tot.ttot + 4096 AS DOUBLE))) AS lnr
            FROM qc LEFT JOIN tc ON qc.b = tc.b CROSS JOIN tot)
          SELECT rb.doc_id AS doc_id, COUNT(*) AS n_grams,
            CAST(FLOOR(SUM(lnr.lnr) * 1000 + 0.5) AS BIGINT) AS logw_millinats
@@ -1277,7 +1279,8 @@ object SparkEntry {
     // x81: floor(sqrt(n)·10⁶) is reproducible because IEEE sqrt is
     // correctly rounded in both engines; quota/rate arithmetic is
     // integer (HUGEINT here, BigInt in Spark); selection replays the
-    // x35/x44 md5-permille decision bit-for-bit
+    // x35/x44 md5 hash decision bit-for-bit at PERMILLION granularity
+    // (permille would floor sub-n/1000 quotas to zero)
     "x81_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
              WHERE lang IS NOT NULL GROUP BY lang),
@@ -1285,10 +1288,10 @@ object SparkEntry {
          t AS (SELECT SUM(w) AS tw FROM w),
          q AS (SELECT lang, n, LEAST(CAST(n AS HUGEINT), (500 * w) // tw) AS quota
                FROM w CROSS JOIN t),
-         r AS (SELECT lang, (quota * 1000) // n AS rate FROM q)
+         r AS (SELECT lang, (quota * 1000000) // n AS rate FROM q)
          SELECT d.doc_id AS doc_id, d.lang AS lang
          FROM documents d JOIN r ON d.lang = r.lang
-         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < r.rate
+         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < r.rate
          ORDER BY d.doc_id, d.lang""",
     // x80: the x07 full-replay discipline over two tables — signatures,
     // banding, candidates and verification all re-derived in SQL
@@ -1480,17 +1483,6 @@ object SparkEntry {
     * resolve same-select alias references differently). */
   private def crossNearDupOracle: String = {
     val (numHashes, rowsPerBand, shingleK, minPermille) = (16, 4, 2, 600)
-    val P = graft.operators.Dedup.P31
-    val minsCols = (0 until numHashes).map { i =>
-      val (a, b) = (graft.operators.Dedup.affineA(i), graft.operators.Dedup.affineB(i))
-      s"MIN(($a * (sh % $P) + $b) % $P) AS h$i"
-    }.mkString(", ")
-    val numBands = numHashes / rowsPerBand
-    def bandSelects(mins: String) = (0 until numBands).map { b =>
-      val bucket = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 1000003 + h$i) % $P")
-      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM $mins"
-    }.mkString(" UNION ALL ")
     val corpusSrc = "(SELECT * FROM documents WHERE doc_id >= 10)"
     val benchSrc =
       """(SELECT orig_id + 9000000 AS doc_id, text FROM (
@@ -1499,10 +1491,10 @@ object SparkEntry {
          FROM documents WHERE doc_id >= 10 AND doc_id < 25))"""
     s"""WITH ${shingleCtes(shingleK, corpusSrc, "c")},
        ${shingleCtes(shingleK, benchSrc, "b")},
-       cmins AS (SELECT doc_id, $minsCols FROM csh GROUP BY doc_id),
-       bmins AS (SELECT doc_id, $minsCols FROM bsh GROUP BY doc_id),
-       cbanded AS (${bandSelects("cmins")}),
-       bbanded AS (${bandSelects("bmins")}),
+       cmins AS (SELECT doc_id, ${minhashSigCols(numHashes)} FROM csh GROUP BY doc_id),
+       bmins AS (SELECT doc_id, ${minhashSigCols(numHashes)} FROM bsh GROUP BY doc_id),
+       cbanded AS (${minhashBandSelects("cmins", numHashes, rowsPerBand)}),
+       bbanded AS (${minhashBandSelects("bmins", numHashes, rowsPerBand)}),
        cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
                 FROM cbanded c JOIN bbanded b
                   ON c.band = b.band AND c.bucket = b.bucket),
@@ -1560,22 +1552,36 @@ object SparkEntry {
   /** CTE chain ending in `pairs(da, db, jac_permille)` — shared by the
     * x07 pair oracle and the x34 cluster oracle (which closes the pair
     * graph with a recursive CTE). */
-  private def minHashPairsCtes: String = {
-    val (numHashes, rowsPerBand, shingleK, minPermille) = (16, 4, 2, 300)
+  /** The seeded-minhash signature column list — ONE spelling of the
+    * universal-hash-family arithmetic shared by every oracle that
+    * replays [[graft.operators.Dedup.bandedSignatures]] (the x07
+    * family of self-join oracles and the x80 cross oracle); a banding
+    * change must hit all of them or none. */
+  private def minhashSigCols(numHashes: Int): String = {
     val P = graft.operators.Dedup.P31
-    val minsCols = (0 until numHashes).map { i =>
+    (0 until numHashes).map { i =>
       val (a, b) = (graft.operators.Dedup.affineA(i), graft.operators.Dedup.affineB(i))
       s"MIN(($a * (sh % $P) + $b) % $P) AS h$i"
     }.mkString(", ")
-    val numBands = numHashes / rowsPerBand
-    val bandSelects = (0 until numBands).map { b =>
+  }
+
+  /** Banded rolling-polynomial bucket selects over a `mins` CTE —
+    * [[minhashSigCols]]'s second half, same sharing contract. */
+  private def minhashBandSelects(mins: String, numHashes: Int,
+                                 rowsPerBand: Int): String = {
+    val P = graft.operators.Dedup.P31
+    (0 until numHashes / rowsPerBand).map { b =>
       val bucket = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 1000003 + h$i) % $P")
-      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM mins"
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM $mins"
     }.mkString(" UNION ALL ")
+  }
+
+  private def minHashPairsCtes: String = {
+    val (numHashes, rowsPerBand, shingleK, minPermille) = (16, 4, 2, 300)
     s"""${shingleCtes(shingleK)},
-       mins AS (SELECT doc_id, $minsCols FROM sh GROUP BY doc_id),
-       banded AS ($bandSelects),
+       mins AS (SELECT doc_id, ${minhashSigCols(numHashes)} FROM sh GROUP BY doc_id),
+       banded AS (${minhashBandSelects("mins", numHashes, rowsPerBand)}),
        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                 FROM banded a JOIN banded b
                   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),

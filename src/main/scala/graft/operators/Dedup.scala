@@ -111,10 +111,12 @@ object Dedup {
     * copy survives" should be a quality decision (longest, highest
     * quality gate, freshest), not an id accident.
     *
-    * `scores` must cover every clustered doc (inner join — an
-    * unscored member would silently change the argmax, so it is
-    * dropped loudly from the cluster instead; validate coverage
-    * upstream). Both windows (argmax rank, member count) share the
+    * `scores` must cover every clustered doc: the inner join drops
+    * unscored members SILENTLY — the argmax and n_members then
+    * reflect only the scored membership — so validate coverage
+    * upstream (score tables derived from the same corpus scan, e.g.
+    * n_chars or the x43 gate, cover by construction).
+    * Both windows (argmax rank, member count) share the
     * cluster_id partitioning — ONE extra shuffle over the bounded
     * clustered-docs table, and near-dup clusters are tiny by
     * construction so the windows see no skew.
@@ -145,16 +147,12 @@ object Dedup {
   def normalizedText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** [[exact]] over the [[normalizedText]] canonical form: one
-    * groupBy on a 16-byte digest of the normalized text — the
+  /** [[exact]] over the [[normalizedText]] canonical form: the
     * normalization is a row-local codegen map riding the scan, so the
     * cost profile is identical to exact dedup (digests shuffle,
     * bodies never). */
   def exactNormalized(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(normalizedText(col("text"))).as("fp"))
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
-      .select("keep_id", "dup_count")
-      .orderBy("keep_id", "dup_count")
+    exact(docs.withColumn("text", normalizedText(col("text"))))
 
   /** Incremental-corpus exact dedup: keep only the rows of a NEW batch
     * whose content fingerprint is absent from the base corpus's
@@ -643,12 +641,15 @@ object Dedup {
     * arrays broadcast too. Candidate mass per corpus doc is bounded by
     * the S-curve at the benchmark's size, not the corpus's.
     *
-    * Recall contract: identical S-curve to [[minHashLshPairs]]
-    * (P[collide] = 1−(1−j^r)^b); pairs at permille ≥ ~700 with 4
-    * bands × 4 rows collide with p ≥ .96 — raise `numHashes` for
-    * stricter floors. The oracle replays signatures, banding AND
-    * verification, so the contract is certified plan-for-plan, not
-    * assumed.
+    * Recall contract: identical S-curve to [[minHashLshPairs]],
+    * P[collide] = 1−(1−j^r)^b. At the default 4 bands × 4 rows that
+    * is ≈ .998 at j = 900‰, ≈ .96 at j = 860‰, but only ≈ .67 at
+    * j = 700‰ — moderate thresholds NEED more bands (numHashes 64 at
+    * rowsPerBand 4 lifts j = 700‰ to ≈ .999⁺; decontamination sweeps
+    * typically run high-band configs precisely because a missed leak
+    * is worse than extra verification work). The oracle replays
+    * signatures, banding AND verification, so the contract is
+    * certified plan-for-plan, not assumed.
     *
     * @return (doc_id, bench_id, jac_permille), one row per caught
     *         (corpus, benchmark) pair, ordered. */

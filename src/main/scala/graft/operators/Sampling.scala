@@ -90,13 +90,19 @@ object Sampling {
     * rule (mT5/XLM-R): stratum l gets budget share ∝ n_l^α, so α = 1
     * is proportional (head languages dominate), α → 0 approaches
     * uniform (tail languages up-weighted), and the published default
-    * α ≈ 0.5 sits between. Quotas convert to per-stratum permille
-    * rates and selection is the scan-only deterministic hash filter
-    * ([[stratifiedHashSample]]) — retry/replan-stable, no rank window
-    * (a per-stratum rank would put an entire language through one
-    * task at 100 TB). Realized sizes are binomial around the quota,
-    * the standard trade for a shuffle-free sample; quotas cap at n_l
-    * (sampling is without replacement).
+    * α ≈ 0.5 sits between. Quotas convert to per-stratum PERMILLION
+    * (10⁻⁶) rates — granularity matters: at permille, any stratum
+    * with quota < n/1000 (a 500-doc budget over a 10⁶-doc language)
+    * floors to rate 0 and silently contributes nothing — and
+    * selection is the same scan-only deterministic md5 hash filter as
+    * [[stratifiedHashSample]], just on the finer modulus:
+    * retry/replan-stable, no rank window (a per-stratum rank would
+    * put an entire language through one task at 100 TB). Realized
+    * sizes are binomial around the quota, the standard trade for a
+    * shuffle-free sample; quotas cap at n_l (sampling is without
+    * replacement), and strata with quota < n/10⁶ still floor to
+    * zero — at that point the budget is below one row per million
+    * and the caller should raise it.
     *
     * Cross-engine exactness: weights are floor(n^α·10⁶) — ONE
     * correctly-rounded IEEE operation when α = 0.5 (sqrt; the reason
@@ -121,9 +127,12 @@ object Sampling {
     val totW = w.values.map(BigInt(_)).sum
     val rates = counts.map { case (s, n) =>
       val quota = (BigInt(budget) * w(s) / totW).min(BigInt(n))
-      s -> (quota * 1000 / n).toLong
+      s -> (quota * 1000000 / n).toLong
     }
-    stratifiedHashSample(df, strataCol, keyCol, rates, defaultPermille = 0L)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
+      case (acc, (stratum, r)) => when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(hashMod(col(keyCol), 1000000L) < rate)
   }
 
   /** Deterministic train/val/test split assignment: every row gets

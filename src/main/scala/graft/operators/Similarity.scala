@@ -179,6 +179,7 @@ object Similarity {
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.filter(col(labelCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col(labelCol).as("qlabel"))

@@ -517,12 +517,19 @@ object TextAnalysis {
     * joins anything data-scale.
     *
     * Oracle parity: bucket = md5-derived gram hash mod `buckets`
-    * (exact); ln over a single ratio of exact integer products per
-    * bucket ((tcnt+1)·(qtot+B) / (qcnt+1)·(ttot+B)); per-doc float
-    * summation is absorbed by millinat floor-rounding — the x77
-    * discipline. Target buckets unseen in raw contribute no term (no
-    * raw gram maps there); totals are FULL corpus gram counts, so the
-    * smoothing constant is identical in both engines.
+    * (exact); ln over a single ratio per bucket,
+    * (tcnt+1)·(qtot+B) / (qcnt+1)·(ttot+B), with each FACTOR cast to
+    * double before the multiply — below 2⁵³ grams the products are
+    * bit-identical to exact integer arithmetic, above it both engines
+    * perform the same IEEE multiply (a Long product would overflow
+    * ANSI arithmetic at ~10¹⁹, i.e. a few hundred GB of text per
+    * side); per-doc float summation is absorbed by millinat
+    * floor-rounding — the x77 discipline. Target buckets unseen in
+    * raw contribute no term (no raw gram maps there); totals are FULL
+    * corpus gram counts, so the smoothing constant is identical in
+    * both engines. An EMPTY target (or raw) corpus is a configuration
+    * error and fails loudly rather than emitting a uniform-prior
+    * tilt nobody asked for.
     *
     * @return (doc_id, n_grams, logw_millinats) for every raw doc with
     *         ≥ gramK tokens, ordered by doc_id. */
@@ -530,6 +537,8 @@ object TextAnalysis {
                   buckets: Int = 4096): DataFrame = {
     require(gramK >= 1, s"gramK ($gramK) must be >= 1")
     require(buckets >= 2 && buckets <= (1 << 24), s"buckets ($buckets) out of range")
+    require(!target.isEmpty, "dsirWeights: target corpus is empty — the " +
+      "importance ratio is undefined (every weight would be a NULL/uniform tilt)")
     graft.functions.GraftFunctions.register(raw.sparkSession)
     val b = lit(buckets.toLong)
     def gramBuckets(df: DataFrame) =
@@ -546,11 +555,14 @@ object TextAnalysis {
     // corpus gram counts) — no second pass over the gram rows
     val tots = tc.agg(sum("tcnt").as("ttot"))
       .crossJoin(qc.agg(sum("qcnt").as("qtot")))
+    // factors cast to double BEFORE the multiply: exact below 2^53,
+    // same IEEE product in every engine above it, and never an ANSI
+    // Long overflow (tcnt·qtot crosses 2^63 at ~hundreds of GB of text)
     val lnr = qc.join(tc, Seq("b"), "left").na.fill(0L, Seq("tcnt"))
       .crossJoin(tots)
       .select(col("b"), log(
-        ((col("tcnt") + lit(1L)) * (col("qtot") + b)).cast("double") /
-        ((col("qcnt") + lit(1L)) * (col("ttot") + b)).cast("double")).as("lnr"))
+        ((col("tcnt") + lit(1L)).cast("double") * (col("qtot") + b).cast("double")) /
+        ((col("qcnt") + lit(1L)).cast("double") * (col("ttot") + b).cast("double"))).as("lnr"))
     rawG.join(broadcast(lnr), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),

@@ -65,14 +65,14 @@ class SamplingSpec extends SparkSpec {
 
   test("temperatureMix: alpha=0.5 replays the exact sqrt-weight rate formula") {
     // 900 a / 100 b, budget 100: w = (30e6, 10e6), quota = (75, 25),
-    // rate = (75*1000 div 900, 25*1000 div 100) = (83, 250)
+    // rate = (75e6 div 900, 25e6 div 100) = (83333, 250000) permillion
     val df = (1L to 1000L).map(i => (i, if (i <= 900) "a" else "b"))
       .toDF("id", "lang")
     val out = Sampling.temperatureMix(df, "lang", "id", alpha = 0.5, budget = 100L)
       .select("id", "lang").as[(Long, String)].collect().toSet
     val expected = df.filter(
-      (col("lang") === "a" && Sampling.hashPermille(col("id")) < 83) ||
-      (col("lang") === "b" && Sampling.hashPermille(col("id")) < 250))
+      (col("lang") === "a" && Sampling.hashMod(col("id"), 1000000L) < 83333) ||
+      (col("lang") === "b" && Sampling.hashMod(col("id"), 1000000L) < 250000))
       .select("id", "lang").as[(Long, String)].collect().toSet
     assert(out === expected)
     assert(out.nonEmpty)
@@ -81,16 +81,27 @@ class SamplingSpec extends SparkSpec {
   test("temperatureMix: alpha=1 is proportional; lowering alpha up-weights the tail") {
     val df = (1L to 1000L).map(i => (i, if (i <= 900) "a" else "b"))
       .toDF("id", "lang")
-    // alpha=1: w = (900e6, 100e6), quotas (90, 10), rates (100, 100)
+    // alpha=1: w = (900e6, 100e6), quotas (90, 10), rates (100000, 100000)
     val prop = Sampling.temperatureMix(df, "lang", "id", alpha = 1.0, budget = 100L)
       .select("id", "lang").as[(Long, String)].collect()
-    val flat = df.filter(Sampling.hashPermille(col("id")) < 100)
+    val flat = df.filter(Sampling.hashMod(col("id"), 1000000L) < 100000)
       .select("id", "lang").as[(Long, String)].collect().toSet
     assert(prop.toSet === flat)
-    // the tail stratum's share strictly grows as alpha drops (rate 250 vs 100)
+    // the tail stratum's share strictly grows as alpha drops
+    // (rate 250000 vs 100000 permillion)
     val temp = Sampling.temperatureMix(df, "lang", "id", alpha = 0.5, budget = 100L)
       .select("id", "lang").as[(Long, String)].collect()
     assert(temp.count(_._2 == "b") > prop.count(_._2 == "b"))
+  }
+
+  test("temperatureMix: a small budget over a large stratum still yields a nonzero rate") {
+    // quota 50 over n=100k floors to 0 at permille granularity but to
+    // 500 permillion here — the sample must be non-empty and ≈ 50
+    val df = (1L to 100000L).map(i => (i, "a")).toDF("id", "lang")
+    val out = Sampling.temperatureMix(df, "lang", "id", alpha = 0.5, budget = 50L)
+      .select("id").as[Long].collect()
+    assert(out.nonEmpty, "permille flooring would have dropped the whole stratum")
+    assert(out.length < 200, s"got ${out.length}, expected ≈50")
   }
 
   test("temperatureMix: null strata drop; bad parameters fail loudly") {
