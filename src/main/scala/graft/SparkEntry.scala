@@ -518,6 +518,10 @@ object SparkEntry {
         Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300),
         docs.select(col("doc_id"), col("n_chars").as("score")))
     },
+    // per-language token census: top-10 tokens per lang — the
+    // per-stratum boilerplate/stopword view a global census drowns
+    "x86_group_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHittersByGroup(Tables.documents(s, d), "lang", m = 10)),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1195,6 +1199,15 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x86: integer counts + deterministic (n DESC, tok) rank replay
+    "x86_group_heavy_hitters" ->
+      """WITH t AS (SELECT lang AS grp, UNNEST(string_split(text, ' ')) AS tok
+           FROM documents WHERE lang IS NOT NULL),
+         c AS (SELECT grp, tok, COUNT(*) AS n FROM t GROUP BY grp, tok),
+         r AS (SELECT grp, tok, n, ROW_NUMBER() OVER (PARTITION BY grp
+                 ORDER BY n DESC, tok) AS rank FROM c)
+         SELECT grp, tok, n, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY grp, rank, tok, n""",
     // x85: x34's recursive-CTE closure, then the argmax replayed as a
     // rank window over (n_chars DESC, doc_id)
     "x85_survivor_quality" ->

@@ -351,6 +351,34 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
       .orderBy("tok", "n")
 
+  /** Per-GROUP heavy hitters: the top-m most frequent tokens within
+    * each group (language, source, time bucket) — the per-stratum
+    * boilerplate/stopword census a mixed corpus needs, where a global
+    * census ([[heavyHitters]]) drowns every minority language under
+    * the majority's tokens.
+    *
+    * One (group, token) aggregation with map-side combine, then the
+    * rank window runs over the VOCABULARY-BOUNDED counts table
+    * partitioned by group — never over raw occurrences, so the skew
+    * ceiling is a group's distinct-token count, not its corpus share.
+    * Ties break by token text (deterministic, engine-portable).
+    *
+    * @return (group, tok, n, rank), rank ≤ m per group, ordered. */
+  def heavyHittersByGroup(docs: DataFrame, groupCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"m ($m) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol).as("grp"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp", "tok").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("grp").orderBy(col("n").desc, col("tok"))))
+      .filter(col("rank") <= m)
+      .select(col("grp"), col("tok"), col("n"), col("rank").cast("long").as("rank"))
+      .orderBy("grp", "rank", "tok", "n")
+  }
+
   /** Sketch heavy hitters — the at-scale path when even the distinct
     * vocabulary is too large to shuffle (≫10⁹ tokens: web-scale
     * n-grams, URLs, user ids).

@@ -301,6 +301,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(3L), "single-token docs have no bigram evidence")
   }
 
+  test("heavyHittersByGroup: per-group top-m with deterministic tie-break, null groups drop") {
+    val docs = Seq(
+      (1L, "en", "a a a b b c"),
+      (2L, "en", "b c"),
+      (3L, "fr", "x y y"),
+      (4L, null.asInstanceOf[String], "z z z z")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.heavyHittersByGroup(docs, "lang", m = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // en counts: a=3, b=3, c=2 -> tie a/b broken by token text
+    assert(out.toSeq === Seq(
+      ("en", "a", 3L, 1L), ("en", "b", 3L, 2L),
+      ("fr", "y", 2L, 1L), ("fr", "x", 1L, 2L)))
+    intercept[IllegalArgumentException](TextAnalysis.heavyHittersByGroup(docs, "lang", 0))
+  }
+
   test("dsirWeights: target-like docs outrank target-unlike docs") {
     val liked = "the quick brown fox jumps over the lazy dog"
     val raw = Seq(1L -> liked,
