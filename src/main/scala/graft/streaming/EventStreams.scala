@@ -41,6 +41,58 @@ object EventStreams {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming PSI drift gate — the per-window form of
+    * [[graft.operators.Profiling.psiDrift]]: each tumbling window's
+    * value distribution is binned with the same clamped integer rule
+    * and scored against a STATIC reference histogram (counts per bin,
+    * e.g. from a batch [[graft.operators.Profiling.histogram]] over
+    * the training corpus), add-one smoothed on both sides. Emits one
+    * row per closed window; alert on psi_micronats > 100000 (the 0.1
+    * rule of thumb) to catch an upstream schema/behavior change while
+    * the data is still in flight rather than at the next batch audit.
+    *
+    * ONE streaming aggregation: the histogram is |bins| conditional
+    * counts inside a single windowed agg (no chained stateful
+    * operators, no second shuffle), and the PSI projection is
+    * row-local arithmetic over that one row with the reference baked
+    * in as plan literals. State per window = |bins| longs.
+    *
+    * @param reference counts per bin, length = nbins (values ≥ 0,
+    *                  sum > 0); bins follow [lo, hi) clamped. */
+  def psiDriftStream(events: DataFrame, valueCol: String,
+                     lo: Long, hi: Long, reference: Seq[Long],
+                     windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame = {
+    val nbins = reference.size
+    require(nbins >= 1 && nbins <= 1024, s"reference has $nbins bins (1..1024)")
+    require(hi > lo, s"hi ($hi) must be > lo ($lo)")
+    require(reference.forall(_ >= 0) && reference.sum > 0,
+      "reference histogram must be non-negative with positive mass")
+    val bin = least(greatest(
+      expr(s"(CAST($valueCol AS BIGINT) - ${lo}L) * ${nbins}L div ${hi - lo}L"),
+      lit(0L)), lit(nbins - 1L))
+    val binCounts = (0 until nbins).map(i =>
+      sum(when(bin === i.toLong, 1L).otherwise(0L)).as(s"c$i"))
+    val agg = events.withWatermark("ts", watermark)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(binCounts.head, binCounts.tail: _*)
+    val k = lit(nbins.toLong)
+    val n = (0 until nbins).map(i => col(s"c$i")).reduce(_ + _)
+    val refTot = reference.sum
+    val psi = (0 until nbins).map { i =>
+      val p = lit((reference(i) + 1.0) / (refTot + nbins))
+      val q = (col(s"c$i") + lit(1L)) / (n + k)
+      (p - q) * log(
+        (lit((reference(i) + 1).toDouble) * (n + k).cast("double")) /
+        ((col(s"c$i") + lit(1L)).cast("double") * lit((refTot + nbins).toDouble)))
+    }.reduce(_ + _)
+    agg.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      n.as("n_events"),
+      floor(psi * lit(1e6) + lit(0.5)).cast("long").as("psi_micronats"))
+  }
+
   /** Stream-stream event-time INTERVAL join (e.g. impressions ⋈
     * clicks): equi key + a bounded time range, the canonical
     * streaming-join shape. The interval condition is what lets BOTH

@@ -47,6 +47,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 01:00:00", "view", 1L)))
   }
 
+  test("psiDriftStream: matching window scores zero, shifted window alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val drifted = EventStreams.psiDriftStream(input.toDF(), "value",
+      lo = 0L, hi = 100L, reference = Seq(2L, 2L, 2L, 2L),
+      windowLen = "1 hour", watermark = "10 minutes")
+    runBatches(input, "psidrift", drifted, OutputMode.Append(), Seq(
+      Seq( // hour 0 mirrors the uniform reference; hour 1 is all-bin-0
+        Ev(1, ts("2024-01-01 00:01:00"), 1, "a", 5.0),
+        Ev(2, ts("2024-01-01 00:02:00"), 1, "a", 30.0),
+        Ev(3, ts("2024-01-01 00:03:00"), 1, "a", 55.0),
+        Ev(4, ts("2024-01-01 00:04:00"), 1, "a", 80.0),
+        Ev(5, ts("2024-01-01 01:01:00"), 1, "a", 5.0),
+        Ev(6, ts("2024-01-01 01:02:00"), 1, "a", 5.0),
+        Ev(7, ts("2024-01-01 01:03:00"), 1, "a", 5.0),
+        Ev(8, ts("2024-01-01 01:04:00"), 1, "a", 5.0)),
+      Seq(Ev(9, ts("2024-01-01 05:00:00"), 1, "a", 50.0)))) // closes both
+    val m = spark.table("psidrift")
+      .select(col("window_start").cast("string"), col("n_events"), col("psi_micronats"))
+      .as[(String, Long, Long)].collect().map { case (s, n, p) => s -> ((n, p)) }.toMap
+    // matched distribution: p_i = q_i = 1/4 exactly -> every term 0
+    assert(m("2024-01-01 00:00:00") === ((4L, 0L)))
+    // all-bin-0 window: replay the operator's formula naively
+    val (ref, c, n, k, refTot) = (Seq(2L, 2L, 2L, 2L), Seq(4L, 0L, 0L, 0L), 4L, 4, 8L)
+    val exp = (0 until 4).map { i =>
+      val p = (ref(i) + 1.0) / (refTot + k)
+      val q = (c(i) + 1.0) / (n + k)
+      (p - q) * math.log(((ref(i) + 1).toDouble * (n + k)) /
+        ((c(i) + 1).toDouble * (refTot + k)))
+    }.sum
+    assert(m("2024-01-01 01:00:00") === ((4L, math.floor(exp * 1e6 + 0.5).toLong)))
+    assert(m("2024-01-01 01:00:00")._2 > 100000L, "the 0.1 alert threshold must fire")
+    intercept[IllegalArgumentException](EventStreams.psiDriftStream(
+      input.toDF(), "value", 0L, 100L, Seq.empty))
+  }
+
   test("dropDuplicatesWithinWatermark dedups by event_id (streaming R18)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
