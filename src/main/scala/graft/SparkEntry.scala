@@ -522,6 +522,10 @@ object SparkEntry {
     // per-stratum boilerplate/stopword view a global census drowns
     "x86_group_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHittersByGroup(Tables.documents(s, d), "lang", m = 10)),
+    // tokenizer fertility per language: chars/kilotoken decides token
+    // budgets (α-sampling over raw doc counts misbudgets without it)
+    "x87_fertility"       -> ((s, d) =>
+      TextAnalysis.fertilityStats(Tables.documents(s, d), "lang")),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1199,6 +1203,17 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x87: x03's LENGTH-difference token identity summed per lang;
+    // pure integer division
+    "x87_fertility" ->
+      """SELECT lang AS grp, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+           CAST((SUM(LENGTH(text)) * 1000)
+             // SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT)
+             AS chars_per_kilotoken
+         FROM documents WHERE lang IS NOT NULL
+         GROUP BY lang ORDER BY grp""",
     // x86: integer counts + deterministic (n DESC, tok) rank replay
     "x86_group_heavy_hitters" ->
       """WITH t AS (SELECT lang AS grp, UNNEST(string_split(text, ' ')) AS tok

@@ -351,6 +351,30 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
       .orderBy("tok", "n")
 
+  /** Per-group tokenizer-fertility stats: docs, whitespace tokens,
+    * characters, and chars-per-kilotoken for each group (language,
+    * source) — the compression-ratio table that decides per-language
+    * token budgets (a language at 9 chars/token buys ~3× fewer
+    * documents per token than one at 3; α-sampling over RAW doc
+    * counts silently misbudgets without it).
+    *
+    * One aggregation pass, all counts integer-exact: tokens via the
+    * LENGTH-difference identity (no token array materialized), chars
+    * via length(). Groups with a NULL key are excluded. The ratio is
+    * integer permille-of-a-token arithmetic — engine-exact.
+    *
+    * @return (grp, n_docs, n_tokens, n_chars, chars_per_kilotoken),
+    *         ordered by grp. */
+  def fertilityStats(docs: DataFrame, groupCol: String): DataFrame =
+    docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountCol(col("text")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("(n_chars * 1000) div n_tokens").as("chars_per_kilotoken"))
+      .orderBy("grp")
+
   /** Per-GROUP heavy hitters: the top-m most frequent tokens within
     * each group (language, source, time bucket) — the per-stratum
     * boilerplate/stopword census a mixed corpus needs, where a global

@@ -301,6 +301,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(3L), "single-token docs have no bigram evidence")
   }
 
+  test("fertilityStats: exact per-group token/char totals and ratio") {
+    val docs = Seq(
+      (1L, "en", "ab cd"),        // 2 tokens, 5 chars
+      (2L, "en", "a b c"),        // 3 tokens, 5 chars
+      (3L, "zh", "abcdefgh ij"),  // 2 tokens, 11 chars
+      (4L, null.asInstanceOf[String], "zz")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.fertilityStats(docs, "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "en" -> ((2L, 5L, 10L, 2000L)),   // 10 chars / 5 tokens = 2000 per kilotoken
+      "zh" -> ((1L, 2L, 11L, 5500L))))  // 11 / 2 = 5500
+  }
+
   test("heavyHittersByGroup: per-group top-m with deterministic tie-break, null groups drop") {
     val docs = Seq(
       (1L, "en", "a a a b b c"),
