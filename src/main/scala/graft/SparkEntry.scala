@@ -526,6 +526,39 @@ object SparkEntry {
     // budgets (α-sampling over raw doc counts misbudgets without it)
     "x87_fertility"       -> ((s, d) =>
       TextAnalysis.fertilityStats(Tables.documents(s, d), "lang")),
+    // mix-design review table: per-lang token shares, √-tempered token
+    // quotas out of a 500k budget, and the effective-epoch pressure
+    // each quota implies (epochs > 1000 milli = data repeats)
+    "x88_mixture_report"  -> ((s, d) =>
+      graft.operators.Sampling.mixtureReport(Tables.documents(s, d), "lang",
+        alpha = 0.5, budgetTokens = 500000L)),
+    // dedup report: the cluster-size distribution of the x07 pair
+    // graph, unpaired corpus remainder reported as size-1 clusters
+    "x89_cluster_sizes"   -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterSizeHistogram(docs,
+        Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300))
+    }),
+    // provenance view of the same pair graph: which (source, source)
+    // cells the verified near-dups straddle
+    "x90_source_overlap"  -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.sourceOverlapMatrix(
+        Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300), docs)
+    }),
+    // tokenizer-vocab sizing curve: top-25 tokens with cumulative
+    // corpus coverage permille
+    "x91_vocab_coverage"  -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), m = 25)),
+    // per-language dynamic quality bar: keep each language's top
+    // quartile by length — the group-aware form of a global cutoff
+    "x92_top_quantile"    -> ((s, d) =>
+      graft.operators.Sampling.topQuantileByGroup(Tables.documents(s, d),
+        "lang", "n_chars", "doc_id", keepPermille = 250L)),
+    // per-dimension z-scoring of the embedding table (milli-rounded
+    // CSV, the x53 output discipline)
+    "x93_standardize"     -> ((s, d) =>
+      Similarity.standardizeDims(Tables.embeddings(s, d))),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1203,6 +1236,96 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_raw,
            CAST(SUM(wt) AS BIGINT) AS decayed_micro
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // x88: token totals via the x03 identity; sqrt weights (x81 rule);
+    // HUGEINT quota/share/epoch arithmetic mirrors Spark's DECIMAL(38,0)
+    "x88_mixture_report" ->
+      """WITH c AS (SELECT lang AS grp, COUNT(*) AS n_docs,
+             CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens
+           FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+         w AS (SELECT grp, n_docs, n_tokens,
+             CAST(FLOOR(sqrt(n_tokens) * 1000000) AS BIGINT) AS w FROM c),
+         t AS (SELECT CAST(SUM(n_tokens) AS HUGEINT) AS tot_tokens,
+             CAST(SUM(w) AS HUGEINT) AS tot_w FROM w),
+         q AS (SELECT grp, n_docs, n_tokens,
+             CAST((CAST(n_tokens AS HUGEINT) * 1000) // tot_tokens AS BIGINT) AS share_permille,
+             CAST((CAST(500000 AS HUGEINT) * w) // tot_w AS BIGINT) AS quota_tokens
+           FROM w CROSS JOIN t)
+         SELECT grp, n_docs, n_tokens, share_permille, quota_tokens,
+           CAST((CAST(quota_tokens AS HUGEINT) * 1000) // n_tokens AS BIGINT) AS epochs_milli
+         FROM q ORDER BY grp""",
+    // x89: the x34 recursive-CTE closure, then pure integer histogram
+    // arithmetic; the singleton row replays Spark's two-scalar
+    // complement exactly
+    "x89_cluster_sizes" ->
+      s"""WITH RECURSIVE $minHashPairsCtes,
+         sym AS (SELECT da AS s, db AS d FROM pairs
+                 UNION SELECT db AS s, da AS d FROM pairs),
+         verts AS (SELECT DISTINCT s AS v FROM sym),
+         reach AS (SELECT v AS a, v AS b FROM verts
+                   UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+         lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+         multi AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM csizes GROUP BY cluster_size),
+         tot AS (SELECT COUNT(doc_id) AS n FROM documents),
+         labn AS (SELECT COUNT(*) AS n FROM lab)
+         SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters FROM (
+           SELECT cluster_size, n_clusters FROM multi
+           UNION ALL
+           SELECT 1, tot.n - labn.n FROM tot CROSS JOIN labn WHERE tot.n > labn.n)
+         ORDER BY cluster_size""",
+    // x90: the x07 pair CTEs joined to each endpoint's source, then
+    // the unordered (LEAST, GREATEST) cell count
+    "x90_source_overlap" ->
+      s"""WITH $minHashPairsCtes,
+         ga AS (SELECT p.da, p.db, d.source AS sa
+                FROM pairs p JOIN documents d ON p.da = d.doc_id),
+         gb AS (SELECT g.da, g.db, g.sa, d.source AS sb
+                FROM ga g JOIN documents d ON g.db = d.doc_id)
+         SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM gb GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // x91: integer counts, ROW_NUMBER + running sum over the
+    // vocabulary-bounded counts table, integer permille
+    "x91_vocab_coverage" ->
+      """WITH c AS (SELECT tok, COUNT(*) AS n
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY tok),
+         t AS (SELECT SUM(n) AS total FROM c),
+         r AS (SELECT tok, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, tok) AS cum FROM c)
+         SELECT CAST(rank AS BIGINT) AS rank, tok, n,
+           CAST((cum * 1000) // total AS BIGINT) AS cum_permille
+         FROM r CROSS JOIN t WHERE rank <= 25 ORDER BY rank""",
+    // x92: x71's histogram percent-rank, filtered to the top band —
+    // ties share a rank so tie classes keep/drop atomically
+    "x92_top_quantile" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+             RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents),
+         p AS (SELECT doc_id, lang, n_chars,
+             CAST(CASE WHEN cnt = 1 THEN 0
+                  ELSE ((r - 1) * 1000) // (cnt - 1) END AS BIGINT) AS pr_permille
+           FROM t)
+         SELECT doc_id, lang, n_chars, pr_permille FROM p
+         WHERE pr_permille >= 750 ORDER BY doc_id""",
+    // x93: population mean/σ per dimension in DOUBLE, z milli-rounded
+    // half-up — the x53 CSV output discipline; constant dims → 0
+    "x93_standardize" ->
+      """WITH pos AS (SELECT vec_id, UNNEST(embedding) AS e,
+             UNNEST(range(len(embedding))) AS i FROM embeddings),
+         st AS (SELECT i, AVG(CAST(e AS DOUBLE)) AS m,
+             AVG(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS m2
+           FROM pos GROUP BY i),
+         sd AS (SELECT i, m, sqrt(GREATEST(m2 - m * m, 0)) AS s FROM st)
+         SELECT p.vec_id,
+           string_agg(CASE WHEN sd.s = 0 THEN '0'
+             ELSE CAST(CAST(FLOOR((CAST(p.e AS DOUBLE) - sd.m) / sd.s * 1000 + 0.5)
+               AS BIGINT) AS VARCHAR) END, ',' ORDER BY p.i) AS z_csv
+         FROM pos p JOIN sd ON p.i = sd.i
+         GROUP BY p.vec_id ORDER BY vec_id""",
     // x87: x03's LENGTH-difference token identity summed per lang;
     // pure integer division
     "x87_fertility" ->

@@ -101,6 +101,8 @@ object Tour {
     // temperature mixing + DSIR weights + hard negatives
     val mix = graft.operators.Sampling.temperatureMix(docs, "lang", "doc_id", 0.5, 200L)
     println(s"[tour] temperature mix kept=${mix.count()}")
+    val mixRep = graft.operators.Sampling.mixtureReport(docs, "lang", 0.5, 500000L)
+    println(s"[tour] mixture report groups=${mixRep.count()}")
     val dsir = graft.operators.TextAnalysis.dsirWeights(docs, docs.filter(col("n_chars") >= 300))
     println(s"[tour] dsir-weighted docs=${dsir.count()}")
     val hn = Similarity.hardNegatives(emb.filter(col("vec_id") < 3), emb, k = 3)

@@ -147,7 +147,8 @@ object Clustering {
       .filter(floor(call_function("cosine_f32", col("va"), col("vb")) * 1000 + 0.5)
         >= minPermille)
       .select("da", "db")
-    val comp = Dedup.connectedComponents(pairs)
+    // the sort-free labels: the id-keyed join below re-shuffles anyway
+    val comp = Dedup.connectedComponentsUnsorted(pairs)
       .withColumnRenamed("doc_id", idCol).withColumnRenamed("cluster_id", "keep_id")
     assigned.join(comp, Seq(idCol), "left")
       .select(col(idCol), col("cluster"),

@@ -126,7 +126,7 @@ object Dedup {
                        scoreCol: String = "score"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCluster = Window.partitionBy("cluster_id")
-    val cc = connectedComponents(pairs)
+    val cc = connectedComponentsUnsorted(pairs)
     cc.join(scores.select(col("doc_id"), col(scoreCol)), Seq("doc_id"))
       .withColumn("rn",
         row_number().over(byCluster.orderBy(col(scoreCol).desc, col("doc_id"))))
@@ -134,6 +134,72 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_members"))
       .orderBy("cluster_id", "keep_id", "n_members")
+  }
+
+  /** Dedup report — the duplicate-cluster SIZE DISTRIBUTION: how many
+    * clusters of each size the near-dup pair graph contains, with the
+    * unpaired remainder of the corpus reported as size-1 clusters.
+    * This is the headline table of a dedup run ("93% unique, 5% in
+    * pairs, one 40-member template cluster") — the shape of the tail
+    * decides whether survivor selection is a rounding error or a
+    * major token-count change, and a cluster far larger than the rest
+    * is the classic boilerplate/template smell worth reading before
+    * dropping.
+    *
+    * Cost after the closure ([[connectedComponents]]): one groupBy on
+    * cluster_id over the CLUSTERED docs only (near-dup clusters are
+    * tiny, so no skew), then a groupBy over the cluster-count-bounded
+    * sizes table; the singleton remainder is arithmetic on two scalar
+    * counts (1×1 cross join — no driver round-trip, composes into one
+    * plan). Pairs must reference ids present in `docs` — foreign ids
+    * inflate n_labeled and would make the singleton row negative
+    * (guarded: the report fails loudly rather than emitting one).
+    *
+    * @return (cluster_size, n_clusters), ascending by size. */
+  def clusterSizeHistogram(docs: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    val labels = connectedComponentsUnsorted(pairs)
+    val multi = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val totals = docs.agg(count(col(idCol)).as("n_total"))
+      .crossJoin(labels.agg(count(lit(1)).as("n_labeled")))
+    val singletons = totals
+      .select(lit(1L).as("cluster_size"),
+        when(col("n_total") >= col("n_labeled"), col("n_total") - col("n_labeled"))
+          .otherwise(raise_error(concat(lit("clusterSizeHistogram: pair graph labels "),
+            col("n_labeled"), lit(" docs but the corpus has "), col("n_total"),
+            lit(" — pairs reference ids outside `docs`")))).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    multi.unionByName(singletons).orderBy("cluster_size")
+  }
+
+  /** Cross-source duplication matrix over a near-dup pair graph:
+    * for every unordered source pair, how many verified near-dup
+    * pairs straddle it (diagonal rows = within-source duplication).
+    * This is the provenance view of a dedup run — "mirror-B is 80%
+    * copies of crawl-A" is an upstream-pipeline decision (drop the
+    * mirror at ingest), not a pair-at-a-time one, and the matrix is
+    * what surfaces it.
+    *
+    * Two doc-keyed equi-joins attach each endpoint's source — the
+    * join carries only (doc_id, source), never text, and the pair
+    * side is the (already small) verified near-dup set; the final
+    * aggregate is bounded by |sources|². The unordered (least,
+    * greatest) canonicalization makes A→B and B→A the same cell.
+    *
+    * @return (source_a, source_b, n_pairs), source_a <= source_b,
+    *         ordered. */
+  def sourceOverlapMatrix(pairs: DataFrame, docs: DataFrame,
+                          groupCol: String = "source"): DataFrame = {
+    val src = docs.select(col("doc_id"), col(groupCol).as("__g"))
+    pairs.select("da", "db")
+      .join(src.select(col("doc_id").as("da"), col("__g").as("ga")), Seq("da"))
+      .join(src.select(col("doc_id").as("db"), col("__g").as("gb")), Seq("db"))
+      .select(least(col("ga"), col("gb")).as("source_a"),
+        greatest(col("ga"), col("gb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
   }
 
   /** Canonicalizing text normalization for fuzzy-EXACT dedup — the
@@ -719,7 +785,15 @@ object Dedup {
     *
     * @return (doc_id, cluster_id) for every doc appearing in a pair,
     *         cluster_id = min doc id reachable in the pair graph. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsUnsorted(pairs, maxIter).orderBy("doc_id", "cluster_id")
+
+  /** [[connectedComponents]] WITHOUT the presentation sort — for
+    * consumers that immediately re-shuffle by their own keys (the
+    * survivor windows, the size histogram's cluster_id groupBy),
+    * where the global orderBy is a range shuffle plus a
+    * partition-sampling job of pure overhead. Same labels. */
+  def connectedComponentsUnsorted(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = symmetrizedEdges(pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // lazy: materialized by round 1's first scan — no standalone job
@@ -805,7 +879,6 @@ object Dedup {
     // until the caller materializes and calls releaseCaches()
     liveCheckpoints.add(currentRdd)
     current.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id", "cluster_id")
   }
 
   /** Signature width in bits. 60 = the largest multiple of 4 hex digits

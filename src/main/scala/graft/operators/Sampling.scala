@@ -135,6 +135,83 @@ object Sampling {
     df.filter(hashMod(col(keyCol), 1000000L) < rate)
   }
 
+  /** Mixture-composition report — the table a training-mix design
+    * review reads: per group (language, source), document and TOKEN
+    * counts, the group's share of corpus tokens, its α-weighted token
+    * quota out of `budgetTokens` ([[temperatureMix]]'s weight rule on
+    * TOKENS, not docs — fertility differences make doc-count budgeting
+    * wrong, see `TextAnalysis.fertilityStats`), and the EFFECTIVE
+    * EPOCHS (millis) that quota implies: quota ∕ n_tokens > 1.0 means
+    * the group's data repeats to fill its slot — the overfitting
+    * signal mix reviews exist to catch.
+    *
+    * One token-counting aggregation pass (map-side combine, x03's
+    * LENGTH-difference identity — no token arrays); every derived
+    * column is exact integer arithmetic on the |groups|-row table
+    * (the budget·weight product runs in DECIMAL(38,0) — a Long
+    * crosses 2⁶³ at trillion-token budgets; the quotient ≤ budget
+    * always fits). α = 0.5 is spelled via the correctly-rounded
+    * sqrt, the [[temperatureMix]] portability rule.
+    *
+    * @return (grp, n_docs, n_tokens, share_permille, quota_tokens,
+    *         epochs_milli) ordered by grp. */
+  def mixtureReport(docs: DataFrame, groupCol: String, alpha: Double,
+                    budgetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(budgetTokens > 0, s"budgetTokens ($budgetTokens) must be positive")
+    val counts = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.operators.TextAnalysis.tokenCountCol(col("text"))).as("n_tokens"))
+    val wExpr =
+      if (alpha == 0.5) floor(sqrt(col("n_tokens").cast("double")) * 1e6)
+      else floor(pow(col("n_tokens").cast("double"), lit(alpha)) * 1e6)
+    val weighted = counts.withColumn("w", wExpr.cast("long"))
+    val tots = weighted.agg(sum("n_tokens").as("tot_tokens"), sum("w").as("tot_w"))
+    weighted.crossJoin(tots)
+      .withColumn("quota_tokens", expr(
+        s"CAST(CAST($budgetTokens AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))" +
+          " div CAST(tot_w AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"),
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000" +
+          " div CAST(tot_tokens AS DECIMAL(38,0)) AS BIGINT)").as("share_permille"),
+        col("quota_tokens"),
+        // quota·1000 also runs in decimal — a quadrillion-token quota
+        // would cross 2⁶³ in Long (same ANSI-overflow trap as above)
+        expr("CAST(CAST(quota_tokens AS DECIMAL(38,0)) * 1000" +
+          " div CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)").as("epochs_milli"))
+      .orderBy("grp")
+  }
+
+  /** Keep only the TOP `keepPermille` of each group by a quality
+    * metric — per-group dynamic thresholding ("top quartile per
+    * language"), the group-aware form of a global quality bar. An
+    * ABSOLUTE cutoff starves low-resource groups (a minority
+    * language's whole score distribution can sit below the majority's
+    * bar, so the global threshold silently deletes the language); a
+    * per-group quantile keeps the best fraction of EVERY group.
+    *
+    * The percent-rank comes from [[graft.queries.Relational
+    * .rankCalibrate]]'s value-counts histogram — the rank window runs
+    * over the (group, distinct metric value) counts table, never a
+    * whole group through one task — and ties share a rank, so a tie
+    * class is kept or dropped atomically (deterministic,
+    * engine-portable: no row_number coin flips inside equal scores).
+    * A singleton group has percent-rank 0: it survives only
+    * keepPermille = 1000 (document the group floor upstream if
+    * singleton groups must always survive).
+    *
+    * @return (id, group, metric, pr_permille) for kept rows, ordered
+    *         by id. */
+  def topQuantileByGroup(df: DataFrame, groupCol: String, metricCol: String,
+                        idCol: String, keepPermille: Long): DataFrame = {
+    require(keepPermille >= 1 && keepPermille <= 1000,
+      s"keepPermille ($keepPermille) must be in [1, 1000]")
+    graft.queries.Relational.rankCalibrate(df, groupCol, metricCol, idCol)
+      .filter(col("pr_permille") >= lit(1000L - keepPermille))
+      .orderBy(idCol)
+  }
+
   /** Deterministic train/val/test split assignment: every row gets
     * exactly one split label from cumulative permille thresholds over
     * the SAME md5-keyed uniform as the samplers — disjoint, exhaustive

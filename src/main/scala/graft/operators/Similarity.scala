@@ -446,4 +446,50 @@ object Similarity {
       else scored.dropDuplicates("query_id", "neighbor_id")
     topKByScore(merged, k)
   }
+
+  /** Per-dimension standardization (z-scoring) of the embedding
+    * column — the feature-scaling pass a training pipeline runs before
+    * distance-based work (k-means, IVF fit, hard-negative margins):
+    * one high-variance dimension otherwise dominates every L2/cosine
+    * decision.
+    *
+    * Two passes. Pass 1 aggregates each dimension's mean and
+    * mean-of-squares from the posexploded (dim, value) rows — map-side
+    * combine collapses each task to ≤dim rows, so the shuffle carries
+    * O(partitions·dim) scalars, then the dim-row stats table is
+    * collected to the driver (dim-bounded — the same contract as the
+    * k-means centroid collect) and re-entered as PLAN LITERALS. Pass 2
+    * is therefore a pure codegen map riding the corpus scan: no join,
+    * no Exchange below the presentation sort. σ uses the population
+    * form √(E[x²]−E[x]²) in double; a constant dimension (σ = 0) maps
+    * to z = 0 rather than NaN.
+    *
+    * Output z-values are CSV-packed millis (floor(z·1000 + 0.5) — the
+    * x53 quantize output discipline), making the result engine-
+    * comparable; take the array form from `transform` directly if a
+    * downstream operator wants vectors.
+    *
+    * @return (id, z_csv), ordered by id. */
+  def standardizeDims(emb: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val stats = emb
+      .select(posexplode(col(vecCol))).toDF("pos", "e")
+      .select(col("pos"), col("e").cast("double").as("e"))
+      .groupBy("pos")
+      .agg(avg(col("e")).as("m"), avg(col("e") * col("e")).as("m2"))
+      .orderBy("pos").collect()
+    require(stats.nonEmpty, "standardizeDims: empty or all-null embedding column")
+    val means = stats.map(r => r.getDouble(1))
+    val sds = stats.map { r =>
+      math.sqrt(math.max(0.0, r.getDouble(2) - r.getDouble(1) * r.getDouble(1)))
+    }
+    val mArr = array(means.map(lit(_)): _*)
+    val sArr = array(sds.map(lit(_)): _*)
+    emb.select(col(idCol),
+      concat_ws(",", transform(col(vecCol), (e, i) =>
+        when(element_at(sArr, i + 1) === lit(0.0d), lit(0L))
+          .otherwise(floor((e.cast("double") - element_at(mArr, i + 1))
+            / element_at(sArr, i + 1) * 1000 + 0.5).cast("long")))).as("z_csv"))
+      .orderBy(idCol)
+  }
 }

@@ -375,6 +375,41 @@ object TextAnalysis {
         expr("(n_chars * 1000) div n_tokens").as("chars_per_kilotoken"))
       .orderBy("grp")
 
+  /** Cumulative vocabulary coverage curve: the top-m corpus tokens by
+    * frequency, each with its prefix's cumulative share of ALL token
+    * occurrences — "how much of the corpus do the top m tokens
+    * cover". This is the table that sizes a tokenizer vocabulary (the
+    * elbow where the cumulative share flattens is the vocab size worth
+    * paying for) and exposes boilerplate: a single token covering
+    * several percent of a web corpus is a template artifact, not
+    * language.
+    *
+    * One (token) aggregation with map-side combine; the top-m cut is
+    * orderBy+limit — TakeOrderedAndProject, never a global sort; the
+    * running sum windows over the m-ROW table (single task, bounded by
+    * the parameter m, not the corpus). The denominator still counts
+    * every occurrence, so shares are corpus-true even for m ≪ vocab.
+    * At web scale (vocab too large for the exact count table) feed the
+    * [[heavyHittersCms]] candidate set instead.
+    *
+    * @return (rank, tok, n, cum_permille), rank 1..m by (n DESC, tok). */
+  def vocabCoverage(docs: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m ($m) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    val byFreq = Window.orderBy(col("n").desc, col("tok"))
+    counts.orderBy(col("n").desc, col("tok")).limit(m)
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum", sum("n").over(byFreq))
+      .crossJoin(total)
+      // cum·1000 stays below 2⁶³ to ~10¹⁵ corpus tokens (ANSI-safe)
+      .select(col("rank"), col("tok"), col("n"),
+        expr("(cum * 1000) div total").as("cum_permille"))
+      .orderBy("rank")
+  }
+
   /** Per-GROUP heavy hitters: the top-m most frequent tokens within
     * each group (language, source, time bucket) — the per-stratum
     * boilerplate/stopword census a mixed corpus needs, where a global

@@ -305,4 +305,29 @@ class DedupSpec extends SparkSpec {
       Dedup.newAgainstBase(batch, base)
     }
   }
+
+  test("clusterSizeHistogram: chain cluster + singleton remainder, foreign ids fail loudly") {
+    val docs = (1L to 6L).map(i => i -> s"doc $i").toDF("doc_id", "text")
+    // 1-2-3 chain closes to one 3-cluster; 5-6 a pair; doc 4 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val out = Dedup.clusterSizeHistogram(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // pairs over ids the corpus lacks → loud failure, not a negative row
+    val foreign = Seq((100L, 101L)).toDF("da", "db")
+    intercept[Exception] {
+      Dedup.clusterSizeHistogram(docs.limit(1), foreign).collect()
+    }
+  }
+
+  test("sourceOverlapMatrix: unordered cells, diagonal = within-source") {
+    val docs = Seq((1L, "crawl"), (2L, "mirror"), (3L, "crawl"), (4L, "crawl"))
+      .toDF("doc_id", "source")
+    // 1-2 straddles crawl/mirror (both orders must land in ONE cell);
+    // 3-4 is within-crawl (diagonal)
+    val pairs = Seq((1L, 2L), (2L, 1L), (3L, 4L)).toDF("da", "db")
+    val out = Dedup.sourceOverlapMatrix(pairs, docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("crawl", "mirror") -> 2L, ("crawl", "crawl") -> 1L))
+  }
 }

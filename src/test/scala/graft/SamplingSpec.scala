@@ -114,6 +114,44 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMix(corpus, "lang", "id", alpha = 0.5, budget = 0L))
   }
 
+  test("mixtureReport: exact shares, sqrt-tempered quotas, epoch pressure") {
+    // en: 2 docs x 4 tokens = 8; fr: 1 doc x 2 tokens = 2; total 10
+    val docs = Seq(
+      (1L, "en", "a b c d"), (2L, "en", "e f g h"), (3L, "fr", "x y"),
+      (4L, null.asInstanceOf[String], "zz")).toDF("doc_id", "lang", "text")
+    val out = Sampling.mixtureReport(docs, "lang", alpha = 0.5, budgetTokens = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // w = floor(sqrt(n_tokens)*1e6): en 2828427, fr 1414213; tot 4242640
+    // quota_en = 100*2828427 div 4242640 = 66; quota_fr = 33
+    // epochs: en 66*1000 div 8 = 8250; fr 33*1000 div 2 = 16500
+    assert(out === Map(
+      "en" -> ((2L, 8L, 800L, 66L, 8250L)),
+      "fr" -> ((1L, 2L, 200L, 33L, 16500L))))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureReport(docs, "lang", alpha = 1.5, budgetTokens = 100L))
+  }
+
+  test("topQuantileByGroup: per-group bar, tie classes atomic, singletons need 1000") {
+    val df = Seq(
+      // en: scores 1..4 → pr 0,333,666,1000; top-250 keeps only 4
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "en", 40L),
+      // fr: 5,5,9 → ties share pr 0; 9 at pr 1000
+      (5L, "fr", 5L), (6L, "fr", 5L), (7L, "fr", 9L),
+      // singleton de: pr 0 → dropped at any keep < 1000
+      (8L, "de", 99L)).toDF("doc_id", "lang", "score")
+    val kept = graft.operators.Sampling
+      .topQuantileByGroup(df, "lang", "score", "doc_id", keepPermille = 250L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(4L, 7L))
+    val all = graft.operators.Sampling
+      .topQuantileByGroup(df, "lang", "score", "doc_id", keepPermille = 1000L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all === (1L to 8L).toSeq, "keep=1000 keeps everything incl. singletons")
+    intercept[IllegalArgumentException](graft.operators.Sampling
+      .topQuantileByGroup(df, "lang", "score", "doc_id", keepPermille = 0L))
+  }
+
   test("rebalance hits target proportions from the bottleneck total") {
     // 1200 en / 300 fr / 500 other; target 60/40 en/fr.
     // T = min(1200·1000/600, 300·1000/400) = 750 → keep ≈ 450 en, 300 fr

@@ -156,4 +156,15 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hardNegatives(df.filter($"vec_id" === 6), df, k = 2)
       .collect().isEmpty)
   }
+
+  test("standardizeDims: closed-form z-millis, constant dims map to 0") {
+    // dim0: values 1,3 → μ=2, σ=1 → z = ∓1000; dim1 constant → 0;
+    // dim2: 0,2 → μ=1, σ=1 → z = ∓1000
+    val df = Seq(
+      (1L, Array(1.0f, 5.0f, 0.0f)),
+      (2L, Array(3.0f, 5.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.standardizeDims(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "-1000,0,-1000", 2L -> "1000,0,1000"))
+  }
 }

@@ -358,4 +358,14 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.dsirWeights(raw, target, gramK = 0))
     intercept[IllegalArgumentException](TextAnalysis.dsirWeights(raw, target, buckets = 1))
   }
+
+  test("vocabCoverage: exact cumulative shares over a known census") {
+    // tokens: a x6, b x3, c x1 → total 10
+    val docs = Seq((1L, "a a a b"), (2L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, m = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // top-2 cut, but shares stay corpus-true (denominator counts c too)
+    assert(out.toSeq === Seq((1L, "a", 6L, 600L), (2L, "b", 3L, 900L)))
+    intercept[IllegalArgumentException](TextAnalysis.vocabCoverage(docs, m = 0))
+  }
 }
