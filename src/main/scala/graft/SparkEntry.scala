@@ -559,6 +559,44 @@ object SparkEntry {
     // CSV, the x53 output discipline)
     "x93_standardize"     -> ((s, d) =>
       Similarity.standardizeDims(Tables.embeddings(s, d))),
+    // doc-scoped span duplication: what fraction of each doc's 40-char
+    // windows (every 10 chars) appears verbatim in another doc — the
+    // per-document boilerplate score the x68 pairwise runs roll up to
+    "x94_span_dedup"      -> ((s, d) =>
+      Dedup.spanDedupStats(Tables.documents(s, d), k = 40, stride = 10)),
+    // closed-form S-curve banding planner at x07's signature width:
+    // the fp/fn cost of every bands×rows split of 16 minhashes at the
+    // 300‰ operating threshold — pure generated compute, no scan
+    "x95_lsh_plan"        -> ((s, _) =>
+      Dedup.lshBandingPlan(s, numHashes = 16, thresholdPermille = 300)),
+    // feature-redundancy scan: Pearson corr over the four lineitem
+    // measure columns from EXACT integer moments (decimal sums), one
+    // aggregation pass, milli-rounded
+    "x96_corr_matrix"     -> ((s, d) =>
+      graft.operators.Profiling.corrMatrix(
+        Tables.lineitem(s, d).select(
+          Relational.cents(col("l_quantity")).as("qty_c"),
+          Relational.cents(col("l_extendedprice")).as("price_c"),
+          Relational.cents(col("l_discount")).as("disc_c"),
+          Relational.cents(col("l_tax")).as("tax_c")),
+        Seq("qty_c", "price_c", "disc_c", "tax_c"))),
+    // lang×source association: per-cell PMI in micronats over the
+    // vocabulary-bounded contingency table
+    "x97_pmi_cells"       -> ((s, d) =>
+      graft.operators.Profiling.pmiCells(Tables.documents(s, d),
+        "lang", "source")),
+    // equi-depth deciles of line price: exact NTILE anchor (global
+    // sort at test scale; approxQuantile bounds are the 100 TB path)
+    "x98_equidepth"       -> ((s, d) =>
+      graft.operators.Profiling.equidepthHistogram(
+        Tables.lineitem(s, d).select(
+          Relational.cents(col("l_extendedprice")).as("price_c"),
+          col("l_orderkey"), col("l_linenumber")),
+        "price_c", nbins = 10, tieBreakCols = Seq("l_orderkey", "l_linenumber"))),
+    // embedding covariance upper triangle (PCA/whitening precursor),
+    // chained-explode cross moments, milli-rounded
+    "x99_covariance"      -> ((s, d) =>
+      Similarity.covarianceMatrix(Tables.embeddings(s, d))),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1475,11 +1513,124 @@ object SparkEntry {
              * ln(((n_base + 1) * (tot_next + 12)) / ((n_next + 1) * (tot_base + 12)))
              * 1000000 + 0.5) AS BIGINT) AS psi_micronats
          FROM j CROSS JOIN t ORDER BY bin""",
+    // x94: the span table is a lateral unnest over stride positions,
+    // substr is char-based 1-indexed in both engines; duplicated =
+    // distinct-doc frequency ≥ 2; integer permille
+    "x94_span_dedup" ->
+      """WITH sp AS (
+           SELECT doc_id, substr(text, CAST(p AS INTEGER), 40) AS span
+           FROM documents, UNNEST(range(1, LENGTH(text) - 40 + 2, 10)) AS t(p)
+           WHERE LENGTH(text) >= 40),
+         df AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY span)
+         SELECT s.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+             AS dup_permille
+         FROM sp s JOIN df ON s.span = df.span
+         GROUP BY s.doc_id ORDER BY doc_id""",
+    // x95: same S-curve replay — power on integer-valued exponents,
+    // milli-rounded averages over the 100-cell permille grid
+    "x95_lsh_plan" ->
+      """WITH f AS (SELECT CAST(b AS INTEGER) AS bands,
+             CAST(16 // b AS INTEGER) AS rows_per_band
+           FROM UNNEST(range(1, 16)) AS t(b)
+           WHERE 16 % b = 0 AND b < 16 AND 16 // b > 1),
+         g AS (SELECT bands, rows_per_band,
+             CAST(c * 10 + 5 AS DOUBLE) / 1000.0 AS s
+           FROM f, UNNEST(range(0, 100)) AS u(c)),
+         p AS (SELECT bands, rows_per_band, s,
+             1.0 - power(1.0 - power(s, CAST(rows_per_band AS DOUBLE)),
+               CAST(bands AS DOUBLE)) AS p
+           FROM g),
+         a AS (SELECT bands, rows_per_band,
+             CAST(FLOOR(AVG(CASE WHEN s < 0.3 THEN p END) * 1000 + 0.5) AS BIGINT)
+               AS fp_milli,
+             CAST(FLOOR(AVG(CASE WHEN s >= 0.3 THEN 1.0 - p END) * 1000 + 0.5) AS BIGINT)
+               AS fn_milli
+           FROM p GROUP BY bands, rows_per_band)
+         SELECT bands, rows_per_band, fp_milli, fn_milli,
+           fp_milli + fn_milli AS err_milli
+         FROM a ORDER BY bands""",
+    // x96: moments stay exact (HUGEINT sums ≡ Spark decimal(38,0)),
+    // the double conversion/subtraction/sqrt/divide tree is spelled
+    // identically to the Spark side, then milli-rounded
+    "x96_corr_matrix" -> corrMatrixOracle,
+    // x97: integer contingency counts, window marginals, ONE ln per
+    // cell over a ratio of exact integer products, micronat floor
+    "x97_pmi_cells" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, COUNT(*) AS n_xy
+           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (SELECT x, y, n_xy,
+             SUM(n_xy) OVER (PARTITION BY x) AS n_x,
+             SUM(n_xy) OVER (PARTITION BY y) AS n_y,
+             SUM(n_xy) OVER () AS n
+           FROM cells)
+         SELECT x, y, n_xy,
+           CAST(FLOOR(ln(CAST(n * n_xy AS DOUBLE) / CAST(n_x * n_y AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS pmi_micronats
+         FROM m ORDER BY x, y""",
+    // x98: NTILE over the same explicit total order (value + key tie
+    // breaks) is the SQL-standard bucket rule in both engines
+    "x98_equidepth" ->
+      """WITH c AS (SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             l_orderkey, l_linenumber FROM lineitem),
+         t AS (SELECT price_c,
+             NTILE(10) OVER (ORDER BY price_c, l_orderkey, l_linenumber) AS bucket
+           FROM c)
+         SELECT CAST(bucket AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(price_c) AS lo, MAX(price_c) AS hi
+         FROM t GROUP BY bucket ORDER BY bucket""",
+    // x99: zipped-unnest position table (x93's pos CTE), self-join per
+    // vector for cross moments, milli-rounded cov absorbs AVG
+    // summation-order ulps
+    "x99_covariance" ->
+      """WITH pos AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS e,
+             UNNEST(range(len(embedding))) AS i FROM embeddings),
+         mm AS (SELECT i, AVG(e) AS m FROM pos GROUP BY i),
+         x AS (SELECT a.i AS i, b.i AS j, AVG(a.e * b.e) AS m2
+           FROM pos a JOIN pos b USING (vec_id) WHERE a.i <= b.i
+           GROUP BY a.i, b.i)
+         SELECT CAST(x.i AS BIGINT) AS i, CAST(x.j AS BIGINT) AS j,
+           CAST(FLOOR((x.m2 - ma.m * mb.m) * 1000 + 0.5) AS BIGINT) AS cov_milli
+         FROM x JOIN mm ma ON x.i = ma.i JOIN mm mb ON x.j = mb.i
+         ORDER BY i, j""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
     // per SURVEY §2.4 rule 6; covered by Spark-side golden specs instead.
   )
+
+  /** x96 oracle: the 6 upper-triangle pairs share one exact-moment
+    * aggregate CTE; corr is the identical double expression tree the
+    * Spark side builds (n·Σab − Σa·Σb over the sqrt product). */
+  private def corrMatrixOracle: String = {
+    val cols = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val moments = cols.map { case (a, _) => s"SUM(${a}_c) AS s_$a" } ++
+      (for { i <- cols.indices; j <- i until cols.size } yield {
+        val (a, b) = (cols(i)._1, cols(j)._1)
+        s"SUM(CAST(${a}_c AS HUGEINT) * ${b}_c) AS p_${a}_$b"
+      })
+    def corr(a: String, b: String): String = {
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      val num = s"${d("n")} * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")}"
+      val den = s"sqrt(${d("n")} * ${d(s"p_${a}_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")}) * " +
+        s"sqrt(${d("n")} * ${d(s"p_${b}_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})"
+      s"CAST(FLOOR(($num) / ($den) * 1000 + 0.5) AS BIGINT)"
+    }
+    val rows = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val (a, b) = (cols(i)._1, cols(j)._1)
+      s"SELECT '${a}_c' AS col_a, '${b}_c' AS col_b, ${corr(a, b)} AS corr_milli FROM a"
+    }
+    s"""WITH c AS (SELECT
+         ${cols.map { case (a, src) =>
+           s"CAST(FLOOR($src * 100 + 0.5) AS BIGINT) AS ${a}_c" }.mkString(", ")}
+         FROM lineitem),
+       a AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")} FROM c)
+       SELECT * FROM (${rows.mkString(" UNION ALL ")})
+       ORDER BY col_a, col_b"""
+  }
 
   /** x65/x74 oracle: shingle containment + Jaccard per pair, at the
     * query's shingleK — the RESULT is plan-independent, so both the

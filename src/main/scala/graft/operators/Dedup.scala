@@ -661,6 +661,102 @@ object Dedup {
       .orderBy("da", "db", "start_a", "start_b", "run_tokens")
   }
 
+  /** Per-DOCUMENT span-duplication profile — the doc-scoped view of
+    * what [[sharedRuns]] reports pairwise: what fraction of each
+    * document's fixed-width character windows also occur verbatim in
+    * at least one OTHER document. This is the "how much of this page
+    * is boilerplate shared with the rest of the corpus" score used to
+    * rank documents for span-level cleaning (a 900‰ doc is a mirror
+    * or template; a 50‰ doc merely quotes something).
+    *
+    * Windows of `k` chars are sampled every `stride` chars (stride <
+    * k overlaps windows, stride = k tiles the text); a window is
+    * *duplicated* when its exact text occurs in ≥ 2 DISTINCT docs —
+    * within-doc repetition is [[TextAnalysis]]'s repetition score, a
+    * different signal, and deliberately does not count here.
+    *
+    * Scale shape: one narrow generate-map (`sequence` + `substring`,
+    * no UDF), one groupBy on the window text for document frequency,
+    * one equi-join back, one groupBy doc. Window rows are
+    * len/stride per doc — the 100 TB knob is `stride` (cost scales
+    * 1/stride, recall of short duplicated spans degrades with it).
+    * The group key here is the window TEXT, keeping the operator
+    * fully oracle-replayable; at trillions of spans swap the key for
+    * `xxhash64(span)` (collisions only merge unrelated spans, odds
+    * ~|spans|²/2⁶⁴) so the shuffle carries 8-byte keys instead of
+    * k-char strings — same plan shape.
+    *
+    * @return (doc_id, n_spans, n_dup_spans, dup_permille) per doc
+    *         with length ≥ k, ordered by doc_id. */
+  def spanDedupStats(docs: DataFrame, k: Int = 40, stride: Int = 10): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(stride >= 1, s"stride ($stride) must be >= 1")
+    val spans = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, length(text) - $k + 1, $stride), " +
+            s"p -> substring(text, p, $k))")).as("span"))
+    val df = spans.groupBy("span")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    spans.join(df, Seq("span"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_permille", expr("(n_dup_spans * 1000) div n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash-LSH banding PLANNER — the closed-form S-curve analysis
+    * that picks `rowsPerBand` for [[minHashLsh]] instead of folklore
+    * defaults: for every factorization numHashes = bands × rows, the
+    * candidate-collision probability of a pair at Jaccard s is
+    * p(s) = 1 − (1 − sʳ)ᵇ. The planner integrates that curve on a
+    * permille grid against the target threshold and reports, per
+    * factorization, the average collision probability BELOW the
+    * threshold (wasted verification work, `fp_milli`) and the average
+    * miss probability AT-OR-ABOVE it (lost recall, `fn_milli`) — the
+    * two costs a banding choice trades. Pure generated compute (a few
+    * hundred grid rows, no input scan): run it once before a 100 TB
+    * dedup pass, pick the row minimizing the cost you care about.
+    *
+    * sʳ and (1−x)ᵇ go through `power` on integer-valued exponents —
+    * both engines' pow is ≤ 1 ulp, and results are milli-rounded, so
+    * the report replays cross-engine.
+    *
+    * @return (bands, rows_per_band, fp_milli, fn_milli, err_milli) per
+    *         factorization, ordered by bands. */
+  def lshBandingPlan(spark: org.apache.spark.sql.SparkSession,
+                     numHashes: Int = 16,
+                     thresholdPermille: Int = 500): DataFrame = {
+    require(numHashes >= 2, s"numHashes ($numHashes) must be >= 2")
+    require(thresholdPermille >= 1 && thresholdPermille <= 999,
+      s"thresholdPermille ($thresholdPermille) must be in [1, 999]")
+    val factorizations = (1 to numHashes)
+      .filter(b => numHashes % b == 0 && b < numHashes && numHashes / b > 1)
+    require(factorizations.nonEmpty,
+      s"numHashes ($numHashes) has no bands×rows split with rows > 1")
+    import spark.implicits._
+    val f = factorizations.toDF("bands")
+      .withColumn("rows_per_band", (lit(numHashes) / col("bands")).cast("int"))
+    // grid midpoints s = 5‰, 15‰, …, 995‰ (100 cells of width 10‰)
+    val g = f.select(col("bands"), col("rows_per_band"),
+      explode(sequence(lit(0), lit(99))).as("cell"))
+      .withColumn("s", (col("cell") * 10 + 5).cast("double") / 1000.0d)
+      .withColumn("p",
+        lit(1.0d) - pow(lit(1.0d) - pow(col("s"), col("rows_per_band").cast("double")),
+          col("bands").cast("double")))
+    val t = lit(thresholdPermille.toDouble / 1000.0d)
+    g.groupBy("bands", "rows_per_band")
+      .agg(
+        floor(avg(when(col("s") < t, col("p"))) * 1000 + 0.5d)
+          .cast("long").as("fp_milli"),
+        floor(avg(when(col("s") >= t, lit(1.0d) - col("p"))) * 1000 + 0.5d)
+          .cast("long").as("fn_milli"))
+      .withColumn("err_milli", col("fp_milli") + col("fn_milli"))
+      .orderBy("bands")
+  }
+
   /** Benchmark-contamination check — the decontamination pass every
     * LLM training pipeline runs against its eval sets: which corpus
     * documents share at least `minShared` k-shingles with which

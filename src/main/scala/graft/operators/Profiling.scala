@@ -138,4 +138,130 @@ object Profiling {
           .cast("long").as("psi_micronats"))
       .orderBy("bin")
   }
+
+  /** Pearson correlation matrix over exact-integer columns (cents /
+    * counts), reported as the strict upper triangle in milli units.
+    * The feature-redundancy scan run before any modeling or
+    * stratification choice: |corr| ≈ 1000 means one column is the
+    * other's alias and stratifying on both double-counts.
+    *
+    * ONE aggregation pass computes every moment the matrix needs
+    * (n, Σx per column, Σxy per pair — |cols|·(|cols|+3)/2 aggregates
+    * in a single `agg`, map-side partials, a 1-row result), then the
+    * pair rows unpivot driver-free via explode(array(struct…)) — the
+    * [[profile]] shape. Nothing data-scale shuffles twice.
+    *
+    * Oracle parity: products and sums stay EXACT — Σxy accumulates in
+    * decimal(38,0) (HUGEINT in DuckDB), so there is no summation-order
+    * ulp at all; the only floating-point steps are the final
+    * correctly-rounded double conversions, one subtraction, two
+    * sqrts and a division per pair, identical expression trees in
+    * both engines, then milli-rounding. A zero-variance column yields
+    * NULL (correlation undefined), not a division crash.
+    *
+    * @return (col_a, col_b, corr_milli) for each pair a < b in the
+    *         given column order, ordered by (col_a, col_b). */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    def dec(c: String) = col(c).cast("decimal(19,0)")
+    val pairs = for { i <- cols.indices; j <- i until cols.size }
+      yield (cols(i), cols(j))
+    val aggs =
+      (count(lit(1)).as("__n") +:
+        cols.map(c => sum(dec(c)).as(s"__s_$c"))) ++
+        pairs.map { case (a, b) => sum(dec(a) * dec(b)).as(s"__p_${a}__$b") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val nD = col("__n").cast("double")
+    def sD(c: String) = col(s"__s_$c").cast("double")
+    def pD(a: String, b: String) = col(s"__p_${a}__$b").cast("double")
+    val rows = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val (a, b) = (cols(i), cols(j))
+      val num = nD * pD(a, b) - sD(a) * sD(b)
+      val den = sqrt(nD * pD(a, a) - sD(a) * sD(a)) *
+        sqrt(nD * pD(b, b) - sD(b) * sD(b))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(den === 0.0d, lit(null).cast("long"))
+          .otherwise(floor(num / den * 1000 + 0.5d).cast("long"))
+          .as("corr_milli"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select("r.*")
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Pointwise mutual information between two categorical columns, in
+    * micronats per cell — the association scan behind mix-design
+    * questions like "is source₃ secretly all-German?": PMI(x,y) =
+    * ln(n·n_xy / (n_x·n_y)), positive when the cell is over-represented
+    * vs independence, with the observed count alongside so a reader
+    * can weigh significance (a +2000000 µnat cell with n_xy = 2 is
+    * noise; with n_xy = 20 000 it is structure).
+    *
+    * Cost: one groupBy to the (x, y) cell table — vocabulary-bounded,
+    * orders of magnitude below data scale — then marginals as window
+    * sums OVER THE CELL TABLE (three window passes on a tiny frame,
+    * nothing data-scale shuffles twice). The empty-frame window (grand
+    * total) is single-partition by construction — fine, because it
+    * runs on |X|·|Y| rows, not rows of data.
+    *
+    * Oracle parity: counts are exact integers; n·n_xy and n_x·n_y are
+    * exact in doubles below 2⁵³ (range-reduce first beyond ~10¹⁵·10¹⁵
+    * products); ONE ln per output value, micronat floor-rounding —
+    * the [[psiDrift]] discipline.
+    *
+    * @return (x, y, n_xy, pmi_micronats) per observed cell, ordered. */
+  def pmiCells(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val withMarginals = cells
+      .withColumn("n_x", sum("n_xy").over(Window.partitionBy("x")))
+      .withColumn("n_y", sum("n_xy").over(Window.partitionBy("y")))
+      .withColumn("n", sum("n_xy").over(Window.partitionBy()))
+    withMarginals
+      .select(col("x"), col("y"), col("n_xy"),
+        floor(log((col("n") * col("n_xy")).cast("double") /
+            (col("n_x") * col("n_y")).cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("pmi_micronats"))
+      .orderBy("x", "y")
+  }
+
+  /** Equi-DEPTH histogram: `nbins` buckets of (near-)equal row count
+    * with each bucket's value bounds — the complement of [[histogram]]
+    * (equal-width bins, wildly unequal counts on skewed data). This is
+    * the exact NTILE form: deterministic given the total order
+    * (`valueCol` + explicit tie-break columns — REQUIRED, NTILE over
+    * ties is engine-arbitrary otherwise), and therefore
+    * oracle-replayable.
+    *
+    * Scale note, stated plainly: the exact form is ONE global sort —
+    * the same cost class as any total-order operator (x58 Z-order
+    * write, q14's full sort). At 100 TB cut bucket BOUNDS from
+    * `approxQuantile` (driver-side, one pass, no global sort) and
+    * assign buckets with a range join against those bounds instead;
+    * estimates are engine-specific, so that variant is rows-only
+    * checkable — this exact form is the oracle anchor the approximate
+    * one is validated against at test scale.
+    *
+    * @return (bucket 1..nbins, n, lo, hi), ordered by bucket. */
+  def equidepthHistogram(df: DataFrame, valueCol: String, nbins: Int,
+                         tieBreakCols: Seq[String]): DataFrame = {
+    require(nbins >= 1, s"nbins ($nbins) must be >= 1")
+    require(tieBreakCols.nonEmpty,
+      "equidepthHistogram needs tie-break columns: NTILE over a non-total " +
+        "order is engine-arbitrary and the result would not replay")
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(valueCol) +: tieBreakCols.map(col)).map(_.asc)
+    val w = Window.orderBy(order: _*)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol), ntile(nbins).over(w).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(valueCol).as("lo"), max(valueCol).as("hi"))
+      .orderBy("bucket")
+  }
 }

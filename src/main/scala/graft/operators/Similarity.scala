@@ -492,4 +492,52 @@ object Similarity {
             / element_at(sArr, i + 1) * 1000 + 0.5).cast("long")))).as("z_csv"))
       .orderBy(idCol)
   }
+
+  /** Population covariance matrix of the embedding table, upper
+    * triangle in milli units — the PCA/whitening precursor and the
+    * "are these dimensions redundant" scan ([[standardizeDims]] tells
+    * you each dimension's scale; this tells you which pairs move
+    * together). cov(i,j) = E[eᵢ·eⱼ] − E[eᵢ]·E[eⱼ].
+    *
+    * Shape: the d² cross-moments come from a CHAINED double explode —
+    * row → d rows → d·(d+1)/2 (i ≤ j) rows — entirely row-local (no
+    * self-join, no shuffle until the d²-group aggregate, and d² groups
+    * is nothing). Cost is n·d² expansion in the map stage; at 100 TB
+    * the same sums come from ONE d²-wide partial-aggregate buffer per
+    * partition (a [[graft.functions.VectorAgg]]-style outer-product
+    * UDAF) so the expansion never materializes — identical output,
+    * identical group count, swap when n·d² map rows dominate the
+    * profile.
+    *
+    * Oracle parity: float inputs cast to double once; per-cell AVG is
+    * the only summation (milli-rounding absorbs cross-engine
+    * summation-order ulps — the [[standardizeDims]] discipline);
+    * E[eᵢ] comes from the same exploded frame aggregated per
+    * dimension and re-joined (64 rows, broadcast).
+    *
+    * @return (i, j, cov_milli) for i ≤ j, ordered by (i, j). */
+  def covarianceMatrix(emb: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val pos = emb
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        posexplode(col(vecCol)))
+      .select(col("__id"), col("__v"), col("pos").as("i"),
+        col("col").cast("double").as("ei"))
+    val cross = pos
+      .select(col("i"), col("ei"), posexplode(col("__v")))
+      .select(col("i"), col("ei"), col("pos").as("j"),
+        col("col").cast("double").as("ej"))
+      .filter(col("i") <= col("j"))
+    val moments = cross.groupBy("i", "j")
+      .agg(avg(col("ei") * col("ej")).as("m2"))
+    val means = pos.groupBy("i").agg(avg("ei").as("m"))
+    moments
+      .join(broadcast(means.select(col("i"), col("m").as("mi"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))),
+        Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        floor((col("m2") - col("mi") * col("mj")) * 1000 + 0.5d)
+          .cast("long").as("cov_milli"))
+      .orderBy("i", "j")
+  }
 }

@@ -330,4 +330,72 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(out === Map(("crawl", "mirror") -> 2L, ("crawl", "crawl") -> 1L))
   }
+
+  test("spanDedupStats: shared prefix spans count as duplicated, tails do not") {
+    // docs 1 and 2 share an identical 60-char prefix; tails differ.
+    // k=40, stride=10 over 100 chars -> spans start at 1,11,21,31,41,51,61
+    // (7 spans); a span lies inside the shared prefix iff start <= 21
+    // (start+39 <= 60) -> 3 duplicated spans each. doc 3 (50 chars,
+    // 2 spans) shares nothing.
+    val prefix = (0 until 60).map(i => ('a' + i % 26).toChar).mkString
+    val tail1 = (0 until 40).map(i => ('0' + i % 10).toChar).mkString
+    val tail2 = (0 until 40).map(i => ('A' + i % 26).toChar).mkString
+    val docs = Seq(
+      (1L, prefix + tail1),
+      (2L, prefix + tail2),
+      (3L, (0 until 50).map(i => ('n' + i % 13).toChar).mkString)
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupStats(docs, k = 40, stride = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((7L, 3L, 428L)),
+      2L -> ((7L, 3L, 428L)),
+      3L -> ((2L, 0L, 0L))))
+  }
+
+  test("spanDedupStats: within-doc repetition alone is not duplication") {
+    // one doc made of a repeated motif: every window recurs WITHIN the
+    // doc, but no second doc shares it -> 0 duplicated spans
+    val docs = Seq((1L, "ab" * 50)).toDF("doc_id", "text")
+    val row = Dedup.spanDedupStats(docs, k = 40, stride = 10).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(2) === 0L) // n_dup_spans
+  }
+
+  test("spanDedupStats drops docs shorter than the window") {
+    val docs = Seq((1L, "short"), (2L, "x" * 40)).toDF("doc_id", "text")
+    val ids = Dedup.spanDedupStats(docs, k = 40, stride = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids === Seq(2L))
+  }
+
+  test("lshBandingPlan: S-curve trade moves fp up and fn down as bands grow") {
+    val rows = Dedup.lshBandingPlan(spark, numHashes = 16, thresholdPermille = 300)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8))           // bands asc
+    assert(rows.map(r => r._1 * r._2).forall(_ === 16))        // bands*rows = H
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted)     // fp nondecreasing
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.reverse) // fn nonincreasing
+    rows.foreach { case (_, _, fp, fn, err) => assert(err === fp + fn) }
+    // the planner replays the closed form: spot-check bands=4, rows=4
+    // against a direct computation of the same grid
+    val (fp, fn) = {
+      val cells = (0 until 100).map(c => (c * 10 + 5).toDouble / 1000.0)
+      val ps = cells.map(s => (s, 1.0 - math.pow(1.0 - math.pow(s, 4.0), 4.0)))
+      def milli(xs: Seq[Double]) = math.floor(xs.sum / xs.size * 1000 + 0.5).toLong
+      (milli(ps.filter(_._1 < 0.3).map(_._2)),
+        milli(ps.filter(_._1 >= 0.3).map(p => 1.0 - p._2)))
+    }
+    val r4 = rows.find(_._1 === 4).get
+    assert((r4._3, r4._4) === ((fp, fn)))
+  }
+
+  test("lshBandingPlan rejects degenerate parameters") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandingPlan(spark, numHashes = 1, thresholdPermille = 500)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandingPlan(spark, numHashes = 16, thresholdPermille = 0)
+    }
+  }
 }

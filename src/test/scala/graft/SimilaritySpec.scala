@@ -167,4 +167,25 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "-1000,0,-1000", 2L -> "1000,0,1000"))
   }
+
+  test("covarianceMatrix: hand-computed upper triangle") {
+    // vectors (1,2) and (3,6): means (2,4); var0 = 1, cov01 = 2, var1 = 4
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.covarianceMatrix(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 1000L,
+      (0L, 1L) -> 2000L,
+      (1L, 1L) -> 4000L))
+  }
+
+  test("covarianceMatrix: diagonal entries are variances, never negative") {
+    val out = Similarity.covarianceMatrix(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val diag = out.collect { case ((i, j), c) if i == j => c }
+    assert(diag.nonEmpty && diag.forall(_ >= 0L))
+    // upper triangle only: no (i, j) with i > j
+    assert(out.forall { case ((i, j), _) => i <= j })
+  }
 }

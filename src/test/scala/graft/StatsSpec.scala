@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Profiling
+
+/** Specs for the statistics operators (corr matrix, PMI cells,
+  * equi-depth histogram) — hand-computed small cases, exactness
+  * guards, and the determinism contracts the oracles rely on. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corrMatrix: perfect correlation, anti-correlation, and ordering") {
+    val df = Seq((1L, 2L, 4L), (2L, 4L, 3L), (3L, 6L, 2L), (4L, 8L, 1L))
+      .toDF("a", "b", "c")
+    val out = Profiling.corrMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("a", "b") -> 1000L,  // b = 2a
+      ("a", "c") -> -1000L, // c = 5 - a
+      ("b", "c") -> -1000L))
+  }
+
+  test("corrMatrix: zero-variance column yields NULL, not a crash") {
+    val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "k")
+    val row = Profiling.corrMatrix(df, Seq("a", "k")).collect()
+    assert(row.length === 1)
+    assert(row(0).isNullAt(2))
+  }
+
+  test("corrMatrix rejects unknown or too-few columns") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] { Profiling.corrMatrix(df, Seq("a")) }
+    intercept[IllegalArgumentException] { Profiling.corrMatrix(df, Seq("a", "zz")) }
+  }
+
+  test("pmiCells: independent table has zero PMI everywhere") {
+    val df = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+      .toDF("x", "y")
+    val out = Profiling.pmiCells(df, "x", "y").collect()
+    assert(out.length === 4)
+    assert(out.forall(_.getLong(3) === 0L))
+  }
+
+  test("pmiCells: a diagonal table scores ln(2) per cell; nulls drop") {
+    // cells (a,p)=2 and (b,q)=2, n=4: PMI = ln(4·2/(2·2)) = ln 2
+    val df = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"),
+      (null, "p"), ("a", null)).toDF("x", "y")
+    val out = Profiling.pmiCells(df, "x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val ln2Micro = math.floor(math.log(2.0) * 1e6 + 0.5).toLong // 693147
+    assert(out === Map(
+      ("a", "p") -> ((2L, ln2Micro)),
+      ("b", "q") -> ((2L, ln2Micro))))
+  }
+
+  test("equidepthHistogram: equal counts when nbins divides n, bounds exact") {
+    val df = (1L to 10L).map(v => (v * 10, v)).toDF("v", "id")
+    val out = Profiling.equidepthHistogram(df, "v", 2, Seq("id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1, 5L, 10L, 50L), (2, 5L, 60L, 100L)))
+  }
+
+  test("equidepthHistogram: remainder rows land in the leading buckets (NTILE rule)") {
+    val df = (1L to 11L).map(v => (v, v)).toDF("v", "id")
+    val counts = Profiling.equidepthHistogram(df, "v", 2, Seq("id")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1 -> 6L, 2 -> 5L))
+  }
+
+  test("equidepthHistogram demands tie-break columns") {
+    val df = Seq((1L, 1L)).toDF("v", "id")
+    intercept[IllegalArgumentException] {
+      Profiling.equidepthHistogram(df, "v", 2, Seq.empty)
+    }
+  }
+}
