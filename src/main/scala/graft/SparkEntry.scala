@@ -597,6 +597,23 @@ object SparkEntry {
     // chained-explode cross moments, milli-rounded
     "x99_covariance"      -> ((s, d) =>
       Similarity.covarianceMatrix(Tables.embeddings(s, d))),
+    // per-node triangle counts over the x07 pair graph — local
+    // density: triangle-supported pairs are corroborated dups,
+    // triangle-free ones deserve re-verification
+    "x100_triangles"      -> ((s, d) =>
+      graft.operators.Graph.triangleCounts(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2, minPermille = 300))),
+    // one-row structural headline of the same graph (wedges,
+    // triangles, global clustering coefficient — exact integers)
+    "x101_graph_summary"  -> ((s, d) =>
+      graft.operators.Graph.graphSummary(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2, minPermille = 300))),
+    // Efraimidis–Spirakis weighted k-sample by doc length — the
+    // quality-weighted subset primitive; float confined to ranking
+    "x102_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", k = 50)),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1595,6 +1612,52 @@ object SparkEntry {
            CAST(FLOOR((x.m2 - ma.m * mb.m) * 1000 + 0.5) AS BIGINT) AS cov_milli
          FROM x JOIN mm ma ON x.i = ma.i JOIN mm mb ON x.j = mb.i
          ORDER BY i, j""",
+    // x100: the x07 pair CTEs → canonical low→high edges → oriented
+    // wedge join (a<b<c, each triangle once) → per-corner explode
+    "x100_triangles" ->
+      s"""WITH $minHashPairsCtes,
+         e AS (SELECT LEAST(da, db) AS a, GREATEST(da, db) AS b
+               FROM pairs GROUP BY 1, 2),
+         tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM (SELECT a AS doc_id FROM tri UNION ALL
+               SELECT b AS doc_id FROM tri UNION ALL
+               SELECT c AS doc_id FROM tri)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // x101: same edge/triangle CTEs; every output is exact integer
+    // arithmetic (wedges = Σ deg·(deg−1) div 2, gcc milli by int div)
+    "x101_graph_summary" ->
+      s"""WITH $minHashPairsCtes,
+         e AS (SELECT LEAST(da, db) AS a, GREATEST(da, db) AS b
+               FROM pairs GROUP BY 1, 2),
+         deg AS (SELECT doc_id, COUNT(*) AS deg FROM
+                 (SELECT a AS doc_id FROM e UNION ALL SELECT b AS doc_id FROM e)
+                 GROUP BY doc_id),
+         ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                  CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+                  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+                FROM deg),
+         tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges = 0 THEN NULL
+                ELSE CAST((3 * n_triangles * 1000) // n_wedges AS BIGINT)
+           END AS gcc_milli
+         FROM ne CROSS JOIN nt""",
+    // x102: the A-ES key replayed — md5-uniform (+1, so ln never sees
+    // 0) over 2⁶⁰, ONE ln per row, ranking only (output is integers)
+    "x102_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, lang, n_chars,
+             ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS es
+           FROM documents),
+         t AS (SELECT doc_id, lang, n_chars FROM w ORDER BY es DESC, doc_id LIMIT 50)
+         SELECT doc_id, lang, n_chars FROM t ORDER BY doc_id""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

@@ -263,4 +263,43 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Deterministic WEIGHTED sample of k rows without replacement —
+    * Efraimidis–Spirakis A-ES: each row draws a key-derived uniform
+    * u ∈ (0, 1] and ranks by u^(1/w); the k largest are a weighted
+    * sample without replacement (a row's inclusion odds scale with its
+    * weight — quality-weighted corpus subsets, importance-weighted
+    * eval slices). Ranking uses the monotone-equivalent ln(u)/w
+    * DESCENDING (one correctly-rounded-ish ln per row instead of a
+    * pow), with the id as total-order tiebreak.
+    *
+    * Determinism contract: u comes from [[hashMod]]'s md5-uniform
+    * (+1 so u > 0 — ln(0) never evaluates), so the sample is
+    * retry-stable, partition-invariant, and engine-replayable; the
+    * float is confined to RANKING — output columns are the input's —
+    * and adjacent keys differ by ≫ ulps generically, so the k-boundary
+    * replays cross-engine.
+    *
+    * Scale shape: a narrow scan projection + global top-k
+    * (TakeOrderedAndProject — no global sort, no window); weights must
+    * be strictly positive (fail fast, not NaN ranks).
+    *
+    * @return the k sampled rows (input columns), ordered by `idCol`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") + lit(1.0d)) / lit(1152921504606846976.0d) // 2^60
+    val key = log(u) / col(weightCol).cast("double")
+    val cols = df.columns.map(col)
+    df.withColumn("__es",
+        when(col(weightCol) > 0, key)
+          .otherwise(raise_error(concat(
+            lit(s"weightedSample: non-positive or null $weightCol for ${idCol}="),
+            col(idCol).cast("string")))))
+      .orderBy(col("__es").desc, col(idCol))
+      .limit(k)
+      .select(cols: _*)
+      .orderBy(idCol)
+  }
 }

@@ -58,4 +58,35 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(pairs()))
   }
+
+  test("triangleCounts: one triangle plus a pendant edge") {
+    // K3 on {1,2,3} + edge 3-4: nodes 1,2,3 in one triangle, 4 in none
+    val out = Graph.triangleCounts(
+      pairs((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: K4 has 3 triangles per node; orientation dedupes") {
+    // every K4 node sits in C(3,2) = 3 triangles; pairs given in mixed
+    // orientation with a duplicate must not inflate counts
+    val out = Graph.triangleCounts(
+      pairs((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("graphSummary: K3 + pendant — exact counts and coefficient") {
+    // deg = (2,2,3,1): wedges = 1+1+3+0 = 5, triangles = 1, gcc = 600
+    val row = Graph.graphSummary(
+      pairs((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      === ((4L, 4L, 5L, 1L, 600L)))
+  }
+
+  test("graphSummary: wedge-free graph yields NULL coefficient") {
+    val row = Graph.graphSummary(pairs((1L, 2L), (3L, 4L))).collect()(0)
+    assert((row.getLong(2), row.getLong(3)) === ((0L, 0L)))
+    assert(row.isNullAt(4))
+  }
 }

@@ -35,6 +35,47 @@ class SamplingSpec extends SparkSpec {
     assert(nullKept > 230 && nullKept < 430, s"null stratum kept $nullKept of 666 at 500")
   }
 
+  test("weightedSample: inclusion odds scale with weight; replayable locally") {
+    // ids 1..400: weight 1000 for ids <= 40, weight 1 for the rest.
+    // With k = 40 of 400 rows, the heavy tenth should dominate the
+    // sample. Exact expectation replayed below — the assert is
+    // bit-equality with a local A-ES computation, not a tolerance.
+    val df = (1L to 400L).map(i => (i, if (i <= 40) 1000L else 1L))
+      .toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", k = 40)
+      .select("id").as[Long].collect().toSeq
+    def h(i: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expected = (1L to 400L).map { i =>
+      val u = (h(i).toDouble + 1.0) / 1152921504606846976.0d
+      val w = if (i <= 40) 1000.0 else 1.0
+      (math.log(u) / w, i)
+    }.sortBy { case (k2, i) => (-k2, i) }.take(40).map(_._2).sorted
+    assert(out === expected)
+    // heavy ids dominate
+    assert(out.count(_ <= 40) > 25, s"heavy-weight rows in sample: ${out.count(_ <= 40)}")
+  }
+
+  test("weightedSample is partition-invariant") {
+    val df = (1L to 300L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", 25).select("id").as[Long].collect().toSeq
+    val b = Sampling.weightedSample(df.repartition(11), "id", "w", 25)
+      .select("id").as[Long].collect().toSeq
+    assert(a === b)
+  }
+
+  test("weightedSample fails fast on non-positive weights") {
+    val df = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "id", "w", 1).collect()
+    }
+    assert(e.getMessage.contains("weightedSample") ||
+      Option(e.getCause).exists(_.getMessage.contains("weightedSample")))
+  }
+
   test("sample plan is a scan-side filter — no shuffle, no UDF") {
     val plan = Sampling.hashSample(corpus, "id", 100).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
