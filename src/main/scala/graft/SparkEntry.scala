@@ -614,6 +614,12 @@ object SparkEntry {
       graft.operators.Sampling.weightedSample(
         Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
         "doc_id", "n_chars", k = 50)),
+    // IDF-weighted containment: shared-shingle mass weighted by
+    // rarity (micronat ln(N/df)) — boilerplate scores 0 by
+    // construction; integer arithmetic after one ln per shingle
+    "x103_weighted_containment" -> ((s, d) =>
+      Dedup.weightedContainmentPairs(Tables.documents(s, d), shingleK = 3,
+        minPermille = 500)),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1658,6 +1664,29 @@ object SparkEntry {
            FROM documents),
          t AS (SELECT doc_id, lang, n_chars FROM w ORDER BY es DESC, doc_id LIMIT 50)
          SELECT doc_id, lang, n_chars FROM t ORDER BY doc_id""",
+    // x103: the x65 shingle CTEs + micronat IDF weights (ONE ln per
+    // distinct shingle over exact integer counts), then pure integer
+    // weighted-containment arithmetic
+    "x103_weighted_containment" ->
+      s"""WITH ${shingleCtes(3)},
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         dfq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+         w AS (SELECT dfq.sh AS sh,
+             CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS wt
+           FROM dfq CROSS JOIN nd),
+         wr AS (SELECT s.doc_id AS doc_id, s.sh AS sh, w.wt AS wt
+                FROM sh s JOIN w ON s.sh = w.sh),
+         tw AS (SELECT doc_id, SUM(wt) AS tw FROM wr GROUP BY doc_id),
+         pw AS (SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.wt) AS cw
+                FROM wr a JOIN wr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT da, db, CAST(cw AS BIGINT) AS common_w,
+           CAST((cw * 1000) // LEAST(ta.tw, tb.tw) AS BIGINT) AS wcont_permille
+         FROM pw JOIN tw ta ON pw.da = ta.doc_id JOIN tw tb ON pw.db = tb.doc_id
+         WHERE LEAST(ta.tw, tb.tw) > 0
+           AND (cw * 1000) // LEAST(ta.tw, tb.tw) >= 500
+         ORDER BY da, db""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

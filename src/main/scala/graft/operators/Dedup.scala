@@ -599,6 +599,53 @@ object Dedup {
       .orderBy("da", "db", "cont_permille", "jac_permille")
   }
 
+  /** IDF-WEIGHTED containment pairs — [[containmentPairs]] where each
+    * shared shingle counts its rarity instead of 1: weight =
+    * ⌊ln(N/df)·10⁶ + ½⌋ micronats (0 for corpus-ubiquitous shingles,
+    * so boilerplate drops out of the score BY CONSTRUCTION instead of
+    * via a df cap). Two documents sharing 30 rare shingles score far
+    * above two sharing 30 stopword bigrams with identical unweighted
+    * containment — the standard rarity refinement (weighted PPJoin
+    * family) for quote/partial-copy mining on boilerplate-heavy crawls.
+    *
+    * All arithmetic after the ONE ln per distinct shingle is exact
+    * integer (micronat weights, long sums, integer permille) — fully
+    * oracle-replayable. Zero-signal documents (every shingle at
+    * df = N ⇒ total weight 0) are excluded rather than divided by.
+    *
+    * Scale shape: df/weight tables are vocabulary-bounded; the pair
+    * join is the same inverted-index equi-join as the unweighted form
+    * and shares its scale levers (raise shingleK; prefix-filter on a
+    * rarest-first order — weights make that order CANONICAL here).
+    *
+    * @return (da, db, common_w, wcont_permille), wcont ≥ minPermille,
+    *         ordered by (da, db). */
+  def weightedContainmentPairs(docs: DataFrame, shingleK: Int = 3,
+                               minPermille: Long = 500): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille ($minPermille) must be in [1, 1000]")
+    val rows = shingleRows(docs, shingleK)
+    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wt = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(ndocs)
+      .select(col("sh"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("wt"))
+    val wr = rows.join(wt, Seq("sh")).select("doc_id", "sh", "wt")
+    val tw = wr.groupBy("doc_id").agg(sum("wt").as("tw"))
+    val wtot = wr.join(tw, Seq("doc_id"))
+    val a = wtot.select(col("doc_id").as("da"), col("tw").as("ta"),
+      col("sh"), col("wt"))
+    val b = wtot.select(col("doc_id").as("db"), col("tw").as("tb"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      .groupBy("da", "db", "ta", "tb").agg(sum("wt").as("cw"))
+      .filter(least(col("ta"), col("tb")) > 0)
+      .select(col("da"), col("db"), col("cw").as("common_w"),
+        expr("(cw * 1000) div least(ta, tb)").as("wcont_permille"))
+      .filter(col("wcont_permille") >= minPermille)
+      .orderBy("da", "db")
+  }
+
   /** Shared-substring RUN detection — the span-level dedup signal of
     * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"), re-expressed as a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the first thing run against any new corpus
@@ -259,6 +259,39 @@ object Profiling {
     val w = Window.orderBy(order: _*)
     df.filter(col(valueCol).isNotNull)
       .select(col(valueCol), ntile(nbins).over(w).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(valueCol).as("lo"), max(valueCol).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** The 100 TB equi-depth path [[equidepthHistogram]]'s scale note
+    * promises: bucket BOUNDS from `approxQuantile` (Greenwald–Khanna —
+    * one pass, driver-side cutpoint collect, NO global sort), bucket
+    * assignment as a baked when-free literal fold over the ≤ nbins−1
+    * cutpoints riding the scan, then the same (n, lo, hi) aggregate.
+    * Counts are near-equal within the sketch's relative error rather
+    * than exactly NTILE-equal, and estimates are engine-specific —
+    * rows-only checkable; ProfilingSpec validates it against the exact
+    * form at test scale (bucket counts within tolerance, bounds
+    * consistent). Ties at a cutpoint all land LOW (value > cut moves
+    * up), so equal values never split across buckets — the property
+    * NTILE gives up.
+    *
+    * @return (bucket 1..≤nbins, n, lo, hi) for non-empty buckets,
+    *         ordered by bucket. */
+  def equidepthHistogramApprox(df: DataFrame, valueCol: String, nbins: Int,
+                               relativeError: Double = 0.001): DataFrame = {
+    require(nbins >= 1, s"nbins ($nbins) must be >= 1")
+    require(relativeError > 0 && relativeError <= 0.5,
+      s"relativeError ($relativeError) out of (0, 0.5]")
+    val clean = df.filter(col(valueCol).isNotNull)
+    val probs = (1 until nbins).map(_.toDouble / nbins)
+    val cuts = clean.stat.approxQuantile(valueCol, probs.toArray, relativeError)
+    val bucket = cuts.foldLeft(lit(1): Column)((acc, c) =>
+      acc + when(col(valueCol) > c, 1).otherwise(0))
+    clean
+      .select(col(valueCol), bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min(valueCol).as("lo"), max(valueCol).as("hi"))

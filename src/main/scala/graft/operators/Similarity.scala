@@ -540,4 +540,51 @@ object Similarity {
           .cast("long").as("cov_milli"))
       .orderBy("i", "j")
   }
+
+  /** [[covarianceMatrix]] on the SINGLE-BUFFER path — the 100 TB
+    * variant the chained-explode form's scale note promises: the
+    * `vec_outer_sum` UDAF ([[graft.functions.VectorAgg]]) folds every
+    * partition into one (n, Σx, Σx·xᵀ-upper-triangle) buffer of
+    * d(d+1)/2 + d + 1 doubles, the shuffle carries one buffer per
+    * partition, and the d² pair rows unpivot from the 1-row moment
+    * array via explode over BAKED index literals (the
+    * [[standardizeDims]] literal pattern — `dim` must be given, and is
+    * validated against the buffer length at execution).
+    *
+    * cov(i,j) = p_ij/n − (s_i/n)·(s_j/n), milli-rounded — the same
+    * population formula as the explode path; the two paths' outputs
+    * agree (SimilaritySpec asserts equality on real embeddings), with
+    * summation-order ulps absorbed by the rounding.
+    *
+    * @return (i, j, cov_milli) for i ≤ j, ordered by (i, j). */
+  def covarianceMatrixAgg(emb: DataFrame, dim: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim ($dim) must be in [1, 4096]")
+    graft.functions.VectorAgg.register(emb.sparkSession)
+    val expect = 1 + dim + dim * (dim + 1) / 2
+    val one = emb.agg(call_function("vec_outer_sum", col(vecCol)).as("m"))
+      .select(when(size(col("m")) === expect, col("m"))
+        .otherwise(raise_error(concat(
+          lit(s"covarianceMatrixAgg: dim=$dim expects a $expect-long moment "
+            + "array, got length "), size(col("m")).cast("string"))))
+        .as("m"))
+    // (i, j) → packed moment offset, unpivoted by joining a d(d+1)/2-row
+    // position table against the 1-row array (a literal-struct explode
+    // at d = 64 is ~2000 generated expressions — enough to OOM Janino;
+    // the join form keeps generated code O(1) in d)
+    def off(i: Int, j: Int): Int = 1 + dim + (i * (2 * dim - i + 1)) / 2 + (j - i)
+    val idx = for { i <- 0 until dim; j <- i until dim }
+      yield (i.toLong, j.toLong, (off(i, j) + 1).toLong)
+    val pos = emb.sparkSession.createDataFrame(idx).toDF("i", "j", "p")
+    val n = element_at(col("m"), 1)
+    val si = element_at(col("m"), (col("i") + 2).cast("int"))
+    val sj = element_at(col("m"), (col("j") + 2).cast("int"))
+    val pij = element_at(col("m"), col("p").cast("int"))
+    pos.crossJoin(one)
+      .select(col("i"), col("j"),
+        floor((pij / n - (si / n) * (sj / n)) * 1000 + 0.5d)
+          .cast("long").as("cov_milli"))
+      .orderBy("i", "j")
+  }
 }

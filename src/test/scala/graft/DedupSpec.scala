@@ -390,6 +390,32 @@ class DedupSpec extends SparkSpec {
     assert((r4._3, r4._4) === ((fp, fn)))
   }
 
+  test("weightedContainmentPairs: rarity outweighs boilerplate; identical corpus scores nothing") {
+    // docs 1,2 share a RARE 3-token run; docs 3,4 share only the
+    // boilerplate prefix every doc carries. Unweighted containment
+    // rates both pairs; IDF weighting keeps only the rare-run pair.
+    val boiler = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      1L -> (boiler + " zeta omega kappa lambda"),
+      2L -> (boiler + " zeta omega kappa mu"),
+      3L -> (boiler + " uno dos tres cuatro"),
+      4L -> (boiler + " cinco seis siete ocho")
+    ).toDF("doc_id", "text")
+    val weighted = Dedup.weightedContainmentPairs(docs, shingleK = 3, minPermille = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Dedup.releaseCaches()
+    // (1,2) share 'zeta omega kappa' (df=2, high weight) on top of the
+    // boilerplate (df=4, weight 0): they pass; (3,4) share ONLY df=4
+    // shingles: weighted overlap 0, filtered
+    assert(weighted.contains((1L, 2L)))
+    assert(!weighted.contains((3L, 4L)))
+    // a corpus of identical docs: every shingle df=N, total weight 0 —
+    // excluded from division, empty output
+    val same = Seq(1L -> boiler, 2L -> boiler, 3L -> boiler).toDF("doc_id", "text")
+    assert(Dedup.weightedContainmentPairs(same, 3, 1).count() === 0L)
+    Dedup.releaseCaches()
+  }
+
   test("lshBandingPlan rejects degenerate parameters") {
     intercept[IllegalArgumentException] {
       Dedup.lshBandingPlan(spark, numHashes = 1, thresholdPermille = 500)

@@ -180,6 +180,32 @@ class SimilaritySpec extends SparkSpec {
       (1L, 1L) -> 4000L))
   }
 
+  test("covarianceMatrixAgg: single-buffer path matches the explode path") {
+    // hand case first
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val agg = Similarity.covarianceMatrixAgg(df, dim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(agg === Map((0L, 0L) -> 1000L, (0L, 1L) -> 2000L, (1L, 1L) -> 4000L))
+    // then real embeddings: both paths, identical milli output
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Similarity.covarianceMatrix(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Similarity.covarianceMatrixAgg(emb, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a === b)
+  }
+
+  test("covarianceMatrixAgg fails fast on a wrong dim") {
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.covarianceMatrixAgg(df, dim = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("covarianceMatrixAgg")))
+  }
+
   test("covarianceMatrix: diagonal entries are variances, never negative") {
     val out = Similarity.covarianceMatrix(vecs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))

