@@ -90,7 +90,17 @@ object Plans {
       ("x80_cross_neardup", "cross-corpus near-dup decontamination: corpus band rows probe the BROADCAST benchmark band table (corpus never self-joins, signatures row-local); exact-Jaccard verification joins arrays for band-collision candidates only",
         "x80_cross_neardup"),
       ("x82_dsir_weights", "DSIR importance weights: gram→bucket rows row-local (native gram_hashes), both corpora collapse to ≤4096-row bucket tables (map-side combine), the ln-ratio table broadcasts back onto the gram rows, one doc-keyed aggregation — no data-scale×data-scale join",
-        "x82_dsir_weights"))
+        "x82_dsir_weights"),
+      ("x94_span_dedup", "span-duplication profile: sequence+substring windows ride the scan in one codegen stage (no UDF); span df groupBy then a doc-keyed aggregate — stride is the linear cost knob",
+        "x94_span_dedup"),
+      ("x96_corr_matrix", "correlation matrix: n, Σx, and Σxy for every column pair in ONE aggregation pass (exact decimal moments, map-side partials); the 6 pair rows unpivot from the 1-row result — no second scan, no join",
+        "x96_corr_matrix"),
+      ("x100_triangles", "triangle counting: canonical low→high orientation, wedge equi-join on the middle vertex (each triangle generated once), closing equi-join — join mass Σ d⁻·d⁺, never a cross join",
+        "x100_triangles"),
+      ("x102_weighted_sample", "A-ES weighted sample: md5-uniform key projected scan-side, top-k as TakeOrderedAndProject — no window, no global sort Exchange, output columns untouched",
+        "x102_weighted_sample"),
+      ("x103_weighted_containment", "IDF-weighted containment: vocabulary-bounded micronat weight table joins onto inverted-index rows; boilerplate carries weight 0 so its pairs die in the score, not in a df-cap heuristic — same equi-join shape and levers as x65",
+        "x103_weighted_containment"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")
