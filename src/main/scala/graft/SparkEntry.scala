@@ -620,6 +620,22 @@ object SparkEntry {
     "x103_weighted_containment" -> ((s, d) =>
       Dedup.weightedContainmentPairs(Tables.documents(s, d), shingleK = 3,
         minPermille = 500)),
+    // hashing-trick featurization: vocabulary-free signed bucket sums
+    // (one md5 draw per token → bucket + ±1 sign), exact-int CSV
+    "x104_feature_hash"   -> ((s, d) =>
+      TextAnalysis.featureHash(Tables.documents(s, d), dim = 16)),
+    // sketch calibration: minhash-estimated vs exact Jaccard per x07
+    // pair — the "can we drop the verification join at scale" report
+    "x105_jaccard_estimate" -> ((s, d) =>
+      Dedup.jaccardEstimateReport(Tables.documents(s, d), shingleK = 2,
+        numHashes = 16, rowsPerBand = 4, minPermille = 300)),
+    // leakage-safe splits: hash-split by near-dup CLUSTER so dup
+    // families never straddle train/test
+    "x106_cluster_split"  -> ((s, d) =>
+      graft.operators.Sampling.clusterSplitAssign(
+        Tables.documents(s, d),
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2, minPermille = 300),
+        "doc_id", Seq("train" -> 800L, "val" -> 100L, "test" -> 100L))),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1687,11 +1703,69 @@ object SparkEntry {
          WHERE LEAST(ta.tw, tb.tw) > 0
            AND (cw * 1000) // LEAST(ta.tw, tb.tw) >= 500
          ORDER BY da, db""",
+    // x105: one md5 draw per token (the x35 hash contract), signed
+    // bucket sums, zero-filled CSV over a doc×dim spine
+    "x104_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 32 AS m
+           FROM tok),
+         s AS (SELECT doc_id, m % 16 AS idx,
+             SUM(CASE WHEN m >= 16 THEN 1 ELSE -1 END) AS v
+           FROM c GROUP BY doc_id, m % 16),
+         g AS (SELECT d.doc_id, t.i FROM documents d, UNNEST(range(16)) AS t(i)),
+         j AS (SELECT g.doc_id, g.i, COALESCE(s.v, 0) AS v
+               FROM g LEFT JOIN s ON g.doc_id = s.doc_id AND g.i = s.idx)
+         SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS fh_csv
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // x106: the x07 CTEs + per-position signature equality over the
+    // replayed h0..h15 columns; integer permille throughout
+    "x105_jaccard_estimate" -> jaccardEstimateOracle,
+    // x107: the x34 recursive closure labels + singleton fallback,
+    // then the x42 md5 split rule keyed by cluster_id
+    "x106_cluster_split" ->
+      s"""WITH RECURSIVE $minHashPairsCtes,
+         sym AS (SELECT da AS s, db AS d FROM pairs
+                 UNION SELECT db AS s, da AS d FROM pairs),
+         verts AS (SELECT DISTINCT s AS v FROM sym),
+         reach AS (SELECT v AS a, v AS b FROM verts
+                   UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+         lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         f AS (SELECT d.doc_id,
+                 CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+               FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         h AS (SELECT doc_id, cluster_id,
+                 CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000 AS h
+               FROM f)
+         SELECT doc_id, cluster_id,
+           CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test'
+           END AS split
+         FROM h ORDER BY doc_id""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
     // per SURVEY §2.4 rule 6; covered by Spark-side golden specs instead.
   )
+
+  /** x106 oracle: per-position equality over the SAME replayed
+    * signature columns the x07 CTEs derive (h0..h15), summed as an
+    * integer match count — est and err in exact permille. */
+  private def jaccardEstimateOracle: String = {
+    val matches = (0 until 16)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minHashPairsCtes,
+       est AS (SELECT p.da, p.db, p.jac_permille,
+           CAST((($matches) * 1000) // 16 AS BIGINT) AS est_permille
+         FROM pairs p JOIN mins a ON p.da = a.doc_id
+         JOIN mins b ON p.db = b.doc_id)
+       SELECT da, db, CAST(jac_permille AS BIGINT) AS jac_permille,
+         est_permille,
+         CAST(est_permille - jac_permille AS BIGINT) AS err_permille
+       FROM est ORDER BY da, db"""
+  }
 
   /** x96 oracle: the 6 upper-triangle pairs share one exact-moment
     * aggregate CTE; corr is the identical double expression tree the

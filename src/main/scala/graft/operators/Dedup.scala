@@ -386,6 +386,39 @@ object Dedup {
     minHashLshPairs(docs, shingleK, numHashes, rowsPerBand, minPermille)
       .orderBy("da", "db", "jac_permille")
 
+  /** Sketch-quality report: minhash-ESTIMATED vs exact Jaccard per
+    * verified x07 pair — the calibration view that justifies (or
+    * indicts) trusting the signature estimate at thresholds where the
+    * exact verification join is too expensive to keep. est = matching
+    * signature positions / numHashes; err ~ ±1/√numHashes per pair,
+    * and a systematic bias here means the shingle distribution broke
+    * a minhash assumption (worth knowing BEFORE dropping verification
+    * at 100 TB).
+    *
+    * The signature compare is a row-local zip_with fold over the two
+    * numHashes-long arrays (pair-bounded, no explode); signatures ride
+    * the same cached shingle table the pair mining used.
+    *
+    * @return (da, db, jac_permille, est_permille, err_permille =
+    *         est − exact), ordered by (da, db). */
+  def jaccardEstimateReport(docs: DataFrame, shingleK: Int = 2,
+                            numHashes: Int = 16, rowsPerBand: Int = 4,
+                            minPermille: Long = 500): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val pairs = minHashLshPairs(docs, shingleK, numHashes, rowsPerBand, minPermille)
+    val sigs = shingleArrays(docs, shingleK).select(col("doc_id"),
+      call_function("minhash_sigs", col("shs"), lit(numHashes)).as("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
+      .withColumn("est_permille",
+        expr(s"aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, " +
+          s"(acc, e) -> acc + e) * 1000 div $numHashes"))
+      .select(col("da"), col("db"), col("jac_permille"), col("est_permille"),
+        (col("est_permille") - col("jac_permille")).as("err_permille"))
+      .orderBy("da", "db")
+  }
+
   /** [[minHashLsh]] WITHOUT the final global sort — the form to feed
     * downstream operators ([[connectedComponents]], bulk drop-list
     * writes) that don't need a total order: a global sort is a range

@@ -229,14 +229,47 @@ object Sampling {
     require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
       splits.map(_._2).sum == 1000L,
       s"split permilles must be non-negative and sum to 1000, got $splits")
-    val h = hashPermille(col(keyCol))
+    df.withColumn("split", splitCase(hashPermille(col(keyCol)), splits))
+  }
+
+  /** CASE h < c1 THEN l1 WHEN h < c2 THEN l2 … (last branch always
+    * matches: h < 1000 by construction) — the one spelling of the
+    * split rule, shared by [[splitAssign]] and [[clusterSplitAssign]]. */
+  private def splitCase(h: Column, splits: Seq[(String, Long)]): Column = {
     val cum = splits.scanLeft(0L)(_ + _._2).tail
-    // CASE h < c1 THEN l1 WHEN h < c2 THEN l2 ... (last branch always
-    // matches: h < 1000 by construction)
-    val assign = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
+    splits.zip(cum).foldRight(lit(splits.last._1): Column) {
       case (((label, _), bound), other) => when(h < bound, lit(label)).otherwise(other)
     }
-    df.withColumn("split", assign)
+  }
+
+  /** LEAKAGE-SAFE split assignment — [[splitAssign]] keyed by the
+    * near-dup CLUSTER instead of the document: close the pair graph
+    * ([[Dedup.connectedComponentsUnsorted]]), key every document by
+    * its cluster label (its own id when unpaired), and hash-split on
+    * THAT. Splitting per document puts near-copies of one page on
+    * both sides of a train/test boundary — memorization leaks into
+    * eval and the held-out loss lies; splitting per cluster keeps
+    * every near-dup family atomically on one side. This is the split
+    * rule a deduplicated corpus actually needs, and it composes with
+    * the same md5 determinism contract as every sampler here.
+    *
+    * Cost: the component fixpoint runs over found PAIRS only; the
+    * corpus-side work is one left join against the (tiny) label table
+    * plus the scan-side hash CASE.
+    *
+    * @return (keyCol, cluster_id, split), ordered by keyCol. */
+  def clusterSplitAssign(docs: DataFrame, pairs: DataFrame, keyCol: String,
+                         splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum == 1000L,
+      s"split permilles must be non-negative and sum to 1000, got $splits")
+    val labels = Dedup.connectedComponentsUnsorted(pairs)
+      .withColumnRenamed("doc_id", keyCol)
+    docs.select(col(keyCol))
+      .join(labels, Seq(keyCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(keyCol)))
+      .withColumn("split", splitCase(hashPermille(col("cluster_id")), splits))
+      .orderBy(keyCol)
   }
 
   /** Deterministic fixed-size per-group sample: the `n` rows of each

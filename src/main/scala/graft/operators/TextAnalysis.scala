@@ -739,4 +739,45 @@ object TextAnalysis {
           .as("waste_permille"))
       .orderBy("bucket")
   }
+
+  /** Feature-HASHING document vectors (the hashing trick, Weinberger
+    * et al. 2009): every token maps to one of `dim` buckets with a
+    * hash-derived ±1 sign, and the document vector is the signed
+    * bucket-count sum — the unsupervised featurization that needs NO
+    * vocabulary build, no dictionary broadcast, and no OOV handling,
+    * which is why it scales to any corpus unchanged. The signed sum
+    * makes collisions cancel in expectation (the estimator is
+    * unbiased — the property that separates the trick from plain
+    * bucket counting).
+    *
+    * Determinism contract: bucket and sign come from ONE
+    * [[Sampling.hashMod]] md5 draw (m ∈ [0, 2·dim): bucket = m mod
+    * dim, sign = ±1 by m's high half) — engine-replayable, and the
+    * whole vector is exact integer arithmetic. Output is the x53 CSV
+    * discipline (`dim` comma-joined ints), with multiplicity counted
+    * (two occurrences contribute twice — term frequency, not presence).
+    *
+    * Scale shape: token explode rides the scan; one (doc, bucket)
+    * groupBy with map-side combine; the CSV packs via a
+    * map_from_entries lookup over a literal index sequence — no
+    * per-dimension joins, no pivot.
+    *
+    * @return (doc_id, fh_csv), ordered by doc_id. */
+  def featureHash(docs: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim ($dim) must be in [2, 4096]")
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val m = Sampling.hashMod(col("tok"), 2L * dim)
+    val sums = tok
+      .select(col("doc_id"), pmod(m, lit(dim.toLong)).as("idx"),
+        when(m >= dim, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy("doc_id", "idx").agg(sum("sgn").as("v"))
+    sums.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("v")))).as("mp"))
+      .select(col("doc_id"),
+        concat_ws(",", transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("mp"), i.cast("long")), lit(0L))))
+          .as("fh_csv"))
+      .orderBy("doc_id")
+  }
 }

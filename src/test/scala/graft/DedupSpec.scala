@@ -424,4 +424,18 @@ class DedupSpec extends SparkSpec {
       Dedup.lshBandingPlan(spark, numHashes = 16, thresholdPermille = 0)
     }
   }
+  test("jaccardEstimateReport: exact dups estimate 1000; err is est minus exact") {
+    val out = Dedup.jaccardEstimateReport(corpus, shingleK = 2, minPermille = 300)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    Dedup.releaseCaches()
+    val (jac12, est12, err12) = out((1L, 2L))
+    assert(jac12 === 1000L && est12 === 1000L && err12 === 0L)
+    out.values.foreach { case (jac, est, err) =>
+      assert(est >= 0L && est <= 1000L)
+      assert(err === est - jac)
+    }
+  }
+
 }

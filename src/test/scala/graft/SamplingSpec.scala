@@ -243,4 +243,25 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.groupSample(df, "g", "id", n = 5).collect()
     assert(out.length === 3)
   }
+  test("clusterSplitAssign: dup families never straddle a split; singletons follow splitAssign") {
+    import graft.operators.Dedup
+    val docs = (1L to 60L).map(i => Tuple1(i)).toDF("doc_id")
+    // clusters {1,2,3} and {10,11}; the rest are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val out = Sampling.clusterSplitAssign(docs, pairs, "doc_id",
+      Seq("train" -> 800L, "val" -> 100L, "test" -> 100L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    Dedup.releaseCaches()
+    assert(out.size === 60)
+    // family atomicity
+    assert(out(1L) === out(2L) && out(2L) === out(3L))
+    assert(out(10L) === out(11L))
+    assert(out(1L)._1 === 1L && out(10L)._1 === 10L)
+    // singletons: same assignment as the per-doc splitter keyed by id
+    val solo = Sampling.splitAssign(docs.filter(col("doc_id") > 20), "doc_id",
+      Seq("train" -> 800L, "val" -> 100L, "test" -> 100L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    solo.foreach { case (id, sp) => assert(out(id)._2 === sp, s"doc $id") }
+  }
+
 }

@@ -368,4 +368,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a", 6L, 600L), (2L, "b", 3L, 900L)))
     intercept[IllegalArgumentException](TextAnalysis.vocabCoverage(docs, m = 0))
   }
+  test("featureHash: local md5 replay, multiplicity, and zero-filled dims") {
+    val docs = Seq((1L, "alpha alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(docs, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def draw(tok: String): (Int, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16) % 32
+      ((h % 16).toInt, if (h >= 16) 1L else -1L)
+    }
+    def local(toks: Seq[String]): String = {
+      val v = new Array[Long](16)
+      toks.foreach { t => val (i, s) = draw(t); v(i) += s }
+      v.mkString(",")
+    }
+    assert(out(1L) === local(Seq("alpha", "alpha", "beta")))
+    assert(out(2L) === local(Seq("gamma")))
+    // every vector has exactly dim entries
+    assert(out.values.forall(_.split(",", -1).length === 16))
+    // multiplicity: "alpha alpha" contributes 2 at alpha's bucket
+    val (ia, sa) = draw("alpha")
+    assert(out(1L).split(",")(ia).toLong % 2 === 0L || draw("beta")._1 === ia)
+  }
+
 }
