@@ -108,6 +108,34 @@ object Tour {
     val hn = Similarity.hardNegatives(emb.filter(col("vec_id") < 3), emb, k = 3)
     println(s"[tour] hard negatives rows=${hn.count()}")
 
+    // round 7: span-duplication profile + banding planner + statistics
+    println(s"[tour] span-dedup docs=${Dedup.spanDedupStats(docs).count()}")
+    println(s"[tour] banding plans=${Dedup.lshBandingPlan(spark, 16, 300).count()}")
+    val cents = Tables.lineitem(spark, sf).select(
+      graft.queries.Relational.cents(col("l_quantity")).as("qty_c"),
+      graft.queries.Relational.cents(col("l_extendedprice")).as("price_c"))
+    println(s"[tour] corr pairs=${graft.operators.Profiling.corrMatrix(cents, Seq("qty_c", "price_c")).count()}")
+    println(s"[tour] pmi cells=${graft.operators.Profiling.pmiCells(docs, "lang", "source").count()}")
+    println(s"[tour] equidepth buckets=${graft.operators.Profiling.equidepthHistogramApprox(cents, "price_c", 10).count()}")
+    println(s"[tour] covariance cells=${Similarity.covarianceMatrixAgg(emb, dim = 64).count()}")
+
+    // dup-graph analytics + weighted ops + leakage-safe splits
+    val pr7 = Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300)
+    println(s"[tour] triangle nodes=${graft.operators.Graph.triangleCounts(pr7).count()}")
+    println(s"[tour] graph summary=${graft.operators.Graph.graphSummary(pr7).count()}")
+    Dedup.releaseCaches()
+    println(s"[tour] weighted sample=${graft.operators.Sampling.weightedSample(docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 20).count()}")
+    println(s"[tour] weighted containment pairs=${Dedup.weightedContainmentPairs(docs).count()}")
+    Dedup.releaseCaches()
+    println(s"[tour] feature-hash vectors=${graft.operators.TextAnalysis.featureHash(docs).count()}")
+    println(s"[tour] sketch calibration pairs=${Dedup.jaccardEstimateReport(docs, minPermille = 300).count()}")
+    Dedup.releaseCaches()
+    val csplit = graft.operators.Sampling.clusterSplitAssign(docs,
+      Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300),
+      "doc_id", Seq("train" -> 800L, "val" -> 100L, "test" -> 100L))
+    println(s"[tour] cluster-split rows=${csplit.count()}")
+    Dedup.releaseCaches()
+
     println("[tour] ok")
     spark.stop()
   }
