@@ -636,6 +636,15 @@ object SparkEntry {
         Tables.documents(s, d),
         Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2, minPermille = 300),
         "doc_id", Seq("train" -> 800L, "val" -> 100L, "test" -> 100L))),
+    // native table-generating expression (the UDTF leg): positional
+    // trigram rows straight from GenerateExec — no intermediate array
+    "x107_ngram_table"    -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("ngrams_gen(split(text, ' '), 3)").as(Seq("pos", "gram")))
+        .orderBy("doc_id", "pos")
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1743,6 +1752,15 @@ object SparkEntry {
            CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test'
            END AS split
          FROM h ORDER BY doc_id""",
+    // x107: the x68 gram position chain with STRING grams (1-based i
+    // shifted to the generator's 0-based pos), list-slice join
+    "x107_ngram_table" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         le AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 3),
+         pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - 3 + 2)) AS i FROM le)
+         SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+           array_to_string(ts[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+         FROM pos ORDER BY doc_id, pos""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

@@ -788,7 +788,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash60(args(0))),
     (FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
-      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))),
+    (FunctionIdentifier("ngrams_gen"),
+      new ExpressionInfo(classOf[NgramsGenerator].getName, "ngrams_gen"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"ngrams_gen k must be an integer literal, got $other")
+        }
+        NgramsGenerator(args(0), k)
+      }))
 
   /** Idempotent programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -13,7 +13,7 @@ class EntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
-    assert(qs.forall(_.matches("[qx][0-9]{2}_[a-z0-9_]+")))
+    assert(qs.forall(_.matches("[qx][0-9]{2,3}_[a-z0-9_]+")))
   }
 
   test("every declared query builds an executable plan at sf0.001") {

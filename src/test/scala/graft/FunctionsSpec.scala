@@ -192,4 +192,42 @@ class FunctionsSpec extends SparkSpec {
       .filter("id = 1").collect().head
     assert(m.isNullAt(0))
   }
+  test("ngrams_gen: rows match the HOF spelling; short/empty docs emit nothing") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "a b c d"), (2L, "x y"), (3L, ""), (4L, "p q r")
+    ).toDF("doc_id", "text")
+    val gen = df.select(col("doc_id"),
+        expr("ngrams_gen(split(text, ' '), 3)").as(Seq("pos", "gram")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val hof = df.select(col("doc_id"),
+        posexplode(expr(
+          "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
+            "transform(sequence(0, size(split(text, ' ')) - 3), " +
+            "i -> array_join(slice(split(text, ' '), i + 1, 3), ' ')) " +
+            "ELSE array() END").cast("array<string>")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(gen === hof)
+    assert(gen === Set(
+      (1L, 0, "a b c"), (1L, 1, "b c d"), (4L, 0, "p q r")))
+    // null text row contributes no rows
+    val withNull = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+    assert(withNull.select(expr("ngrams_gen(split(text, ' '), 2)")).count() === 0L)
+  }
+
+  test("ngrams_gen plans through GenerateExec and rejects bad arguments") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = df.select(col("doc_id"),
+        expr("ngrams_gen(split(text, ' '), 2)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    intercept[Exception] {
+      df.select(expr("ngrams_gen(doc_id, 2)")).collect()
+    }
+    intercept[Exception] {
+      df.select(expr("ngrams_gen(split(text, ' '), 0)")).collect()
+    }
+  }
+
 }
