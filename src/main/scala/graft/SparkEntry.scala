@@ -645,6 +645,43 @@ object SparkEntry {
           expr("ngrams_gen(split(text, ' '), 3)").as(Seq("pos", "gram")))
         .orderBy("doc_id", "pos")
     },
+    // bloom-pruned incremental dedup: same drop, same answer as x76 —
+    // the oracle SQL is byte-identical, proving the sketch prune is
+    // lossless while the exact anti-join sees only might-contain rows
+    "x108_bloom_newdocs"  -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.newAgainstBaseBloom(nextDrop(docs),
+        TextAnalysis.fingerprintMd5(docs).select("fp"),
+        expectedItems = 1L << 16)
+        .select("doc_id")
+    },
+    // ordered conversion funnel over the event log (strict time order,
+    // champion chaining — one user-keyed join+agg per step)
+    "x109_funnel"         -> ((s, d) =>
+      graft.operators.Behavior.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+    // weekly retention cohorts (integer epoch-anchored weeks)
+    "x110_retention"      -> ((s, d) =>
+      graft.operators.Behavior.retentionCohorts(Tables.events(s, d))),
+    // first-order event-type transition counts (lag over the per-user
+    // (ts_ns, event_id)-total-ordered stream)
+    "x111_transitions"    -> ((s, d) =>
+      graft.operators.Behavior.transitionMatrix(Tables.events(s, d))),
+    // dense per-user daily spend series: gap-fill + linear
+    // interpolation between nearest observed days, exact integer cents
+    "x112_gapfill"        -> ((s, d) =>
+      graft.operators.Behavior.gapFillInterpolate(Tables.events(s, d))),
+    // sorted-neighbourhood record linkage: customers vs a planted-typo
+    // probe side (last char mutated), blocked on the 16-char prefix,
+    // window-8 neighbourhood, levenshtein <= 1
+    "x113_sorted_linkage" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val probe = cust.filter(pmod(col("c_custkey"), lit(7L)) === 3L)
+        .withColumn("c_name",
+          concat(substring(col("c_name"), 1, 17), lit("X")))
+      graft.operators.Linkage.sortedNeighborhood(cust, probe,
+        idCol = "c_custkey", nameCol = "c_name")
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1761,6 +1798,112 @@ object SparkEntry {
          SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
            array_to_string(ts[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
          FROM pos ORDER BY doc_id, pos""",
+    // x108: byte-identical to x76 — the bloom prune must be invisible
+    // in the result (no false negatives; false positives fall to the
+    // exact anti-join)
+    "x108_bloom_newdocs" ->
+      """WITH nn AS (
+           SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 4)
+         SELECT doc_id FROM nn n
+         WHERE NOT EXISTS (SELECT 1 FROM documents b WHERE md5(b.text) = md5(n.text))
+         ORDER BY doc_id""",
+    // x109: champion chaining — each step's earliest event STRICTLY
+    // after the previous champion, compared as integer nanos
+    "x109_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.user_id AND epoch_ns(e.ts) > s1.t
+             WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.user_id AND epoch_ns(e.ts) > s2.t
+             WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+         UNION ALL
+         SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+         UNION ALL
+         SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+         ORDER BY step_idx""",
+    // x110: integer epoch-anchored weeks ((date - epoch) // 7), cohort
+    // = each user's min week, one count per (cohort, offset) cell
+    "x110_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+             CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS week
+           FROM events),
+         c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+         SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+           COUNT(*) AS n_users
+         FROM uw JOIN c ON uw.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // x111: lag over the per-user (ns, event_id) total order
+    "x111_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS prev
+           FROM events)
+         SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+         FROM o WHERE prev IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    // x112: per-event cents (order-independent), dense day grid via
+    // stop-exclusive range, nearest-observation windows with IGNORE
+    // NULLS, interpolation from exact integers rounded back to cents
+    "x112_gapfill" ->
+      """WITH daily AS (
+           SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS obs
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+           FROM daily GROUP BY 1),
+         grid AS (SELECT user_id, UNNEST(range(d0, d1 + 1)) AS day FROM span),
+         j AS (SELECT g.user_id, g.day, d.obs
+           FROM grid g LEFT JOIN daily d
+             ON g.user_id = d.user_id AND g.day = d.day),
+         n AS (SELECT user_id, day, obs,
+             last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wp AS pd,
+             last_value(obs IGNORE NULLS) OVER wp AS pc,
+             first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wn AS nd,
+             first_value(obs IGNORE NULLS) OVER wn AS nc
+           FROM j
+           WINDOW wp AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, day,
+           CASE WHEN obs IS NOT NULL THEN obs
+             ELSE CAST(FLOOR(pc + (nc - pc) * (day - pd) / (nd - pd) + 0.5) AS BIGINT)
+           END AS cents,
+           CASE WHEN obs IS NOT NULL THEN 0 ELSE 1 END AS interpolated
+         FROM n ORDER BY user_id, day""",
+    // x113: the sorted-neighbourhood replay — same block key, same
+    // (name, side, id) sort, same window-8 candidate band, same
+    // levenshtein gate
+    "x113_sorted_linkage" ->
+      """WITH u AS (
+           SELECT c_custkey AS id, c_name AS name, 'base' AS side FROM customer
+           UNION ALL
+           SELECT c_custkey, substr(c_name, 1, 17) || 'X', 'probe'
+           FROM customer WHERE c_custkey % 7 = 3),
+         r AS (SELECT *, substr(name, 1, 16) AS blk,
+             ROW_NUMBER() OVER (PARTITION BY substr(name, 1, 16)
+               ORDER BY name, side, id) AS rn
+           FROM u),
+         pairs AS (SELECT a.id, a.name, a.side, b.id AS id_b,
+             b.name AS name_b, b.side AS side_b,
+             levenshtein(a.name, b.name) AS dist
+           FROM r a JOIN r b
+             ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 8)
+         SELECT CASE WHEN side = 'base' THEN id ELSE id_b END AS base_id,
+           CASE WHEN side = 'base' THEN id_b ELSE id END AS probe_id,
+           CAST(dist AS BIGINT) AS dist
+         FROM pairs
+         WHERE side <> side_b AND dist <= 1
+         ORDER BY base_id, probe_id""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

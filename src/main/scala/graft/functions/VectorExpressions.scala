@@ -798,7 +798,26 @@ object GraftFunctions {
             s"ngrams_gen k must be an integer literal, got $other")
         }
         NgramsGenerator(args(0), k)
-      }))
+      }),
+    // Spark's own runtime-filter sketch pair, surfaced as callable
+    // functions so operators can build/apply an explicit bloom prune
+    // (see Dedup.newAgainstBaseBloom): bloom_build(xxhash64(k), items,
+    // bits) aggregates a binary sketch; bloom_might_contain(sketch,
+    // xxhash64(k)) is the codegen'd membership predicate.
+    (FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_build"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))))
 
   /** Idempotent programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit = {

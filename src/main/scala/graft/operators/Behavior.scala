@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product-analytics operators over an append-only event
+  * log — the funnel / retention / transition / gap-fill family every
+  * analytics engine ships (reference scope: the connector's event
+  * ingest, `etl_connector.py:1-242`, produces exactly this row shape;
+  * the analyses are the §2.3 "derived analytics" mandate).
+  *
+  * Shared scale shape: every operator here is keyed by the user (or
+  * user×day) column, so each stage is ONE hash shuffle on that key and
+  * AQE's exchange reuse collapses repeats of the same distribution.
+  * Nothing collects to the driver; windows are always PARTITIONed (no
+  * single-partition WindowExec). Timestamps are compared as integer
+  * nanos/micros (`ts_ns`) so results are exact and engine-portable.
+  */
+object Behavior {
+
+  /** Ordered conversion funnel: for each prefix of `steps`, the number
+    * of users with events matching the steps in STRICT time order
+    * (each step strictly after the previous step's earliest qualifying
+    * occurrence — the standard "unordered re-visits don't count"
+    * semantics).
+    *
+    * Algorithm: champion chaining. Stage 1 is `min(ts)` per user over
+    * step-1 events; stage i+1 joins step-i+1 events to the stage-i
+    * champions and keeps `min(ts > champion)`. Each stage is a
+    * filter-pushed scan + one user-keyed join/agg — at 100 TB the
+    * event scan prunes to one `event_type` partition per stage and
+    * every shuffle shares the user hash distribution.
+    *
+    * Output: (step_idx, step, n_users), one row per step, n_users
+    * non-increasing.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts_ns"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got ${steps.mkString(",")}")
+    val stages = steps.tail.scanLeft(
+      events.filter(col(typeCol) === steps.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))) {
+      (reached, step) =>
+        events.filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol).as("__t2"))
+          .join(reached, Seq(userCol))
+          .filter(col("__t2") > col("t"))
+          .groupBy(col(userCol)).agg(min("__t2").as("t"))
+    }
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy("step_idx")
+  }
+
+  /** Weekly retention cohorts: users are cohorted by the week of their
+    * FIRST event; each (cohort_week, week_offset) cell counts the
+    * cohort's users active in that later week.
+    *
+    * Weeks are `(day − epoch) div 7` with an explicit epoch date — an
+    * integer bucketing that is exact, engine-portable, and free of ISO
+    * week-boundary semantics. Two user-keyed aggregations (first week,
+    * then distinct user-weeks) and one user-keyed join — the cohort
+    * matrix itself is tiny (weeks², not rows).
+    */
+  def retentionCohorts(events: DataFrame, epoch: String = "2024-01-01",
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val week = expr(s"datediff(to_date($tsCol), DATE'$epoch') div 7")
+      .cast("long")
+    val userWeeks = events.select(col(userCol), week.as("week")).distinct()
+    val cohorts = userWeeks.groupBy(col(userCol))
+      .agg(min("week").as("cohort_week"))
+    userWeeks.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** First-order Markov transition counts between consecutive event
+    * types per user: `lag` over the (ts, event_id)-total-ordered
+    * per-user stream, then a count per (from, to) pair. One shuffle
+    * (the user-partitioned window); the output is |types|² rows.
+    * The event-id tie-break makes the order — and therefore the count
+    * matrix — deterministic even under equal timestamps.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts_ns",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Daily gap-fill + linear interpolation of each user's spend
+    * series — the time-series "make the grid dense" operator
+    * (gauge-style metrics; counts would gap-fill with 0 instead).
+    *
+    * Per user: daily totals in integer cents (per-event rounding, so
+    * the sum is order-independent), a dense `sequence(min_day,
+    * max_day)` grid, and for each missing day the linear interpolation
+    * between the nearest observed days on either side, computed from
+    * exact integers and rounded back to cents. Interior gaps always
+    * have both neighbours because the grid spans observed days only.
+    *
+    * Scale shape: the grid explode is per-user (narrow after one
+    * user-keyed agg); both neighbour scans are user-PARTITIONed
+    * running windows (`last`/`first` with ignoreNulls over
+    * UNBOUNDED PRECEDING / FOLLOWING) — no single-partition window,
+    * no self-join against the observation set.
+    *
+    * Output: (user, day, cents, interpolated 0/1) — `day` as integer
+    * days since `epoch`.
+    */
+  def gapFillInterpolate(events: DataFrame, epoch: String = "2024-01-01",
+                         userCol: String = "user_id",
+                         tsCol: String = "ts",
+                         valueCol: String = "value"): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch)))
+      .cast("long")
+    val centsPerEvent =
+      floor(col(valueCol) * lit(100d) + lit(0.5d)).cast("long")
+    val daily = events
+      .select(col(userCol), day.as("day"), centsPerEvent.as("__c"))
+      .groupBy(col(userCol), col("day")).agg(sum("__c").as("__obs"))
+    val grid = daily.groupBy(col(userCol))
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col(userCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val wPrev = Window.partitionBy(col(userCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(userCol)).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("__obs").isNotNull, col("day"))
+    grid.join(daily, Seq(userCol, "day"), "left")
+      .withColumn("__pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("__pc", last(col("__obs"), ignoreNulls = true).over(wPrev))
+      .withColumn("__nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("__nc", first(col("__obs"), ignoreNulls = true).over(wNext))
+      .select(col(userCol), col("day"),
+        when(col("__obs").isNotNull, col("__obs")).otherwise(
+          floor(col("__pc") +
+            (col("__nc") - col("__pc")) * (col("day") - col("__pd")) /
+              (col("__nd") - col("__pd")) + lit(0.5d)).cast("long"))
+          .as("cents"),
+        when(col("__obs").isNotNull, lit(0)).otherwise(lit(1))
+          .as("interpolated"))
+      .orderBy(userCol, "day")
+  }
+}

@@ -245,6 +245,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[newAgainstBase]] with a bloom-filter prune in front of the
+    * anti-join — the shape Spark's own runtime row-level filtering
+    * (`InjectRuntimeFilter`) gives equi-joins, applied here explicitly
+    * because the "which docs are genuinely new" batch-vs-corpus
+    * anti-join is THE recurring incremental-ingest query.
+    *
+    * Two phases: (1) one aggregation over the fingerprint store builds
+    * a compact bloom sketch (`BloomFilterAggregate` over `xxhash64(fp)`
+    * — Spark's sketch, sized `-n·ln(fpp)/ln²2` bits ≈ 0.9 MB per
+    * million keys at 3%); (2) the batch filters on
+    * `BloomFilterMightContain` — a codegen'd predicate — so only the
+    * ~fpp false-positive fraction plus the true duplicates reach the
+    * exact anti-join. Bloom filters have NO false negatives, so the
+    * result is bit-identical to [[newAgainstBase]] (the x108 oracle is
+    * literally x76's SQL); the win at 100 TB is that the anti-join's
+    * batch side shrinks from |batch| to |dups| + fpp·|batch| BEFORE
+    * the shuffle, and the store-side scan stays a pure aggregation
+    * (no exchange when the store is fp-bucketed, [[graft.core.Layout]]).
+    *
+    * The sketch itself crosses the driver once (`head()`) and rides
+    * the filter as a literal — the same lifecycle as a broadcast
+    * runtime filter, bounded by `numBits`, never by corpus size.
+    * Null-text rows hash to a null probe; `coalesce(…, false)` routes
+    * them to the definite-new branch, matching the anti-join's
+    * null-never-matches semantics. */
+  def newAgainstBaseBloom(newDocs: DataFrame, baseFingerprints: DataFrame,
+                          expectedItems: Long = 1L << 20,
+                          fpp: Double = 0.03): DataFrame = {
+    require(baseFingerprints.columns.contains("fp"),
+      s"fingerprint store needs an fp column, got " +
+        baseFingerprints.columns.mkString(","))
+    require(fpp > 0d && fpp < 1d, s"fpp must be in (0,1), got $fpp")
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    val numBits = math.max(64L,
+      (expectedItems * (-math.log(fpp) / (math.log(2) * math.log(2)))).toLong)
+    val sketch = baseFingerprints
+      .select(call_function("bloom_build", xxhash64(col("fp")),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val withFp = newDocs.withColumn("__fp", md5(col("text")))
+    val might = coalesce(
+      call_function("bloom_might_contain", lit(sketch),
+        xxhash64(col("__fp"))), lit(false))
+    val definiteNew = withFp.filter(!might)
+    val maybeDup = withFp.filter(might)
+      .join(baseFingerprints.select(col("fp").as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+    definiteNew.unionByName(maybeDup).drop("__fp").orderBy("doc_id")
+  }
+
   /** Symmetrized (src, dst) edges of an undirected (da, db) pair
     * graph, the shared input shape of the iterative graph operators
     * ([[connectedComponents]], [[graft.operators.Graph.pageRank]]).

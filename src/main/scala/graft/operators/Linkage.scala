@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution) between two keyed name tables —
+  * the "same real-world entity, different spelling" matcher a data
+  * pipeline runs before joining third-party records. Complements the
+  * dedup family: [[Dedup]] x84 canonicalizes KNOWN noise patterns to a
+  * hash (fuzzy-exact); this finds UNANTICIPATED noise within a bounded
+  * edit distance (fuzzy-approximate).
+  */
+object Linkage {
+
+  /** Sorted-neighbourhood linkage: union both sides, sort by name
+    * within cheap blocks, and compare each row only to its `window`
+    * successors in sort order — the classic O(n·w) alternative to the
+    * O(n²) all-pairs `levenshtein` join. Survivors are cross-side
+    * pairs within `maxDist` edits.
+    *
+    * Blocking + neighbourhood both bound the work AND the recall: a
+    * pair is found iff it shares the first `blockLen` chars and sorts
+    * within `window` rows — the standard contract (multi-pass with
+    * different keys is the standard recall remedy; one deterministic
+    * pass is enough here). At 100 TB the sort is one shuffle on
+    * (block, name) and the candidate join is an equi-join on
+    * (block, rn) after a per-row explode of `window` candidate ranks —
+    * join mass exactly n·w, no skew beyond block sizes, no windowless
+    * global sort (`row_number` runs PARTITIONed by block).
+    *
+    * Output: (base_id, probe_id, dist), one row per matched cross-side
+    * pair, deterministic under the (name, side, id) total sort order.
+    */
+  def sortedNeighborhood(base: DataFrame, probe: DataFrame,
+                         idCol: String, nameCol: String,
+                         blockLen: Int = 16, window: Int = 8,
+                         maxDist: Int = 1): DataFrame = {
+    require(blockLen > 0 && window > 0 && maxDist >= 0,
+      s"bad params: blockLen=$blockLen window=$window maxDist=$maxDist")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+        col(nameCol).as("name"), lit(tag).as("side"))
+    val u = side(base, "base").unionByName(side(probe, "probe"))
+    val w = Window.partitionBy(col("__blk"))
+      .orderBy(col("name"), col("side"), col("id"))
+    val ranked = u.withColumn("__blk", substring(col("name"), 1, blockLen))
+      .withColumn("rn", row_number().over(w))
+    val candidates = ranked.select(col("__blk"), col("name"), col("side"),
+      col("id"), explode(sequence(col("rn") + lit(1),
+        col("rn") + lit(window))).as("rn_b"))
+    val right = ranked.select(col("__blk"), col("rn").as("rn_b"),
+      col("name").as("name_b"), col("side").as("side_b"),
+      col("id").as("id_b"))
+    candidates.join(right, Seq("__blk", "rn_b"))
+      .filter(col("side") =!= col("side_b"))
+      .withColumn("dist", levenshtein(col("name"), col("name_b")))
+      .filter(col("dist") <= lit(maxDist))
+      .select(
+        when(col("side") === "base", col("id")).otherwise(col("id_b"))
+          .as("base_id"),
+        when(col("side") === "base", col("id_b")).otherwise(col("id"))
+          .as("probe_id"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("base_id", "probe_id")
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.Behavior
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user_id, event_id, ts_ns, event_type, value)
+  private def ev(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("user_id", "event_id", "ts_ns", "event_type", "value")
+
+  test("funnel counts strict-order conversions only") {
+    val events = ev(
+      // user 1: full ordered funnel
+      (1L, 1L, 100L, "view", 0), (1L, 2L, 200L, "click", 0),
+      (1L, 3L, 300L, "purchase", 0),
+      // user 2: purchase BEFORE the view → reaches step 1 only
+      (2L, 4L, 100L, "purchase", 0), (2L, 5L, 200L, "view", 0),
+      // user 3: view then click, no purchase
+      (3L, 6L, 100L, "view", 0), (3L, 7L, 150L, "click", 0),
+      // user 4: never views → not even step 1
+      (4L, 8L, 100L, "click", 0))
+    val out = Behavior.funnel(events, Seq("view", "click", "purchase"))
+      .select("step_idx", "step", "n_users")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq((1, "view", 3L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+
+  test("funnel: equal-timestamp step does NOT count (strictly after)") {
+    val events = ev(
+      (1L, 1L, 100L, "view", 0), (1L, 2L, 100L, "click", 0))
+    val out = Behavior.funnel(events, Seq("view", "click"))
+      .select("n_users").as[Long].collect().toSeq
+    assert(out === Seq(1L, 0L))
+  }
+
+  test("funnel: re-view after champion does not reset the chain") {
+    // champion view is t=100; click at 150 counts even though a later
+    // view (t=200) is closer — champions are earliest, not latest
+    val events = ev(
+      (1L, 1L, 100L, "view", 0), (1L, 2L, 200L, "view", 0),
+      (1L, 3L, 150L, "click", 0))
+    val out = Behavior.funnel(events, Seq("view", "click"))
+      .select("n_users").as[Long].collect().toSeq
+    assert(out === Seq(1L, 1L))
+  }
+
+  test("funnel validates steps") {
+    intercept[IllegalArgumentException] {
+      Behavior.funnel(ev(), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Behavior.funnel(ev(), Seq("view", "view"))
+    }
+  }
+
+  private def tsEvents(rows: (Long, String, Double)*) =
+    rows.toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+
+  test("retentionCohorts: cohort by first week, offsets count distinct users") {
+    val events = tsEvents(
+      // user 1: weeks 0 and 2 (epoch 2024-01-01)
+      (1L, "2024-01-02 10:00:00", 0), (1L, "2024-01-16 10:00:00", 0),
+      // user 2: weeks 0, 0 (dup week collapses), 1
+      (2L, "2024-01-03 10:00:00", 0), (2L, "2024-01-04 10:00:00", 0),
+      (2L, "2024-01-10 10:00:00", 0),
+      // user 3: cohort week 1 only
+      (3L, "2024-01-09 10:00:00", 0))
+    val out = Behavior.retentionCohorts(events)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("transitionMatrix counts per-user consecutive pairs, tie-broken by event_id") {
+    val events = ev(
+      (1L, 1L, 100L, "a", 0), (1L, 2L, 200L, "b", 0), (1L, 3L, 300L, "a", 0),
+      // user 2: equal ts — order is event_id 4 then 5 → (a,b) not (b,a)
+      (2L, 4L, 100L, "a", 0), (2L, 5L, 100L, "b", 0))
+    val out = Behavior.transitionMatrix(events)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("gapFillInterpolate: interior gaps interpolate linearly in cents") {
+    val events = tsEvents(
+      // user 1 observes day 1 (200.00) and day 4 (500.00): days 2,3
+      // interpolate to 300.00 and 400.00
+      (1L, "2024-01-02 09:00:00", 200.0),
+      (1L, "2024-01-05 09:00:00", 500.0),
+      // user 1, day 1, second event: totals are per-day sums
+      (1L, "2024-01-02 15:00:00", 0.005),
+      // user 2: single day → no gaps
+      (2L, "2024-01-10 12:00:00", 7.0))
+    val out = Behavior.gapFillInterpolate(events)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 20001L, 0),          // 200.00 + 0.005 rounds to 20001 cents
+      (1L, 2L, 30001L, 1),          // 20001 + (50000-20001)/3 = 30000.67
+      (1L, 3L, 40000L, 1),          // rounded toward the late observation
+      (1L, 4L, 50000L, 0),
+      (2L, 9L, 700L, 0)))
+  }
+
+  test("gapFillInterpolate emits one row per day in each user's span") {
+    val events = tsEvents(
+      (1L, "2024-01-02 09:00:00", 1.0), (1L, "2024-01-12 09:00:00", 1.0))
+    val out = Behavior.gapFillInterpolate(events)
+    assert(out.count() === 11L)
+    assert(out.filter(col("interpolated") === 1).count() === 9L)
+  }
+}

@@ -306,6 +306,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("newAgainstBaseBloom matches newAgainstBase exactly (no false negatives)") {
+    val base = (1L to 200L).map(i => i -> s"doc body $i").toDF("doc_id", "text")
+    val batch = (150L to 250L).map(i => (i + 1000L) -> s"doc body $i")
+      .toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.fingerprintMd5(base).select("fp")
+    val exact = Dedup.newAgainstBase(batch, fps).collect().map(_.getLong(0)).toSeq
+    // a deliberately TINY sketch (high fpp) still yields the identical
+    // result — false positives only cost anti-join work, never rows
+    for (items <- Seq(16L, 1L << 16)) {
+      val bloom = Dedup.newAgainstBaseBloom(batch, fps, expectedItems = items)
+        .collect().map(_.getLong(0)).toSeq
+      assert(bloom === exact, s"expectedItems=$items")
+    }
+    assert(exact === (201L to 250L).map(_ + 1000L))
+  }
+
+  test("newAgainstBaseBloom: null text routes to definite-new (anti-join semantics)") {
+    val base = Seq(1L -> "aaa").toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.fingerprintMd5(base).select("fp")
+    val batch = Seq(10L -> "aaa", 11L -> null.asInstanceOf[String])
+      .toDF("doc_id", "text")
+    val bloom = Dedup.newAgainstBaseBloom(batch, fps)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bloom === Dedup.newAgainstBase(batch, fps)
+      .collect().map(_.getLong(0)).toSeq)
+    assert(bloom === Seq(11L))
+    intercept[IllegalArgumentException] {
+      Dedup.newAgainstBaseBloom(batch, base)
+    }
+  }
+
+  test("newAgainstBaseBloom prunes: the sketch filter removes definite-new rows before the join") {
+    // with a well-sized sketch, rows whose content is certainly absent
+    // never reach the anti-join — assert via the filter's selectivity
+    // on a disjoint batch (all rows are new; might-contain ≈ fpp)
+    val base = (1L to 500L).map(i => i -> s"base $i").toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.fingerprintMd5(base).select("fp")
+    val batch = (1L to 500L).map(i => i -> s"other $i").toDF("doc_id", "text")
+    val out = Dedup.newAgainstBaseBloom(batch, fps,
+      expectedItems = 1L << 12, fpp = 0.01)
+    assert(out.count() === 500L)
+  }
+
   test("clusterSizeHistogram: chain cluster + singleton remainder, foreign ids fail loudly") {
     val docs = (1L to 6L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     // 1-2-3 chain closes to one 3-cluster; 5-6 a pair; doc 4 unpaired

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Linkage
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(rows: (Long, String)*) = rows.toDF("id", "name")
+
+  test("sortedNeighborhood links a typo'd probe to its base neighbours") {
+    val base = tbl(1L -> "alpha", 2L -> "bravo", 3L -> "citrus")
+    val probe = tbl(10L -> "bravo!")          // 1 edit from "bravo"
+    val out = Linkage.sortedNeighborhood(base, probe, "id", "name",
+      blockLen = 1, window = 4, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 10L, 1L)))
+  }
+
+  test("sortedNeighborhood is cross-side only — base-base near-dups are excluded") {
+    val base = tbl(1L -> "aaaa", 2L -> "aaab")      // 1 edit apart
+    val probe = tbl(10L -> "zzzz")                  // unrelated
+    val out = Linkage.sortedNeighborhood(base, probe, "id", "name",
+      blockLen = 1, window = 4, maxDist = 1)
+    assert(out.count() === 0L)
+  }
+
+  test("sortedNeighborhood window bounds the comparisons (documented recall limit)") {
+    // probe "abaa" is 1 edit from base "aaaa" but 3 base rows ≥2 edits
+    // away sort between them; window=1 must miss the pair, window=4
+    // finds it
+    val base = tbl(1L -> "aaaa", 2L -> "aaba", 3L -> "aabb", 4L -> "aazz")
+    val probe = tbl(10L -> "abaa")
+    def run(w: Int) = Linkage.sortedNeighborhood(base, probe, "id", "name",
+      blockLen = 1, window = w, maxDist = 1).count()
+    assert(run(1) === 0L)
+    assert(run(4) === 1L)
+  }
+
+  test("sortedNeighborhood blocking bounds the comparisons — different block, no pair") {
+    val base = tbl(1L -> "abcd")
+    val probe = tbl(10L -> "bbcd")                  // 1 edit, first char differs
+    val out = Linkage.sortedNeighborhood(base, probe, "id", "name",
+      blockLen = 1, window = 8, maxDist = 2)
+    assert(out.count() === 0L)
+  }
+
+  test("sortedNeighborhood finds pairs in either sort order") {
+    // probe sorts BEFORE its base match: pair surfaces via the probe
+    // row's forward window, output still (base_id, probe_id)
+    val base = tbl(1L -> "nnnb")
+    val probe = tbl(10L -> "nnna")
+    val out = Linkage.sortedNeighborhood(base, probe, "id", "name",
+      blockLen = 1, window = 2, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L, 1L)))
+  }
+
+  test("sortedNeighborhood rejects bad params") {
+    intercept[IllegalArgumentException] {
+      Linkage.sortedNeighborhood(tbl(), tbl(), "id", "name", window = 0)
+    }
+  }
+}
