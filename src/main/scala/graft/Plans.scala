@@ -100,7 +100,15 @@ object Plans {
       ("x102_weighted_sample", "A-ES weighted sample: md5-uniform key projected scan-side, top-k as TakeOrderedAndProject — no window, no global sort Exchange, output columns untouched",
         "x102_weighted_sample"),
       ("x103_weighted_containment", "IDF-weighted containment: vocabulary-bounded micronat weight table joins onto inverted-index rows; boilerplate carries weight 0 so its pairs die in the score, not in a df-cap heuristic — same equi-join shape and levers as x65",
-        "x103_weighted_containment"))
+        "x103_weighted_containment"),
+      ("x108_bloom_newdocs", "bloom-pruned incremental dedup: BloomFilterMightContain is a codegen'd scan-side predicate on the batch, so only dups + fpp·batch reach the anti-join shuffle; the sketch is one store aggregation, result bit-identical to x76",
+        "x108_bloom_newdocs"),
+      ("x109_funnel", "conversion funnel: each step is a filter-pushed event scan + user-keyed join/agg — every shuffle shares the user hash distribution (exchange reuse), step counts are 1-row aggregates",
+        "x109_funnel"),
+      ("x112_gapfill", "gap-fill + interpolation: per-user day grid from one keyed agg + explode; neighbour lookups are user-PARTITIONed running-frame windows (no single-partition window, no self-join against observations)",
+        "x112_gapfill"),
+      ("x113_sorted_linkage", "sorted-neighbourhood linkage: row_number windows PARTITIONed by block, candidate ranks exploded per row, pairs via (block, rn) equi-join — join mass exactly n·w, levenshtein evaluated on candidates only",
+        "x113_sorted_linkage"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")

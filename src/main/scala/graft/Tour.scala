@@ -136,6 +136,23 @@ object Tour {
     println(s"[tour] cluster-split rows=${csplit.count()}")
     Dedup.releaseCaches()
 
+    // behavioral analytics over the event log
+    val ev = Tables.events(spark, sf)
+    println(s"[tour] funnel steps=${graft.operators.Behavior.funnel(ev, Seq("view", "click", "purchase")).count()}")
+    println(s"[tour] retention cells=${graft.operators.Behavior.retentionCohorts(ev).count()}")
+    println(s"[tour] transition cells=${graft.operators.Behavior.transitionMatrix(ev).count()}")
+    println(s"[tour] gap-filled days=${graft.operators.Behavior.gapFillInterpolate(ev).count()}")
+
+    // bloom-pruned incremental dedup (lossless vs the exact anti-join)
+    val fps7 = graft.operators.TextAnalysis.fingerprintMd5(docs).select("fp")
+    println(s"[tour] bloom new-docs=${Dedup.newAgainstBaseBloom(docs.limit(50), fps7).count()} (want 0)")
+
+    // sorted-neighbourhood record linkage
+    val cust7 = Tables.customer(spark, sf)
+    val probe7 = cust7.filter(pmod(col("c_custkey"), lit(7L)) === 3L)
+      .withColumn("c_name", concat(substring(col("c_name"), 1, 17), lit("X")))
+    println(s"[tour] linkage pairs=${graft.operators.Linkage.sortedNeighborhood(cust7, probe7, "c_custkey", "c_name").count()}")
+
     println("[tour] ok")
     spark.stop()
   }

@@ -134,4 +134,34 @@ class PlanSpec extends SparkSpec {
       s"candidates come from the prefix equi-join:\n$p")
     graft.operators.Dedup.releaseCaches()
   }
+
+  test("x108: bloom prune is a scan-side predicate below the anti-join") {
+    val p = plan(SparkEntry.queries("x108_bloom_newdocs")(spark, sf))
+    assert(p.contains("might_contain"),
+      s"the sketch membership test must appear as a filter predicate:\n$p")
+    assert(p.contains("LeftAnti"),
+      "the residual exact check is still an anti-join (on the pruned side)")
+  }
+
+  test("x109: funnel step scans push the event_type predicate down") {
+    val p = plan(SparkEntry.queries("x109_funnel")(spark, sf))
+    assert(p.contains("EqualTo(event_type,view)"),
+      s"each step's type filter must reach the parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("x112: gap-fill neighbour windows are user-partitioned, never global") {
+    val p = plan(SparkEntry.queries("x112_gapfill")(spark, sf))
+    assert(p.contains("Window"), "neighbour scans must be windows, not joins")
+    assert(!p.contains("SinglePartition"),
+      s"a global window would serialize the grid through one task:\n$p")
+  }
+
+  test("x113: linkage candidates come from the (block, rn) equi-join, never all pairs") {
+    val p = plan(SparkEntry.queries("x113_sorted_linkage")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the n·w candidate band must be an equi-join:\n$p")
+    assert(p.contains("levenshtein"),
+      "the distance gate runs on banded candidates only")
+  }
 }
