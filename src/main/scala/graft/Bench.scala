@@ -72,11 +72,59 @@ object Bench {
         best = (best +: Seq.fill(2)(timeOne(n)).filter(_ >= 0)).min
       n -> (if (best < 0 || ts.exists(_ < 0)) -1.0 else best)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    // failed queries (-1 sentinel) must not subtract from the total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the COMPLETE per-query map always lands in BENCH_FULL.json next to
+    // the repo sources — the printed line is the driver contract, the
+    // file is the audit trail (the driver's capture window is finite)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), renderFull(results, sfDir))
+    println(renderLine(results, sfDir))
     spark.stop()
+  }
+
+  private def entryJson(kv: (String, Double)): String =
+    "\"" + kv._1 + f"""\":${kv._2}%.3f"""
+
+  /** Complete results as pretty-enough JSON (one query per line). */
+  def renderFull(results: Seq[(String, Double)], sfDir: String): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    results.map(e => "    " + entryJson(e)).mkString(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",%n  "queries":{%n""",
+      ",\n", "\n  }\n}\n")
+  }
+
+  /** The ONE printed JSON line, bounded to `budget` chars.
+    *
+    * The driver parses this line out of a bounded tail capture of the
+    * sbt output (observed window: 2000 chars, with sbt's own
+    * "[success] Total time" trailer inside it). Round 7's 113-query
+    * line overran that window and the round lost its parsed bench —
+    * so the line is now a hard-budgeted artifact: failures (-1) and
+    * the slowest queries keep their full names, the fastest remainder
+    * collapses into {"fast_n": count, "fast_sum": seconds}, and the
+    * complete map lives in BENCH_FULL.json (pointed to by "full").
+    * Totals are identical between the two renderings. */
+  def renderLine(results: Seq[(String, Double)], sfDir: String,
+                 budget: Int = 1700): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def render(kept: Seq[(String, Double)], dropped: Seq[(String, Double)]): String = {
+      val qs = kept.sortBy(_._1).map(entryJson).mkString("{", ",", "}")
+      val rest =
+        if (dropped.isEmpty) ""
+        else f""","fast_n":${dropped.size},"fast_sum":${dropped.map(_._2).filter(_ >= 0).sum}%.3f,"full":"BENCH_FULL.json""""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$rest,"sf":"$sfDir"}"""
+    }
+    // retention priority: failures are findings and must never be
+    // summarized away; then slowest-first (the queries a plan audit
+    // actually reads); sub-budget runs keep every name
+    val prio = results.sortBy { case (_, v) =>
+      -(if (v < 0) Double.MaxValue else v)
+    }
+    var k = prio.size
+    var line = render(prio.take(k), prio.drop(k))
+    while (line.length > budget && k > 0) {
+      k -= 1
+      line = render(prio.take(k), prio.drop(k))
+    }
+    line
   }
 }

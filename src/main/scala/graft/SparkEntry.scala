@@ -682,6 +682,28 @@ object SparkEntry {
       graft.operators.Linkage.sortedNeighborhood(cust, probe,
         idCol = "c_custkey", nameCol = "c_name")
     },
+    // directional window-3 token co-occurrence (word2vec/GloVe prep):
+    // pair derivation rides the scan row-locally, ONE vocabulary²-
+    // bounded groupBy, minCount prunes after counting (no false negs)
+    "x114_skipgram"       -> ((s, d) =>
+      TextAnalysis.skipgramCounts(Tables.documents(s, d), window = 3,
+        minCount = 5L)),
+    // one-row Zipf power-law fit over the top-100 token frequencies —
+    // the corpus-health slope (natural text ≈ −1); top-V cut BEFORE
+    // the rank window so the regression sees ≤V rows
+    "x115_zipf_fit"       -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), topV = 100)),
+    // per-type daily volume z-gate (feed went dark / double-send
+    // detector): one (type, day) agg, stats window over that bounded
+    // table, exact-integer z ingredients, flag column kept auditable
+    "x116_daily_anomaly"  -> ((s, d) =>
+      graft.operators.Behavior.dailyVolumeAnomaly(Tables.events(s, d),
+        zMilliBar = 1500L)),
+    // top-20 three-step event paths (sequence mining beyond x111's
+    // pairs): one user-keyed window shuffle, TakeOrderedAndProject cut
+    "x117_event_paths"    -> ((s, d) =>
+      graft.operators.Behavior.pathsTopK(Tables.events(s, d), k = 20,
+        len = 3)),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1904,6 +1926,71 @@ object SparkEntry {
          FROM pairs
          WHERE side <> side_b AND dist <= 1
          ORDER BY base_id, probe_id""",
+    // x114: positional token table via the x107 range-UNNEST chain,
+    // offsets 1..3 as a second UNNEST, pair counts with the same
+    // HAVING bar as the Spark minCount
+    "x114_skipgram" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         pos AS (SELECT ts, UNNEST(range(1, len(ts) + 1)) AS i FROM toks),
+         off AS (SELECT ts, i, UNNEST(range(1, 4)) AS o FROM pos)
+         SELECT ts[CAST(i AS INTEGER)] AS a,
+           ts[CAST(i + o AS INTEGER)] AS b, COUNT(*) AS n
+         FROM off WHERE i + o <= len(ts)
+         GROUP BY 1, 2 HAVING COUNT(*) >= 5
+         ORDER BY a, b""",
+    // x115: identical regression-sum tree — ONE ln per kept row, five
+    // sums, one divide each for slope/intercept, milli floor
+    "x115_zipf_fit" ->
+      """WITH c AS (SELECT tok, COUNT(*) AS n
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY 1),
+         top AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r
+           FROM c ORDER BY n DESC, tok LIMIT 100),
+         xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+                       ln(CAST(n AS DOUBLE)) AS y FROM top),
+         s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d, SUM(x) AS sx,
+                 SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM xy),
+         f AS (SELECT d, sx, sy,
+                 (d*sxy - sx*sy) / (d*sxx - sx*sx) AS slope FROM s)
+         SELECT CAST(d AS BIGINT) AS v,
+           CAST(FLOOR(slope * 1000 + 0.5) AS BIGINT) AS slope_milli,
+           CAST(FLOOR((sy - slope*sx) / d * 1000 + 0.5) AS BIGINT)
+             AS intercept_milli
+         FROM f""",
+    // x116: exact-integer z ingredients (n·d − Σn, d·Σn² − (Σn)²),
+    // one sqrt + one divide, milli floor; zero-variance series pin 0
+    "x116_daily_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, day, n,
+             n * (COUNT(*) OVER w) - (SUM(n) OVER w) AS num,
+             (COUNT(*) OVER w) * (SUM(n*n) OVER w)
+               - (SUM(n) OVER w) * (SUM(n) OVER w) AS rad
+           FROM daily WINDOW w AS (PARTITION BY event_type)),
+         z AS (SELECT event_type, day, n,
+             CASE WHEN rad = 0 THEN 0
+               ELSE CAST(FLOOR(1000 * num / SQRT(CAST(rad AS DOUBLE)) + 0.5)
+                 AS BIGINT) END AS z_milli
+           FROM st)
+         SELECT event_type, day, n, z_milli,
+           CASE WHEN ABS(z_milli) >= 1500 THEN 1 ELSE 0 END AS is_anomaly
+         FROM z ORDER BY event_type, day""",
+    // x117: two leads over the x111 (ns, event_id) total order; the
+    // LIMIT boundary is deterministic via the full (n DESC, path)
+    // tie-break
+    "x117_event_paths" ->
+      """WITH o AS (SELECT event_type AS step1,
+             lead(event_type, 1) OVER w AS step2,
+             lead(event_type, 2) OVER w AS step3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+         SELECT step1, step2, step3, COUNT(*) AS n
+         FROM o WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, step1, step2, step3
+         LIMIT 20""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

@@ -158,4 +158,82 @@ object Behavior {
           .as("interpolated"))
       .orderBy(userCol, "day")
   }
+
+  /** Per-series daily volume anomaly gate: each (event_type, day)
+    * count z-scored against ITS OWN type's distribution over days —
+    * the ops-monitoring twin of `TextAnalysis.madOutliers` (that one
+    * fences a static corpus robustly; this one flags feed-volume
+    * regressions, the "source went dark / started double-sending"
+    * check every 100 TB ingest runs daily).
+    *
+    * Exactness: counts are integers, so every z ingredient is an exact
+    * integer — z = (n·d − Σn) / √(d·Σn² − (Σn)²) — and both engines
+    * compute ONE sqrt, ONE divide, then floor(x·1000 + 0.5) to
+    * milli-z. Constant series (zero variance) pin z to 0 instead of
+    * dividing by zero. ANSI-safe to d·Σn² < 2⁶³ ≈ 3·10⁹ events/day
+    * over a decade; beyond that the same formula runs in DECIMAL(38,0).
+    *
+    * Scale shape: ONE (type, day) aggregation with map-side combine
+    * collapses the event scan to a |types|·|days|-bounded table; the
+    * stats window runs over THAT table partitioned by type — never
+    * data-scale rows through a window. Output keeps every cell (flag
+    * column, no filter) so the gate is auditable.
+    */
+  def dailyVolumeAnomaly(events: DataFrame, epoch: String = "2024-01-01",
+                         zMilliBar: Long = 2000L,
+                         typeCol: String = "event_type",
+                         tsCol: String = "ts"): DataFrame = {
+    require(zMilliBar > 0, s"zMilliBar must be positive, got $zMilliBar")
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
+    val daily = events.select(col(typeCol), day.as("day"))
+      .groupBy(col(typeCol), col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol))
+    val d  = count(lit(1)).over(w)
+    val s1 = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    daily
+      .withColumn("__num", col("n") * d - s1)
+      .withColumn("__rad", d * s2 - s1 * s1)
+      .withColumn("z_milli",
+        when(col("__rad") === 0L, lit(0L)).otherwise(
+          floor(lit(1000d) * col("__num") /
+            sqrt(col("__rad").cast("double")) + lit(0.5d)).cast("long")))
+      .select(col(typeCol), col("day"), col("n"), col("z_milli"),
+        when(abs(col("z_milli")) >= zMilliBar, lit(1)).otherwise(lit(0))
+          .as("is_anomaly"))
+      .orderBy(typeCol, "day")
+  }
+
+  /** Top-k most common length-`len` event-type paths (sequential
+    * pattern mining, first-order beyond `transitionMatrix`'s pairs):
+    * sliding windows of consecutive event types per user — the "what
+    * do users actually do in three steps" query product analytics
+    * asks right after the funnel tells them WHERE users drop.
+    *
+    * One user-PARTITIONed window shuffle ((ts_ns, event_id) total
+    * order — deterministic under equal timestamps) derives the `len−1`
+    * lead columns row-locally; the count table is ≤|types|^len rows
+    * with map-side combine, and the top-k cut is a
+    * TakeOrderedAndProject (never a global sort). Ties break
+    * deterministically by the path itself.
+    */
+  def pathsTopK(events: DataFrame, k: Int = 20, len: Int = 3,
+                userCol: String = "user_id", typeCol: String = "event_type",
+                tsCol: String = "ts_ns", idCol: String = "event_id"): DataFrame = {
+    require(len >= 2, s"paths need len >= 2, got $len")
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val stepCols = (1 until len).map(i => s"step${i + 1}")
+    val withLeads = stepCols.zipWithIndex.foldLeft(
+      events.select(col(userCol), col(typeCol).as("step1"),
+        col(tsCol), col(idCol))) { case (df, (name, i)) =>
+      df.withColumn(name, lead(col("step1"), i + 1).over(w))
+    }
+    val paths = ("step1" +: stepCols).map(col)
+    withLeads
+      .filter(stepCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(paths: _*).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc +: paths.map(_.asc): _*)
+      .limit(k)
+  }
 }

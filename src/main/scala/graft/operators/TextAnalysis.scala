@@ -780,4 +780,73 @@ object TextAnalysis {
           .as("fh_csv"))
       .orderBy("doc_id")
   }
+
+  /** Skip-gram co-occurrence counts (word2vec / GloVe preparation):
+    * directional token pairs (a at position i, b at i+1 … i+window)
+    * with corpus frequency ≥ minCount — the co-occurrence matrix that
+    * seeds every classical embedding trainer and doubles as a
+    * collocation detector on a crawl.
+    *
+    * Scale shape: the pair derivation rides the scan as a row-local
+    * HOF chain (sequence → slice → struct — no self-join, no window,
+    * no shuffle before aggregation); the ONE shuffle is the pair
+    * groupBy with map-side combine, bounded by |vocab|²·window — and
+    * in practice by the Zipf mass, the same vocabulary-bounded shape
+    * as `heavyHitters`. minCount prunes the long tail AFTER the
+    * count (no false negatives); at web scale the standard extra
+    * lever is pre-filtering both endpoints to the `vocabEncode`
+    * top-V vocabulary, which caps the key space at V²·window.
+    */
+  def skipgramCounts(docs: DataFrame, window: Int, minCount: Long): DataFrame = {
+    require(window >= 1, s"window ($window) must be >= 1")
+    require(minCount >= 1, s"minCount ($minCount) must be >= 1")
+    docs.select(split(col("text"), " ").as("ts"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(ts) - 1),
+           |  i -> transform(slice(ts, i + 2, $window),
+           |         b -> named_struct('a', ts[i], 'b', b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy("a", "b")
+  }
+
+  /** Zipf power-law fit over token frequencies: least-squares slope
+    * and intercept of ln(freq) on ln(rank) across the top-V tokens —
+    * the one-row corpus health check (natural text sits near slope
+    * −1; a template-heavy or deduplicated-to-death corpus drifts off
+    * it, and the fit quantifies that drift).
+    *
+    * The count table is vocabulary-bounded with map-side combine; the
+    * top-V cut is a TakeOrderedAndProject BEFORE the rank window, so
+    * the (single-partition) window and the regression see ≤V rows —
+    * driver-scale by construction, like `vocabCoverage`. Float
+    * discipline: ONE ln per kept row, the regression's five sums over
+    * ≤V doubles, one divide each for slope/intercept, then
+    * floor(x·1000 + 0.5) — the x51/x82 millinat pattern.
+    */
+  def zipfFit(docs: DataFrame, topV: Int): DataFrame = {
+    require(topV >= 2, s"topV ($topV) must be >= 2 to fit a line")
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Window.orderBy(col("n").desc, col("tok"))
+    val xy = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(topV)
+      .withColumn("r", row_number().over(byFreq))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("d"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("slope",
+        (col("d") * col("sxy") - col("sx") * col("sy")) /
+          (col("d") * col("sxx") - col("sx") * col("sx")))
+      .select(col("d").cast("long").as("v"),
+        floor(col("slope") * lit(1000d) + lit(0.5d)).cast("long")
+          .as("slope_milli"),
+        floor((col("sy") - col("slope") * col("sx")) / col("d") * lit(1000d)
+          + lit(0.5d)).cast("long").as("intercept_milli"))
+  }
 }

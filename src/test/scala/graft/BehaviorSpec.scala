@@ -112,4 +112,61 @@ class BehaviorSpec extends SparkSpec {
     assert(out.count() === 11L)
     assert(out.filter(col("interpolated") === 1).count() === 9L)
   }
+
+  private def typedEvents(rows: (String, String)*) =
+    rows.toDF("event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+
+  test("dailyVolumeAnomaly: exact z from integer sums, spike flagged") {
+    // type a: counts 2,2,2,2,7 over days 1..5 → d=5, Σn=15, Σn²=65,
+    // rad=5·65−225=100, √=10; z(2)=(10−15)/10=−0.5 → −500 milli;
+    // z(7)=(35−15)/10=2.0 → 2000 milli ≥ 1500 bar → flagged
+    val rows =
+      (1 to 4).flatMap(d => Seq.fill(2)(("a", f"2024-01-0${d + 1}%d 10:00:00"))) ++
+        Seq.fill(7)(("a", "2024-01-06 10:00:00"))
+    val out = Behavior.dailyVolumeAnomaly(typedEvents(rows: _*), zMilliBar = 1500L)
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      ("a", 1L, 2L, -500L, 0), ("a", 2L, 2L, -500L, 0),
+      ("a", 3L, 2L, -500L, 0), ("a", 4L, 2L, -500L, 0),
+      ("a", 5L, 7L, 2000L, 1)))
+  }
+
+  test("dailyVolumeAnomaly: constant series pins z to 0, never flags") {
+    val rows = (1 to 3).map(d => ("b", f"2024-01-0${d + 1}%d 10:00:00"))
+    val out = Behavior.dailyVolumeAnomaly(typedEvents(rows: _*))
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    assert(out.map(_._4).forall(_ == 0L))
+    assert(out.map(_._5).forall(_ == 0))
+  }
+
+  test("pathsTopK: sliding windows per user, frequency-then-path order") {
+    val events = ev(
+      // user 1: a→b→c→d yields paths abc, bcd
+      (1L, 1L, 100L, "a", 0), (1L, 2L, 200L, "b", 0),
+      (1L, 3L, 300L, "c", 0), (1L, 4L, 400L, "d", 0),
+      // user 2: a→b→c again → abc count 2
+      (2L, 5L, 100L, "a", 0), (2L, 6L, 200L, "b", 0),
+      (2L, 7L, 300L, "c", 0))
+    val out = Behavior.pathsTopK(events, k = 20, len = 3)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(out === Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+    // the top-k cut respects the (n DESC, path) order
+    val top1 = Behavior.pathsTopK(events, k = 1, len = 3)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(top1 === Seq(("a", "b", "c", 2L)))
+  }
+
+  test("pathsTopK: equal timestamps order by event_id (deterministic)") {
+    val events = ev(
+      (1L, 1L, 100L, "x", 0), (1L, 2L, 100L, "y", 0), (1L, 3L, 100L, "z", 0))
+    val out = Behavior.pathsTopK(events, k = 5, len = 3)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(out === Seq(("x", "y", "z", 1L)))
+  }
+
+  test("pathsTopK validates arguments") {
+    intercept[IllegalArgumentException] { Behavior.pathsTopK(ev(), len = 1) }
+    intercept[IllegalArgumentException] { Behavior.pathsTopK(ev(), k = 0) }
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The bench line is a driver-parsed artifact with a hard size ceiling
+  * (the driver reads it out of a bounded tail capture — round 7's
+  * full-board line overran the window and the round lost its parsed
+  * bench). These tests pin the contract: always valid JSON, always
+  * under budget, failures never summarized away, totals identical
+  * between the printed line and the BENCH_FULL.json rendering. */
+class BenchSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  private def fakeResults(n: Int): Seq[(String, Double)] =
+    (0 until n).map { i =>
+      f"x$i%03d_some_longer_operator_name" -> (0.05 + (i % 37) * 0.1)
+    }
+
+  test("line stays under budget at 200 queries and parses as JSON") {
+    val line = Bench.renderLine(fakeResults(200), "/root/testdata/sf0.1")
+    assert(line.length <= 1700, s"line length ${line.length}")
+    assert(line.startsWith("{\"metric\":\"total\""))
+    assert(!line.contains('\n'))
+    val node = mapper.readTree(line)
+    assert(node.get("unit").asText() == "sec")
+    assert(node.get("queries").size() > 0)
+    // summarized remainder must be declared, with the full-map pointer
+    assert(node.get("fast_n").asInt() > 0)
+    assert(node.get("full").asText() == "BENCH_FULL.json")
+  }
+
+  test("small boards keep every query name with no summary keys") {
+    val rs = fakeResults(10)
+    val line = Bench.renderLine(rs, "/tmp/sf")
+    val node = mapper.readTree(line)
+    assert(node.get("queries").size() == 10)
+    assert(node.get("fast_n") == null)
+  }
+
+  test("printed total equals full-file total and skips failures") {
+    val rs = fakeResults(150) :+ ("x999_failed" -> -1.0)
+    val line = Bench.renderLine(rs, "/tmp/sf")
+    val full = mapper.readTree(Bench.renderFull(rs, "/tmp/sf"))
+    val node = mapper.readTree(line)
+    assert(math.abs(node.get("value").asDouble() - full.get("value").asDouble()) < 1e-9)
+    val expected = rs.map(_._2).filter(_ >= 0).sum
+    assert(math.abs(node.get("value").asDouble() - expected) < 1e-3)
+    // the -1 failure sentinel survives summarization (it is a finding)
+    assert(node.get("queries").get("x999_failed") != null)
+    assert(node.get("queries").get("x999_failed").asDouble() == -1.0)
+    // fast_sum + kept values reconstruct the total
+    val keptSum = {
+      val it = node.get("queries").properties().iterator()
+      var s = 0.0
+      while (it.hasNext) { val e = it.next(); if (e.getValue.asDouble() >= 0) s += e.getValue.asDouble() }
+      s
+    }
+    val fastSum = Option(node.get("fast_sum")).map(_.asDouble()).getOrElse(0.0)
+    assert(math.abs(keptSum + fastSum - expected) < 0.01)
+  }
+
+  test("full rendering lists every query") {
+    val rs = fakeResults(137)
+    val full = mapper.readTree(Bench.renderFull(rs, "/tmp/sf"))
+    assert(full.get("queries").size() == 137)
+  }
+}

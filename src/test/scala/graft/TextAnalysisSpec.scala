@@ -393,4 +393,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).split(",")(ia).toLong % 2 === 0L || draw("beta")._1 === ia)
   }
 
+  test("skipgramCounts: directional window pairs, hand-enumerated") {
+    // "a b c a", window 2: pos1 a→{b,c}, pos2 b→{c,a}, pos3 c→{a}
+    val out = TextAnalysis.skipgramCounts(docs(1L -> "a b c a"),
+        window = 2, minCount = 1L)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L),
+      ("b", "c", 1L), ("c", "a", 1L)))
+  }
+
+  test("skipgramCounts: minCount prunes after counting; window 1 = bigrams") {
+    val out = TextAnalysis.skipgramCounts(
+      docs(1L -> "x x x", 2L -> "x y"), window = 1, minCount = 2L)
+      .as[(String, String, Long)].collect().toSeq
+    // (x,x) appears twice in doc 1; (x,y) once → pruned
+    assert(out === Seq(("x", "x", 2L)))
+  }
+
+  test("skipgramCounts: pairs never cross document boundaries") {
+    val out = TextAnalysis.skipgramCounts(
+      docs(1L -> "a b", 2L -> "c d"), window = 3, minCount = 1L)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(("a", "b", 1L), ("c", "d", 1L)))
+  }
+
+  test("zipfFit: a perfect C/r corpus fits slope −1 exactly") {
+    // freqs 6,3,2 = 6/r for ranks 1..3 → ln n = ln 6 − ln r: slope −1,
+    // intercept ln 6 = 1.79176 → milli-floor 1792
+    val text = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .mkString(" ")
+    val out = TextAnalysis.zipfFit(docs(1L -> text), topV = 100)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((3L, -1000L, 1792L)))
+  }
+
+  test("zipfFit: topV cuts by (n DESC, tok) before the fit") {
+    // four tokens, topV=2 keeps the two most frequent only → v=2
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq("c", "d"))
+      .mkString(" ")
+    val out = TextAnalysis.zipfFit(docs(1L -> text), topV = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.head._1 === 2L)
+    // ranks (1,2) with freqs (8,4): slope = (ln4−ln8)/(ln2−ln1) = −1
+    assert(out.head._2 === -1000L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.zipfFit(docs(1L -> "a"), topV = 1)
+    }
+  }
 }
