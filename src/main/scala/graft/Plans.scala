@@ -108,7 +108,11 @@ object Plans {
       ("x112_gapfill", "gap-fill + interpolation: per-user day grid from one keyed agg + explode; neighbour lookups are user-PARTITIONed running-frame windows (no single-partition window, no self-join against observations)",
         "x112_gapfill"),
       ("x113_sorted_linkage", "sorted-neighbourhood linkage: row_number windows PARTITIONed by block, candidate ranks exploded per row, pairs via (block, rn) equi-join — join mass exactly n·w, levenshtein evaluated on candidates only",
-        "x113_sorted_linkage"))
+        "x113_sorted_linkage"),
+      ("x114_skipgram", "skip-gram co-occurrence: pair generation is a row-local HOF chain riding the scan (Generate over the flattened pair array — no self-join, no window); the ONE Exchange is the vocabulary-bounded pair groupBy with map-side partial counts",
+        "x114_skipgram"),
+      ("x117_event_paths", "path mining: len−1 leads off ONE user-partitioned window shuffle, |types|^len-bounded count table with map-side combine, top-k as TakeOrderedAndProject — no global sort",
+        "x117_event_paths"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")

@@ -153,6 +153,12 @@ object Tour {
       .withColumn("c_name", concat(substring(col("c_name"), 1, 17), lit("X")))
     println(s"[tour] linkage pairs=${graft.operators.Linkage.sortedNeighborhood(cust7, probe7, "c_custkey", "c_name").count()}")
 
+    // round 8: co-occurrence, corpus-health fit, ops gates, path mining
+    println(s"[tour] skipgram pairs=${graft.operators.TextAnalysis.skipgramCounts(docs, window = 3, minCount = 5L).count()}")
+    println(s"[tour] zipf fit rows=${graft.operators.TextAnalysis.zipfFit(docs, topV = 100).count()}")
+    println(s"[tour] daily-anomaly cells=${graft.operators.Behavior.dailyVolumeAnomaly(ev).count()}")
+    println(s"[tour] top event paths=${graft.operators.Behavior.pathsTopK(ev, k = 10).count()}")
+
     println("[tour] ok")
     spark.stop()
   }

@@ -164,4 +164,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("levenshtein"),
       "the distance gate runs on banded candidates only")
   }
+
+  test("x114: skip-gram pairs derive row-locally — a Generate, never a join or window") {
+    val p = plan(SparkEntry.queries("x114_skipgram")(spark, sf))
+    assert(p.contains("Generate"),
+      s"pair derivation must be the exploded HOF chain riding the scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"a positional self-join would shuffle the corpus twice:\n$p")
+    assert(!p.contains("Window"),
+      "no window function belongs in the pair derivation")
+  }
+
+  test("x117: path mining windows are user-partitioned and the cut is TakeOrdered") {
+    val p = plan(SparkEntry.queries("x117_event_paths")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must never be a global sort:\n$p")
+    assert(p.contains("Window") && !p.contains("SinglePartition"),
+      s"the lead derivation must be a user-PARTITIONed window:\n$p")
+  }
 }
