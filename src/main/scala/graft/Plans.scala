@@ -112,7 +112,9 @@ object Plans {
       ("x114_skipgram", "skip-gram co-occurrence: pair generation is a row-local HOF chain riding the scan (Generate over the flattened pair array — no self-join, no window); the ONE Exchange is the vocabulary-bounded pair groupBy with map-side partial counts",
         "x114_skipgram"),
       ("x117_event_paths", "path mining: len−1 leads off ONE user-partitioned window shuffle, |types|^len-bounded count table with map-side combine, top-k as TakeOrderedAndProject — no global sort",
-        "x117_event_paths"))
+        "x117_event_paths"),
+      ("x119_fk_audit", "FK audit: every edge's parent collapses to DISTINCT keys BEFORE its LEFT ANTI join — the shuffles carry key bytes, never parent rows; the per-edge scalars meet in 1×1 joins",
+        "x119_fk_audit"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")

@@ -704,6 +704,25 @@ object SparkEntry {
     "x117_event_paths"    -> ((s, d) =>
       graft.operators.Behavior.pathsTopK(Tables.events(s, d), k = 20,
         len = 3)),
+    // burst debounce (double-click/retry-storm suppression): keep the
+    // first event of each ≤1-day-step burst per (user, type); flag,
+    // don't drop, so the operator is its own audit
+    "x118_debounce"       -> ((s, d) =>
+      graft.operators.Behavior.debounce(Tables.events(s, d),
+        gapNs = 86400L * 1000 * 1000 * 1000)),
+    // referential-integrity audit over the star schema; the orders
+    // parent is deliberately holed (every 100th key dropped) so the
+    // lineitem edge shows real orphans while the intact edges read 0
+    "x119_fk_audit"       -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      graft.operators.Profiling.fkAudit(Seq(
+        ("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          orders.filter(pmod(col("o_orderkey"), lit(100L)) =!= 0L), "o_orderkey"),
+        ("orders->customer", orders, "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")))
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -1991,6 +2010,49 @@ object SparkEntry {
          GROUP BY 1, 2, 3
          ORDER BY n DESC, step1, step2, step3
          LIMIT 20""",
+    // x118: the same lag rule over the same (user, type, ns, id) total
+    // order; keep-first-of-burst ≡ "within gap of predecessor"
+    "x118_debounce" ->
+      """WITH o AS (SELECT event_id, user_id, event_type,
+             epoch_ns(ts) AS t,
+             lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_ns(ts), event_id) AS prev
+           FROM events)
+         SELECT event_id, user_id, event_type,
+           CASE WHEN prev IS NOT NULL AND t - prev <= 86400000000000
+             THEN 1 ELSE 0 END AS suppressed
+         FROM o ORDER BY event_id""",
+    // x119: per-edge NOT IN over the same holed parent; COUNT FILTER
+    // keeps every column BIGINT (no HUGEINT→float drift), integer
+    // permille with the all-null guard
+    "x119_fk_audit" ->
+      """WITH po AS (SELECT DISTINCT o_orderkey AS k FROM orders
+             WHERE o_orderkey % 100 <> 0),
+         e1 AS (SELECT 'lineitem->orders' AS relation,
+             COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS n_null_keys,
+             COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
+               AND l_orderkey NOT IN (SELECT k FROM po)) AS n_orphans
+           FROM lineitem),
+         e2 AS (SELECT 'orders->customer', COUNT(*),
+             COUNT(*) FILTER (WHERE o_custkey IS NULL),
+             COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                     WHERE c_custkey IS NOT NULL))
+           FROM orders),
+         e3 AS (SELECT 'customer->nation', COUNT(*),
+             COUNT(*) FILTER (WHERE c_nationkey IS NULL),
+             COUNT(*) FILTER (WHERE c_nationkey IS NOT NULL
+               AND c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                       WHERE n_nationkey IS NOT NULL))
+           FROM customer),
+         u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+               UNION ALL SELECT * FROM e3)
+         SELECT relation, n_rows, n_null_keys, n_orphans,
+           CASE WHEN n_rows = n_null_keys THEN 0
+             ELSE (n_orphans * 1000) // (n_rows - n_null_keys) END
+             AS orphan_permille
+         FROM u ORDER BY relation""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

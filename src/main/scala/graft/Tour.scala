@@ -158,6 +158,8 @@ object Tour {
     println(s"[tour] zipf fit rows=${graft.operators.TextAnalysis.zipfFit(docs, topV = 100).count()}")
     println(s"[tour] daily-anomaly cells=${graft.operators.Behavior.dailyVolumeAnomaly(ev).count()}")
     println(s"[tour] top event paths=${graft.operators.Behavior.pathsTopK(ev, k = 10).count()}")
+    println(s"[tour] debounce suppressed=${graft.operators.Behavior.debounce(ev, gapNs = 86400L * 1000 * 1000 * 1000).filter(col("suppressed") === 1).count()}")
+    println(s"[tour] fk-audit edges=${graft.operators.Profiling.fkAudit(Seq(("orders->customer", Tables.orders(spark, sf), "o_custkey", Tables.customer(spark, sf), "c_custkey"))).count()}")
 
     println("[tour] ok")
     spark.stop()

@@ -204,6 +204,39 @@ object Behavior {
       .orderBy(typeCol, "day")
   }
 
+  /** Burst debounce: within each (user, event_type) stream, suppress
+    * every event that follows its predecessor by ≤ `gapNs` — keeping
+    * exactly the FIRST event of each burst (double-click / retry-storm
+    * suppression, the event-log twin of content dedup). Keep-first-of-
+    * burst is deliberately the lag-based rule: a burst is a maximal
+    * chain of ≤gap steps (the x48 gaps-and-islands boundary), so the
+    * decision is one `lag` comparison — deterministic, engine-portable,
+    * and O(1) per row. (The alternative "re-arm only after gap from the
+    * last KEPT event" needs a sequential scan; at 100 TB that is a
+    * per-key stateful pass — see `EventStreams` for the streaming
+    * form — and rarely what click-dedup means.)
+    *
+    * One user×type-PARTITIONed window shuffle, (ts_ns, event_id) total
+    * order for equal-timestamp determinism; every event keeps a
+    * `suppressed` flag rather than being dropped, so the operator
+    * doubles as its own audit (filter `suppressed = 0` for the clean
+    * stream).
+    */
+  def debounce(events: DataFrame, gapNs: Long,
+               userCol: String = "user_id", typeCol: String = "event_type",
+               tsCol: String = "ts_ns", idCol: String = "event_id"): DataFrame = {
+    require(gapNs > 0, s"gapNs must be positive, got $gapNs")
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol), col(idCol))
+    events.select(col(idCol), col(userCol), col(typeCol), col(tsCol))
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .select(col(idCol), col(userCol), col(typeCol),
+        when(col("__prev").isNotNull &&
+          col(tsCol) - col("__prev") <= gapNs, lit(1)).otherwise(lit(0))
+          .as("suppressed"))
+      .orderBy(idCol)
+  }
+
   /** Top-k most common length-`len` event-type paths (sequential
     * pattern mining, first-order beyond `transitionMatrix`'s pairs):
     * sliding windows of consecutive event types per user — the "what

@@ -297,4 +297,40 @@ object Profiling {
         min(valueCol).as("lo"), max(valueCol).as("hi"))
       .orderBy("bucket")
   }
+
+  /** Referential-integrity audit: for each declared FK edge
+    * (name, child, childKey, parent, parentKey), one row of
+    * (relation, n_rows, n_null_keys, n_orphans, orphan_permille) —
+    * the "did the snapshot lose rows / did ingest break a join key"
+    * report a star-schema warehouse runs after every load, and the
+    * check that decides whether a downstream join's row loss is a bug
+    * or pre-existing orphanage.
+    *
+    * Scale shape per edge: the parent side collapses to DISTINCT keys
+    * BEFORE the join (the anti-join shuffles key bytes, never parent
+    * rows); the child side ships (key) pairs only. NULL child keys are
+    * counted separately, not as orphans — SQL join semantics already
+    * exclude them and conflating the two hides different bugs. The
+    * |edges|-row result unions driver-free.
+    */
+  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "fkAudit needs at least one FK edge")
+    require(edges.map(_._1).distinct.size == edges.size,
+      "fkAudit edge names must be distinct")
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      val keys = child.select(col(childKey).as("__k"))
+      val parentKeys = parent.select(col(parentKey).as("__k")).distinct()
+      val orphans = keys.filter(col("__k").isNotNull)
+        .join(parentKeys, Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      keys.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+        .crossJoin(orphans) // 1×1 — the x29 recall-combine shape
+        .select(lit(name).as("relation"), col("n_rows"), col("n_null_keys"),
+          col("n_orphans"),
+          when(col("n_rows") === col("n_null_keys"), lit(0L)).otherwise(
+            expr("(n_orphans * 1000) div (n_rows - n_null_keys)"))
+            .as("orphan_permille"))
+    }.reduce(_.unionByName(_)).orderBy("relation")
+  }
 }

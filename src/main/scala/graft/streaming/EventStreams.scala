@@ -169,6 +169,40 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming burst debounce — the in-flight twin of
+    * `Behavior.debounce`: per (user, event_type) key, an event is
+    * flagged suppressed when it follows the previously-seen event of
+    * the same key by ≤ gapNs (keep-first-of-burst, the SAME lag rule
+    * as the batch form so the two cannot diverge on in-order input —
+    * spec-asserted). State per key is ONE long (the last-seen ts);
+    * within a micro-batch events fold in (ts_ns, event_id) order so
+    * equal-timestamp determinism matches the batch window's.
+    *
+    * No timeout by design here (keys = user×type, state is 8 bytes);
+    * the production variant adds EventTimeTimeout eviction exactly as
+    * `sessionizeWithTimeout` does when the key space is unbounded. */
+  case class TypedEvent(user_id: Long, event_type: String, event_id: Long,
+                        ts_ns: Long)
+  case class DebounceOut(event_id: Long, user_id: Long, event_type: String,
+                         suppressed: Int)
+  def debounceStream(events: Dataset[TypedEvent], gapNs: Long): Dataset[DebounceOut] = {
+    import events.sparkSession.implicits._
+    require(gapNs > 0, s"gapNs must be positive, got $gapNs")
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, DebounceOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String), batch: Iterator[TypedEvent], state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).map { e =>
+            val hit = last.exists(l => e.ts_ns - l <= gapNs)
+            last = Some(e.ts_ns)
+            DebounceOut(e.event_id, e.user_id, e.event_type, if (hit) 1 else 0)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Per-user running aggregate via arbitrary state
     * (mapGroupsWithState): running count + cents-sum per user across
     * micro-batches (SURVEY §2.3 "Arbitrary state"). Event-time ordering

@@ -169,4 +169,35 @@ class BehaviorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Behavior.pathsTopK(ev(), len = 1) }
     intercept[IllegalArgumentException] { Behavior.pathsTopK(ev(), k = 0) }
   }
+
+  test("debounce: keep-first-of-burst — every ≤gap step is suppressed") {
+    // chain 0,9,18,27 with gap 10: bursts are maximal ≤gap-step chains,
+    // so only the head (t=0) survives; 40 starts a new burst
+    val events = ev(
+      (1L, 1L, 0L, "click", 0), (1L, 2L, 9L, "click", 0),
+      (1L, 3L, 18L, "click", 0), (1L, 4L, 27L, "click", 0),
+      (1L, 5L, 40L, "click", 0))
+    val out = Behavior.debounce(events, gapNs = 10L)
+      .as[(Long, Long, String, Int)].collect().toSeq
+    assert(out.map(e => e._1 -> e._4) ===
+      Seq(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0))
+  }
+
+  test("debounce: keys are (user, type) — other streams never interfere") {
+    val events = ev(
+      (1L, 1L, 0L, "click", 0), (1L, 2L, 5L, "view", 0), // different type
+      (2L, 3L, 6L, "click", 0)) // different user
+    val out = Behavior.debounce(events, gapNs = 10L)
+      .as[(Long, Long, String, Int)].collect().toSeq
+    assert(out.map(_._4) === Seq(0, 0, 0))
+  }
+
+  test("debounce: equal timestamps order by event_id, second is suppressed") {
+    val events = ev(
+      (1L, 1L, 100L, "click", 0), (1L, 2L, 100L, "click", 0))
+    val out = Behavior.debounce(events, gapNs = 10L)
+      .as[(Long, Long, String, Int)].collect().toSeq
+    assert(out === Seq((1L, 1L, "click", 0), (2L, 1L, "click", 1)))
+    intercept[IllegalArgumentException] { Behavior.debounce(ev(), gapNs = 0L) }
+  }
 }

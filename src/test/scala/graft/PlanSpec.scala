@@ -182,4 +182,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window") && !p.contains("SinglePartition"),
       s"the lead derivation must be a user-PARTITIONed window:\n$p")
   }
+
+  test("x118: debounce is one keyed window, never a single partition") {
+    val p = plan(SparkEntry.queries("x118_debounce")(spark, sf))
+    assert(p.contains("Window") && !p.contains("SinglePartition"),
+      s"the lag must run user×type-partitioned:\n$p")
+    assert(!p.contains("Join"), "no self-join belongs in the lag rule")
+  }
+
+  test("x119: FK audit orphans come from anti-joins over de-duplicated keys") {
+    val p = plan(SparkEntry.queries("x119_fk_audit")(spark, sf))
+    assert(p.contains("LeftAnti"),
+      s"orphan detection must be an anti-join:\n$p")
+    // the parent side must aggregate to distinct keys below the join
+    // (key bytes shuffle, parent rows never do); the only nested-loop
+    // joins in the plan are the 1×1 scalar combines
+    assert(p.contains("HashAggregate"),
+      s"parent keys must be de-duplicated before the anti-join:\n$p")
+  }
 }

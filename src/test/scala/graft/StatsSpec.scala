@@ -106,4 +106,34 @@ class StatsSpec extends SparkSpec {
       Profiling.equidepthHistogram(df, "v", 2, Seq.empty)
     }
   }
+
+  test("fkAudit: orphans, null keys, and permille — hand-computed") {
+    val child = Seq(
+      (1L, Option(10L)), (2L, Option(10L)), (3L, Option(99L)), // 99 orphan
+      (4L, Option(98L)),                                       // 98 orphan
+      (5L, None))                                              // null key
+      .toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val out = Profiling.fkAudit(Seq(("child->parent", child, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // 5 rows, 1 null key, 2 orphans of 4 non-null → 500 permille
+    assert(out === Seq(("child->parent", 5L, 1L, 2L, 500L)))
+  }
+
+  test("fkAudit: intact edge reads zero; all-null edge guards the division") {
+    val child = Seq((1L, Option.empty[Long])).toDF("id", "fk")
+    val parent = Seq(1L).toDF("pk")
+    val intact = Seq((1L, Option(1L))).toDF("id", "fk")
+    val out = Profiling.fkAudit(Seq(
+      ("allnull", child, "fk", parent, "pk"),
+      ("intact", intact, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("allnull", 1L, 1L, 0L, 0L), ("intact", 1L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException] { Profiling.fkAudit(Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Profiling.fkAudit(Seq(("dup", child, "fk", parent, "pk"),
+        ("dup", child, "fk", parent, "pk")))
+    }
+  }
 }

@@ -532,4 +532,40 @@ class StreamingSpec extends SparkSpec {
         s"no singleton late session when a bridge exists: $out")
     } finally q.stop()
   }
+
+  test("debounceStream matches the batch debounce on in-order input") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val out = EventStreams.debounceStream(input.toDS(), gapNs = 10L)
+    val q = out.toDF().writeStream.format("memory").queryName("debounce")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // burst 0,9,18 arrives in batch 1; 27 (continues the burst via
+      // state) and 40 (new burst) in batch 2 — the cross-batch step
+      // MUST consult the stored last-seen ts
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "click", 1, 0L),
+        EventStreams.TypedEvent(1, "click", 2, 9L),
+        EventStreams.TypedEvent(1, "click", 3, 18L),
+        EventStreams.TypedEvent(2, "view", 10, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "click", 4, 27L),
+        EventStreams.TypedEvent(1, "click", 5, 40L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("debounce")
+      .select("event_id", "suppressed")
+      .as[(Long, Int)].collect().toMap
+    assert(streamed === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0,
+      10L -> 0))
+    // equivalence with the batch rule on the same rows
+    val batch = graft.operators.Behavior.debounce(
+      Seq((1L, 1L, 0L, "click"), (1L, 2L, 9L, "click"),
+        (1L, 3L, 18L, "click"), (1L, 4L, 27L, "click"),
+        (1L, 5L, 40L, "click"), (2L, 10L, 0L, "view"))
+        .toDF("user_id", "event_id", "ts_ns", "event_type"), gapNs = 10L)
+      .select("event_id", "suppressed").as[(Long, Int)].collect().toMap
+    assert(batch === streamed)
+  }
 }
