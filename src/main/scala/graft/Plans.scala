@@ -114,7 +114,11 @@ object Plans {
       ("x117_event_paths", "path mining: len−1 leads off ONE user-partitioned window shuffle, |types|^len-bounded count table with map-side combine, top-k as TakeOrderedAndProject — no global sort",
         "x117_event_paths"),
       ("x119_fk_audit", "FK audit: every edge's parent collapses to DISTINCT keys BEFORE its LEFT ANTI join — the shuffles carry key bytes, never parent rows; the per-edge scalars meet in 1×1 joins",
-        "x119_fk_audit"))
+        "x119_fk_audit"),
+      ("x121_attribution", "last-touch attribution: the AsOfJoin.backward composition — conversions and touches union into ONE keyed shuffle + sort, the champion rides a running window, tolerance is a post-window filter; no per-conversion scan, no range-exploded join",
+        "x121_attribution"),
+      ("x122_rolling_actives", "rolling actives: the contribution explode turns a sliding COUNT DISTINCT into an exact groupBy — no self-join over the window, no per-row re-aggregating distinct-over-range window",
+        "x122_rolling_actives"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")

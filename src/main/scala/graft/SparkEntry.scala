@@ -723,6 +723,22 @@ object SparkEntry {
         ("customer->nation", Tables.customer(s, d), "c_nationkey",
           Tables.nation(s, d), "n_nationkey")))
     },
+    // time-boxed funnel (1-day budget per step): the marketing-default
+    // variant of x109 — unbounded funnels overstate conversion
+    "x120_funnel_windowed" -> ((s, d) =>
+      graft.operators.Behavior.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"),
+        within = Some(86400L * 1000 * 1000 * 1000))),
+    // last-touch attribution: AsOfJoin.backward composition (7-day
+    // lookback) — organic conversions keep NULL touch columns
+    "x121_attribution"    -> ((s, d) =>
+      graft.operators.Behavior.lastTouchAttribution(Tables.events(s, d),
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        toleranceNs = 7L * 86400 * 1000 * 1000 * 1000)),
+    // rolling 7-day actives: exact WAU/DAU via contribution explode —
+    // no sliding self-join, no per-row distinct-over-range window
+    "x122_rolling_actives" -> ((s, d) =>
+      graft.operators.Behavior.rollingActives(Tables.events(s, d))),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -2053,6 +2069,61 @@ object SparkEntry {
              ELSE (n_orphans * 1000) // (n_rows - n_null_keys) END
              AS orphan_permille
          FROM u ORDER BY relation""",
+    // x120: the x109 champion chain with the 1-day budget on each
+    // step's join condition
+    "x120_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.user_id AND epoch_ns(e.ts) > s1.t
+               AND epoch_ns(e.ts) <= s1.t + 86400000000000
+             WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.user_id AND epoch_ns(e.ts) > s2.t
+               AND epoch_ns(e.ts) <= s2.t + 86400000000000
+             WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+         UNION ALL
+         SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+         UNION ALL
+         SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+         ORDER BY step_idx""",
+    // x121: the as-of champion as a rank over in-window touches —
+    // latest time then highest id, the backward-join tie rule; the
+    // outer left join keeps organic conversions with NULLs
+    "x121_attribution" ->
+      """WITH p AS (SELECT event_id AS conversion_id, user_id,
+             epoch_ns(ts) AS pt
+           FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tt
+           FROM events WHERE event_type IN ('view', 'click')),
+         j AS (SELECT p.conversion_id, t.event_id AS touch_id,
+             t.event_type AS touch_type, p.pt - t.tt AS gap_ns,
+             ROW_NUMBER() OVER (PARTITION BY p.conversion_id
+               ORDER BY t.tt DESC, t.event_id DESC) AS rn
+           FROM p JOIN t ON p.user_id = t.user_id
+             AND t.tt <= p.pt AND t.tt >= p.pt - 604800000000000)
+         SELECT p.conversion_id, p.user_id, j.touch_id, j.touch_type,
+           j.gap_ns
+         FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+           ON p.conversion_id = j.conversion_id
+         ORDER BY p.conversion_id""",
+    // x122: same contribution explode (each user-day counts toward its
+    // windowDays trailing days), exact distincts, max-day clip
+    "x122_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+           FROM events),
+         b AS (SELECT MAX(day) AS d1 FROM ud),
+         c AS (SELECT user_id, day + o AS day
+           FROM ud, UNNEST(range(7)) AS t(o)),
+         w AS (SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+           FROM c, b WHERE c.day <= b.d1 GROUP BY 1),
+         dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+           FROM ud GROUP BY 1)
+         SELECT w.day, COALESCE(dau.dau, 0) AS dau, w.wau
+         FROM w LEFT JOIN dau ON w.day = dau.day
+         ORDER BY w.day""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

@@ -160,6 +160,9 @@ object Tour {
     println(s"[tour] top event paths=${graft.operators.Behavior.pathsTopK(ev, k = 10).count()}")
     println(s"[tour] debounce suppressed=${graft.operators.Behavior.debounce(ev, gapNs = 86400L * 1000 * 1000 * 1000).filter(col("suppressed") === 1).count()}")
     println(s"[tour] fk-audit edges=${graft.operators.Profiling.fkAudit(Seq(("orders->customer", Tables.orders(spark, sf), "o_custkey", Tables.customer(spark, sf), "c_custkey"))).count()}")
+    println(s"[tour] windowed funnel steps=${graft.operators.Behavior.funnel(ev, Seq("view", "click", "purchase"), within = Some(86400L * 1000 * 1000 * 1000)).count()}")
+    println(s"[tour] attributed conversions=${graft.operators.Behavior.lastTouchAttribution(ev, Seq("view", "click"), "purchase", 7L * 86400 * 1000 * 1000 * 1000).count()}")
+    println(s"[tour] rolling-active days=${graft.operators.Behavior.rollingActives(ev).count()}")
 
     println("[tour] ok")
     spark.stop()

@@ -37,10 +37,11 @@ object Behavior {
     */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
-             tsCol: String = "ts_ns"): DataFrame = {
+             tsCol: String = "ts_ns", within: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got ${steps.mkString(",")}")
+    within.foreach(w => require(w > 0, s"within budget must be positive, got $w"))
     val stages = steps.tail.scanLeft(
       events.filter(col(typeCol) === steps.head)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))) {
@@ -48,7 +49,12 @@ object Behavior {
         events.filter(col(typeCol) === step)
           .select(col(userCol), col(tsCol).as("__t2"))
           .join(reached, Seq(userCol))
-          .filter(col("__t2") > col("t"))
+          .filter(col("__t2") > col("t") &&
+            // time-boxed variant: each step must land within the budget
+            // of the previous champion (the marketing-funnel default —
+            // an unbounded funnel overstates conversion at any scale)
+            within.map(w => col("__t2") <= col("t") + lit(w))
+              .getOrElse(lit(true)))
           .groupBy(col(userCol)).agg(min("__t2").as("t"))
     }
     stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
@@ -235,6 +241,79 @@ object Behavior {
           col(tsCol) - col("__prev") <= gapNs, lit(1)).otherwise(lit(0))
           .as("suppressed"))
       .orderBy(idCol)
+  }
+
+  /** Last-touch attribution: for every conversion event, the latest
+    * touch event (of the declared touch types) by the same user at or
+    * before the conversion and within `toleranceNs` — the marketing
+    * "which interaction gets credit" join, COMPOSED from
+    * [[AsOfJoin.backward]] (single keyed shuffle + sort, no range
+    * explosion; ties at equal timestamps break to the highest event
+    * id, the same rule as the rest of the event surface). Conversions
+    * with no in-window touch keep a row with NULL touch columns —
+    * organic conversions are a finding, not a dropped row.
+    *
+    * Output: (conversion_id, user, touch_id, touch_type, gap_ns).
+    */
+  def lastTouchAttribution(events: DataFrame, touchTypes: Seq[String],
+                           convType: String, toleranceNs: Long,
+                           userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           tsCol: String = "ts_ns",
+                           idCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conversion_id"), col(userCol),
+        col(tsCol).as("__ct"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+    AsOfJoin.backward(conv, touch, key = userCol,
+        leftTime = "__ct", rightTime = tsCol,
+        rightCols = Seq(idCol, typeCol, tsCol), tieBreak = Some(idCol),
+        tolerance = Some(toleranceNs))
+      .select(col("conversion_id"), col(userCol),
+        col(idCol).as("touch_id"), col(typeCol).as("touch_type"),
+        (col("__ct") - col(tsCol)).as("gap_ns"))
+      .orderBy("conversion_id")
+  }
+
+  /** Rolling distinct-actives (DAU + trailing-`windowDays` WAU per
+    * day): each (user, day) activity fact contributes to its own day
+    * and the `windowDays−1` following days, so the rolling distinct
+    * count is an EXACT groupBy — no sliding self-join, no
+    * count-distinct-over-range window (which Spark would run
+    * re-aggregating per row). The contribution explode is bounded by
+    * windowDays × |user-days|; both aggregations are map-side-combined
+    * exact distincts over (day, user) pairs. Days past the observed
+    * maximum are clipped (their windows are not yet complete); days
+    * with no activity of their own still report trailing actives with
+    * dau = 0.
+    *
+    * Output: (day, dau, wau) ordered by day — `wau` named for the
+    * 7-day default, semantically "trailing windowDays actives".
+    */
+  def rollingActives(events: DataFrame, windowDays: Int = 7,
+                     epoch: String = "2024-01-01",
+                     userCol: String = "user_id",
+                     tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
+    val userDays = events.select(col(userCol), day.as("day")).distinct()
+    val bounds = userDays.agg(max("day").as("__d1"))
+    val contrib = userDays.select(col(userCol),
+      explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+        .as("day"))
+    val wau = contrib.crossJoin(broadcast(bounds)) // 1-row bound
+      .filter(col("day") <= col("__d1"))
+      .groupBy("day").agg(countDistinct(col(userCol)).as("wau"))
+    val dau = userDays.groupBy("day")
+      .agg(countDistinct(col(userCol)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau"))
+      .orderBy("day")
   }
 
   /** Top-k most common length-`len` event-type paths (sequential

@@ -192,6 +192,63 @@ class BehaviorSpec extends SparkSpec {
     assert(out.map(_._4) === Seq(0, 0, 0))
   }
 
+  test("funnel within: steps beyond the budget do not convert") {
+    val events = ev(
+      // user 1: click 5ns after view — inside a 10ns budget
+      (1L, 1L, 0L, "view", 0), (1L, 2L, 5L, "click", 0),
+      // user 2: click 50ns after view — outside the budget
+      (2L, 3L, 0L, "view", 0), (2L, 4L, 50L, "click", 0))
+    val bounded = Behavior.funnel(events, Seq("view", "click"),
+      within = Some(10L)).select("n_users").as[Long].collect().toSeq
+    assert(bounded === Seq(2L, 1L))
+    // the unbounded form still counts both
+    val unbounded = Behavior.funnel(events, Seq("view", "click"))
+      .select("n_users").as[Long].collect().toSeq
+    assert(unbounded === Seq(2L, 2L))
+    intercept[IllegalArgumentException] {
+      Behavior.funnel(events, Seq("view"), within = Some(0L))
+    }
+  }
+
+  test("lastTouchAttribution: latest in-window touch wins, organic keeps NULLs") {
+    val events = ev(
+      // user 1: view(10), click(20) → purchase(25) credits click, gap 5
+      (1L, 1L, 10L, "view", 0), (1L, 2L, 20L, "click", 0),
+      (1L, 3L, 25L, "purchase", 0),
+      // user 2: touch far outside the 50ns tolerance → organic
+      (2L, 4L, 10L, "view", 0), (2L, 5L, 500L, "purchase", 0),
+      // user 3: two touches at the SAME ts → higher event_id wins
+      (3L, 6L, 30L, "view", 0), (3L, 7L, 30L, "click", 0),
+      (3L, 8L, 40L, "purchase", 0))
+    val out = Behavior.lastTouchAttribution(events,
+      touchTypes = Seq("view", "click"), convType = "purchase",
+      toleranceNs = 50L)
+      .as[(Long, Long, Option[Long], Option[String], Option[Long])]
+      .collect().toSeq
+    assert(out === Seq(
+      (3L, 1L, Some(2L), Some("click"), Some(5L)),
+      (5L, 2L, None, None, None),
+      (8L, 3L, Some(7L), Some("click"), Some(10L))))
+    intercept[IllegalArgumentException] {
+      Behavior.lastTouchAttribution(events, Seq("purchase"), "purchase", 1L)
+    }
+  }
+
+  test("rollingActives: trailing-window distinct actives, max-day clipped") {
+    val events = tsEvents(
+      (1L, "2024-01-01 10:00:00", 0), // u1 day 0
+      (2L, "2024-01-02 10:00:00", 0), // u2 day 1
+      (1L, "2024-01-09 10:00:00", 0)) // u1 day 8 (clips at d1=8)
+    val out = Behavior.rollingActives(events, windowDays = 7)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 1L, 1L), (1L, 1L, 2L), (2L, 0L, 2L), (3L, 0L, 2L),
+      (4L, 0L, 2L), (5L, 0L, 2L), (6L, 0L, 2L), (7L, 0L, 1L),
+      (8L, 1L, 1L)))
+    // a day with no own activity still reports trailing actives (dau 0)
+    assert(out.filter(_._2 == 0L).nonEmpty)
+  }
+
   test("debounce: equal timestamps order by event_id, second is suppressed") {
     val events = ev(
       (1L, 1L, 100L, "click", 0), (1L, 2L, 100L, "click", 0))

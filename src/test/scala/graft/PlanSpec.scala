@@ -190,6 +190,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "no self-join belongs in the lag rule")
   }
 
+  test("x121: attribution is the one-shuffle as-of shape, never a range join") {
+    val p = plan(SparkEntry.queries("x121_attribution")(spark, sf))
+    assert(p.contains("Window"),
+      s"the champion must ride the as-of running window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"a range-exploded or nested-loop join defeats the as-of composition:\n$p")
+  }
+
+  test("x122: rolling actives explode+groupBy, no distinct-over-range window") {
+    val p = plan(SparkEntry.queries("x122_rolling_actives")(spark, sf))
+    assert(p.contains("Generate"),
+      s"the contribution explode must appear:\n$p")
+    assert(!p.contains("Window"),
+      s"a distinct-over-range window would re-aggregate per row:\n$p")
+  }
+
   test("x119: FK audit orphans come from anti-joins over de-duplicated keys") {
     val p = plan(SparkEntry.queries("x119_fk_audit")(spark, sf))
     assert(p.contains("LeftAnti"),
