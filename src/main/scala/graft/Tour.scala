@@ -163,6 +163,10 @@ object Tour {
     println(s"[tour] windowed funnel steps=${graft.operators.Behavior.funnel(ev, Seq("view", "click", "purchase"), within = Some(86400L * 1000 * 1000 * 1000)).count()}")
     println(s"[tour] attributed conversions=${graft.operators.Behavior.lastTouchAttribution(ev, Seq("view", "click"), "purchase", 7L * 86400 * 1000 * 1000 * 1000).count()}")
     println(s"[tour] rolling-active days=${graft.operators.Behavior.rollingActives(ev).count()}")
+    Layout.dropManagedTable(spark, "tour_lex_post")
+    Layout.dropManagedTable(spark, "tour_lex_len")
+    graft.operators.Retrieval.buildLexIndex(docs, "tour_lex_post", "tour_lex_len")
+    println(s"[tour] prebuilt bm25 rows=${graft.operators.Retrieval.bm25TopKPrebuilt(spark, "tour_lex_post", "tour_lex_len", Seq("spark", "hash"), k = 10).count()}")
 
     println("[tour] ok")
     spark.stop()

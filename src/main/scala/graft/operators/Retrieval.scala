@@ -58,22 +58,31 @@ object Retrieval {
     // per-doc length, computed without materializing the token array
     val dl = docs.select(col("doc_id"),
       TextAnalysis.tokenCountCol(col("text")).as("dl"))
-    // 1-row corpus stats; broadcast by the literal-cross-join shape
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-
     // inverted-index probe: only query-term postings survive the scan
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok").isin(termSet: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    scoreBm25(tf, dl, k, k1, b)
+  }
+
+  /** The single copy of the BM25 scoring tree, shared by the
+    * scan-derived path ([[bm25TopK]]) and the persisted-index path
+    * ([[bm25TopKPrebuilt]]) so the two CANNOT drift — the same
+    * discipline as `Sampling.splitCase` (x42/x106) and
+    * `Dedup.bandedSignatures` (x07/x80). `tf` carries query-term
+    * postings (doc_id, tok, tf); `dl` carries every document's
+    * (doc_id, dl). */
+  private def scoreBm25(tf: DataFrame, dl: DataFrame, k: Int,
+                        k1: Double, b: Double): DataFrame = {
+    // 1-row corpus stats; broadcast by the literal-cross-join shape
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     // df per term: |terms| rows, broadcast back onto the postings
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-
     tf.join(broadcast(df), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -83,6 +92,47 @@ object Retrieval {
         floor(col("score") * 1000 + 0.5).cast("long").as("score_milli"))
       .orderBy(col("score_milli").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Build the persisted lexical index: a postings table
+    * (tok, doc_id, tf) bucketed+sorted on `tok` and a doc-lengths
+    * table (doc_id, dl) bucketed on `doc_id` — the "build the
+    * inverted index once, query it many times" shape every search
+    * engine ships, and the lexical sibling of
+    * `AnnIndex.buildLshIndex`/`buildIvfIndex`. One corpus scan per
+    * table; no parameters are baked in (k1/b/terms are query-time),
+    * so the index needs no pinned table properties. */
+  def buildLexIndex(docs: DataFrame, postingsTable: String,
+                    lengthsTable: String, buckets: Int = 8): Unit = {
+    val lengths = docs.select(col("doc_id"),
+      TextAnalysis.tokenCountCol(col("text")).as("dl"))
+    graft.core.Layout.writeBucketed(lengths, lengthsTable, buckets,
+      Seq("doc_id"))
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    graft.core.Layout.writeBucketed(postings, postingsTable, buckets,
+      Seq("tok"))
+  }
+
+  /** BM25 top-k over the persisted index: identical output to
+    * [[bm25TopK]] (RetrievalSpec asserts row-for-row equality), but
+    * the corpus text is never re-tokenized — the term filter hits the
+    * bucketed postings table, where Spark's bucket pruning reads ONLY
+    * the buckets the query terms hash into (`SelectedBucketsCount` in
+    * the scan), and the doc_id-bucketed lengths table joins without
+    * shuffling its own side. At 100 TB this turns every query from a
+    * corpus scan into |terms| bucket reads. */
+  def bm25TopKPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                       postingsTable: String, lengthsTable: String,
+                       terms: Seq[String], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k ($k) must be positive")
+    val termSet = terms.distinct
+    val tf = spark.table(postingsTable).filter(col("tok").isin(termSet: _*))
+    val dl = spark.table(lengthsTable)
+    scoreBm25(tf, dl, k, k1, b)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Buettcher

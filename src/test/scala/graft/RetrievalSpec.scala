@@ -86,4 +86,32 @@ class RetrievalSpec extends SparkSpec {
     // doc 4 (opposite embedding, no lexical hit) must not appear at poolK=2
     assert(!out.map(_.getLong(0)).contains(4L))
   }
+
+  test("prebuilt index returns row-for-row the on-the-fly bm25 result") {
+    graft.core.Layout.dropManagedTable(spark, "lex_post_t")
+    graft.core.Layout.dropManagedTable(spark, "lex_len_t")
+    Retrieval.buildLexIndex(docs, "lex_post_t", "lex_len_t", buckets = 4)
+    val fly = Retrieval.bm25TopK(docs, Seq("cat", "fish"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pre = Retrieval.bm25TopKPrebuilt(spark, "lex_post_t", "lex_len_t",
+        Seq("cat", "fish"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pre === fly)
+    assert(pre.nonEmpty)
+  }
+
+  test("prebuilt postings scan bucket-prunes to the query terms") {
+    graft.core.Layout.dropManagedTable(spark, "lex_post_p")
+    graft.core.Layout.dropManagedTable(spark, "lex_len_p")
+    Retrieval.buildLexIndex(docs, "lex_post_p", "lex_len_p", buckets = 4)
+    val df = Retrieval.bm25TopKPrebuilt(spark, "lex_post_p", "lex_len_p",
+      Seq("cat"), k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // bucket pruning: a single term hashes into exactly ONE of the 4
+    // postings buckets (the doc_id-bucketed lengths table legitimately
+    // reads all of ITS buckets — it has no pruning predicate)
+    assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+      s"postings scan must bucket-prune the single term to one bucket:\n$plan")
+  }
 }
