@@ -57,4 +57,25 @@ class FileFormatsSpec extends SparkSpec {
       .option("mode", "FAILFAST").json(dir)
     intercept[org.apache.spark.SparkException] { failfast.collect() }
   }
+
+  test("parquet schema evolution: mergeSchema unions drops, old rows get nulls") {
+    // corpus drops evolve: drop 2 adds a `lang` column. A 100 TB corpus
+    // directory holds both generations side by side; mergeSchema reads
+    // the union schema and back-fills the missing column with nulls
+    // instead of failing the scan or silently dropping the new column.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "old doc")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/drop=1")
+    Seq((2L, "new doc", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/drop=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang", "drop"))
+    val rows = merged.select("doc_id", "lang")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows === Map(1L -> None, 2L -> Some("en")))
+    // without mergeSchema, parquet picks one footer's schema at random
+    // per Spark docs — the evolution-aware read is an explicit opt-in
+    // the ingest layer must make (documented here so it stays made)
+  }
 }
