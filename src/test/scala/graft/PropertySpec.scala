@@ -152,4 +152,57 @@ class PropertySpec extends SparkSpec {
       pref == plain
     }, n = 6)
   }
+
+  // random small event logs: few users/types, clustered timestamps so
+  // bursts, ties and cross-type interleavings all occur
+  private val eventLog: Gen[List[(Long, Long, Long, String)]] =
+    Gen.chooseNum(2, 12).flatMap { n =>
+      Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 3L)
+        t <- Gen.chooseNum(0L, 40L)
+        ty <- Gen.oneOf("a", "b")
+      } yield (u, t, ty))
+    }.map(_.zipWithIndex.map { case ((u, t, ty), i) => (u, i.toLong, t, ty) })
+
+  test("debounce: re-debouncing the kept stream suppresses nothing new") {
+    // kept events are ≥gap apart within each (user, type) by
+    // construction, so the operator is idempotent on its own output
+    check(Prop.forAll(eventLog, Gen.chooseNum(1L, 15L)) { (rows, gap) =>
+      val events = rows.toDF("user_id", "event_id", "ts_ns", "event_type")
+      val kept = graft.operators.Behavior.debounce(events, gap)
+        .filter(col("suppressed") === 0).drop("suppressed")
+        .join(events.select("event_id", "ts_ns"), "event_id")
+      graft.operators.Behavior.debounce(kept, gap)
+        .filter(col("suppressed") === 1).count() == 0L
+    }, n = 8)
+  }
+
+  test("funnel: a time budget never increases any step count") {
+    check(Prop.forAll(eventLog, Gen.chooseNum(1L, 20L)) { (rows, w) =>
+      val events = rows.map { case (u, id, t, ty) => (u, id, t, ty) }
+        .toDF("user_id", "event_id", "ts_ns", "event_type")
+      val steps = Seq("a", "b")
+      val unbounded = graft.operators.Behavior.funnel(events, steps)
+        .select("n_users").as[Long].collect()
+      val bounded = graft.operators.Behavior.funnel(events, steps,
+        within = Some(w)).select("n_users").as[Long].collect()
+      bounded.zip(unbounded).forall { case (b, u) => b <= u } &&
+        bounded.zip(bounded.tail).forall { case (hi, lo) => lo <= hi }
+    }, n = 8)
+  }
+
+  test("rollingActives: wau dominates dau and the 1-day window equals dau") {
+    check(Prop.forAll(eventLog) { rows =>
+      val events = rows.map { case (u, id, t, _) =>
+        (u, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(t)))
+      }.toDF("user_id", "ts")
+      val w7 = graft.operators.Behavior.rollingActives(events, windowDays = 7)
+        .as[(Long, Long, Long)].collect()
+      val w1 = graft.operators.Behavior.rollingActives(events, windowDays = 1)
+        .as[(Long, Long, Long)].collect()
+      w7.forall { case (_, dau, wau) => wau >= dau } &&
+        w1.forall { case (_, dau, wau) => wau == dau }
+    }, n = 8)
+  }
 }
