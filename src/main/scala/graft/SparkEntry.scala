@@ -739,6 +739,12 @@ object SparkEntry {
     // no sliding self-join, no per-row distinct-over-range window
     "x122_rolling_actives" -> ((s, d) =>
       graft.operators.Behavior.rollingActives(Tables.events(s, d))),
+    // per-language mass-weighted median doc length: the length v where
+    // half the CHARACTER mass sits in docs ≤ v — cumulative-histogram
+    // form, exact integers, no raw-row sort
+    "x123_weighted_median" -> ((s, d) =>
+      graft.operators.Profiling.weightedMedian(Tables.documents(s, d),
+        groupCol = "lang", valueCol = "n_chars", weightCol = "n_chars")),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -2124,6 +2130,22 @@ object SparkEntry {
          SELECT w.day, COALESCE(dau.dau, 0) AS dau, w.wau
          FROM w LEFT JOIN dau ON w.day = dau.day
          ORDER BY w.day""",
+    // x123: the same cumulative-histogram selection — 2·cum ≥ total on
+    // the (lang, n_chars) weight table, lower median via MIN
+    "x123_weighted_median" ->
+      """WITH vals AS (SELECT lang AS grp, n_chars AS v,
+             CAST(SUM(n_chars) AS BIGINT) AS w
+           FROM documents
+           WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         c AS (SELECT grp, v, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS tot
+           FROM vals)
+         SELECT grp, MIN(v) AS wmedian, CAST(MAX(tot) AS BIGINT) AS total_weight
+         FROM c WHERE cum * 2 >= tot
+         GROUP BY grp ORDER BY grp""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

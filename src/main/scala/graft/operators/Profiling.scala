@@ -298,6 +298,38 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  /** Per-group exact weighted median: the smallest `valueCol` v such
+    * that rows with value ≤ v carry at least half the group's total
+    * `weightCol` mass (the lower weighted median — deterministic, no
+    * interpolation). With weight = token count this answers the mix
+    * question an unweighted median gets wrong: "half the TOKENS sit
+    * in documents shorter than …", which is what a length cutoff
+    * actually removes at training time.
+    *
+    * Scale shape: the x71/x92 cumulative-histogram discipline — one
+    * (group, value) aggregation with map-side combine collapses the
+    * corpus to its distinct-value table, the running-sum window and
+    * the half-mass selection run over THAT bounded table, and no raw
+    * row ever passes through a sort. All arithmetic is exact integer
+    * (2·cum vs total avoids division entirely).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull
+        && col(weightCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .agg(sum(col(weightCol)).as("w"))
+    val cum = Window.partitionBy(col("grp")).orderBy(col("v"))
+    vals
+      .withColumn("__cum", sum("w").over(cum))
+      .withColumn("__tot", sum("w").over(Window.partitionBy(col("grp"))))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy("grp")
+      .agg(min("v").as("wmedian"), max("__tot").as("total_weight"))
+      .orderBy("grp")
+  }
+
   /** Referential-integrity audit: for each declared FK edge
     * (name, child, childKey, parent, parentKey), one row of
     * (relation, n_rows, n_null_keys, n_orphans, orphan_permille) —

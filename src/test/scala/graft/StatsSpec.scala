@@ -107,6 +107,32 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("weightedMedian: half the MASS, not half the rows") {
+    // group a: values 1..4 with weight 97 on v=4 → the weighted median
+    // is 4 (the unweighted median would be 2/3); duplicates collapse
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L), ("a", 4L, 97L),
+      ("b", 5L, 2L), ("b", 5L, 3L), ("b", 9L, 5L))
+      .toDF("grp", "v", "w")
+    val out = Profiling.weightedMedian(df, "grp", "v", "w")
+      .as[(String, Long, Long)].collect().toSeq
+    // group b: v=5 carries 5 of 10 → 2·5 ≥ 10 → lower median 5
+    assert(out === Seq(("a", 4L, 100L), ("b", 5L, 10L)))
+  }
+
+  test("weightedMedian: null group/value/weight rows are excluded") {
+    val df = Seq(
+      (Option("a"), Option(1L), Option(1L)),
+      (Option("a"), Option(2L), Option(1L)),
+      (Option.empty[String], Option(9L), Option(9L)),
+      (Option("a"), Option.empty[Long], Option(9L)),
+      (Option("a"), Option(9L), Option.empty[Long]))
+      .toDF("grp", "v", "w")
+    val out = Profiling.weightedMedian(df, "grp", "v", "w")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 1L, 2L)))
+  }
+
   test("fkAudit: orphans, null keys, and permille — hand-computed") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(10L)), (3L, Option(99L)), // 99 orphan
