@@ -745,6 +745,11 @@ object SparkEntry {
     "x123_weighted_median" -> ((s, d) =>
       graft.operators.Profiling.weightedMedian(Tables.documents(s, d),
         groupCol = "lang", valueCol = "n_chars", weightCol = "n_chars")),
+    // market-basket rules over (user, day) baskets: within-basket
+    // self-join pair support, exact-integer support/confidence/lift
+    "x124_assoc_rules"    -> ((s, d) =>
+      graft.operators.Behavior.associationRules(Tables.events(s, d),
+        minSupportPermille = 50L)),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -2146,6 +2151,35 @@ object SparkEntry {
          SELECT grp, MIN(v) AS wmedian, CAST(MAX(tot) AS BIGINT) AS total_weight
          FROM c WHERE cum * 2 >= tot
          GROUP BY grp ORDER BY grp""",
+    // x124: the same basket derivation, within-basket self-join, both
+    // rule directions, exact integer measures, same support prune
+    "x124_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT user_id AS u,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             event_type AS item
+           FROM events),
+         nb AS (SELECT COUNT(*) AS n_baskets
+           FROM (SELECT DISTINCT u, d FROM items)),
+         s1 AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM items GROUP BY 1),
+         p AS (SELECT a.item AS a, b.item AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt_ab
+           FROM items a JOIN items b ON a.u = b.u AND a.d = b.d
+             AND a.item < b.item
+           GROUP BY 1, 2),
+         dr AS (SELECT a AS ant, b AS cons, cnt_ab FROM p
+           UNION ALL SELECT b, a, cnt_ab FROM p)
+         SELECT dr.ant, dr.cons, dr.cnt_ab AS support_cnt,
+           (dr.cnt_ab * 1000) // nb.n_baskets AS support_permille,
+           (dr.cnt_ab * 1000) // sa.cnt AS confidence_permille,
+           (dr.cnt_ab * nb.n_baskets * 1000) // (sa.cnt * sb.cnt)
+             AS lift_milli
+         FROM dr
+         JOIN s1 sa ON dr.ant = sa.item
+         JOIN s1 sb ON dr.cons = sb.item
+         CROSS JOIN nb
+         WHERE dr.cnt_ab * 1000 >= nb.n_baskets * 50
+         ORDER BY ant, cons""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

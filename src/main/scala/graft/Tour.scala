@@ -168,6 +168,7 @@ object Tour {
     graft.operators.Retrieval.buildLexIndex(docs, "tour_lex_post", "tour_lex_len")
     println(s"[tour] prebuilt bm25 rows=${graft.operators.Retrieval.bm25TopKPrebuilt(spark, "tour_lex_post", "tour_lex_len", Seq("spark", "hash"), k = 10).count()}")
     println(s"[tour] weighted medians=${graft.operators.Profiling.weightedMedian(docs, "lang", "n_chars", "n_chars").count()}")
+    println(s"[tour] association rules=${graft.operators.Behavior.associationRules(ev, minSupportPermille = 50L).count()}")
 
     println("[tour] ok")
     spark.stop()

@@ -316,6 +316,59 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Size-2 association rules over (user, day) baskets — the
+    * market-basket "users who do A that day also do B" mining
+    * (apriori restricted to pairs, which is where the actionable
+    * rules live and the only tier whose support can be counted
+    * without candidate generation).
+    *
+    * Baskets are distinct (user, day, item) facts; pair support comes
+    * from a WITHIN-BASKET self-join (join mass Σ basket_size² with
+    * basket_size ≤ |item types| — bounded per basket, never corpus²),
+    * and every derived measure is exact integer arithmetic on the
+    * ≤|types|²-row pair table: support_permille = cnt·1000 div N,
+    * confidence_permille = cnt_ab·1000 div cnt_a, lift_milli =
+    * cnt_ab·N·1000 div (cnt_a·cnt_b). Both rule directions are
+    * emitted (confidence is asymmetric; lift is shared).
+    *
+    * @param minSupportPermille keep rules whose pair support is at
+    *        least this share of all baskets (the apriori prune)
+    */
+  def associationRules(events: DataFrame, minSupportPermille: Long,
+                       epoch: String = "2024-01-01",
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts"): DataFrame = {
+    require(minSupportPermille >= 0 && minSupportPermille <= 1000,
+      s"minSupportPermille must be in [0, 1000], got $minSupportPermille")
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
+    val items = events
+      .select(col(userCol).as("u"), day.as("d"), col(typeCol).as("item"))
+      .distinct()
+    val nBaskets = items.select("u", "d").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val supp1 = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val pairs = items.join(
+        items.select(col("u"), col("d"), col("item").as("item_b")),
+        Seq("u", "d"))
+      .filter(col("item") < col("item_b"))
+      .groupBy(col("item").as("a"), col("item_b").as("b"))
+      .agg(count(lit(1)).as("cnt_ab"))
+    // both directions; confidence differs, lift/support shared
+    val directed = pairs.select(col("a").as("ant"), col("b").as("cons"), col("cnt_ab"))
+      .unionByName(pairs.select(col("b").as("ant"), col("a").as("cons"), col("cnt_ab")))
+    directed
+      .join(broadcast(supp1.select(col("item").as("ant"), col("cnt").as("cnt_a"))), "ant")
+      .join(broadcast(supp1.select(col("item").as("cons"), col("cnt").as("cnt_b"))), "cons")
+      .crossJoin(broadcast(nBaskets))
+      .filter(col("cnt_ab") * 1000 >= col("n_baskets") * minSupportPermille)
+      .select(col("ant"), col("cons"), col("cnt_ab").as("support_cnt"),
+        expr("(cnt_ab * 1000) div n_baskets").as("support_permille"),
+        expr("(cnt_ab * 1000) div cnt_a").as("confidence_permille"),
+        expr("(cnt_ab * n_baskets * 1000) div (cnt_a * cnt_b)").as("lift_milli"))
+      .orderBy("ant", "cons")
+  }
+
   /** Top-k most common length-`len` event-type paths (sequential
     * pattern mining, first-order beyond `transitionMatrix`'s pairs):
     * sliding windows of consecutive event types per user — the "what

@@ -170,6 +170,33 @@ class BehaviorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Behavior.pathsTopK(ev(), k = 0) }
   }
 
+  test("associationRules: hand-computed support/confidence/lift") {
+    // baskets (user, day): u1d0={a,b}, u1d1={a}, u2d0={a,b}, u2d1={b}
+    // N=4, cnt(a)=3, cnt(b)=3, cnt(ab)=2
+    val events = tsEvents2(
+      (1L, "2024-01-01 08:00:00", "a"), (1L, "2024-01-01 09:00:00", "b"),
+      (1L, "2024-01-01 10:00:00", "a"), // duplicate item in basket collapses
+      (1L, "2024-01-02 08:00:00", "a"),
+      (2L, "2024-01-01 08:00:00", "a"), (2L, "2024-01-01 09:00:00", "b"),
+      (2L, "2024-01-02 08:00:00", "b"))
+    val out = Behavior.associationRules(events, minSupportPermille = 0L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // support 2/4 = 500‰; confidence 2/3 = 666‰; lift 2·4/(3·3) = 888m
+    assert(out === Seq(
+      ("a", "b", 2L, 500L, 666L, 888L),
+      ("b", "a", 2L, 500L, 666L, 888L)))
+    // the support prune: 500‰ < 600‰ bar removes both directions
+    assert(Behavior.associationRules(events, minSupportPermille = 600L)
+      .count() === 0L)
+    intercept[IllegalArgumentException] {
+      Behavior.associationRules(events, minSupportPermille = 1001L)
+    }
+  }
+
+  private def tsEvents2(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+
   test("debounce: keep-first-of-burst — every ≤gap step is suppressed") {
     // chain 0,9,18,27 with gap 10: bursts are maximal ≤gap-step chains,
     // so only the head (t=0) survives; 40 starts a new burst
