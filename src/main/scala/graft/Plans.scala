@@ -118,7 +118,11 @@ object Plans {
       ("x121_attribution", "last-touch attribution: the AsOfJoin.backward composition — conversions and touches union into ONE keyed shuffle + sort, the champion rides a running window, tolerance is a post-window filter; no per-conversion scan, no range-exploded join",
         "x121_attribution"),
       ("x122_rolling_actives", "rolling actives: the contribution explode turns a sliding COUNT DISTINCT into an exact groupBy — no self-join over the window, no per-row re-aggregating distinct-over-range window",
-        "x122_rolling_actives"))
+        "x122_rolling_actives"),
+      ("x123_weighted_median", "weighted median: one (group, value) aggregation collapses the corpus to its distinct-value table; the running-sum window and half-mass cut run over THAT bounded table — no raw row ever passes through a sort",
+        "x123_weighted_median"),
+      ("x124_assoc_rules", "association rules: pair support via the within-basket self-join (join mass Σ basket_size², baskets keyed by (user, day)); all measures integer arithmetic on the ≤|types|²-row pair table with broadcast singleton supports",
+        "x124_assoc_rules"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")
