@@ -750,6 +750,19 @@ object SparkEntry {
     "x124_assoc_rules"    -> ((s, d) =>
       graft.operators.Behavior.associationRules(Tables.events(s, d),
         minSupportPermille = 50L)),
+    // join elimination: the query CONTAINS a left join to a per-key
+    // customer aggregate that nothing references; the oracle OMITS the
+    // join entirely — RedundantLeftJoinElimination must make the two
+    // identical (and PlanSpec asserts the optimized plan is join-free)
+    "x125_join_elim"      -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val custStats = Tables.customer(s, d)
+        .groupBy("c_custkey").agg(count(lit(1)).as("cnt"))
+      orders.join(custStats,
+          orders("o_custkey") === custStats("c_custkey"), "left_outer")
+        .select(orders("o_orderkey"), orders("o_custkey"))
+        .orderBy("o_orderkey").limit(1000)
+    },
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -2180,6 +2193,11 @@ object SparkEntry {
          CROSS JOIN nb
          WHERE dr.cnt_ab * 1000 >= nb.n_baskets * 50
          ORDER BY ant, cons""",
+    // x125: the join-free form — if the elimination were unsound the
+    // hashes would diverge (the Spark query text DOES contain the join)
+    "x125_join_elim" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         ORDER BY o_orderkey LIMIT 1000""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

@@ -727,6 +727,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.AntiJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RedundantLeftJoinElimination)
   }
 }
 

@@ -206,6 +206,15 @@ class PlanSpec extends SparkSpec {
       s"a distinct-over-range window would re-aggregate per row:\n$p")
   }
 
+  test("x125: the unused unique-keyed left join is eliminated from the plan") {
+    val df = SparkEntry.queries("x125_join_elim")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"),
+      s"RedundantLeftJoinElimination must drop the unused join:\n$p")
+    assert(!p.contains("customer"),
+      s"the eliminated side's scan must vanish with it:\n$p")
+  }
+
   test("x119: FK audit orphans come from anti-joins over de-duplicated keys") {
     val p = plan(SparkEntry.queries("x119_fk_audit")(spark, sf))
     assert(p.contains("LeftAnti"),
