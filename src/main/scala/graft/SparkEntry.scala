@@ -763,6 +763,13 @@ object SparkEntry {
         .select(orders("o_orderkey"), orders("o_custkey"))
         .orderBy("o_orderkey").limit(1000)
     },
+    // id-continuity audit over a deliberately-holed event stream
+    // (every id ≡ 7 mod 1000 removed): each hole surfaces as a
+    // 1-wide missing range — the "silently failed page" detector
+    "x126_id_gaps"        -> ((s, d) =>
+      graft.operators.Profiling.idGaps(
+        Tables.events(s, d).filter(pmod(col("event_id"), lit(1000L)) =!= 7L),
+        "event_id")),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -2198,6 +2205,15 @@ object SparkEntry {
     "x125_join_elim" ->
       """SELECT o_orderkey, o_custkey FROM orders
          ORDER BY o_orderkey LIMIT 1000""",
+    // x126: the same lag-over-distinct-ids scan on the same holed view
+    "x126_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT event_id AS id FROM events
+             WHERE event_id % 1000 <> 7),
+         l AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+         SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+           id - prev - 1 AS n_missing
+         FROM l WHERE prev IS NOT NULL AND id - prev > 1
+         ORDER BY gap_start""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

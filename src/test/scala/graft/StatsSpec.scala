@@ -133,6 +133,17 @@ class StatsSpec extends SparkSpec {
     assert(out === Seq(("a", 1L, 2L)))
   }
 
+  test("idGaps: maximal missing ranges; duplicates and nulls ignored") {
+    val df = Seq(Option(1L), Option(2L), Option(3L), Option(3L), // dup
+      Option(7L), Option(8L), Option(10L), Option.empty[Long])
+      .toDF("id")
+    val out = Profiling.idGaps(df, "id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((4L, 6L, 3L), (9L, 9L, 1L)))
+    // a dense id range reports nothing
+    assert(Profiling.idGaps(Seq(5L, 6L, 7L).toDF("id"), "id").count() === 0L)
+  }
+
   test("fkAudit: orphans, null keys, and permille — hand-computed") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(10L)), (3L, Option(99L)), // 99 orphan
