@@ -191,6 +191,74 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("lastTouchAttribution: brute-force champion agreement on random logs") {
+    check(Prop.forAll(eventLog, Gen.chooseNum(5L, 30L)) { (rows, tol) =>
+      // alternate touch/conversion roles across the two generated types
+      val events = rows.map { case (u, id, t, ty) =>
+        (u, id, t, if (ty == "a") "touch" else "conv")
+      }.toDF("user_id", "event_id", "ts_ns", "event_type")
+      val out = graft.operators.Behavior.lastTouchAttribution(
+        events, Seq("touch"), "conv", tol)
+        .as[(Long, Long, Option[Long], Option[String], Option[Long])]
+        .collect()
+      val touches = rows.collect { case (u, id, t, "a") => (u, id, t) }
+      val convs = rows.collect { case (u, id, t, "b") => (u, id, t) }
+      out.forall { case (cid, u, touchId, _, gap) =>
+        val (_, _, ct) = convs.find(_._2 == cid).get
+        val inWindow = touches.filter(x =>
+          x._1 == u && x._3 <= ct && x._3 >= ct - tol)
+        if (inWindow.isEmpty) touchId.isEmpty && gap.isEmpty
+        else {
+          val champion = inWindow.maxBy(x => (x._3, x._2))
+          touchId.contains(champion._2) &&
+            gap.contains(ct - champion._3) && gap.get >= 0 && gap.get <= tol
+        }
+      }
+    }, n = 8)
+  }
+
+  test("weightedMedian: lower-median mass property on random tables") {
+    val table: Gen[List[(String, Long, Long)]] =
+      Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, for {
+        g <- Gen.oneOf("g1", "g2")
+        v <- Gen.chooseNum(1L, 6L)
+        w <- Gen.chooseNum(1L, 9L)
+      } yield (g, v, w)))
+    check(Prop.forAll(table) { rows =>
+      val out = graft.operators.Profiling.weightedMedian(
+        rows.toDF("grp", "v", "w"), "grp", "v", "w")
+        .as[(String, Long, Long)].collect()
+      out.forall { case (g, med, tot) =>
+        val grp = rows.filter(_._1 == g)
+        val total = grp.map(_._3).sum
+        val massUpTo = grp.filter(_._2 <= med).map(_._3).sum
+        val massBelow = grp.filter(_._2 < med).map(_._3).sum
+        total == tot && 2 * massUpTo >= total && 2 * massBelow < total &&
+          grp.exists(_._2 == med) // the median is an observed value
+      }
+    }, n = 10)
+  }
+
+  test("associationRules: pair support bounded by both singleton supports") {
+    check(Prop.forAll(eventLog) { rows =>
+      val events = rows.map { case (u, id, t, ty) =>
+        (u, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(t)), ty)
+      }.toDF("user_id", "ts", "event_type")
+      val out = graft.operators.Behavior.associationRules(events, 0L)
+        .as[(String, String, Long, Long, Long, Long)].collect()
+      val baskets = rows.map { case (u, _, t, ty) => ((u, t), ty) }
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toList
+      def supp(i: String) = baskets.count(_.contains(i))
+      out.forall { case (a, b, cntAb, suppPm, confPm, _) =>
+        val brute = baskets.count(s => s.contains(a) && s.contains(b))
+        cntAb == brute && cntAb <= math.min(supp(a), supp(b)) &&
+          suppPm == cntAb * 1000 / baskets.size &&
+          confPm == cntAb * 1000 / supp(a)
+      }
+    }, n = 8)
+  }
+
   test("rollingActives: wau dominates dau and the 1-day window equals dau") {
     check(Prop.forAll(eventLog) { rows =>
       val events = rows.map { case (u, id, t, _) =>
