@@ -770,6 +770,11 @@ object SparkEntry {
       graft.operators.Profiling.idGaps(
         Tables.events(s, d).filter(pmod(col("event_id"), lit(1000L)) =!= 7L),
         "event_id")),
+    // collocation mining: top-50 window-2 pairs by PMI (micronats,
+    // one ln per surviving pair), minCount 10 noise floor
+    "x127_collocations"   -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), window = 2,
+        minCount = 10L, topK = 50)),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -2214,6 +2219,32 @@ object SparkEntry {
            id - prev - 1 AS n_missing
          FROM l WHERE prev IS NOT NULL AND id - prev > 1
          ORDER BY gap_start""",
+    // x127: the x114 pair chain at window 2 (UNFILTERED totals), then
+    // the identical left-associated double tree — ONE ln per pair,
+    // micronat floor — and the same (pmi DESC, a, b) LIMIT order
+    "x127_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         pos AS (SELECT ts, UNNEST(range(1, len(ts) + 1)) AS i FROM toks),
+         off AS (SELECT ts, i, UNNEST(range(1, 3)) AS o FROM pos),
+         pairs AS (SELECT ts[CAST(i AS INTEGER)] AS a,
+             ts[CAST(i + o AS INTEGER)] AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM off WHERE i + o <= len(ts) GROUP BY 1, 2),
+         uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY 1),
+         nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM uni),
+         pt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS pp FROM pairs)
+         SELECT p.a, p.b, p.n_ab,
+           CAST(FLOOR(ln(CAST(p.n_ab AS DOUBLE) * nt.nn * nt.nn /
+             (CAST(pt.pp AS DOUBLE) * na.n * nb.n)) * 1000000 + 0.5)
+             AS BIGINT) AS pmi_micro
+         FROM pairs p
+         JOIN uni na ON p.a = na.tok
+         JOIN uni nb ON p.b = nb.tok
+         CROSS JOIN nt CROSS JOIN pt
+         WHERE p.n_ab >= 10
+         ORDER BY pmi_micro DESC, a, b LIMIT 50""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

@@ -169,6 +169,8 @@ object Tour {
     println(s"[tour] prebuilt bm25 rows=${graft.operators.Retrieval.bm25TopKPrebuilt(spark, "tour_lex_post", "tour_lex_len", Seq("spark", "hash"), k = 10).count()}")
     println(s"[tour] weighted medians=${graft.operators.Profiling.weightedMedian(docs, "lang", "n_chars", "n_chars").count()}")
     println(s"[tour] association rules=${graft.operators.Behavior.associationRules(ev, minSupportPermille = 50L).count()}")
+    println(s"[tour] collocations=${graft.operators.TextAnalysis.collocations(docs, window = 2, minCount = 10L, topK = 20).count()}")
+    println(s"[tour] id gaps=${graft.operators.Profiling.idGaps(ev.filter(pmod(col("event_id"), lit(1000L)) =!= 7L), "event_id").count()}")
 
     println("[tour] ok")
     spark.stop()

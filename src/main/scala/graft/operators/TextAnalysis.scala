@@ -797,9 +797,11 @@ object TextAnalysis {
     * lever is pre-filtering both endpoints to the `vocabEncode`
     * top-V vocabulary, which caps the key space at V²·window.
     */
-  def skipgramCounts(docs: DataFrame, window: Int, minCount: Long): DataFrame = {
-    require(window >= 1, s"window ($window) must be >= 1")
-    require(minCount >= 1, s"minCount ($minCount) must be >= 1")
+  /** The single copy of the windowed pair derivation + count, shared
+    * by [[skipgramCounts]] and [[collocations]] so the two surfaces
+    * cannot drift. UNFILTERED and unordered: callers apply their own
+    * minCount bar (collocations needs the pre-filter total mass). */
+  private def skipgramPairCounts(docs: DataFrame, window: Int): DataFrame =
     docs.select(split(col("text"), " ").as("ts"))
       .select(explode(expr(
         s"""flatten(transform(sequence(0, size(ts) - 1),
@@ -808,8 +810,54 @@ object TextAnalysis {
         .as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
+
+  def skipgramCounts(docs: DataFrame, window: Int, minCount: Long): DataFrame = {
+    require(window >= 1, s"window ($window) must be >= 1")
+    require(minCount >= 1, s"minCount ($minCount) must be >= 1")
+    skipgramPairCounts(docs, window)
       .filter(col("n") >= minCount)
       .orderBy("a", "b")
+  }
+
+  /** Collocation mining: the top-k skip-gram pairs by pointwise mutual
+    * information — PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with
+    * p(a,b) = n_ab/P (P = total window-pair mass) and p(x) = n_x/N
+    * (N = total tokens) — the Manning–Schütze collocation extractor,
+    * the statistic that separates "of the" (frequent but expected)
+    * from a true multiword unit (frequent AND surprising). minCount
+    * kills the low-count pairs where PMI is pure noise.
+    *
+    * Scale shape: ONE pair derivation (the shared x114 HOF chain),
+    * then everything runs on bounded tables — the pair table
+    * (vocab²·window), the unigram table (vocab), two 1-row totals
+    * broadcast in, and a TakeOrderedAndProject top-k. Float
+    * discipline: exactly ONE ln per surviving pair over a fixed
+    * left-associated double tree of exact integer counts, micronat
+    * floor(x+0.5) — the x79/x97 ln contract.
+    */
+  def collocations(docs: DataFrame, window: Int, minCount: Long,
+                   topK: Int): DataFrame = {
+    require(window >= 1, s"window ($window) must be >= 1")
+    require(minCount >= 1, s"minCount ($minCount) must be >= 1")
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val pairs = skipgramPairCounts(docs, window)
+      .withColumnRenamed("n", "n_ab")
+    val uni = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val nTok = uni.agg(sum("n").as("nn"))
+    val pTot = pairs.agg(sum("n_ab").as("pp"))
+    val pmi = floor(log(
+      col("n_ab").cast("double") * col("nn") * col("nn") /
+        (col("pp").cast("double") * col("n_a") * col("n_b")))
+      * lit(1000000d) + lit(0.5d)).cast("long")
+    pairs.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("a"), col("n").as("n_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("n").as("n_b"))), "b")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(pTot))
+      .select(col("a"), col("b"), col("n_ab"), pmi.as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(topK)
   }
 
   /** Zipf power-law fit over token frequencies: least-squares slope

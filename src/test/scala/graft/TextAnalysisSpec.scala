@@ -417,6 +417,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq(("a", "b", 1L), ("c", "d", 1L)))
   }
 
+  test("collocations: PMI from hand-counted pairs, same double tree") {
+    // "x y x y", window 1: pairs (x,y)=2, (y,x)=1; N=4 tokens, P=3 pairs
+    val out = TextAnalysis.collocations(docs(1L -> "x y x y"),
+        window = 1, minCount = 1L, topK = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    def pmi(nab: Long, na: Long, nb: Long): Long =
+      math.floor(math.log(nab.toDouble * 4 * 4 / (3.0d * na * nb))
+        * 1e6 + 0.5).toLong
+    assert(out === Seq(
+      ("x", "y", 2L, pmi(2, 2, 2)),
+      ("y", "x", 1L, pmi(1, 2, 2))))
+    // the higher-count pair has the higher PMI here (same marginals)
+    assert(out.head._4 > out(1)._4)
+  }
+
+  test("collocations: minCount is a noise floor, topK cuts ranked output") {
+    val out = TextAnalysis.collocations(
+      docs(1L -> "x y x y", 2L -> "q r"), window = 1, minCount = 2L,
+      topK = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // (q,r) and (y,x) have count 1 → filtered; only (x,y) survives
+    assert(out.map(r => (r._1, r._2)) === Seq(("x", "y")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.collocations(docs(1L -> "a"), window = 1, minCount = 1L,
+        topK = 0)
+    }
+  }
+
   test("zipfFit: a perfect C/r corpus fits slope −1 exactly") {
     // freqs 6,3,2 = 6/r for ranks 1..3 → ln n = ln 6 − ln r: slope −1,
     // intercept ln 6 = 1.79176 → milli-floor 1792
