@@ -169,6 +169,46 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming volume-anomaly gate — the in-flight twin of
+    * `Behavior.dailyVolumeAnomaly` (that one z-scores a batch log
+    * after the fact; this one flags the CURRENT window as its
+    * watermark closes, which is when a feed going dark is worth an
+    * alert). Per (event_type, window): the event count z-scored
+    * against reference per-window stats baked in as plan literals —
+    * ONE windowed streaming aggregation, the z projection row-local,
+    * state per key = one count. References come from the batch
+    * operator's own output over history (mean/σ per type), closing
+    * the batch→stream loop the same way `psiDriftStream` reuses
+    * `Profiling.psiDrift`'s histogram.
+    *
+    * @param reference (event_type → (mean, sigma)) expected per-window
+    *        volume; unseen types flag with z pinned via sigma
+    *        guard (zero sigma → z 0, matching the batch rule)
+    */
+  def volumeAnomalyStream(events: DataFrame,
+                          reference: Map[String, (Double, Double)],
+                          zMilliBar: Long = 2000L,
+                          windowLen: String = "1 hour",
+                          watermark: String = "10 minutes"): DataFrame = {
+    require(reference.nonEmpty, "reference stats must be non-empty")
+    require(reference.values.forall(_._2 >= 0), "sigma must be >= 0")
+    require(zMilliBar > 0, s"zMilliBar must be positive, got $zMilliBar")
+    val mean = reference.foldLeft(lit(Double.NaN)) {
+      case (acc, (ty, (m, _))) => when(col("event_type") === ty, lit(m)).otherwise(acc)
+    }
+    val sigma = reference.foldLeft(lit(0d)) {
+      case (acc, (ty, (_, s))) => when(col("event_type") === ty, lit(s)).otherwise(acc)
+    }
+    val agg = events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val z = when(sigma === 0d || isnan(mean), lit(0L)).otherwise(
+      floor((col("n") - mean) / sigma * lit(1000d) + lit(0.5d)).cast("long"))
+    agg.select(col("window.start").as("window_start"),
+      col("event_type"), col("n"), z.as("z_milli"),
+      when(abs(z) >= zMilliBar, lit(1)).otherwise(lit(0)).as("is_anomaly"))
+  }
+
   /** Streaming burst debounce — the in-flight twin of
     * `Behavior.debounce`: per (user, event_type) key, an event is
     * flagged suppressed when it follows the previously-seen event of

@@ -533,6 +533,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("volumeAnomalyStream: in-band window quiet, spike window flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val gated = EventStreams.volumeAnomalyStream(input.toDF(),
+      reference = Map("click" -> (2.0, 1.0)), zMilliBar = 2000L,
+      windowLen = "1 hour", watermark = "10 minutes")
+    runBatches(input, "volgate", gated, OutputMode.Append(), Seq(
+      // hour 0: 2 clicks = reference mean → z 0
+      Seq(Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 0),
+        Ev(2, ts("2024-01-01 00:10:00"), 1, "click", 0)),
+      // hour 1: 5 clicks → z = (5-2)/1 = +3000 milli ≥ bar → flagged
+      Seq(Ev(3, ts("2024-01-01 01:05:00"), 1, "click", 0),
+        Ev(4, ts("2024-01-01 01:06:00"), 1, "click", 0),
+        Ev(5, ts("2024-01-01 01:07:00"), 1, "click", 0),
+        Ev(6, ts("2024-01-01 01:08:00"), 1, "click", 0),
+        Ev(7, ts("2024-01-01 01:09:00"), 1, "click", 0),
+        // a type with no reference stats pins z to 0, never flags
+        Ev(8, ts("2024-01-01 01:09:30"), 2, "view", 0)),
+      // advance the watermark so both hours close
+      Seq(Ev(9, ts("2024-01-01 05:00:00"), 2, "view", 0))))
+    val rows = spark.table("volgate")
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n"), col("z_milli"), col("is_anomaly"))
+      .as[(String, String, Long, Long, Int)].collect().toSet
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 2L, 0L, 0)))
+    assert(rows.contains(("2024-01-01 01:00:00", "click", 5L, 3000L, 1)))
+    assert(rows.contains(("2024-01-01 01:00:00", "view", 1L, 0L, 0)))
+  }
+
   test("debounceStream matches the batch debounce on in-order input") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.TypedEvent]
