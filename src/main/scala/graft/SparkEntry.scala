@@ -775,6 +775,12 @@ object SparkEntry {
     "x127_collocations"   -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d), window = 2,
         minCount = 10L, topK = 50)),
+    // median time-to-convert per funnel transition — the x109 champion
+    // chain joined per user, exact lower median via the x123
+    // cumulative-histogram discipline
+    "x128_funnel_times"   -> ((s, d) =>
+      graft.operators.Behavior.funnelStepTimes(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
   )
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
@@ -2245,6 +2251,34 @@ object SparkEntry {
          CROSS JOIN nt CROSS JOIN pt
          WHERE p.n_ab >= 10
          ORDER BY pmi_micro DESC, a, b LIMIT 50""",
+    // x128: the x109 champion CTEs, per-user consecutive-stage joins,
+    // then the x123 cumulative-median selection per transition
+    "x128_funnel_times" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.user_id AND epoch_ns(e.ts) > s1.t
+             WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.user_id AND epoch_ns(e.ts) > s2.t
+             WHERE e.event_type = 'purchase' GROUP BY 1),
+         g AS (SELECT 2 AS step_idx, s2.t - s1.t AS gap
+             FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+           UNION ALL
+           SELECT 3, s3.t - s2.t
+             FROM s3 JOIN s2 ON s3.user_id = s2.user_id),
+         v AS (SELECT step_idx, gap, CAST(COUNT(*) AS BIGINT) AS w
+           FROM g GROUP BY 1, 2),
+         c AS (SELECT step_idx, gap, w,
+             SUM(w) OVER (PARTITION BY step_idx ORDER BY gap
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY step_idx) AS tot
+           FROM v)
+         SELECT CAST(step_idx AS BIGINT) AS step_idx,
+           MIN(gap) AS median_gap_ns,
+           CAST(MAX(tot) AS BIGINT) AS n_transitions
+         FROM c WHERE cum * 2 >= tot
+         GROUP BY step_idx ORDER BY step_idx""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

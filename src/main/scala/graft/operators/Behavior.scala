@@ -38,11 +38,28 @@ object Behavior {
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
              tsCol: String = "ts_ns", within: Option[Long] = None): DataFrame = {
+    val stages = championStages(events, steps, userCol, typeCol, tsCol, within)
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy("step_idx")
+  }
+
+  /** The single copy of the champion-chaining stage derivation, shared
+    * by [[funnel]] and [[funnelStepTimes]] so count and timing
+    * readouts cannot drift. Stage i holds (user, t = champion time of
+    * step i, reached strictly-after — and within budget of — the
+    * stage-(i−1) champion). */
+  private def championStages(events: DataFrame, steps: Seq[String],
+                             userCol: String, typeCol: String,
+                             tsCol: String,
+                             within: Option[Long]): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got ${steps.mkString(",")}")
     within.foreach(w => require(w > 0, s"within budget must be positive, got $w"))
-    val stages = steps.tail.scanLeft(
+    steps.tail.scanLeft(
       events.filter(col(typeCol) === steps.head)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))) {
       (reached, step) =>
@@ -57,11 +74,41 @@ object Behavior {
               .getOrElse(lit(true)))
           .groupBy(col(userCol)).agg(min("__t2").as("t"))
     }
-    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
-          col("n_users"))
-    }.reduce(_.unionByName(_)).orderBy("step_idx")
+  }
+
+  /** Median time-to-convert per funnel transition: for each
+    * consecutive step pair, the EXACT lower median of (champion(i+1) −
+    * champion(i)) across converting users — the other funnel readout
+    * (the counts say WHERE users drop; this says how long the
+    * survivors took, which is what an SLA or a nudge-timing decision
+    * actually needs).
+    *
+    * Composition: the SAME champion stages as [[funnel]] (shared
+    * private chain), consecutive stages joined per user (stage i+1's
+    * users are a subset of stage i's), then the exact median via
+    * [[Profiling.weightedMedian]]'s cumulative-histogram discipline —
+    * gaps collapse to a (step, distinct-gap) weight table and no raw
+    * row passes through a sort.
+    *
+    * Output: (step_idx, median_gap_ns, n_transitions) for step_idx ≥ 2.
+    */
+  def funnelStepTimes(events: DataFrame, steps: Seq[String],
+                      userCol: String = "user_id",
+                      typeCol: String = "event_type",
+                      tsCol: String = "ts_ns",
+                      within: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "step times need at least two steps")
+    val stages = championStages(events, steps, userCol, typeCol, tsCol, within)
+    val gaps = stages.sliding(2).zipWithIndex.map { case (Seq(prev, next), i) =>
+      next.select(col(userCol), col("t").as("__t2"))
+        .join(prev.select(col(userCol), col("t").as("__t1")), Seq(userCol))
+        .select(lit(i + 2L).as("__step"),
+          (col("__t2") - col("__t1")).as("__gap"), lit(1L).as("__w"))
+    }.reduce(_.unionByName(_))
+    Profiling.weightedMedian(gaps, "__step", "__gap", "__w")
+      .select(col("grp").as("step_idx"), col("wmedian").as("median_gap_ns"),
+        col("total_weight").as("n_transitions"))
+      .orderBy("step_idx")
   }
 
   /** Weekly retention cohorts: users are cohorted by the week of their

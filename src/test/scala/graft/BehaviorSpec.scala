@@ -237,6 +237,23 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("funnelStepTimes: exact lower median of champion gaps per transition") {
+    val events = ev(
+      // user 1: view(0) → click(10) → purchase(30): gaps 10, 20
+      (1L, 1L, 0L, "view", 0), (1L, 2L, 10L, "click", 0),
+      (1L, 3L, 30L, "purchase", 0),
+      // user 2: view(0) → click(30): step-2 gap 30, no purchase
+      (2L, 4L, 0L, "view", 0), (2L, 5L, 30L, "click", 0))
+    val out = Behavior.funnelStepTimes(events,
+      Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // step 2 gaps {10, 30}: lower median 10 over 2 transitions
+    assert(out === Seq((2L, 10L, 2L), (3L, 20L, 1L)))
+    intercept[IllegalArgumentException] {
+      Behavior.funnelStepTimes(events, Seq("view"))
+    }
+  }
+
   test("lastTouchAttribution: latest in-window touch wins, organic keeps NULLs") {
     val events = ev(
       // user 1: view(10), click(20) → purchase(25) credits click, gap 5
