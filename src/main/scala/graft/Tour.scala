@@ -171,6 +171,7 @@ object Tour {
     println(s"[tour] association rules=${graft.operators.Behavior.associationRules(ev, minSupportPermille = 50L).count()}")
     println(s"[tour] collocations=${graft.operators.TextAnalysis.collocations(docs, window = 2, minCount = 10L, topK = 20).count()}")
     println(s"[tour] id gaps=${graft.operators.Profiling.idGaps(ev.filter(pmod(col("event_id"), lit(1000L)) =!= 7L), "event_id").count()}")
+    println(s"[tour] funnel step medians=${graft.operators.Behavior.funnelStepTimes(ev, Seq("view", "click", "purchase")).count()}")
 
     println("[tour] ok")
     spark.stop()
