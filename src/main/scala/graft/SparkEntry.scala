@@ -822,7 +822,7 @@ object SparkEntry {
     "q02_project_cents" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS net_cents
-         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, net_cents LIMIT 100""",
     "q03_filter_pred" ->
       "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'R'",
     "q04_null_filter" ->

@@ -43,7 +43,11 @@ object Relational {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_cents"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // §2.4 rule 1 demands a TOTAL order before LIMIT: the regenerated
+      // sf0.1 corpus has duplicate (orderkey, linenumber) pairs with
+      // different prices, so net_cents must join the sort or the LIMIT
+      // boundary is engine-dependent
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_cents"))
       .limit(100)
 
   /** Q3 — conjunctive predicate filter (reference R16 analog,
