@@ -59,24 +59,32 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
       }
     }
-    val results = names.map { n =>
+    val timed = names.map { n =>
       val ts = Seq.fill(3)(timeOne(n))
       var best = ts.min
+      var extra = Seq.empty[Double]
       // noisy-neighbor guard: a sub-second plan inflated by a bad host
       // window stays inflated for 3 back-to-back passes; two spaced
       // retries (after the cleanup above settles) rescue the honest
       // number, and for genuinely slow queries cost ≤ 2 extra runs
       // a retry that itself fails transiently must not poison the min:
       // three honest primary measurements stand on their own
-      if (best > 0.75)
-        best = (best +: Seq.fill(2)(timeOne(n)).filter(_ >= 0)).min
-      n -> (if (best < 0 || ts.exists(_ < 0)) -1.0 else best)
+      if (best > 0.75) {
+        extra = Seq.fill(2)(timeOne(n)).filter(_ >= 0)
+        best = (best +: extra).min
+      }
+      (n, if (best < 0 || ts.exists(_ < 0)) -1.0 else best, ts ++ extra)
     }
+    val results = timed.map(t => (t._1, t._2))
     // the COMPLETE per-query map always lands in BENCH_FULL.json next to
     // the repo sources — the printed line is the driver contract, the
-    // file is the audit trail (the driver's capture window is finite)
+    // file is the audit trail (the driver's capture window is finite).
+    // Every raw repetition rides along so a plan audit can tell host
+    // jitter (wide rep spread) from a real regression (tight spread at
+    // a new level) without re-running the board.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), renderFull(results, sfDir))
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      renderFull(results, sfDir, timed.map(t => (t._1, t._3))))
     println(renderLine(results, sfDir))
     spark.stop()
   }
@@ -84,12 +92,19 @@ object Bench {
   private def entryJson(kv: (String, Double)): String =
     "\"" + kv._1 + f"""\":${kv._2}%.3f"""
 
-  /** Complete results as pretty-enough JSON (one query per line). */
-  def renderFull(results: Seq[(String, Double)], sfDir: String): String = {
+  /** Complete results as pretty-enough JSON (one query per line).
+    * `reps` (when given) adds the raw per-repetition timings behind
+    * each best-of value — the noise-vs-regression audit trail. */
+  def renderFull(results: Seq[(String, Double)], sfDir: String,
+                 reps: Seq[(String, Seq[Double])] = Nil): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
-    results.map(e => "    " + entryJson(e)).mkString(
+    val queries = results.map(e => "    " + entryJson(e)).mkString(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",%n  "queries":{%n""",
-      ",\n", "\n  }\n}\n")
+      ",\n", "\n  }")
+    if (reps.isEmpty) queries + "\n}\n"
+    else queries + reps.map { case (n, ts) =>
+      "    \"" + n + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString(",\n  \"reps\":{\n", ",\n", "\n  }\n}\n")
   }
 
   /** The ONE printed JSON line, bounded to `budget` chars.
@@ -119,9 +134,15 @@ object Bench {
     val prio = results.sortBy { case (_, v) =>
       -(if (v < 0) Double.MaxValue else v)
     }
+    // the shrink floor: k never drops below the failure count, so a
+    // pathological all-failing board overruns the budget rather than
+    // summarizing failures away (they sort first, so take(k) with
+    // k >= nFail always retains every one of them — and none can leak
+    // into the dropped tail to inflate fast_n / skew fast_sum)
+    val nFail = results.count(_._2 < 0)
     var k = prio.size
     var line = render(prio.take(k), prio.drop(k))
-    while (line.length > budget && k > 0) {
+    while (line.length > budget && k > nFail) {
       k -= 1
       line = render(prio.take(k), prio.drop(k))
     }

@@ -333,10 +333,18 @@ object Behavior {
     * count-distinct-over-range window (which Spark would run
     * re-aggregating per row). The contribution explode is bounded by
     * windowDays × |user-days|; both aggregations are map-side-combined
-    * exact distincts over (day, user) pairs. Days past the observed
-    * maximum are clipped (their windows are not yet complete); days
-    * with no activity of their own still report trailing actives with
-    * dau = 0.
+    * exact distincts over (day, user) pairs. The day axis is DENSE
+    * over [min observed day, max observed day]: a day with zero
+    * activity in its entire trailing window still reports (dau = 0,
+    * wau = 0) — a silent gap day reads as "no data", a reported zero
+    * reads as the outage it is. Days past the observed maximum are
+    * clipped (their windows are not yet complete); the first
+    * windowDays−1 reported days carry PARTIAL windows (the window
+    * extends before the first observed day), reported as-is.
+    *
+    * The grid and both day-level aggregates are one row per calendar
+    * day (a decade is ~3.7k rows) — the gap-filling joins are
+    * broadcast joins over day tables, never corpus-sized.
     *
     * Output: (day, dau, wau) ordered by day — `wau` named for the
     * 7-day default, semantically "trailing windowDays actives".
@@ -348,7 +356,9 @@ object Behavior {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
     val userDays = events.select(col(userCol), day.as("day")).distinct()
-    val bounds = userDays.agg(max("day").as("__d1"))
+    val bounds = userDays.agg(min("day").as("__d0"), max("day").as("__d1"))
+    val grid = bounds
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
     val contrib = userDays.select(col(userCol),
       explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
         .as("day"))
@@ -357,9 +367,12 @@ object Behavior {
       .groupBy("day").agg(countDistinct(col(userCol)).as("wau"))
     val dau = userDays.groupBy("day")
       .agg(countDistinct(col(userCol)).as("dau"))
-    wau.join(dau, Seq("day"), "left")
+    // the preserved grid side of a left join cannot be the broadcast
+    // build side; the day-level aggregates can — both are ≤|days| rows
+    grid.join(broadcast(wau), Seq("day"), "left")
+      .join(broadcast(dau), Seq("day"), "left")
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
-        col("wau"))
+        coalesce(col("wau"), lit(0L)).as("wau"))
       .orderBy("day")
   }
 
@@ -375,7 +388,11 @@ object Behavior {
     * and every derived measure is exact integer arithmetic on the
     * ≤|types|²-row pair table: support_permille = cnt·1000 div N,
     * confidence_permille = cnt_ab·1000 div cnt_a, lift_milli =
-    * cnt_ab·N·1000 div (cnt_a·cnt_b). Both rule directions are
+    * cnt_ab·N·1000 div (cnt_a·cnt_b). The lift numerator is computed
+    * in DECIMAL(38,0) — cnt_ab·N·1000 exceeds 2⁶³ once the corpus
+    * passes ~3·10⁹ baskets·pair-mass, and ANSI mode would throw where
+    * a silent wrap would be worse; the integral divide returns BIGINT
+    * (lift values themselves are small). Both rule directions are
     * emitted (confidence is asymmetric; lift is shared).
     *
     * @param minSupportPermille keep rules whose pair support is at
@@ -412,8 +429,96 @@ object Behavior {
       .select(col("ant"), col("cons"), col("cnt_ab").as("support_cnt"),
         expr("(cnt_ab * 1000) div n_baskets").as("support_permille"),
         expr("(cnt_ab * 1000) div cnt_a").as("confidence_permille"),
-        expr("(cnt_ab * n_baskets * 1000) div (cnt_a * cnt_b)").as("lift_milli"))
+        expr("(cast(cnt_ab as decimal(38,0)) * n_baskets * 1000) " +
+          "div (cast(cnt_a as decimal(38,0)) * cnt_b)").as("lift_milli"))
       .orderBy("ant", "cons")
+  }
+
+  /** Per-event-type inter-arrival statistics: exact lower median and
+    * lower p90 of the gap (µs) between a user's consecutive events of
+    * the SAME type — the cadence profile that separates heartbeat-like
+    * telemetry (tight, regular gaps) from organic actions (heavy
+    *-tailed), and the empirical input for choosing a sessionization
+    * gap or a debounce window instead of guessing one.
+    *
+    * Shape: gaps derive from ONE (user, type)-partitioned lag window
+    * (fully distributed); both quantiles use the x123/x128 cumulative-
+    * histogram discipline — the corpus collapses to its distinct
+    * (type, gap) table with map-side combine, the running-sum window
+    * and the threshold selections run over THAT bounded table, and no
+    * raw row passes through a sort. All selection arithmetic is exact
+    * integer (2·cum ≥ tot; 10·cum ≥ 9·tot — no division, no floats).
+    *
+    * @return (event_type, n_gaps, median_gap_us, p90_gap_us) ordered. */
+  def interArrivalStats(events: DataFrame, userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts",
+                        idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col("__us"), col(idCol))
+    val gaps = events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .select(col(typeCol).as("event_type"), col("__gap").as("gap_us"))
+    val vals = gaps.groupBy(col("event_type"), col("gap_us"))
+      .agg(count(lit(1)).as("w"))
+    val cw = Window.partitionBy(col("event_type")).orderBy(col("gap_us"))
+    val cum = vals
+      .withColumn("__cum", sum("w").over(cw))
+      .withColumn("__tot", sum("w").over(Window.partitionBy(col("event_type"))))
+    val med = cum.filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy("event_type").agg(min("gap_us").as("median_gap_us"))
+    val p90 = cum.filter(col("__cum") * 10 >= col("__tot") * 9)
+      .groupBy("event_type").agg(min("gap_us").as("p90_gap_us"))
+    gaps.groupBy("event_type").agg(count(lit(1)).as("n_gaps"))
+      .join(med, Seq("event_type"))
+      .join(p90, Seq("event_type"))
+      .orderBy("event_type")
+  }
+
+  /** Week-over-week churn/retention ledger: for every observed week w
+    * (except the last — its successor is beyond the data horizon, the
+    * rollingActives clip rule), how many distinct users were active in
+    * w, how many of those returned in w+1, how many churned, and how
+    * many of w+1's actives are new. The product-health counterpart of
+    * [[retention]]'s cohort curves: one row per week, directly
+    * plottable, exact integers end to end.
+    *
+    * Shape: the corpus collapses to DISTINCT (user, week) facts with
+    * map-side combine; retention is a self-equi-join of that fact
+    * table against itself shifted one week (join on (user, week) —
+    * never a cross join, never a window); the final ledger assembles
+    * from |weeks|-row aggregates with broadcast joins. A week with
+    * zero following-week activity reports n_next = 0 / churned = all —
+    * a real outage reads as one, not as a missing row.
+    *
+    * @return (week, n_active, n_next, n_retained, n_churned, n_new,
+    *         retained_permille) ordered by week. */
+  def weeklyChurn(events: DataFrame, epoch: String = "2024-01-01",
+                  userCol: String = "user_id",
+                  tsCol: String = "ts"): DataFrame = {
+    val week = expr(s"datediff(to_date($tsCol), date'$epoch') div 7")
+    val uw = events.select(col(userCol).as("u"), week.as("week")).distinct()
+    val act = uw.groupBy("week").agg(count(lit(1)).as("n_active"))
+    val ret = uw
+      .join(uw.select(col("u"), (col("week") - 1L).as("week")), Seq("u", "week"))
+      .groupBy("week").agg(count(lit(1)).as("n_retained"))
+    val nxt = act.select((col("week") - 1L).as("week"),
+      col("n_active").as("n_next"))
+    val bounds = uw.agg(max("week").as("__wmax"))
+    act.crossJoin(broadcast(bounds)) // 1-row clip bound
+      .filter(col("week") < col("__wmax"))
+      .join(broadcast(nxt), Seq("week"), "left")
+      .join(broadcast(ret), Seq("week"), "left")
+      .select(col("week"), col("n_active"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .select(col("week"), col("n_active"), col("n_next"), col("n_retained"),
+        (col("n_active") - col("n_retained")).as("n_churned"),
+        (col("n_next") - col("n_retained")).as("n_new"),
+        expr("(n_retained * 1000) div n_active").as("retained_permille"))
+      .orderBy("week")
   }
 
   /** Top-k most common length-`len` event-type paths (sequential

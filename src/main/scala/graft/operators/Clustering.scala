@@ -133,13 +133,17 @@ object Clustering {
     require(minPermille >= 1 && minPermille <= 1000,
       s"minPermille ($minPermille) must be in [1, 1000]")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // cached: the assignment map feeds BOTH pair sides and the final
-    // projection (one scan instead of three), and the cache boundary
+    // cached AT THE JOIN OUTPUT: (id, cluster, vec) feeds BOTH pair
+    // sides and the final projection, so the assignment⋈vector join
+    // materializes exactly once (caching only the assignment left the
+    // join itself to run twice whenever AQE declined to reuse the
+    // exchange — the r8 bench's slowest query). The cache boundary
     // also keeps the self-join's constraint inference away from the
     // kmeans lambda expressions (Spark's InferFiltersFromConstraints
     // can fail on a self-joined higher-order-function projection)
-    val assigned = Dedup.registerCache(kmeans(df, idCol, vecCol, k, iterations))
-    val withVec = assigned.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+    val withVec = Dedup.registerCache(
+      kmeans(df, idCol, vecCol, k, iterations)
+        .join(df.select(col(idCol), col(vecCol)), Seq(idCol)))
     val a = withVec.select(col("cluster"), col(idCol).as("da"), col(vecCol).as("va"))
     val b = withVec.select(col("cluster"), col(idCol).as("db"), col(vecCol).as("vb"))
     val pairs = a.join(b, Seq("cluster"))
@@ -150,7 +154,7 @@ object Clustering {
     // the sort-free labels: the id-keyed join below re-shuffles anyway
     val comp = Dedup.connectedComponentsUnsorted(pairs)
       .withColumnRenamed("doc_id", idCol).withColumnRenamed("cluster_id", "keep_id")
-    assigned.join(comp, Seq(idCol), "left")
+    withVec.select(col(idCol), col("cluster")).join(comp, Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("keep_id"), col(idCol)).as("keep_id"))
       .orderBy(idCol)

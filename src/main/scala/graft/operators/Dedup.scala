@@ -51,6 +51,13 @@ object Dedup {
   /** Checkpoint block sets currently held (tests / monitoring). */
   def liveCheckpointCount: Int = liveCheckpoints.size()
 
+  /** Register a checkpoint RDD for release by [[releaseCaches]] —
+    * shared hygiene for operators outside this file that truncate
+    * lineage the same way (currently [[Graph.pageRank]]'s periodic
+    * checkpoints). */
+  private[operators] def registerCheckpoint(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    liveCheckpoints.add(rdd)
+
   /** RDD ids the most recent [[connectedComponents]] call checkpointed,
     * in round order (test hook: proves every round but the last was
     * unpersisted before the operator returned). */
@@ -80,7 +87,7 @@ object Dedup {
     * CacheManager, so this handle is the only way to free checkpoint
     * blocks deterministically (instead of waiting for the
     * ContextCleaner to GC the RDD). */
-  private def checkpointRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
+  private[operators] def checkpointRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
     df.queryExecution.logical match {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       case other => throw new IllegalStateException(

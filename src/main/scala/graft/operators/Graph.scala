@@ -29,18 +29,26 @@ object Graph {
     * layout), so the upstream pairs plan executes exactly once. Every
     * iteration then shuffles only the rank table (|V| rows) into that
     * layout, aggregates partially map-side, and chains declaratively.
-    * Iterations are bounded (≤ 50), so the lineage stays shallow
-    * enough to plan; an unbounded fixpoint would use the per-round
-    * `localCheckpoint` cycle of [[Dedup.connectedComponents]] instead.
-    * Both caches register in the operator cache registry and are freed
-    * by [[Dedup.releaseCaches]] after results materialize.
+    * Every `checkpointEvery` rounds the rank table's lineage is
+    * truncated with a LAZY `localCheckpoint` (the plan becomes a
+    * `LogicalRDD` immediately — no extra job; blocks materialize when
+    * the caller's first action computes through them), so analysis and
+    * optimization cost stay bounded by the checkpoint interval instead
+    * of growing with the full iteration count — the per-round cycle of
+    * [[Dedup.connectedComponents]], minus its convergence count (a
+    * fixed-iteration power method has no per-round action to piggyback
+    * on). Caches AND checkpoint blocks register in the operator cache
+    * registry and are freed by [[Dedup.releaseCaches]] after results
+    * materialize — checkpoint blocks back the returned plan
+    * transitively, so they must outlive the caller's reads.
     *
     * @return (doc_id, pr_micros) — rank in integer micros, ordered. */
   def pageRank(pairs: DataFrame, iterations: Int = 10,
-               damping: Double = 0.85): DataFrame = {
-    require(iterations >= 1 && iterations <= 50,
-      s"iterations ($iterations) must be in [1, 50] — beyond that use a " +
-        "checkpointed fixpoint (see Dedup.connectedComponents)")
+               damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1 && iterations <= 1000,
+      s"iterations ($iterations) must be in [1, 1000]")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery ($checkpointEvery) must be >= 1")
     require(damping > 0 && damping < 1, s"damping ($damping) must be in (0, 1)")
     val sym = Dedup.registerCache(Dedup.symmetrizedEdges(pairs))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -49,12 +57,20 @@ object Graph {
     require(n > 0, "pageRank needs a non-empty pair graph")
     val tele = lit(1.0 - damping) / lit(n)
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       ranks = edges
         .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
         .groupBy("dst")
         .agg(sum(col("r") / col("deg")).as("m"))
         .select(col("dst").as("node"), (tele + lit(damping) * col("m")).as("r"))
+      if (i % checkpointEvery == 0 && i < iterations) {
+        ranks = ranks.localCheckpoint(eager = false)
+        // every checkpoint feeds the NEXT segment's plan and (through
+        // it) the returned result, and nothing materializes until the
+        // caller acts — so none can be freed early; all go to the
+        // registry for release after materialization
+        Dedup.registerCheckpoint(Dedup.checkpointRdd(ranks))
+      }
     }
     ranks
       .select(col("node").as("doc_id"),
@@ -80,32 +96,119 @@ object Graph {
     * [[pageRank]] says WHO is central.
     *
     * Enumeration is the classic ORIENTED wedge join — no cross join,
-    * nothing quadratic in nodes: edges orient low→high, wedges come
-    * from joining the edge list with itself on the shared MIDDLE
-    * vertex (a < b < c by construction, so each triangle is generated
-    * exactly once), and a third equi-join closes the wedge. Join mass
-    * is Σ_b d⁻(b)·d⁺(b), the orientation bound that keeps high-degree
-    * hubs from squaring (degree-ordered orientation — rank nodes by
-    * degree instead of id — tightens it to O(m^{3/2}) worst-case;
-    * same plan shape, swap the orientation key).
+    * nothing quadratic in nodes: edges orient along a total node
+    * order, wedges come from joining the edge list with itself on the
+    * shared MIDDLE vertex (each triangle generated exactly once), and
+    * a third equi-join closes the wedge. The orientation is
+    * DEGREE-ORDERED — every edge points from its (degree, id)-lower
+    * endpoint to the higher — which bounds the wedge-join mass at
+    * O(m^{3/2}) worst-case; id-ordering admits a Σ d² blowup when a
+    * hub happens to carry a low id, the classic failure on
+    * star-shaped dup neighborhoods (one canonical page paired with
+    * every mirror). Output is orientation-invariant: per-node
+    * triangle membership does not depend on edge direction.
     *
     * @return (doc_id, n_triangles) for nodes in ≥ 1 triangle, ordered. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val e = canonicalEdges(pairs)
-    val tri = triangles(e)
+    val tri = triangles(canonicalEdges(pairs))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
       .orderBy("doc_id")
   }
 
-  /** (a, b, c) triangle rows, a < b < c, each triangle once. */
+  /** Orient the canonical edge list along a total node order: by
+    * (degree, id) when `byDegree` (the O(m^{3/2}) orientation — a node
+    * of out-degree d only points at nodes of degree ≥ d, and there are
+    * at most 2m/d of those, so out-degrees are O(√m)), or by raw id
+    * (the naive orientation — kept as the test hook that demonstrates
+    * the hub blowup). Both are strict total orders over distinct
+    * endpoints, so each undirected edge gets exactly one direction and
+    * the oriented graph is a DAG. Returns (lo, hi) directed edges. */
+  private[graft] def orientEdges(e: DataFrame, byDegree: Boolean = true): DataFrame =
+    if (!byDegree) e.select(col("a").as("lo"), col("b").as("hi"))
+    else {
+      val deg = e.select(col("a").as("v"))
+        .unionByName(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      e.join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+        .select(when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+          when(aFirst, col("b")).otherwise(col("a")).as("hi"))
+    }
+
+  /** Wedge-join input mass of an orientation: Σ_mid in(mid)·out(mid) —
+    * the exact row count the middle-vertex equi-join produces before
+    * closure filtering. Test hook for the degree-vs-id orientation
+    * comparison on hub graphs. */
+  private[graft] def wedgeJoinMass(oriented: DataFrame): Long = {
+    val out = oriented.groupBy(col("lo").as("v")).agg(count(lit(1)).as("o"))
+    val in = oriented.groupBy(col("hi").as("v")).agg(count(lit(1)).as("i"))
+    out.join(in, Seq("v"))
+      .agg(coalesce(sum(col("o") * col("i")), lit(0L)).as("m"))
+      .head().getLong(0)
+  }
+
+  /** (a, b, c) triangle rows over the canonical edge list, vertices
+    * ordered along the degree orientation, each triangle once. */
   private def triangles(e: DataFrame): DataFrame = {
-    val ab = e
-    val bc = e.select(col("a").as("b"), col("b").as("c"))
-    val ac = e.select(col("a").as("ca"), col("b").as("cc"))
+    val o = orientEdges(e)
+    val ab = o.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = o.select(col("lo").as("b"), col("hi").as("c"))
+    val ac = o.select(col("lo").as("ca"), col("hi").as("cc"))
     ab.join(bc, Seq("b"))
       .join(ac, col("a") === col("ca") && col("c") === col("cc"))
       .select("a", "b", "c")
+  }
+
+  /** Degree distribution of the pair graph: (deg, n_nodes) — the
+    * first thing a dedup report reads about graph SHAPE (a power-law
+    * tail means hub templates; a spike at 1 means isolated mirror
+    * pairs), and the cheap pre-check that decides whether the wedge
+    * join of [[triangleCounts]] is worth running at all.
+    *
+    * Cost: one groupBy over edge endpoints (2m rows) + one groupBy
+    * over the |V|-row degree table — both map-side-combined; nothing
+    * quadratic anywhere. Ordered by degree. */
+  def degreeHistogram(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
+  /** Per-node distinct 2-hop neighborhood size over the pair graph —
+    * the "friend-of-friend" candidate-expansion count: how many docs
+    * a transitive-closure pass WOULD newly consider from each node,
+    * the a-priori cost signal for widening near-dup verification one
+    * hop (and the structural read on how fast clusters would grow if
+    * the pair threshold were loosened).
+    *
+    * Shape: the symmetrized edge list self-joins on the shared middle
+    * vertex (join mass Σ_mid deg² — the pair GRAPH, a vanishing
+    * fraction of the corpus; for hub-heavy graphs cap or pre-filter
+    * degrees first via [[degreeHistogram]]), drops self-returns and
+    * 1-hop shortcuts with one distinct + one anti-join on the edge
+    * set, and counts per source. Nodes whose 2-hop set is empty (pure
+    * pendant pairs) report 0 — every pair-graph node appears.
+    *
+    * @return (doc_id, n_two_hop) ordered by doc_id. */
+  def twoHopCounts(pairs: DataFrame): DataFrame = {
+    val sym = Dedup.symmetrizedEdges(pairs)
+    val hops = sym.select(col("src"), col("dst").as("mid"))
+      .join(sym.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .join(sym, Seq("src", "dst"), "left_anti") // drop 1-hop shortcuts
+      .groupBy("src").agg(count(lit(1)).as("n_two_hop"))
+    sym.select("src").distinct()
+      .join(hops, Seq("src"), "left")
+      .select(col("src").as("doc_id"),
+        coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"))
+      .orderBy("doc_id")
   }
 
   /** One-row structural summary of the pair graph: node/edge/wedge/

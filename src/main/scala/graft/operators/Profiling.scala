@@ -336,14 +336,11 @@ object Profiling {
     * scan is exactly such a source: a silently failed page is a
     * contiguous id gap, and this report names it).
     *
-    * One distinct projection + ONE un-partitioned lag window — but
-    * over the DISTINCT id table, and the window's input is further
-    * collapsed before any single task sees it at scale: the stated
-    * 100 TB form first aggregates ids into coarse buckets
-    * (`id div B`), finds fully-present buckets (count = B) with a
-    * groupBy, and runs this exact-gap scan only over the sparse
-    * remainder — same output, bounded window input. At the audit's
-    * typical scale (ids of ONE ingest run) the direct form is right.
+    * One distinct projection + ONE un-partitioned lag window over the
+    * DISTINCT id table — the exact-oracle anchor form, right at the
+    * audit's typical scale (ids of ONE ingest run). For a full-corpus
+    * id column use [[idGapsBucketed]] — same output, no un-partitioned
+    * window over raw ids.
     *
     * Output: (gap_start, gap_end, n_missing) per maximal missing run.
     */
@@ -357,6 +354,119 @@ object Profiling {
         (col("__id") - 1L).as("gap_end"),
         (col("__id") - col("__prev") - 1L).as("n_missing"))
       .orderBy("gap_start")
+  }
+
+  /** [[idGaps]]' data-scale form — identical output, no un-partitioned
+    * window over the id table. Two-level decomposition on coarse
+    * buckets (`id div bucketSize`):
+    *
+    *  1. WITHIN-bucket gaps: the lag window runs PARTITIONED by bucket
+    *     (fully distributed — a gap between two present ids in the
+    *     same bucket never crosses a partition), and only over SPARSE
+    *     buckets: a groupBy first computes per-bucket (count, min,
+    *     max), and buckets where count = max−min+1 are dense runs with
+    *     no interior gap — they are pruned before the window ever sees
+    *     their ids. On a mostly-dense 100 TB id column this drops
+    *     nearly every row.
+    *  2. CROSS-bucket gaps: a run of missing ids spanning a bucket
+    *     boundary surfaces between one bucket's max and the next
+    *     bucket's min (entirely-missing buckets simply widen it). One
+    *     un-partitioned lag window computes these — but over the
+    *     per-bucket summary table, |ids|/bucketSize rows, collapsed by
+    *     the bucket factor (10⁹ distinct ids at the default 2²⁰ ≈ a
+    *     thousand-row window input).
+    *
+    * Every interior gap lies within one bucket and every boundary gap
+    * is exactly one summary-lag row, so the union reproduces
+    * [[idGaps]] maximal-run-for-run (ProfilingSpec asserts ≡ on holed
+    * corpora; PlanSpec asserts the per-id window is partitioned and
+    * the un-partitioned one reads the bucket summary, not raw ids). */
+  def idGapsBucketed(df: DataFrame, idCol: String,
+                     bucketSize: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSize >= 2, s"bucketSize ($bucketSize) must be >= 2")
+    val ids = df.filter(col(idCol).isNotNull).select(col(idCol).as("__id"))
+      .distinct()
+      .withColumn("__b", expr(s"__id div ${bucketSize}L"))
+    val stats = ids.groupBy("__b").agg(count(lit(1)).as("__cnt"),
+      min("__id").as("__min"), max("__id").as("__max"))
+    val sparse = stats
+      .filter(col("__cnt") < col("__max") - col("__min") + 1L).select("__b")
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__id"))
+    val interior = ids.join(sparse, Seq("__b"))
+      .withColumn("__prev", lag(col("__id"), 1).over(wIn))
+      .filter(col("__prev").isNotNull && col("__id") - col("__prev") > 1L)
+      .select((col("__prev") + 1L).as("gap_start"),
+        (col("__id") - 1L).as("gap_end"),
+        (col("__id") - col("__prev") - 1L).as("n_missing"))
+    val wB = Window.orderBy(col("__b"))
+    val boundary = stats
+      .withColumn("__pmax", lag(col("__max"), 1).over(wB))
+      .filter(col("__pmax").isNotNull && col("__min") - col("__pmax") > 1L)
+      .select((col("__pmax") + 1L).as("gap_start"),
+        (col("__min") - 1L).as("gap_end"),
+        (col("__min") - col("__pmax") - 1L).as("n_missing"))
+    interior.unionByName(boundary).orderBy("gap_start")
+  }
+
+  /** Per-group higher-moment profile of an integer column: n, mean,
+    * population variance, skewness, and excess kurtosis (all
+    * milli-rounded) — the distribution-shape report that tells a
+    * curation pipeline whether a length/quality signal is symmetric
+    * enough for z-score fences ([[Clustering.madOutliers]]' cheaper
+    * cousin) or heavy-tailed enough to need quantile ones.
+    *
+    * Float discipline, the key to cross-engine exactness: the four
+    * power sums S1..S4 accumulate as EXACT integers (S3/S4 in
+    * DECIMAL(38,0) — v ≤ 10⁵ keeps v⁴ ≤ 10²⁰, far under the 38-digit
+    * cap even summed over 10¹⁵ rows), so aggregation ORDER cannot
+    * perturb anything; the moment formulas then run on doubles
+    * converted from those exact sums in ONE deterministic expression
+    * per output (m2^1.5 spelled m2·√m2 — sqrt is IEEE-exact where
+    * pow is not). Shuffle cost: one map-side-combined groupBy; the
+    * moment math runs on the |groups|-row aggregate table.
+    *
+    * A constant group (m2 = 0) reports NULL skew/kurtosis rather
+    * than dividing by zero.
+    *
+    * @return (grp, n, mean_milli, var_milli, skew_milli, kurt_milli)
+    *         ordered by group. */
+  def momentsBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .withColumn("x2", col("v") * col("v"))
+    val sums = base.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum("v").as("s1"),
+      sum("x2").as("s2"),
+      sum(expr("cast(x2 as decimal(38,0)) * v")).as("s3"),
+      sum(expr("cast(x2 as decimal(38,0)) * x2")).as("s4"))
+    val m = sums
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mean", col("s1").cast("double") / col("nd"))
+      .withColumn("m2",
+        col("s2").cast("double") / col("nd") - col("mean") * col("mean"))
+      .withColumn("m3",
+        col("s3").cast("double") / col("nd")
+          - lit(3.0) * col("mean") * (col("s2").cast("double") / col("nd"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4",
+        col("s4").cast("double") / col("nd")
+          - lit(4.0) * col("mean") * (col("s3").cast("double") / col("nd"))
+          + lit(6.0) * col("mean") * col("mean")
+            * (col("s2").cast("double") / col("nd"))
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+    m.select(col("grp"), col("n"),
+        floor(col("mean") * 1000 + 0.5).cast("long").as("mean_milli"),
+        floor(col("m2") * 1000 + 0.5).cast("long").as("var_milli"),
+        when(col("m2") <= 0.0, lit(null).cast("long")).otherwise(
+          floor(col("m3") / (col("m2") * sqrt(col("m2"))) * 1000 + 0.5)
+            .cast("long")).as("skew_milli"),
+        when(col("m2") <= 0.0, lit(null).cast("long")).otherwise(
+          floor((col("m4") / (col("m2") * col("m2")) - lit(3.0)) * 1000 + 0.5)
+            .cast("long")).as("kurt_milli"))
+      .orderBy("grp")
   }
 
   /** Referential-integrity audit: for each declared FK edge

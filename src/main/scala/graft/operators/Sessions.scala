@@ -54,6 +54,22 @@ object Sessions {
         graft.queries.Relational.cents(sum("value")).as("value_cents"))
   }
 
+  /** Session-size distribution: (n_events, n_sessions) over the
+    * [[sessionize]] output — the one-glance shape report ("are
+    * sessions mostly 1-event bounces or long engaged runs?") that
+    * decides whether a funnel analysis is even meaningful at the
+    * chosen gap, and the sensitivity check run at several gaps before
+    * pinning one.
+    *
+    * Cost beyond sessionize itself: one map-side-combined groupBy
+    * over the (already session-keyed) session table — the output is
+    * bounded by the longest session, typically tens of rows. */
+  def sessionLengthHistogram(events: DataFrame, gap: Long,
+                             tsCol: String = "ts_ns"): DataFrame =
+    sessionize(events, gap, tsCol)
+      .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("n_events")
+
   /** SCD2 interval build: compact a per-user event history into
     * validity intervals of `event_type` — one row per RUN of equal
     * consecutive values, `[valid_from_ts, valid_to_ts)` half-open,

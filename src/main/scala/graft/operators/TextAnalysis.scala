@@ -897,4 +897,36 @@ object TextAnalysis {
         floor((col("sy") - col("slope") * col("sx")) / col("d") * lit(1000d)
           + lit(0.5d)).cast("long").as("intercept_milli"))
   }
+
+  /** Per-document keyword extraction: the top-k tokens by tf/df
+    * rarity score — the "what is this document ABOUT" tagger that
+    * feeds topic routing and per-topic mixture reports. The score is
+    * EXACT integer arithmetic (score_micro = tf·10⁶ div df): monotone
+    * in term frequency and inversely in document frequency like
+    * tf·idf, but with no float log anywhere — so ranking, tie-break
+    * (score desc, then token), and therefore the whole output are
+    * bit-stable cross-engine. Stopwords self-suppress (df ≈ corpus
+    * size ⇒ score ≈ tf·10⁶/N → small) without a stopword list.
+    *
+    * Shape: one (doc, tok) tf aggregation with map-side combine, a
+    * vocabulary-bounded df table equi-joined back on `tok`, and a
+    * doc-PARTITIONED rank window — fully distributed; no global sort,
+    * no driver state. */
+  def keywordsTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("tok"))
+    tf.join(dfreq, Seq("tok"))
+      .withColumn("score_micro", expr("(tf * 1000000) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
+        col("score_micro"))
+      .orderBy("doc_id", "rank")
+  }
 }

@@ -65,4 +65,36 @@ class BenchSpec extends AnyFunSuite {
     val full = mapper.readTree(Bench.renderFull(rs, "/tmp/sf"))
     assert(full.get("queries").size() == 137)
   }
+
+  test("full rendering carries raw repetitions when given") {
+    val rs = fakeResults(3)
+    val reps = rs.map { case (n, v) => n -> Seq(v, v + 0.01, v * 2) }
+    val full = mapper.readTree(Bench.renderFull(rs, "/tmp/sf", reps))
+    assert(full.get("reps").size() == 3)
+    val arr = full.get("reps").get(rs.head._1)
+    assert(arr.isArray && arr.size() == 3)
+    assert(math.abs(arr.get(0).asDouble() - rs.head._2) < 1e-9)
+    // and the reps block must not break the totals contract
+    assert(math.abs(full.get("value").asDouble() - rs.map(_._2).sum) < 1e-6)
+  }
+
+  test("a pathological all-failure board overruns the budget rather than dropping failures") {
+    // 60 failures alone exceed the 1700-char budget; the shrink floor
+    // must retain every -1 sentinel (failures are findings), accepting
+    // the overrun — and fast_n/fast_sum must not count hidden failures
+    val rs = fakeResults(60).map { case (n, _) => n -> -1.0 } ++ fakeResults(5)
+    val line = Bench.renderLine(rs.toSeq, "/tmp/sf")
+    val node = mapper.readTree(line)
+    val qs = node.get("queries")
+    val failKept = {
+      val it = qs.properties().iterator()
+      var c = 0
+      while (it.hasNext) { if (it.next().getValue.asDouble() == -1.0) c += 1 }
+      c
+    }
+    assert(failKept == 60, s"every failure must survive summarization, kept $failKept")
+    Option(node.get("fast_n")).foreach { fn =>
+      assert(fn.asInt() <= 5, "only honest timings may be summarized away")
+    }
+  }
 }

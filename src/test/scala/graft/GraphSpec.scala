@@ -50,6 +50,57 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pageRank: 50 iterations stay plan-shallow via checkpoints; blocks released") {
+    val p = pairs((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val ranked = Graph.pageRank(p, iterations = 50)
+    // lineage truncation is visible BEFORE execution: the plan since
+    // the last checkpoint holds at most checkpointEvery rank joins —
+    // un-truncated, 50 chained rounds would put ~50 joins here
+    val joins = ranked.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins <= 10, s"expected a checkpoint-truncated plan, found $joins joins")
+    val out = ranked.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // checkpoint blocks back the result until released
+    assert(Dedup.liveCheckpointCount >= 9, "each periodic checkpoint must register")
+    Dedup.releaseCaches()
+    assert(Dedup.liveCheckpointCount === 0, "release must free every checkpoint")
+    assert(out === reference(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)), 50))
+    // rank mass still conserved after 50 rounds
+    assert(math.abs(out.values.sum - 1000000L) <= out.size)
+  }
+
+  test("pageRank: checkpoint interval does not change the numbers") {
+    val p = pairs((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L))
+    val a = Graph.pageRank(p, iterations = 12, checkpointEvery = 3).collect().toSeq
+    val b = Graph.pageRank(p, iterations = 12, checkpointEvery = 100).collect().toSeq
+    Dedup.releaseCaches()
+    assert(a === b)
+  }
+
+  test("degree-ordered orientation shrinks the wedge join on a hub graph") {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    // hub 15 sits mid-range by ID with 30 spokes, so id-ordering gives
+    // it ~15 in × ~15 out ≈ 225 wedge-join rows; degree-ordering makes
+    // every spoke point AT the hub (out-degree 0) — a handful of rows
+    // from the two triangle-closing edges remain
+    val spokes = (0L to 30L).filter(_ != 15L).map(i => (i, 15L))
+    val e = (spokes ++ Seq((1L, 2L), (2L, 3L))).toDF("da", "db")
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b")).distinct()
+    val byId = Graph.wedgeJoinMass(Graph.orientEdges(e, byDegree = false))
+    val byDeg = Graph.wedgeJoinMass(Graph.orientEdges(e, byDegree = true))
+    assert(byDeg < byId,
+      s"degree orientation must shrink the wedge join: byDeg=$byDeg byId=$byId")
+    assert(byId >= 200L, "the id-ordered hub blowup should be visible")
+    assert(byDeg <= 10L, s"degree orientation should defuse the hub, got $byDeg")
+    // and the counts themselves are orientation-invariant: triangles
+    // 1-2-15 and 2-3-15 (spoke edges close both wedges through the hub)
+    val tri = Graph.triangleCounts((spokes ++ Seq((1L, 2L), (2L, 3L))).toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 15L -> 2L))
+  }
+
   test("pageRank rejects empty graphs and bad parameters") {
     intercept[IllegalArgumentException](
       Graph.pageRank(pairs((1L, 2L)), iterations = 0))

@@ -225,4 +225,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"),
       s"parent keys must be de-duplicated before the anti-join:\n$p")
   }
+
+  private def logicalWindows(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+
+  test("x126: per-id lag is bucket-partitioned; the un-partitioned window reads the bucket summary") {
+    val wins = logicalWindows(SparkEntry.queries("x126_id_gaps")(spark, sf))
+    assert(wins.size === 2, s"expected the two-level decomposition, got ${wins.size} windows")
+    val (unpart, part) = wins.partition(_.partitionSpec.isEmpty)
+    assert(part.size === 1,
+      "the raw-id lag must run PARTITIONED (by id bucket) — the r8 scale-killer")
+    // the partitioned window's input is the sparse-bucket join, never
+    // the full distinct-id table — the dense-run prune must sit below
+    assert(part.head.child.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty, "the sparse-bucket prune join must feed the per-id window")
+    // the one un-partitioned window reads the |ids|/B bucket SUMMARY
+    // (an aggregate), not raw ids
+    assert(unpart.size === 1 && unpart.head.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "the boundary scan must read the per-bucket aggregate")
+  }
+
+  test("x91/x115/x60: every un-partitioned window sits above its top-V/poolK cut") {
+    // these three carry deliberate single-partition windows whose
+    // inputs are bounded BY CONSTRUCTION (vocab top-V, fusion poolK);
+    // this guard pins the limit BELOW the window so a refactor cannot
+    // silently unbound them into corpus-wide single-task sorts
+    for (name <- Seq("x91_vocab_coverage", "x115_zipf_fit", "x60_hybrid_rrf")) {
+      val wins = logicalWindows(SparkEntry.queries(name)(spark, sf))
+      val unpart = wins.filter(_.partitionSpec.isEmpty)
+      assert(unpart.nonEmpty, s"$name: expected the bounded global window to exist")
+      unpart.foreach { w =>
+        assert(w.child.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+        }.nonEmpty,
+          s"$name: un-partitioned window input must be limit-bounded below the window")
+      }
+    }
+  }
 }

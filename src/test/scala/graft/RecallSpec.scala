@@ -28,6 +28,26 @@ class RecallSpec extends SparkSpec {
       s"lshTopK(planes=8, tables=2, probe=2) recall $permille below calibrated floor")
   }
 
+  test("the documented recall-biased LSH operating point clears 700 permille") {
+    // the SHIPPED default (planes=8, tables=2, probe=2) is speed-biased
+    // — x29 certifies it at ≥450‰ for ~2×37 probe rows/query. This
+    // case pins the RECALL-biased point the lshTopK scaladoc names
+    // (tables=4, probe=3): twice the table fan-out, deeper probing,
+    // measured 980‰ at sf0.001 (deterministic signatures, floor at
+    // 900 for ULP headroom) — so both ends of the cost/recall trade
+    // stay demonstrated, not just asserted in prose
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val r = Recall.pairRecall(
+      Similarity.cosineTopK(q, emb, k = 5),
+      Similarity.lshTopK(q, emb, k = 5, numTables = 4, multiProbe = 3),
+      Seq("query_id", "neighbor_id")).head()
+    val permille = r.getLong(3)
+    info(s"recall-biased lsh: ${r.getLong(2)}/${r.getLong(0)} = $permille permille")
+    assert(permille >= 900L,
+      s"lshTopK(planes=8, tables=4, probe=3) recall $permille below documented floor")
+  }
+
   test("x30: shipped IVF top-k recall clears its floor at sf0.001") {
     val (nExact, _, nHit, permille) = recallOf("x30_recall_ivf", sf)
     info(s"ivf recall: $nHit/$nExact = $permille permille")

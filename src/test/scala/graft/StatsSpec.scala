@@ -144,6 +144,37 @@ class StatsSpec extends SparkSpec {
     assert(Profiling.idGaps(Seq(5L, 6L, 7L).toDF("id"), "id").count() === 0L)
   }
 
+  test("idGapsBucketed ≡ idGaps on a holed corpus — interior, boundary-spanning, whole-bucket gaps") {
+    // ids 0..999 at bucketSize 100, minus: a singleton hole {57}, an
+    // in-bucket run {230..260}, and a run {395..610} that spans a
+    // bucket boundary AND swallows buckets 4 and 5 whole (the case
+    // where a naive "keep only sparse-bucket ids" prune would invent
+    // a false gap between a dense bucket's endpoints or miss the
+    // cross-bucket stitch); plus duplicates and nulls
+    val removed = (Set(57L) ++ (230L to 260L) ++ (395L to 610L))
+    val ids = (0L until 1000L).filterNot(removed)
+    val df = (ids ++ ids.take(17)).map(Option(_)) // dups
+      .appended(Option.empty[Long]).toDF("id")
+    val direct = Profiling.idGaps(df, "id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(direct === Seq((57L, 57L, 1L), (230L, 260L, 31L), (395L, 610L, 216L)))
+    val bucketed = Profiling.idGapsBucketed(df, "id", bucketSize = 100L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(bucketed === direct, "bucketed decomposition must reproduce the direct scan")
+    // degenerate widths: one giant bucket (pure interior path) and the
+    // minimum legal width (every gap is a boundary gap)
+    assert(Profiling.idGapsBucketed(df, "id")
+      .as[(Long, Long, Long)].collect().toSeq === direct)
+    assert(Profiling.idGapsBucketed(df, "id", bucketSize = 2L)
+      .as[(Long, Long, Long)].collect().toSeq === direct)
+    intercept[IllegalArgumentException] {
+      Profiling.idGapsBucketed(df, "id", bucketSize = 1L)
+    }
+    // a dense id range reports nothing through the bucketed path too
+    assert(Profiling.idGapsBucketed((100L to 300L).toDF("id"), "id",
+      bucketSize = 64L).count() === 0L)
+  }
+
   test("fkAudit: orphans, null keys, and permille — hand-computed") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(10L)), (3L, Option(99L)), // 99 orphan
