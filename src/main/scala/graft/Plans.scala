@@ -122,7 +122,15 @@ object Plans {
       ("x123_weighted_median", "weighted median: one (group, value) aggregation collapses the corpus to its distinct-value table; the running-sum window and half-mass cut run over THAT bounded table — no raw row ever passes through a sort",
         "x123_weighted_median"),
       ("x124_assoc_rules", "association rules: pair support via the within-basket self-join (join mass Σ basket_size², baskets keyed by (user, day)); all measures integer arithmetic on the ≤|types|²-row pair table with broadcast singleton supports",
-        "x124_assoc_rules"))
+        "x124_assoc_rules"),
+      ("x126_id_gaps", "bucketed id-gap audit: the per-id lag window runs PARTITIONED by id bucket over sparse buckets only (dense runs pruned by the count = span groupBy before the window); the single un-partitioned window reads the |ids|/B bucket summary — never raw ids",
+        "x126_id_gaps"),
+      ("x129_keywords", "keyword extraction: map-side-combined (doc, tok) tf table, vocab-bounded df equi-join, doc-PARTITIONED rank window — integer-division scores, no global sort, no driver state",
+        "x129_keywords"),
+      ("x133_two_hop", "2-hop counts: middle-vertex equi-join over the pair graph (Σ deg² mass — pair-graph-sized, never corpus), distinct + LEFT ANTI shortcut removal, zero-reporting left join",
+        "x133_two_hop"),
+      ("x134_moments", "moment profile: ONE map-side-combined groupBy accumulates exact integer power sums (S3/S4 in DECIMAL(38,0)); all float math runs on the |groups|-row aggregate table",
+        "x134_moments"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")

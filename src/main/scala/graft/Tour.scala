@@ -170,8 +170,13 @@ object Tour {
     println(s"[tour] weighted medians=${graft.operators.Profiling.weightedMedian(docs, "lang", "n_chars", "n_chars").count()}")
     println(s"[tour] association rules=${graft.operators.Behavior.associationRules(ev, minSupportPermille = 50L).count()}")
     println(s"[tour] collocations=${graft.operators.TextAnalysis.collocations(docs, window = 2, minCount = 10L, topK = 20).count()}")
-    println(s"[tour] id gaps=${graft.operators.Profiling.idGaps(ev.filter(pmod(col("event_id"), lit(1000L)) =!= 7L), "event_id").count()}")
+    println(s"[tour] id gaps=${graft.operators.Profiling.idGapsBucketed(ev.filter(pmod(col("event_id"), lit(1000L)) =!= 7L), "event_id").count()}")
     println(s"[tour] funnel step medians=${graft.operators.Behavior.funnelStepTimes(ev, Seq("view", "click", "purchase")).count()}")
+    println(s"[tour] keywords=${graft.operators.TextAnalysis.keywordsTopK(docs, k = 3).count()}")
+    println(s"[tour] inter-arrival types=${graft.operators.Behavior.interArrivalStats(ev).count()}")
+    println(s"[tour] session sizes=${graft.operators.Sessions.sessionLengthHistogram(ev.withColumn("ts_us", expr("unix_micros(ts)")), gap = 43_200_000_000L, tsCol = "ts_us").count()}")
+    println(s"[tour] length moments=${graft.operators.Profiling.momentsBy(docs, "lang", "n_chars").count()}")
+    println(s"[tour] weekly churn rows=${graft.operators.Behavior.weeklyChurn(ev).count()}")
 
     println("[tour] ok")
     spark.stop()

@@ -293,6 +293,81 @@ class BehaviorSpec extends SparkSpec {
     assert(out.filter(_._2 == 0L).nonEmpty)
   }
 
+  test("rollingActives: dense grid — a day with an empty trailing window reports zeros") {
+    val events = tsEvents(
+      (1L, "2024-01-01 10:00:00", 0), // day 0
+      (1L, "2024-01-21 10:00:00", 0)) // day 20
+    val out = Behavior.rollingActives(events, windowDays = 7)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.size === 21, "every day in [min, max] must report")
+    // days 7..19 are outside BOTH activity windows: reported as (0, 0),
+    // not silently absent — an outage reads as an outage
+    assert(out.filter(d => d._1 >= 7 && d._1 <= 19)
+      .forall(d => d._2 == 0L && d._3 == 0L))
+    assert(out.head === ((0L, 1L, 1L)) && out.last === ((20L, 1L, 1L)))
+  }
+
+  private def typedTsEvents(rows: (Long, Long, String, String)*) =
+    rows.toDF("user_id", "event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+
+  test("interArrivalStats: exact lower median and p90 of same-user same-type gaps") {
+    val events = typedTsEvents(
+      // user 1 clicks: gaps 10 s, 20 s, 70 s
+      (1L, 1L, "2024-01-01 00:00:00", "click"),
+      (1L, 2L, "2024-01-01 00:00:10", "click"),
+      (1L, 3L, "2024-01-01 00:00:30", "click"),
+      (1L, 4L, "2024-01-01 00:01:40", "click"),
+      // user 2 clicks: gap 5 s — cross-user gaps never mix
+      (2L, 5L, "2024-01-01 00:00:00", "click"),
+      (2L, 6L, "2024-01-01 00:00:05", "click"),
+      // one lonely view: no gap, type absent from the output
+      (3L, 7L, "2024-01-01 00:00:00", "view"))
+    val out = Behavior.interArrivalStats(events)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // gaps sorted: 5, 10, 20, 70 s → lower median = 10 s (2·cum ≥ 4 at
+    // the 2nd), lower p90 = 70 s (10·cum ≥ 36 first at the 4th)
+    assert(out === Seq(("click", 4L, 10000000L, 70000000L)))
+  }
+
+  test("interArrivalStats: equal timestamps order by event_id — zero gaps count") {
+    val events = typedTsEvents(
+      (1L, 1L, "2024-01-01 00:00:00", "click"),
+      (1L, 2L, "2024-01-01 00:00:00", "click"))
+    val out = Behavior.interArrivalStats(events)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("click", 1L, 0L, 0L)))
+  }
+
+  test("weeklyChurn: retained/churned/new ledger, last week clipped") {
+    val events = tsEvents(
+      // u1: weeks 0, 1, 2; u2: week 0 only; u3: week 1 only
+      (1L, "2024-01-02 10:00:00", 0), (1L, "2024-01-09 10:00:00", 0),
+      (1L, "2024-01-16 10:00:00", 0),
+      (2L, "2024-01-03 10:00:00", 0),
+      (3L, "2024-01-10 10:00:00", 0))
+    val out = Behavior.weeklyChurn(events)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      // w0: {u1,u2} → w1 {u1,u3}: retained u1, churned u2, new u3
+      (0L, 2L, 2L, 1L, 1L, 1L, 500L),
+      // w1: {u1,u3} → w2 {u1}: retained u1, churned u3, no new
+      (1L, 2L, 1L, 1L, 1L, 0L, 500L)))
+    // w2 (the max week) is clipped — its successor is beyond the data
+    assert(!out.exists(_._1 == 2L))
+  }
+
+  test("weeklyChurn: a fully-silent following week reports total churn, not a gap") {
+    val events = tsEvents(
+      (1L, "2024-01-02 10:00:00", 0),  // week 0
+      (1L, "2024-01-25 10:00:00", 0))  // week 3
+    val out = Behavior.weeklyChurn(events)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // only observed weeks below the max report; week 0's successor is
+    // silent → everyone churned
+    assert(out === Seq((0L, 1L, 0L, 0L, 1L, 0L, 0L)))
+  }
+
   test("debounce: equal timestamps order by event_id, second is suppressed") {
     val events = ev(
       (1L, 1L, 100L, "click", 0), (1L, 2L, 100L, "click", 0))

@@ -140,4 +140,29 @@ class GraphSpec extends SparkSpec {
     assert((row.getLong(2), row.getLong(3)) === ((0L, 0L)))
     assert(row.isNullAt(4))
   }
+
+  test("degreeHistogram: K3 + pendant, duplicate orientations collapse") {
+    val out = Graph.degreeHistogram(
+      pairs((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L)))
+      .as[(Long, Long)].collect().toSeq
+    // degrees: 1→2, 2→2, 3→3, 4→1
+    assert(out === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("twoHopCounts: path graph — each end reaches one node two hops out") {
+    val out = Graph.twoHopCounts(pairs((1L, 2L), (2L, 3L), (3L, 4L)))
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("twoHopCounts: direct neighbors and self never count; zeros report") {
+    // K3: every 2-hop destination is already a 1-hop neighbor → all 0
+    assert(Graph.twoHopCounts(pairs((1L, 2L), (2L, 3L), (1L, 3L)))
+      .as[(Long, Long)].collect().toSeq
+      === Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    // star: leaves see the other two leaves; the hub sees nothing new
+    assert(Graph.twoHopCounts(pairs((1L, 2L), (1L, 3L), (1L, 4L)))
+      .as[(Long, Long)].collect().toSeq
+      === Seq((1L, 0L), (2L, 2L), (3L, 2L), (4L, 2L)))
+  }
 }

@@ -25,6 +25,16 @@ class SessionsSpec extends SparkSpec {
       (2L, 1L, 1L, 0L, 0L, 800L)))
   }
 
+  test("sessionLengthHistogram: session sizes bucket into counts") {
+    val events = ev(
+      (1L, 1L, 0L, "a", 0.0), (1L, 2L, 50L, "a", 0.0), (1L, 3L, 90L, "a", 0.0),
+      (1L, 4L, 500L, "a", 0.0),                       // size-1 session
+      (2L, 5L, 0L, "a", 0.0), (2L, 6L, 80L, "a", 0.0)) // size-2 session
+    val out = Sessions.sessionLengthHistogram(events, gap = 100L)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("sessionize gap exactly == gapNs stays in the session") {
     val out = Sessions.sessionize(
       ev((1L, 1L, 0L, "a", 0.0), (1L, 2L, 100L, "a", 0.0)), gap = 100L)

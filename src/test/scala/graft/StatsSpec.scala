@@ -175,6 +175,27 @@ class StatsSpec extends SparkSpec {
       bucketSize = 64L).count() === 0L)
   }
 
+  test("momentsBy: hand-computed moments; constant group reports NULL shape") {
+    val df = Seq(
+      (Option("a"), Option(1L)), (Option("a"), Option(2L)),
+      (Option("a"), Option(3L)), (Option("a"), Option(4L)),
+      (Option("b"), Option(5L)), (Option("b"), Option(5L)),
+      (Option.empty[String], Option(9L)), (Option("a"), Option.empty[Long]))
+      .toDF("g", "v")
+    val out = Profiling.momentsBy(df, "g", "v").collect()
+    // group a = {1,2,3,4}: mean 2.5, m2 1.25, m3 0 (symmetric),
+    // m4 2.5625 → kurtosis 2.5625/1.5625 − 3 = −1.36
+    val a = out(0)
+    assert((a.getString(0), a.getLong(1), a.getLong(2), a.getLong(3),
+      a.getLong(4), a.getLong(5)) === (("a", 4L, 2500L, 1250L, 0L, -1360L)))
+    // group b is constant: variance 0, skew/kurtosis NULL (not ±Inf)
+    val b = out(1)
+    assert((b.getString(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      === (("b", 2L, 5000L, 0L)))
+    assert(b.isNullAt(4) && b.isNullAt(5))
+    assert(out.length === 2, "null group/value rows are excluded")
+  }
+
   test("fkAudit: orphans, null keys, and permille — hand-computed") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(10L)), (3L, Option(99L)), // 99 orphan

@@ -468,4 +468,24 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.zipfFit(docs(1L -> "a"), topV = 1)
     }
   }
+
+  test("keywordsTopK: tf/df rarity ranking, stopwords self-suppress, integer scores") {
+    val d = docs(
+      1L -> "apple apple banana common",
+      2L -> "banana cherry common",
+      3L -> "common common cherry")
+    // df: apple 1, banana 2, cherry 2, common 3
+    val out = TextAnalysis.keywordsTopK(d, k = 3)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, "apple", 2L, 1L, 2000000L),   // rare + repeated wins
+      (1L, 2L, "banana", 1L, 2L, 500000L),
+      (1L, 3L, "common", 1L, 3L, 333333L),   // the "stopword" sinks
+      (2L, 1L, "banana", 1L, 2L, 500000L),   // score tie → token order
+      (2L, 2L, "cherry", 1L, 2L, 500000L),
+      (2L, 3L, "common", 1L, 3L, 333333L),
+      (3L, 1L, "common", 2L, 3L, 666666L),   // tf can outrank rarity
+      (3L, 2L, "cherry", 1L, 2L, 500000L)))  // short docs emit < k rows
+    intercept[IllegalArgumentException] { TextAnalysis.keywordsTopK(d, k = 0) }
+  }
 }
