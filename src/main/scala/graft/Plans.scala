@@ -130,7 +130,19 @@ object Plans {
       ("x133_two_hop", "2-hop counts: middle-vertex equi-join over the pair graph (Σ deg² mass — pair-graph-sized, never corpus), distinct + LEFT ANTI shortcut removal, zero-reporting left join",
         "x133_two_hop"),
       ("x134_moments", "moment profile: ONE map-side-combined groupBy accumulates exact integer power sums (S3/S4 in DECIMAL(38,0)); all float math runs on the |groups|-row aggregate table",
-        "x134_moments"))
+        "x134_moments"),
+      ("x136_streaks", "activity streaks: distinct (user, day) facts, ONE user-PARTITIONed window for the day − row_number island id, island and user aggregates refine the same hash distribution — no self-join, no sequence explode",
+        "x136_streaks"),
+      ("x139_cusum", "CUSUM change-point: the corpus collapses to per-day counts with map-side combine; the densify grid, running sum, and peak selection all run over the calendar-bounded day aggregate — the global window never sees a raw event",
+        "x139_cusum"),
+      ("x140_interval_cover", "interval coverage: cummax island rule + island labeling + both aggregates off ONE user-hash shuffle — overlapping durations merge without any row-to-row join",
+        "x140_interval_cover"),
+      ("x144_key_skew", "key-skew Gini: the rank sum computes from the frequency-of-frequencies closed form, so the only window runs over the multiplicity histogram (bounded by max key frequency) — Gini over 10¹² keys without ranking a single key",
+        "x144_key_skew"),
+      ("x145_cdc_apply", "CDC apply: last-(ts, seq)-wins is ONE map-side-combinable max(struct) champion aggregate per key — the shuffle carries one candidate per key per map task, never the history; tombstones filter on the |keys|-row result",
+        "x145_cdc_apply"),
+      ("x147_winnowing", "winnowing fingerprints: gram hashes and the packed (hash, pos) keys ride the scan row-locally; the ONE window is doc-partitioned with a w-row frame; selection dedupe + summary reuse the same doc-hash distribution",
+        "x147_winnowing"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")

@@ -847,7 +847,100 @@ object SparkEntry {
     // week + retention permille, last week clipped
     "x135_weekly_churn"   -> ((s, d) =>
       graft.operators.Behavior.weeklyChurn(Tables.events(s, d))),
+    // per-user consecutive-day streaks via the day − row_number
+    // gaps-and-islands identity — no self-join, no explode
+    "x136_streaks"        -> ((s, d) =>
+      graft.operators.Behavior.dailyStreaks(Tables.events(s, d))),
+    // ISO-weekday seasonality: events/day (milli) + index vs the
+    // all-week mean (permille), exact cross-multiplied integers
+    "x137_dow_profile"    -> ((s, d) =>
+      graft.operators.Behavior.dowProfile(Tables.events(s, d))),
+    // first-active-week cohort retention triangle, self-normalizing
+    // (offset-0 rows are the cohort sizes)
+    "x138_cohort_matrix"  -> ((s, d) =>
+      graft.operators.Behavior.cohortMatrix(Tables.events(s, d))),
+    // CUSUM level-shift scan over the densified daily count series;
+    // integer-scaled statistic, exactly one peak row flagged
+    "x139_cusum"          -> ((s, d) =>
+      graft.operators.Behavior.cusumChangePoint(Tables.events(s, d))),
+    // merge-overlapping interval coverage (30-min activity windows):
+    // covered-once time vs span per user, cummax islands
+    "x140_interval_cover" -> ((s, d) =>
+      graft.operators.Sessions.intervalCoverage(Tables.events(s, d),
+        widthUs = 1_800_000_000L)),
+    // functional-dependency audit on lineitem: which "key" columns
+    // actually determine which others (orderkey↛suppkey etc.)
+    "x141_fd_audit"       -> ((s, d) =>
+      graft.operators.Profiling.functionalDependencies(
+        Tables.lineitem(s, d), fdRules)),
+    // Benford first-digit screen over order totals (cents) — the
+    // expected shares are public literal constants, all-integer output
+    "x142_benford"        -> ((s, d) =>
+      graft.operators.Profiling.benfordDigits(Tables.orders(s, d),
+        Relational.cents(col("o_totalprice")))),
+    // k-anonymity audit over the (nation, mktsegment) quasi-tuple:
+    // per-class sizes + at-risk flag at k = 5
+    "x143_k_anonymity"    -> ((s, d) =>
+      graft.operators.Profiling.kAnonymity(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), k = 5L)),
+    // key-skew scalar: Gini of l_partkey's frequency distribution
+    // from the f-of-f closed form — no |keys|-wide window anywhere
+    "x144_key_skew"       -> ((s, d) =>
+      graft.operators.Profiling.keySkewGini(Tables.lineitem(s, d),
+        "l_partkey")),
+    // CDC changelog apply: synthetic U/D ops over the event stream
+    // (every 10th event a tombstone), champion-struct winner per key
+    "x145_cdc_apply"      -> ((s, d) =>
+      graft.operators.Snapshot.cdcApply(
+        cdcChangelog(Tables.events(s, d)), keyCol = "user_id",
+        tsCol = "ts_us", seqCol = "event_id", opCol = "op",
+        payloadCols = Seq("event_type"))),
+    // per-node local clustering coefficient over the x07 pair graph —
+    // template-star vs mutual-copy-clique separation, exact milli
+    "x146_local_cluster"  -> ((s, d) =>
+      graft.operators.Graph.localClustering(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2,
+          minPermille = 300))),
+    // winnowing (MOSS) fingerprint summary: windowed-min gram hashes,
+    // packed (hash, pos) argmin, selection checksum per doc
+    "x147_winnowing"      -> ((s, d) =>
+      TextAnalysis.winnowingFingerprints(Tables.documents(s, d),
+        k = 3, w = 4)),
   )
+
+  /** x141's audited FD rules — ONE list feeds both the Spark call and
+    * the generated oracle union so the two sides cannot drift. */
+  private val fdRules: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "l_suppkey",
+    "l_partkey" -> "l_suppkey",
+    "l_orderkey" -> "l_returnflag",
+    "l_suppkey" -> "l_linestatus")
+
+  /** x141 oracle: per rule, the same null-safe fan-out subquery
+    * (COUNT(DISTINCT rhs) + MAX(rhs IS NULL)) rolled to one summary
+    * row, UNION ALL across rules, ordered by rule name. */
+  private def fdAuditOracle: String =
+    fdRules.map { case (lhs, rhs) =>
+      s"""SELECT '$lhs->$rhs' AS rule, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         CAST(MAX(fan) AS BIGINT) AS max_fanout,
+         (CAST(SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+           // COUNT(*) AS violation_permille
+       FROM (SELECT $lhs, COUNT(DISTINCT $rhs) +
+               MAX(CASE WHEN $rhs IS NULL THEN 1 ELSE 0 END) AS fan
+             FROM lineitem WHERE $lhs IS NOT NULL GROUP BY $lhs)"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule")
+
+  /** x145's synthetic changelog view of `events`: every 10th event_id
+    * is a tombstone ('D'), the rest upserts — deterministic, and the
+    * oracle CTE replays the same derivation verbatim. */
+  private def cdcChangelog(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      when(pmod(col("event_id"), lit(10L)) === 0L, lit("D"))
+        .otherwise(lit("U")).as("op"),
+      col("event_type"))
 
   /** The simulated "next drop" x63 (keyed diff) and x76 (content
     * dedup) both view: doc_id%97 removed, doc_id%53 text-changed, the
@@ -2491,6 +2584,204 @@ object SparkEntry {
          LEFT JOIN ret ON ret.week = act.week
          WHERE act.week < mx.wmax
          ORDER BY act.week""",
+    // x136: the day − row_number() gaps-and-islands identity verbatim
+    "x136_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+           FROM events),
+         r AS (SELECT user_id, day, day - row_number() OVER
+             (PARTITION BY user_id ORDER BY day) AS isl FROM ud),
+         i AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len,
+             MAX(day) AS iend FROM r GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           MAX(iend) AS last_day
+         FROM i GROUP BY user_id ORDER BY user_id""",
+    // x137: isodow ≡ Spark weekday()+1; every ratio cross-multiplied
+    "x137_dow_profile" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+         pd AS (SELECT CAST(isodow(d) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS n_events FROM daily GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS days_all,
+             CAST(SUM(n_events) AS BIGINT) AS n_all FROM pd)
+         SELECT dow, n_days, n_events,
+           (n_events * 1000) // n_days AS events_per_day_milli,
+           (n_events * days_all * 1000) // (n_days * n_all)
+             AS index_permille
+         FROM pd CROSS JOIN t ORDER BY dow""",
+    // x138: same distinct (user, week) facts as x135; cohort = min
+    // week per user; offset-0 rows are the self-normalizing sizes
+    "x138_cohort_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) // 7 AS week
+           FROM events),
+         c AS (SELECT u, MIN(week) AS cohort_week FROM uw GROUP BY u),
+         cells AS (SELECT c.cohort_week,
+             uw.week - c.cohort_week AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM uw JOIN c USING (u) GROUP BY 1, 2),
+         sz AS (SELECT cohort_week, n_active AS csize FROM cells
+           WHERE week_offset = 0)
+         SELECT cells.cohort_week, cells.week_offset, cells.n_active,
+           (cells.n_active * 1000) // sz.csize AS retained_permille
+         FROM cells JOIN sz USING (cohort_week)
+         ORDER BY cohort_week, week_offset""",
+    // x139: densified daily counts, the D-scaled integer CUSUM, the
+    // earliest |S|-argmax day flagged — all exact integers
+    "x139_cusum" ->
+      """WITH c AS (SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+             AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+         b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c),
+         grid AS (SELECT UNNEST(range(d0, d1 + 1)) AS day FROM b),
+         dense AS (SELECT g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           FROM grid g LEFT JOIN c ON g.day = c.day),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS days,
+             CAST(SUM(n) AS BIGINT) AS tot FROM dense),
+         s AS (SELECT day, n,
+             t.days * SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW)
+               - row_number() OVER (ORDER BY day) * t.tot AS cs
+           FROM dense CROSS JOIN t),
+         p AS (SELECT MAX(ABS(cs)) AS peak FROM s),
+         pd AS (SELECT MIN(day) AS pday FROM s CROSS JOIN p
+           WHERE ABS(cs) = p.peak)
+         SELECT s.day, s.n, CAST(s.cs AS BIGINT) AS cusum_scaled,
+           s.day = pd.pday AS is_peak
+         FROM s CROSS JOIN pd ORDER BY s.day""",
+    // x140: cummax-over-preceding island starts — the same frame
+    // bounds, the same (s, event_id) total order
+    "x140_interval_cover" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e, event_id FROM events),
+         cm AS (SELECT *, MAX(e) OVER (PARTITION BY user_id
+             ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING) AS cme FROM iv),
+         fl AS (SELECT *, CASE WHEN cme IS NULL OR s > cme THEN 1
+             ELSE 0 END AS nw FROM cm),
+         li AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+             ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS isl FROM fl),
+         isle AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(s) AS istart, MAX(e) AS iend FROM li GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(iend - istart) AS BIGINT) AS covered_us,
+           CAST(MAX(iend) - MIN(istart) AS BIGINT) AS span_us,
+           (CAST(SUM(iend - istart) AS BIGINT) * 1000)
+             // (MAX(iend) - MIN(istart)) AS utilization_permille
+         FROM isle GROUP BY user_id ORDER BY user_id""",
+    // x141: one fan-out subquery per declared rule, null-safe fan
+    // (countDistinct + max(isnull)), unioned — generated below
+    "x141_fd_audit" -> fdAuditOracle,
+    // x142: the q02 cents spelling, string-derived leading digit,
+    // literal Benford expectations — zero runtime logs
+    "x142_benford" ->
+      """WITH v AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS v FROM orders),
+         t AS (SELECT CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+             CAST(SUM(CASE WHEN v > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_excl
+           FROM v),
+         d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit, CAST(COUNT(*) AS BIGINT) AS n
+           FROM v WHERE v > 0 GROUP BY 1),
+         e AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+             (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+             AS exp(digit, expected))
+         SELECT CAST(e.digit AS BIGINT) AS digit,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+           (COALESCE(d.n, 0) * 1000) // t.n_pos AS observed_permille,
+           CAST(e.expected AS BIGINT) AS expected_permille,
+           (COALESCE(d.n, 0) * 1000) // t.n_pos - e.expected
+             AS dev_permille,
+           t.n_excl AS n_excluded
+         FROM e CROSS JOIN t LEFT JOIN d ON e.digit = d.digit
+         ORDER BY digit""",
+    // x143: plain quasi-tuple group sizes; NULLS FIRST pins the
+    // Spark sort convention should a quasi value ever be null
+    "x143_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) < 5 AS at_risk
+         FROM customer GROUP BY 1, 2
+         ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""",
+    // x144: the frequency-of-frequencies closed form — rank-block
+    // doubled contribution c·m·(2a+m+1) in HUGEINT ≡ Spark DECIMAL(38,0)
+    "x144_key_skew" ->
+      """WITH f AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         ff AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM f GROUP BY c),
+         bl AS (SELECT c, m, CAST(COALESCE(SUM(m) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS a FROM ff),
+         ag AS (SELECT SUM(CAST(c AS HUGEINT) * m * (2 * a + m + 1)) AS s2,
+             CAST(SUM(c * m) AS BIGINT) AS n, CAST(SUM(m) AS BIGINT) AS k,
+             CAST(MAX(c) AS BIGINT) AS max_count FROM bl)
+         SELECT k AS n_keys, n AS n_rows, max_count,
+           (max_count * 1000) // n AS top_share_permille,
+           CAST(((s2 - (k + 1) * CAST(n AS HUGEINT)) * 1000)
+             // (CAST(k AS HUGEINT) * n) AS BIGINT) AS gini_permille
+         FROM ag""",
+    // x145: the same synthetic changelog derivation (event_id % 10
+    // tombstones), last-(ts, seq) winner, tombstoned keys absent
+    "x145_cdc_apply" ->
+      """WITH cl AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             event_type FROM events),
+         w AS (SELECT user_id, ts_us, event_id, op, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts_us DESC, event_id DESC) AS rn FROM cl)
+         SELECT user_id, event_type, ts_us AS op_ts, event_id AS op_seq
+         FROM w WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
+    // x146: x100's triangle CTEs, corners exploded per node, zero-
+    // and NULL-reporting split by the deg ≥ 2 wedge condition
+    "x146_local_cluster" ->
+      s"""WITH $minHashPairsCtes,
+         e AS (SELECT LEAST(da, db) AS a, GREATEST(da, db) AS b
+               FROM pairs GROUP BY 1, 2),
+         deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+                 (SELECT a AS doc_id FROM e UNION ALL SELECT b AS doc_id FROM e)
+                 GROUP BY doc_id),
+         tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS t FROM
+                (SELECT a AS doc_id FROM tri UNION ALL
+                 SELECT b AS doc_id FROM tri UNION ALL
+                 SELECT c AS doc_id FROM tri) GROUP BY doc_id)
+         SELECT deg.doc_id, deg.deg,
+           CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.deg < 2 THEN NULL ELSE
+             (COALESCE(tc.t, 0) * 2 * 1000) // (deg.deg * (deg.deg - 1))
+           END AS lcc_milli
+         FROM deg LEFT JOIN tc USING (doc_id) ORDER BY doc_id""",
+    // x147: the x107 gram idiom + the packed (hash·2²⁰ + pos) argmin —
+    // windows over ALL gram rows, start rows filtered AFTER
+    "x147_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         le AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 3 + 4 - 1),
+         pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts) - 3 + 2)) AS i
+           FROM le),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST('0x' || substr(md5(array_to_string(
+               ts[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')), 1, 10)
+               AS BIGINT) * 1048576 + (i - 1) AS key
+           FROM pos),
+         n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM g GROUP BY 1),
+         wv AS (SELECT doc_id, pos, MIN(key) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+             COUNT(*) OVER (PARTITION BY doc_id) AS ng FROM g),
+         sel AS (SELECT DISTINCT doc_id, selkey FROM wv WHERE pos <= ng - 4),
+         fp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+             CAST(SUM(selkey // 1048576) AS BIGINT) AS sel_sum
+           FROM sel GROUP BY 1)
+         SELECT n.doc_id, n.n_grams, fp.n_fps,
+           (fp.n_fps * 1000) // n.n_grams AS density_permille, fp.sel_sum
+         FROM n JOIN fp USING (doc_id) ORDER BY doc_id""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

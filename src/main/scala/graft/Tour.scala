@@ -178,6 +178,26 @@ object Tour {
     println(s"[tour] length moments=${graft.operators.Profiling.momentsBy(docs, "lang", "n_chars").count()}")
     println(s"[tour] weekly churn rows=${graft.operators.Behavior.weeklyChurn(ev).count()}")
 
+    // round 9: streaks/seasonality/cohorts/change-point, coverage,
+    // data-quality audits, CDC, graph density, winnowing
+    println(s"[tour] streak users=${graft.operators.Behavior.dailyStreaks(ev).count()}")
+    println(s"[tour] dow profile rows=${graft.operators.Behavior.dowProfile(ev).count()}")
+    println(s"[tour] cohort cells=${graft.operators.Behavior.cohortMatrix(ev).count()}")
+    println(s"[tour] cusum days=${graft.operators.Behavior.cusumChangePoint(ev).count()}")
+    println(s"[tour] interval coverage users=${graft.operators.Sessions.intervalCoverage(ev, widthUs = 1_800_000_000L).count()}")
+    println(s"[tour] fd audit rules=${graft.operators.Profiling.functionalDependencies(Tables.lineitem(spark, sf), Seq("l_orderkey" -> "l_suppkey")).count()}")
+    println(s"[tour] benford digits=${graft.operators.Profiling.benfordDigits(Tables.orders(spark, sf), graft.queries.Relational.cents(col("o_totalprice"))).count()}")
+    println(s"[tour] k-anon classes=${graft.operators.Profiling.kAnonymity(cust7, Seq("c_nationkey", "c_mktsegment"), k = 5L).count()}")
+    println(s"[tour] key skew gini=${graft.operators.Profiling.keySkewGini(Tables.lineitem(spark, sf), "l_partkey").count()}")
+    val cdcLog = ev.select(col("user_id"),
+      expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+      when(pmod(col("event_id"), lit(10L)) === 0L, lit("D"))
+        .otherwise(lit("U")).as("op"), col("event_type"))
+    println(s"[tour] cdc live keys=${graft.operators.Snapshot.cdcApply(cdcLog, "user_id", "ts_us", "event_id", "op", Seq("event_type")).count()}")
+    println(s"[tour] graph local clustering nodes=${graft.operators.Graph.localClustering(pr7).count()}")
+    Dedup.releaseCaches()
+    println(s"[tour] winnowing docs=${graft.operators.TextAnalysis.winnowingFingerprints(docs).count()}")
+
     println("[tour] ok")
     spark.stop()
   }

@@ -553,4 +553,164 @@ object Behavior {
       .orderBy(col("n").desc +: paths.map(_.asc): _*)
       .limit(k)
   }
+
+  /** Per-user activity streaks: longest run of CONSECUTIVE active days
+    * (distinct calendar days with ≥1 event), plus how many separate
+    * streaks and active days the user has — the habit-formation
+    * readout behind "7-day streak" product mechanics, and the
+    * engagement-depth complement to [[rollingActives]]' breadth curve.
+    *
+    * Algorithm: the classic gaps-and-islands identity — for distinct
+    * (user, day) facts, `day − row_number()` over the per-user day
+    * order is CONSTANT within a consecutive run and distinct across
+    * runs, so a run is just a (user, day−rn) group. No self-join, no
+    * sequence explode.
+    *
+    * Shape: the corpus collapses to distinct (user, day) with map-side
+    * combine; the only window is PARTITIONed by user over that fact
+    * table (≤ |days| rows per user); the island grouping reuses the
+    * same user-hash distribution. Exact integers end to end.
+    *
+    * @return (user_id, n_active_days, n_streaks, longest_streak,
+    *         last_day) ordered by user_id. */
+  def dailyStreaks(events: DataFrame, epoch: String = "2024-01-01",
+                   userCol: String = "user_id",
+                   tsCol: String = "ts"): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
+    val userDays = events.select(col(userCol).as("user_id"), day.as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = userDays
+      .withColumn("__isl", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("__isl"))
+      .agg(count(lit(1)).as("__len"), max("day").as("__end"))
+    islands.groupBy("user_id")
+      .agg(sum("__len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("__len").as("longest_streak"),
+        max("__end").as("last_day"))
+      .orderBy("user_id")
+  }
+
+  /** Day-of-week seasonality profile: per ISO weekday (1 = Monday …
+    * 7 = Sunday), the number of observed calendar days, total events,
+    * exact events-per-day (milli), and the seasonality index vs the
+    * all-week daily mean (permille) — the "is Saturday really 2×
+    * Tuesday" readout that turns a daily volume series into a weekly
+    * shape, and the denominator model [[dailyVolumeAnomaly]]-style
+    * gates should use once traffic has weekly structure.
+    *
+    * All ratios are exact integer arithmetic on cross-multiplied
+    * counts: events_per_day_milli = n·1000 div days_d, and
+    * index_permille = n_d·D·1000 div (days_d·N) — no float mean ever
+    * materializes. The event table collapses to per-day counts with
+    * map-side combine (≤|days| rows); everything after is broadcast
+    * arithmetic on a ≤7-row aggregate.
+    *
+    * @return (dow, n_days, n_events, events_per_day_milli,
+    *         index_permille) ordered by dow. */
+  def dowProfile(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .select(to_date(col(tsCol)).as("__date"))
+      .groupBy("__date").agg(count(lit(1)).as("__n"))
+      // ISO weekday: Spark weekday() is 0 = Monday; +1 matches isodow
+      .select((weekday(col("__date")) + 1).cast("long").as("dow"),
+        col("__n"))
+    val perDow = daily.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum("__n").as("n_events"))
+    val tot = perDow.agg(sum("n_days").as("__days_all"),
+      sum("n_events").as("__n_all"))
+    perDow.crossJoin(broadcast(tot)) // 1-row global denominators
+      .select(col("dow"), col("n_days"), col("n_events"),
+        expr("(n_events * 1000) div n_days").as("events_per_day_milli"),
+        expr("(n_events * __days_all * 1000) div (n_days * __n_all)")
+          .as("index_permille"))
+      .orderBy("dow")
+  }
+
+  /** Cohort retention matrix: users grouped by their FIRST active week
+    * (the cohort), then for each later week-offset the count still
+    * active and its share of the cohort (permille) — the full
+    * retention triangle behind [[weeklyChurn]]'s one-step ledger,
+    * read along a row for "how cohort w ages" and down a column for
+    * "is week-3 retention improving across cohorts".
+    *
+    * Shape: distinct (user, week) facts with map-side combine; the
+    * cohort label is a per-user min() aggregate joined back on the
+    * SAME user-hash distribution (AQE reuses the exchange); the
+    * matrix is a ≤|weeks|²-row aggregate and the cohort-size
+    * denominator arrives by broadcast. Offset-0 rows are the cohort
+    * sizes themselves (permille = 1000 exactly), so the matrix is
+    * self-normalizing. Exact integers end to end.
+    *
+    * @return (cohort_week, week_offset, n_active, retained_permille)
+    *         ordered by (cohort_week, week_offset). */
+  def cohortMatrix(events: DataFrame, epoch: String = "2024-01-01",
+                   userCol: String = "user_id",
+                   tsCol: String = "ts"): DataFrame = {
+    val week = expr(s"datediff(to_date($tsCol), date'$epoch') div 7")
+    val uw = events.select(col(userCol).as("u"), week.as("week")).distinct()
+    val cohorts = uw.groupBy("u").agg(min("week").as("cohort_week"))
+    val cells = uw.join(cohorts, Seq("u"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("n_active").as("__size"))
+    cells.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        expr("(n_active * 1000) div __size").as("retained_permille"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** CUSUM change-point scan over the daily event-count series: for
+    * each calendar day, the integer-scaled cumulative deviation from
+    * the series mean, S_d = D·Σ_{i≤d} n_i − (d_idx+1)·N (the textbook
+    * CUSUM statistic multiplied by D so it stays in exact integer
+    * arithmetic — argmax is invariant under the positive scaling), and
+    * a flag on the day where |S| peaks: the single most likely level-
+    * shift point (Page's test / binary-segmentation pivot). Zero-event
+    * days inside the observed span are densified to 0 so a dead day
+    * pulls the statistic down instead of vanishing.
+    *
+    * Shape: the corpus collapses to per-day counts with map-side
+    * combine; the grid densify, running sum, and peak selection all
+    * run over that ≤|days| aggregate (calendar-bounded — a decade is
+    * ~3.7k rows — the same boundedness contract as [[rollingActives]];
+    * the window is over the day aggregate, NEVER raw events). The
+    * scaled statistic needs D·N ≤ 2⁶³: safe to ~10⁵ days × 10¹³
+    * events; beyond that cast the sums to DECIMAL(38,0).
+    *
+    * @return (day, n, cusum_scaled, is_peak) ordered by day; exactly
+    *         one row has is_peak = true (earliest day on ties). */
+  def cusumChangePoint(events: DataFrame, epoch: String = "2024-01-01",
+                       tsCol: String = "ts"): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
+    val counts = events.select(day.as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min("day").as("__d0"), max("day").as("__d1"))
+    val grid = bounds
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val dense = grid.join(broadcast(counts), Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val tot = dense.agg(count(lit(1)).as("__days"), sum("n").as("__tot"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // |days|-bounded global window (calendar axis), same contract as
+    // the x122/x116 day grids — never over raw events
+    val scanned = dense.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum("n").over(w))
+      .withColumn("__idx", row_number().over(Window.orderBy(col("day"))))
+      .select(col("day"), col("n"),
+        (col("__days") * col("__cum") - col("__idx") * col("__tot"))
+          .as("cusum_scaled"))
+    val peak = scanned.agg(max(abs(col("cusum_scaled"))).as("__peak"))
+    val peakDay = scanned.crossJoin(broadcast(peak))
+      .filter(abs(col("cusum_scaled")) === col("__peak"))
+      .agg(min("day").as("__pday")) // earliest day on ties
+    scanned.crossJoin(broadcast(peakDay))
+      .select(col("day"), col("n"), col("cusum_scaled"),
+        (col("day") === col("__pday")).as("is_peak"))
+      .orderBy("day")
+  }
 }

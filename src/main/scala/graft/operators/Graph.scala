@@ -244,4 +244,38 @@ object Graph {
           .otherwise(expr("(3 * n_triangles * 1000) div n_wedges"))
           .as("gcc_milli"))
   }
+
+  /** LOCAL clustering coefficient per node: triangles_at(v) / C(deg,2)
+    * in exact milli — [[graphSummary]]'s global coefficient broken out
+    * per node, the per-doc read of "are MY neighbors copies of each
+    * other". A hub with coefficient ~0 is the template-star signature
+    * (satellites unrelated to each other — verify before collapsing);
+    * ~1000 marks a mutual-copy clique (collapse with confidence).
+    * Every pair-graph node reports: degree-1 nodes (no wedge to
+    * close) emit NULL, triangle-free nodes with deg ≥ 2 emit 0 — the
+    * three structural cases stay distinguishable.
+    *
+    * Cost over [[triangleCounts]]: one broadcast-size degree table
+    * join (|V| rows, the pair graph's nodes — vanishing vs corpus)
+    * and integer arithmetic; the wedge join itself is the same
+    * degree-oriented O(m^{3/2}) enumeration, counted per vertex by
+    * exploding each triangle's three corners.
+    *
+    * @return (doc_id, deg, n_triangles, lcc_milli) ordered by doc_id. */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val deg = e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val tri = triangles(e)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("__t"))
+    deg.join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_milli",
+        when(col("deg") < 2L, lit(null).cast("long")).otherwise(
+          expr("(n_triangles * 2 * 1000) div (deg * (deg - 1))")))
+      .orderBy("doc_id")
+  }
 }

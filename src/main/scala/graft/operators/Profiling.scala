@@ -504,4 +504,165 @@ object Profiling {
             .as("orphan_permille"))
     }.reduce(_.unionByName(_)).orderBy("relation")
   }
+
+  /** Functional-dependency audit: for each candidate rule lhs → rhs,
+    * does one lhs value always map to one rhs value? Reports, per
+    * rule, the distinct-lhs count, how many lhs keys VIOLATE (map to
+    * ≥2 distinct rhs), the worst key's rhs fan-out, and the violation
+    * share (permille) — schema discovery's "is this column derivable"
+    * probe and the data-quality check that catches a merge writing two
+    * suppliers onto one part-order line. Complements [[fkAudit]]:
+    * that audits edges BETWEEN tables, this audits determinism WITHIN
+    * one.
+    *
+    * Scale shape per rule: ONE pass — groupBy lhs with an exact
+    * countDistinct(rhs) (Spark plans the single-distinct via partial
+    * sets, no Expand), then the |lhs|-row fan-out table collapses to a
+    * 1-row summary with map-side combine. NULL lhs rows are excluded
+    * (a null key determines nothing); NULL rhs counts as a value via
+    * the grouping-set trick countDistinct + max(isnull).
+    *
+    * @return (rule, n_keys, n_violating, max_fanout,
+    *         violation_permille) ordered by rule. */
+  def functionalDependencies(df: DataFrame,
+                             rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "functionalDependencies needs at least one rule")
+    require(rules.distinct.size == rules.size, "duplicate FD rules")
+    rules.map { case (lhs, rhs) =>
+      val fanout = df.filter(col(lhs).isNotNull)
+        .groupBy(col(lhs))
+        .agg((countDistinct(col(rhs)) +
+          max(when(col(rhs).isNull, 1L).otherwise(0L))).as("__fan"))
+      fanout.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__fan") > 1L, 1L).otherwise(0L)).as("n_violating"),
+          max("__fan").as("max_fanout"))
+        .select(lit(s"$lhs->$rhs").as("rule"), col("n_keys"),
+          col("n_violating"), col("max_fanout"),
+          expr("(n_violating * 1000) div n_keys").as("violation_permille"))
+    }.reduce(_.unionByName(_)).orderBy("rule")
+  }
+
+  /** Benford first-digit audit of a positive integer column: observed
+    * count + share (permille) of each leading digit 1–9 against the
+    * Benford expectation P(d) = log₁₀(1+1/d) — the forensic screen
+    * for fabricated or truncated numeric data (real multiplicative
+    * quantities follow it; invented ones famously don't). Digits with
+    * zero observations still report (left join against a literal digit
+    * spine), so a hard floor/cap in the data is visible as a 0-row,
+    * not a missing row.
+    *
+    * The expected shares ship as the PUBLIC constants
+    * ⌊1000·log₁₀(1+1/d)+0.5⌉ = [301,176,125,97,79,67,58,51,46] —
+    * literals, not runtime logs, so the output is exact integer
+    * arithmetic end to end and hash-identical in any engine. The
+    * leading digit is string-derived from the BIGINT value (no float
+    * log10 in the hot path); rows ≤ 0 or NULL are excluded and
+    * reported via n_excluded on every row.
+    *
+    * Scale shape: one map-side-combined groupBy onto ≤9 keys; the
+    * spine join is a broadcast of 9 literal rows.
+    *
+    * @return (digit, n, observed_permille, expected_permille,
+    *         dev_permille, n_excluded) ordered by digit. */
+  def benfordDigits(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+      .zipWithIndex.map { case (e, i) => (i + 1L, e) }
+      .toDF("digit", "expected_permille")
+    val v = df.select(valueCol.cast("long").as("__v"))
+    val tot = v.agg(
+      sum(when(col("__v") > 0L, 1L).otherwise(0L)).as("__n_pos"),
+      sum(when(col("__v") > 0L, 0L).otherwise(1L)).as("__n_excl"))
+    val digits = v.filter(col("__v") > 0L)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    broadcast(expected).join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected_permille"), col("__n_pos"), col("__n_excl"))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000) div __n_pos").as("observed_permille"),
+        col("expected_permille"),
+        (expr("(n * 1000) div __n_pos") - col("expected_permille"))
+          .as("dev_permille"),
+        col("__n_excl").as("n_excluded"))
+      .orderBy("digit")
+  }
+
+  /** k-anonymity audit over a quasi-identifier tuple: the size of each
+    * equivalence class (rows sharing every quasi-identifier value) and
+    * whether it falls below the anonymity threshold k — the
+    * re-identification risk screen run before releasing or joining a
+    * dataset keyed on "harmless" demographic columns (Sweeney's
+    * k-anonymity; classes of size < k are linkable). NULL is a value
+    * here (null-safe grouping): an absent attribute partitions the
+    * population just as observably as a present one.
+    *
+    * Scale shape: one map-side-combined groupBy on the quasi tuple;
+    * output is |classes| rows. The at-risk flag is per-class so the
+    * release decision can drop/generalize exactly the risky classes
+    * instead of the whole table; the usual summary (how many classes /
+    * rows at risk) is a trivial roll-up of this output.
+    *
+    * @return (quasi cols…, class_size, at_risk) ordered by the quasi
+    *         tuple. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 1, s"k ($k) must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
+  /** Key-skew report: the Gini coefficient of a key's frequency
+    * distribution (0 = perfectly uniform, →1 = one key owns the
+    * table), plus the heaviest key's share — THE pre-join diagnostic
+    * for "will this shuffle key need salting" (the [[graft.operators.Skew]]
+    * decision), reduced to one comparable scalar per candidate key.
+    *
+    * Exact at any scale WITHOUT sorting keys: Gini needs frequencies
+    * in rank order, but ranking |keys| rows is exactly the
+    * un-partitioned-window shape this engine bans — so the rank sum
+    * Σᵢ i·fᵢ is computed from the FREQUENCY-OF-FREQUENCIES table
+    * instead. Keys with equal count c occupy a contiguous rank block
+    * [a+1, a+m], whose DOUBLED contribution is the integer closed form
+    * c·m·(2a + m + 1) (doubling makes the triangular term even — no
+    * halving, no fractional intermediate); the running block offset a
+    * is a window over the f-of-f table, whose size is bounded by the
+    * DISTINCT MULTIPLICITY count (≤ max key frequency; dozens in
+    * practice — the x98-style bounded-aggregate contract, never |keys|
+    * and never raw rows). Block terms accumulate in DECIMAL(38,0)
+    * (2S ≤ 2·K²·max_f overflows a long near 10⁹ keys).
+    * Gini = (2S − (K+1)N) / (K·N), reported in exact permille.
+    *
+    * @return one row (n_keys, n_rows, max_count, top_share_permille,
+    *         gini_permille). */
+  def keySkewGini(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val fof = freq.groupBy("__c").agg(count(lit(1)).as("__m"))
+    // running key-rank offset BEFORE this count block: window over the
+    // f-of-f table (|distinct multiplicities| rows — bounded, never |keys|)
+    val w = Window.orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = fof
+      .withColumn("__a", coalesce(sum("__m").over(w), lit(0L)))
+      .select(
+        expr("cast(__c as decimal(38,0)) * __m * (2 * __a + __m + 1)")
+          .as("__s2"),
+        (col("__c") * col("__m")).as("__rows"), col("__m"), col("__c"))
+    blocks.agg(
+        sum("__s2").as("__S2"), sum("__rows").as("__N"),
+        sum("__m").as("__K"), max("__c").as("max_count"))
+      .select(col("__K").as("n_keys"), col("__N").as("n_rows"),
+        col("max_count"),
+        expr("(max_count * 1000) div __N").as("top_share_permille"),
+        expr("cast(((__S2 - cast((__K + 1) as decimal(38,0)) * __N)" +
+          " * 1000) div (cast(__K as decimal(38,0)) * __N) as bigint)")
+          .as("gini_permille"))
+  }
 }

@@ -70,6 +70,60 @@ object Sessions {
       .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
       .orderBy("n_events")
 
+  /** Interval-coverage summary (merge-overlapping / gaps-and-islands
+    * over real intervals): given per-key `[start, end)` intervals —
+    * here each event opened into a fixed-width activity window —
+    * coalesce everything that overlaps or touches into islands and
+    * report, per key, how many raw intervals and merged islands there
+    * are, the total COVERED time (overlaps counted once — the quantity
+    * a naive Σ(end−start) double-counts), the overall span, and
+    * covered/span utilization (permille). The machine-uptime /
+    * billing-coverage / SLA primitive that [[sessionize]]'s point-gap
+    * rule can't express once rows carry genuine durations.
+    *
+    * Algorithm: an island starts where `start` exceeds the running
+    * `max(end)` over all earlier intervals of the key (the classic
+    * cummax formulation — handles nested and out-of-order-ending
+    * intervals that a lag(end) comparison would break on); a running
+    * sum of start flags labels islands; two keyed aggregates collapse
+    * islands → key summary. Both windows and both aggregates share
+    * ONE user-hash shuffle; nothing is ever joined row-to-row.
+    *
+    * @param widthUs each event becomes the interval
+    *        [ts_us, ts_us + widthUs)
+    * @return (user_id, n_intervals, n_islands, covered_us, span_us,
+    *         utilization_permille) ordered by user_id. */
+  def intervalCoverage(events: DataFrame, widthUs: Long,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    require(widthUs > 0, s"widthUs ($widthUs) must be > 0")
+    val iv = events.select(col(userCol).as("user_id"),
+      unix_micros(col(tsCol)).as("__s"), col(idCol))
+      .withColumn("__e", col("__s") + widthUs)
+    val w = Window.partitionBy("user_id").orderBy(col("__s"), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevRun = w.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = iv
+      .withColumn("__cme", max("__e").over(prevRun)) // cummax BEFORE me
+      .withColumn("__new",
+        when(col("__cme").isNull || col("__s") > col("__cme"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum("__new").over(run))
+      .groupBy("user_id", "__isl")
+      .agg(count(lit(1)).as("__n"), min("__s").as("__is"),
+        max("__e").as("__ie"))
+    islands.groupBy("user_id")
+      .agg(sum("__n").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered_us"),
+        (max("__ie") - min("__is")).as("span_us"))
+      .select(col("user_id"), col("n_intervals"), col("n_islands"),
+        col("covered_us"), col("span_us"),
+        expr("(covered_us * 1000) div span_us").as("utilization_permille"))
+      .orderBy("user_id")
+  }
+
   /** SCD2 interval build: compact a per-user event history into
     * validity intervals of `event_type` — one row per RUN of equal
     * consecutive values, `[valid_from_ts, valid_to_ts)` half-open,

@@ -43,4 +43,41 @@ object Snapshot {
       .select(col("__k").as(keyCol), col("status"))
       .orderBy(keyCol, "status")
   }
+
+  /** CDC changelog apply: collapse an ordered stream of per-key
+    * upsert ('U') and delete ('D') operations into the final table
+    * state — last operation per key wins, and a key whose last
+    * operation is a delete is ABSENT from the output. The
+    * generalization of the reference's last-write-wins upsert
+    * (etl_connector.py:167-191 has no tombstones; Debezium-style
+    * changelogs do), and [[diff]]'s inverse: diff derives a changelog
+    * from two snapshots, this replays a changelog into a snapshot.
+    *
+    * Winner selection is ONE map-side-combinable max(struct(ts, seq,
+    * op, payload…)) aggregate per key — no window, no sort, no
+    * row_number: at 100 TB the shuffle carries one candidate row per
+    * key per map task, not the full history (the same champion
+    * discipline as the funnel chain). (ts, seq) must totally order a
+    * key's operations; seq breaks same-timestamp races
+    * deterministically.
+    *
+    * @param payloadCols carried into the surviving state
+    * @return (key, payloadCols…, op_ts, op_seq) — one row per live
+    *         key, ordered by key. */
+  def cdcApply(changelog: DataFrame, keyCol: String, tsCol: String,
+               seqCol: String, opCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "cdcApply needs at least one payload column")
+    val champ = struct(
+      col(tsCol).as("ts") +: col(seqCol).as("seq") +: col(opCol).as("op") +:
+        payloadCols.map(c => col(c).as(c)): _*)
+    changelog
+      .groupBy(col(keyCol))
+      .agg(max(champ).as("__w"))
+      .filter(col("__w.op") =!= "D")
+      .select(col(keyCol) +:
+        payloadCols.map(c => col(s"__w.$c").as(c)) :+
+        col("__w.ts").as("op_ts") :+ col("__w.seq").as("op_seq"): _*)
+      .orderBy(keyCol)
+  }
 }

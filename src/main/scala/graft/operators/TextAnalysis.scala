@@ -929,4 +929,64 @@ object TextAnalysis {
         col("score_micro"))
       .orderBy("doc_id", "rank")
   }
+
+  /** Winnowing fingerprint summary (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): per document, hash every token
+    * k-gram, slide a window of `w` consecutive gram hashes, select the
+    * MINIMUM hash of each window (leftmost position on hash ties), and
+    * dedupe the selections — the guaranteed-coverage fingerprint set
+    * (any shared substring of ≥ w+k−1 tokens yields ≥ 1 shared
+    * fingerprint) that [[rollingHash]]'s single whole-doc value can't
+    * give, at ~2/(w+1) the density of the full gram set. The summary
+    * reports the selected-set size, its density, and the exact SUM of
+    * selected hashes — a content checksum over the selection itself,
+    * so two engines agreeing on this row agree on every fingerprint.
+    *
+    * Cross-engine determinism: the gram hash is the md5-derived 40-bit
+    * integer (first 10 hex digits — the x02/x12 keying convention),
+    * and the (hash, pos) argmin is PACKED into one comparable long,
+    * hash·2²⁰ + pos, so the window reduction is a plain integer `min`
+    * in any engine — no struct ordering semantics in play. Positions
+    * must stay below 2²⁰ grams (≈10⁶ tokens/doc); longer docs should
+    * be [[chunkByTokens]]-split first.
+    *
+    * Shape: grams explode row-locally (scan-side, no shuffle); the
+    * ONE window is doc-PARTITIONed with a w-row frame; selection
+    * dedupe and the summary are two aggregates on the same doc-hash
+    * distribution. Docs with fewer than w grams (no full window) are
+    * excluded, mirroring the shingle operators' too-short rule.
+    *
+    * @return (doc_id, n_grams, n_fps, density_permille, sel_sum)
+    *         ordered by doc_id. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 3,
+                            w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(w >= 1, s"w ($w) must be >= 1")
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= k + w - 1) // ≥ w grams ⇒ ≥ 1 full window
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ts) - $k + 1)," +
+          s" i -> concat_ws(' ', slice(ts, i, $k)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long") *
+          lit(1048576L) + col("pos")).as("key"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val sel = grams
+      .withColumn("__sel", min("key").over(win))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("__n") - w) // window-START rows only
+      .select(col("doc_id"), col("__sel")).distinct()
+    sel.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(expr("__sel div 1048576")).as("sel_sum"))
+      .join(counts, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"),
+        expr("(n_fps * 1000) div n_grams").as("density_permille"),
+        col("sel_sum"))
+      .orderBy("doc_id")
+  }
 }

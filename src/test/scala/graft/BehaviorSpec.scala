@@ -376,4 +376,82 @@ class BehaviorSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, "click", 0), (2L, 1L, "click", 1)))
     intercept[IllegalArgumentException] { Behavior.debounce(ev(), gapNs = 0L) }
   }
+
+  test("dailyStreaks: islands of consecutive days; same-day dups collapse") {
+    val events = tsEvents(
+      // user 1: days 0,1,2 then 5,6 — two streaks, longest 3
+      (1L, "2024-01-01 08:00:00", 0), (1L, "2024-01-01 20:00:00", 0),
+      (1L, "2024-01-02 10:00:00", 0), (1L, "2024-01-03 10:00:00", 0),
+      (1L, "2024-01-06 10:00:00", 0), (1L, "2024-01-07 10:00:00", 0),
+      // user 2: one isolated day 10
+      (2L, "2024-01-11 10:00:00", 0))
+    val out = Behavior.dailyStreaks(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 5L, 2L, 3L, 6L),
+      (2L, 1L, 1L, 1L, 10L)))
+  }
+
+  test("dowProfile: ISO weekday, exact per-day milli and index permille") {
+    // 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    val events = tsEvents(
+      (1L, "2024-01-01 08:00:00", 0), (1L, "2024-01-01 09:00:00", 0),
+      (1L, "2024-01-01 10:00:00", 0), // Mon #1: 3 events
+      (1L, "2024-01-08 10:00:00", 0), // Mon #2: 1 event
+      (1L, "2024-01-07 08:00:00", 0), (1L, "2024-01-07 09:00:00", 0),
+      (1L, "2024-01-07 10:00:00", 0), (1L, "2024-01-07 11:00:00", 0))
+    // totals: 8 events over 3 observed days
+    val out = Behavior.dowProfile(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      // Mon: 4 events / 2 days = 2000 milli; index 4·3·1000/(2·8) = 750
+      (1L, 2L, 4L, 2000L, 750L),
+      // Sun: 4 events / 1 day = 4000 milli; index 4·3·1000/(1·8) = 1500
+      (7L, 1L, 4L, 4000L, 1500L)))
+  }
+
+  test("cohortMatrix: first-week cohorts, offset-0 self-normalizes to 1000") {
+    val events = tsEvents(
+      // u1: cohort week 0, also active week 1
+      (1L, "2024-01-02 10:00:00", 0), (1L, "2024-01-09 10:00:00", 0),
+      // u2: cohort week 0 only
+      (2L, "2024-01-03 10:00:00", 0),
+      // u3: cohort week 1 only
+      (3L, "2024-01-10 10:00:00", 0))
+    val out = Behavior.cohortMatrix(events)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 2L, 1000L), // cohort 0: u1+u2
+      (0L, 1L, 1L, 500L),  // only u1 returns
+      (1L, 0L, 1L, 1000L))) // cohort 1: u3
+  }
+
+  test("cusumChangePoint: integer-scaled statistic, peak at the shift") {
+    // counts by day: 1,1,3,3 → D=4, N=8; S = 4·cum − idx·8
+    val events = tsEvents(
+      (1L, "2024-01-01 10:00:00", 0),
+      (1L, "2024-01-02 10:00:00", 0),
+      (1L, "2024-01-03 08:00:00", 0), (1L, "2024-01-03 09:00:00", 0),
+      (1L, "2024-01-03 10:00:00", 0),
+      (1L, "2024-01-04 08:00:00", 0), (1L, "2024-01-04 09:00:00", 0),
+      (1L, "2024-01-04 10:00:00", 0))
+    val out = Behavior.cusumChangePoint(events)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (0L, 1L, -4L, false), (1L, 1L, -8L, true),
+      (2L, 3L, -4L, false), (3L, 3L, 0L, false)))
+  }
+
+  test("cusumChangePoint: zero days densify; |S| ties flag the earliest day") {
+    // days 0 and 2 active (2 events each), day 1 silent → counts 2,0,2
+    // D=3, N=4: S = 3·cum − idx·4 → 2, −2, 0: tie |2|, earliest wins
+    val events = tsEvents(
+      (1L, "2024-01-01 08:00:00", 0), (1L, "2024-01-01 09:00:00", 0),
+      (1L, "2024-01-03 08:00:00", 0), (1L, "2024-01-03 09:00:00", 0))
+    val out = Behavior.cusumChangePoint(events)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 2L, true), (1L, 0L, -2L, false), (2L, 2L, 0L, false)))
+    assert(out.count(_._4) === 1, "exactly one peak row")
+  }
 }

@@ -165,4 +165,26 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
       === Seq((1L, 0L), (2L, 2L), (3L, 2L), (4L, 2L)))
   }
+
+  test("localClustering: clique, hub, and pendant cases") {
+    // triangle 1-2-3 plus pendant 4 hanging off 3
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("da", "db")
+    val out = Graph.localClustering(pairs)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, Some(1000L)),  // both neighbors connected
+      (2L, 2L, 1L, Some(1000L)),
+      (3L, 3L, 1L, Some(333L)),   // 1 of C(3,2)=3 wedges closed
+      (4L, 1L, 0L, None)))        // deg 1: no wedge to close → NULL
+  }
+
+  test("localClustering: triangle-free star reads all zeros (deg ≥ 2)") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("da", "db")
+    val out = Graph.localClustering(star)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 0L, Some(0L)), // the hub: wedges exist, none closed
+      (2L, 1L, 0L, None), (3L, 1L, 0L, None), (4L, 1L, 0L, None)))
+  }
 }

@@ -266,4 +266,23 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("x139/x144: global windows read aggregates (day grid / f-of-f), never raw rows") {
+    // x139's running CUSUM runs over the densified per-DAY count table
+    // (calendar-bounded) and x144's rank-block offset over the
+    // frequency-of-frequencies table (bounded by distinct multiplicity)
+    // — both must keep an Aggregate strictly below the window so a
+    // refactor cannot re-point them at raw events/keys
+    for (name <- Seq("x139_cusum", "x144_key_skew")) {
+      val wins = logicalWindows(SparkEntry.queries(name)(spark, sf))
+      val unpart = wins.filter(_.partitionSpec.isEmpty)
+      assert(unpart.nonEmpty, s"$name: expected the bounded global window")
+      unpart.foreach { w =>
+        assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty,
+          s"$name: global window must read an aggregate, not raw rows")
+      }
+    }
+  }
 }

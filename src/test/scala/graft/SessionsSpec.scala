@@ -128,4 +128,37 @@ class SessionsSpec extends SparkSpec {
     // a: ages -1(full),1(shift 0),2(shift 1) = 1000000+1000000+500000
     assert(anchored("a") === 2500000L)
   }
+
+  test("intervalCoverage: overlaps merge and count once; touch joins") {
+    // width 10: u1 opens [0,10) [5,15) [15,25) [40,50):
+    // [5,15) overlaps the first; [15,25) TOUCHES (start = cummax end —
+    // not >, so same island); [40,50) is separate
+    val events = Seq(
+      (1L, 0L, 1L), (1L, 5L, 2L), (1L, 15L, 3L), (1L, 40L, 4L),
+      (2L, 100L, 5L))
+      .toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Sessions.intervalCoverage(events, widthUs = 10L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      // islands [0,25) + [40,50): covered 35 of span 50 → 700‰
+      (1L, 4L, 2L, 35L, 50L, 700L),
+      (2L, 1L, 1L, 10L, 10L, 1000L)))
+    intercept[IllegalArgumentException] {
+      Sessions.intervalCoverage(events, widthUs = 0L)
+    }
+  }
+
+  test("intervalCoverage: an engulfed interval cannot reopen an island") {
+    // [0,10) then [2,12) then [11,21): the cummax rule keeps island 1
+    // open at 12, so [11,21) joins it — a lag(end)-based rule comparing
+    // against the PREVIOUS row's end would also pass here only because
+    // ends are monotone at fixed width; the spec pins the cummax form
+    val events = Seq((1L, 0L, 1L), (1L, 2L, 2L), (1L, 11L, 3L))
+      .toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Sessions.intervalCoverage(events, widthUs = 10L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 1L, 21L, 21L, 1000L)))
+  }
 }

@@ -41,4 +41,39 @@ class SnapshotSpec extends SparkSpec {
     assert(!belowJoin.contains("AS status"),
       "sanity: substring starts at the join")
   }
+
+  test("cdcApply: last op wins, tombstones delete, seq breaks ts ties") {
+    val log = Seq(
+      (1L, 10L, 1L, "U", "a"), (1L, 20L, 2L, "U", "b"), // k1 → b
+      (2L, 10L, 3L, "U", "a"), (2L, 20L, 4L, "D", "-"), // k2 deleted
+      (3L, 10L, 5L, "D", "-"), (3L, 20L, 6L, "U", "c"), // k3 resurrected
+      (4L, 50L, 7L, "U", "x"), (4L, 50L, 8L, "D", "-")) // same ts: seq 8 wins
+      .toDF("k", "ts_us", "seq", "op", "payload")
+    val out = Snapshot.cdcApply(log, "k", "ts_us", "seq", "op",
+      Seq("payload")).as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, "b", 20L, 2L), (3L, "c", 20L, 6L)))
+    intercept[IllegalArgumentException] {
+      Snapshot.cdcApply(log, "k", "ts_us", "seq", "op", Seq.empty)
+    }
+  }
+
+  test("cdcApply output equals a window-rank replay (champion agg ≡ sort)") {
+    // randomized-ish larger case: the max(struct) champion must agree
+    // with the explicit row_number formulation the oracle uses
+    val log = (1 to 200).map { i =>
+      (i % 7L, (i * 13 % 50).toLong, i.toLong,
+        if (i % 10 == 0) "D" else "U", s"p$i")
+    }.toDF("k", "ts_us", "seq", "op", "payload")
+    val out = Snapshot.cdcApply(log, "k", "ts_us", "seq", "op",
+      Seq("payload")).as[(Long, String, Long, Long)].collect().toSeq
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = Window.partitionBy("k")
+      .orderBy(col("ts_us").desc, col("seq").desc)
+    val replay = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select("k", "payload", "ts_us", "seq")
+      .orderBy("k").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === replay)
+  }
 }

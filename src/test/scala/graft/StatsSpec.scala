@@ -225,4 +225,85 @@ class StatsSpec extends SparkSpec {
         ("dup", child, "fk", parent, "pk")))
     }
   }
+
+  test("functionalDependencies: fan-out per rule, NULL rhs is a value") {
+    val df = Seq(
+      (1L, Option("a")), (1L, Option("a")),     // k1 → {a}: holds
+      (2L, Option("a")), (2L, Option("b")),     // k2 → {a,b}: violates
+      (3L, Option("b")), (3L, Option.empty[String])) // k3 → {b,NULL}: violates
+      .toDF("k", "v")
+    val out = Profiling.functionalDependencies(df, Seq("k" -> "v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("k->v", 3L, 2L, 2L, 666L)))
+    intercept[IllegalArgumentException] {
+      Profiling.functionalDependencies(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.functionalDependencies(df, Seq("k" -> "v", "k" -> "v"))
+    }
+  }
+
+  test("functionalDependencies: NULL lhs rows are excluded") {
+    val df = Seq((Option(1L), "a"), (Option.empty[Long], "b"),
+      (Option.empty[Long], "c")).toDF("k", "v")
+    val out = Profiling.functionalDependencies(df, Seq("k" -> "v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("k->v", 1L, 0L, 1L, 0L)))
+  }
+
+  test("benfordDigits: string-derived digits, literal expectations, zero rows report") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(1L, 10L, 15L, 2L, 250L, 0L, -3L)
+      .toDF("v")
+    val out = Profiling.benfordDigits(df, col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 5 positive values: digit 1 ×3 (1,10,15), digit 2 ×2 (2,250);
+    // 0 and −3 excluded; digits 3–9 report zero rows
+    assert(out.size === 9)
+    assert(out.head === (1L, 3L, 600L, 301L, 299L, 2L))
+    assert(out(1) === (2L, 2L, 400L, 176L, 224L, 2L))
+    assert(out.drop(2).forall { case (d, n, obs, _, dev, excl) =>
+      d >= 3 && n == 0L && obs == 0L && excl == 2L &&
+        dev == -out.find(_._1 == d).get._4
+    })
+    // the nine expected permille are the public Benford constants
+    assert(out.map(_._4) === Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L,
+      51L, 46L))
+  }
+
+  test("kAnonymity: class sizes and the at-risk flag at k") {
+    val df = Seq(("us", "a"), ("us", "a"), ("us", "a"), ("de", "b"))
+      .toDF("country", "seg")
+    val out = Profiling.kAnonymity(df, Seq("country", "seg"), k = 2L)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(out === Seq(("de", "b", 1L, true), ("us", "a", 3L, false)))
+    intercept[IllegalArgumentException] {
+      Profiling.kAnonymity(df, Seq.empty, k = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.kAnonymity(df, Seq("country"), k = 0L)
+    }
+  }
+
+  test("keySkewGini: uniform keys score 0") {
+    val df = Seq("a", "b", "c", "d").toDF("k")
+    val out = Profiling.keySkewGini(df, "k")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((4L, 4L, 1L, 250L, 0L)))
+  }
+
+  test("keySkewGini: hand-computed skew from the f-of-f closed form") {
+    // freqs sorted: [1, 3] → ranked sum S = 1·1 + 2·3 = 7;
+    // gini = (2·7 − 3·4)·1000 div (2·4) = 250
+    val df = Seq("a", "a", "a", "b").toDF("k")
+    val out = Profiling.keySkewGini(df, "k")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 4L, 3L, 750L, 250L)))
+    // null keys are excluded, not a key of their own
+    val out2 = Profiling.keySkewGini(
+      Seq(Option("a"), Option("a"), Option("a"), Option("b"),
+        Option.empty[String]).toDF("k"), "k")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out2 === out)
+  }
 }

@@ -488,4 +488,44 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, "cherry", 1L, 2L, 500000L)))  // short docs emit < k rows
     intercept[IllegalArgumentException] { TextAnalysis.keywordsTopK(d, k = 0) }
   }
+
+  test("winnowingFingerprints matches a literal Scala replay of the algorithm") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, text), (2L, text), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    // literal reference implementation: md5-first-10-hex gram hashes,
+    // packed (hash·2^20 + pos) argmin per window, distinct selections
+    val toks = text.split(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h40(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 10), 16)
+    val keys = toks.sliding(k).toSeq.zipWithIndex
+      .map { case (g, p) => h40(g.mkString(" ")) * 1048576L + p }
+    val nGrams = keys.size
+    val sel = (0 to nGrams - w).map(p => keys.slice(p, p + w).min).distinct
+    val expected = (1L, nGrams.toLong, sel.size.toLong,
+      sel.size.toLong * 1000 / nGrams, sel.map(_ / 1048576L).sum)
+    val out = TextAnalysis.winnowingFingerprints(docs, k, w)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // identical docs fingerprint identically; the too-short doc (no
+    // full window) is excluded entirely
+    assert(out === Seq(expected, expected.copy(_1 = 2L)))
+  }
+
+  test("winnowing density: every w-th window must select a new fingerprint") {
+    // 40 distinct tokens → 38 grams, 35 windows at w=4: a selected
+    // minimum leaves the frame after w slides, so n_fps ≥ ⌈35/4⌉ = 9
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val out = TextAnalysis.winnowingFingerprints(
+      Seq((1L, text)).toDF("doc_id", "text"), 3, 4)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out._2 === 38L)
+    assert(out._3 >= 9L && out._3 <= 35L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.winnowingFingerprints(Seq((1L, text)).toDF("doc_id",
+        "text"), 0, 4)
+    }
+  }
 }
