@@ -142,7 +142,13 @@ object Plans {
       ("x145_cdc_apply", "CDC apply: last-(ts, seq)-wins is ONE map-side-combinable max(struct) champion aggregate per key — the shuffle carries one candidate per key per map task, never the history; tombstones filter on the |keys|-row result",
         "x145_cdc_apply"),
       ("x147_winnowing", "winnowing fingerprints: gram hashes and the packed (hash, pos) keys ride the scan row-locally; the ONE window is doc-partitioned with a w-row frame; selection dedupe + summary reuse the same doc-hash distribution",
-        "x147_winnowing"))
+        "x147_winnowing"),
+      ("x148_basket_pairs", "bought-together projection: the apriori frequent-item semi-join prunes BEFORE pairing, so the within-basket self-join's mass is Σ|frequent items per basket|² — per-basket-bounded on a large vocabulary, never vocabulary²",
+        "x148_basket_pairs"),
+      ("x150_retract_agg", "retractable MV refresh: the signed changelog collapses to per-key (±n, ±v) partials map-side, then ONE key-equi merge with the state — identical shuffle shape to the insert-only merge; deletes never re-read the snapshot",
+        "x150_retract_agg"),
+      ("x151_phrase_topk", "phrase search: per-doc m-grams are a Generate riding the scan, the phrase equality filters BEFORE the aggregate (only matching docs shuffle), and the top-k cut is TakeOrderedAndProject",
+        "x151_phrase_topk"))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the flagship queries\n\n")

@@ -906,6 +906,41 @@ object SparkEntry {
     "x147_winnowing"      -> ((s, d) =>
       TextAnalysis.winnowingFingerprints(Tables.documents(s, d),
         k = 3, w = 4)),
+    // bought-together projection over the LARGE part vocabulary —
+    // apriori-pruned within-basket self-join, never vocabulary²
+    "x148_basket_pairs"   -> ((s, d) =>
+      graft.operators.Behavior.basketPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minCount = 2L)),
+    // RFM quintile segmentation of customers by order history —
+    // exact cumulative-histogram thresholds, cents-integer monetary
+    "x149_rfm"            -> ((s, d) =>
+      graft.operators.Behavior.rfmSegments(Tables.orders(s, d),
+        "o_custkey", "o_orderdate", Relational.cents(col("o_totalprice")))),
+    // retractable MV refresh: base state + signed changelog ≡ full
+    // recompute of the post-change row set (the x66 law with deletes)
+    "x150_retract_agg"    -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cents = Relational.cents(col("o_totalprice"))
+      val base = o.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0L)
+      val state = graft.operators.Incremental.aggState(
+        base, Seq("o_custkey"), cents)
+      val log = o.filter(pmod(col("o_orderkey"), lit(3L)) === 0L)
+        .withColumn("op", lit("I"))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(7L)) === 0L)
+          .withColumn("op", lit("D")))
+      graft.operators.Incremental.applyChangelog(
+        state, log, Seq("o_custkey"), cents).orderBy("o_custkey")
+    }),
+    // exact quoted-phrase retrieval — the consecutive-token query
+    // BM25's bag of words cannot express; gram equality rides the scan
+    "x151_phrase_topk"    -> ((s, d) =>
+      graft.operators.Retrieval.phraseTopK(Tables.documents(s, d),
+        Seq("join", "column"), k = 20)),
+    // per-language Tukey fences over doc length — 2×-scaled integer
+    // fences, quartiles off the distinct-value weight table
+    "x152_iqr_fences"     -> ((s, d) =>
+      graft.operators.Profiling.iqrOutliers(Tables.documents(s, d),
+        "lang", "n_chars")),
   )
 
   /** x141's audited FD rules — ONE list feeds both the Spark call and
@@ -931,6 +966,51 @@ object SparkEntry {
                MAX(CASE WHEN $rhs IS NULL THEN 1 ELSE 0 END) AS fan
              FROM lineitem WHERE $lhs IS NOT NULL GROUP BY $lhs)"""
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule")
+
+  /** x149 oracle: the RFM base aggregate plus one quantile-ladder CTE
+    * block PER METRIC, generated from a single template exactly like
+    * the Scala `thresholds()` helper — 20/40/60/80% lower-quantile
+    * cuts off the distinct-value weight table, scores = 1 + #cuts
+    * strictly below the value, recency inverted. */
+  private def rfmOracle: String = {
+    def ladder(metric: String, p: String): String =
+      s"""${p}v AS (SELECT $metric AS v, CAST(COUNT(*) AS BIGINT) AS w
+           FROM rfm GROUP BY 1),
+         ${p}c AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER () AS tot FROM ${p}v),
+         ${p}q AS (SELECT MIN(CASE WHEN cum * 5 >= tot THEN v END) AS q1,
+             MIN(CASE WHEN cum * 5 >= tot * 2 THEN v END) AS q2,
+             MIN(CASE WHEN cum * 5 >= tot * 3 THEN v END) AS q3,
+             MIN(CASE WHEN cum * 5 >= tot * 4 THEN v END) AS q4
+           FROM ${p}c)"""
+    def score(metric: String, p: String): String =
+      s"""(1 + CASE WHEN $metric > ${p}q.q1 THEN 1 ELSE 0 END
+          + CASE WHEN $metric > ${p}q.q2 THEN 1 ELSE 0 END
+          + CASE WHEN $metric > ${p}q.q3 THEN 1 ELSE 0 END
+          + CASE WHEN $metric > ${p}q.q4 THEN 1 ELSE 0 END)"""
+    s"""WITH facts AS (SELECT o_custkey AS cust,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS amt
+         FROM orders),
+       anchor AS (SELECT MAX(d) AS ad FROM facts),
+       rfm AS (SELECT cust, CAST(MIN(ad - d) AS BIGINT) AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(amt) AS BIGINT) AS monetary_cents
+         FROM facts CROSS JOIN anchor GROUP BY cust),
+       ${ladder("recency_days", "r")},
+       ${ladder("frequency", "f")},
+       ${ladder("monetary_cents", "m")}
+       SELECT cust, recency_days, frequency, monetary_cents,
+         CAST(6 - ${score("recency_days", "r")} AS BIGINT) AS r_score,
+         CAST(${score("frequency", "f")} AS BIGINT) AS f_score,
+         CAST(${score("monetary_cents", "m")} AS BIGINT) AS m_score,
+         CAST(6 - ${score("recency_days", "r")} AS VARCHAR)
+           || CAST(${score("frequency", "f")} AS VARCHAR)
+           || CAST(${score("monetary_cents", "m")} AS VARCHAR) AS segment
+       FROM rfm CROSS JOIN rq CROSS JOIN fq CROSS JOIN mq
+       ORDER BY cust"""
+  }
 
   /** x145's synthetic changelog view of `events`: every 10th event_id
     * is a tombstone ('D'), the rest upserts — deterministic, and the
@@ -2782,6 +2862,65 @@ object SparkEntry {
          SELECT n.doc_id, n.n_grams, fp.n_fps,
            (fp.n_fps * 1000) // n.n_grams AS density_permille, fp.sel_sum
          FROM n JOIN fp USING (doc_id) ORDER BY doc_id""",
+    // x148: same apriori prune (HAVING ≥ minCount) before the
+    // within-basket self-join; canonical a < b pair order
+    "x148_basket_pairs" ->
+      """WITH facts AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           FROM lineitem),
+         freq AS (SELECT i FROM facts GROUP BY i HAVING COUNT(*) >= 2),
+         pruned AS (SELECT f.b, f.i FROM facts f JOIN freq USING (i))
+         SELECT x.i AS item_a, y.i AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_baskets
+         FROM pruned x JOIN pruned y ON x.b = y.b AND x.i < y.i
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY item_a, item_b""",
+    // x149: three metric quantile ladders generated from one template
+    // (the Scala thresholds() discipline) — see rfmOracle
+    "x149_rfm" -> rfmOracle,
+    // x150: the ORACLE IS THE RECOMPUTE — state ⊕ signed changelog
+    // must equal a fresh aggregation of the post-change row set
+    "x150_retract_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS tot
+         FROM orders
+         WHERE o_orderkey % 3 = 0
+            OR (o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0)
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    // x151: the x107 gram idiom at m = 2, equality filter, top-k
+    "x151_phrase_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         le AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 2),
+         g AS (SELECT doc_id, array_to_string(
+             ts[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ') AS gram
+           FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts))) AS i FROM le))
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         FROM g WHERE gram = 'join column'
+         GROUP BY doc_id ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
+    // x152: quartiles via the x123 cumulative-histogram selections;
+    // fences compared at 2× scale so ×1.5 stays integer
+    "x152_iqr_fences" ->
+      """WITH b AS (SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v
+           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         vals AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS w
+           FROM b GROUP BY 1, 2),
+         c AS (SELECT grp, v, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS tot FROM vals),
+         q1 AS (SELECT grp, MIN(v) AS q1 FROM c WHERE cum * 4 >= tot
+           GROUP BY 1),
+         q3 AS (SELECT grp, MIN(v) AS q3 FROM c WHERE cum * 4 >= tot * 3
+           GROUP BY 1),
+         f AS (SELECT q1.grp, q1.q1, q3.q3, q3.q3 - q1.q1 AS iqr
+           FROM q1 JOIN q3 USING (grp))
+         SELECT b.grp, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(f.q1) AS q1, MIN(f.q3) AS q3, MIN(f.iqr) AS iqr,
+           CAST(SUM(CASE WHEN b.v * 2 < f.q1 * 2 - f.iqr * 3
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN b.v * 2 > f.q3 * 2 + f.iqr * 3
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+         FROM b JOIN f ON b.grp = f.grp GROUP BY b.grp ORDER BY b.grp""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

@@ -197,6 +197,16 @@ object Tour {
     println(s"[tour] graph local clustering nodes=${graft.operators.Graph.localClustering(pr7).count()}")
     Dedup.releaseCaches()
     println(s"[tour] winnowing docs=${graft.operators.TextAnalysis.winnowingFingerprints(docs).count()}")
+    println(s"[tour] basket pairs=${graft.operators.Behavior.basketPairs(Tables.lineitem(spark, sf), "l_orderkey", "l_partkey", minCount = 2L).count()}")
+    println(s"[tour] rfm segments=${graft.operators.Behavior.rfmSegments(Tables.orders(spark, sf), "o_custkey", "o_orderdate", graft.queries.Relational.cents(col("o_totalprice"))).count()}")
+    val rState = graft.operators.Incremental.aggState(
+      Tables.orders(spark, sf), Seq("o_custkey"),
+      graft.queries.Relational.cents(col("o_totalprice")))
+    val rLog = Tables.orders(spark, sf).limit(100)
+      .withColumn("op", lit("D"))
+    println(s"[tour] retractable agg keys=${graft.operators.Incremental.applyChangelog(rState, rLog, Seq("o_custkey"), graft.queries.Relational.cents(col("o_totalprice"))).count()}")
+    println(s"[tour] phrase hits=${graft.operators.Retrieval.phraseTopK(docs, Seq("join", "column"), k = 10).count()}")
+    println(s"[tour] iqr fences groups=${graft.operators.Profiling.iqrOutliers(docs, "lang", "n_chars").count()}")
 
     println("[tour] ok")
     spark.stop()

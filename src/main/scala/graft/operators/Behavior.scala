@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -712,5 +712,122 @@ object Behavior {
       .select(col("day"), col("n"), col("cusum_scaled"),
         (col("day") === col("__pday")).as("is_peak"))
       .orderBy("day")
+  }
+
+  /** Bipartite co-occurrence projection: item PAIRS that appear
+    * together in at least `minCount` baskets — "bought-together" /
+    * "co-cited" / "co-edited" mining over a LARGE item vocabulary,
+    * where [[associationRules]]' assume-the-pair-table-is-small
+    * |types|² bound no longer holds (parts, docs, SKUs: millions of
+    * items). Item order within a pair is canonical (a < b); counts
+    * are basket-distinct.
+    *
+    * Scale discipline for big vocabularies, in order:
+    *  1. baskets collapse to DISTINCT (basket, item) facts;
+    *  2. the APRIORI PRUNE — an item in < minCount baskets cannot be
+    *     in a ≥ minCount pair — runs as one groupBy + a broadcast-able
+    *     frequent-item semi-join BEFORE any pairing;
+    *  3. pairs come from the within-basket self-join, mass
+    *     Σ |frequent items per basket|² — per-basket-bounded, never
+    *     vocabulary² and never corpus²;
+    *  4. the pair groupBy combines map-side.
+    *
+    * @return (item_a, item_b, n_baskets) with n_baskets ≥ minCount,
+    *         ordered by (item_a, item_b). */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+                  minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount ($minCount) must be >= 1")
+    val facts = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val frequent = facts.groupBy("__i")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= minCount)
+      .select("__i")
+    val pruned = facts.join(frequent, Seq("__i"), "left_semi")
+    pruned.join(pruned.select(col("__b"), col("__i").as("__j")), Seq("__b"))
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i").as("item_a"), col("__j").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minCount)
+      .orderBy("item_a", "item_b")
+  }
+
+  /** RFM segmentation: per customer, Recency (days since last order,
+    * against the corpus max date as the anchor), Frequency (order
+    * count) and Monetary (total spend), each scored into quintiles
+    * 1–5 — the classic marketing segmentation, with 5 = best in every
+    * dimension (most recent, most frequent, highest spend).
+    *
+    * Quintile boundaries are EXACT lower-quantile cuts computed with
+    * the x123/x128 cumulative-histogram discipline: per metric the
+    * |customers|-row table collapses to its distinct-value weight
+    * table, a running-sum window ranks THAT bounded table, and the
+    * score is the count of quintile thresholds at or below the value
+    * (ties share a score — same rule as dense quantile binning; a
+    * metric with < 5 distinct values yields fewer occupied scores
+    * rather than arbitrary splits). Recency scores INVERT (smaller
+    * gap = better). All arithmetic integer; monetary in cents.
+    *
+    * Shape: one customer-keyed aggregate; per metric the threshold
+    * derivation windows over the DISTINCT-VALUE weight table. Recency
+    * (≤|days|) and frequency (≤max orders/customer) are tightly
+    * bounded; monetary's distinct-cents table can approach |customers|
+    * — this exact form is the ORACLE ANCHOR (the x98/x126 pattern),
+    * and at data scale the 12 threshold scalars should come from
+    * `approx_percentile` instead (same output shape, rows-only
+    * checkable — sketch internals are engine-specific). The scoring
+    * join itself is three 1-row broadcasts onto the customer table.
+    *
+    * @return (cust, recency_days, frequency, monetary_cents, r_score,
+    *         f_score, m_score, segment) ordered by cust. */
+  def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
+                  amountCents: Column): DataFrame = {
+    val facts = orders.select(col(custCol).as("cust"),
+      to_date(col(tsCol)).as("__d"), amountCents.as("__amt"))
+    val anchor = facts.agg(max("__d").as("__anchor"))
+    val rfm = facts.crossJoin(broadcast(anchor))
+      .groupBy("cust")
+      .agg(min(datediff(col("__anchor"), col("__d"))).cast("long")
+        .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum("__amt").as("monetary_cents"))
+    // exact lower-quantile thresholds at 20/40/60/80% per metric, from
+    // the distinct-value weight table (x123 discipline)
+    def thresholds(metric: String): DataFrame = {
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vals = rfm.groupBy(col(metric).as("__v"))
+        .agg(count(lit(1)).as("__w"))
+      val tot = vals.agg(sum("__w").as("__tot"))
+      vals.crossJoin(broadcast(tot))
+        .withColumn("__cum", sum("__w").over(w))
+        .select(col("__v"), col("__cum"), col("__tot"))
+        .agg(
+          min(when(col("__cum") * 5 >= col("__tot"), col("__v"))).as("q1"),
+          min(when(col("__cum") * 5 >= col("__tot") * 2, col("__v"))).as("q2"),
+          min(when(col("__cum") * 5 >= col("__tot") * 3, col("__v"))).as("q3"),
+          min(when(col("__cum") * 5 >= col("__tot") * 4, col("__v"))).as("q4"))
+    }
+    def score(metric: String, q: String): Column =
+      lit(1L) + when(col(metric) > col(s"$q.q1"), 1L).otherwise(0L) +
+        when(col(metric) > col(s"$q.q2"), 1L).otherwise(0L) +
+        when(col(metric) > col(s"$q.q3"), 1L).otherwise(0L) +
+        when(col(metric) > col(s"$q.q4"), 1L).otherwise(0L)
+    val scored = rfm
+      .crossJoin(broadcast(thresholds("recency_days").select(
+        struct(col("q1"), col("q2"), col("q3"), col("q4")).as("__rq"))))
+      .crossJoin(broadcast(thresholds("frequency").select(
+        struct(col("q1"), col("q2"), col("q3"), col("q4")).as("__fq"))))
+      .crossJoin(broadcast(thresholds("monetary_cents").select(
+        struct(col("q1"), col("q2"), col("q3"), col("q4")).as("__mq"))))
+      .select(col("cust"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        // recency inverts: the SMALLEST gap deserves the top score
+        (lit(6L) - score("recency_days", "__rq")).as("r_score"),
+        score("frequency", "__fq").as("f_score"),
+        score("monetary_cents", "__mq").as("m_score"))
+    scored
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("cust")
   }
 }

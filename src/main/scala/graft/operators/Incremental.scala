@@ -79,4 +79,36 @@ object Incremental {
       hll_sketch_estimate(col("hll")).as("n_distinct_est"): _*)
       .orderBy(keys.map(col): _*)
   }
+
+  /** RETRACTABLE refresh: apply a signed changelog — rows tagged
+    * `opCol` = 'I' (insert) or 'D' (retract a previously-counted row)
+    * — to an [[aggState]] table. Inserts contribute (+1, +v), deletes
+    * (−1, −v): count+sum is a GROUP (not just a monoid — every element
+    * has an inverse), which is exactly why CDC-fed materialized views
+    * can subtract without re-reading the snapshot; min/max famously
+    * can't (no inverse), which is the documented boundary of this
+    * operator. Keys whose state nets to n = 0 are dropped — a fully-
+    * retracted key disappears, same as in a recompute.
+    *
+    * Refresh cost is O(|delta| + |touched keys|): the changelog
+    * collapses to signed per-key partials map-side, then one key-equi
+    * merge with the state — identical shuffle shape to [[merge]], and
+    * with the state bucketed on the key, exchange-free on that side.
+    * applyChangelog(state(R), log) ≡ aggState(R ⊎ inserts ∖ deletes)
+    * — IncrementalSpec asserts the law end-to-end. */
+  def applyChangelog(state: DataFrame, changelog: DataFrame,
+                     keys: Seq[String], valueCol: Column,
+                     opCol: String = "op"): DataFrame = {
+    val sign = when(col(opCol) === "D", lit(-1L))
+      .when(col(opCol) === "I", lit(1L))
+      .otherwise(raise_error(concat(lit("applyChangelog: bad op "),
+        col(opCol))))
+    val delta = changelog
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("n"), sum(sign * valueCol).as("tot"))
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("tot").as("tot"))
+      .filter(col("n") =!= 0L)
+  }
 }

@@ -617,6 +617,53 @@ object Profiling {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** Per-group Tukey fences: exact lower-quartile Q1 and Q3 of an
+    * integer column, the IQR, and how many rows fall below
+    * Q1 − 1.5·IQR / above Q3 + 1.5·IQR — the boxplot outlier rule,
+    * the quantile-based complement to the MAD screen (MAD needs a
+    * center first; fences don't) and the per-group robustness the
+    * global winsorize cut can't give. Fences compare at 2× scale
+    * (2v vs 2Q1 − 3·IQR) so the ×1.5 stays EXACT integer arithmetic —
+    * no halves, no floats anywhere.
+    *
+    * Shape: the corpus collapses to its distinct (group, value)
+    * weight table with map-side combine; quartiles come from the
+    * x123 cumulative-histogram selections over THAT bounded table
+    * (group-PARTITIONed windows); fence counting joins the ≤|groups|-
+    * row fence table back (broadcast) and re-aggregates on the same
+    * group hash distribution.
+    *
+    * @return (grp, n, q1, q3, iqr, n_below, n_above) ordered by grp. */
+  def iqrOutliers(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    val vals = base.groupBy("grp", "v").agg(count(lit(1)).as("w"))
+    val cw = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cum", sum("w").over(cw))
+      .withColumn("tot", sum("w").over(Window.partitionBy("grp")))
+    val q1 = cum.filter(col("cum") * 4 >= col("tot"))
+      .groupBy("grp").agg(min("v").as("q1"))
+    val q3 = cum.filter(col("cum") * 4 >= col("tot") * 3)
+      .groupBy("grp").agg(min("v").as("q3"))
+    val fences = q1.join(q3, Seq("grp"))
+      .select(col("grp"), col("q1"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"))
+    base.join(broadcast(fences), Seq("grp"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), first("q1").as("q1"),
+        first("q3").as("q3"), first("iqr").as("iqr"),
+        sum(when(col("v") * 2 < col("q1") * 2 - col("iqr") * 3, 1L)
+          .otherwise(0L)).as("n_below"),
+        sum(when(col("v") * 2 > col("q3") * 2 + col("iqr") * 3, 1L)
+          .otherwise(0L)).as("n_above"))
+      .orderBy("grp")
+  }
+
   /** Key-skew report: the Gini coefficient of a key's frequency
     * distribution (0 = perfectly uniform, →1 = one key owns the
     * table), plus the heaviest key's share — THE pre-join diagnostic

@@ -185,4 +185,42 @@ object Retrieval {
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Exact PHRASE search: top-k documents containing the query terms
+    * as CONSECUTIVE tokens, ranked by occurrence count — the
+    * quoted-query operator BM25's bag-of-words scoring cannot express
+    * ("new york" ≠ {new, york}). Implemented as an n-gram equality
+    * scan: each document's token stream windows into |phrase|-grams
+    * row-locally (a Generate riding the scan — the x107 machinery),
+    * and a gram equal to the joined phrase is an occurrence.
+    *
+    * Scale shape: the per-doc gram explode is scan-side and the
+    * phrase predicate filters BEFORE the aggregate, so the only
+    * shuffle carries (doc, count) partials for MATCHING docs — a
+    * vanishing slice at corpus scale; the top-k cut is a
+    * TakeOrderedAndProject. For repeated interactive querying, gram
+    * hashes belong in a [[buildLexIndex]]-style positional postings
+    * table instead (same probe shape as bm25TopKPrebuilt — one
+    * bucket-pruned index scan per query); this operator is the
+    * index-free one-shot form.
+    *
+    * @return (doc_id, n_occurrences) ordered by (count desc, doc_id),
+    *         at most k rows. */
+  def phraseTopK(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseTopK needs at least one term")
+    require(k > 0, s"k ($k) must be positive")
+    require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      "phrase terms must be non-empty single tokens")
+    val m = phrase.size
+    val target = phrase.mkString(" ")
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= m)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - $m + 1)," +
+          s" i -> concat_ws(' ', slice(ts, i, $m)))")).as("gram"))
+      .filter(col("gram") === target)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -454,4 +454,50 @@ class BehaviorSpec extends SparkSpec {
       (0L, 2L, 2L, true), (1L, 0L, -2L, false), (2L, 2L, 0L, false)))
     assert(out.count(_._4) === 1, "exactly one peak row")
   }
+
+  test("basketPairs: apriori prune, basket-distinct counts, canonical order") {
+    val rows = Seq(
+      // baskets: {A,B,C}, {A,B}, {A,B}, {C,D} — D is infrequent (1
+      // basket), so (C,D) can never qualify and must be pruned
+      (1L, "A"), (1L, "B"), (1L, "C"), (1L, "C"), // dup fact collapses
+      (2L, "A"), (2L, "B"),
+      (3L, "B"), (3L, "A"),
+      (4L, "C"), (4L, "D"))
+      .toDF("basket", "item")
+    val out = Behavior.basketPairs(rows, "basket", "item", minCount = 2L)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(("A", "B", 3L)))
+    intercept[IllegalArgumentException] {
+      Behavior.basketPairs(rows, "basket", "item", minCount = 0L)
+    }
+  }
+
+  test("rfmSegments: quintile scores with recency inverted, exact thresholds") {
+    // 5 customers, anchor = 2024-01-10; distinct metric values so each
+    // lands in its own quintile
+    val orders = Seq(
+      (1L, "2024-01-10", 500.0), // recency 0 → r 5
+      (1L, "2024-01-09", 400.0),
+      (1L, "2024-01-08", 300.0),
+      (1L, "2024-01-07", 200.0),
+      (1L, "2024-01-06", 100.0), // freq 5, monetary 150000 → f 5, m 5
+      (2L, "2024-01-09", 400.0), (2L, "2024-01-08", 300.0),
+      (2L, "2024-01-07", 200.0), (2L, "2024-01-06", 100.0),
+      (3L, "2024-01-08", 300.0), (3L, "2024-01-07", 200.0),
+      (3L, "2024-01-06", 100.0),
+      (4L, "2024-01-07", 200.0), (4L, "2024-01-06", 100.0),
+      (5L, "2024-01-06", 100.0))
+      .toDF("cust", "d", "amt")
+      .withColumn("d", to_date(col("d")))
+    val out = Behavior.rfmSegments(orders, "cust", "d",
+      graft.queries.Relational.cents(col("amt")))
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 5L, 150000L, 5L, 5L, 5L, "555"),
+      (2L, 1L, 4L, 100000L, 4L, 4L, 4L, "444"),
+      (3L, 2L, 3L, 60000L, 3L, 3L, 3L, "333"),
+      (4L, 3L, 2L, 30000L, 2L, 2L, 2L, "222"),
+      (5L, 4L, 1L, 10000L, 1L, 1L, 1L, "111")))
+  }
 }

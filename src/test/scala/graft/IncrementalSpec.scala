@@ -49,4 +49,42 @@ class IncrementalSpec extends SparkSpec {
     // estimate error vs truth (97 distinct per key) within the HLL regime
     merged.values.foreach(est => assert(math.abs(est - 97L) <= 5L, s"est $est"))
   }
+
+  test("applyChangelog: inserts add, deletes retract, n=0 keys vanish") {
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
+    val state = Incremental.aggState(base, Seq("k"), col("v"))
+    val log = Seq(
+      ("a", 10L, "D"),  // retract one of a's rows
+      ("c", 7L, "I"),   // brand-new key
+      ("b", 5L, "D"))   // b fully retracted → must disappear
+      .toDF("k", "v", "op")
+    val out = Incremental.applyChangelog(state, log, Seq("k"), col("v"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 1L, 20L), ("c", 1L, 7L)))
+  }
+
+  test("applyChangelog ≡ recompute of the post-change row set (the law)") {
+    val all = (1 to 300).map(i => (s"k${i % 11}", i.toLong)).toDF("k", "v")
+    val base = all.filter(col("v") % 3 =!= 0)
+    val inserts = all.filter(col("v") % 3 === 0).withColumn("op", lit("I"))
+    val deletes = base.filter(col("v") % 7 === 0).withColumn("op", lit("D"))
+    val refreshed = Incremental.applyChangelog(
+      Incremental.aggState(base, Seq("k"), col("v")),
+      inserts.unionByName(deletes), Seq("k"), col("v"))
+      .orderBy("k").collect().toSeq
+    val recomputed = Incremental.aggState(
+      all.filter(col("v") % 3 === 0 ||
+        (col("v") % 3 =!= 0 && col("v") % 7 =!= 0)), Seq("k"), col("v"))
+      .orderBy("k").collect().toSeq
+    assert(refreshed === recomputed)
+  }
+
+  test("applyChangelog rejects unknown ops loudly (ANSI raise, no silent skip)") {
+    val state = Incremental.aggState(Seq(("a", 1L)).toDF("k", "v"),
+      Seq("k"), col("v"))
+    val bad = Seq(("a", 1L, "X")).toDF("k", "v", "op")
+    intercept[Exception] {
+      Incremental.applyChangelog(state, bad, Seq("k"), col("v")).collect()
+    }
+  }
 }

@@ -114,4 +114,27 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
       s"postings scan must bucket-prune the single term to one bucket:\n$plan")
   }
+
+  test("phraseTopK: consecutive tokens only, occurrence-ranked, doc tiebreak") {
+    val docs = Seq(
+      (1L, "new york new york is big"),      // 2 occurrences
+      (2L, "the new york marathon"),         // 1
+      (3L, "york new has the words reversed"), // bag matches, phrase doesn't
+      (4L, "new and york but separated"),    // not consecutive
+      (5L, "tiny"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.phraseTopK(docs, Seq("new", "york"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L), (2L, 1L)))
+    // single-term phrase degenerates to plain term counting
+    val one = Retrieval.phraseTopK(docs, Seq("new"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(one === Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseTopK(docs, Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseTopK(docs, Seq("new york"), k = 5)
+    }
+  }
 }

@@ -306,4 +306,20 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(out2 === out)
   }
+
+  test("iqrOutliers: lower quartiles, 2×-scaled fences, per-group counts") {
+    // group g: values 1..8 plus outliers −100 and 100 (n = 10).
+    // distinct-value cum/tot: q1 = min v with 4·cum ≥ 10 → v = 2
+    // (cum 3); q3 = min v with 4·cum ≥ 30 → v = 7 (cum 8); iqr = 5.
+    // fences: below 2·v < 4−15 = −11 → v < −5.5 (only −100);
+    // above 2·v > 14+15 = 29 → v > 14.5 (only 100)
+    val df = ((1L to 8L) ++ Seq(-100L, 100L)).map(("g", _)) :+
+      (("h", 5L))
+    val out = Profiling.iqrOutliers(df.toDF("grp", "v"), "grp", "v")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("g", 10L, 2L, 7L, 5L, 1L, 1L),
+      // single-value group: q1 = q3 = v, iqr 0, no outliers
+      ("h", 1L, 5L, 5L, 0L, 0L, 0L)))
+  }
 }
