@@ -941,6 +941,51 @@ object SparkEntry {
     "x152_iqr_fences"     -> ((s, d) =>
       graft.operators.Profiling.iqrOutliers(Tables.documents(s, d),
         "lang", "n_chars")),
+    // synchronous label-propagation communities over the x07 pair
+    // graph — locally-dense groups where the CC closure would glue
+    // bridged cliques into one blob; fixed rounds, min-label ties
+    "x153_label_prop"     -> ((s, d) =>
+      graft.operators.Graph.labelPropagation(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2,
+          minPermille = 300), iterations = 4)),
+    // nearest-centroid confusion matrix over the labeled embeddings —
+    // integer-micro centroids as plan literals, scan-side scoring
+    "x154_centroid_eval"  -> ((s, d) =>
+      graft.operators.Clustering.nearestCentroidEval(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label")),
+    // χ² independence screen: event mix vs ISO weekday — exact
+    // decimal(38,0) per-cell terms over the densified |X|·|Y| grid
+    "x155_chi_square"     -> ((s, d) =>
+      graft.operators.Profiling.chiSquare(Tables.events(s, d),
+        col("event_type"),
+        (weekday(col("ts").cast("date")) + 1).cast("long"))),
+    // SymSpell deletion-neighborhood join — FULL recall at ed ≤ 1
+    // (x113's window-recall complement), exact levenshtein verify
+    "x156_deletion_join"  -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val probe = cust.filter(pmod(col("c_custkey"), lit(7L)) === 3L)
+        .withColumn("c_name",
+          concat(substring(col("c_name"), 1, 17), lit("X")))
+      graft.operators.Linkage.deletionJoin(cust, probe,
+        idCol = "c_custkey", nameCol = "c_name")
+    },
+    // Heaps-law vocabulary-growth curve + fitted β — x115's companion
+    // corpus-health statistic (template corpora flatten early)
+    "x157_heaps_growth"   -> ((s, d) =>
+      TextAnalysis.heapsGrowth(Tables.documents(s, d), steps = 10)),
+    // deterministic 5-fold CV assignment under the md5 hash contract
+    "x158_kfold"          -> ((s, d) =>
+      graft.operators.Sampling.kfoldAssign(Tables.documents(s, d),
+        "doc_id", k = 5)
+        .select(col("doc_id"), col("fold")).orderBy("doc_id")),
+    // top-20 vocabulary-drift movers between the even/odd doc halves —
+    // exact ppm rates, the token-level "what changed" report
+    "x159_vocab_drift"    -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.vocabDrift(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), topK = 20)
+    }),
   )
 
   /** x141's audited FD rules — ONE list feeds both the Spark call and
@@ -2921,6 +2966,117 @@ object SparkEntry {
            CAST(SUM(CASE WHEN b.v * 2 > f.q3 * 2 + f.iqr * 3
              THEN 1 ELSE 0 END) AS BIGINT) AS n_above
          FROM b JOIN f ON b.grp = f.grp GROUP BY b.grp ORDER BY b.grp""",
+    // x153: the x07 pair CTEs + the same 4 synchronous LPA rounds
+    // unrolled as chained CTEs (the x55 discipline), neighbor-label
+    // argmax replayed as (count DESC, label) row_number
+    "x153_label_prop" -> labelPropOracle,
+    // x154: the x56 quantize/dist spelling with per-LABEL centroids —
+    // rounded integer-micro means, integer squared-L2 argmin, lowest
+    // label on ties, then the confusion-matrix rollup
+    "x154_centroid_eval" -> centroidEvalOracle,
+    // x155: densified |X|·|Y| grid, window marginals OVER CELLS, the
+    // exact HUGEINT ≡ decimal(38,0) per-cell term floored BEFORE the
+    // sum — order-independent integer end to end
+    "x155_chi_square" ->
+      """WITH base AS (SELECT event_type AS x,
+             CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS y
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         obs AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS o
+           FROM base GROUP BY 1, 2),
+         grid AS (SELECT xs.x, ys.y, COALESCE(obs.o, 0) AS o
+           FROM (SELECT DISTINCT x FROM obs) xs
+           CROSS JOIN (SELECT DISTINCT y FROM obs) ys
+           LEFT JOIN obs ON obs.x = xs.x AND obs.y = ys.y),
+         m AS (SELECT x, y, o,
+             SUM(o) OVER (PARTITION BY x) AS nx,
+             SUM(o) OVER (PARTITION BY y) AS ny,
+             SUM(o) OVER () AS nn FROM grid),
+         t AS (SELECT
+             ((CAST(o AS HUGEINT) * nn - CAST(nx AS HUGEINT) * ny)
+              * (CAST(o AS HUGEINT) * nn - CAST(nx AS HUGEINT) * ny)
+              * 1000000) // (CAST(nn AS HUGEINT) * nx * ny) AS term,
+             x, y, nn FROM m)
+         SELECT CAST(MAX(nn) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT x) AS BIGINT) AS n_x,
+           CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y,
+           CAST((COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS BIGINT)
+             AS dof,
+           CAST(SUM(term) AS BIGINT) AS chi2_micro
+         FROM t""",
+    // x156: the same deletion variants generated positionally (range is
+    // 0-based, Spark's lambda 1-based — substr arithmetic aligned),
+    // variant equi-join candidates, exact levenshtein ≤ 1 verify
+    "x156_deletion_join" ->
+      """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name
+           FROM customer WHERE c_name IS NOT NULL),
+         p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+             substr(c_name, 1, 17) || 'X' AS name
+           FROM customer WHERE c_custkey % 7 = 3 AND c_name IS NOT NULL),
+         bv AS (SELECT id, name, name AS v FROM b
+           UNION ALL
+           SELECT id, name, substr(name, 1, CAST(i AS INTEGER)) ||
+             substr(name, CAST(i + 2 AS INTEGER)) AS v
+           FROM (SELECT id, name, UNNEST(range(0, len(name))) AS i FROM b)),
+         pv AS (SELECT id, name, name AS v FROM p
+           UNION ALL
+           SELECT id, name, substr(name, 1, CAST(i AS INTEGER)) ||
+             substr(name, CAST(i + 2 AS INTEGER)) AS v
+           FROM (SELECT id, name, UNNEST(range(0, len(name))) AS i FROM p)),
+         cand AS (SELECT DISTINCT bv.id AS base_id, pv.id AS probe_id,
+             bv.name AS na, pv.name AS nb FROM bv JOIN pv ON bv.v = pv.v)
+         SELECT base_id, probe_id, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(na, nb) <= 1
+         ORDER BY base_id, probe_id""",
+    // x157: ladder from max(doc_id), both checkpoint rollups as ≤-joins
+    // against it, then the x115 regression-sum tree (ONE ln per point)
+    "x157_heaps_growth" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         dt AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS nt FROM t),
+         tok AS (SELECT doc_id, UNNEST(ts) AS tok FROM t),
+         fd AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok),
+         mx AS (SELECT MAX(doc_id) AS m FROM documents),
+         ladder AS (SELECT CAST(k AS BIGINT) AS k, (mx.m * k) // 10 AS d_max
+           FROM (SELECT UNNEST(range(1, 11)) AS k) CROSS JOIN mx),
+         ct AS (SELECT l.k, l.d_max, CAST(SUM(dt.nt) AS BIGINT) AS cum_tokens
+           FROM ladder l JOIN dt ON dt.doc_id <= l.d_max GROUP BY 1, 2),
+         vc AS (SELECT l.k, l.d_max, CAST(COUNT(*) AS BIGINT) AS vocab
+           FROM ladder l JOIN fd ON fd.fd <= l.d_max GROUP BY 1, 2),
+         pts AS (SELECT ct.k, ct.d_max, ct.cum_tokens, vc.vocab
+           FROM ct JOIN vc USING (k, d_max)),
+         xy AS (SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+                       ln(CAST(vocab AS DOUBLE)) AS y FROM pts),
+         s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d, SUM(x) AS sx,
+                 SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM xy),
+         f AS (SELECT CAST(FLOOR((d*sxy - sx*sy) / (d*sxx - sx*sx) * 1000
+                 + 0.5) AS BIGINT) AS beta_milli FROM s)
+         SELECT p.k, p.d_max, p.cum_tokens, p.vocab, f.beta_milli
+         FROM pts p CROSS JOIN f ORDER BY k""",
+    // x158: the md5 hash contract replayed mod k — the x35 spelling
+    "x158_kfold" ->
+      """SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 5 AS fold
+         FROM documents ORDER BY doc_id""",
+    // x159: per-side vocabulary counts, scalar totals, zero-coalesced
+    // full outer join, exact integer ppm rates, |delta|-ranked LIMIT
+    "x159_vocab_drift" ->
+      """WITH ta AS (SELECT UNNEST(string_split(text, ' ')) AS tok
+           FROM documents WHERE doc_id % 2 = 0),
+         tb AS (SELECT UNNEST(string_split(text, ' ')) AS tok
+           FROM documents WHERE doc_id % 2 = 1),
+         ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS na FROM ta GROUP BY 1),
+         cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nb FROM tb GROUP BY 1),
+         tot AS (SELECT (SELECT SUM(na) FROM ca) AS tta,
+                        (SELECT SUM(nb) FROM cb) AS ttb),
+         j AS (SELECT COALESCE(ca.tok, cb.tok) AS tok,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+           FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+         r AS (SELECT tok, CAST((na * 1000000) // tta AS BIGINT) AS rate_a_ppm,
+             CAST((nb * 1000000) // ttb AS BIGINT) AS rate_b_ppm
+           FROM j CROSS JOIN tot)
+         SELECT tok, rate_a_ppm, rate_b_ppm,
+           rate_b_ppm - rate_a_ppm AS delta_ppm
+         FROM r ORDER BY abs(rate_b_ppm - rate_a_ppm) DESC, tok LIMIT 20""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
@@ -3280,6 +3436,53 @@ object SparkEntry {
        $rounds
        SELECT node AS doc_id, CAST(FLOOR(r * 1000000 + 0.5) AS BIGINT) AS pr_micros
        FROM it10 ORDER BY doc_id"""
+  }
+
+  /** x153 oracle: 4 synchronous label-propagation rounds UNROLLED as
+    * chained CTEs over the x07 pair graph (the x55 fixed-unroll
+    * discipline); the neighbor-label argmax replays Spark's
+    * `max(struct(cnt, −label))` as a (count DESC, label) row_number. */
+  private def labelPropOracle: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""c$k AS (SELECT s.src AS node, i.lbl AS lbl, COUNT(*) AS c
+         FROM sym s JOIN it${k - 1} i ON s.dst = i.node GROUP BY 1, 2),
+       it$k AS (SELECT node, lbl FROM (SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         FROM c$k) WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH $minHashPairsCtes,
+       sym AS (SELECT da AS src, db AS dst FROM pairs
+               UNION SELECT db AS src, da AS dst FROM pairs),
+       it0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+       $rounds
+       SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community
+       FROM it4 ORDER BY doc_id"""
+  }
+
+  /** x154 oracle: the x56 quantize + integer-L2 spelling with one
+    * centroid per LABEL (rounded integer-micro mean over the labeled
+    * rows), argmin ties to the lowest label, confusion-matrix rollup. */
+  private def centroidEvalOracle: String = {
+    val dist = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(list_zip(q.qv, c.cqv), p -> (p[1]-p[2])*(p[1]-p[2]))),
+         (a, b) -> a + b)"""
+    s"""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+         FROM embeddings WHERE label IS NOT NULL),
+       u AS (SELECT lbl, r.pos,
+           CAST(floor(CAST(SUM(qv[r.pos]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv
+         FROM q CROSS JOIN (SELECT CAST(range + 1 AS INT) AS pos FROM range(64)) r
+         GROUP BY lbl, r.pos),
+       cents AS (SELECT lbl AS clbl, list(cv ORDER BY pos) AS cqv FROM u GROUP BY lbl),
+       a AS (SELECT vec_id, lbl, clbl FROM (
+           SELECT q.vec_id, q.lbl, c.clbl,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY $dist ASC, c.clbl ASC) AS rn
+           FROM q CROSS JOIN cents c) WHERE rn = 1)
+       SELECT lbl AS true_label, clbl AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n
+       FROM a GROUP BY 1, 2 ORDER BY true_label, pred_label"""
   }
 
   /** Shared oracle for the exact cosine top-k twins (x09 HOF path, x13

@@ -102,6 +102,66 @@ object Clustering {
     }
     assign(centroids).select(col(idCol), col("cluster")).orderBy(idCol)
   }
+  /** Nearest-centroid label evaluation over an embedding column — the
+    * "is this embedding space any good" readout: build one centroid
+    * per label (rounded integer-micro mean, the [[kmeans]] update
+    * spelling), assign every vector to its nearest centroid by exact
+    * integer squared L2 (ties → lowest label), and report the
+    * label × prediction CONFUSION MATRIX. A diagonal-heavy matrix
+    * means labels are linearly separable in the space (the embeddings
+    * carry the signal curation wants to sample/filter on); heavy
+    * off-diagonal cells name exactly WHICH label pairs the space
+    * confuses. Doubles as a one-pass nearest-centroid classifier
+    * (Rocchio) for routing unlabeled data at ingest.
+    *
+    * Determinism: coordinates quantize once to integer micros
+    * (float32 → double widening is exact), centroid means round back
+    * to integer micros (`floor(Σq/n + 0.5)`, sum widened to double —
+    * exact while Σq < 2⁵³), distances are 64-bit integer sums, and the
+    * argmin tie-break is the lowest label — the whole computation is
+    * bit-replayable by the DuckDB oracle, the x56 contract.
+    *
+    * Scale shape: centroids are ONE |labels|·dim aggregation (posexplode
+    * partial sums combine map-side; |labels|·dim longs to the driver —
+    * the broadcast-literal pattern), the scoring pass is a shuffle-free
+    * codegen map over the scan (native `l2sq_i64` per centroid), and
+    * the output aggregation is |labels|²-bounded. NULL labels are
+    * excluded (no label to learn or score against).
+    *
+    * @return (true_label, pred_label, n) ordered. */
+  def nearestCentroidEval(df: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val quant = df.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).cast("long").as("__lbl"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("qv"))
+    val cents: Array[(Long, Array[Long])] = quant
+      .select(col("__lbl"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("__lbl", "pos")
+      .agg(floor(sum("v").cast("double") / count(lit(1)) + lit(0.5))
+        .cast("long").as("cv"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getLong(2)) }
+      .toArray.sortBy(_._1)
+    require(cents.nonEmpty, "nearestCentroidEval needs at least one labeled row")
+    val dists = array(cents.map { case (_, cv) =>
+      call_function("l2sq_i64", col("qv"), array(cv.map(lit(_)): _*))
+    }: _*)
+    val labelsArr = array(cents.map(c => lit(c._1)): _*)
+    quant
+      // array_position finds the FIRST minimum → lowest label on ties
+      // (cents is sorted by label)
+      .withColumn("pred_label",
+        element_at(labelsArr, array_position(dists, array_min(dists)).cast("int")))
+      .select(col("__lbl").as("true_label"), col("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): embedding-space
     * dedup that catches PARAPHRASE-level duplicates lexical

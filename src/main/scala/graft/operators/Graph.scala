@@ -78,6 +78,57 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Label-propagation communities (Raghavan et al. 2007) over the
+    * undirected pair graph, run SYNCHRONOUSLY for a fixed number of
+    * rounds with a deterministic tie-break — the community detector
+    * that separates a dup neighborhood into locally-dense groups
+    * where [[Dedup.connectedComponents]] would glue everything
+    * reachable into one blob: two near-dup cliques bridged by a single
+    * accidental LSH pair stay two communities here, one component
+    * there. Update rule: each node adopts the most frequent label
+    * among its NEIGHBORS (ties → smallest label); labels start as the
+    * node's own id. Fixed rounds + total tie order make the whole
+    * trajectory engine-replayable — no convergence test, no
+    * asynchronous visit order to diverge across engines.
+    *
+    * Scale shape: the symmetrized edge set is built once, partitioned
+    * by `src` and cached (the upstream — potentially whole-LSH-
+    * pipeline — pairs plan executes exactly once, the [[pageRank]]
+    * discipline); each round shuffles only the |V|-row label table
+    * into that layout, the (node, label) counts combine map-side, and
+    * the argmax is a map-side-combinable `max(struct(cnt, −label))` —
+    * no window function, no per-node sort. Lineage is truncated with a
+    * lazy `localCheckpoint` every `checkpointEvery` rounds; caches and
+    * checkpoint blocks register for [[Dedup.releaseCaches]].
+    *
+    * @return (doc_id, community) for every pair-graph node, ordered. */
+  def labelPropagation(pairs: DataFrame, iterations: Int = 4,
+                       checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations ($iterations) must be in [1, 100]")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery ($checkpointEvery) must be >= 1")
+    val sym = Dedup.registerCache(Dedup.symmetrizedEdges(pairs))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (i <- 1 to iterations) {
+      labels = sym
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c").as("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
+      if (i % checkpointEvery == 0 && i < iterations) {
+        labels = labels.localCheckpoint(eager = false)
+        Dedup.registerCheckpoint(Dedup.checkpointRdd(labels))
+      }
+    }
+    labels
+      .select(col("node").as("doc_id"), col("lbl").cast("long").as("community"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical low→high edge list from a (da, db) pair table:
     * least/greatest orientation + distinct, so self-pairs are
     * impossible by construction upstream and duplicate orientations

@@ -64,4 +64,47 @@ object Linkage {
         col("dist").cast("long").as("dist"))
       .orderBy("base_id", "probe_id")
   }
+
+  /** Deletion-neighborhood similarity join (the SymSpell/FastSS
+    * candidate rule): every string generates itself plus its |s|
+    * single-character deletions, candidates are cross-side pairs
+    * sharing a variant, survivors verify `levenshtein ≤ 1`. Unlike
+    * [[sortedNeighborhood]] — whose recall is bounded by the block
+    * key and window — this has FULL RECALL at edit distance 1: any
+    * ed ≤ 1 pair (equal / one insert / one delete / one substitution)
+    * provably shares a variant, and the only false candidates the
+    * equi-join admits (e.g. transpositions, which share two variants
+    * at ed 2) are removed by the exact verify. The trade is the edit
+    * budget: ed ≤ d for d > 1 needs d-deep deletion neighborhoods
+    * (variant count ~|s|^d) — this implements the d = 1 tier, the one
+    * spell-correction and id-linkage actually run at scale.
+    *
+    * Scale shape: the variant table is (|s|+1)·n short strings built
+    * row-locally on the scan (no shuffle until the join); the
+    * candidate equi-join on the variant string is bucket-bounded by
+    * variant collisions (no window, no n², no global sort), distinct
+    * pair collapse and the levenshtein verify run on CANDIDATES only.
+    * Keys with NULL name are excluded on both sides.
+    *
+    * @return (base_id, probe_id, dist), ordered, one row per matched
+    *         cross-side pair. */
+  def deletionJoin(base: DataFrame, probe: DataFrame,
+                   idCol: String, nameCol: String): DataFrame = {
+    def variants(df: DataFrame, idAs: String, nameAs: String): DataFrame = {
+      val name = col(nameCol)
+      val dels = transform(sequence(lit(1), length(name)),
+        i => concat(name.substr(lit(1), i - lit(1)),
+          name.substr(i + lit(1), length(name) - i)))
+      df.filter(name.isNotNull)
+        .select(col(idCol).cast("long").as(idAs), name.as(nameAs),
+          explode(concat(array(name), dels)).as("v"))
+    }
+    variants(base, "base_id", "na")
+      .join(variants(probe, "probe_id", "nb"), Seq("v"))
+      .select("base_id", "probe_id", "na", "nb").distinct()
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= 1L)
+      .select("base_id", "probe_id", "dist")
+      .orderBy("base_id", "probe_id")
+  }
 }

@@ -712,4 +712,58 @@ object Profiling {
           " * 1000) div (cast(__K as decimal(38,0)) * __N) as bigint)")
           .as("gini_permille"))
   }
+
+  /** Chi-square independence screen between two categorical columns —
+    * the single-statistic companion to [[pmiCells]]: PMI names WHICH
+    * cells deviate, this says WHETHER the two columns are associated
+    * at all (the "is event mix independent of weekday / is quality
+    * independent of source" pre-check that decides if a stratified
+    * view is worth building). Pearson's χ² = Σ (o−e)²/e with
+    * e = n_x·n_y/N, computed per cell as the EXACT integer form
+    * (o·N − n_x·n_y)²·10⁶ div (N·n_x·n_y) in DECIMAL(38,0) — the
+    * squared numerator can reach (o·N)² ≈ 10²² on a 10¹¹-row input,
+    * far past 2⁶³ but comfortably inside decimal-38 (overflows only
+    * past ~10¹⁶ rows); flooring per cell BEFORE the sum keeps the
+    * whole statistic an order-independent integer, so it hash-matches
+    * the oracle's HUGEINT replay exactly (the x96/x97 discipline —
+    * no float summation anywhere).
+    *
+    * Scale shape: ONE (x, y) aggregation with map-side combine
+    * collapses the input to its |X|·|Y| cell table; the marginal
+    * windows and the final 1-row sum run over THAT bounded table
+    * (the [[pmiCells]] window-over-cells shape). NULLs in either
+    * column are excluded — a null category is a data-quality finding
+    * for [[profile]], not a contingency cell.
+    *
+    * @return one row (n, n_x, n_y, dof, chi2_micro). */
+  def chiSquare(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val observed = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("o"))
+    // densify to the full |X|·|Y| grid: a cell never observed still
+    // contributes (0−e)²/e = n_x·n_y/N — dropping those understates χ²
+    val cells = observed.select("x").distinct()
+      .crossJoin(observed.select("y").distinct())
+      .join(observed, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), coalesce(col("o"), lit(0L)).as("o"))
+    cells
+      .withColumn("nx", sum("o").over(Window.partitionBy("x")))
+      .withColumn("ny", sum("o").over(Window.partitionBy("y")))
+      .withColumn("nn", sum("o").over(Window.partitionBy()))
+      .withColumn("term_micro", expr(
+        """((cast(o as decimal(38,0)) * nn - cast(nx as decimal(38,0)) * ny)
+           * (cast(o as decimal(38,0)) * nn - cast(nx as decimal(38,0)) * ny)
+           * 1000000) div (cast(nn as decimal(38,0)) * nx * ny)"""))
+      .agg(
+        max("nn").cast("long").as("n"),
+        count_distinct(col("x")).as("n_x"),
+        count_distinct(col("y")).as("n_y"),
+        sum("term_micro").cast("long").as("__chi2"))
+      .select(col("n"),
+        col("n_x"), col("n_y"),
+        ((col("n_x") - 1) * (col("n_y") - 1)).as("dof"),
+        col("__chi2").as("chi2_micro"))
+  }
 }

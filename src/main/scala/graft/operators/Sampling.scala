@@ -335,4 +335,23 @@ object Sampling {
       .select(cols: _*)
       .orderBy(idCol)
   }
+
+  /** k-fold cross-validation assignment: fold = md5-uniform(key) mod k
+    * — [[splitAssign]]'s rotating-holdout sibling under the SAME
+    * portable-hash contract ([[hashMod]]), so folds are deterministic,
+    * retry-stable, disjoint, exhaustive, and stable under corpus
+    * growth (a row's fold never changes when other rows arrive — the
+    * property a cached per-fold metric store depends on). Scan-only:
+    * one codegen expression per row, no shuffle, no window, no state.
+    *
+    * Leakage note: keyed per ROW this has the same near-dup leakage
+    * failure [[clusterSplitAssign]] fixes for train/test — key by the
+    * dup-cluster label when folds feed model selection over a
+    * non-deduplicated corpus.
+    *
+    * @return input + `fold` column in [0, k). */
+  def kfoldAssign(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k ($k) must be in [2, 1000]")
+    df.withColumn("fold", hashMod(col(keyCol), k.toLong))
+  }
 }

@@ -989,4 +989,99 @@ object TextAnalysis {
         col("sel_sum"))
       .orderBy("doc_id")
   }
+
+  /** Heaps-law vocabulary-growth curve: distinct-token count V(N) at a
+    * ladder of corpus prefixes (by doc id) plus the fitted power-law
+    * exponent β from `V ≈ K·N^β` — [[zipfFit]]'s companion
+    * corpus-health statistic. Natural text sits near β ≈ 0.5; a curve
+    * that flattens early (β → 0) means the corpus is template
+    * boilerplate recombining a closed vocabulary — the "more data is
+    * not more information" signal a scaling decision needs BEFORE
+    * spending compute on another crawl batch.
+    *
+    * Shape: per-token first-doc (`min(doc_id)`) and per-doc token
+    * counts are each ONE map-side-combined aggregation; the ladder is
+    * `steps` rows derived from `max(doc_id)` (a driver scalar — the
+    * broadcast-literal pattern) and both checkpoint rollups are
+    * broadcast theta-joins against that `steps`-row table — scan mass
+    * steps×|vocab| and steps×|docs| aggregate input, shuffle output
+    * `steps` groups. The log-log regression runs over `steps` points
+    * (the [[zipfFit]] tree; milli rounding absorbs the ≤steps-term
+    * double-sum ulps).
+    *
+    * @return (k, d_max, cum_tokens, vocab, beta_milli) ordered by k. */
+  def heapsGrowth(docs: DataFrame, steps: Int = 10): DataFrame = {
+    require(steps >= 2 && steps <= 1000,
+      s"steps ($steps) must be in [2, 1000] to fit a line")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val firstDoc = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+    val docTok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    val maxId = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+    val ladder = broadcast(
+      (1 to steps).map(k => (k.toLong, maxId * k / steps)).toDF("k", "d_max"))
+    val cum = docTok.join(ladder, col("doc_id") <= col("d_max"))
+      .groupBy("k", "d_max").agg(sum("nt").as("cum_tokens"))
+    val vocab = firstDoc.join(ladder, col("fd") <= col("d_max"))
+      .groupBy("k", "d_max").agg(count(lit(1)).as("vocab"))
+    val pts = cum.join(vocab, Seq("k", "d_max"))
+    val fit = pts
+      .select(log(col("cum_tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("d"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(floor(
+        (col("d") * col("sxy") - col("sx") * col("sy")) /
+          (col("d") * col("sxx") - col("sx") * col("sx")) * lit(1000d)
+          + lit(0.5d)).cast("long").as("beta_milli"))
+    pts.crossJoin(fit)
+      .select(col("k"), col("d_max"), col("cum_tokens"), col("vocab"),
+        col("beta_milli"))
+      .orderBy("k")
+  }
+
+  /** Vocabulary-drift movers between two corpus snapshots: per-token
+    * rates in parts-per-million on each side, the top-k tokens by
+    * absolute rate delta — the token-level answer to "what CHANGED
+    * between yesterday's corpus and today's" that [[sourceEntropy]]'s
+    * scalar and a PSI headline can't name. Run after every ingest
+    * batch: a token surging from nowhere is a spam campaign or a
+    * scraper bug; a staple collapsing means a source went dark
+    * ([[graft.operators.Behavior.dailyVolumeAnomaly]]'s corpus-content
+    * twin).
+    *
+    * All arithmetic exact integer (rate_ppm = n·10⁶ div total), so the
+    * ranking and the hash both replay. Shape: one vocabulary-bounded
+    * count aggregation per side with map-side combine, totals as two
+    * 1-row aggregates cross-joined on (the x101 combine shape), a
+    * vocabulary-bounded full-outer join with zero coalesce, and a
+    * TakeOrderedAndProject top-k — nothing data-scale shuffles.
+    *
+    * @return (tok, rate_a_ppm, rate_b_ppm, delta_ppm) top-k by
+    *         (|delta| desc, tok). */
+  def vocabDrift(a: DataFrame, b: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(as))
+    val ca = counts(a, "na")
+    val cb = counts(b, "nb")
+    val totals = ca.agg(sum("na").as("ta"))
+      .crossJoin(cb.agg(sum("nb").as("tb")))
+    ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr("(na * 1000000) div ta").as("rate_a_ppm"),
+        expr("(nb * 1000000) div tb").as("rate_b_ppm"))
+      .withColumn("delta_ppm", col("rate_b_ppm") - col("rate_a_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("tok"))
+      .limit(topK)
+  }
 }

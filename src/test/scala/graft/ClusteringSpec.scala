@@ -253,4 +253,45 @@ class ClusteringSpec extends SparkSpec {
     assert(out(3L) === 3L && out(4L) === 3L)
     graft.operators.Dedup.releaseCaches()
   }
+
+  test("nearestCentroidEval: separable labels give a diagonal matrix; " +
+    "a planted mislabel lands off-diagonal") {
+    val df = Seq(
+      (1L, Seq(1f, 0f), 0),  // label-0 mass near (1, 0)
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 7),  // label-7 mass near (0, 1)
+      (4L, Seq(0.1f, 0.9f), 7),
+      (5L, Seq(0f, 1f), 0),  // mislabeled: a 0-row sitting on label-7 mass
+      (6L, Seq(0.5f, 0.5f), 9) // NULL-label guard below uses id 7
+    ).toDF("vec_id", "embedding", "label")
+      .union(Seq((7L, Seq(9f, 9f), null.asInstanceOf[Integer]))
+        .toDF("vec_id", "embedding", "label"))
+    val out = Clustering
+      .nearestCentroidEval(df, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long)].collect().toSeq
+    // centroids: c0 = mean of rows 1,2,5; c7 = mean of 3,4; c9 = row 6.
+    // c0 ≈ (633333, 366667), c7 = (50000, 950000), c9 = (500000, 500000).
+    // row5 (0,1): d(c0) ≈ 0.80e12, d(c7) ≈ 0.005e12, d(c9) = 0.5e12 → 7.
+    // rows 1,2: nearest c0; rows 3,4: nearest c7; row 6: exact c9.
+    assert(out === Seq((0L, 0L, 2L), (0L, 7L, 1L), (7L, 7L, 2L), (9L, 9L, 1L)))
+  }
+
+  test("nearestCentroidEval: equidistant vector ties to the LOWEST label") {
+    // c3 = (1e6, 0), c8 = (0, 1e6); label 9 = {(0.5, 0.5), (−1.5, −1.5)}
+    // → c9 = (−5e5, −5e5). The probe (0.5, 0.5) sits at integer-exact
+    // squared distances 5e11 from BOTH c3 and c8 (and 2e12 from its own
+    // centroid) → the argmin tie must resolve to label 3, not 8.
+    val df = Seq(
+      (1L, Seq(1f, 0f), 3),
+      (2L, Seq(0f, 1f), 8),
+      (3L, Seq(0.5f, 0.5f), 9),
+      (4L, Seq(-1.5f, -1.5f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Clustering
+      .nearestCentroidEval(df, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long)].collect().toSeq
+    // row 4 (−1.5e6, −1.5e6): d(c9) = 2e12, d(c3) = 8.5e12, d(c8) = 8.5e12
+    assert(out === Seq((3L, 3L, 1L), (8L, 8L, 1L),
+      (9L, 3L, 1L), (9L, 9L, 1L)))
+  }
 }

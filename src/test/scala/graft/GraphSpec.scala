@@ -187,4 +187,29 @@ class GraphSpec extends SparkSpec {
       (1L, 3L, 0L, Some(0L)), // the hub: wedges exist, none closed
       (2L, 1L, 0L, None), (3L, 1L, 0L, None), (4L, 1L, 0L, None)))
   }
+
+  test("labelPropagation separates two bridged triangles (where CC glues them)") {
+    // K3 {1,2,3} + K3 {4,5,6} joined by the single bridge 3–4:
+    // connectedComponents gives ONE component; LPA keeps two
+    // locally-dense communities. Hand trace (4 synchronous rounds,
+    // most-frequent-neighbor-label, min on ties):
+    //   r1 [2,1,1,3,4,4] → r2 [1,1,1,4,3,3] → r3 [1,1,1,3,3,3]
+    //   → r4 fixed [1,1,1,3,3,3]
+    val g = pairs((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val out = Graph.labelPropagation(g, iterations = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    val cc = Dedup.connectedComponents(g)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size === 1, "CC must glue the bridge into one")
+  }
+
+  test("labelPropagation ties adopt the smallest label") {
+    // path 1–2–3: node 2 sees labels {1, 3} once each → min = 1
+    val out = Graph.labelPropagation(pairs((1L, 2L), (2L, 3L)), iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out(2L) === 1L)
+  }
 }

@@ -60,4 +60,41 @@ class LinkageSpec extends SparkSpec {
       Linkage.sortedNeighborhood(tbl(), tbl(), "id", "name", window = 0)
     }
   }
+
+  test("deletionJoin finds every ed ≤ 1 pair class and rejects ed 2") {
+    val base = tbl(1L -> "abc", 2L -> "hello", 3L -> "zzz")
+    val probe = tbl(
+      10L -> "abc",   // equal            → ed 0
+      11L -> "axc",   // substitution     → ed 1
+      12L -> "ab",    // deletion         → ed 1
+      13L -> "abxc",  // insertion        → ed 1
+      14L -> "acb",   // transposition    → ed 2: shares variants, verify kills
+      15L -> "help")  // ed 2 from hello, no shared variant
+    val out = Linkage.deletionJoin(base, probe, "id", "name")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L, 0L), (1L, 11L, 1L),
+      (1L, 12L, 1L), (1L, 13L, 1L)))
+  }
+
+  test("deletionJoin has full ed-1 recall where sortedNeighborhood's block misses") {
+    // first-char substitution: "abc" vs "bbc" sort into different
+    // blocks (block key = 16-char prefix) → sortedNeighborhood finds
+    // nothing; the deletion join shares the variant "bc" and verifies
+    val base = tbl(1L -> "abc")
+    val probe = tbl(10L -> "bbc")
+    val sn = Linkage.sortedNeighborhood(base, probe, "id", "name")
+      .as[(Long, Long, Long)].collect().toSeq
+    val dj = Linkage.deletionJoin(base, probe, "id", "name")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sn === Seq.empty)
+    assert(dj === Seq((1L, 10L, 1L)))
+  }
+
+  test("deletionJoin excludes NULL names on both sides") {
+    val base = Seq((1L, "abc"), (2L, null)).toDF("id", "name")
+    val probe = Seq((10L, "abd"), (11L, null)).toDF("id", "name")
+    val out = Linkage.deletionJoin(base, probe, "id", "name")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L, 1L)))
+  }
 }

@@ -264,4 +264,31 @@ class SamplingSpec extends SparkSpec {
     solo.foreach { case (id, sp) => assert(out(id)._2 === sp, s"doc $id") }
   }
 
+  test("kfoldAssign: folds are in range, exhaustive, md5-replayable, " +
+    "and growth-stable") {
+    val df = (1L to 200L).toDF("id")
+    val out = Sampling.kfoldAssign(df, "id", k = 5)
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(out.size === 200)
+    assert(out.values.forall(f => f >= 0 && f < 5))
+    assert(out.values.toSet.size === 5, "all 5 folds populated at n=200")
+    // bit-exact local replay of the hashMod contract
+    def h(i: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    (1L to 200L).foreach(i => assert(out(i) === h(i) % 5, s"id $i"))
+    // a row's fold never changes when more rows arrive
+    val grown = Sampling.kfoldAssign((1L to 400L).toDF("id"), "id", k = 5)
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    (1L to 200L).foreach(i => assert(grown(i) === out(i)))
+  }
+
+  test("kfoldAssign rejects degenerate k") {
+    intercept[IllegalArgumentException] {
+      Sampling.kfoldAssign((1L to 3L).toDF("id"), "id", k = 1)
+    }
+  }
 }

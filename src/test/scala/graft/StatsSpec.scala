@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.Profiling
 
 /** Specs for the statistics operators (corr matrix, PMI cells,
@@ -321,5 +322,38 @@ class StatsSpec extends SparkSpec {
       ("g", 10L, 2L, 7L, 5L, 1L, 1L),
       // single-value group: q1 = q3 = v, iqr 0, no outliers
       ("h", 1L, 5L, 5L, 0L, 0L, 0L)))
+  }
+
+  test("chiSquare: independent columns score exactly zero") {
+    // uniform 2×2: every o = 2, e = 4·4/8 = 2 → every term 0
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("a", 2),
+      ("b", 1), ("b", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val out = Profiling.chiSquare(df, col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out === ((8L, 2L, 2L, 1L, 0L)))
+  }
+
+  test("chiSquare: perfect 2×2 association scores N·10⁶ — including the " +
+    "zero-observed cells") {
+    // x=a ⇔ y=1 (3 rows), x=b ⇔ y=2 (3 rows): χ² = N = 6 exactly.
+    // Each of the 4 grid cells contributes (o·N − nx·ny)²·10⁶ ÷ (N·nx·ny)
+    // = 81·10⁶ ÷ 54 = 1.5·10⁶ — the two UNOBSERVED cells carry half the
+    // statistic, proving the grid densify (observed-only would halve it).
+    val df = Seq(("a", 1), ("a", 1), ("a", 1),
+      ("b", 2), ("b", 2), ("b", 2)).toDF("x", "y")
+    val out = Profiling.chiSquare(df, col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out === ((6L, 2L, 2L, 1L, 6000000L)))
+  }
+
+  test("chiSquare: NULLs in either column are excluded, dof spans the grid") {
+    val df = Seq(Some("a") -> Some(1), Some("a") -> Some(2),
+      Some("b") -> Some(1), Some("c") -> Some(2),
+      None -> Some(1), Some("a") -> None)
+      .toDF("x", "y")
+    val out = Profiling.chiSquare(df, col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out._1 === 4L)   // the two NULL rows don't count
+    assert(out._2 === 3L && out._3 === 2L && out._4 === 2L)
   }
 }

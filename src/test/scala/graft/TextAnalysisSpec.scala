@@ -528,4 +528,54 @@ class TextAnalysisSpec extends SparkSpec {
         "text"), 0, 4)
     }
   }
+
+  test("heapsGrowth: hand-computed checkpoint curve + locally replayed fit") {
+    // ids 0, 5, 10 → ladder d_max = 1..10 (max id 10, 10 steps):
+    //   k 1..4  (d_max < 5):  doc 0 only   → cum 2, vocab 2 {a, b}
+    //   k 5..9  (d_max < 10): docs 0, 5    → cum 4, vocab 3 {a, b, c}
+    //   k 10:                 all three    → cum 7, vocab 4 {a, b, c, d}
+    val d = docs(0L -> "a b", 5L -> "a c", 10L -> "d d d")
+    val out = TextAnalysis.heapsGrowth(d, steps = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val curve = out.map { case (k, dm, ct, v, _) => (k, dm, ct, v) }
+    assert(curve === (1L to 10L).map { k =>
+      if (k <= 4) (k, k, 2L, 2L)
+      else if (k <= 9) (k, k, 4L, 3L)
+      else (k, k, 7L, 4L)
+    })
+    // β from the same 10 (ln cum, ln vocab) points, replayed locally
+    val pts = curve.map { case (_, _, ct, v) =>
+      (math.log(ct.toDouble), math.log(v.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out.map(_._5).distinct === Seq(math.floor(beta * 1000 + 0.5).toLong))
+  }
+
+  test("vocabDrift: exact ppm rates, zero-coalesced sides, |delta| ranking") {
+    // side A: "x x y" (3 tokens) → x 666666 ppm, y 333333 ppm
+    // side B: "x z z z" (4 tokens) → x 250000 ppm, z 750000 ppm
+    // deltas: z +750000, x −416666, y −333333 → that |delta| order
+    val a = docs(1L -> "x x y")
+    val b = docs(2L -> "x z z z")
+    val out = TextAnalysis.vocabDrift(a, b, topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("z", 0L, 750000L, 750000L),
+      ("x", 666666L, 250000L, -416666L),
+      ("y", 333333L, 0L, -333333L)))
+  }
+
+  test("vocabDrift: topK cuts after the (|delta| desc, tok) total order") {
+    val a = docs(1L -> "p q")
+    val b = docs(2L -> "p r")
+    // rates: p (500000, 500000) Δ0; q (500000, 0) Δ−500000; r Δ+500000
+    // |Δ| ties between q and r → tok order: q before r
+    val out = TextAnalysis.vocabDrift(a, b, topK = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("q", 500000L, 0L, -500000L),
+      ("r", 0L, 500000L, 500000L)))
+  }
 }
