@@ -986,6 +986,41 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
         docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), topK = 20)
     }),
+    // EWMA control chart — each day flagged against the power-of-two-
+    // weighted baseline of its previous 20 days; exact integer flags
+    "x160_ewma_chart"     -> ((s, d) =>
+      graft.operators.Behavior.ewmaChart(Tables.events(s, d))),
+    // pane-decomposed sliding windows (Li et al.): events aggregate
+    // ONCE into hourly panes, each 6-pane window sums its partials
+    "x161_pane_windows"   -> ((s, d) =>
+      graft.operators.Incremental.paneSlidingCounts(Tables.events(s, d),
+        paneMicros = 3600L * 1000000L, windowPanes = 6)),
+    // 4-round 2-core peel of the x07 pair graph — mutual-copy cliques
+    // survive, LSH chains and pendant stars peel away
+    "x162_k_core"         -> ((s, d) =>
+      graft.operators.Graph.kCore(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2,
+          minPermille = 300), k = 2, rounds = 4)),
+    // Theil–Sen robust trend per event type — truncation-exact micro
+    // slopes over the densified day grid, cumulative-histogram median
+    "x163_theil_sen"      -> ((s, d) =>
+      graft.operators.Behavior.theilSenTrend(Tables.events(s, d))),
+    // multimodal storage-budget report — payload bytes never shuffle,
+    // only per-modality (count, sum) partials; exact integer shares
+    "x164_media_storage"  -> ((s, d) =>
+      graft.operators.Multimodal.storageReport(
+        graft.operators.Multimodal.fromDocuments(Tables.documents(s, d)),
+        oversizeBytes = 400L)),
+    // Dirichlet query-likelihood retrieval — the LM scorer on BM25's
+    // inverted-index probe shape; background mass for missing terms
+    "x165_ql_topk"        -> ((s, d) =>
+      graft.operators.Retrieval.qlTopK(Tables.documents(s, d),
+        Seq("vector", "stream", "join"), k = 20)),
+    // Hill tail-index of the doc-length distribution — is the tail a
+    // power law, and is a mean-based gate even meaningful
+    "x166_hill_tail"      -> ((s, d) =>
+      graft.operators.Profiling.hillTailIndex(Tables.documents(s, d),
+        "n_chars", "doc_id", kTop = 100)),
   )
 
   /** x141's audited FD rules — ONE list feeds both the Spark call and
@@ -3077,6 +3112,146 @@ object SparkEntry {
          SELECT tok, rate_a_ppm, rate_b_ppm,
            rate_b_ppm - rate_a_ppm AS delta_ppm
          FROM r ORDER BY abs(rate_b_ppm - rate_a_ppm) DESC, tok LIMIT 20""",
+    // x160: the x139 day-grid densify, a ×20 gap explode with 1<<(20−g)
+    // weights, integer baseline and flags — no floats anywhere
+    "x160_ewma_chart" ->
+      """WITH c AS (SELECT event_type AS t,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         b AS (SELECT t, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY 1),
+         grid AS (SELECT t, UNNEST(range(d0, d1 + 1)) AS day FROM b),
+         dense AS (SELECT g.t, g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           FROM grid g LEFT JOIN c ON c.t = g.t AND c.day = g.day),
+         h AS (SELECT d.t, d.day + g.g AS day,
+             CAST(SUM(d.n * (CAST(1 AS BIGINT) << CAST(20 - g.g AS INTEGER)))
+               AS BIGINT) AS num,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(20 - g.g AS INTEGER))
+               AS BIGINT) AS den
+           FROM dense d CROSS JOIN (SELECT UNNEST(range(1, 21)) AS g) g
+           GROUP BY 1, 2)
+         SELECT d.t AS event_type, d.day, d.n,
+           CASE WHEN h.den IS NULL THEN NULL
+             ELSE CAST((h.num * 1000) // h.den AS BIGINT) END AS ewma_milli,
+           CASE WHEN h.den IS NULL THEN NULL
+             ELSE d.n * h.den > 2 * h.num END AS spike,
+           CASE WHEN h.den IS NULL THEN NULL
+             ELSE 2 * d.n * h.den < h.num END AS dip
+         FROM dense d LEFT JOIN h ON h.t = d.t AND h.day = d.day
+         ORDER BY 1, 2""",
+    // x161: the DIRECT windowed count (grid ⋈ events theta join) — a
+    // hash match proves the pane decomposition is semantics-preserving
+    "x161_pane_windows" ->
+      """WITH p AS (SELECT event_type AS t,
+             epoch_us(ts) // 3600000000 AS pane
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         b AS (SELECT t, MIN(pane) AS p0, MAX(pane) AS p1 FROM p GROUP BY 1),
+         grid AS (SELECT t, UNNEST(range(p0, p1 + 1)) AS wend FROM b),
+         j AS (SELECT g.t, g.wend, COUNT(p.pane) AS n
+           FROM grid g LEFT JOIN p
+             ON p.t = g.t AND p.pane BETWEEN g.wend - 5 AND g.wend
+           GROUP BY 1, 2)
+         SELECT t AS event_type, CAST(wend - 5 AS BIGINT) AS win_start_pane,
+           CAST(wend AS BIGINT) AS win_end_pane, CAST(n AS BIGINT) AS n
+         FROM j ORDER BY event_type, win_end_pane""",
+    // x162: the x07 pair CTEs + 4 peel rounds unrolled — degree, keep,
+    // edge-restrict per round — the x55/x153 fixed-unroll discipline
+    "x162_k_core" -> kCoreOracle,
+    // x163: densified per-type day grid, trunc-div micro slopes (both
+    // engines truncate toward zero) over all day pairs, x123 median
+    "x163_theil_sen" ->
+      """WITH c AS (SELECT event_type AS t,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         b AS (SELECT t, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY 1),
+         grid AS (SELECT t, UNNEST(range(d0, d1 + 1)) AS day FROM b),
+         dense AS (SELECT g.t, g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           FROM grid g LEFT JOIN c ON c.t = g.t AND c.day = g.day),
+         pr AS (SELECT a.t, ((b2.n - a.n) * 1000000) // (b2.day - a.day) AS s
+           FROM dense a JOIN dense b2 ON a.t = b2.t AND a.day < b2.day),
+         wt AS (SELECT t, s, CAST(COUNT(*) AS BIGINT) AS w FROM pr
+           GROUP BY 1, 2),
+         cm AS (SELECT t, s, w,
+             SUM(w) OVER (PARTITION BY t ORDER BY s ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY t) AS tot FROM wt),
+         med AS (SELECT t, CAST(MIN(s) AS BIGINT) AS slope_micro,
+             CAST(MAX(tot) AS BIGINT) AS n_pairs
+           FROM cm WHERE cum * 2 >= tot GROUP BY t),
+         nd AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM dense GROUP BY t)
+         SELECT med.t AS event_type, nd.n_days, med.n_pairs, med.slope_micro
+         FROM med JOIN nd ON med.t = nd.t ORDER BY event_type""",
+    // x164: the fromDocuments modality derivation replayed (doc_id%3
+    // indexes the same 3-element list), octet_length over encoded text,
+    // exact integer shares — the x101 1-row grand-total combine
+    "x164_media_storage" ->
+      """WITH m AS (SELECT doc_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+               AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS b
+           FROM documents),
+         per AS (SELECT modality, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(b) AS BIGINT) AS total_bytes,
+             CAST(SUM(CASE WHEN b > 400 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oversize
+           FROM m GROUP BY 1),
+         g AS (SELECT CAST(SUM(total_bytes) AS BIGINT) AS alltot FROM per)
+         SELECT modality, n, total_bytes,
+           CAST((total_bytes * 1000) // n AS BIGINT) AS avg_bytes_milli,
+           CAST((total_bytes * 1000) // alltot AS BIGINT) AS share_permille,
+           n_oversize
+         FROM per CROSS JOIN g ORDER BY modality""",
+    // x165: the same candidate × query-term grid — postings probe, cf
+    // from those postings, |C| from lengths, ONE ln pair per grid row,
+    // micronat floor, (score DESC, doc_id) top-k
+    "x165_ql_topk" ->
+      """WITH q AS (SELECT UNNEST(['vector', 'stream', 'join']) AS tok),
+         dl AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         tf AS (SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           JOIN q ON t.tok = q.tok GROUP BY 1, 2),
+         cf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         ct AS (SELECT CAST(SUM(dl) AS BIGINT) AS ctot FROM dl),
+         cand AS (SELECT DISTINCT doc_id FROM tf),
+         grid AS (SELECT c.doc_id, f.tok, f.cf, COALESCE(tf.tf, 0) AS tf
+           FROM cand c CROSS JOIN cf f
+           LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.tok = f.tok),
+         s AS (SELECT g.doc_id,
+             CAST(SUM(CASE WHEN g.tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+             SUM(ln(CAST(g.tf AS DOUBLE) + 2000.0 * g.cf / ct.ctot)
+               - ln(CAST(dl.dl AS DOUBLE) + 2000.0)) AS score
+           FROM grid g JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN ct
+           GROUP BY 1)
+         SELECT doc_id, n_hit,
+           CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_micronat
+         FROM s ORDER BY score_micronat DESC, doc_id LIMIT 20""",
+    // x166: top-(k+1) total order, ONE ln per kept row under the
+    // micronat half-up floor, α by integer division
+    "x166_hill_tail" ->
+      """WITH top AS (SELECT CAST(n_chars AS BIGINT) AS v, doc_id AS tie
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+           ORDER BY v DESC, tie LIMIT 101),
+         r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, tie) AS rn
+           FROM top),
+         ref AS (SELECT v AS x_ref FROM r WHERE rn = 101),
+         s AS (SELECT x_ref,
+             CAST(FLOOR(ln(CAST(r.v AS DOUBLE) / x_ref) * 1000000 + 0.5)
+               AS BIGINT) AS t
+           FROM r CROSS JOIN ref WHERE rn <= 100)
+         SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(x_ref) AS x_ref,
+           CAST(SUM(t) AS BIGINT) AS sum_ln_micro,
+           CASE WHEN SUM(t) <= 0 THEN NULL
+             ELSE CAST((COUNT(*) * 1000000000) // SUM(t) AS BIGINT)
+           END AS alpha_milli
+         FROM s GROUP BY x_ref""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
@@ -3483,6 +3658,30 @@ object SparkEntry {
        SELECT lbl AS true_label, clbl AS pred_label,
          CAST(COUNT(*) AS BIGINT) AS n
        FROM a GROUP BY 1, 2 ORDER BY true_label, pred_label"""
+  }
+
+  /** x162 oracle: 4 k-core peel rounds unrolled over the x07 pair
+    * graph — per round the degree table, the deg ≥ k keep set, and the
+    * both-endpoints-survive edge restriction, exactly the operator's
+    * trajectory. */
+  private def kCoreOracle: String = {
+    // every e_r is referenced TWICE (its degree table and the next
+    // restriction) — without MATERIALIZED DuckDB may inline each
+    // reference and re-evaluate the whole LSH-pair pipeline once per
+    // path through the 4-round chain (exponential; at sf0.1 it spilled
+    // >80 GB of temp). Materializing pins each round to one evaluation.
+    val rounds = (1 to 4).map { r =>
+      s"""d$r AS (SELECT src, COUNT(*) AS deg FROM e${r - 1} GROUP BY src),
+       k$r AS MATERIALIZED (SELECT src AS node FROM d$r WHERE deg >= 2),
+       e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node)"""
+    }.mkString(",\n       ")
+    s"""WITH $minHashPairsCtes,
+       e0 AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
+              UNION SELECT db AS src, da AS dst FROM pairs),
+       $rounds
+       SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+       FROM e4 GROUP BY src ORDER BY doc_id"""
   }
 
   /** Shared oracle for the exact cosine top-k twins (x09 HOF path, x13

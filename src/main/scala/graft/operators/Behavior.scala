@@ -830,4 +830,125 @@ object Behavior {
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy("cust")
   }
+
+  /** EWMA control chart over the per-(type, day) event-count series —
+    * the third leg of the volume-monitoring triple: [[dailyVolumeAnomaly]]
+    * z-scores against the WHOLE series (slow drift poisons the mean),
+    * [[cusumChangePoint]] locates a single level shift after the fact,
+    * and this flags TODAY against a recency-weighted local baseline —
+    * the geometric half-life-per-day EWMA of the previous 20 days — so
+    * a feed that doubled overnight fires immediately even when the
+    * long-run mean still looks fine.
+    *
+    * Exactness: weights are powers of two (gap g days back weighs
+    * 2^(20−g), zero beyond 20 — the [[Sessions.decayedCounts]] trick),
+    * so the numerator, denominator, and `ewma_milli = num·1000 div den`
+    * are exact integers; flags compare `n·den` against `2·num` and
+    * `num` against `2·n·den` — no division, no floats anywhere.
+    * Overflow bound: n_day·2¹⁹·1000 needs n_day < ~1.7·10¹⁰ events per
+    * (type, day); beyond that run the same formula in DECIMAL(38,0).
+    *
+    * Shape: one (type, day) aggregation with map-side combine collapses
+    * the corpus; the grid densify (zero days weigh the denominator —
+    * a dead day PULLS the baseline down, which is the point), the ×20
+    * contribution explode, and the rollup all run over that calendar-
+    * bounded table — never raw events (the x122/x116 contract). The
+    * first observed day has no history → NULL baseline, NULL flags.
+    *
+    * @return (event_type, day, n, ewma_milli, spike, dip) ordered —
+    *         spike: n > 2·baseline; dip: n < baseline/2. */
+  def ewmaChart(events: DataFrame, epoch: String = "2024-01-01",
+                typeCol: String = "event_type",
+                tsCol: String = "ts"): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
+    val counts = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("t"), day.as("day"))
+      .groupBy("t", "day").agg(count(lit(1)).as("n"))
+    val bounds = counts.groupBy("t")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+    val dense = bounds
+      .select(col("t"), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(counts, Seq("t", "day"), "left")
+      .select(col("t"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val hist = dense
+      .select(col("t"), col("n"),
+        explode(sequence(col("day") + lit(1L), col("day") + lit(20L)))
+          .as("day"),
+        (col("day") + lit(20L) + lit(1L)).as("__horizon"))
+      .withColumn("__w", expr(
+        "cast(shiftleft(1, cast(__horizon - day as int)) as bigint) div 2"))
+      .groupBy("t", "day")
+      .agg(sum(col("n") * col("__w")).as("num"), sum("__w").as("den"))
+    dense.join(hist, Seq("t", "day"), "left")
+      .select(col("t").as(typeCol), col("day"), col("n"),
+        when(col("den").isNull, lit(null).cast("long"))
+          .otherwise(expr("(num * 1000) div den")).as("ewma_milli"),
+        when(col("den").isNull, lit(null).cast("boolean"))
+          .otherwise(col("n") * col("den") > lit(2L) * col("num")).as("spike"),
+        when(col("den").isNull, lit(null).cast("boolean"))
+          .otherwise(lit(2L) * col("n") * col("den") < col("num")).as("dip"))
+      .orderBy(typeCol, "day")
+  }
+
+  /** Theil–Sen robust trend slope over the per-(type, day) count series:
+    * the exact lower MEDIAN of all pairwise slopes (n_j − n_i)/(d_j −
+    * d_i) in integer micros — the trend statistic that shrugs off the
+    * outlier days an OLS fit chases ([[ewmaChart]] catches today's
+    * spike, [[cusumChangePoint]] one level shift; this answers "is the
+    * feed structurally growing or shrinking"). Up to 29% of days can be
+    * arbitrarily corrupted without moving the estimate (the estimator's
+    * breakdown point).
+    *
+    * Exactness: slopes quantize to micros with plain integral
+    * division — BOTH engines truncate toward zero (Spark `div` and
+    * DuckDB `//`, verified on negative slopes at build time), so the
+    * plain spelling is the portable one and the median is taken over
+    * identically-truncated values. The median itself is the x123
+    * cumulative-histogram selection (2·cum ≥ tot) over the (type,
+    * slope) weight table — no raw sort, no floats.
+    *
+    * Shape: corpus → per-(type, day) counts (map-side combine); the
+    * pair self-join runs over the DENSIFIED calendar grid (zero days
+    * are real observations — omitting them biases the trend up), so
+    * pair mass is span²-bounded per type (a decade ≈ 7M pairs), never
+    * a function of event count; at century-scale spans, hash-sample
+    * the day grid deterministically first ([[graft.operators.Sampling.hashSample]])
+    * — the estimator tolerates it by construction.
+    *
+    * @return (event_type, n_days, n_pairs, slope_micro) ordered. */
+  def theilSenTrend(events: DataFrame, epoch: String = "2024-01-01",
+                    typeCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
+    val counts = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("t"), day.as("day"))
+      .groupBy("t", "day").agg(count(lit(1)).as("n"))
+    val dense = counts.groupBy("t")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col("t"), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(counts, Seq("t", "day"), "left")
+      .select(col("t"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val slopes = dense.select(col("t"), col("day").as("d1"), col("n").as("n1"))
+      .join(dense.select(col("t"), col("day").as("d2"), col("n").as("n2")),
+        Seq("t"))
+      .filter(col("d1") < col("d2"))
+      .select(col("t"),
+        expr("((n2 - n1) * 1000000) div (d2 - d1)").as("s"))
+      .groupBy("t", "s").agg(count(lit(1)).as("w"))
+    val w = Window.partitionBy("t").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = dense.groupBy("t").agg(count(lit(1)).as("n_days"))
+    slopes
+      .withColumn("__cum", sum("w").over(w))
+      .withColumn("__tot", sum("w").over(Window.partitionBy("t")))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy("t")
+      .agg(min("s").as("slope_micro"), max("__tot").as("n_pairs"))
+      .join(stats, Seq("t"))
+      .select(col("t").as(typeCol), col("n_days"), col("n_pairs"),
+        col("slope_micro"))
+      .orderBy(typeCol)
+  }
 }

@@ -213,6 +213,52 @@ object Graph {
       .select("a", "b", "c")
   }
 
+  /** k-core peel over the undirected pair graph: iteratively remove
+    * nodes of degree < k (with their edges) for a FIXED number of
+    * rounds, then report the survivors with their in-subgraph degree —
+    * the density filter that separates mutual-copy CLIQUES (which
+    * survive any k ≥ 2 peel) from the chains and pendant stars a
+    * threshold-happy LSH pass strings together ([[localClustering]]
+    * reads the same structure per node; the 2-core is the subgraph
+    * where every survivor has two INDEPENDENT corroborations).
+    * Fixed rounds make the trajectory deterministic and replayable;
+    * when a round removes nothing the peel has converged and the
+    * result IS the true k-core (near-dup graphs converge in a few
+    * rounds — their chains are shallow).
+    *
+    * Shape: per round, one degree aggregation over the live edge set
+    * (map-side combined) and two semi-joins that keep edges whose BOTH
+    * endpoints survive — all bounded by the PAIR graph, a vanishing
+    * fraction of the corpus; every join shares the src/dst hash
+    * layout. Lineage is truncated with a lazy `localCheckpoint` every
+    * `checkpointEvery` rounds (the [[pageRank]] hygiene); caches and
+    * checkpoint blocks register for [[Dedup.releaseCaches]].
+    *
+    * @return (doc_id, core_deg) for surviving nodes, ordered. */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 4,
+            checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k ($k) must be in [1, 1e6]")
+    require(rounds >= 1 && rounds <= 100,
+      s"rounds ($rounds) must be in [1, 100]")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery ($checkpointEvery) must be >= 1")
+    var live = Dedup.registerCache(Dedup.symmetrizedEdges(pairs))
+    for (i <- 1 to rounds) {
+      val keep = live.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      live = live
+        .join(keep.select("src"), Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+      if (i % checkpointEvery == 0 && i < rounds) {
+        live = live.localCheckpoint(eager = false)
+        Dedup.registerCheckpoint(Dedup.checkpointRdd(live))
+      }
+    }
+    live.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
   /** Degree distribution of the pair graph: (deg, n_nodes) — the
     * first thing a dedup report reads about graph SHAPE (a power-law
     * tail means hub templates; a spike at 1 means isolated mirror

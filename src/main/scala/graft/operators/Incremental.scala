@@ -111,4 +111,56 @@ object Incremental {
       .agg(sum("n").as("n"), sum("tot").as("tot"))
       .filter(col("n") =!= 0L)
   }
+
+  /** Pane-based sliding-window counts (the Li et al. "panes"
+    * decomposition, VLDB'05): raw events collapse ONCE to per-(type,
+    * pane) partial counts — pane = `unix_micros(ts) div paneMicros` —
+    * and every sliding window of `windowPanes` consecutive panes is
+    * the SUM of its partials. A window sliding by one pane re-reads
+    * nothing: each event is aggregated exactly once, each pane partial
+    * feeds `windowPanes` windows — O(events + panes·W) instead of the
+    * O(events·W) a per-window re-scan costs, and the same partial
+    * table serves every window length that divides into panes. This is
+    * the batch twin of the streaming windowed aggregations in
+    * [[graft.streaming.EventStreams]] (micro-batch state IS a pane).
+    *
+    * Shape: one map-side-combined (type, pane) aggregation over the
+    * corpus; the ×W contribution explode, the per-type window axis
+    * (densified over the observed pane span — a fully-quiet window
+    * reports 0, the ops-dashboard contract), and the final rollup all
+    * run over the PANE table, calendar-bounded, never raw events.
+    * Windows whose span extends before the first observed pane are
+    * reported from the observed data (warm-up windows, same contract
+    * as [[graft.operators.Behavior.rollingActives]]).
+    *
+    * @return (event_type, win_start_pane, win_end_pane, n) ordered —
+    *         pane indices, inclusive; times recover as pane·paneMicros. */
+  def paneSlidingCounts(events: DataFrame, paneMicros: Long,
+                        windowPanes: Int,
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts"): DataFrame = {
+    require(paneMicros > 0, s"paneMicros ($paneMicros) must be > 0")
+    require(windowPanes >= 1 && windowPanes <= 100000,
+      s"windowPanes ($windowPanes) must be in [1, 1e5]")
+    val panes = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("t"),
+        expr(s"unix_micros($tsCol) div ${paneMicros}L").as("pane"))
+      .groupBy("t", "pane").agg(count(lit(1)).as("n"))
+    val grid = panes.groupBy("t")
+      .agg(min("pane").as("__p0"), max("pane").as("__p1"))
+      .select(col("t"),
+        explode(sequence(col("__p0"), col("__p1"))).as("wend"))
+    val contrib = panes
+      .select(col("t"), col("n"),
+        explode(sequence(col("pane"),
+          col("pane") + lit(windowPanes - 1L))).as("wend"))
+      .groupBy("t", "wend").agg(sum("n").as("n"))
+    grid.join(contrib, Seq("t", "wend"), "left")
+      .select(col("t").as(typeCol),
+        (col("wend") - lit(windowPanes - 1L)).as("win_start_pane"),
+        col("wend").as("win_end_pane"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(typeCol, "win_end_pane")
+  }
 }

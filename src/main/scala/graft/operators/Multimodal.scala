@@ -97,6 +97,41 @@ object Multimodal {
       .filter(octet_length(col("frame")) > 0)
   }
 
+  /** Storage-budget report per modality: row count, total payload
+    * bytes, average blob size in milli-bytes, share of the corpus's
+    * byte budget in permille, and the count of oversize blobs — the
+    * capacity-planning readout a multimodal ingest runs before anyone
+    * asks "why is the video bucket 40× the text bucket" (blob-size
+    * distribution decides `spark.sql.files.maxPartitionBytes` and
+    * which modality needs its own storage tier). All arithmetic is
+    * exact integer (totals, `·1000 div` ratios).
+    *
+    * Scale shape: `octet_length` rides the scan — payload BYTES never
+    * shuffle, only per-modality (count, sum) partials do, map-side
+    * combined to a ≤|modalities|-row table; the grand total is a
+    * 1-row aggregate cross-joined in (the x101 combine shape). NULL
+    * payloads count as rows with 0 bytes (a present-but-empty blob is
+    * a data-quality finding, not a crash).
+    *
+    * @return (modality, n, total_bytes, avg_bytes_milli,
+    *         share_permille, n_oversize) ordered by modality. */
+  def storageReport(media: DataFrame, oversizeBytes: Long = 1024L): DataFrame = {
+    require(oversizeBytes > 0, s"oversizeBytes ($oversizeBytes) must be > 0")
+    val bytes = coalesce(octet_length(col("content")).cast("long"), lit(0L))
+    val per = media
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        sum(bytes).as("total_bytes"),
+        sum(when(bytes > oversizeBytes, 1L).otherwise(0L)).as("n_oversize"))
+    val grand = per.agg(sum("total_bytes").as("__all"))
+    per.crossJoin(broadcast(grand))
+      .select(col("modality"), col("n"), col("total_bytes"),
+        expr("(total_bytes * 1000) div n").as("avg_bytes_milli"),
+        expr("(total_bytes * 1000) div __all").as("share_permille"),
+        col("n_oversize"))
+      .orderBy("modality")
+  }
+
   /** Embedding-cosine near-duplicate detection across media: features
     * from [[extractFeatures]] feed [[Similarity.cosineTopK]] — media
     * dedup composes from the same primitives as text/vector dedup. */

@@ -713,6 +713,51 @@ object Profiling {
           .as("gini_permille"))
   }
 
+  /** Hill tail-index estimator over a positive integer measure — the
+    * heavy-tail diagnostic that decides whether extreme values (doc
+    * lengths, user event counts, blob sizes) follow a power law and
+    * how fat the tail is: `α = k / Σ_{i≤k} ln(x_(i) / x_(k+1))` over
+    * the k largest order statistics. α ≤ 2 means infinite variance —
+    * mean-based gates ([[momentsBy]] z-scores) are meaningless and
+    * quantile fences ([[iqrOutliers]], MAD) are the right tool; it
+    * also sizes truncation budgets (how much mass a max-length cutoff
+    * actually removes).
+    *
+    * Determinism: the top k+1 rows come from a TOTAL order
+    * (value DESC, tie ASC) via TakeOrderedAndProject — no global
+    * sort; each of the k ratios takes ONE ln, floored to micronats
+    * half-up (the x51 discipline), and α recovers by integer division
+    * `k·10⁹ div Σ` — so every output column hash-compares. The only
+    * window runs over the ≤(k+1)-row cut (the x61 bounded-window
+    * pattern). Needs more than `kTop` positive rows — returns an
+    * empty frame otherwise; all-equal tails (Σ = 0) report NULL α.
+    *
+    * @return one row (k, x_ref, sum_ln_micro, alpha_milli). */
+  def hillTailIndex(df: DataFrame, valueCol: String, tieCol: String,
+                    kTop: Int): DataFrame = {
+    require(kTop >= 2, s"kTop ($kTop) must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val top = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("long").as("v"), col(tieCol).as("tie"))
+      .orderBy(col("v").desc, col("tie")).limit(kTop + 1)
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy(col("v").desc, col("tie"))))
+    val ref = ranked.filter(col("rn") === kTop + 1)
+      .select(col("v").as("x_ref"))
+    ranked.filter(col("rn") <= kTop)
+      .crossJoin(broadcast(ref))
+      .select(col("x_ref"),
+        floor(log(col("v").cast("double") / col("x_ref")) * lit(1000000d)
+          + lit(0.5d)).cast("long").as("r"))
+      .groupBy("x_ref")
+      .agg(count(lit(1)).as("k"), sum("r").as("sum_ln_micro"))
+      .select(col("k"), col("x_ref"), col("sum_ln_micro"),
+        when(col("sum_ln_micro") <= 0L, lit(null).cast("long"))
+          .otherwise(expr("(k * 1000000000) div sum_ln_micro"))
+          .as("alpha_milli"))
+  }
+
   /** Chi-square independence screen between two categorical columns —
     * the single-statistic companion to [[pmiCells]]: PMI names WHICH
     * cells deviate, this says WHETHER the two columns are associated

@@ -94,6 +94,63 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    * Croft SIGIR'98; Zhai & Lafferty SIGIR'01) — the language-model
+    * ranking alternative to [[bm25TopK]], sharing the SAME
+    * inverted-index probe shape:
+    * `score(d) = Σ_{t∈q} ln((tf_td + µ·cf_t/|C|) / (dl_d + µ))` —
+    * the log-probability of the query under the document's
+    * Dirichlet-smoothed unigram model. Terms a candidate LACKS still
+    * contribute their background mass (that is what smoothing is for),
+    * so scoring runs over the full candidate × query-term grid;
+    * documents containing NO query term are not ranked (their
+    * pure-background score orders by length alone — noise), and query
+    * terms absent from the whole corpus are excluded (their smoothed
+    * probability is 0 at any µ).
+    *
+    * Scale shape — [[bm25TopK]]'s exactly: the corpus filters to
+    * query-term postings BEFORE any shuffle; cf comes from those same
+    * postings (|terms| rows, broadcast), |C| and per-doc lengths from
+    * the 1-row / doc-keyed aggregates; the grid is candidates × |q|;
+    * top-k is TakeOrderedAndProject. Determinism: score floored to
+    * integer micronats, ranked (score DESC, doc_id) — the rounding
+    * absorbs summation-order ulps over the ≤|q|-term per-doc sum (the
+    * x51/x82 ln discipline).
+    *
+    * @return (doc_id, n_hit, score_micronat) top-k. */
+  def qlTopK(docs: DataFrame, terms: Seq[String], k: Int,
+             mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k ($k) must be positive")
+    require(mu > 0, s"mu ($mu) must be positive")
+    val termSet = terms.distinct
+    val dl = docs.select(col("doc_id"),
+      TextAnalysis.tokenCountCol(col("text")).as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(termSet: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("tok").agg(sum("tf").as("cf"))
+    val ctot = dl.agg(sum("dl").as("ctot"))
+    val grid = tf.select("doc_id").distinct()
+      .crossJoin(broadcast(cf))
+      .join(tf, Seq("doc_id", "tok"), "left")
+      .select(col("doc_id"), col("cf"),
+        coalesce(col("tf"), lit(0L)).as("tf"))
+    val term = log(col("tf").cast("double") +
+        lit(mu) * col("cf") / col("ctot")) -
+      log(col("dl").cast("double") + lit(mu))
+    grid.join(dl, "doc_id")
+      .crossJoin(broadcast(ctot))
+      .groupBy("doc_id")
+      .agg(sum(when(col("tf") > 0L, 1L).otherwise(0L)).as("n_hit"),
+        sum(term).as("score"))
+      .select(col("doc_id"), col("n_hit"),
+        floor(col("score") * 1000000 + 0.5).cast("long").as("score_micronat"))
+      .orderBy(col("score_micronat").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Build the persisted lexical index: a postings table
     * (tok, doc_id, tf) bucketed+sorted on `tok` and a doc-lengths
     * table (doc_id, dl) bucketed on `doc_id` — the "build the

@@ -500,4 +500,73 @@ class BehaviorSpec extends SparkSpec {
       (4L, 3L, 2L, 30000L, 2L, 2L, 2L, "222"),
       (5L, 4L, 1L, 10000L, 1L, 1L, 1L, "111")))
   }
+
+  private def tsEv(rows: (String, String)*) =
+    rows.toDF("event_type", "__s")
+      .withColumn("ts", to_timestamp(col("__s")))
+      .select("event_type", "ts")
+
+  test("ewmaChart: hand-computed power-of-two baseline, flags, warm-up NULLs") {
+    // type a: day0 4 events, day1 2, day2 8
+    //   day1 baseline = 4 (only day0, weight 2^19)       → 4000 milli
+    //   day2 num = 4·2^18 + 2·2^19 = 2097152, den = 786432 → 2666 milli
+    //          spike: 8·786432 > 2·2097152                  → true
+    val e = tsEv(
+      Seq.fill(4)("a" -> "2024-01-01 10:00:00") ++
+        Seq.fill(2)("a" -> "2024-01-02 10:00:00") ++
+        Seq.fill(8)("a" -> "2024-01-03 10:00:00"): _*)
+    val out = Behavior.ewmaChart(e)
+      .as[(String, Long, Long, Option[Long], Option[Boolean], Option[Boolean])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("a", 0L, 4L, None, None, None),
+      ("a", 1L, 2L, Some(4000L), Some(false), Some(false)),
+      ("a", 2L, 8L, Some(2666L), Some(true), Some(false))))
+  }
+
+  test("ewmaChart: a silent day densifies to 0, weighs the baseline, and dips") {
+    // type b: day0 1 event, day2 1 event — day1 is a REAL zero day:
+    //   day1: baseline 1000 milli, dip (0 < 1/2)
+    //   day2: num = 1·2^18 + 0·2^19 = 262144, den = 786432 → 333 milli,
+    //         spike (1 > 2·0.333)
+    val e = tsEv("b" -> "2024-01-01 09:00:00", "b" -> "2024-01-03 09:00:00")
+    val out = Behavior.ewmaChart(e)
+      .as[(String, Long, Long, Option[Long], Option[Boolean], Option[Boolean])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("b", 0L, 1L, None, None, None),
+      ("b", 1L, 0L, Some(1000L), Some(false), Some(true)),
+      ("b", 2L, 1L, Some(333L), Some(true), Some(false))))
+  }
+
+  test("theilSenTrend: exact slope on a linear series; n_days and n_pairs") {
+    // counts 1, 3, 5, 7 on days 0..3 → every pairwise slope 2e6 exactly
+    val rows = (0 to 3).flatMap(d =>
+      Seq.fill(1 + 2 * d)("a" -> f"2024-01-0${d + 1} 12:00:00"))
+    val out = Behavior.theilSenTrend(tsEv(rows: _*))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 4L, 6L, 2000000L)))
+  }
+
+  test("theilSenTrend: median shrugs off an outlier day an OLS fit would chase") {
+    // counts 1,2,3,4,1000 on days 0..4: 6 of the 10 pairwise slopes are
+    // exactly 1e6 → the median stays 1e6 despite the 1000-event spike
+    val rows = Seq(1, 2, 3, 4, 1000).zipWithIndex.flatMap { case (n, d) =>
+      Seq.fill(n)("a" -> f"2024-01-0${d + 1} 12:00:00") }
+    val out = Behavior.theilSenTrend(tsEv(rows: _*))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 5L, 10L, 1000000L)))
+  }
+
+  test("theilSenTrend: negative slopes TRUNCATE toward zero (the portable rule)") {
+    // counts 2,0,0,1 on days 0..3 (middle days densified): sorted pair
+    // slopes −2e6, −1e6, −333333, 0, 5e5, 1e6 → median −333333 — the
+    // (0,3) pair is −10⁶/3, so a floor-division engine would emit
+    // −333334 and hash-diverge; truncation is what both engines do
+    val rows = Seq.fill(2)("c" -> "2024-01-01 08:00:00") :+
+      ("c" -> "2024-01-04 08:00:00")
+    val out = Behavior.theilSenTrend(tsEv(rows: _*))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("c", 4L, 6L, -333333L)))
+  }
 }

@@ -212,4 +212,20 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out(2L) === 1L)
   }
+
+  test("kCore: the 2-core keeps the triangle and peels the tail") {
+    // triangle {1,2,3} + tail 3–4–5: round 1 drops 5 (deg 1), round 2
+    // drops 4 (deg fell to 1 when 5 left), rounds 3–4 are stable —
+    // converged, so the result IS the true 2-core with degrees inside it
+    val g = pairs((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val out = Graph.kCore(g, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a pure chain peels to nothing at k = 2") {
+    val out = Graph.kCore(pairs((1L, 2L), (2L, 3L)), k = 2, rounds = 4)
+      .collect()
+    assert(out.isEmpty)
+  }
 }

@@ -87,4 +87,46 @@ class IncrementalSpec extends SparkSpec {
       Incremental.applyChangelog(state, bad, Seq("k"), col("v")).collect()
     }
   }
+
+  test("paneSlidingCounts: hand-computed 3-pane windows, quiet panes report") {
+    // minute panes: events in panes 0, 1, 4, 4 → window (wend, n):
+    //   0→1, 1→2, 2→2, 3→1, 4→2 — pane 2..3 quiet but windowed
+    val e = Seq(
+      ("a", "1970-01-01 00:00:30"),
+      ("a", "1970-01-01 00:01:10"),
+      ("a", "1970-01-01 00:04:20"),
+      ("a", "1970-01-01 00:04:50"),
+      ("b", "1970-01-01 00:00:05"), // other type: isolated axis
+      (null.asInstanceOf[String], "1970-01-01 00:00:06") // null type drops
+    ).toDF("event_type", "__s")
+      .withColumn("ts", to_timestamp(col("__s"))).select("event_type", "ts")
+    val out = Incremental
+      .paneSlidingCounts(e, paneMicros = 60L * 1000000L, windowPanes = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", -2L, 0L, 1L), ("a", -1L, 1L, 2L), ("a", 0L, 2L, 2L),
+      ("a", 1L, 3L, 1L), ("a", 2L, 4L, 2L),
+      ("b", -2L, 0L, 1L)))
+  }
+
+  test("paneSlidingCounts: decomposition ≡ the direct windowed count") {
+    // property on an arbitrary spread: summing pane partials must give
+    // exactly the same answer as re-counting each window from raw rows
+    val micros = Seq(5L, 65L, 70L, 119L, 240L, 241L, 250L, 601L)
+      .map(_ * 1000000L)
+    val e = micros.map(("x", _)).toDF("event_type", "__us")
+      .withColumn("ts", timestamp_micros(col("__us")))
+      .select("event_type", "ts")
+    val out = Incremental
+      .paneSlidingCounts(e, paneMicros = 60L * 1000000L, windowPanes = 4)
+      .as[(String, Long, Long, Long)].collect()
+    val panes = micros.map(_ / (60L * 1000000L))
+    out.foreach { case (_, ws, we, n) =>
+      val direct = panes.count(p => p >= ws && p <= we)
+      assert(n === direct, s"window [$ws, $we]")
+    }
+    assert(out.map(_._4).sum === micros.size.toLong * 4 -
+      // edge windows: each pane feeds 4 windows minus those past max
+      panes.map(p => (p + 3 - panes.max).max(0)).sum)
+  }
 }

@@ -47,4 +47,20 @@ class MultimodalSpec extends SparkSpec {
     val grouped = rows.groupBy(_.getLong(0)).values
     assert(grouped.forall(_.length <= 2))
   }
+
+  test("storageReport: exact byte totals, shares, oversize flags, null payloads") {
+    val m = Seq(
+      ("image", "abc".getBytes("UTF-8")),
+      ("image", "abcde".getBytes("UTF-8")),
+      ("audio", null.asInstanceOf[Array[Byte]]), // empty blob: a row, 0 bytes
+      ("video", "0123456789".getBytes("UTF-8"))
+    ).toDF("modality", "content")
+    val out = Multimodal.storageReport(m, oversizeBytes = 6L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // grand total 18 bytes: image 8 (444‰), audio 0, video 10 (555‰, oversize)
+    assert(out === Seq(
+      ("audio", 1L, 0L, 0L, 0L, 0L),
+      ("image", 2L, 8L, 4000L, 444L, 0L),
+      ("video", 1L, 10L, 10000L, 555L, 1L)))
+  }
 }

@@ -137,4 +137,32 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.phraseTopK(docs, Seq("new york"), k = 5)
     }
   }
+
+  test("qlTopK: Dirichlet scores replay locally; background mass for " +
+    "missing terms; no-hit docs excluded") {
+    // corpus: 1 "a a b" (dl 3), 2 "b c" (dl 2), 3 "z z" (dl 2) → |C| = 7
+    // query {a, c}, µ = 2: cf(a) = 2, cf(c) = 1; candidates = docs 1, 2
+    // (doc 3 has neither term → never ranked)
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "z z")).toDF("doc_id", "text")
+    val out = Retrieval.qlTopK(d, Seq("a", "c"), k = 10, mu = 2.0)
+      .as[(Long, Long, Long)].collect().toSeq
+    def score(dl: Long, tfs: Seq[(Long, Long)]): Long = { // (tf, cf)
+      val s = tfs.map { case (tf, cf) =>
+        math.log(tf.toDouble + 2.0 * cf / 7L) - math.log(dl.toDouble + 2.0)
+      }.sum
+      math.floor(s * 1000000 + 0.5).toLong
+    }
+    val s1 = score(3L, Seq(2L -> 2L, 0L -> 1L)) // doc 1: a hit, c background
+    val s2 = score(2L, Seq(0L -> 2L, 1L -> 1L)) // doc 2: c hit, a background
+    assert(s2 > s1, "shorter doc with a hit must outrank")
+    assert(out === Seq((2L, 1L, s2), (1L, 1L, s1)))
+  }
+
+  test("qlTopK: a query term absent from the whole corpus is excluded, " +
+    "not scored as -inf") {
+    val d = Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text")
+    val out = Retrieval.qlTopK(d, Seq("a", "qqq"), k = 10, mu = 2.0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L)) // only the a-hit doc, finite score
+  }
 }

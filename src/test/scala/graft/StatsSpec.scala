@@ -356,4 +356,28 @@ class StatsSpec extends SparkSpec {
     assert(out._1 === 4L)   // the two NULL rows don't count
     assert(out._2 === 3L && out._3 === 2L && out._4 === 2L)
   }
+
+  test("hillTailIndex: power-of-two tail replays the ln sum and α exactly") {
+    // top 4 of {80, 40, 20, 10, 5, 1} at kTop = 3: x_ref = 10, ratios
+    // 8, 4, 2 → micronat terms 2079442 + 1386294 + 693147 = 4158883,
+    // α_milli = 3·10⁹ div 4158883 = 721
+    val df = Seq(80L, 40L, 20L, 10L, 5L, 1L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "v")
+    val out = Profiling.hillTailIndex(df, "v", "doc_id", kTop = 3)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    def t(r: Double): Long = math.floor(math.log(r) * 1000000 + 0.5).toLong
+    val sum = t(8.0) + t(4.0) + t(2.0)
+    assert(out === Seq((3L, 10L, sum, Some(3000000000L / sum))))
+  }
+
+  test("hillTailIndex: an all-equal tail reports NULL α; too-few rows → empty") {
+    val flat = Seq.fill(5)(7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "v")
+    val out = Profiling.hillTailIndex(flat, "v", "doc_id", kTop = 3)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out === Seq((3L, 7L, 0L, None)))
+    val few = Seq((1L, 9L), (2L, 8L)).toDF("doc_id", "v")
+    assert(Profiling.hillTailIndex(few, "v", "doc_id", kTop = 3)
+      .collect().isEmpty)
+  }
 }
