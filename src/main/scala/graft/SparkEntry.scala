@@ -1021,7 +1021,53 @@ object SparkEntry {
     "x166_hill_tail"      -> ((s, d) =>
       graft.operators.Profiling.hillTailIndex(Tables.documents(s, d),
         "n_chars", "doc_id", kTop = 100)),
+    // wide→long melt via Spark's NATIVE unpivot (Expand, one pass) —
+    // the inverse of x27's pivot, completing the reshape pair
+    "x167_unpivot"        -> ((s, d) =>
+      Relational.unpivotMeasures(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("disc_c" -> Relational.cents(col("l_discount")),
+          "price_c" -> Relational.cents(col("l_extendedprice")),
+          "qty_c" -> Relational.cents(col("l_quantity"))))
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+        .limit(300)),
+    // exact per-language quantile ladder — the x123 selection
+    // generalized to an arbitrary q-list in one bounded pass
+    "x168_quantile_ladder" -> ((s, d) =>
+      graft.operators.Profiling.exactQuantiles(Tables.documents(s, d),
+        "lang", "n_chars", Seq(100L, 250L, 500L, 750L, 900L, 990L))),
+    // daily new-vs-returning user split — the acquisition/retention
+    // decomposition a raw DAU curve hides
+    "x169_new_returning"  -> ((s, d) =>
+      graft.operators.Behavior.newVsReturning(Tables.events(s, d))),
+    // interval×interval overlap join, bin-decomposed — "which sessions
+    // ran during the 5 longest sessions" (incident-window shape)
+    "x170_interval_overlap" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("unix_micros(ts)"))
+      val a = graft.operators.Sessions
+        .sessionize(ev, gap = 43_200_000_000L, tsCol = "ts_us")
+        .select((col("user_id") * lit(1000000L) + col("session_seq"))
+            .as("a_id"),
+          col("start_ts").as("a_lo"), col("end_ts").as("a_hi"))
+      val b = a.orderBy((col("a_hi") - col("a_lo")).desc, col("a_id"))
+        .limit(5)
+        .select(col("a_id").as("b_id"), col("a_lo").as("b_lo"),
+          col("a_hi").as("b_hi"))
+      graft.operators.RangeJoin
+        .intervalOverlap(a, b, binWidth = 7L * 86_400_000_000L)
+        .filter(col("a_id") =!= col("b_id"))
+    },
+    // per-column entropy/evenness audit in ONE melted pass — the
+    // constant-column and key-balance screen
+    "x171_column_entropy" -> ((s, d) =>
+      graft.operators.Profiling.columnEntropy(Tables.lineitem(s, d),
+        entropyCols)),
   )
+
+  /** x171's audited column set — ONE list feeds both the Spark call
+    * and the generated oracle union (the x141 fdRules discipline). */
+  private val entropyCols: Seq[String] =
+    Seq("l_linestatus", "l_returnflag", "l_suppkey")
 
   /** x141's audited FD rules — ONE list feeds both the Spark call and
     * the generated oracle union so the two sides cannot drift. */
@@ -3252,6 +3298,78 @@ object SparkEntry {
              ELSE CAST((COUNT(*) * 1000000000) // SUM(t) AS BIGINT)
            END AS alpha_milli
          FROM s GROUP BY x_ref""",
+    // x167: the UNION ALL spelling of the same melt — value joins the
+    // sort (the q02 lesson: (orderkey, linenumber) can repeat)
+    "x167_unpivot" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+           FROM lineitem),
+         u AS (SELECT l_orderkey, l_linenumber, 'disc_c' AS metric,
+               disc_c AS value FROM base
+           UNION ALL SELECT l_orderkey, l_linenumber, 'price_c', price_c
+             FROM base
+           UNION ALL SELECT l_orderkey, l_linenumber, 'qty_c', qty_c
+             FROM base)
+         SELECT l_orderkey, l_linenumber, metric, value FROM u
+         ORDER BY l_orderkey, l_linenumber, metric, value LIMIT 300""",
+    // x168: the same cumulative-histogram selection per (group, q) —
+    // cum·1000 ≥ q·tot over the distinct-value weight table
+    "x168_quantile_ladder" ->
+      """WITH b AS (SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v
+           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         vals AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS w
+           FROM b GROUP BY 1, 2),
+         c AS (SELECT grp, v, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS tot FROM vals),
+         q AS (SELECT CAST(UNNEST([100, 250, 500, 750, 900, 990])
+             AS BIGINT) AS q_permille)
+         SELECT c.grp, q.q_permille, CAST(MIN(c.v) AS BIGINT) AS value
+         FROM c CROSS JOIN q WHERE c.cum * 1000 >= q.q_permille * c.tot
+         GROUP BY 1, 2 ORDER BY grp, q_permille""",
+    // x169: distinct (user, day) facts, per-user first day, one
+    // classification join — exact integer mix ratio
+    "x169_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT u, MIN(day) AS fd FROM ud GROUP BY 1),
+         g AS (SELECT ud.day, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN ud.day = f.fd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+           FROM ud JOIN f ON ud.u = f.u GROUP BY 1)
+         SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+           CAST((n_new * 1000) // n_active AS BIGINT) AS new_permille
+         FROM g ORDER BY day""",
+    // x170: the DIRECT interval theta join over the x48 session CTEs —
+    // a hash match proves the two-sided bin decomposition preserves
+    // the overlap semantics exactly
+    "x170_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn FROM events),
+         g AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL
+               OR tn - lag(tn) OVER w > 43200000000 THEN 1 ELSE 0 END AS nw
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+         s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY tn,
+             event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g),
+         sess AS (SELECT user_id, session_seq, MIN(tn) AS lo, MAX(tn) AS hi
+           FROM s GROUP BY 1, 2),
+         a AS (SELECT CAST(user_id * 1000000 + session_seq AS BIGINT) AS a_id,
+             lo AS a_lo, hi AS a_hi FROM sess),
+         b AS (SELECT a_id AS b_id, a_lo AS b_lo, a_hi AS b_hi FROM a
+           ORDER BY a_hi - a_lo DESC, a_id LIMIT 5)
+         SELECT a.a_id, b.b_id,
+           GREATEST(a_lo, b_lo) AS overlap_lo,
+           LEAST(a_hi, b_hi) AS overlap_hi,
+           LEAST(a_hi, b_hi) - GREATEST(a_lo, b_lo) AS overlap_len
+         FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi AND a.a_id <> b.b_id
+         ORDER BY a_id, b_id""",
+    // x171: per column the same count table, ONE ln per distinct value,
+    // the x52 entropy identity, micronat/milli floors — generated from
+    // the SAME column list as the Spark call
+    "x171_column_entropy" -> columnEntropyOracle,
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
@@ -3683,6 +3801,32 @@ object SparkEntry {
        SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
        FROM e4 GROUP BY src ORDER BY doc_id"""
   }
+
+  /** x171 oracle: one UNION ALL branch per audited column, each
+    * replaying the count table → entropy identity → floors; the
+    * branch list derives from [[entropyCols]] so the two sides cannot
+    * drift (the x141 fdRules discipline). */
+  private def columnEntropyOracle: String =
+    entropyCols.map { c =>
+      s"""(WITH vv AS (SELECT CAST($c AS VARCHAR) AS v FROM lineitem),
+         cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM vv
+           WHERE v IS NOT NULL GROUP BY v),
+         st AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS s FROM cnt),
+         nl AS (SELECT CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nulls FROM vv)
+         SELECT '$c' AS col_name, COALESCE(st.nn, 0) AS n, nl.n_nulls,
+           COALESCE(st.nd, 0) AS n_distinct,
+           CAST(FLOOR((ln(CAST(st.nn AS DOUBLE)) - st.s / st.nn) * 1000000
+             + 0.5) AS BIGINT) AS entropy_micronat,
+           CASE WHEN COALESCE(st.nd, 0) <= 1 THEN NULL
+             ELSE CAST(FLOOR((ln(CAST(st.nn AS DOUBLE)) - st.s / st.nn)
+               / ln(CAST(st.nd AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+           END AS evenness_milli
+         FROM st CROSS JOIN nl)"""
+    }.mkString("\n       UNION ALL\n       ") +
+      "\n       ORDER BY col_name"
 
   /** Shared oracle for the exact cosine top-k twins (x09 HOF path, x13
     * native-expression path): same fold order as the Spark plan, so the

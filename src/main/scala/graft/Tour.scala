@@ -208,6 +208,26 @@ object Tour {
     println(s"[tour] phrase hits=${graft.operators.Retrieval.phraseTopK(docs, Seq("join", "column"), k = 10).count()}")
     println(s"[tour] iqr fences groups=${graft.operators.Profiling.iqrOutliers(docs, "lang", "n_chars").count()}")
 
+    // round 9 (cont.): communities + graph density, embedding eval,
+    // independence screens, full-recall linkage, corpus growth, CV
+    // folds, drift movers, SPC triple, panes, robust trend, media
+    // budget, LM retrieval, tail index
+    println(s"[tour] lpa communities=${graft.operators.Graph.labelPropagation(pr7).count()}")
+    println(s"[tour] 2-core nodes=${graft.operators.Graph.kCore(pr7).count()}")
+    Dedup.releaseCaches()
+    println(s"[tour] centroid eval cells=${graft.operators.Clustering.nearestCentroidEval(Tables.embeddings(spark, sf), "vec_id", "embedding", "label").count()}")
+    println(s"[tour] chi-square rows=${graft.operators.Profiling.chiSquare(ev, col("event_type"), (weekday(col("ts").cast("date")) + 1).cast("long")).count()}")
+    println(s"[tour] deletion-join pairs=${graft.operators.Linkage.deletionJoin(cust7, probe7, "c_custkey", "c_name").count()}")
+    println(s"[tour] heaps checkpoints=${graft.operators.TextAnalysis.heapsGrowth(docs).count()}")
+    println(s"[tour] kfold folds=${graft.operators.Sampling.kfoldAssign(docs, "doc_id", 5).select("fold").distinct().count()}")
+    println(s"[tour] drift movers=${graft.operators.TextAnalysis.vocabDrift(docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), topK = 10).count()}")
+    println(s"[tour] ewma flagged days=${graft.operators.Behavior.ewmaChart(ev).filter(col("spike") || col("dip")).count()}")
+    println(s"[tour] pane windows=${graft.operators.Incremental.paneSlidingCounts(ev, 3600L * 1000000L, 6).count()}")
+    println(s"[tour] theil-sen slopes=${graft.operators.Behavior.theilSenTrend(ev).count()}")
+    println(s"[tour] media budget rows=${graft.operators.Multimodal.storageReport(graft.operators.Multimodal.fromDocuments(docs)).count()}")
+    println(s"[tour] ql retrieval hits=${graft.operators.Retrieval.qlTopK(docs, Seq("vector", "stream", "join"), k = 10).count()}")
+    println(s"[tour] hill tail rows=${graft.operators.Profiling.hillTailIndex(docs, "n_chars", "doc_id", 100).count()}")
+
     println("[tour] ok")
     spark.stop()
   }

@@ -831,6 +831,41 @@ object Behavior {
       .orderBy("cust")
   }
 
+  /** Daily new-vs-returning split: per calendar day, how many active
+    * users saw their FIRST-ever event that day vs came back — the
+    * acquisition/retention decomposition behind every growth dashboard
+    * ([[weeklyChurn]] reads the same signal at week grain with churn;
+    * this is the daily acquisition view). `new_permille` near 1000
+    * means the product is all acquisition and no habit; collapsing
+    * n_new with steady n_active means growth stalled but retention
+    * holds — the two failure modes look identical in a raw DAU curve.
+    *
+    * Shape: the corpus collapses to distinct (user, day) facts, the
+    * first-day table is one user-keyed aggregation, and the
+    * classification join shares the same user-hash distribution — two
+    * shuffles total, both map-side combined, never raw events twice.
+    * Days with no activity emit no row (this reports user mix, not
+    * volume — [[dailyVolumeAnomaly]]/[[ewmaChart]] own the gaps).
+    *
+    * @return (day, n_active, n_new, n_returning, new_permille) ordered. */
+  def newVsReturning(events: DataFrame, epoch: String = "2024-01-01",
+                     userCol: String = "user_id",
+                     tsCol: String = "ts"): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
+    val userDays = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), day.as("day")).distinct()
+    val first = userDays.groupBy("u").agg(min("day").as("fd"))
+    userDays.join(first, Seq("u"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("fd"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        expr("(n_new * 1000) div n_active").as("new_permille"))
+      .orderBy("day")
+  }
+
   /** EWMA control chart over the per-(type, day) event-count series —
     * the third leg of the volume-monitoring triple: [[dailyVolumeAnomaly]]
     * z-scores against the WHOLE series (slow drift poisons the mean),

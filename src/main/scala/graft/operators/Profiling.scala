@@ -713,6 +713,99 @@ object Profiling {
           .as("gini_permille"))
   }
 
+  /** Per-column Shannon entropy over a column set — the information
+    * audit that complements [[profile]]'s counts: near-zero entropy
+    * marks a de-facto constant (drop it from features and group keys),
+    * entropy ≈ ln(distinct) marks a uniformly-spread key (safe to
+    * partition on), and the normalized `evenness_milli`
+    * (H / ln(distinct)) separates "many values, one dominant" from
+    * "many values, balanced" — the single number behind both skew
+    * risk ([[keySkewGini]]'s cousin) and feature usefulness.
+    *
+    * One pass for ALL columns: the column set melts through Spark's
+    * native `unpivot` (an Expand — values fan out row-locally, the
+    * x167 machinery), then ONE (column, value) aggregation with
+    * map-side combine; the entropy identity `H = ln N − Σ n·ln n / N`
+    * (the x52 spelling — ONE ln per distinct value) runs over the
+    * vocabulary-bounded count table, micronat-floored. NULLs are
+    * counted per column (`n_nulls`), excluded from H; all-NULL and
+    * single-valued columns report NULL entropy/evenness off the
+    * column spine, never a missing row.
+    *
+    * @return (col_name, n, n_nulls, n_distinct, entropy_micronat,
+    *         evenness_milli) ordered. */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnEntropy needs at least one column")
+    val melted = df
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .unpivot(Array.empty[Column], cols.map(col).toArray, "col_name", "v")
+    val counts = melted.filter(col("v").isNotNull)
+      .groupBy("col_name", "v").agg(count(lit(1)).as("n"))
+    val h = log(col("nn").cast("double")) - col("s") / col("nn")
+    val stats = counts.groupBy("col_name")
+      .agg(sum("n").as("nn"), count(lit(1)).as("nd"),
+        sum(col("n").cast("double") * log(col("n").cast("double"))).as("s"))
+      .select(col("col_name"), col("nn"), col("nd"),
+        floor(h * lit(1000000d) + lit(0.5d)).cast("long")
+          .as("entropy_micronat"),
+        when(col("nd") <= 1L, lit(null).cast("long"))
+          .otherwise(floor(h / log(col("nd").cast("double")) * lit(1000d)
+            + lit(0.5d)).cast("long")).as("evenness_milli"))
+    val nulls = melted.groupBy("col_name")
+      .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+    import df.sparkSession.implicits._
+    cols.toDF("col_name")
+      .join(nulls, Seq("col_name"), "left")
+      .join(stats, Seq("col_name"), "left")
+      .select(col("col_name"), coalesce(col("nn"), lit(0L)).as("n"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct"),
+        col("entropy_micronat"), col("evenness_milli"))
+      .orderBy("col_name")
+  }
+
+  /** Exact per-group quantile ladder: for each group and each
+    * requested q (in permille), the LOWER quantile — the smallest
+    * value whose cumulative weight reaches q — via the x123
+    * cumulative-histogram selection generalized from the median to an
+    * arbitrary q-list ([[weightedMedian]] is the q = 500 point;
+    * [[iqrOutliers]] hard-codes {250, 750}; the RFM ladder {200…800}).
+    * One call answers "p10/p50/p90 length per language" exactly — the
+    * cut-table a length-bucketing or truncation policy is actually
+    * written against.
+    *
+    * Shape: ONE (group, value) aggregation collapses the corpus to
+    * its distinct-value weight table; the running-sum windows run
+    * over THAT bounded table partitioned by group; the q-ladder
+    * explode multiplies the bounded table by |qs| — never raw rows.
+    * All selection arithmetic is integer (`cum·1000 ≥ q·tot`).
+    * At petabyte group cardinalities swap in `approx_percentile`
+    * (engine-specific → rows-only checkable; this exact form is the
+    * oracle anchor, the x98 pattern).
+    *
+    * @return (grp, q_permille, value) ordered. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qsPermille: Seq[Long]): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"q ladder must be within [1, 1000] permille, got $qsPermille")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val run = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum", sum("w").over(run))
+      .withColumn("tot", sum("w").over(Window.partitionBy("grp")))
+      .select(col("grp"), col("v"), col("cum"), col("tot"),
+        explode(array(qsPermille.distinct.sorted.map(lit(_)): _*))
+          .as("q_permille"))
+      .filter(col("cum") * 1000 >= col("q_permille") * col("tot"))
+      .groupBy("grp", "q_permille").agg(min("v").as("value"))
+      .orderBy("grp", "q_permille")
+  }
+
   /** Hill tail-index estimator over a positive integer measure — the
     * heavy-tail diagnostic that decides whether extreme values (doc
     * lengths, user event counts, blob sizes) follow a power law and

@@ -45,4 +45,44 @@ object RangeJoin {
       .filter(col(leftVal) >= col(lo) && col(leftVal) <= col(hi))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: every (a, b) pair whose closed intervals
+    * intersect (`a_lo ≤ b_hi AND b_lo ≤ a_hi`), with the intersection
+    * bounds and length — [[banded]]'s two-sided generalization from
+    * point-in-interval to interval×interval ("which sessions ran
+    * during the incident window", machine-uptime × deploy windows,
+    * concurrent-session detection). Spark would plan the raw predicate
+    * as a nested loop; here BOTH sides explode to the fixed-width bins
+    * their interval covers, meet in an ordinary equi-join on the bin,
+    * collapse duplicates (an overlapping pair can share several bins
+    * — unlike [[banded]]'s point side there is no unique meeting bin),
+    * and verify the exact predicate (sharing a bin does NOT imply
+    * overlap — each bin is wider than its residents).
+    *
+    * Cost: Σ span/w replicated rows per side, equi-hash-shuffled on
+    * the bin; `binWidth` near the median interval span keeps the
+    * replication factor O(1). Output is the true overlap set — if
+    * everything overlaps everything the output is inherently
+    * quadratic; keep one side selective (the incident windows, not a
+    * second corpus). Bounds must be non-negative (`div` truncation ≡
+    * floor only there — epoch micros qualify).
+    *
+    * @param a (a_id, a_lo, a_hi); b (b_id, b_lo, b_hi) — inclusive.
+    * @return (a_id, b_id, overlap_lo, overlap_hi, overlap_len) ordered. */
+  def intervalOverlap(a: DataFrame, b: DataFrame, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bins(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo) <= col(hi))
+        .withColumn("__bin", explode(sequence(
+          expr(s"$lo div ${binWidth}L"), expr(s"$hi div ${binWidth}L"))))
+    bins(a, "a_lo", "a_hi")
+      .join(bins(b, "b_lo", "b_hi"), Seq("__bin"))
+      .drop("__bin").distinct()
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select(col("a_id"), col("b_id"),
+        greatest(col("a_lo"), col("b_lo")).as("overlap_lo"),
+        least(col("a_hi"), col("b_hi")).as("overlap_hi"))
+      .withColumn("overlap_len", col("overlap_hi") - col("overlap_lo"))
+      .orderBy("a_id", "b_id")
+  }
 }

@@ -475,4 +475,27 @@ object Relational {
           .otherwise(expr("((r - 1) * 1000) div (cnt - 1)")).as("pr_permille"))
       .orderBy(idCol, groupCol)
   }
+
+  /** Wide→long unpivot (melt): each input row emits one row per
+    * measure as (ids…, metric, value) — the inverse of
+    * [[pivotCounts]] and the missing half of the reshape pair (a
+    * metrics store, a plotting layer, and UNION-style ML feature
+    * tables all consume the long form). Uses Spark's NATIVE
+    * `Dataset.unpivot` (Expand under the hood — one pass, no join, no
+    * union-of-scans; the measure columns are computed once on the
+    * scan and fan out row-locally, so the cost is |rows|·|measures|
+    * narrow output, zero extra shuffles at any scale).
+    *
+    * @param measures (name, expression) pairs; all must share a type
+    *                 (cast in the expression — unpivot requires it). */
+  def unpivotMeasures(df: DataFrame, ids: Seq[String],
+                      measures: Seq[(String, org.apache.spark.sql.Column)],
+                      varName: String = "metric",
+                      valueName: String = "value"): DataFrame = {
+    require(measures.nonEmpty, "unpivotMeasures needs at least one measure")
+    df.select(ids.map(col) ++
+        measures.map { case (n, c) => c.as(n) }: _*)
+      .unpivot(ids.map(col).toArray,
+        measures.map(m => col(m._1)).toArray, varName, valueName)
+  }
 }

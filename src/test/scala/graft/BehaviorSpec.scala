@@ -506,6 +506,27 @@ class BehaviorSpec extends SparkSpec {
       .withColumn("ts", to_timestamp(col("__s")))
       .select("event_type", "ts")
 
+  test("newVsReturning: first-ever day classifies the mix; repeat " +
+    "same-day events collapse") {
+    // u1 active days 0, 1; u2 active day 1 only (twice — one fact);
+    // u3 active days 0, 2:
+    //   day0: active {1,3} all new → 1000‰
+    //   day1: active {1,2}, new {2} → 500‰
+    //   day2: active {3}, new none → 0‰
+    val e = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-02 08:00:00"),
+      (2L, "2024-01-02 09:00:00"), (2L, "2024-01-02 10:00:00"),
+      (3L, "2024-01-01 07:00:00"), (3L, "2024-01-03 07:00:00")
+    ).toDF("user_id", "__s")
+      .withColumn("ts", to_timestamp(col("__s"))).select("user_id", "ts")
+    val out = Behavior.newVsReturning(e)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 2L, 0L, 1000L),
+      (1L, 2L, 1L, 1L, 500L),
+      (2L, 1L, 0L, 1L, 0L)))
+  }
+
   test("ewmaChart: hand-computed power-of-two baseline, flags, warm-up NULLs") {
     // type a: day0 4 events, day1 2, day2 8
     //   day1 baseline = 4 (only day0, weight 2^19)       → 4000 milli

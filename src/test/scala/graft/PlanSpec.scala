@@ -267,6 +267,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x158: kfold assignment is a scan-side expression — no Exchange, no UDF") {
+    val p = plan(SparkEntry.queries("x158_kfold")(spark, sf))
+    // only the presentation sort's range partitioning may exchange;
+    // the fold itself must not force a hash shuffle anywhere
+    assert(!p.contains("hashpartitioning"),
+      "fold derivation must not hash-shuffle")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"),
+      "fold must stay a codegen expression")
+  }
+
+  test("x156: deletion-join candidates come from the variant equi-join — " +
+    "no cartesian, no nested loop") {
+    val p = plan(SparkEntry.queries("x156_deletion_join")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no theta-join fallback")
+  }
+
+  test("x159/x166: drift movers and Hill cut with TakeOrdered, never a global sort") {
+    for (name <- Seq("x159_vocab_drift", "x166_hill_tail")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: the top-k cut must be TakeOrderedAndProject")
+    }
+  }
+
+  test("x161: pane windows explode the PANE aggregate, never raw events") {
+    // the ×W contribution Generate must sit ABOVE the (type, pane)
+    // aggregation — exploding raw events first would multiply the
+    // corpus by W before any combine
+    val df = SparkEntry.queries("x161_pane_windows")(spark, sf)
+    val gen = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gen.nonEmpty, "expected the contribution explode")
+    gen.foreach { g =>
+      assert(g.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "explode input must be the pane aggregate, not raw events")
+    }
+  }
+
   test("x139/x144: global windows read aggregates (day grid / f-of-f), never raw rows") {
     // x139's running CUSUM runs over the densified per-DAY count table
     // (calendar-bounded) and x144's rank-block offset over the

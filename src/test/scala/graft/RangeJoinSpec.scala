@@ -62,4 +62,34 @@ class RangeJoinSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(out === Set(1L))
   }
+
+  test("intervalOverlap: exact intersection bounds; shared-bin non-overlaps " +
+    "are verified away; multi-bin pairs dedupe") {
+    val a = Seq(
+      (1L, 0L, 25L),    // spans bins 0..2 at width 10
+      (2L, 40L, 45L),
+      (3L, 8L, 9L)
+    ).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 5L, 22L),   // overlaps a1 on [5,22] and a3 on [8,9]
+      (20L, 27L, 29L),  // shares bin 2 with a1 but does NOT overlap
+      (30L, 44L, 60L)   // overlaps a2 on [44,45]
+    ).toDF("b_id", "b_lo", "b_hi")
+    val out = RangeJoin.intervalOverlap(a, b, binWidth = 10L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // a1×b10 share bins 0, 1, 2 — exactly ONE output row (dedup)
+    assert(out === Seq(
+      (1L, 10L, 5L, 22L, 17L),
+      (2L, 30L, 44L, 45L, 1L),
+      (3L, 10L, 8L, 9L, 1L)))
+  }
+
+  test("intervalOverlap: touching endpoints overlap (closed intervals); " +
+    "inverted intervals drop") {
+    val a = Seq((1L, 0L, 10L), (2L, 50L, 40L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 10L, 20L)).toDF("b_id", "b_lo", "b_hi")
+    val out = RangeJoin.intervalOverlap(a, b, binWidth = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L, 10L, 10L, 0L)))
+  }
 }

@@ -73,4 +73,16 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(out === Map(1L -> 0L, 2L -> 333L, 3L -> 333L, 4L -> 1000L, 5L -> 0L))
   }
+
+  test("unpivotMeasures melts each row into one row per measure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "a", "b")
+    val out = Relational.unpivotMeasures(df, Seq("id"),
+      Seq("a" -> col("a"), "b" -> col("b")))
+      .orderBy("id", "metric")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (1L, "b", 100L),
+      (2L, "a", 20L), (2L, "b", 200L)))
+  }
 }

@@ -357,6 +357,38 @@ class StatsSpec extends SparkSpec {
     assert(out._2 === 3L && out._3 === 2L && out._4 === 2L)
   }
 
+  test("columnEntropy: constant, balanced, and skewed columns in one pass; " +
+    "NULL accounting; all-NULL column keeps its spine row") {
+    val df = Seq(
+      ("k", "a", Some("x"), None: Option[String]),
+      ("k", "b", Some("x"), None),
+      ("k", "a", Some("y"), None),
+      ("k", "b", None, None)
+    ).toDF("const", "balanced", "holey", "void")
+    val out = Profiling
+      .columnEntropy(df, Seq("balanced", "const", "holey", "void"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    def h(ns: Seq[Long]): Long = {
+      val n = ns.sum.toDouble
+      val s = ns.map(c => c.toDouble * math.log(c.toDouble)).sum
+      math.floor((math.log(n) - s / n) * 1000000 + 0.5).toLong
+    }
+    val hb = h(Seq(2L, 2L))    // balanced a/b → ln 2 ≈ 693147
+    val hh = h(Seq(2L, 1L))    // holey x×2, y×1
+    assert(out === Seq(
+      ("balanced", 4L, 0L, 2L, Some(hb),
+        Some(math.floor(
+          (math.log(4d) - (2d * math.log(2d) + 2d * math.log(2d)) / 4d)
+            / math.log(2d) * 1000 + 0.5).toLong)),
+      ("const", 4L, 0L, 1L, Some(0L), None),
+      ("holey", 3L, 1L, 2L, Some(hh),
+        Some(math.floor(
+          (math.log(3d) - (2d * math.log(2d) + 1d * math.log(1d)) / 3d)
+            / math.log(2d) * 1000 + 0.5).toLong)),
+      ("void", 0L, 4L, 0L, None, None)))
+  }
+
   test("hillTailIndex: power-of-two tail replays the ln sum and α exactly") {
     // top 4 of {80, 40, 20, 10, 5, 1} at kTop = 3: x_ref = 10, ratios
     // 8, 4, 2 → micronat terms 2079442 + 1386294 + 693147 = 4158883,
@@ -368,6 +400,24 @@ class StatsSpec extends SparkSpec {
     def t(r: Double): Long = math.floor(math.log(r) * 1000000 + 0.5).toLong
     val sum = t(8.0) + t(4.0) + t(2.0)
     assert(out === Seq((3L, 10L, sum, Some(3000000000L / sum))))
+  }
+
+  test("exactQuantiles: lower-quantile ladder replays the cumulative " +
+    "selection; ties stay atomic") {
+    // group g: values 1..10 once each → q100 → 1, q250 → 3 (cum 3·1000
+    // ≥ 250·10 ⇔ cum ≥ 2.5 → v=3), q500 → 5, q750 → 8, q990 → 10
+    val df = (1L to 10L).map(("g", _)).toDF("grp", "v")
+    val out = Profiling.exactQuantiles(df, "grp", "v",
+      Seq(100L, 250L, 500L, 750L, 990L))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("g", 100L, 1L), ("g", 250L, 3L), ("g", 500L, 5L),
+      ("g", 750L, 8L), ("g", 990L, 10L)))
+    // tie atomicity: {1, 5, 5, 5} — q500 lands inside the tie class → 5
+    val ties = Seq(("t", 1L), ("t", 5L), ("t", 5L), ("t", 5L))
+      .toDF("grp", "v")
+    val tq = Profiling.exactQuantiles(ties, "grp", "v", Seq(500L))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(tq === Seq(("t", 500L, 5L)))
   }
 
   test("hillTailIndex: an all-equal tail reports NULL α; too-few rows → empty") {
