@@ -1062,6 +1062,18 @@ object SparkEntry {
     "x171_column_entropy" -> ((s, d) =>
       graft.operators.Profiling.columnEntropy(Tables.lineitem(s, d),
         entropyCols)),
+    // duplicate-key audit over (l_orderkey, l_linenumber) — the
+    // uniqueness pre-flight that would have caught the q02 regression
+    "x172_dup_audit"      -> ((s, d) =>
+      graft.operators.Profiling.duplicateRows(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"))),
+    // session-scoped funnel — walking past the 12 h gap RESETS the
+    // funnel; counts converting SESSIONS on the shared champion chain
+    "x173_session_funnel" -> ((s, d) =>
+      graft.operators.Behavior.sessionFunnel(
+        Tables.events(s, d).withColumn("ts_us", expr("unix_micros(ts)")),
+        Seq("view", "click", "purchase"), gap = 43_200_000_000L,
+        tsCol = "ts_us")),
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -3370,6 +3382,46 @@ object SparkEntry {
     // the x52 entropy identity, micronat/milli floors — generated from
     // the SAME column list as the Spark call
     "x171_column_entropy" -> columnEntropyOracle,
+    // x172: one groupBy + one rollup, all integers
+    "x172_dup_audit" ->
+      """WITH g AS (SELECT l_orderkey, l_linenumber,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2)
+         SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+             AS n_surplus_rows,
+           CAST(MAX(c) AS BIGINT) AS max_multiplicity
+         FROM g""",
+    // x173: the x48 session CTEs label events, the x109 champion chain
+    // runs keyed by the composite (user, session) string
+    "x173_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn,
+             event_type FROM events),
+         g AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL
+               OR tn - lag(tn) OVER w > 43200000000 THEN 1 ELSE 0 END AS nw
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+         s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY tn,
+             event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g),
+         lab AS (SELECT CAST(user_id AS VARCHAR) || '#' ||
+             CAST(session_seq AS VARCHAR) AS k, tn, event_type FROM s),
+         s1 AS (SELECT k, MIN(tn) AS t FROM lab
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT l.k, MIN(l.tn) AS t FROM lab l
+           JOIN s1 ON l.k = s1.k AND l.tn > s1.t
+           WHERE l.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT l.k, MIN(l.tn) AS t FROM lab l
+           JOIN s2 ON l.k = s2.k AND l.tn > s2.t
+           WHERE l.event_type = 'purchase' GROUP BY 1)
+         SELECT 1 AS step_idx, 'view' AS step,
+           (SELECT COUNT(*) FROM s1) AS n_sessions
+         UNION ALL
+         SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+         UNION ALL
+         SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+         ORDER BY step_idx""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

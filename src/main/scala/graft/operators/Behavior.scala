@@ -76,6 +76,35 @@ object Behavior {
     }
   }
 
+  /** Session-scoped funnel: [[funnel]] with the champion chain keyed
+    * by (user, SESSION) instead of user — walking away past the
+    * session gap RESETS the funnel, so a view on Monday no longer
+    * "converts" with a purchase on Friday. This is the semantic most
+    * product funnels actually mean; the user-keyed form measures
+    * lifetime reachability. Counts are converting SESSIONS (a user
+    * with two completing sessions counts twice — intentionally: the
+    * flow worked twice).
+    *
+    * Composition: [[Sessions.sessionLabels]] (the one spelling of the
+    * gap rule) labels events in ONE user-keyed window pass, the
+    * composite (user, session) key feeds the SAME champion chain as
+    * [[funnel]] — one shared derivation, so plain and session-scoped
+    * counts cannot drift semantically. Every stage still shuffles on
+    * one key's hash distribution.
+    *
+    * @return (step_idx, step, n_sessions), non-increasing. */
+  def sessionFunnel(events: DataFrame, steps: Seq[String], gap: Long,
+                    userCol: String = "user_id",
+                    typeCol: String = "event_type",
+                    tsCol: String = "ts_ns"): DataFrame = {
+    val labeled = Sessions.sessionLabels(events, gap, tsCol)
+      .withColumn("__sess_key", concat(col(userCol).cast("string"),
+        lit("#"), col("session_seq").cast("string")))
+    funnel(labeled, steps, userCol = "__sess_key", typeCol = typeCol,
+      tsCol = tsCol)
+      .withColumnRenamed("n_users", "n_sessions")
+  }
+
   /** Median time-to-convert per funnel transition: for each
     * consecutive step pair, the EXACT lower median of (champion(i+1) −
     * champion(i)) across converting users — the other funnel readout

@@ -713,6 +713,31 @@ object Profiling {
           .as("gini_permille"))
   }
 
+  /** Duplicate-key audit: one summary row over a declared key column
+    * set — total rows, distinct keys, keys with multiplicity > 1, the
+    * surplus row count (rows beyond the first per key), and the worst
+    * multiplicity. THE pre-flight for any uniqueness assumption: a
+    * total order used under a LIMIT, a window tie-break, a MERGE key,
+    * a join that must not fan out. (This round's own cautionary tale:
+    * (l_orderkey, l_linenumber) silently became non-unique at sf0.1
+    * after a corpus regeneration and broke q02's LIMIT boundary — one
+    * row of this audit in CI would have named it immediately.)
+    *
+    * Cost: ONE map-side-combined groupBy over the key columns, then a
+    * 1-row rollup of the |keys|-bounded count table. All integers.
+    *
+    * @return one row (n_rows, n_keys, n_dup_keys, n_surplus_rows,
+    *         max_multiplicity). */
+  def duplicateRows(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "duplicateRows needs at least one key column")
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(when(col("c") > 1L, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(when(col("c") > 1L, col("c") - 1L).otherwise(0L))
+          .as("n_surplus_rows"),
+        max("c").as("max_multiplicity"))
+  }
+
   /** Per-column Shannon entropy over a column set — the information
     * audit that complements [[profile]]'s counts: near-zero entropy
     * marks a de-facto constant (drop it from features and group keys),

@@ -37,7 +37,25 @@ object Sessions {
     * partial aggregation is near-total and the second shuffle moves
     * only one row per session. */
   def sessionize(events: DataFrame, gap: Long,
-                 tsCol: String = "ts_ns"): DataFrame = {
+                 tsCol: String = "ts_ns"): DataFrame =
+    sessionLabels(events, gap, tsCol)
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(tsCol).as("start_ts"),
+        max(tsCol).as("end_ts"),
+        graft.queries.Relational.cents(sum("value")).as("value_cents"))
+
+  /** The per-EVENT half of [[sessionize]]: input rows plus their
+    * `session_seq` label (1-based per user in time order), before any
+    * aggregation — the shape session-scoped analyses compose on (a
+    * funnel that resets at session boundaries keys its champion chain
+    * by (user, session), not by user). One keyed shuffle + sort; the
+    * start-flag lag and the running-sum label ride the same sorted
+    * run. The single spelling of the gap rule, shared with
+    * [[sessionize]] so the two cannot drift. */
+  def sessionLabels(events: DataFrame, gap: Long,
+                    tsCol: String = "ts_ns"): DataFrame = {
     require(gap >= 0, s"gap ($gap) must be >= 0")
     val w = Window.partitionBy("user_id").orderBy(tsCol, "event_id")
     events
@@ -46,12 +64,7 @@ object Sessions {
         when(col("__gap").isNull || col("__gap") > gap, 1L).otherwise(0L))
       .withColumn("session_seq", sum("__new").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "session_seq")
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(tsCol).as("start_ts"),
-        max(tsCol).as("end_ts"),
-        graft.queries.Relational.cents(sum("value")).as("value_cents"))
+      .drop("__gap", "__new")
   }
 
   /** Session-size distribution: (n_events, n_sessions) over the

@@ -243,6 +243,39 @@ object EventStreams {
       }
   }
 
+  case class NewReturningOut(event_id: Long, user_id: Long, is_new: Int)
+
+  /** Streaming new-vs-returning classification — the in-flight twin
+    * of `Behavior.newVsReturning`, at EVENT granularity: the first
+    * event a user EVER produces is tagged new, everything after (in
+    * (ts, event_id) order within and across micro-batches) returning.
+    * State per user is a single boolean (8 bytes of framing) — the
+    * cheapest useful `flatMapGroupsWithState` there is, and the tag a
+    * router uses to fork onboarding traffic in-flight instead of
+    * waiting for the nightly batch decomposition.
+    *
+    * Cross-batch correctness is the [[debounceStream]] contract: the
+    * per-batch iterator sorts on (ts_ns, event_id) and the seen flag
+    * carries across batches, so the tagging equals the batch
+    * first-event rule regardless of how the stream is micro-batched
+    * (spec-asserted). */
+  def newVsReturningStream(events: Dataset[TypedEvent]): Dataset[NewReturningOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, NewReturningOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, batch: Iterator[TypedEvent], state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).map { e =>
+            val isNew = !seen
+            seen = true
+            NewReturningOut(e.event_id, e.user_id, if (isNew) 1 else 0)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Per-user running aggregate via arbitrary state
     * (mapGroupsWithState): running count + cents-sum per user across
     * micro-batches (SURVEY §2.3 "Arbitrary state"). Event-time ordering

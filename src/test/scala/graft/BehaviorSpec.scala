@@ -506,6 +506,27 @@ class BehaviorSpec extends SparkSpec {
       .withColumn("ts", to_timestamp(col("__s")))
       .select("event_type", "ts")
 
+  test("sessionFunnel: a gap resets the funnel; within-session converts; " +
+    "two completing sessions count twice") {
+    // gap 100 ns. user 1: view(0) … gap … click(200) — the plain
+    // funnel converts step 2, the session funnel must NOT.
+    // user 2: view(0) → click(50) in one session — both convert.
+    // user 3: two complete view→click sessions → 2 session conversions.
+    val e = ev(
+      (1L, 1L, 0L, "view", 0.0), (1L, 2L, 200L, "click", 0.0),
+      (2L, 3L, 0L, "view", 0.0), (2L, 4L, 50L, "click", 0.0),
+      (3L, 5L, 0L, "view", 0.0), (3L, 6L, 10L, "click", 0.0),
+      (3L, 7L, 500L, "view", 0.0), (3L, 8L, 510L, "click", 0.0))
+    val sess = Behavior.sessionFunnel(e, Seq("view", "click"), gap = 100L)
+      .as[(Int, String, Long)].collect().map { case (i, _, n) => (i, n) }.toMap
+    // 4 sessions open with a view (u1's second session is click-only);
+    // converting: u2's one + u3's two = 3
+    assert(sess === Map(1 -> 4L, 2 -> 3L))
+    val plain = Behavior.funnel(e, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().map { case (i, _, n) => (i, n) }.toMap
+    assert(plain === Map(1 -> 3L, 2 -> 3L)) // per USER all three convert
+  }
+
   test("newVsReturning: first-ever day classifies the mix; repeat " +
     "same-day events collapse") {
     // u1 active days 0, 1; u2 active day 1 only (twice — one fact);

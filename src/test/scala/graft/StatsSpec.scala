@@ -357,6 +357,20 @@ class StatsSpec extends SparkSpec {
     assert(out._2 === 3L && out._3 === 2L && out._4 === 2L)
   }
 
+  test("duplicateRows: surplus and multiplicity over a planted dup set") {
+    // keys: (1,a)×1, (2,b)×3, (3,c)×2 → 6 rows, 3 keys, 2 dup keys,
+    // surplus 2+1 = 3, worst 3
+    val df = Seq((1L, "a"), (2L, "b"), (2L, "b"), (2L, "b"),
+      (3L, "c"), (3L, "c")).toDF("k1", "k2")
+    val out = Profiling.duplicateRows(df, Seq("k1", "k2"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out === ((6L, 3L, 2L, 3L, 3L)))
+    // a clean key set reports zero surplus
+    val clean = Profiling.duplicateRows(df.select("k1").distinct(), Seq("k1"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(clean === ((3L, 3L, 0L, 0L, 1L)))
+  }
+
   test("columnEntropy: constant, balanced, and skewed columns in one pass; " +
     "NULL accounting; all-NULL column keeps its spine row") {
     val df = Seq(

@@ -597,4 +597,29 @@ class StreamingSpec extends SparkSpec {
       .select("event_id", "suppressed").as[(Long, Int)].collect().toMap
     assert(batch === streamed)
   }
+
+  test("newVsReturningStream tags the first-ever event across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val out = EventStreams.newVsReturningStream(input.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("newret")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1's first event in batch 1; batch 2 must read the seen
+      // flag back from state — and user 3's two same-batch events must
+      // split new/returning by the (ts, id) sort, not arrival order
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "view", 1, 10L),
+        EventStreams.TypedEvent(2, "view", 2, 10L)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "click", 3, 20L),
+        EventStreams.TypedEvent(3, "view", 5, 40L), // later ts, added first
+        EventStreams.TypedEvent(3, "view", 4, 30L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("newret")
+      .select("event_id", "is_new").as[(Long, Int)].collect().toMap
+    assert(streamed === Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 0))
+  }
 }
