@@ -1074,6 +1074,16 @@ object SparkEntry {
         Tables.events(s, d).withColumn("ts_us", expr("unix_micros(ts)")),
         Seq("view", "click", "purchase"), gap = 43_200_000_000L,
         tsCol = "ts_us")),
+    // DAU/MAU stickiness per day — engagement frequency; NULL when the
+    // trailing month is fully idle (never a divide-by-zero)
+    "x174_stickiness"     -> ((s, d) =>
+      graft.operators.Behavior.stickiness(Tables.events(s, d),
+        windowDays = 28)),
+    // more-like-this: doc 0's top-3 rarity keywords seed BM25, the
+    // seed doc excluded — two certified operators composed
+    "x175_more_like_this" -> ((s, d) =>
+      graft.operators.Retrieval.moreLikeThis(Tables.documents(s, d),
+        docId = 0L, kTerms = 3, k = 10)),
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -3422,6 +3432,65 @@ object SparkEntry {
          UNION ALL
          SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
          ORDER BY step_idx""",
+    // x174: the x122 contribution explode at window 28 + the guarded
+    // integer ratio
+    "x174_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+           FROM events),
+         b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+         g AS (SELECT UNNEST(range(d0, d1 + 1)) AS day FROM b),
+         c AS (SELECT user_id, day + o AS day
+           FROM ud, UNNEST(range(28)) AS t(o)),
+         w AS (SELECT c.day, COUNT(DISTINCT c.user_id) AS mau
+           FROM c, b WHERE c.day <= b.d1 GROUP BY 1),
+         dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+           FROM ud GROUP BY 1)
+         SELECT g.day, COALESCE(dau.dau, 0) AS dau,
+           COALESCE(w.mau, 0) AS mau,
+           CASE WHEN COALESCE(w.mau, 0) = 0 THEN NULL
+             ELSE CAST((COALESCE(dau.dau, 0) * 1000) // w.mau AS BIGINT)
+           END AS stickiness_permille
+         FROM g LEFT JOIN w ON g.day = w.day
+         LEFT JOIN dau ON g.day = dau.day
+         ORDER BY g.day""",
+    // x175: the x129 keyword rule derives the seed terms IN SQL (the
+    // Spark side collects them as broadcast literals — same set by the
+    // same total order), then the x47 BM25 tree scores with
+    // `tok IN (SELECT …)`, seed doc excluded, re-cut to k
+    "x175_more_like_this" ->
+      """WITH dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         dfq0 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+           FROM dt GROUP BY 1),
+         seed AS (SELECT d.tok FROM dt d JOIN dfq0 f USING (tok)
+           WHERE d.doc_id = 0
+           ORDER BY (d.tf * 1000000) // f.df DESC, d.tok LIMIT 3),
+         dl AS (SELECT doc_id,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+               AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE tok IN (SELECT tok FROM seed) GROUP BY doc_id, tok),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         scored AS (SELECT tf.doc_id AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hit,
+             CAST(FLOOR(SUM(
+               ln(1 + (stats.n_docs - dfq.df + 0.5::DOUBLE)
+                 / (dfq.df + 0.5::DOUBLE))
+               * tf.tf * (1.2::DOUBLE + 1)
+               / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE)
+                 + 0.75::DOUBLE * dl.dl / stats.avgdl))
+             ) * 1000 + 0.5) AS BIGINT) AS score_milli
+           FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+         SELECT doc_id, n_hit, score_milli FROM scored WHERE doc_id <> 0
+         ORDER BY score_milli DESC, doc_id LIMIT 10""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

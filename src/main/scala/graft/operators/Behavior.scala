@@ -895,6 +895,27 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Stickiness ratio (DAU/MAU) per day — the engagement-frequency
+    * headline: near 1000‰ means daily-habit usage, near 1000/30 ≈ 33‰
+    * means once-a-month visits; product teams track it because DAU
+    * and MAU can both grow while the RATIO collapses (lots of
+    * one-time visitors). A thin composition over [[rollingActives]]
+    * at the monthly window (same shuffles — distinct facts + bounded
+    * explode, exact distinct counts); days whose trailing month is
+    * fully idle report NULL instead of dividing by zero.
+    *
+    * @return (day, dau, mau, stickiness_permille) ordered. */
+  def stickiness(events: DataFrame, windowDays: Int = 28,
+                 epoch: String = "2024-01-01",
+                 userCol: String = "user_id",
+                 tsCol: String = "ts"): DataFrame =
+    rollingActives(events, windowDays, epoch, userCol, tsCol)
+      .select(col("day"), col("dau"), col("wau").as("mau"),
+        when(col("wau") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(dau * 1000) div wau"))
+          .as("stickiness_permille"))
+      .orderBy("day")
+
   /** EWMA control chart over the per-(type, day) event-count series —
     * the third leg of the volume-monitoring triple: [[dailyVolumeAnomaly]]
     * z-scores against the WHOLE series (slow drift poisons the mean),

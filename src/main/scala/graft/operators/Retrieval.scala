@@ -151,6 +151,46 @@ object Retrieval {
       .limit(k)
   }
 
+  /** More-like-this retrieval: use a DOCUMENT as the query — its top
+    * `kTerms` tokens by the exact tf·10⁶ div df rarity score (the
+    * x129 keyword rule: stopwords self-suppress, ranking and
+    * tie-break (score DESC, token) are integer-deterministic) seed a
+    * [[bm25TopK]] run, the seed document itself excluded. The
+    * "find me more pages like this one" primitive behind related-
+    * content, duplicate triage ("what else looks like this spam
+    * page"), and topic-pull curation — a two-stage COMPOSITION of two
+    * certified operators rather than a new scorer.
+    *
+    * Shape: the seed-term derivation is one doc-filtered tf pass plus
+    * the vocabulary-bounded df table; the `kTerms` seed strings come
+    * to the driver (broadcast-literal pattern — bounded by the
+    * parameter, not the data) and the retrieval stage is bm25TopK's
+    * inverted-index probe unchanged. Self-exclusion asks for k+1,
+    * drops the seed if present, re-cuts to k — provably equal to
+    * excluding first (the (score, doc_id) order is total).
+    *
+    * @return (doc_id, n_hit, score_milli) top-k, seed excluded. */
+  def moreLikeThis(docs: DataFrame, docId: Long, kTerms: Int = 3,
+                   k: Int = 10, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+    require(kTerms >= 1, s"kTerms ($kTerms) must be >= 1")
+    require(k >= 1, s"k ($k) must be >= 1")
+    val docTok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val seed = docTok.filter(col("doc_id") === docId)
+      .join(dfT, Seq("tok"))
+      .withColumn("score_micro", expr("(tf * 1000000) div df"))
+      .orderBy(col("score_micro").desc, col("tok")).limit(kTerms)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    require(seed.nonEmpty, s"moreLikeThis: doc $docId has no tokens")
+    bm25TopK(docs, seed, k + 1, k1, b)
+      .filter(col("doc_id") =!= docId)
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Build the persisted lexical index: a postings table
     * (tok, doc_id, tf) bucketed+sorted on `tok` and a doc-lengths
     * table (doc_id, dl) bucketed on `doc_id` — the "build the

@@ -527,6 +527,24 @@ class BehaviorSpec extends SparkSpec {
     assert(plain === Map(1 -> 3L, 2 -> 3L)) // per USER all three convert
   }
 
+  test("stickiness: DAU/MAU permille; a fully idle trailing month is NULL, " +
+    "not a divide-by-zero") {
+    // users 1,2 on day 0; user 1 on day 1; user 1 again on day 40
+    val e = Seq(
+      (1L, "2024-01-01 08:00:00"), (2L, "2024-01-01 09:00:00"),
+      (1L, "2024-01-02 08:00:00"), (1L, "2024-02-10 08:00:00")
+    ).toDF("user_id", "__s")
+      .withColumn("ts", to_timestamp(col("__s"))).select("user_id", "ts")
+    val out = Behavior.stickiness(e, windowDays = 28)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) === ((2L, 2L, Some(1000L))))
+    assert(out(1L) === ((1L, 2L, Some(500L))))
+    assert(out(28L) === ((0L, 1L, Some(0L)))) // day 1 still in window
+    assert(out(30L) === ((0L, 0L, None)))     // idle trailing month
+    assert(out(40L) === ((1L, 1L, Some(1000L))))
+  }
+
   test("newVsReturning: first-ever day classifies the mix; repeat " +
     "same-day events collapse") {
     // u1 active days 0, 1; u2 active day 1 only (twice — one fact);

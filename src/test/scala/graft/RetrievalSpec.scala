@@ -158,6 +158,23 @@ class RetrievalSpec extends SparkSpec {
     assert(out === Seq((2L, 1L, s2), (1L, 1L, s1)))
   }
 
+  test("moreLikeThis: rare tokens seed the query, the seed doc is excluded, " +
+    "related docs outrank unrelated") {
+    // doc 0's rare tokens are "quantum" and "flux" (df 2 each, beating
+    // the df-3 "the"); docs 1 and 2 share one rare token each, doc 3
+    // shares only the stopword-ish "the"
+    val d = Seq(
+      (0L, "the quantum flux"),
+      (1L, "the quantum lattice"),
+      (2L, "a flux capacitor story"),
+      (3L, "the plain tale")).toDF("doc_id", "text")
+    val out = Retrieval.moreLikeThis(d, docId = 0L, kTerms = 2, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(!out.exists(_._1 === 0L), "seed doc must be excluded")
+    assert(out.map(_._1).toSet === Set(1L, 2L), "only rare-token sharers rank")
+    assert(out.forall(_._2 === 1L))
+  }
+
   test("qlTopK: a query term absent from the whole corpus is excluded, " +
     "not scored as -inf") {
     val d = Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text")
