@@ -1084,6 +1084,10 @@ object SparkEntry {
     "x175_more_like_this" -> ((s, d) =>
       graft.operators.Retrieval.moreLikeThis(Tables.documents(s, d),
         docId = 0L, kTerms = 3, k = 10)),
+    // explicit GROUPING SETS + grouping_id via the native Spark 4 API
+    // — the arbitrary-combination member of the grouping trio
+    "x176_grouping_sets"  -> ((s, d) =>
+      Relational.groupingSetsReport(s, d)),
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -3491,6 +3495,22 @@ object SparkEntry {
            CROSS JOIN stats GROUP BY tf.doc_id)
          SELECT doc_id, n_hit, score_milli FROM scored WHERE doc_id <> 0
          ORDER BY score_milli DESC, doc_id LIMIT 10""",
+    // x176: the UNION ALL spelling with literal grouping ids — the
+    // portable form of GROUPING SETS + grouping_id
+    "x176_grouping_sets" ->
+      """WITH g0 AS (SELECT l_returnflag, l_linestatus,
+             CAST(0 AS BIGINT) AS gid, CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+         g1 AS (SELECT l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
+             CAST(1 AS BIGINT) AS gid, CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1),
+         g3 AS (SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+             CAST(NULL AS VARCHAR) AS l_linestatus,
+             CAST(3 AS BIGINT) AS gid, CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem)
+         SELECT * FROM g0 UNION ALL SELECT * FROM g1
+         UNION ALL SELECT * FROM g3
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

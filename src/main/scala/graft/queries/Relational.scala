@@ -258,6 +258,25 @@ object Relational {
       .orderBy(col("o_orderpriority").asc_nulls_first,
                col("o_orderstatus").asc_nulls_first, col("n"))
 
+  /** Explicit GROUPING SETS with `grouping_id()` — the third member
+    * of the grouping trio next to [[q11Rollup]] and [[cube]]: an
+    * ARBITRARY combination list ((a, b), (a), ()) rather than the
+    * rollup prefix chain or the cube power set, via Spark's native
+    * `Dataset.groupingSets` (Spark 4 API — one Expand, one aggregate,
+    * exactly like rollup/cube; no union-of-scans). `gid` disambiguates
+    * "grouped NULL" from "data NULL" — the reason GROUPING SETS
+    * reports carry grouping_id at all. */
+  def groupingSetsReport(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** FULL OUTER equi join. Sort-merge at scale (outer sides cannot
     * broadcast-build); AQE still coalesces post-shuffle partitions. */
   def fullJoin(s: SparkSession, d: String): DataFrame =

@@ -74,6 +74,20 @@ class RelationalSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 333L, 3L -> 333L, 4L -> 1000L, 5L -> 0L))
   }
 
+  test("groupingSetsReport: the three declared sets, grouping_id " +
+    "disambiguation, totals consistent") {
+    import spark.implicits._
+    val out = Relational.groupingSetsReport(spark, sf)
+      .as[(Option[String], Option[String], Long, Long)].collect().toSeq
+    assert(out.map(_._3).toSet === Set(0L, 1L, 3L))
+    val grand = out.filter(_._3 === 3L)
+    assert(grand.size === 1 && grand.head._1.isEmpty && grand.head._2.isEmpty)
+    // each coarser set's total re-aggregates the finer one exactly
+    val full = out.filter(_._3 === 0L).map(_._4).sum
+    val byFlag = out.filter(_._3 === 1L).map(_._4).sum
+    assert(full === byFlag && byFlag === grand.head._4)
+  }
+
   test("unpivotMeasures melts each row into one row per measure") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
