@@ -273,4 +273,80 @@ class PropertySpec extends SparkSpec {
         w1.forall { case (_, dau, wau) => wau == dau }
     }, n = 8)
   }
+
+  test("paneSlidingCounts ≡ the direct windowed count on random streams") {
+    // the pane-decomposition LAW on arbitrary inputs: for every emitted
+    // window, summing pane partials must equal re-counting raw rows
+    val rows = Gen.listOfN(40, for {
+      t <- Gen.oneOf("a", "b")
+      us <- Gen.chooseNum(0L, 900L).map(_ * 1000000L)
+    } yield (t, us))
+    check(Prop.forAll(rows) { xs =>
+      xs.isEmpty || {
+        val df = xs.toDF("event_type", "__us")
+          .withColumn("ts", timestamp_micros(col("__us")))
+          .select("event_type", "ts")
+        val out = graft.operators.Incremental
+          .paneSlidingCounts(df, paneMicros = 60L * 1000000L, windowPanes = 4)
+          .as[(String, Long, Long, Long)].collect()
+        val panes = xs.map { case (t, us) => (t, us / 60000000L) }
+        out.forall { case (t, ws, we, n) =>
+          n == panes.count { case (pt, p) => pt == t && p >= ws && p <= we }
+        }
+      }
+    }, n = 8)
+  }
+
+  test("intervalOverlap ≡ the exact theta join on random interval sets") {
+    val iv = for {
+      lo <- Gen.chooseNum(0L, 500L)
+      len <- Gen.chooseNum(0L, 120L)
+    } yield (lo, lo + len)
+    val sets = for {
+      as <- Gen.listOfN(12, iv); bs <- Gen.listOfN(6, iv)
+    } yield (as, bs)
+    check(Prop.forAll(sets) { case (as, bs) =>
+      val a = as.zipWithIndex.map { case ((l, h), i) => (i.toLong, l, h) }
+        .toDF("a_id", "a_lo", "a_hi")
+      val b = bs.zipWithIndex.map { case ((l, h), i) => (i.toLong + 100L, l, h) }
+        .toDF("b_id", "b_lo", "b_hi")
+      val out = graft.operators.RangeJoin.intervalOverlap(a, b, binWidth = 50L)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val direct = (for {
+        ((al, ah), i) <- as.zipWithIndex
+        ((bl, bh), j) <- bs.zipWithIndex
+        if al <= bh && bl <= ah
+      } yield (i.toLong, j.toLong + 100L, math.max(al, bl), math.min(ah, bh),
+        math.min(ah, bh) - math.max(al, bl))).toSet
+      out == direct
+    }, n = 8)
+  }
+
+  test("deletionJoin has FULL recall at edit distance ≤ 1 on random strings") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Gen.listOfN(10,
+      Gen.chooseNum(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    check(Prop.forAll(names, names) { (as, bs) =>
+      val base = as.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "name")
+      val probe = bs.zipWithIndex.map { case (s, i) => (i.toLong + 100L, s) }
+        .toDF("id", "name")
+      val out = graft.operators.Linkage.deletionJoin(base, probe, "id", "name")
+        .as[(Long, Long, Long)].collect().toSet
+      val direct = (for {
+        (a, i) <- as.zipWithIndex
+        (b, j) <- bs.zipWithIndex
+        d = lev(a, b) if d <= 1
+      } yield (i.toLong, j.toLong + 100L, d.toLong)).toSet
+      out == direct
+    }, n = 6)
+  }
 }
