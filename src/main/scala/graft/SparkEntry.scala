@@ -1088,6 +1088,17 @@ object SparkEntry {
     // — the arbitrary-combination member of the grouping trio
     "x176_grouping_sets"  -> ((s, d) =>
       Relational.groupingSetsReport(s, d)),
+    // two-sample KS test: en-vs-fr doc-length distributions — exact
+    // cross-multiplied CDF statistic, one sqrt for the critical value
+    "x177_ks_test"        -> ((s, d) =>
+      graft.operators.Profiling.ksTest(Tables.documents(s, d),
+        "lang", "n_chars", groupA = "en", groupB = "fr")),
+    // session entry × exit type matrix at the 12 h gap — what sessions
+    // DO at the edges (sessionLengthHistogram says how long they are)
+    "x178_session_handoff" -> ((s, d) =>
+      graft.operators.Sessions.sessionHandoffMatrix(
+        Tables.events(s, d).withColumn("ts_us", expr("unix_micros(ts)")),
+        gap = 43_200_000_000L, tsCol = "ts_us")),
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -3511,6 +3522,59 @@ object SparkEntry {
          SELECT * FROM g0 UNION ALL SELECT * FROM g1
          UNION ALL SELECT * FROM g3
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    // x177: integer CDFs over the joint distinct-value spine, the
+    // HUGEINT ≡ decimal(38,0) cross-multiplied max, ONE sqrt (x81
+    // discipline) for the critical value
+    "x177_ks_test" ->
+      """WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+           WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL),
+         c AS (SELECT v,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS wa,
+             CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+               AS wb
+           FROM b GROUP BY 1),
+         r AS (SELECT v, SUM(wa) OVER w AS ca, SUM(wb) OVER w AS cb,
+             SUM(wa) OVER () AS ta, SUM(wb) OVER () AS tb
+           FROM c WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         m AS (SELECT CAST(MAX(ta) AS BIGINT) AS n_a,
+             CAST(MAX(tb) AS BIGINT) AS n_b,
+             MAX(ABS(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta))
+               AS d
+           FROM r),
+         f AS (SELECT n_a, n_b,
+             CAST((d * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+               AS d_micro,
+             CAST(FLOOR(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1000000 + 0.5)
+               AS BIGINT) AS crit_micro
+           FROM m)
+         SELECT n_a, n_b, d_micro, crit_micro, d_micro > crit_micro AS reject
+         FROM f""",
+    // x178: the x48 session CTEs + first/last ROW_NUMBER champions per
+    // session, entry×exit matrix rollup
+    "x178_session_handoff" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn,
+             event_type FROM events),
+         g AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL
+               OR tn - lag(tn) OVER w > 43200000000 THEN 1 ELSE 0 END AS nw
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+         s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY tn,
+             event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g),
+         r AS (SELECT user_id, session_seq, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+               ORDER BY tn, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+               ORDER BY tn DESC, event_id DESC) AS rl
+           FROM s),
+         fe AS (SELECT user_id, session_seq, event_type AS entry_type
+           FROM r WHERE rf = 1),
+         le AS (SELECT user_id, session_seq, event_type AS exit_type
+           FROM r WHERE rl = 1)
+         SELECT fe.entry_type, le.exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+         FROM fe JOIN le USING (user_id, session_seq)
+         GROUP BY 1, 2 ORDER BY entry_type, exit_type""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch. Excluded from cross-engine hashing

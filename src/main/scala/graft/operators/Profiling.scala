@@ -713,6 +713,60 @@ object Profiling {
           .as("gini_permille"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between two groups' value
+    * distributions: D = max |F_A(v) − F_B(v)| over the joint support —
+    * the DISTRIBUTION-level "did it change" screen that catches shape
+    * shifts [[chiSquare]]'s categorical cells and a mean/variance gate
+    * both miss (same mean, different tails). The decision at α = 0.05
+    * uses the large-sample critical value 1.358·√((n_A+n_B)/(n_A·n_B)).
+    *
+    * Exactness: both CDFs stay integer — the statistic is
+    * max |cum_A·n_B − cum_B·n_A| in DECIMAL(38,0) (cross-multiplied;
+    * the product can pass 2⁶³ near 10¹⁰ rows per side, decimal-38
+    * holds to ~10¹⁸), reported as `d_micro = D_scaled·10⁶ div
+    * (n_A·n_B)`. The ONLY float is the critical value's √ (correctly
+    * rounded IEEE in both engines — the x81 sqrt discipline),
+    * micro-floored; the reject flag compares two longs.
+    *
+    * Shape: one (group, value) aggregation collapses both samples to
+    * their distinct-value weight tables; the joint support spine,
+    * running sums, and the max all run over THAT bounded table (the
+    * x123 discipline — no raw-row sort).
+    *
+    * @return one row (n_a, n_b, d_micro, crit_micro, reject). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "ksTest needs two distinct groups")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("wa"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("wb"))
+    val run = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // |distinct values|-bounded global window — the weight-table
+    // contract; at petabyte value cardinality pre-bin first
+    counts
+      .withColumn("ca", sum("wa").over(run))
+      .withColumn("cb", sum("wb").over(run))
+      .withColumn("ta", sum("wa").over(Window.partitionBy()))
+      .withColumn("tb", sum("wb").over(Window.partitionBy()))
+      .withColumn("d_scaled", expr(
+        "abs(cast(ca as decimal(38,0)) * tb - cast(cb as decimal(38,0)) * ta)"))
+      .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+        max("d_scaled").as("__d"))
+      .select(col("n_a"), col("n_b"),
+        expr("cast((__d * 1000000) div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("d_micro"),
+        floor(lit(1.358d) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          * lit(1000000d) + lit(0.5d)).cast("long").as("crit_micro"))
+      .withColumn("reject", col("d_micro") > col("crit_micro"))
+  }
+
   /** Duplicate-key audit: one summary row over a declared key column
     * set — total rows, distinct keys, keys with multiplicity > 1, the
     * surplus row count (rows beyond the first per key), and the worst

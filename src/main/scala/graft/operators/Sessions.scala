@@ -67,6 +67,34 @@ object Sessions {
       .drop("__gap", "__new")
   }
 
+  /** Session handoff matrix: how sessions ENTER × how they EXIT —
+    * (first event type, last event type, count) over the gap sessions.
+    * The product read on [[sessionize]]'s structure: a heavy
+    * (view, view) diagonal means browse-and-bounce, entry=purchase
+    * rows mean deep links skip the funnel entirely, and the exit
+    * column ranks where sessions die — [[sessionLengthHistogram]] says
+    * how LONG sessions are, this says what they DO at the edges.
+    *
+    * Shape: [[sessionLabels]]' one keyed window pass, then entry/exit
+    * via `min/max(struct(ts, event_id, type))` — map-side-combinable
+    * champion aggregates (deterministic: (ts, id) is a total order),
+    * no second window; the matrix is ≤|types|² rows.
+    *
+    * @return (entry_type, exit_type, n_sessions) ordered. */
+  def sessionHandoffMatrix(events: DataFrame, gap: Long,
+                           tsCol: String = "ts_ns",
+                           typeCol: String = "event_type"): DataFrame =
+    sessionLabels(events, gap, tsCol)
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min(struct(col(tsCol), col("event_id"), col(typeCol)))
+          .getField(typeCol).as("entry_type"),
+        max(struct(col(tsCol), col("event_id"), col(typeCol)))
+          .getField(typeCol).as("exit_type"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("entry_type", "exit_type")
+
   /** Session-size distribution: (n_events, n_sessions) over the
     * [[sessionize]] output — the one-glance shape report ("are
     * sessions mostly 1-event bounces or long engaged runs?") that

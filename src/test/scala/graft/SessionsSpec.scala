@@ -161,4 +161,21 @@ class SessionsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(out === Seq((1L, 3L, 1L, 21L, 21L, 1000L)))
   }
+
+  test("sessionHandoffMatrix: entry/exit champions per session, " +
+    "singletons on the diagonal, tie broken by event id") {
+    // user 1, session 1: view(0) → click(5) → purchase(9)
+    // user 1, session 2 (past the gap): single view(200)
+    // user 2: two events at the SAME ts — entry/exit split by event_id
+    val e = ev(
+      (1L, 1L, 0L, "view", 0.0), (1L, 2L, 5L, "click", 0.0),
+      (1L, 3L, 9L, "purchase", 0.0), (1L, 4L, 200L, "view", 0.0),
+      (2L, 5L, 50L, "click", 0.0), (2L, 6L, 50L, "view", 0.0))
+    val out = Sessions.sessionHandoffMatrix(e, gap = 100L)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(
+      ("click", "view", 1L),      // user 2: id 5 enters, id 6 exits
+      ("view", "purchase", 1L),   // user 1 session 1
+      ("view", "view", 1L)))      // the singleton session
+  }
 }

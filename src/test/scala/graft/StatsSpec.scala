@@ -357,6 +357,28 @@ class StatsSpec extends SparkSpec {
     assert(out._2 === 3L && out._3 === 2L && out._4 === 2L)
   }
 
+  test("ksTest: identical samples score 0; disjoint samples score 10⁶ " +
+    "and reject at scale") {
+    val same = (Seq.fill(50)(("en", 1L)) ++ Seq.fill(50)(("en", 2L)) ++
+      Seq.fill(50)(("fr", 1L)) ++ Seq.fill(50)(("fr", 2L)))
+      .toDF("lang", "v")
+    val s = Profiling.ksTest(same, "lang", "v", "en", "fr")
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(s._3 === 0L && !s._5)
+    // fully disjoint supports: D = 1 exactly; at n = 200 each the
+    // critical value is 1.358·√(400/40000) = 0.1358 → reject
+    val disj = (Seq.fill(200)(("en", 1L)) ++ Seq.fill(200)(("fr", 9L)))
+      .toDF("lang", "v")
+    val d = Profiling.ksTest(disj, "lang", "v", "en", "fr")
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(d === ((200L, 200L, 1000000L, 135800L, true)))
+    // other groups are ignored entirely
+    val noisy = disj.union(Seq.fill(10)(("zh", 5L)).toDF("lang", "v"))
+    val n = Profiling.ksTest(noisy, "lang", "v", "en", "fr")
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(n === d)
+  }
+
   test("duplicateRows: surplus and multiplicity over a planted dup set") {
     // keys: (1,a)×1, (2,b)×3, (3,c)×2 → 6 rows, 3 keys, 2 dup keys,
     // surplus 2+1 = 3, worst 3
