@@ -227,6 +227,17 @@ object Tour {
     println(s"[tour] media budget rows=${graft.operators.Multimodal.storageReport(graft.operators.Multimodal.fromDocuments(docs)).count()}")
     println(s"[tour] ql retrieval hits=${graft.operators.Retrieval.qlTopK(docs, Seq("vector", "stream", "join"), k = 10).count()}")
     println(s"[tour] hill tail rows=${graft.operators.Profiling.hillTailIndex(docs, "n_chars", "doc_id", 100).count()}")
+    println(s"[tour] dup audit surplus=${graft.operators.Profiling.duplicateRows(Tables.lineitem(spark, sf), Seq("l_orderkey", "l_linenumber")).select("n_surplus_rows").head().getLong(0)}")
+    val evUs = ev.withColumn("ts_us", expr("unix_micros(ts)"))
+    println(s"[tour] session funnel steps=${graft.operators.Behavior.sessionFunnel(evUs, Seq("view", "click", "purchase"), gap = 43_200_000_000L, tsCol = "ts_us").count()}")
+    println(s"[tour] stickiness days=${graft.operators.Behavior.stickiness(ev).count()}")
+    println(s"[tour] more-like-this hits=${graft.operators.Retrieval.moreLikeThis(docs, docId = 0L).count()}")
+    println(s"[tour] grouping sets rows=${graft.queries.Relational.groupingSetsReport(spark, sf).count()}")
+    println(s"[tour] ks reject=${graft.operators.Profiling.ksTest(docs, "lang", "n_chars", "en", "fr").select("reject").head().getBoolean(0)}")
+    println(s"[tour] handoff cells=${graft.operators.Sessions.sessionHandoffMatrix(evUs, gap = 43_200_000_000L, tsCol = "ts_us").count()}")
+    println(s"[tour] quantile ladder rows=${graft.operators.Profiling.exactQuantiles(docs, "lang", "n_chars", Seq(250L, 500L, 750L)).count()}")
+    println(s"[tour] new-vs-returning days=${graft.operators.Behavior.newVsReturning(ev).count()}")
+    println(s"[tour] unpivot rows=${graft.queries.Relational.unpivotMeasures(Tables.lineitem(spark, sf), Seq("l_orderkey"), Seq("qty_c" -> graft.queries.Relational.cents(col("l_quantity")))).count()}")
 
     println("[tour] ok")
     spark.stop()
