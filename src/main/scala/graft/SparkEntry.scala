@@ -21,7 +21,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
-    * Nine entries are deliberately `no_oracle` (SURVEY §2.4 rule 6 —
+    * Ten entries are deliberately `no_oracle` (SURVEY §2.4 rule 6 —
     * their outputs depend on engine-specific hash seeds, trained
     * models, or sketch internals no cross-engine SQL can replay).
     * Each one's correctness is carried by a named Spark-side spec:
@@ -44,6 +44,9 @@ object SparkEntry {
     *  - x78_incremental_distinct — mergeable HLL states;
     *    IncrementalSpec "HLL distinct states merge losslessly: split
     *    == one-shot, error bounded".
+    *  - x179_pane_distinct — HLL pane sketches; IncrementalSpec
+    *    "paneSlidingDistinct: pane-union ≡ direct window sketch,
+    *    exact at spec scale".
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— core relational surface (SURVEY §2.4 Q1–Q22) ——
@@ -1099,6 +1102,12 @@ object SparkEntry {
       graft.operators.Sessions.sessionHandoffMatrix(
         Tables.events(s, d).withColumn("ts_us", expr("unix_micros(ts)")),
         gap = 43_200_000_000L, tsCol = "ts_us")),
+    // sliding distinct users per 6 h window via HLL pane sketches —
+    // the distinct-count twin of x161 (sketch internals → rule 6,
+    // IncrementalSpec carries pane-union ≡ direct + exactness)
+    "x179_pane_distinct"  -> ((s, d) =>
+      graft.operators.Incremental.paneSlidingDistinct(Tables.events(s, d),
+        paneMicros = 3600L * 1000000L, windowPanes = 6)),
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -3577,8 +3586,9 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY entry_type, exit_type""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
-    // sketch, x37 a count-min sketch. Excluded from cross-engine hashing
-    // per SURVEY §2.4 rule 6; covered by Spark-side golden specs instead.
+    // sketch, x37 a count-min sketch, x78/x179 DataSketches HLL states.
+    // Excluded from cross-engine hashing per SURVEY §2.4 rule 6;
+    // covered by Spark-side golden specs instead.
   )
 
   /** x106 oracle: per-position equality over the SAME replayed

@@ -238,6 +238,7 @@ object Tour {
     println(s"[tour] quantile ladder rows=${graft.operators.Profiling.exactQuantiles(docs, "lang", "n_chars", Seq(250L, 500L, 750L)).count()}")
     println(s"[tour] new-vs-returning days=${graft.operators.Behavior.newVsReturning(ev).count()}")
     println(s"[tour] unpivot rows=${graft.queries.Relational.unpivotMeasures(Tables.lineitem(spark, sf), Seq("l_orderkey"), Seq("qty_c" -> graft.queries.Relational.cents(col("l_quantity")))).count()}")
+    println(s"[tour] pane distinct windows=${graft.operators.Incremental.paneSlidingDistinct(ev, 3600L * 1000000L, 6).count()}")
 
     println("[tour] ok")
     spark.stop()

@@ -163,4 +163,61 @@ object Incremental {
         coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(typeCol, "win_end_pane")
   }
+
+  /** Pane-decomposed sliding DISTINCT counts — [[paneSlidingCounts]]
+    * with a DataSketches HLL sketch as the pane partial instead of a
+    * count: per (type, pane) the keys collapse to ONE sketch, each
+    * window unions its `windowPanes` sketches and reads the estimate.
+    * This is the query [[graft.operators.Behavior.rollingActives]]'
+    * exact explode cannot reach at scale (its cost grows with
+    * windowDays × |user-days|; here a 7-day window over trillions of
+    * events is `panes·W` kilobyte-sketch unions) and the sliding twin
+    * of [[distinctState]]'s incremental-MV law — the lossless HLL
+    * union IS what makes pane decomposition legal for distincts
+    * (count partials sum; distinct partials must sketch-union).
+    *
+    * Sketch internals are engine-specific → rows-only against the
+    * oracle (SURVEY §2.4 rule 6); the spec carries correctness: the
+    * pane-union estimate is IDENTICAL to sketching each window
+    * directly (the same update set at the same lgK — union is
+    * lossless), and exact at spec-scale cardinalities (HLL sparse
+    * mode). Shape: one map-side-combined (type, pane) sketch
+    * aggregation over the corpus; the ×W explode and the union rollup
+    * run over the PANE table; quiet windows report 0.
+    *
+    * @return (event_type, win_start_pane, win_end_pane,
+    *         n_distinct_est) ordered. */
+  def paneSlidingDistinct(events: DataFrame, paneMicros: Long,
+                          windowPanes: Int,
+                          keyCol: String = "user_id",
+                          typeCol: String = "event_type",
+                          tsCol: String = "ts"): DataFrame = {
+    require(paneMicros > 0, s"paneMicros ($paneMicros) must be > 0")
+    require(windowPanes >= 1 && windowPanes <= 100000,
+      s"windowPanes ($windowPanes) must be in [1, 1e5]")
+    val panes = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull &&
+        col(keyCol).isNotNull)
+      .select(col(typeCol).as("t"),
+        expr(s"unix_micros($tsCol) div ${paneMicros}L").as("pane"),
+        col(keyCol).as("k"))
+      .groupBy("t", "pane")
+      .agg(expr("hll_sketch_agg(k)").as("sk"))
+    val grid = panes.groupBy("t")
+      .agg(min("pane").as("__p0"), max("pane").as("__p1"))
+      .select(col("t"),
+        explode(sequence(col("__p0"), col("__p1"))).as("wend"))
+    val contrib = panes
+      .select(col("t"), col("sk"),
+        explode(sequence(col("pane"),
+          col("pane") + lit(windowPanes - 1L))).as("wend"))
+      .groupBy("t", "wend")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    grid.join(contrib, Seq("t", "wend"), "left")
+      .select(col("t").as(typeCol),
+        (col("wend") - lit(windowPanes - 1L)).as("win_start_pane"),
+        col("wend").as("win_end_pane"),
+        coalesce(col("est"), lit(0L)).as("n_distinct_est"))
+      .orderBy(typeCol, "win_end_pane")
+  }
 }

@@ -109,6 +109,41 @@ class IncrementalSpec extends SparkSpec {
       ("b", -2L, 0L, 1L)))
   }
 
+  test("paneSlidingDistinct: pane-union ≡ direct window sketch, exact at " +
+    "spec scale") {
+    // users spread so windows overlap with repeats: the pane-union
+    // estimate must equal (a) sketching each window's rows directly —
+    // the lossless-union law — and (b) the EXACT distinct count (HLL
+    // sparse mode is exact at these cardinalities)
+    val rows = Seq(
+      (1L, 0L), (2L, 0L), (1L, 65L),            // panes 0, 0, 1
+      (3L, 125L), (1L, 130L),                   // pane 2
+      (4L, 250L), (4L, 255L), (5L, 260L))       // pane 4
+      .map { case (u, s2) => ("a", u, s2 * 1000000L) }
+    val e = rows.toDF("event_type", "user_id", "__us")
+      .withColumn("ts", timestamp_micros(col("__us")))
+      .select("event_type", "user_id", "ts")
+    val out = Incremental
+      .paneSlidingDistinct(e, paneMicros = 60L * 1000000L, windowPanes = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val panes = rows.map { case (_, u, us) => (u, us / 60000000L) }
+    out.foreach { case (_, ws, we, est) =>
+      val exact = panes.collect { case (u, p) if p >= ws && p <= we => u }
+        .distinct.size.toLong
+      assert(est === exact, s"window [$ws, $we]")
+      // the union LAW: sketching the window's raw rows directly gives
+      // the identical estimate (union is lossless at equal lgK)
+      val direct = e
+        .filter(expr("unix_micros(ts) div 60000000") between (ws, we))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
+        .head().getLong(0)
+      assert(est === direct, s"union law, window [$ws, $we]")
+    }
+    // quiet-window axis: pane 3 exists in the grid (wend 3 covers
+    // panes 1..3 → users from panes 1-2), wend 5..6 would be off-grid
+    assert(out.map(_._3) === (0L to 4L).toSeq)
+  }
+
   test("paneSlidingCounts: decomposition ≡ the direct windowed count") {
     // property on an arbitrary spread: summing pane partials must give
     // exactly the same answer as re-counting each window from raw rows
