@@ -277,6 +277,18 @@ class PlanSpec extends SparkSpec {
       "fold must stay a codegen expression")
   }
 
+  test("x154: centroid scoring is literal-fed — no join anywhere in the " +
+    "returned plan") {
+    // the per-label centroids enter as plan literals (broadcast-literal
+    // pattern): the scoring pass must be a pure projection over the
+    // scan, and the only exchanges feed the |labels|²-bounded
+    // confusion aggregate and the presentation sort
+    val p = plan(SparkEntry.queries("x154_centroid_eval")(spark, sf))
+    assert(!p.contains("Join"), "scoring must not join a centroid table")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "only the confusion aggregate and the sort may exchange")
+  }
+
   test("x156: deletion-join candidates come from the variant equi-join — " +
     "no cartesian, no nested loop") {
     val p = plan(SparkEntry.queries("x156_deletion_join")(spark, sf))
