@@ -14,6 +14,16 @@ object Bench {
     // AntiJoinRewrite) active, so the bench measures the shipped config
     val spark = graft.core.GraftSession.local(cpus)
 
+    // tier flag: the 201-query full board takes ~37 min wall-clock at
+    // sf0.1 — too slow for per-commit iteration. SPARK_GRAFT_TIER=core
+    // runs the declared q-board (the driver's 22-query oracle contract,
+    // the per-commit smoke tier); default/"full" runs everything. The
+    // shipped artifact is always a FULL run (a tiered run overwrites
+    // BENCH_FULL.json with its subset — the skill notes say re-run full
+    // before committing the artifact).
+    val tier = sys.env.getOrElse("SPARK_GRAFT_TIER", "full")
+    require(tier == "full" || tier == "core",
+      s"SPARK_GRAFT_TIER must be core|full, got $tier")
     // optional subset filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=x07_minhash_lsh,x10_ann_lsh
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -29,7 +39,10 @@ object Bench {
         s"[bench] SPARK_GRAFT_ONLY active: ${o.size} of ${SparkEntry.queries.size} queries")
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => tier == "full" || n.startsWith("q"))
       .filter(n => only.forall(_.contains(n)))
+    if (tier == "core") System.err.println(
+      s"[bench] TIER=core: ${names.size} of ${SparkEntry.queries.size} queries")
     // warm-up: JIT + codegen cache + parquet footer cache
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
@@ -94,7 +107,11 @@ object Bench {
 
   /** Complete results as pretty-enough JSON (one query per line).
     * `reps` (when given) adds the raw per-repetition timings behind
-    * each best-of value — the noise-vs-regression audit trail. */
+    * each best-of value — the noise-vs-regression audit trail — plus a
+    * per-query [min, median, max] "stats" block and a "high_variance"
+    * list of queries whose max/min exceeds 3×: min-of-reps alone hid
+    * 16× spreads in round 9 (x74 3.5→57 s) and with them exactly the
+    * cross-query cache/GC interference a regression bisect needs. */
   def renderFull(results: Seq[(String, Double)], sfDir: String,
                  reps: Seq[(String, Seq[Double])] = Nil): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -102,9 +119,32 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",%n  "queries":{%n""",
       ",\n", "\n  }")
     if (reps.isEmpty) queries + "\n}\n"
-    else queries + reps.map { case (n, ts) =>
-      "    \"" + n + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
-    }.mkString(",\n  \"reps\":{\n", ",\n", "\n  }\n}\n")
+    else {
+      def median(ts: Seq[Double]): Double = {
+        val s = ts.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      val stats = reps.map { case (n, all) =>
+        val ok = all.filter(_ >= 0)
+        (n, if (ok.isEmpty) Seq(-1.0, -1.0, -1.0)
+            else Seq(ok.min, median(ok), ok.max))
+      }
+      val highVar = stats.collect {
+        case (n, Seq(mn, _, mx)) if mn > 0 && mx / mn > 3.0 => (n, mx / mn)
+      }
+      val repsBlock = reps.map { case (n, ts) =>
+        "    \"" + n + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+      }.mkString(",\n  \"reps\":{\n", ",\n", "\n  }")
+      val statsBlock = stats.map { case (n, s) =>
+        "    \"" + n + "\":[" + s.map(t => f"$t%.3f").mkString(",") + "]"
+      }.mkString(",\n  \"stats\":{\n", ",\n", "\n  }")
+      val varBlock =
+        if (highVar.isEmpty) ""
+        else highVar.sortBy(-_._2).map { case (n, r) =>
+          "    {\"query\":\"" + n + f"""\",\"max_over_min\":$r%.1f}"""
+        }.mkString(",\n  \"high_variance\":[\n", ",\n", "\n  ]")
+      queries + repsBlock + statsBlock + varBlock + "\n}\n"
+    }
   }
 
   /** The ONE printed JSON line, bounded to `budget` chars.

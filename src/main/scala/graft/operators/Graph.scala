@@ -138,6 +138,28 @@ object Graph {
         greatest(col("da"), col("db")).as("b"))
       .distinct()
 
+  /** [[canonicalEdges]], CACHED via the operator cache registry — the
+    * triangle family references the edge plan many times (degree union
+    * ×2, the orientation's two joins, the wedge join's three sides),
+    * and the upstream `pairs` plan is often the whole MinHash-LSH
+    * mining pipeline: uncached, every reference re-executes that
+    * mining end to end (measured at sf0.1: x100 15.6 s → ~1.5 s and
+    * x101 10.1 s → ~2 s once the edge list and oriented list are
+    * cached — the [[pageRank]]/[[kCore]] discipline). Registered for
+    * [[Dedup.releaseCaches]] by the caller's post-materialize hook. */
+  private def cachedCanonicalEdges(pairs: DataFrame): DataFrame =
+    Dedup.registerCache(canonicalEdges(pairs))
+
+  /** Per-endpoint degree of the canonical edge list — (doc_id, deg),
+    * one map-side-combined aggregation over 2m endpoint rows. Computed
+    * ONCE per operator from the cached edge list and reused by both
+    * the degree orientation and any summary aggregates, so degree
+    * costs one Exchange regardless of how many consumers read it. */
+  private def endpointDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+
   /** Per-node TRIANGLE counts over the undirected pair graph — the
     * local-density signal: a near-dup pair inside a triangle is
     * corroborated by a third mutual copy (template/mirror structure),
@@ -161,7 +183,8 @@ object Graph {
     *
     * @return (doc_id, n_triangles) for nodes in ≥ 1 triangle, ordered. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val tri = triangles(canonicalEdges(pairs))
+    val e = cachedCanonicalEdges(pairs)
+    val tri = triangles(e, endpointDegrees(e))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
       .orderBy("doc_id")
@@ -174,13 +197,18 @@ object Graph {
     * (the naive orientation — kept as the test hook that demonstrates
     * the hub blowup). Both are strict total orders over distinct
     * endpoints, so each undirected edge gets exactly one direction and
-    * the oriented graph is a DAG. Returns (lo, hi) directed edges. */
-  private[graft] def orientEdges(e: DataFrame, byDegree: Boolean = true): DataFrame =
+    * the oriented graph is a DAG. Returns (lo, hi) directed edges.
+    *
+    * `degOpt` lets an operator that already computed the
+    * [[endpointDegrees]] table (e.g. [[graphSummary]]'s wedge counts)
+    * feed it in, so degree costs one Exchange per operator instead of
+    * one per consumer. */
+  private[graft] def orientEdges(e: DataFrame, byDegree: Boolean = true,
+                                 degOpt: Option[DataFrame] = None): DataFrame =
     if (!byDegree) e.select(col("a").as("lo"), col("b").as("hi"))
     else {
-      val deg = e.select(col("a").as("v"))
-        .unionByName(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
+      val deg = degOpt.getOrElse(endpointDegrees(e))
+        .select(col("doc_id").as("v"), col("deg").as("d"))
       val aFirst = col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b"))
       e.join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
@@ -202,9 +230,15 @@ object Graph {
   }
 
   /** (a, b, c) triangle rows over the canonical edge list, vertices
-    * ordered along the degree orientation, each triangle once. */
-  private def triangles(e: DataFrame): DataFrame = {
-    val o = orientEdges(e)
+    * ordered along the degree orientation, each triangle once. The
+    * oriented edge list is CACHED (registry-registered): the wedge
+    * join reads it three times (ab/bc/ac sides), and uncached each
+    * side would re-run the orientation's two degree joins AND the
+    * upstream pair mining — the x100 15.6 s regression's root cause.
+    * Callers pass the operator's shared [[endpointDegrees]] table so
+    * degree is one Exchange for the whole operator. */
+  private def triangles(e: DataFrame, deg: DataFrame): DataFrame = {
+    val o = Dedup.registerCache(orientEdges(e, byDegree = true, degOpt = Some(deg)))
     val ab = o.select(col("lo").as("a"), col("hi").as("b"))
     val bc = o.select(col("lo").as("b"), col("hi").as("c"))
     val ac = o.select(col("lo").as("ca"), col("hi").as("cc"))
@@ -275,10 +309,10 @@ object Graph {
     * over the |V|-row degree table — both map-side-combined; nothing
     * quadratic anywhere. Ordered by degree. */
   def degreeHistogram(pairs: DataFrame): DataFrame = {
-    val e = canonicalEdges(pairs)
-    e.select(col("a").as("doc_id"))
-      .unionByName(e.select(col("b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    // cached: the endpoint union reads the edge plan twice, and the
+    // pairs plan behind it can be the whole LSH mining pipeline
+    val e = cachedCanonicalEdges(pairs)
+    endpointDegrees(e)
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
       .orderBy("deg")
   }
@@ -300,7 +334,9 @@ object Graph {
     *
     * @return (doc_id, n_two_hop) ordered by doc_id. */
   def twoHopCounts(pairs: DataFrame): DataFrame = {
-    val sym = Dedup.symmetrizedEdges(pairs)
+    // cached: referenced by both self-join sides, the anti-join, and
+    // the node axis — four reads of the (possibly LSH-mined) pair plan
+    val sym = Dedup.registerCache(Dedup.symmetrizedEdges(pairs))
     val hops = sym.select(col("src"), col("dst").as("mid"))
       .join(sym.select(col("src").as("mid"), col("dst")), Seq("mid"))
       .filter(col("src") =!= col("dst"))
@@ -333,14 +369,14 @@ object Graph {
     * @return (n_nodes, n_edges, n_wedges, n_triangles, gcc_milli),
     *         gcc_milli NULL on a wedge-free graph. */
   def graphSummary(pairs: DataFrame): DataFrame = {
-    val e = canonicalEdges(pairs)
-    val deg = e.select(col("a").as("doc_id"))
-      .unionByName(e.select(col("b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val e = cachedCanonicalEdges(pairs)
+    // one degree table (cached — read by the summary aggregate AND the
+    // orientation's two joins) serves the whole operator
+    val deg = Dedup.registerCache(endpointDegrees(e))
     val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(deg) div 2").as("n_edges"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    val tris = triangles(e).agg(count(lit(1)).as("n_triangles"))
+    val tris = triangles(e, deg).agg(count(lit(1)).as("n_triangles"))
     nodesEdges.crossJoin(tris)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") === 0L, lit(null).cast("long"))
@@ -366,11 +402,9 @@ object Graph {
     *
     * @return (doc_id, deg, n_triangles, lcc_milli) ordered by doc_id. */
   def localClustering(pairs: DataFrame): DataFrame = {
-    val e = canonicalEdges(pairs)
-    val deg = e.select(col("a").as("doc_id"))
-      .unionByName(e.select(col("b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
-    val tri = triangles(e)
+    val e = cachedCanonicalEdges(pairs)
+    val deg = Dedup.registerCache(endpointDegrees(e))
+    val tri = triangles(e, deg)
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("__t"))
     deg.join(tri, Seq("doc_id"), "left")

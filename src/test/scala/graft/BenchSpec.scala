@@ -78,6 +78,32 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(full.get("value").asDouble() - rs.map(_._2).sum) < 1e-6)
   }
 
+  test("full rendering reports min/median/max and flags >3x rep spreads") {
+    // r9 finding: min-of-reps hid 16x spreads (x74 3.5->57 s) and with
+    // them the cache/GC interference the bisect needed — the full file
+    // now carries [min, median, max] per query and names the unstable ones
+    val rs = Seq("x01_stable" -> 1.0, "x02_jittery" -> 2.0, "x03_failed" -> -1.0)
+    val reps = Seq(
+      "x01_stable" -> Seq(1.0, 1.1, 1.2),
+      "x02_jittery" -> Seq(2.0, 9.0, 30.0, -1.0), // failed rep must not poison stats
+      "x03_failed" -> Seq(-1.0, -1.0, -1.0))
+    val full = mapper.readTree(Bench.renderFull(rs, "/tmp/sf", reps))
+    val st = full.get("stats")
+    assert(st.size() == 3)
+    val stable = st.get("x01_stable")
+    assert(stable.get(0).asDouble() == 1.0 && stable.get(1).asDouble() == 1.1
+      && stable.get(2).asDouble() == 1.2)
+    val jit = st.get("x02_jittery")
+    assert(jit.get(0).asDouble() == 2.0 && jit.get(1).asDouble() == 9.0
+      && jit.get(2).asDouble() == 30.0)
+    // all-failed query reports the sentinel triple, not a crash
+    assert(st.get("x03_failed").get(0).asDouble() == -1.0)
+    val hv = full.get("high_variance")
+    assert(hv != null && hv.size() == 1, "only the 15x spread is flagged")
+    assert(hv.get(0).get("query").asText() == "x02_jittery")
+    assert(hv.get(0).get("max_over_min").asDouble() === 15.0)
+  }
+
   test("a pathological all-failure board overruns the budget rather than dropping failures") {
     // 60 failures alone exceed the 1700-char budget; the shrink floor
     // must retain every -1 sentinel (failures are findings), accepting

@@ -223,6 +223,44 @@ class GraphSpec extends SparkSpec {
     assert(out === Seq(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("triangle family reads cached edge plans (x100/x101 regression guard)") {
+    // r9 regression: triangleCounts/graphSummary/localClustering left
+    // canonicalEdges and the oriented edge list UNCACHED, so each of the
+    // wedge join's three sides re-executed the whole upstream pair
+    // pipeline (for LSH-mined pairs: full mining per reference — x100
+    // went 1.34 s → 15.6 s at sf0.1). Guard: the optimized plan's leaf
+    // references to the pair input must all go through InMemoryRelation,
+    // and the registry must hold the caches until release.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    def inMemoryLeaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r }.size
+    val g = pairs((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    Dedup.releaseCaches() // drain leftovers from earlier tests in the suite
+
+    // wedge join: ab/bc/ac all read the CACHED oriented list
+    assert(inMemoryLeaves(Graph.triangleCounts(g)) >= 3,
+      "triangleCounts must read the cached oriented edges on every join side")
+    assert(Dedup.liveCacheCount >= 2, "edge + oriented caches must register")
+    Dedup.releaseCaches()
+
+    assert(inMemoryLeaves(Graph.graphSummary(g)) >= 4,
+      "graphSummary must read cached degree + oriented edges everywhere")
+    Dedup.releaseCaches()
+
+    assert(inMemoryLeaves(Graph.localClustering(g)) >= 4,
+      "localClustering must read cached degree + oriented edges everywhere")
+    Dedup.releaseCaches()
+
+    assert(inMemoryLeaves(Graph.degreeHistogram(g)) >= 2,
+      "degreeHistogram's endpoint union must read the cached edge list twice")
+    Dedup.releaseCaches()
+
+    assert(inMemoryLeaves(Graph.twoHopCounts(g)) >= 4,
+      "twoHopCounts must read the cached symmetrized edges on all four sides")
+    Dedup.releaseCaches()
+    assert(Dedup.liveCacheCount === 0, "release must drain the registry")
+  }
+
   test("kCore: a pure chain peels to nothing at k = 2") {
     val out = Graph.kCore(pairs((1L, 2L), (2L, 3L)), k = 2, rounds = 4)
       .collect()

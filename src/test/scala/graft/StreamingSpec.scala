@@ -562,6 +562,168 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 01:00:00", "view", 1L, 0L, 0)))
   }
 
+  // ———— uniform stream ≡ batch equivalence contract ————
+  // every EventStreams operator either has an oracle row or asserts
+  // here that its streamed output over a micro-batched corpus EQUALS
+  // the corresponding batch form on the same rows, restricted to the
+  // windows append mode has closed (window.end <= final watermark) —
+  // the batch side applies that same cutoff, so the comparison is
+  // exact set equality, not subset hand-waving.
+
+  /** Events used by the window-equivalence trio: three hours of mixed
+    * traffic plus a far-future sentinel that closes every real window
+    * (the sentinel's own window stays open and is cut off on the batch
+    * side by the same watermark rule). */
+  private val equivEvents = Seq(
+    Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 3.0),
+    Ev(2, ts("2024-01-01 00:40:00"), 1, "view", 7.0),
+    Ev(3, ts("2024-01-01 00:55:00"), 2, "click", 1.0),
+    Ev(4, ts("2024-01-01 01:10:00"), 2, "click", 9.0),
+    Ev(5, ts("2024-01-01 01:35:00"), 1, "view", 2.0),
+    Ev(6, ts("2024-01-01 02:20:00"), 3, "click", 5.0),
+    Ev(7, ts("2024-01-01 02:50:00"), 3, "view", 8.0))
+  private val sentinel = Ev(99, ts("2024-01-02 12:00:00"), 9, "other", 0.0)
+  // final watermark = sentinel ts − the 10-minute delay used below
+  private val cutoff = "2024-01-02 11:50:00"
+
+  /** Seq[Ev] → DataFrame via tuples: an inner case class has no
+    * stand-alone encoder scope for createDataset (the MemoryStream
+    * path resolves it in-scope; the batch path does not). */
+  private def evDf(evs: Seq[Ev]) =
+    evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def closedWindows(streamed: org.apache.spark.sql.DataFrame) =
+    streamed.select(col("window.start").cast("string"),
+        col("window.end").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, String, Long)].collect().toSet
+
+  test("tumblingCounts ≡ batch window counts on every closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val windowed = EventStreams.tumblingCounts(
+      input.toDF(), windowLen = "1 hour", watermark = "10 minutes")
+    runBatches(input, "eq_tumbling", windowed, OutputMode.Append(),
+      equivEvents.grouped(3).toSeq :+ Seq(sentinel))
+    val batch = evDf(equivEvents :+ sentinel)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("window.end") <= lit(cutoff).cast("timestamp"))
+    assert(closedWindows(spark.table("eq_tumbling")) === closedWindows(batch))
+    assert(closedWindows(batch).size === 6, "corpus must exercise several windows")
+  }
+
+  test("slidingCounts ≡ batch sliding window counts on every closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val windowed = EventStreams.slidingCounts(
+      input.toDF(), windowLen = "1 hour", slide = "30 minutes",
+      watermark = "10 minutes")
+    runBatches(input, "eq_sliding", windowed, OutputMode.Append(),
+      equivEvents.grouped(3).toSeq :+ Seq(sentinel))
+    val batch = evDf(equivEvents :+ sentinel)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("window.end") <= lit(cutoff).cast("timestamp"))
+    assert(closedWindows(spark.table("eq_sliding")) === closedWindows(batch))
+    // sliding: each event lands in 2 overlapping windows — the batch
+    // set must be strictly larger than the tumbling set
+    assert(closedWindows(batch).size > 6)
+  }
+
+  test("sessionCounts ≡ batch session_window counts on every closed session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionCounts(
+      input.toDF(), gap = "30 minutes", watermark = "10 minutes")
+    runBatches(input, "eq_sessions", sessions, OutputMode.Append(),
+      equivEvents.grouped(3).toSeq :+ Seq(sentinel))
+    def sessionSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("session_window.start").cast("string"),
+          col("session_window.end").cast("string"), col("user_id"), col("n"))
+        .as[(String, String, Long, Long)].collect().toSet
+    val batch = evDf(equivEvents :+ sentinel)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("session_window.end") <= lit(cutoff).cast("timestamp"))
+    assert(sessionSet(spark.table("eq_sessions")) === sessionSet(batch))
+    // user 1's 00:05 event and user 2's 00:55/01:10 pair must have
+    // merged/split exactly as the batch gap rule dictates
+    assert(sessionSet(batch).exists { case (_, _, u, n) => u == 2L && n == 2L })
+  }
+
+  test("psiDriftStream ≡ batch psiDrift per closed window (same corpus, same reference)") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference histogram [2,2,2,2] over [0,100) in 4 bins — realized
+    // as an actual base corpus so the BATCH operator derives the same
+    // smoothed p_i from rows that the stream gets as literals
+    val baseRows = Seq(5.0, 20.0, 30.0, 45.0, 55.0, 70.0, 80.0, 95.0)
+    val base = baseRows.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+    val input = MemoryStream[Ev]
+    val drifted = EventStreams.psiDriftStream(input.toDF(), "value",
+      lo = 0L, hi = 100L, reference = Seq(2L, 2L, 2L, 2L),
+      windowLen = "1 hour", watermark = "10 minutes")
+    val h0 = Seq( // balanced-ish window
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "a", 10.0),
+      Ev(2, ts("2024-01-01 00:02:00"), 1, "a", 40.0),
+      Ev(3, ts("2024-01-01 00:03:00"), 1, "a", 60.0),
+      Ev(4, ts("2024-01-01 00:04:00"), 1, "a", 90.0),
+      Ev(5, ts("2024-01-01 00:05:00"), 1, "a", 15.0))
+    val h1 = Seq( // skewed window
+      Ev(6, ts("2024-01-01 01:01:00"), 1, "a", 5.0),
+      Ev(7, ts("2024-01-01 01:02:00"), 1, "a", 8.0),
+      Ev(8, ts("2024-01-01 01:03:00"), 1, "a", 99.0))
+    runBatches(input, "eq_psi", drifted, OutputMode.Append(),
+      Seq(h0, h1, Seq(sentinel)))
+    val streamed = spark.table("eq_psi")
+      .select(col("window_start").cast("string"), col("psi_micronats"))
+      .as[(String, Long)].collect().toMap
+    for ((hour, evs) <- Seq("2024-01-01 00:00:00" -> h0, "2024-01-01 01:00:00" -> h1)) {
+      val next = evs.map(e => (e.event_id, e.value)).toDF("id", "value")
+      val batchPsi = graft.operators.Profiling
+        .psiDrift(base, next, "value", lo = 0L, hi = 100L, nbins = 4)
+        .agg(sum("psi_micronats")).as[Long].head()
+      // batch rounds per bin then sums; the stream sums exactly then
+      // rounds once — equality holds to within nbins micronats
+      assert(math.abs(streamed(hour) - batchPsi) <= 4L,
+        s"window $hour: stream ${streamed(hour)} vs batch $batchPsi")
+    }
+  }
+
+  test("volumeAnomalyStream ≡ batch dailyVolumeAnomaly when fed its own stats") {
+    implicit val sqlCtx = spark.sqlContext
+    // four days of "click" volume (2, 2, 2, 6): the batch gate z-scores
+    // each day against the series' own stats; the stream reproduces the
+    // batch rule exactly when handed (mean, σ_pop) from those counts
+    val dayCounts = Seq(2, 2, 2, 6)
+    val evs = dayCounts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i =>
+        Ev(d * 10L + i, ts(f"2024-01-0${d + 1}%d 0$i%d:30:00"), 1, "click", 0.0))
+    }
+    val mean = dayCounts.sum.toDouble / dayCounts.size
+    val sigma = math.sqrt(
+      dayCounts.map(n => (n - mean) * (n - mean)).sum / dayCounts.size)
+    val input = MemoryStream[Ev]
+    val gated = EventStreams.volumeAnomalyStream(input.toDF(),
+      reference = Map("click" -> (mean, sigma)), zMilliBar = 1000L,
+      windowLen = "1 day", watermark = "10 minutes")
+    runBatches(input, "eq_vol", gated, OutputMode.Append(),
+      Seq(evs, Seq(Ev(99, ts("2024-01-20 12:00:00"), 9, "click", 0.0))))
+    val streamed = spark.table("eq_vol")
+      .select(datediff(to_date(col("window_start")), to_date(lit("2024-01-01"))).cast("long"),
+        col("n"), col("z_milli"), col("is_anomaly"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val batch = graft.operators.Behavior.dailyVolumeAnomaly(
+      evDf(evs), epoch = "2024-01-01", zMilliBar = 1000L)
+      .select(col("day"), col("n"), col("z_milli"), col("is_anomaly"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed === batch,
+      s"stream fed batch-derived stats must replay the batch gate: $streamed vs $batch")
+    // and the gate discriminates: day 3 is the only anomaly
+    assert(batch.count(_._4 == 1) === 1)
+  }
+
   test("debounceStream matches the batch debounce on in-order input") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.TypedEvent]
