@@ -1108,6 +1108,55 @@ object SparkEntry {
     "x179_pane_distinct"  -> ((s, d) =>
       graft.operators.Incremental.paneSlidingDistinct(Tables.events(s, d),
         paneMicros = 3600L * 1000000L, windowPanes = 6)),
+    // per-type OLS daily trend — slope/intercept/R² from exact integer
+    // power sums; read NEXT TO x163's robust slope (disagreement = outliers)
+    "x180_ols_trend"      -> ((s, d) =>
+      graft.operators.Behavior.olsTrend(Tables.events(s, d))),
+    // discrete churn hazard with right-censoring — WHERE in the
+    // lifetime users leave (x135's churn count, resolved per day)
+    "x181_hazard_curve"   -> ((s, d) =>
+      graft.operators.Behavior.hazardCurve(Tables.events(s, d))),
+    // item-item cosine over order baskets — x148's co-occurrence
+    // counts symmetrically normalized; niche pairs beat bestseller noise
+    "x182_item_cosine"    -> ((s, d) =>
+      graft.operators.Behavior.itemCosine(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minCount = 2, k = 50)),
+    // rendezvous vs mod shard-resize cost, measured on real keys —
+    // the minimal-movement argument for HRW, quantified
+    "x183_shard_rebalance" -> ((s, d) =>
+      graft.operators.Sharding.rebalanceReport(Tables.documents(s, d),
+        "doc_id", nBefore = 4, nAfter = 5)),
+    // zone-map skip report over an UNSORTED key layout — the honest
+    // ~0 skip fraction that indicts a shuffled table (LayoutSpec shows
+    // the sorted contrast); ship_day anchored at the corpus epoch
+    "x184_zone_map"       -> ((s, d) =>
+      graft.operators.Profiling.zoneMapReport(
+        Tables.lineitem(s, d).withColumn("ship_day",
+          datediff(to_date(col("l_shipdate")), to_date(lit("1995-01-01")))
+            .cast("long")),
+        "l_orderkey", "ship_day", zoneWidth = 1000L,
+        predLo = 0L, predHi = 365L)),
+    // day-of-week-adjusted volume gate — Mondays z-score against
+    // Mondays; the seasonal fix to x116's one-distribution z
+    "x185_seasonal_anomaly" -> ((s, d) =>
+      graft.operators.Behavior.seasonalVolumeAnomaly(Tables.events(s, d))),
+    // source-concentration Pareto report over document bytes — which
+    // sources carry the corpus; 80/20 head flag
+    "x186_pareto_sources" -> ((s, d) =>
+      graft.operators.Profiling.paretoReport(Tables.documents(s, d),
+        "source", col("n_chars"))),
+    // join-skew pre-flight on the events⋈events user self-join — the
+    // per-key output mass a sessionize/path join would materialize
+    "x187_join_skew"      -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.Profiling.joinSkewPreflight(ev, ev,
+        "user_id", "user_id", k = 20)
+    }),
+    // per-type freshness/lag report — the "did a feed go dark" check
+    // that sees a dark source at the first comparison, not a day later
+    "x188_freshness"      -> ((s, d) =>
+      graft.operators.Profiling.freshnessReport(Tables.events(s, d),
+        "event_type", "ts", staleSecs = 3600L)),
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -3584,6 +3633,223 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_sessions
          FROM fe JOIN le USING (user_id, session_seq)
          GROUP BY 1, 2 ORDER BY entry_type, exit_type""",
+    // x180: the x163 densified day grid, then pure integer power sums —
+    // slope/intercept by trunc div, R² cross-multiplied in HUGEINT
+    // (≡ decimal(38,0), the x177 discipline)
+    "x180_ols_trend" ->
+      """WITH c AS (SELECT event_type AS t,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         b AS (SELECT t, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY 1),
+         grid AS (SELECT t, UNNEST(range(d0, d1 + 1)) AS day FROM b),
+         dense AS (SELECT g.t, g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           FROM grid g LEFT JOIN c ON c.t = g.t AND c.day = g.day),
+         agg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sy,
+             CAST(SUM(day * n) AS BIGINT) AS sxy,
+             CAST(SUM(day * day) AS BIGINT) AS sxx,
+             CAST(SUM(n * n) AS BIGINT) AS syy
+           FROM dense GROUP BY 1),
+         v AS (SELECT t, d, sx, sy,
+             d * sxx - sx * sx AS vx, d * syy - sy * sy AS vy,
+             d * sxy - sx * sy AS cov FROM agg)
+         SELECT t AS event_type, d AS n_days,
+           CASE WHEN vx = 0 THEN NULL
+             ELSE CAST((cov * 1000000) // vx AS BIGINT) END AS slope_micro,
+           CASE WHEN vx = 0 THEN NULL
+             ELSE CAST((sy * 1000000 - ((cov * 1000000) // vx) * sx) // d
+               AS BIGINT) END AS intercept_micro,
+           CASE WHEN vx = 0 OR vy = 0 THEN NULL
+             ELSE CAST((CAST(cov AS HUGEINT) * CAST(cov AS HUGEINT) * 1000)
+               // (CAST(vx AS HUGEINT) * CAST(vy AS HUGEINT)) AS BIGINT)
+             END AS r2_milli
+         FROM v ORDER BY event_type""",
+    // x181: per-user first/last day, censor at the horizon, lifetime
+    // histogram + 0..max grid, suffix-sum at-risk, integer ppm hazard
+    "x181_hazard_curve" ->
+      """WITH s AS (SELECT user_id AS u,
+             CAST(MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) AS f,
+             CAST(MAX(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) AS l
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         h AS (SELECT MAX(l) AS hz FROM s),
+         lt AS (SELECT l - f AS t,
+             CASE WHEN l = hz THEN 1 ELSE 0 END AS cens
+           FROM s CROSS JOIN h),
+         agg AS (SELECT t, CAST(SUM(1 - cens) AS BIGINT) AS n_deaths,
+             CAST(SUM(cens) AS BIGINT) AS n_censored FROM lt GROUP BY 1),
+         grid AS (SELECT UNNEST(range(0, (SELECT MAX(t) FROM agg) + 1))
+             AS t),
+         g2 AS (SELECT g.t,
+             CAST(COALESCE(a.n_deaths, 0) AS BIGINT) AS n_deaths,
+             CAST(COALESCE(a.n_censored, 0) AS BIGINT) AS n_censored
+           FROM grid g LEFT JOIN agg a ON a.t = g.t),
+         r AS (SELECT t, n_deaths, n_censored,
+             CAST(SUM(n_deaths + n_censored) OVER (ORDER BY t DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+           FROM g2)
+         SELECT CAST(t AS BIGINT) AS t_days, n_at_risk, n_deaths,
+           n_censored,
+           CAST((n_deaths * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
+         FROM r ORDER BY t_days""",
+    // x182: distinct basket facts, min-count prune BOTH sides before
+    // the pair join, ONE sqrt of an integer product, half-up milli
+    // floor, total (cosine desc, a, b) order under the LIMIT
+    "x182_item_cosine" ->
+      """WITH facts AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           FROM lineitem),
+         tot AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM facts
+           GROUP BY 1 HAVING COUNT(*) >= 2),
+         pr AS (SELECT f.i AS a, f2.i AS b2,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM facts f JOIN facts f2 ON f.b = f2.b AND f.i < f2.i
+             JOIN tot ta ON ta.i = f.i JOIN tot tb ON tb.i = f2.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT pr.a AS item_a, pr.b2 AS item_b, ta.n AS n_a, tb.n AS n_b,
+           pr.n_ab,
+           CAST(FLOOR(pr.n_ab * 1000 /
+             sqrt(CAST(ta.n * tb.n AS DOUBLE)) + 0.5) AS BIGINT)
+             AS cosine_milli
+         FROM pr JOIN tot ta ON ta.i = pr.a JOIN tot tb ON tb.i = pr.b2
+         ORDER BY cosine_milli DESC, item_a, item_b LIMIT 50""",
+    // x183: the Sampling.hashMod md5 contract for both schemes;
+    // rendezvous argmax replayed as ROW_NUMBER (w DESC, s DESC) over
+    // the key × shard grid (bounded: |keys|·5 rows at oracle scale)
+    "x183_shard_rebalance" ->
+      """WITH k AS (SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+           WHERE doc_id IS NOT NULL),
+         hb AS (SELECT key,
+             CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) AS h FROM k),
+         mods AS (SELECT key, h % 4 AS b, h % 5 AS a FROM hb),
+         rv AS (SELECT key, s,
+             CAST('0x' || substr(md5(key || '#' || CAST(s AS VARCHAR)),
+               1, 15) AS BIGINT) AS w
+           FROM k CROSS JOIN (SELECT UNNEST(range(5)) AS s)),
+         rb AS (SELECT key, s AS shard, ROW_NUMBER() OVER (
+             PARTITION BY key ORDER BY w DESC, s DESC) AS rn
+           FROM rv WHERE s < 4),
+         ra AS (SELECT key, s AS shard, ROW_NUMBER() OVER (
+             PARTITION BY key ORDER BY w DESC, s DESC) AS rn FROM rv),
+         rdv AS (SELECT b.key, b.shard AS rb, a.shard AS ra
+           FROM (SELECT key, shard FROM rb WHERE rn = 1) b
+           JOIN (SELECT key, shard FROM ra WHERE rn = 1) a USING (key)),
+         msz AS (SELECT CAST(MAX(n) AS BIGINT) AS mx,
+             CAST(MIN(n) AS BIGINT) AS mn
+           FROM (SELECT b, COUNT(*) AS n FROM mods GROUP BY 1)),
+         mstat AS (SELECT 'mod' AS scheme,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN b <> a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved FROM mods),
+         rsz AS (SELECT CAST(MAX(n) AS BIGINT) AS mx,
+             CAST(MIN(n) AS BIGINT) AS mn
+           FROM (SELECT rb, COUNT(*) AS n FROM rdv GROUP BY 1)),
+         rstat AS (SELECT 'rendezvous' AS scheme,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN rb <> ra THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved FROM rdv)
+         SELECT scheme, n_rows, n_moved,
+           CAST((n_moved * 1000000) // n_rows AS BIGINT) AS moved_ppm,
+           mx AS max_shard_rows, mn AS min_shard_rows
+         FROM mstat CROSS JOIN msz
+         UNION ALL
+         SELECT scheme, n_rows, n_moved,
+           CAST((n_moved * 1000000) // n_rows AS BIGINT) AS moved_ppm,
+           mx AS max_shard_rows, mn AS min_shard_rows
+         FROM rstat CROSS JOIN rsz
+         ORDER BY scheme""",
+    // x184: one zone-keyed aggregation; skippable = min/max evidence
+    // misses the [0, 365] ship-day range (parquet min/max pruning rule)
+    "x184_zone_map" ->
+      """WITH z AS (SELECT CAST(l_orderkey AS BIGINT) // 1000 AS zone,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS v
+           FROM lineitem)
+         SELECT zone, CAST(zone * 1000 AS BIGINT) AS zone_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(MIN(v) AS BIGINT) AS min_val,
+           CAST(MAX(v) AS BIGINT) AS max_val,
+           CASE WHEN MIN(v) IS NULL OR MAX(v) < 0 OR MIN(v) > 365
+             THEN 1 ELSE 0 END AS skippable
+         FROM z GROUP BY 1 ORDER BY 1""",
+    // x185: the x116 integer z formula with the stats window
+    // partitioned by (type, day % 7) over the densified day grid
+    "x185_seasonal_anomaly" ->
+      """WITH c AS (SELECT event_type AS t,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         b AS (SELECT t, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY 1),
+         grid AS (SELECT t, UNNEST(range(d0, d1 + 1)) AS day FROM b),
+         dense AS (SELECT g.t, g.day, g.day % 7 AS dow,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           FROM grid g LEFT JOIN c ON c.t = g.t AND c.day = g.day),
+         z AS (SELECT t, day, dow, n,
+             CAST(COUNT(*) OVER w AS BIGINT) AS c,
+             CAST(SUM(n) OVER w AS BIGINT) AS s1,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+           FROM dense WINDOW w AS (PARTITION BY t, dow)),
+         zz AS (SELECT t, day, dow, n,
+             CASE WHEN c * s2 - s1 * s1 = 0 THEN 0
+               ELSE CAST(FLOOR(1000 * (n * c - s1) /
+                 sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)) + 0.5) AS BIGINT)
+               END AS z_milli
+           FROM z)
+         SELECT t AS event_type, CAST(day AS BIGINT) AS day,
+           CAST(dow AS BIGINT) AS dow, n, z_milli,
+           CASE WHEN ABS(z_milli) >= 2000 THEN 1 ELSE 0 END AS is_anomaly
+         FROM zz ORDER BY event_type, day""",
+    // x186: per-group weight sums, running share over the weight-desc
+    // total order, integer permille, head flag by cross-multiplication
+    "x186_pareto_sources" ->
+      """WITH per AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight
+           FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tot FROM per),
+         c AS (SELECT source, weight,
+             CAST(SUM(weight) OVER (ORDER BY weight DESC, source
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM per)
+         SELECT c.source, c.weight,
+           CAST((c.weight * 1000) // t.tot AS BIGINT) AS share_permille,
+           CAST((c.cum * 1000) // t.tot AS BIGINT) AS cum_permille,
+           CASE WHEN (c.cum - c.weight) * 1000 < t.tot * 800
+             THEN 1 ELSE 0 END AS in_head
+         FROM c CROSS JOIN t ORDER BY c.weight DESC, c.source""",
+    // x187: two per-key count tables joined (bounded by distinct
+    // keys), output mass per key, HUGEINT total, top-k by mass
+    "x187_join_skew" ->
+      """WITH l AS (SELECT CAST(user_id AS BIGINT) AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_left
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         r AS (SELECT CAST(user_id AS BIGINT) AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_right
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         m AS (SELECT l.key, n_left, n_right,
+             CAST(n_left * n_right AS BIGINT) AS out_rows
+           FROM l JOIN r USING (key)),
+         t AS (SELECT SUM(CAST(out_rows AS HUGEINT)) AS tot FROM m)
+         SELECT m.key, m.n_left, m.n_right, m.out_rows,
+           CAST((CAST(out_rows AS HUGEINT) * 1000) // t.tot AS BIGINT)
+             AS share_permille
+         FROM m CROSS JOIN t ORDER BY out_rows DESC, key LIMIT 20""",
+    // x188: per-type count + max(ts) in integer micros, 1-row tip,
+    // integer lag seconds and the stale flag
+    "x188_freshness" ->
+      """WITH per AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS latest_us
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         t AS (SELECT MAX(latest_us) AS tip FROM per)
+         SELECT event_type, n_rows, latest_us,
+           CAST((t.tip - latest_us) // 1000000 AS BIGINT) AS lag_secs,
+           CASE WHEN (t.tip - latest_us) // 1000000 >= 3600
+             THEN 1 ELSE 0 END AS is_stale
+         FROM per CROSS JOIN t ORDER BY event_type""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch, x78/x179 DataSketches HLL states.

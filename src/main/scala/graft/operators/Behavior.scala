@@ -1005,16 +1005,7 @@ object Behavior {
   def theilSenTrend(events: DataFrame, epoch: String = "2024-01-01",
                     typeCol: String = "event_type",
                     tsCol: String = "ts"): DataFrame = {
-    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
-    val counts = events
-      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(typeCol).as("t"), day.as("day"))
-      .groupBy("t", "day").agg(count(lit(1)).as("n"))
-    val dense = counts.groupBy("t")
-      .agg(min("day").as("__d0"), max("day").as("__d1"))
-      .select(col("t"), explode(sequence(col("__d0"), col("__d1"))).as("day"))
-      .join(counts, Seq("t", "day"), "left")
-      .select(col("t"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val dense = dailyCountsDense(events, epoch, typeCol, tsCol)
     val slopes = dense.select(col("t"), col("day").as("d1"), col("n").as("n1"))
       .join(dense.select(col("t"), col("day").as("d2"), col("n").as("n2")),
         Seq("t"))
@@ -1035,5 +1026,230 @@ object Behavior {
       .select(col("t").as(typeCol), col("n_days"), col("n_pairs"),
         col("slope_micro"))
       .orderBy(typeCol)
+  }
+
+  /** Per-(type, day) densified daily-count series — the shared spine
+    * of [[theilSenTrend]], [[olsTrend]] and [[seasonalAnomaly]]: zero
+    * days are REAL observations (omitting them biases any trend or
+    * seasonal fit up), so the calendar grid between each type's first
+    * and last active day is exploded and left-joined. Bounded by
+    * |types|·span rows; the only event-scale pass is the count. */
+  private def dailyCountsDense(events: DataFrame, epoch: String,
+                               typeCol: String, tsCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epoch))).cast("long")
+    val counts = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("t"), day.as("day"))
+      .groupBy("t", "day").agg(count(lit(1)).as("n"))
+    counts.groupBy("t")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col("t"), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(counts, Seq("t", "day"), "left")
+      .select(col("t"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Per-type ordinary-least-squares DAILY trend — slope, intercept
+    * and R² of the count-vs-day fit in exact integer micro/milli
+    * units: the "how fast and how linearly is this feed growing"
+    * headline next to [[theilSenTrend]]'s robust slope (OLS chases
+    * outlier days — that is exactly why BOTH are reported: a large
+    * OLS/Theil–Sen disagreement IS the outlier alarm — and R² says
+    * whether a line explains the series at all).
+    *
+    * Exactness: over the densified day grid every ingredient is an
+    * exact integer power sum (d, Σx, Σy, Σxy, Σx², Σy² — the x134
+    * moment discipline), so slope_micro = (d·Σxy − Σx·Σy)·10⁶ div
+    * (d·Σx² − (Σx)²) and intercept_micro = (Σy·10⁶ − slope_micro·Σx)
+    * div d are pure integer arithmetic (both engines truncate toward
+    * zero — the x163 verification), and r2_milli cross-multiplies in
+    * DECIMAL(38,0) (≡ DuckDB HUGEINT, the x177 discipline) because the
+    * squared covariance overflows 2⁶³ at ~3·10⁹ count·days. Constant
+    * series (zero x- or y-variance) report NULL slope/R², never a
+    * divide-by-zero.
+    *
+    * Shape: one map-side-combined (type, day) count, then ONE
+    * aggregation over the |types|·span-bounded dense grid; nothing
+    * event-scale shuffles twice.
+    *
+    * @return (event_type, n_days, slope_micro, intercept_micro,
+    *         r2_milli) ordered by type. */
+  def olsTrend(events: DataFrame, epoch: String = "2024-01-01",
+               typeCol: String = "event_type",
+               tsCol: String = "ts"): DataFrame = {
+    val dense = dailyCountsDense(events, epoch, typeCol, tsCol)
+    dense.groupBy("t")
+      .agg(count(lit(1)).as("d"), sum("day").as("sx"), sum("n").as("sy"),
+        sum(col("day") * col("n")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"),
+        sum(col("n") * col("n")).as("syy"))
+      .withColumn("__vx", col("d") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__vy", col("d") * col("syy") - col("sy") * col("sy"))
+      .withColumn("__cov", col("d") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_micro",
+        when(col("__vx") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(__cov * 1000000) div __vx")))
+      .withColumn("intercept_micro",
+        when(col("__vx") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(sy * 1000000 - slope_micro * sx) div d")))
+      .withColumn("r2_milli",
+        when(col("__vx") === 0L || col("__vy") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            """cast((cast(__cov as decimal(38,0)) * cast(__cov as decimal(38,0))
+               * 1000) div (cast(__vx as decimal(38,0)) * cast(__vy as
+               decimal(38,0))) as bigint)""")))
+      .select(col("t").as(typeCol), col("d").as("n_days"),
+        col("slope_micro"), col("intercept_micro"), col("r2_milli"))
+      .orderBy(typeCol)
+  }
+
+  /** Discrete churn HAZARD curve with right-censoring — the
+    * product-analytics survival read: for each lifetime t (days
+    * between a user's first and last observed activity), the ppm
+    * probability that a user who SURVIVED to t churns exactly there,
+    * hazard(t) = deaths_t / at_risk_t. Users still active on the
+    * corpus' final day are CENSORED — their true lifetime is unknown,
+    * so they count in every at-risk set up to their observed lifetime
+    * but never as a death (dropping them would overstate early churn;
+    * counting them as deaths would overstate late churn — the
+    * Kaplan–Meier counting rule). The curve is the per-day version of
+    * [[churnedUsers]]' single cutoff: WHERE in the lifetime users
+    * leave, not just how many have left.
+    *
+    * Exactness: every count is an exact integer and hazard_ppm =
+    * deaths·10⁶ div at_risk; no products of probabilities (the
+    * survival curve S(t) = Π(1 − h) is left to the caller precisely
+    * because a float product is NOT engine-exact — the hazard table
+    * carries strictly more information anyway).
+    *
+    * Shape: one user-keyed min/max aggregation (the only event-scale
+    * pass), a 1-row horizon broadcast, then everything — the lifetime
+    * histogram, the 0..max grid, the suffix-sum at-risk window — runs
+    * on the ≤span-row lifetime table.
+    *
+    * @return (t_days, n_at_risk, n_deaths, n_censored, hazard_ppm)
+    *         for every t in [0, max observed lifetime], ordered. */
+  def hazardCurve(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts"): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+      .cast("long")
+    val spans = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), day.as("day"))
+      .groupBy("u").agg(min("day").as("__first"), max("day").as("__last"))
+    val horizon = spans.agg(max("__last").as("__h"))
+    val lifetimes = spans.crossJoin(broadcast(horizon))
+      .select((col("__last") - col("__first")).as("t"),
+        when(col("__last") === col("__h"), 1L).otherwise(0L).as("__cens"))
+      .groupBy("t")
+      .agg(sum(lit(1L) - col("__cens")).as("n_deaths"),
+        sum(col("__cens")).as("n_censored"))
+    val grid = lifetimes.agg(max("t").as("__m"))
+      .select(explode(sequence(lit(0L), col("__m"))).as("t"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lifetimes, Seq("t"), "left")
+      .select(col("t"), coalesce(col("n_deaths"), lit(0L)).as("n_deaths"),
+        coalesce(col("n_censored"), lit(0L)).as("n_censored"))
+      // suffix sum over the bounded lifetime grid: everyone whose
+      // lifetime is >= t was still at risk at t
+      .withColumn("n_at_risk",
+        sum(col("n_deaths") + col("n_censored")).over(w))
+      .select(col("t").as("t_days"), col("n_at_risk"), col("n_deaths"),
+        col("n_censored"),
+        expr("(n_deaths * 1000000) div n_at_risk").as("hazard_ppm"))
+      .orderBy("t_days")
+  }
+
+  /** Item–item cosine similarity over basket co-occurrence — the
+    * classic item-based collaborative-filtering score ("users who
+    * touched A also touched B", Sarwar et al. 2001) on
+    * [[basketPairs]]' exact machinery: cos(a,b) = n_ab / √(n_a·n_b)
+    * in milli, top-k pairs. Raw co-occurrence counts (x148) rank hub
+    * items first; [[associationRules]]' lift corrects for one side;
+    * cosine symmetrically normalizes BOTH — the score that surfaces
+    * genuinely-coupled niche pairs over everything-co-occurs-with-
+    * the-bestseller noise.
+    *
+    * Exactness: counts are integers; the ONLY floats are one √ of an
+    * integer product (exact below 2⁵³) and one divide, then the
+    * half-up milli floor — the x116 single-sqrt discipline, identical
+    * expression trees in both engines.
+    *
+    * Shape: identical to [[basketPairs]] — distinct facts, min-count
+    * prune BEFORE the self-join (the df-prune that keeps the pair
+    * mass Σ basket² bounded), map-side-combined pair counts, item
+    * totals joined onto ≤pairs rows, TakeOrderedAndProject top-k.
+    *
+    * @return (item_a, item_b, n_a, n_b, n_ab, cosine_milli) the top-k
+    *         by (cosine desc, item_a, item_b). */
+  def itemCosine(df: DataFrame, basketCol: String, itemCol: String,
+                 minCount: Long, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k ($k) must be in [1, 1e5]")
+    val facts = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val totals = facts.groupBy("__i").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+    val pruned = facts.join(totals.select("__i"), Seq("__i"), "left_semi")
+    pruned.join(pruned.select(col("__b"), col("__i").as("__j")), Seq("__b"))
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(totals.select(col("__i"), col("__n").as("n_a")), Seq("__i"))
+      .join(totals.select(col("__i").as("__j"), col("__n").as("n_b")),
+        Seq("__j"))
+      .select(col("__i").as("item_a"), col("__j").as("item_b"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        floor(col("n_ab") * lit(1000d) /
+          sqrt((col("n_a") * col("n_b")).cast("double")) + lit(0.5d))
+          .cast("long").as("cosine_milli"))
+      .orderBy(col("cosine_milli").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** Day-of-week-ADJUSTED daily volume anomaly gate — the seasonal
+    * fix to [[dailyVolumeAnomaly]]'s one-distribution z-score: weekly
+    * traffic shape makes every quiet Sunday a false alarm and hides a
+    * genuinely dark Tuesday inside the weekly spread, so each (type,
+    * day) count is z-scored against ITS OWN weekday's series —
+    * Mondays against Mondays. The weekday index is day-number mod 7
+    * (epoch-anchored — engine-portable integer arithmetic, no
+    * locale-dependent dayofweek()).
+    *
+    * Exactness: the [[dailyVolumeAnomaly]] integer formula with the
+    * stats window partitioned by (type, dow) instead of type — z =
+    * (n·c − Σn)/√(c·Σn² − (Σn)²), one √, one divide, half-up milli
+    * floor; constant weekday series pin z to 0. The day grid is
+    * DENSIFIED ([[dailyCountsDense]]): a silent day is the anomaly a
+    * volume gate exists to catch, so it must appear as n = 0, not
+    * vanish from its weekday's distribution.
+    *
+    * Shape: one event-scale count, then the window runs over the
+    * |types|·span dense grid — never raw events.
+    *
+    * @return (event_type, day, dow, n, z_milli, is_anomaly) ordered. */
+  def seasonalVolumeAnomaly(events: DataFrame, epoch: String = "2024-01-01",
+                            zMilliBar: Long = 2000L,
+                            typeCol: String = "event_type",
+                            tsCol: String = "ts"): DataFrame = {
+    require(zMilliBar > 0, s"zMilliBar must be positive, got $zMilliBar")
+    val dense = dailyCountsDense(events, epoch, typeCol, tsCol)
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val w = Window.partitionBy(col("t"), col("dow"))
+    val c  = count(lit(1)).over(w)
+    val s1 = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    dense
+      .withColumn("__num", col("n") * c - s1)
+      .withColumn("__rad", c * s2 - s1 * s1)
+      .withColumn("z_milli",
+        when(col("__rad") === 0L, lit(0L)).otherwise(
+          floor(lit(1000d) * col("__num") /
+            sqrt(col("__rad").cast("double")) + lit(0.5d)).cast("long")))
+      .select(col("t").as(typeCol), col("day"), col("dow"), col("n"),
+        col("z_milli"),
+        when(abs(col("z_milli")) >= zMilliBar, lit(1)).otherwise(lit(0))
+          .as("is_anomaly"))
+      .orderBy(typeCol, "day")
   }
 }

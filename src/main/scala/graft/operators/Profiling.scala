@@ -983,4 +983,170 @@ object Profiling {
         ((col("n_x") - 1) * (col("n_y") - 1)).as("dof"),
         col("__chi2").as("chi2_micro"))
   }
+
+  /** Zone-map / data-skipping report — the min-max-per-zone statistics
+    * every columnar layout keeps per file or row group (parquet column
+    * stats, Delta/Iceberg file stats), materialized as a queryable
+    * frame PLUS the answer to "how much of the table would a given
+    * range predicate skip": per zone (a fixed-width key range, the
+    * stand-in for one file of a key-sorted layout) the row count,
+    * min/max of the probe column and its null count, and a `skippable`
+    * flag for the [predLo, predHi] range — a zone whose [min, max]
+    * misses the range never needs reading. The skip FRACTION is the
+    * number that justifies (or indicts) a sort/z-order layout choice:
+    * ~0 on a shuffled table means the predicate reads everything
+    * anyway; →1 after [[graft.core.Layout]]'s sort means the layout
+    * is doing its job ([[graft.core.Layout]] WRITES such layouts; this
+    * measures what they buy at the planner's level of visibility).
+    *
+    * All-null zones (no min/max evidence) are NOT skippable for a
+    * range predicate in general SQL semantics only when the predicate
+    * must also return null-matches; here the flag treats them as
+    * skippable-for-range (matching parquet min/max pruning, which
+    * consults null counts separately) — the null_count column carries
+    * the evidence either way.
+    *
+    * Shape: ONE map-side-combined aggregation keyed by `key div
+    * width` — zone count = keyspan/width rows, never data-scale; the
+    * flag is row-local arithmetic on that bounded table.
+    *
+    * @return (zone, zone_lo, n_rows, n_nulls, min_val, max_val,
+    *         skippable) ordered by zone. */
+  def zoneMapReport(df: DataFrame, keyCol: String, valCol: String,
+                    zoneWidth: Long, predLo: Long, predHi: Long): DataFrame = {
+    require(zoneWidth > 0, s"zoneWidth ($zoneWidth) must be > 0")
+    require(predHi >= predLo, s"predHi ($predHi) must be >= predLo ($predLo)")
+    df.select(expr(s"cast($keyCol as bigint) div ${zoneWidth}L").as("zone"),
+        col(valCol).cast("long").as("__v"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min("__v").as("min_val"), max("__v").as("max_val"))
+      .select(col("zone"), (col("zone") * lit(zoneWidth)).as("zone_lo"),
+        col("n_rows"), col("n_nulls"), col("min_val"), col("max_val"),
+        when(col("min_val").isNull ||
+          col("max_val") < lit(predLo) || col("min_val") > lit(predHi),
+          lit(1)).otherwise(lit(0)).as("skippable"))
+      .orderBy("zone")
+  }
+
+  /** Join-skew pre-flight — the audit run BEFORE a 100 TB join
+    * commits to a plan: per join key the left/right multiplicities
+    * and their PRODUCT (the exact number of output rows that key
+    * produces — the row mass one task must materialize under plain
+    * hash partitioning), reported for the top-k heaviest keys with
+    * each key's permille share of the total join output. A key
+    * carrying >5–10% of the output is the one that strands a stage on
+    * one straggler task; the fix is [[Skew]]'s salting or AQE's skew
+    * split, and THIS report says whether either is needed and for
+    * which keys — measured, not guessed from a size estimate.
+    *
+    * Exactness/shape: two map-side-combined per-key counts (each side
+    * scanned once), an inner join of the two BOUNDED count tables
+    * (≤ distinct keys, never data-scale), a 1-row total cross-joined,
+    * TakeOrderedAndProject top-k. Total mass accumulates in
+    * DECIMAL(38,0) — Σ n_left·n_right overflows 2⁶³ exactly on the
+    * skewed tables this exists to diagnose (the x124 lesson).
+    *
+    * @return (key, n_left, n_right, out_rows, share_permille) top-k
+    *         by (out_rows desc, key). */
+  def joinSkewPreflight(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        k: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k ($k) must be in [1, 1e5]")
+    val l = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val mass = l.join(r, Seq("key"))
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+    val tot = mass.agg(
+      sum(col("out_rows").cast("decimal(38,0)")).as("__tot"))
+    mass.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
+        expr("cast((cast(out_rows as decimal(38,0)) * 1000) div __tot as bigint)")
+          .as("share_permille"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(k)
+  }
+
+  /** Per-source freshness report — the "did a feed go dark" check
+    * every scheduled 100 TB ingest runs FIRST, before any volume or
+    * distribution gate: per group the row count, latest event time,
+    * its lag behind the corpus-wide latest (the freshest source
+    * defines "now" — no wall-clock dependency, so the report is
+    * deterministic and replayable), and a stale flag at `staleSecs`.
+    * [[graft.operators.Behavior.dailyVolumeAnomaly]] needs a day of
+    * data to see a dark source; this sees it at the first comparison.
+    *
+    * Shape: one map-side-combined per-group max/count over the scan,
+    * a 1-row global max broadcast onto the |groups|-bounded table;
+    * integer microsecond lags.
+    *
+    * @return (group, n_rows, latest_us, lag_secs, is_stale) ordered
+    *         by group. */
+  def freshnessReport(df: DataFrame, groupCol: String, tsCol: String,
+                      staleSecs: Long): DataFrame = {
+    require(staleSecs >= 0, s"staleSecs ($staleSecs) must be >= 0")
+    val per = df.filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(expr(s"unix_micros($tsCol)")).as("latest_us"))
+    val tip = per.agg(max("latest_us").as("__tip"))
+    per.crossJoin(broadcast(tip))
+      .select(col("grp").as(groupCol), col("n_rows"), col("latest_us"),
+        expr("(__tip - latest_us) div 1000000").as("lag_secs"))
+      .withColumn("is_stale",
+        when(col("lag_secs") >= staleSecs, lit(1)).otherwise(lit(0)))
+      .orderBy(groupCol)
+  }
+
+  /** Pareto / concentration report — "which groups carry the mass":
+    * per group the weight total, its permille share, the CUMULATIVE
+    * share in weight-descending order, and the 80/20 head flag (is
+    * this group inside the smallest set covering 80% of the mass).
+    * The capacity-planning and curation-priority read over sources —
+    * dedup/quality effort goes where the bytes are, and a corpus
+    * whose top source crosses 800‰ alone is a diversity finding in
+    * itself ([[columnEntropy]] scores the same concentration as one
+    * number; this names the groups).
+    *
+    * Exactness: integer weights, permille by integer div, ordering by
+    * (weight desc, group) — total order, so the cumulative sum and
+    * the head flag are engine-deterministic.
+    *
+    * Shape: one map-side-combined per-group sum; the running-share
+    * window orders the |groups|-BOUNDED table (the x123 discipline —
+    * never data-scale rows through an unpartitioned window; group
+    * cardinality here is sources/types/shards, inherently small).
+    *
+    * @return (group, weight, share_permille, cum_permille, in_head)
+    *         ordered by (weight desc, group). */
+  def paretoReport(df: DataFrame, groupCol: String, weight: Column,
+                   headPermille: Long = 800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(headPermille >= 1 && headPermille <= 1000,
+      s"headPermille ($headPermille) must be in [1, 1000]")
+    val per = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(sum(weight).as("weight"))
+    val tot = per.agg(sum("weight").as("__tot"))
+    val w = Window.orderBy(col("weight").desc, col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum("weight").over(w))
+      .select(col("grp").as(groupCol), col("weight"),
+        expr("(weight * 1000) div __tot").as("share_permille"),
+        expr("(__cum * 1000) div __tot").as("cum_permille"),
+        // the head is the smallest weight-desc prefix whose cumulative
+        // mass REACHES the bar: a group is in it iff the mass BEFORE
+        // it is still short of the bar
+        when((col("__cum") - col("weight")) * 1000 <
+          col("__tot") * headPermille, lit(1)).otherwise(lit(0))
+          .as("in_head"))
+      .orderBy(col("weight").desc, col(groupCol))
+  }
 }

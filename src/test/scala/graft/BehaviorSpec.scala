@@ -618,6 +618,126 @@ class BehaviorSpec extends SparkSpec {
     assert(out === Seq(("a", 5L, 10L, 1000000L)))
   }
 
+  test("olsTrend: exact slope/intercept/R2 on a perfectly linear series") {
+    // counts 1,3,5,7 on days 0..3: d=4 sx=6 sy=16 sxy=34 sxx=14 syy=84
+    // -> vx=20 vy=80 cov=40: slope 2e6, intercept 1e6, R2 = 1000 exactly
+    val rows = (0 to 3).flatMap(d =>
+      Seq.fill(1 + 2 * d)("a" -> f"2024-01-0${d + 1} 12:00:00"))
+    val out = Behavior.olsTrend(tsEv(rows: _*))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 4L, 2000000L, 1000000L, 1000L)))
+  }
+
+  test("olsTrend: truncation-exact fractions on a non-linear series") {
+    // counts 1,2,4 on days 0..2: cov=9 vx=6 vy=14 -> slope 1500000,
+    // intercept (7e6-4.5e6)//3 = 833333 (trunc), R2 = 81000//84 = 964
+    val rows = Seq(1, 2, 4).zipWithIndex.flatMap { case (n, d) =>
+      Seq.fill(n)("a" -> f"2024-01-0${d + 1} 12:00:00") }
+    val out = Behavior.olsTrend(tsEv(rows: _*))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 3L, 1500000L, 833333L, 964L)))
+  }
+
+  test("olsTrend: degenerate variances yield NULLs, never a crash") {
+    // one-day series: vx=0 -> slope/intercept/R2 all NULL
+    val one = Behavior.olsTrend(tsEv(Seq.fill(3)(
+      "a" -> "2024-01-01 12:00:00"): _*))
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(one === Seq(("a", 1L, None, None, None)))
+    // flat series over 3 days: slope 0 and intercept exact, vy=0 -> R2 NULL
+    val flat = Behavior.olsTrend(tsEv((0 to 2).flatMap(d =>
+      Seq.fill(2)("b" -> f"2024-01-0${d + 1} 12:00:00")): _*))
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(flat === Seq(("b", 3L, Some(0L), Some(2000000L), None)))
+  }
+
+  test("hazardCurve: censored users stay at risk but never die") {
+    // u1 active day 0 only (lifetime 0, dies); u2 days 0-2, u3 days
+    // 1-2, u4 day 2 only — all last-seen on the horizon (day 2), so
+    // all three are CENSORED. at_risk suffix-sums the lifetime grid.
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (2L, "2024-01-03 11:00:00"), (3L, "2024-01-02 09:00:00"),
+      (3L, "2024-01-03 09:00:00"), (4L, "2024-01-03 23:00:00"))
+      .toDF("user_id", "__s").withColumn("ts", to_timestamp(col("__s")))
+    val out = Behavior.hazardCurve(e)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 4L, 1L, 1L, 250000L), // u1 dies at 0; u4 censored at 0
+      (1L, 2L, 0L, 1L, 0L),      // u3 censored at lifetime 1
+      (2L, 1L, 0L, 1L, 0L)))     // u2 censored at lifetime 2
+  }
+
+  test("hazardCurve: empty lifetimes densify; everyone-censored corpus has zero hazard") {
+    // u1 lifetime 3 (censored at horizon), u2 lifetime 0 (also ends on
+    // the horizon day -> censored): grid rows 1 and 2 exist with zero
+    // deaths, at_risk still decays correctly
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-04 10:00:00"),
+      (2L, "2024-01-04 12:00:00"))
+      .toDF("user_id", "__s").withColumn("ts", to_timestamp(col("__s")))
+    val out = Behavior.hazardCurve(e)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 0L, 1L, 0L), (1L, 1L, 0L, 0L, 0L),
+      (2L, 1L, 0L, 0L, 0L), (3L, 1L, 0L, 1L, 0L)))
+  }
+
+  test("itemCosine: symmetric normalization ranks coupled pairs over hub pairs") {
+    // baskets: {1,2} x2, {1,3}, {2,3}, {1,2,3} — n1=4 n2=4 n3=3;
+    // pair 1-2 co-occurs 3x -> cos 3000/sqrt(16) = 750;
+    // pairs 1-3 and 2-3 co-occur 2x -> cos 2000/sqrt(12) = 577 (floored)
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 3L),
+      (13L, 2L), (13L, 3L), (14L, 1L), (14L, 2L), (14L, 3L))
+      .toDF("basket", "item")
+    val out = Behavior.itemCosine(baskets, "basket", "item",
+      minCount = 2, k = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 4L, 4L, 3L, 750L),
+      (1L, 3L, 4L, 3L, 2L, 577L),
+      (2L, 3L, 4L, 3L, 2L, 577L)))
+  }
+
+  test("itemCosine: below-min-count items and pairs are pruned; duplicates collapse") {
+    // item 9 appears once -> pruned before pairing; the duplicated
+    // (20, 1) fact collapses (DISTINCT facts); pair 1-2 seen once -> cut
+    val baskets = Seq(
+      (20L, 1L), (20L, 1L), (20L, 9L), (20L, 2L),
+      (21L, 1L), (21L, 3L), (22L, 1L), (22L, 3L), (23L, 2L), (23L, 3L))
+      .toDF("basket", "item")
+    val out = Behavior.itemCosine(baskets, "basket", "item",
+      minCount = 2, k = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // only 1-3 reaches 2 shared baskets: cos = 2000/sqrt(3*3)=667
+    assert(out === Seq((1L, 3L, 3L, 3L, 2L, 667L)))
+  }
+
+  test("seasonalVolumeAnomaly: Mondays z-score against Mondays only") {
+    // 15 days; dow0 (days 0,7,14) counts 2,2,5 — z = -707,-707,+1414;
+    // every other weekday is flat at 1 -> z 0. Bar 1000: only day 14
+    // flags. dailyVolumeAnomaly on the same series would smear the
+    // weekly shape into one distribution.
+    val rows = (0 to 14).flatMap { d =>
+      val n = if (d % 7 == 0) (if (d == 14) 5 else 2) else 1
+      Seq.fill(n)("a" -> f"2024-01-${d + 1}%02d 12:00:00")
+    }
+    val out = Behavior.seasonalVolumeAnomaly(tsEv(rows: _*),
+      zMilliBar = 1000L)
+      .as[(String, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(out.size === 15)
+    val byDay = out.map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(byDay(0L) === ((0L, 2L, -707L, 0)))
+    assert(byDay(7L) === ((0L, 2L, -707L, 0)))
+    assert(byDay(14L) === ((0L, 5L, 1414L, 1)))
+    // flat weekdays: zero z, never flagged
+    assert((1L to 6L).forall(d => byDay(d) === ((d, 1L, 0L, 0))))
+    assert(out.count(_._6 == 1) === 1)
+  }
+
   test("theilSenTrend: negative slopes TRUNCATE toward zero (the portable rule)") {
     // counts 2,0,0,1 on days 0..3 (middle days densified): sorted pair
     // slopes −2e6, −1e6, −333333, 0, 5e5, 1e6 → median −333333 — the

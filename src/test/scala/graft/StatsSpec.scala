@@ -456,6 +456,95 @@ class StatsSpec extends SparkSpec {
     assert(tq === Seq(("t", 500L, 5L)))
   }
 
+  test("zoneMapReport: min/max evidence drives the skip flag; all-null zones skip") {
+    // zone 0 (keys 0-4): values 10..14 overlap [0,100] -> not skippable
+    // zone 1 (keys 5-9): values 400..404, one null -> min 400 > 100 -> skip
+    // zone 2 (keys 10-12): all null -> no evidence -> skippable, nulls counted
+    val df = ((0 to 4).map(k => (k.toLong, Option(10L + k))) ++
+      (5 to 8).map(k => (k.toLong, Option(395L + k))) ++
+      Seq((9L, Option.empty[Long])) ++
+      (10 to 12).map(k => (k.toLong, Option.empty[Long])))
+      .toDF("key", "v")
+    val out = Profiling.zoneMapReport(df, "key", "v",
+      zoneWidth = 5L, predLo = 0L, predHi = 100L)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Int)]
+      .collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 5L, 0L, Some(10L), Some(14L), 0),
+      (1L, 5L, 5L, 1L, Some(400L), Some(403L), 1),
+      (2L, 10L, 3L, 3L, None, None, 1)))
+  }
+
+  test("zoneMapReport: sorted layout skips what a shuffled one reads (the layout payoff)") {
+    // the SAME rows under two key layouts: values assigned randomly to
+    // keys (shuffled) vs values sorted by key (clustered). Range
+    // predicate [0, 24] covers a quarter of the value space.
+    val vals = (0 until 100).map(_.toLong)
+    val shuffled = vals.map(v => ((v * 37) % 100, v)).toDF("key", "v")
+    val sorted = vals.map(v => (v, v)).toDF("key", "v")
+    def skipped(df: org.apache.spark.sql.DataFrame): Long =
+      Profiling.zoneMapReport(df, "key", "v", 10L, 0L, 24L)
+        .filter(col("skippable") === 1).count()
+    assert(skipped(shuffled) === 0L, "a shuffled layout skips nothing")
+    assert(skipped(sorted) === 7L, "the sorted layout skips 7 of 10 zones")
+  }
+
+  test("joinSkewPreflight: exact per-key output mass and permille shares") {
+    val left = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val right = Seq(1L, 1L, 2L, 2L, 2L, 2L, 2L, 3L).toDF("k")
+    val out = Profiling.joinSkewPreflight(left, right, "k", "k", k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // key 1: 3*2=6 of 11 -> 545 permille; key 2: 1*5=5 -> 454; key 3
+    // has no left rows -> produces nothing, not a zero row
+    assert(out === Seq((1L, 3L, 2L, 6L, 545L), (2L, 1L, 5L, 5L, 454L)))
+  }
+
+  test("joinSkewPreflight: top-k keeps the heaviest keys under the total order") {
+    val left = (1L to 30L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("k")
+    val right = left
+    val out = Profiling.joinSkewPreflight(left, right, "k", "k", k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(30L, 29L, 28L))
+    assert(out.head._4 === 900L) // 30*30
+  }
+
+  test("freshnessReport: lag measured against the freshest source, stale flag at the bar") {
+    val df = Seq(
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 08:00:00"),
+      ("b", "2024-01-01 09:00:00"), ("c", "2024-01-01 09:45:00"))
+      .toDF("src", "__s")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(col("__s")))
+    val out = Profiling.freshnessReport(df, "src", "ts", staleSecs = 1800L)
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    // lags are relative to the freshest source (a) — no wall clock
+    assert(out.map(r => (r._1, r._2, r._4, r._5)) === Seq(
+      ("a", 2L, 0L, 0), ("b", 1L, 3600L, 1), ("c", 1L, 900L, 0)))
+    val us = out.map(r => r._1 -> r._3).toMap
+    assert(us("a") - us("b") === 3600L * 1000000L)
+    assert(us("a") - us("c") === 900L * 1000000L)
+  }
+
+  test("paretoReport: cumulative shares and the exact 80/20 head set") {
+    val df = Seq(("s1", 50L), ("s2", 30L), ("s3", 15L), ("s4", 5L))
+      .flatMap { case (g, w) => Seq.fill(w.toInt)((g, 1L)) }
+      .toDF("grp", "w")
+    val out = Profiling.paretoReport(df, "grp", col("w"))
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      ("s1", 50L, 500L, 500L, 1),
+      ("s2", 30L, 300L, 800L, 1),  // reaches exactly 800 -> last head member
+      ("s3", 15L, 150L, 950L, 0),
+      ("s4", 5L, 50L, 1000L, 0)))
+  }
+
+  test("paretoReport: weight ties order by group name (total order under the window)") {
+    val df = Seq(("b", 10L), ("a", 10L), ("c", 10L)).toDF("grp", "w")
+    val out = Profiling.paretoReport(df, "grp", col("w"), headPermille = 500L)
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    assert(out.map(_._1) === Seq("a", "b", "c"))
+    assert(out.map(_._5) === Seq(1, 1, 0)) // a+b reach 2/3 >= 1/2
+  }
+
   test("hillTailIndex: an all-equal tail reports NULL α; too-few rows → empty") {
     val flat = Seq.fill(5)(7L).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "v")
