@@ -1157,6 +1157,41 @@ object SparkEntry {
     "x188_freshness"      -> ((s, d) =>
       graft.operators.Profiling.freshnessReport(Tables.events(s, d),
         "event_type", "ts", staleSecs = 3600L)),
+    // train/test contamination matrix: x07's near-dup pairs × x42's
+    // per-doc split rule — every off-diagonal cell is leakage (the
+    // measurement that motivates x106's cluster-keyed splits)
+    "x189_split_leakage"  -> ((s, d) =>
+      graft.operators.Sampling.splitLeakageAudit(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2,
+          minPermille = 300),
+        Seq("train" -> 900L, "val" -> 50L, "test" -> 50L))),
+    // 2-D Pareto frontier (cheapest-earliest orders) via the bucketed
+    // two-level prefix-min — no O(n²) dominance join, no global sort
+    "x190_skyline"        -> ((s, d) =>
+      graft.operators.Skyline.frontier2d(
+        Tables.orders(s, d).select(
+          Relational.cents(col("o_totalprice")).as("price_cents"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+            .cast("long").as("order_day")),
+        "price_cents", "order_day", bucketWidth = 100000L)),
+    // 1-D earth-mover's distance between the en/fr length
+    // distributions — KS's integral sibling, zero floats end to end
+    "x191_emd"            -> ((s, d) =>
+      graft.operators.Profiling.emd1d(Tables.documents(s, d),
+        "lang", "n_chars", "en", "fr")),
+    // per-column profile diff across the simulated next drop — the
+    // schema-level "what changed" a keyed diff can't see
+    "x192_profile_diff"   -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Profiling.profileDiff(docs, nextDrop(docs),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    },
+    // greedy zone-merge compaction plan at a byte target — the
+    // small-file maintenance pass, planned as an auditable frame
+    "x193_compaction_plan" -> ((s, d) =>
+      graft.core.Layout.compactionPlan(Tables.documents(s, d),
+        "doc_id", octet_length(col("text")), zoneWidth = 50L,
+        targetBytes = 40000L)),
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -3850,6 +3885,109 @@ object SparkEntry {
            CASE WHEN (t.tip - latest_us) // 1000000 >= 3600
              THEN 1 ELSE 0 END AS is_stale
          FROM per CROSS JOIN t ORDER BY event_type""",
+    // x189: the x07 pair CTEs + the x42 md5 split CASE on BOTH
+    // endpoints, cells canonicalized lexicographically
+    "x189_split_leakage" -> {
+      def split(key: String) =
+        s"""CASE WHEN CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000 < 900 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000 < 950 THEN 'val' ELSE 'test' END"""
+      s"""WITH $minHashPairsCtes,
+         sp AS (SELECT ${split("da")} AS s_a, ${split("db")} AS s_b
+           FROM pairs)
+         SELECT LEAST(s_a, s_b) AS split_lo, GREATEST(s_a, s_b) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN LEAST(s_a, s_b) <> GREATEST(s_a, s_b) THEN 1 ELSE 0 END
+             AS is_leak
+         FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+    // x190: the single-level prefix-min spelling of the same dominance
+    // reduction (SkylineSpec proves both ≡ brute-force NOT EXISTS)
+    "x190_skyline" ->
+      """WITH p AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS x,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS y
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+         r AS (SELECT x, CAST(MIN(y) AS BIGINT) AS y FROM p GROUP BY 1),
+         m AS (SELECT x, y, MIN(y) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM r)
+         SELECT x AS price_cents, y AS order_day FROM m
+         WHERE pm IS NULL OR y < pm ORDER BY price_cents""",
+    // x191: the x177 spine with a LEAD gap — every segment exact
+    // integers cross-multiplied in HUGEINT, ONE division at the end
+    "x191_emd" ->
+      """WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+           WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL),
+         c AS (SELECT v,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS wa,
+             CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+               AS wb
+           FROM b GROUP BY 1),
+         r AS (SELECT v, SUM(wa) OVER w AS ca, SUM(wb) OVER w AS cb,
+             SUM(wa) OVER () AS ta, SUM(wb) OVER () AS tb,
+             COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS gap
+           FROM c WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         m AS (SELECT CAST(MAX(ta) AS BIGINT) AS n_a,
+             CAST(MAX(tb) AS BIGINT) AS n_b,
+             SUM(ABS(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta)
+               * gap) AS w
+           FROM r)
+         SELECT n_a, n_b,
+           CAST((w * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+             AS emd_micro
+         FROM m""",
+    // x192: the x59 per-column profile UNION replayed over BOTH sides
+    // (the x63 next-drop CTE), integer ppm, deltas in the outer select
+    "x192_profile_diff" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      def prof(rel: String) = cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+            CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM $rel""")
+        .mkString(" UNION ALL ")
+      s"""WITH nn AS (SELECT doc_id,
+             CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END
+               AS text, lang, source, n_chars
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id < 4),
+         a AS (${prof("documents")}),
+         b AS (${prof("nn")}),
+         j AS (SELECT a.col_name, a.n_rows AS n_rows_a,
+             b.n_rows AS n_rows_b,
+             CASE WHEN a.n_rows = 0 THEN NULL
+               ELSE CAST((a.n_null * 1000000) // a.n_rows AS BIGINT) END
+               AS null_ppm_a,
+             CASE WHEN b.n_rows = 0 THEN NULL
+               ELSE CAST((b.n_null * 1000000) // b.n_rows AS BIGINT) END
+               AS null_ppm_b,
+             a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b
+           FROM a JOIN b USING (col_name))
+         SELECT col_name, n_rows_a, n_rows_b, null_ppm_a, null_ppm_b,
+           null_ppm_b - null_ppm_a AS null_ppm_delta,
+           n_distinct_a, n_distinct_b,
+           n_distinct_b - n_distinct_a AS distinct_delta
+         FROM j ORDER BY col_name"""
+    },
+    // x193: zone bytes via octet_length(encode(text)) (the x164
+    // spelling), running cumsum, grp = bytes-before div target
+    "x193_compaction_plan" ->
+      """WITH z AS (SELECT CAST(doc_id AS BIGINT) // 50 AS zone,
+             CAST(octet_length(encode(text)) AS BIGINT) AS b
+           FROM documents),
+         g AS (SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(b) AS BIGINT) AS bytes FROM z GROUP BY 1),
+         c AS (SELECT zone, n_rows, bytes,
+             CAST(SUM(bytes) OVER (ORDER BY zone ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum FROM g)
+         SELECT zone, n_rows, bytes,
+           CAST((cum - bytes) // 40000 AS BIGINT) AS grp
+         FROM c ORDER BY zone""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch, x78/x179 DataSketches HLL states.

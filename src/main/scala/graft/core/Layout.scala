@@ -94,4 +94,44 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Small-file compaction plan — the maintenance pass every
+    * streaming/incremental sink eventually needs: micro-batch and
+    * per-bucket writes leave thousands of KB-scale files, and at
+    * 100 TB the scan's task-scheduling and footer-reading overhead is
+    * dominated by FILE COUNT, not bytes. This plans the merge: group
+    * key-adjacent zones (the stand-ins for files of a key-ordered
+    * layout — adjacency preserves the layout's min/max tightness, see
+    * [[graft.operators.Profiling.zoneMapReport]]) greedily into
+    * `targetBytes` output groups: group = bytes-before div target, so
+    * every group except possibly the last reaches the target and no
+    * group exceeds it by more than one input zone. Deterministic, one
+    * pass, and the plan is itself a frame — auditable before any
+    * rewrite executes (the same plan-then-verify contract as the
+    * incremental upsert's bucket manifest).
+    *
+    * Shape: one map-side-combined per-zone aggregation collapses the
+    * data scan to ≤|zones| rows; the running-bytes window orders THAT
+    * bounded table (the x126 global-window-over-aggregate contract).
+    *
+    * @return (zone, n_rows, bytes, grp) ordered by zone; grp is the
+    *         merge-group id, contiguous in zone order. */
+  def compactionPlan(df: DataFrame, keyCol: String,
+                     bytes: org.apache.spark.sql.Column, zoneWidth: Long,
+                     targetBytes: Long): DataFrame = {
+    require(zoneWidth > 0, s"zoneWidth ($zoneWidth) must be > 0")
+    require(targetBytes > 0, s"targetBytes ($targetBytes) must be > 0")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("zone")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(expr(s"cast($keyCol as bigint) div ${zoneWidth}L").as("zone"),
+        bytes.cast("long").as("__b"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_rows"), sum("__b").as("bytes"))
+      .withColumn("__cum", sum("bytes").over(w))
+      .select(col("zone"), col("n_rows"), col("bytes"),
+        expr(s"(__cum - bytes) div ${targetBytes}L").as("grp"))
+      .orderBy("zone")
+  }
 }

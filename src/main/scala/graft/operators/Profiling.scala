@@ -984,6 +984,95 @@ object Profiling {
         col("__chi2").as("chi2_micro"))
   }
 
+  /** Two-sample 1-D earth-mover's distance (Wasserstein-1) —
+    * [[ksTest]]'s integral sibling: KS reads the WORST point of CDF
+    * disagreement, EMD reads its AREA, ∫|F_A − F_B| dv — the
+    * "how much probability mass moved how far" number that
+    * distinguishes a narrow spike (huge KS, small EMD) from a broad
+    * shift (moderate KS, large EMD). The drift triple is PSI (binned,
+    * streaming-cheap), KS (max, scale-free) and EMD (integral, in
+    * value units): a gate that alerts on any one of them catches
+    * shapes the other two miss.
+    *
+    * Exactness: over the joint distinct-value spine, each segment
+    * contributes |ca·n_b − cb·n_a| · (v_next − v) — EXACT integers
+    * cross-multiplied in DECIMAL(38,0) (≡ DuckDB HUGEINT, the x177
+    * discipline) — and emd_micro divides once by (n_a·n_b) at the
+    * end. No floats anywhere (KS at least needs one √; this needs
+    * none). The spine's last row has no next value and contributes 0
+    * (both CDFs have reached 1).
+    *
+    * Shape: identical to [[ksTest]] — one (value) aggregation with
+    * map-side combine, then every window runs over the
+    * |distinct values|-bounded weight table; pre-bin first at
+    * petabyte value cardinality.
+    *
+    * @return one row (n_a, n_b, emd_micro) — micro value-units. */
+  def emd1d(df: DataFrame, groupCol: String, valueCol: String,
+            groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "emd1d needs two distinct groups")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("wa"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("wb"))
+    val byV = Window.orderBy("v")
+    val run = byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("ca", sum("wa").over(run))
+      .withColumn("cb", sum("wb").over(run))
+      .withColumn("ta", sum("wa").over(Window.partitionBy()))
+      .withColumn("tb", sum("wb").over(Window.partitionBy()))
+      .withColumn("__gap", coalesce(lead("v", 1).over(byV) - col("v"), lit(0L)))
+      .withColumn("__seg", expr(
+        """abs(cast(ca as decimal(38,0)) * tb - cast(cb as decimal(38,0)) * ta)
+           * __gap"""))
+      .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+        sum("__seg").as("__w"))
+      .select(col("n_a"), col("n_b"),
+        expr("cast((__w * 1000000) div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("emd_micro"))
+  }
+
+  /** Profile DIFF between two corpus snapshots — [[profile]] run on
+    * both sides and joined per column: row counts, null rates (ppm)
+    * and distinct counts side by side with their deltas. The
+    * schema-level "what changed in this drop" readout that catches
+    * what a keyed diff ([[graft.operators.Snapshot]]) can't see and a
+    * distribution test doesn't name: a column whose null rate jumped
+    * (upstream field went optional), a distinct count that collapsed
+    * (an enum merged), a row count that moved without the others.
+    *
+    * Exactness: integer ppm via trunc div; deltas are plain integer
+    * subtraction. Zero-row sides report NULL ppm, never a crash.
+    *
+    * Shape: one [[profile]] pass per side (each ONE aggregation over
+    * its scan), then a |cols|-row join — nothing data-scale meets
+    * data-scale.
+    *
+    * @return (col_name, n_rows_a, n_rows_b, null_ppm_a, null_ppm_b,
+    *         null_ppm_delta, n_distinct_a, n_distinct_b,
+    *         distinct_delta) ordered by col_name. */
+  def profileDiff(base: DataFrame, next: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$tag"),
+        when(col("n_rows") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_null * 1000000) div n_rows"))
+          .as(s"null_ppm_$tag"),
+        col("n_distinct").as(s"n_distinct_$tag"))
+    side(base, "a").join(side(next, "b"), Seq("col_name"))
+      .select(col("col_name"), col("n_rows_a"), col("n_rows_b"),
+        col("null_ppm_a"), col("null_ppm_b"),
+        (col("null_ppm_b") - col("null_ppm_a")).as("null_ppm_delta"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        (col("n_distinct_b") - col("n_distinct_a")).as("distinct_delta"))
+      .orderBy("col_name")
+  }
+
   /** Zone-map / data-skipping report — the min-max-per-zone statistics
     * every columnar layout keeps per file or row group (parquet column
     * stats, Delta/Iceberg file stats), materialized as a queryable

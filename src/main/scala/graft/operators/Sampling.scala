@@ -354,4 +354,38 @@ object Sampling {
     require(k >= 2 && k <= 1000, s"k ($k) must be in [2, 1000]")
     df.withColumn("fold", hashMod(col(keyCol), k.toLong))
   }
+
+  /** Split-leakage audit — the MEASUREMENT that motivates
+    * [[clusterSplitAssign]]: given the near-dup pair table (da, db)
+    * and a per-document split rule, the matrix of pair counts by
+    * (split, split). Every off-diagonal cell is train/test
+    * CONTAMINATION — a near-copy of an eval document sitting in
+    * training, the leak that makes held-out loss lie. Run it after
+    * any per-document split of a non-deduplicated corpus: a non-zero
+    * leak row is the finding; the fix is [[clusterSplitAssign]]
+    * (cluster-keyed assignment puts every near-dup family atomically
+    * on one side, so ITS matrix is diagonal by construction).
+    *
+    * Shape: both endpoints' splits are the SAME scan-side md5
+    * expression ([[splitAssign]]'s `splitCase`/[[hashPermille]] — no
+    * assignment join, nothing but the pair table ever shuffles), the
+    * cell labels canonicalize (lo ≤ hi, so leak cells don't split by
+    * direction), and the matrix is ≤ |splits|² rows.
+    *
+    * @return (split_lo, split_hi, n_pairs, is_leak) ordered. */
+  def splitLeakageAudit(pairs: DataFrame,
+                        splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum == 1000L,
+      s"split permilles must be non-negative and sum to 1000, got $splits")
+    val sa = splitCase(hashPermille(col("da")), splits)
+    val sb = splitCase(hashPermille(col("db")), splits)
+    pairs
+      .select(least(sa, sb).as("split_lo"), greatest(sa, sb).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        when(col("split_lo") =!= col("split_hi"), 1).otherwise(0))
+      .orderBy("split_lo", "split_hi")
+  }
 }

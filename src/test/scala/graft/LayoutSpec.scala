@@ -42,6 +42,39 @@ class LayoutSpec extends SparkSpec {
     assert(pruned > 0 && pruned < all)
   }
 
+  test("compactionPlan: greedy byte-target grouping over key-adjacent zones") {
+    import spark.implicits._
+    // zones of width 2 over keys 0..7, 10 bytes each -> zone bytes 20;
+    // target 30: bytes-before 0,20,40,60 -> groups 0,0,1,2 (a group may
+    // overflow the target by at most one input zone)
+    val uniform = (0 to 7).map(k => (k.toLong, "xxxxxxxxxx")).toDF("k", "t")
+    val out = Layout.compactionPlan(uniform, "k", octet_length(col("t")),
+      zoneWidth = 2L, targetBytes = 30L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 2L, 20L, 0L), (1L, 2L, 20L, 0L),
+      (2L, 2L, 20L, 1L), (3L, 2L, 20L, 2L)))
+    // a jumbo zone occupies its group alone and pushes the rest over
+    val skewed = Seq((0L, "x" * 50), (2L, "xxxxx"), (4L, "xxxxx"),
+      (6L, "xxxxx")).toDF("k", "t")
+    val out2 = Layout.compactionPlan(skewed, "k", octet_length(col("t")),
+      zoneWidth = 2L, targetBytes = 30L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out2 === Seq((0L, 1L, 50L, 0L), (1L, 1L, 5L, 1L),
+      (2L, 1L, 5L, 1L), (3L, 1L, 5L, 2L)))
+    // plan guard: the running-bytes window is global but reads the
+    // zone AGGREGATE, never raw rows
+    val wins = Layout.compactionPlan(uniform, "k", octet_length(col("t")),
+      2L, 30L).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.isEmpty))
+    wins.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "the cumsum window must sit above the zone aggregate")
+    }
+  }
+
   test("GraftSession factory registers native functions and UDAFs") {
     // the shared test session was not built by GraftSession; register
     // directly and confirm the SQL surface the factory promises

@@ -338,4 +338,23 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("x181/x186: suffix-sum and running-share windows read bounded aggregates") {
+    // x181's at-risk suffix sum runs over the 0..max-lifetime grid
+    // (span-bounded) and x186's cumulative share over the per-group
+    // weight table (|groups|-bounded) — both global windows must keep
+    // an Aggregate strictly below them so a refactor cannot re-point
+    // them at raw event/document rows
+    for (name <- Seq("x181_hazard_curve", "x186_pareto_sources")) {
+      val wins = logicalWindows(SparkEntry.queries(name)(spark, sf))
+      val unpart = wins.filter(_.partitionSpec.isEmpty)
+      assert(unpart.nonEmpty, s"$name: expected the bounded global window")
+      unpart.foreach { w =>
+        assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty,
+          s"$name: global window must read an aggregate, not raw rows")
+      }
+    }
+  }
 }

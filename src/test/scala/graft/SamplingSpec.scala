@@ -291,4 +291,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.kfoldAssign((1L to 3L).toDF("id"), "id", k = 1)
     }
   }
+
+  test("splitLeakageAudit: cells match the split rule, direction canonicalizes, " +
+    "off-diagonals flag") {
+    val splits = Seq("train" -> 900L, "val" -> 50L, "test" -> 50L)
+    // derive each endpoint's split from the SAME assignment operator —
+    // the audit must agree with splitAssign on every id
+    val ids = (1L to 40L)
+    val splitOf = Sampling.splitAssign(ids.toDF("doc_id"), "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    // pairs (i, i+20) with both directions present for some — the
+    // matrix must canonicalize and count each PAIR once per row
+    val pairRows = ids.take(20).map(i => (i, i + 20L)) ++
+      Seq((25L, 5L), (30L, 10L)) // reversed duplicates of existing pairs
+    val out = Sampling.splitLeakageAudit(pairRows.toDF("da", "db"), splits)
+      .as[(String, String, Long, Int)].collect().toSeq
+    val expected = pairRows
+      .map { case (a, b) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        (Seq(sa, sb).min, Seq(sa, sb).max)
+      }
+      .groupBy(identity).map { case ((lo, hi), v) =>
+        (lo, hi, v.size.toLong, if (lo != hi) 1 else 0) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(out === expected)
+    assert(out.exists(_._4 == 1), "the fixture must exercise a leak cell")
+    // every off-diagonal is flagged, every diagonal is not
+    assert(out.forall(r => (r._1 != r._2) == (r._4 == 1)))
+  }
 }

@@ -545,6 +545,37 @@ class StatsSpec extends SparkSpec {
     assert(out.map(_._5) === Seq(1, 1, 0)) // a+b reach 2/3 >= 1/2
   }
 
+  test("emd1d: hand-computed mass transport; identity is zero; a pure shift reads as the shift") {
+    def emd(a: Seq[Long], b: Seq[Long]): (Long, Long, Long) = {
+      val df = (a.map(("en", _)) ++ b.map(("fr", _))).toDF("lang", "v")
+      Profiling.emd1d(df, "lang", "v", "en", "fr")
+        .as[(Long, Long, Long)].head()
+    }
+    // A={0,10} B={10,10}: CDFs differ by 1/2 over [0,10) -> EMD 5
+    assert(emd(Seq(0L, 10L), Seq(10L, 10L)) === ((2L, 2L, 5000000L)))
+    // identical distributions -> 0
+    assert(emd(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) === ((3L, 3L, 0L)))
+    // A={0,1} shifted by exactly 100 -> EMD = 100 (the metric is in
+    // value units — KS on the same data saturates at its 1.0 max)
+    assert(emd(Seq(0L, 1L), Seq(100L, 101L)) === ((2L, 2L, 100000000L)))
+    // asymmetric sizes: A={0} B={2,2}: |1*2 - 0*1|*2 = 4 -> 4e6/2 = 2e6
+    assert(emd(Seq(0L), Seq(2L, 2L)) === ((1L, 2L, 2000000L)))
+  }
+
+  test("profileDiff: null-rate and distinct drift per column, integer ppm") {
+    val base = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option("b"))).toDF("id", "v")
+    val next = Seq((1L, Option("a")), (2L, Option("c")),
+      (3L, Option.empty[String]), (4L, Option.empty[String])).toDF("id", "v")
+    val out = Profiling.profileDiff(base, next, Seq("id", "v"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("id", 3L, 4L, 0L, 0L, 0L, 3L, 4L, 1L),
+      // null ppm 1/3 -> 333333, 2/4 -> 500000; distinct {a,b} -> {a,c}
+      ("v", 3L, 4L, 333333L, 500000L, 166667L, 2L, 2L, 0L)))
+  }
+
   test("hillTailIndex: an all-equal tail reports NULL α; too-few rows → empty") {
     val flat = Seq.fill(5)(7L).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "v")
