@@ -1192,6 +1192,28 @@ object SparkEntry {
       graft.core.Layout.compactionPlan(Tables.documents(s, d),
         "doc_id", octet_length(col("text")), zoneWidth = 50L,
         targetBytes = 40000L)),
+    // per-language percentile-rank map over doc lengths — the
+    // quantile-normalization table (and the exact CDF x177/x191 read)
+    "x194_percentile_rank" -> ((s, d) =>
+      graft.operators.Profiling.percentileRank(Tables.documents(s, d),
+        "lang", "n_chars")),
+    // JSON key-presence profile over a 4-shape synthetic payload —
+    // semi-structured schema inference; malformed rows are a row, not
+    // an exception (R16 quarantine discipline)
+    "x195_json_profile"   -> { (s, d) =>
+      val m = pmod(col("event_id"), lit(4L))
+      val j = when(m === 0L,
+          concat(lit("{\"uid\": "), col("user_id").cast("string"), lit("}")))
+        .when(m === 1L,
+          concat(lit("{\"uid\": "), col("user_id").cast("string"),
+            lit(", \"geo\": {\"cc\": \"US\"}}")))
+        .when(m === 2L,
+          concat(lit("{\"uid\": "), col("user_id").cast("string"),
+            lit(", \"tag\": \""), col("event_type"), lit("\", \"v\": 1}")))
+        .otherwise(lit("oops"))
+      graft.operators.Profiling.jsonKeyProfile(
+        Tables.events(s, d).select(j.as("j")), "j")
+    },
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -3988,6 +4010,40 @@ object SparkEntry {
          SELECT zone, n_rows, bytes,
            CAST((cum - bytes) // 40000 AS BIGINT) AS grp
          FROM c ORDER BY zone""",
+    // x194: the x123 weight-table discipline — inclusive running sum
+    // per group, integer permille
+    "x194_percentile_rank" ->
+      """WITH c AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (SELECT lang, v, n,
+             CAST(SUM(n) OVER (PARTITION BY lang ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+           FROM c)
+         SELECT lang, v, n, CAST((cum * 1000) // tot AS BIGINT)
+           AS pct_permille
+         FROM r ORDER BY lang, v""",
+    // x195: the same 4-shape payload synthesized in SQL, json_keys
+    // guarded by json_valid (malformed → the sentinel row)
+    "x195_json_profile" ->
+      """WITH src AS (SELECT CASE CAST(event_id % 4 AS INTEGER)
+             WHEN 0 THEN '{"uid": ' || CAST(user_id AS VARCHAR) || '}'
+             WHEN 1 THEN '{"uid": ' || CAST(user_id AS VARCHAR)
+               || ', "geo": {"cc": "US"}}'
+             WHEN 2 THEN '{"uid": ' || CAST(user_id AS VARCHAR)
+               || ', "tag": "' || event_type || '", "v": 1}'
+             ELSE 'oops' END AS j
+           FROM events),
+         ks AS (SELECT CASE WHEN json_valid(j) THEN json_keys(j)
+               ELSE ['__malformed__'] END AS kl
+           FROM src WHERE j IS NOT NULL),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM ks),
+         e AS (SELECT UNNEST(kl) AS key FROM ks)
+         SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST((COUNT(*) * 1000000) // t.tot AS BIGINT) AS present_ppm
+         FROM e CROSS JOIN t GROUP BY key, t.tot ORDER BY key""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch, x78/x179 DataSketches HLL states.

@@ -240,6 +240,27 @@ object Tour {
     println(s"[tour] unpivot rows=${graft.queries.Relational.unpivotMeasures(Tables.lineitem(spark, sf), Seq("l_orderkey"), Seq("qty_c" -> graft.queries.Relational.cents(col("l_quantity")))).count()}")
     println(s"[tour] pane distinct windows=${graft.operators.Incremental.paneSlidingDistinct(ev, 3600L * 1000000L, 6).count()}")
 
+    // round 10: trend/survival/CF, sharding, layout maintenance,
+    // drift integrals, leakage + skew pre-flights, JSON profiling
+    println(s"[tour] ols trends=${graft.operators.Behavior.olsTrend(ev).count()}")
+    println(s"[tour] hazard days=${graft.operators.Behavior.hazardCurve(ev).count()}")
+    println(s"[tour] item cosine pairs=${graft.operators.Behavior.itemCosine(Tables.lineitem(spark, sf), "l_orderkey", "l_partkey", minCount = 2, k = 20).count()}")
+    println(s"[tour] seasonal anomalies=${graft.operators.Behavior.seasonalVolumeAnomaly(ev).filter(col("is_anomaly") === 1).count()}")
+    println(s"[tour] shard schemes=${graft.operators.Sharding.rebalanceReport(docs, "doc_id", 4, 5).count()}")
+    println(s"[tour] zone map zones=${graft.operators.Profiling.zoneMapReport(Tables.lineitem(spark, sf).withColumn("ship_day", datediff(to_date(col("l_shipdate")), to_date(lit("1995-01-01"))).cast("long")), "l_orderkey", "ship_day", 1000L, 0L, 365L).count()}")
+    println(s"[tour] pareto head sources=${graft.operators.Profiling.paretoReport(docs, "source", col("n_chars")).filter(col("in_head") === 1).count()}")
+    println(s"[tour] join skew keys=${graft.operators.Profiling.joinSkewPreflight(ev, ev, "user_id", "user_id", k = 5).count()}")
+    println(s"[tour] freshness groups=${graft.operators.Profiling.freshnessReport(ev, "event_type", "ts", staleSecs = 3600L).count()}")
+    val leakPairs = Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300)
+    println(s"[tour] split leakage cells=${graft.operators.Sampling.splitLeakageAudit(leakPairs, Seq("train" -> 900L, "val" -> 50L, "test" -> 50L)).count()}")
+    Dedup.releaseCaches()
+    println(s"[tour] skyline points=${graft.operators.Skyline.frontier2d(Tables.orders(spark, sf).select(graft.queries.Relational.cents(col("o_totalprice")).as("x"), datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).cast("long").as("y")), "x", "y", 100000L).count()}")
+    println(s"[tour] emd micro=${graft.operators.Profiling.emd1d(docs, "lang", "n_chars", "en", "fr").select("emd_micro").head().getLong(0)}")
+    println(s"[tour] profile diff cols=${graft.operators.Profiling.profileDiff(docs, docs.limit(50), Seq("doc_id", "lang")).count()}")
+    println(s"[tour] compaction groups=${graft.core.Layout.compactionPlan(docs, "doc_id", octet_length(col("text")), 50L, 40000L).select("grp").distinct().count()}")
+    println(s"[tour] percentile rank rows=${graft.operators.Profiling.percentileRank(docs, "lang", "n_chars").count()}")
+    println(s"[tour] json keys=${graft.operators.Profiling.jsonKeyProfile(ev.select(col("props").as("j")), "j").count()}")
+
     println("[tour] ok")
     spark.stop()
   }

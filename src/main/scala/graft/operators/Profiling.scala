@@ -1073,6 +1073,71 @@ object Profiling {
       .orderBy("col_name")
   }
 
+  /** Per-group percentile-rank table — the quantile-normalization map
+    * every scale-free feature pipeline needs (rank-transform before
+    * mixing heavy-tailed features; [[hillTailIndex]] says WHEN the
+    * mean is meaningless, this is what to use instead): for each
+    * (group, value), the inclusive cumulative permille rank
+    * pct = P(X ≤ v)·1000. Joining this ≤|distinct values|-row map
+    * back onto the corpus rank-normalizes it in one broadcast-size
+    * equi-join; the map itself is the deliverable (it is also the
+    * exact CDF [[ksTest]]/[[emd1d]] compare).
+    *
+    * Exactness: counts are integers, pct by trunc div over the
+    * inclusive running sum; ties share one row and one rank (the
+    * distinct-value weight-table discipline — x123/x168).
+    *
+    * Shape: one map-side-combined (group, value) count; the running
+    * window orders the bounded weight table per group.
+    *
+    * @return (group, v, n, pct_permille) ordered by (group, v). */
+  def percentileRank(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val run = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cum", sum("n").over(run))
+      .withColumn("__tot", sum("n").over(Window.partitionBy("grp")))
+      .select(col("grp").as(groupCol), col("v"), col("n"),
+        expr("(__cum * 1000) div __tot").as("pct_permille"))
+      .orderBy(groupCol, "v")
+  }
+
+  /** JSON key-presence profile — schema inference for the
+    * semi-structured column every ETL feed carries (the reference's
+    * envelope-shape guessing, R7/R8, generalized to statistics): per
+    * TOP-LEVEL key, how many rows carry it and the ppm presence rate.
+    * The readout that catches an upstream payload change (a key that
+    * was always present dropping to 40% = a producer version split —
+    * the semi-structured sibling of [[profileDiff]]'s null-rate jump).
+    * Malformed/non-object rows count in the denominator and surface
+    * as a `__malformed__` row, not an exception — bad payloads are a
+    * finding, the R16 quarantine discipline.
+    *
+    * Shape: json_object_keys rides the scan (codegen'd, row-local),
+    * one explode over the per-row key LIST (bounded by payload width,
+    * not corpus size), one map-side-combined count; the total is a
+    * 1-row broadcast.
+    *
+    * @return (key, n_present, present_ppm) ordered by key. */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val rows = df.filter(col(jsonCol).isNotNull)
+      .select(coalesce(json_object_keys(col(jsonCol)),
+        array(lit("__malformed__"))).as("__ks"))
+    val tot = rows.agg(count(lit(1)).as("__tot"))
+    rows.select(explode(col("__ks")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_present"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_present"),
+        expr("(n_present * 1000000) div __tot").as("present_ppm"))
+      .orderBy("key")
+  }
+
   /** Zone-map / data-skipping report — the min-max-per-zone statistics
     * every columnar layout keeps per file or row group (parquet column
     * stats, Delta/Iceberg file stats), materialized as a queryable

@@ -209,6 +209,59 @@ object EventStreams {
       when(abs(z) >= zMilliBar, lit(1)).otherwise(lit(0)).as("is_anomaly"))
   }
 
+  /** Streaming DAY-OF-WEEK-adjusted volume gate — the in-flight twin
+    * of `Behavior.seasonalVolumeAnomaly`, closing the same batch→
+    * stream loop as [[volumeAnomalyStream]]: reference (mean, σ) per
+    * (event_type, weekday) comes from the batch operator's own
+    * history, and each CLOSED day window z-scores against ITS
+    * weekday's stats — so a quiet Sunday doesn't page and a dark
+    * Tuesday does, while the data is still in flight. The weekday is
+    * the same epoch-anchored day%7 as the batch form (no locale
+    * dayofweek), so the two can never disagree on which reference row
+    * applies.
+    *
+    * ONE windowed streaming aggregation (fixed 1-day windows, state
+    * per key = one count); day/dow/z are row-local projections with
+    * the reference baked in as plan literals. Types or weekdays
+    * without reference stats pin z to 0 (the batch zero-σ rule).
+    *
+    * @param reference ((event_type, dow) → (mean, sigma)) expected
+    *        per-day volume per weekday. */
+  def seasonalAnomalyStream(events: DataFrame,
+                            reference: Map[(String, Long), (Double, Double)],
+                            zMilliBar: Long = 2000L,
+                            epoch: String = "2024-01-01",
+                            watermark: String = "10 minutes"): DataFrame = {
+    require(reference.nonEmpty, "reference stats must be non-empty")
+    require(reference.values.forall(_._2 >= 0), "sigma must be >= 0")
+    require(reference.keys.forall { case (_, d) => d >= 0 && d < 7 },
+      "dow keys must be in [0, 7)")
+    require(zMilliBar > 0, s"zMilliBar must be positive, got $zMilliBar")
+    val agg = events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day",
+        datediff(to_date(col("window.start")), to_date(lit(epoch)))
+          .cast("long"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val mean = reference.foldLeft(lit(Double.NaN)) {
+      case (acc, ((ty, dw), (m, _))) =>
+        when(col("event_type") === ty && col("dow") === dw, lit(m))
+          .otherwise(acc)
+    }
+    val sigma = reference.foldLeft(lit(0d)) {
+      case (acc, ((ty, dw), (_, s))) =>
+        when(col("event_type") === ty && col("dow") === dw, lit(s))
+          .otherwise(acc)
+    }
+    val z = when(sigma === 0d || isnan(mean), lit(0L)).otherwise(
+      floor((col("n") - mean) / sigma * lit(1000d) + lit(0.5d)).cast("long"))
+    agg.select(col("window.start").as("window_start"),
+      col("event_type"), col("day"), col("dow"), col("n"),
+      z.as("z_milli"),
+      when(abs(z) >= zMilliBar, lit(1)).otherwise(lit(0)).as("is_anomaly"))
+  }
+
   /** Streaming burst debounce — the in-flight twin of
     * `Behavior.debounce`: per (user, event_type) key, an event is
     * flagged suppressed when it follows the previously-seen event of

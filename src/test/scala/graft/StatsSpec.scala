@@ -576,6 +576,30 @@ class StatsSpec extends SparkSpec {
       ("v", 3L, 4L, 333333L, 500000L, 166667L, 2L, 2L, 0L)))
   }
 
+  test("percentileRank: inclusive permille CDF per group, ties share a row") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 5L), ("b", 7L))
+      .toDF("g", "v")
+    val out = Profiling.percentileRank(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", 1L, 2L, 500L), ("a", 2L, 1L, 750L), ("a", 5L, 1L, 1000L),
+      ("b", 7L, 1L, 1000L)))
+  }
+
+  test("jsonKeyProfile: key presence ppm; malformed rows are a row, not a crash") {
+    val df = Seq(Some("""{"a": 1, "b": 2}"""), Some("""{"a": 3}"""),
+      Some("not json"), None).toDF("j")
+    val out = Profiling.jsonKeyProfile(df, "j")
+      .as[(String, Long, Long)].collect().toSeq
+    // 3 non-null rows in the denominator; the null row is absent entirely
+    assert(out === Seq(
+      ("__malformed__", 1L, 333333L), ("a", 2L, 666666L), ("b", 1L, 333333L)))
+    // valid-but-not-an-object payloads also land in the sentinel
+    val arr = Profiling.jsonKeyProfile(Seq("[1, 2]").toDF("j"), "j")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(arr === Seq(("__malformed__", 1L, 1000000L)))
+  }
+
   test("hillTailIndex: an all-equal tail reports NULL α; too-few rows → empty") {
     val flat = Seq.fill(5)(7L).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "v")

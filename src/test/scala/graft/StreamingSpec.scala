@@ -724,6 +724,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count(_._4 == 1) === 1)
   }
 
+  test("seasonalAnomalyStream ≡ batch seasonalVolumeAnomaly when fed its own stats") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch fixture: 15 days, dow0 counts 2,2,5, all other
+    // weekdays flat at 1 — day 14 is the only seasonal anomaly
+    val dayCount = (d: Int) => if (d % 7 == 0) (if (d == 14) 5 else 2) else 1
+    val evs = (0 to 14).flatMap { d =>
+      (0 until dayCount(d)).map(i =>
+        Ev(d * 100L + i, ts(f"2024-01-${d + 1}%02d 0$i%d:30:00"), 1, "click", 0.0))
+    }
+    // per-(type, dow) reference derived from the same series — the
+    // batch operator's own statistics, closing the batch→stream loop
+    val byDow = (0 to 14).groupBy(_ % 7)
+    val reference = byDow.map { case (dow, days) =>
+      val ns = days.map(dayCount(_).toDouble)
+      val mean = ns.sum / ns.size
+      val sigma = math.sqrt(ns.map(n => (n - mean) * (n - mean)).sum / ns.size)
+      ("click", dow.toLong) -> ((mean, sigma))
+    }
+    val input = MemoryStream[Ev]
+    val gated = EventStreams.seasonalAnomalyStream(input.toDF(),
+      reference, zMilliBar = 1000L, epoch = "2024-01-01",
+      watermark = "10 minutes")
+    runBatches(input, "eq_seasonal", gated, OutputMode.Append(),
+      Seq(evs, Seq(Ev(9999, ts("2024-02-20 12:00:00"), 9, "click", 0.0))))
+    val streamed = spark.table("eq_seasonal")
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        col("z_milli"), col("is_anomaly"))
+      .as[(String, Long, Long, Long, Long, Int)].collect().toSet
+    val batch = graft.operators.Behavior.seasonalVolumeAnomaly(
+      evDf(evs), zMilliBar = 1000L)
+      .as[(String, Long, Long, Long, Long, Int)].collect().toSet
+    assert(streamed === batch,
+      "stream fed batch-derived per-weekday stats must replay the batch gate")
+    assert(batch.count(_._6 == 1) === 1, "only day 14 flags")
+  }
+
   test("debounceStream matches the batch debounce on in-order input") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.TypedEvent]
