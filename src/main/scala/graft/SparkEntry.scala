@@ -1214,6 +1214,26 @@ object SparkEntry {
       graft.operators.Profiling.jsonKeyProfile(
         Tables.events(s, d).select(j.as("j")), "j")
     },
+    // event-time disorder (lateness) quantiles per type — the measured
+    // basis for every withWatermark delay; bucketed two-level running
+    // max, oracle runs the direct one-window spelling
+    "x196_lateness"       -> ((s, d) =>
+      graft.operators.Sessions.latenessProfile(Tables.events(s, d),
+        bucketWidth = 1000L)),
+    // as-of enrichment coverage: purchases attributed to a click
+    // within the hour — the ppm that separates sparse from broken
+    "x197_asof_match_rate" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us",
+        expr("unix_micros(ts)"))
+      graft.operators.AsOfJoin.matchRateReport(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"), col("ts_us")),
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id"),
+            col("ts_us").as("cts")),
+        key = "user_id", leftTime = "ts_us", rightTime = "cts",
+        probe = "cid", tolerance = Some(3600L * 1000000L))
+    },
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -4044,6 +4064,48 @@ object SparkEntry {
          SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
            CAST((COUNT(*) * 1000000) // t.tot AS BIGINT) AS present_ppm
          FROM e CROSS JOIN t GROUP BY key, t.tot ORDER BY key""",
+    // x196: the DIRECT one-window running max over arrival order — a
+    // hash match proves the bucketed two-level decomposition is
+    // semantics-preserving (x161/x170 pattern) — then the x168 ladder
+    "x196_lateness" ->
+      """WITH b AS (SELECT event_type AS t, epoch_us(ts) AS e,
+             CAST(event_id AS BIGINT) AS a
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND event_id IS NOT NULL),
+         l AS (SELECT t AS grp,
+             CAST(MAX(e) OVER (PARTITION BY t ORDER BY a
+               ROWS UNBOUNDED PRECEDING) - e AS BIGINT) AS v
+           FROM b),
+         vals AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS w
+           FROM l GROUP BY 1, 2),
+         c AS (SELECT grp, v, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS tot FROM vals),
+         q AS (SELECT CAST(UNNEST([500, 900, 990, 1000]) AS BIGINT)
+             AS q_permille)
+         SELECT c.grp, q.q_permille, CAST(MIN(c.v) AS BIGINT) AS value
+         FROM c CROSS JOIN q WHERE c.cum * 1000 >= q.q_permille * c.tot
+         GROUP BY 1, 2 ORDER BY grp, q_permille""",
+    // x197: the x18 backward-within-tolerance rule as an EXISTS per
+    // purchase, rolled to one integer-ppm coverage row
+    "x197_asof_match_rate" ->
+      """WITH l AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS lt
+           FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, epoch_us(ts) AS rt FROM events
+           WHERE event_type = 'click'),
+         m AS (SELECT l.pid,
+             MAX(CASE WHEN r.rt IS NOT NULL THEN 1 ELSE 0 END) AS hit
+           FROM l LEFT JOIN r ON r.user_id = l.user_id
+             AND r.rt <= l.lt AND r.rt >= l.lt - 3600000000
+           GROUP BY l.pid)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+           CAST(SUM(hit) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_unmatched,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+             ELSE CAST((SUM(hit) * 1000000) // COUNT(*) AS BIGINT) END
+             AS match_ppm
+         FROM m""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch, x78/x179 DataSketches HLL states.

@@ -283,4 +283,32 @@ object AsOfJoin {
         rightCols.map(c => col(s"__m.$c").as(c)): _*)
     chosen.unionByName(nullPayloadFor(tg.leftDegenerate, tg.leftCols, right, rightCols))
   }
+
+  /** As-of MATCH-RATE audit — the coverage check run before an as-of
+    * enrichment ships: of all left rows, how many found a backward
+    * match within `tolerance`? An attribution join quietly matching
+    * 12% of purchases is a bug report (wrong key, wrong clock unit,
+    * too-tight tolerance), not a feature table — and the ppm number is
+    * what distinguishes "sparse by nature" from "broken", BEFORE the
+    * nulls propagate into training data. `probe` names a never-null
+    * right column (an id); its null-ness after the join IS the
+    * unmatched marker.
+    *
+    * Cost: the [[backward]] one-shuffle union-window shape plus a
+    * 1-row aggregate; integer ppm.
+    *
+    * @return one row (n_left, n_matched, n_unmatched, match_ppm);
+    *         match_ppm NULL on an empty left side. */
+  def matchRateReport(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String, probe: String,
+                      tolerance: Option[Long] = None): DataFrame =
+    backward(left, right, key, leftTime, rightTime, Seq(probe),
+      tieBreak = None, tolerance = tolerance)
+      .agg(count(lit(1)).as("n_left"),
+        sum(when(col(probe).isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .select(col("n_left"), col("n_matched"),
+        (col("n_left") - col("n_matched")).as("n_unmatched"),
+        when(col("n_left") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_matched * 1000000) div n_left"))
+          .as("match_ppm"))
 }

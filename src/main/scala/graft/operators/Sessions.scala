@@ -278,4 +278,60 @@ object Sessions {
       .agg(count(lit(1)).as("n_raw"), sum("__w").as("decayed_micro"))
       .orderBy(typeCol)
   }
+
+  /** Event-time DISORDER profile — the measured basis for every
+    * `withWatermark` delay in [[graft.streaming.EventStreams]]: per
+    * type, the quantile ladder of each event's LATENESS, defined as
+    * (running max of event time over arrival order) − (its own event
+    * time). An in-order stream profiles all-zero; the p990/p1000 rows
+    * ARE the watermark decision (set the delay at the lateness
+    * quantile whose drop rate you accept — a number today guessed
+    * from folklore). Arrival order comes from the monotone ingest id
+    * (`event_id` — the reference connector assigns ids in fetch
+    * order; any ingest sequence column works).
+    *
+    * Scale shape: the running max NEVER runs as one global window —
+    * it decomposes two-level over arrival buckets exactly like
+    * [[graft.operators.Profiling.idGapsBucketed]]: a (type, bucket)-
+    * PARTITIONED prefix max within each bucket, plus a prefix max over
+    * the bounded per-bucket summary (the only unpartitioned-per-type
+    * window reads ≤|buckets| rows), and the two combine row-locally.
+    * The quantile ladder is [[graft.operators.Profiling.exactQuantiles]]
+    * over the lateness values (distinct-value weight table — at
+    * petabyte disorder cardinality swap the approx sibling, the x98
+    * anchor rule). The ORACLE runs the DIRECT one-window spelling —
+    * a hash match proves the bucket decomposition is
+    * semantics-preserving (the x161/x170 proof pattern).
+    *
+    * @return (grp, q_permille, value) — lateness micros per type and
+    *         quantile, ordered ([[graft.operators.Profiling.exactQuantiles]]'s
+    *         shape). */
+  def latenessProfile(events: DataFrame, bucketWidth: Long = 10000L,
+                      qsPermille: Seq[Long] = Seq(500L, 900L, 990L, 1000L),
+                      typeCol: String = "event_type", tsCol: String = "ts",
+                      arrivalCol: String = "event_id"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth ($bucketWidth) must be > 0")
+    val base = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull &&
+        col(arrivalCol).isNotNull)
+      .select(col(typeCol).as("t"), expr(s"unix_micros($tsCol)").as("e"),
+        col(arrivalCol).cast("long").as("a"))
+      .withColumn("b", expr(s"a div ${bucketWidth}L"))
+    val inBucket = Window.partitionBy("t", "b").orderBy("a")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val acrossBuckets = Window.partitionBy("t").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summary = base.groupBy("t", "b").agg(max("e").as("__bm"))
+      .withColumn("__pm", max("__bm").over(acrossBuckets))
+      .select("t", "b", "__pm")
+    val late = base
+      .withColumn("__in", max("e").over(inBucket))
+      .join(summary, Seq("t", "b"))
+      // __in includes the current row, so the running max ≥ e and
+      // lateness is never negative
+      .select(col("t"),
+        (greatest(col("__in"), coalesce(col("__pm"), col("__in"))) - col("e"))
+          .as("lateness_us"))
+    Profiling.exactQuantiles(late, "t", "lateness_us", qsPermille)
+  }
 }

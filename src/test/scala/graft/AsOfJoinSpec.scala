@@ -196,4 +196,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"))
     assert(df.count() === 1000L)
   }
+
+  test("matchRateReport: backward-within-tolerance coverage in integer ppm") {
+    // u1 purchase@100 matches its click@90 (gap 10 <= 50); u1
+    // purchase@5000's latest click (1000) is out of tolerance; u2 has
+    // no clicks at all -> 1 of 3 matched
+    val purchases = Seq((10L, 1L, 100L), (11L, 1L, 5000L), (12L, 2L, 100L))
+      .toDF("pid", "user_id", "ts_us")
+    val clicks = Seq((20L, 1L, 90L), (21L, 1L, 1000L))
+      .toDF("cid", "user_id", "cts")
+    val out = AsOfJoin.matchRateReport(purchases, clicks, "user_id",
+      "ts_us", "cts", probe = "cid", tolerance = Some(50L))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((3L, 1L, 2L, 333333L)))
+    // no tolerance: any backward click counts -> u1's both match
+    val loose = AsOfJoin.matchRateReport(purchases, clicks, "user_id",
+      "ts_us", "cts", probe = "cid", tolerance = None)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(loose === Seq((3L, 2L, 1L, 666666L)))
+  }
 }

@@ -178,4 +178,50 @@ class SessionsSpec extends SparkSpec {
       ("view", "purchase", 1L),   // user 1 session 1
       ("view", "view", 1L)))      // the singleton session
   }
+
+  test("latenessProfile: disorder quantiles; decomposition is bucket-width invariant") {
+    import org.apache.spark.sql.functions._
+    // arrival order 1..5 with event times 100,50,200,150,300 micros:
+    // running max 100,100,200,200,300 -> lateness 0,50,0,50,0
+    val e = Seq((1L, 100L), (2L, 50L), (3L, 200L), (4L, 150L), (5L, 300L))
+      .toDF("event_id", "us")
+      .select(col("event_id"), lit("a").as("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val expected = Seq(("a", 500L, 0L), ("a", 900L, 50L),
+      ("a", 990L, 50L), ("a", 1000L, 50L))
+    for (w <- Seq(1L, 2L, 1000L)) {
+      val out = graft.operators.Sessions.latenessProfile(e, bucketWidth = w)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(out === expected, s"bucketWidth $w diverged")
+    }
+    // a perfectly in-order stream profiles all-zero lateness
+    val ordered = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("event_id", "us")
+      .select(col("event_id"), lit("b").as("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val zero = graft.operators.Sessions.latenessProfile(ordered)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(zero.forall(_._3 == 0L))
+  }
+
+  test("latenessProfile plan: no per-type single-window pass over raw events") {
+    import org.apache.spark.sql.functions._
+    val e = (1 to 50).map(i => (i.toLong, (i * 7 % 50).toLong))
+      .toDF("event_id", "us")
+      .select(col("event_id"), lit("a").as("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val wins = graft.operators.Sessions.latenessProfile(e, bucketWidth = 10L)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    // the raw-event window must be keyed by (type, bucket); windows
+    // with a narrower key read only aggregates (bucket summary /
+    // lateness weight table)
+    wins.foreach { w =>
+      if (w.partitionSpec.size < 2)
+        assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty,
+          "a narrow-keyed window must read an aggregate, not raw events")
+    }
+  }
 }
