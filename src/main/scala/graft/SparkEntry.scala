@@ -1234,6 +1234,19 @@ object SparkEntry {
         key = "user_id", leftTime = "ts_us", rightTime = "cts",
         probe = "cid", tolerance = Some(3600L * 1000000L))
     },
+    // purged time split: train < Jan 20, a 2-day embargo absorbs
+    // windowed-feature lookback, test beyond — the x42 rule for series
+    "x198_time_split"     -> ((s, d) =>
+      graft.operators.Sampling.timeSplitAssign(Tables.events(s, d), "ts",
+        cutoffUs = 1705708800000000L, embargoUs = 2L * 86400L * 1000000L)
+        .select("event_id", "split").orderBy("event_id", "split")),
+    // label mix per split over the x42 assignment — the
+    // training-readiness audit (drifted test mix invalidates the eval)
+    "x199_class_balance"  -> ((s, d) =>
+      graft.operators.Profiling.classBalance(
+        graft.operators.Sampling.splitAssign(Tables.embeddings(s, d),
+          "vec_id", Seq("train" -> 900L, "val" -> 50L, "test" -> 50L)),
+        "split", "label")),
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -4106,6 +4119,32 @@ object SparkEntry {
              ELSE CAST((SUM(hit) * 1000000) // COUNT(*) AS BIGINT) END
              AS match_ppm
          FROM m""",
+    // x198: one integer-µs CASE per row — cutoff 2024-01-20T00:00Z,
+    // embargo 2 days
+    "x198_time_split" ->
+      """SELECT event_id,
+           CASE WHEN epoch_us(ts) < 1705708800000000 THEN 'train'
+             WHEN epoch_us(ts) < 1705881600000000 THEN 'embargo'
+             ELSE 'test' END AS split
+         FROM events ORDER BY event_id, split""",
+    // x199: the x42 md5 split CASE + per-(split, label) counts, group
+    // stats joined back, integer permille/milli
+    "x199_class_balance" ->
+      """WITH a AS (SELECT CASE WHEN h < 900 THEN 'train'
+             WHEN h < 950 THEN 'val' ELSE 'test' END AS split, label
+           FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+               1, 15) AS BIGINT) % 1000 AS h, label FROM embeddings)),
+         c AS (SELECT split,
+             COALESCE(CAST(label AS VARCHAR), '__null__') AS label,
+             CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1, 2),
+         g AS (SELECT split, CAST(SUM(n) AS BIGINT) AS group_n,
+             CAST(MAX(n) AS BIGINT) AS mx, CAST(MIN(n) AS BIGINT) AS mn
+           FROM c GROUP BY 1)
+         SELECT c.split, c.label, c.n,
+           CAST((c.n * 1000) // g.group_n AS BIGINT) AS share_permille,
+           g.group_n, CAST((g.mx * 1000) // g.mn AS BIGINT)
+             AS imbalance_milli
+         FROM c JOIN g USING (split) ORDER BY split, label""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch, x78/x179 DataSketches HLL states.

@@ -1138,6 +1138,44 @@ object Profiling {
       .orderBy("key")
   }
 
+  /** Class-balance report per group — the training-readiness audit
+    * run on every split before a model sees it: per (group, label)
+    * the count and within-group permille share, plus the group-level
+    * imbalance ratio (majority/minority count, in milli). A test
+    * split whose label mix drifted from train invalidates the eval;
+    * an imbalance ratio in the hundreds says accuracy is the wrong
+    * metric and the sampler ([[graft.operators.Sampling.rebalance]]-
+    * family) has work to do. NULL labels are counted as a class of
+    * their own spelled `__null__` — unlabeled mass is a finding.
+    *
+    * Exactness: all integers; share by trunc div; the ratio
+    * cross-multiplies (max·1000 div min).
+    *
+    * Shape: ONE map-side-combined (group, label) count; group totals
+    * and extrema are windows over that ≤|groups|·|labels|-bounded
+    * table.
+    *
+    * @return (group, label, n, share_permille, group_n,
+    *         imbalance_milli) ordered by (group, label). */
+  def classBalance(df: DataFrame, groupCol: String,
+                   labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"),
+        coalesce(col(labelCol).cast("string"), lit("__null__")).as("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("grp")
+    counts
+      .withColumn("group_n", sum("n").over(w))
+      .withColumn("__mx", max("n").over(w))
+      .withColumn("__mn", min("n").over(w))
+      .select(col("grp").as(groupCol), col("label"), col("n"),
+        expr("(n * 1000) div group_n").as("share_permille"),
+        col("group_n"),
+        expr("(__mx * 1000) div __mn").as("imbalance_milli"))
+      .orderBy(groupCol, "label")
+  }
+
   /** Zone-map / data-skipping report — the min-max-per-zone statistics
     * every columnar layout keeps per file or row group (parquet column
     * stats, Delta/Iceberg file stats), materialized as a queryable

@@ -355,6 +355,32 @@ object Sampling {
     df.withColumn("fold", hashMod(col(keyCol), k.toLong))
   }
 
+  /** Time-based train/test split with an EMBARGO gap — the
+    * time-series counterpart of [[splitAssign]]: rows strictly before
+    * `cutoffUs` train, rows in [cutoff, cutoff + embargo) are
+    * EMBARGOED (assigned to neither side), and rows at or beyond the
+    * embargo test. Random row-hash splits are WRONG for forecasting
+    * and event models — the model sees the future of the very series
+    * it is tested on; and even a clean time cutoff leaks through
+    * windowed features (a 7-day rolling count computed at test start
+    * reads 7 train days), which is exactly what the embargo absorbs
+    * (size it at the longest feature lookback — the purged/embargoed
+    * split of López de Prado 2018).
+    *
+    * Scan-only: one codegen CASE per row, no shuffle, no state;
+    * deterministic and growth-stable like every assigner here.
+    *
+    * @return input + `split` ∈ {train, embargo, test}. */
+  def timeSplitAssign(df: DataFrame, tsCol: String, cutoffUs: Long,
+                      embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, s"embargoUs ($embargoUs) must be >= 0")
+    val t = expr(s"unix_micros($tsCol)")
+    df.withColumn("split",
+      when(t < cutoffUs, lit("train"))
+        .when(t < cutoffUs + embargoUs, lit("embargo"))
+        .otherwise(lit("test")))
+  }
+
   /** Split-leakage audit — the MEASUREMENT that motivates
     * [[clusterSplitAssign]]: given the near-dup pair table (da, db)
     * and a per-document split rule, the matrix of pair counts by

@@ -292,6 +292,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("timeSplitAssign: cutoff and embargo boundaries are half-open and exact") {
+    val df = Seq(99L, 100L, 149L, 150L, 0L).toDF("us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val out = Sampling.timeSplitAssign(df, "ts", cutoffUs = 100L,
+      embargoUs = 50L).select("us", "split")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(0L -> "train", 99L -> "train", 100L -> "embargo",
+      149L -> "embargo", 150L -> "test"))
+    // zero embargo: the cutoff row goes straight to test
+    val none = Sampling.timeSplitAssign(df, "ts", 100L, 0L)
+      .select("us", "split").as[(Long, String)].collect().toMap
+    assert(none(100L) === "test" && none(99L) === "train")
+    intercept[IllegalArgumentException](
+      Sampling.timeSplitAssign(df, "ts", 100L, -1L))
+  }
+
   test("splitLeakageAudit: cells match the split rule, direction canonicalizes, " +
     "off-diagonals flag") {
     val splits = Seq("train" -> 900L, "val" -> 50L, "test" -> 50L)

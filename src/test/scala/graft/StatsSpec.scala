@@ -600,6 +600,19 @@ class StatsSpec extends SparkSpec {
     assert(arr === Seq(("__malformed__", 1L, 1000000L)))
   }
 
+  test("classBalance: per-group label shares, imbalance ratio, nulls are a class") {
+    val df = Seq(("A", Option("x")), ("A", Option("x")), ("A", Option("x")),
+      ("A", Option("y")), ("B", Option("z")), ("B", Option("z")),
+      ("B", Option.empty[String])).toDF("g", "l")
+    val out = Profiling.classBalance(df, "g", "l")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("A", "x", 3L, 750L, 4L, 3000L),
+      ("A", "y", 1L, 250L, 4L, 3000L),
+      ("B", "__null__", 1L, 333L, 3L, 2000L),
+      ("B", "z", 2L, 666L, 3L, 2000L)))
+  }
+
   test("hillTailIndex: an all-equal tail reports NULL α; too-few rows → empty") {
     val flat = Seq.fill(5)(7L).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "v")
