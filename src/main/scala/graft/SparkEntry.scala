@@ -1127,7 +1127,7 @@ object SparkEntry {
       graft.operators.Sharding.rebalanceReport(Tables.documents(s, d),
         "doc_id", nBefore = 4, nAfter = 5)),
     // zone-map skip report over an UNSORTED key layout — the honest
-    // ~0 skip fraction that indicts a shuffled table (LayoutSpec shows
+    // ~0 skip fraction that indicts a shuffled table (StatsSpec shows
     // the sorted contrast); ship_day anchored at the corpus epoch
     "x184_zone_map"       -> ((s, d) =>
       graft.operators.Profiling.zoneMapReport(

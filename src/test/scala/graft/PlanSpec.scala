@@ -326,7 +326,8 @@ class PlanSpec extends SparkSpec {
     // frequency-of-frequencies table (bounded by distinct multiplicity)
     // — both must keep an Aggregate strictly below the window so a
     // refactor cannot re-point them at raw events/keys
-    for (name <- Seq("x139_cusum", "x144_key_skew", "x177_ks_test")) {
+    for (name <- Seq("x139_cusum", "x144_key_skew", "x177_ks_test",
+      "x191_emd")) {
       val wins = logicalWindows(SparkEntry.queries(name)(spark, sf))
       val unpart = wins.filter(_.partitionSpec.isEmpty)
       assert(unpart.nonEmpty, s"$name: expected the bounded global window")
