@@ -1247,6 +1247,10 @@ object SparkEntry {
         graft.operators.Sampling.splitAssign(Tables.embeddings(s, d),
           "vec_id", Seq("train" -> 900L, "val" -> 50L, "test" -> 50L)),
         "split", "label")),
+    // trend + weekday + residual decomposition of daily volume — the
+    // residual series is the RIGHT input to any anomaly gate
+    "x200_seasonal_decomp" -> ((s, d) =>
+      graft.operators.Behavior.seasonalDecomposition(Tables.events(s, d))),
   )
 
   /** x171's audited column set — ONE list feeds both the Spark call
@@ -4145,6 +4149,53 @@ object SparkEntry {
            g.group_n, CAST((g.mx * 1000) // g.mn AS BIGINT)
              AS imbalance_milli
          FROM c JOIN g USING (split) ORDER BY split, label""",
+    // x200: the x180 fit CTEs, trend projected per day, dow effect as
+    // the detrended mean (trunc div — negatives truncate toward zero
+    // in both engines), residual by subtraction
+    "x200_seasonal_decomp" ->
+      """WITH c AS (SELECT event_type AS t,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         b AS (SELECT t, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY 1),
+         grid AS (SELECT t, UNNEST(range(d0, d1 + 1)) AS day FROM b),
+         dense AS (SELECT g.t, g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           FROM grid g LEFT JOIN c ON c.t = g.t AND c.day = g.day),
+         agg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sy,
+             CAST(SUM(day * n) AS BIGINT) AS sxy,
+             CAST(SUM(day * day) AS BIGINT) AS sxx
+           FROM dense GROUP BY 1),
+         s AS (SELECT t, d, sx, sy,
+             CASE WHEN d * sxx - sx * sx = 0 THEN NULL
+               ELSE ((d * sxy - sx * sy) * 1000000) // (d * sxx - sx * sx)
+               END AS slope
+           FROM agg),
+         i AS (SELECT t, slope,
+             CASE WHEN slope IS NULL THEN NULL
+               ELSE (sy * 1000000 - slope * sx) // d END AS icept
+           FROM s),
+         dt AS (SELECT dense.t, dense.day, dense.day % 7 AS dow, dense.n,
+             CASE WHEN slope IS NULL THEN NULL
+               ELSE icept + slope * dense.day END AS trend,
+             CASE WHEN slope IS NULL THEN NULL
+               ELSE dense.n * 1000000 - (icept + slope * dense.day)
+               END AS dm
+           FROM dense JOIN i ON dense.t = i.t),
+         dw AS (SELECT t, dow, SUM(dm) AS sdm,
+             CAST(COUNT(*) AS BIGINT) AS cd
+           FROM dt GROUP BY 1, 2)
+         SELECT dt.t AS event_type, CAST(dt.day AS BIGINT) AS day,
+           CAST(dt.dow AS BIGINT) AS dow, dt.n,
+           CAST(dt.trend AS BIGINT) AS trend_micro,
+           CASE WHEN dw.sdm IS NULL THEN NULL
+             ELSE CAST(dw.sdm // dw.cd AS BIGINT) END AS dow_micro,
+           CASE WHEN dt.dm IS NULL OR dw.sdm IS NULL THEN NULL
+             ELSE CAST(dt.dm - dw.sdm // dw.cd AS BIGINT) END
+             AS residual_micro
+         FROM dt JOIN dw ON dt.t = dw.t AND dt.dow = dw.dow
+         ORDER BY event_type, day""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch, x78/x179 DataSketches HLL states.

@@ -1207,6 +1207,69 @@ object Behavior {
       .limit(k)
   }
 
+  /** Classical seasonal DECOMPOSITION of the daily volume series —
+    * n(day) = trend + weekday effect + residual, all in exact integer
+    * micro-counts: the one table that tells the whole volume story at
+    * once where the gates each read one slice ([[olsTrend]] the
+    * trend, [[dowProfile]]/[[seasonalVolumeAnomaly]] the weekly
+    * shape, [[ewmaChart]]/[[cusumChangePoint]] the residual's jumps).
+    * The RESIDUAL series is the right input for any downstream
+    * anomaly gate: z-scoring raw counts confounds growth and
+    * weekday shape with actual surprises; z-scoring residuals does
+    * not. trend = the OLS line ([[olsTrend]]'s exact integer fit),
+    * weekday effect = the per-(type, dow) mean of the DETRENDED
+    * series (so trend and season are not double-counted), residual =
+    * what neither explains.
+    *
+    * Exactness: trend_micro = intercept + slope·day (integers),
+    * detrended = n·10⁶ − trend_micro, dow_micro = Σ detrended div
+    * count (trunc toward zero — the x163-verified portable rule, also
+    * for negatives), residual = detrended − dow_micro. Types whose
+    * grid is a single day (no x-variance — the fit is undefined)
+    * report NULL trend/dow/residual, never a crash.
+    *
+    * Shape: everything after the one event-scale count runs as
+    * window aggregates over the |types|·span-bounded dense grid.
+    *
+    * @return (event_type, day, dow, n, trend_micro, dow_micro,
+    *         residual_micro) ordered by (type, day). */
+  def seasonalDecomposition(events: DataFrame, epoch: String = "2024-01-01",
+                            typeCol: String = "event_type",
+                            tsCol: String = "ts"): DataFrame = {
+    val dense = dailyCountsDense(events, epoch, typeCol, tsCol)
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val w = Window.partitionBy("t")
+    val fit = dense
+      .withColumn("d", count(lit(1)).over(w))
+      .withColumn("sx", sum("day").over(w))
+      .withColumn("sy", sum("n").over(w))
+      .withColumn("sxy", sum(col("day") * col("n")).over(w))
+      .withColumn("sxx", sum(col("day") * col("day")).over(w))
+      .withColumn("__vx", col("d") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__cov", col("d") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("__slope",
+        when(col("__vx") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(__cov * 1000000) div __vx")))
+      .withColumn("__icept",
+        when(col("__slope").isNull, lit(null).cast("long"))
+          .otherwise(expr("(sy * 1000000 - __slope * sx) div d")))
+      .withColumn("trend_micro", col("__icept") + col("__slope") * col("day"))
+      .withColumn("__dm", col("n") * lit(1000000L) - col("trend_micro"))
+    val wd = Window.partitionBy("t", "dow")
+    fit
+      // sum skips nulls, so an all-null (degenerate-fit) type yields a
+      // NULL dow effect rather than a zero one
+      .withColumn("__sdm", sum("__dm").over(wd))
+      .withColumn("__cd", count(lit(1)).over(wd))
+      .withColumn("dow_micro",
+        when(col("__sdm").isNull, lit(null).cast("long"))
+          .otherwise(expr("__sdm div __cd")))
+      .select(col("t").as(typeCol), col("day"), col("dow"), col("n"),
+        col("trend_micro"), col("dow_micro"),
+        (col("__dm") - col("dow_micro")).as("residual_micro"))
+      .orderBy(typeCol, "day")
+  }
+
   /** Day-of-week-ADJUSTED daily volume anomaly gate — the seasonal
     * fix to [[dailyVolumeAnomaly]]'s one-distribution z-score: weekly
     * traffic shape makes every quiet Sunday a false alarm and hides a

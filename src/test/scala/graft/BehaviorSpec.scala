@@ -738,6 +738,63 @@ class BehaviorSpec extends SparkSpec {
     assert(out.count(_._6 == 1) === 1)
   }
 
+  test("seasonalDecomposition: a perfect line is all trend — zero season, zero residual") {
+    val rows = (0 to 3).flatMap(d =>
+      Seq.fill(1 + 2 * d)("a" -> f"2024-01-0${d + 1} 12:00:00"))
+    val out = Behavior.seasonalDecomposition(tsEv(rows: _*))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size === 4)
+    out.foreach { case (_, day, _, n, trend, dowEff, res) =>
+      assert(trend === n * 1000000L, s"day $day: trend must equal the data")
+      assert(dowEff === 0L && res === 0L)
+    }
+  }
+
+  test("seasonalDecomposition: flat volume + symmetric weekly bump decomposes exactly") {
+    // 14 days, n = 10 everywhere except dow3 (days 3, 10) where n = 17:
+    // the bump is symmetric around the midpoint, so OLS slope = 0 and
+    // trend = mean = 11; detrended = -1e6 / +6e6; dow effect absorbs
+    // ALL of it -> residual 0 everywhere
+    val rows = (0 to 13).flatMap { d =>
+      val n = if (d % 7 == 3) 17 else 10
+      Seq.fill(n)("a" -> f"2024-01-${d + 1}%02d 12:00:00")
+    }
+    val out = Behavior.seasonalDecomposition(tsEv(rows: _*))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size === 14)
+    out.foreach { case (_, day, dow, n, trend, dowEff, res) =>
+      assert(trend === 11000000L, s"day $day: trend must be the flat mean")
+      assert(dowEff === (if (dow == 3) 6000000L else -1000000L))
+      assert(res === 0L, s"day $day: the weekly shape must absorb everything")
+    }
+  }
+
+  test("seasonalDecomposition: a spike lands in the residual, not the season") {
+    // same shape as above but day 12 (dow 5) triples: the residual —
+    // and ONLY the residual of the affected dow — must move
+    val rows = (0 to 13).flatMap { d =>
+      val n = if (d == 12) 30 else if (d % 7 == 3) 17 else 10
+      Seq.fill(n)("a" -> f"2024-01-${d + 1}%02d 12:00:00")
+    }
+    val out = Behavior.seasonalDecomposition(tsEv(rows: _*))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    // the spiked day carries a large positive residual; its dow twin
+    // (day 5) a negative one (the dow mean rose); other dows' residuals
+    // stay comparatively small
+    assert(out(12L)._7 > 5000000L, s"spike residual: ${out(12L)}")
+    assert(out(5L)._7 < 0L)
+    assert(math.abs(out(4L)._7) < math.abs(out(12L)._7) / 2)
+  }
+
+  test("seasonalDecomposition: a single-day series reports NULL components") {
+    val out = Behavior.seasonalDecomposition(tsEv(Seq.fill(3)(
+      "z" -> "2024-01-01 12:00:00"): _*))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out === Seq(("z", 0L, 0L, 3L, None, None, None)))
+  }
+
   test("theilSenTrend: negative slopes TRUNCATE toward zero (the portable rule)") {
     // counts 2,0,0,1 on days 0..3 (middle days densified): sorted pair
     // slopes −2e6, −1e6, −333333, 0, 5e5, 1e6 → median −333333 — the
