@@ -349,4 +349,119 @@ class PropertySpec extends SparkSpec {
       out == direct
     }, n = 6)
   }
+
+  test("itemCosine equals the brute-force scorer on random basket sets") {
+    check(Prop.forAll(
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 7L), Gen.choose(1L, 6L)))) { rows =>
+      val df = rows.toDF("basket", "item")
+      val out = graft.operators.Behavior
+        .itemCosine(df, "basket", "item", minCount = 1, k = 1000)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val facts = rows.distinct
+      val n = facts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val brute = (for {
+        a <- n.keys; b <- n.keys if a < b
+        ab = facts.map(_._1).distinct.count(bk =>
+          facts.contains((bk, a)) && facts.contains((bk, b))).toLong
+        if ab >= 1
+      } yield (a, b, n(a), n(b), ab,
+        math.floor(ab * 1000.0 / math.sqrt((n(a) * n(b)).toDouble) + 0.5).toLong))
+        .toSet
+      out == brute
+    }, n = 6)
+  }
+
+  test("hazardCurve conserves the population and at-risk counts decay") {
+    check(Prop.forAll(
+      Gen.listOfN(25, Gen.zip(Gen.choose(1L, 8L), Gen.choose(0, 9)))) { rows =>
+      val df = rows.map { case (u, d) => (u, f"2024-01-${d + 1}%02d 10:00:00") }
+        .toDF("user_id", "__s")
+        .withColumn("ts", to_timestamp(col("__s")))
+      val out = graft.operators.Behavior.hazardCurve(df)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val users = rows.map(_._1).distinct.size.toLong
+      val conserved = out.map(r => r._3 + r._4).sum == users
+      val atRiskStartsFull = out.headOption.forall(_._2 == users)
+      val decays = out.map(_._2) == out.map(_._2).sorted.reverse
+      // at every t, at_risk equals everyone with lifetime >= t
+      val suffixLaw = out.forall(r =>
+        r._2 == out.filter(_._1 >= r._1).map(x => x._3 + x._4).sum)
+      conserved && atRiskStartsFull && decays && suffixLaw
+    }, n = 6)
+  }
+
+  test("paretoReport: shares close at 1000 and the head is the minimal covering prefix") {
+    check(Prop.forAll(
+      Gen.listOfN(6, Gen.zip(Gen.identifier.map(_.take(4)), Gen.choose(1L, 50L)))) { raw =>
+      val rows0 = raw.distinctBy(_._1)
+      val rows = if (rows0.nonEmpty) rows0 else List(("g", 1L))
+      locally {
+        val df = rows.toDF("grp", "w")
+        val out = graft.operators.Profiling.paretoReport(df, "grp", col("w"))
+          .as[(String, Long, Long, Long, Int)].collect().toSeq
+        val closes = out.last._4 == 1000L
+        val headIsPrefix = {
+          val flags = out.map(_._5)
+          flags == flags.sorted.reverse
+        }
+        // minimality: the head's mass reaches 80% only at its last member
+        val tot = out.map(_._2).sum
+        val head = out.filter(_._5 == 1)
+        val reaches = head.map(_._2).sum * 1000 >= tot * 800
+        val minimal = head.size == 1 ||
+          head.init.map(_._2).sum * 1000 < tot * 800
+        closes && headIsPrefix && reaches && minimal
+      }
+    }, n = 8)
+  }
+
+  test("compactionPlan conserves bytes, groups are contiguous and target-bounded") {
+    check(Prop.forAll(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 20L), Gen.choose(1, 40)))) { rows =>
+      val df = rows.map { case (k, len) => (k, "x" * len) }.toDF("k", "t")
+      val out = graft.core.Layout
+        .compactionPlan(df, "k", octet_length(col("t")), zoneWidth = 3L,
+          targetBytes = 50L)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val conserved = out.map(_._3).sum == rows.map(_._2.toLong).sum &&
+        out.map(_._2).sum == rows.size.toLong
+      val contiguous = out.map(_._4) == out.map(_._4).sorted
+      // every group except possibly the last reaches the target once its
+      // final zone lands, and overflows by at most that one zone
+      val byGrp = out.groupBy(_._4).toSeq.sortBy(_._1)
+      val bounded = byGrp.forall { case (_, zs) =>
+        zs.map(_._3).sum < 50L + zs.map(_._3).max ||
+          zs.map(_._3).sum <= 50L
+      }
+      conserved && contiguous && bounded
+    }, n = 8)
+  }
+
+  test("emd1d is symmetric in its two groups") {
+    check(Prop.forAll(
+      Gen.zip(Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(_.take(10)),
+        Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(_.take(10)))) {
+      case (as, bs) =>
+        val df = (as.map(("p", _)) ++ bs.map(("q", _))).toDF("g", "v")
+        val pq = graft.operators.Profiling.emd1d(df, "g", "v", "p", "q")
+          .select("emd_micro").as[Long].head()
+        val qp = graft.operators.Profiling.emd1d(df, "g", "v", "q", "p")
+          .select("emd_micro").as[Long].head()
+        pq == qp
+    }, n = 6)
+  }
+
+  test("percentileRank: ranks are monotone per group and close at 1000") {
+    check(Prop.forAll(
+      Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 15L)))) { rows =>
+      val df = rows.toDF("g", "v")
+      val out = graft.operators.Profiling.percentileRank(df, "g", "v")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      out.groupBy(_._1).forall { case (_, rs) =>
+        val ranks = rs.sortBy(_._2).map(_._4)
+        ranks == ranks.sorted && ranks.last == 1000L &&
+          rs.map(_._3).sum == rows.count(r => r._1 == rs.head._1).toLong
+      }
+    }, n = 8)
+  }
 }
