@@ -31,3 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+
+// Per-commit test tier: everything except the suites tagged with
+// graft.Slow (see SlowSuite.scala) — sub-3-minute feedback; the full
+// `test` remains the milestone/CI gate.
+addCommandAlias("quickTest", "testOnly * -- -l graft.Slow")

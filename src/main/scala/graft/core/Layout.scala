@@ -125,7 +125,13 @@ object Layout {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("zone")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(expr(s"cast($keyCol as bigint) div ${zoneWidth}L").as("zone"),
+    // NULL keys zone nowhere and are dropped; floor-division zone id
+    // (exact bigint form) keeps negative keys in correctly-labelled
+    // zones — the zoneMapReport discipline.
+    df.filter(col(keyCol).isNotNull)
+      .select(expr(s"""(cast($keyCol as bigint)
+            - pmod(cast($keyCol as bigint), ${zoneWidth}L))
+            div ${zoneWidth}L""").as("zone"),
         bytes.cast("long").as("__b"))
       .groupBy("zone")
       .agg(count(lit(1)).as("n_rows"), sum("__b").as("bytes"))

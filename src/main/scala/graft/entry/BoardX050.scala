@@ -1,0 +1,966 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.queries.Relational
+import graft.entry.EntryLib._
+
+/** Board segment: capability rows x50–x99 — query registrations and their
+  * DuckDB oracle texts, concatenated into the driver contract by
+  * [[graft.SparkEntry]] (which documents the rules; EntrySpec pins
+  * the 1:1 id/alias/oracle-key invariants across segments). */
+private[graft] object BoardX050 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // outlier-robust mean of the value signal, clipped at [p05, p95]
+    "x50_winsorize"       -> (Relational.winsorizedMean _),
+    // LM-quality proxy: corpus-fit unigram model, per-doc mean
+    // negative log-prob in millinats
+    "x51_surprisal"       -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
+    // mixture health: Shannon entropy of each language's source
+    // distribution
+    "x52_source_entropy"  -> ((s, d) =>
+      TextAnalysis.sourceEntropy(Tables.documents(s, d))),
+    // regular-grid resample of the value signal (31 daily instants over
+    // the event month, µs resolution), composed from backward+forward
+    // as-of joins with linear interpolation between brackets
+    "x54_resample"        -> ((s, d) =>
+      graft.operators.Sessions.resampleLinear(
+        Tables.events(s, d).withColumn("ts_us", expr("unix_micros(ts)")),
+        startTs = 1704067200000000L, endTs = 1706659200000000L,
+        stepTs = 86_400_000_000L, tsCol = "ts_us")
+        .orderBy("user_id", "g_ts")),
+    // PageRank centrality over the x07 near-dup pair graph — 10 fixed
+    // power iterations (hub documents of duplication neighborhoods)
+    "x55_pagerank"        -> ((s, d) =>
+      graft.operators.Graph.pageRank(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2, minPermille = 300),
+        iterations = 10)),
+    // int8 embedding quantization — scalar projections only (the
+    // driver's pandas compare cannot hash array cells; the array form
+    // is covered by SimilaritySpec)
+    "x53_quantize_int8"   -> ((s, d) =>
+      graft.operators.Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select("vec_id", "q_csv", "q_l1")),
+    // fixed-point integer k-means (4 clusters, 2 Lloyd rounds) —
+    // integer state makes the whole trajectory, not just the labels,
+    // exactly oracle-replayable
+    "x56_kmeans"          -> ((s, d) =>
+      graft.operators.Clustering.kmeans(Tables.embeddings(s, d),
+        idCol = "vec_id", vecCol = "embedding", k = 4, iterations = 2)),
+    // robust per-language length outliers. The fence is pinned at
+    // 1.9·MAD for THIS query: the synthetic corpus has no heavy tail
+    // (max deviation ≈ 2.76·MAD), so the conventional 3.5 default
+    // would "pass" vacuously on an empty result at every SF
+    "x57_outliers_mad"    -> ((s, d) =>
+      TextAnalysis.madOutliers(Tables.documents(s, d), kMilli = 1900L)),
+    // Morton (Z-order) layout key over the low 8 bits of
+    // (custkey, orderkey) — the write-time sort key for
+    // two-dimensional min/max file skipping
+    "x58_zorder"          -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        graft.core.Layout.zValue(
+          pmod(col("o_custkey"), lit(256L)), pmod(col("o_orderkey"), lit(256L)),
+          bits = 8).as("zval"))
+        .orderBy("zval", "o_orderkey").limit(200)),
+    // one-pass per-column corpus profile (rows / nulls / exact distincts)
+    "x59_profile"         -> ((s, d) =>
+      graft.operators.Profiling.profile(Tables.documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // hybrid retrieval: RRF fusion of the x47 lexical pool and a dense
+    // cosine pool (query = vec 0), both at depth 50, fused top-20
+    "x60_hybrid_rrf"      -> ((s, d) =>
+      graft.operators.Retrieval.hybridRrf(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("vector", "stream", "join"), queryVecId = 0L, k = 20)),
+    // frequency-ranked vocabulary (V=512) + per-doc token-id encoding
+    "x61_vocab_encode"    -> ((s, d) =>
+      TextAnalysis.vocabEncode(Tables.documents(s, d), vocabSize = 512)),
+    // deterministic 5-per-language sample (md5-permutation rank)
+    "x62_group_sample"    -> ((s, d) =>
+      graft.operators.Sampling.groupSample(Tables.documents(s, d),
+        groupCol = "lang", keyCol = "doc_id", n = 5)
+        .select("doc_id", "lang").orderBy("doc_id", "lang")),
+    // snapshot diff vs a simulated next drop: doc_id%97 removed,
+    // doc_id%53 text-changed, 4 high-id rows added
+    "x63_snapshot_diff"   -> { (s, d) =>
+      val base = Tables.documents(s, d)
+      graft.operators.Snapshot.diff(base, nextDrop(base), "doc_id", Seq("text"))
+    },
+    // 12-bin fixed-range histogram of n_chars over [0, 600)
+    "x64_histogram"       -> ((s, d) =>
+      graft.operators.Profiling.histogram(Tables.documents(s, d), "n_chars",
+        lo = 0L, hi = 600L, nbins = 12)),
+    // asymmetric near-dup: shingle containment (quote/partial-copy
+    // detection) with Jaccard alongside to expose the asymmetry gap.
+    // shingleK=3 is the same content-block scale lever as x38: 3-shingle
+    // blocks are ~30x rarer than 2-shingles on this corpus, same pairs
+    "x65_containment"     -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), shingleK = 3,
+        minPermille = 700)),
+    // materialized-view refresh: per-customer (count, sum-of-cents)
+    // state split at 1999-01-01, merged — must equal one full groupBy
+    "x66_incremental_agg" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val cut = lit("1999-01-01").cast("date")
+      def part(f: DataFrame) = graft.operators.Incremental.aggState(
+        f, Seq("o_custkey"), Relational.cents(col("o_totalprice")))
+      graft.operators.Incremental.merge(Seq(
+        part(o.filter(col("o_orderdate") < cut)),
+        part(o.filter(col("o_orderdate") >= cut))))
+        .orderBy("o_custkey")
+    },
+    // padding-waste accounting per power-of-two length bucket
+    "x67_length_buckets"  -> ((s, d) =>
+      TextAnalysis.lengthBuckets(Tables.documents(s, d))),
+    // span-level dedup: maximal shared token runs ≥ 15 via positional
+    // 5-gram diagonals (the substring-dedup signal set scores miss)
+    "x68_shared_runs"     -> ((s, d) =>
+      Dedup.sharedRuns(Tables.documents(s, d), gramK = 5,
+        minRunTokens = 15, maxDf = 8)),
+    // deterministic JL sign projection 64→8: exact integer sums over
+    // micro-quantized elements, md5-parity sign matrix (seed 42)
+    "x69_random_project"  -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), inDims = 64,
+        outDims = 8)),
+    // per-user majority event type + agreement (annotation-vote shape)
+    "x70_majority_vote"   -> ((s, d) =>
+      Relational.majorityVote(Tables.events(s, d), "user_id", "event_type")),
+    // per-language integer percent-rank of n_chars (score calibration)
+    "x71_rank_calibrate"  -> ((s, d) =>
+      Relational.rankCalibrate(Tables.documents(s, d), "lang", "n_chars",
+        "doc_id")),
+    // trending event types: exact power-of-two half-life decay (2 days)
+    "x72_decayed_counts"  -> ((s, d) =>
+      graft.operators.Sessions.decayedCounts(Tables.events(s, d))),
+    // SemDeDup: k-means pre-bin (k=16) → within-cluster cosine ≥ 900‰
+    // → component survivors — paraphrase-level dedup, cluster-bounded.
+    // The corpus has no natural ≥900‰ pairs (ceiling ~0.51), so the
+    // demo plants md5-perturbed copies (the ORACLE-replayable variant
+    // of x23's xxhash64 planting) of the first 64 vectors — the drop
+    // set is non-empty and every stage is still exactly replayed
+    "x73_semantic_dedup"  -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // two-step select: the output column is ALSO named vec_id, and
+      // Spark's lateral column alias resolution would silently bind
+      // the lambda's vec_id to the just-shifted value (DuckDB binds
+      // the input) — hashing from the distinctly-named orig_id keeps
+      // both engines perturbing from the SAME key
+      val planted = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("orig_id"), col("embedding"), col("label"))
+        .select(
+          (col("orig_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + lit(0.02d) *
+              (conv(substring(md5(concat_ws(":", col("orig_id"), i)), 1, 15), 16, 10)
+                .cast("double") / lit(1152921504606846976.0d))).cast("float"))
+            .as("embedding"),
+          col("label"))
+      graft.operators.Clustering.semanticDedup(emb.unionByName(planted),
+        idCol = "vec_id", vecCol = "embedding", k = 16, iterations = 2,
+        minPermille = 900L)
+    },
+    // PPJoin-style prefix-filtered containment at the operating point
+    // x201's df-profile planner RECOMMENDS for this corpus (k=4:
+    // prefix candidate mass 87k vs 583k at the old static k=3 —
+    // measured at sf0.1; DedupSpec pins the recommendation so corpus
+    // drift re-opens the choice loudly). Same ORACLE FORM as x65 at
+    // the same k — candidate recall 1.0 + exact verification keep the
+    // output bit-identical to the unfiltered plan
+    "x74_containment_prefix" -> ((s, d) =>
+      Dedup.containmentPairsPrefix(Tables.documents(s, d), shingleK = 4,
+        minPermille = 700)),
+    // PII-pattern redaction with audit counts; the corpus has no
+    // natural emails/URLs, so the query plants deterministic ones
+    "x75_redact"          -> { (s, d) =>
+      val planted = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7L)) === 0L,
+            concat(lit(" contact user"), pmod(col("doc_id"), lit(100L)).cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13L)) === 0L,
+            concat(lit(" see https://ex.org/p"), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.redact(planted)
+    },
+    // incremental-corpus dedup: the x63 drop's CONTENT-new rows only —
+    // the re-keyed copies (added under new ids, same text) are dups
+    // here, the content-changed rows are not; contrast with x63's
+    // keyed view of the same drop
+    "x76_new_docs"        -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.newAgainstBase(nextDrop(docs),
+        TextAnalysis.fingerprintMd5(docs).select("fp"))
+        .select("doc_id")
+    },
+    // context-aware LM-quality proxy: add-one-smoothed bigram NLL
+    "x77_bigram_surprisal" -> ((s, d) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    // incremental DISTINCT maintenance: HLL states split at the same
+    // date cut as x66, merged losslessly (sketch internals are
+    // engine-specific -> rows-only check, rule 6; the merge-law
+    // identity and error bound are IncrementalSpec-asserted)
+    "x78_incremental_distinct" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val cut = lit("1999-01-01").cast("date")
+      def st(f: DataFrame) = graft.operators.Incremental.distinctState(
+        f, Seq("o_custkey"), col("o_orderdate").cast("date").cast("string"))
+      graft.operators.Incremental.distinctEstimate(
+        graft.operators.Incremental.mergeDistinct(Seq(
+          st(o.filter(col("o_orderdate") < cut)),
+          st(o.filter(col("o_orderdate") >= cut)))))
+    },
+    // distribution-drift gate on the same simulated drop x63/x76 view:
+    // PSI over text-length bins (x64's binning rule), add-one smoothed
+    // across the full support, per-bin signed contributions in
+    // micronats — sums to the headline index
+    "x79_psi_drift"       -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def lens(f: DataFrame) = f.select(length(col("text")).as("len"))
+      graft.operators.Profiling.psiDrift(lens(docs), lens(nextDrop(docs)),
+        "len", lo = 0L, hi = 600L, nbins = 12)
+    },
+    // NEAR-dup eval decontamination (x41's exact-overlap complement):
+    // the benchmark slice is a re-keyed, half-perturbed copy of docs
+    // 10-24, so every bench doc's corpus source must be caught even
+    // where the ' heldout' edit breaks exact matching. Two-step select
+    // (distinct intermediate name) — the lateral-alias resolution trap
+    "x80_cross_neardup"   -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") >= 10 && col("doc_id") < 25)
+        .select(col("doc_id").as("orig_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 0L,
+            concat(col("text"), lit(" heldout"))).otherwise(col("text")).as("text"))
+        .select((col("orig_id") + lit(9000000L)).as("doc_id"), col("text"))
+      Dedup.crossNearDup(docs.filter(col("doc_id") >= 10), bench,
+        shingleK = 2, numHashes = 16, rowsPerBand = 4, minPermille = 600)
+    },
+    // multilingual epoch mixing at temperature α=0.5 (mT5 rule):
+    // stratum budget ∝ √n_l — tail languages up-weighted vs x44's
+    // fixed shares; sqrt is the ONE correctly-rounded IEEE op both
+    // engines share, everything after is exact integer division
+    "x81_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureMix(Tables.documents(s, d), "lang",
+        "doc_id", alpha = 0.5, budget = 500L)
+        .select("doc_id", "lang").orderBy("doc_id", "lang")),
+    // DSIR importance weights toward the long-doc slice (length as the
+    // classic weak-quality proxy): hashed-bigram multinomial
+    // log-likelihood ratio, add-one smoothed over 4096 buckets
+    "x82_dsir_weights"    -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirWeights(docs, docs.filter(col("n_chars") >= 300),
+        gramK = 2, buckets = 4096)
+    },
+    // hard-negative mining (DPR/ANCE): per probe query, top-5 most
+    // cosine-similar vectors with a DIFFERENT label — same broadcast
+    // scoring shape as x09/x13, plus the negatives-only filter
+    "x83_hard_negatives"  -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    // fuzzy-exact dedup via C4/Dolma normalization: planted case/punct
+    // variants of docs 0-7 must collapse onto their originals where
+    // md5-exact dedup (x01) keeps them apart
+    "x84_dedup_normalized" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") < 8)
+        .select((col("doc_id") + lit(8000000L)).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text"))
+      Dedup.exactNormalized(docs.select("doc_id", "text").unionByName(planted))
+    },
+    // quality-aware survivor selection on the x34 cluster graph: keep
+    // the LONGEST member per near-dup cluster (ties -> min id), not
+    // the min id — "which copy survives" as a curation decision
+    "x85_survivor_quality" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.survivorsByScore(
+        Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300),
+        docs.select(col("doc_id"), col("n_chars").as("score")))
+    },
+    // per-language token census: top-10 tokens per lang — the
+    // per-stratum boilerplate/stopword view a global census drowns
+    "x86_group_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHittersByGroup(Tables.documents(s, d), "lang", m = 10)),
+    // tokenizer fertility per language: chars/kilotoken decides token
+    // budgets (α-sampling over raw doc counts misbudgets without it)
+    "x87_fertility"       -> ((s, d) =>
+      TextAnalysis.fertilityStats(Tables.documents(s, d), "lang")),
+    // mix-design review table: per-lang token shares, √-tempered token
+    // quotas out of a 500k budget, and the effective-epoch pressure
+    // each quota implies (epochs > 1000 milli = data repeats)
+    "x88_mixture_report"  -> ((s, d) =>
+      graft.operators.Sampling.mixtureReport(Tables.documents(s, d), "lang",
+        alpha = 0.5, budgetTokens = 500000L)),
+    // dedup report: the cluster-size distribution of the x07 pair
+    // graph, unpaired corpus remainder reported as size-1 clusters
+    "x89_cluster_sizes"   -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterSizeHistogram(docs,
+        Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300))
+    }),
+    // provenance view of the same pair graph: which (source, source)
+    // cells the verified near-dups straddle
+    "x90_source_overlap"  -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.sourceOverlapMatrix(
+        Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300), docs)
+    }),
+    // tokenizer-vocab sizing curve: top-25 tokens with cumulative
+    // corpus coverage permille
+    "x91_vocab_coverage"  -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), m = 25)),
+    // per-language dynamic quality bar: keep each language's top
+    // quartile by length — the group-aware form of a global cutoff
+    "x92_top_quantile"    -> ((s, d) =>
+      graft.operators.Sampling.topQuantileByGroup(Tables.documents(s, d),
+        "lang", "n_chars", "doc_id", keepPermille = 250L)),
+    // per-dimension z-scoring of the embedding table (milli-rounded
+    // CSV, the x53 output discipline)
+    "x93_standardize"     -> ((s, d) =>
+      Similarity.standardizeDims(Tables.embeddings(s, d))),
+    // doc-scoped span duplication: what fraction of each doc's 40-char
+    // windows (every 10 chars) appears verbatim in another doc — the
+    // per-document boilerplate score the x68 pairwise runs roll up to
+    "x94_span_dedup"      -> ((s, d) =>
+      Dedup.spanDedupStats(Tables.documents(s, d), k = 40, stride = 10)),
+    // closed-form S-curve banding planner at x07's signature width:
+    // the fp/fn cost of every bands×rows split of 16 minhashes at the
+    // 300‰ operating threshold — pure generated compute, no scan
+    "x95_lsh_plan"        -> ((s, _) =>
+      Dedup.lshBandingPlan(s, numHashes = 16, thresholdPermille = 300)),
+    // feature-redundancy scan: Pearson corr over the four lineitem
+    // measure columns from EXACT integer moments (decimal sums), one
+    // aggregation pass, milli-rounded
+    "x96_corr_matrix"     -> ((s, d) =>
+      graft.operators.Profiling.corrMatrix(
+        Tables.lineitem(s, d).select(
+          Relational.cents(col("l_quantity")).as("qty_c"),
+          Relational.cents(col("l_extendedprice")).as("price_c"),
+          Relational.cents(col("l_discount")).as("disc_c"),
+          Relational.cents(col("l_tax")).as("tax_c")),
+        Seq("qty_c", "price_c", "disc_c", "tax_c"))),
+    // lang×source association: per-cell PMI in micronats over the
+    // vocabulary-bounded contingency table
+    "x97_pmi_cells"       -> ((s, d) =>
+      graft.operators.Profiling.pmiCells(Tables.documents(s, d),
+        "lang", "source")),
+    // equi-depth deciles of line price: exact NTILE anchor (global
+    // sort at test scale; approxQuantile bounds are the 100 TB path)
+    "x98_equidepth"       -> ((s, d) =>
+      graft.operators.Profiling.equidepthHistogram(
+        Tables.lineitem(s, d).select(
+          Relational.cents(col("l_extendedprice")).as("price_c"),
+          col("l_orderkey"), col("l_linenumber")),
+        "price_c", nbins = 10, tieBreakCols = Seq("l_orderkey", "l_linenumber"))),
+    // embedding covariance upper triangle (PCA/whitening precursor),
+    // chained-explode cross moments, milli-rounded
+    "x99_covariance"      -> ((s, d) =>
+      Similarity.covarianceMatrix(Tables.embeddings(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // x50: exact-percentile clip bands (same interop contract as x26),
+    // cents guard on the clipped mean
+    "x50_winsorize" ->
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+         SELECT e.event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)) * 100 + 0.5) AS BIGINT)
+             AS wmean_cents
+         FROM events e JOIN b USING (event_type)
+         GROUP BY e.event_type ORDER BY event_type NULLS FIRST""",
+    // x51: the unigram NLL replayed with the same double shapes
+    // (BIGINT/BIGINT division is true division in DuckDB, matching
+    // Spark's long/long → double); millinat rounding absorbs
+    // summation-order ulps
+    "x51_surprisal" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         t AS (SELECT SUM(cnt) AS total FROM c)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(SUM(-ln(c.cnt / t.total)) / COUNT(*) * 1000 + 0.5) AS BIGINT)
+             AS nll_millinats
+         FROM tok JOIN c USING (tok) CROSS JOIN t
+         GROUP BY doc_id ORDER BY doc_id""",
+    // x52: H = ln N − Σ n·ln n / N — the exact identity the Spark side
+    // computes from the same group totals
+    "x52_source_entropy" ->
+      """WITH per AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2)
+         SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(FLOOR((ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) * 1000 + 0.5) AS BIGINT)
+             AS entropy_millinats
+         FROM per GROUP BY lang ORDER BY lang NULLS FIRST""",
+    // x54: DuckDB's native ASOF JOIN replays both bracket lookups
+    // (largest t ≤ g and smallest t ≥ g); the tie collapse, the lerp
+    // arithmetic shape and the cents guard mirror the Spark side
+    "x54_resample" ->
+      """WITH ev0 AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+         ded AS (SELECT user_id, t, value FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id, t ORDER BY event_id DESC) AS rn FROM ev0)
+           WHERE rn = 1),
+         grid AS (SELECT u.user_id, g.g_ts
+           FROM (SELECT DISTINCT user_id FROM ev0) u
+           CROSS JOIN (SELECT UNNEST(generate_series(
+             1704067200000000, 1706659200000000, 86400000000)) AS g_ts) g),
+         bw AS (SELECT grid.user_id, grid.g_ts, ded.t AS bt, ded.value AS bv
+           FROM grid ASOF LEFT JOIN ded
+           ON grid.user_id = ded.user_id AND ded.t <= grid.g_ts),
+         fw AS (SELECT grid.user_id, grid.g_ts, ded.t AS ft, ded.value AS fv
+           FROM grid ASOF LEFT JOIN ded
+           ON grid.user_id = ded.user_id AND ded.t >= grid.g_ts)
+         SELECT bw.user_id AS user_id, bw.g_ts AS g_ts,
+           CASE WHEN bt = ft THEN 'exact'
+                WHEN bt IS NOT NULL AND ft IS NOT NULL THEN 'lerp'
+                WHEN bt IS NOT NULL THEN 'hold' ELSE 'backfill' END AS kind,
+           CAST(FLOOR((CASE WHEN bt = ft THEN bv
+                WHEN bt IS NOT NULL AND ft IS NOT NULL
+                  THEN bv + (fv - bv) * (bw.g_ts - bt) / (ft - bt)
+                WHEN bt IS NOT NULL THEN bv ELSE fv END) * 100 + 0.5) AS BIGINT)
+             AS val_cents
+         FROM bw JOIN fw ON bw.user_id = fw.user_id AND bw.g_ts = fw.g_ts
+         ORDER BY user_id, g_ts""",
+    // x53: per-vector max-abs int8 quantization — floor(x·127/s + 0.5)
+    // is exact on the parquet floats widened to double, so the CSV
+    // form and l1 norm replay bit for bit
+    "x53_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, e -> ABS(CAST(e AS DOUBLE)))) AS scale
+           FROM embeddings)
+         SELECT vec_id,
+           array_to_string(CASE WHEN scale = 0 THEN
+               list_transform(embedding, e -> 0)
+             ELSE
+               list_transform(embedding, e ->
+                 CAST(FLOOR(CAST(e AS DOUBLE) * 127 / scale + 0.5) AS INTEGER))
+             END, ',') AS q_csv,
+           CAST(list_sum(CASE WHEN scale = 0 THEN
+               list_transform(embedding, e -> 0)
+             ELSE
+               list_transform(embedding, e ->
+                 CAST(ABS(FLOOR(CAST(e AS DOUBLE) * 127 / scale + 0.5)) AS INTEGER))
+             END) AS BIGINT) AS q_l1
+         FROM s ORDER BY vec_id""",
+    "x55_pagerank" -> pageRankOracle,
+    // x56: the ENTIRE fixed-point k-means trajectory — micro-quantized
+    // coords, integer argmin assignments (ties → lowest index), rounded
+    // integer centroid updates — replayed iteration for iteration
+    "x56_kmeans" -> kmeansOracle,
+    // x57: exact interpolated medians over integers are x.0/x.5 —
+    // every quantity in the MAD fence is an exact double
+    "x57_outliers_mad" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+           FROM documents),
+         m AS (SELECT lang, median(n_tok) AS med FROM t GROUP BY lang),
+         d AS (SELECT t.doc_id, t.lang, t.n_tok, ABS(t.n_tok - m.med) AS dev
+           FROM t JOIN m ON t.lang = m.lang),
+         md AS (SELECT lang, median(dev) AS mad FROM d GROUP BY lang)
+         SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_tok AS n_tok,
+           CAST(FLOOR(d.dev * 1000.0) AS BIGINT) AS dev_milli
+         FROM d JOIN md ON d.lang = md.lang
+         WHERE d.dev * 1000.0 > 1900.0 * md.mad
+         ORDER BY doc_id, lang, n_tok, dev_milli""",
+    // x58: bit interleave is pure integer shift/mask arithmetic —
+    // identical spelling both engines
+    "x58_zorder" -> zOrderOracle,
+    "x59_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT($c) AS n_null,
+            COUNT(DISTINCT $c) AS n_distinct FROM documents""")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
+    // x60: both pools replayed (x47's BM25 at depth 50; x09's cosine
+    // restricted to query 0), then the two-term RRF sum — ranks are
+    // integers, the fusion is two IEEE divisions + one addition in a
+    // fixed order, rounded to micros
+    "x60_hybrid_rrf" -> hybridRrfOracle,
+    // x61: the vocabulary rank (count DESC, token ASC) and the OOV→0
+    // encoding are pure integer/string operations
+    "x61_vocab_encode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         tk AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS i, ts FROM t),
+         tt AS (SELECT doc_id, i, ts[CAST(i AS INT)] AS tok FROM tk),
+         cnt AS (SELECT tok, COUNT(*) AS n FROM tt GROUP BY tok),
+         v AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS id
+               FROM cnt ORDER BY n DESC, tok LIMIT 512),
+         e AS (SELECT tt.doc_id, tt.i, COALESCE(v.id, 0) AS id
+               FROM tt LEFT JOIN v USING (tok))
+         SELECT doc_id, string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS ids_csv,
+           COUNT(*) AS n_tok,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         FROM e GROUP BY doc_id ORDER BY doc_id""",
+    // x62: the md5 permutation rank replayed per group
+    "x62_group_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000007, doc_id) AS rn
+           FROM documents) WHERE rn <= 5 ORDER BY doc_id, lang""",
+    // x63: same simulated next drop, same md5 fingerprints
+    "x63_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS k, md5(text) AS fp FROM documents),
+         nn AS (SELECT doc_id AS k, md5(text) AS fp FROM (
+           SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 4)),
+         f AS (SELECT COALESCE(o.k, nn.k) AS doc_id,
+             CASE WHEN o.fp IS NULL THEN 'added' WHEN nn.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> nn.fp THEN 'changed' ELSE 'unchanged' END AS status
+           FROM o FULL OUTER JOIN nn ON o.k = nn.k)
+         SELECT doc_id, status FROM f WHERE status <> 'unchanged'
+         ORDER BY doc_id, status""",
+    // x64: integer bin arithmetic; negative-numerator div differences
+    // are clamped into bin 0 in both engines
+    "x64_histogram" ->
+      """SELECT LEAST(GREATEST((n_chars - 0) * 12 // 600, 0), 11) AS bin,
+           COUNT(*) AS n
+         FROM documents WHERE n_chars IS NOT NULL GROUP BY 1 ORDER BY bin""",
+    // x65: same shingle chain as x06/x38; containment normalizes by
+    // the SMALLER set, Jaccard by the union — both integer permille
+    "x65_containment" -> containmentOracle(3),
+    // x74: the prefix-filtered plan answers to the same oracle FORM as
+    // x65, instantiated at the x201-recommended k=4 operating point
+    // (at its own shingleK) — plan-independence is the claim certified
+    "x74_containment_prefix" -> containmentOracle(4),
+    // x77: same exact-integer ratios, same ln shapes as x51; millinat
+    // rounding absorbs summation-order ulps
+    "x77_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         le AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 2),
+         pos AS (SELECT doc_id, ts, UNNEST(range(1, len(ts))) AS i FROM le),
+         bi AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i + 1] AS bg FROM pos),
+         c2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+         tokt AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         c1 AS (SELECT tok, COUNT(*) AS c1 FROM tokt GROUP BY tok),
+         v AS (SELECT COUNT(*) AS v FROM c1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(FLOOR(SUM(ln((c1.c1 + v.v) / (c2.c2 + 1))) / COUNT(*) * 1000 + 0.5)
+             AS BIGINT) AS nll_millinats
+         FROM bi JOIN c2 USING (bg) JOIN c1 ON bi.w1 = c1.tok CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id""",
+    // x76: NOT EXISTS on the md5 fingerprint — content identity, not
+    // key identity (the added-but-copied rows vanish, unlike x63)
+    "x76_new_docs" ->
+      """WITH nn AS (
+           SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 4)
+         SELECT doc_id FROM nn n
+         WHERE NOT EXISTS (SELECT 1 FROM documents b WHERE md5(b.text) = md5(n.text))
+         ORDER BY doc_id""",
+    // x75: same planted text, same RE2-and-Java-common patterns;
+    // counts pre-redaction, replacements in rule order
+    "x75_redact" ->
+      """WITH t AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id % 100 AS VARCHAR) || '@example.com now'
+               ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+               THEN ' see https://ex.org/p' || CAST(doc_id AS VARCHAR)
+               ELSE '' END AS text2
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g') AS clean,
+           CAST(len(regexp_extract_all(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text2, 'https?://[^ ]+')) AS BIGINT) AS n_url
+         FROM t ORDER BY doc_id""",
+    // x66: the merge law — split-state merge must equal one full
+    // aggregation over all rows (same cents spelling as q02)
+    "x66_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS tot
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    // x67: smallest power-of-two rung ≥ token count; integer waste
+    "x67_length_buckets" ->
+      """WITH t AS (SELECT LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tok
+           FROM documents),
+         b AS (SELECT CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+             WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+             WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+             ELSE 1024 END AS bucket, n_tok FROM t)
+         SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(1000 - (SUM(n_tok) * 1000) // (COUNT(*) * bucket) AS BIGINT)
+             AS waste_permille
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    // x68: positional 5-gram diagonals → islands; i is 1-based in the
+    // CTE chain, start offsets re-based to 0 to match posexplode
+    "x68_shared_runs" -> sharedRunsOracle,
+    // x69: the same ±1 literals (generated from the same md5-parity
+    // function) baked into SQL — every yj an exact integer sum
+    "x69_random_project" -> randomProjectOracle,
+    // x70: count → window total + deterministic tie-break replayed
+    "x70_majority_vote" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+         t AS (SELECT user_id, event_type, n,
+                 SUM(n) OVER (PARTITION BY user_id) AS total,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY n DESC, event_type) AS rn
+               FROM c)
+         SELECT user_id, event_type AS winner, n AS votes,
+           CAST((n * 1000) // total AS BIGINT) AS agreement_permille
+         FROM t WHERE rn = 1 ORDER BY user_id""",
+    // x71: RANK ties share a calibrated score; 1-row groups pin to 0
+    "x71_rank_calibrate" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+             RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents)
+         SELECT doc_id, lang, n_chars,
+           CAST(CASE WHEN cnt = 1 THEN 0
+                ELSE ((r - 1) * 1000) // (cnt - 1) END AS BIGINT) AS pr_permille
+         FROM t ORDER BY doc_id, lang""",
+    // x73: kmeans chain + x09-parity cosine + x34-style closure
+    "x73_semantic_dedup" -> semanticDedupOracle,
+    // x72: same floor-div shift, same power-of-two weights — integers
+    // end to end, so the decayed totals hash-match
+    "x72_decayed_counts" ->
+      """WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS ad FROM events),
+         e AS (SELECT event_type,
+                 date_diff('day', CAST(ts AS DATE), (SELECT ad FROM a)) AS age
+               FROM events),
+         w AS (SELECT event_type,
+                 CASE WHEN age // 2 <= 19 THEN 1000000 // (1 << (age // 2))
+                      ELSE 0 END AS wt
+               FROM e)
+         SELECT event_type, COUNT(*) AS n_raw,
+           CAST(SUM(wt) AS BIGINT) AS decayed_micro
+         FROM w GROUP BY event_type ORDER BY event_type""",
+    // x88: token totals via the x03 identity; sqrt weights (x81 rule);
+    // HUGEINT quota/share/epoch arithmetic mirrors Spark's DECIMAL(38,0)
+    "x88_mixture_report" ->
+      """WITH c AS (SELECT lang AS grp, COUNT(*) AS n_docs,
+             CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens
+           FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+         w AS (SELECT grp, n_docs, n_tokens,
+             CAST(FLOOR(sqrt(n_tokens) * 1000000) AS BIGINT) AS w FROM c),
+         t AS (SELECT CAST(SUM(n_tokens) AS HUGEINT) AS tot_tokens,
+             CAST(SUM(w) AS HUGEINT) AS tot_w FROM w),
+         q AS (SELECT grp, n_docs, n_tokens,
+             CAST((CAST(n_tokens AS HUGEINT) * 1000) // tot_tokens AS BIGINT) AS share_permille,
+             CAST((CAST(500000 AS HUGEINT) * w) // tot_w AS BIGINT) AS quota_tokens
+           FROM w CROSS JOIN t)
+         SELECT grp, n_docs, n_tokens, share_permille, quota_tokens,
+           CAST((CAST(quota_tokens AS HUGEINT) * 1000) // n_tokens AS BIGINT) AS epochs_milli
+         FROM q ORDER BY grp""",
+    // x89: the x34 recursive-CTE closure, then pure integer histogram
+    // arithmetic; the singleton row replays Spark's two-scalar
+    // complement exactly
+    "x89_cluster_sizes" ->
+      s"""WITH RECURSIVE $minHashPairsCtes,
+         sym AS (SELECT da AS s, db AS d FROM pairs
+                 UNION SELECT db AS s, da AS d FROM pairs),
+         verts AS (SELECT DISTINCT s AS v FROM sym),
+         reach AS (SELECT v AS a, v AS b FROM verts
+                   UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+         lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+         multi AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM csizes GROUP BY cluster_size),
+         tot AS (SELECT COUNT(doc_id) AS n FROM documents),
+         labn AS (SELECT COUNT(*) AS n FROM lab)
+         SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters FROM (
+           SELECT cluster_size, n_clusters FROM multi
+           UNION ALL
+           SELECT 1, tot.n - labn.n FROM tot CROSS JOIN labn WHERE tot.n > labn.n)
+         ORDER BY cluster_size""",
+    // x90: the x07 pair CTEs joined to each endpoint's source, then
+    // the unordered (LEAST, GREATEST) cell count
+    "x90_source_overlap" ->
+      s"""WITH $minHashPairsCtes,
+         ga AS (SELECT p.da, p.db, d.source AS sa
+                FROM pairs p JOIN documents d ON p.da = d.doc_id),
+         gb AS (SELECT g.da, g.db, g.sa, d.source AS sb
+                FROM ga g JOIN documents d ON g.db = d.doc_id)
+         SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM gb GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // x91: integer counts, ROW_NUMBER + running sum over the
+    // vocabulary-bounded counts table, integer permille
+    "x91_vocab_coverage" ->
+      """WITH c AS (SELECT tok, COUNT(*) AS n
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY tok),
+         t AS (SELECT SUM(n) AS total FROM c),
+         r AS (SELECT tok, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, tok) AS cum FROM c)
+         SELECT CAST(rank AS BIGINT) AS rank, tok, n,
+           CAST((cum * 1000) // total AS BIGINT) AS cum_permille
+         FROM r CROSS JOIN t WHERE rank <= 25 ORDER BY rank""",
+    // x92: x71's histogram percent-rank, filtered to the top band —
+    // ties share a rank so tie classes keep/drop atomically
+    "x92_top_quantile" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+             RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents),
+         p AS (SELECT doc_id, lang, n_chars,
+             CAST(CASE WHEN cnt = 1 THEN 0
+                  ELSE ((r - 1) * 1000) // (cnt - 1) END AS BIGINT) AS pr_permille
+           FROM t)
+         SELECT doc_id, lang, n_chars, pr_permille FROM p
+         WHERE pr_permille >= 750 ORDER BY doc_id""",
+    // x93: population mean/σ per dimension in DOUBLE, z milli-rounded
+    // half-up — the x53 CSV output discipline; constant dims → 0
+    "x93_standardize" ->
+      """WITH pos AS (SELECT vec_id, UNNEST(embedding) AS e,
+             UNNEST(range(len(embedding))) AS i FROM embeddings),
+         st AS (SELECT i, AVG(CAST(e AS DOUBLE)) AS m,
+             AVG(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS m2
+           FROM pos GROUP BY i),
+         sd AS (SELECT i, m, sqrt(GREATEST(m2 - m * m, 0)) AS s FROM st)
+         SELECT p.vec_id,
+           string_agg(CASE WHEN sd.s = 0 THEN '0'
+             ELSE CAST(CAST(FLOOR((CAST(p.e AS DOUBLE) - sd.m) / sd.s * 1000 + 0.5)
+               AS BIGINT) AS VARCHAR) END, ',' ORDER BY p.i) AS z_csv
+         FROM pos p JOIN sd ON p.i = sd.i
+         GROUP BY p.vec_id ORDER BY vec_id""",
+    // x87: x03's LENGTH-difference token identity summed per lang;
+    // pure integer division
+    "x87_fertility" ->
+      """SELECT lang AS grp, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+           CAST((SUM(LENGTH(text)) * 1000)
+             // SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT)
+             AS chars_per_kilotoken
+         FROM documents WHERE lang IS NOT NULL
+         GROUP BY lang ORDER BY grp""",
+    // x86: integer counts + deterministic (n DESC, tok) rank replay
+    "x86_group_heavy_hitters" ->
+      """WITH t AS (SELECT lang AS grp, UNNEST(string_split(text, ' ')) AS tok
+           FROM documents WHERE lang IS NOT NULL),
+         c AS (SELECT grp, tok, COUNT(*) AS n FROM t GROUP BY grp, tok),
+         r AS (SELECT grp, tok, n, ROW_NUMBER() OVER (PARTITION BY grp
+                 ORDER BY n DESC, tok) AS rank FROM c)
+         SELECT grp, tok, n, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY grp, rank, tok, n""",
+    // x85: x34's recursive-CTE closure, then the argmax replayed as a
+    // rank window over (n_chars DESC, doc_id)
+    "x85_survivor_quality" ->
+      s"""WITH RECURSIVE $minHashPairsCtes,
+         sym AS (SELECT da AS s, db AS d FROM pairs
+                 UNION SELECT db AS s, da AS d FROM pairs),
+         verts AS (SELECT DISTINCT s AS v FROM sym),
+         reach AS (SELECT v AS a, v AS b FROM verts
+                   UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+         cc AS (SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+                FROM reach GROUP BY a),
+         sc AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+                FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+         r AS (SELECT cluster_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+               FROM sc)
+         SELECT cluster_id, doc_id AS keep_id,
+           CAST(n_members AS BIGINT) AS n_members
+         FROM r WHERE rn = 1 ORDER BY cluster_id, keep_id, n_members""",
+    // x84: normalization chain replayed with 'g'-flagged RE2∩Java
+    // patterns (x75 discipline); ASCII lower parity
+    "x84_dedup_normalized" ->
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 8000000 AS doc_id, upper(text) || '!!' AS text
+           FROM documents WHERE doc_id < 8)
+         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM u
+         GROUP BY MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+         ORDER BY keep_id, dup_count""",
+    // x83: the x09/x13 double-fold cosine replay with the label filter;
+    // null labels excluded both sides, ties broken by neighbor id
+    "x83_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10 AND label IS NOT NULL),
+         c AS (SELECT vec_id AS neighbor_id, label AS clabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE label IS NOT NULL),
+         s AS (SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(qv, cv), p -> p[1] * p[2])), (a, b) -> a + b) AS d,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(qv, x -> x * x)), (a, b) -> a + b)) *
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS n
+           FROM q, c WHERE qlabel <> clabel),
+         r AS (SELECT query_id, neighbor_id,
+             CASE WHEN n = 0 THEN 0.0 ELSE d / n END AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS cos_permille
+         FROM r WHERE rank <= 5
+         ORDER BY query_id, rank, neighbor_id, cos_permille""",
+    // x82: the gram chain replays gram_hashes (multiplicity kept);
+    // bucket = h % 4096 exact; ONE ln per bucket, factors cast to
+    // DOUBLE before the multiply (exact below 2^53, same IEEE product
+    // above — and never an ANSI Long overflow on the Spark side);
+    // per-doc SUM(ln) absorbed by millinat floor (x77)
+    "x82_dsir_weights" ->
+      s"""WITH ${gramCtes(2, "documents", "r")},
+         ${gramCtes(2, "(SELECT * FROM documents WHERE n_chars >= 300)", "t")},
+         rb AS (SELECT doc_id, h % 4096 AS b FROM rgr),
+         tb AS (SELECT h % 4096 AS b FROM tgr),
+         qc AS (SELECT b, COUNT(*) AS qcnt FROM rb GROUP BY b),
+         tc AS (SELECT b, COUNT(*) AS tcnt FROM tb GROUP BY b),
+         tot AS (SELECT (SELECT SUM(tcnt) FROM tc) AS ttot,
+                 (SELECT SUM(qcnt) FROM qc) AS qtot),
+         lnr AS (SELECT qc.b,
+             ln((CAST(COALESCE(tc.tcnt, 0) + 1 AS DOUBLE) * CAST(tot.qtot + 4096 AS DOUBLE))
+                / (CAST(qc.qcnt + 1 AS DOUBLE) * CAST(tot.ttot + 4096 AS DOUBLE))) AS lnr
+           FROM qc LEFT JOIN tc ON qc.b = tc.b CROSS JOIN tot)
+         SELECT rb.doc_id AS doc_id, COUNT(*) AS n_grams,
+           CAST(FLOOR(SUM(lnr.lnr) * 1000 + 0.5) AS BIGINT) AS logw_millinats
+         FROM rb JOIN lnr ON rb.b = lnr.b
+         GROUP BY rb.doc_id ORDER BY doc_id""",
+    // x81: floor(sqrt(n)·10⁶) is reproducible because IEEE sqrt is
+    // correctly rounded in both engines; quota/rate arithmetic is
+    // integer (HUGEINT here, BigInt in Spark); selection replays the
+    // x35/x44 md5 hash decision bit-for-bit at PERMILLION granularity
+    // (permille would floor sub-n/1000 quotas to zero)
+    "x81_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+             WHERE lang IS NOT NULL GROUP BY lang),
+         w AS (SELECT lang, n, CAST(FLOOR(sqrt(n) * 1000000) AS BIGINT) AS w FROM c),
+         t AS (SELECT SUM(w) AS tw FROM w),
+         q AS (SELECT lang, n, LEAST(CAST(n AS HUGEINT), (500 * w) // tw) AS quota
+               FROM w CROSS JOIN t),
+         r AS (SELECT lang, (quota * 1000000) // n AS rate FROM q)
+         SELECT d.doc_id AS doc_id, d.lang AS lang
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < r.rate
+         ORDER BY d.doc_id, d.lang""",
+    // x80: the x07 full-replay discipline over two tables — signatures,
+    // banding, candidates and verification all re-derived in SQL
+    "x80_cross_neardup" -> crossNearDupOracle,
+    // x79: bin rule is x64's exact integer arithmetic; ONE ln per bin
+    // over a ratio of exact integer products, p-differences are single
+    // IEEE divisions, floor-rounded micronats absorb ulp skew (x51/x77
+    // discipline). Same nn CTE as x76 — the same simulated drop.
+    "x79_psi_drift" ->
+      """WITH nn AS (
+           SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 4),
+         a AS (SELECT LEAST(GREATEST(length(text) * 12 // 600, 0), 11) AS bin
+               FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT LEAST(GREATEST(length(text) * 12 // 600, 0), 11) AS bin
+               FROM nn WHERE text IS NOT NULL),
+         ca AS (SELECT bin, COUNT(*) AS n_base FROM a GROUP BY bin),
+         cb AS (SELECT bin, COUNT(*) AS n_next FROM b GROUP BY bin),
+         spine AS (SELECT UNNEST(range(12)) AS bin),
+         j AS (SELECT spine.bin,
+                 COALESCE(ca.n_base, 0) AS n_base,
+                 COALESCE(cb.n_next, 0) AS n_next
+               FROM spine LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+         t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tot_base,
+                 CAST(SUM(n_next) AS BIGINT) AS tot_next FROM j)
+         SELECT bin, n_base, n_next,
+           CAST(FLOOR(((n_base + 1) / (tot_base + 12) - (n_next + 1) / (tot_next + 12))
+             * ln(((n_base + 1) * (tot_next + 12)) / ((n_next + 1) * (tot_base + 12)))
+             * 1000000 + 0.5) AS BIGINT) AS psi_micronats
+         FROM j CROSS JOIN t ORDER BY bin""",
+    // x94: the span table is a lateral unnest over stride positions,
+    // substr is char-based 1-indexed in both engines; duplicated =
+    // distinct-doc frequency ≥ 2; integer permille
+    "x94_span_dedup" ->
+      """WITH sp AS (
+           SELECT doc_id, substr(text, CAST(p AS INTEGER), 40) AS span
+           FROM documents, UNNEST(range(1, LENGTH(text) - 40 + 2, 10)) AS t(p)
+           WHERE LENGTH(text) >= 40),
+         df AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY span)
+         SELECT s.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+             AS dup_permille
+         FROM sp s JOIN df ON s.span = df.span
+         GROUP BY s.doc_id ORDER BY doc_id""",
+    // x95: same S-curve replay — power on integer-valued exponents,
+    // milli-rounded averages over the 100-cell permille grid
+    "x95_lsh_plan" ->
+      """WITH f AS (SELECT CAST(b AS INTEGER) AS bands,
+             CAST(16 // b AS INTEGER) AS rows_per_band
+           FROM UNNEST(range(1, 16)) AS t(b)
+           WHERE 16 % b = 0 AND b < 16 AND 16 // b > 1),
+         g AS (SELECT bands, rows_per_band,
+             CAST(c * 10 + 5 AS DOUBLE) / 1000.0 AS s
+           FROM f, UNNEST(range(0, 100)) AS u(c)),
+         p AS (SELECT bands, rows_per_band, s,
+             1.0 - power(1.0 - power(s, CAST(rows_per_band AS DOUBLE)),
+               CAST(bands AS DOUBLE)) AS p
+           FROM g),
+         a AS (SELECT bands, rows_per_band,
+             CAST(FLOOR(AVG(CASE WHEN s < 0.3 THEN p END) * 1000 + 0.5) AS BIGINT)
+               AS fp_milli,
+             CAST(FLOOR(AVG(CASE WHEN s >= 0.3 THEN 1.0 - p END) * 1000 + 0.5) AS BIGINT)
+               AS fn_milli
+           FROM p GROUP BY bands, rows_per_band)
+         SELECT bands, rows_per_band, fp_milli, fn_milli,
+           fp_milli + fn_milli AS err_milli
+         FROM a ORDER BY bands""",
+    // x96: moments stay exact (HUGEINT sums ≡ Spark decimal(38,0)),
+    // the double conversion/subtraction/sqrt/divide tree is spelled
+    // identically to the Spark side, then milli-rounded
+    "x96_corr_matrix" -> corrMatrixOracle,
+    // x97: integer contingency counts, window marginals, ONE ln per
+    // cell over a ratio of exact integer products, micronat floor
+    "x97_pmi_cells" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, COUNT(*) AS n_xy
+           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (SELECT x, y, n_xy,
+             SUM(n_xy) OVER (PARTITION BY x) AS n_x,
+             SUM(n_xy) OVER (PARTITION BY y) AS n_y,
+             SUM(n_xy) OVER () AS n
+           FROM cells)
+         SELECT x, y, n_xy,
+           CAST(FLOOR(ln(CAST(n * n_xy AS DOUBLE) / CAST(n_x * n_y AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS pmi_micronats
+         FROM m ORDER BY x, y""",
+    // x98: NTILE over the same explicit total order (value + key tie
+    // breaks) is the SQL-standard bucket rule in both engines
+    "x98_equidepth" ->
+      """WITH c AS (SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             l_orderkey, l_linenumber FROM lineitem),
+         t AS (SELECT price_c,
+             NTILE(10) OVER (ORDER BY price_c, l_orderkey, l_linenumber) AS bucket
+           FROM c)
+         SELECT CAST(bucket AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(price_c) AS lo, MAX(price_c) AS hi
+         FROM t GROUP BY bucket ORDER BY bucket""",
+    // x99: zipped-unnest position table (x93's pos CTE), self-join per
+    // vector for cross moments, milli-rounded cov absorbs AVG
+    // summation-order ulps
+    "x99_covariance" ->
+      """WITH pos AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS e,
+             UNNEST(range(len(embedding))) AS i FROM embeddings),
+         mm AS (SELECT i, AVG(e) AS m FROM pos GROUP BY i),
+         x AS (SELECT a.i AS i, b.i AS j, AVG(a.e * b.e) AS m2
+           FROM pos a JOIN pos b USING (vec_id) WHERE a.i <= b.i
+           GROUP BY a.i, b.i)
+         SELECT CAST(x.i AS BIGINT) AS i, CAST(x.j AS BIGINT) AS j,
+           CAST(FLOOR((x.m2 - ma.m * mb.m) * 1000 + 0.5) AS BIGINT) AS cov_milli
+         FROM x JOIN mm ma ON x.i = ma.i JOIN mm mb ON x.j = mb.i
+         ORDER BY i, j""",
+  )
+}

@@ -801,15 +801,15 @@ object Behavior {
     * (≤|days|) and frequency (≤max orders/customer) are tightly
     * bounded; monetary's distinct-cents table can approach |customers|
     * — this exact form is the ORACLE ANCHOR (the x98/x126 pattern),
-    * and at data scale the 12 threshold scalars should come from
-    * `approx_percentile` instead (same output shape, rows-only
+    * and `approx = true` ships the data-scale swap: the 12 threshold
+    * scalars from `percentile_approx` (same output shape, rows-only
     * checkable — sketch internals are engine-specific). The scoring
     * join itself is three 1-row broadcasts onto the customer table.
     *
     * @return (cust, recency_days, frequency, monetary_cents, r_score,
     *         f_score, m_score, segment) ordered by cust. */
   def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
-                  amountCents: Column): DataFrame = {
+                  amountCents: Column, approx: Boolean = false): DataFrame = {
     val facts = orders.select(col(custCol).as("cust"),
       to_date(col(tsCol)).as("__d"), amountCents.as("__amt"))
     val anchor = facts.agg(max("__d").as("__anchor"))
@@ -820,8 +820,22 @@ object Behavior {
         count(lit(1)).as("frequency"),
         sum("__amt").as("monetary_cents"))
     // exact lower-quantile thresholds at 20/40/60/80% per metric, from
-    // the distinct-value weight table (x123 discipline)
+    // the distinct-value weight table (x123 discipline); approx = the
+    // documented 100 TB swap — percentile_approx collapses each metric
+    // to ONE mergeable aggregate, no distinct-value window (estimates
+    // are engine-specific → rows-only checkable; the exact form stays
+    // the oracle anchor, BehaviorSpec pins rank-adjacency at test
+    // scale)
     def thresholds(metric: String): DataFrame = {
+      if (approx)
+        rfm.agg(percentile_approx(col(metric),
+            array(lit(0.2), lit(0.4), lit(0.6), lit(0.8)), lit(10000))
+          .as("__qs"))
+          .select(element_at(col("__qs"), 1).as("q1"),
+            element_at(col("__qs"), 2).as("q2"),
+            element_at(col("__qs"), 3).as("q3"),
+            element_at(col("__qs"), 4).as("q4"))
+      else {
       val w = Window.orderBy(col("__v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val vals = rfm.groupBy(col(metric).as("__v"))
@@ -835,6 +849,7 @@ object Behavior {
           min(when(col("__cum") * 5 >= col("__tot") * 2, col("__v"))).as("q2"),
           min(when(col("__cum") * 5 >= col("__tot") * 3, col("__v"))).as("q3"),
           min(when(col("__cum") * 5 >= col("__tot") * 4, col("__v"))).as("q4"))
+      }
     }
     def score(metric: String, q: String): Column =
       lit(1L) + when(col(metric) > col(s"$q.q1"), 1L).otherwise(0L) +
@@ -1060,10 +1075,12 @@ object Behavior {
     * exact integer power sum (d, Σx, Σy, Σxy, Σx², Σy² — the x134
     * moment discipline), so slope_micro = (d·Σxy − Σx·Σy)·10⁶ div
     * (d·Σx² − (Σx)²) and intercept_micro = (Σy·10⁶ − slope_micro·Σx)
-    * div d are pure integer arithmetic (both engines truncate toward
-    * zero — the x163 verification), and r2_milli cross-multiplies in
-    * DECIMAL(38,0) (≡ DuckDB HUGEINT, the x177 discipline) because the
-    * squared covariance overflows 2⁶³ at ~3·10⁹ count·days. Constant
+    * div d are exact integer arithmetic (both engines truncate toward
+    * zero — the x163 verification) carried in DECIMAL(38,0) (≡ DuckDB
+    * HUGEINT, the x177 discipline): cov scales ~span³·daily-count, so
+    * the ×10⁶ lift would exceed 2⁶³ on large corpora where non-ANSI
+    * BIGINT wraps silently; r2_milli cross-multiplies the squared
+    * covariance the same way (overflow at ~3·10⁹ count·days). Constant
     * series (zero x- or y-variance) report NULL slope/R², never a
     * divide-by-zero.
     *
@@ -1087,10 +1104,15 @@ object Behavior {
       .withColumn("__cov", col("d") * col("sxy") - col("sx") * col("sy"))
       .withColumn("slope_micro",
         when(col("__vx") === 0L, lit(null).cast("long"))
-          .otherwise(expr("(__cov * 1000000) div __vx")))
+          .otherwise(expr(
+            """(cast(__cov as decimal(38,0)) * 1000000)
+               div cast(__vx as decimal(38,0))""")))
       .withColumn("intercept_micro",
         when(col("__vx") === 0L, lit(null).cast("long"))
-          .otherwise(expr("(sy * 1000000 - slope_micro * sx) div d")))
+          .otherwise(expr(
+            """(cast(sy as decimal(38,0)) * 1000000
+               - cast(slope_micro as decimal(38,0)) * cast(sx as decimal(38,0)))
+               div cast(d as decimal(38,0))""")))
       .withColumn("r2_milli",
         when(col("__vx") === 0L || col("__vy") === 0L, lit(null).cast("long"))
           .otherwise(expr(
@@ -1249,10 +1271,15 @@ object Behavior {
       .withColumn("__cov", col("d") * col("sxy") - col("sx") * col("sy"))
       .withColumn("__slope",
         when(col("__vx") === 0L, lit(null).cast("long"))
-          .otherwise(expr("(__cov * 1000000) div __vx")))
+          .otherwise(expr(
+            """(cast(__cov as decimal(38,0)) * 1000000)
+               div cast(__vx as decimal(38,0))""")))
       .withColumn("__icept",
         when(col("__slope").isNull, lit(null).cast("long"))
-          .otherwise(expr("(sy * 1000000 - __slope * sx) div d")))
+          .otherwise(expr(
+            """(cast(sy as decimal(38,0)) * 1000000
+               - cast(__slope as decimal(38,0)) * cast(sx as decimal(38,0)))
+               div cast(d as decimal(38,0))""")))
       .withColumn("trend_micro", col("__icept") + col("__slope") * col("day"))
       .withColumn("__dm", col("n") * lit(1000000L) - col("trend_micro"))
     val wd = Window.partitionBy("t", "dow")

@@ -640,9 +640,11 @@ object Dedup {
     * shingle vocabulary is just 931 values with median df 285 (no
     * rare tail at all), so the prefix still generates ~6.5M
     * candidates at sf0.1 and the naive Σ df² join is the cheaper
-    * plan. Diagnose with the df quantiles before choosing: flat df →
-    * raise shingleK ([[jaccardSweep]]'s lever); Zipfian df → prefix
-    * filter. Correctness is plan-independent either way.
+    * plan. [[prefixFilterPlan]] MEASURES this choice: per candidate
+    * shingleK it reports the df profile and both join masses with a
+    * closed-form recommendation (flat df → raise shingleK,
+    * [[jaccardSweep]]'s lever; Zipfian df → prefix filter pays as-is).
+    * Correctness is plan-independent either way.
     *
     * Stages (all equi-joins/windows, nothing quadratic): df table
     * (vocabulary-bounded) → per-doc rarest-first rank (window keyed by
@@ -687,6 +689,77 @@ object Dedup {
         expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
       .filter(col("cont_permille") >= minPermille)
       .orderBy("da", "db", "cont_permille", "jac_permille")
+  }
+
+  /** PREFIX-FILTER operating-point PLANNER — the [[lshBandingPlan]]
+    * closed-form discipline applied to the PPJoin family: measure the
+    * shingle-df profile at each candidate `shingleK` and report the
+    * two join masses that decide the [[containmentPairsPrefix]] plan,
+    * so the operating point is PICKED from the corpus instead of
+    * frozen at a folklore default (round 10's x74 lesson: a testdata
+    * regeneration moved the df distribution and the static k=3 point
+    * silently became 4.8× steeper at 10× data).
+    *
+    * Per candidate k: vocabulary size, shingle-row count, max df,
+    * `naive_mass` = Σ_h df_h² (the unfiltered inverted-index join
+    * mass — [[containmentPairs]]' cost), `prefix_rows` and
+    * `prefix_mass` = Σ_{h∈prefixes} df_h (the prefix-filtered
+    * candidate mass — [[containmentPairsPrefix]]' cost). The
+    * recommendation rule is closed-form integer arithmetic: the
+    * SMALLEST k whose prefix_mass is within 25% of the best
+    * (4·mass ≤ 5·min — smaller k means fewer vocabulary rows and a
+    * cheaper df join for the same candidate bound).
+    *
+    * Cost: per candidate k one vocabulary-bounded df aggregation and
+    * one doc-keyed rank window — the first two stages of the operator
+    * itself, no pair join ever forms. At 100 TB run it on a
+    * deterministic doc hash-sample: df scales linearly and both
+    * masses quadratically in the sample rate, leaving the BETWEEN-k
+    * comparison unchanged. Mass sums accumulate in DECIMAL(38,0)
+    * (the x177 discipline) and the report casts to BIGINT — an audit
+    * row, loud on overflow rather than silently wrapped.
+    *
+    * @return (shingle_k, vocab, n_rows, max_df, naive_mass,
+    *         prefix_rows, prefix_mass, recommended) ordered by
+    *         shingle_k. */
+  def prefixFilterPlan(docs: DataFrame, shingleKs: Seq[Int] = Seq(2, 3, 4, 5),
+                       minPermille: Long = 700): DataFrame = {
+    require(shingleKs.nonEmpty && shingleKs.forall(k => k >= 1 && k <= 8),
+      s"candidate shingleKs must be within [1, 8], got $shingleKs")
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille ($minPermille) must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val perK = shingleKs.distinct.sorted.map { k =>
+      val rows = shingleRows(docs, k)
+      val df = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
+      val pre = rows.join(df, Seq("sh"))
+        .withColumn("rk", row_number().over(wDoc))
+        .filter(col("rk") <=
+          col("sz") - expr(s"($minPermille * sz + 999) div 1000") + 1)
+      df.agg(count(lit(1)).as("vocab"), sum("df").as("n_rows"),
+          max("df").as("max_df"),
+          sum(expr("cast(df as decimal(38,0)) * df")).as("__nm"))
+        .crossJoin(pre.agg(count(lit(1)).as("prefix_rows"),
+          sum(col("df").cast("decimal(38,0)")).as("__pm")))
+        .select(lit(k.toLong).as("shingle_k"), col("vocab"), col("n_rows"),
+          col("max_df"), expr("cast(__nm as bigint)").as("naive_mass"),
+          col("prefix_rows"), expr("cast(__pm as bigint)").as("prefix_mass"))
+    }
+    val all = perK.reduce(_ unionByName _)
+    // both windows run over the ≤|shingleKs|-row report (the x126
+    // bounded-global-window contract), never over data
+    val wAll = Window.partitionBy(lit(1))
+    all
+      .withColumn("__minm", min("prefix_mass").over(wAll))
+      .withColumn("__ok",
+        when(col("prefix_mass") * 4 <= col("__minm") * 5, col("shingle_k")))
+      .withColumn("__bestk", min("__ok").over(wAll))
+      .select(col("shingle_k"), col("vocab"), col("n_rows"), col("max_df"),
+        col("naive_mass"), col("prefix_rows"), col("prefix_mass"),
+        when(col("shingle_k") === col("__bestk"), 1L).otherwise(0L)
+          .as("recommended"))
+      .orderBy("shingle_k")
   }
 
   /** IDF-WEIGHTED containment pairs — [[containmentPairs]] where each

@@ -311,7 +311,10 @@ object Profiling {
     * corpus to its distinct-value table, the running-sum window and
     * the half-mass selection run over THAT bounded table, and no raw
     * row ever passes through a sort. All arithmetic is exact integer
-    * (2·cum vs total avoids division entirely).
+    * (2·cum vs total avoids division entirely). When the
+    * distinct-value table itself is the exposure (cents, micros —
+    * cardinality ~ |rows|), [[weightedMedianApprox]] is the shipped
+    * bounded-bin sibling; this exact form is its oracle anchor.
     */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String): DataFrame = {
@@ -858,9 +861,10 @@ object Profiling {
     * over THAT bounded table partitioned by group; the q-ladder
     * explode multiplies the bounded table by |qs| — never raw rows.
     * All selection arithmetic is integer (`cum·1000 ≥ q·tot`).
-    * At petabyte group cardinalities swap in `approx_percentile`
-    * (engine-specific → rows-only checkable; this exact form is the
-    * oracle anchor, the x98 pattern).
+    * At petabyte group cardinalities use [[exactQuantilesApprox]] —
+    * the shipped `percentile_approx` sibling, same output shape
+    * (engine-specific estimates → rows-only checkable; this exact
+    * form is the oracle anchor, the x98 pattern).
     *
     * @return (grp, q_permille, value) ordered. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
@@ -883,6 +887,78 @@ object Profiling {
       .filter(col("cum") * 1000 >= col("q_permille") * col("tot"))
       .groupBy("grp", "q_permille").agg(min("v").as("value"))
       .orderBy("grp", "q_permille")
+  }
+
+  /** The 100 TB quantile-ladder path [[exactQuantiles]]'s scale note
+    * promises: per-group `percentile_approx` (Greenwald–Khanna sketch —
+    * mergeable partial aggregate, ONE map-side-combined pass, no
+    * per-group distinct-value window at all), exploded back to the
+    * exact form's (grp, q_permille, value) shape. Rank error is
+    * bounded by n/accuracy per group; estimates are engine-specific →
+    * rows-only checkable, and StatsSpec validates rank-adjacency
+    * against [[exactQuantiles]] at test scale (the x98
+    * anchor-and-sibling pattern). Values are actual data points (the
+    * sketch keeps samples), so downstream cut-tables stay integral.
+    *
+    * @return (grp, q_permille, value) ordered — [[exactQuantiles]]'s
+    *         shape. */
+  def exactQuantilesApprox(df: DataFrame, groupCol: String, valueCol: String,
+                           qsPermille: Seq[Long],
+                           accuracy: Int = 10000): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"q ladder must be within [1, 1000] permille, got $qsPermille")
+    require(accuracy >= 100, s"accuracy ($accuracy) must be >= 100")
+    val qs = qsPermille.distinct.sorted
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(percentile_approx(col(valueCol).cast("long"),
+        array(qs.map(q => lit(q / 1000.0)): _*), lit(accuracy)).as("__vs"))
+      .select(col("grp"), posexplode(col("__vs")).as(Seq("__pos", "value")))
+      .withColumn("q_permille",
+        element_at(array(qs.map(lit(_)): _*), col("__pos") + 1))
+      .select("grp", "q_permille", "value")
+      .orderBy("grp", "q_permille")
+  }
+
+  /** The 100 TB weighted-median path: [[weightedMedian]]'s scale
+    * exposure is its per-group DISTINCT-VALUE weight table (monetary
+    * cents, lateness micros — cardinality can approach |rows|); no
+    * built-in sketch takes weights, so this quantizes values into
+    * `bucketWidth`-wide bins FIRST — the (grp, bin) table is bounded
+    * by valuespan/bucketWidth per group regardless of data size — and
+    * runs the same exact cumulative half-mass selection over that
+    * bounded table, reporting the smallest ACTUAL value in the
+    * selected bin (min(v) rides the same aggregate, so the answer is
+    * a real data point). Error bound: the reported value's cumulative
+    * weight reaches half-mass within one bin's weight — exact again
+    * when bucketWidth = 1 (StatsSpec pins both properties against the
+    * exact anchor).
+    *
+    * @return (grp, wmedian, total_weight) ordered —
+    *         [[weightedMedian]]'s shape. */
+  def weightedMedianApprox(df: DataFrame, groupCol: String, valueCol: String,
+                           weightCol: String,
+                           bucketWidth: Long = 64L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth ($bucketWidth) must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull
+        && col(weightCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("__v"),
+        col(weightCol).as("__w"))
+      // floor-division binning (exact bigint form) so negative values
+      // bin monotonically — the zoneMapReport discipline
+      .withColumn("__bin",
+        expr(s"(__v - pmod(__v, ${bucketWidth}L)) div ${bucketWidth}L"))
+      .groupBy("grp", "__bin")
+      .agg(sum("__w").as("w"), min("__v").as("v"))
+    val cum = Window.partitionBy(col("grp")).orderBy(col("__bin"))
+    vals
+      .withColumn("__cum", sum("w").over(cum))
+      .withColumn("__tot", sum("w").over(Window.partitionBy(col("grp"))))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy("grp")
+      .agg(min("v").as("wmedian"), max("__tot").as("total_weight"))
+      .orderBy("grp")
   }
 
   /** Hill tail-index estimator over a positive integer measure — the
@@ -1208,7 +1284,16 @@ object Profiling {
                     zoneWidth: Long, predLo: Long, predHi: Long): DataFrame = {
     require(zoneWidth > 0, s"zoneWidth ($zoneWidth) must be > 0")
     require(predHi >= predLo, s"predHi ($predHi) must be >= predLo ($predLo)")
-    df.select(expr(s"cast($keyCol as bigint) div ${zoneWidth}L").as("zone"),
+    // NULL keys belong to no zone (a file holds rows, not absences) and
+    // are dropped, matching the null-filtering discipline of the other
+    // audits; the zone id is FLOOR division — `(k - pmod(k, w)) div w`
+    // is exact in bigint — so a negative key lands in the zone whose
+    // zone_lo actually lower-bounds it (trunc would give zone 0 the
+    // span (-w, w) and mislabel every negative zone_lo).
+    df.filter(col(keyCol).isNotNull)
+      .select(expr(s"""(cast($keyCol as bigint)
+            - pmod(cast($keyCol as bigint), ${zoneWidth}L))
+            div ${zoneWidth}L""").as("zone"),
         col(valCol).cast("long").as("__v"))
       .groupBy("zone")
       .agg(count(lit(1)).as("n_rows"),

@@ -309,7 +309,8 @@ object Sessions {
   def latenessProfile(events: DataFrame, bucketWidth: Long = 10000L,
                       qsPermille: Seq[Long] = Seq(500L, 900L, 990L, 1000L),
                       typeCol: String = "event_type", tsCol: String = "ts",
-                      arrivalCol: String = "event_id"): DataFrame = {
+                      arrivalCol: String = "event_id",
+                      approx: Boolean = false): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth ($bucketWidth) must be > 0")
     val base = events
       .filter(col(typeCol).isNotNull && col(tsCol).isNotNull &&
@@ -332,6 +333,12 @@ object Sessions {
       .select(col("t"),
         (greatest(col("__in"), coalesce(col("__pm"), col("__in"))) - col("e"))
           .as("lateness_us"))
-    Profiling.exactQuantiles(late, "t", "lateness_us", qsPermille)
+    // approx = the documented 100 TB swap: the lateness_us distinct-
+    // value table can approach |events| (micro-resolution values), so
+    // the ladder comes from the percentile_approx sibling instead —
+    // engine-specific estimates, rows-only checkable; the exact form
+    // stays the oracle anchor (x196)
+    if (approx) Profiling.exactQuantilesApprox(late, "t", "lateness_us", qsPermille)
+    else Profiling.exactQuantiles(late, "t", "lateness_us", qsPermille)
   }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.operators.Behavior
 import org.apache.spark.sql.functions._
 
-class BehaviorSpec extends SparkSpec {
+class BehaviorSpec extends SparkSpec with SlowSuite {
   import spark.implicits._
 
   // (user_id, event_id, ts_ns, event_type, value)
@@ -499,6 +499,23 @@ class BehaviorSpec extends SparkSpec {
       (3L, 2L, 3L, 60000L, 3L, 3L, 3L, "333"),
       (4L, 3L, 2L, 30000L, 2L, 2L, 2L, "222"),
       (5L, 4L, 1L, 10000L, 1L, 1L, 1L, "111")))
+  }
+
+  test("rfmSegments approx flag: thresholds track exact on real orders") {
+    val orders = graft.core.Tables.orders(spark, sf)
+    val amt = graft.queries.Relational.cents(col("o_totalprice"))
+    val exact = Behavior.rfmSegments(orders, "o_custkey", "o_orderdate", amt)
+      .select("cust", "segment").as[(Long, String)].collect().toMap
+    val approx = Behavior.rfmSegments(orders, "o_custkey", "o_orderdate", amt,
+      approx = true)
+      .select("cust", "segment").as[(Long, String)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    // sketch thresholds may differ from the exact lower-quantile by one
+    // distinct value, shifting only boundary customers — the segment
+    // maps must agree on the overwhelming majority
+    val agree = exact.count { case (c, s) => approx(c) == s }
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"approx RFM agrees on only $agree of ${exact.size} customers")
   }
 
   private def tsEv(rows: (String, String)*) =

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Dedup
 
-class DedupSpec extends SparkSpec {
+class DedupSpec extends SparkSpec with SlowSuite {
   import spark.implicits._
 
   private val base = "spark makes big data small again with catalyst and tungsten " +
@@ -295,6 +295,38 @@ class DedupSpec extends SparkSpec {
       assert(pref === plain, s"threshold $t")
     }
   }
+  test("prefixFilterPlan: hand-checkable masses; recommendation pins x74's k=4") {
+    // tiny corpus where the profile is hand-computable at k=1:
+    // tokens a(3 docs), b(2), c(1) → vocab 3, rows 6, max_df 3,
+    // naive Σdf² = 9+4+1 = 14; at t=700 each doc's prefix keeps
+    // sz − ⌈0.7·sz⌉ + 1 shingles (sz 3→2 kept? 3−3+1=1... per-doc)
+    val docs = Seq(
+      1L -> "a b c", 2L -> "a b", 3L -> "a").toDF("doc_id", "text")
+    val plan = Dedup.prefixFilterPlan(docs, shingleKs = Seq(1), minPermille = 700)
+      .collect().map(_.toSeq).toSeq
+    Dedup.releaseCaches()
+    // per doc prefix lengths: sz=3 → 3-3+1=1 row (rarest: c, df 1);
+    // sz=2 → 2-2+1=1 (rarest: b, df 2); sz=1 → 1-1+1=1 (a, df 3)
+    // prefix_rows = 3, prefix_mass = 1+2+3 = 6
+    assert(plan === Seq(Seq(1L, 3L, 6L, 3L, 14L, 3L, 6L, 1L)))
+
+    // the bench corpus (sf0.1 — the scale x74's slope is measured at;
+    // at toy scales the flat df profile recommends k=3, honestly): the
+    // recommendation that pins x74's shingleK — if a driver testdata
+    // regeneration moves the df profile, THIS fails and re-opens the
+    // operating-point choice (round-10 x74 lesson: static k went 4.8×
+    // steeper silently)
+    val real = Dedup.prefixFilterPlan(
+        graft.core.Tables.documents(spark, "/root/testdata/sf0.1"))
+      .select("shingle_k", "recommended")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.releaseCaches()
+    assert(real(4L) === 1L,
+      s"planner no longer recommends k=4 ($real) — re-tune x74's shingleK " +
+        "and its oracle together")
+    assert(real.values.sum === 1L, "exactly one recommended row")
+  }
+
   test("newAgainstBase keeps only content-new rows of a batch") {
     val base = Seq(1L -> "aaa", 2L -> "bbb").toDF("doc_id", "text")
     val batch = Seq(10L -> "bbb", 11L -> "ccc").toDF("doc_id", "text")

@@ -3,7 +3,7 @@ package graft
 /** Driver-contract smoke: entry() must return rows on sf0.001, every
   * declared query must build a plan, and every oracle key must have a
   * matching query. */
-class EntrySpec extends SparkSpec {
+class EntrySpec extends SparkSpec with SlowSuite {
 
   test("entry() returns rows on the smoke corpus") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -21,5 +21,32 @@ class EntrySpec extends SparkSpec {
       val df = fn(spark, sf)
       assert(df.queryExecution.executedPlan != null, name)
     }
+  }
+
+  test("board segments: disjoint ids in their declared ranges, counts pinned") {
+    import graft.entry._
+    val segs = Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame], Map[String, String], String => Boolean)](
+      ("BoardQ", BoardQ.queries, BoardQ.oracleSql, n => n.startsWith("q")),
+      ("BoardX000", BoardX000.queries, BoardX000.oracleSql,
+        n => n.startsWith("x") && n.drop(1).takeWhile(_.isDigit).toInt < 50),
+      ("BoardX050", BoardX050.queries, BoardX050.oracleSql,
+        n => n.startsWith("x") && { val i = n.drop(1).takeWhile(_.isDigit).toInt; i >= 50 && i < 100 }),
+      ("BoardX100", BoardX100.queries, BoardX100.oracleSql,
+        n => n.startsWith("x") && { val i = n.drop(1).takeWhile(_.isDigit).toInt; i >= 100 && i < 150 }),
+      ("BoardX150", BoardX150.queries, BoardX150.oracleSql,
+        n => n.startsWith("x") && n.drop(1).takeWhile(_.isDigit).toInt >= 150))
+    segs.foreach { case (tag, qs, os, inRange) =>
+      assert(qs.keys.forall(inRange), s"$tag holds out-of-range query ids: ${qs.keys.filterNot(inRange)}")
+      assert(os.keySet.subsetOf(qs.keySet), s"$tag oracle keys without a query: ${os.keySet -- qs.keySet}")
+    }
+    // segment concatenation must lose nothing: the driver board is the
+    // exact disjoint union (a duplicate id would silently shadow one)
+    assert(SparkEntry.queries.size === segs.map(_._2.size).sum)
+    assert(SparkEntry.oracleSql.size === segs.map(_._3.size).sum)
+    // the round-11 board: 222 queries, 212 oracle-compared (10 declared
+    // rule-6 rows-only) — growing the board updates these pins
+    assert(SparkEntry.queries.size >= 222)
+    assert(SparkEntry.queries.size - SparkEntry.oracleSql.size === 10,
+      "rule-6 no-oracle set changed size — update the declared list")
   }
 }

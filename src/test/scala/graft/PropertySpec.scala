@@ -10,7 +10,7 @@ import graft.operators.{AsOfJoin, TextAnalysis}
   * counting, rolling-hash range. Small test counts keep the Spark
   * round-trips affordable; the generators still cover negatives,
   * zeros, ties, null keys and empty strings. */
-class PropertySpec extends SparkSpec {
+class PropertySpec extends SparkSpec with SlowSuite {
   import spark.implicits._
 
   private def check(prop: Prop, n: Int = 10): Unit = {

@@ -70,6 +70,28 @@ class RecallSpec extends SparkSpec {
     assert(nFound === nHit)
   }
 
+  test("golden pin: the x29/x30/x31 recall certificates are exact, not just floored") {
+    // The floor tests above keep the knobs honest; THIS test pins the
+    // exact measured certificates on Spark 4.1.2 at sf0.001 — the
+    // SketchGoldenSpec discipline extended to the ANN family, so a
+    // Spark/hash/KMeans upgrade that moves any engine-specific
+    // ingredient (xxhash64 plane derivation, KMeans centroid path,
+    // top-k tie handling) fails HERE, named, instead of silently
+    // re-deriving a different baseline every run. If a deliberate
+    // upgrade moves a value but the floor test still passes, re-pin
+    // and record the version in the commit; if a floor BREAKS, that is
+    // a real recall regression, not a re-pin.
+    val lsh = recallOf("x29_recall_lsh", sf)
+    assert(lsh === ((50L, 50L, 23L, 460L)),
+      s"x29 LSH certificate moved: $lsh — engine-specific hash or top-k path changed")
+    val ivf = recallOf("x30_recall_ivf", sf)
+    assert(ivf === ((50L, 50L, 32L, 640L)),
+      s"x30 IVF certificate moved: $ivf — KMeans centroid/assignment path changed")
+    val nd = recallOf("x31_recall_neardup", sf)
+    assert(nd === ((64L, 64L, 64L, 1000L)),
+      s"x31 near-dup certificate moved: $nd")
+  }
+
   test("multi-probe masks enumerate exactly C(n,0..m) signatures") {
     assert(Similarity.probeMasks(16, 0) === Seq(0L))
     assert(Similarity.probeMasks(16, 1).length === 17)

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Retrieval
 
-class RetrievalSpec extends SparkSpec {
+class RetrievalSpec extends SparkSpec with SlowSuite {
   import spark.implicits._
 
   private def docs = Seq(

@@ -203,6 +203,22 @@ class SessionsSpec extends SparkSpec {
     assert(zero.forall(_._3 == 0L))
   }
 
+  test("latenessProfile approx flag: same shape, max quantile exact") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.events(spark, sf)
+    val exact = graft.operators.Sessions.latenessProfile(e)
+      .as[(String, Long, Long)].collect().toSeq
+    val approx = graft.operators.Sessions.latenessProfile(e, approx = true)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(approx.map(t => (t._1, t._2)) === exact.map(t => (t._1, t._2)),
+      "approx ladder must cover the same (type, q) keys in the same order")
+    // the sketch keeps the true maximum: the q=1000 watermark-sizing
+    // anchor must be EXACT in both forms
+    val maxE = exact.filter(_._2 == 1000L).toSet
+    val maxA = approx.filter(_._2 == 1000L).toSet
+    assert(maxA === maxE)
+  }
+
   test("latenessProfile plan: no per-type single-window pass over raw events") {
     import org.apache.spark.sql.functions._
     val e = (1 to 50).map(i => (i.toLong, (i * 7 % 50).toLong))

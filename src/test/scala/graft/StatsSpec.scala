@@ -121,6 +121,54 @@ class StatsSpec extends SparkSpec {
     assert(out === Seq(("a", 4L, 100L), ("b", 5L, 10L)))
   }
 
+  test("exactQuantilesApprox: rank-adjacent to the exact ladder at test scale") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val qs = Seq(100L, 250L, 500L, 750L, 900L, 990L)
+    val exact = Profiling.exactQuantiles(docs, "lang", "n_chars", qs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = Profiling.exactQuantilesApprox(docs, "lang", "n_chars", qs,
+      accuracy = 100000)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    // at this accuracy the sketch keeps every rank at spec scale; the
+    // definitional boundary (lower-quantile vs sketch rank rounding)
+    // may still pick an adjacent distinct value — assert adjacency in
+    // the per-group sorted distinct-value list, never more
+    val sorted = docs.filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select(col("lang"), col("n_chars").cast("long"))
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).sorted.toIndexedSeq }
+    exact.foreach { case ((g, q), ve) =>
+      val va = approx((g, q))
+      val vs = sorted(g)
+      val i = vs.indexOf(ve)
+      val window = vs.slice(math.max(0, i - 1), math.min(vs.size, i + 2))
+      assert(window.contains(va),
+        s"($g, $q): approx $va not rank-adjacent to exact $ve")
+    }
+  }
+
+  test("weightedMedianApprox: exact at bucketWidth=1; within one bucket else") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val exact = Profiling.weightedMedian(docs, "lang", "n_chars", "n_chars")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fine = Profiling.weightedMedianApprox(docs, "lang", "n_chars", "n_chars",
+      bucketWidth = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fine === exact, "bucketWidth=1 must reproduce the exact form")
+    val coarse = Profiling.weightedMedianApprox(docs, "lang", "n_chars", "n_chars",
+      bucketWidth = 64L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(coarse.keySet === exact.keySet)
+    coarse.foreach { case (g, (va, tot)) =>
+      val (ve, te) = exact(g)
+      assert(tot === te, s"$g: total weight must be exact")
+      assert(math.abs(va - ve) <= 64L,
+        s"$g: approx median $va more than one bucket from exact $ve")
+    }
+  }
+
   test("weightedMedian: null group/value/weight rows are excluded") {
     val df = Seq(
       (Option("a"), Option(1L), Option(1L)),

@@ -8,7 +8,7 @@ import graft.streaming.EventStreams
 
 /** Structured Streaming semantics via MemoryStream: windows, watermark
   * late-drop, stateful dedup, arbitrary state (SURVEY §5.2). */
-class StreamingSpec extends SparkSpec {
+class StreamingSpec extends SparkSpec with SlowSuite {
   import spark.implicits._
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
@@ -819,5 +819,92 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("newret")
       .select("event_id", "is_new").as[(Long, Int)].collect().toMap
     assert(streamed === Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 0))
+  }
+
+  // ———— watermark sizing closes the measured-lateness loop ————
+  // x196 latenessProfile exists to SIZE withWatermark delays; these two
+  // tests wire its output into the consumers and assert the late-drop
+  // behavior the profile predicts, on a disordered corpus replayed one
+  // arrival per micro-batch (which makes the stream's watermark = the
+  // profile's prev-arrival running max minus the delay, exactly).
+
+  /** Disordered arrival sequence: second-offsets in ARRIVAL order
+    * (event_id = arrival rank). Lateness per arrival = (running max of
+    * previous offsets − offset)⁺: twelve zeros plus 5,6,6,6,7,7,14,15
+    * → p900 = 7 s, p1000 = 15 s. Every event time carries +500 ms so
+    * no lateness ever ties a whole-second watermark boundary. */
+  private val disorderedK = Seq(
+    10L, 11L, 12L, 20L, 13L, 14L, 21L, 22L, 15L, 23L,
+    30L, 24L, 25L, 31L, 16L, 32L, 33L, 40L, 34L, 26L)
+
+  private def disorderedEvs: Seq[Ev] =
+    disorderedK.zipWithIndex.map { case (k, i) =>
+      Ev(i + 1L, new Timestamp(ts("2024-01-01 00:00:00").getTime
+        + k * 1000L + 500L), 1, "a", 1.0)
+    }
+
+  test("latenessProfile p-quantiles size tumblingCounts' watermark: " +
+    "p900 drops exactly the predicted tail, p1000 drops nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    // measure the disorder with the batch profiler (bucketWidth 1 =
+    // per-arrival resolution, the one-event-per-micro-batch analog)
+    val profile = graft.operators.Sessions.latenessProfile(
+      evDf(disorderedEvs), bucketWidth = 1L)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._2 -> t._3).toMap
+    assert(profile(900L) === 7000000L && profile(1000L) === 15000000L)
+    val sentinel = Ev(99, ts("2024-01-01 02:00:00"), 9, "other", 0.0)
+    def streamKept(delaySec: Long): Set[Long] = {
+      val input = MemoryStream[Ev]
+      val name = s"wmsized_$delaySec"
+      val windowed = EventStreams.tumblingCounts(
+        input.toDF(), windowLen = "1 second", watermark = s"$delaySec seconds")
+      runBatches(input, name, windowed, OutputMode.Append(),
+        disorderedEvs.map(Seq(_)) :+ Seq(sentinel))
+      spark.table(name).filter(col("event_type") === "a")
+        .select(col("window.start").cast("long")).as[Long].collect()
+        .map(s => s - ts("2024-01-01 00:00:00").getTime / 1000L).toSet
+    }
+    // the profile's prediction: with delay d an arrival is dropped iff
+    // its measured lateness exceeds d (the +500 ms skew keeps every
+    // comparison strictly off the boundary)
+    def predictedKept(delaySec: Long): Set[Long] = {
+      var prevMax = -1L  // before any arrival: nothing can be late
+      disorderedK.flatMap { k =>
+        val late = math.max(0L, prevMax - k)
+        prevMax = math.max(prevMax, k)
+        if (late > delaySec) None else Some(k)
+      }.toSet
+    }
+    val d900 = profile(900L) / 1000000L   // 7 s: lateness 14 and 15 drop
+    assert(streamKept(d900) === predictedKept(d900))
+    assert(predictedKept(d900) === disorderedK.toSet -- Set(16L, 26L))
+    val d1000 = profile(1000L) / 1000000L // 15 s: nothing drops
+    assert(streamKept(d1000) === disorderedK.toSet)
+  }
+
+  test("latenessProfile p1000 sizes dedupWithinWatermark for zero loss: " +
+    "every duplicate suppressed, every distinct event kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val profile = graft.operators.Sessions.latenessProfile(
+      evDf(disorderedEvs), bucketWidth = 1L)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._2 -> t._3).toMap
+    // +1 s over the measured maximum keeps the guarantee strict even
+    // at the boundary — the sizing rule a deployment would ship
+    val delaySec = profile(1000L) / 1000000L + 1L
+    val input = MemoryStream[Ev]
+    val deduped = EventStreams.dedupWithinWatermark(
+      input.toDF(), watermark = s"$delaySec seconds")
+    // replay each arrival twice (original then its duplicate, same
+    // event_id and ts) one micro-batch apart, then the closer
+    val sentinel = Ev(99, ts("2024-01-01 02:00:00"), 9, "other", 0.0)
+    val batches = disorderedEvs.flatMap(e => Seq(Seq(e), Seq(e))) :+ Seq(sentinel)
+    runBatches(input, "wmdedup", deduped, OutputMode.Append(), batches)
+    val ids = spark.table("wmdedup").select("event_id")
+      .as[Long].collect().toSeq
+    assert(ids.size === ids.distinct.size, "a duplicate slipped through")
+    assert(ids.toSet === (disorderedEvs.map(_.event_id).toSet + 99L),
+      "an event was late-dropped despite the p1000-sized watermark")
   }
 }
