@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.ScaleUp <srcDir> <dstDir> [replicas]`, then
   * bench the heavy slice with `SPARK_GRAFT_SF_DIR=<dstDir>`.
-  * Writes only `documents.parquet` and `embeddings.parquet` — the
-  * tables the dedup/graph/ANN slice reads.
+  * Writes `documents`, `embeddings`, `events` and `lineitem` parquet —
+  * every table the heavy (≥1 s at sf0.1) query tier reads.
   */
 object ScaleUp {
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -48,6 +48,40 @@ object ScaleUp {
   def scaleDocuments(docs: DataFrame, replicas: Int): DataFrame = {
     val span = docs.agg(max("doc_id")).head().getLong(0) + 1L
     (0 until replicas).map(docReplica(docs, _, span)).reduce(_ unionByName _)
+  }
+
+  /** Events replicas: event_id and user_id offset per replica (users
+    * are the behavioral keys — disjoint user spaces duplicate every
+    * per-user session/transition/funnel structure EXACTLY within a
+    * replica and create no cross-replica structure, the same linear
+    * contract as the documents rotation). Timestamps are kept: the
+    * corpus SPAN is a property of the feed, not its volume — dense
+    * day-grid operators keep a constant grid while per-day counts ×N,
+    * which is exactly what a busier feed looks like. */
+  def scaleEvents(events: DataFrame, replicas: Int): DataFrame = {
+    val r = events.agg(max("event_id"), max("user_id")).head()
+    val (eSpan, uSpan) = (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    (0 until replicas).map { i =>
+      events.select(
+        (col("event_id") + lit(i * eSpan)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * uSpan)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Lineitem replicas: order AND part keys offset per replica —
+    * baskets and item vocabulary both ×N with per-item df preserved,
+    * so basket-pair / item-cosine join mass scales LINEARLY (offsetting
+    * only orders would instead ×N every item's df and square the
+    * inverted-index mass — the quadratically different workload the
+    * documents rotation exists to avoid). */
+  def scaleLineitem(li: DataFrame, replicas: Int): DataFrame = {
+    val r = li.agg(max("l_orderkey"), max("l_partkey")).head()
+    val (oSpan, pSpan) = (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    (0 until replicas).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * pSpan))
+    }.reduce(_ unionByName _)
   }
 
   def scaleEmbeddings(emb: DataFrame, replicas: Int): DataFrame = {
@@ -76,7 +110,13 @@ object ScaleUp {
     scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), replicas)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    println(s"[scaleup] wrote ${replicas}x documents+embeddings to $dst")
+    scaleEvents(spark.read.parquet(s"$src/events.parquet"), replicas)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    scaleLineitem(spark.read.parquet(s"$src/lineitem.parquet"), replicas)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    println(s"[scaleup] wrote ${replicas}x documents+embeddings+events+lineitem to $dst")
     spark.stop()
   }
 }

@@ -116,6 +116,54 @@ object Layout {
     *
     * @return (zone, n_rows, bytes, grp) ordered by zone; grp is the
     *         merge-group id, contiguous in zone order. */
+  /** CLUSTERING-DEPTH histogram — the Iceberg/Delta layout-health
+    * metric [[graft.operators.Profiling.zoneMapReport]] cannot see:
+    * zone maps score zones derived FROM the key, which never overlap
+    * by construction; real files are cut by ARRIVAL (ingest batches),
+    * and on an unsorted table their key [min, max] ranges overlap each
+    * other — a point lookup then reads every overlapping file no
+    * matter how tight each file's own stats are. This measures that
+    * directly: treating `fileExpr` as the file id (ingest batch at
+    * test scale, the real file path in production), sweep the files'
+    * key ranges and report, for each DEPTH d, how much of the key
+    * space is covered by exactly d files. depth 1 everywhere = the
+    * sorted ideal (compaction has nothing to do); mass at depth ≥ 4 =
+    * every point query fans out 4× — the number that justifies a
+    * [[sortedBy]]/Z-order rewrite, measured not guessed.
+    *
+    * Shape: ONE map-side-combined (file → min/max) aggregation
+    * collapses the scan to |files| rows; the boundary sweep (+1 at lo,
+    * −1 past hi, running sum) is a window over the ≤2|files|-row
+    * boundary table — the x126 bounded-global-window contract. All
+    * arithmetic exact integer; interior depth-0 segments (key-range
+    * gaps between files) are reported too — they are the evidence of
+    * perfect partitioning, not noise.
+    *
+    * @return (depth, n_segments, key_span) ordered by depth. */
+  def clusteringDepthHistogram(df: DataFrame,
+                               fileExpr: org.apache.spark.sql.Column,
+                               keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val files = df.filter(col(keyCol).isNotNull)
+      .groupBy(fileExpr.as("__f"))
+      .agg(min(col(keyCol).cast("long")).as("lo"),
+        max(col(keyCol).cast("long")).as("hi"))
+    val bounds = files.select(col("lo").as("pt"), lit(1L).as("d"))
+      .unionByName(files.select((col("hi") + 1L).as("pt"), lit(-1L).as("d")))
+      .groupBy("pt").agg(sum("d").as("delta"))
+    val sweep = Window.orderBy("pt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("depth", sum("delta").over(sweep))
+      .withColumn("__next", lead("pt", 1).over(Window.orderBy("pt")))
+      .filter(col("__next").isNotNull)
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("__next") - col("pt")).as("key_span"))
+      .orderBy("depth")
+  }
+
   def compactionPlan(df: DataFrame, keyCol: String,
                      bytes: org.apache.spark.sql.Column, zoneWidth: Long,
                      targetBytes: Long): DataFrame = {

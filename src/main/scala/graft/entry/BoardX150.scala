@@ -353,6 +353,43 @@ private[graft] object BoardX150 {
     // the recommendation; corpus drift re-opens the choice loudly)
     "x201_prefix_plan" -> ((s, d) =>
       Dedup.prefixFilterPlan(Tables.documents(s, d))),
+    // k-NN label-noise audit over a probe slice vs the labeled corpus
+    // — the mislabel detector embeddings can see and text audits can't
+    "x202_knn_label_audit" -> ((s, d) =>
+      graft.operators.Similarity.knnLabelAudit(
+        Tables.embeddings(s, d).filter(col("vec_id") < 100),
+        Tables.embeddings(s, d), k = 10)),
+    // clustering-depth histogram: arrival-batch "files" vs the n_chars
+    // key — how many files a point lookup fans out to on THIS layout
+    "x203_clustering_depth" -> ((s, d) =>
+      graft.core.Layout.clusteringDepthHistogram(Tables.documents(s, d),
+        expr("doc_id div 100"), "n_chars")),
+    // full time-to-convert quantile ladder per funnel transition —
+    // x128's median generalized to the p90/p99 SLA tail
+    "x204_funnel_latency" -> ((s, d) =>
+      graft.operators.Behavior.funnelStepQuantiles(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+    // duplicate-aware loss weights over the x34 cluster closure — keep
+    // every copy, down-weight by 1/cluster_size
+    "x205_loss_weights" -> ((s, d) =>
+      Dedup.clusterLossWeights(Tables.documents(s, d),
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2,
+          minPermille = 300))),
+    // subject-deletion blast-radius audit across the two tables the
+    // corpus keys by the same subject space (user_id ≡ custkey)
+    "x206_purge_audit" -> { (s, d) =>
+      val ids = Tables.events(s, d)
+        .filter(pmod(col("user_id"), lit(97L)) === 0L)
+        .select("user_id").distinct()
+      graft.operators.Governance.purgeAudit(Seq(
+        ("events", Tables.events(s, d), "user_id"),
+        ("orders", Tables.orders(s, d), "o_custkey")), ids)
+    },
+    // retention-policy TTL audit: 30-day age buckets vs a 365-day TTL
+    // anchored just past the corpus' last order date
+    "x207_ttl_audit" -> ((s, d) =>
+      graft.operators.Governance.ttlAudit(Tables.orders(s, d),
+        "o_orderdate", ttlDays = 365L, asOf = "2001-09-01")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1375,6 +1412,97 @@ private[graft] object BoardX150 {
     // collapsed to one stats row each, with the integer 25%-of-best
     // recommendation rule over the 4-row report
     "x201_prefix_plan" -> prefixPlanOracle(),
+    // x202: the x09 exact-cosine rank replayed, neighbor-label counts,
+    // (n DESC, label ASC) majority, agreement by left join
+    "x202_knn_label_audit" -> knnLabelAuditOracle,
+    // x203: per-"file" (doc_id div 100) min/max of n_chars, boundary
+    // sweep (+1 at lo, −1 past hi), running depth, span histogram
+    "x203_clustering_depth" ->
+      """WITH f AS (SELECT doc_id // 100 AS fi,
+             CAST(MIN(n_chars) AS BIGINT) AS lo,
+             CAST(MAX(n_chars) AS BIGINT) AS hi
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+         b AS (SELECT lo AS pt, 1 AS d FROM f
+           UNION ALL SELECT hi + 1, -1 FROM f),
+         m AS (SELECT pt, CAST(SUM(d) AS BIGINT) AS delta
+           FROM b GROUP BY 1),
+         s AS (SELECT pt,
+             CAST(SUM(delta) OVER (ORDER BY pt ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS depth,
+             LEAD(pt) OVER (ORDER BY pt) AS nxt
+           FROM m)
+         SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(nxt - pt) AS BIGINT) AS key_span
+         FROM s WHERE nxt IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    // x204: the x128 champion/gap CTEs with the exact lower-quantile
+    // ladder selection instead of the single median
+    "x204_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.user_id AND epoch_ns(e.ts) > s1.t
+             WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.user_id AND epoch_ns(e.ts) > s2.t
+             WHERE e.event_type = 'purchase' GROUP BY 1),
+         g AS (SELECT 2 AS step_idx, s2.t - s1.t AS gap
+             FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+           UNION ALL
+           SELECT 3, s3.t - s2.t
+             FROM s3 JOIN s2 ON s3.user_id = s2.user_id),
+         v AS (SELECT step_idx, gap, CAST(COUNT(*) AS BIGINT) AS w
+           FROM g GROUP BY 1, 2),
+         c AS (SELECT step_idx, gap, w,
+             SUM(w) OVER (PARTITION BY step_idx ORDER BY gap
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY step_idx) AS tot
+           FROM v),
+         q AS (SELECT UNNEST([500, 900, 990]) AS q_permille)
+         SELECT CAST(c.step_idx AS BIGINT) AS step_idx,
+           CAST(q.q_permille AS BIGINT) AS q_permille,
+           MIN(c.gap) AS gap_ns
+         FROM c CROSS JOIN q
+         WHERE c.cum * 1000 >= q.q_permille * c.tot
+         GROUP BY 1, 2 ORDER BY step_idx, q_permille""",
+    // x205: the x34 closure + sizes, corpus left-joined — singletons
+    // are their own cluster, weight = 10^6 div size
+    "x205_loss_weights" -> lossWeightsOracle,
+    // x206: distinct-id left joins (ids distinct → no fan-out), one
+    // summary row per table, integer ppm
+    "x206_purge_audit" ->
+      """WITH ids AS (SELECT DISTINCT user_id AS k FROM events
+           WHERE user_id % 97 = 0),
+         e AS (SELECT 'events' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN ids.k IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_matched
+           FROM events LEFT JOIN ids ON events.user_id = ids.k),
+         o AS (SELECT 'orders' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN ids.k IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_matched
+           FROM orders LEFT JOIN ids ON orders.o_custkey = ids.k),
+         u AS (SELECT * FROM e UNION ALL SELECT * FROM o)
+         SELECT table_name, n_rows, n_matched,
+           CASE WHEN n_rows = 0 THEN 0
+             ELSE CAST((n_matched * 1000000) // n_rows AS BIGINT) END
+             AS matched_ppm
+         FROM u ORDER BY table_name""",
+    // x207: exact integer day ages back from the asOf literal, 30-day
+    // trunc-div buckets (ages non-negative), half-open purge rule
+    "x207_ttl_audit" ->
+      """WITH a AS (SELECT CAST(DATE '2001-09-01' -
+             CAST(o_orderdate AS DATE) AS BIGINT) AS age FROM orders),
+         b AS (SELECT CASE WHEN age IS NULL THEN -1 ELSE age // 30 END
+             AS age_bucket,
+             CASE WHEN age IS NOT NULL AND age >= 365 THEN 1 ELSE 0 END
+               AS p
+           FROM a)
+         SELECT CAST(age_bucket AS BIGINT) AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(p) AS BIGINT) AS purged,
+           CAST((SUM(p) * 1000000) // COUNT(*) AS BIGINT) AS purge_ppm
+         FROM b GROUP BY 1 ORDER BY 1""",
     // x10/x23 (hyperplane LSH) and x25 (Spark-ML KMeans cells) depend on
     // engine-specific hash seeds or trained models; x20 is a HLL++
     // sketch, x37 a count-min sketch, x78/x179 DataSketches HLL states.

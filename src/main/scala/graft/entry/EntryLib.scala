@@ -220,6 +220,71 @@ private[graft] object EntryLib {
        FROM r2 ORDER BY shingle_k"""
   }
 
+  /** x202 oracle: the x09 dot/norm spelling over the labeled probe
+    * slice, rank ≤ k, then per-query neighbor-label counts, the
+    * (n DESC, label ASC) majority, and the agreement left-join. */
+  def knnLabelAuditOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         FROM embeddings WHERE vec_id < 100 AND label IS NOT NULL),
+       c AS (SELECT vec_id AS neighbor_id, label AS nlabel,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings WHERE label IS NOT NULL),
+       s AS (SELECT query_id, neighbor_id, nlabel,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(qv, cv), p -> p[1] * p[2])), (a, b) -> a + b) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(qv, x -> x * x)), (a, b) -> a + b)) *
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS n
+         FROM q, c WHERE query_id <> neighbor_id),
+       r AS (SELECT query_id, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) DESC,
+               neighbor_id) AS rank
+         FROM s),
+       cnt AS (SELECT query_id, nlabel, CAST(COUNT(*) AS BIGINT) AS n
+         FROM r WHERE rank <= 10 GROUP BY 1, 2),
+       mj AS (SELECT query_id, nlabel,
+           CAST(SUM(n) OVER (PARTITION BY query_id) AS BIGINT) AS n_neighbors,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY n DESC, nlabel) AS rn
+         FROM cnt),
+       own AS (SELECT DISTINCT query_id AS vec_id, qlabel AS label FROM q)
+       SELECT own.vec_id, own.label, m.nlabel AS majority_label,
+         CAST(COALESCE(ag.n, 0) AS BIGINT) AS n_agree, m.n_neighbors,
+         CAST(CASE WHEN m.nlabel <> own.label THEN 1 ELSE 0 END AS BIGINT)
+           AS suspect
+       FROM own
+       JOIN (SELECT query_id, nlabel, n_neighbors FROM mj WHERE rn = 1) m
+         ON m.query_id = own.vec_id
+       LEFT JOIN cnt ag
+         ON ag.query_id = own.vec_id AND ag.nlabel = own.label
+       ORDER BY own.vec_id"""
+
+  /** x205 oracle: the x34 reachability closure, cluster sizes, and a
+    * corpus left join — singletons label themselves, ppm by trunc div. */
+  def lossWeightsOracle: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       sym AS (SELECT da AS s, db AS d FROM pairs
+               UNION SELECT db AS s, da AS d FROM pairs),
+       verts AS (SELECT DISTINCT s AS v FROM sym),
+       reach AS (SELECT v AS a, v AS b FROM verts
+                 UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+       lab AS (SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY a),
+       sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         FROM lab GROUP BY 1)
+       SELECT doc.doc_id,
+         COALESCE(lab.cluster_id, doc.doc_id) AS cluster_id,
+         COALESCE(sz.cluster_size, 1) AS cluster_size,
+         CAST(1000000 // COALESCE(sz.cluster_size, 1) AS BIGINT)
+           AS weight_ppm
+       FROM documents doc
+       LEFT JOIN lab ON lab.doc_id = doc.doc_id
+       LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
+       ORDER BY doc.doc_id"""
+
   def containmentOracle(shingleK: Int): String =
     s"""WITH ${shingleCtes(shingleK)},
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),

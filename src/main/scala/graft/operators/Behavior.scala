@@ -140,6 +140,42 @@ object Behavior {
       .orderBy("step_idx")
   }
 
+  /** FULL quantile ladder of time-to-convert per funnel transition —
+    * [[funnelStepTimes]]' median generalized to the whole tail: the
+    * p90/p99 conversion delay is the SLA/nudge-timing number (a
+    * median says the typical user converts in minutes; the p99 says
+    * whether the reminder email at 24 h is aimed at anyone real). Same
+    * champion chain as [[funnel]], same exact lower-quantile selection
+    * as [[Profiling.exactQuantiles]] — every value an actual observed
+    * gap, all arithmetic integer.
+    *
+    * Shape: the champion stages are user-keyed aggregations; gaps
+    * collapse to a (step, distinct-gap) weight table and the ladder
+    * windows run over THAT bounded table — no raw event passes
+    * through a sort. At petabyte user counts the documented swap is
+    * [[Profiling.exactQuantilesApprox]] (same output shape).
+    *
+    * @return (step_idx, q_permille, gap_ns) for step_idx ≥ 2,
+    *         ordered. */
+  def funnelStepQuantiles(events: DataFrame, steps: Seq[String],
+                          qsPermille: Seq[Long] = Seq(500L, 900L, 990L),
+                          userCol: String = "user_id",
+                          typeCol: String = "event_type",
+                          tsCol: String = "ts_ns",
+                          within: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "step quantiles need at least two steps")
+    val stages = championStages(events, steps, userCol, typeCol, tsCol, within)
+    val gaps = stages.sliding(2).zipWithIndex.map { case (Seq(prev, next), i) =>
+      next.select(col(userCol), col("t").as("__t2"))
+        .join(prev.select(col(userCol), col("t").as("__t1")), Seq(userCol))
+        .select(lit(i + 2L).as("__step"), (col("__t2") - col("__t1")).as("__gap"))
+    }.reduce(_.unionByName(_))
+    Profiling.exactQuantiles(gaps, "__step", "__gap", qsPermille)
+      .select(col("grp").as("step_idx"), col("q_permille"),
+        col("value").as("gap_ns"))
+      .orderBy("step_idx", "q_permille")
+  }
+
   /** Weekly retention cohorts: users are cohorted by the week of their
     * FIRST event; each (cohort_week, week_offset) cell counts the
     * cohort's users active in that later week.

@@ -181,6 +181,40 @@ object Dedup {
     multi.unionByName(singletons).orderBy("cluster_size")
   }
 
+  /** Duplicate-aware LOSS WEIGHTS — the soft alternative to dropping
+    * near-dups: keep every copy but weight each document by
+    * 1/|its dup cluster| so a 40-member template cluster contributes
+    * ONE document's worth of gradient instead of forty (the standard
+    * repetition-discounting recipe when hard dedup would lose wanted
+    * coverage — e.g. licensed copies with different metadata). Every
+    * corpus doc gets a row: clustered members carry their component's
+    * size and ppm weight, unpaired docs weight 10⁶ with themselves as
+    * their own (size-1) cluster — so Σ weight_ppm = 10⁶ · #clusters
+    * exactly, the invariant a mixture builder downstream relies on.
+    *
+    * Exactness/shape: cluster labels from [[connectedComponents]]'
+    * min-id fixpoint; sizes are one groupBy over the clustered docs;
+    * the corpus joins the (small) label table left-outer on the SAME
+    * id hash — one shuffle over ids, bodies never move; weight_ppm =
+    * 10⁶ div size, exact integer.
+    *
+    * @return (doc_id, cluster_id, cluster_size, weight_ppm) — one row
+    *         per corpus doc, ordered by doc_id. */
+  def clusterLossWeights(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val labels = connectedComponentsUnsorted(pairs)
+    val sized = labels.join(
+      labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+      Seq("cluster_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(sized, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        expr("1000000 div coalesce(cluster_size, 1)").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source duplication matrix over a near-dup pair graph:
     * for every unordered source pair, how many verified near-dup
     * pairs straddle it (diagonal rows = within-source duplication).

@@ -193,6 +193,62 @@ object Similarity {
     topKByScore(scored, k)
   }
 
+  /** k-NN LABEL-NOISE audit — the standard "deep k-NN" mislabel
+    * detector over an embedding column: a vector whose k nearest
+    * neighbors mostly carry a DIFFERENT label is either mislabeled or
+    * sits on a class boundary, and both are exactly the examples worth
+    * human review before a training run (confident-learning family;
+    * label noise is the quality defect embeddings can see and raw text
+    * audits cannot). Per probe vector: its own label, the neighbor
+    * majority label, the agreement count, and a `suspect` flag when
+    * the majority disagrees.
+    *
+    * Determinism: neighbors come from [[cosineTopK]]'s exact scored
+    * rank (ties by neighbor_id — the x09 oracle-proven order); the
+    * majority is (count DESC, label ASC) — a full tiebreak, so the
+    * flag replays cross-engine. NULL-labeled vectors join neither
+    * side (no supervision signal to audit).
+    *
+    * Scale shape: the probe side broadcasts and the corpus is scored
+    * in place (the x09 plan); at training scale audit a probe SAMPLE
+    * per pass, or hand this an ANN pool ([[lshTopK]]/[[ivfTopK]]) to
+    * exact-rescore — the [[hardNegatives]] pattern; the label join
+    * and majority window then run over |probe|·k rows only.
+    *
+    * @return (vec_id, label, majority_label, n_agree, n_neighbors,
+    *         suspect) ordered by vec_id. */
+  def knnLabelAudit(probes: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
+    val q = probes.filter(col(labelCol).isNotNull)
+    val c = corpus.filter(col(labelCol).isNotNull)
+    val labels = c.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val byQuery = Window.partitionBy("query_id")
+    val counted = cosineTopK(q, c, k, idCol, vecCol)
+      .join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__n"))
+    val majority = counted
+      .withColumn("__rn", row_number().over(
+        byQuery.orderBy(col("__n").desc, col("__nl").asc)))
+      .withColumn("n_neighbors", sum("__n").over(byQuery))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__nl").as("majority_label"),
+        col("n_neighbors"))
+    val agree = counted.select(col("query_id").as("vec_id"),
+      col("__nl").as("label"), col("__n").as("n_agree"))
+    q.select(col(idCol).as("vec_id"), col(labelCol).as("label"))
+      .join(majority.withColumnRenamed("query_id", "vec_id"), Seq("vec_id"))
+      .join(agree, Seq("vec_id", "label"), "left")
+      .select(col("vec_id"), col("label"), col("majority_label"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"), col("n_neighbors"),
+        when(col("majority_label") =!= col("label"), 1L).otherwise(0L)
+          .as("suspect"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient for (plane p,
     * dim i) derived from a splitmix64-style integer mix — reproducible
     * across runs and engines, no RNG state. Returns values in [-1, 1). */

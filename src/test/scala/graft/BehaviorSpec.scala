@@ -60,6 +60,28 @@ class BehaviorSpec extends SparkSpec with SlowSuite {
     rows.toDF("user_id", "ts_s", "value")
       .withColumn("ts", to_timestamp(col("ts_s")))
 
+  test("funnelStepQuantiles: exact lower quantiles of champion gaps") {
+    val events = ev(
+      (1L, 1L, 100L, "view", 0), (1L, 2L, 150L, "click", 0),  // gap 50
+      (1L, 3L, 250L, "purchase", 0),                          // gap 100
+      (2L, 4L, 100L, "view", 0), (2L, 5L, 300L, "click", 0),  // gap 200
+      (3L, 6L, 100L, "view", 0), (3L, 7L, 300L, "click", 0),  // gap 200
+      (4L, 8L, 100L, "view", 0), (4L, 9L, 1000L, "click", 0), // gap 900
+      (5L, 10L, 100L, "view", 0))                             // never converts
+    val out = Behavior.funnelStepQuantiles(events,
+      Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // step 2 gaps {50, 200, 200, 900}: p500 = 200 (cum 3 of 4),
+    // p900/p990 = 900; step 3 has the single gap 100 at every q
+    assert(out === Seq(
+      (2L, 500L, 200L), (2L, 900L, 900L), (2L, 990L, 900L),
+      (3L, 500L, 100L), (3L, 900L, 100L), (3L, 990L, 100L)))
+    // the q=500 point must agree with funnelStepTimes' median
+    val med = Behavior.funnelStepTimes(events, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(out.filter(_._2 == 500L).map(t => t._1 -> t._3).toMap === med)
+  }
+
   test("retentionCohorts: cohort by first week, offsets count distinct users") {
     val events = tsEvents(
       // user 1: weeks 0 and 2 (epoch 2024-01-01)

@@ -295,6 +295,21 @@ class DedupSpec extends SparkSpec with SlowSuite {
       assert(pref === plain, s"threshold $t")
     }
   }
+  test("clusterLossWeights: 1/size ppm, singletons self-labeled, mass invariant") {
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val out = Dedup.clusterLossWeights(docs, pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 1L, 1000000L),
+      (5L, 5L, 2L, 500000L), (6L, 5L, 2L, 500000L)))
+    // Σ weight over a cluster ≈ 10⁶ (exact up to the div truncation);
+    // the cluster COUNT recovers exactly from the distinct labels
+    assert(out.map(_._2).distinct.size === 3)
+    assert(out.map(_._4).sum === 333333L * 3 + 1000000L + 500000L * 2)
+  }
+
   test("prefixFilterPlan: hand-checkable masses; recommendation pins x74's k=4") {
     // tiny corpus where the profile is hand-computable at k=1:
     // tokens a(3 docs), b(2), c(1) → vocab 3, rows 6, max_df 3,

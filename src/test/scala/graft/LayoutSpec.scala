@@ -75,6 +75,32 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("clusteringDepthHistogram: overlap depths, interior gap, sorted ideal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // files by id div 10: f0 keys [1, 10], f1 keys [5, 14], f2 keys
+    // [30, 31] → sweep: depth 1 on [1,5), 2 on [5,11), 1 on [11,15),
+    // 0 on [15,30), 1 on [30,32)
+    val rows = Seq((0L, 1L), (1L, 10L), (10L, 5L), (11L, 14L),
+      (20L, 30L), (21L, 31L)).toDF("id", "k")
+    val out = graft.core.Layout.clusteringDepthHistogram(
+        rows, expr("id div 10"), "k")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L, 15L), (1L, 3L, 10L), (2L, 1L, 6L)))
+    // a key-sorted layout is depth 1 everywhere — nothing to compact
+    val sorted = Seq((0L, 1L), (1L, 9L), (10L, 20L), (11L, 29L))
+      .toDF("id", "k")
+    val ideal = graft.core.Layout.clusteringDepthHistogram(
+        sorted, expr("id div 10"), "k")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ideal.filter(_._1 >= 2).isEmpty, "sorted layout must not overlap")
+    // null keys drop (they belong to no file range)
+    val withNull = Seq((0L, Option(1L)), (1L, Option.empty[Long]))
+      .toDF("id", "k")
+    assert(graft.core.Layout.clusteringDepthHistogram(
+      withNull, expr("id div 10"), "k").count() === 1L)
+  }
+
   test("GraftSession factory registers native functions and UDAFs") {
     // the shared test session was not built by GraftSession; register
     // directly and confirm the SQL surface the factory promises

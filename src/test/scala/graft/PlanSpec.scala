@@ -326,8 +326,10 @@ class PlanSpec extends SparkSpec {
     // frequency-of-frequencies table (bounded by distinct multiplicity)
     // — both must keep an Aggregate strictly below the window so a
     // refactor cannot re-point them at raw events/keys
+    // x203's depth sweep must likewise window over the per-file
+    // min/max aggregate (≤2|files| boundary rows), never raw rows
     for (name <- Seq("x139_cusum", "x144_key_skew", "x177_ks_test",
-      "x191_emd")) {
+      "x191_emd", "x203_clustering_depth")) {
       val wins = logicalWindows(SparkEntry.queries(name)(spark, sf))
       val unpart = wins.filter(_.partitionSpec.isEmpty)
       assert(unpart.nonEmpty, s"$name: expected the bounded global window")

@@ -35,6 +35,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._3).toSeq === out.map(_._3).toSeq.sorted.reverse)
   }
 
+  test("knnLabelAudit: mislabel flagged by neighbor majority, null labels excluded") {
+    val lv = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), Option(1)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f), Option(1)),
+      (3L, Array(0.98f, 0.02f, 0.0f, 0.0f), Option(1)),
+      (4L, Array(0.97f, 0.03f, 0.0f, 0.0f), Option(2)), // mislabeled
+      (5L, Array(0.0f, 1.0f, 0.0f, 0.0f), Option(2)),
+      (6L, Array(0.01f, 0.99f, 0.0f, 0.0f), Option(2)),
+      (7L, Array(0.02f, 0.98f, 0.0f, 0.0f), Option(2)),
+      (8L, Array(0.0f, 0.0f, 1.0f, 0.0f), Option.empty[Int])
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAudit(lv, lv, k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // vec 8 has no label — audited on neither side
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // vec 4 sits inside the x-cluster: its 3 nearest are all label 1 →
+    // majority disagrees with its own label 2 → suspect
+    assert(out(4L) === ((2, 1, 0L, 3L, 1L)))
+    // vec 1's neighbors are 2, 3 (label 1) and 4 (label 2) → majority 1
+    assert(out(1L) === ((1, 1, 2L, 3L, 0L)))
+    // vec 5's neighbors 6, 7 and the mislabeled 4 all carry label 2
+    assert(out(5L) === ((2, 2, 3L, 3L, 0L)))
+    assert(out.values.count(_._5 == 1L) === 1, "only the planted mislabel flags")
+  }
+
   test("LSH top-k finds the identical vector (same bucket by construction)") {
     val corpus = (1L to 50L).map { i =>
       (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
