@@ -725,6 +725,53 @@ object Dedup {
       .orderBy("da", "db", "cont_permille", "jac_permille")
   }
 
+  /** PAGINATION-ARTIFACT stitch detection: pairs (a, b) where the
+    * LAST `overlapTokens` tokens of a equal the FIRST `overlapTokens`
+    * tokens of b — the signature of one source document split across
+    * crawl pages with a repeated boundary region. Set-level scores
+    * can't see this (the overlap is a sliver of either doc) and
+    * shared-run mining ([[sharedRunStats]]) reports it without the
+    * DIRECTION; stitching needs the (tail → head) orientation to
+    * reassemble, which is exactly what this emits.
+    *
+    * Exact by construction: the join key is the overlap's literal
+    * token text (single-space rejoined), not a hash — no collisions,
+    * fully oracle-replayable. Docs shorter than the overlap are out;
+    * self-pairs are out; both orientations of a mutual overlap emit
+    * (a→b and b→a are different stitch hypotheses). Run it per
+    * overlap size of interest (8/16/32 tokens — one scan each);
+    * smaller overlaps trade recall for false splices on boilerplate
+    * boundaries, which callers should drop via the df of the overlap
+    * text (surfaced as `n_heads` — a 40-way shared head is a footer,
+    * not a split).
+    *
+    * Shape: two scan-side projections (head key, tail key) and ONE
+    * equi-join on the overlap text; `n_heads` (how many docs start
+    * with this same overlap — the boilerplate alarm) rides the head
+    * aggregation, vocabulary-bounded.
+    *
+    * @return (doc_a, doc_b, overlap_tokens, n_heads) ordered. */
+  def tailHeadStitch(docs: DataFrame, overlapTokens: Int = 8): DataFrame = {
+    require(overlapTokens >= 2 && overlapTokens <= 256,
+      s"overlapTokens ($overlapTokens) must be in [2, 256]")
+    val ts = split(col("text"), " ")
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), ts.as("__ts"))
+      .filter(size(col("__ts")) >= overlapTokens)
+    val heads = base.select(col("doc_id").as("doc_b"),
+      array_join(slice(col("__ts"), 1, overlapTokens), " ").as("__k"))
+    val tails = base.select(col("doc_id").as("doc_a"),
+      array_join(slice(col("__ts"), -overlapTokens, overlapTokens), " ")
+        .as("__k"))
+    val headDf = heads.groupBy("__k").agg(count(lit(1)).as("n_heads"))
+    tails.join(heads, Seq("__k"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .join(headDf, Seq("__k"))
+      .select(col("doc_a"), col("doc_b"),
+        lit(overlapTokens.toLong).as("overlap_tokens"), col("n_heads"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** PREFIX-FILTER operating-point PLANNER — the [[lshBandingPlan]]
     * closed-form discipline applied to the PPJoin family: measure the
     * shingle-df profile at each candidate `shingleK` and report the

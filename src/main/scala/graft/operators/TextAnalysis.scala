@@ -1084,4 +1084,41 @@ object TextAnalysis {
       .orderBy(abs(col("delta_ppm")).desc, col("tok"))
       .limit(topK)
   }
+
+  /** Doc-INITIAL boilerplate report: the distinct first-`prefixTokens`
+    * token sequences shared by ≥ `minDocs` documents — crawl headers,
+    * license banners, template preambles. Position is the signal a
+    * global n-gram count ([[collocations]], heavy hitters) washes out:
+    * a phrase that opens 4% of all documents is boilerplate even if
+    * its corpus-wide frequency is unremarkable, and the doc-initial
+    * slice is exactly what a strip-the-header cleaning pass removes.
+    * Reported, not stripped — audit-first; the strip is a row-local
+    * `substring` the caller applies to the flagged prefix set.
+    *
+    * Shape: ONE scan-side projection of each doc's literal prefix
+    * text (exact join key, no hash) + a prefix-keyed count with
+    * map-side combine — the report is bounded by distinct prefixes,
+    * and share_ppm divides by a 1-row broadcast total.
+    *
+    * @return (prefix, n_docs, share_ppm) for prefixes hitting the
+    *         bar, ordered by (n_docs desc, prefix). */
+  def boilerplatePrefixReport(docs: DataFrame, prefixTokens: Int = 4,
+                              minDocs: Long = 2L): DataFrame = {
+    require(prefixTokens >= 1 && prefixTokens <= 64,
+      s"prefixTokens ($prefixTokens) must be in [1, 64]")
+    require(minDocs >= 2, s"minDocs ($minDocs) must be >= 2")
+    val ts = split(col("text"), " ")
+    val base = docs.filter(col("text").isNotNull)
+      .select(array_join(slice(ts, 1, prefixTokens), " ").as("prefix"),
+        (size(ts) >= prefixTokens).as("__full"))
+      // docs shorter than the window have no full prefix to share
+      .filter(col("__full"))
+    val total = base.agg(count(lit(1)).as("__tot"))
+    base.groupBy("prefix").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .crossJoin(broadcast(total))
+      .select(col("prefix"), col("n_docs"),
+        expr("(n_docs * 1000000) div __tot").as("share_ppm"))
+      .orderBy(col("n_docs").desc, col("prefix"))
+  }
 }
