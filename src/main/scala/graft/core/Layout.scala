@@ -116,6 +116,31 @@ object Layout {
     *
     * @return (zone, n_rows, bytes, grp) ordered by zone; grp is the
     *         merge-group id, contiguous in zone order. */
+  def compactionPlan(df: DataFrame, keyCol: String,
+                     bytes: org.apache.spark.sql.Column, zoneWidth: Long,
+                     targetBytes: Long): DataFrame = {
+    require(zoneWidth > 0, s"zoneWidth ($zoneWidth) must be > 0")
+    require(targetBytes > 0, s"targetBytes ($targetBytes) must be > 0")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("zone")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL keys zone nowhere and are dropped; floor-division zone id
+    // (exact bigint form) keeps negative keys in correctly-labelled
+    // zones — the zoneMapReport discipline.
+    df.filter(col(keyCol).isNotNull)
+      .select(expr(s"""(cast($keyCol as bigint)
+            - pmod(cast($keyCol as bigint), ${zoneWidth}L))
+            div ${zoneWidth}L""").as("zone"),
+        bytes.cast("long").as("__b"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_rows"), sum("__b").as("bytes"))
+      .withColumn("__cum", sum("bytes").over(w))
+      .select(col("zone"), col("n_rows"), col("bytes"),
+        expr(s"(__cum - bytes) div ${targetBytes}L").as("grp"))
+      .orderBy("zone")
+  }
+
   /** CLUSTERING-DEPTH histogram — the Iceberg/Delta layout-health
     * metric [[graft.operators.Profiling.zoneMapReport]] cannot see:
     * zone maps score zones derived FROM the key, which never overlap
@@ -162,30 +187,5 @@ object Layout {
       .agg(count(lit(1)).as("n_segments"),
         sum(col("__next") - col("pt")).as("key_span"))
       .orderBy("depth")
-  }
-
-  def compactionPlan(df: DataFrame, keyCol: String,
-                     bytes: org.apache.spark.sql.Column, zoneWidth: Long,
-                     targetBytes: Long): DataFrame = {
-    require(zoneWidth > 0, s"zoneWidth ($zoneWidth) must be > 0")
-    require(targetBytes > 0, s"targetBytes ($targetBytes) must be > 0")
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("zone")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // NULL keys zone nowhere and are dropped; floor-division zone id
-    // (exact bigint form) keeps negative keys in correctly-labelled
-    // zones — the zoneMapReport discipline.
-    df.filter(col(keyCol).isNotNull)
-      .select(expr(s"""(cast($keyCol as bigint)
-            - pmod(cast($keyCol as bigint), ${zoneWidth}L))
-            div ${zoneWidth}L""").as("zone"),
-        bytes.cast("long").as("__b"))
-      .groupBy("zone")
-      .agg(count(lit(1)).as("n_rows"), sum("__b").as("bytes"))
-      .withColumn("__cum", sum("bytes").over(w))
-      .select(col("zone"), col("n_rows"), col("bytes"),
-        expr(s"(__cum - bytes) div ${targetBytes}L").as("grp"))
-      .orderBy("zone")
   }
 }

@@ -1465,7 +1465,8 @@ private[graft] object BoardX150 {
          WHERE c.cum * 1000 >= q.q_permille * c.tot
          GROUP BY 1, 2 ORDER BY step_idx, q_permille""",
     // x205: the x34 closure + sizes, corpus left-joined — singletons
-    // are their own cluster, weight = 10^6 div size
+    // are their own cluster, weight = 10^6 div size with the min-id
+    // survivor absorbing the remainder (each cluster sums to 10^6)
     "x205_loss_weights" -> lossWeightsOracle,
     // x206: distinct-id left joins (ids distinct → no fan-out), one
     // summary row per table, integer ppm
@@ -1489,11 +1490,13 @@ private[graft] object BoardX150 {
              AS matched_ppm
          FROM u ORDER BY table_name""",
     // x207: exact integer day ages back from the asOf literal, 30-day
-    // trunc-div buckets (ages non-negative), half-open purge rule
+    // trunc-div buckets, half-open purge rule; sentinels -1 (NULL ts)
+    // and -2 (future-dated, age < 0) mirror the operator's policy
     "x207_ttl_audit" ->
       """WITH a AS (SELECT CAST(DATE '2001-09-01' -
              CAST(o_orderdate AS DATE) AS BIGINT) AS age FROM orders),
-         b AS (SELECT CASE WHEN age IS NULL THEN -1 ELSE age // 30 END
+         b AS (SELECT CASE WHEN age IS NULL THEN -1
+             WHEN age < 0 THEN -2 ELSE age // 30 END
              AS age_bucket,
              CASE WHEN age IS NOT NULL AND age >= 365 THEN 1 ELSE 0 END
                AS p

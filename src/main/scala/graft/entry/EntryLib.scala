@@ -263,7 +263,9 @@ private[graft] object EntryLib {
        ORDER BY own.vec_id"""
 
   /** x205 oracle: the x34 reachability closure, cluster sizes, and a
-    * corpus left join — singletons label themselves, ppm by trunc div. */
+    * corpus left join — singletons label themselves; the min-id
+    * survivor (doc_id = cluster_id) absorbs the div remainder so every
+    * cluster sums to exactly 10⁶ ppm. */
   def lossWeightsOracle: String =
     s"""WITH RECURSIVE $minHashPairsCtes,
        sym AS (SELECT da AS s, db AS d FROM pairs
@@ -274,16 +276,18 @@ private[graft] object EntryLib {
        lab AS (SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
          FROM reach GROUP BY a),
        sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-         FROM lab GROUP BY 1)
-       SELECT doc.doc_id,
-         COALESCE(lab.cluster_id, doc.doc_id) AS cluster_id,
-         COALESCE(sz.cluster_size, 1) AS cluster_size,
-         CAST(1000000 // COALESCE(sz.cluster_size, 1) AS BIGINT)
-           AS weight_ppm
-       FROM documents doc
-       LEFT JOIN lab ON lab.doc_id = doc.doc_id
-       LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
-       ORDER BY doc.doc_id"""
+         FROM lab GROUP BY 1),
+       j AS (SELECT doc.doc_id,
+           COALESCE(lab.cluster_id, doc.doc_id) AS cluster_id,
+           COALESCE(sz.cluster_size, 1) AS cluster_size
+         FROM documents doc
+         LEFT JOIN lab ON lab.doc_id = doc.doc_id
+         LEFT JOIN sz ON sz.cluster_id = lab.cluster_id)
+       SELECT doc_id, cluster_id, cluster_size,
+         CAST(CASE WHEN doc_id = cluster_id
+           THEN 1000000 - (cluster_size - 1) * (1000000 // cluster_size)
+           ELSE 1000000 // cluster_size END AS BIGINT) AS weight_ppm
+       FROM j ORDER BY doc_id"""
 
   def containmentOracle(shingleK: Int): String =
     s"""WITH ${shingleCtes(shingleK)},

@@ -190,13 +190,19 @@ object Dedup {
     * corpus doc gets a row: clustered members carry their component's
     * size and ppm weight, unpaired docs weight 10⁶ with themselves as
     * their own (size-1) cluster — so Σ weight_ppm = 10⁶ · #clusters
-    * exactly, the invariant a mixture builder downstream relies on.
+    * EXACTLY, the invariant a mixture builder downstream relies on:
+    * every member weighs 10⁶ div size, and the cluster's canonical
+    * survivor (the min-id member — the one doc whose id IS the
+    * cluster_id under the min-id fixpoint) absorbs the div-truncation
+    * remainder, 10⁶ − (size−1)·(10⁶ div size), so each cluster sums to
+    * 10⁶ with zero ppm lost (a size-3 cluster is 333334 + 2·333333,
+    * not 3·333333 = 999999).
     *
     * Exactness/shape: cluster labels from [[connectedComponents]]'
     * min-id fixpoint; sizes are one groupBy over the clustered docs;
     * the corpus joins the (small) label table left-outer on the SAME
-    * id hash — one shuffle over ids, bodies never move; weight_ppm =
-    * 10⁶ div size, exact integer.
+    * id hash — one shuffle over ids, bodies never move; all weights
+    * exact integer.
     *
     * @return (doc_id, cluster_id, cluster_size, weight_ppm) — one row
     *         per corpus doc, ordered by doc_id. */
@@ -210,8 +216,13 @@ object Dedup {
       .join(sized, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
-        expr("1000000 div coalesce(cluster_size, 1)").as("weight_ppm"))
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      // min-id survivor absorbs the div remainder → Σ per cluster = 10⁶
+      .withColumn("weight_ppm",
+        when(col("doc_id") === col("cluster_id"),
+          lit(1000000L) - (col("cluster_size") - 1L)
+            * expr("1000000 div cluster_size"))
+          .otherwise(expr("1000000 div cluster_size")))
       .orderBy("doc_id")
   }
 

@@ -58,8 +58,12 @@ object Governance {
     * are exact integer `age div 30`; the purge flag is the half-open
     * rule age ≥ ttlDays (a row exactly at the boundary purges —
     * retention windows are conventionally exclusive of the boundary
-    * day). NULL timestamps surface in bucket −1 with purge 0: rows
-    * with no event time need a POLICY decision, not a silent default.
+    * day). Anomalous rows surface in sentinel buckets rather than
+    * blending with real data: NULL timestamps in bucket −1, and
+    * FUTURE-dated rows (age < 0 — clock skew, bad parses past `asOf`)
+    * in bucket −2, both with purge 0 — each needs a POLICY decision,
+    * not a silent default (trunc division would otherwise have mixed
+    * skewed rows into bucket 0 alongside the freshest data).
     *
     * Shape: ONE map-side-combined aggregation keyed by the bucket —
     * the report is (max age)/30 + 2 rows, never data-scale.
@@ -72,6 +76,7 @@ object Governance {
     df.select(age.as("__age"))
       .select(
         when(col("__age").isNull, lit(-1L))
+          .when(col("__age") < 0L, lit(-2L))
           .otherwise(expr("__age div 30")).as("age_bucket"),
         when(col("__age").isNotNull && col("__age") >= ttlDays, 1L)
           .otherwise(0L).as("__purge"))

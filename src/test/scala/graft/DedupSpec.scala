@@ -300,14 +300,15 @@ class DedupSpec extends SparkSpec with SlowSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
     val out = Dedup.clusterLossWeights(docs, pairs)
       .as[(Long, Long, Long, Long)].collect().toSeq
+    // the min-id survivor absorbs the div remainder: the size-3
+    // cluster is 333334 + 2·333333 = exactly 10⁶, never 999999
     assert(out === Seq(
-      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (1L, 1L, 3L, 333334L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
       (4L, 4L, 1L, 1000000L),
       (5L, 5L, 2L, 500000L), (6L, 5L, 2L, 500000L)))
-    // Σ weight over a cluster ≈ 10⁶ (exact up to the div truncation);
-    // the cluster COUNT recovers exactly from the distinct labels
+    // Σ weight_ppm = 10⁶ · #clusters EXACTLY — the documented invariant
     assert(out.map(_._2).distinct.size === 3)
-    assert(out.map(_._4).sum === 333333L * 3 + 1000000L + 500000L * 2)
+    assert(out.map(_._4).sum === 1000000L * 3)
   }
 
   test("prefixFilterPlan: hand-checkable masses; recommendation pins x74's k=4") {

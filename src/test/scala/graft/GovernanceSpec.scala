@@ -44,13 +44,16 @@ class GovernanceSpec extends SparkSpec {
 
   test("ttlAudit: 30-day buckets, boundary age purges, null ts is bucket -1") {
     // asOf 2024-12-31; ages: 0 (bucket 0), 30 (bucket 1), 365
-    // (boundary - PURGES, bucket 12), 401 (bucket 13), null (bucket -1)
+    // (boundary - PURGES, bucket 12), 401 (bucket 13), null (bucket -1),
+    // and a FUTURE-dated row (age -5: sentinel bucket -2, never bucket 0)
     val rows = Seq(Option("2024-12-31"), Option("2024-12-01"),
-      Option("2024-01-01"), Option("2023-11-26"), Option.empty[String])
+      Option("2024-01-01"), Option("2023-11-26"), Option.empty[String],
+      Option("2025-01-05"))
       .toDF("d").withColumn("ts", to_timestamp(col("d")))
     val out = Governance.ttlAudit(rows, "ts", ttlDays = 365L,
       asOf = "2024-12-31").as[(Long, Long, Long, Long)].collect().toSeq
     assert(out === Seq(
+      (-2L, 1L, 0L, 0L),
       (-1L, 1L, 0L, 0L),
       (0L, 1L, 0L, 0L),
       (1L, 1L, 0L, 0L),
