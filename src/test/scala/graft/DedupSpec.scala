@@ -529,4 +529,26 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("tailHeadStitch: directed overlap pairs, n_heads alarm, short/self out") {
+    val docs = Seq(
+      1L -> "a b c d e f",
+      2L -> "e f g h i j",
+      3L -> "e f x y z w",
+      4L -> "q e f",
+      5L -> "x",          // shorter than the overlap: never enters
+      6L -> "m n o m n"   // own tail == own head: self-pair excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.tailHeadStitch(docs, overlapTokens = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // tails: 1→"e f", 2→"i j", 3→"z w", 4→"e f", 6→"m n";
+    // heads: 2 and 3 both open with "e f" (n_heads 2); 6 opens "m n"
+    // but only stitches itself → dropped
+    assert(out === Seq(
+      (1L, 2L, 2L, 2L), (1L, 3L, 2L, 2L),
+      (4L, 2L, 2L, 2L), (4L, 3L, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.tailHeadStitch(docs, overlapTokens = 1)
+    }
+  }
+
 }

@@ -34,7 +34,9 @@ class EntrySpec extends SparkSpec with SlowSuite {
       ("BoardX100", BoardX100.queries, BoardX100.oracleSql,
         n => n.startsWith("x") && { val i = n.drop(1).takeWhile(_.isDigit).toInt; i >= 100 && i < 150 }),
       ("BoardX150", BoardX150.queries, BoardX150.oracleSql,
-        n => n.startsWith("x") && n.drop(1).takeWhile(_.isDigit).toInt >= 150))
+        n => n.startsWith("x") && { val i = n.drop(1).takeWhile(_.isDigit).toInt; i >= 150 && i < 208 }),
+      ("BoardX200", BoardX200.queries, BoardX200.oracleSql,
+        n => n.startsWith("x") && n.drop(1).takeWhile(_.isDigit).toInt >= 208))
     segs.foreach { case (tag, qs, os, inRange) =>
       assert(qs.keys.forall(inRange), s"$tag holds out-of-range query ids: ${qs.keys.filterNot(inRange)}")
       assert(os.keySet.subsetOf(qs.keySet), s"$tag oracle keys without a query: ${os.keySet -- qs.keySet}")
@@ -43,9 +45,9 @@ class EntrySpec extends SparkSpec with SlowSuite {
     // exact disjoint union (a duplicate id would silently shadow one)
     assert(SparkEntry.queries.size === segs.map(_._2.size).sum)
     assert(SparkEntry.oracleSql.size === segs.map(_._3.size).sum)
-    // the round-11 board: 229 queries, 219 oracle-compared (10 declared
+    // the round-12 board: 231 queries, 221 oracle-compared (10 declared
     // rule-6 rows-only) — growing the board updates these pins
-    assert(SparkEntry.queries.size >= 229)
+    assert(SparkEntry.queries.size >= 231)
     assert(SparkEntry.queries.size - SparkEntry.oracleSql.size === 10,
       "rule-6 no-oracle set changed size — update the declared list")
   }

@@ -578,4 +578,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq(("q", 500000L, 0L, -500000L),
       ("r", 0L, 500000L, 500000L)))
   }
+
+  test("boilerplatePrefixReport: shared doc-initial prefixes, share of full-prefix docs") {
+    val d = docs(
+      1L -> "terms of service apply",
+      2L -> "terms of the trade",
+      3L -> "hello world foo",
+      4L -> "terms of use here",
+      5L -> "hi") // shorter than the prefix window: out of the base
+    val out = TextAnalysis.boilerplatePrefixReport(d, prefixTokens = 2,
+      minDocs = 2).as[(String, Long, Long)].collect().toSeq
+    // 4 docs carry a full 2-token prefix; "terms of" opens 3 of them
+    // → share 3·10⁶ div 4 = 750000; "hello world" (×1) misses the bar
+    assert(out === Seq(("terms of", 3L, 750000L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.boilerplatePrefixReport(d, minDocs = 1)
+    }
+  }
+
 }
