@@ -136,6 +136,15 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
       }
     }
+    // per-REP barrier: one rep's garbage (LSH mining allocates heavily)
+    // can land a multi-second GC pause inside the NEXT rep's clock —
+    // observed as a stray 9 s rep on an otherwise-1.5 s query. Collect
+    // and settle briefly OUTSIDE the clock before every measurement.
+    def rep(n: String): Double = {
+      System.gc()
+      if (settleMs > 0) Thread.sleep(settleMs.min(150))
+      timeOne(n)
+    }
     val timed = names.map { n =>
       // inter-query barrier: round 10's driver run showed 24 queries
       // with >3× rep spread (vs 2 in a quiet environment) on identical
@@ -145,7 +154,7 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       if (settleMs > 0) Thread.sleep(settleMs)
-      val ts = Seq.fill(3)(timeOne(n))
+      val ts = Seq.fill(3)(rep(n))
       var best = ts.min
       var extra = Seq.empty[Double]
       // noisy-neighbor guard: a sub-second plan inflated by a bad host
@@ -155,7 +164,7 @@ object Bench {
       // a retry that itself fails transiently must not poison the min:
       // three honest primary measurements stand on their own
       if (best > 0.75) {
-        extra = Seq.fill(2)(timeOne(n)).filter(_ >= 0)
+        extra = Seq.fill(2)(rep(n)).filter(_ >= 0)
         best = (best +: extra).min
       }
       (n, if (best < 0 || ts.exists(_ < 0)) -1.0 else best, ts ++ extra)

@@ -360,27 +360,9 @@ private[graft] object BoardX100 {
          SELECT doc_id, lang, n_chars FROM t ORDER BY doc_id""",
     // x103: the x65 shingle CTEs + micronat IDF weights (ONE ln per
     // distinct shingle over exact integer counts), then pure integer
-    // weighted-containment arithmetic
-    "x103_weighted_containment" ->
-      s"""WITH ${shingleCtes(3)},
-         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
-         dfq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
-         w AS (SELECT dfq.sh AS sh,
-             CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
-               * 1000000 + 0.5) AS BIGINT) AS wt
-           FROM dfq CROSS JOIN nd),
-         wr AS (SELECT s.doc_id AS doc_id, s.sh AS sh, w.wt AS wt
-                FROM sh s JOIN w ON s.sh = w.sh),
-         tw AS (SELECT doc_id, SUM(wt) AS tw FROM wr GROUP BY doc_id),
-         pw AS (SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.wt) AS cw
-                FROM wr a JOIN wr b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-         SELECT da, db, CAST(cw AS BIGINT) AS common_w,
-           CAST((cw * 1000) // LEAST(ta.tw, tb.tw) AS BIGINT) AS wcont_permille
-         FROM pw JOIN tw ta ON pw.da = ta.doc_id JOIN tw tb ON pw.db = tb.doc_id
-         WHERE LEAST(ta.tw, tb.tw) > 0
-           AND (cw * 1000) // LEAST(ta.tw, tb.tw) >= 500
-         ORDER BY da, db""",
+    // weighted-containment arithmetic; the FORM is shared with x210's
+    // prefix-filtered plan (bit-identical output)
+    "x103_weighted_containment" -> weightedContainmentOracle(3, 500),
     // x105: one md5 draw per token (the x35 hash contract), signed
     // bucket sums, zero-filled CSV over a doc×dim spine
     "x104_feature_hash" ->

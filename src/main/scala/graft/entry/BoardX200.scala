@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{Dedup, TextAnalysis}
+import graft.entry.EntryLib.{weightedContainmentOracle, weightedPrefixPlanOracle}
 
 /** Board segment: capability rows x208+ — query registrations and their
   * DuckDB oracle texts, concatenated into the driver contract by
@@ -48,6 +49,21 @@ private[graft] object BoardX200 {
     "x209_boilerplate_prefix" -> ((s, d) =>
       TextAnalysis.boilerplatePrefixReport(Tables.documents(s, d),
         prefixTokens = 4, minDocs = 2)),
+    // weighted PPJoin: prefix-filtered IDF-weighted containment at
+    // the operating point x211's WEIGHTED planner recommends for this
+    // corpus (k=4: weighted prefix mass 140k vs 1.04M at x103's k=3,
+    // measured at sf0.1) — same oracle FORM as x103 at its own k
+    // (candidate recall 1.0 + exact verification ⇒ bit-identical to
+    // the naive plan at the same operating point; DedupSpec pins the
+    // k=3 equivalence by direct comparison), the x74/x65 discipline
+    "x210_wcontain_prefix" -> ((s, d) =>
+      Dedup.weightedContainmentPairsPrefix(Tables.documents(s, d),
+        shingleK = 4, minPermille = 900)),
+    // weighted prefix-filter operating-point planner — prices the
+    // weighted prefix the x210 plan actually joins, per candidate k
+    "x211_wprefix_plan" -> ((s, d) =>
+      Dedup.weightedPrefixFilterPlan(Tables.documents(s, d),
+        shingleKs = Seq(2, 3, 4, 5), minPermille = 500)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -86,5 +102,10 @@ private[graft] object BoardX200 {
          SELECT prefix, n_docs,
            CAST((n_docs * 1000000) // tt AS BIGINT) AS share_ppm
          FROM g, tot ORDER BY n_docs DESC, prefix""",
+    // x210: x103's oracle FORM at the x211-recommended k=4 — the
+    // prefix filter must not move a single row vs the naive plan
+    "x210_wcontain_prefix" -> weightedContainmentOracle(4, 900),
+    // x211: per-k weighted-prefix masses + closed-form recommendation
+    "x211_wprefix_plan" -> weightedPrefixPlanOracle(Seq(2, 3, 4, 5), 500),
   )
 }

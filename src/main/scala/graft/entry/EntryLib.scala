@@ -220,6 +220,80 @@ private[graft] object EntryLib {
        FROM r2 ORDER BY shingle_k"""
   }
 
+  /** x103/x210 oracle: the x65 shingle CTEs + micronat IDF weights
+    * (ONE ln per distinct shingle over exact integer counts), then
+    * pure integer weighted-containment arithmetic. Shared by the
+    * naive (x103) and prefix-filtered (x210) plans — candidate recall
+    * 1.0 + exact verification keep the outputs bit-identical. */
+  def weightedContainmentOracle(shingleK: Int, minPermille: Long): String =
+    s"""WITH ${shingleCtes(shingleK)},
+       nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       dfq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+       w AS (SELECT dfq.sh AS sh,
+           CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS wt
+         FROM dfq CROSS JOIN nd),
+       wr AS (SELECT s.doc_id AS doc_id, s.sh AS sh, w.wt AS wt
+              FROM sh s JOIN w ON s.sh = w.sh),
+       tw AS (SELECT doc_id, SUM(wt) AS tw FROM wr GROUP BY doc_id),
+       pw AS (SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.wt) AS cw
+              FROM wr a JOIN wr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+       SELECT da, db, CAST(cw AS BIGINT) AS common_w,
+         CAST((cw * 1000) // LEAST(ta.tw, tb.tw) AS BIGINT) AS wcont_permille
+       FROM pw JOIN tw ta ON pw.da = ta.doc_id JOIN tw tb ON pw.db = tb.doc_id
+       WHERE LEAST(ta.tw, tb.tw) > 0
+         AND (cw * 1000) // LEAST(ta.tw, tb.tw) >= $minPermille
+       ORDER BY da, db"""
+
+  /** x211 oracle: [[prefixPlanOracle]]'s per-k report where the
+    * prefix is the WEIGHTED rarest-first prefix — per doc, rows whose
+    * exclusive cumulative IDF weight (df-ascending, sh tiebreak — a
+    * total order, so the running sum is engine-deterministic) stays
+    * ≤ tw − ⌈p·tw/1000⌉; zero-total docs excluded. */
+  def weightedPrefixPlanOracle(ks: Seq[Int] = Seq(2, 3, 4, 5),
+                               minPermille: Long = 500): String = {
+    val blocks = ks.map { k =>
+      s"""${shingleCtes(k, p = s"k$k")},
+       k${k}nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       k${k}df AS (SELECT sh, COUNT(*) AS df FROM k${k}sh GROUP BY 1),
+       k${k}w AS (SELECT d.sh AS sh, d.df AS df,
+           CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS wt
+         FROM k${k}df d CROSS JOIN k${k}nd),
+       k${k}wr AS (SELECT s.doc_id, s.sh, w.df, w.wt
+         FROM k${k}sh s JOIN k${k}w w ON s.sh = w.sh),
+       k${k}tw AS (SELECT doc_id, SUM(wt) AS tw FROM k${k}wr GROUP BY 1),
+       k${k}wt AS (SELECT r.doc_id, r.sh, r.df, r.wt, t.tw
+         FROM k${k}wr r JOIN k${k}tw t USING (doc_id) WHERE t.tw > 0),
+       k${k}cum AS (SELECT *, COALESCE(SUM(wt) OVER (PARTITION BY doc_id
+           ORDER BY df, sh ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cumx FROM k${k}wt),
+       k${k}pre AS (SELECT * FROM k${k}cum
+         WHERE cumx <= tw - ($minPermille * tw + 999) // 1000),
+       k${k}stat AS (SELECT CAST($k AS BIGINT) AS shingle_k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k${k}df) AS vocab,
+           (SELECT CAST(SUM(df) AS BIGINT) FROM k${k}df) AS n_rows,
+           (SELECT CAST(MAX(df) AS BIGINT) FROM k${k}df) AS max_df,
+           (SELECT CAST(SUM(df * df) AS BIGINT) FROM k${k}df)
+             AS naive_mass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k${k}pre) AS prefix_rows,
+           (SELECT CAST(COALESCE(SUM(df), 0) AS BIGINT) FROM k${k}pre)
+             AS prefix_mass)"""
+    }
+    val union = ks.map(k => s"SELECT * FROM k${k}stat").mkString("\n         UNION ALL ")
+    s"""WITH ${blocks.mkString(",\n       ")},
+       allk AS ($union),
+       r1 AS (SELECT *, MIN(prefix_mass) OVER () AS minm FROM allk),
+       r2 AS (SELECT *, MIN(CASE WHEN prefix_mass * 4 <= minm * 5
+           THEN shingle_k END) OVER () AS bestk FROM r1)
+       SELECT shingle_k, vocab, n_rows, max_df, naive_mass, prefix_rows,
+         prefix_mass,
+         CAST(CASE WHEN shingle_k = bestk THEN 1 ELSE 0 END AS BIGINT)
+           AS recommended
+       FROM r2 ORDER BY shingle_k"""
+  }
+
   /** x202 oracle: the x09 dot/norm spelling over the labeled probe
     * slice, rank ≤ k, then per-query neighbor-label counts, the
     * (n DESC, label ASC) majority, and the agreement left-join. */

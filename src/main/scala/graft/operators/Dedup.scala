@@ -854,6 +854,64 @@ object Dedup {
       .orderBy("shingle_k")
   }
 
+  /** WEIGHTED prefix-filter operating-point planner —
+    * [[prefixFilterPlan]] for the weighted family: the prefix whose
+    * mass it measures is the WEIGHTED rarest-first prefix (cumulative
+    * IDF weight, [[weightedPrefixTables]]), the one
+    * [[weightedContainmentPairsPrefix]] actually joins, so the
+    * report prices the plan that runs rather than a count-based
+    * proxy. Zero-weight (ubiquitous) shingles never enter a prefix,
+    * so on boilerplate-heavy corpora the weighted prefix mass can sit
+    * far below the unweighted planner's estimate at the same k.
+    *
+    * Same schema and recommendation rule as [[prefixFilterPlan]]:
+    * per candidate k — vocabulary, row count, max df, naive join
+    * mass Σ df², prefix rows and prefix mass Σ_{h∈prefixes} df_h;
+    * recommended = the smallest k within 25% of the minimum prefix
+    * mass. Masses accumulate in DECIMAL(38,0), cast to BIGINT — loud
+    * on overflow. At 100 TB run on a deterministic doc hash-sample
+    * (df scales linearly, masses quadratically; the between-k
+    * comparison is rate-invariant).
+    *
+    * @return (shingle_k, vocab, n_rows, max_df, naive_mass,
+    *         prefix_rows, prefix_mass, recommended) ordered by
+    *         shingle_k. */
+  def weightedPrefixFilterPlan(docs: DataFrame,
+      shingleKs: Seq[Int] = Seq(2, 3, 4, 5),
+      minPermille: Long = 500): DataFrame = {
+    require(shingleKs.nonEmpty && shingleKs.forall(k => k >= 1 && k <= 8),
+      s"candidate shingleKs must be within [1, 8], got $shingleKs")
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille ($minPermille) must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val perK = shingleKs.distinct.sorted.map { k =>
+      val (wt, _, prefix) = weightedPrefixTables(docs, k, minPermille)
+      wt.agg(count(lit(1)).as("vocab"), sum("df").as("n_rows"),
+          max("df").as("max_df"),
+          sum(expr("cast(df as decimal(38,0)) * df")).as("__nm"))
+        .crossJoin(prefix.agg(count(lit(1)).as("prefix_rows"),
+          sum(col("df").cast("decimal(38,0)")).as("__pm")))
+        .select(lit(k.toLong).as("shingle_k"), col("vocab"), col("n_rows"),
+          col("max_df"), expr("cast(__nm as bigint)").as("naive_mass"),
+          col("prefix_rows"),
+          expr("cast(coalesce(__pm, 0) as bigint)").as("prefix_mass"))
+    }
+    val all = perK.reduce(_ unionByName _)
+    // both windows run over the ≤|shingleKs|-row report (the x126
+    // bounded-global-window contract), never over data
+    val wAll = Window.partitionBy(lit(1))
+    all
+      .withColumn("__minm", min("prefix_mass").over(wAll))
+      .withColumn("__ok",
+        when(col("prefix_mass") * 4 <= col("__minm") * 5, col("shingle_k")))
+      .withColumn("__bestk", min("__ok").over(wAll))
+      .select(col("shingle_k"), col("vocab"), col("n_rows"), col("max_df"),
+        col("naive_mass"), col("prefix_rows"), col("prefix_mass"),
+        when(col("shingle_k") === col("__bestk"), 1L).otherwise(0L)
+          .as("recommended"))
+      .orderBy("shingle_k")
+  }
+
   /** IDF-WEIGHTED containment pairs — [[containmentPairs]] where each
     * shared shingle counts its rarity instead of 1: weight =
     * ⌊ln(N/df)·10⁶ + ½⌋ micronats (0 for corpus-ubiquitous shingles,
@@ -895,6 +953,107 @@ object Dedup {
     a.join(b, Seq("sh")).filter(col("da") < col("db"))
       .groupBy("da", "db", "ta", "tb").agg(sum("wt").as("cw"))
       .filter(least(col("ta"), col("tb")) > 0)
+      .select(col("da"), col("db"), col("cw").as("common_w"),
+        expr("(cw * 1000) div least(ta, tb)").as("wcont_permille"))
+      .filter(col("wcont_permille") >= minPermille)
+      .orderBy("da", "db")
+  }
+
+  /** Shared plumbing of the weighted-prefix family: per-shingle IDF
+    * weight table (sh, df, wt — vocabulary-bounded), weighted rows
+    * with per-doc totals (doc_id, sh, df, wt, tw — zero-signal docs
+    * dropped), and the weighted rarest-first PREFIX of each doc (rows
+    * whose EXCLUSIVE cumulative weight in df-ascending order is
+    * ≤ tw − ⌈p·tw/1000⌉ — the minimal set any passing pair must
+    * intersect, see [[weightedContainmentPairsPrefix]]). */
+  private def weightedPrefixTables(docs: DataFrame, shingleK: Int,
+      minPermille: Long): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = shingleRows(docs, shingleK)
+    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wt = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(ndocs)
+      .select(col("sh"), col("df"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("wt"))
+    val wr = rows.join(wt, Seq("sh"))
+      .select(col("doc_id"), col("sh"), col("df"), col("wt"))
+    // per-doc total as an UNORDERED window over the same doc_id hash
+    // layout the prefix's running-sum window needs anyway — one
+    // Exchange for both, no separate aggregate + re-join shuffle (the
+    // naive operator keeps the groupBy+join spelling because it has
+    // no window to amortize against)
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
+    val wtot = wr
+      .withColumn("tw", sum("wt").over(Window.partitionBy("doc_id")))
+      .filter(col("tw") > 0)
+    val prefix = wtot
+      .withColumn("cumx", coalesce(
+        sum("wt").over(wDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cumx") <=
+        col("tw") - expr(s"($minPermille * tw + 999) div 1000"))
+      .select(col("doc_id"), col("tw"), col("sh"), col("df"))
+    (wt, wtot, prefix)
+  }
+
+  /** [[weightedContainmentPairs]] with WEIGHTED prefix filtering —
+    * the [[containmentPairsPrefix]] candidate bound carried to the
+    * weighted score, bit-identical output (shares x103's oracle).
+    *
+    * The bound, weighted: a pair passes only if
+    * cw ≥ α = ⌈p·min(ta,tb)/1000⌉ micronats. Take the smaller-total
+    * side A (ta ≤ tb, id tiebreak) and order its shingles
+    * rarest-first (df ascending — here that order is CANONICAL: it is
+    * exactly weight-descending, so the prefix is A's heaviest-signal
+    * shingles). If every shared shingle sat in A's suffix, then
+    * cw ≤ suffixWeight; so the minimal prefix whose suffix weight
+    * drops below α — the rows whose EXCLUSIVE cumulative weight is
+    * ≤ ta − α — must contain a shared shingle for any passing pair.
+    * Joining only that prefix against the full index generates a
+    * candidate superset with recall 1.0; exact verification re-derives
+    * the weighted overlap for candidates only. Correctness does not
+    * depend on the order (any canonical order yields a valid minimal
+    * prefix); rarest-first minimizes the prefix's df mass, which is
+    * what the join pays. Zero-weight (corpus-ubiquitous) shingles sort
+    * last and never enter a prefix — boilerplate is excluded from
+    * candidate generation BY CONSTRUCTION, the weighted sharpening of
+    * the unweighted operator's head-exclusion.
+    *
+    * Zero-signal documents (tw = 0) are dropped before the join —
+    * they cannot pass the output filter and their prefix would
+    * otherwise degenerate to the whole document.
+    *
+    * Scale shape: df/weight tables vocabulary-bounded, prefix ranks
+    * doc-keyed windows, candidate join mass Σ_h prefixDf_h·df_h with
+    * the high-df head absent from the left factor; the verification
+    * joins are candidate-bounded equi-joins. Same operating-point
+    * levers as the unweighted form ([[prefixFilterPlan]] measures the
+    * masses; raise shingleK on flat-df corpora).
+    *
+    * @return (da, db, common_w, wcont_permille), wcont ≥ minPermille,
+    *         ordered by (da, db) — identical to
+    *         [[weightedContainmentPairs]] at the same operating point. */
+  def weightedContainmentPairsPrefix(docs: DataFrame, shingleK: Int = 3,
+                                     minPermille: Long = 500): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille ($minPermille) must be in [1, 1000]")
+    val (_, wtot, prefix) = weightedPrefixTables(docs, shingleK, minPermille)
+    val cand = prefix.select(col("doc_id").as("pa"), col("tw").as("pt"), col("sh"))
+      .join(wtot.select(col("doc_id").as("fb"), col("tw").as("ft"), col("sh")),
+        Seq("sh"))
+      .filter(col("pa") =!= col("fb"))
+      .filter(col("pt") < col("ft") ||
+        (col("pt") === col("ft") && col("pa") < col("fb")))
+      .select(least(col("pa"), col("fb")).as("da"),
+        greatest(col("pa"), col("fb")).as("db"))
+      .distinct()
+    val common = cand
+      .join(wtot.select(col("doc_id").as("da"), col("tw").as("ta"),
+        col("sh"), col("wt")), Seq("da"))
+      .join(wtot.select(col("doc_id").as("db"), col("tw").as("tb"), col("sh")),
+        Seq("db", "sh"))
+      .groupBy("da", "db", "ta", "tb").agg(sum("wt").as("cw"))
+    common
       .select(col("da"), col("db"), col("cw").as("common_w"),
         expr("(cw * 1000) div least(ta, tb)").as("wcont_permille"))
       .filter(col("wcont_permille") >= minPermille)

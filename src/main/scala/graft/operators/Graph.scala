@@ -13,6 +13,36 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** EAGERLY materialize a plan as concrete spill-safe blocks
+    * (MEMORY_AND_DISK) with truncated lineage, returning the
+    * checkpointed frame plus its block-backing RDD handle. The
+    * iterative operators' round discipline — the same one
+    * [[Dedup.connectedComponents]] uses: each round becomes ONE small
+    * concrete table, the previous round's blocks are freed inline by
+    * the caller, and the (possibly whole-LSH-pipeline) upstream plan
+    * can never be re-executed by a later stage. Lazy caching is NOT
+    * equivalent here: a lazy cache referenced by several not-yet-
+    * materialized stages of one job can be computed concurrently by
+    * those stages before any fills it — duplicated upstream work with
+    * scheduler-dependent timing, measured on the sf0.1 board as 3–5×
+    * rep-to-rep spread on x55/x153/x162 (5.2–15.1 s for x162 in a
+    * quiet 4-query JVM); the eager form pinned all three flat. */
+  private def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val m = df.localCheckpoint(eager = true)
+    (m, Dedup.checkpointRdd(m))
+  }
+
+  /** The eagerly-materialized symmetrized edge set of a pair graph,
+    * REGISTERED for [[Dedup.releaseCaches]] — every round's plan reads
+    * it, and the returned (lazy) result reads it transitively, so its
+    * blocks must outlive the caller's action. Executes the upstream
+    * pairs plan exactly once, right here. */
+  private def materializedEdges(pairs: DataFrame): DataFrame = {
+    val (sym, symRdd) = materialize(Dedup.symmetrizedEdges(pairs))
+    Dedup.registerCheckpoint(symRdd)
+    sym
+  }
+
   /** PageRank over the undirected graph given as (da, db) pairs, run
     * for a FIXED number of power iterations (deterministic — no
     * convergence-threshold float compare to diverge across engines):
@@ -23,24 +53,21 @@ object Graph {
     * Scale shape: the symmetrized edge set is built with ONE explode
     * pass (a union spelling would evaluate the — potentially whole-
     * LSH-pipeline — pairs plan once per branch), partitioned by `src`
-    * and cached; degree, N, the initial ranks, and the degree-attached
-    * edge cache all derive from that cache with NO further exchange
+    * and EAGERLY materialized ([[materialize]] — the upstream pairs
+    * plan executes exactly once, guaranteed, before any round runs);
+    * degree, N, the initial ranks, and the degree-attached edge cache
+    * all derive from that concrete table with NO further exchange
     * (the groupBy and the edge⋈degree join both ride the src hash
-    * layout), so the upstream pairs plan executes exactly once. Every
-    * iteration then shuffles only the rank table (|V| rows) into that
-    * layout, aggregates partially map-side, and chains declaratively.
-    * Every `checkpointEvery` rounds the rank table's lineage is
-    * truncated with a LAZY `localCheckpoint` (the plan becomes a
-    * `LogicalRDD` immediately — no extra job; blocks materialize when
-    * the caller's first action computes through them), so analysis and
-    * optimization cost stay bounded by the checkpoint interval instead
-    * of growing with the full iteration count — the per-round cycle of
-    * [[Dedup.connectedComponents]], minus its convergence count (a
-    * fixed-iteration power method has no per-round action to piggyback
-    * on). Caches AND checkpoint blocks register in the operator cache
-    * registry and are freed by [[Dedup.releaseCaches]] after results
-    * materialize — checkpoint blocks back the returned plan
-    * transitively, so they must outlive the caller's reads.
+    * layout). Every iteration then shuffles only the rank table (|V|
+    * rows) into that layout, aggregates partially map-side, and chains
+    * declaratively. Every `checkpointEvery` rounds the rank table is
+    * EAGERLY checkpointed (one small action over |V| rows) and the
+    * previous rank checkpoint's blocks are freed inline — storage
+    * stays O(1) in the iteration count and the plan since the last
+    * checkpoint holds at most `checkpointEvery` joins. The edge
+    * blocks and the final rank checkpoint back the returned plan, so
+    * they register in the operator cache registry and are freed by
+    * [[Dedup.releaseCaches]] after the caller materializes.
     *
     * @return (doc_id, pr_micros) — rank in integer micros, ordered. */
   def pageRank(pairs: DataFrame, iterations: Int = 10,
@@ -50,13 +77,20 @@ object Graph {
     require(checkpointEvery >= 1,
       s"checkpointEvery ($checkpointEvery) must be >= 1")
     require(damping > 0 && damping < 1, s"damping ($damping) must be in (0, 1)")
-    val sym = Dedup.registerCache(Dedup.symmetrizedEdges(pairs))
+    val sym = materializedEdges(pairs)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edges = Dedup.registerCache(sym.join(deg, Seq("src")))
-    val n = deg.count() // materializes sym — the pairs plan's only run
+    // the degree-attached edge table is referenced by EVERY round's
+    // join, and the edge-side map stage of round i+1 has no dependency
+    // on round i — the scheduler can submit several concurrently, and
+    // a lazy cache would let them recompute the join redundantly
+    // before any fills it (see materialize); concrete blocks instead
+    val (edges, edgesRdd) = materialize(sym.join(deg, Seq("src")))
+    Dedup.registerCheckpoint(edgesRdd)
+    val n = deg.count() // over the concrete edge table — cheap
     require(n > 0, "pageRank needs a non-empty pair graph")
     val tele = lit(1.0 - damping) / lit(n)
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iterations) {
       ranks = edges
         .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
@@ -64,14 +98,17 @@ object Graph {
         .agg(sum(col("r") / col("deg")).as("m"))
         .select(col("dst").as("node"), (tele + lit(damping) * col("m")).as("r"))
       if (i % checkpointEvery == 0 && i < iterations) {
-        ranks = ranks.localCheckpoint(eager = false)
-        // every checkpoint feeds the NEXT segment's plan and (through
-        // it) the returned result, and nothing materializes until the
-        // caller acts — so none can be freed early; all go to the
-        // registry for release after materialization
-        Dedup.registerCheckpoint(Dedup.checkpointRdd(ranks))
+        val (m, rdd) = materialize(ranks)
+        // the previous rank checkpoint fed only the rounds up to this
+        // one, which are now baked into the fresh blocks — free it
+        prevCkpt.foreach(_.unpersist(blocking = false))
+        prevCkpt = Some(rdd)
+        ranks = m
       }
     }
+    // the final checkpoint (if any) backs the returned plan — keep it
+    // until the caller materializes and releases
+    prevCkpt.foreach(Dedup.registerCheckpoint)
     ranks
       .select(col("node").as("doc_id"),
         floor(col("r") * 1000000 + 0.5).cast("long").as("pr_micros"))
@@ -97,9 +134,15 @@ object Graph {
     * discipline); each round shuffles only the |V|-row label table
     * into that layout, the (node, label) counts combine map-side, and
     * the argmax is a map-side-combinable `max(struct(cnt, −label))` —
-    * no window function, no per-node sort. Lineage is truncated with a
-    * lazy `localCheckpoint` every `checkpointEvery` rounds; caches and
-    * checkpoint blocks register for [[Dedup.releaseCaches]].
+    * no window function, no per-node sort. Every `checkpointEvery`
+    * rounds the label table is EAGERLY checkpointed (one small action
+    * over |V| rows) and the previous label checkpoint freed inline —
+    * O(1) storage in the round count; edge blocks and the final
+    * checkpoint register for [[Dedup.releaseCaches]]. The eager edge
+    * materialization matters even without intermediate checkpoints:
+    * every round's join references the edge plan, and a LAZY cache
+    * can be computed redundantly by concurrently-scheduled stages
+    * before any fills it (see [[materialize]]).
     *
     * @return (doc_id, community) for every pair-graph node, ordered. */
   def labelPropagation(pairs: DataFrame, iterations: Int = 4,
@@ -108,9 +151,10 @@ object Graph {
       s"iterations ($iterations) must be in [1, 100]")
     require(checkpointEvery >= 1,
       s"checkpointEvery ($checkpointEvery) must be >= 1")
-    val sym = Dedup.registerCache(Dedup.symmetrizedEdges(pairs))
+    val sym = materializedEdges(pairs)
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iterations) {
       labels = sym
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
@@ -120,10 +164,13 @@ object Graph {
         .agg(max(struct(col("c").as("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
       if (i % checkpointEvery == 0 && i < iterations) {
-        labels = labels.localCheckpoint(eager = false)
-        Dedup.registerCheckpoint(Dedup.checkpointRdd(labels))
+        val (m, rdd) = materialize(labels)
+        prevCkpt.foreach(_.unpersist(blocking = false))
+        prevCkpt = Some(rdd)
+        labels = m
       }
     }
+    prevCkpt.foreach(Dedup.registerCheckpoint)
     labels
       .select(col("node").as("doc_id"), col("lbl").cast("long").as("community"))
       .orderBy("doc_id")
@@ -138,17 +185,22 @@ object Graph {
         greatest(col("da"), col("db")).as("b"))
       .distinct()
 
-  /** [[canonicalEdges]], CACHED via the operator cache registry — the
-    * triangle family references the edge plan many times (degree union
-    * ×2, the orientation's two joins, the wedge join's three sides),
-    * and the upstream `pairs` plan is often the whole MinHash-LSH
-    * mining pipeline: uncached, every reference re-executes that
-    * mining end to end (measured at sf0.1: x100 15.6 s → ~1.5 s and
-    * x101 10.1 s → ~2 s once the edge list and oriented list are
-    * cached — the [[pageRank]]/[[kCore]] discipline). Registered for
-    * [[Dedup.releaseCaches]] by the caller's post-materialize hook. */
-  private def cachedCanonicalEdges(pairs: DataFrame): DataFrame =
-    Dedup.registerCache(canonicalEdges(pairs))
+  /** [[canonicalEdges]], EAGERLY materialized — the triangle family
+    * references the edge plan many times (degree union ×2, the
+    * orientation's two joins, the wedge join's three sides), and the
+    * upstream `pairs` plan is often the whole MinHash-LSH mining
+    * pipeline: uncached, every reference re-executes that mining end
+    * to end (measured at sf0.1: x100 15.6 s → ~1.5 s and x101
+    * 10.1 s → ~2 s once the edge list and oriented list were cached),
+    * and even a LAZY cache leaves the references racing to compute it
+    * concurrently before any fills it (x146's 12.8 s rep outlier —
+    * see [[materialize]]). Blocks register for
+    * [[Dedup.releaseCaches]] after the caller materializes. */
+  private def cachedCanonicalEdges(pairs: DataFrame): DataFrame = {
+    val (e, rdd) = materialize(canonicalEdges(pairs))
+    Dedup.registerCheckpoint(rdd)
+    e
+  }
 
   /** Per-endpoint degree of the canonical edge list — (doc_id, deg),
     * one map-side-combined aggregation over 2m endpoint rows. Computed
@@ -159,6 +211,16 @@ object Graph {
     e.select(col("a").as("doc_id"))
       .unionByName(e.select(col("b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+
+  /** [[endpointDegrees]] as a concrete table, for the operators whose
+    * plans read the degree table from several independent stages
+    * ([[graphSummary]], [[localClustering]]); registered for
+    * [[Dedup.releaseCaches]]. */
+  private def materializedDegrees(e: DataFrame): DataFrame = {
+    val (deg, rdd) = materialize(endpointDegrees(e))
+    Dedup.registerCheckpoint(rdd)
+    deg
+  }
 
   /** Per-node TRIANGLE counts over the undirected pair graph — the
     * local-density signal: a near-dup pair inside a triangle is
@@ -231,14 +293,16 @@ object Graph {
 
   /** (a, b, c) triangle rows over the canonical edge list, vertices
     * ordered along the degree orientation, each triangle once. The
-    * oriented edge list is CACHED (registry-registered): the wedge
-    * join reads it three times (ab/bc/ac sides), and uncached each
-    * side would re-run the orientation's two degree joins AND the
-    * upstream pair mining — the x100 15.6 s regression's root cause.
-    * Callers pass the operator's shared [[endpointDegrees]] table so
-    * degree is one Exchange for the whole operator. */
+    * oriented edge list is EAGERLY materialized: the wedge join reads
+    * it three times (ab/bc/ac sides), and uncached each side would
+    * re-run the orientation's two degree joins AND the upstream pair
+    * mining — the x100 15.6 s regression's root cause (a lazy cache
+    * still lets the three sides race, see [[materialize]]). Callers
+    * pass the operator's shared [[endpointDegrees]] table so degree
+    * is one Exchange for the whole operator. */
   private def triangles(e: DataFrame, deg: DataFrame): DataFrame = {
-    val o = Dedup.registerCache(orientEdges(e, byDegree = true, degOpt = Some(deg)))
+    val (o, oRdd) = materialize(orientEdges(e, byDegree = true, degOpt = Some(deg)))
+    Dedup.registerCheckpoint(oRdd)
     val ab = o.select(col("lo").as("a"), col("hi").as("b"))
     val bc = o.select(col("lo").as("b"), col("hi").as("c"))
     val ac = o.select(col("lo").as("ca"), col("hi").as("cc"))
@@ -264,36 +328,37 @@ object Graph {
     * (map-side combined) and two semi-joins that keep edges whose BOTH
     * endpoints survive — all bounded by the PAIR graph, a vanishing
     * fraction of the corpus; every join shares the src/dst hash
-    * layout. Lineage is truncated with a lazy `localCheckpoint` every
-    * `checkpointEvery` rounds (the [[pageRank]] hygiene); caches and
-    * checkpoint blocks register for [[Dedup.releaseCaches]].
+    * layout. Each round's survivor edge set is referenced THREE times
+    * by the next round (the degree aggregate plus both semi-join
+    * sides), so each round is EAGERLY materialized ([[materialize]] —
+    * lazy chaining would grow the plan tree 3^rounds, and a lazy
+    * cache can be computed redundantly by concurrently-scheduled
+    * stages before any fills it: the round-11 board's 5.2–15.1 s
+    * rep spread on this very operator). The previous round's blocks
+    * are freed inline — O(1) storage in the round count; the initial
+    * edge materialization runs the (possibly whole-LSH-pipeline)
+    * pairs plan exactly once, and the final round's blocks register
+    * for [[Dedup.releaseCaches]] because the returned plan reads
+    * them.
     *
     * @return (doc_id, core_deg) for surviving nodes, ordered. */
-  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 4,
-            checkpointEvery: Int = 5): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
     require(k >= 1 && k <= 1000000, s"k ($k) must be in [1, 1e6]")
     require(rounds >= 1 && rounds <= 100,
       s"rounds ($rounds) must be in [1, 100]")
-    require(checkpointEvery >= 1,
-      s"checkpointEvery ($checkpointEvery) must be >= 1")
-    var live = Dedup.registerCache(Dedup.symmetrizedEdges(pairs))
-    for (i <- 1 to rounds) {
+    var (live, liveRdd) = materialize(Dedup.symmetrizedEdges(pairs))
+    for (_ <- 1 to rounds) {
       val keep = live.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-      // each round's survivor edge set is read TWICE by the next round
-      // (its degree aggregate and its restriction join) — uncached,
-      // the re-execution compounds ~2^rounds over the upstream pair
-      // pipeline (measured: per-round caching cut the sf0.1 bench
-      // 7.1 s → 5.3 s; the rest is the shared LSH mining + fixed
-      // per-stage overhead); caches register for releaseCaches
-      live = Dedup.registerCache(live
+      val (next, nextRdd) = materialize(live
         .join(keep.select("src"), Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi"))
-      if (i % checkpointEvery == 0 && i < rounds) {
-        live = live.localCheckpoint(eager = false)
-        Dedup.registerCheckpoint(Dedup.checkpointRdd(live))
-      }
+      // round i's blocks fed only round i+1's build, now concrete
+      liveRdd.unpersist(blocking = false)
+      live = next
+      liveRdd = nextRdd
     }
+    Dedup.registerCheckpoint(liveRdd)
     live.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("core_deg"))
       .orderBy("doc_id")
@@ -334,9 +399,10 @@ object Graph {
     *
     * @return (doc_id, n_two_hop) ordered by doc_id. */
   def twoHopCounts(pairs: DataFrame): DataFrame = {
-    // cached: referenced by both self-join sides, the anti-join, and
-    // the node axis — four reads of the (possibly LSH-mined) pair plan
-    val sym = Dedup.registerCache(Dedup.symmetrizedEdges(pairs))
+    // eagerly materialized: referenced by both self-join sides, the
+    // anti-join, and the node axis — four reads of the (possibly
+    // LSH-mined) pair plan, racing if merely lazily cached
+    val sym = materializedEdges(pairs)
     val hops = sym.select(col("src"), col("dst").as("mid"))
       .join(sym.select(col("src").as("mid"), col("dst")), Seq("mid"))
       .filter(col("src") =!= col("dst"))
@@ -370,9 +436,9 @@ object Graph {
     *         gcc_milli NULL on a wedge-free graph. */
   def graphSummary(pairs: DataFrame): DataFrame = {
     val e = cachedCanonicalEdges(pairs)
-    // one degree table (cached — read by the summary aggregate AND the
-    // orientation's two joins) serves the whole operator
-    val deg = Dedup.registerCache(endpointDegrees(e))
+    // one concrete degree table (read by the summary aggregate AND
+    // the orientation's two joins) serves the whole operator
+    val deg = materializedDegrees(e)
     val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(deg) div 2").as("n_edges"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
@@ -403,7 +469,7 @@ object Graph {
     * @return (doc_id, deg, n_triangles, lcc_milli) ordered by doc_id. */
   def localClustering(pairs: DataFrame): DataFrame = {
     val e = cachedCanonicalEdges(pairs)
-    val deg = Dedup.registerCache(endpointDegrees(e))
+    val deg = materializedDegrees(e)
     val tri = triangles(e, deg)
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("__t"))

@@ -507,6 +507,42 @@ class DedupSpec extends SparkSpec with SlowSuite {
     Dedup.releaseCaches()
   }
 
+  test("weighted prefix-filtered containment is bit-identical to the unfiltered operator") {
+    // the x74 equivalence contract carried to the weighted score:
+    // exact dup, quote-in-host (the pair the prefix bound must not
+    // lose), boilerplate-only pairs (weight-0 overlap, must stay
+    // excluded), and an all-identical sub-corpus (tw = 0 docs)
+    val boiler = "the quick brown fox jumps over the lazy dog again"
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      1L -> (boiler + " zeta omega kappa lambda"),
+      2L -> (boiler + " zeta omega kappa mu"),
+      3L -> (boiler + " uno dos tres cuatro"),
+      4L -> (boiler + " cinco seis siete ocho"),
+      10L -> quote, 11L -> (quote + " " + (1 to 40).map(i => s"w$i").mkString(" ")),
+      20L -> boiler, 21L -> boiler
+    ).toDF("doc_id", "text")
+    for (t <- Seq(1L, 300L, 500L, 950L, 1000L)) {
+      val plain = Dedup.weightedContainmentPairs(docs, shingleK = 3, minPermille = t)
+        .collect().map(_.toSeq).toSeq
+      Dedup.releaseCaches()
+      val pref = Dedup.weightedContainmentPairsPrefix(docs, shingleK = 3, minPermille = t)
+        .collect().map(_.toSeq).toSeq
+      Dedup.releaseCaches()
+      assert(pref === plain, s"threshold $t")
+    }
+    // the quote pair must actually be present (the test corpus isn't
+    // vacuously empty) and boilerplate-only pairs absent
+    val at300 = Dedup.weightedContainmentPairsPrefix(docs, 3, 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Dedup.releaseCaches()
+    // (20,21) are identical docs — in THIS corpus the boilerplate has
+    // df=6 < N=8 so its weight is positive and they score 1000
+    assert(at300.contains((10L, 11L)) && at300.contains((1L, 2L))
+      && at300.contains((20L, 21L)))
+    assert(!at300.contains((3L, 4L)))
+  }
+
   test("lshBandingPlan rejects degenerate parameters") {
     intercept[IllegalArgumentException] {
       Dedup.lshBandingPlan(spark, numHashes = 1, thresholdPermille = 500)

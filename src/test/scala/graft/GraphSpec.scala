@@ -61,8 +61,11 @@ class GraphSpec extends SparkSpec {
     }.size
     assert(joins <= 10, s"expected a checkpoint-truncated plan, found $joins joins")
     val out = ranked.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // checkpoint blocks back the result until released
-    assert(Dedup.liveCheckpointCount >= 9, "each periodic checkpoint must register")
+    // intermediate checkpoints are freed INLINE as each round bakes
+    // them into the next; only the edge blocks and the final rank
+    // checkpoint (which back the returned plan) stay registered
+    assert(Dedup.liveCheckpointCount >= 1 && Dedup.liveCheckpointCount <= 3,
+      s"only result-backing checkpoints should register, got ${Dedup.liveCheckpointCount}")
     Dedup.releaseCaches()
     assert(Dedup.liveCheckpointCount === 0, "release must free every checkpoint")
     assert(out === reference(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)), 50))
@@ -223,42 +226,45 @@ class GraphSpec extends SparkSpec {
     assert(out === Seq(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
-  test("triangle family reads cached edge plans (x100/x101 regression guard)") {
+  test("triangle family reads materialized edge plans (x100/x101 regression guard)") {
     // r9 regression: triangleCounts/graphSummary/localClustering left
     // canonicalEdges and the oriented edge list UNCACHED, so each of the
     // wedge join's three sides re-executed the whole upstream pair
     // pipeline (for LSH-mined pairs: full mining per reference — x100
-    // went 1.34 s → 15.6 s at sf0.1). Guard: the optimized plan's leaf
-    // references to the pair input must all go through InMemoryRelation,
-    // and the registry must hold the caches until release.
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    def inMemoryLeaves(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r }.size
+    // went 1.34 s → 15.6 s at sf0.1). r12 strengthened the contract:
+    // lazy InMemoryRelation still let independent stages race to
+    // compute the shared plan before the cache filled (x146's 12.8 s
+    // rep outlier), so the shared tables are now EAGER localCheckpoints
+    // — the plan's leaf references to the pair input must all be
+    // concrete LogicalRDD leaves, registered until release.
+    import org.apache.spark.sql.execution.LogicalRDD
+    def concreteLeaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case r: LogicalRDD => r }.size
     val g = pairs((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     Dedup.releaseCaches() // drain leftovers from earlier tests in the suite
 
-    // wedge join: ab/bc/ac all read the CACHED oriented list
-    assert(inMemoryLeaves(Graph.triangleCounts(g)) >= 3,
-      "triangleCounts must read the cached oriented edges on every join side")
-    assert(Dedup.liveCacheCount >= 2, "edge + oriented caches must register")
+    // wedge join: ab/bc/ac all read the MATERIALIZED oriented list
+    assert(concreteLeaves(Graph.triangleCounts(g)) >= 3,
+      "triangleCounts must read the materialized oriented edges on every join side")
+    assert(Dedup.liveCheckpointCount >= 2, "edge + oriented blocks must register")
     Dedup.releaseCaches()
 
-    assert(inMemoryLeaves(Graph.graphSummary(g)) >= 4,
-      "graphSummary must read cached degree + oriented edges everywhere")
+    assert(concreteLeaves(Graph.graphSummary(g)) >= 4,
+      "graphSummary must read materialized degree + oriented edges everywhere")
     Dedup.releaseCaches()
 
-    assert(inMemoryLeaves(Graph.localClustering(g)) >= 4,
-      "localClustering must read cached degree + oriented edges everywhere")
+    assert(concreteLeaves(Graph.localClustering(g)) >= 4,
+      "localClustering must read materialized degree + oriented edges everywhere")
     Dedup.releaseCaches()
 
-    assert(inMemoryLeaves(Graph.degreeHistogram(g)) >= 2,
-      "degreeHistogram's endpoint union must read the cached edge list twice")
+    assert(concreteLeaves(Graph.degreeHistogram(g)) >= 2,
+      "degreeHistogram's endpoint union must read the materialized edge list twice")
     Dedup.releaseCaches()
 
-    assert(inMemoryLeaves(Graph.twoHopCounts(g)) >= 4,
-      "twoHopCounts must read the cached symmetrized edges on all four sides")
+    assert(concreteLeaves(Graph.twoHopCounts(g)) >= 4,
+      "twoHopCounts must read the materialized symmetrized edges on all four sides")
     Dedup.releaseCaches()
-    assert(Dedup.liveCacheCount === 0, "release must drain the registry")
+    assert(Dedup.liveCheckpointCount === 0, "release must drain the registry")
   }
 
   test("kCore: a pure chain peels to nothing at k = 2") {
