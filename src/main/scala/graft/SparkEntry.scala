@@ -21,7 +21,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
-    * Ten entries are deliberately `no_oracle` (SURVEY §2.4 rule 6 —
+    * Eleven entries are deliberately `no_oracle` (SURVEY §2.4 rule 6 —
     * their outputs depend on engine-specific hash seeds, trained
     * models, or sketch internals no cross-engine SQL can replay).
     * Each one's correctness is carried by a named Spark-side spec:
@@ -47,6 +47,10 @@ object SparkEntry {
     *  - x179_pane_distinct — HLL pane sketches; IncrementalSpec
     *    "paneSlidingDistinct: pane-union ≡ direct window sketch,
     *    exact at spec scale".
+    *  - x212_knn_audit_ann — IVF-pooled label audit (Spark-ML KMeans
+    *    quantizer); SimilaritySpec "knnLabelAuditAnn: full probe
+    *    equals the exact audit" pins the nprobe = nlist row-for-row
+    *    equivalence to the oracle-certified x202.
     */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val segs = Seq(graft.entry.BoardQ.queries, graft.entry.BoardX000.queries,

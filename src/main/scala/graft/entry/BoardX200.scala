@@ -64,6 +64,14 @@ private[graft] object BoardX200 {
     "x211_wprefix_plan" -> ((s, d) =>
       Dedup.weightedPrefixFilterPlan(Tables.documents(s, d),
         shingleKs = Seq(2, 3, 4, 5), minPermille = 500)),
+    // x202's 100 TB form: IVF cell probe pools the neighbors, exact
+    // cosine rescoring inside the pool, identical audit tail — rule-6
+    // no_oracle (KMeans quantizer; SimilaritySpec pins full-probe
+    // equivalence to the exact audit row for row)
+    "x212_knn_audit_ann" -> ((s, d) =>
+      graft.operators.Similarity.knnLabelAuditAnn(
+        Tables.embeddings(s, d).filter(col("vec_id") < 100),
+        Tables.embeddings(s, d), k = 10, nlist = 16, nprobe = 4)),
   )
 
   def oracleSql: Map[String, String] = Map(

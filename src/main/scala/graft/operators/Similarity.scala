@@ -223,10 +223,22 @@ object Similarity {
     require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
     val q = probes.filter(col(labelCol).isNotNull)
     val c = corpus.filter(col(labelCol).isNotNull)
+    labelAuditTail(cosineTopK(q, c, k, idCol, vecCol), q, c,
+      idCol, labelCol)
+  }
+
+  /** The label-majority tail of the k-NN audits: neighbor-label
+    * counts, the (count DESC, label ASC) majority, the agreement
+    * left-join and the `suspect` flag — shared by the exact
+    * ([[knnLabelAudit]]) and ANN-pool ([[knnLabelAuditAnn]]) fronts,
+    * which differ only in where (query_id, neighbor_id) comes from.
+    * Runs over |probe|·k rows regardless of front. */
+  private def labelAuditTail(topk: DataFrame, q: DataFrame, c: DataFrame,
+                             idCol: String, labelCol: String): DataFrame = {
     val labels = c.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("__nl"))
     val byQuery = Window.partitionBy("query_id")
-    val counted = cosineTopK(q, c, k, idCol, vecCol)
+    val counted = topk
       .join(labels, Seq("neighbor_id"))
       .groupBy(col("query_id"), col("__nl"))
       .agg(count(lit(1)).as("__n"))
@@ -247,6 +259,33 @@ object Similarity {
         when(col("majority_label") =!= col("label"), 1L).otherwise(0L)
           .as("suspect"))
       .orderBy("vec_id")
+  }
+
+  /** [[knnLabelAudit]]'s 100 TB form: the neighbor pool comes from the
+    * IVF cell probe ([[ivfTopK]] — coarse-quantizer cells, nprobe
+    * nearest cells per query, EXACT cosine rescoring inside the pool),
+    * so scoring cost drops to ~nprobe/nlist of the brute-force audit
+    * while the audit tail is IDENTICAL — the [[hardNegatives]] ANN-
+    * pool + exact-rescore composition, shipped as a callable instead
+    * of a doc note. With nprobe = nlist every cell is probed, the pool
+    * is the whole labeled corpus and the output equals
+    * [[knnLabelAudit]] row for row (the spec's equivalence anchor); at
+    * partial probe the flag is approximate with recall governed by
+    * nprobe — the standard audit-at-scale trade, and the reason this
+    * variant answers to a Spark-side spec rather than a SQL oracle
+    * (the KMeans quantizer is not replayable cross-engine).
+    *
+    * @return (vec_id, label, majority_label, n_agree, n_neighbors,
+    *         suspect) ordered by vec_id — [[knnLabelAudit]]'s schema. */
+  def knnLabelAuditAnn(probes: DataFrame, corpus: DataFrame, k: Int,
+                       nlist: Int = 16, nprobe: Int = 3,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
+    val q = probes.filter(col(labelCol).isNotNull)
+    val c = corpus.filter(col(labelCol).isNotNull)
+    labelAuditTail(ivfTopK(q, c, k, nlist = nlist, nprobe = nprobe,
+      idCol = idCol, vecCol = vecCol), q, c, idCol, labelCol)
   }
 
   /** Deterministic pseudo-random hyperplanes: coefficient for (plane p,

@@ -62,6 +62,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.count(_._5 == 1L) === 1, "only the planted mislabel flags")
   }
 
+  test("knnLabelAuditAnn: full probe equals the exact audit; partial probe flags the planted mislabel") {
+    // a bigger two-cluster corpus so the IVF quantizer has geometry to
+    // learn: 20 x-axis vectors labeled 1 (one mislabeled), 20 y-axis
+    // vectors labeled 2
+    val lv = ((1L to 20L).map(i =>
+        (i, Array(1.0f, i.toFloat / 100f, 0.0f, 0.0f),
+          Option(if (i == 10L) 2 else 1))) ++
+      (21L to 40L).map(i =>
+        (i, Array((i - 20).toFloat / 100f, 1.0f, 0.0f, 0.0f), Option(2)))
+      ).toDF("vec_id", "embedding", "label")
+    // nprobe = nlist: every cell probed, the pool is the whole labeled
+    // corpus — the ANN front must reproduce the exact audit ROW FOR ROW
+    val exact = Similarity.knnLabelAudit(lv, lv, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val full = Similarity.knnLabelAuditAnn(lv, lv, k = 5,
+      nlist = 4, nprobe = 4).collect().map(_.toSeq).toSeq
+    assert(full === exact)
+    // partial probe (the at-scale point): the planted mislabel still
+    // flags — its own cluster is its nearest cell by construction
+    val part = Similarity.knnLabelAuditAnn(lv, lv, k = 5,
+      nlist = 4, nprobe = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(part(10L) === 1L, "planted mislabel must flag at partial probe")
+    assert(part.values.sum <= 3L, "partial probe must not mass-flag the corpus")
+  }
+
   test("LSH top-k finds the identical vector (same bucket by construction)") {
     val corpus = (1L to 50L).map { i =>
       (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
