@@ -106,6 +106,7 @@ object Bench {
     // the library's own session factory: extensions (native functions +
     // AntiJoinRewrite) active, so the bench measures the shipped config
     val spark = graft.core.GraftSession.local(cpus)
+    graft.core.GraftSession.muteBoundedWindowWarning()
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "250").toLong
     // warm-up: JIT + codegen cache + parquet footer cache
     names.foreach { n =>

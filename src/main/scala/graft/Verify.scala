@@ -9,6 +9,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // library session factory: same config the engine ships with
     val spark = graft.core.GraftSession.local(cpus)
+    graft.core.GraftSession.muteBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
     // optional subset filter for local iteration (same contract as
     // Bench): dump AND oracle json shrink together so selfcheck stays

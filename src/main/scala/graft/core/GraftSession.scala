@@ -28,4 +28,19 @@ object GraftSession {
     graft.functions.VectorAgg.register(s) // UDAFs cannot ride extensions
     s
   }
+
+  /** Silence WindowExec's "No Partition Defined" warning — for the
+    * artifact-producing mains (Bench/Verify/Tour) ONLY, not the
+    * library default. Every partition-less window the board plans runs
+    * over a BOUNDED table by audited construction (≤|shingleKs|-row
+    * planner reports, value spines, bucket summaries, top-k cuts — the
+    * x126/x190 two-level pattern; LayoutSpec and PlanSpec guard the
+    * shapes), so in those runs the warning is pure noise that reads as
+    * a smell in captured logs. Library callers keep the warning: on
+    * unaudited data it is exactly the signal a global window should
+    * raise. */
+  def muteBoundedWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

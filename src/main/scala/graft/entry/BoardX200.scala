@@ -72,6 +72,31 @@ private[graft] object BoardX200 {
       graft.operators.Similarity.knnLabelAuditAnn(
         Tables.embeddings(s, d).filter(col("vec_id") < 100),
         Tables.embeddings(s, d), k = 10, nlist = 16, nprobe = 4)),
+    // metadata-vs-content agreement: Cohen's kappa between the
+    // declared lang column and the x05 marker-token language guess —
+    // kappa near 0 means the metadata must not stratify a mixture
+    "x213_lang_kappa" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Profiling.cohenKappa(
+        docs.select(col("doc_id"), col("lang"))
+          .join(TextAnalysis.languageIdDefault(docs), Seq("doc_id")),
+        "lang", "pred_lang")
+    },
+    // embedding-column hygiene pre-flight over the corpus PLUS four
+    // planted anomalies (null/empty/NaN/zero-norm-ragged — the raw
+    // corpus is clean, and an all-zero audit would certify the
+    // operator on nothing; the x208 derived-corpus discipline)
+    "x214_embed_hygiene" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = Seq(
+        (-1L, null.asInstanceOf[Array[Float]]),
+        (-2L, Array.empty[Float]),
+        (-3L, Array(Float.NaN, 1.0f)),
+        (-4L, Array(0.0f, 0.0f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      graft.operators.Similarity.embeddingHygiene(base.unionByName(planted))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -115,5 +140,70 @@ private[graft] object BoardX200 {
     "x210_wcontain_prefix" -> weightedContainmentOracle(4, 900),
     // x211: per-k weighted-prefix masses + closed-form recommendation
     "x211_wprefix_plan" -> weightedPrefixPlanOracle(Seq(2, 3, 4, 5), 500),
+    // x213: the x05 argmax CTEs + exact integer kappa (pe in HUGEINT,
+    // trunc division matching Spark's div)
+    "x213_lang_kappa" ->
+      """WITH tok0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         cnt AS (SELECT doc_id,
+           COUNT(CASE WHEN tok = 'data' THEN 1 END) AS c0,
+           COUNT(CASE WHEN tok = 'table' THEN 1 END) AS c1,
+           COUNT(CASE WHEN tok = 'row' THEN 1 END) AS c2
+           FROM tok0 GROUP BY doc_id),
+         pred AS (SELECT doc_id,
+           CASE WHEN c0 >= c1 AND c0 >= c2 THEN 'en'
+                WHEN c1 >= c0 AND c1 >= c2 THEN 'fr' ELSE 'de' END AS pred_lang
+           FROM cnt),
+         j AS (SELECT d.lang AS a, p.pred_lang AS b
+           FROM documents d JOIN pred p USING (doc_id)
+           WHERE d.lang IS NOT NULL AND p.pred_lang IS NOT NULL),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN a = b THEN 1 END) AS BIGINT) AS agree FROM j),
+         na AS (SELECT a AS k, COUNT(*) AS na FROM j GROUP BY 1),
+         nb AS (SELECT b AS k, COUNT(*) AS nb FROM j GROUP BY 1),
+         pe AS (SELECT COALESCE(SUM(na.na * nb.nb), 0) AS pesum
+           FROM na JOIN nb USING (k)),
+         r AS (SELECT n,
+           CASE WHEN n > 0 THEN CAST((agree * 1000000) // n AS BIGINT) END AS po_ppm,
+           CASE WHEN n > 0 THEN CAST((pesum * 1000000) // (n * n) AS BIGINT) END AS pe_ppm
+           FROM tot, pe)
+         SELECT n AS n_rows, po_ppm, pe_ppm,
+           CAST(CASE WHEN pe_ppm = 1000000 OR n = 0 THEN NULL
+                ELSE ((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm)
+                END AS BIGINT) AS kappa_ppm
+         FROM r""",
+    // x214: identical planted rows, row-local double norms (the x202
+    // left-fold order), pure selections for the envelopes
+    "x214_embed_hygiene" ->
+      """WITH planted AS (
+           SELECT NULL::FLOAT[] AS embedding
+           UNION ALL SELECT []::FLOAT[]
+           UNION ALL SELECT ['NaN'::FLOAT, 1.0::FLOAT]
+           UNION ALL SELECT [0.0::FLOAT, 0.0::FLOAT, 0.0::FLOAT]),
+         u AS (SELECT embedding FROM embeddings
+           UNION ALL SELECT embedding FROM planted),
+         p AS (SELECT
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE CAST(len(embedding) AS BIGINT) END AS d,
+           (embedding IS NOT NULL AND len(embedding) > 0 AND
+            len(list_filter(embedding,
+              x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0) AS nf,
+           CASE WHEN embedding IS NOT NULL AND len(embedding) > 0 AND
+             len(list_filter(embedding,
+               x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+           THEN CAST(FLOOR(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a, b) -> a + b)) * 1000000 + 0.5) AS BIGINT) END AS nm
+           FROM u)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN d IS NULL THEN 1 END) AS BIGINT) AS n_null_vec,
+           CAST(COUNT(CASE WHEN d = 0 THEN 1 END) AS BIGINT) AS n_empty_vec,
+           CAST(COUNT(CASE WHEN nf THEN 1 END) AS BIGINT) AS n_nonfinite,
+           CAST(COUNT(CASE WHEN nm = 0 THEN 1 END) AS BIGINT) AS n_zero_norm,
+           MIN(CASE WHEN d > 0 THEN d END) AS dim_min,
+           MAX(CASE WHEN d > 0 THEN d END) AS dim_max,
+           MIN(nm) AS min_norm_micro,
+           MAX(nm) AS max_norm_micro
+         FROM p""",
   )
 }

@@ -1006,6 +1006,58 @@ object Profiling {
           .as("alpha_milli"))
   }
 
+  /** COHEN'S KAPPA between two categorical label columns — the
+    * chance-corrected agreement statistic behind every labeled-data
+    * audit: raw agreement (po) overstates quality whenever one class
+    * dominates, because two annotators who both always answer the
+    * majority class "agree" constantly; kappa subtracts the agreement
+    * their marginals would produce by chance (pe = Σ_k p_a(k)·p_b(k))
+    * and renormalizes — κ = (po − pe)/(1 − pe). The metadata-vs-
+    * classifier instance (declared `lang` column vs a content-derived
+    * guess) is the corpus-governance read: κ near 0 means the metadata
+    * is no better than marginal chance and must not stratify a
+    * training mixture.
+    *
+    * Exact integer arithmetic end to end: po and pe in ppm by trunc
+    * division (pe's Σ na_k·nb_k accumulates in DECIMAL(38,0) — n² ppm
+    * would overflow BIGINT on ~10⁹-row corpora), κ in ppm of ppm-space
+    * values, truncation toward zero matching DuckDB `//`. Degenerate
+    * pe = 1 (both sides constant on the same class) → κ NULL (0/0);
+    * an empty (or all-NULL) input → one row of NULLs rather than a
+    * division error. NULL on either side excludes the row — no
+    * agreement signal.
+    *
+    * Scale shape: one count aggregate, two |classes|-bounded marginal
+    * aggregates joined on class, three 1×1 cross joins — nothing
+    * beyond the x29 scalar-combine shape touches data twice.
+    *
+    * @return one row (n_rows, po_ppm, pe_ppm, kappa_ppm). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val t = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val tot = t.agg(count(lit(1)).as("n"),
+      count(when(col("__a") === col("__b"), 1)).as("agree"))
+    val na = t.groupBy("__a").agg(count(lit(1)).as("na"))
+    val nb = t.groupBy(col("__b").as("__a")).agg(count(lit(1)).as("nb"))
+    // classes present on only one side contribute 0 to pe — the inner
+    // join drops them, which IS that zero
+    val pe = na.join(nb, Seq("__a"))
+      .agg(coalesce(sum(expr("cast(na as decimal(38,0)) * nb")),
+        lit(0).cast("decimal(38,0)")).as("__pesum"))
+    tot.crossJoin(pe)
+      .select(col("n").as("n_rows"),
+        when(col("n") > 0, expr("(agree * 1000000) div n")).as("po_ppm"),
+        when(col("n") > 0, expr(
+          "cast((__pesum * 1000000) div (cast(n as decimal(38,0)) * n) as bigint)"))
+          .as("pe_ppm"))
+      .select(col("n_rows"), col("po_ppm"), col("pe_ppm"),
+        when(col("pe_ppm") === 1000000L || col("n_rows") === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr("((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)"))
+          .as("kappa_ppm"))
+  }
+
   /** Chi-square independence screen between two categorical columns —
     * the single-statistic companion to [[pmiCells]]: PMI names WHICH
     * cells deviate, this says WHETHER the two columns are associated

@@ -288,6 +288,52 @@ object Similarity {
       idCol = idCol, vecCol = vecCol), q, c, idCol, labelCol)
   }
 
+  /** EMBEDDING-COLUMN HYGIENE audit — the pre-flight every vector
+    * pipeline needs before similarity/ANN/clustering touches the
+    * column: NULL vectors (no representation at all), empty arrays,
+    * RAGGED dimensionality (dim_min ≠ dim_max breaks every dot
+    * product downstream), non-finite elements (one NaN poisons a
+    * whole reduction), and zero-norm vectors (cosine undefined — the
+    * operators here guard it, a consumer may not). One row, counts
+    * plus the dimension and norm envelopes.
+    *
+    * Determinism: norms are computed ROW-LOCALLY in double (the x09
+    * left-fold order both engines share) and surfaced as integer
+    * micro after a correctly-rounded sqrt — min/max over rows are
+    * pure selections, so no cross-row float accumulation exists to
+    * reorder. Norms are only computed for finite non-empty vectors;
+    * the envelopes are NULL when no vector qualifies.
+    *
+    * Scale shape: ONE map-side-combined aggregation over a scan-side
+    * projection — per row only (dims, flags, norm_micro) move, the
+    * payload array never shuffles.
+    *
+    * @return one row (n_rows, n_null_vec, n_empty_vec, n_nonfinite,
+    *         n_zero_norm, dim_min, dim_max, min_norm_micro,
+    *         max_norm_micro). */
+  def embeddingHygiene(df: DataFrame,
+                       vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val dims = when(v.isNotNull, size(v).cast("long"))
+    val nonfinite = v.isNotNull && size(v) > 0 &&
+      exists(v, x => isnan(x.cast("double")) ||
+        abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    val normMicro = when(v.isNotNull && size(v) > 0 && !nonfinite,
+      floor(sqrt(aggregate(v, lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))) * 1e6 + 0.5)
+        .cast("long"))
+    df.select(dims.as("__d"), nonfinite.as("__nf"), normMicro.as("__nm"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("__d").isNull, 1)).as("n_null_vec"),
+        count(when(col("__d") === 0L, 1)).as("n_empty_vec"),
+        count(when(col("__nf"), 1)).as("n_nonfinite"),
+        count(when(col("__nm") === 0L, 1)).as("n_zero_norm"),
+        min(when(col("__d") > 0L, col("__d"))).as("dim_min"),
+        max(when(col("__d") > 0L, col("__d"))).as("dim_max"),
+        min("__nm").as("min_norm_micro"),
+        max("__nm").as("max_norm_micro"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient for (plane p,
     * dim i) derived from a splitmix64-style integer mix — reproducible
     * across runs and engines, no RNG state. Returns values in [-1, 1). */

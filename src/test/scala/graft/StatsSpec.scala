@@ -671,4 +671,52 @@ class StatsSpec extends SparkSpec {
     assert(Profiling.hillTailIndex(few, "v", "doc_id", kTop = 3)
       .collect().isEmpty)
   }
+
+  test("cohenKappa: hand case, perfect agreement, degenerate pe, empty input") {
+    // classic 2x2: a=(y,y,y,n), b=(y,n,y,n) -> n=4, agree=3 (po=.75),
+    // marginals a: y3 n1, b: y2 n2 -> pe = (3*2 + 1*2)/16 = .5,
+    // kappa = (.75-.5)/(1-.5) = .5
+    val df = Seq(("y", "y"), ("y", "n"), ("y", "y"), ("n", "n"))
+      .toDF("a", "b")
+    val r = Profiling.cohenKappa(df, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 750000L, 500000L, 500000L)))
+    // perfect agreement over two classes: kappa = 1e6 exactly
+    val perfect = Seq(("x", "x"), ("z", "z")).toDF("a", "b")
+    assert(Profiling.cohenKappa(perfect, "a", "b")
+      .collect().head.getLong(3) === 1000000L)
+    // both sides constant on the SAME class: pe = 1 -> kappa NULL (0/0)
+    val const = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+    assert(Profiling.cohenKappa(const, "a", "b").collect().head.isNullAt(3))
+    // disagreement below chance goes NEGATIVE: a=(y,n), b=(n,y) ->
+    // po=0, pe=.5, kappa=-1e6
+    val anti = Seq(("y", "n"), ("n", "y")).toDF("a", "b")
+    assert(Profiling.cohenKappa(anti, "a", "b")
+      .collect().head.getLong(3) === -1000000L)
+    // NULLs excluded; all-NULL input -> one row of NULLs, no div error
+    val nulls = Seq((Option.empty[String], Option("y"))).toDF("a", "b")
+    val nr = Profiling.cohenKappa(nulls, "a", "b").collect().head
+    assert(nr.getLong(0) === 0L && nr.isNullAt(1) && nr.isNullAt(3))
+  }
+
+  test("embeddingHygiene: planted anomalies each count once, envelopes over clean rows") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (1L, Array(3.0f, 4.0f)),            // norm 5.0
+      (2L, Array(0.6f, 0.8f)),            // norm 1.0
+      (3L, Array(0.0f, 0.0f)),            // zero norm
+      (4L, null.asInstanceOf[Array[Float]]),
+      (5L, Array.empty[Float]),
+      (6L, Array(Float.NaN, 1.0f)),       // non-finite
+      (7L, Array(1.0f, 0.0f, 0.0f))       // ragged: dim 3
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingHygiene(rows).collect().head
+    assert(r.getLong(0) === 7L, "n_rows")
+    assert(r.getLong(1) === 1L, "n_null_vec")
+    assert(r.getLong(2) === 1L, "n_empty_vec")
+    assert(r.getLong(3) === 1L, "n_nonfinite")
+    assert(r.getLong(4) === 1L, "n_zero_norm")
+    assert((r.getLong(5), r.getLong(6)) === ((2L, 3L)), "dim envelope")
+    assert((r.getLong(7), r.getLong(8)) === ((0L, 5000000L)), "norm envelope")
+  }
 }
