@@ -82,6 +82,11 @@ private[graft] object BoardX200 {
           .join(TextAnalysis.languageIdDefault(docs), Seq("doc_id")),
         "lang", "pred_lang")
     },
+    // reciprocal-NN pairs over the full embedding corpus — the
+    // asymmetry filter that keeps hub edges out of semantic-dedup
+    // pair sets; one exact top-k pass, eagerly materialized, semi-join
+    "x215_mutual_topk" -> ((s, d) =>
+      graft.operators.Similarity.mutualTopK(Tables.embeddings(s, d), k = 5)),
     // embedding-column hygiene pre-flight over the corpus PLUS four
     // planted anomalies (null/empty/NaN/zero-norm-ragged — the raw
     // corpus is clean, and an all-zero audit would certify the
@@ -171,6 +176,35 @@ private[graft] object BoardX200 {
                 ELSE ((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm)
                 END AS BIGINT) AS kappa_ppm
          FROM r""",
+    // x215: the x202 dot/norm/rank spelling over ALL vector pairs,
+    // then the reciprocal self-join on the rank-k table
+    "x215_mutual_topk" ->
+      """WITH v AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xv
+         FROM embeddings),
+       s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(a.xv, b.xv), p -> p[1] * p[2])),
+             (x, y) -> x + y) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(a.xv, x -> x * x)), (x, y) -> x + y)) *
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(b.xv, x -> x * x)), (x, y) -> x + y)) AS n
+         FROM v a, v b WHERE a.vec_id <> b.vec_id),
+       r AS (SELECT query_id, neighbor_id,
+           CAST(FLOOR((CASE WHEN n = 0 THEN 0.0 ELSE d / n END) * 1000
+             + 0.5) AS BIGINT) AS cos_permille,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) DESC,
+               neighbor_id) AS rank
+         FROM s),
+       t AS (SELECT query_id, neighbor_id, cos_permille
+         FROM r WHERE rank <= 5)
+       SELECT f.query_id AS da, f.neighbor_id AS db, f.cos_permille
+       FROM t f JOIN t g
+         ON f.query_id = g.neighbor_id AND f.neighbor_id = g.query_id
+       WHERE f.query_id < f.neighbor_id
+       ORDER BY da, db""",
     // x214: identical planted rows, row-local double norms (the x202
     // left-fold order), pure selections for the envelopes
     "x214_embed_hygiene" ->

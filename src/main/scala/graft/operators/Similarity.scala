@@ -288,6 +288,43 @@ object Similarity {
       idCol = idCol, vecCol = vecCol), q, c, idCol, labelCol)
   }
 
+  /** RECIPROCAL (mutual) nearest-neighbor pairs: (a, b) with a < b
+    * where b is in a's exact cosine top-k AND a is in b's — the
+    * standard asymmetry filter on k-NN graphs: a hub vector appears
+    * in thousands of one-way top-k lists without any of them being
+    * near-duplicates of it, and mutuality is the cheap structural
+    * test that keeps hub edges out of a semantic-dedup pair set
+    * (SemDeDup-family refinement; also the classic record-linkage
+    * "best friends" rule). Scores are symmetric by construction
+    * (identical double fold both directions), so the surviving pair
+    * carries one cos_permille.
+    *
+    * Plan: ONE top-k pass ([[cosineTopK]] — the |C|·|C| scoring), its
+    * result eagerly materialized (the Graph-family discipline: both
+    * join sides read it, and lazily the scoring plan would execute
+    * twice), then a semi-join of the a < b orientation against the
+    * reversed a > b orientation. Blocks register for
+    * [[Dedup.releaseCaches]]. At 100 TB run the same composition
+    * over ANN-pooled candidates ([[lshTopK]]/[[ivfTopK]] — the x212
+    * pattern) instead of the brute pass.
+    *
+    * @return (da, db, cos_permille), mutual pairs only, ordered. */
+  def mutualTopK(corpus: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
+    val t = cosineTopK(corpus, corpus, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos_permille"))
+      .localCheckpoint(eager = true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(t))
+    val fwd = t.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("da"), col("neighbor_id").as("db"),
+        col("cos_permille"))
+    val rev = t.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("da"), col("query_id").as("db"))
+    fwd.join(rev, Seq("da", "db"), "left_semi")
+      .orderBy("da", "db")
+  }
+
   /** EMBEDDING-COLUMN HYGIENE audit — the pre-flight every vector
     * pipeline needs before similarity/ANN/clustering touches the
     * column: NULL vectors (no representation at all), empty arrays,

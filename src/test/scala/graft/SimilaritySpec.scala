@@ -88,6 +88,28 @@ class SimilaritySpec extends SparkSpec {
     assert(part.values.sum <= 3L, "partial probe must not mass-flag the corpus")
   }
 
+  test("mutualTopK: hub edges drop at k=1, all pairs mutual at k=2") {
+    // A's nearest is B and vice versa (mutual); C's nearest is B, but
+    // B's single slot is taken by A -> (B,C) and (A,C) are one-way
+    // only at k=1
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f)),    // A
+      (2L, Array(0.99f, 0.01f)),  // B
+      (3L, Array(0.5f, 0.5f))     // C
+    ).toDF("vec_id", "embedding")
+    val k1 = Similarity.mutualTopK(v, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(k1 === Seq((1L, 2L)))
+    // k=2: every vector's list holds both others -> all three mutual,
+    // and the carried score is the symmetric cosine
+    val k2 = Similarity.mutualTopK(v, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(k2.map(p => (p._1, p._2)) === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(k2.head._3 === 1000L, "cos(A,B) rounds to 1000 permille")
+  }
+
   test("LSH top-k finds the identical vector (same bucket by construction)") {
     val corpus = (1L to 50L).map { i =>
       (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
