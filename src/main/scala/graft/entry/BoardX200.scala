@@ -87,6 +87,17 @@ private[graft] object BoardX200 {
     // pair sets; one exact top-k pass, eagerly materialized, semi-join
     "x215_mutual_topk" -> ((s, d) =>
       graft.operators.Similarity.mutualTopK(Tables.embeddings(s, d), k = 5)),
+    // per-cluster quality audit of the x07/x34 near-dup graph —
+    // density (mined vs possible pairs) + min/mean pair similarity,
+    // the clique-vs-chain read at cluster granularity
+    "x216_cluster_quality" -> ((s, d) =>
+      Dedup.clusterQualityReport(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2,
+          minPermille = 300))),
+    // per-source exact-dedup attrition — which feed loses most to
+    // global dedup; digests shuffle, bodies never
+    "x217_dedup_attrition" -> ((s, d) =>
+      Dedup.dedupAttrition(Tables.documents(s, d))),
     // embedding-column hygiene pre-flight over the corpus PLUS four
     // planted anomalies (null/empty/NaN/zero-norm-ragged — the raw
     // corpus is clean, and an all-zero audit would certify the
@@ -205,6 +216,45 @@ private[graft] object BoardX200 {
          ON f.query_id = g.neighbor_id AND f.neighbor_id = g.query_id
        WHERE f.query_id < f.neighbor_id
        ORDER BY da, db""",
+    // x216: the x34 closure CTEs + per-cluster pair aggregation, all
+    // trunc-div integer arithmetic
+    "x216_cluster_quality" ->
+      s"""WITH RECURSIVE ${EntryLib.minHashPairsCtes},
+       sym AS (SELECT da AS s, db AS d FROM pairs
+               UNION SELECT db AS s, da AS d FROM pairs),
+       verts AS (SELECT DISTINCT s AS v FROM sym),
+       reach AS (SELECT v AS a, v AS b FROM verts
+                 UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+       lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+               FROM reach GROUP BY a),
+       sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+              FROM lab GROUP BY 1),
+       pc AS (SELECT l.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(p.jac_permille) AS BIGINT) AS min_jac_permille,
+           SUM(p.jac_permille) AS sj
+         FROM pairs p JOIN lab l ON p.da = l.doc_id GROUP BY 1)
+       SELECT CAST(s.cluster_id AS BIGINT) AS cluster_id, s.size,
+         pc.n_pairs,
+         CAST((pc.n_pairs * 2000000) // (s.size * (s.size - 1)) AS BIGINT)
+           AS density_ppm,
+         pc.min_jac_permille,
+         CAST(pc.sj // pc.n_pairs AS BIGINT) AS mean_jac_permille
+       FROM sz s JOIN pc ON s.cluster_id = pc.cluster_id
+       ORDER BY cluster_id""",
+    // x217: md5 fingerprints, min-id survivors, per-source counts —
+    // NULL texts group as one fingerprint class in both engines
+    "x217_dedup_attrition" ->
+      """WITH fp AS (SELECT doc_id, source, md5(text) AS f FROM documents),
+         surv AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+         per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(s.doc_id) AS BIGINT) AS n_survivors
+           FROM fp LEFT JOIN surv s USING (doc_id) GROUP BY source)
+         SELECT source, n_docs, n_survivors,
+           n_docs - n_survivors AS n_dropped,
+           CAST(((n_docs - n_survivors) * 1000000) // n_docs AS BIGINT)
+             AS drop_ppm
+         FROM per ORDER BY source""",
     // x214: identical planted rows, row-local double norms (the x202
     // left-fold order), pure selections for the envelopes
     "x214_embed_hygiene" ->

@@ -181,6 +181,84 @@ object Dedup {
     multi.unionByName(singletons).orderBy("cluster_size")
   }
 
+  /** Per-CLUSTER quality audit of a mined near-dup pair set — the
+    * cluster-granularity read between [[Graph.graphSummary]]'s one
+    * global coefficient and [[Graph.localClustering]]'s per-node
+    * detail: for every connected component of the pair graph, its
+    * size, how many of its C(size,2) possible pairs were actually
+    * MINED (density_ppm — a clique of mutual copies scores 10⁶, a
+    * chain the closure glued together scores ~2·10⁶/size), and the
+    * min/mean mined-pair similarity (a high-density cluster whose
+    * min_jac is barely over threshold is a different collapse risk
+    * than one at 950‰). The report a curation run reads before
+    * choosing survivor policy PER CLUSTER instead of globally.
+    *
+    * Exact integer arithmetic; clusters always have size ≥ 2 (they
+    * come from pairs), so the density division is safe by
+    * construction.
+    *
+    * Scale shape: the certified [[connectedComponentsUnsorted]]
+    * fixpoint + ONE id-keyed pair→label join (a pair's endpoints
+    * share a component by definition, so joining on `da` alone labels
+    * the pair) + two cluster-bounded aggregations.
+    *
+    * @return (cluster_id, size, n_pairs, density_ppm,
+    *         min_jac_permille, mean_jac_permille) ordered. */
+  def clusterQualityReport(pairs: DataFrame): DataFrame = {
+    val labels = connectedComponentsUnsorted(pairs)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+    val pc = pairs
+      .join(labels.withColumnRenamed("doc_id", "da"), Seq("da"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("jac_permille").as("min_jac_permille"),
+        sum("jac_permille").as("__sj"))
+    sizes.join(pc, Seq("cluster_id"))
+      .select(col("cluster_id"), col("size"), col("n_pairs"),
+        expr("(n_pairs * 2000000) div (size * (size - 1))").as("density_ppm"),
+        col("min_jac_permille"),
+        expr("__sj div n_pairs").as("mean_jac_permille"))
+      .orderBy("cluster_id")
+  }
+
+  /** Per-SOURCE exact-dedup attrition — "which corpus loses most to
+    * dedup": for each source, total docs, global-dedup survivors
+    * (min-doc_id per content fingerprint, the [[exact]] policy), and
+    * the drop rate in ppm. The ingest-time report that decides which
+    * feeds are worth their storage BEFORE near-dup mining runs; reads
+    * with [[sourceOverlapMatrix]], which says WHERE the near-dup
+    * overlap goes — this says how much exact redundancy each source
+    * carries at all.
+    *
+    * Dedup is GLOBAL (a doc is dropped if any lower-id doc anywhere
+    * shares its content), attributed to the dropped doc's own source.
+    * NULL texts share one fingerprint class (md5(NULL) = NULL groups
+    * as one key in both engines): content-free docs dedup to a single
+    * survivor, which is the policy a pipeline wants — and any NULL
+    * mass shows up in this report's drop counts rather than
+    * vanishing.
+    *
+    * Scale shape: the x01 discipline — 16-byte digests shuffle,
+    * bodies never; the survivor join is id-keyed with no fanout
+    * (survivor ids are unique by construction); one
+    * ∣sources∣-bounded aggregation.
+    *
+    * @return (source, n_docs, n_survivors, n_dropped, drop_ppm)
+    *         ordered by source. */
+  def dedupAttrition(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val fp = docs.select(col("doc_id"), col(groupCol).as("source"),
+      md5(col("text")).as("__f"))
+    val surv = fp.groupBy("__f").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("__s"))
+    fp.join(surv, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count(col("__s")).as("n_survivors"))
+      .select(col("source"), col("n_docs"), col("n_survivors"),
+        (col("n_docs") - col("n_survivors")).as("n_dropped"),
+        expr("((n_docs - n_survivors) * 1000000) div n_docs").as("drop_ppm"))
+      .orderBy("source")
+  }
+
   /** Duplicate-aware LOSS WEIGHTS — the soft alternative to dropping
     * near-dups: keep every copy but weight each document by
     * 1/|its dup cluster| so a 40-member template cluster contributes

@@ -543,6 +543,36 @@ class DedupSpec extends SparkSpec with SlowSuite {
     assert(!at300.contains((3L, 4L)))
   }
 
+  test("clusterQualityReport: clique density 1e6, chain density 2/3, exact jac stats") {
+    // cluster {1,2,3}: all three pairs mined (clique); cluster {5,6,7}:
+    // only the chain edges (5,6),(6,7) — the closure glues it anyway
+    val pairs = Seq(
+      (1L, 2L, 900L), (1L, 3L, 800L), (2L, 3L, 700L),
+      (5L, 6L, 600L), (6L, 7L, 500L)
+    ).toDF("da", "db", "jac_permille")
+    val out = Dedup.clusterQualityReport(pairs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 3L, 1000000L, 700L, 800L),
+      (5L, 3L, 2L, 666666L, 500L, 550L)))
+  }
+
+  test("dedupAttrition: global dedup attributed per source; NULL texts form one class") {
+    val docs = Seq(
+      (1L, Option("x"), "A"), (2L, Option("x"), "A"), (3L, Option("y"), "A"),
+      (4L, Option("x"), "B"), (5L, Option("z"), "B"),
+      (6L, Option.empty[String], "B"), (7L, Option.empty[String], "B")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupAttrition(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // A: 3 docs, survivors {1 (of "x"), 3} -> 1 dropped (doc 2)
+    // B: 4 docs, survivors {5, 6 (of the NULL class)} -> 2 dropped
+    //    (doc 4 loses "x" to doc 1 ACROSS sources; doc 7 to doc 6)
+    assert(out === Seq(
+      ("A", 3L, 2L, 1L, 333333L),
+      ("B", 4L, 2L, 2L, 500000L)))
+  }
+
   test("lshBandingPlan rejects degenerate parameters") {
     intercept[IllegalArgumentException] {
       Dedup.lshBandingPlan(spark, numHashes = 1, thresholdPermille = 500)
