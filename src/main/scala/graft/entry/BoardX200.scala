@@ -98,6 +98,25 @@ private[graft] object BoardX200 {
     // global dedup; digests shuffle, bodies never
     "x217_dedup_attrition" -> ((s, d) =>
       Dedup.dedupAttrition(Tables.documents(s, d))),
+    // rank-biased overlap between a BM25 ranking and its length-
+    // normalization-off twin — top-weighted list agreement in exact
+    // integer micro (truncating weight recurrence, no pow/libm)
+    "x218_rank_rbo" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      def ranked(b: Double) =
+        graft.operators.Retrieval.bm25TopK(docs,
+          Seq("vector", "stream", "join"), k = 20, b = b)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score_milli").desc, col("doc_id"))))
+      graft.operators.Retrieval.rankBiasedOverlap(
+        ranked(0.75), ranked(0.0))
+    },
+    // token-budget corpus cut: highest-priority docs until 50k tokens
+    // — threshold find over the bounded priority-value table, only
+    // the single boundary class pays a per-doc running sum
+    "x219_budget_cut" -> ((s, d) =>
+      graft.operators.Sampling.budgetCut(Tables.documents(s, d), 50000L)),
     // embedding-column hygiene pre-flight over the corpus PLUS four
     // planted anomalies (null/empty/NaN/zero-norm-ragged — the raw
     // corpus is clean, and an all-zero audit would certify the
@@ -255,6 +274,68 @@ private[graft] object BoardX200 {
            CAST(((n_docs - n_survivors) * 1000000) // n_docs AS BIGINT)
              AS drop_ppm
          FROM per ORDER BY source""",
+    // x218: the x47 scoring CTEs instantiated at b=.75 and b=0, ranks
+    // replayed, then the integer pw recurrence and trunc-div RBO tail
+    "x218_rank_rbo" ->
+      """WITH RECURSIVE dl AS (SELECT doc_id,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+           WHERE tok IN ('vector', 'stream', 'join') GROUP BY doc_id, tok),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         s75 AS (SELECT tf.doc_id AS doc_id, CAST(FLOOR(SUM(
+             ln(1 + (stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+             * tf.tf * (1.2::DOUBLE + 1)
+             / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl.dl / stats.avgdl))
+           ) * 1000 + 0.5) AS BIGINT) AS sc
+           FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id ORDER BY sc DESC, doc_id LIMIT 20),
+         s0 AS (SELECT tf.doc_id AS doc_id, CAST(FLOOR(SUM(
+             ln(1 + (stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+             * tf.tf * (1.2::DOUBLE + 1)
+             / (tf.tf + 1.2::DOUBLE * ((1 - 0.0::DOUBLE) + 0.0::DOUBLE * dl.dl / stats.avgdl))
+           ) * 1000 + 0.5) AS BIGINT) AS sc
+           FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id ORDER BY sc DESC, doc_id LIMIT 20),
+         r75 AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank FROM s75),
+         r0 AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank FROM s0),
+         pw AS (SELECT 1 AS d, 1000000 AS pw
+                UNION ALL SELECT d + 1, (pw * 900) // 1000 FROM pw WHERE d < 20),
+         j AS (SELECT GREATEST(a.rank, b.rank) AS m
+               FROM r75 a JOIN r0 b USING (doc_id)),
+         ov AS (SELECT d, pw,
+             (SELECT COUNT(*) FROM j WHERE j.m <= pw.d) AS overlap FROM pw)
+         SELECT CAST(20 AS BIGINT) AS depth,
+           CAST((100 * (SELECT SUM((pw * overlap) // d) FROM ov)) // 1000
+             AS BIGINT) AS rbo_micro""",
+    // x219: priority-value weight table, running sum + boundary class
+    // prefix fill by doc_id — trunc-exact integer throughout
+    "x219_budget_cut" ->
+      """WITH t AS (SELECT doc_id, n_chars AS priority,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+           FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         w AS (SELECT priority, SUM(n_tokens) AS vtok FROM t GROUP BY priority),
+         c AS (SELECT priority, vtok,
+             SUM(vtok) OVER (ORDER BY priority DESC) AS cum FROM w),
+         c2 AS (SELECT *, cum - vtok AS cumb FROM c),
+         fullc AS (SELECT priority FROM c2 WHERE cum <= 50000),
+         bnd AS (SELECT priority, 50000 - cumb AS r FROM c2
+                 WHERE cumb < 50000 AND cum > 50000),
+         s1 AS (SELECT t.doc_id, t.priority, t.n_tokens
+                FROM t JOIN fullc USING (priority)),
+         s2 AS (SELECT doc_id, priority, n_tokens FROM
+                 (SELECT t.doc_id, t.priority, t.n_tokens, bnd.r,
+                    SUM(t.n_tokens) OVER (PARTITION BY t.priority
+                      ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING) AS cs
+                  FROM t JOIN bnd USING (priority))
+                WHERE cs <= r)
+         SELECT doc_id, CAST(priority AS BIGINT) AS priority, n_tokens
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         ORDER BY priority DESC, doc_id""",
     // x214: identical planted rows, row-local double norms (the x202
     // left-fold order), pure selections for the envelopes
     "x214_embed_hygiene" ->

@@ -320,4 +320,50 @@ object Retrieval {
       .orderBy(col("n_occurrences").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** RANK-BIASED OVERLAP (Webber et al. 2010) between two rankings —
+    * the standard top-weighted "how different are these two result
+    * lists" statistic: RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d,
+    * where A_d/B_d are the depth-d prefixes and p governs how fast
+    * attention decays down the list. The IR-evaluation companion to
+    * the retrieval family: compare a BM25 ranking against its
+    * length-normalization-off twin, a lexical against a hybrid
+    * ranking, or yesterday's index against today's.
+    *
+    * ALL arithmetic is exact integer: the weight p^{d−1} is carried
+    * in micro through the truncating recurrence
+    * pw(1) = 10⁶, pw(d) = (pw(d−1)·pMilli) div 1000 — each step one
+    * integer op, so the whole statistic replays bit-for-bit in any
+    * engine (no `pow`, whose last-ulp behavior differs across libm
+    * implementations); per-depth terms are (pw·overlap) div d and the
+    * final scale is ((1000−pMilli)·Σ) div 1000.
+    *
+    * Scale shape: the rankings are ≤ depth rows by contract; the
+    * depth table is `depth` rows broadcast to a theta join over the
+    * joined-rank rows — everything bounded by depth, nothing touches
+    * the corpus.
+    *
+    * @param a,b rankings carrying (idCol, rankCol), ranks 1-based
+    * @return one row (depth, rbo_micro). */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, pMilli: Long = 900,
+                        depth: Int = 20, idCol: String = "doc_id",
+                        rankCol: String = "rank"): DataFrame = {
+    require(pMilli >= 1 && pMilli <= 999,
+      s"pMilli ($pMilli) must be in [1, 999]")
+    require(depth >= 1 && depth <= 1000,
+      s"depth ($depth) must be in [1, 1000]")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val pws = Seq.iterate(1000000L, depth)(pw => pw * pMilli / 1000)
+    val depths = pws.zipWithIndex
+      .map { case (pw, i) => ((i + 1).toLong, pw) }.toDF("d", "pw")
+    val m = a.select(col(idCol).as("__id"), col(rankCol).as("__ra"))
+      .join(b.select(col(idCol).as("__id"), col(rankCol).as("__rb")), Seq("__id"))
+      .select(greatest(col("__ra"), col("__rb")).as("m"))
+    val ov = broadcast(depths).join(m, col("m") <= col("d"), "left")
+      .groupBy("d", "pw").agg(count(col("m")).as("overlap"))
+    ov.agg(coalesce(sum(expr("(pw * overlap) div d")), lit(0L)).as("__s"))
+      .select(lit(depth.toLong).as("depth"),
+        expr(s"((1000 - $pMilli) * __s) div 1000").as("rbo_micro"))
+  }
 }

@@ -414,4 +414,57 @@ object Sampling {
         when(col("split_lo") =!= col("split_hi"), 1).otherwise(0))
       .orderBy("split_lo", "split_hi")
   }
+
+  /** TOKEN-BUDGET corpus cut: keep the highest-priority documents
+    * whose cumulative token count fits `budgetTokens` — the corpus-
+    * assembly step after quality scoring ("we can afford B tokens;
+    * take the best") that a naive global ORDER BY + running-sum
+    * window would serialize through one task at 100 TB.
+    *
+    * Scale shape — threshold find, not a corpus sort: one map-side-
+    * combined aggregation collapses the corpus to its (priority value
+    * → token mass) weight table; the running sum and the budget
+    * boundary are found on THAT bounded table (the x71/x92
+    * distinct-value-window discipline); priority classes strictly
+    * inside the budget are kept via one broadcast-able semi-join (a
+    * scan-side filter); only the SINGLE boundary class — the one
+    * value whose mass straddles the budget — pays a per-doc running
+    * sum, ordered by doc_id so the partial fill is deterministic.
+    * Worst case (a corpus with one distinct priority value) degrades
+    * to the naive plan for exactly that class; every real priority
+    * column (quality permille, n_chars) has enough values to keep the
+    * boundary class a vanishing fraction.
+    *
+    * Docs with NULL priority or NULL text are excluded — no rank, no
+    * token count to budget.
+    *
+    * @return kept docs (doc_id, priority, n_tokens), ordered priority
+    *         DESC then doc_id — the fill order itself. */
+  def budgetCut(docs: DataFrame, budgetTokens: Long,
+                priorityCol: String = "n_chars"): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens ($budgetTokens) must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .filter(col(priorityCol).isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col(priorityCol).as("priority"),
+        graft.operators.TextAnalysis.tokenCountCol(col("text")).as("n_tokens"))
+    val w = t.groupBy("priority").agg(sum("n_tokens").as("__vtok"))
+    // both windows run over the bounded distinct-priority table
+    val cum = w
+      .withColumn("__cum", sum("__vtok").over(Window.orderBy(col("priority").desc)))
+      .withColumn("__cumb", col("__cum") - col("__vtok"))
+    val full = cum.filter(col("__cum") <= budgetTokens).select("priority")
+    val bnd = cum
+      .filter(col("__cumb") < budgetTokens && col("__cum") > budgetTokens)
+      .select(col("priority"), (lit(budgetTokens) - col("__cumb")).as("__r"))
+    val inside = t.join(full, Seq("priority"), "left_semi")
+    val wIn = Window.partitionBy("priority").orderBy("doc_id")
+    val partial = t.join(broadcast(bnd), Seq("priority"))
+      .withColumn("__c", sum("n_tokens").over(wIn))
+      .filter(col("__c") <= col("__r"))
+      .select("priority", "doc_id", "n_tokens")
+    inside.unionByName(partial)
+      .select(col("doc_id"), col("priority"), col("n_tokens"))
+      .orderBy(col("priority").desc, col("doc_id"))
+  }
 }

@@ -182,4 +182,24 @@ class RetrievalSpec extends SparkSpec with SlowSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out.map(_._1) === Seq(1L)) // only the a-hit doc, finite score
   }
+
+  test("rankBiasedOverlap: identical, disjoint, and shared-top rankings in exact micro") {
+    def rank(ids: Long*) = ids.zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }.toDF("doc_id", "rank")
+    val a = rank(10L, 20L, 30L)
+    // identical lists at p=.9, depth 3: pw = 1e6, 900k, 810k; overlap_d = d
+    // -> rbo = 100*(1e6+900k+810k)/1000 = 271000 (= 1 - p^3 exactly)
+    val same = graft.operators.Retrieval.rankBiasedOverlap(a, rank(10L, 20L, 30L),
+      pMilli = 900, depth = 3).collect().head
+    assert((same.getLong(0), same.getLong(1)) === ((3L, 271000L)))
+    // disjoint lists -> 0
+    val disj = graft.operators.Retrieval.rankBiasedOverlap(a, rank(40L, 50L, 60L),
+      pMilli = 900, depth = 3).collect().head
+    assert(disj.getLong(1) === 0L)
+    // only the top item shared (rank 1 both): overlap_d = 1 for all d
+    // -> terms 1e6/1, 900k/2, 810k/3 = 1e6+450000+270000 -> 172000
+    val top = graft.operators.Retrieval.rankBiasedOverlap(a, rank(10L, 70L, 80L),
+      pMilli = 900, depth = 3).collect().head
+    assert(top.getLong(1) === 172000L)
+  }
 }

@@ -335,4 +335,29 @@ class SamplingSpec extends SparkSpec {
     // every off-diagonal is flagged, every diagonal is not
     assert(out.forall(r => (r._1 != r._2) == (r._4 == 1)))
   }
+
+  test("budgetCut: full classes via threshold, boundary class prefix-fills by doc_id") {
+    val docs = Seq(
+      (1L, "a b c", 10L), (2L, "d e", 10L),          // class 10: 5 tokens
+      (3L, "f g h i", 5L), (4L, "j", 5L),            // class 5: 5 tokens
+      (5L, "k k", 1L)                                // class 1: 2 tokens
+    ).toDF("doc_id", "text", "n_chars")
+    def ids(b: Long) = Sampling.budgetCut(docs, b).collect().map(_.getLong(0)).toSeq
+    // budget 8: class 10 fits (5); class 5 is the boundary with r=3 —
+    // doc 3 (4 tokens) overflows and blocks the prefix, doc 4 behind it
+    assert(ids(8L) === Seq(1L, 2L))
+    // budget 9: r=4 -> doc 3 fits exactly, doc 4 still out
+    assert(ids(9L) === Seq(1L, 2L, 3L))
+    // budget >= total (12): everything, ordered priority desc then id
+    assert(ids(20L) === Seq(1L, 2L, 3L, 4L, 5L))
+    // budget 0: nothing, and no division/window error
+    assert(ids(0L) === Seq())
+    // NULL text and NULL priority are excluded, not counted
+    val withNulls = docs.unionByName(Seq(
+      (6L, Option.empty[String], Option(99L)),
+      (7L, Option("x"), Option.empty[Long])
+    ).toDF("doc_id", "text", "n_chars"))
+    assert(Sampling.budgetCut(withNulls, 20L).collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
