@@ -117,6 +117,16 @@ private[graft] object BoardX200 {
     // the single boundary class pays a per-doc running sum
     "x219_budget_cut" -> ((s, d) =>
       graft.operators.Sampling.budgetCut(Tables.documents(s, d), 50000L)),
+    // per-user burstiness: Fano factor of daily event counts — the
+    // bot-vs-human activity-shape signal; exact integer micro
+    "x220_burstiness" -> ((s, d) =>
+      graft.operators.Behavior.dispersionIndex(Tables.events(s, d))),
+    // cross-source quantile calibration of doc length — the mapping
+    // table that lets one global threshold treat every source's p-th
+    // percentile alike; windows only over bounded value tables
+    "x221_quantile_calibrate" -> ((s, d) =>
+      graft.operators.Profiling.quantileCalibrate(Tables.documents(s, d),
+        "source", "n_chars")),
     // embedding-column hygiene pre-flight over the corpus PLUS four
     // planted anomalies (null/empty/NaN/zero-norm-ragged — the raw
     // corpus is clean, and an all-zero audit would certify the
@@ -336,6 +346,39 @@ private[graft] object BoardX200 {
          SELECT doc_id, CAST(priority AS BIGINT) AS priority, n_tokens
          FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          ORDER BY priority DESC, doc_id""",
+    // x220: daily counts, the (n·Σc² − (Σc)²) variance identity in
+    // HUGEINT, trunc division
+    "x220_burstiness" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(c) AS s1, SUM(c * c) AS s2 FROM daily GROUP BY 1)
+         SELECT user_id, n_days, CAST(s1 AS BIGINT) AS n_events,
+           CAST(((n_days * s2 - s1 * s1) * 1000000) // (n_days * s1)
+             AS BIGINT) AS dispersion_micro
+         FROM agg WHERE n_days >= 3 ORDER BY user_id""",
+    // x221: per-source and global inclusive-permille CDFs over the
+    // distinct-value tables, min-selection percentile match
+    "x221_quantile_calibrate" ->
+      """WITH t AS (SELECT source, n_chars AS v FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         sc AS (SELECT source, v, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         sn AS (SELECT source, SUM(c) AS n FROM sc GROUP BY 1),
+         scdf AS (SELECT sc.source, sc.v,
+             (SUM(sc.c) OVER (PARTITION BY sc.source ORDER BY sc.v)
+               * 1000) // sn.n AS p
+           FROM sc JOIN sn USING (source)),
+         gc AS (SELECT v, COUNT(*) AS c FROM t GROUP BY 1),
+         gn AS (SELECT SUM(c) AS n FROM gc),
+         gcdf AS (SELECT v AS gv,
+             (SUM(c) OVER (ORDER BY v) * 1000) // gn.n AS gp
+           FROM gc, gn)
+         SELECT source, CAST(v AS BIGINT) AS value,
+           CAST(p AS BIGINT) AS src_permille,
+           CAST(MIN(gv) AS BIGINT) AS calibrated_value
+         FROM scdf JOIN gcdf ON gp >= p
+         GROUP BY source, v, p ORDER BY source, value""",
     // x214: identical planted rows, row-local double norms (the x202
     // left-fold order), pure selections for the envelopes
     "x214_embed_hygiene" ->

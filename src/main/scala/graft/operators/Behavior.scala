@@ -1378,4 +1378,44 @@ object Behavior {
           .as("is_anomaly"))
       .orderBy(typeCol, "day")
   }
+
+  /** Per-user BURSTINESS: the index of dispersion (Fano factor,
+    * var/mean) of a user's daily event counts — the classic
+    * bot-vs-human activity-shape signal a per-day anomaly chart
+    * ([[ewmaChart]]) cannot see per actor: a steady daily cadence
+    * scores ≈ 0 (Poisson ≈ 10⁶ micro = 1.0), a binge-and-silence
+    * account scores far above, a metronomic scripted account far
+    * below. Only ACTIVE days enter the statistic (the all-days
+    * variant is dominated by the zero run-length, which
+    * [[rollingActives]] already reads).
+    *
+    * Exact integer end to end: population variance via the
+    * (n·Σc² − (Σc)²)/n² identity, dispersion =
+    * (n·Σc² − (Σc)²)·10⁶ div (n·Σc) — DECIMAL(38,0) intermediates
+    * (n·Σc² can pass 2⁶³ on ~10⁹-event users), truncation toward
+    * zero matching the oracle's `//`. Σc > 0 by construction (an
+    * active day has ≥ 1 event), so the division is safe.
+    *
+    * Scale shape: one (user, day) map-side-combined aggregation, one
+    * user-keyed aggregation — both on the user hash layout, nothing
+    * quadratic, no windows.
+    *
+    * @return (user_id, n_days, n_events, dispersion_micro) for users
+    *         active ≥ minDays days, ordered by user_id. */
+  def dispersionIndex(events: DataFrame, minDays: Int = 3): DataFrame = {
+    require(minDays >= 1, s"minDays ($minDays) must be >= 1")
+    val daily = events
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("c"))
+    daily.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"), sum("c").as("__s1"),
+        sum(expr("c * c")).as("__s2"))
+      .filter(col("n_days") >= minDays)
+      .select(col("user_id"), col("n_days"), col("__s1").as("n_events"),
+        expr("""cast(((cast(n_days as decimal(38,0)) * __s2
+                 - cast(__s1 as decimal(38,0)) * __s1) * 1000000)
+                div (cast(n_days as decimal(38,0)) * __s1) as bigint)""")
+          .as("dispersion_micro"))
+      .orderBy("user_id")
+  }
 }

@@ -1006,6 +1006,56 @@ object Profiling {
           .as("alpha_milli"))
   }
 
+  /** CROSS-SOURCE QUANTILE CALIBRATION (quantile normalization): map
+    * each source's value distribution onto the GLOBAL one by
+    * percentile matching — calibrated(v, s) = the smallest global
+    * value whose global inclusive permille reaches v's within-source
+    * permille. The cross-corpus score-calibration step a mixed-crawl
+    * quality gate needs: a "700‰ within its source" document means a
+    * different raw score in every feed, and thresholding raw scores
+    * globally silently over-prunes whichever source scores low; after
+    * calibration one global threshold treats every source's p-th
+    * percentile alike. [[rankCalibrate]] (x71) computes the
+    * within-group permille; this is the mapping BACK to a common
+    * value scale.
+    *
+    * Output is the bounded (source, value) MAPPING TABLE — callers
+    * join rows to it; exact integer permilles (the x71 inclusive
+    * trunc-div convention), min-selection for the mapped value, fully
+    * deterministic. Every source permille finds a match: the global
+    * CDF tops out at exactly 1000.
+    *
+    * Scale shape: two distinct-value aggregations (map-side
+    * combined), windows ONLY over the bounded (source, distinct
+    * value) and (distinct value) tables — the x71/x92 discipline —
+    * and one theta join between those two bounded tables; corpus rows
+    * are touched exactly twice, by the two counting aggregations.
+    *
+    * @return (source, value, src_permille, calibrated_value) ordered. */
+  def quantileCalibrate(df: DataFrame, sourceCol: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.filter(col(sourceCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(valueCol).as("v"))
+    val sc = t.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val sN = sc.groupBy("source").agg(sum("c").as("n"))
+    val scdf = sc.join(sN, Seq("source"))
+      .withColumn("__cum",
+        sum("c").over(Window.partitionBy("source").orderBy("v")))
+      .select(col("source"), col("v"), expr("(__cum * 1000) div n").as("p"))
+    val gc = t.groupBy("v").agg(count(lit(1)).as("c"))
+    val gN = gc.agg(sum("c").as("gn"))
+    val gcdf = gc.crossJoin(gN)
+      .withColumn("__gcum", sum("c").over(Window.orderBy("v")))
+      .select(col("v").as("__gv"), expr("(__gcum * 1000) div gn").as("__gp"))
+    scdf.join(gcdf, col("__gp") >= col("p"))
+      .groupBy("source", "v", "p")
+      .agg(min("__gv").as("calibrated_value"))
+      .select(col("source"), col("v").as("value"),
+        col("p").as("src_permille"), col("calibrated_value"))
+      .orderBy("source", "value")
+  }
+
   /** COHEN'S KAPPA between two categorical label columns — the
     * chance-corrected agreement statistic behind every labeled-data
     * audit: raw agreement (po) overstates quality whenever one class

@@ -845,4 +845,22 @@ class BehaviorSpec extends SparkSpec with SlowSuite {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(out === Seq(("c", 4L, 6L, -333333L)))
   }
+
+  test("dispersionIndex: steady cadence ~0, binge pattern high, exact integer micro") {
+    // user 1: 2,2,2 per day -> var 0 -> dispersion 0
+    // user 2: 1,1,10 per day -> mean 4, pop var 18 -> D = 4.5 = 4500000
+    // user 3: 2 active days only -> excluded at minDays = 3
+    def day(d: Int, n: Int, u: Long) =
+      (1 to n).map(i => (u, s"2024-01-0$d 0$i:00:00"))
+    val rows = (day(1, 2, 1L) ++ day(2, 2, 1L) ++ day(3, 2, 1L) ++
+      day(1, 1, 2L) ++ day(2, 1, 2L) ++ day(3, 9, 2L) ++ Seq((2L, "2024-01-03 10:00:00")) ++
+      day(1, 1, 3L) ++ day(2, 1, 3L))
+    val events = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Behavior.dispersionIndex(events, minDays = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 6L, 0L),
+      (2L, 3L, 12L, 4500000L)))
+  }
 }

@@ -719,4 +719,28 @@ class StatsSpec extends SparkSpec {
     assert((r.getLong(5), r.getLong(6)) === ((2L, 3L)), "dim envelope")
     assert((r.getLong(7), r.getLong(8)) === ((0L, 5000000L)), "norm envelope")
   }
+
+  test("quantileCalibrate: per-source permilles map onto global values; identity on one source") {
+    // source A values 1,2,3,4 (uniform); source B values 101,102
+    // global sorted: 1,2,3,4,101,102 (n=6)
+    val df = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 101L), ("B", 102L)
+    ).toDF("source", "v")
+    val out = Profiling.quantileCalibrate(df, "source", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // A: v=1 p=250 -> global cum permilles: 1:166, 2:333 -> min gv with gp>=250 is 2
+    //    v=2 p=500 -> 3 (cum 500); v=3 p=750 -> 101 (4:666, 101:833); v=4 p=1000 -> 102
+    // B: v=101 p=500 -> 3; v=102 p=1000 -> 102
+    assert(out === Seq(
+      ("A", 1L, 250L, 2L), ("A", 2L, 500L, 3L),
+      ("A", 3L, 750L, 101L), ("A", 4L, 1000L, 102L),
+      ("B", 101L, 500L, 3L), ("B", 102L, 1000L, 102L)))
+    // a single source IS the global distribution: calibration is the
+    // identity on its values
+    val one = Seq(("S", 5L), ("S", 5L), ("S", 9L)).toDF("source", "v")
+    val ident = Profiling.quantileCalibrate(one, "source", "v").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(ident === Seq((5L, 5L), (9L, 9L)))
+  }
 }
