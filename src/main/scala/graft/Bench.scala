@@ -94,7 +94,7 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath),
         renderFull(results, sfDir, timed.map(t => (t._1, t._3))))
-      println(renderLine(results, sfDir))
+      println(renderLine(results, sfDir, reps = timed.map(t => (t._1, t._3))))
     }
   }
 
@@ -235,6 +235,23 @@ object Bench {
   private def entryJson(kv: (String, Double)): String =
     "\"" + kv._1 + f"""\":${kv._2}%.3f"""
 
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Sum of per-query rep medians (failures excluded) — the
+    * robust-total companion to the best-of headline. Round 11's
+    * committed total moved 25% on single-rep cache accidents; a
+    * median-based total is insensitive to one lucky (or unlucky) rep
+    * per query, so the pair (total, total_median) separates "the board
+    * got slower" from "one rep caught a GC pause". */
+  def medianTotal(reps: Seq[(String, Seq[Double])]): Double =
+    reps.flatMap { case (_, all) =>
+      val ok = all.filter(_ >= 0)
+      if (ok.isEmpty) None else Some(median(ok))
+    }.sum
+
   /** Complete results as pretty-enough JSON (one query per line).
     * `reps` (when given) adds the raw per-repetition timings behind
     * each best-of value — the noise-vs-regression audit trail — plus a
@@ -250,10 +267,6 @@ object Bench {
       ",\n", "\n  }")
     if (reps.isEmpty) queries + "\n}\n"
     else {
-      def median(ts: Seq[Double]): Double = {
-        val s = ts.sorted
-        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
       val stats = reps.map { case (n, all) =>
         val ok = all.filter(_ >= 0)
         (n, if (ok.isEmpty) Seq(-1.0, -1.0, -1.0)
@@ -273,7 +286,8 @@ object Bench {
         else highVar.sortBy(-_._2).map { case (n, r) =>
           "    {\"query\":\"" + n + f"""\",\"max_over_min\":$r%.1f}"""
         }.mkString(",\n  \"high_variance\":[\n", ",\n", "\n  ]")
-      queries + repsBlock + statsBlock + varBlock + "\n}\n"
+      val medBlock = f""",%n  "total_median":${medianTotal(reps)}%.3f"""
+      queries + repsBlock + statsBlock + varBlock + medBlock + "\n}\n"
     }
   }
 
@@ -289,14 +303,22 @@ object Bench {
     * complete map lives in BENCH_FULL.json (pointed to by "full").
     * Totals are identical between the two renderings. */
   def renderLine(results: Seq[(String, Double)], sfDir: String,
-                 budget: Int = 1700): String = {
+                 budget: Int = 1700,
+                 reps: Seq[(String, Seq[Double])] = Nil): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
+    // robust-total companion: with reps available, carry the sum of
+    // per-query medians next to the best-of total so one lucky/unlucky
+    // rep per query can't move the headline unchallenged (round 11's
+    // total swung 25% on exactly that)
+    val medPart =
+      if (reps.isEmpty) ""
+      else f""","total_median":${medianTotal(reps)}%.3f"""
     def render(kept: Seq[(String, Double)], dropped: Seq[(String, Double)]): String = {
       val qs = kept.sortBy(_._1).map(entryJson).mkString("{", ",", "}")
       val rest =
         if (dropped.isEmpty) ""
         else f""","fast_n":${dropped.size},"fast_sum":${dropped.map(_._2).filter(_ >= 0).sum}%.3f,"full":"BENCH_FULL.json""""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$rest,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f$medPart,"unit":"sec","queries":$qs$rest,"sf":"$sfDir"}"""
     }
     // retention priority: failures are findings and must never be
     // summarized away; then slowest-first (the queries a plan audit

@@ -104,6 +104,27 @@ class BenchSpec extends AnyFunSuite {
     assert(hv.get(0).get("max_over_min").asDouble() === 15.0)
   }
 
+  test("line and full file carry a rep-median total insensitive to one outlier rep") {
+    // r11 finding: the committed best-of total moved 25% on single-rep
+    // cache accidents — the headline now carries total_median alongside
+    val rs = Seq("x01_a" -> 1.0, "x02_b" -> 2.0, "x03_failed" -> -1.0)
+    val reps = Seq(
+      "x01_a" -> Seq(1.0, 1.5, 40.0),          // one 40 s GC-pause rep
+      "x02_b" -> Seq(2.0, 2.5, 3.0, -1.0),     // failed rep excluded
+      "x03_failed" -> Seq(-1.0, -1.0))         // all-failed: no contribution
+    val expected = 1.5 + 2.5
+    val line = mapper.readTree(Bench.renderLine(rs, "/tmp/sf", reps = reps))
+    assert(math.abs(line.get("total_median").asDouble() - expected) < 1e-9)
+    // best-of total is unchanged by the reps parameter
+    assert(math.abs(line.get("value").asDouble() - 3.0) < 1e-9)
+    val full = mapper.readTree(Bench.renderFull(rs, "/tmp/sf", reps))
+    assert(math.abs(full.get("total_median").asDouble() - expected) < 1e-9)
+    // without reps the key is absent, not zero — a subset render must
+    // not fabricate a robust total it didn't measure
+    val bare = mapper.readTree(Bench.renderLine(rs, "/tmp/sf"))
+    assert(bare.get("total_median") == null)
+  }
+
   test("a pathological all-failure board overruns the budget rather than dropping failures") {
     // 60 failures alone exceed the 1700-char budget; the shrink floor
     // must retain every -1 sentinel (failures are findings), accepting
