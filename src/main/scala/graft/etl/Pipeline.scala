@@ -331,6 +331,100 @@ object Pipeline {
   def readIncrementalSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
     spark.read.parquet(snapshotDir).drop("bucket")
 
+  /** Subject-deletion EXECUTION over an incremental snapshot — the
+    * audit-then-act completion of
+    * [[graft.operators.Governance.purgeAudit]]: delete every row whose
+    * snapshot key is in `ids`, rewriting ONLY the buckets those ids
+    * hash to. The audit's counts predict this rewrite exactly
+    * (purged == the audit's n_matched on the same snapshot+ids; the
+    * spec asserts it), which is what makes the report a safe gate for
+    * the destructive step.
+    *
+    * Shape: the deletion list is request-sized (thousands), so its
+    * bucket set collects as O(numBuckets) driver scalars and the list
+    * itself broadcasts into ONE left-anti join over a SELECTIVE read
+    * of just the touched bucket directories — at 100 TB a 1k-subject
+    * request opens ≤ numBuckets directories and rewrites only those,
+    * never the snapshot. Untouched bucket files stay byte-identical
+    * (same checked-rename swap as [[upsertIncremental]]); the keyless
+    * `bucket=-1` directory is never touched — a NULL key matches no
+    * deletion id by SQL equality, and the audit counts it the same
+    * way. A bucket whose every row purges swaps to ABSENT (directory
+    * removed), the same state it had before its first upsert.
+    *
+    * @param ids one-column frame of subject keys to delete; cast to
+    *            the snapshot key's type so bucket routing hashes the
+    *            value the stored rows hashed
+    * @return (nBefore, nPurged) over the touched buckets — untouched
+    *         buckets contribute to neither (they were proven
+    *         untouchable by the hash routing, not scanned). */
+  def purgeApply(spark: SparkSession, snapshotDir: String,
+                 ids: DataFrame): (Long, Long) = {
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    val manifest = readManifest(snapshotDir).getOrElse(throw new IllegalArgumentException(
+      s"$snapshotDir has no manifest — purgeApply operates only on " +
+        "upsertIncremental snapshots (the bucket layout IS the pruning index)"))
+    val root = new java.io.File(snapshotDir)
+    val keyType = spark.read.parquet(snapshotDir).schema(manifest.key).dataType
+    // persisted: the bucket plan and the anti-join must see the SAME id
+    // set (the upsertIncremental nondeterminism discipline)
+    val keyIds = ids.select(col(ids.columns.head).cast(keyType).as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = keyIds
+        .select(pmod(xxhash64(col("__k")), lit(manifest.numBuckets.toLong))
+          .cast("int").as("bucket"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val existingDirs = touched.map(p => new java.io.File(root, s"bucket=$p"))
+        .filter(d => d.exists() && Option(d.listFiles()).exists(_.nonEmpty))
+      if (existingDirs.isEmpty) return (0L, 0L)
+      val planned = existingDirs
+        .map(_.getName.stripPrefix("bucket=").toInt).sorted
+      val live = spark.read.option("basePath", snapshotDir)
+        .parquet(existingDirs.map(_.getAbsolutePath).toIndexedSeq: _*)
+      val nBefore = live.count()
+      val kept = live.join(broadcast(keyIds),
+        col(manifest.key) === col("__k"), "left_anti")
+      val tmp = snapshotDir + ".tmp-" + java.util.UUID.randomUUID().toString
+      kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      // a fully-purged bucket legitimately writes NO output directory —
+      // unlike the upsert (whose written set must EQUAL the plan), the
+      // purge invariant is written ⊆ planned: an output bucket outside
+      // the plan means the read saw rows the routing said cannot exist
+      val written = Option(new java.io.File(tmp).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(_.getName.stripPrefix("bucket=").toInt).sorted
+      if (!written.toSet.subsetOf(planned.toSet)) {
+        deleteRecursively(new java.io.File(tmp))
+        throw new IllegalStateException(
+          s"purgeApply: written buckets [${written.mkString(",")}] outside the " +
+            s"planned set [${planned.mkString(",")}] — snapshot left untouched.")
+      }
+      val nAfter =
+        if (written.isEmpty) 0L else spark.read.parquet(tmp).count()
+      planned.foreach { p =>
+        val newDir = new java.io.File(tmp, s"bucket=$p")
+        val liveDir = new java.io.File(root, s"bucket=$p")
+        val old = new java.io.File(root, s".old-$p-" + java.util.UUID.randomUUID())
+        if (!liveDir.renameTo(old))
+          throw new java.io.IOException(s"purgeApply: could not move $liveDir aside")
+        if (newDir.exists() && !newDir.renameTo(liveDir)) {
+          if (!old.renameTo(liveDir))
+            throw new java.io.IOException(
+              s"purgeApply: bucket=$p swap failed AND rollback failed — live data is at $old")
+          throw new java.io.IOException(
+            s"purgeApply: could not move $newDir into place (same filesystem required)")
+        }
+        deleteRecursively(old)
+      }
+      deleteRecursively(new java.io.File(tmp))
+      (nBefore, nBefore - nAfter)
+    } finally { keyIds.unpersist(); () }
+  }
+
   /** Full run (reference main(), etl_connector.py:206-239): extract →
     * transform → validate → upsert. Returns (validCount, quarantineCount).
     * The TRANSFORMED frame is what gets cached: both the quarantine

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * how much of a table a TTL would purge. Both are AUDIT-FIRST
   * (plan-then-verify, the compaction-planner contract): the report is
   * a queryable frame reviewed BEFORE any destructive rewrite, and the
-  * actual purge is a trivial anti-join the caller applies per table.
+  * actual purge is a broadcast anti-join the caller applies per table
+  * — for incremental snapshots, [[graft.etl.Pipeline.purgeApply]]
+  * executes it bucket-pruned, and its (nBefore, nPurged) return is
+  * predicted exactly by this audit's counts.
   */
 object Governance {
 

@@ -246,6 +246,87 @@ class EtlPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("numBuckets"))
   }
 
+  test("purgeApply: audit counts predict the rewrite exactly, untouched buckets byte-identical") {
+    import spark.implicits._
+    def mkBatch(rows: Seq[(String, Long, String)], ts: String): org.apache.spark.sql.DataFrame =
+      rows.toDF("pulse_name", "pulse_id", "raw")
+        .withColumn("ingestion_timestamp", lit(java.sql.Timestamp.valueOf(ts)))
+    val snap = Files.createTempDirectory("purge_apply").toFile.getAbsolutePath + "/snap"
+    Pipeline.upsertIncremental(spark,
+      mkBatch((1L to 60L).map(i => (s"name$i", i, s"""{"id": $i}""")),
+        "2024-01-01 00:00:00"), snap, numBuckets = 8)
+    val keyless = Seq(("stray", "{}")).toDF("pulse_name", "raw")
+      .withColumn("pulse_id", lit(null).cast("long"))
+      .withColumn("ingestion_timestamp",
+        lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    Pipeline.upsertIncremental(spark, keyless, snap, numBuckets = 8)
+
+    def files(): Map[String, (Long, String)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(snap)).filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        f.getAbsolutePath -> (f.length(), md5)
+      }.toMap
+    }
+    val before = files()
+    val ids = Seq(3L, 17L, 42L, 999L).toDF("subject") // 999 absent
+    val touchedBuckets = Seq(3L, 17L, 42L, 999L).map { k =>
+      spark.range(1).select(pmod(xxhash64(lit(k)), lit(8L)).cast("int"))
+        .head().getInt(0)
+    }.toSet
+
+    // the audit's prediction on the same snapshot + ids
+    val audited = graft.operators.Governance.purgeAudit(
+      Seq(("snap", Pipeline.readIncrementalSnapshot(spark, snap), "pulse_id")), ids)
+      .as[(String, Long, Long, Long)].head()
+    assert(audited._2 === 61L && audited._3 === 3L)
+
+    val (nBefore, nPurged) = Pipeline.purgeApply(spark, snap, ids)
+    assert(nPurged === audited._3, "audit must predict the rewrite exactly")
+    assert(nBefore <= 61L && nBefore >= nPurged) // only touched buckets scanned
+    val after = Pipeline.readIncrementalSnapshot(spark, snap)
+    assert(after.count() === 58L)
+    assert(after.filter(col("pulse_id").isin(3L, 17L, 42L)).count() === 0L)
+    assert(after.filter(col("pulse_id") === 4L).count() === 1L)
+    assert(after.filter(col("pulse_id").isNull).count() === 1L) // keyless intact
+
+    // O(touched buckets): every file outside them (incl. bucket=-1) is
+    // the SAME file — same path, same bytes
+    val untouchedBefore = before.filter { case (p, _) =>
+      !touchedBuckets.exists(b => p.contains(s"bucket=$b")) }
+    val untouchedAfter = files().filter { case (p, _) =>
+      !touchedBuckets.exists(b => p.contains(s"bucket=$b")) }
+    assert(untouchedAfter === untouchedBefore)
+
+    // audit-after shows zero residue — the audit/apply pair closes
+    val residue = graft.operators.Governance.purgeAudit(
+      Seq(("snap", after, "pulse_id")), ids)
+      .as[(String, Long, Long, Long)].head()
+    assert(residue._3 === 0L)
+
+    // purging every key in one bucket swaps it to ABSENT, and the
+    // snapshot still reads (the remaining buckets carry the schema)
+    val b0Keys = (1L to 60L).filter { k =>
+      spark.range(1).select(pmod(xxhash64(lit(k)), lit(8L)).cast("int"))
+        .head().getInt(0) == 0
+    }
+    val (_, purgedAll) = Pipeline.purgeApply(spark, snap, b0Keys.toDF("subject"))
+    assert(!new java.io.File(snap, "bucket=0").exists())
+    val finalSnap = Pipeline.readIncrementalSnapshot(spark, snap)
+    assert(finalSnap.count() === 58L - purgedAll)
+
+    // refuses a directory without the incremental manifest
+    val plain = Files.createTempDirectory("purge_plain").toFile.getAbsolutePath
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.purgeApply(spark, plain, ids)
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
   test("full pipeline run returns counts (R20)") {
     val dir = Files.createTempDirectory("graft-run").toFile
     val (valid, quarantined) = Pipeline.run(
