@@ -1022,6 +1022,9 @@ object Dedup {
       .select(col("sh"),
         floor(log(col("n_docs").cast("double") / col("df").cast("double"))
           * lit(1e6) + lit(0.5)).cast("long").as("wt"))
+    // NOT cached: the a/b sides of the self-join differ only in
+    // aliases, so Catalyst reuses one Exchange for both — a cache here
+    // measures SLOWER (materialization cost without saved work)
     val wr = rows.join(wt, Seq("sh")).select("doc_id", "sh", "wt")
     val tw = wr.groupBy("doc_id").agg(sum("wt").as("tw"))
     val wtot = wr.join(tw, Seq("doc_id"))
@@ -1045,7 +1048,7 @@ object Dedup {
     * ≤ tw − ⌈p·tw/1000⌉ — the minimal set any passing pair must
     * intersect, see [[weightedContainmentPairsPrefix]]). */
   private def weightedPrefixTables(docs: DataFrame, shingleK: Int,
-      minPermille: Long): (DataFrame, DataFrame, DataFrame) = {
+      minPermille: Long, cache: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val rows = shingleRows(docs, shingleK)
     val ndocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1062,9 +1065,16 @@ object Dedup {
     // naive operator keeps the groupBy+join spelling because it has
     // no window to amortize against)
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
-    val wtot = wr
+    // cache=true (the Prefix operator): wtot feeds the candidate
+    // join's full-index side AND both verification joins, each keyed
+    // differently, so no Exchange reuse saves the recompute — measured
+    // 1.8 → 1.5 s at sf0.1. cache=false (the planner): it only
+    // aggregates wt/prefix once each; a cache there measured 2× SLOWER
+    // (4 ks × materialization cost, nothing saved).
+    val wtot0 = wr
       .withColumn("tw", sum("wt").over(Window.partitionBy("doc_id")))
       .filter(col("tw") > 0)
+    val wtot = if (cache) registerCache(wtot0) else wtot0
     val prefix = wtot
       .withColumn("cumx", coalesce(
         sum("wt").over(wDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -1115,7 +1125,8 @@ object Dedup {
                                      minPermille: Long = 500): DataFrame = {
     require(minPermille >= 1 && minPermille <= 1000,
       s"minPermille ($minPermille) must be in [1, 1000]")
-    val (_, wtot, prefix) = weightedPrefixTables(docs, shingleK, minPermille)
+    val (_, wtot, prefix) = weightedPrefixTables(docs, shingleK, minPermille,
+      cache = true)
     val cand = prefix.select(col("doc_id").as("pa"), col("tw").as("pt"), col("sh"))
       .join(wtot.select(col("doc_id").as("fb"), col("tw").as("ft"), col("sh")),
         Seq("sh"))
