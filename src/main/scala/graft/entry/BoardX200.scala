@@ -142,6 +142,37 @@ private[graft] object BoardX200 {
       ).toDF("vec_id", "embedding")
       graft.operators.Similarity.embeddingHygiene(base.unionByName(planted))
     },
+    // semantic decontamination: every corpus vector's nearest
+    // BENCHMARK vector (vec_id % 25 = 0 plays the eval suite) + flag
+    // at τ=400‰ — benchmark broadcasts, corpus scored in place, one
+    // map-side max(struct) argmax; the embedding-space sibling of x41
+    "x222_semantic_decon" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.semanticDecontamination(
+        emb.filter(col("vec_id") % 25 =!= 0),
+        emb.filter(col("vec_id") % 25 === 0), tauPermille = 400)
+    },
+    // mixture epoch planner: 4-source target mixture against the
+    // corpus' available tokens under a 20k budget — src0 is data-
+    // constrained (cap bites), srczz is missing (NULL epochs, full
+    // shortfall); exact integers, one token-sum scan
+    "x223_epoch_plan" -> ((s, d) =>
+      graft.operators.Sampling.mixtureEpochPlan(Tables.documents(s, d),
+        Seq(("src0", 400000L), ("src1", 300000L), ("src2", 200000L),
+          ("srczz", 100000L)),
+        budgetTokens = 20000L, maxEpochsMilli = 4000L)),
+    // exact tie-corrected ROC-AUC of doc length predicting exact-dup
+    // membership — "is my cheap signal worth gating on", the audit
+    // every filter threshold owes; midranks over the value-bounded
+    // distinct-length table
+    "x224_rank_auc" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lbl = Tables.documents(s, d)
+        .withColumn("is_dup",
+          when(count(lit(1)).over(Window.partitionBy("text")) > 1, 1L)
+            .otherwise(0L))
+      graft.operators.Profiling.rankAuc(lbl, "n_chars", "is_dup")
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -413,5 +444,83 @@ private[graft] object BoardX200 {
            MIN(nm) AS min_norm_micro,
            MAX(nm) AS max_norm_micro
          FROM p""",
+    // x222: the x09 dot/norm spelling corpus×benchmark, champion by
+    // (score DESC, bench_id) rank, permille floor AFTER the argmax
+    "x222_semantic_decon" ->
+      """WITH b AS (SELECT vec_id AS bench_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+         FROM embeddings WHERE vec_id % 25 = 0),
+       c AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings WHERE vec_id % 25 <> 0),
+       s AS (SELECT vec_id, bench_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(cv, bv), p -> p[1] * p[2])),
+             (x, y) -> x + y) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(cv, x -> x * x)), (x, y) -> x + y)) *
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(bv, x -> x * x)), (x, y) -> x + y)) AS n
+         FROM c, b),
+       r AS (SELECT vec_id, bench_id,
+           (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) AS score,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) DESC,
+               bench_id) AS rn
+         FROM s)
+       SELECT vec_id, bench_id,
+         CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS cos_permille,
+         CAST(CASE WHEN FLOOR(score * 1000 + 0.5) >= 400 THEN 1 ELSE 0 END
+           AS BIGINT) AS contaminated
+       FROM r WHERE rn = 1 ORDER BY vec_id""",
+    // x223: VALUES-table weights, one token-sum per source, exact
+    // HUGEINT cross-multiplies with trunc division matching div
+    "x223_epoch_plan" ->
+      """WITH w(source, weight_ppm) AS (VALUES
+           ('src0', CAST(400000 AS BIGINT)), ('src1', CAST(300000 AS BIGINT)),
+           ('src2', CAST(200000 AS BIGINT)), ('srczz', CAST(100000 AS BIGINT))),
+         av AS (SELECT source,
+             SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS a
+           FROM documents GROUP BY source),
+         j AS (SELECT w.source, w.weight_ppm,
+             CAST(COALESCE(av.a, 0) AS BIGINT) AS available_tokens,
+             CAST((20000 * w.weight_ppm) // 1000000 AS BIGINT) AS target_tokens
+           FROM w LEFT JOIN av USING (source)),
+         e AS (SELECT *,
+             CASE WHEN available_tokens = 0 THEN NULL
+               ELSE CAST((target_tokens * 1000) // available_tokens AS BIGINT)
+             END AS epochs_milli FROM j),
+         k AS (SELECT *,
+             CASE WHEN epochs_milli IS NULL THEN NULL
+               ELSE LEAST(epochs_milli, 4000) END AS epochs_capped_milli
+           FROM e),
+         p AS (SELECT *,
+             CASE WHEN epochs_capped_milli IS NULL THEN CAST(0 AS BIGINT)
+               ELSE CAST((available_tokens * epochs_capped_milli) // 1000
+                 AS BIGINT) END AS planned_tokens
+           FROM k)
+         SELECT source, weight_ppm, available_tokens, target_tokens,
+           epochs_milli, epochs_capped_milli, planned_tokens,
+           target_tokens - planned_tokens AS shortfall_tokens
+         FROM p ORDER BY source""",
+    // x224: dup label from the per-text count window, doubled-midrank
+    // Mann-Whitney over the distinct-length table, HUGEINT exact
+    "x224_rank_auc" ->
+      """WITH t AS (SELECT n_chars AS s,
+           CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1
+             THEN 1 ELSE 0 END AS y
+         FROM documents WHERE n_chars IS NOT NULL),
+       per AS (SELECT s, SUM(y) AS n1, SUM(1 - y) AS n0 FROM t GROUP BY s),
+       c AS (SELECT s, n1, n0, n1 + n0 AS cnt,
+           SUM(n1 + n0) OVER (ORDER BY s) AS cum FROM per),
+       m AS (SELECT n1, n0, 2 * (cum - cnt) + cnt + 1 AS mr2 FROM c),
+       a AS (SELECT SUM(n1) AS n_pos, SUM(n0) AS n_neg,
+           SUM(n1 * mr2) AS r2 FROM m)
+       SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+         CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+         CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+           ELSE ((r2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg)
+           END AS BIGINT) AS auc_micro
+       FROM a""",
   )
 }

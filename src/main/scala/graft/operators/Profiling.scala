@@ -1528,4 +1528,58 @@ object Profiling {
           .as("in_head"))
       .orderBy(col("weight").desc, col(groupCol))
   }
+
+  /** EXACT ROC-AUC of an integer score against a binary label — the
+    * one-number answer to "does this signal actually separate the
+    * classes" that every heuristic quality score, dup-likelihood, or
+    * filter threshold should be audited with before it gates data.
+    * Computed as the tie-corrected Mann–Whitney statistic:
+    * AUC = [R₁ − n₁(n₁+1)/2] / (n₁n₀) with R₁ the positives' midrank
+    * sum — identically P(s⁺ > s⁻) + ½P(s⁺ = s⁻), so ties count half,
+    * never hidden. Exact integers throughout: midranks are
+    * half-integers, so the doubled sum 2R₁ is a BIGINT and
+    * auc_micro = (2R₁ − n₁(n₁+1))·10⁶ div (2n₁n₀) is one truncating
+    * div (DECIMAL(38,0) cross-multiply — 2R₁·10⁶ overflows BIGINT at
+    * ~10⁶ rows of large scores). AUC is NULL when either class is
+    * empty (undefined, not 0). Rows with NULL score or label drop;
+    * labels outside {0,1} are a loud error, not a coercion.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the score value;
+    * midranks come from a window over the VALUE-BOUNDED distinct-
+    * score table (the x126 discipline — scores here are permilles,
+    * lengths, counts; never continuous floats at data cardinality),
+    * then one more bounded aggregate. Nothing row-scale crosses a
+    * window.
+    *
+    * @return one row (n_pos, n_neg, u2, auc_micro) — u2 = 2U₁. */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    // per distinct score: class counts (the only data-scale pass)
+    val per = t.groupBy("__s").agg(
+      sum(when(col("__y") === 1L, 1L)
+        .when(col("__y") === 0L, 0L)
+        .otherwise(raise_error(concat(lit(s"rankAuc: $labelCol must be 0/1, got "),
+          col("__y"))))).as("__n1"),
+      sum(when(col("__y") === 0L, 1L).otherwise(0L)).as("__n0"))
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("__cnt", col("__n1") + col("__n0"))
+      .withColumn("__cum", sum("__cnt").over(w))
+      // doubled midrank of every row at this score: 2·(rows strictly
+      // below) + (rows at this score) + 1
+      .withColumn("__mr2", lit(2L) * (col("__cum") - col("__cnt")) + col("__cnt") + 1L)
+      .agg(sum("__n1").as("n_pos"), sum("__n0").as("n_neg"),
+        sum(expr("cast(__n1 as decimal(38,0)) * __mr2")).as("__r2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("cast(__r2 - cast(n_pos as decimal(38,0)) * (n_pos + 1) as bigint)")
+          .as("u2"),
+        expr("""cast(case when n_pos = 0 or n_neg = 0 then null
+          else ((__r2 - cast(n_pos as decimal(38,0)) * (n_pos + 1)) * 1000000)
+            div (cast(2 as decimal(38,0)) * n_pos * n_neg) end as bigint)""")
+          .as("auc_micro"))
+  }
 }

@@ -467,4 +467,69 @@ object Sampling {
       .select(col("doc_id"), col("priority"), col("n_tokens"))
       .orderBy(col("priority").desc, col("doc_id"))
   }
+
+  /** MIXTURE EPOCH PLANNER — the static allocation table a training
+    * run is configured from: given target mixture weights (ppm per
+    * source) and a total token budget, how many epochs (repeats,
+    * milli) of each source's available tokens meet its share, where
+    * the cap bites (data-constrained sources that would over-repeat —
+    * the Muennighoff et al. 2023 repeat-degradation bound is why
+    * `maxEpochsMilli` exists), and the shortfall the cap leaves. One
+    * row per WEIGHT entry — a weighted source missing from the corpus
+    * reports available 0 / NULL epochs / full-target shortfall (the
+    * mixture spec names what the data lacks; it is not silently
+    * renormalized — rerunning with redistributed weights is a policy
+    * decision, so it stays with the caller).
+    *
+    * Exact integer throughout: targets and epochs cross-multiply in
+    * DECIMAL(38,0) before the truncating div (the olsTrend overflow
+    * discipline — budget·ppm overflows BIGINT at ~9·10¹² tokens,
+    * well under a real budget). planned = available·capped div 1000
+    * ≤ target by construction, so shortfall is never negative.
+    *
+    * Scale shape: ONE map-side-combined token-sum per source over the
+    * corpus scan; everything after runs on the |weights|-row table
+    * (broadcast join against the per-source sums).
+    *
+    * @param weights (source, weight_ppm), ppm ≥ 0, Σ ≤ 10⁶
+    * @return (source, weight_ppm, available_tokens, target_tokens,
+    *         epochs_milli, epochs_capped_milli, planned_tokens,
+    *         shortfall_tokens) ordered by source. */
+  def mixtureEpochPlan(docs: DataFrame, weights: Seq[(String, Long)],
+                       budgetTokens: Long, maxEpochsMilli: Long = 4000L,
+                       sourceCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty, "mixtureEpochPlan needs at least one weight")
+    require(weights.forall(_._2 >= 0L),
+      s"weights must be >= 0 ppm, got $weights")
+    require(weights.map(_._2).sum <= 1000000L,
+      s"weights sum to ${weights.map(_._2).sum} ppm > 1e6")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate source in weights")
+    require(budgetTokens > 0, s"budgetTokens ($budgetTokens) must be > 0")
+    require(maxEpochsMilli >= 1, s"maxEpochsMilli ($maxEpochsMilli) must be >= 1")
+    import docs.sparkSession.implicits._
+    val avail = docs
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCountCol(col("text")).as("__t"))
+      .groupBy("source").agg(sum("__t").as("__avail"))
+    weights.toDF("source", "weight_ppm")
+      .join(avail, Seq("source"), "left")
+      .select(col("source"), col("weight_ppm"),
+        coalesce(col("__avail"), lit(0L)).as("available_tokens"),
+        expr(s"cast((cast(${budgetTokens}L as decimal(38,0)) * weight_ppm)" +
+          " div 1000000 as bigint)").as("target_tokens"))
+      .withColumn("epochs_milli",
+        when(col("available_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("cast((cast(target_tokens as decimal(38,0)) * 1000)" +
+            " div available_tokens as bigint)")))
+      .withColumn("epochs_capped_milli",
+        when(col("epochs_milli").isNull, lit(null).cast("long"))
+          .otherwise(least(col("epochs_milli"), lit(maxEpochsMilli))))
+      .withColumn("planned_tokens",
+        when(col("epochs_capped_milli").isNull, lit(0L))
+          .otherwise(expr("cast((cast(available_tokens as decimal(38,0))" +
+            " * epochs_capped_milli) div 1000 as bigint)")))
+      .withColumn("shortfall_tokens", col("target_tokens") - col("planned_tokens"))
+      .orderBy("source")
+  }
 }

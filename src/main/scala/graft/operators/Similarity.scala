@@ -288,6 +288,53 @@ object Similarity {
       idCol = idCol, vecCol = vecCol), q, c, idCol, labelCol)
   }
 
+  /** SEMANTIC decontamination audit — the embedding-level sibling of
+    * [[graft.operators.Dedup.decontaminate]]'s n-gram screen: for each
+    * corpus vector, its single nearest BENCHMARK vector by exact
+    * cosine and a `contaminated` flag at the τ bar. N-gram overlap
+    * catches verbatim benchmark leakage; paraphrased leakage — the
+    * kind eval-set rewrites produce — only shows up in embedding
+    * space, which is why modern decontamination (GPT-3 appendix C
+    * descendants, SemDeDup-style screens) runs BOTH. The full
+    * per-vector report (not just hits) is the audit artifact: the
+    * margin distribution below τ is what a reviewer reads to decide
+    * whether τ itself is safe.
+    *
+    * Determinism: the x09 double fold for the score, champion by
+    * max(struct(score, −bench_id)) — ties break to the SMALLEST
+    * benchmark id, and the permille floor happens after the argmax,
+    * so the reported champion and flag replay cross-engine.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized (thousands)
+    * and broadcasts; the corpus is scored in place and ONE
+    * map-side-combinable max(struct) argmax reduces per vector —
+    * no window over scored pairs, nothing data-scale shuffles but
+    * (vec_id, champion) rows. At 100 TB screen an ANN pool first and
+    * exact-rescore survivors (the x212 composition) only if the
+    * benchmark outgrows broadcast size.
+    *
+    * @return (vec_id, bench_id, cos_permille, contaminated) one row
+    *         per corpus vector, ordered by vec_id. */
+  def semanticDecontamination(corpus: DataFrame, bench: DataFrame,
+                              tauPermille: Long = 950,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(tauPermille >= 1 && tauPermille <= 1000,
+      s"tauPermille ($tauPermille) must be in [1, 1000]")
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+    val b = bench.select(col(idCol).as("bench_id"), asDouble(col(vecCol)).as("bv"))
+    c.crossJoin(broadcast(b))
+      .select(col("vec_id"), col("bench_id"),
+        cosine(col("cv"), col("bv")).as("score"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("score"), (-col("bench_id")).as("__nid"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.__nid")).as("bench_id"),
+        floor(col("__m.score") * 1000 + 0.5).cast("long").as("cos_permille"))
+      .withColumn("contaminated",
+        when(col("cos_permille") >= tauPermille, 1L).otherwise(0L))
+      .orderBy("vec_id")
+  }
+
   /** RECIPROCAL (mutual) nearest-neighbor pairs: (a, b) with a < b
     * where b is in a's exact cosine top-k AND a is in b's — the
     * standard asymmetry filter on k-NN graphs: a hub vector appears

@@ -360,4 +360,34 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.budgetCut(withNulls, 20L).collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("mixtureEpochPlan: exact targets, cap bite, missing source") {
+    val docs = Seq(
+      ("a", "w w w w"),         // 4 tokens
+      ("a", "w w w w w w"),     // 6 → a has 10
+      ("b", ("w " * 19) + "w")  // 20 tokens
+    ).toDF("source", "text")
+    val out = Sampling.mixtureEpochPlan(docs,
+      Seq(("a", 500000L), ("b", 250000L), ("z", 250000L)),
+      budgetTokens = 100L, maxEpochsMilli = 3000L).collect()
+    def row(r: org.apache.spark.sql.Row) = (
+      r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4),
+      if (r.isNullAt(5)) -1L else r.getLong(5),
+      r.getLong(6), r.getLong(7))
+    // a: 10 avail, target 50 → 5000 milli-epochs, capped 3000 →
+    //    planned 30, shortfall 20 (the repeat-cap bite)
+    assert(row(out(0)) === (("a", 500000L, 10L, 50L, 5000L, 3000L, 30L, 20L)))
+    // b: 20 avail, target 25 → 1250 milli (subsample-free fit)
+    assert(row(out(1)) === (("b", 250000L, 20L, 25L, 1250L, 1250L, 25L, 0L)))
+    // z: weighted but absent — NULL epochs, full-target shortfall
+    assert(row(out(2)) === (("z", 250000L, 0L, 25L, -1L, -1L, 0L, 25L)))
+    // invalid mixtures fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureEpochPlan(docs, Seq(("a", 600000L), ("b", 500000L)), 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureEpochPlan(docs, Seq(("a", 1L), ("a", 2L)), 100L)
+    }
+  }
 }

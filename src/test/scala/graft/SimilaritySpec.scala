@@ -289,4 +289,27 @@ class SimilaritySpec extends SparkSpec {
     // upper triangle only: no (i, j) with i > j
     assert(out.forall { case ((i, j), _) => i <= j })
   }
+
+  test("semanticDecontamination: champion bench vector, smallest-id tie, τ flag") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),  // cos 1.0 with bench 1
+      (11L, Array(0.0f, 1.0f)),  // cos 1.0 with bench 2
+      (12L, Array(1.0f, 1.0f)),  // cos 1/√2 with BOTH → tie → bench 1
+      (13L, Array(0.0f, 0.0f))   // zero vector: score 0, tie → bench 1
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontamination(corpus, bench, tauPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (10L, 1L, 1000L, 1L),
+      (11L, 2L, 1000L, 1L),
+      (12L, 1L, 707L, 0L),  // floor(1000/√2 + .5) = 707, below τ
+      (13L, 1L, 0L, 0L)))
+    // an empty benchmark yields an empty report, not a crash
+    assert(Similarity.semanticDecontamination(
+      corpus, bench.filter($"vec_id" < 0), tauPermille = 900).count() === 0L)
+  }
 }

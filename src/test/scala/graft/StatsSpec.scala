@@ -743,4 +743,37 @@ class StatsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(3))).toSeq
     assert(ident === Seq((5L, 5L), (9L, 9L)))
   }
+
+  test("rankAuc: exact Mann-Whitney — separation, ties, reversal, degenerate") {
+    def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Option[Long]) = {
+      val r = Profiling.rankAuc(rows.toDF("s", "y"), "s", "y").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }
+    // perfect separation: every positive above every negative
+    assert(auc(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))) ===
+      ((2L, 2L, 8L, Some(1000000L))))
+    // perfect reversal
+    assert(auc(Seq((3L, 0L), (4L, 0L), (1L, 1L), (2L, 1L))) ===
+      ((2L, 2L, 0L, Some(0L))))
+    // all scores tied: AUC = 1/2 exactly (ties count half)
+    assert(auc(Seq((5L, 1L), (5L, 0L), (5L, 1L), (5L, 0L)))._4 ===
+      Some(500000L))
+    // hand case: pos {2, 3}, neg {1, 3} — pairs: (2>1)=1, (2=3 no,
+    // 2<3)=0, (3>1)=1, (3=3)=½ → AUC = 2.5/4 = 625000
+    assert(auc(Seq((1L, 0L), (3L, 0L), (2L, 1L), (3L, 1L))) ===
+      ((2L, 2L, 5L, Some(625000L))))
+    // single-class input: AUC undefined → NULL, never 0
+    assert(auc(Seq((1L, 1L), (2L, 1L)))._4 === None)
+    // NULL scores and labels drop before ranking
+    val withNulls = Seq((Option(1L), Option(0L)), (Option(2L), Option(1L)),
+      (Option.empty[Long], Option(1L)), (Option(9L), Option.empty[Long]))
+      .toDF("s", "y")
+    val r = Profiling.rankAuc(withNulls, "s", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) === ((1L, 1L, 1000000L)))
+    // a label outside {0,1} is a loud error, not a coercion
+    intercept[Exception] {
+      Profiling.rankAuc(Seq((1L, 2L)).toDF("s", "y"), "s", "y").collect()
+    }
+  }
 }
