@@ -173,6 +173,22 @@ private[graft] object BoardX200 {
             .otherwise(0L))
       graft.operators.Profiling.rankAuc(lbl, "n_chars", "is_dup")
     },
+    // source novelty curve: vocabulary attribution over the
+    // alphabetical source walk — which feed still adds language,
+    // which only repeats its predecessors'
+    "x225_source_novelty" -> ((s, d) =>
+      TextAnalysis.sourceNoveltyReport(Tables.documents(s, d))),
+    // duplicate re-arrival gap ladder at (user, type) identity — the
+    // measurement that sizes a streaming dedup window; cum_ppm row =
+    // "this window catches this share of re-deliveries"
+    "x226_dup_arrival" -> ((s, d) =>
+      graft.operators.Sessions.dupArrivalProfile(Tables.events(s, d),
+        keyCols = Seq("user_id", "event_type"))),
+    // per-user event-type entropy — activity DIVERSITY next to x220's
+    // activity SHAPE; integer micronat terms, no float Σ-order haze
+    "x227_type_entropy" -> ((s, d) =>
+      graft.operators.Behavior.eventTypeEntropy(Tables.events(s, d),
+        minEvents = 5L)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -522,5 +538,67 @@ private[graft] object BoardX200 {
            ELSE ((r2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg)
            END AS BIGINT) AS auc_micro
        FROM a""",
+    // x225: distinct (source, token) pass, first-source by MIN, then
+    // the |sources|-bounded cumulative walk
+    "x225_source_novelty" ->
+      """WITH tok0 AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+           FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+       ts AS (SELECT DISTINCT source, tok FROM tok0),
+       own AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS own_vocab
+           FROM ts GROUP BY 1),
+       fs AS (SELECT tok, MIN(source) AS source FROM ts GROUP BY 1),
+       nw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS new_vocab
+           FROM fs GROUP BY 1),
+       j AS (SELECT own.source, own.own_vocab,
+           CAST(COALESCE(nw.new_vocab, 0) AS BIGINT) AS new_vocab
+         FROM own LEFT JOIN nw USING (source))
+       SELECT source, own_vocab, new_vocab,
+         CAST(SUM(new_vocab) OVER (ORDER BY source) AS BIGINT) AS cum_vocab,
+         CAST((new_vocab * 1000000) // own_vocab AS BIGINT) AS novelty_ppm
+       FROM j ORDER BY source""",
+    // x226: per-identity lag gaps at epoch µs (gap multiset is tie-
+    // order invariant), CASE ladder, bounded cumulative window
+    "x226_dup_arrival" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND ts IS NOT NULL),
+       g AS (SELECT us - lag(us) OVER (PARTITION BY user_id, event_type
+             ORDER BY us) AS gap_us FROM e),
+       b AS (SELECT CASE WHEN gap_us <= 1000000 THEN 0
+           WHEN gap_us <= 10000000 THEN 1
+           WHEN gap_us <= 60000000 THEN 2
+           WHEN gap_us <= 600000000 THEN 3
+           WHEN gap_us <= 3600000000 THEN 4
+           WHEN gap_us <= 86400000000 THEN 5 ELSE 6 END AS bucket
+         FROM g WHERE gap_us IS NOT NULL),
+       c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps
+           FROM b GROUP BY 1),
+       t AS (SELECT SUM(n_gaps) AS tot FROM c)
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(CASE bucket WHEN 0 THEN 1000000 WHEN 1 THEN 10000000
+           WHEN 2 THEN 60000000 WHEN 3 THEN 600000000
+           WHEN 4 THEN 3600000000 WHEN 5 THEN 86400000000 END AS BIGINT)
+           AS gap_le_us,
+         n_gaps,
+         CAST((n_gaps * 1000000) // tot AS BIGINT) AS share_ppm,
+         CAST((SUM(n_gaps) OVER (ORDER BY bucket) * 1000000) // tot
+           AS BIGINT) AS cum_ppm
+       FROM c, t ORDER BY bucket""",
+    // x227: per-(user, type) integer micronat terms c·⌊ln c·10⁶+½⌋,
+    // one truncating div — no float accumulation to reorder
+    "x227_type_entropy" ->
+      """WITH per AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+       t AS (SELECT user_id, c,
+           c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS clc FROM per),
+       u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types, SUM(clc) AS s
+         FROM t GROUP BY 1)
+       SELECT user_id, n_events, n_types,
+         CAST(FLOOR(ln(CAST(n_events AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(s // n_events AS BIGINT) AS entropy_micronat
+       FROM u WHERE n_events >= 5 ORDER BY user_id""",
   )
 }

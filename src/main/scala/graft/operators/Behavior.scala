@@ -1418,4 +1418,39 @@ object Behavior {
           .as("dispersion_micro"))
       .orderBy("user_id")
   }
+
+  /** Per-user EVENT-TYPE entropy — the activity-DIVERSITY signal that
+    * pairs with [[dispersionIndex]]'s activity-SHAPE signal in a bot
+    * screen: a scripted actor hammers one endpoint (entropy ≈ 0), a
+    * human session mixes types (entropy near ln of the type count).
+    * H = ln(n) − (Σ c·ln c)/n over the user's per-type counts c —
+    * algebraically Σ −(c/n)·ln(c/n), but in a form where every
+    * cross-row accumulation is an INTEGER sum: each type contributes
+    * c·⌊ln(c)·10⁶ + ½⌋ micronats (one rounded ln per row, no float
+    * Σ-order haze), and the single divide is a truncating div. Exact
+    * enough to hash cross-engine, honest to ~|types| µnat rounding.
+    *
+    * Scale shape: one (user, type) count + one user-keyed map-side-
+    * combined aggregation, both on the user hash layout, no windows —
+    * the dispersionIndex shape exactly.
+    *
+    * @return (user_id, n_events, n_types, entropy_micronat) for users
+    *         with ≥ minEvents events, ordered by user_id. */
+  def eventTypeEntropy(events: DataFrame, minEvents: Long = 5L): DataFrame = {
+    require(minEvents >= 1, s"minEvents ($minEvents) must be >= 1")
+    val per = events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .select(col("user_id"), col("c"),
+        (col("c") * floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5d))
+          .cast("long")).as("__clc"))
+    per.groupBy("user_id")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+        sum("__clc").as("__s"))
+      .filter(col("n_events") >= minEvents)
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (floor(log(col("n_events").cast("double")) * lit(1e6) + lit(0.5d))
+          .cast("long") - expr("__s div n_events")).as("entropy_micronat"))
+      .orderBy("user_id")
+  }
 }

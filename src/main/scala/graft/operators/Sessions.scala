@@ -341,4 +341,64 @@ object Sessions {
     if (approx) Profiling.exactQuantilesApprox(late, "t", "lateness_us", qsPermille)
     else Profiling.exactQuantiles(late, "t", "lateness_us", qsPermille)
   }
+
+  /** DUPLICATE-ARRIVAL gap profile — the measurement that SIZES a
+    * streaming dedup state window: when the same logical event (same
+    * identity tuple) arrives more than once, how far apart do the
+    * re-arrivals land? Each consecutive re-arrival gap is bucketed on
+    * a fixed operational ladder (≤1 s, ≤10 s, ≤1 min, ≤10 min, ≤1 h,
+    * ≤1 d, >1 d) and reported with its cumulative share — "a 10-minute
+    * dedup window catches cum_ppm of re-deliveries" read directly off
+    * the row, which is the watermark/TTL decision
+    * [[graft.streaming.EventStreams]]' history dedup and
+    * [[latenessProfile]]'s watermark sizing bracket from either side.
+    *
+    * Exact: gaps in integer microseconds, a CASE ladder (half-open,
+    * upper-inclusive bounds), integer ppm of the gap total; the
+    * identity tuple is the caller's `keyCols` — equality semantics,
+    * NULLs excluded (an unkeyable event has no re-arrival identity).
+    *
+    * Scale shape: one lag window PARTITIONED by the identity tuple
+    * (key-parallel, never global), then a map-side-combined
+    * 7-row-bounded aggregation; the cumulative window runs over the
+    * bounded bucket table (x126 discipline).
+    *
+    * @return (bucket, gap_le_us, n_gaps, share_ppm, cum_ppm) ordered
+    *         by bucket; gap_le_us is the bucket's inclusive upper
+    *         bound in µs (NULL for the open top bucket). */
+  def dupArrivalProfile(events: DataFrame,
+                        keyCols: Seq[String] = Seq("user_id", "event_type", "value"),
+                        tsCol: String = "ts"): DataFrame = {
+    require(keyCols.nonEmpty, "dupArrivalProfile needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = events
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+      .select(keyCols.map(col) :+
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("__us")
+    val gaps = keyed
+      .withColumn("__prev", lag("__us", 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select((col("__us") - col("__prev")).as("gap_us"))
+    val bounds = Seq(1000000L, 10000000L, 60000000L, 600000000L,
+      3600000000L, 86400000000L)
+    val bucket = bounds.zipWithIndex.foldRight(lit(bounds.size.toLong)) {
+      case ((b, i), acc) => when(col("gap_us") <= b, i.toLong).otherwise(acc)
+    }
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+      .withColumn("__tot", sum("n_gaps").over(Window.partitionBy(lit(1))))
+      .withColumn("__cum", sum("n_gaps").over(wc))
+      .select(col("bucket"),
+        bounds.zipWithIndex.foldRight(lit(null).cast("long")) {
+          case ((b, i), acc) =>
+            when(col("bucket") === i.toLong, b).otherwise(acc)
+        }.as("gap_le_us"),
+        col("n_gaps"),
+        expr("(n_gaps * 1000000) div __tot").as("share_ppm"),
+        expr("(__cum * 1000000) div __tot").as("cum_ppm"))
+      .orderBy("bucket")
+  }
 }

@@ -1102,6 +1102,52 @@ object TextAnalysis {
     *
     * @return (prefix, n_docs, share_ppm) for prefixes hitting the
     *         bar, ordered by (n_docs desc, prefix). */
+  /** SOURCE NOVELTY curve — vocabulary attribution across corpus
+    * assembly: walking the sources in their deterministic
+    * (lexicographic) order, how many DISTINCT tokens each source uses,
+    * how many it is the FIRST to contribute, and the cumulative
+    * vocabulary after it — the greedy-coverage read ("which feed still
+    * adds language, which only repeats it") that sits behind
+    * drop-the-redundant-source decisions, where [[heapsGrowth]] gives
+    * the same curve over doc-id order and [[vocabDrift]] compares two
+    * corpora pairwise. novelty_ppm = new/own: a low-novelty source is
+    * CONTAINED by its predecessors' vocabulary, which is evidence for
+    * dedup/downweight, not necessarily for dropping (frequency shifts
+    * don't show here — that's [[dsirWeights]]' job).
+    *
+    * Exact: token sets, first-source by MIN over the lexicographic
+    * order, integer ppm. The walk order is part of the semantics
+    * (alphabetical — deterministic and engine-independent), not an
+    * importance ranking.
+    *
+    * Scale shape: one (token, source) distinct pass, one MIN per
+    * token, then everything runs on the |sources|-bounded table (the
+    * cumulative window included — x126 discipline).
+    *
+    * @return (source, own_vocab, new_vocab, cum_vocab, novelty_ppm)
+    *         ordered by source. */
+  def sourceNoveltyReport(docs: DataFrame,
+                          sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = docs
+      .filter(col(sourceCol).isNotNull && col("text").isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val own = ts.groupBy("source").agg(count(lit(1)).as("own_vocab"))
+    val first = ts.groupBy("tok").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("new_vocab"))
+    val w = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    own.join(first, Seq("source"), "left")
+      .select(col("source"), col("own_vocab"),
+        coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
+      .withColumn("cum_vocab", sum("new_vocab").over(w))
+      .withColumn("novelty_ppm",
+        expr("(new_vocab * 1000000) div own_vocab"))
+      .orderBy("source")
+  }
+
   def boilerplatePrefixReport(docs: DataFrame, prefixTokens: Int = 4,
                               minDocs: Long = 2L): DataFrame = {
     require(prefixTokens >= 1 && prefixTokens <= 64,

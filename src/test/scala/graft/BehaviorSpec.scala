@@ -863,4 +863,20 @@ class BehaviorSpec extends SparkSpec with SlowSuite {
       (1L, 3L, 6L, 0L),
       (2L, 3L, 12L, 4500000L)))
   }
+
+  test("eventTypeEntropy: monoculture 0, even split ln2, min-events gate") {
+    // user 1: 5× one type → H = 0 exactly
+    // user 2: 3×A + 3×B → H = ln6 − (2·3·⌊ln3·10⁶+½⌋)/6
+    //       = 1791759 − 1098612 = 693147 µnat (= ln 2)
+    // user 3: 4 events → below minEvents, excluded
+    val rows = (1 to 5).map(_ => (1L, "a")) ++
+      (1 to 3).map(_ => (2L, "a")) ++ (1 to 3).map(_ => (2L, "b")) ++
+      (1 to 4).map(_ => (3L, "a"))
+    val out = Behavior.eventTypeEntropy(
+      rows.toDF("user_id", "event_type"), minEvents = 5L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 5L, 1L, 0L),
+      (2L, 6L, 2L, 693147L)))
+  }
 }

@@ -240,4 +240,32 @@ class SessionsSpec extends SparkSpec {
           "a narrow-keyed window must read an aggregate, not raw events")
     }
   }
+
+  test("dupArrivalProfile: gap ladder, cumulative shares, null keys excluded") {
+    val rows = Seq(
+      (Option(1L), "a", 0L),          // key (1,a): arrivals at 0,
+      (Option(1L), "a", 500000L),     //   +0.5 s  → bucket 0 (≤1 s)
+      (Option(1L), "a", 5000000L),    //   +4.5 s  → bucket 1 (≤10 s)
+      (Option(1L), "a", 30000000L),   //   +25 s   → bucket 2 (≤1 min)
+      (Option(2L), "b", 0L),          // single arrival: no gap
+      (Option.empty[Long], "a", 0L))  // unkeyable: excluded
+      .toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Sessions.dupArrivalProfile(rows,
+      keyCols = Seq("user_id", "event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, 1000000L, 1L, 333333L, 333333L),
+      (1L, 10000000L, 1L, 333333L, 666666L),
+      (2L, 60000000L, 1L, 333333L, 1000000L)))
+    // the open top bucket reports a NULL upper bound
+    val far = Seq((1L, "a", 0L), (1L, "a", 90L * 86400000000L))
+      .toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val top = Sessions.dupArrivalProfile(far,
+      keyCols = Seq("user_id", "event_type")).head()
+    assert(top.getLong(0) === 6L && top.isNullAt(1) &&
+      top.getLong(4) === 1000000L)
+  }
 }

@@ -596,4 +596,18 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sourceNoveltyReport: first-source attribution over the alphabetical walk") {
+    val docs = Seq(
+      ("A", "a b"),  // contributes a, b — both new
+      ("B", "b c"),  // only c is new
+      ("C", "a b"))  // nothing new: fully contained upstream
+      .toDF("source", "text")
+    val out = TextAnalysis.sourceNoveltyReport(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("A", 2L, 2L, 2L, 1000000L),
+      ("B", 2L, 1L, 3L, 500000L),
+      ("C", 2L, 0L, 3L, 0L)))
+  }
 }
