@@ -189,6 +189,26 @@ private[graft] object BoardX200 {
     "x227_type_entropy" -> ((s, d) =>
       graft.operators.Behavior.eventTypeEntropy(Tables.events(s, d),
         minEvents = 5L)),
+    // quantization-recall audit: exact top-5 on float vs int8-image
+    // embeddings, per-probe overlap — "does the 4×-smaller index
+    // return the same neighbors", measured on the shipped quantizer
+    "x228_quant_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.quantizationRecall(
+        emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    // Kendall τ between x218's two BM25 rankings — the uniform-weight
+    // pair-agreement number next to RBO's top-weighted one
+    "x229_kendall_tau" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      def ranked(b: Double) =
+        graft.operators.Retrieval.bm25TopK(docs,
+          Seq("vector", "stream", "join"), k = 20, b = b)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score_milli").desc, col("doc_id"))))
+      graft.operators.Retrieval.kendallTau(ranked(0.75), ranked(0.0))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -600,5 +620,94 @@ private[graft] object BoardX200 {
          CAST(FLOOR(ln(CAST(n_events AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
            - CAST(s // n_events AS BIGINT) AS entropy_micronat
        FROM u WHERE n_events >= 5 ORDER BY user_id""",
+    // x228: the x53 quantizer + two x09 top-k replays (identical tie
+    // discipline), overlap left-join per probe
+    "x228_quant_recall" ->
+      """WITH f AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       qz AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(v, e -> 0.0)
+           ELSE list_transform(v, e -> FLOOR(e * 127 / s + 0.5)) END AS v
+         FROM (SELECT vec_id, v,
+             list_max(list_transform(v, e -> ABS(e))) AS s FROM f)),
+       sf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+             (x, y) -> x + y) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(a.v, x -> x * x)), (x, y) -> x + y)) *
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(b.v, x -> x * x)), (x, y) -> x + y)) AS n
+         FROM f a, f b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       rf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) DESC,
+               neighbor_id) AS rk FROM sf) WHERE rk <= 5),
+       sq AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+             (x, y) -> x + y) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(a.v, x -> x * x)), (x, y) -> x + y)) *
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(b.v, x -> x * x)), (x, y) -> x + y)) AS n
+         FROM qz a, qz b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       rq AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY (CASE WHEN n = 0 THEN 0.0 ELSE d / n END) DESC,
+               neighbor_id) AS rk FROM sq) WHERE rk <= 5)
+       SELECT rf.query_id, CAST(COUNT(*) AS BIGINT) AS n_ref,
+         CAST(COUNT(rq.neighbor_id) AS BIGINT) AS n_hits,
+         CAST((COUNT(rq.neighbor_id) * 1000) // COUNT(*) AS BIGINT)
+           AS recall_permille
+       FROM rf LEFT JOIN rq ON rf.query_id = rq.query_id
+         AND rf.neighbor_id = rq.neighbor_id
+       GROUP BY rf.query_id ORDER BY rf.query_id""",
+    // x229: the x218 scoring CTEs verbatim, then the bounded pair
+    // self-join and one trunc division (toward zero, both engines)
+    "x229_kendall_tau" ->
+      """WITH dl AS (SELECT doc_id,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+           WHERE tok IN ('vector', 'stream', 'join') GROUP BY doc_id, tok),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         s75 AS (SELECT tf.doc_id AS doc_id, CAST(FLOOR(SUM(
+             ln(1 + (stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+             * tf.tf * (1.2::DOUBLE + 1)
+             / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl.dl / stats.avgdl))
+           ) * 1000 + 0.5) AS BIGINT) AS sc
+           FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id ORDER BY sc DESC, doc_id LIMIT 20),
+         s0 AS (SELECT tf.doc_id AS doc_id, CAST(FLOOR(SUM(
+             ln(1 + (stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+             * tf.tf * (1.2::DOUBLE + 1)
+             / (tf.tf + 1.2::DOUBLE * ((1 - 0.0::DOUBLE) + 0.0::DOUBLE * dl.dl / stats.avgdl))
+           ) * 1000 + 0.5) AS BIGINT) AS sc
+           FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id ORDER BY sc DESC, doc_id LIMIT 20),
+         r75 AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank FROM s75),
+         r0 AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank FROM s0),
+         j AS (SELECT a.doc_id AS i, a.rank AS ra, b.rank AS rb
+           FROM r75 a JOIN r0 b USING (doc_id)),
+         nn AS (SELECT COUNT(*) AS n_items FROM j),
+         p AS (SELECT
+             COALESCE(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+               THEN 1 END), 0) AS concordant,
+             COALESCE(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+               THEN 1 END), 0) AS discordant
+           FROM j x JOIN j y ON x.i < y.i)
+         SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST((n_items * (n_items - 1)) // 2 AS BIGINT) AS n_pairs,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CAST(CASE WHEN n_items < 2 THEN NULL
+             ELSE ((concordant - discordant) * 2000000)
+               // (n_items * (n_items - 1)) END AS BIGINT) AS tau_micro
+         FROM nn, p""",
   )
 }

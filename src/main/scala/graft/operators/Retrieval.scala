@@ -366,4 +366,46 @@ object Retrieval {
       .select(lit(depth.toLong).as("depth"),
         expr(s"((1000 - $pMilli) * __s) div 1000").as("rbo_micro"))
   }
+
+  /** KENDALL τ (tau-a) between two rankings of the SAME items — the
+    * pair-level agreement number that completes the rank-comparison
+    * kit: [[rankBiasedOverlap]] is top-weighted and handles disjoint
+    * lists, Cohen's κ (x213) compares hard labels; τ asks "of every
+    * item pair both rankers saw, how often do they order it the same
+    * way", weighting rank 19→20 exactly like 1→2. τ = (C − D) /
+    * (n(n−1)/2) over the items present in BOTH rankings (restriction
+    * documented — disjoint tails are RBO's jurisdiction); with
+    * row_number ranks there are no rank ties, so tau-a IS tau-b.
+    * Exact integers: C, D are pair counts, tau_micro one truncating
+    * div in DECIMAL(38,0).
+    *
+    * Scale shape: the pair self-join is RANKING-bounded (top-k lists,
+    * k² pairs), never data-scale — rankings arrive already cut by
+    * their producers (bm25TopK et al.).
+    *
+    * @param a,b rankings carrying (idCol, rankCol)
+    * @return one row (n_items, n_pairs, concordant, discordant,
+    *         tau_micro); tau NULL below 2 shared items. */
+  def kendallTau(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+                 rankCol: String = "rank"): DataFrame = {
+    val j = a.select(col(idCol).as("__i"), col(rankCol).cast("long").as("__ra"))
+      .join(b.select(col(idCol).as("__i"), col(rankCol).cast("long").as("__rb")),
+        Seq("__i"))
+    val n = j.agg(count(lit(1)).as("n_items"))
+    val pairs = j.as("x").join(j.as("y"), col("x.__i") < col("y.__i"))
+      .select(((col("x.__ra") - col("y.__ra")) *
+        (col("x.__rb") - col("y.__rb"))).as("__s"))
+      .agg(sum(when(col("__s") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("__s") < 0, 1L).otherwise(0L)).as("discordant"))
+    n.crossJoin(pairs)
+      .select(col("n_items"),
+        expr("(n_items * (n_items - 1)) div 2").as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"))
+      .withColumn("tau_micro",
+        when(col("n_items") < 2, lit(null).cast("long"))
+          .otherwise(expr("""cast((cast(concordant - discordant as decimal(38,0))
+            * 2000000) div (cast(n_items as decimal(38,0)) * (n_items - 1))
+            as bigint)""")))
+  }
 }

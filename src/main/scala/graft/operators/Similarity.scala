@@ -372,6 +372,52 @@ object Similarity {
       .orderBy("da", "db")
   }
 
+  /** QUANTIZATION-RECALL audit — does int8 break retrieval? Per probe
+    * vector: its exact-cosine top-k computed on the float embeddings
+    * and again on their [[quantizeInt8]] images, and the overlap —
+    * the pre-deploy measurement behind "ship the 4×-smaller index":
+    * a mean recall near 1000‰ clears the swap, and the WORST row
+    * (not the mean) is what an SLA argues from. Both ranks use the
+    * identical tie discipline ([[topKByScore]] — score DESC, id), so
+    * the overlap is deterministic, and the quantizer is the exact
+    * floor mapping x53 certifies — the audit measures THE shipped
+    * quantizer, not a lookalike.
+    *
+    * Scale shape: two broadcast-probe scoring passes over the corpus
+    * (the x09 plan; the quantized pass derives its vectors scan-side,
+    * row-locally) and one |probes|·k overlap join. At index scale,
+    * audit a probe sample — recall is a population estimate, the
+    * sample just bounds its variance.
+    *
+    * @return (query_id, n_ref, n_hits, recall_permille) ordered by
+    *         query_id. */
+  def quantizationRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
+    def q8(df: DataFrame): DataFrame = {
+      val v = asDouble(col(vecCol))
+      df.withColumn("__scale", array_max(transform(v, x => abs(x))))
+        .select(col(idCol),
+          when(col("__scale") === 0.0d, transform(v, x => lit(0.0d)))
+            .otherwise(transform(v, x =>
+              floor(x * 127.0d / col("__scale") + 0.5d)))
+            .as(vecCol))
+    }
+    val ref = cosineTopK(queries, corpus, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val quant = cosineTopK(q8(queries), q8(corpus), k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    ref.join(quant, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      .join(ref.groupBy("query_id").agg(count(lit(1)).as("n_ref")),
+        Seq("query_id"), "right")
+      .select(col("query_id"), col("n_ref"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_permille", expr("(n_hits * 1000) div n_ref"))
+      .orderBy("query_id")
+  }
+
   /** EMBEDDING-COLUMN HYGIENE audit — the pre-flight every vector
     * pipeline needs before similarity/ANN/clustering touches the
     * column: NULL vectors (no representation at all), empty arrays,
