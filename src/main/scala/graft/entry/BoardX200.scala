@@ -87,6 +87,13 @@ private[graft] object BoardX200 {
     // pair sets; one exact top-k pass, eagerly materialized, semi-join
     "x215_mutual_topk" -> ((s, d) =>
       graft.operators.Similarity.mutualTopK(Tables.embeddings(s, d), k = 5)),
+    // x215's 100 TB form: the per-vector top-k pools from the IVF
+    // cell probe (cost ~nprobe/nlist of the brute pass, every stage
+    // an equi-join), identical mutuality tail — rule-6 no_oracle
+    // (KMeans quantizer; SimilaritySpec pins nprobe=nlist ≡ x215)
+    "x230_mutual_topk_ann" -> ((s, d) =>
+      graft.operators.Similarity.mutualTopKAnn(Tables.embeddings(s, d),
+        k = 5, nlist = 16, nprobe = 4)),
     // per-cluster quality audit of the x07/x34 near-dup graph —
     // density (mined vs possible pairs) + min/mean pair similarity,
     // the clique-vs-chain read at cluster granularity
@@ -167,9 +174,15 @@ private[graft] object BoardX200 {
     // distinct-length table
     "x224_rank_auc" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // n_chars-null rows drop BEFORE the dup window so both engines
+      // label over the same row set (the oracle's WHERE runs first);
+      // the window partitions by md5(text), not raw text — identical
+      // groups (same text ⇒ same digest; NULLs group together either
+      // way), but digests shuffle, bodies never (the x01 discipline)
       val lbl = Tables.documents(s, d)
+        .filter(col("n_chars").isNotNull)
         .withColumn("is_dup",
-          when(count(lit(1)).over(Window.partitionBy("text")) > 1, 1L)
+          when(count(lit(1)).over(Window.partitionBy(md5(col("text")))) > 1, 1L)
             .otherwise(0L))
       graft.operators.Profiling.rankAuc(lbl, "n_chars", "is_dup")
     },

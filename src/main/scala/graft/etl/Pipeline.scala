@@ -352,6 +352,23 @@ object Pipeline {
     * way. A bucket whose every row purges swaps to ABSENT (directory
     * removed), the same state it had before its first upsert.
     *
+    * CRASH / CONCURRENCY CONTRACT (local-FS rename swap — on an
+    * object store the swap is a manifest pointer flip instead):
+    * single writer only — a concurrent [[upsertIncremental]] or
+    * second purge racing the directory swap is NOT supported (the
+    * same discipline every rename-based committer has). The swap is
+    * two-phase: every rewritten bucket is first STAGED into the
+    * snapshot root as `.new-<p>-*` (a failure before any live rename
+    * rolls back completely — live bytes untouched), then each bucket
+    * swaps live→`.old-<p>-*`→delete. A crash inside the swap window
+    * leaves the bucket's pre-purge rows in `.old-<p>-*` and/or its
+    * post-purge rows in `.new-<p>-*` — nothing is lost; recovery is
+    * mechanical (restore `.old` if `bucket=<p>` is absent, else
+    * delete the leftovers) and the next call FAILS FAST on the
+    * leftover markers rather than purging over an ambiguous layout.
+    * Re-running the same purge after recovery is idempotent: already-
+    * purged keys match no rows.
+    *
     * @param ids one-column frame of subject keys to delete; cast to
     *            the snapshot key's type so bucket routing hashes the
     *            value the stored rows hashed
@@ -366,6 +383,16 @@ object Pipeline {
       s"$snapshotDir has no manifest — purgeApply operates only on " +
         "upsertIncremental snapshots (the bucket layout IS the pruning index)"))
     val root = new java.io.File(snapshotDir)
+    // fail fast on leftovers from an interrupted swap: purging over an
+    // ambiguous layout could double-delete or resurrect rows — the
+    // scaladoc's recovery steps are one rename/delete away
+    val stray = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith(".old-") || f.getName.startsWith(".new-"))
+    require(stray.isEmpty,
+      s"purgeApply: $snapshotDir holds leftover swap markers " +
+        s"[${stray.map(_.getName).mkString(", ")}] from an interrupted run — " +
+        "recover first (restore .old-<p> if bucket=<p> is absent, else delete " +
+        "the leftovers), then re-run; the purge is idempotent after recovery")
     val keyType = spark.read.parquet(snapshotDir).schema(manifest.key).dataType
     // persisted: the bucket plan and the anti-join must see the SAME id
     // set (the upsertIncremental nondeterminism discipline)
@@ -405,18 +432,41 @@ object Pipeline {
       }
       val nAfter =
         if (written.isEmpty) 0L else spark.read.parquet(tmp).count()
+      // PHASE 1 — stage every rewritten bucket into the snapshot root
+      // (same FS as the live dirs): any failure here rolls back fully
+      // with the live bytes never touched
+      val staged = scala.collection.mutable.Map.empty[Int, java.io.File]
+      try {
+        written.foreach { p =>
+          val src = new java.io.File(tmp, s"bucket=$p")
+          val dst = new java.io.File(root, s".new-$p-" + java.util.UUID.randomUUID())
+          if (!src.renameTo(dst))
+            throw new java.io.IOException(
+              s"purgeApply: could not stage $src into $root (same filesystem required)")
+          staged(p) = dst
+        }
+      } catch {
+        case e: Throwable =>
+          staged.values.foreach(deleteRecursively)
+          deleteRecursively(new java.io.File(tmp))
+          throw e
+      }
+      // PHASE 2 — per-bucket swap: live moves aside, staged moves in,
+      // aside deletes last. A crash inside one bucket's window leaves
+      // its rows recoverable in .old-/.new- (see the scaladoc contract)
       planned.foreach { p =>
-        val newDir = new java.io.File(tmp, s"bucket=$p")
         val liveDir = new java.io.File(root, s"bucket=$p")
         val old = new java.io.File(root, s".old-$p-" + java.util.UUID.randomUUID())
         if (!liveDir.renameTo(old))
           throw new java.io.IOException(s"purgeApply: could not move $liveDir aside")
-        if (newDir.exists() && !newDir.renameTo(liveDir)) {
-          if (!old.renameTo(liveDir))
+        staged.get(p).foreach { newDir =>
+          if (!newDir.renameTo(liveDir)) {
+            if (!old.renameTo(liveDir))
+              throw new java.io.IOException(
+                s"purgeApply: bucket=$p swap failed AND rollback failed — live data is at $old")
             throw new java.io.IOException(
-              s"purgeApply: bucket=$p swap failed AND rollback failed — live data is at $old")
-          throw new java.io.IOException(
-            s"purgeApply: could not move $newDir into place (same filesystem required)")
+              s"purgeApply: could not move $newDir into place")
+          }
         }
         deleteRecursively(old)
       }

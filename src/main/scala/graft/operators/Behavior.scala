@@ -1237,6 +1237,11 @@ object Behavior {
     * prune BEFORE the self-join (the df-prune that keeps the pair
     * mass Σ basket² bounded), map-side-combined pair counts, item
     * totals joined onto ≤pairs rows, TakeOrderedAndProject top-k.
+    * The PRUNED fact table is eagerly materialized (the x105 cached-
+    * row-table discipline): both sides of the pair self-join read it,
+    * and its totals feed two more joins — lazily the event-scale
+    * distinct would execute three times (the x182 sf1-probe slope).
+    * Blocks register for [[graft.operators.Dedup.releaseCaches]].
     *
     * @return (item_a, item_b, n_a, n_b, n_ab, cosine_milli) the top-k
     *         by (cosine desc, item_a, item_b). */
@@ -1245,9 +1250,16 @@ object Behavior {
     require(k >= 1 && k <= 100000, s"k ($k) must be in [1, 1e5]")
     val facts = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
-    val totals = facts.groupBy("__i").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minCount)
-    val pruned = facts.join(totals.select("__i"), Seq("__i"), "left_semi")
+    val frequent = facts.groupBy("__i").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("__i")
+    val pruned = facts.join(frequent, Seq("__i"), "left_semi")
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(pruned))
+    // totals re-derive from the MATERIALIZED table: the semi-join
+    // keeps every row of a surviving item, so per-item counts are
+    // unchanged — and the n_a/n_b joins no longer re-run the
+    // event-scale distinct lineage
+    val totals = pruned.groupBy("__i").agg(count(lit(1)).as("__n"))
     pruned.join(pruned.select(col("__b"), col("__i").as("__j")), Seq("__b"))
       .filter(col("__i") < col("__j"))
       .groupBy(col("__i"), col("__j"))
@@ -1409,7 +1421,10 @@ object Behavior {
       .groupBy("user_id", "day").agg(count(lit(1)).as("c"))
     daily.groupBy("user_id")
       .agg(count(lit(1)).as("n_days"), sum("c").as("__s1"),
-        sum(expr("c * c")).as("__s2"))
+        // the per-day squares accumulate in DECIMAL too: a ~1e9-event
+        // day squares past 2⁶³, and under ANSI a BIGINT Σc² would fail
+        // loudly mid-job at exactly the scales the identity exists for
+        sum(expr("cast(c as decimal(38,0)) * c")).as("__s2"))
       .filter(col("n_days") >= minDays)
       .select(col("user_id"), col("n_days"), col("__s1").as("n_events"),
         expr("""cast(((cast(n_days as decimal(38,0)) * __s2

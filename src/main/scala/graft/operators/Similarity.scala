@@ -203,11 +203,13 @@ object Similarity {
     * majority label, the agreement count, and a `suspect` flag when
     * the majority disagrees.
     *
-    * Determinism: neighbors come from [[cosineTopK]]'s exact scored
-    * rank (ties by neighbor_id — the x09 oracle-proven order); the
-    * majority is (count DESC, label ASC) — a full tiebreak, so the
-    * flag replays cross-engine. NULL-labeled vectors join neither
-    * side (no supervision signal to audit).
+    * Determinism: neighbors come from the exact scored rank (ties by
+    * neighbor_id — the x09 oracle-proven order), computed on the
+    * native fused kernel ([[cosineTopKNative]] — bit-identical to the
+    * interpreted double fold, FunctionsSpec parity); the majority is
+    * (count DESC, label ASC) — a full tiebreak, so the flag replays
+    * cross-engine. NULL-labeled vectors join neither side (no
+    * supervision signal to audit).
     *
     * Scale shape: the probe side broadcasts and the corpus is scored
     * in place (the x09 plan); at training scale audit a probe SAMPLE
@@ -221,9 +223,10 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
     require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
+    graft.functions.GraftFunctions.register(probes.sparkSession)
     val q = probes.filter(col(labelCol).isNotNull)
     val c = corpus.filter(col(labelCol).isNotNull)
-    labelAuditTail(cosineTopK(q, c, k, idCol, vecCol), q, c,
+    labelAuditTail(cosineTopKNative(q, c, k, idCol, vecCol), q, c,
       idCol, labelCol)
   }
 
@@ -300,10 +303,11 @@ object Similarity {
     * margin distribution below τ is what a reviewer reads to decide
     * whether τ itself is safe.
     *
-    * Determinism: the x09 double fold for the score, champion by
-    * max(struct(score, −bench_id)) — ties break to the SMALLEST
-    * benchmark id, and the permille floor happens after the argmax,
-    * so the reported champion and flag replay cross-engine.
+    * Determinism: the native fused kernel for the score (`cosine_f32`
+    * — bit-identical to the x09 double fold, FunctionsSpec parity),
+    * champion by max(struct(score, −bench_id)) — ties break to the
+    * SMALLEST benchmark id, and the permille floor happens after the
+    * argmax, so the reported champion and flag replay cross-engine.
     *
     * Scale shape: the benchmark side is eval-suite-sized (thousands)
     * and broadcasts; the corpus is scored in place and ONE
@@ -321,11 +325,14 @@ object Similarity {
                               vecCol: String = "embedding"): DataFrame = {
     require(tauPermille >= 1 && tauPermille <= 1000,
       s"tauPermille ($tauPermille) must be in [1, 1000]")
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
-    val b = bench.select(col(idCol).as("bench_id"), asDouble(col(vecCol)).as("bv"))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<float>").as("cv"))
+    val b = bench.select(col(idCol).as("bench_id"),
+      col(vecCol).cast("array<float>").as("bv"))
     c.crossJoin(broadcast(b))
       .select(col("vec_id"), col("bench_id"),
-        cosine(col("cv"), col("bv")).as("score"))
+        call_function("cosine_f32", col("cv"), col("bv")).as("score"))
       .groupBy("vec_id")
       .agg(max(struct(col("score"), (-col("bench_id")).as("__nid"))).as("__m"))
       .select(col("vec_id"), (-col("__m.__nid")).as("bench_id"),
@@ -346,20 +353,38 @@ object Similarity {
     * (identical double fold both directions), so the surviving pair
     * carries one cos_permille.
     *
-    * Plan: ONE top-k pass ([[cosineTopK]] — the |C|·|C| scoring), its
+    * Plan: ONE top-k pass via the native fused kernel
+    * ([[cosineTopKNative]] — `cosine_f32` widens float elements
+    * exactly, so scores are bit-identical to the interpreted double
+    * fold the oracle replays, FunctionsSpec parity), the streamed
+    * corpus side REPARTITIONED first (a probe-scale corpus arrives as
+    * one parquet file-partition, and the |C|² scoring would otherwise
+    * run on ~1 task — |C| shuffled rows buy |C|² parallel work), its
     * result eagerly materialized (the Graph-family discipline: both
     * join sides read it, and lazily the scoring plan would execute
     * twice), then a semi-join of the a < b orientation against the
     * reversed a > b orientation. Blocks register for
-    * [[Dedup.releaseCaches]]. At 100 TB run the same composition
-    * over ANN-pooled candidates ([[lshTopK]]/[[ivfTopK]] — the x212
-    * pattern) instead of the brute pass.
+    * [[Dedup.releaseCaches]]. This exact form is the ORACLE ANCHOR;
+    * at 100 TB run [[mutualTopKAnn]] — the identical mutuality tail
+    * over ANN-pooled candidates (the x212 composition).
     *
     * @return (da, db, cos_permille), mutual pairs only, ordered. */
   def mutualTopK(corpus: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
-    val t = cosineTopK(corpus, corpus, k, idCol, vecCol)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val spread = corpus.select(col(idCol), col(vecCol)).repartition(
+      corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    mutualityTail(cosineTopKNative(corpus, spread, k, idCol, vecCol))
+  }
+
+  /** The reciprocity tail shared by [[mutualTopK]] and
+    * [[mutualTopKAnn]]: eager materialization of the top-k table
+    * (both orientations read it), then the a < b vs a > b semi-join.
+    * One implementation so the mutuality semantics cannot drift
+    * between the exact anchor and the ANN-pooled scale form. */
+  private def mutualityTail(topk: DataFrame): DataFrame = {
+    val t = topk
       .select(col("query_id"), col("neighbor_id"), col("cos_permille"))
       .localCheckpoint(eager = true)
     Dedup.registerCheckpoint(Dedup.checkpointRdd(t))
@@ -370,6 +395,28 @@ object Similarity {
       .select(col("neighbor_id").as("da"), col("query_id").as("db"))
     fwd.join(rev, Seq("da", "db"), "left_semi")
       .orderBy("da", "db")
+  }
+
+  /** [[mutualTopK]]'s 100 TB form: the per-vector top-k comes from
+    * the IVF cell probe ([[ivfTopK]] — coarse cells, nprobe nearest
+    * cells per query, exact cosine rescoring INSIDE the pool), so the
+    * scoring never touches |C|² pairs — cost is ~nprobe/nlist of the
+    * brute pass and every stage is an equi-join on the cell key. The
+    * mutuality tail is IDENTICAL ([[mutualityTail]]). With
+    * nprobe = nlist every cell is probed and the output equals
+    * [[mutualTopK]] row for row (SimilaritySpec pins it); at partial
+    * probe a pair is reported iff BOTH endpoints keep the other in
+    * their pooled top-k — recall governed by nprobe, precision still
+    * exact (scores are exact cosines). Rule-6 no_oracle: the KMeans
+    * quantizer is not replayable cross-engine.
+    *
+    * @return (da, db, cos_permille), mutual pairs only, ordered. */
+  def mutualTopKAnn(corpus: DataFrame, k: Int, nlist: Int = 16,
+                    nprobe: Int = 3, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
+    mutualityTail(ivfTopK(corpus, corpus, k, nlist = nlist,
+      nprobe = nprobe, idCol = idCol, vecCol = vecCol))
   }
 
   /** QUANTIZATION-RECALL audit — does int8 break retrieval? Per probe
@@ -395,6 +442,10 @@ object Similarity {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    // quantized values are integers in [−127, 127] — exactly float-
+    // representable, so the float cast feeding the native kernel keeps
+    // the scores bit-identical to the oracle's double-list fold
     def q8(df: DataFrame): DataFrame = {
       val v = asDouble(col(vecCol))
       df.withColumn("__scale", array_max(transform(v, x => abs(x))))
@@ -402,11 +453,11 @@ object Similarity {
           when(col("__scale") === 0.0d, transform(v, x => lit(0.0d)))
             .otherwise(transform(v, x =>
               floor(x * 127.0d / col("__scale") + 0.5d)))
-            .as(vecCol))
+            .cast("array<float>").as(vecCol))
     }
-    val ref = cosineTopK(queries, corpus, k, idCol, vecCol)
+    val ref = cosineTopKNative(queries, corpus, k, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
-    val quant = cosineTopK(q8(queries), q8(corpus), k, idCol, vecCol)
+    val quant = cosineTopKNative(q8(queries), q8(corpus), k, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
     ref.join(quant, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -606,9 +657,14 @@ object Similarity {
     val spark = corpus.sparkSession
     require(fitFraction > 0.0 && fitFraction <= 1.0,
       s"fitFraction ($fitFraction) must be in (0, 1]")
+    // pool rescoring runs on the native fused kernel (bit-identical to
+    // the double fold — float elements widen exactly); the double cast
+    // exists only to feed the KMeans fit/transform vectors
+    graft.functions.GraftFunctions.register(spark)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("feat", array_to_vector(col("cv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("feat", array_to_vector(col("cv").cast("array<double>")))
     // The quantizer is FIT on a bounded sample: at 100 TB a full-corpus
     // KMeans fit is itself a multi-iteration job over every vector,
     // while cluster geometry learned from 10^5 vectors is statistically
@@ -646,12 +702,14 @@ object Similarity {
     import spark.implicits._
     val centers = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "center")
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<float>").as("qv"))
     val wCell = Window.partitionBy("query_id")
       .orderBy(col("cdist").asc, col("cell"))
     val probed = q.crossJoin(broadcast(centers))
       .withColumn("cdist", aggregate(
-        zip_with(col("qv"), col("center"), (a, b) => (a - b) * (a - b)),
+        zip_with(col("qv").cast("array<double>"), col("center"),
+          (a, b) => (a - b) * (a - b)),
         lit(0.0d), (acc, x) => acc + x))
       .withColumn("rk", row_number().over(wCell))
       .filter(col("rk") <= nprobe)
@@ -660,7 +718,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        call_function("cosine_f32", col("qv"), col("cv")).as("score"))
     topKByScore(scored, k)
   }
 

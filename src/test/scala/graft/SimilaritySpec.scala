@@ -110,6 +110,45 @@ class SimilaritySpec extends SparkSpec {
     assert(k2.head._3 === 1000L, "cos(A,B) rounds to 1000 permille")
   }
 
+  test("mutualTopKAnn: full probe equals the exact mutual pairs; partial probe is a subset") {
+    val corpus = (1L to 40L).map { i =>
+      (i, Array.tabulate(16)(j => math.sin(i * 16 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.mutualTopK(corpus, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.Dedup.releaseCaches()
+    // nprobe = nlist: the pool IS the corpus, so the ANN composition
+    // must reproduce the brute anchor row for row (scores included —
+    // both paths run the same native kernel)
+    val full = Similarity.mutualTopKAnn(corpus, k = 3, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(full === exact)
+    // partial probe: pair RECALL is governed by nprobe (a pooled list
+    // can even promote a globally-lower neighbor when the higher ones
+    // fall outside the probed cells), but every reported SCORE is the
+    // exact cosine of its pair — verify against a driver-side fold
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosPermille(a: Array[Float], b: Array[Float]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      math.floor((if (n == 0.0) 0.0 else d / n) * 1000 + 0.5).toLong
+    }
+    val part = Similarity.mutualTopKAnn(corpus, k = 3, nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.operators.Dedup.releaseCaches()
+    assert(part.nonEmpty)
+    part.foreach { case (da, db, p) =>
+      assert(p === cosPermille(vecs(da), vecs(db)),
+        s"pair ($da, $db) must carry its exact cosine")
+    }
+  }
+
   test("LSH top-k finds the identical vector (same bucket by construction)") {
     val corpus = (1L to 50L).map { i =>
       (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
