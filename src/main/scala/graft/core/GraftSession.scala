@@ -40,7 +40,12 @@ object GraftSession {
     * unaudited data it is exactly the signal a global window should
     * raise. */
   def muteBoundedWindowWarning(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    // the message is emitted by the WindowExecBase logger in Spark 4
+    // (muting the WindowExec child alone silenced nothing — verified
+    // by grepping the spark-sql jar for the literal); keep the child
+    // too in case a future Spark moves it back
+    Seq("org.apache.spark.sql.execution.window.WindowExecBase",
+        "org.apache.spark.sql.execution.window.WindowExec").foreach(l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.ERROR))
 }

@@ -222,6 +222,39 @@ private[graft] object BoardX200 {
             Window.orderBy(col("score_milli").desc, col("doc_id"))))
       graft.operators.Retrieval.kendallTau(ranked(0.75), ranked(0.0))
     },
+    // pairwise source-vocabulary Jaccard — which FEEDS speak the same
+    // language (syndication candidates for cross-source dedup); the
+    // pair matrix next to x225's cumulative novelty walk
+    "x231_src_vocab_overlap" -> ((s, d) =>
+      TextAnalysis.sourceVocabOverlap(Tables.documents(s, d))),
+    // token-weighted dedup attrition — x217 in the unit training
+    // spends: which source loses TOKENS (coverage), not just docs
+    "x232_token_attrition" -> ((s, d) =>
+      Dedup.tokenAttrition(Tables.documents(s, d))),
+    // per-label centroid geometry: member count, centroid cosine to
+    // the global centroid, centroid norm — the class-separability
+    // pre-flight before the k-NN label audits lean on these labels
+    "x233_label_centroids" -> ((s, d) =>
+      graft.operators.Similarity.labelCentroids(Tables.embeddings(s, d))),
+    // per-source PII density over a PLANTED corpus (raw corpus has
+    // zero regex hits at all three scales — the x214 derived-anomaly
+    // discipline: doc_id%7 gets an email, else %11 a URL, both
+    // deterministic concats DuckDB replays verbatim)
+    "x234_pii_density" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val probed = docs.withColumn("text",
+        when(col("text").isNotNull && col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact bob@example.com")))
+          .when(col("text").isNotNull && col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" see https://data.example.com/item?id=7")))
+          .otherwise(col("text")))
+      TextAnalysis.piiDensityReport(probed)
+    },
+    // chunk-position duplication profile: dup share per 32-token chunk
+    // index — header boilerplate vs whole-doc dup vs footer text, read
+    // on the exact chunks an embedding pipeline would pay for
+    "x235_chunk_dup_profile" -> ((s, d) =>
+      TextAnalysis.chunkDupProfile(Tables.documents(s, d), chunkTokensN = 32)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -722,5 +755,126 @@ private[graft] object BoardX200 {
              ELSE ((concordant - discordant) * 2000000)
                // (n_items * (n_items - 1)) END AS BIGINT) AS tau_micro
          FROM nn, p""",
+    // x231: x225's distinct (source, token) pass, token-keyed pair
+    // self-join (src_a < src_b), exact integer Jaccard
+    "x231_src_vocab_overlap" ->
+      """WITH tok0 AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+           FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+       ts AS (SELECT DISTINCT source, tok FROM tok0),
+       own AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
+           FROM ts GROUP BY 1),
+       pr AS (SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, oa.vocab AS vocab_a, ob.vocab AS vocab_b,
+         n_shared,
+         CAST((n_shared * 1000) // (oa.vocab + ob.vocab - n_shared)
+           AS BIGINT) AS jaccard_permille
+       FROM pr JOIN own oa ON oa.source = pr.src_a
+         JOIN own ob ON ob.source = pr.src_b
+       ORDER BY src_a, src_b""",
+    // x232: the x217 fingerprint/survivor CTEs with token weights —
+    // NULL text is one fingerprint class and zero tokens
+    "x232_token_attrition" ->
+      """WITH fp AS (SELECT doc_id, source, md5(text) AS f,
+           CASE WHEN text IS NULL THEN 0
+             ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS t
+         FROM documents),
+       surv AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+       per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN t ELSE 0 END)
+             AS BIGINT) AS n_kept_tokens
+         FROM fp LEFT JOIN surv s USING (doc_id) GROUP BY source)
+       SELECT source, n_docs, n_tokens, n_kept_tokens,
+         n_tokens - n_kept_tokens AS n_dropped_tokens,
+         CAST(CASE WHEN n_tokens = 0 THEN NULL
+           ELSE ((n_tokens - n_kept_tokens) * 1000000) // n_tokens END
+           AS BIGINT) AS token_drop_ppm
+       FROM per ORDER BY source""",
+    // x233: micro-quantized per-(label, dim) integer sums, list
+    // assembly ordered by dim, the x09 double fold for cosine/norm
+    "x233_label_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+           UNNEST(embedding) AS x, UNNEST(range(len(embedding))) AS i
+         FROM embeddings WHERE label IS NOT NULL),
+       q AS (SELECT label, i,
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qq
+         FROM e),
+       per AS (SELECT label, i, CAST(SUM(qq) AS BIGINT) AS s
+         FROM q GROUP BY 1, 2),
+       lv AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY i) AS v
+         FROM per GROUP BY 1),
+       g0 AS (SELECT i, CAST(SUM(s) AS BIGINT) AS s FROM per GROUP BY 1),
+       gv AS (SELECT list(CAST(s AS DOUBLE) ORDER BY i) AS g FROM g0),
+       nv AS (SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+         FROM embeddings WHERE label IS NOT NULL GROUP BY 1),
+       c AS (SELECT label,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(v, g), p -> p[1] * p[2])),
+             (a, b) -> a + b) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nvv,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(g, x -> x * x)), (a, b) -> a + b)) AS ngg
+         FROM lv, gv)
+       SELECT c.label, nv.n_vecs,
+         CAST(FLOOR((CASE WHEN c.nvv * c.ngg = 0 THEN 0.0
+           ELSE c.d / (c.nvv * c.ngg) END) * 1000 + 0.5) AS BIGINT)
+           AS cos_global_permille,
+         CAST(FLOOR(c.nvv / nv.n_vecs + 0.5) AS BIGINT) AS norm_micro
+       FROM c JOIN nv USING (label) ORDER BY label""",
+    // x234: identical planted concats, regexp_extract_all lengths for
+    // the counts (RE2 ∩ Java dialect), per-megachar trunc division
+    "x234_pii_density" ->
+      """WITH probed AS (SELECT source,
+           CASE WHEN text IS NOT NULL AND doc_id % 7 = 0
+                  THEN text || ' contact bob@example.com'
+                WHEN text IS NOT NULL AND doc_id % 11 = 0
+                  THEN text || ' see https://data.example.com/item?id=7'
+                ELSE text END AS text
+         FROM documents),
+       p AS (SELECT source,
+           CASE WHEN text IS NULL THEN 0 ELSE LENGTH(text) END AS chars,
+           CASE WHEN text IS NULL THEN 0 ELSE len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) END AS ne,
+           CASE WHEN text IS NULL THEN 0 ELSE len(regexp_extract_all(text,
+             'https?://[^ ]+')) END AS nu
+         FROM probed),
+       g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(ne) AS BIGINT) AS n_email,
+           CAST(SUM(nu) AS BIGINT) AS n_url
+         FROM p GROUP BY 1)
+       SELECT source, n_docs, n_chars, n_email, n_url,
+         CAST(CASE WHEN n_chars = 0 THEN NULL
+           ELSE (n_email * 1000000) // n_chars END AS BIGINT)
+           AS email_per_mchar,
+         CAST(CASE WHEN n_chars = 0 THEN NULL
+           ELSE (n_url * 1000000) // n_chars END AS BIGINT)
+           AS url_per_mchar
+       FROM g ORDER BY source""",
+    // x235: the chunkTokens layout replayed as list slices (stride 32,
+    // no overlap, short docs keep one partial chunk), md5 fingerprint
+    // counts, per-position dup share
+    "x235_chunk_dup_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+           FROM documents WHERE text IS NOT NULL),
+       n AS (SELECT doc_id, ts,
+           GREATEST((len(ts) + 31) // 32, 1) AS nch FROM t),
+       ch AS (SELECT doc_id, UNNEST(range(nch)) AS cid, ts FROM n),
+       cx AS (SELECT CAST(cid AS BIGINT) AS chunk_id,
+           md5(array_to_string(ts[cid*32+1 : cid*32+32], ' ')) AS f
+         FROM ch),
+       cnt AS (SELECT f, COUNT(*) AS c FROM cx GROUP BY 1),
+       g AS (SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup
+         FROM cx JOIN cnt USING (f) GROUP BY 1)
+       SELECT chunk_id, n_chunks, n_dup,
+         CAST((n_dup * 1000000) // n_chunks AS BIGINT) AS dup_ppm
+       FROM g ORDER BY chunk_id""",
   )
 }

@@ -259,6 +259,45 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** TOKEN-weighted dedup attrition — [[dedupAttrition]] in the unit
+    * the training run actually spends: a source dropping 40% of its
+    * DOCUMENTS to dedup but only 5% of its TOKENS lost short spam; one
+    * dropping 40% of tokens lost real coverage, and the mixture plan
+    * (x223) must re-weight around it. Same survivor policy as the doc
+    * report (min-doc_id per content fingerprint, the [[exact]] rule),
+    * so the two reports describe ONE dedup decision in two units.
+    *
+    * Exactness/shape: fingerprints are md5 digests (bodies never
+    * shuffle; NULL text is one fingerprint class in both engines —
+    * the x217 convention); token counts are the corpus-standard
+    * space-split length (NULL text ⇒ 0 tokens); one digest groupBy,
+    * one id-keyed survivor join, one source-keyed aggregation — all
+    * map-side-combinable, output |sources| rows. Trunc division; an
+    * all-NULL-text source reports NULL drop_ppm, not a crash.
+    *
+    * @return (source, n_docs, n_tokens, n_kept_tokens,
+    *         n_dropped_tokens, token_drop_ppm) ordered by source. */
+  def tokenAttrition(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val fp = docs.select(col("doc_id"), col(groupCol).as("source"),
+      md5(col("text")).as("__f"),
+      coalesce(graft.operators.TextAnalysis.tokenCountCol(col("text")), lit(0L))
+        .as("__t"))
+    val surv = fp.groupBy("__f").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("__s"))
+    fp.join(surv, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"),
+        sum(when(col("__s").isNotNull, col("__t")).otherwise(0L))
+          .as("n_kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_kept_tokens"),
+        (col("n_tokens") - col("n_kept_tokens")).as("n_dropped_tokens"),
+        expr("case when n_tokens = 0 then null else " +
+          "((n_tokens - n_kept_tokens) * 1000000) div n_tokens end")
+          .as("token_drop_ppm"))
+      .orderBy("source")
+  }
+
   /** Duplicate-aware LOSS WEIGHTS — the soft alternative to dropping
     * near-dups: keep every copy but weight each document by
     * 1/|its dup cluster| so a 40-member template cluster contributes

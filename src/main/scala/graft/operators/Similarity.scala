@@ -515,6 +515,68 @@ object Similarity {
         max("__nm").as("max_norm_micro"))
   }
 
+  /** Per-LABEL centroid geometry — the class-structure pre-flight a
+    * labeled embedding table owes before k-NN audits (x202/x212) or
+    * hard-negative mining (x83) lean on its labels: each label's
+    * member count, its centroid's cosine against the GLOBAL centroid,
+    * and the centroid norm. Labels whose centroids all hug the global
+    * mean (cos → 1000‰) are not linearly separated — the label-noise
+    * audits will flag everything; a near-zero centroid norm means the
+    * class averages itself away (multi-modal or mislabeled). Reads
+    * next to [[embeddingHygiene]]: hygiene certifies the vectors,
+    * this certifies the label geometry over them.
+    *
+    * Exactness: elements micro-quantize first (floor(x·10⁶ + ½) —
+    * float→double widening and floor both exact, the x69 discipline),
+    * so every per-(label, dim) sum is an exact INTEGER and the global
+    * vector is their exact total. Cosine is scale-invariant, so it is
+    * taken directly on the integer SUM vectors via the x09 double
+    * fold (deterministic order — the dims array is assembled sorted);
+    * the centroid norm divides the sum-vector norm by n_vecs, micro
+    * units, half-up floor. NULL labels are excluded (no class).
+    *
+    * Shape: one posexplode → (label, dim)-keyed map-side-combined
+    * integer aggregation (|labels|·d rows out), eagerly materialized
+    * (the label vectors AND the global total read it), then |labels|
+    * row-local folds. Nothing else shuffles; the payload arrays never
+    * leave the scan stage.
+    *
+    * @return (label, n_vecs, cos_global_permille, norm_micro) ordered
+    *         by label. */
+  def labelCentroids(emb: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    val labeled = emb.filter(col(labelCol).isNotNull)
+    val per = labeled
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)))
+      .select(col("label"), col("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("q"))
+      .groupBy("label", "pos").agg(sum("q").as("s"))
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(per))
+    def toVec(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("__ps"))
+        .withColumn("__v", transform(col("__ps"), x =>
+          x.getField("s").cast("double")))
+        .drop("__ps")
+    val lv = toVec(per, Seq("label"))
+    val gv = toVec(per.groupBy("pos").agg(sum("s").as("s"))
+        .select(lit(0L).as("__g"), col("pos"), col("s")), Seq("__g"))
+      .select(col("__v").as("__gv"))
+    val nv = labeled.groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    lv.crossJoin(broadcast(gv))
+      .join(nv, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        floor(cosine(col("__v"), col("__gv")) * 1000 + 0.5).cast("long")
+          .as("cos_global_permille"),
+        floor(norm(col("__v")) / col("n_vecs") + 0.5).cast("long")
+          .as("norm_micro"))
+      .orderBy("label")
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient for (plane p,
     * dim i) derived from a splitmix64-style integer mix — reproducible
     * across runs and engines, no RNG state. Returns values in [-1, 1). */

@@ -196,7 +196,14 @@ object TextAnalysis {
     * the oracle replays it verbatim.
     *
     * @return (doc_id, chunk_id, n_chunk_tokens, chunk_text). */
-  def chunkTokens(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+  def chunkTokens(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0): DataFrame =
+    chunksRaw(docs, chunkTokens, overlapTokens).orderBy("doc_id", "chunk_id")
+
+  /** [[chunkTokens]] without the presentation sort — the form internal
+    * consumers ([[chunkDupProfile]]) compose on: a narrow row-local
+    * map, no Exchange of any kind. */
+  private def chunksRaw(docs: DataFrame, chunkTokens: Int,
+                        overlapTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens ($chunkTokens) must be >= 1")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens ($overlapTokens) must be in [0, chunkTokens)")
@@ -213,7 +220,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         tokenCountCol(col("col")).as("n_chunk_tokens"),
         col("col").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Corpus-novelty score: permille of a document's DISTINCT k-grams
@@ -1166,5 +1172,137 @@ object TextAnalysis {
       .select(col("prefix"), col("n_docs"),
         expr("(n_docs * 1000000) div __tot").as("share_ppm"))
       .orderBy(col("n_docs").desc, col("prefix"))
+  }
+
+  /** Pairwise SOURCE-VOCABULARY Jaccard — the cross-feed redundancy
+    * matrix a mixture designer reads next to [[sourceNoveltyReport]]'s
+    * cumulative walk: novelty says "what does each feed add over its
+    * predecessors"; this says which PAIRS of feeds speak the same
+    * language (high Jaccard ⇒ syndication/mirroring candidates worth
+    * a cross-source dedup pass; low ⇒ genuinely complementary
+    * coverage). Token-set granularity deliberately — it is the
+    * cheapest honest signal, and pairs it flags get the expensive
+    * document-level treatment ([[graft.operators.Dedup]]).
+    *
+    * Shape: ONE distinct (source, token) pass (vocabulary·|S|-bounded,
+    * map-side combined), eagerly materialized — three consumers (own
+    * counts + both sides of the pair join) would otherwise re-run the
+    * corpus-scale distinct (the x182 lesson). The token-keyed self-
+    * join fans out |sources-containing-token|² per token — bounded by
+    * |S|² per token and in practice by co-occurrence; at very large
+    * |S| prune stopword-grade tokens first (they pair every source
+    * with every source and carry no signal). Output is ≤ C(|S|,2)
+    * rows. Exact integer Jaccard, trunc division.
+    *
+    * @return (src_a, src_b, vocab_a, vocab_b, n_shared,
+    *         jaccard_permille) for sharing pairs, src_a < src_b,
+    *         ordered. */
+  def sourceVocabOverlap(docs: DataFrame,
+                         sourceCol: String = "source"): DataFrame = {
+    val ts = docs
+      .filter(col(sourceCol).isNotNull && col("text").isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(ts))
+    val own = ts.groupBy("source").agg(count(lit(1)).as("vocab"))
+    ts.select(col("source").as("src_a"), col("tok"))
+      .join(ts.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(own.select(col("source").as("src_a"), col("vocab").as("vocab_a")),
+        Seq("src_a"))
+      .join(own.select(col("source").as("src_b"), col("vocab").as("vocab_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        col("n_shared"),
+        expr("(n_shared * 1000) div (vocab_a + vocab_b - n_shared)")
+          .as("jaccard_permille"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Per-source PII DENSITY — the governance rollup over [[redact]]'s
+    * rule family: which FEED carries how much scrub-target material,
+    * normalized per million characters so a verbose source doesn't
+    * read as a dirty one. The per-doc transform ([[redact]]) cleans;
+    * this report tells the curator where cleaning budget goes, which
+    * feeds need upstream fixes, and (rate ≈ 0) which are already safe
+    * — the measure-before-scrub half of the audit-then-act loop
+    * (x206/x207's discipline, applied to content instead of keys).
+    *
+    * Counts measure the ORIGINAL text with [[redact]]'s own default
+    * patterns (RE2 ∩ Java dialect — engine-portable), so this report
+    * and a subsequent redact run see the identical hit set. NULL
+    * texts count as documents with zero characters and zero hits.
+    *
+    * Shape: a row-local regexp_count projection riding the scan, then
+    * ONE map-side-combined source-keyed aggregation — bodies never
+    * shuffle, output is |sources| rows. Exact integers, trunc
+    * division; a zero-char source reports NULL rates, not a crash.
+    *
+    * @return (source, n_docs, n_chars, n_email, n_url,
+    *         email_per_mchar, url_per_mchar) ordered by source. */
+  def piiDensityReport(docs: DataFrame,
+                       sourceCol: String = "source"): DataFrame = {
+    val rules = Seq(
+      ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+      ("url", "https?://[^ ]+"))
+    val perDoc = rules.foldLeft(
+      docs.select(col(sourceCol).as("source"),
+        coalesce(length(col("text")), lit(0)).cast("long").as("__chars"),
+        col("text"))) {
+      case (d, (name, pat)) =>
+        d.withColumn(s"__n_$name",
+          coalesce(regexp_count(col("text"), lit(pat)).cast("long"), lit(0L)))
+    }
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__chars").as("n_chars"),
+        sum("__n_email").as("n_email"), sum("__n_url").as("n_url"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_email"), col("n_url"),
+        expr("case when n_chars = 0 then null " +
+          "else (n_email * 1000000) div n_chars end").as("email_per_mchar"),
+        expr("case when n_chars = 0 then null " +
+          "else (n_url * 1000000) div n_chars end").as("url_per_mchar"))
+      .orderBy("source")
+  }
+
+  /** CHUNK-POSITION duplication profile — where in documents does
+    * duplication live? [[chunkTokens]] lays the corpus out exactly as
+    * an embedding/retrieval pipeline will consume it; this audit
+    * fingerprints every chunk and reports, PER CHUNK POSITION, the
+    * share of chunk occurrences whose text also occurs elsewhere in
+    * the corpus. A dup rate concentrated at chunk 0 is header
+    * boilerplate ([[boilerplatePrefixReport]]'s signal at ingestion
+    * granularity — but measured on the chunks that will actually be
+    * embedded); a flat profile is whole-document duplication the
+    * doc-level dedup already handles; a tail spike is footer/license
+    * text. The read decides WHICH scrubber runs before chunks are
+    * paid for at embedding time.
+    *
+    * Shape: the chunking is a row-local narrow map; fingerprints
+    * (md5 — digests shuffle, chunk bodies never) feed one global
+    * count aggregation and one digest-keyed join back, then the
+    * |max-chunks-per-doc|-bounded position aggregation. The digest
+    * table is eagerly materialized — both the count and the join
+    * consume it, and lazily the corpus-scale chunking would execute
+    * twice (the x182 lesson).
+    *
+    * @return (chunk_id, n_chunks, n_dup, dup_ppm) ordered by
+    *         chunk_id. */
+  def chunkDupProfile(docs: DataFrame, chunkTokensN: Int = 32): DataFrame = {
+    val ch = chunksRaw(docs.filter(col("text").isNotNull), chunkTokensN, 0)
+      .select(col("chunk_id"), md5(col("chunk_text")).as("__f"))
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(ch))
+    val cnt = ch.groupBy("__f").agg(count(lit(1)).as("__c"))
+    ch.join(cnt, Seq("__f"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__c") > 1L, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("chunk_id"), col("n_chunks"), col("n_dup"),
+        expr("(n_dup * 1000000) div n_chunks").as("dup_ppm"))
+      .orderBy("chunk_id")
   }
 }

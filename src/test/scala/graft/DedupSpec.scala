@@ -573,6 +573,29 @@ class DedupSpec extends SparkSpec with SlowSuite {
       ("B", 4L, 2L, 2L, 500000L)))
   }
 
+  test("tokenAttrition: the same survivor policy weighted in tokens; NULL text = 0 tokens") {
+    val docs = Seq(
+      (1L, Option("x y z"), "A"),   // 3 tokens, survives ("x y z" min id)
+      (2L, Option("x y z"), "A"),   // 3 tokens, dropped
+      (3L, Option("a"), "A"),       // 1 token, survives
+      (4L, Option("x y z"), "B"),   // 3 tokens, dropped (doc 1 owns it)
+      (5L, Option.empty[String], "B"), // NULL: 0 tokens, survives (class min)
+      (6L, Option.empty[String], "B")  // NULL: 0 tokens, dropped — 0-token drop
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.tokenAttrition(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // A: 7 tokens, 4 kept -> 3 dropped (428571 ppm)
+    // B: 3 tokens, 0 kept -> all 3 dropped despite doc 5 surviving
+    assert(out === Seq(
+      ("A", 3L, 7L, 4L, 3L, 428571L),
+      ("B", 3L, 3L, 0L, 3L, 1000000L)))
+    // an all-NULL-text source divides by zero tokens -> NULL ppm
+    val z = Dedup.tokenAttrition(
+      Seq((9L, Option.empty[String], "Z")).toDF("doc_id", "text", "source"))
+      .collect().head
+    assert(z.getLong(2) === 0L && z.isNullAt(5))
+  }
+
   test("lshBandingPlan rejects degenerate parameters") {
     intercept[IllegalArgumentException] {
       Dedup.lshBandingPlan(spark, numHashes = 1, thresholdPermille = 500)

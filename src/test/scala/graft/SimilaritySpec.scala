@@ -149,6 +149,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("labelCentroids: centroid geometry exact on axis-aligned classes") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), Option(0)),   // label 0 hugs the x axis
+      (2L, Array(1.0f, 0.0f), Option(0)),
+      (3L, Array(0.0f, 1.0f), Option(1)),   // label 1 hugs the y axis
+      (4L, Array(0.0f, 0.0f), Option(1)),   // drags label 1's norm to 0.5
+      (5L, Array(9.0f, 9.0f), Option.empty[Int]) // NULL label: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.operators.Dedup.releaseCaches()
+    // global sum vector = (2e6, 1e6); cos(label0=(2e6,0), g) =
+    // 2/√5·... = 0.894 → 894‰; cos(label1=(0,1e6), g) = 1/√5 → 447‰
+    assert(out.toSeq === Seq(
+      (0L, 2L, 894L, 1000000L),
+      (1L, 2L, 447L, 500000L)))
+  }
+
   test("LSH top-k finds the identical vector (same bucket by construction)") {
     val corpus = (1L to 50L).map { i =>
       (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))

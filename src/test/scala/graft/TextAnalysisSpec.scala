@@ -610,4 +610,57 @@ class TextAnalysisSpec extends SparkSpec {
       ("B", 2L, 1L, 3L, 500000L),
       ("C", 2L, 0L, 3L, 0L)))
   }
+
+  test("sourceVocabOverlap: exact pairwise Jaccard, non-sharing pairs absent") {
+    val docs = Seq(
+      ("A", "a b c"),      // vocab {a,b,c}
+      ("B", "b c d"),      // vocab {b,c,d} — shares {b,c} with A
+      ("C", "x y"),        // disjoint from both
+      ("A", "a a b"))      // dup tokens collapse: A's vocab stays 3
+      .toDF("source", "text")
+    val out = TextAnalysis.sourceVocabOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    graft.operators.Dedup.releaseCaches()
+    // |A∩B| = 2, |A∪B| = 4 → 500‰; C pairs with nobody (no shared row)
+    assert(out.toSeq === Seq(("A", "B", 3L, 3L, 2L, 500L)))
+  }
+
+  test("piiDensityReport: counts per source, null text = zero chars, rates trunc") {
+    val docs = Seq(
+      (1L, "S", "reach me at a@b.com or c@d.org today"),       // 2 emails
+      (2L, "S", "see https://x.test/page for details"),        // 1 url
+      (3L, "T", null.asInstanceOf[String]),                    // 0 chars
+      (4L, "T", "clean text"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.piiDensityReport(docs).collect()
+    val s = out.find(_.getString(0) == "S").get
+    val t = out.find(_.getString(0) == "T").get
+    assert(s.getLong(1) === 2L && s.getLong(3) === 2L && s.getLong(4) === 1L)
+    // rate = hits·10⁶ div chars on the ORIGINAL text lengths
+    assert(s.getLong(5) === 2000000L / s.getLong(2))
+    assert(t.getLong(1) === 2L && t.getLong(2) === 10L &&
+      t.getLong(3) === 0L && t.getLong(4) === 0L && t.getLong(5) === 0L)
+    // an all-null-text source reports NULL rates, not a crash
+    val z = TextAnalysis.piiDensityReport(
+      Seq((9L, "Z", null.asInstanceOf[String])).toDF("doc_id", "source", "text"))
+      .collect().head
+    assert(z.getLong(2) === 0L && z.isNullAt(5) && z.isNullAt(6))
+  }
+
+  test("chunkDupProfile: dup share per chunk position, partial tail chunks") {
+    // 2-token chunks: docs 1/2 share chunk 0 ("hdr txt"); tails differ;
+    // doc 3 is a single partial chunk, unique
+    val docs = Seq(
+      (1L, "hdr txt alpha beta"),
+      (2L, "hdr txt gamma delta"),
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDupProfile(docs, chunkTokensN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.operators.Dedup.releaseCaches()
+    assert(out.toSeq === Seq(
+      (0L, 3L, 2L, 666666L), // "hdr txt" ×2 dup, "solo" unique
+      (1L, 2L, 0L, 0L)))
+  }
 }
