@@ -88,12 +88,13 @@ private[graft] object BoardX200 {
     "x215_mutual_topk" -> ((s, d) =>
       graft.operators.Similarity.mutualTopK(Tables.embeddings(s, d), k = 5)),
     // x215's 100 TB form: the per-vector top-k pools from the IVF
-    // cell probe (cost ~nprobe/nlist of the brute pass, every stage
-    // an equi-join), identical mutuality tail — rule-6 no_oracle
-    // (KMeans quantizer; SimilaritySpec pins nprobe=nlist ≡ x215)
+    // cell probe with √n-sized cells (fixed nlist stays quadratic —
+    // measured 18.6× at 10×; auto-sizing keeps pool mass ~n^1.5),
+    // identical mutuality tail — rule-6 no_oracle (KMeans quantizer;
+    // SimilaritySpec pins nprobe=nlist ≡ x215)
     "x230_mutual_topk_ann" -> ((s, d) =>
       graft.operators.Similarity.mutualTopKAnn(Tables.embeddings(s, d),
-        k = 5, nlist = 16, nprobe = 4)),
+        k = 5)),
     // per-cluster quality audit of the x07/x34 near-dup graph —
     // density (mined vs possible pairs) + min/mean pair similarity,
     // the clique-vs-chain read at cluster granularity
@@ -255,6 +256,35 @@ private[graft] object BoardX200 {
     // on the exact chunks an embedding pipeline would pay for
     "x235_chunk_dup_profile" -> ((s, d) =>
       TextAnalysis.chunkDupProfile(Tables.documents(s, d), chunkTokensN = 32)),
+    // threshold-sensitivity histogram of the x07 near-dup pair set —
+    // on this corpus the answer is BIMODAL (near-exact mass at 900+,
+    // thin tail below), which is exactly the "nothing fragile near
+    // the threshold" read a cutoff review wants; rides the 1.2s x07
+    // mining (an exact k=2 sweep wide enough for more deciles costs
+    // 24s of df² join mass at sf0.1 — measured and rejected; the
+    // multi-decile walk is certified by DedupSpec's hand case)
+    "x236_pair_jac_hist" -> ((s, d) =>
+      Dedup.pairSimilarityHistogram(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2,
+          minPermille = 300))),
+    // per-source hapax share — the gibberish/OCR smoke detector:
+    // corpus-frequency-1 vocabulary share per feed, order-free
+    "x237_hapax_share" -> ((s, d) =>
+      TextAnalysis.hapaxShareReport(Tables.documents(s, d))),
+    // dedup mixture shift: per-language corpus share before vs among
+    // survivors — the "dedup is not free" bias audit feeding x223
+    "x238_dedup_mixture_shift" -> ((s, d) =>
+      Dedup.dedupMixtureShift(Tables.documents(s, d))),
+    // batch-vs-store novelty per source (even docs play the standing
+    // fingerprint store, odd docs the arriving batch) — the per-feed
+    // "is this crawl still yielding" ingest-scheduler number
+    "x239_batch_novelty" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.batchNoveltyReport(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(md5(col("text")).as("fp")))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -876,5 +906,65 @@ private[graft] object BoardX200 {
        SELECT chunk_id, n_chunks, n_dup,
          CAST((n_dup * 1000000) // n_chunks AS BIGINT) AS dup_ppm
        FROM g ORDER BY chunk_id""",
+    // x236: the x07 pair CTEs, decile bucketing with the 1000-permille
+    // fold into the top bucket, cumulative from the top
+    "x236_pair_jac_hist" ->
+      s"""WITH RECURSIVE ${EntryLib.minHashPairsCtes},
+       b AS (SELECT LEAST(jac_permille // 100, 9) * 100
+           AS bucket_lo_permille FROM pairs),
+       c AS (SELECT bucket_lo_permille, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM b GROUP BY 1),
+       t AS (SELECT SUM(n_pairs) AS tot FROM c)
+       SELECT CAST(bucket_lo_permille AS BIGINT) AS bucket_lo_permille,
+         n_pairs,
+         CAST((n_pairs * 1000000) // tot AS BIGINT) AS share_ppm,
+         CAST((SUM(n_pairs) OVER (ORDER BY bucket_lo_permille DESC)
+           * 1000000) // tot AS BIGINT) AS cum_from_top_ppm
+       FROM c, t ORDER BY bucket_lo_permille DESC""",
+    // x237: one (source, token) count table doubling as the occurrence
+    // table, token totals over it, per-source hapax rollup
+    "x237_hapax_share" ->
+      """WITH tok0 AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+           FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+       st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok0 GROUP BY 1, 2),
+       tt AS (SELECT tok, SUM(n) AS t FROM st GROUP BY 1)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN tt.t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+         CAST((SUM(CASE WHEN tt.t = 1 THEN 1 ELSE 0 END) * 1000000)
+           // COUNT(*) AS BIGINT) AS hapax_ppm
+       FROM st JOIN tt USING (tok) GROUP BY source ORDER BY source""",
+    // x238: the x217 fingerprint/survivor CTEs, per-lang before/after
+    // shares against the two scalar totals, signed delta
+    "x238_dedup_mixture_shift" ->
+      """WITH fp AS (SELECT doc_id, lang, md5(text) AS f FROM documents),
+       surv AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+       per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_survivors
+         FROM fp LEFT JOIN surv s USING (doc_id) GROUP BY lang),
+       t AS (SELECT SUM(n_docs) AS tb, SUM(n_survivors) AS ta FROM per)
+       SELECT lang, n_docs,
+         CAST((n_docs * 1000000) // tb AS BIGINT) AS share_before_ppm,
+         n_survivors,
+         CAST((n_survivors * 1000000) // ta AS BIGINT) AS share_after_ppm,
+         CAST((n_survivors * 1000000) // ta - (n_docs * 1000000) // tb
+           AS BIGINT) AS delta_ppm
+       FROM per, t ORDER BY lang""",
+    // x239: even docs' distinct digests play the store, odd docs the
+    // batch; NULL-text batch rows match nothing (SQL equality) = new
+    "x239_batch_novelty" ->
+      """WITH store AS (SELECT DISTINCT md5(text) AS fp FROM documents
+           WHERE doc_id % 2 = 0),
+       batch AS (SELECT source, md5(text) AS fp FROM documents
+           WHERE doc_id % 2 = 1),
+       j AS (SELECT b.source,
+           CASE WHEN s.fp IS NULL THEN 1 ELSE 0 END AS isnew
+         FROM batch b LEFT JOIN store s ON b.fp = s.fp)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(isnew) AS BIGINT) AS n_new,
+         CAST((SUM(isnew) * 1000000) // COUNT(*) AS BIGINT)
+           AS novelty_ppm
+       FROM j GROUP BY source ORDER BY source""",
   )
 }

@@ -298,6 +298,113 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** PAIR-SIMILARITY histogram over a mined near-dup pair set — the
+    * THRESHOLD-SENSITIVITY read a dedup operator owes before its
+    * cutoff ships: bucket the pairs by similarity decile and walk the
+    * cumulative share from the TOP, so "raising the bar to ≥900‰
+    * keeps cum_from_top_ppm of today's pairs" reads directly off a
+    * row. A mass spike just above the current threshold means the
+    * pair set is fragile to re-tuning (and to estimator noise — read
+    * with x105's calibration); mass concentrated at 1000‰ means the
+    * miner is mostly re-finding exact dups the cheap x01 pass already
+    * owns. Pairs-in, report-out: composes with ANY (…, jac_permille)
+    * producer (x07 MinHash, x65 containment, x23 embedding pairs).
+    *
+    * Shape: one map-side-combined aggregation over the pair table to
+    * ≤11 decile rows; the share/cumulative windows run on THAT. Exact
+    * integers, trunc division; 1000‰ lands in the top decile
+    * (bucket_lo 900) by least().
+    *
+    * @return (bucket_lo_permille, n_pairs, share_ppm,
+    *         cum_from_top_ppm) ordered by bucket_lo_permille DESC. */
+  def pairSimilarityHistogram(pairs: DataFrame,
+                              simCol: String = "jac_permille"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = pairs.select(
+      (least(expr(s"$simCol div 100"), lit(9L)) * 100).as("bucket_lo_permille"))
+      .groupBy("bucket_lo_permille").agg(count(lit(1)).as("n_pairs"))
+    val tot = b.agg(sum("n_pairs").as("__tot"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum("n_pairs").over(
+        Window.orderBy(col("bucket_lo_permille").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket_lo_permille"), col("n_pairs"),
+        expr("(n_pairs * 1000000) div __tot").as("share_ppm"),
+        expr("(__cum * 1000000) div __tot").as("cum_from_top_ppm"))
+      .orderBy(col("bucket_lo_permille").desc)
+  }
+
+  /** Dedup MIXTURE SHIFT — does global exact dedup change the corpus
+    * composition? Per class (language by default): share of the
+    * corpus BEFORE dedup, share among the min-id SURVIVORS, and the
+    * signed delta in ppm. The bias audit behind "dedup is not free":
+    * template-heavy classes (one language's boilerplate-rich crawl)
+    * lose disproportionate share and the downstream mixture plan
+    * (x223) silently drifts off its targets unless this report feeds
+    * back. Same survivor policy as x01/x217/x232 — one dedup
+    * decision, read as a distribution shift.
+    *
+    * Shape: one digest groupBy (bodies never shuffle), one id-keyed
+    * survivor join, one class-keyed aggregation; the two 1-row totals
+    * broadcast. Exact integers, trunc division.
+    *
+    * @return (lang, n_docs, share_before_ppm, n_survivors,
+    *         share_after_ppm, delta_ppm) ordered by lang. */
+  def dedupMixtureShift(docs: DataFrame,
+                        classCol: String = "lang"): DataFrame = {
+    val fp = docs.select(col("doc_id"), col(classCol).as("lang"),
+      md5(col("text")).as("__f"))
+    val surv = fp.groupBy("__f").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("__s"))
+    val per = fp.join(surv, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), count(col("__s")).as("n_survivors"))
+    val tot = per.agg(sum("n_docs").as("__tb"), sum("n_survivors").as("__ta"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr("(n_docs * 1000000) div __tb").as("share_before_ppm"),
+        col("n_survivors"),
+        expr("(n_survivors * 1000000) div __ta").as("share_after_ppm"),
+        (expr("(n_survivors * 1000000) div __ta")
+          - expr("(n_docs * 1000000) div __tb")).as("delta_ppm"))
+      .orderBy("lang")
+  }
+
+  /** BATCH-vs-STORE novelty report — [[newAgainstBase]]'s ingest-ops
+    * rollup: for each source in an arriving batch, how much of it is
+    * genuinely new against the standing fingerprint store, in docs
+    * and ppm. The per-feed "is this crawl still yielding" number an
+    * ingest scheduler reads daily: a feed whose novelty decays toward
+    * 0 is re-serving yesterday's corpus and its crawl budget should
+    * move (reads with [[tokenAttrition]], which prices the same
+    * decision inside one corpus rather than across batches).
+    *
+    * Shape: exactly [[newAgainstBase]]'s anti-join economics — the
+    * store side is 16-byte digests (bucket it on `fp` and it never
+    * exchanges), the batch is the only moving part — followed by one
+    * source-keyed aggregation. NULL-text rows share one fingerprint
+    * class; a dup match needs a NON-NULL store digest, so NULL-text
+    * batch rows always count new (md5(NULL) joins nothing — SQL
+    * equality, both engines).
+    *
+    * @return (source, n_docs, n_new, novelty_ppm) ordered by source. */
+  def batchNoveltyReport(batch: DataFrame,
+                         baseFingerprints: DataFrame): DataFrame = {
+    require(baseFingerprints.columns.contains("fp"),
+      s"fingerprint store needs an fp column, got " +
+        baseFingerprints.columns.mkString(","))
+    val seen = baseFingerprints.select(col("fp").as("__fp")).distinct()
+      .withColumn("__hit", lit(1L))
+    batch.select(col("source"), md5(col("text")).as("__fp"))
+      .join(seen, Seq("__fp"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col("source"), col("n_docs"), col("n_new"),
+        expr("(n_new * 1000000) div n_docs").as("novelty_ppm"))
+      .orderBy("source")
+  }
+
   /** Duplicate-aware LOSS WEIGHTS — the soft alternative to dropping
     * near-dups: keep every copy but weight each document by
     * 1/|its dup cluster| so a 40-member template cluster contributes

@@ -410,13 +410,28 @@ object Similarity {
     * exact (scores are exact cosines). Rule-6 no_oracle: the KMeans
     * quantizer is not replayable cross-engine.
     *
+    * SIZE THE CELL COUNT WITH THE CORPUS — nlist ≤ 0 auto-sizes by
+    * the standard IVF rule nlist ≈ √n (nprobe ≈ nlist/8, floors 16/2):
+    * a FIXED nlist makes the pool a constant fraction nprobe/nlist of
+    * |C|² — still quadratic, measured 18.6× wall at 10× data — and
+    * caps the cell join's parallelism at nlist keys. Under √n sizing
+    * the pooled pair mass is ~n^1.5·k' and cell keys grow with the
+    * corpus (the 10× probe drops to ~2× with auto-sizing). The one
+    * extra count() is a columnless scan.
+    *
     * @return (da, db, cos_permille), mutual pairs only, ordered. */
-  def mutualTopKAnn(corpus: DataFrame, k: Int, nlist: Int = 16,
-                    nprobe: Int = 3, idCol: String = "vec_id",
+  def mutualTopKAnn(corpus: DataFrame, k: Int, nlist: Int = 0,
+                    nprobe: Int = 0, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
-    mutualityTail(ivfTopK(corpus, corpus, k, nlist = nlist,
-      nprobe = nprobe, idCol = idCol, vecCol = vecCol))
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(16, math.sqrt(corpus.count().toDouble).toInt)
+    val np =
+      if (nprobe > 0) nprobe
+      else math.max(2, nl / 8)
+    mutualityTail(ivfTopK(corpus, corpus, k, nlist = nl,
+      nprobe = np, idCol = idCol, vecCol = vecCol))
   }
 
   /** QUANTIZATION-RECALL audit — does int8 break retrieval? Per probe

@@ -1305,4 +1305,39 @@ object TextAnalysis {
         expr("(n_dup * 1000000) div n_chunks").as("dup_ppm"))
       .orderBy("chunk_id")
   }
+
+  /** Per-source HAPAX share — what fraction of each feed's vocabulary
+    * occurs exactly ONCE in the whole corpus. The gibberish/OCR-noise
+    * smoke detector: natural language runs a stable hapax rate
+    * (Zipf's tail, ~40-60% of vocab), so a source far ABOVE its peers
+    * is minting junk tokens (OCR errors, hex blobs, mojibake) and a
+    * source far BELOW is template text re-spinning a tiny vocabulary.
+    * Complements [[sourceNoveltyReport]] (first-SOURCE attribution —
+    * order-dependent) and [[zipfFit]] (global shape): hapax-ness is a
+    * corpus-frequency property, order-free, read per feed.
+    *
+    * Shape: ONE (source, token)-keyed count (map-side combined,
+    * vocabulary·|S|-bounded out — it doubles as the occurrence table),
+    * one token-keyed total over THAT bounded table, one source-keyed
+    * rollup. Bodies never shuffle twice; exact integers, trunc div.
+    *
+    * @return (source, vocab, n_hapax, hapax_ppm) ordered by source. */
+  def hapaxShareReport(docs: DataFrame,
+                       sourceCol: String = "source"): DataFrame = {
+    val st = docs
+      .filter(col(sourceCol).isNotNull && col("text").isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(st))
+    val tot = st.groupBy("tok").agg(sum("__n").as("__t"))
+    st.join(tot, Seq("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("__t") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("vocab"), col("n_hapax"),
+        expr("(n_hapax * 1000000) div vocab").as("hapax_ppm"))
+      .orderBy("source")
+  }
 }

@@ -596,6 +596,47 @@ class DedupSpec extends SparkSpec with SlowSuite {
     assert(z.getLong(2) === 0L && z.isNullAt(5))
   }
 
+  test("pairSimilarityHistogram: decile buckets, 1000 folds into the top, cum from top") {
+    val pairs = Seq(
+      (1L, 2L, 1000L), (3L, 4L, 950L),  // both land in bucket_lo 900
+      (5L, 6L, 900L),                   // boundary: 900 div 100 = 9 -> 900
+      (7L, 8L, 450L),                   // bucket_lo 400
+      (9L, 10L, 450L)
+    ).toDF("da", "db", "jac_permille")
+    val out = Dedup.pairSimilarityHistogram(pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (900L, 3L, 600000L, 600000L),
+      (400L, 2L, 400000L, 1000000L)))
+  }
+
+  test("dedupMixtureShift: template-heavy class loses share, deltas read signed") {
+    val docs = Seq(
+      (1L, "uniq1", "en"), (2L, "uniq2", "en"), (3L, "uniq3", "en"),
+      (4L, "tpl", "de"), (5L, "tpl", "de"), (6L, "tpl", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.dedupMixtureShift(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // before: 3/3 — both 500000; after: de keeps 1 of 4 survivors
+    assert(out === Seq(
+      ("de", 3L, 500000L, 1L, 250000L, -250000L),
+      ("en", 3L, 500000L, 3L, 750000L, 250000L)))
+  }
+
+  test("batchNoveltyReport: store hits drop, NULL-text batch rows count new") {
+    val batch = Seq(
+      (1L, Option("seen"), "A"),   // in store -> dup
+      (2L, Option("fresh"), "A"),  // new
+      (3L, Option.empty[String], "B") // NULL digest matches nothing -> new
+    ).toDF("doc_id", "text", "source")
+    val store = Seq(Option("seen"), Option.empty[String])
+      .toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("fp"))
+    val out = Dedup.batchNoveltyReport(batch, store)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("A", 2L, 1L, 500000L), ("B", 1L, 1L, 1000000L)))
+  }
+
   test("lshBandingPlan rejects degenerate parameters") {
     intercept[IllegalArgumentException] {
       Dedup.lshBandingPlan(spark, numHashes = 1, thresholdPermille = 500)

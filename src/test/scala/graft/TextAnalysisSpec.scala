@@ -648,6 +648,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(z.getLong(2) === 0L && z.isNullAt(5) && z.isNullAt(6))
   }
 
+  test("hapaxShareReport: corpus-frequency-1 share per source, repeats never hapax") {
+    val docs = Seq(
+      ("A", "zz qq zz"),  // A vocab {zz, qq}: zz repeats (corpus 3×), qq hapax
+      ("B", "zz ww"),     // B vocab {zz, ww}: ww hapax, zz not (A has it too)
+      ("B", "kk kk"))     // kk occurs twice corpus-wide: not hapax
+      .toDF("source", "text")
+    val out = TextAnalysis.hapaxShareReport(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq(("A", 2L, 1L, 500000L), ("B", 3L, 1L, 333333L)))
+  }
+
   test("chunkDupProfile: dup share per chunk position, partial tail chunks") {
     // 2-token chunks: docs 1/2 share chunk 0 ("hdr txt"); tails differ;
     // doc 3 is a single partial chunk, unique
