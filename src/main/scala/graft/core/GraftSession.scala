@@ -23,6 +23,15 @@ object GraftSession {
       // consistent ns-parquet handling from the start (Tables.events
       // needs it; setting it here means no read-order dependence)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (the imperative-aggregate exec behind
+      // topk_pairs / collect_*) falls back to SORT-BASED aggregation
+      // after 128 distinct keys per task — which silently re-sorts
+      // every scored row and erases the whole point of a bounded
+      // top-k fold (measured: the 10× ANN probe's 48M-pair tail ran
+      // 75 s under the fallback, ~13 s without). topk_pairs buffers
+      // are ≤ k·16 B each, so 1M in-memory groups per task is ~100 MB
+      // at k=5 — far under executor budgets; revisit for huge-k use.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.VectorAgg.register(s) // UDAFs cannot ride extensions

@@ -812,6 +812,16 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           args(0), args(1), args(2))),
+    (FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (args: Seq[Expression]) => {
+        val k = args(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_pairs k must be an integer literal, got $other")
+        }
+        TopKPairs(args(0), args(1), k)
+      }),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

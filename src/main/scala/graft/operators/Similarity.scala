@@ -106,7 +106,7 @@ object Similarity {
     * query (ties broken by neighbor id), keep k, surface the score as
     * integer permille. One implementation so rounding and tie-break
     * semantics cannot drift between variants. */
-  private[operators] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -116,6 +116,36 @@ object Similarity {
       .orderBy("query_id", "rank", "neighbor_id", "cos_permille")
   }
 
+
+  /** [[topKByScore]] as a bounded PARTIAL-AGGREGATING fold — identical
+    * output (SimilaritySpec pins the row-for-row equivalence,
+    * including score ties), radically different shuffle: the window
+    * form must move EVERY scored pair to rank it (measured 67 s for
+    * 48M pooled pairs at the 10× probe — the exchange, not the
+    * scoring, was the cost), while the
+    * [[graft.functions.VectorAgg.TopKByScore]] aggregate folds each
+    * partition to ≤k entries per query map-side, so the shuffle
+    * carries O(|Q|·k) rows however many pairs were scored. The fold
+    * is the native [[graft.functions.TopKPairs]] imperative aggregate
+    * (direct InternalRow access — the typed-Aggregator udaf form
+    * measured ~2 µs/row of encoder boxing on the same input). The
+    * tail for every UNBOUNDED scored set (self-joins, ANN pools); the
+    * window form stays as the spec-pinned reference. Requires a LONG
+    * id column (every embedding id here is); NULL ids/scores are
+    * excluded (the kernels never emit them for valid vectors). */
+  private[graft] def topKByScoreAgg(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(scored.sparkSession)
+    scored
+      .groupBy("query_id")
+      .agg(call_function("topk_pairs",
+        col("neighbor_id").cast("long"), col("score").cast("double"),
+        lit(k)).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        floor(col("col.score") * 1000 + 0.5).cast("long").as("cos_permille"))
+      .orderBy("query_id", "rank", "neighbor_id", "cos_permille")
+  }
 
   /** Exact top-k nearest neighbors (cosine) of each query vector.
     *
@@ -156,7 +186,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         call_function("cosine_f32", col("qv"), col("cv")).as("score"))
-    topKByScore(scored, k)
+    topKByScoreAgg(scored, k)
   }
 
   /** Hard-negative mining for contrastive/retrieval training: for each
@@ -190,7 +220,7 @@ object Similarity {
       .filter(col("qlabel") =!= col("clabel"))
       .select(col("query_id"), col("neighbor_id"),
         call_function("cosine_f32", col("qv"), col("cv")).as("score"))
-    topKByScore(scored, k)
+    topKByScoreAgg(scored, k)
   }
 
   /** k-NN LABEL-NOISE audit — the standard "deep k-NN" mislabel
@@ -796,7 +826,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         call_function("cosine_f32", col("qv"), col("cv")).as("score"))
-    topKByScore(scored, k)
+    topKByScoreAgg(scored, k)
   }
 
   /** Approximate top-k: bucket by LSH signature, score only same-bucket
@@ -862,7 +892,7 @@ object Similarity {
     // default path
     val merged = if (numTables == 1) scored
       else scored.dropDuplicates("query_id", "neighbor_id")
-    topKByScore(merged, k)
+    topKByScoreAgg(merged, k)
   }
 
   /** Per-dimension standardization (z-scoring) of the embedding

@@ -149,6 +149,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topKByScoreAgg equals the window form row for row, ties included") {
+    // adversarial scored set: duplicate scores inside a group (tie ->
+    // neighbor_id order), a group smaller than k, k-boundary ties
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.9), (1L, 13L, 0.5),
+      (2L, 20L, 0.1),                      // group smaller than k
+      (3L, 30L, -0.2), (3L, 31L, 0.0), (3L, 32L, -0.2), (3L, 33L, 0.7)
+    ).toDF("query_id", "neighbor_id", "score")
+    val viaWindow = Similarity.topKByScore(scored, 3).collect().map(_.toSeq).toSeq
+    val viaAgg = Similarity.topKByScoreAgg(scored, 3).collect().map(_.toSeq).toSeq
+    assert(viaAgg === viaWindow)
+    // randomized sweep: 40 groups x 50 candidates with heavy ties
+    val rnd = (0 until 2000).map { i =>
+      (i % 40L, (i * 131 % 997).toLong, ((i * 7) % 13) / 13.0)
+    }.toDF("query_id", "neighbor_id", "score")
+    val w2 = Similarity.topKByScore(rnd, 5)
+      .collect().map(_.toSeq).toSeq
+    val a2 = Similarity.topKByScoreAgg(rnd, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(a2 === w2)
+  }
+
   test("labelCentroids: centroid geometry exact on axis-aligned classes") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), Option(0)),   // label 0 hugs the x axis
