@@ -296,6 +296,56 @@ object EventStreams {
       }
   }
 
+  case class GapBucketOut(event_id: Long, user_id: Long,
+                          event_type: String, bucket: Int)
+
+  /** The x226 gap ladder at ns precision — ONE spelling shared by the
+    * streaming twin and its spec (the batch profiler's CASE ladder is
+    * this × 1000 ns/µs; event timestamps are µs-aligned, so the two
+    * bucketings agree exactly). Bucket 6 is the open top. */
+  private[graft] def gapBucketNs(gapNs: Long): Int =
+    if (gapNs <= 1000000000L) 0            // ≤ 1 s
+    else if (gapNs <= 10000000000L) 1      // ≤ 10 s
+    else if (gapNs <= 60000000000L) 2      // ≤ 1 min
+    else if (gapNs <= 600000000000L) 3     // ≤ 10 min
+    else if (gapNs <= 3600000000000L) 4    // ≤ 1 h
+    else if (gapNs <= 86400000000000L) 5   // ≤ 1 d
+    else 6
+
+  /** Streaming duplicate re-arrival bucketing — the IN-FLIGHT twin of
+    * [[graft.operators.Sessions.dupArrivalProfile]] (x226): the batch
+    * profiler MEASURES the re-delivery gap ladder so an operator can
+    * size a dedup window; this stream watches the same ladder live, so
+    * the sizing decision stays honest as the feed drifts (a growing
+    * bucket-6 share means re-deliveries now arrive outside any
+    * affordable state TTL — a pipeline alarm, not a tuning knob).
+    * Every arrival emits its gap bucket against the SAME (user, type)
+    * identity; a first arrival emits −1 (no gap — the batch profiler
+    * drops these rows, the spec does too before comparing). State per
+    * identity is ONE long (last-seen ts_ns).
+    *
+    * Cross-batch correctness is the [[debounceStream]] contract: the
+    * per-batch iterator sorts on (ts_ns, event_id) and the last-seen
+    * timestamp carries across micro-batches, so the emitted gap
+    * multiset equals the batch window's regardless of micro-batching
+    * (spec-asserted ≡ on the same closed corpus). */
+  def dupArrivalStream(events: Dataset[TypedEvent]): Dataset[GapBucketOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, GapBucketOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String), batch: Iterator[TypedEvent], state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).map { e =>
+            val b = last.map(l => gapBucketNs(e.ts_ns - l)).getOrElse(-1)
+            last = Some(e.ts_ns)
+            GapBucketOut(e.event_id, e.user_id, e.event_type, b)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class NewReturningOut(event_id: Long, user_id: Long, is_new: Int)
 
   /** Streaming new-vs-returning classification — the in-flight twin

@@ -796,6 +796,48 @@ class StreamingSpec extends SparkSpec with SlowSuite {
     assert(batch === streamed)
   }
 
+  test("dupArrivalStream buckets match the batch gap profiler across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val out = EventStreams.dupArrivalStream(input.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("duparrival")
+      .outputMode(OutputMode.Append()).start()
+    // µs-aligned ns timestamps spanning buckets 0 (0.5 s), 1 (5 s),
+    // 3 (5 min) and 6 (2 d); the 5-min gap STRADDLES the batch
+    // boundary so the state handoff is what produces bucket 3
+    val sec = 1000000000L
+    try {
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "click", 1, 0L),
+        EventStreams.TypedEvent(1, "click", 2, sec / 2),      // +0.5 s  -> 0
+        EventStreams.TypedEvent(1, "click", 3, sec / 2 + 5 * sec), // +5 s -> 1
+        EventStreams.TypedEvent(2, "view", 10, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "click", 4, sec / 2 + 305 * sec), // +5 min -> 3
+        EventStreams.TypedEvent(2, "view", 11, 2L * 86400 * sec)))   // +2 d -> 6
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("duparrival")
+      .select("event_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(streamed === Map(1L -> -1, 2L -> 0, 3L -> 1, 4L -> 3,
+      10L -> -1, 11L -> 6))
+    // ≡ the batch profiler's ladder on the same closed corpus: per
+    // bucket, stream counts (first arrivals dropped) equal n_gaps
+    val batchDf = Seq(
+      (1L, "click", 0L), (1L, "click", sec / 2),
+      (1L, "click", sec / 2 + 5 * sec), (1L, "click", sec / 2 + 305 * sec),
+      (2L, "view", 0L), (2L, "view", 2L * 86400 * sec))
+      .toDF("user_id", "event_type", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val batch = graft.operators.Sessions.dupArrivalProfile(batchDf,
+      keyCols = Seq("user_id", "event_type"))
+      .select("bucket", "n_gaps").as[(Long, Long)].collect().toMap
+    val streamCounts = streamed.values.filter(_ >= 0).groupBy(_.toLong)
+      .view.mapValues(_.size.toLong).toMap
+    assert(streamCounts === batch)
+  }
+
   test("newVsReturningStream tags the first-ever event across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.TypedEvent]
