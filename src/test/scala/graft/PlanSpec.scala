@@ -45,6 +45,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), "no global sort exchange for a bounded top-k")
   }
 
+  test("x215/x09-native: scored pairs fold through a partial topk_pairs agg, never a window") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val p = plan(graft.operators.Similarity.cosineTopKNative(
+      emb.filter(col("vec_id") < 10), emb, k = 5))
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topk_pairs"),
+      "per-query top-k must pre-reduce map-side — a rank window would " +
+        "shuffle every scored pair")
+    assert(!p.contains("Window"),
+      "no rank window over the unbounded scored set")
+  }
+
   test("q02: projection prunes the lineitem scan to 4 of 11 columns") {
     val p = plan(Relational.q02ProjectCents(spark, sf))
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double>"))
