@@ -285,6 +285,27 @@ private[graft] object BoardX200 {
         docs.filter(col("doc_id") % 2 === 0)
           .select(md5(col("text")).as("fp")))
     },
+    // per-source unigram KL from the corpus mixture — the scalar "does
+    // this feed's weight buy diversity" next to x231's pairwise sets;
+    // every ln takes an integer count (the x227 micronat discipline)
+    "x240_source_kl" -> ((s, d) =>
+      TextAnalysis.sourceKlReport(Tables.documents(s, d))),
+    // which feed fails which quality filter: x43's reason bitmask
+    // rolled up per source — the filter-stage companion to x217's
+    // dedup-stage attrition
+    "x241_gate_attrition" -> ((s, d) =>
+      TextAnalysis.gateAttrition(Tables.documents(s, d))),
+    // arrival-order integrity per user over a PLANTED reordering
+    // (every 97th event arrives a day late — the raw feed is perfectly
+    // ordered at all three scales, and a zero-row audit would certify
+    // nothing; the x208/x234 derived-fixture discipline)
+    "x242_arrival_integrity" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.operators.Sessions.arrivalIntegrity(
+        ev.withColumn("ts",
+          when(col("event_id") % 97 === 0,
+            col("ts") - expr("INTERVAL 1 DAY")).otherwise(col("ts"))))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -966,5 +987,78 @@ private[graft] object BoardX200 {
          CAST((SUM(isnew) * 1000000) // COUNT(*) AS BIGINT)
            AS novelty_ppm
        FROM j GROUP BY source ORDER BY source""",
+    // x240: one (source, token) count table, per-token/source/corpus
+    // totals from it, integer micronat ln terms, HUGEINT sum, one
+    // truncating div per source
+    "x240_source_kl" ->
+      """WITH tok0 AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+           FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+       st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok0 GROUP BY 1, 2),
+       ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nsum FROM st GROUP BY 1),
+       ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ctot FROM st GROUP BY 1),
+       tt AS (SELECT CAST(SUM(nsum) AS BIGINT) AS n FROM ns),
+       t AS (SELECT st.source,
+           st.c * (CAST(FLOOR(ln(CAST(st.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln(CAST(ns.nsum AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln(CAST(ct.ctot AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             + CAST(FLOOR(ln(CAST(tt.n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+             AS term
+         FROM st JOIN ct USING (tok) JOIN ns USING (source), tt),
+       g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+           SUM(term) AS s FROM t GROUP BY 1)
+       SELECT g.source, ns.nsum AS n_tokens, g.vocab,
+         CAST(g.s // ns.nsum AS BIGINT) AS kl_micronat
+       FROM g JOIN ns ON g.source = ns.source ORDER BY g.source""",
+    // x241: the x43 gate CTEs (token/awl formulas + the x39 repetition
+    // chain) with source carried, reason bits rolled up per feed
+    "x241_gate_attrition" ->
+      s"""WITH ${EntryLib.shingleCtes(3)},
+       nd AS (SELECT doc_id, COUNT(*) AS ndist FROM sh GROUP BY doc_id),
+       tot AS (SELECT doc_id, len(ts) - 2 AS total FROM le),
+       rep AS (SELECT nd.doc_id AS doc_id,
+           1000 - (nd.ndist * 1000) // tot.total AS rp
+         FROM nd JOIN tot ON nd.doc_id = tot.doc_id),
+       m AS (SELECT d.source,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) * 1000
+             // (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS awl_permille,
+           CAST(COALESCE(rep.rp, 0) AS BIGINT) AS rep_permille
+         FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id),
+       g AS (SELECT source,
+           CASE WHEN n_tokens < 32 THEN 1 ELSE 0 END AS b1,
+           CASE WHEN rep_permille > 10 THEN 1 ELSE 0 END AS b2,
+           CASE WHEN awl_permille < 4200 OR awl_permille > 4800 THEN 1 ELSE 0 END AS b4
+         FROM m),
+       r AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 AND b4 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pass,
+           CAST(SUM(b1) AS BIGINT) AS n_fail_short,
+           CAST(SUM(b2) AS BIGINT) AS n_fail_rep,
+           CAST(SUM(b4) AS BIGINT) AS n_fail_awl
+         FROM g GROUP BY 1)
+       SELECT source, n_docs, n_pass, n_fail_short, n_fail_rep, n_fail_awl,
+         CAST((n_pass * 1000000) // n_docs AS BIGINT) AS pass_ppm
+       FROM r ORDER BY source""",
+    // x242: identical planted day-late shift, user-partitioned lag on
+    // the producer sequence, per-user rollup
+    "x242_arrival_integrity" ->
+      """WITH e AS (SELECT user_id, event_id,
+           epoch_us(CASE WHEN event_id % 97 = 0 THEN ts - INTERVAL 1 DAY
+             ELSE ts END) AS us
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       l AS (SELECT user_id, us,
+           lag(us) OVER (PARTITION BY user_id ORDER BY event_id) AS pus
+         FROM e),
+       b AS (SELECT user_id,
+           CASE WHEN pus IS NOT NULL AND us < pus THEN pus - us END AS back
+         FROM l),
+       g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(back) AS BIGINT) AS n_backsteps,
+           CAST(COALESCE(MAX(back), 0) AS BIGINT) AS max_backstep_us
+         FROM b GROUP BY 1)
+       SELECT user_id, n_events, n_backsteps, max_backstep_us,
+         CAST((n_backsteps * 1000000) // n_events AS BIGINT) AS backstep_ppm
+       FROM g ORDER BY user_id""",
   )
 }

@@ -401,4 +401,42 @@ object Sessions {
         expr("(__cum * 1000000) div __tot").as("cum_ppm"))
       .orderBy("bucket")
   }
+  /** ARRIVAL-ORDER integrity audit — does the feed deliver events in
+    * time order? Per user: events whose timestamp steps BACKWARD
+    * relative to the previous event in arrival order (event_id — the
+    * producer sequence), the worst backstep, and the backstep rate.
+    * The measurement that decides whether downstream operators may
+    * assume in-order delivery (the streaming twins' watermark and
+    * state-TTL settings both price reordering; [[latenessProfile]]
+    * reads lateness against a WINDOW, this reads disorder against the
+    * producer's own sequence). A backstep rate of 0 certifies the
+    * feed; a heavy tail says "buffer and re-sort before sessionizing".
+    *
+    * Shape: ONE lag window PARTITIONED by user (never global) over
+    * (user, event_id, ts_us) projections; one user-keyed map-side
+    * aggregation follows. Exact integers; users with a single event
+    * report zero steps, never NULLs.
+    *
+    * @return (user_id, n_events, n_backsteps, max_backstep_us,
+    *         backstep_ppm) ordered by user_id. */
+  def arrivalIntegrity(events: DataFrame): DataFrame = {
+    val keyed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("__us"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    keyed
+      .withColumn("__prev", lag("__us", 1).over(w))
+      .select(col("user_id"),
+        when(col("__prev").isNotNull && col("__us") < col("__prev"),
+          col("__prev") - col("__us")).as("__back"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__back")).as("n_backsteps"),
+        coalesce(max("__back"), lit(0L)).as("max_backstep_us"))
+      .select(col("user_id"), col("n_events"), col("n_backsteps"),
+        col("max_backstep_us"),
+        expr("(n_backsteps * 1000000) div n_events").as("backstep_ppm"))
+      .orderBy("user_id")
+  }
 }

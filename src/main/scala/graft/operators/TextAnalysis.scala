@@ -1340,4 +1340,95 @@ object TextAnalysis {
         expr("(n_hapax * 1000000) div vocab").as("hapax_ppm"))
       .orderBy("source")
   }
+
+  /** Per-source unigram KL divergence from the corpus — the scalar
+    * "how far does this feed's language sit from the mixture" next to
+    * [[vocabDrift]]'s top movers and [[sourceVocabOverlap]]'s pairwise
+    * sets: KL(source ‖ corpus) ≈ 0 marks a feed that is linguistically
+    * redundant with the blend; a large KL marks the domain-shifted
+    * feed whose weight actually buys diversity (and whose loss will
+    * spike if it is down-sampled away). Mean per-token micronats —
+    * comparable across sources of different size.
+    *
+    * Exactness: KL = Σ_t (c_st/n_s)·ln((c_st/n_s)/(c_t/N)) is
+    * reassembled so every ln takes an INTEGER count (the x227
+    * discipline — one rounded ln per distinct value, never a float
+    * ratio): term_t = c_st·(lnµ(c_st) − lnµ(n_s) − lnµ(c_t) + lnµ(N)),
+    * an exact integer, summed in DECIMAL(38,0) (a 10¹²-token source's
+    * terms pass 2⁶³), one truncating div by n_s at the end. Honest to
+    * ~4 µnat/term rounding.
+    *
+    * Shape: ONE (source, token) count (map-side combined — it doubles
+    * as the term table), token totals and source totals derived from
+    * THAT bounded table, the 1-row corpus total broadcast. Bodies
+    * shuffle once.
+    *
+    * @return (source, n_tokens, vocab, kl_micronat) ordered by
+    *         source. */
+  def sourceKlReport(docs: DataFrame,
+                     sourceCol: String = "source"): DataFrame = {
+    def lnMicro(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e6) + lit(0.5d)).cast("long")
+    val st = docs
+      .filter(col(sourceCol).isNotNull && col("text").isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(st))
+    val ns = st.groupBy("source").agg(sum("__c").as("__ns"))
+    val ct = st.groupBy("tok").agg(sum("__c").as("__ct"))
+    val total = ns.agg(sum("__ns").as("__n"))
+    st.join(ct, Seq("tok"))
+      .join(ns, Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("__ns"),
+        (col("__c") * (lnMicro(col("__c")) - lnMicro(col("__ns"))
+          - lnMicro(col("__ct")) + lnMicro(col("__n")))).as("__term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("__term").cast("decimal(38,0)")).as("__s"))
+      .join(ns, Seq("source"))
+      .select(col("source"), col("__ns").as("n_tokens"), col("vocab"),
+        expr("cast(__s div __ns as bigint)").as("kl_micronat"))
+      .orderBy("source")
+  }
+
+  /** Per-source QUALITY-GATE attrition — which FEED fails which
+    * filter: [[qualityGate]]'s per-doc reason bitmask rolled up per
+    * source, one count per reason (a doc failing two reasons counts
+    * in both — the reasons are independent dials, and a curator tunes
+    * them independently). The companion to [[graft.operators.Dedup
+    * .dedupAttrition]]: that prices the DEDUP stage per feed, this
+    * prices the FILTER stage — together they explain where each
+    * source's volume went before training saw it.
+    *
+    * Shape: the gate itself is a row-local codegen map riding the
+    * scan; ONE source-keyed map-side-combined aggregation follows.
+    * Exact integers, trunc division.
+    *
+    * @return (source, n_docs, n_pass, n_fail_short, n_fail_rep,
+    *         n_fail_awl, pass_ppm) ordered by source. */
+  def gateAttrition(docs: DataFrame, minTokens: Long = 32,
+                    maxRepPermille: Long = 10, minAwlPermille: Long = 4200,
+                    maxAwlPermille: Long = 4800, k: Int = 3,
+                    sourceCol: String = "source"): DataFrame = {
+    val gated = qualityGate(docs, minTokens, maxRepPermille,
+      minAwlPermille, maxAwlPermille, k)
+    docs.select(col("doc_id"), col(sourceCol).as("source"))
+      .join(gated.select(col("doc_id"), col("reason_bits"), col("keep")),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_pass"),
+        sum(when(expr("reason_bits div 1 % 2") === 1L, 1L).otherwise(0L))
+          .as("n_fail_short"),
+        sum(when(expr("reason_bits div 2 % 2") === 1L, 1L).otherwise(0L))
+          .as("n_fail_rep"),
+        sum(when(expr("reason_bits div 4 % 2") === 1L, 1L).otherwise(0L))
+          .as("n_fail_awl"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        col("n_fail_short"), col("n_fail_rep"), col("n_fail_awl"),
+        expr("(n_pass * 1000000) div n_docs").as("pass_ppm"))
+      .orderBy("source")
+  }
 }

@@ -268,4 +268,19 @@ class SessionsSpec extends SparkSpec {
     assert(top.getLong(0) === 6L && top.isNullAt(1) &&
       top.getLong(4) === 1000000L)
   }
+
+  test("arrivalIntegrity: backsteps measured against the producer sequence") {
+    val rows = Seq(
+      (1L, 1L, 1000000L), (1L, 2L, 2000000L),
+      (1L, 3L, 1500000L),           // arrives after id 2 but 0.5 s earlier
+      (1L, 4L, 3000000L),
+      (2L, 10L, 5000000L))          // single event: zero steps, no NULLs
+      .toDF("user_id", "event_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val out = Sessions.arrivalIntegrity(rows)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 1L, 500000L, 250000L),
+      (2L, 1L, 0L, 0L, 0L)))
+  }
 }

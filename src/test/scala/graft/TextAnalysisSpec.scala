@@ -648,6 +648,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(z.getLong(2) === 0L && z.isNullAt(5) && z.isNullAt(6))
   }
 
+  test("sourceKlReport: exact micronat KL, disjoint vocabulary reads largest") {
+    // corpus: x·4, y·2, q/r/s·1 (N = 9). KL(A‖corpus) = ln 1.5 exactly
+    // (both its tokens are 1.5× over-represented); C's disjoint vocab
+    // reads ln(9/3) = ln 3. All integer micronat arithmetic:
+    // lnµ2 = 693147, lnµ3 = 1098612, lnµ4 = 1386294, lnµ9 = 2197225
+    val docs = Seq(
+      ("A", "x x y"), ("B", "x x y"),
+      ("C", "q r s"))
+      .toDF("source", "text")
+    val byId = TextAnalysis.sourceKlReport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.operators.Dedup.releaseCaches()
+    // A: x term 2·(693147−1098612−1386294+2197225) = 810932,
+    //    y term (0−1098612−693147+2197225) = 405466 → 1216398 div 3
+    assert(byId("A") === ((3L, 2L, 405466L)))
+    assert(byId("B") === byId("A"))
+    // C: 3 · (2197225 − 1098612) div 3 = 1098613
+    assert(byId("C") === ((3L, 3L, 1098613L)))
+  }
+
+  test("gateAttrition: per-source reason counts, multi-reason docs count in each") {
+    // clean doc: 40 DISTINCT tokens alternating 4/5 chars — awl 4500
+    // in band, zero 3-gram repetition, length over the bar
+    val clean = (1 to 40).map(i =>
+      if (i % 2 == 0) f"tok$i%02d" else f"tk$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "S", clean),
+      (2L, "S", "abcd efghi"),  // 2 tokens: short only (awl 4500 in band)
+      (3L, "T", "a b c")        // short AND awl 1000 out of band
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.gateAttrition(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("S", 2L, 1L, 1L, 0L, 0L, 500000L),
+      ("T", 1L, 0L, 1L, 0L, 1L, 0L)))     // doc 3 fails two reasons, counted in both
+  }
+
   test("hapaxShareReport: corpus-frequency-1 share per source, repeats never hapax") {
     val docs = Seq(
       ("A", "zz qq zz"),  // A vocab {zz, qq}: zz repeats (corpus 3×), qq hapax
