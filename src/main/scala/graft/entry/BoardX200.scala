@@ -306,6 +306,11 @@ private[graft] object BoardX200 {
           when(col("event_id") % 97 === 0,
             col("ts") - expr("INTERVAL 1 DAY")).otherwise(col("ts"))))
     },
+    // band-bucket skew histogram at the x07 banding parameters — the
+    // MEASURED candidate-mass distribution the closed-form x95 planner
+    // assumes away; the open class firing is the salt-the-keys trigger
+    "x243_band_bucket_skew" -> ((s, d) =>
+      Dedup.bandBucketSkew(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1060,5 +1065,31 @@ private[graft] object BoardX200 {
        SELECT user_id, n_events, n_backsteps, max_backstep_us,
          CAST((n_backsteps * 1000000) // n_events AS BIGINT) AS backstep_ppm
        FROM g ORDER BY user_id""",
+    // x243: the x07 signature/banding CTEs (md5-derived — replayable),
+    // bucket counts, exact CASE size ladder, pair mass s(s-1)/2
+    "x243_band_bucket_skew" ->
+      s"""WITH ${EntryLib.shingleCtes(2)},
+       mins AS (SELECT doc_id, ${EntryLib.minhashSigCols(16)}
+           FROM sh GROUP BY doc_id),
+       banded AS (${EntryLib.minhashBandSelects("mins", 16, 4)}),
+       bs AS (SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS s
+           FROM banded GROUP BY 1, 2),
+       c AS (SELECT CASE WHEN s <= 1 THEN 0 WHEN s <= 2 THEN 1
+           WHEN s <= 4 THEN 2 WHEN s <= 8 THEN 3 WHEN s <= 16 THEN 4
+           WHEN s <= 64 THEN 5 ELSE 6 END AS bucket_class, s FROM bs),
+       g AS (SELECT bucket_class, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(s) AS BIGINT) AS n_doc_slots,
+           CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS candidate_pairs
+         FROM c GROUP BY 1),
+       t AS (SELECT SUM(candidate_pairs) AS tot FROM g)
+       SELECT CAST(bucket_class AS BIGINT) AS bucket_class,
+         CAST(CASE bucket_class WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+           WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 64 END AS BIGINT)
+           AS size_le,
+         n_buckets, n_doc_slots, candidate_pairs,
+         CAST(CASE WHEN tot = 0 THEN NULL
+           ELSE (candidate_pairs * 1000000) // tot END AS BIGINT)
+           AS pair_share_ppm
+       FROM g, t ORDER BY bucket_class""",
   )
 }

@@ -646,6 +646,58 @@ object Dedup {
         col("bb.bucket").as("bucket"))
   }
 
+  /** BAND-BUCKET skew histogram — the MEASURED health check on the
+    * LSH banding join that [[lshBandingPlan]] prices in closed form:
+    * bucket-size classes (1, 2, ≤4, … ≤64, open top) with bucket
+    * counts, doc slots and the exact candidate-pair mass s·(s−1)/2
+    * each class contributes. The read that catches the one failure
+    * closed-form analysis cannot: a TEMPLATE bucket — one boilerplate
+    * band shared by 10⁴ documents turns into 5·10⁷ candidate pairs
+    * from a single bucket, and the banding join's skew is THIS
+    * histogram's top class, not the average the S-curve math assumes.
+    * Mass concentrating in the open class says "df-cap or salt the
+    * banding keys before scaling the corpus" (x19's salting is the
+    * fix; this is its trigger).
+    *
+    * Shape: banding is row-local (`minhash_sigs` — zero shuffles to
+    * the bucket table); one (band, bucket)-keyed count with map-side
+    * combine, then the ≤7-class rollup and a 1-row total broadcast.
+    * All arithmetic exact integer, trunc division.
+    *
+    * @return (bucket_class, size_le, n_buckets, n_doc_slots,
+    *         candidate_pairs, pair_share_ppm) ordered by class;
+    *         size_le is NULL on the open top class. */
+  def bandBucketSkew(docs: DataFrame, shingleK: Int = 2, numHashes: Int = 16,
+                     rowsPerBand: Int = 4): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes >= rowsPerBand &&
+      numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand " +
+        s"($rowsPerBand)")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bs = bandedSignatures(shingleArrays(docs, shingleK), numHashes,
+        rowsPerBand)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("s"))
+    val bounds = Seq(1L, 2L, 4L, 8L, 16L, 64L)
+    val cls = bounds.zipWithIndex.foldRight(lit(bounds.size.toLong)) {
+      case ((b, i), acc) => when(col("s") <= b, i.toLong).otherwise(acc)
+    }
+    val g = bs.select(cls.as("bucket_class"), col("s"))
+      .groupBy("bucket_class")
+      .agg(count(lit(1)).as("n_buckets"), sum("s").as("n_doc_slots"),
+        sum(expr("s * (s - 1) div 2")).as("candidate_pairs"))
+    val tot = g.agg(sum("candidate_pairs").as("__tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("bucket_class"),
+        bounds.zipWithIndex.foldRight(lit(null).cast("long")) {
+          case ((b, i), acc) =>
+            when(col("bucket_class") === i.toLong, b).otherwise(acc)
+        }.as("size_le"),
+        col("n_buckets"), col("n_doc_slots"), col("candidate_pairs"),
+        expr("case when __tot = 0 then null else " +
+          "(candidate_pairs * 1000000) div __tot end").as("pair_share_ppm"))
+      .orderBy("bucket_class")
+  }
+
   /** Exploded (doc_id, sz, sh) inverted-index rows over the CACHED
     * shingle-array table — the shared core of [[jaccardSweep]],
     * [[containmentPairs]] and [[containmentPairsPrefix]] (the explode

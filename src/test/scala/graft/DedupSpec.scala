@@ -596,6 +596,26 @@ class DedupSpec extends SparkSpec with SlowSuite {
     assert(z.getLong(2) === 0L && z.isNullAt(5))
   }
 
+  test("bandBucketSkew: exact class ladder and pair mass; slots conserve bands x docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon"),   // exact dup of 1
+      (4L, "zz qq ww ee rr tt yy uu"))          // unrelated
+      .toDF("doc_id", "text")
+    val out = Dedup.bandBucketSkew(docs)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 4 bands: in each, the three dups share one bucket (size 3 →
+    // class 2 '≤4', 3 pairs) and doc 4 sits alone (class 0)
+    assert(out.toSeq === Seq(
+      (0L, 1L, 4L, 4L, 0L, 0L),
+      (2L, 4L, 4L, 12L, 12L, 1000000L)))
+    // conservation: every (band, doc) slot lands in exactly one bucket
+    assert(out.map(_._4).sum === 4L * 4L)
+  }
+
   test("pairSimilarityHistogram: decile buckets, 1000 folds into the top, cum from top") {
     val pairs = Seq(
       (1L, 2L, 1000L), (3L, 4L, 950L),  // both land in bucket_lo 900
