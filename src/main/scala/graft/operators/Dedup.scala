@@ -405,6 +405,44 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** SYNDICATION matrix — WHO copies WHOM, at document granularity:
+    * for every exact-dup group spanning more than one source, the
+    * ORIGINATOR is the source of the group's earliest doc (min
+    * doc_id — the producer-sequence proxy for first publication) and
+    * every group member from a DIFFERENT source counts as one
+    * syndicated doc on the (originator → copier) edge. The directed
+    * answer [[dupOverlapMatrix]]-style symmetric counts cannot give:
+    * "feed B re-serves feed A" and "feed A re-serves feed B" are
+    * different ingest decisions (drop the mirror, keep the origin).
+    * Within-source re-posts are excluded — that is [[exact]]'s
+    * business, not syndication. Reads next to [[batchNoveltyReport]]
+    * (novelty says a feed re-serves SOMETHING; this says whom).
+    *
+    * Shape: fingerprints are 16-byte md5 digests — bodies never
+    * shuffle; one digest-keyed min-struct aggregation finds each
+    * group's originator, one digest-keyed equi-join back attributes
+    * members, one |S|²-bounded rollup. The digest table materializes
+    * once (both the origin pass and the member pass read it).
+    *
+    * @return (src_from, src_to, n_docs, n_groups) ordered by
+    *         src_from, src_to. */
+  def syndicationMatrix(docs: DataFrame,
+                        sourceCol: String = "source"): DataFrame = {
+    val d = docs.filter(col("text").isNotNull && col(sourceCol).isNotNull)
+      .select(md5(col("text")).as("fp"), col("doc_id"),
+        col(sourceCol).as("src"))
+      .localCheckpoint(true)
+    registerCheckpoint(checkpointRdd(d))
+    val origin = d.groupBy("fp")
+      .agg(expr("min_by(src, doc_id)").as("src_from"))
+    d.join(origin, Seq("fp"))
+      .filter(col("src") =!= col("src_from"))
+      .groupBy(col("src_from"), col("src").as("src_to"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_groups"))
+      .orderBy("src_from", "src_to")
+  }
+
   /** Duplicate-aware LOSS WEIGHTS — the soft alternative to dropping
     * near-dups: keep every copy but weight each document by
     * 1/|its dup cluster| so a 40-member template cluster contributes

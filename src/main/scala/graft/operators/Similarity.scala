@@ -622,6 +622,68 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Ingestion-batch embedding DRIFT — [[labelCentroids]]'s geometry
+    * keyed by ARRIVAL BATCH (vec_id div batchSize — the producer's
+    * write order) instead of by class: each batch's integer-sum
+    * centroid cosined against the global centroid (absolute drift —
+    * a batch pointing away from the corpus mean marks an encoder
+    * version change, a pipeline config slip, or a new domain entering
+    * the feed) and against the PREVIOUS batch (step drift — a sudden
+    * break between adjacent batches localizes WHEN the change
+    * shipped, which the global number alone cannot). The pre-flight
+    * that runs before new embeddings join an ANN index ([[ivfTopK]]'s
+    * cells assume one embedding space) or a semantic-dedup pass.
+    *
+    * Exactness: elements micro-quantize to integers first
+    * (the [[labelCentroids]] discipline) so per-(batch, dim) sums are
+    * exact; cosine is scale-invariant so it runs directly on the
+    * integer SUM vectors via the same ordered fold both engines
+    * replay bit-for-bit.
+    *
+    * Shape: one posexplode + (batch, dim)-keyed map-side-combined
+    * aggregation, materialized once — the batch vectors, the global
+    * total, and the lag-1 self-join all derive from that
+    * |batches|·|dims|-bounded table; the adjacent-batch join is an
+    * equi-join on batch+1. Nothing touches raw vectors twice.
+    *
+    * @return (batch, n_vecs, cos_global_permille, cos_prev_permille —
+    *         NULL for the first batch) ordered by batch. */
+  def embeddingDrift(emb: DataFrame, batchSize: Long = 128,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(batchSize >= 1, s"batchSize ($batchSize) must be >= 1")
+    val b = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(expr(s"$idCol div $batchSize").as("batch"), col(vecCol))
+    val per = b.select(col("batch"), posexplode(col(vecCol)))
+      .select(col("batch"), col("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("q"))
+      .groupBy("batch", "pos").agg(sum("q").as("s"))
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(per))
+    val bv = per.groupBy("batch")
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("__ps"))
+      .withColumn("__v", transform(col("__ps"), x =>
+        x.getField("s").cast("double")))
+      .drop("__ps")
+    val gv = per.groupBy("pos").agg(sum("s").as("s"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("__ps"))
+      .select(transform(col("__ps"), x =>
+        x.getField("s").cast("double")).as("__gv"))
+    val nv = b.groupBy("batch").agg(count(lit(1)).as("n_vecs"))
+    val prev = bv.select((col("batch") + 1).as("batch"), col("__v").as("__pv"))
+    bv.crossJoin(broadcast(gv))
+      .join(nv, Seq("batch"))
+      .join(prev, Seq("batch"), "left")
+      .select(col("batch"), col("n_vecs"),
+        floor(cosine(col("__v"), col("__gv")) * 1000 + 0.5).cast("long")
+          .as("cos_global_permille"),
+        when(col("__pv").isNotNull,
+          floor(cosine(col("__v"), col("__pv")) * 1000 + 0.5).cast("long"))
+          .as("cos_prev_permille"))
+      .orderBy("batch")
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient for (plane p,
     * dim i) derived from a splitmix64-style integer mix — reproducible
     * across runs and engines, no RNG state. Returns values in [-1, 1). */

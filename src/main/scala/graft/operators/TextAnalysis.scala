@@ -1431,4 +1431,89 @@ object TextAnalysis {
         expr("(n_pass * 1000000) div n_docs").as("pass_ppm"))
       .orderBy("source")
   }
+
+  /** Per-document TYPICALITY — the document's cross-entropy under the
+    * corpus unigram distribution, mean micronats per token: the
+    * per-DOC companion to [[sourceKlReport]]'s per-feed scalar. Low
+    * surprisal marks template/common-token documents (the redundancy
+    * a mixture designer down-weights); high surprisal marks
+    * rare-token-heavy outliers (mojibake, hex dumps, domain shift —
+    * the docs a quality review reads FIRST). The unigram form is the
+    * cheapest member of the importance-resampling family
+    * ([[dsirWeights]] uses hashed bigram ratios against a TARGET;
+    * this is the absolute "how unlike the corpus is this doc" read
+    * that needs no target at all).
+    *
+    * Exactness: H(d) = Σ_t c_dt·(ln N − ln c_t) / n_d reassembled so
+    * every ln takes an INTEGER corpus count (the [[sourceKlReport]]
+    * µnat discipline): term = c_dt·(lnµN − lnµc_t) ≥ 0 exact,
+    * DECIMAL(38,0) accumulation, one truncating div by n_d.
+    *
+    * Shape: ONE (doc_id, token) count (map-side combined), the
+    * vocab-bounded corpus count table derived from IT, a token-keyed
+    * equi-join back, one doc-keyed rollup. Tokens shuffle, bodies
+    * never; nothing quadratic.
+    *
+    * @return (doc_id, n_tokens, xent_micronat) ordered by doc_id. */
+  def docTypicality(docs: DataFrame): DataFrame = {
+    def lnMicro(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e6) + lit(0.5d)).cast("long")
+    val dt = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(dt))
+    val ct = dt.groupBy("tok").agg(sum("__c").as("__ct"))
+    val total = ct.agg(sum("__ct").as("__n"))
+    dt.join(ct, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("__c"),
+        (col("__c") * (lnMicro(col("__n")) - lnMicro(col("__ct"))))
+          .as("__term"))
+      .groupBy("doc_id")
+      .agg(sum("__c").as("n_tokens"),
+        sum(col("__term").cast("decimal(38,0)")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("cast(__s div n_tokens as bigint)").as("xent_micronat"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document k-gram DOMINANCE — the two repetition signals
+    * [[repetitionScore]]'s distinct ratio cannot see: the share of
+    * gram positions held by the single most frequent k-gram
+    * (top_share — a loop stuck on ONE phrase) and the share held by
+    * ANY gram occurring more than once (repeat_mass — diffuse
+    * re-phrasing). Two docs with the same distinct ratio can sit at
+    * opposite corners here: one boilerplate sentence repeated
+    * (top ≈ repeat ≈ high) vs many phrases each doubled (top low,
+    * repeat high) — the classic crawl-loop vs template-stuffing
+    * distinction a quality gate wants to price separately.
+    *
+    * Shape: grams are row-local literal slices of the token array
+    * (k consecutive tokens — literal text, so the oracle replays
+    * them verbatim), ONE (doc_id, gram) map-side-combined count, one
+    * doc-keyed rollup. Docs shorter than k tokens have no gram and
+    * are excluded (the [[repetitionScore]] rule). Exact integers,
+    * trunc division.
+    *
+    * @return (doc_id, n_grams, top_share_permille,
+    *         repeat_mass_permille) ordered by doc_id. */
+  def gramDominanceReport(docs: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - $k + 1), " +
+          s"i -> array_join(slice(ts, i, $k), ' '))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(sum("__c").as("n_grams"), max("__c").as("__top"),
+        sum(when(col("__c") > 1L, col("__c")).otherwise(0L)).as("__rep"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("(__top * 1000) div n_grams").as("top_share_permille"),
+        expr("(__rep * 1000) div n_grams").as("repeat_mass_permille"))
+      .orderBy("doc_id")
+  }
 }

@@ -701,4 +701,20 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("syndicationMatrix: min-id originator, within-source copies out") {
+    val docs = Seq(
+      (1L, "A", "dup one"),
+      (2L, "B", "dup one"),   // B copies A's group
+      (3L, "B", "dup one"),   // second B copy: same edge, same group
+      (4L, "A", "dup one"),   // within-source re-post: excluded
+      (5L, "C", "solo txt"),  // unshared: no edge
+      (6L, "B", "two grp"),
+      (7L, "C", "two grp")    // C copies B's group
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.syndicationMatrix(docs)
+      .as[(String, String, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq(("A", "B", 2L, 1L), ("B", "C", 1L, 1L)))
+  }
+
 }

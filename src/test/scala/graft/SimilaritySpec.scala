@@ -391,4 +391,26 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semanticDecontamination(
       corpus, bench.filter($"vec_id" < 0), tauPermille = 900).count() === 0L)
   }
+
+  test("embeddingDrift: global and step drift per arrival batch, first-batch NULL") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),  // batch 0 → [2e6, 0]
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f)),  // batch 1 → [0, 2e6]
+      (4L, Array(1.0f, 1.0f))                            // batch 2 → [1e6, 1e6]
+    ).toDF("vec_id", "embedding")
+    // global [3e6, 3e6]: batches 0/1 sit at cos 1/√2 → 707; batch 2
+    // is parallel to it → 1000. Steps: 1 vs 0 orthogonal → 0; 2 vs 1
+    // at 45° → 707; batch 0 has no predecessor → NULL.
+    val out = Similarity.embeddingDrift(emb, batchSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Array(
+      (0L, 2L, 707L, -1L),
+      (1L, 2L, 707L, 0L),
+      (2L, 1L, 1000L, 707L)))
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingDrift(emb, batchSize = 0)
+    }
+  }
 }

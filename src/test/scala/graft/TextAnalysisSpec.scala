@@ -697,6 +697,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq(("A", 2L, 1L, 500000L), ("B", 3L, 1L, 333333L)))
   }
 
+  test("docTypicality: exact micronat cross-entropy, rare-token doc reads higher") {
+    // corpus: x·3, y·1, q·1 (N = 5). lnµ5 = 1609438, lnµ3 = 1098612,
+    // lnµ1 = 0 — every term an exact integer
+    val docs = Seq(
+      (1L, "x x y"),   // x: 2·(1609438−1098612) = 1021652; y: 1609438
+      (2L, "x q"))     // x: 510826; q: 1609438
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docTypicality(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq(
+      (1L, 3L, 877030L),    // 2631090 div 3
+      (2L, 2L, 1060132L)))  // 2120264 div 2 — rarer mix, higher surprisal
+  }
+
+  test("gramDominanceReport: one stuck phrase vs diffuse repeats separate") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // grams (a b)·2, (b a)·2: top 500‰, repeat 1000‰
+      (2L, "a b c"),      // grams (a b), (b c): top 500‰, repeat 0
+      (3L, "z"),          // shorter than k: excluded
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gramDominanceReport(docs, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 500L, 1000L),
+      (2L, 2L, 500L, 0L)))  // same top share, repeat mass separates them
+    intercept[IllegalArgumentException] {
+      TextAnalysis.gramDominanceReport(docs, k = 0)
+    }
+  }
+
   test("chunkDupProfile: dup share per chunk position, partial tail chunks") {
     // 2-token chunks: docs 1/2 share chunk 0 ("hdr txt"); tails differ;
     // doc 3 is a single partial chunk, unique
