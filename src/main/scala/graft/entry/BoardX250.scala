@@ -53,6 +53,30 @@ private[graft] object BoardX250 {
     // dups at the oracle scales — the derived-fixture discipline)
     "x247_syndication" -> ((s, d) =>
       Dedup.syndicationMatrix(withMirrorFeed(s, d))),
+    // pairwise label-centroid cosine — which class PAIRS the k-NN
+    // audits will confuse (x233 reads each class against the global
+    // mean; this reads them against each other)
+    "x248_label_confusion" -> ((s, d) =>
+      Similarity.labelConfusionGeometry(Tables.embeddings(s, d))),
+    // per-source embedding coverage + mean micro-norm — which feed
+    // silently drops out of semantic dedup/ANN (docs outnumber
+    // vectors 5:2 at sf0.1, so coverage is genuinely partial)
+    "x249_embedding_coverage" -> ((s, d) =>
+      Similarity.embeddingCoverage(Tables.documents(s, d),
+        Tables.embeddings(s, d))),
+    // per-shard pack fill/pad/straddle over the x40 layout — what the
+    // sequence packing costs in training compute
+    "x250_pack_efficiency" -> ((s, d) =>
+      TextAnalysis.packEfficiencyReport(Tables.documents(s, d),
+        budgetTokens = 2048L, numShards = 8)),
+    // spend-quintile migration across the 1998-01-01 boundary —
+    // acquisition (row 0), churn (col 0), retention (diagonal) in one
+    // bounded matrix; the x149 threshold discipline applied twice
+    "x251_tier_migration" -> ((s, d) =>
+      graft.operators.Behavior.spendTierMigration(Tables.orders(s, d),
+        "o_custkey", "o_orderdate",
+        graft.queries.Relational.cents(col("o_totalprice")),
+        boundaryDate = "1998-01-01")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -157,5 +181,125 @@ private[graft] object BoardX250 {
        SELECT src_from, src_to, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups
        FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    // x248: the x233 quantized centroid CTEs, a < b self-join, the
+    // same ordered list_reduce folds
+    "x248_label_confusion" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+           UNNEST(embedding) AS x, UNNEST(range(len(embedding))) AS i
+         FROM embeddings WHERE label IS NOT NULL),
+       q AS (SELECT label, i,
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qq
+         FROM e),
+       per AS (SELECT label, i, CAST(SUM(qq) AS BIGINT) AS s
+         FROM q GROUP BY 1, 2),
+       lv AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY i) AS v
+         FROM per GROUP BY 1),
+       nv AS (SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM embeddings WHERE label IS NOT NULL GROUP BY 1),
+       p AS (SELECT a.label AS label_a, b.label AS label_b,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])),
+             (x, y) -> x + y) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(a.v, x -> x * x)), (x, y) -> x + y)) AS na,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(b.v, x -> x * x)), (x, y) -> x + y)) AS nb
+         FROM lv a JOIN lv b ON a.label < b.label)
+       SELECT p.label_a, p.label_b, va.n AS n_a, vb.n AS n_b,
+         CAST(FLOOR((CASE WHEN p.na * p.nb = 0 THEN 0.0
+           ELSE p.d / (p.na * p.nb) END) * 1000 + 0.5) AS BIGINT)
+           AS cos_permille
+       FROM p JOIN nv va ON p.label_a = va.label
+         JOIN nv vb ON p.label_b = vb.label
+       ORDER BY p.label_a, p.label_b""",
+    // x249: per-vector micro-norm over the quantized elements (same
+    // ordered fold), doc_id-keyed left join, per-source rollup
+    "x249_embedding_coverage" ->
+      """WITH v AS (SELECT vec_id AS doc_id,
+           CAST(FLOOR(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)),
+               x -> x * x)), (a, b) -> a + b)) + 0.5) AS BIGINT) AS nm
+         FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       j AS (SELECT d.source, v.nm FROM documents d
+         LEFT JOIN v ON d.doc_id = v.doc_id WHERE d.source IS NOT NULL),
+       g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(nm) AS BIGINT) AS n_with_vec, SUM(nm) AS sn
+         FROM j GROUP BY 1)
+       SELECT source, n_docs, n_with_vec,
+         CAST((n_with_vec * 1000000) // n_docs AS BIGINT) AS coverage_ppm,
+         CASE WHEN n_with_vec = 0 THEN NULL
+           ELSE CAST(sn // n_with_vec AS BIGINT) END AS mean_norm_micro
+       FROM g ORDER BY source""",
+    // x250: the x40 pack CTEs (hash shard, per-shard running sum),
+    // shard rollup, exact ceiling division for sequences consumed
+    "x250_pack_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 8 AS shard
+         FROM documents),
+       p AS (SELECT doc_id, n_tokens, shard,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_tok
+         FROM t),
+       g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN start_tok % 2048 + n_tokens > 2048
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+         FROM p GROUP BY 1)
+       SELECT shard, n_docs, n_tokens, n_straddle,
+         CAST((n_tokens + 2047) // 2048 AS BIGINT) AS n_seqs,
+         CAST(((n_tokens + 2047) // 2048) * 2048 - n_tokens AS BIGINT)
+           AS pad_tokens,
+         CAST((n_tokens * 1000000) // (((n_tokens + 2047) // 2048) * 2048)
+           AS BIGINT) AS fill_ppm
+       FROM g ORDER BY shard""",
+    // x251: the x149 quintile-ladder CTEs applied per period half,
+    // full-outer cust join, absent halves tier 0
+    "x251_tier_migration" ->
+      """WITH h1 AS (SELECT o_custkey AS cust,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS m
+         FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         GROUP BY 1),
+       h2 AS (SELECT o_custkey AS cust,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS m
+         FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+         GROUP BY 1),
+       v1 AS (SELECT m AS v, CAST(COUNT(*) AS BIGINT) AS w FROM h1 GROUP BY 1),
+       c1 AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN
+           UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(w) OVER () AS tot FROM v1),
+       q1 AS (SELECT MIN(CASE WHEN cum * 5 >= tot THEN v END) AS t1,
+           MIN(CASE WHEN cum * 5 >= tot * 2 THEN v END) AS t2,
+           MIN(CASE WHEN cum * 5 >= tot * 3 THEN v END) AS t3,
+           MIN(CASE WHEN cum * 5 >= tot * 4 THEN v END) AS t4 FROM c1),
+       v2 AS (SELECT m AS v, CAST(COUNT(*) AS BIGINT) AS w FROM h2 GROUP BY 1),
+       c2 AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN
+           UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(w) OVER () AS tot FROM v2),
+       q2 AS (SELECT MIN(CASE WHEN cum * 5 >= tot THEN v END) AS t1,
+           MIN(CASE WHEN cum * 5 >= tot * 2 THEN v END) AS t2,
+           MIN(CASE WHEN cum * 5 >= tot * 3 THEN v END) AS t3,
+           MIN(CASE WHEN cum * 5 >= tot * 4 THEN v END) AS t4 FROM c2),
+       s1 AS (SELECT cust, 1 + CASE WHEN m > t1 THEN 1 ELSE 0 END
+           + CASE WHEN m > t2 THEN 1 ELSE 0 END
+           + CASE WHEN m > t3 THEN 1 ELSE 0 END
+           + CASE WHEN m > t4 THEN 1 ELSE 0 END AS t FROM h1, q1),
+       s2 AS (SELECT cust, 1 + CASE WHEN m > t1 THEN 1 ELSE 0 END
+           + CASE WHEN m > t2 THEN 1 ELSE 0 END
+           + CASE WHEN m > t3 THEN 1 ELSE 0 END
+           + CASE WHEN m > t4 THEN 1 ELSE 0 END AS t FROM h2, q2),
+       f AS (SELECT COALESCE(s1.t, 0) AS tier_before,
+           COALESCE(s2.t, 0) AS tier_after
+         FROM s1 FULL OUTER JOIN s2 ON s1.cust = s2.cust)
+       SELECT CAST(tier_before AS BIGINT) AS tier_before,
+         CAST(tier_after AS BIGINT) AS tier_after,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+       FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

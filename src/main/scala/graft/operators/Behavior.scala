@@ -1472,4 +1472,58 @@ object Behavior {
           .cast("long") - expr("__s div n_events")).as("entropy_micronat"))
       .orderBy("user_id")
   }
+
+  /** Spend-tier MIGRATION matrix — where [[rfmSegments]] scores
+    * customers ONCE, this scores them in two adjacent periods and
+    * crosses the results: per (tier_before, tier_after) cell, how many
+    * customers moved. Tiers are the same exact quintile discipline
+    * (cumulative-histogram thresholds on the DISTINCT-value weight
+    * table, score = 1 + #thresholds strictly exceeded); customers
+    * absent from a period take tier 0 — so row 0/* is acquisition,
+    * */0 is churn, and the diagonal is retention, all in one ≤36-row
+    * matrix. The read that turns two RFM snapshots into a retention
+    * decision ("our top tier churns at X‰").
+    *
+    * Shape: two customer-keyed cents aggregations (one per period),
+    * each scored against four broadcast 1-row threshold scalars, one
+    * full-outer id-keyed join, one bounded rollup. The only windows
+    * run over the distinct-value tables (bounded by |distinct spend
+    * values|, never raw rows).
+    *
+    * @return (tier_before, tier_after, n_customers) ordered by
+    *         tier_before, tier_after. */
+  def spendTierMigration(orders: DataFrame, custCol: String,
+                         tsCol: String, amountCents: Column,
+                         boundaryDate: String): DataFrame = {
+    def half(pred: Column): DataFrame = orders.filter(pred)
+      .groupBy(col(custCol).as("cust")).agg(sum(amountCents).as("__m"))
+    def tiers(h: DataFrame): DataFrame = {
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vals = h.groupBy(col("__m").as("__v")).agg(count(lit(1)).as("__w"))
+      val tot = vals.agg(sum("__w").as("__tot"))
+      val qs = vals.crossJoin(broadcast(tot))
+        .withColumn("__cum", sum("__w").over(w))
+        .agg(min(when(col("__cum") * 5 >= col("__tot"), col("__v"))).as("q1"),
+          min(when(col("__cum") * 5 >= col("__tot") * 2, col("__v"))).as("q2"),
+          min(when(col("__cum") * 5 >= col("__tot") * 3, col("__v"))).as("q3"),
+          min(when(col("__cum") * 5 >= col("__tot") * 4, col("__v"))).as("q4"))
+      h.crossJoin(broadcast(qs))
+        .select(col("cust"),
+          (lit(1L) + when(col("__m") > col("q1"), 1L).otherwise(0L)
+            + when(col("__m") > col("q2"), 1L).otherwise(0L)
+            + when(col("__m") > col("q3"), 1L).otherwise(0L)
+            + when(col("__m") > col("q4"), 1L).otherwise(0L)).as("__t"))
+    }
+    val boundary = lit(boundaryDate).cast("date")
+    val before = tiers(half(to_date(col(tsCol)) < boundary))
+      .select(col("cust"), col("__t").as("__tb"))
+    val after = tiers(half(to_date(col(tsCol)) >= boundary))
+      .select(col("cust"), col("__t").as("__ta"))
+    before.join(after, Seq("cust"), "full_outer")
+      .groupBy(coalesce(col("__tb"), lit(0L)).as("tier_before"),
+        coalesce(col("__ta"), lit(0L)).as("tier_after"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("tier_before", "tier_after")
+  }
 }

@@ -684,6 +684,99 @@ object Similarity {
       .orderBy("batch")
   }
 
+  /** Pairwise label-centroid CONFUSION geometry — which class PAIRS
+    * sit close: [[labelCentroids]] reads each class against the
+    * global mean; this reads every (a, b) pair against each other.
+    * cos → 1000‰ marks the pair a k-NN label audit ([[knnLabelAudit]])
+    * will mass-confuse and hard-negative mining ([[hardNegatives]])
+    * should focus on; a matrix of low pairwise cosines certifies the
+    * label space is geometrically separated before audit spend.
+    *
+    * Exactness/shape: the [[labelCentroids]] discipline — elements
+    * micro-quantize so per-(label, dim) sums are exact integers,
+    * cosine runs on the integer SUM vectors via the ordered fold both
+    * engines replay bit-for-bit. One posexplode + (label, dim) agg,
+    * the |L|-row vector table materialized once and self-joined
+    * a < b — output ≤ C(|L|, 2) rows, never data-scale.
+    *
+    * @return (label_a, label_b, n_a, n_b, cos_permille) ordered by
+    *         label_a, label_b. */
+  def labelConfusionGeometry(emb: DataFrame, idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             labelCol: String = "label"): DataFrame = {
+    val labeled = emb.filter(col(labelCol).isNotNull)
+    val lv = labeled
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)))
+      .select(col("label"), col("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("q"))
+      .groupBy("label", "pos").agg(sum("q").as("s"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("__ps"))
+      .withColumn("__v", transform(col("__ps"), x =>
+        x.getField("s").cast("double")))
+      .drop("__ps")
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(lv))
+    val nv = labeled.groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val a = lv.join(nv, Seq("label"))
+      .select(col("label").as("label_a"), col("__v").as("__va"),
+        col("n").as("n_a"))
+    val b = lv.join(nv, Seq("label"))
+      .select(col("label").as("label_b"), col("__v").as("__vb"),
+        col("n").as("n_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        floor(cosine(col("__va"), col("__vb")) * 1000 + 0.5).cast("long")
+          .as("cos_permille"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** Per-source embedding COVERAGE — the governance read before any
+    * semantic operator runs corpus-wide: which feed's documents
+    * actually HAVE an embedding row (doc_id-keyed), and at what mean
+    * vector norm. A low-coverage source silently drops out of
+    * semantic dedup / ANN retrieval and its duplicates survive; a
+    * source whose mean norm sits far from peers went through a
+    * different encoder or normalization (read with [[embeddingDrift]]
+    * — that localizes WHEN, this localizes WHO).
+    *
+    * Exactness: per-vector norms compute over the µ-quantized integer
+    * elements (the [[labelCentroids]] discipline) and round to an
+    * integer micro-norm per vector, so the per-source mean is an
+    * exact integer division.
+    *
+    * Shape: one id-keyed left equi-join (doc→vector, both sides hash
+    * on the id), one source-keyed map-side-combined rollup. Bodies
+    * and raw vectors never shuffle — the join carries a 1-long norm.
+    *
+    * @return (source, n_docs, n_with_vec, coverage_ppm,
+    *         mean_norm_micro — NULL for uncovered sources) ordered by
+    *         source. */
+  def embeddingCoverage(docs: DataFrame, emb: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        sourceCol: String = "source"): DataFrame = {
+    val vecs = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        floor(norm(transform(col(vecCol), x =>
+          floor(x.cast("double") * 1e6 + 0.5).cast("double"))) + 0.5)
+          .cast("long").as("__nm"))
+    docs.filter(col(sourceCol).isNotNull)
+      .select(col("doc_id"), col(sourceCol).as("source"))
+      .join(vecs, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count(col("__nm")).as("n_with_vec"),
+        sum("__nm").as("__sn"))
+      .select(col("source"), col("n_docs"), col("n_with_vec"),
+        expr("(n_with_vec * 1000000) div n_docs").as("coverage_ppm"),
+        expr("case when n_with_vec = 0 then null " +
+          "else cast(__sn div n_with_vec as bigint) end")
+          .as("mean_norm_micro"))
+      .orderBy("source")
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient for (plane p,
     * dim i) derived from a splitmix64-style integer mix — reproducible
     * across runs and engines, no RNG state. Returns values in [-1, 1). */

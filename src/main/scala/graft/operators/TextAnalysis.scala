@@ -1516,4 +1516,41 @@ object TextAnalysis {
         expr("(__rep * 1000) div n_grams").as("repeat_mass_permille"))
       .orderBy("doc_id")
   }
+
+  /** Sequence-pack EFFICIENCY — what [[packSequences]]' layout costs
+    * in training compute, per shard: sequences consumed, pad tokens
+    * burned (only the shard's LAST sequence pads — documents straddle
+    * boundaries exactly as the token stream does), fill rate, and how
+    * many documents STRADDLE a sequence boundary (the docs whose
+    * attention context is cut — the number that decides whether the
+    * budget or the shard count moves). A fill_ppm far below peers
+    * marks a shard the hash layout starved; a high straddle share at
+    * a small budget says the budget is under the corpus' typical doc
+    * length.
+    *
+    * Shape: composes [[packSequences]] (whose one shuffle is the
+    * per-shard pack window) and adds ONE shard-keyed
+    * map-side-combined rollup — sequences-consumed derives from the
+    * shard token total by exact ceiling division, no per-sequence
+    * pass. Exact integers throughout.
+    *
+    * @return (shard, n_docs, n_tokens, n_straddle, n_seqs,
+    *         pad_tokens, fill_ppm) ordered by shard. */
+  def packEfficiencyReport(docs: DataFrame, budgetTokens: Long = 2048L,
+                           numShards: Int = 8): DataFrame = {
+    val packed = packSequences(docs, budgetTokens, numShards)
+    packed.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum(when(col("offset_in_seq") + col("n_tokens") > budgetTokens, 1L)
+          .otherwise(0L)).as("n_straddle"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_straddle"),
+        expr(s"(n_tokens + ${budgetTokens - 1}) div $budgetTokens")
+          .as("n_seqs"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_straddle"),
+        col("n_seqs"),
+        (col("n_seqs") * budgetTokens - col("n_tokens")).as("pad_tokens"),
+        expr(s"(n_tokens * 1000000) div (n_seqs * $budgetTokens)")
+          .as("fill_ppm"))
+      .orderBy("shard")
+  }
 }

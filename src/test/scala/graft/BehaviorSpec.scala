@@ -879,4 +879,22 @@ class BehaviorSpec extends SparkSpec with SlowSuite {
       (1L, 5L, 1L, 0L),
       (2L, 6L, 2L, 693147L)))
   }
+
+  test("spendTierMigration: per-half quintiles, acquisition row 0, churn col 0") {
+    // H1: custs 1..5 spend 100..500 → tiers 1..5 (distinct-value
+    // ladder, each value its own quintile). H2: custs 2..5 reversed
+    // (400/300/200/100 → tiers 4/3/2/1) + new cust 6 at 500 → tier 5.
+    // Cust 1 buys nothing in H2 → (1, 0); cust 6 is new → (0, 5).
+    val orders = (1L to 5L).map(c => (c, "1999-05-01", c * 100L)) ++ Seq(
+      (2L, "2001-05-01", 400L), (3L, "2001-05-01", 300L),
+      (4L, "2001-05-01", 200L), (5L, "2001-05-01", 100L),
+      (6L, "2001-05-01", 500L))
+    val df = orders.toDF("cust", "d", "amt")
+    val out = Behavior.spendTierMigration(df, "cust", "d", col("amt"),
+      boundaryDate = "2000-01-01")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 5L, 1L), (1L, 0L, 1L), (2L, 4L, 1L),
+      (3L, 3L, 1L), (4L, 2L, 1L), (5L, 1L, 1L)))
+  }
 }

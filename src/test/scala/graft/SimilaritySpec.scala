@@ -413,4 +413,40 @@ class SimilaritySpec extends SparkSpec {
       Similarity.embeddingDrift(emb, batchSize = 0)
     }
   }
+
+  test("labelConfusionGeometry: axis-aligned classes separate, diagonal pair close") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), Some(0)),
+      (1L, Array(1.0f, 0.0f), Some(0)),
+      (2L, Array(0.0f, 1.0f), Some(1)),
+      (3L, Array(1.0f, 1.0f), Some(2)),
+      (4L, Array(2.0f, 2.0f), None)  // unlabeled: out
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelConfusionGeometry(emb)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq(
+      (0L, 1L, 2L, 1L, 0L),     // orthogonal centroids
+      (0L, 2L, 2L, 1L, 707L),   // 45°
+      (1L, 2L, 1L, 1L, 707L)))
+  }
+
+  test("embeddingCoverage: per-source coverage and mean micro-norm, uncovered NULL") {
+    val docs = Seq(
+      (1L, "A"), (2L, "A"),  // A: one covered doc
+      (3L, "B"),             // B: covered by a zero vector (norm 0)
+      (4L, "C"))             // C: no vector at all
+      .toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f)),   // norm 5.0 → 5_000_000 micro
+      (3L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingCoverage(docs, emb).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out === Array(
+      ("A", 2L, 1L, 500000L, 5000000L),
+      ("B", 1L, 1L, 1000000L, 0L),
+      ("C", 1L, 0L, 0L, -1L)))
+  }
 }

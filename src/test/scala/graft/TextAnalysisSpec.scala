@@ -729,6 +729,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("packEfficiencyReport: seqs by ceiling division, straddle and tail pad") {
+    // one shard (numShards = 1), budget 4: stream a(3) b(3) c(1) = 7
+    // tokens → 2 sequences, 1 pad token; doc 2 starts at offset 3 and
+    // spans the boundary (3 + 3 > 4), docs 1/3 do not
+    val docs = Seq(
+      (1L, "t1 t2 t3"),
+      (2L, "t4 t5 t6"),
+      (3L, "t7"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packEfficiencyReport(docs, budgetTokens = 4L,
+      numShards = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 3L, 7L, 1L, 2L, 1L, 875000L)))
+  }
+
   test("chunkDupProfile: dup share per chunk position, partial tail chunks") {
     // 2-token chunks: docs 1/2 share chunk 0 ("hdr txt"); tails differ;
     // doc 3 is a single partial chunk, unique
