@@ -77,6 +77,31 @@ private[graft] object BoardX250 {
         "o_custkey", "o_orderdate",
         graft.queries.Relational.cents(col("o_totalprice")),
         boundaryDate = "1998-01-01")),
+    // per-source vocabulary Herfindahl concentration — template-
+    // hammering feeds read far above peers, diverse tails → 1/vocab
+    "x252_vocab_hhi" -> ((s, d) =>
+      TextAnalysis.vocabHhiReport(Tables.documents(s, d))),
+    // leave-one-source-out shift of mean document length — the
+    // jackknife "which feed dominates the metric" governance read
+    "x253_source_sensitivity" -> ((s, d) =>
+      graft.operators.Profiling.sourceSensitivity(
+        Tables.documents(s, d), "source", "n_chars")),
+    // incremental pack append over the id-halved corpus: the arriving
+    // half placed against the standing half's shard state — certified
+    // by the append law (placements ≡ the one-shot x40 layout)
+    "x254_pack_append" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max("doc_id").as("__m"))
+      val base = docs.crossJoin(broadcast(mx))
+        .filter(col("doc_id") * 2 <= col("__m")).drop("__m")
+      val delta = docs.crossJoin(broadcast(mx))
+        .filter(col("doc_id") * 2 > col("__m")).drop("__m")
+      TextAnalysis.packAppend(delta,
+        TextAnalysis.packShardState(
+          TextAnalysis.packSequences(base, budgetTokens = 2048L,
+            numShards = 8)),
+        budgetTokens = 2048L, numShards = 8)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -301,5 +326,58 @@ private[graft] object BoardX250 {
          CAST(tier_after AS BIGINT) AS tier_after,
          CAST(COUNT(*) AS BIGINT) AS n_customers
        FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+    // x252: one (source, token) count table, HUGEINT Σc² and n²
+    // (the x220 decimal discipline), one truncating div
+    "x252_vocab_hhi" ->
+      """WITH tok0 AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+           FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+       st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok0 GROUP BY 1, 2),
+       g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           SUM(CAST(c AS HUGEINT) * c) AS s2
+         FROM st GROUP BY 1)
+       SELECT source, n_tokens, vocab,
+         CAST((s2 * 1000000) // (CAST(n_tokens AS HUGEINT) * n_tokens)
+           AS BIGINT) AS hhi_ppm
+       FROM g ORDER BY source""",
+    // x253: per-source exact integer sums, the leave-one-out rational
+    // ((S−s)·N − S·(N−n))·10⁶ // (S·(N−n)), NULL when the source IS
+    // the corpus or the remainder mean is zero
+    "x253_source_sensitivity" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS s
+         FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+         GROUP BY 1),
+       tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS nt,
+           CAST(SUM(s) AS BIGINT) AS st FROM per)
+       SELECT source, n_rows,
+         CAST(CASE WHEN nt = n_rows
+             OR CAST(st AS HUGEINT) * (nt - n_rows) = 0 THEN NULL
+           ELSE (((st - s) * CAST(nt AS HUGEINT)
+             - CAST(st AS HUGEINT) * (nt - n_rows)) * 1000000)
+             // (CAST(st AS HUGEINT) * (nt - n_rows)) END AS BIGINT)
+           AS loo_delta_ppm
+       FROM per, tot ORDER BY source""",
+    // x254: the append LAW is the oracle — the one-shot x40 pack CTEs
+    // over the whole corpus, filtered to the arriving (upper-id) half:
+    // incremental placements must land exactly where a full re-pack
+    // would put them
+    "x254_pack_append" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       t AS (SELECT doc_id,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 8 AS shard
+         FROM documents),
+       p AS (SELECT doc_id, n_tokens, shard,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_tok
+         FROM t)
+       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+         CAST(start_tok // 2048 AS BIGINT) AS seq_in_shard,
+         CAST(start_tok % 2048 AS BIGINT) AS offset_in_seq
+       FROM p, mx WHERE doc_id * 2 > m ORDER BY doc_id""",
   )
 }

@@ -1582,4 +1582,41 @@ object Profiling {
             div (cast(2 as decimal(38,0)) * n_pos * n_neg) end as bigint)""")
           .as("auc_micro"))
   }
+
+  /** Leave-one-source-out SENSITIVITY — how much the corpus mean of a
+    * metric moves when each feed is dropped, in ppm of the overall
+    * mean: the jackknife read that turns "source X looks odd" into
+    * "dropping source X shifts mean document length by −84000 ppm".
+    * A source with |delta| far above its volume share dominates the
+    * metric (one feed of 10⁶-char dumps drags the mean everyone else
+    * is judged against); near-zero deltas certify the metric is
+    * source-robust before a mixture decision leans on it.
+    *
+    * Exact: delta_ppm = ((S−s)·N − S·(N−n))·10⁶ div (S·(N−n)) — one
+    * rational expression on exact integer sums, DECIMAL(38,0)
+    * intermediates, truncating div; NULL when the source IS the
+    * corpus (no leave-out population) or the remainder mean is 0.
+    *
+    * Shape: one source-keyed map-side-combined aggregation; the
+    * corpus total is a broadcast 1-row cross join. Nothing rescans.
+    *
+    * @return (source, n_rows, loo_delta_ppm) ordered by source. */
+  def sourceSensitivity(df: DataFrame, sourceCol: String,
+                        metricCol: String): DataFrame = {
+    val per = df.filter(col(sourceCol).isNotNull && col(metricCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(metricCol).cast("long")).as("__s"))
+    val tot = per.agg(sum("n_rows").as("__nt"), sum("__s").as("__st"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_rows"),
+        expr("""cast(case when __nt = n_rows
+               or cast(__st as decimal(38,0)) * (__nt - n_rows) = 0
+             then null
+             else (((__st - __s) * cast(__nt as decimal(38,0))
+               - cast(__st as decimal(38,0)) * (__nt - n_rows)) * 1000000)
+               div (cast(__st as decimal(38,0)) * (__nt - n_rows))
+             end as bigint)""").as("loo_delta_ppm"))
+      .orderBy("source")
+  }
 }

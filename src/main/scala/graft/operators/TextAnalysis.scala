@@ -1517,6 +1517,83 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL sequence packing — place an ARRIVING batch of
+    * documents without re-packing the standing corpus: each shard's
+    * token stream continues from its stored total, so
+    * `packSequences(all)` ≡ `packSequences(base) ∪ packAppend(delta,
+    * state(base))` whenever the delta's doc_ids follow the base's
+    * (the append law — the production case, since ids are
+    * producer-sequence). The difference at 100 TB: a daily ingest
+    * pays one window over the BATCH, not a re-sort of the corpus —
+    * the x145/x150 incremental discipline applied to layout.
+    *
+    * `shardTokens` is the standing state: (shard, base_tokens) —
+    * [[packShardState]] derives it from a packed table in one
+    * bounded aggregation; persist it with the layout and the corpus
+    * never re-reads.
+    *
+    * @return (doc_id, n_tokens, shard, seq_in_shard, offset_in_seq)
+    *         for the new docs only, continuing each shard's stream. */
+  def packAppend(newDocs: DataFrame, shardTokens: DataFrame,
+                 budgetTokens: Long, numShards: Int = 8): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens ($budgetTokens) must be >= 1")
+    require(numShards >= 1, s"numShards ($numShards) must be >= 1")
+    require(shardTokens.columns.contains("shard")
+        && shardTokens.columns.contains("base_tokens"),
+      s"shard state needs (shard, base_tokens), got " +
+        shardTokens.columns.mkString(","))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    newDocs.select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))
+      .withColumn("shard", Sampling.hashMod(col("doc_id"), numShards.toLong))
+      .join(broadcast(shardTokens), Seq("shard"), "left")
+      .withColumn("start_tok", coalesce(col("base_tokens"), lit(0L))
+        + coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        expr(s"start_tok div $budgetTokens").as("seq_in_shard"),
+        expr(s"start_tok % $budgetTokens").as("offset_in_seq"))
+      .orderBy("doc_id")
+  }
+
+  /** The standing per-shard state [[packAppend]] continues from —
+    * one bounded aggregation over a packed table (or equivalently
+    * over the base corpus itself). */
+  def packShardState(packed: DataFrame): DataFrame =
+    packed.groupBy("shard").agg(sum("n_tokens").as("base_tokens"))
+
+  /** Per-source vocabulary CONCENTRATION — the Herfindahl index of
+    * the feed's token distribution, ppm: HHI = Σ_t (c_t/n)². The
+    * scalar that separates a feed whose volume is a few templates
+    * hammered (HHI far above peers — x245's dominance signal at FEED
+    * granularity) from one with a long diverse tail (HHI → 1/vocab).
+    * Reads between [[hapaxShareReport]] (the tail end) and
+    * [[sourceKlReport]] (distance from the mixture): concentration
+    * is internal to the feed, no reference needed.
+    *
+    * Exact integers: HHI_ppm = (Σc²·10⁶) div n², Σc² and n²
+    * accumulated in DECIMAL(38,0) (a 10⁹-token source squares past
+    * 2⁶³ — the dispersionIndex discipline), one truncating div.
+    *
+    * Shape: ONE (source, token) map-side-combined count, one
+    * source-keyed rollup over it. Tokens shuffle once, bodies never.
+    *
+    * @return (source, n_tokens, vocab, hhi_ppm) ordered by source. */
+  def vocabHhiReport(docs: DataFrame,
+                     sourceCol: String = "source"): DataFrame =
+    docs.filter(col(sourceCol).isNotNull && col("text").isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("__c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("__c").as("n_tokens"),
+        sum(expr("cast(__c as decimal(38,0)) * __c")).as("__s2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("""cast((__s2 * 1000000)
+             div (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)""")
+          .as("hhi_ppm"))
+      .orderBy("source")
+
   /** Sequence-pack EFFICIENCY — what [[packSequences]]' layout costs
     * in training compute, per shard: sequences consumed, pad tokens
     * burned (only the shard's LAST sequence pads — documents straddle

@@ -776,4 +776,17 @@ class StatsSpec extends SparkSpec {
       Profiling.rankAuc(Seq((1L, 2L)).toDF("s", "y"), "s", "y").collect()
     }
   }
+
+  test("sourceSensitivity: leave-one-out mean shift, single-source NULL") {
+    // A: rows 10, 20 (sum 30); B: one row of 60. Mean 30; dropping A
+    // → 60 (+1000000 ppm); dropping B → 15 (−500000 ppm).
+    val df = Seq(("A", 10L), ("A", 20L), ("B", 60L)).toDF("src", "v")
+    val out = Profiling.sourceSensitivity(df, "src", "v")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("A", 2L, 1000000L), ("B", 1L, -500000L)))
+    // a source that IS the corpus has no leave-out population
+    val solo = Profiling.sourceSensitivity(
+      Seq(("A", 5L)).toDF("src", "v"), "src", "v").head()
+    assert(solo.isNullAt(2))
+  }
 }

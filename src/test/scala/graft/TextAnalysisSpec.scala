@@ -744,6 +744,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq((0L, 3L, 7L, 1L, 2L, 1L, 875000L)))
   }
 
+  test("vocabHhiReport: template concentration reads above a diverse tail") {
+    val docs = Seq(
+      ("A", "x x y"),   // c = {2, 1}: HHI = 5·10⁶ // 9 = 555555
+      ("B", "a b c"))   // c = {1, 1, 1}: HHI = 3·10⁶ // 9 = 333333
+      .toDF("source", "text")
+    val out = TextAnalysis.vocabHhiReport(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("A", 3L, 2L, 555555L), ("B", 3L, 3L, 333333L)))
+  }
+
+  test("packAppend: the append law — incremental ≡ one-shot on trailing ids") {
+    val all = Seq(
+      (1L, "t1 t2 t3"), (2L, "t4 t5"), (3L, "t6 t7 t8 t9"),
+      (4L, "u1 u2"), (5L, "u3 u4 u5"), (6L, "u6"))
+      .toDF("doc_id", "text")
+    val base = all.filter($"doc_id" <= 3)
+    val delta = all.filter($"doc_id" > 3)
+    val oneShot = TextAnalysis.packSequences(all, budgetTokens = 4L,
+      numShards = 2).collect().map(_.toSeq).toSet
+    val packedBase = TextAnalysis.packSequences(base, budgetTokens = 4L,
+      numShards = 2)
+    val appended = TextAnalysis.packAppend(delta,
+      TextAnalysis.packShardState(packedBase), budgetTokens = 4L,
+      numShards = 2)
+    val union = packedBase.collect().map(_.toSeq).toSet ++
+      appended.collect().map(_.toSeq).toSet
+    assert(union === oneShot)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packAppend(delta, packedBase /* wrong shape */,
+        budgetTokens = 4L, numShards = 2)
+    }
+  }
+
   test("chunkDupProfile: dup share per chunk position, partial tail chunks") {
     // 2-token chunks: docs 1/2 share chunk 0 ("hdr txt"); tails differ;
     // doc 3 is a single partial chunk, unique
