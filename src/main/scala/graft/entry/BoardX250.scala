@@ -102,6 +102,23 @@ private[graft] object BoardX250 {
             numShards = 8)),
         budgetTokens = 2048L, numShards = 8)
     },
+    // top-3 parts by net revenue per supplier through the native
+    // topk_pairs bounded aggregate — the BI per-group top-N in its
+    // shuffle-O(groups·k) form, zero rank windows (PlanSpec-guarded)
+    "x255_grouped_topk" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(graft.queries.Relational.cents(
+          col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("rev_cents"))
+      graft.queries.Relational.groupedTopK(rev, "l_suppkey", "l_partkey",
+        "rev_cents", k = 3)
+    },
+    // per-source bigram conditional entropy — feed PREDICTABILITY
+    // (template feeds → 0 even with diverse vocabulary; x252 cannot
+    // see transition freedom, this is exactly that)
+    "x256_bigram_entropy" -> ((s, d) =>
+      TextAnalysis.bigramEntropyReport(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -379,5 +396,42 @@ private[graft] object BoardX250 {
          CAST(start_tok // 2048 AS BIGINT) AS seq_in_shard,
          CAST(start_tok % 2048 AS BIGINT) AS offset_in_seq
        FROM p, mx WHERE doc_id * 2 > m ORDER BY doc_id""",
+    // x255: the Spark side plans through the bounded aggregate; the
+    // oracle is the rank-window spelling it is spec-pinned equal to
+    "x255_grouped_topk" ->
+      """WITH r AS (SELECT l_suppkey, l_partkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM lineitem GROUP BY 1, 2),
+       w AS (SELECT l_suppkey, l_partkey, rev_cents,
+           ROW_NUMBER() OVER (PARTITION BY l_suppkey
+             ORDER BY rev_cents DESC, l_partkey) AS rnk
+         FROM r)
+       SELECT l_suppkey, l_partkey, CAST(rnk AS BIGINT) AS rank, rev_cents
+       FROM w WHERE rnk <= 3 ORDER BY l_suppkey, rank""",
+    // x256: one (source, u, v) count table, prefix totals from it,
+    // integer micronat ln terms, HUGEINT sum, truncating div
+    "x256_bigram_entropy" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS ts
+           FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+       le AS (SELECT source, ts FROM toks WHERE len(ts) >= 2),
+       pos AS (SELECT source, ts, UNNEST(range(1, len(ts))) AS i FROM le),
+       b AS (SELECT source, ts[i] AS u, ts[i+1] AS v FROM pos),
+       bc AS (SELECT source, u, v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3),
+       pu AS (SELECT source, u, CAST(SUM(c) AS BIGINT) AS cu
+           FROM bc GROUP BY 1, 2),
+       t AS (SELECT bc.source, bc.c,
+           bc.c * (CAST(FLOOR(ln(CAST(pu.cu AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT)
+             - CAST(FLOOR(ln(CAST(bc.c AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT)) AS term
+         FROM bc JOIN pu ON bc.source = pu.source AND bc.u = pu.u),
+       g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS vocab_bigrams, SUM(term) AS s2
+         FROM t GROUP BY 1)
+       SELECT source, n_bigrams, vocab_bigrams,
+         CAST(s2 // n_bigrams AS BIGINT) AS cond_entropy_micronat
+       FROM g ORDER BY source""",
   )
 }

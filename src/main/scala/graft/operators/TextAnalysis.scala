@@ -1594,6 +1594,57 @@ object TextAnalysis {
           .as("hhi_ppm"))
       .orderBy("source")
 
+  /** Per-source bigram CONDITIONAL entropy H(next | prev) — the feed
+    * PREDICTABILITY scalar: how much of each next token is determined
+    * by the one before it. A templated/boilerplate feed reads near 0
+    * (every prefix forces its continuation — the stuck-phrase signal
+    * of [[gramDominanceReport]] as one number per feed); natural
+    * prose reads high. Distinct from [[bigramSurprisal]] (per-DOC
+    * outlier score under the CORPUS model) and [[vocabHhiReport]]
+    * (unigram concentration — a feed can have diverse vocabulary yet
+    * zero transition freedom; this catches exactly that).
+    *
+    * Exactness: H = Σ_uv c_uv·(ln c_u − ln c_uv) / N — every ln takes
+    * an INTEGER count (the [[sourceKlReport]] µnat discipline), terms
+    * ≥ 0 exact, DECIMAL(38,0) accumulation, one truncating div.
+    *
+    * Shape: bigrams derive row-locally, ONE (source, u, v) map-side-
+    * combined count materialized once (the prefix totals and the term
+    * table both read it), a (source, u)-keyed equi-join, one source
+    * rollup. Tokens shuffle, bodies never.
+    *
+    * @return (source, n_bigrams, vocab_bigrams,
+    *         cond_entropy_micronat) ordered by source. */
+  def bigramEntropyReport(docs: DataFrame,
+                          sourceCol: String = "source"): DataFrame = {
+    def lnMicro(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e6) + lit(0.5d)).cast("long")
+    val bi = docs
+      .filter(col(sourceCol).isNotNull && col("text").isNotNull)
+      .select(col(sourceCol).as("source"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) as u, element_at(ts, i + 1) as v))"))
+        .as("b"))
+      .select(col("source"), col("b.u").as("u"), col("b.v").as("v"))
+      .groupBy("source", "u", "v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(bi))
+    val pu = bi.groupBy("source", "u").agg(sum("__c").as("__cu"))
+    bi.join(pu, Seq("source", "u"))
+      .select(col("source"), col("__c"),
+        (col("__c") * (lnMicro(col("__cu")) - lnMicro(col("__c"))))
+          .as("__term"))
+      .groupBy("source")
+      .agg(sum("__c").as("n_bigrams"), count(lit(1)).as("vocab_bigrams"),
+        sum(col("__term").cast("decimal(38,0)")).as("__s"))
+      .select(col("source"), col("n_bigrams"), col("vocab_bigrams"),
+        expr("cast(__s div n_bigrams as bigint)")
+          .as("cond_entropy_micronat"))
+      .orderBy("source")
+  }
+
   /** Sequence-pack EFFICIENCY — what [[packSequences]]' layout costs
     * in training compute, per shard: sequences consumed, pad tokens
     * burned (only the shard's LAST sequence pads — documents straddle

@@ -517,4 +517,33 @@ object Relational {
       .unpivot(ids.map(col).toArray,
         measures.map(m => col(m._1)).toArray, varName, valueName)
   }
+
+  /** Per-group top-k through the native `topk_pairs` bounded
+    * aggregate — the RELATIONAL face of the similarity tier's
+    * rank-window replacement (TopKAggregate.scala): a rank window
+    * shuffles EVERY scored row to rank it; this folds each partition
+    * to a ≤k buffer map-side, so the shuffle carries O(groups·k) rows
+    * however large the fact table. The "top N products per region /
+    * top parts per supplier" query every BI layer runs, in its 100 TB
+    * form. Ties broken by (score DESC, id ASC) — exactly the rank
+    * window's order, spec-pinned row-for-row (SimilaritySpec).
+    *
+    * The score transits the aggregate as double: exact for integer
+    * scores below 2⁵³ (cents at any realistic scale); the id must be
+    * integral. Output score is cast back to long.
+    *
+    * @return (groupCol, idCol, rank, scoreCol) ordered by group,
+    *         rank. */
+  def groupedTopK(df: DataFrame, groupCol: String, idCol: String,
+                  scoreCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(col(groupCol))
+      .agg(call_function("topk_pairs", col(idCol).cast("long"),
+        col(scoreCol).cast("double"), lit(k)).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")))
+      .select(col(groupCol), col("col.neighbor_id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").cast("long").as(scoreCol))
+      .orderBy(groupCol, "rank")
+  }
 }

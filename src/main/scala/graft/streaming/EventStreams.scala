@@ -346,6 +346,44 @@ object EventStreams {
       }
   }
 
+  case class BackstepOut(event_id: Long, user_id: Long, backstep_us: Long)
+
+  /** Streaming arrival-order integrity — the IN-FLIGHT twin of
+    * [[graft.operators.Sessions.arrivalIntegrity]] (x242): the batch
+    * audit measures producer-sequence disorder after the fact; this
+    * watches it live, per event, so a watermark/sessionize deployment
+    * learns the moment a feed starts delivering out of order instead
+    * of at the nightly audit. Each event is compared against the
+    * PREVIOUS event of the same user in producer order (event_id —
+    * the per-batch iterator sorts on it and the last-seen timestamp
+    * carries across micro-batches): a timestamp stepping backward
+    * emits its backstep in µs; in-order events and a user's first
+    * event emit −1 (the batch audit's NULL, kept as a sentinel so the
+    * output stays append-only and fixed-width). State per user is ONE
+    * long.
+    *
+    * Spec-asserted ≡: per-user rollup of the emitted backsteps equals
+    * [[graft.operators.Sessions.arrivalIntegrity]] on the same closed
+    * corpus, across micro-batch splits. */
+  def arrivalIntegrityStream(events: Dataset[TypedEvent]): Dataset[BackstepOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, BackstepOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, batch: Iterator[TypedEvent], state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = batch.toSeq.sortBy(_.event_id).map { e =>
+            val b = last.collect {
+              case l if e.ts_ns < l => (l - e.ts_ns) / 1000L
+            }.getOrElse(-1L)
+            last = Some(e.ts_ns)
+            BackstepOut(e.event_id, e.user_id, b)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class NewReturningOut(event_id: Long, user_id: Long, is_new: Int)
 
   /** Streaming new-vs-returning classification — the in-flight twin

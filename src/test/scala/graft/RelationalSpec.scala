@@ -99,4 +99,22 @@ class RelationalSpec extends SparkSpec {
     assert(out === Seq((1L, "a", 10L), (1L, "b", 100L),
       (2L, "a", 20L), (2L, "b", 200L)))
   }
+
+  test("groupedTopK: rank-window order through the bounded aggregate, no Window") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 50L), (1L, 2L, 70L), (1L, 3L, 70L), (1L, 4L, 10L),
+      (2L, 9L, 5L))
+      .toDF("g", "item", "score")
+    val out = Relational.groupedTopK(df, "g", "item", "score", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // score DESC, id ASC — the tie at 70 resolves to the smaller item
+    assert(out === Seq(
+      (1L, 2L, 1L, 70L), (1L, 3L, 2L, 70L), (1L, 1L, 3L, 50L),
+      (2L, 9L, 1L, 5L)))
+    val p = Relational.groupedTopK(df, "g", "item", "score", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_pairs") && !p.contains("Window"),
+      "per-group top-k must pre-reduce map-side, never rank-window")
+  }
 }

@@ -838,6 +838,55 @@ class StreamingSpec extends SparkSpec with SlowSuite {
     assert(streamCounts === batch)
   }
 
+  test("arrivalIntegrityStream backsteps match the batch audit across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val out = EventStreams.arrivalIntegrityStream(input.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("arrint")
+      .outputMode(OutputMode.Append()).start()
+    val sec = 1000000000L
+    try {
+      // user 1: e2 steps back 5 s against e1; e3 (next batch — the
+      // state handoff is what detects it) steps back 1 s against e2.
+      // user 2 is perfectly ordered. Batch 1 adds e2 BEFORE e1: the
+      // per-batch event_id sort, not arrival order, must decide.
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "c", 2, 5 * sec),
+        EventStreams.TypedEvent(1, "c", 1, 10 * sec),
+        EventStreams.TypedEvent(2, "v", 10, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "c", 3, 4 * sec),
+        EventStreams.TypedEvent(2, "v", 11, sec)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("arrint")
+      .select("event_id", "backstep_us").as[(Long, Long)].collect().toMap
+    assert(streamed === Map(1L -> -1L, 2L -> 5000000L, 3L -> 1000000L,
+      10L -> -1L, 11L -> -1L))
+    // ≡ the batch audit on the same closed corpus: per-user rollup of
+    // the emitted backsteps equals Sessions.arrivalIntegrity
+    val batchDf = Seq(
+      (1L, 1L, 10L * sec), (1L, 2L, 5L * sec), (1L, 3L, 4L * sec),
+      (2L, 10L, 0L), (2L, 11L, sec))
+      .toDF("user_id", "event_id", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val batch = graft.operators.Sessions.arrivalIntegrity(batchDf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(batch === Seq(
+      (1L, 3L, 2L, 5000000L, 666666L),
+      (2L, 2L, 0L, 0L, 0L)))
+    val perUser = spark.table("arrint")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("backstep_us") >= 0L, 1L).otherwise(0L)).as("nb"),
+        max(when(col("backstep_us") >= 0L, col("backstep_us"))
+          .otherwise(0L)).as("mx"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(perUser === batch.map(b => (b._1, b._2, b._3, b._4)))
+  }
+
   test("newVsReturningStream tags the first-ever event across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.TypedEvent]

@@ -777,6 +777,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bigramEntropyReport: deterministic transitions read 0, free ones ln 2") {
+    val docs = Seq(
+      ("A", "a b a b a"),  // ab·2, ba·2; every prefix forces its next → H = 0
+      ("B", "a b a c"))    // a → {b, c}: two ln 2 terms over 3 bigrams
+      .toDF("source", "text")
+    val out = TextAnalysis.bigramEntropyReport(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq(
+      ("A", 4L, 2L, 0L),
+      ("B", 3L, 3L, 462098L)))  // 2·693147 div 3
+  }
+
   test("chunkDupProfile: dup share per chunk position, partial tail chunks") {
     // 2-token chunks: docs 1/2 share chunk 0 ("hdr txt"); tails differ;
     // doc 3 is a single partial chunk, unique
