@@ -119,6 +119,22 @@ private[graft] object BoardX250 {
     // see transition freedom, this is exactly that)
     "x256_bigram_entropy" -> ((s, d) =>
       TextAnalysis.bigramEntropyReport(Tables.documents(s, d))),
+    // character-level near-dup pairs: x07's banding candidates
+    // verified by codegen'd levenshtein, length-normalized cut — the
+    // OCR/typo-variant flavor shingle Jaccard alone cannot certify
+    "x257_edit_distance_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d), shingleK = 2,
+        minPermille = 300, maxEditPermille = 200)),
+    // deterministic weighted sample (A-Res, md5-derived randomness):
+    // 100 docs drawn ∝ n_chars — retry-stable, cross-engine replayable
+    "x258_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedHashSample(Tables.documents(s, d),
+        "doc_id", "n_chars", n = 100)),
+    // per-customer purchase-type entropy through the star schema —
+    // the basket-diversity signal spend tiers (x149/x251) cannot see
+    "x259_basket_type_entropy" -> ((s, d) =>
+      graft.operators.Behavior.basketTypeEntropy(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.part(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,5 +449,56 @@ private[graft] object BoardX250 {
        SELECT source, n_bigrams, vocab_bigrams,
          CAST(s2 // n_bigrams AS BIGINT) AS cond_entropy_micronat
        FROM g ORDER BY source""",
+    // x257: the x07 candidate CTEs (md5-derived, replayable), bodies
+    // joined for candidates only, DuckDB's levenshtein (same classic
+    // DP definition as Spark's), identical length-fair cut
+    "x257_edit_distance_pairs" ->
+      s"""WITH ${graft.entry.EntryLib.minHashPairsCtes},
+       bodies AS (SELECT doc_id, text FROM documents
+         WHERE text IS NOT NULL),
+       v AS (SELECT p.da AS doc_a, p.db AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+           CAST(GREATEST(LENGTH(a.text), LENGTH(b.text)) AS BIGINT) AS mx
+         FROM pairs p JOIN bodies a ON p.da = a.doc_id
+           JOIN bodies b ON p.db = b.doc_id),
+       f AS (SELECT doc_a, doc_b, edit_distance,
+           CAST((edit_distance * 1000) // mx AS BIGINT) AS edit_permille
+         FROM v WHERE mx > 0)
+       SELECT doc_a, doc_b, edit_distance, edit_permille
+       FROM f WHERE edit_permille <= 200 ORDER BY doc_a, doc_b""",
+    // x258: identical md5-derived u, integer-ln priority (both ln
+    // arguments integers — lnµ(h) − lnµ(10⁶)), truncating div, same
+    // (priority DESC, key) cut
+    "x258_weighted_sample" ->
+      """WITH w AS (SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS weight,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 + 1 AS h
+         FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+           AND n_chars > 0),
+       p AS (SELECT key, weight,
+           ((CAST(FLOOR(ln(CAST(h AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln(1000000.0) * 1000000 + 0.5) AS BIGINT))
+             * 1000000) // weight AS priority_micro
+         FROM w)
+       SELECT key, weight, CAST(priority_micro AS BIGINT) AS priority_micro
+       FROM p ORDER BY priority_micro DESC, key LIMIT 100""",
+    // x259: the star joins, then the x227 integer-micronat entropy
+    // spelling over (cust, p_type) counts
+    "x259_basket_type_entropy" ->
+      """WITH j AS (SELECT o.o_custkey AS cust, p.p_type AS t
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE o.o_custkey IS NOT NULL AND p.p_type IS NOT NULL),
+       per AS (SELECT cust, t, CAST(COUNT(*) AS BIGINT) AS c
+         FROM j GROUP BY 1, 2),
+       g AS (SELECT cust, CAST(SUM(c) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+             AS BIGINT)) AS BIGINT) AS s
+         FROM per GROUP BY 1)
+       SELECT cust, n_items, n_types,
+         CAST(CAST(FLOOR(ln(CAST(n_items AS DOUBLE)) * 1000000 + 0.5)
+           AS BIGINT) - s // n_items AS BIGINT) AS entropy_micronat
+       FROM g WHERE n_items >= 3 ORDER BY cust""",
   )
 }

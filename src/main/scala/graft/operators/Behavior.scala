@@ -1473,6 +1473,47 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** Per-customer purchase-TYPE entropy — [[eventTypeEntropy]]'s
+    * diversity signal computed through the star schema: line items
+    * join orders for the customer key and the part dimension for the
+    * type, then H = ln n − (Σ c·ln c)/n over the customer's per-type
+    * counts (the same integer-micronat spelling, one rounded ln per
+    * row). Low entropy = a single-category buyer (or a reseller bot
+    * hammering one SKU); high = a diverse basket. The behavioral
+    * segmentation input [[rfmSegments]]' spend tiers cannot see — two
+    * tier-5 customers can be a one-SKU wholesaler and a marketplace
+    * generalist.
+    *
+    * Shape: one fact-fact equi-join on the order key (co-partitioned
+    * at scale — never broadcast), the part DIMENSION broadcast, one
+    * (cust, type) map-side-combined count, one cust rollup.
+    *
+    * @return (cust, n_items, n_types, entropy_micronat) for customers
+    *         with ≥ minItems line items, ordered by cust. */
+  def basketTypeEntropy(lineitem: DataFrame, orders: DataFrame,
+                        part: DataFrame, minItems: Long = 3L): DataFrame = {
+    require(minItems >= 1, s"minItems ($minItems) must be >= 1")
+    val per = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey").as("cust")), Seq("l_orderkey"))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_type").as("__t"))), Seq("l_partkey"))
+      .filter(col("cust").isNotNull && col("__t").isNotNull)
+      .groupBy("cust", "__t").agg(count(lit(1)).as("c"))
+    per
+      .select(col("cust"), col("c"),
+        (col("c") * floor(log(col("c").cast("double")) * lit(1e6)
+          + lit(0.5d)).cast("long")).as("__clc"))
+      .groupBy("cust")
+      .agg(sum("c").as("n_items"), count(lit(1)).as("n_types"),
+        sum("__clc").as("__s"))
+      .filter(col("n_items") >= minItems)
+      .select(col("cust"), col("n_items"), col("n_types"),
+        (floor(log(col("n_items").cast("double")) * lit(1e6) + lit(0.5d))
+          .cast("long") - expr("__s div n_items")).as("entropy_micronat"))
+      .orderBy("cust")
+  }
+
   /** Spend-tier MIGRATION matrix — where [[rfmSegments]] scores
     * customers ONCE, this scores them in two adjacent periods and
     * crosses the results: per (tier_before, tier_after) cell, how many

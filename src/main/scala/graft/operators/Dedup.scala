@@ -405,6 +405,48 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Character-level near-dup pairs — LSH candidates VERIFIED by edit
+    * distance: the dedup flavor token-shingle Jaccard alone cannot
+    * certify (two docs can share 90% of shingles yet differ by a
+    * large block move; two OCR variants can differ in EVERY shingle
+    * crossing a typo yet be 2% of characters apart). Candidates come
+    * from the [[minHashLshPairs]] banding join — never all pairs —
+    * and each surviving pair verifies with the codegen'd built-in
+    * `levenshtein`, normalized by the longer text so the cut is
+    * length-fair. This is the deliberate exception to "bodies never
+    * shuffle": ONLY candidate pairs fetch both bodies (two id-keyed
+    * equi-joins), and the candidate set is banding-bounded — the cost
+    * model a verify stage is supposed to have.
+    *
+    * @return (doc_a, doc_b, edit_distance, edit_permille) for pairs
+    *         at or under maxEditPermille, ordered by doc_a, doc_b. */
+  def editDistancePairs(docs: DataFrame, shingleK: Int = 2,
+                        minPermille: Long = 300,
+                        maxEditPermille: Long = 200): DataFrame = {
+    require(maxEditPermille >= 0 && maxEditPermille <= 1000,
+      s"maxEditPermille ($maxEditPermille) must be in [0, 1000]")
+    val cand = minHashLshPairs(docs, shingleK = shingleK,
+      minPermille = minPermille)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+    val bodies = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    cand
+      .join(bodies.select(col("doc_id").as("doc_a"), col("text").as("__ta")),
+        Seq("doc_a"))
+      .join(bodies.select(col("doc_id").as("doc_b"), col("text").as("__tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long")
+          .as("edit_distance"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long")
+          .as("__mx"))
+      .filter(col("__mx") > 0)
+      .select(col("doc_a"), col("doc_b"), col("edit_distance"),
+        expr("(edit_distance * 1000) div __mx").as("edit_permille"))
+      .filter(col("edit_permille") <= maxEditPermille)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SYNDICATION matrix — WHO copies WHOM, at document granularity:
     * for every exact-dup group spanning more than one source, the
     * ORIGINATOR is the source of the group's earliest doc (min

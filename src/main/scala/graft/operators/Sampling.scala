@@ -532,4 +532,41 @@ object Sampling {
       .withColumn("shortfall_tokens", col("target_tokens") - col("planned_tokens"))
       .orderBy("source")
   }
+
+  /** Deterministic WEIGHTED sample without replacement — the
+    * Efraimidis–Spirakis A-Res scheme with the randomness derived
+    * from the key's md5, so the same corpus always draws the same
+    * sample (retry-stable, cross-engine replayable — the [[hashSample]]
+    * discipline with weights). Each row gets priority ln(u)·10⁶ div w
+    * with u = (hashMod(key, 10⁶)+1)/10⁶; the n LARGEST priorities win
+    * — selection probability ∝ weight, the standard proof. Integer
+    * micronat ln (one rounded ln per row), truncating division
+    * (negative toward zero — both engines, verified round 9), ties by
+    * key.
+    *
+    * The top-n is a `TakeOrderedAndProject` — per-partition pre-
+    * reduction, no global sort exchange; at 100 TB the sample costs
+    * one scan.
+    *
+    * @return the n selected rows as (key, weight, priority_micro),
+    *         ordered by priority DESC then key. */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
+                         n: Int): DataFrame = {
+    require(n >= 1, s"n ($n) must be >= 1")
+    df.filter(col(keyCol).isNotNull && col(weightCol).isNotNull
+        && col(weightCol) > 0)
+      .select(col(keyCol).as("key"), col(weightCol).cast("long").as("weight"))
+      .withColumn("__h", hashMod(col("key"), 1000000L) + 1L)
+      .withColumn("priority_micro",
+        // ln(u) = lnµ(h) − lnµ(10⁶): BOTH ln arguments are integers,
+        // the proven cross-engine discipline (a float ratio under ln
+        // risks a rounding-boundary flip between libms)
+        expr("""((cast(floor(ln(cast(__h as double)) * 1000000 + 0.5d)
+               as bigint)
+             - cast(floor(ln(1000000.0d) * 1000000 + 0.5d) as bigint))
+             * 1000000) div weight"""))
+      .select(col("key"), col("weight"), col("priority_micro"))
+      .orderBy(col("priority_micro").desc, col("key"))
+      .limit(n)
+  }
 }

@@ -880,6 +880,24 @@ class BehaviorSpec extends SparkSpec with SlowSuite {
       (2L, 6L, 2L, 693147L)))
   }
 
+  test("basketTypeEntropy: star-join diversity, one-SKU buyer reads 0") {
+    val lineitem = Seq(
+      (100L, 1L), (100L, 2L), (101L, 3L), (101L, 4L),  // cust 1: A A B B
+      (102L, 1L), (102L, 2L), (103L, 1L),              // cust 2: A A A
+      (104L, 1L), (104L, 3L))                          // cust 3: 2 items < min
+      .toDF("l_orderkey", "l_partkey")
+    val orders = Seq((100L, 1L), (101L, 1L), (102L, 2L), (103L, 2L),
+      (104L, 3L)).toDF("o_orderkey", "o_custkey")
+    val part = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("p_partkey", "p_type")
+    val out = Behavior.basketTypeEntropy(lineitem, orders, part,
+      minItems = 3L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 2L, 693147L),  // ln 4 − ln 2 = ln 2
+      (2L, 3L, 1L, 0L)))      // single type: zero diversity
+  }
+
   test("spendTierMigration: per-half quintiles, acquisition row 0, churn col 0") {
     // H1: custs 1..5 spend 100..500 → tiers 1..5 (distinct-value
     // ladder, each value its own quintile). H2: custs 2..5 reversed

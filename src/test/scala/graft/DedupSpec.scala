@@ -701,6 +701,28 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("editDistancePairs: banded candidates verify by length-fair edit cut") {
+    val base = (1 to 40).map(i => f"w$i%02d")
+    val doc1 = base.mkString(" ")
+    val doc2 = (base.dropRight(1) :+ "q40").mkString(" ")  // 1 char apart
+    val doc5 = "t1 t2 t3 t4 t5 t6 " + "Z" * 60  // candidate, 782‰ edits
+    val docs = Seq(
+      (1L, doc1), (2L, doc2),
+      (4L, "t1 t2 t3 t4 t5 t6"), (5L, doc5),
+      (3L, "x1 x2 x3"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, shingleK = 2,
+      minPermille = 300, maxEditPermille = 200)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // (1,2): levenshtein 1 over max length 159 → 6‰, kept;
+    // (4,5): a genuine banding candidate (Jaccard 833‰) whose 61-char
+    // appended tail puts it at 782‰ — verification must kill it
+    assert(out === Seq((1L, 2L, 1L, 6L)))
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(docs, maxEditPermille = 2000)
+    }
+  }
+
   test("syndicationMatrix: min-id originator, within-source copies out") {
     val docs = Seq(
       (1L, "A", "dup one"),

@@ -390,4 +390,35 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureEpochPlan(docs, Seq(("a", 1L), ("a", 2L)), 100L)
     }
   }
+
+  test("weightedHashSample: A-Res priorities replayed independently, weight ∝ rank") {
+    // independent reimplementation of the priority formula (md5-derived
+    // u, integer-ln micronats, truncating div) — the spec and the
+    // operator must agree row for row
+    def expectedPriority(key: Long, weight: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) % 1000000L + 1L
+      val lnH = math.floor(math.log(h.toDouble) * 1e6 + 0.5).toLong
+      val ln1e6 = math.floor(math.log(1000000.0) * 1e6 + 0.5).toLong
+      ((lnH - ln1e6) * 1000000L) / weight  // Scala / truncates like div
+    }
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 1000000L),
+      (5L, 0L), (6L, -3L))  // non-positive weights: excluded
+      .toDF("doc_id", "w")
+    val out = Sampling.weightedHashSample(df, "doc_id", "w", n = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.size === 3)
+    val exp = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 1000000L)
+      .map { case (k, w) => (k, w, expectedPriority(k, w)) }
+      .sortBy { case (k, _, p) => (-p, k) }.take(3)
+    assert(out === exp)
+    // the heavy row's priority divides by 10⁵× the weight — it must be
+    // in the sample regardless of its hash draw
+    assert(out.map(_._1).contains(4L))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedHashSample(df, "doc_id", "w", n = 0)
+    }
+  }
 }
