@@ -135,6 +135,21 @@ private[graft] object BoardX250 {
     "x259_basket_type_entropy" -> ((s, d) =>
       graft.operators.Behavior.basketTypeEntropy(Tables.lineitem(s, d),
         Tables.orders(s, d), Tables.part(s, d))),
+    // cluster-capped survivors: keep the top-2 members of each x07
+    // near-dup cluster by length — the middle policy between x85's
+    // single survivor and x90's keep-all weights, through the native
+    // bounded aggregate (O(clusters·m) shuffle, no rank window)
+    "x260_cluster_cap" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.clusterCapSurvivors(
+        Dedup.minHashLshPairs(docs, shingleK = 2, minPermille = 300),
+        docs.select(col("doc_id"), col("n_chars").as("score")), m = 2)
+    },
+    // norm-outlier fence over per-vector micro-norms — on this
+    // unit-normalized corpus the median is exactly 10⁶ and MAD 0, so
+    // the fence flags every non-unit vector: the hygiene read itself
+    "x261_norm_outliers" -> ((s, d) =>
+      Similarity.normOutliers(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -500,5 +515,41 @@ private[graft] object BoardX250 {
          CAST(CAST(FLOOR(ln(CAST(n_items AS DOUBLE)) * 1000000 + 0.5)
            AS BIGINT) - s // n_items AS BIGINT) AS entropy_micronat
        FROM g WHERE n_items >= 3 ORDER BY cust""",
+    // x260: the x85 recursive closure, rank window capped at m=2 with
+    // rank and score surfaced
+    "x260_cluster_cap" ->
+      s"""WITH RECURSIVE ${graft.entry.EntryLib.minHashPairsCtes},
+       sym AS (SELECT da AS s, db AS d FROM pairs
+               UNION SELECT db AS s, da AS d FROM pairs),
+       verts AS (SELECT DISTINCT s AS v FROM sym),
+       reach AS (SELECT v AS a, v AS b FROM verts
+                 UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+       cc AS (SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY a),
+       sc AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+              FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+       r AS (SELECT cluster_id, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, doc_id) AS rn
+             FROM sc)
+       SELECT cluster_id, doc_id, CAST(rn AS BIGINT) AS rank,
+         CAST(n_chars AS BIGINT) AS score
+       FROM r WHERE rn <= 2 ORDER BY cluster_id, rank""",
+    // x261: the x249 micro-norm fold, exact interpolated medians
+    // (integers → .0/.5 doubles), the x57 MAD fence
+    "x261_norm_outliers" ->
+      """WITH v AS (SELECT vec_id,
+           CAST(FLOOR(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)),
+               x -> x * x)), (a, b) -> a + b)) + 0.5) AS BIGINT) AS nm
+         FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       m AS (SELECT median(nm) AS med FROM v),
+       d AS (SELECT vec_id, nm, ABS(nm - m.med) AS dev FROM v, m),
+       md AS (SELECT median(dev) AS mad FROM d)
+       SELECT d.vec_id, d.nm AS norm_micro,
+         CAST(FLOOR(d.dev) AS BIGINT) AS dev_micro
+       FROM d, md WHERE d.dev * 1000.0 > 3500.0 * md.mad
+       ORDER BY d.vec_id""",
   )
 }

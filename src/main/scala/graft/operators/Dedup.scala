@@ -143,6 +143,39 @@ object Dedup {
       .orderBy("cluster_id", "keep_id", "n_members")
   }
 
+  /** Cluster-CAPPED survivor selection — the middle policy between
+    * [[survivorsByScore]] (one survivor per cluster) and
+    * [[lossWeights]] (keep all, down-weight): keep the top-m members
+    * of each near-dup cluster by quality score, drop the rest. The
+    * standard compromise when a template cluster carries wanted
+    * variation (licensed copies, translations-of-the-same-page) but
+    * forty near-identical members would still over-train one
+    * document: cap the cluster, keep its best few.
+    *
+    * The per-cluster top-m runs through the native `topk_pairs`
+    * bounded aggregate — (score DESC, doc_id ASC), exactly
+    * [[survivorsByScore]]'s window order — so the shuffle after the
+    * closure carries O(clusters·m) rows, never a rank window over all
+    * clustered docs.
+    *
+    * @return (cluster_id, doc_id, rank, scoreCol) for the kept
+    *         members, ordered by cluster_id, rank. */
+  def clusterCapSurvivors(pairs: DataFrame, scores: DataFrame, m: Int,
+                          scoreCol: String = "score"): DataFrame = {
+    require(m >= 1, s"m ($m) must be >= 1")
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    connectedComponentsUnsorted(pairs)
+      .join(scores.select(col("doc_id"), col(scoreCol)), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(call_function("topk_pairs", col("doc_id").cast("long"),
+        col(scoreCol).cast("double"), lit(m)).as("__tk"))
+      .select(col("cluster_id"), posexplode(col("__tk")))
+      .select(col("cluster_id"), col("col.neighbor_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").cast("long").as(scoreCol))
+      .orderBy("cluster_id", "rank")
+  }
+
   /** Dedup report — the duplicate-cluster SIZE DISTRIBUTION: how many
     * clusters of each size the near-dup pair graph contains, with the
     * unpaired remainder of the corpus reported as size-1 clusters.

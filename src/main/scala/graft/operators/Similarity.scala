@@ -684,6 +684,47 @@ object Similarity {
       .orderBy("batch")
   }
 
+  /** Embedding NORM outliers — the MAD fence ([[graft.operators
+    * .TextAnalysis.madOutliers]]' discipline) over per-vector
+    * micro-norms: vectors whose norm sits more than kMilli/1000 MADs
+    * from the corpus median. On a unit-normalized corpus the median
+    * is 10⁶ and MAD collapses to 0 — the fence then flags EVERY
+    * non-unit vector, which is exactly the hygiene read (a stray
+    * un-normalized batch breaks cosine ≡ dot assumptions and skews
+    * IVF cell assignment). Complements [[embeddingHygiene]] (nulls /
+    * NaN / ragged dims — this catches the numerically-valid-but-wrong
+    * scale) and [[embeddingDrift]] (WHEN the scale broke — this lists
+    * WHICH vectors).
+    *
+    * Exactness: norms are exact integer micro-norms (the
+    * [[embeddingCoverage]] fold); interpolated medians over integers
+    * end in .0/.5 — every quantity in the fence is an exact double.
+    *
+    * Shape: one scan to micro-norms, two 1-row broadcast percentile
+    * scalars, one filtered scan. Raw vectors never shuffle.
+    *
+    * @return (vec_id, norm_micro, dev_micro) for flagged vectors,
+    *         ordered by vec_id. */
+  def normOutliers(emb: DataFrame, kMilli: Long = 3500L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(kMilli > 0, s"kMilli ($kMilli) must be > 0")
+    val norms = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        floor(norm(transform(col(vecCol), x =>
+          floor(x.cast("double") * 1e6 + 0.5).cast("double"))) + 0.5)
+          .cast("long").as("norm_micro"))
+    val med = norms.agg(percentile(col("norm_micro"), lit(0.5)).as("med"))
+    val withMed = norms.crossJoin(broadcast(med))
+      .withColumn("__dev", abs(col("norm_micro") - col("med")))
+    val mad = withMed.agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .filter(col("__dev") * lit(1000.0d) > lit(kMilli.toDouble) * col("mad"))
+      .select(col("vec_id"), col("norm_micro"),
+        floor(col("__dev")).cast("long").as("dev_micro"))
+      .orderBy("vec_id")
+  }
+
   /** Pairwise label-centroid CONFUSION geometry — which class PAIRS
     * sit close: [[labelCentroids]] reads each class against the
     * global mean; this reads every (a, b) pair against each other.

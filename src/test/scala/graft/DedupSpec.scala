@@ -723,6 +723,23 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("clusterCapSurvivors: top-m by (score DESC, id), singletons keep their row") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("da", "db")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 6L))
+      .toDF("doc_id", "score")
+    val out = Dedup.clusterCapSurvivors(pairs, scores, m = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    // cluster 1 = {1,2,3}: 9@2 then 9@3 (id tie-break), 5@1 dropped;
+    // cluster 7 = {7,8}: both fit under the cap
+    assert(out === Seq(
+      (1L, 2L, 1L, 9L), (1L, 3L, 2L, 9L),
+      (7L, 8L, 1L, 6L), (7L, 7L, 2L, 4L)))
+    intercept[IllegalArgumentException] {
+      Dedup.clusterCapSurvivors(pairs, scores, m = 0)
+    }
+  }
+
   test("syndicationMatrix: min-id originator, within-source copies out") {
     val docs = Seq(
       (1L, "A", "dup one"),

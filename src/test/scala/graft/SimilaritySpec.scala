@@ -414,6 +414,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("normOutliers: MAD fence on micro-norms, inliers invisible") {
+    // norms: 1.0 ×4 (med 1e6), 1.5, 5.0 — MAD = 0? devs sorted:
+    // 0,0,0,0, 5e5, 4e6 → median dev 0 here too; use a spread set:
+    // norms 1,2,3,4,100 → med 3e6, devs 2e6,1e6,0,1e6,97e6 → MAD 1e6;
+    // fence 3.5·MAD = 3.5e6 → only the 97e6 deviation flags
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(3.0f, 0.0f)), (4L, Array(4.0f, 0.0f)),
+      (5L, Array(100.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.normOutliers(emb, kMilli = 3500L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((5L, 100000000L, 97000000L)))
+    intercept[IllegalArgumentException] {
+      Similarity.normOutliers(emb, kMilli = 0L)
+    }
+  }
+
   test("labelConfusionGeometry: axis-aligned classes separate, diagonal pair close") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), Some(0)),
