@@ -150,6 +150,12 @@ private[graft] object BoardX250 {
     // the fence flags every non-unit vector: the hygiene read itself
     "x261_norm_outliers" -> ((s, d) =>
       Similarity.normOutliers(Tables.embeddings(s, d))),
+    // measured banding recall curve at the x38 operating point
+    // (k=3, 200‰ exact ground truth): recall and candidate mass per
+    // band count — the measured S-curve x95 prices in closed form
+    "x262_band_recall_curve" -> ((s, d) =>
+      Dedup.bandRecallCurve(Tables.documents(s, d), shingleK = 3,
+        numHashes = 16, rowsPerBand = 4, minPermille = 200)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -551,5 +557,44 @@ private[graft] object BoardX250 {
          CAST(FLOOR(d.dev) AS BIGINT) AS dev_micro
        FROM d, md WHERE d.dev * 1000.0 > 3500.0 * md.mad
        ORDER BY d.vec_id""",
+    // x262: the x07-family banding CTEs at k=3 (md5-derived,
+    // replayable) aggregated to each pair's first colliding band, the
+    // x38 exact sweep as ground truth, correlated cumulative sums
+    "x262_band_recall_curve" ->
+      s"""WITH ${graft.entry.EntryLib.shingleCtes(3)},
+       mins AS (SELECT doc_id, ${graft.entry.EntryLib.minhashSigCols(16)}
+           FROM sh GROUP BY doc_id),
+       banded AS (${graft.entry.EntryLib.minhashBandSelects("mins", 16, 4)}),
+       collide AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(MIN(a.band) AS BIGINT) AS mb
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       cm AS (SELECT s1.doc_id AS da, s2.doc_id AS db, COUNT(*) AS common
+           FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+           GROUP BY 1, 2),
+       exact AS (SELECT cm.da, cm.db FROM cm
+           JOIN sizes sa ON cm.da = sa.doc_id
+           JOIN sizes sb ON cm.db = sb.doc_id
+         WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= 200),
+       ch AS (SELECT mb, CAST(COUNT(*) AS BIGINT) AS nc
+           FROM collide GROUP BY 1),
+       eh AS (SELECT c.mb, CAST(COUNT(*) AS BIGINT) AS nf
+           FROM exact e LEFT JOIN collide c ON e.da = c.da AND e.db = c.db
+           GROUP BY 1),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM exact),
+       rs AS (SELECT UNNEST(range(1, 5)) AS n_bands)
+       SELECT CAST(rs.n_bands AS BIGINT) AS n_bands,
+         CAST(COALESCE((SELECT SUM(nc) FROM ch WHERE mb < rs.n_bands), 0)
+           AS BIGINT) AS n_candidates,
+         tot.nt AS n_true,
+         CAST(COALESCE((SELECT SUM(nf) FROM eh
+           WHERE mb IS NOT NULL AND mb < rs.n_bands), 0) AS BIGINT) AS n_found,
+         CAST(CASE WHEN tot.nt = 0 THEN NULL
+           ELSE (COALESCE((SELECT SUM(nf) FROM eh
+             WHERE mb IS NOT NULL AND mb < rs.n_bands), 0) * 1000000)
+             // tot.nt END AS BIGINT) AS recall_ppm
+       FROM rs, tot ORDER BY n_bands""",
   )
 }

@@ -910,6 +910,73 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** MEASURED banding recall curve — recall and candidate cost per
+    * band count, against exact ground truth: where [[lshBandingPlan]]
+    * prices the S-curve in closed form and [[bandBucketSkew]] measures
+    * the candidate-mass distribution, this measures the RECALL axis
+    * itself — "3 bands already catch 998000 ppm of true pairs at half
+    * the candidate mass" is the row that moves a banding decision.
+    * Ground truth is [[jaccardSweep]] (exact, candidate-recall 1.0),
+    * so run this at an operating point where the exact sweep is
+    * affordable (a sampled slice at 100 TB) and apply the curve to the
+    * full-corpus banding config.
+    *
+    * Shape: one banding self-join aggregated to each pair's FIRST
+    * colliding band (min — so "found within r bands" is one range
+    * predicate), the exact sweep once, then everything folds to two
+    * ≤numBands-row histograms crossed with a bands dimension table —
+    * the curve costs two bounded aggregations beyond its inputs.
+    *
+    * @return (n_bands, n_candidates, n_true, n_found, recall_ppm) for
+    *         n_bands = 1..numBands, ordered by n_bands. */
+  def bandRecallCurve(docs: DataFrame, shingleK: Int = 3,
+                      numHashes: Int = 16, rowsPerBand: Int = 4,
+                      minPermille: Long = 200): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes >= rowsPerBand &&
+      numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand " +
+        s"($rowsPerBand)")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val numBands = numHashes / rowsPerBand
+    val banded = bandedSignatures(
+      registerCache(shingleArrays(docs, shingleK)), numHashes, rowsPerBand)
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val collide = banded.select(col("doc_id").as("da"), col("band"),
+        col("bucket"))
+      .join(banded.select(col("doc_id").as("db"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(min("band").as("__mb"))
+      .localCheckpoint(true)
+    registerCheckpoint(checkpointRdd(collide))
+    val exact = jaccardSweep(docs, shingleK, minPermille).select("da", "db")
+      .localCheckpoint(true)
+    registerCheckpoint(checkpointRdd(exact))
+    val candHist = collide.groupBy("__mb").agg(count(lit(1)).as("__nc"))
+    val exactHist = exact.join(collide, Seq("da", "db"), "left")
+      .groupBy("__mb").agg(count(lit(1)).as("__nf"))
+    val total = exact.agg(count(lit(1)).as("__nt"))
+    val rs = docs.sparkSession.range(1, numBands + 1)
+      .select(col("id").as("n_bands"))
+    val cands = rs.crossJoin(broadcast(candHist))
+      .filter(col("__mb") < col("n_bands"))
+      .groupBy("n_bands").agg(sum("__nc").as("__cand"))
+    val founds = rs.crossJoin(broadcast(exactHist))
+      .filter(col("__mb").isNotNull && col("__mb") < col("n_bands"))
+      .groupBy("n_bands").agg(sum("__nf").as("__found"))
+    rs.join(cands, Seq("n_bands"), "left")
+      .join(founds, Seq("n_bands"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("n_bands"),
+        coalesce(col("__cand"), lit(0L)).as("n_candidates"),
+        col("__nt").as("n_true"),
+        coalesce(col("__found"), lit(0L)).as("n_found"),
+        expr("""case when __nt = 0 then null
+             else (coalesce(__found, 0) * 1000000) div __nt end""")
+          .as("recall_ppm"))
+      .orderBy("n_bands")
+  }
+
   /** [[minHashLsh]] WITHOUT the final global sort — the form to feed
     * downstream operators ([[connectedComponents]], bulk drop-list
     * writes) that don't need a total order: a global sort is a range

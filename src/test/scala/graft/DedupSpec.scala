@@ -723,6 +723,29 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("bandRecallCurve: identical pair found at band 0, curve monotonic") {
+    // identical texts → identical signatures → first collision at
+    // band 0: the exact pair is found at EVERY band count (the only
+    // fully hand-derivable banding outcome)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "z1 z2 z3 z4 z5 z6"))
+      .toDF("doc_id", "text")
+    val out = Dedup.bandRecallCurve(docs, shingleK = 3, minPermille = 200)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    out.foreach { case (_, nc, nt, nf, rp) =>
+      assert(nt === 1L && nf === 1L && rp === 1000000L && nc >= 1L)
+    }
+    // monotonic candidate mass in the band count
+    assert(out.map(_._2) === out.map(_._2).sorted)
+    intercept[IllegalArgumentException] {
+      Dedup.bandRecallCurve(docs, numHashes = 10, rowsPerBand = 4)
+    }
+  }
+
   test("clusterCapSurvivors: top-m by (score DESC, id), singletons keep their row") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("da", "db")
     val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 6L))
