@@ -156,6 +156,34 @@ private[graft] object BoardX250 {
     "x262_band_recall_curve" -> ((s, d) =>
       Dedup.bandRecallCurve(Tables.documents(s, d), shingleK = 3,
         numHashes = 16, rowsPerBand = 4, minPermille = 200)),
+    // cross-doc attention leakage in the x40 packed layout: per shard,
+    // how many adjacent pairs co-occupy a training sequence and how
+    // many of those are same-source or exact-dup (worst case: the same
+    // text twice in one attention window)
+    "x263_pack_adjacency" -> ((s, d) =>
+      TextAnalysis.packAdjacency(Tables.documents(s, d),
+        budgetTokens = 2048L)),
+    // measured estimate-error vs signature size over the exact-sweep
+    // pair set — the x262 discipline on the ESTIMATE axis (x105 audits
+    // the one operating signature; this prices adding hashes)
+    "x264_minhash_error_curve" -> ((s, d) =>
+      Dedup.minhashErrorCurve(Tables.documents(s, d), shingleK = 2,
+        numHashes = 16, minPermille = 500)),
+    // blocking-quality audit on the x113 operating point vs the x156
+    // full-recall truth: reduction ratio + pairs completeness, the two
+    // numbers every blocking scheme is judged by
+    "x265_blocking_quality" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val probe = cust.filter(pmod(col("c_custkey"), lit(7L)) === 3L)
+        .withColumn("c_name",
+          concat(substring(col("c_name"), 1, 17), lit("X")))
+      graft.operators.Linkage.blockingQuality(cust, probe,
+        idCol = "c_custkey", nameCol = "c_name")
+    },
+    // per-source corpus datasheet: volume, exact-dup rate, x43 gate
+    // keep rate, mean length — the data-card roll-up in one table
+    "x266_datasheet" -> ((s, d) =>
+      TextAnalysis.corpusDatasheet(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -596,5 +624,152 @@ private[graft] object BoardX250 {
              WHERE mb IS NOT NULL AND mb < rs.n_bands), 0) * 1000000)
              // tot.nt END AS BIGINT) AS recall_ppm
        FROM rs, tot ORDER BY n_bands""",
+    // x263: the x40 pack chain (md5 shard, running sum) + LAG
+    // predecessor attributes, folded to per-shard counts — co-resident
+    // iff the successor starts mid-sequence
+    "x263_pack_adjacency" ->
+      """WITH t AS (SELECT doc_id, source, md5(text) AS fp,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard
+         FROM documents),
+       p AS (SELECT shard, source, fp,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok,
+           LAG(doc_id) OVER (PARTITION BY shard ORDER BY doc_id) AS prev_id,
+           LAG(source) OVER (PARTITION BY shard ORDER BY doc_id) AS prev_source,
+           LAG(fp) OVER (PARTITION BY shard ORDER BY doc_id) AS prev_fp
+         FROM t),
+       a AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN start_tok % 2048 > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_coresident,
+           CAST(SUM(CASE WHEN start_tok % 2048 > 0
+             AND source = prev_source THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_same_source,
+           CAST(SUM(CASE WHEN start_tok % 2048 > 0
+             AND fp = prev_fp THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup_adjacent
+         FROM p WHERE prev_id IS NOT NULL GROUP BY shard)
+       SELECT shard, n_pairs, n_coresident, n_same_source, n_dup_adjacent,
+         CAST((n_coresident * 1000) // n_pairs AS BIGINT) AS coresident_permille
+       FROM a ORDER BY shard""",
+    // x264: exact-sweep ground truth (x38 CTEs at k=2, >= 500‰), the
+    // x105 signature columns, prefix-h estimates folded to one
+    // aggregate row unpivoted by UNION ALL
+    "x264_minhash_error_curve" -> {
+      val est = (h: Int) => "((" + (0 until h)
+        .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ") + s") * 1000) // $h"
+      val row = (h: Int) =>
+        s"""SELECT CAST($h AS BIGINT) AS n_hashes, CAST(n AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN n = 0 THEN NULL ELSE (sa$h * 1000) // n END AS BIGINT) AS mae_ppm,
+           CAST(CASE WHEN n = 0 THEN NULL ELSE (ss$h * 1000) // n END AS BIGINT) AS bias_ppm
+         FROM agg"""
+      s"""WITH ${graft.entry.EntryLib.shingleCtes(2)},
+       mins AS (SELECT doc_id, ${graft.entry.EntryLib.minhashSigCols(16)}
+           FROM sh GROUP BY doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       cm AS (SELECT s1.doc_id AS da, s2.doc_id AS db, COUNT(*) AS common
+           FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+           GROUP BY 1, 2),
+       exact AS (SELECT cm.da, cm.db,
+           (cm.common * 1000) // (sa.sz + sb.sz - cm.common) AS jac
+         FROM cm JOIN sizes sa ON cm.da = sa.doc_id
+         JOIN sizes sb ON cm.db = sb.doc_id
+         WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= 500),
+       sel AS (SELECT e.jac, ${est(4)} AS e4, ${est(8)} AS e8,
+           ${est(16)} AS e16
+         FROM exact e JOIN mins a ON e.da = a.doc_id
+         JOIN mins b ON e.db = b.doc_id),
+       agg AS (SELECT COUNT(*) AS n,
+           SUM(ABS(e4 - jac)) AS sa4, SUM(e4 - jac) AS ss4,
+           SUM(ABS(e8 - jac)) AS sa8, SUM(e8 - jac) AS ss8,
+           SUM(ABS(e16 - jac)) AS sa16, SUM(e16 - jac) AS ss16
+         FROM sel)
+       SELECT * FROM (${row(4)} UNION ALL ${row(8)} UNION ALL ${row(16)})
+       ORDER BY n_hashes"""
+    },
+    // x265: the x113 candidate band (pre-verify) + the x113 verified
+    // pairs + the x156 deletion-variant truth, each folded to one
+    // count, crossed into the two audit ratios
+    "x265_blocking_quality" ->
+      """WITH u AS (
+           SELECT c_custkey AS id, c_name AS name, 'base' AS side FROM customer
+           UNION ALL
+           SELECT c_custkey, substr(c_name, 1, 17) || 'X', 'probe'
+           FROM customer WHERE c_custkey % 7 = 3),
+         r AS (SELECT *, substr(name, 1, 16) AS blk,
+             ROW_NUMBER() OVER (PARTITION BY substr(name, 1, 16)
+               ORDER BY name, side, id) AS rn
+           FROM u),
+         cpairs AS (SELECT a.id, a.side, a.name, b.id AS id_b,
+             b.side AS side_b, b.name AS name_b
+           FROM r a JOIN r b
+             ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 8
+           WHERE a.side <> b.side),
+         cand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cpairs),
+         found AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM (
+           SELECT DISTINCT
+             CASE WHEN side = 'base' THEN id ELSE id_b END AS base_id,
+             CASE WHEN side = 'base' THEN id_b ELSE id END AS probe_id
+           FROM cpairs WHERE levenshtein(name, name_b) <= 1)),
+         b AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name
+           FROM customer WHERE c_name IS NOT NULL),
+         p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+             substr(c_name, 1, 17) || 'X' AS name
+           FROM customer WHERE c_custkey % 7 = 3 AND c_name IS NOT NULL),
+         bv AS (SELECT id, name, name AS v FROM b
+           UNION ALL
+           SELECT id, name, substr(name, 1, CAST(i AS INTEGER)) ||
+             substr(name, CAST(i + 2 AS INTEGER)) AS v
+           FROM (SELECT id, name, UNNEST(range(0, len(name))) AS i FROM b)),
+         pv AS (SELECT id, name, name AS v FROM p
+           UNION ALL
+           SELECT id, name, substr(name, 1, CAST(i AS INTEGER)) ||
+             substr(name, CAST(i + 2 AS INTEGER)) AS v
+           FROM (SELECT id, name, UNNEST(range(0, len(name))) AS i FROM p)),
+         truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM (
+           SELECT DISTINCT bv.id AS base_id, pv.id AS probe_id
+             FROM bv JOIN pv ON bv.v = pv.v
+             WHERE levenshtein(bv.name, pv.name) <= 1)),
+         nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM customer),
+         np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probe FROM customer
+           WHERE c_custkey % 7 = 3)
+       SELECT n_base, n_probe, n_candidates, n_true, n_found,
+         CAST(1000000 - (n_candidates * 1000000) // (n_base * n_probe)
+           AS BIGINT) AS reduction_ppm,
+         CAST(CASE WHEN n_true = 0 THEN NULL
+           ELSE (n_found * 1000000) // n_true END AS BIGINT) AS completeness_ppm
+       FROM nb, np, cand, truth, found""",
+    // x266: the x43 gate chain per doc (LEFT JOIN + COALESCE 0 for
+    // sub-k docs) rolled up per source with the exact-dup distinct
+    "x266_datasheet" ->
+      s"""WITH ${graft.entry.EntryLib.shingleCtes(3)},
+       nd AS (SELECT doc_id, COUNT(*) AS ndist FROM sh GROUP BY doc_id),
+       tot AS (SELECT doc_id, len(ts) - 2 AS total FROM le),
+       rep AS (SELECT nd.doc_id AS doc_id,
+           1000 - (nd.ndist * 1000) // tot.total AS rp
+         FROM nd JOIN tot ON nd.doc_id = tot.doc_id),
+       m AS (SELECT d.source AS source, md5(d.text) AS fp,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt,
+           CAST(LENGTH(text) AS BIGINT) AS nc,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) * 1000
+             // (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS awl,
+           CAST(COALESCE(rep.rp, 0) AS BIGINT) AS rp
+         FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id),
+       g AS (SELECT source, fp, nt, nc,
+           CASE WHEN nt >= 32 AND rp <= 10
+             AND awl BETWEEN 4200 AND 4800 THEN 1 ELSE 0 END AS keep
+         FROM m),
+       a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS uniq,
+           CAST(SUM(keep) AS BIGINT) AS nk
+         FROM g GROUP BY source)
+       SELECT source, n_docs, n_tokens, n_chars,
+         CAST(1000 - (uniq * 1000) // n_docs AS BIGINT) AS dup_permille,
+         CAST((nk * 1000) // n_docs AS BIGINT) AS keep_permille,
+         CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens
+       FROM a ORDER BY source""",
   )
 }

@@ -910,6 +910,54 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** MEASURED minhash error curve — estimate error vs signature size,
+    * against exact ground truth: [[jaccardEstimateReport]] audits the
+    * one operating signature over the LSH pairs it mined;
+    * this measures how the error SHRINKS as hashes are added (theory:
+    * ±1/√h per pair), over the recall-unbiased [[jaccardSweep]] pair
+    * set, so "8 hashes already land within ±X‰" is a measured row, not
+    * a formula. Run it on a slice where the exact sweep is affordable,
+    * size the full-corpus signature from the curve.
+    *
+    * One pass: the per-pair component-match vector is computed once
+    * (row-local zip_with on the two signatures), each prefix size h ∈
+    * {4, 8, …, numHashes} reads its first h entries, and everything
+    * folds into ONE aggregate row unpivoted to |{h}| rows — beyond the
+    * exact sweep the curve costs two id-keyed signature joins.
+    *
+    * @return (n_hashes, n_pairs, mae_ppm, bias_ppm) — mean |est−exact|
+    *         and mean signed bias, permille·1000 — ordered by
+    *         n_hashes; null metrics when no pair qualifies. */
+  def minhashErrorCurve(docs: DataFrame, shingleK: Int = 2,
+                        numHashes: Int = 16,
+                        minPermille: Long = 500): DataFrame = {
+    require(numHashes >= 4, s"numHashes ($numHashes) must be >= 4")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val hs = Iterator.iterate(4)(_ * 2).takeWhile(_ <= numHashes).toSeq
+    val sigs = registerCache(shingleArrays(docs, shingleK)
+      .select(col("doc_id"),
+        call_function("minhash_sigs", col("shs"), lit(numHashes)).as("sig")))
+    val perPair = jaccardSweep(docs, shingleK, minPermille)
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
+      .withColumn("m", expr("zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L))"))
+      .select(Seq(col("jac_permille")) ++ hs.map(h =>
+        expr(s"aggregate(slice(m, 1, $h), 0L, (a, e) -> a + e) * 1000 div $h")
+          .as(s"est$h")): _*)
+    val oneRow = perPair.agg(count(lit(1)).as("n"),
+      hs.flatMap(h => Seq(
+        sum(abs(col(s"est$h") - col("jac_permille"))).as(s"sa$h"),
+        sum(col(s"est$h") - col("jac_permille")).as(s"ss$h"))): _*)
+    // stack takes the row values FLATTENED: numRows, then k values per row
+    val stacked = hs.map(h =>
+      s"${h}L, n, CASE WHEN n = 0 THEN NULL ELSE (sa$h * 1000) div n END, " +
+        s"CASE WHEN n = 0 THEN NULL ELSE (ss$h * 1000) div n END")
+      .mkString(", ")
+    oneRow.select(expr(s"stack(${hs.size}, $stacked) " +
+        "AS (n_hashes, n_pairs, mae_ppm, bias_ppm)"))
+      .orderBy("n_hashes")
+  }
+
   /** MEASURED banding recall curve — recall and candidate cost per
     * band count, against exact ground truth: where [[lshBandingPlan]]
     * prices the S-curve in closed form and [[bandBucketSkew]] measures

@@ -36,24 +36,8 @@ object Linkage {
                          idCol: String, nameCol: String,
                          blockLen: Int = 16, window: Int = 8,
                          maxDist: Int = 1): DataFrame = {
-    require(blockLen > 0 && window > 0 && maxDist >= 0,
-      s"bad params: blockLen=$blockLen window=$window maxDist=$maxDist")
-    def side(df: DataFrame, tag: String): DataFrame =
-      df.select(col(idCol).cast("long").as("id"),
-        col(nameCol).as("name"), lit(tag).as("side"))
-    val u = side(base, "base").unionByName(side(probe, "probe"))
-    val w = Window.partitionBy(col("__blk"))
-      .orderBy(col("name"), col("side"), col("id"))
-    val ranked = u.withColumn("__blk", substring(col("name"), 1, blockLen))
-      .withColumn("rn", row_number().over(w))
-    val candidates = ranked.select(col("__blk"), col("name"), col("side"),
-      col("id"), explode(sequence(col("rn") + lit(1),
-        col("rn") + lit(window))).as("rn_b"))
-    val right = ranked.select(col("__blk"), col("rn").as("rn_b"),
-      col("name").as("name_b"), col("side").as("side_b"),
-      col("id").as("id_b"))
-    candidates.join(right, Seq("__blk", "rn_b"))
-      .filter(col("side") =!= col("side_b"))
+    require(maxDist >= 0, s"maxDist ($maxDist) must be >= 0")
+    snCandidates(base, probe, idCol, nameCol, blockLen, window)
       .withColumn("dist", levenshtein(col("name"), col("name_b")))
       .filter(col("dist") <= lit(maxDist))
       .select(
@@ -106,5 +90,78 @@ object Linkage {
       .filter(col("dist") <= 1L)
       .select("base_id", "probe_id", "dist")
       .orderBy("base_id", "probe_id")
+  }
+
+  /** [[sortedNeighborhood]]'s candidate stage — the cross-side pairs
+    * the block key + window ADMIT, before the edit-distance verify:
+    * one sorted window per block, a per-row explode of `window`
+    * candidate ranks, one equi-join on (block, rank). Shared so
+    * [[blockingQuality]] prices exactly the join mass the linkage
+    * pays. */
+  private def snCandidates(base: DataFrame, probe: DataFrame,
+                           idCol: String, nameCol: String,
+                           blockLen: Int, window: Int): DataFrame = {
+    require(blockLen > 0 && window > 0,
+      s"bad params: blockLen=$blockLen window=$window")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+        col(nameCol).as("name"), lit(tag).as("side"))
+    val u = side(base, "base").unionByName(side(probe, "probe"))
+    val w = Window.partitionBy(col("__blk"))
+      .orderBy(col("name"), col("side"), col("id"))
+    val ranked = u.withColumn("__blk", substring(col("name"), 1, blockLen))
+      .withColumn("rn", row_number().over(w))
+    val candidates = ranked.select(col("__blk"), col("name"), col("side"),
+      col("id"), explode(sequence(col("rn") + lit(1),
+        col("rn") + lit(window))).as("rn_b"))
+    val right = ranked.select(col("__blk"), col("rn").as("rn_b"),
+      col("name").as("name_b"), col("side").as("side_b"),
+      col("id").as("id_b"))
+    candidates.join(right, Seq("__blk", "rn_b"))
+      .filter(col("side") =!= col("side_b"))
+  }
+
+  /** Blocking-quality audit on [[sortedNeighborhood]]'s (blockLen,
+    * window) operating point — the two numbers every blocking scheme
+    * is judged by, MEASURED against full-recall ground truth:
+    * REDUCTION RATIO (how much of the n·m all-pairs mass the blocking
+    * avoided) and PAIRS COMPLETENESS (what fraction of true ed ≤ 1
+    * matches the block key + window still admit). Ground truth is
+    * [[deletionJoin]], provably complete at edit distance 1 — which is
+    * why this audit pins `maxDist = 1`, the tier linkage runs at
+    * scale. The audit is the linkage analog of [[Dedup.bandRecallCurve]]:
+    * run it on a slice where the full-recall join is affordable, keep
+    * the measured operating point for the full corpus.
+    *
+    * Scale shape: candidates / truth / found each collapse to a one-
+    * row count before anything crosses — three bounded aggregates
+    * crossed broadcast-style; nothing pairwise survives past its own
+    * count.
+    *
+    * @return one row (n_base, n_probe, n_candidates, n_true, n_found,
+    *         reduction_ppm, completeness_ppm); completeness null when
+    *         no true pair exists. */
+  def blockingQuality(base: DataFrame, probe: DataFrame,
+                      idCol: String, nameCol: String,
+                      blockLen: Int = 16, window: Int = 8): DataFrame = {
+    val cand = snCandidates(base, probe, idCol, nameCol, blockLen, window)
+      .agg(count(lit(1)).as("n_candidates"))
+    val truth = deletionJoin(base, probe, idCol, nameCol)
+      .select("base_id", "probe_id")
+      .agg(count(lit(1)).as("n_true"))
+    val found = sortedNeighborhood(base, probe, idCol, nameCol,
+        blockLen, window, maxDist = 1)
+      .select("base_id", "probe_id").distinct()
+      .agg(count(lit(1)).as("n_found"))
+    val sides = base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(probe.agg(count(lit(1)).as("n_probe")))
+    sides.crossJoin(cand).crossJoin(truth).crossJoin(found)
+      .select(col("n_base"), col("n_probe"), col("n_candidates"),
+        col("n_true"), col("n_found"),
+        expr("1000000 - (n_candidates * 1000000) div (n_base * n_probe)")
+          .as("reduction_ppm"),
+        expr("""case when n_true = 0 then null
+             else (n_found * 1000000) div n_true end""")
+          .as("completeness_ppm"))
   }
 }

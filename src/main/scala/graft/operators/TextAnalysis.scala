@@ -184,6 +184,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Pack-adjacency contamination audit — the cross-document leakage
+    * check on [[packSequences]]' layout: when sequences are trained
+    * WITHOUT attention masking between packed documents, every
+    * document that starts mid-sequence attends into the tail of its
+    * predecessor. This measures how often that happens and how bad the
+    * adjacent pair is: same source (correlated context the model can
+    * exploit), or an exact duplicate (the same text twice inside one
+    * attention window — the worst case).
+    *
+    * Per shard: adjacent pairs in the token stream, the co-resident
+    * subset (successor starts mid-sequence, `offset_in_seq > 0`), and
+    * within it the same-source and exact-dup counts. A high
+    * `coresident_permille` with high same-source mass is the signal to
+    * turn on per-document masks or shuffle the layout order.
+    *
+    * Scale shape: the running-sum window and the predecessor `lag`
+    * share ONE (shard, doc_id) partitioning — a single Exchange —
+    * and the per-shard aggregate is map-side-combined into numShards
+    * rows; document bodies never shuffle (the dup signal is the md5
+    * fingerprint, the x01 discipline).
+    *
+    * @return (shard, n_pairs, n_coresident, n_same_source,
+    *         n_dup_adjacent, coresident_permille), ordered by shard. */
+  def packAdjacency(docs: DataFrame, budgetTokens: Long,
+                    numShards: Int = 8): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens ($budgetTokens) must be >= 1")
+    require(numShards >= 1, s"numShards ($numShards) must be >= 1")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    val cum = ws.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val coRes = expr(s"start_tok % $budgetTokens") > lit(0L)
+    docs.select(col("doc_id"), col("source"), md5(col("text")).as("__fp"),
+        tokenCountCol(col("text")).as("n_tokens"))
+      .withColumn("shard", Sampling.hashMod(col("doc_id"), numShards.toLong))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(cum), lit(0L)))
+      .withColumn("__prev_id", lag("doc_id", 1).over(ws))
+      .withColumn("__prev_source", lag("source", 1).over(ws))
+      .withColumn("__prev_fp", lag("__fp", 1).over(ws))
+      .filter(col("__prev_id").isNotNull)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(coRes, 1L).otherwise(0L)).as("n_coresident"),
+        sum(when(coRes && col("source") === col("__prev_source"), 1L)
+          .otherwise(0L)).as("n_same_source"),
+        sum(when(coRes && col("__fp") === col("__prev_fp"), 1L)
+          .otherwise(0L)).as("n_dup_adjacent"))
+      .select(col("shard"), col("n_pairs"), col("n_coresident"),
+        col("n_same_source"), col("n_dup_adjacent"),
+        expr("(n_coresident * 1000) div n_pairs").as("coresident_permille"))
+      .orderBy("shard")
+  }
+
   /** Fixed-size token chunking with overlap — the window layout for
     * embedding / retrieval pipelines (and the long-document half of
     * sequence preparation, where [[packSequences]] is the short-doc
@@ -332,6 +384,47 @@ object TextAnalysis {
           .as("reason_bits"))
       .withColumn("keep", when(col("reason_bits") === 0L, 1L).otherwise(0L))
       .orderBy("doc_id")
+  }
+
+  /** Per-source corpus datasheet — the one-table summary a data card
+    * actually prints: volume (docs / tokens / chars), exact-duplicate
+    * rate, [[qualityGate]] keep rate, and mean document length, one
+    * row per source. Composes the board's per-signal operators
+    * (x01 exact dedup, x43 gate) into the per-source roll-up a corpus
+    * release reviews first; thresholds are the gate's.
+    *
+    * Scale shape: every signal (fingerprint, token/char counts, gate
+    * bits) is computed row-locally on the scan and carried into ONE
+    * per-source aggregate; the exact-dup count is a two-phase distinct
+    * keyed by (source, fingerprint) — digests shuffle, bodies never.
+    *
+    * @return (source, n_docs, n_tokens, n_chars, dup_permille,
+    *         keep_permille, mean_tokens), ordered by source. */
+  def corpusDatasheet(docs: DataFrame, minTokens: Long = 32,
+                      maxRepPermille: Long = 10, minAwlPermille: Long = 4200,
+                      maxAwlPermille: Long = 4800, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val staged = docs.select(col("source"), md5(col("text")).as("__fp"),
+      tokenCountCol(col("text")).as("__nt"),
+      length(col("text")).cast("long").as("__nc"),
+      awlPermilleCol.as("__awl"), split(col("text"), " ").as("ts"))
+    staged.select(Seq(col("source"), col("__fp"), col("__nt"), col("__nc"),
+        col("__awl")) ++ repInputs(k): _*)
+      .select(col("source"), col("__fp"), col("__nt"), col("__nc"), col("__awl"),
+        coalesce(repPermilleCol, lit(0L)).as("__rep"))
+      .withColumn("__keep",
+        when(col("__nt") >= minTokens && col("__rep") <= maxRepPermille
+          && col("__awl") >= minAwlPermille && col("__awl") <= maxAwlPermille,
+          1L).otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+        sum("__nc").as("n_chars"), countDistinct(col("__fp")).as("__uniq"),
+        sum("__keep").as("__nk"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("1000 - (__uniq * 1000) div n_docs").as("dup_permille"),
+        expr("(__nk * 1000) div n_docs").as("keep_permille"),
+        expr("n_tokens div n_docs").as("mean_tokens"))
+      .orderBy("source")
   }
 
   /** Multimodal metadata projection: treat the payload as opaque bytes +

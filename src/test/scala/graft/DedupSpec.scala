@@ -746,6 +746,35 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("minhashErrorCurve: identical pair estimates exactly at every prefix") {
+    // identical texts → jac 1000 and ALL signature components equal →
+    // est 1000 at h = 4/8/16, so mae = bias = 0 (the only
+    // hand-derivable point of the curve); the disjoint doc never pairs
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashErrorCurve(docs, shingleK = 2, minPermille = 500)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq((4L, 1L, 0L, 0L), (8L, 1L, 0L, 0L), (16L, 1L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashErrorCurve(docs, numHashes = 2)
+    }
+  }
+
+  test("minhashErrorCurve: empty pair set → zero counts, null metrics") {
+    val docs = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.minhashErrorCurve(docs, shingleK = 2, minPermille = 500)
+      .collect()
+    graft.operators.Dedup.releaseCaches()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getLong(1) === 0L && r.isNullAt(2) && r.isNullAt(3))
+    }
+  }
+
   test("clusterCapSurvivors: top-m by (score DESC, id), singletons keep their row") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("da", "db")
     val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 6L))

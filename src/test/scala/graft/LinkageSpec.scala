@@ -97,4 +97,30 @@ class LinkageSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq((1L, 10L, 1L)))
   }
+
+  test("blockingQuality: hand-derived reduction ratio and completeness") {
+    // probe 11 is a last-char typo of base 1 (same 16-char block →
+    // admitted AND verified); probe 12 is a FIRST-char typo of base 2
+    // (ed 1, but a different block → missed by the window, caught by
+    // the deletion-variant truth) — completeness must read 1/2
+    val base = tbl(
+      1L -> "alpha_record_0001",
+      2L -> "beta_record_00002",
+      3L -> "gamma_record_0003")
+    val probe = tbl(
+      11L -> "alpha_record_0002",
+      12L -> "Xeta_record_00002")
+    val out = Linkage.blockingQuality(base, probe, "id", "name")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // candidates: only the shared "alpha_record_000" block pairs up →
+    // 1 of 3·2 possible pairs; reduction = 1e6 − 1e6/6 = 833334
+    assert(out === Seq((3L, 2L, 1L, 2L, 1L, 833334L, 500000L)))
+  }
+
+  test("blockingQuality: zero true pairs → null completeness") {
+    val base = tbl(1L -> "aaaaaaaaaaaaaaaaa")
+    val probe = tbl(10L -> "zzzzzzzzzzzzzzzzz")
+    val row = Linkage.blockingQuality(base, probe, "id", "name").collect()(0)
+    assert(row.getLong(3) === 0L && row.isNullAt(6))
+  }
 }

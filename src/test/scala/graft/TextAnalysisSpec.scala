@@ -805,4 +805,40 @@ class TextAnalysisSpec extends SparkSpec {
       (0L, 3L, 2L, 666666L), // "hdr txt" ×2 dup, "solo" unique
       (1L, 2L, 0L, 0L)))
   }
+
+  test("packAdjacency: hand-derived co-residency, source and dup classification") {
+    // ONE shard, budget 8: stream offsets 0|4|8|10 → pair (1,2)
+    // co-resident same-source exact-dup, (2,3) lands on a boundary
+    // (clean), (3,4) co-resident same-source non-dup
+    val docs = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "a b c d", "s1"),
+      (3L, "x y", "s2"),
+      (4L, "z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.packAdjacency(docs, budgetTokens = 8L,
+        numShards = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 3L, 2L, 2L, 1L, 666L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packAdjacency(docs, budgetTokens = 0L)
+    }
+  }
+
+  test("corpusDatasheet: per-source volume, dup rate, gate keep rate") {
+    // source A: an exact-dup pair + one unique, all too short (keep 0);
+    // source B: one short doc + one 33-token gate-passing doc
+    // (distinct words, awl = 149000 div 33 = 4515 ∈ [4200, 4800])
+    val long = ((1 to 17).map(i => f"v$i%04d") ++
+      (1 to 16).map(i => f"w$i%03d")).mkString(" ")
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "a b c", "A"), (3L, "d e f", "A"),
+      (4L, "g h", "B"), (5L, long, "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.corpusDatasheet(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("A", 3L, 9L, 15L, 334L, 0L, 3L),
+      ("B", 2L, 35L, 184L, 0L, 500L, 17L)))
+  }
 }
