@@ -184,6 +184,35 @@ private[graft] object BoardX250 {
     // keep rate, mean length — the data-card roll-up in one table
     "x266_datasheet" -> ((s, d) =>
       TextAnalysis.corpusDatasheet(Tables.documents(s, d))),
+    // padding bill of length-bucketed dynamic batching (the x40/x250
+    // packed layout's alternative): per 64-token bucket, docs, batch
+    // pad target, real token mass, pad share
+    "x267_batch_plan" -> ((s, d) =>
+      TextAnalysis.batchPlan(Tables.documents(s, d), bucketTokens = 64L)),
+    // staleness ladder on a backward as-of (each purchase ← the
+    // user's latest preceding click): per age-day bucket (<1, <7,
+    // <30, <90, >=90, unmatched) counts and shares — what a tolerance
+    // cut would actually drop (the orders←events pairing is time-
+    // disjoint in this corpus, so the ladder anchors on events)
+    "x268_asof_staleness" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), col("ts_ns").as("t"),
+          col("event_id"))
+      val right = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"), col("ts_ns").as("t"),
+          col("event_id"))
+      graft.operators.AsOfJoin.stalenessLadder(left, right, key = "k",
+        leftTime = "t", rightTime = "t", tieBreak = Some("event_id"))
+    },
+    // per-source character-class shares (alpha/digit/space/other) —
+    // the encoding-health audit below the token-level gates
+    "x269_charclass_profile" -> ((s, d) =>
+      TextAnalysis.charClassProfile(Tables.documents(s, d))),
+    // per-source mixture drift under x01 exact dedup + the exact
+    // rational restore factor (orig share / survivor share)
+    "x270_mixture_restore" -> ((s, d) =>
+      Dedup.dedupMixtureRestore(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -771,5 +800,89 @@ private[graft] object BoardX250 {
          CAST((nk * 1000) // n_docs AS BIGINT) AS keep_permille,
          CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens
        FROM a ORDER BY source""",
+    // x267: whitespace token counts bucketed by integer division, one
+    // group-by, exact pad arithmetic
+    "x267_batch_plan" ->
+      """WITH t AS (SELECT LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS nt
+           FROM documents),
+       a AS (SELECT nt // 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(nt) AS BIGINT) AS max_tokens,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens
+         FROM t GROUP BY 1)
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(bucket * 64 AS BIGINT) AS lo_tokens,
+         n_docs, max_tokens, sum_tokens,
+         CAST(((n_docs * max_tokens - sum_tokens) * 1000)
+           // (n_docs * max_tokens) AS BIGINT) AS pad_permille
+       FROM a ORDER BY bucket""",
+    // x268: backward as-of as a MAX-preceding-time group (the tie
+    // choice cannot move the bucket — tied candidates share rt), exact
+    // ns epochs, a CASE day ladder, histogram + 1-row total
+    "x268_asof_staleness" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS lt
+           FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, epoch_ns(ts) AS rt
+           FROM events WHERE event_type = 'click'),
+         m AS (SELECT l.event_id, l.lt AS lt, MAX(r.rt) AS rt
+           FROM l LEFT JOIN r
+             ON r.user_id = l.user_id AND r.rt <= l.lt
+           GROUP BY 1, 2),
+         b AS (SELECT CASE WHEN rt IS NULL THEN -1
+             WHEN (lt - rt) // 86400000000000 < 1 THEN 0
+             WHEN (lt - rt) // 86400000000000 < 7 THEN 1
+             WHEN (lt - rt) // 86400000000000 < 30 THEN 2
+             WHEN (lt - rt) // 86400000000000 < 90 THEN 3
+             ELSE 4 END AS bucket FROM m),
+         h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM b GROUP BY bucket),
+         t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM h)
+       SELECT CAST(bucket AS BIGINT) AS bucket, n_rows,
+         CAST((n_rows * 1000) // t.tot AS BIGINT) AS share_permille
+       FROM h, t ORDER BY bucket""",
+    // x269: global regexp strips as length differences, one source
+    // rollup, guarded truncating permilles
+    "x269_charclass_profile" ->
+      """WITH m AS (SELECT source, CAST(LENGTH(text) AS BIGINT) AS nc,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g'))
+             AS BIGINT) AS al,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+             AS BIGINT) AS di,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS sp
+         FROM documents),
+       a AS (SELECT source, CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(al) AS BIGINT) AS ca, CAST(SUM(di) AS BIGINT) AS cd,
+           CAST(SUM(sp) AS BIGINT) AS cs
+         FROM m GROUP BY source)
+       SELECT source, n_chars,
+         CAST(CASE WHEN n_chars = 0 THEN NULL
+           ELSE (ca * 1000) // n_chars END AS BIGINT) AS alpha_permille,
+         CAST(CASE WHEN n_chars = 0 THEN NULL
+           ELSE (cd * 1000) // n_chars END AS BIGINT) AS digit_permille,
+         CAST(CASE WHEN n_chars = 0 THEN NULL
+           ELSE (cs * 1000) // n_chars END AS BIGINT) AS space_permille,
+         CAST(CASE WHEN n_chars = 0 THEN NULL
+           ELSE ((n_chars - ca - cd - cs) * 1000) // n_chars END
+           AS BIGINT) AS other_permille
+       FROM a ORDER BY source""",
+    // x270: x01's min-id-per-digest survivors credited to their
+    // source, shares and the exact HUGEINT restore rational
+    "x270_mixture_restore" ->
+      """WITH fp AS (SELECT doc_id, source, md5(text) AS f FROM documents),
+         sv AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+         ps AS (SELECT fp.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_survivors
+           FROM fp LEFT JOIN sv ON fp.doc_id = sv.doc_id
+           GROUP BY fp.source),
+         t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+             CAST(SUM(n_survivors) AS BIGINT) AS ts FROM ps)
+       SELECT source, n_docs, n_survivors,
+         CAST((n_docs * 1000000) // t.td AS BIGINT) AS orig_share_ppm,
+         CAST(CASE WHEN t.ts = 0 THEN NULL
+           ELSE (n_survivors * 1000000) // t.ts END AS BIGINT) AS surv_share_ppm,
+         CAST(CASE WHEN n_survivors = 0 THEN NULL
+           ELSE (n_docs * t.ts * 1000000) // (n_survivors * t.td) END
+           AS BIGINT) AS restore_factor_ppm
+       FROM ps, t ORDER BY source""",
   )
 }

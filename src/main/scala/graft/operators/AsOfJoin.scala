@@ -311,4 +311,47 @@ object AsOfJoin {
         when(col("n_left") === 0L, lit(null).cast("long"))
           .otherwise(expr("(n_matched * 1000000) div n_left"))
           .as("match_ppm"))
+
+  /** Staleness ladder on the [[backward]] join — [[matchRateReport]]
+    * says HOW OFTEN a left row finds a match; this says HOW OLD the
+    * matches are: per age bucket (age = left time − matched right
+    * time, bucketed by a day ladder), the row count and share. The
+    * freshness read behind a tolerance decision — "92% of matches are
+    * under a day old, the 90-day tail is 3‰" prices what a `tolerance`
+    * cut would actually drop. Bucket −1 collects unmatched left rows,
+    * so the ladder partitions ALL of the left side.
+    *
+    * Rides the as-of join unchanged and folds to a ≤|bounds|+2-row
+    * histogram (map-side-combined) crossed with its own 1-row total —
+    * nothing beyond the join shuffles at data scale.
+    *
+    * @param unitsPerDay time-unit scale of both time columns
+    *                    (default: nanoseconds).
+    * @return (bucket, n_rows, share_permille) where bucket i means
+    *         age_days < boundsDays(i), |bounds| means ≥ the last
+    *         bound, −1 unmatched; ordered by bucket; only observed
+    *         buckets appear. */
+  def stalenessLadder(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      tieBreak: Option[String] = None,
+                      unitsPerDay: Long = 86400L * 1000000000L,
+                      boundsDays: Seq[Long] = Seq(1L, 7L, 30L, 90L)): DataFrame = {
+    require(unitsPerDay >= 1, s"unitsPerDay ($unitsPerDay) must be >= 1")
+    require(boundsDays.nonEmpty && boundsDays == boundsDays.sorted
+      && boundsDays.distinct == boundsDays,
+      s"boundsDays ($boundsDays) must be non-empty, sorted, distinct")
+    val r = right.withColumn("__rt", col(rightTime))
+    val ageDays = expr(s"($leftTime - __rt) div $unitsPerDay")
+    val bucket = when(col("__rt").isNull, lit(-1L)).otherwise(
+      boundsDays.zipWithIndex.foldRight(lit(boundsDays.size.toLong): Column) {
+        case ((b, i), acc) => when(ageDays < lit(b), lit(i.toLong)).otherwise(acc)
+      })
+    val hist = backward(left, r, key, leftTime, rightTime, Seq("__rt"), tieBreak)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    hist.crossJoin(broadcast(hist.agg(sum("n_rows").as("__tot"))))
+      .select(col("bucket"), col("n_rows"),
+        expr("(n_rows * 1000) div __tot").as("share_permille"))
+      .orderBy("bucket")
+  }
 }

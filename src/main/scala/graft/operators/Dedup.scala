@@ -111,6 +111,47 @@ object Dedup {
       .select("keep_id", "dup_count")
       .orderBy("keep_id", "dup_count")
 
+  /** Post-dedup mixture restore — the re-weighting table that undoes
+    * what [[exact]] dedup did to the source mixture: duplication is
+    * never uniform across feeds (syndicated feeds shrink, original
+    * feeds don't), so the post-dedup corpus SILENTLY drifts from the
+    * mixture that was tuned (x88/x81) pre-dedup. Per source: original
+    * and survivor shares, and the sampling factor that restores the
+    * original mixture over the deduped corpus
+    * (`restore_factor_ppm` = orig share / survivor share, exact
+    * rational in DECIMAL(38,0) — >10⁶ means upsample).
+    *
+    * Survivors are [[exact]]'s min-doc_id-per-digest; a cross-source
+    * dup group credits its survivor to the min-id member's source,
+    * exactly as the dedup would. Digests shuffle, bodies never; one
+    * digest agg + one id-keyed join + one per-source rollup crossed
+    * with its own 1-row total.
+    *
+    * @return (source, n_docs, n_survivors, orig_share_ppm,
+    *         surv_share_ppm, restore_factor_ppm), ordered by source;
+    *         a fully-deduped-away source reads NULL factors. */
+  def dedupMixtureRestore(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("__fp"))
+    val survivors = fps.groupBy("__fp").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("__sv"))
+    val perSrc = fps.join(survivors, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__sv"), lit(0L))).as("n_survivors"))
+    perSrc.crossJoin(broadcast(perSrc.agg(sum("n_docs").as("__td"),
+        sum("n_survivors").as("__ts"))))
+      .select(col("source"), col("n_docs"), col("n_survivors"),
+        expr("(n_docs * 1000000) div __td").as("orig_share_ppm"),
+        expr("""case when __ts = 0 then null
+             else (n_survivors * 1000000) div __ts end""").as("surv_share_ppm"),
+        expr("""case when n_survivors = 0 then null
+             else (cast(n_docs as decimal(38,0)) * __ts * 1000000)
+               div (cast(n_survivors as decimal(38,0)) * __td) end""")
+          .as("restore_factor_ppm"))
+      .orderBy("source")
+  }
+
   /** Quality-aware survivor selection over dup clusters: close the
     * near-dup pair graph into components ([[connectedComponents]]) and
     * keep the member with the HIGHEST score (ties → lowest doc_id) —

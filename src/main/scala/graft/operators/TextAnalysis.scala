@@ -427,6 +427,72 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Length-bucketed dynamic-batching plan — the padding bill of the
+    * OTHER sequence layout: where [[packSequences]] concatenates and
+    * cuts (zero pad, cross-doc attention — priced by
+    * [[packAdjacency]]), dynamic batching groups similar-length
+    * documents and pads each batch to its longest member (clean
+    * attention, padded compute). Per length bucket: document count,
+    * the bucket's max length (what a batch drawn from it pads to),
+    * real token mass, and the pad share — the table that decides
+    * bucket width, or that packing wins outright.
+    *
+    * One row-local token count + ONE map-side-combined bucket
+    * aggregate; buckets are `n_tokens div bucketTokens`, so the output
+    * is bounded by max-doc-length / width, never data-scale.
+    *
+    * @return (bucket, lo_tokens, n_docs, max_tokens, sum_tokens,
+    *         pad_permille), ordered by bucket. */
+  def batchPlan(docs: DataFrame, bucketTokens: Long = 64L): DataFrame = {
+    require(bucketTokens >= 1, s"bucketTokens ($bucketTokens) must be >= 1")
+    docs.select(tokenCountCol(col("text")).as("__nt"))
+      .withColumn("bucket", expr(s"__nt div $bucketTokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), max("__nt").as("max_tokens"),
+        sum("__nt").as("sum_tokens"))
+      .select(col("bucket"), (col("bucket") * lit(bucketTokens)).as("lo_tokens"),
+        col("n_docs"), col("max_tokens"), col("sum_tokens"),
+        expr("""((n_docs * max_tokens - sum_tokens) * 1000)
+             div (n_docs * max_tokens)""").as("pad_permille"))
+      .orderBy("bucket")
+  }
+
+  /** Per-source character-class profile — the encoding-health /
+    * symbol-ratio audit (the Gopher-rule family's character tier):
+    * alpha, digit, space and other shares per feed. A feed whose
+    * `other_permille` jumps shipped mojibake, markup, or a tokenizer-
+    * hostile symbol soup — caught at the char level before the
+    * token-level gates ([[qualityGate]], x43) even see words.
+    *
+    * Each class count is a row-local length-difference after a global
+    * regexp strip (codegen'd, no explode — the corpus never unpivots
+    * to characters); ONE per-source aggregate. Permilles are exact
+    * integer truncating division; a source of empty texts reads NULL.
+    *
+    * @return (source, n_chars, alpha_permille, digit_permille,
+    *         space_permille, other_permille), ordered by source. */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    def cnt(re: String) = (length(col("text"))
+      - length(regexp_replace(col("text"), re, ""))).cast("long")
+    docs.select(col("source"), length(col("text")).cast("long").as("__nc"),
+        cnt("[A-Za-z]").as("__al"), cnt("[0-9]").as("__di"),
+        cnt(" ").as("__sp"))
+      .groupBy("source")
+      .agg(sum("__nc").as("n_chars"), sum("__al").as("__a"),
+        sum("__di").as("__d"), sum("__sp").as("__s"))
+      .select(col("source"), col("n_chars"),
+        expr("case when n_chars = 0 then null else (__a * 1000) div n_chars end")
+          .as("alpha_permille"),
+        expr("case when n_chars = 0 then null else (__d * 1000) div n_chars end")
+          .as("digit_permille"),
+        expr("case when n_chars = 0 then null else (__s * 1000) div n_chars end")
+          .as("space_permille"),
+        expr("""case when n_chars = 0 then null
+             else ((n_chars - __a - __d - __s) * 1000) div n_chars end""")
+          .as("other_permille"))
+      .orderBy("source")
+  }
+
   /** Multimodal metadata projection: treat the payload as opaque bytes +
     * typed metadata (byte length, content hash). For real image/audio
     * the `content` column is BinaryType from the source; here the text

@@ -215,4 +215,22 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(loose === Seq((3L, 2L, 1L, 666666L)))
   }
+
+  test("stalenessLadder: day buckets, unmatched bucket, shares") {
+    // unitsPerDay = 10 → ages 5/80/1000 units = 0/8/100 days →
+    // buckets 0 (<1), 2 (<30), 4 (>= 90); key 3 unmatched → -1
+    val left = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L))
+      .toDF("k", "t")
+    val right = Seq((1L, 95L, 1L), (2L, 20L, 2L), (4L, -900L, 3L))
+      .toDF("k", "t", "event_id")
+    val out = AsOfJoin.stalenessLadder(left, right, "k", "t", "t",
+        tieBreak = Some("event_id"), unitsPerDay = 10L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((-1L, 1L, 250L), (0L, 1L, 250L),
+      (2L, 1L, 250L), (4L, 1L, 250L)))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.stalenessLadder(left, right, "k", "t", "t",
+        boundsDays = Seq(7L, 1L))
+    }
+  }
 }

@@ -775,6 +775,21 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("dedupMixtureRestore: shares and the exact restore rational") {
+    // A: dup pair + unique (3 docs → 2 survivors); B: 1 unique doc.
+    // totals 4 docs / 3 survivors → A restore (3·3·1e6)//(2·4),
+    // B (1·3·1e6)//(1·4)
+    val docs = Seq(
+      (1L, "t t t", "A"), (2L, "t t t", "A"), (3L, "u u u", "A"),
+      (4L, "v v v", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dedupMixtureRestore(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("A", 3L, 2L, 750000L, 666666L, 1125000L),
+      ("B", 1L, 1L, 250000L, 333333L, 750000L)))
+  }
+
   test("clusterCapSurvivors: top-m by (score DESC, id), singletons keep their row") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("da", "db")
     val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 6L))

@@ -841,4 +841,33 @@ class TextAnalysisSpec extends SparkSpec {
       ("A", 3L, 9L, 15L, 334L, 0L, 3L),
       ("B", 2L, 35L, 184L, 0L, 500L, 17L)))
   }
+
+  test("batchPlan: bucket by width, pad to bucket max, exact pad share") {
+    // width 4: docs of 1/2 tokens → bucket 0 (max 2, sum 3, pad 250‰);
+    // 5-token doc → bucket 1 alone (pad 0)
+    val d = docs(1L -> "a", 2L -> "b c", 3L -> "p q r s t")
+    val out = TextAnalysis.batchPlan(d, bucketTokens = 4L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 2L, 2L, 3L, 250L),
+      (1L, 4L, 1L, 5L, 5L, 0L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.batchPlan(d, bucketTokens = 0L)
+    }
+  }
+
+  test("charClassProfile: class shares per source, empty source reads NULL") {
+    val d = Seq((1L, "Ab1 c!", "A"), (2L, "", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.charClassProfile(d).collect()
+    assert(out.length === 2)
+    val a = out(0)
+    assert(a.getString(0) === "A" && a.getLong(1) === 6L)
+    // 3 alpha, 1 digit, 1 space, 1 other of 6 chars
+    assert((a.getLong(2), a.getLong(3), a.getLong(4), a.getLong(5))
+      === ((500L, 166L, 166L, 166L)))
+    val b = out(1)
+    assert(b.getString(0) === "B" && b.getLong(1) === 0L
+      && b.isNullAt(2) && b.isNullAt(5))
+  }
 }
