@@ -213,6 +213,39 @@ private[graft] object BoardX250 {
     // rational restore factor (orig share / survivor share)
     "x270_mixture_restore" -> ((s, d) =>
       Dedup.dedupMixtureRestore(Tables.documents(s, d))),
+    // measured watermark-delay drop curve over a PLANTED graded
+    // reordering (the raw feed is perfectly ordered at all three
+    // scales — x242's finding — so three coprime strides arrive 1 day
+    // / 10 min / 30 s late; the derived-fixture discipline)
+    "x271_watermark_curve" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.operators.Sessions.watermarkCurve(
+        ev.withColumn("ts",
+          when(col("event_id") % 97 === 0,
+            col("ts") - expr("INTERVAL 1 DAY"))
+          .when(col("event_id") % 89 === 0,
+            col("ts") - expr("INTERVAL 10 MINUTE"))
+          .when(col("event_id") % 83 === 0,
+            col("ts") - expr("INTERVAL 30 SECOND"))
+          .otherwise(col("ts"))))
+    },
+    // measured dedup-threshold yield curve: per candidate Jaccard bar,
+    // exact pair mass and docs flagged (best pair >= bar) — the
+    // threshold axis of the x262/x264 measured-curve family; the 100‰
+    // bar sits below the corpus's background bigram-overlap mass so
+    // the curve shows the background→planted-dup cliff
+    "x272_dedup_threshold_curve" -> ((s, d) =>
+      Dedup.dedupThresholdCurve(Tables.documents(s, d), shingleK = 2,
+        thresholds = Seq(100L, 200L, 500L, 900L))),
+    // participation ratio of the embedding cloud from the exact
+    // integer Gram matrix — the rank-collapse read x246/x261 miss
+    "x273_effective_dim" -> ((s, d) =>
+      Similarity.effectiveDim(Tables.embeddings(s, d))),
+    // content-defined chunking dedup profile — the shift-resilient
+    // storage-dedup read (x235's fixed grid hides dups after one
+    // insertion; CDC boundaries re-synchronize)
+    "x274_cdc_chunks" -> ((s, d) =>
+      TextAnalysis.cdcChunkProfile(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -884,5 +917,113 @@ private[graft] object BoardX250 {
            ELSE (n_docs * t.ts * 1000000) // (n_survivors * t.td) END
            AS BIGINT) AS restore_factor_ppm
        FROM ps, t ORDER BY source""",
+    // x271: identical planted shifts, per-user running-max lateness,
+    // one aggregate row unpivoted by UNION ALL
+    "x271_watermark_curve" ->
+      """WITH k AS (SELECT user_id, event_id,
+           epoch_us(CASE WHEN event_id % 97 = 0 THEN ts - INTERVAL 1 DAY
+             WHEN event_id % 89 = 0 THEN ts - INTERVAL 10 MINUTE
+             WHEN event_id % 83 = 0 THEN ts - INTERVAL 30 SECOND
+             ELSE ts END) AS us
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       l AS (SELECT GREATEST(COALESCE(
+           MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us,
+           0), 0) AS late FROM k),
+       a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+           CAST(SUM(CASE WHEN late > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN late > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+           CAST(SUM(CASE WHEN late > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d3
+         FROM l)
+       SELECT * FROM (
+         SELECT CAST(0 AS BIGINT) AS delay_us, n AS n_events, d0 AS n_dropped,
+           CAST(CASE WHEN n = 0 THEN NULL ELSE (d0 * 1000000) // n END AS BIGINT) AS drop_ppm FROM a
+         UNION ALL
+         SELECT CAST(60000000 AS BIGINT), n, d1,
+           CAST(CASE WHEN n = 0 THEN NULL ELSE (d1 * 1000000) // n END AS BIGINT) FROM a
+         UNION ALL
+         SELECT CAST(300000000 AS BIGINT), n, d2,
+           CAST(CASE WHEN n = 0 THEN NULL ELSE (d2 * 1000000) // n END AS BIGINT) FROM a
+         UNION ALL
+         SELECT CAST(3600000000 AS BIGINT), n, d3,
+           CAST(CASE WHEN n = 0 THEN NULL ELSE (d3 * 1000000) // n END AS BIGINT) FROM a)
+       ORDER BY delay_us""",
+    // x272: the x38 exact sweep at the loosest bar MATERIALIZED once,
+    // per-pair and per-doc-max histograms read by correlated
+    // threshold-table sums
+    "x272_dedup_threshold_curve" ->
+      s"""WITH ${graft.entry.EntryLib.shingleCtes(2)},
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       cm AS (SELECT s1.doc_id AS da, s2.doc_id AS db, COUNT(*) AS common
+           FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+           GROUP BY 1, 2),
+       exact AS MATERIALIZED (SELECT cm.da, cm.db,
+           (cm.common * 1000) // (sa.sz + sb.sz - cm.common) AS jac
+         FROM cm JOIN sizes sa ON cm.da = sa.doc_id
+         JOIN sizes sb ON cm.db = sb.doc_id
+         WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= 100),
+       mx AS MATERIALIZED (SELECT doc_id, MAX(jac) AS m FROM (
+           SELECT da AS doc_id, jac FROM exact
+           UNION ALL SELECT db, jac FROM exact)
+         GROUP BY 1),
+       rs AS (SELECT UNNEST([100, 200, 500, 900]) AS threshold)
+       SELECT CAST(threshold AS BIGINT) AS threshold,
+         CAST((SELECT COUNT(*) FROM exact WHERE jac >= threshold)
+           AS BIGINT) AS n_pairs,
+         CAST((SELECT COUNT(*) FROM mx WHERE m >= threshold)
+           AS BIGINT) AS n_docs_flagged
+       FROM rs ORDER BY threshold""",
+    // x273: the x233 quantize spelling, the dim2 Gram from one
+    // vec-keyed self-join, HUGEINT trace/Frobenius, one-row PR
+    "x273_effective_dim" ->
+      """WITH e AS (SELECT vec_id, UNNEST(embedding) AS x,
+           UNNEST(range(len(embedding))) AS i
+         FROM embeddings WHERE embedding IS NOT NULL),
+       q AS (SELECT vec_id, i,
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qq
+         FROM e),
+       g AS (SELECT a.i AS d, b.i AS e2, SUM(a.qq * b.qq) AS s
+         FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       p AS (SELECT SUM(CASE WHEN d = e2 THEN s ELSE 0 END) AS tr,
+           SUM(s * s) AS fr FROM g),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MAX(len(embedding)) AS BIGINT) AS dim
+         FROM embeddings WHERE embedding IS NOT NULL)
+       SELECT n.n_vectors, n.dim,
+         CAST(CASE WHEN p.fr IS NULL OR p.fr = 0 THEN NULL
+           ELSE (p.tr * p.tr * 1000) // p.fr END AS BIGINT) AS pr_milli
+       FROM p, n""",
+    // x274: the positional-gram chain (i 1-based — a Spark cut at
+    // 0-based token p is gr row i = p + 1), content-defined starts,
+    // 1-based list slices, md5 chunk digests, per-source rollup
+    "x274_cdc_chunks" -> {
+      val src = "(SELECT * FROM documents WHERE text IS NOT NULL)"
+      s"""WITH ${graft.entry.EntryLib.gramCtes(3, src)},
+       cutl AS (SELECT doc_id, list(i ORDER BY i) AS cuts
+           FROM gr WHERE i > 1 AND h % 16 = 0 GROUP BY doc_id),
+       base AS (SELECT t.doc_id, d.source, t.ts,
+           list_prepend(CAST(1 AS BIGINT), COALESCE(c.cuts, [])) AS starts,
+           CAST(len(t.ts) + 1 AS BIGINT) AS fin
+         FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+         LEFT JOIN cutl c ON t.doc_id = c.doc_id),
+       ex AS (SELECT doc_id, source, ts, starts, fin,
+           UNNEST(range(1, len(starts) + 1)) AS j FROM base),
+       chk AS (SELECT source,
+           (CASE WHEN j < len(starts) THEN starts[j + 1] ELSE fin END)
+             - starts[j] AS nt,
+           md5(array_to_string(ts[starts[j] :
+             (CASE WHEN j < len(starts) THEN starts[j + 1] ELSE fin END) - 1],
+             ' ')) AS fp
+         FROM ex),
+       a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(nt) AS BIGINT) AS n_chunk_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS uniq
+         FROM chk GROUP BY source)
+       SELECT source, n_chunks, n_chunk_tokens,
+         CAST(1000 - (uniq * 1000) // n_chunks AS BIGINT) AS dup_permille,
+         CAST(n_chunk_tokens // n_chunks AS BIGINT) AS mean_chunk_tokens
+       FROM a ORDER BY source"""
+    },
   )
 }

@@ -1066,6 +1066,56 @@ object Dedup {
       .orderBy("n_bands")
   }
 
+  /** MEASURED dedup-threshold yield curve — what each candidate
+    * Jaccard threshold would actually flag: per threshold the exact
+    * pair mass and the number of documents touched (a doc counts at
+    * threshold t iff its BEST pair reaches t). The third member of the
+    * measured-curve family — [[bandRecallCurve]] prices the banding
+    * recall axis, [[minhashErrorCurve]] the signature-size axis, this
+    * the THRESHOLD axis: "at 700‰ you flag 8k docs, at 500‰ it's 31k"
+    * is the row a dedup-aggressiveness decision needs. Ground truth is
+    * ONE exact sweep at the loosest candidate threshold; run on a
+    * slice where that sweep is affordable, apply the curve corpus-wide.
+    *
+    * The sweep materializes once; the curve is two bounded histograms
+    * (pair mass keyed by jac value ≤ 1000 rows, doc mass keyed by each
+    * doc's max jac) crossed with a broadcast thresholds table — adding
+    * a threshold re-reads the histograms, never the corpus.
+    *
+    * @return (threshold, n_pairs, n_docs_flagged), ordered by
+    *         threshold. */
+  def dedupThresholdCurve(docs: DataFrame, shingleK: Int = 2,
+                          thresholds: Seq[Long] = Seq(300L, 500L, 700L, 900L)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted
+      && thresholds.distinct == thresholds
+      && thresholds.head >= 1 && thresholds.last <= 999,
+      s"thresholds ($thresholds) must be non-empty, sorted, distinct, in [1, 999]")
+    val sweep = jaccardSweep(docs, shingleK, thresholds.head)
+      .localCheckpoint(true)
+    registerCheckpoint(checkpointRdd(sweep))
+    val pairH = sweep.groupBy("jac_permille").agg(count(lit(1)).as("__np"))
+    val docH = sweep
+      .select(explode(array(col("da"), col("db"))).as("doc_id"),
+        col("jac_permille"))
+      .groupBy("doc_id").agg(max("jac_permille").as("__mx"))
+      .groupBy("__mx").agg(count(lit(1)).as("__nd"))
+    val rs = docs.sparkSession.range(thresholds.size)
+      .select(element_at(array(thresholds.map(lit): _*),
+        col("id").cast("int") + 1).as("threshold"))
+    val pairs = rs.crossJoin(broadcast(pairH))
+      .filter(col("jac_permille") >= col("threshold"))
+      .groupBy("threshold").agg(sum("__np").as("__p"))
+    val flagged = rs.crossJoin(broadcast(docH))
+      .filter(col("__mx") >= col("threshold"))
+      .groupBy("threshold").agg(sum("__nd").as("__d"))
+    rs.join(pairs, Seq("threshold"), "left")
+      .join(flagged, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("__p"), lit(0L)).as("n_pairs"),
+        coalesce(col("__d"), lit(0L)).as("n_docs_flagged"))
+      .orderBy("threshold")
+  }
+
   /** [[minHashLsh]] WITHOUT the final global sort — the form to feed
     * downstream operators ([[connectedComponents]], bulk drop-list
     * writes) that don't need a total order: a global sort is a range

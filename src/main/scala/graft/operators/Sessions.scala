@@ -439,4 +439,48 @@ object Sessions {
         expr("(n_backsteps * 1000000) div n_events").as("backstep_ppm"))
       .orderBy("user_id")
   }
+
+  /** Watermark-delay drop curve — the MEASURED basis for the one
+    * number every Structured Streaming deployment must pick:
+    * [[latenessProfile]] shows the lateness distribution,
+    * [[arrivalIntegrity]] flags who delivers out of order; this prices
+    * the CHOICE — per candidate delay, how many events a watermark
+    * that tight would drop. Lateness of an event is the high-water
+    * mark of its key's earlier ARRIVALS (producer order = event_id,
+    * the x242 convention) minus its own event time — the per-key
+    * deterministic analog of the engine's global watermark; an event
+    * is dropped at delay d iff lateness > d.
+    *
+    * ONE (user_id, event_id) window computes every event's lateness,
+    * every candidate delay reads the same column, and the whole curve
+    * folds to ONE aggregate row unpivoted to |delays| rows — adding a
+    * candidate delay costs one more sum, never another pass.
+    *
+    * @return (delay_us, n_events, n_dropped, drop_ppm), ordered by
+    *         delay_us. */
+  def watermarkCurve(events: DataFrame,
+                     delaysUs: Seq[Long] = Seq(0L, 60000000L, 300000000L,
+                       3600000000L)): DataFrame = {
+    require(delaysUs.nonEmpty && delaysUs == delaysUs.sorted
+      && delaysUs.distinct == delaysUs && delaysUs.head >= 0,
+      s"delaysUs ($delaysUs) must be non-empty, sorted, distinct, >= 0")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lat = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("__us"))
+      .withColumn("__wm", max("__us").over(w))
+      .select(greatest(coalesce(col("__wm") - col("__us"), lit(0L)), lit(0L))
+        .as("__late"))
+    val oneRow = lat.agg(count(lit(1)).as("n"),
+      delaysUs.zipWithIndex.map { case (d, i) =>
+        sum(when(col("__late") > lit(d), 1L).otherwise(0L)).as(s"dr$i") }: _*)
+    val stacked = delaysUs.zipWithIndex.map { case (d, i) =>
+      s"${d}L, n, dr$i, case when n = 0 then null " +
+        s"else (dr$i * 1000000) div n end" }.mkString(", ")
+    oneRow.select(expr(s"stack(${delaysUs.size}, $stacked) " +
+        "AS (delay_us, n_events, n_dropped, drop_ppm)"))
+      .orderBy("delay_us")
+  }
 }

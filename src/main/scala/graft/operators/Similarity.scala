@@ -588,6 +588,50 @@ object Similarity {
     *
     * @return (label, n_vecs, cos_global_permille, norm_micro) ordered
     *         by label. */
+  /** Effective dimensionality (participation ratio) of the embedding
+    * cloud — the one-number isotropy read: PR = (Σλ)² / Σλ² of the
+    * uncentered second-moment spectrum, computed WITHOUT an
+    * eigendecomposition (Σλ = trace(G), Σλ² = ‖G‖²_F for symmetric G)
+    * so it distributes as two exact aggregates. PR → dim means the
+    * cloud uses every direction (healthy for ANN/cosine work);
+    * PR → 1 means rank collapse — an encoder regression x246's
+    * centroid drift and x261's norm fence both miss, because a
+    * collapsed cloud can keep its centroid and norms.
+    *
+    * Elements µ-quantize first (the x233 discipline), so the Gram
+    * matrix, trace and Frobenius mass are EXACT integers (DECIMAL(38,0))
+    * and the oracle replays them digit-for-digit. The Gram pass is one
+    * id-keyed self-join of the (id, pos, q) table with map-side
+    * combine onto dim² keys — n·dim² narrow rows, the standard
+    * distributed Gram shape; at extreme corpus sizes shrink the
+    * quantum so trace² stays inside 38 digits.
+    *
+    * @return one row (n_vectors, dim, pr_milli) — pr_milli ∈
+    *         [1000, 1000·dim], NULL on an empty corpus. */
+  def effectiveDim(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val q = Dedup.registerCache(emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), posexplode(col(vecCol)))
+      .select(col("__id"), col("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("q")))
+    val gram = q.select(col("__id"), col("pos").as("d"), col("q").as("qa"))
+      .join(q.select(col("__id"), col("pos").as("e"), col("q").as("qb")),
+        Seq("__id"))
+      .groupBy("d", "e")
+      .agg(sum(expr("cast(qa as decimal(38,0)) * qb")).as("s"))
+    val parts = gram.agg(
+      sum(when(col("d") === col("e"), col("s"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__tr"),
+      sum(expr("s * s")).as("__fr"))
+    val meta = emb.filter(col(vecCol).isNotNull)
+      .agg(count(lit(1)).as("n_vectors"),
+        max(size(col(vecCol))).cast("long").as("dim"))
+    meta.crossJoin(parts)
+      .select(col("n_vectors"), col("dim"),
+        expr("""case when __fr is null or __fr = 0 then null
+             else (__tr * __tr * 1000) div __fr end""").as("pr_milli"))
+  }
+
   def labelCentroids(emb: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      labelCol: String = "label"): DataFrame = {

@@ -493,6 +493,54 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Content-defined chunking (CDC) dedup profile — the
+    * shift-resilient chunk dedup of the rsync/LBFS/backup-dedup
+    * family: where [[chunkDupProfile]] (x235) cuts on a FIXED token
+    * grid (one inserted sentence shifts every later boundary and hides
+    * every downstream dup), CDC cuts where the CONTENT says so — a
+    * token position opens a new chunk iff its k-gram rolling hash ≡ 0
+    * mod `divisor` — so boundaries re-synchronize right after an edit
+    * and shared spans between near-identical documents land in
+    * identical chunks. Per source: chunk count, token mass, chunk-level
+    * dup share (the storage-dedup ratio) and mean chunk size
+    * (≈ divisor tokens by construction).
+    *
+    * Boundaries, slices and digests are ALL row-local (the positional
+    * hash array rides the scan via the codegen'd `gram_hashes`); the
+    * only shuffle is the per-source distinct on 16-byte chunk digests —
+    * chunk bodies never shuffle. Docs shorter than k tokens are one
+    * whole-doc chunk.
+    *
+    * @return (source, n_chunks, n_chunk_tokens, dup_permille,
+    *         mean_chunk_tokens), ordered by source. */
+  def cdcChunkProfile(docs: DataFrame, k: Int = 3,
+                      divisor: Long = 16L): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(divisor >= 1, s"divisor ($divisor) must be >= 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), split(col("text"), " ").as("ts"))
+      .withColumn("hs", call_function("gram_hashes", col("ts"), lit(k)))
+      .withColumn("starts", expr(s"""concat(array(0),
+          IF(size(hs) <= 1, array(),
+            filter(sequence(1, size(hs) - 1),
+              i -> element_at(hs, i + 1) % $divisor = 0)))"""))
+      .withColumn("chunks", expr("""zip_with(starts,
+          concat(slice(starts, 2, size(starts) - 1), array(size(ts))),
+          (s, e) -> named_struct('nt', e - s,
+            'fp', md5(array_join(slice(ts, s + 1, e - s), ' '))))"""))
+      .select(col("source"), explode(col("chunks")).as("c"))
+      .select(col("source"), col("c.nt").cast("long").as("__nt"),
+        col("c.fp").as("__fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), sum("__nt").as("n_chunk_tokens"),
+        countDistinct(col("__fp")).as("__uniq"))
+      .select(col("source"), col("n_chunks"), col("n_chunk_tokens"),
+        expr("1000 - (__uniq * 1000) div n_chunks").as("dup_permille"),
+        expr("n_chunk_tokens div n_chunks").as("mean_chunk_tokens"))
+      .orderBy("source")
+  }
+
   /** Multimodal metadata projection: treat the payload as opaque bytes +
     * typed metadata (byte length, content hash). For real image/audio
     * the `content` column is BinaryType from the source; here the text

@@ -775,6 +775,22 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("dedupThresholdCurve: pair mass and flagged docs per bar") {
+    // k=2: (1,2) identical → 1000‰; (1,3)/(2,3) share 2 of 4 → 500‰.
+    // bar 500 → 3 pairs, all 3 docs; bar 900 → 1 pair, 2 docs
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupThresholdCurve(docs, shingleK = 2,
+        thresholds = Seq(500L, 900L))
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq((500L, 3L, 3L), (900L, 1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupThresholdCurve(docs, thresholds = Seq(900L, 500L))
+    }
+  }
+
   test("dedupMixtureRestore: shares and the exact restore rational") {
     // A: dup pair + unique (3 docs → 2 survivors); B: 1 unique doc.
     // totals 4 docs / 3 survivors → A restore (3·3·1e6)//(2·4),

@@ -10,6 +10,26 @@ class SessionsSpec extends SparkSpec {
   private def ev(rows: (Long, Long, Long, String, Double)*) =
     rows.toDF("user_id", "event_id", "ts_ns", "event_type", "value")
 
+  test("watermarkCurve: per-user running-max lateness, one count per delay") {
+    // user 1 arrivals (event_id order): ts 100s, 50s (late 50s),
+    // 200s, 90s (late 110s) → delays 0/60s/300s drop 2/1/0
+    val events = Seq((1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 200L),
+        (1L, 4L, 90L))
+      .toDF("user_id", "event_id", "s")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("s") * 1000000L).as("ts"))
+    val out = Sessions.watermarkCurve(events,
+        delaysUs = Seq(0L, 60000000L, 300000000L))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 4L, 2L, 500000L),
+      (60000000L, 4L, 1L, 250000L),
+      (300000000L, 4L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Sessions.watermarkCurve(events, delaysUs = Seq(60L, 0L))
+    }
+  }
+
   test("sessionize splits on gaps > gapNs and keeps runs together") {
     val events = ev(
       (1L, 1L, 0L, "a", 1.0), (1L, 2L, 50L, "a", 2.0),   // session 1

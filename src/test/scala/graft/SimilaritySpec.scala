@@ -467,4 +467,20 @@ class SimilaritySpec extends SparkSpec {
       ("B", 1L, 1L, 1000000L, 0L),
       ("C", 1L, 0L, 0L, -1L)))
   }
+
+  test("effectiveDim: isotropic cloud reads dim, collapsed cloud reads 1") {
+    // axis-aligned pair → Gram diag(1e12, 1e12) → PR = 2 exactly;
+    // duplicated axis → rank 1 → PR = 1
+    val iso = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val col1 = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.effectiveDim(iso)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Similarity.effectiveDim(col1)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(a === Seq((2L, 2L, 2000L)))
+    assert(b === Seq((2L, 2L, 1000L)))
+  }
 }

@@ -842,6 +842,24 @@ class TextAnalysisSpec extends SparkSpec {
       ("B", 2L, 35L, 184L, 0L, 500L, 17L)))
   }
 
+  test("cdcChunkProfile: token conservation, twin docs dedup 500, sub-k doc one chunk") {
+    // source A: two IDENTICAL 30-distinct-token docs → every chunk
+    // appears exactly twice → dup 500‰, token mass 60; source B: a
+    // 2-token doc (< k=3) → one whole-doc chunk
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, long, "A"), (2L, long, "A"), (3L, "u v", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.cdcChunkProfile(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val a = out(0)
+    assert(a._1 === "A" && a._2 % 2 === 0L && a._3 === 60L && a._4 === 500L)
+    assert(out(1) === (("B", 1L, 2L, 0L, 2L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.cdcChunkProfile(d, divisor = 0L)
+    }
+  }
+
   test("batchPlan: bucket by width, pad to bucket max, exact pad share") {
     // width 4: docs of 1/2 tokens → bucket 0 (max 2, sum 3, pad 250‰);
     // 5-token doc → bucket 1 alone (pad 0)
