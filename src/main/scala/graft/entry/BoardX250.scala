@@ -246,6 +246,41 @@ private[graft] object BoardX250 {
     // insertion; CDC boundaries re-synchronize)
     "x274_cdc_chunks" -> ((s, d) =>
       TextAnalysis.cdcChunkProfile(Tables.documents(s, d))),
+    // multi-pass sorted-neighbourhood: prefix pass + reversed-name
+    // (suffix) pass, union distinct — catches the FIRST-char typo
+    // slice the x113 single pass provably misses (x265's finding)
+    "x275_multipass_linkage" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val probe = cust.filter(pmod(col("c_custkey"), lit(7L)) === 3L)
+        .withColumn("c_name",
+          concat(substring(col("c_name"), 1, 17), lit("X")))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(11L)) === 5L)
+          .withColumn("c_name", expr("concat('Z', substring(c_name, 2))")))
+      graft.operators.Linkage.sortedNeighborhoodMultiPass(cust, probe,
+        idCol = "c_custkey", nameCol = "c_name")
+    },
+    // x273's incremental twin: per-batch Gram states merged cell-wise,
+    // PR read from state alone — oracle is the append LAW (must equal
+    // the one-shot x273 on the whole corpus; the x254 discipline)
+    "x276_gram_append" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val a = Similarity.gramState(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L))
+      val b = Similarity.gramState(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L))
+      Similarity.effectiveDimFromState(Similarity.mergeGramStates(a, b))
+    },
+    // per-key salting plan: keys over the per-task row budget with
+    // their ceiling-division fan-out — the PLAN between x144's measure
+    // and x21's execute
+    "x277_salt_plan" -> ((s, d) =>
+      graft.operators.Skew.saltPlan(
+        Tables.events(s, d).filter(col("event_type").isNotNull),
+        keyCol = "event_type", targetPerSalt = 100L)),
+    // daily top-10 churn: head-of-distribution rank stability day over
+    // day — organic heavy use vs campaign/bot rotation
+    "x278_topk_churn" -> ((s, d) =>
+      graft.operators.Behavior.topkChurn(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1025,5 +1060,97 @@ private[graft] object BoardX250 {
          CAST(n_chunk_tokens // n_chunks AS BIGINT) AS mean_chunk_tokens
        FROM a ORDER BY source"""
     },
+    // x275: the x113 replay twice — prefix pass, then the identical
+    // machinery on reverse(name) — union distinct (levenshtein is
+    // reversal-invariant, so the verify carries over)
+    "x275_multipass_linkage" ->
+      """WITH probe AS (
+           SELECT c_custkey AS id, substr(c_name, 1, 17) || 'X' AS name
+             FROM customer WHERE c_custkey % 7 = 3
+           UNION ALL
+           SELECT c_custkey, 'Z' || substr(c_name, 2)
+             FROM customer WHERE c_custkey % 11 = 5),
+         u1 AS (SELECT c_custkey AS id, c_name AS name, 'base' AS side
+             FROM customer
+           UNION ALL SELECT id, name, 'probe' FROM probe),
+         r1 AS (SELECT *, substr(name, 1, 16) AS blk,
+             ROW_NUMBER() OVER (PARTITION BY substr(name, 1, 16)
+               ORDER BY name, side, id) AS rn
+           FROM u1),
+         p1 AS (SELECT
+             CASE WHEN a.side = 'base' THEN a.id ELSE b.id END AS base_id,
+             CASE WHEN a.side = 'base' THEN b.id ELSE a.id END AS probe_id,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+           FROM r1 a JOIN r1 b
+             ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 8
+           WHERE a.side <> b.side AND levenshtein(a.name, b.name) <= 1),
+         u2 AS (SELECT c_custkey AS id, reverse(c_name) AS name,
+             'base' AS side FROM customer
+           UNION ALL SELECT id, reverse(name), 'probe' FROM probe),
+         r2 AS (SELECT *, substr(name, 1, 16) AS blk,
+             ROW_NUMBER() OVER (PARTITION BY substr(name, 1, 16)
+               ORDER BY name, side, id) AS rn
+           FROM u2),
+         p2 AS (SELECT
+             CASE WHEN a.side = 'base' THEN a.id ELSE b.id END AS base_id,
+             CASE WHEN a.side = 'base' THEN b.id ELSE a.id END AS probe_id,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+           FROM r2 a JOIN r2 b
+             ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 8
+           WHERE a.side <> b.side AND levenshtein(a.name, b.name) <= 1)
+       SELECT DISTINCT base_id, probe_id, dist
+       FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+       ORDER BY base_id, probe_id""",
+    // x276: the append LAW — the one-shot x273 oracle over the whole
+    // corpus; the incremental merge must land on the same row
+    "x276_gram_append" ->
+      """WITH e AS (SELECT vec_id, UNNEST(embedding) AS x,
+           UNNEST(range(len(embedding))) AS i
+         FROM embeddings WHERE embedding IS NOT NULL),
+       q AS (SELECT vec_id, i,
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qq
+         FROM e),
+       g AS (SELECT a.i AS d, b.i AS e2, SUM(a.qq * b.qq) AS s
+         FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       p AS (SELECT SUM(CASE WHEN d = e2 THEN s ELSE 0 END) AS tr,
+           SUM(s * s) AS fr FROM g),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MAX(len(embedding)) AS BIGINT) AS dim
+         FROM embeddings WHERE embedding IS NOT NULL)
+       SELECT n.n_vectors, n.dim,
+         CAST(CASE WHEN p.fr IS NULL OR p.fr = 0 THEN NULL
+           ELSE (p.tr * p.tr * 1000) // p.fr END AS BIGINT) AS pr_milli
+       FROM p, n""",
+    // x277: one key count, the budget filter, ceiling division
+    "x277_salt_plan" ->
+      """WITH a AS (SELECT CAST(event_type AS VARCHAR) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+       SELECT key, n_rows, CAST((n_rows + 99) // 100 AS BIGINT) AS n_salts
+       FROM a WHERE n_rows > 100 ORDER BY key""",
+    // x278: (day, user) counts, the (n DESC, user ASC) rank, carry
+    // join on day+1, lag over the bounded day grid
+    "x278_topk_churn" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id,
+           COUNT(*) AS n
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         GROUP BY 1, 2),
+       r AS (SELECT day, user_id, ROW_NUMBER() OVER (PARTITION BY day
+           ORDER BY n DESC, user_id) AS rn FROM d),
+       top AS (SELECT day, user_id FROM r WHERE rn <= 10),
+       days AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_top
+         FROM top GROUP BY 1),
+       pd AS (SELECT day, n_top, LAG(day) OVER (ORDER BY day) AS prev
+         FROM days),
+       ov AS (SELECT b.day AS day, CAST(COUNT(*) AS BIGINT) AS c
+         FROM top a JOIN top b
+           ON a.user_id = b.user_id AND b.day = a.day + 1
+         GROUP BY 1)
+       SELECT pd.day AS day, pd.n_top,
+         CAST(COALESCE(ov.c, 0) AS BIGINT) AS n_carry,
+         CAST(1000 - (COALESCE(ov.c, 0) * 1000) // pd.n_top AS BIGINT)
+           AS churn_permille
+       FROM pd LEFT JOIN ov ON pd.day = ov.day
+       WHERE pd.prev IS NOT NULL ORDER BY day""",
   )
 }

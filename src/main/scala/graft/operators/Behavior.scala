@@ -1567,4 +1567,47 @@ object Behavior {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("tier_before", "tier_after")
   }
+
+  /** Daily top-k churn — how stable the head of the activity
+    * distribution is day over day: per day, how many of the k most
+    * active users were ALSO in the previous day's top k, and the churn
+    * share. A stable head is organic heavy usage; a fully-churning
+    * head is bursty campaigns or bot rotation — the rank-stability
+    * complement to x122's rolling actives (volume) and x136's streaks
+    * (per-user persistence). Ties break (count DESC, user_id ASC),
+    * the replayable convention.
+    *
+    * One (day, user) count, a per-day rank window on that bounded
+    * table, then the carry-over join is user-keyed between two ≤k·days
+    * row tables; the day grid's lag window is over the ≤days-row
+    * summary (the repo's bounded-table window discipline).
+    *
+    * @return (day, n_top, n_carry, churn_permille), one row per day
+    *         with a preceding day present, ordered by day. */
+  def topkChurn(events: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val daily = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("ts").cast("date").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("__n").desc, col("user_id"))
+    val top = daily.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).select("day", "user_id")
+    val days = top.groupBy("day").agg(count(lit(1)).as("n_top"))
+    val wd = Window.orderBy("day")
+    val withPrev = days.withColumn("__prev", lag("day", 1).over(wd))
+      .filter(col("__prev").isNotNull)
+    val carry = top.as("a")
+      .join(top.as("b"), col("a.user_id") === col("b.user_id")
+        && expr("datediff(b.day, a.day) = 1"))
+      .groupBy(col("b.day").as("day"))
+      .agg(count(lit(1)).as("__c"))
+    withPrev.join(carry, Seq("day"), "left")
+      .select(col("day"), col("n_top"),
+        coalesce(col("__c"), lit(0L)).as("n_carry"),
+        expr("1000 - (coalesce(__c, 0) * 1000) div n_top")
+          .as("churn_permille"))
+      .orderBy("day")
+  }
 }

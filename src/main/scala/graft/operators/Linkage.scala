@@ -121,6 +121,29 @@ object Linkage {
       .filter(col("side") =!= col("side_b"))
   }
 
+  /** Multi-pass sorted-neighbourhood linkage — the standard recall
+    * remedy the single-pass scaladoc names: a pair is missed when the
+    * noise lands in the BLOCK KEY (a first-character typo changes the
+    * prefix block), so pass 2 re-runs the identical machinery on the
+    * REVERSED name (suffix blocking) — Levenshtein distance is
+    * reversal-invariant, so the verify is unchanged — and survivors
+    * union distinct. Recall now requires the noise to hit BOTH ends of
+    * the name; cost is exactly 2× one pass, still O(n·w) per pass.
+    *
+    * @return (base_id, probe_id, dist), distinct, ordered. */
+  def sortedNeighborhoodMultiPass(base: DataFrame, probe: DataFrame,
+                                  idCol: String, nameCol: String,
+                                  blockLen: Int = 16, window: Int = 8,
+                                  maxDist: Int = 1): DataFrame = {
+    def rev(df: DataFrame): DataFrame =
+      df.withColumn(nameCol, reverse(col(nameCol)))
+    sortedNeighborhood(base, probe, idCol, nameCol, blockLen, window, maxDist)
+      .unionByName(sortedNeighborhood(rev(base), rev(probe), idCol, nameCol,
+        blockLen, window, maxDist))
+      .distinct()
+      .orderBy("base_id", "probe_id")
+  }
+
   /** Blocking-quality audit on [[sortedNeighborhood]]'s (blockLen,
     * window) operating point — the two numbers every blocking scheme
     * is judged by, MEASURED against full-recall ground truth:

@@ -632,6 +632,50 @@ object Similarity {
              else (__tr * __tr * 1000) div __fr end""").as("pr_milli"))
   }
 
+  /** [[effectiveDim]]'s persistable Gram state — (d, e, s) cells plus
+    * one (-1, -1, n_vectors) sentinel row. The Gram matrix is ADDITIVE
+    * in the vectors, so isotropy monitoring over a growing corpus
+    * never rescans old batches: state per batch, [[mergeGramStates]]
+    * to combine, [[effectiveDimFromState]] to read PR — the
+    * x145/x254 incremental discipline applied to spectrum health.
+    * Spec-pinned append law: merge(state(A), state(B)) reads the same
+    * (n_vectors, dim, pr_milli) row as [[effectiveDim]](A ∪ B). */
+  def gramState(emb: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val nn = emb.filter(col(vecCol).isNotNull)
+    val q = Dedup.registerCache(nn
+      .select(col(idCol).as("__id"), posexplode(col(vecCol)))
+      .select(col("__id"), col("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("q")))
+    q.select(col("__id"), col("pos").as("d"), col("q").as("qa"))
+      .join(q.select(col("__id"), col("pos").as("e"), col("q").as("qb")),
+        Seq("__id"))
+      .groupBy("d", "e")
+      .agg(sum(expr("cast(qa as decimal(38,0)) * qb")).as("s"))
+      .unionByName(nn.agg(count(lit(1)).cast("decimal(38,0)").as("s"))
+        .select(lit(-1).as("d"), lit(-1).as("e"), col("s")))
+  }
+
+  /** Cell-wise sum of two [[gramState]] tables (sentinel included —
+    * vector counts add like every other cell). */
+  def mergeGramStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("d", "e").agg(sum("s").as("s"))
+
+  /** Read (n_vectors, dim, pr_milli) off a [[gramState]] — the same
+    * row [[effectiveDim]] computes from raw vectors, from state alone. */
+  def effectiveDimFromState(state: DataFrame): DataFrame =
+    state.agg(
+      sum(when(col("d") === col("e") && col("d") >= 0, col("s"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__tr"),
+      sum(when(col("d") >= 0, expr("s * s"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__fr"),
+      sum(when(col("d") === -1, col("s"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).cast("long").as("n_vectors"),
+      (max(col("d")) + 1).cast("long").as("dim"))
+    .select(col("n_vectors"), col("dim"),
+      expr("""case when __fr is null or __fr = 0 then null
+           else (__tr * __tr * 1000) div __fr end""").as("pr_milli"))
+
   def labelCentroids(emb: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      labelCol: String = "label"): DataFrame = {

@@ -73,4 +73,27 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Measured salting plan — the missing middle of the skew family:
+    * x144 MEASURES per-key skew, [[saltedAgg]]/[[saltedJoin]] EXECUTE
+    * a uniform salt; this PLANS a per-key one — for every key whose
+    * row count exceeds `targetPerSalt` (the partition-sized budget a
+    * single task should carry), the ceiling-division salt fan-out that
+    * brings each salted slice back under budget. Keys under budget
+    * don't appear: the plan is exactly the broadcast side a targeted
+    * salted join would consume, bounded by the heavy-key count, never
+    * data-scale.
+    *
+    * @return (key, n_rows, n_salts), heavy keys only, ordered by key. */
+  def saltPlan(df: DataFrame, keyCol: String,
+               targetPerSalt: Long): DataFrame = {
+    require(targetPerSalt >= 1, s"targetPerSalt ($targetPerSalt) must be >= 1")
+    df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > targetPerSalt)
+      .select(col("key"), col("n_rows"),
+        expr(s"(n_rows + $targetPerSalt - 1) div $targetPerSalt")
+          .as("n_salts"))
+      .orderBy("key")
+  }
 }

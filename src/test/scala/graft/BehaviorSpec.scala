@@ -915,4 +915,23 @@ class BehaviorSpec extends SparkSpec with SlowSuite {
       (0L, 5L, 1L), (1L, 0L, 1L), (2L, 4L, 1L),
       (3L, 3L, 1L), (4L, 2L, 1L), (5L, 1L, 1L)))
   }
+
+  test("topkChurn: day-over-day carry with k=2, first day excluded") {
+    // day1 top {1,2}; day2 top {2,3} → carry 1, churn 500;
+    // day3 top {4} alone → carry 0, churn 1000
+    val day = 86400L
+    val events = Seq(
+      (1L, 10L), (2L, 20L),
+      (2L, day + 10L), (3L, day + 20L),
+      (4L, 2 * day + 10L))
+      .toDF("user_id", "s")
+      .select(col("user_id"), timestamp_micros(col("s") * 1000000L).as("ts"))
+    val out = Behavior.topkChurn(events, k = 2)
+      .select(col("n_top"), col("n_carry"), col("churn_permille"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 1L, 500L), (1L, 0L, 1000L)))
+    intercept[IllegalArgumentException] {
+      Behavior.topkChurn(events, k = 0)
+    }
+  }
 }

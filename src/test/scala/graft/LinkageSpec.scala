@@ -117,6 +117,19 @@ class LinkageSpec extends SparkSpec {
     assert(out === Seq((3L, 2L, 1L, 2L, 1L, 833334L, 500000L)))
   }
 
+  test("sortedNeighborhoodMultiPass: reversed pass catches the first-char typo") {
+    // probe 11 (last-char typo) → prefix pass; probe 12 (FIRST-char
+    // typo, different prefix block) → only the reversed (suffix) pass
+    val base = tbl(1L -> "alpha_record_0001", 2L -> "gamma_record_0003")
+    val probe = tbl(11L -> "alpha_record_000X", 12L -> "Xlpha_record_0001")
+    val single = Linkage.sortedNeighborhood(base, probe, "id", "name")
+      .as[(Long, Long, Long)].collect().toSeq
+    val multi = Linkage.sortedNeighborhoodMultiPass(base, probe, "id", "name")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(single === Seq((1L, 11L, 1L)))
+    assert(multi === Seq((1L, 11L, 1L), (1L, 12L, 1L)))
+  }
+
   test("blockingQuality: zero true pairs → null completeness") {
     val base = tbl(1L -> "aaaaaaaaaaaaaaaaa")
     val probe = tbl(10L -> "zzzzzzzzzzzzzzzzz")

@@ -483,4 +483,20 @@ class SimilaritySpec extends SparkSpec {
     assert(a === Seq((2L, 2L, 2000L)))
     assert(b === Seq((2L, 2L, 1000L)))
   }
+
+  test("gramState append law: merged per-batch states ≡ one-shot effectiveDim") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+        (3L, Seq(0.6f, 0.8f)), (4L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val oneShot = Similarity.effectiveDim(emb)
+      .as[(Long, Long, Long)].collect().toSeq
+    val merged = Similarity.effectiveDimFromState(
+      Similarity.mergeGramStates(
+        Similarity.gramState(emb.filter(col("vec_id") % 2 === 0)),
+        Similarity.gramState(emb.filter(col("vec_id") % 2 === 1))))
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(merged === oneShot)
+    assert(oneShot.head._1 === 4L && oneShot.head._2 === 2L)
+  }
 }

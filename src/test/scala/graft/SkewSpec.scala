@@ -44,4 +44,15 @@ class SkewSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("saltPlan: only over-budget keys, ceiling-division fan-out") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(2)("b")).map(Tuple1(_))
+      .toDF("k")
+    val out = Skew.saltPlan(df, "k", targetPerSalt = 2L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 5L, 3L)))
+    intercept[IllegalArgumentException] {
+      Skew.saltPlan(df, "k", targetPerSalt = 0L)
+    }
+  }
 }
