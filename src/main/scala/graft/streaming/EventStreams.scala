@@ -384,6 +384,38 @@ object EventStreams {
       }
   }
 
+  case class LatenessOut(event_id: Long, user_id: Long, late_us: Long)
+
+  /** Streaming lateness tagger — the in-flight twin of
+    * [[graft.operators.Sessions.watermarkCurve]]'s per-event lateness:
+    * each event is tagged with how far it arrived behind its key's
+    * event-time HIGH-WATER MARK (µs; 0 = in order or first), so the
+    * watermark drop curve the batch operator prices nightly is
+    * observable live — route the tagged events through any threshold
+    * ladder and the deployment sees what a candidate delay is dropping
+    * AS the feed degrades, not at the next audit. State per user is
+    * one long (the running max); the per-batch iterator sorts on
+    * event_id (producer order, the x242 convention) and the mark
+    * carries across micro-batches — spec-asserted ≡ the batch curve on
+    * the same closed corpus. */
+  def latenessStream(events: Dataset[TypedEvent]): Dataset[LatenessOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, LatenessOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, batch: Iterator[TypedEvent], state: GroupState[Long]) =>
+          var hwm: Option[Long] = state.getOption
+          val out = batch.toSeq.sortBy(_.event_id).map { e =>
+            val late = hwm.map(h => math.max(h - e.ts_ns, 0L) / 1000L)
+              .getOrElse(0L)
+            hwm = Some(hwm.fold(e.ts_ns)(math.max(_, e.ts_ns)))
+            LatenessOut(e.event_id, e.user_id, late)
+          }
+          hwm.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class NewReturningOut(event_id: Long, user_id: Long, is_new: Int)
 
   /** Streaming new-vs-returning classification — the in-flight twin

@@ -887,6 +887,49 @@ class StreamingSpec extends SparkSpec with SlowSuite {
     assert(perUser === batch.map(b => (b._1, b._2, b._3, b._4)))
   }
 
+  test("latenessStream per-event lateness folds to the batch watermark curve") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val out = EventStreams.latenessStream(input.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("wmlate")
+      .outputMode(OutputMode.Append()).start()
+    val sec = 1000000000L
+    try {
+      // user 1: e2 arrives 50 s behind the mark; e4 (NEXT batch — the
+      // high-water mark handoff, not lag-1: e3's 200 s is the mark)
+      // arrives 110 s behind. user 2 in order.
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "c", 1, 100 * sec),
+        EventStreams.TypedEvent(1, "c", 2, 50 * sec),
+        EventStreams.TypedEvent(2, "v", 10, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        EventStreams.TypedEvent(1, "c", 3, 200 * sec),
+        EventStreams.TypedEvent(1, "c", 4, 90 * sec),
+        EventStreams.TypedEvent(2, "v", 11, sec)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("wmlate")
+      .select("event_id", "late_us").as[(Long, Long)].collect().toMap
+    assert(streamed === Map(1L -> 0L, 2L -> 50000000L, 3L -> 0L,
+      4L -> 110000000L, 10L -> 0L, 11L -> 0L))
+    // ≡ the batch curve on the same closed corpus
+    val batchDf = Seq(
+      (1L, 1L, 100L * sec), (1L, 2L, 50L * sec), (1L, 3L, 200L * sec),
+      (1L, 4L, 90L * sec), (2L, 10L, 0L), (2L, 11L, sec))
+      .toDF("user_id", "event_id", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val delays = Seq(0L, 60000000L, 300000000L)
+    val batch = graft.operators.Sessions.watermarkCurve(batchDf, delays)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val folded = delays.map { d =>
+      val n = streamed.size.toLong
+      val dr = streamed.values.count(_ > d).toLong
+      (d, n, dr, dr * 1000000L / n)
+    }
+    assert(batch === folded)
+  }
+
   test("newVsReturningStream tags the first-ever event across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.TypedEvent]
