@@ -281,6 +281,16 @@ private[graft] object BoardX250 {
     // day — organic heavy use vs campaign/bot rotation
     "x278_topk_churn" -> ((s, d) =>
       graft.operators.Behavior.topkChurn(Tables.events(s, d))),
+    // bounded-depth ancestor flatten over a derived decimal-digit
+    // hierarchy (parent = doc_id div 10) — the recursive-CTE
+    // capability Spark lacks, unrolled under the x162 eager discipline
+    // and certified against DuckDB's literal WITH RECURSIVE
+    "x279_hierarchy_flatten" -> ((s, d) =>
+      graft.operators.Graph.ancestors(
+        Tables.documents(s, d).filter(col("doc_id") >= 1)
+          .select(col("doc_id").as("child"),
+            expr("doc_id div 10").as("parent")),
+        maxDepth = 3)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1152,5 +1162,20 @@ private[graft] object BoardX250 {
            AS churn_permille
        FROM pd LEFT JOIN ov ON pd.day = ov.day
        WHERE pd.prev IS NOT NULL ORDER BY day""",
+    // x279: the engine feature Spark lacks, verbatim — the oracle IS a
+    // recursive CTE over the same derived edge set
+    "x279_hierarchy_flatten" ->
+      """WITH RECURSIVE e AS (
+           SELECT doc_id AS child, doc_id // 10 AS parent
+           FROM documents WHERE doc_id >= 1),
+         anc AS (
+           SELECT child AS node, parent AS ancestor,
+             CAST(1 AS BIGINT) AS depth FROM e
+           UNION ALL
+           SELECT a.node, e.parent, a.depth + 1
+           FROM anc a JOIN e ON a.ancestor = e.child
+           WHERE a.depth < 3)
+       SELECT node, ancestor, depth FROM anc
+       ORDER BY node, depth, ancestor""",
   )
 }

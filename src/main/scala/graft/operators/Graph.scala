@@ -481,4 +481,47 @@ object Graph {
           expr("(n_triangles * 2 * 1000) div (deg * (deg - 1))")))
       .orderBy("doc_id")
   }
+
+  /** Bounded-depth ancestor flatten — the hierarchy traversal
+    * (org chart, category tree, bill-of-materials) relational engines
+    * express as a recursive CTE and Spark has no operator for: per
+    * node, every ancestor within `maxDepth` hops and the hop count.
+    * Iterative-join unroll under the same eager-materialization
+    * discipline as the rest of this file (each frontier
+    * localCheckpoints before the next round reads it — the x162
+    * lazy-cache race fix); input contract is a DAG of out-degree ≤ 1
+    * per child edge set for exact depth-uniqueness, depth-BOUNDED so a
+    * cycle cannot hang the unroll. Per round: one (ancestor = child)
+    * equi-join — the frontier shrinks as chains top out, and the
+    * shuffle carries (node, ancestor) ids only. DuckDB replays it as
+    * the literal WITH RECURSIVE, which is exactly the point: the
+    * oracle certifies the unroll against the engine feature Spark
+    * lacks.
+    *
+    * @return (node, ancestor, depth 1..maxDepth), ordered. */
+  def ancestors(edges: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth ($maxDepth) must be >= 1")
+    val e = edges.select(col("child"), col("parent"))
+    var (frontier, fRdd) = materialize(
+      e.select(col("child").as("node"), col("parent").as("ancestor"),
+        lit(1L).as("depth")))
+    Dedup.registerCheckpoint(fRdd)
+    var acc = frontier
+    var d = 2
+    var exhausted = frontier.isEmpty
+    while (d <= maxDepth && !exhausted) {
+      val next = frontier.select(col("node"), col("ancestor"))
+        .join(e.select(col("child").as("ancestor"),
+          col("parent").as("__nx")), Seq("ancestor"))
+        .select(col("node"), col("__nx").as("ancestor"),
+          lit(d.toLong).as("depth"))
+      val (m, mRdd) = materialize(next)
+      Dedup.registerCheckpoint(mRdd)
+      frontier = m
+      exhausted = m.isEmpty
+      if (!exhausted) acc = acc.unionByName(m)
+      d += 1
+    }
+    acc.orderBy("node", "depth", "ancestor")
+  }
 }

@@ -272,4 +272,21 @@ class GraphSpec extends SparkSpec {
       .collect()
     assert(out.isEmpty)
   }
+
+  test("ancestors: 3-level chain flattens with hop counts, depth bound holds") {
+    val edges = Seq((100L, 10L), (10L, 1L), (1L, 0L))
+      .toDF("child", "parent")
+    val out = Graph.ancestors(edges, maxDepth = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq(
+      (1L, 0L, 1L),
+      (10L, 1L, 1L), (10L, 0L, 2L),
+      (100L, 10L, 1L), (100L, 1L, 2L), (100L, 0L, 3L)))
+    val shallow = Graph.ancestors(edges, maxDepth = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(shallow.forall(_._3 === 1L) && shallow.size === 3)
+    intercept[IllegalArgumentException] { Graph.ancestors(edges, 0) }
+  }
 }
