@@ -294,6 +294,15 @@ private[graft] object BoardX250 {
           .select(col("doc_id").as("child"),
             expr("doc_id div 10").as("parent")),
         maxDepth = 3)),
+    // k-anonymity generalization planner: full QI set + each
+    // leave-one-out subset scored (classes, min size, rows at risk) —
+    // the one-step remedy table behind x143's alarm
+    "x280_kanon_plan" -> ((s, d) =>
+      graft.operators.Profiling.kAnonPlan(
+        Tables.customer(s, d)
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1165,6 +1174,25 @@ private[graft] object BoardX250 {
            AS churn_permille
        FROM pd LEFT JOIN ov ON pd.day = ov.day
        WHERE pd.prev IS NOT NULL ORDER BY day""",
+    // x280: four one-row aggregate selects over leave-one-out
+    // groupings, UNION ALL
+    "x280_kanon_plan" -> {
+      val qis = Seq("c_nationkey", "c_mktsegment", "bal_band")
+      val opts = ("(none)", qis) +: qis.map(c => (c, qis.filterNot(_ == c)))
+      val selects = opts.map { case (dropped, cols) =>
+        s"""SELECT '$dropped' AS dropped,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk
+         FROM (SELECT COUNT(*) AS n FROM cust
+           GROUP BY ${cols.mkString(", ")})"""
+      }.mkString(" UNION ALL ")
+      s"""WITH cust AS (SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+         FROM customer)
+       SELECT * FROM ($selects) ORDER BY dropped"""
+    },
     // x279: the engine feature Spark lacks, verbatim — the oracle IS a
     // recursive CTE over the same derived edge set
     "x279_hierarchy_flatten" ->

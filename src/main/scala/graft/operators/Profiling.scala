@@ -620,6 +620,38 @@ object Profiling {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** k-anonymity generalization planner — [[kAnonymity]] MEASURES the
+    * risk ("which quasi-identifier classes are smaller than k"); this
+    * PLANS the cheapest one-step remedy: for the full quasi-identifier
+    * set and each leave-one-out subset, the class count, the smallest
+    * class, and the number of rows at risk (in classes < k). The row
+    * whose `n_rows_at_risk` reaches 0 names the column whose
+    * generalization/suppression buys k-anonymity — the governance
+    * decision table, not just the alarm (the same measure→plan closure
+    * as x277 for skew and x206/purgeApply for retention).
+    *
+    * |QI|+1 map-side-combined aggregations, each collapsing to one
+    * row before the union — output |QI|+1 rows, never data-scale.
+    *
+    * @return (dropped, n_classes, min_class_size, n_rows_at_risk),
+    *         dropped = "(none)" for the full set, ordered by dropped. */
+  def kAnonPlan(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.size >= 2,
+      s"kAnonPlan needs >= 2 quasi-identifier columns, got $quasiCols")
+    require(k >= 1, s"k ($k) must be >= 1")
+    val options = ("(none)", quasiCols) +:
+      quasiCols.map(c => (c, quasiCols.filterNot(_ == c)))
+    options.map { case (dropped, cols) =>
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_classes"),
+          min("__n").as("min_class_size"),
+          sum(when(col("__n") < k, col("__n")).otherwise(0L))
+            .as("n_rows_at_risk"))
+        .select(lit(dropped).as("dropped"), col("n_classes"),
+          col("min_class_size"), col("n_rows_at_risk"))
+    }.reduce(_ unionByName _).orderBy("dropped")
+  }
+
   /** Per-group Tukey fences: exact lower-quartile Q1 and Q3 of an
     * integer column, the IQR, and how many rows fall below
     * Q1 − 1.5·IQR / above Q3 + 1.5·IQR — the boxplot outlier rule,

@@ -789,4 +789,20 @@ class StatsSpec extends SparkSpec {
       Seq(("A", 5L)).toDF("src", "v"), "src", "v").head()
     assert(solo.isNullAt(2))
   }
+
+  test("kAnonPlan: leave-one-out risk table, hand-derived") {
+    // classes under (a,b): 3/1/1 → 2 rows at risk at k=2; dropping
+    // either column merges to 4/1 → 1 row at risk
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"))
+      .toDF("a", "b")
+    val out = Profiling.kAnonPlan(df, Seq("a", "b"), k = 2L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("(none)", 3L, 1L, 2L),
+      ("a", 2L, 1L, 1L),
+      ("b", 2L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Profiling.kAnonPlan(df, Seq("a"), k = 2L)
+    }
+  }
 }
