@@ -294,6 +294,29 @@ private[graft] object BoardX250 {
           .select(col("doc_id").as("child"),
             expr("doc_id div 10").as("parent")),
         maxDepth = 3)),
+    // measured vocab-size coverage curve: exact token mass a top-V
+    // vocabulary covers, per candidate V — the tokenizer-budget axis
+    // of the measured-curve family (ladder sized to this corpus's
+    // 31-type vocabulary so every rung reads a real partial coverage)
+    "x281_vocab_size_curve" -> ((s, d) =>
+      TextAnalysis.vocabSizeCurve(Tables.documents(s, d),
+        sizes = Seq(2L, 4L, 8L, 16L))),
+    // inner-join→semi rewrite (3rd custom optimizer rule): orders
+    // filtered by "customer has >= 1 event" via a PLAIN inner join to
+    // a per-user aggregate, left-only select — the oracle hash proves
+    // the LeftSemi rewrite is semantics-preserving (PlanSpec pins the
+    // plan shape: LeftSemi, no Inner join)
+    "x282_semi_rewrite" -> { (s, d) =>
+      val evUsers = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      Tables.orders(s, d)
+        .join(evUsers, col("o_custkey") === col("user_id"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("o_orderpriority")
+    },
     // k-anonymity generalization planner: full QI set + each
     // leave-one-out subset scored (classes, min size, rows at risk) —
     // the one-step remedy table behind x143's alarm
@@ -1193,6 +1216,47 @@ private[graft] object BoardX250 {
          FROM customer)
        SELECT * FROM ($selects) ORDER BY dropped"""
     },
+    // x281: token f-of-f ladder with exclusive running sums, one
+    // straddling-row range join per candidate size
+    "x281_vocab_size_curve" ->
+      """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1),
+         fof AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nt
+           FROM cnt GROUP BY 1),
+         lad AS (SELECT c, nt,
+             CAST(COALESCE(SUM(nt) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_before,
+             CAST(COALESCE(SUM(nt * c) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS mass_before
+           FROM fof),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             CAST(SUM(c) AS BIGINT) AS total_mass FROM cnt),
+         rs AS (SELECT UNNEST([2, 4, 8, 16]) AS v)
+       SELECT CAST(rs.v AS BIGINT) AS vocab_size,
+         CAST(LEAST(rs.v, tot.n_vocab) AS BIGINT) AS n_tokens_kept,
+         CAST(COALESCE(l.mass_before + (rs.v - l.tok_before) * l.c,
+           tot.total_mass) AS BIGINT) AS covered_mass,
+         CAST(CASE WHEN tot.total_mass = 0 THEN NULL
+           ELSE (COALESCE(l.mass_before + (rs.v - l.tok_before) * l.c,
+             tot.total_mass) * 1000) // tot.total_mass END
+           AS BIGINT) AS coverage_permille
+       FROM rs CROSS JOIN tot
+       LEFT JOIN lad l
+         ON rs.v > l.tok_before AND rs.v <= l.tok_before + l.nt
+       ORDER BY vocab_size""",
+    // x282: the SAME query text — the Spark side plans LeftSemi via
+    // the custom rule; a hash match proves semantics preserved
+    "x282_semi_rewrite" ->
+      """WITH ev AS (SELECT user_id FROM events GROUP BY user_id)
+       SELECT o.o_orderpriority AS o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+       FROM orders o JOIN ev ON o.o_custkey = ev.user_id
+       GROUP BY 1 ORDER BY 1""",
     // x279: the engine feature Spark lacks, verbatim — the oracle IS a
     // recursive CTE over the same derived edge set
     "x279_hierarchy_flatten" ->

@@ -546,6 +546,60 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** MEASURED vocabulary-size coverage curve — the tokenizer-budget
+    * axis of the measured-curve family (x262 banding recall, x264
+    * signature size, x272 dedup threshold): per candidate vocab size V
+    * the exact token mass a top-V vocabulary covers. "8k types already
+    * cover 987‰ of the stream" is the row a vocab-size decision needs;
+    * [[vocabCoverage]] (x91) audits ONE given vocabulary — this prices
+    * the whole ladder. Exactness under ties: every token of equal
+    * count contributes the same mass, so WHICH of the tied tokens
+    * fills the last slots cannot change coverage — the curve is
+    * well-defined without a tie rule.
+    *
+    * Shape: one token count (vocabulary-bounded, map-side combined),
+    * folded to its count-of-counts table (the x144 f-of-f discipline —
+    * windows run over THAT bounded table, never the vocabulary), then
+    * each candidate size V reads its one straddling row by a broadcast
+    * range join. Adding a size re-reads the ladder, never the corpus.
+    *
+    * @return (vocab_size, n_tokens_kept, covered_mass,
+    *         coverage_permille), ordered by vocab_size. */
+  def vocabSizeCurve(docs: DataFrame,
+                     sizes: Seq[Long] = Seq(1000L, 2000L, 4000L, 8000L)): DataFrame = {
+    require(sizes.nonEmpty && sizes == sizes.sorted
+      && sizes.distinct == sizes && sizes.head >= 1,
+      s"sizes ($sizes) must be non-empty, sorted, distinct, >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cnt = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val lad = cnt.groupBy("c").agg(count(lit(1)).as("nt"))
+      .withColumn("tok_before", coalesce(sum("nt").over(w), lit(0L)))
+      .withColumn("mass_before",
+        coalesce(sum(expr("nt * c")).over(w), lit(0L)))
+    val tot = cnt.agg(count(lit(1)).as("n_vocab"),
+      sum("c").as("total_mass"))
+    val rs = docs.sparkSession.range(sizes.size)
+      .select(element_at(array(sizes.map(lit): _*),
+        col("id").cast("int") + 1).as("vocab_size"))
+    rs.join(broadcast(lad),
+        col("vocab_size") > col("tok_before")
+          && col("vocab_size") <= col("tok_before") + col("nt"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"),
+        least(col("vocab_size"), col("n_vocab")).as("n_tokens_kept"),
+        coalesce(col("mass_before")
+            + (col("vocab_size") - col("tok_before")) * col("c"),
+          col("total_mass")).as("covered_mass"),
+        expr("""case when total_mass = 0 then null
+             else (coalesce(mass_before + (vocab_size - tok_before) * c,
+               total_mass) * 1000) div total_mass end""")
+          .as("coverage_permille"))
+      .orderBy("vocab_size")
+  }
+
   /** Multimodal metadata projection: treat the payload as opaque bytes +
     * typed metadata (byte length, content hash). For real image/audio
     * the `content` column is BinaryType from the source; here the text

@@ -64,4 +64,33 @@ class JoinEliminationSpec extends SparkSpec {
     assert(!optimized(full).contains("Join"),
       s"both keys equated → unique → eliminate:\n${optimized(full)}")
   }
+
+  // ---- InnerUniqueJoinToSemi (3rd rule) ----
+
+  test("semi rewrite fires: inner join to a unique side, left-only select") {
+    val joined = left.join(agg, left("fk") === agg("k"))
+      .select(left("id"), left("fk"))
+    val plan = optimized(joined)
+    assert(plan.contains("LeftSemi"),
+      s"inner × unique right × left-only must plan LeftSemi:\n$plan")
+    assert(!plan.contains(" Inner"), s"no Inner join may remain:\n$plan")
+    // the filter semantics are unchanged: fk 99 drops, nothing multiplies
+    assert(joined.orderBy("id").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("semi rewrite does not fire: right side not provably unique") {
+    val joined = left.join(lookup, left("fk") === lookup("k"))
+      .select(left("id"), left("fk"))
+    val plan = optimized(joined)
+    assert(!plan.contains("LeftSemi"), plan)
+    // the inner join legitimately multiplies on duplicate k = 10
+    assert(joined.count() === 3L)
+  }
+
+  test("semi rewrite does not fire: a right column is referenced") {
+    val joined = left.join(agg, left("fk") === agg("k"))
+      .select(left("id"), agg("sv"))
+    assert(!optimized(joined).contains("LeftSemi"), optimized(joined))
+  }
 }

@@ -227,6 +227,15 @@ class PlanSpec extends SparkSpec {
       s"the eliminated side's scan must vanish with it:\n$p")
   }
 
+  test("x282: the plain inner join to the unique event-user side plans LeftSemi") {
+    val df = SparkEntry.queries("x282_semi_rewrite")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"InnerUniqueJoinToSemi must rewrite the filter join:\n$p")
+    assert(!p.contains(" Inner"),
+      s"no inner join may remain in the filter path:\n$p")
+  }
+
   test("x119: FK audit orphans come from anti-joins over de-duplicated keys") {
     val p = plan(SparkEntry.queries("x119_fk_audit")(spark, sf))
     assert(p.contains("LeftAnti"),

@@ -860,6 +860,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("vocabSizeCurve: exact partial coverage per size, overshoot reads total") {
+    // counts a=5 b=3 c=1 d=1 (total 10): top-1 → 500‰, top-2 → 800‰,
+    // top-3 → 900‰ (either tied singleton — coverage is tie-free),
+    // size 10 > vocab 4 → full mass
+    val d = docs(1L -> "a a a a a b b b c d")
+    val out = TextAnalysis.vocabSizeCurve(d, sizes = Seq(1L, 2L, 3L, 10L))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 5L, 500L), (2L, 2L, 8L, 800L),
+      (3L, 3L, 9L, 900L), (10L, 4L, 10L, 1000L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabSizeCurve(d, sizes = Seq(3L, 1L))
+    }
+  }
+
   test("batchPlan: bucket by width, pad to bucket max, exact pad share") {
     // width 4: docs of 1/2 tokens → bucket 0 (max 2, sum 3, pad 250‰);
     // 5-token doc → bucket 1 alone (pad 0)
