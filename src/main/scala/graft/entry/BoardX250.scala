@@ -317,6 +317,21 @@ private[graft] object BoardX250 {
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderpriority")
     },
+    // near-dup SOURCE matrix: which feeds copy each other WITH EDITS —
+    // the near-dup complement to x90's exact overlap and x247's exact
+    // directed syndication; within-source diagonal = template alarm
+    "x283_neardup_sources" -> ((s, d) =>
+      Dedup.nearDupSourceMatrix(Tables.documents(s, d), shingleK = 2,
+        numHashes = 16, rowsPerBand = 4, minPermille = 300)),
+    // subject-access report: per table the row count and event-time
+    // span one subject key touches — the DSR read before x206's purge;
+    // the key predicate pushes to every scan
+    "x284_subject_access" -> { (s, d) =>
+      graft.operators.Governance.subjectAccessReport(42L, Seq(
+        ("customer", Tables.customer(s, d), "c_custkey", None),
+        ("events", Tables.events(s, d), "user_id", Some("ts")),
+        ("orders", Tables.orders(s, d), "o_custkey", Some("o_orderdate"))))
+    },
     // k-anonymity generalization planner: full QI set + each
     // leave-one-out subset scored (classes, min size, rows at risk) —
     // the one-step remedy table behind x143's alarm
@@ -1257,6 +1272,34 @@ private[graft] object BoardX250 {
          CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
        FROM orders o JOIN ev ON o.o_custkey = ev.user_id
        GROUP BY 1 ORDER BY 1""",
+    // x283: the x07 pair CTEs + two id-keyed source joins, canonical
+    // LEAST/GREATEST pair order, one matrix rollup
+    "x283_neardup_sources" ->
+      s"""WITH ${graft.entry.EntryLib.minHashPairsCtes},
+       src AS (SELECT doc_id, source FROM documents),
+       m AS (SELECT LEAST(a.source, b.source) AS source_a,
+           GREATEST(a.source, b.source) AS source_b
+         FROM pairs p JOIN src a ON p.da = a.doc_id
+         JOIN src b ON p.db = b.doc_id)
+       SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+    // x284: three key-filtered one-row aggregates, UNION ALL
+    "x284_subject_access" ->
+      """SELECT * FROM (
+         SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS first_us, CAST(NULL AS BIGINT) AS last_us
+         FROM customer WHERE c_custkey = 42
+         UNION ALL
+         SELECT 'events', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(epoch_us(ts)) AS BIGINT),
+           CAST(MAX(epoch_us(ts)) AS BIGINT)
+         FROM events WHERE user_id = 42
+         UNION ALL
+         SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT),
+           CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+         FROM orders WHERE o_custkey = 42)
+       ORDER BY table_name""",
     // x279: the engine feature Spark lacks, verbatim — the oracle IS a
     // recursive CTE over the same derived edge set
     "x279_hierarchy_flatten" ->

@@ -1116,6 +1116,36 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** Near-duplicate SOURCE matrix — which feeds copy each other WITH
+    * EDITS: [[syndicationMatrix]] (x247) answers it for exact copies
+    * and [[Dedup]] x90 for exact-digest overlap; real syndication
+    * rewrites headlines and injects boilerplate, which only the
+    * near-dup pair mining sees. Per unordered source pair (including
+    * the within-source diagonal — a feed near-duplicating ITSELF is
+    * the template alarm), the verified near-dup pair count.
+    *
+    * Rides [[minHashLshPairs]] unchanged (banding, never all-pairs);
+    * the source attribution is two id-keyed joins carrying one small
+    * string, folded to a ≤|S|² matrix — bodies never shuffle.
+    *
+    * @return (source_a ≤ source_b, n_pairs), ordered. */
+  def nearDupSourceMatrix(docs: DataFrame, shingleK: Int = 2,
+                          numHashes: Int = 16, rowsPerBand: Int = 4,
+                          minPermille: Long = 500): DataFrame = {
+    val pairs = minHashLshPairs(docs, shingleK, numHashes, rowsPerBand,
+      minPermille)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col("source").as("__sa")),
+        Seq("da"))
+      .join(src.select(col("doc_id").as("db"), col("source").as("__sb")),
+        Seq("db"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** [[minHashLsh]] WITHOUT the final global sort — the form to feed
     * downstream operators ([[connectedComponents]], bulk drop-list
     * writes) that don't need a total order: a global sort is a range

@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Governance {
 
+  /** Subject-access report — the data-subject-request read that comes
+    * BEFORE [[purgeAudit]]/purge: for one subject key, how many rows
+    * each table holds and the event-time span they cover, in one
+    * bounded table a DSR response can quote. Each input is
+    * (table_name, df, keyCol, tsCol or null); per table ONE
+    * key-filtered aggregate — the key predicate pushes to the scan
+    * (PushedFilters), so at 100 TB each table contributes a pruned
+    * scan and a 1-row fold, and the report is |tables| rows.
+    *
+    * @return (table_name, n_rows, first_us, last_us) — ts columns
+    *         absent → NULL span — ordered by table_name. */
+  def subjectAccessReport(subject: Long,
+                          tables: Seq[(String, DataFrame, String, Option[String])]): DataFrame = {
+    require(tables.nonEmpty, "subjectAccessReport needs at least one table")
+    tables.map { case (name, df, keyCol, tsCol) =>
+      val base = df.filter(col(keyCol) === subject)
+      val span = tsCol match {
+        case Some(ts) => Seq(
+          min(unix_micros(col(ts).cast("timestamp"))).as("first_us"),
+          max(unix_micros(col(ts).cast("timestamp"))).as("last_us"))
+        case None => Seq(lit(null).cast("long").as("first_us"),
+          lit(null).cast("long").as("last_us"))
+      }
+      base.agg(count(lit(1)).as("n_rows"), span: _*)
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("first_us"), col("last_us"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+
   /** Subject-deletion (right-to-be-forgotten) PROPAGATION audit: for
     * each (table, key column) pair, how many rows the id list touches
     * — the blast-radius report a deletion request gets answered with

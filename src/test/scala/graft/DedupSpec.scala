@@ -791,6 +791,20 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("nearDupSourceMatrix: cross-source pair lands canonical, diagonal counts") {
+    // docs 1 (A) and 2 (B) identical → one (A,B) near-dup pair;
+    // docs 3/4 both in B and identical → the (B,B) diagonal
+    val docs = Seq(
+      (1L, "a b c d e f", "A"), (2L, "a b c d e f", "B"),
+      (3L, "p q r s t u", "B"), (4L, "p q r s t u", "B"),
+      (5L, "x y z w v k", "A"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.nearDupSourceMatrix(docs, minPermille = 500)
+      .as[(String, String, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq(("A", "B", 1L), ("B", "B", 1L)))
+  }
+
   test("dedupMixtureRestore: shares and the exact restore rational") {
     // A: dup pair + unique (3 docs → 2 survivors); B: 1 unique doc.
     // totals 4 docs / 3 survivors → A restore (3·3·1e6)//(2·4),

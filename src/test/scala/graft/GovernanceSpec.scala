@@ -60,4 +60,23 @@ class GovernanceSpec extends SparkSpec {
       (12L, 1L, 1L, 1000000L),
       (13L, 1L, 1L, 1000000L)))
   }
+
+  test("subjectAccessReport: per-table counts and spans, ts-less table NULL") {
+    val people = Seq((42L, "x"), (7L, "y")).toDF("pid", "name")
+    val acts = Seq((42L, 10L), (42L, 30L), (7L, 5L))
+      .toDF("pid", "s")
+      .select(col("pid"), timestamp_micros(col("s") * 1000000L).as("ts"))
+    val out = Governance.subjectAccessReport(42L, Seq(
+        ("acts", acts, "pid", Some("ts")),
+        ("people", people, "pid", None)))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(out === Seq(
+      ("acts", 2L, 10000000L, 30000000L),
+      ("people", 1L, -1L, -1L)))
+    intercept[IllegalArgumentException] {
+      Governance.subjectAccessReport(42L, Seq.empty)
+    }
+  }
 }
