@@ -317,6 +317,19 @@ private[graft] object BoardX250 {
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderpriority")
     },
+    // TPC-H Q5-shape six-way star: local-supplier regional revenue in
+    // exact cents — dims broadcast, facts shuffle on their keys
+    "x285_regional_revenue" -> ((s, d) =>
+      graft.queries.Relational.regionalRevenue(s, d)),
+    // score-band lift table: account-balance bands vs has-ordered —
+    // WHERE the ranking earns its x224-style AUC, in exact milli lift
+    "x286_lift_table" -> { (s, d) =>
+      graft.operators.Behavior.liftTable(
+        Tables.customer(s, d).withColumn("bal_band",
+          floor(col("c_acctbal") / 1000.0).cast("long")),
+        Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+        keyCol = "c_custkey", bandCol = "bal_band")
+    },
     // near-dup SOURCE matrix: which feeds copy each other WITH EDITS —
     // the near-dup complement to x90's exact overlap and x247's exact
     // directed syndication; within-source diagonal = template alarm
@@ -1272,6 +1285,36 @@ private[graft] object BoardX250 {
          CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
        FROM orders o JOIN ev ON o.o_custkey = ev.user_id
        GROUP BY 1 ORDER BY 1""",
+    // x285: the literal Q5 join tree, the repo cents spelling
+    "x285_regional_revenue" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+           AS BIGINT)) AS BIGINT) AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_lineitems
+       FROM lineitem, orders, customer, supplier, nation, region
+       WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+       GROUP BY 1 ORDER BY revenue_cents DESC, n_name""",
+    // x286: distinct buyers left-joined to banded customers, one band
+    // rollup crossed with its total, HUGEINT-exact lift rational
+    "x286_lift_table" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         per AS (SELECT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN pos.k IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_positive
+           FROM customer LEFT JOIN pos ON c_custkey = pos.k
+           GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_total) AS BIGINT) AS tt,
+             CAST(SUM(n_positive) AS BIGINT) AS tp FROM per)
+       SELECT band, n_total, n_positive,
+         CAST((n_positive * 1000000) // n_total AS BIGINT) AS rate_ppm,
+         CAST(CASE WHEN t.tp = 0 THEN NULL
+           ELSE (n_positive * t.tt * 1000) // (n_total * t.tp) END
+           AS BIGINT) AS lift_milli
+       FROM per, t ORDER BY band""",
     // x283: the x07 pair CTEs + two id-keyed source joins, canonical
     // LEAST/GREATEST pair order, one matrix rollup
     "x283_neardup_sources" ->

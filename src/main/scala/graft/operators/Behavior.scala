@@ -1568,6 +1568,40 @@ object Behavior {
       .orderBy("tier_before", "tier_after")
   }
 
+  /** Score-band lift table — the marketing/model-eval lift read: per
+    * score band (here an integer banding of the score column), the
+    * outcome rate and its lift against the global rate, exact milli.
+    * Lift > 1000 in the top bands is the "the score actually ranks"
+    * certificate; a flat table says the score is noise — the
+    * aggregate complement to x224's exact ROC-AUC (AUC is one number,
+    * the lift table says WHERE the ranking earns it). Banding (not
+    * ntile) keeps it scale-safe and tie-deterministic: band aggs
+    * map-side combine, no global rank window over raw rows.
+    *
+    * @param scored   (key, band) rows — one per entity.
+    * @param positive keys with a positive outcome (dedup'd here).
+    * @return (band, n_total, n_positive, rate_ppm, lift_milli),
+    *         ordered by band; lift NULL when no positives exist. */
+  def liftTable(scored: DataFrame, positive: DataFrame,
+                keyCol: String, bandCol: String): DataFrame = {
+    val pos = positive.select(col(keyCol)).distinct()
+      .withColumn("__p", lit(1L))
+    val per = scored.select(col(keyCol), col(bandCol).as("band"))
+      .join(pos, Seq(keyCol), "left")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("__p"), lit(0L))).as("n_positive"))
+    per.crossJoin(broadcast(per.agg(sum("n_total").as("__tt"),
+        sum("n_positive").as("__tp"))))
+      .select(col("band"), col("n_total"), col("n_positive"),
+        expr("(n_positive * 1000000) div n_total").as("rate_ppm"),
+        expr("""case when __tp = 0 then null
+             else (cast(n_positive as decimal(38,0)) * __tt * 1000)
+               div (cast(n_total as decimal(38,0)) * __tp) end""")
+          .as("lift_milli"))
+      .orderBy("band")
+  }
+
   /** Daily top-k churn — how stable the head of the activity
     * distribution is day over day: per day, how many of the k most
     * active users were ALSO in the previous day's top k, and the churn

@@ -546,4 +546,35 @@ object Relational {
         col("col.score").cast("long").as(scoreCol))
       .orderBy(groupCol, "rank")
   }
+
+  /** TPC-H Q5-shape regional revenue — the six-way star the classic
+    * benchmark grades join planning on: lineitem ⋈ orders ⋈ customer ⋈
+    * supplier (LOCAL-supplier semantics: customer and supplier share a
+    * nation) ⋈ nation ⋈ region, region-filtered, revenue per nation in
+    * exact integer cents. The plan story IS the query: the two dim
+    * tables broadcast (no shuffle for them), the region filter prunes
+    * through the broadcast side, and the three fact-side joins shuffle
+    * on their keys — the shape AQE re-plans at 100 TB.
+    *
+    * @return (n_name, revenue_cents, n_lineitems), revenue-desc. */
+  def regionalRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
 }

@@ -916,6 +916,20 @@ class BehaviorSpec extends SparkSpec with SlowSuite {
       (3L, 3L, 1L), (4L, 2L, 1L), (5L, 1L, 1L)))
   }
 
+  test("liftTable: exact rates and milli lift per band") {
+    // band 0: keys 1,2 (one positive) → rate 500000, lift 4000/6=666;
+    // band 1: keys 3,4 (both positive) → rate 1000000, lift 1333
+    val scored = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("k", "band")
+    val pos = Seq(Tuple1(1L), Tuple1(3L), Tuple1(4L), Tuple1(3L))
+      .toDF("k") // duplicate positive must not double-count
+    val out = Behavior.liftTable(scored, pos, "k", "band")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 1L, 500000L, 666L),
+      (1L, 2L, 2L, 1000000L, 1333L)))
+  }
+
   test("topkChurn: day-over-day carry with k=2, first day excluded") {
     // day1 top {1,2}; day2 top {2,3} → carry 1, churn 500;
     // day3 top {4} alone → carry 0, churn 1000

@@ -117,4 +117,15 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("partial_topk_pairs") && !p.contains("Window"),
       "per-group top-k must pre-reduce map-side, never rank-window")
   }
+
+  test("x285 Q5 star: revenue-desc order, local-supplier semantics, dims broadcast") {
+    val df = Relational.regionalRevenue(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getLong(1)).toSeq
+    assert(revs === revs.sorted.reverse, "revenue must sort descending")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/region dims must broadcast:\n$p")
+  }
 }
