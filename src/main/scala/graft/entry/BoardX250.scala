@@ -317,6 +317,17 @@ private[graft] object BoardX250 {
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderpriority")
     },
+    // pairwise FD discovery over the nation dimension joined onto
+    // customer: n_nationkey→n_name and n_name→n_nationkey read exact
+    // (10^6 ppm), the demographic pairs read partial — the profiling
+    // step before x141 audits a KNOWN dependency
+    "x287_fd_discovery" -> { (s, d) =>
+      val joined = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+      graft.operators.Profiling.fdDiscovery(joined,
+        Seq("c_nationkey", "n_name", "c_mktsegment"))
+    },
     // TPC-H Q5-shape six-way star: local-supplier regional revenue in
     // exact cents — dims broadcast, facts shuffle on their keys
     "x285_regional_revenue" -> ((s, d) =>
@@ -1285,6 +1296,25 @@ private[graft] object BoardX250 {
          CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
        FROM orders o JOIN ev ON o.o_custkey = ev.user_id
        GROUP BY 1 ORDER BY 1""",
+    // x287: per ordered pair one (a,b) count, per-a argmax mass, one
+    // fold — UNION ALL of six one-row selects
+    "x287_fd_discovery" -> {
+      val cols = Seq("c_nationkey", "n_name", "c_mktsegment")
+      val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+      val selects = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS lhs, '$b' AS rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+           CAST(CASE WHEN SUM(tot) = 0 THEN NULL
+             ELSE (SUM(best) * 1000000) // SUM(tot) END
+             AS BIGINT) AS confidence_ppm
+         FROM (SELECT MAX(n) AS best, SUM(n) AS tot FROM (
+             SELECT $a, $b, COUNT(*) AS n FROM j GROUP BY 1, 2)
+           GROUP BY $a)"""
+      }.mkString(" UNION ALL ")
+      s"""WITH j AS (SELECT c_nationkey, n_name, c_mktsegment
+           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+       SELECT * FROM ($selects) ORDER BY lhs, rhs"""
+    },
     // x285: the literal Q5 join tree, the repo cents spelling
     "x285_regional_revenue" ->
       """SELECT n_name,

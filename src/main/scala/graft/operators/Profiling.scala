@@ -620,6 +620,37 @@ object Profiling {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** Functional-dependency DISCOVERY over a declared column set — the
+    * profiling step before [[Profiling]] x141's audit of a KNOWN FD:
+    * for every ordered column pair (a → b), the dependency confidence
+    * (share of rows consistent with the best per-a value of b — 10⁶
+    * ppm = an exact FD, high-but-short = an FD with exceptions worth
+    * x141's violation listing). The Metanome-style pairwise tier, the
+    * one profilers actually run at scale.
+    *
+    * Per pair: ONE (a, b) count (map-side combined), a per-a max, one
+    * fold — |cols|·(|cols|−1) bounded aggregations, output that many
+    * rows. Null values group as a value (an FD must determine nulls
+    * too — both engines group nulls identically).
+    *
+    * @return (lhs, rhs, n_lhs_values, confidence_ppm), ordered. */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct == cols,
+      s"fdDiscovery needs >= 2 distinct columns, got $cols")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    pairs.map { case (a, b) =>
+      val per = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy("__a")
+        .agg(max("__n").as("__best"), sum("__n").as("__tot"))
+      per.agg(count(lit(1)).as("n_lhs_values"),
+          sum("__best").as("__sb"), sum("__tot").as("__st"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs_values"),
+          expr("""case when __st = 0 then null
+               else (__sb * 1000000) div __st end""").as("confidence_ppm"))
+    }.reduce(_ unionByName _).orderBy("lhs", "rhs")
+  }
+
   /** k-anonymity generalization planner — [[kAnonymity]] MEASURES the
     * risk ("which quasi-identifier classes are smaller than k"); this
     * PLANS the cheapest one-step remedy: for the full quasi-identifier

@@ -790,6 +790,21 @@ class StatsSpec extends SparkSpec {
     assert(solo.isNullAt(2))
   }
 
+  test("fdDiscovery: exact and partial dependencies, hand-derived") {
+    // a→b: a=1 best 2 of 3, a=2 best 1 of 1 → 750000 ppm;
+    // b→a: every b value determines a → exactly 10^6 ppm
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "z"))
+      .toDF("a", "b")
+    val out = Profiling.fdDiscovery(df, Seq("a", "b"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 2L, 750000L),
+      ("b", "a", 3L, 1000000L)))
+    intercept[IllegalArgumentException] {
+      Profiling.fdDiscovery(df, Seq("a"))
+    }
+  }
+
   test("kAnonPlan: leave-one-out risk table, hand-derived") {
     // classes under (a,b): 3/1/1 → 2 rows at risk at k=2; dropping
     // either column merges to 4/1 → 1 row at risk
