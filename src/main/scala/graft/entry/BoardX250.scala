@@ -317,6 +317,27 @@ private[graft] object BoardX250 {
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderpriority")
     },
+    // measured cosine-threshold yield curve over an id-sampled slice —
+    // the semantic-dedup (x73) threshold axis, x272's embedding twin.
+    // The raw corpus is near-orthogonal (probed: zero pairs over
+    // 700‰), so near-dups are PLANTED deterministically: each id<64
+    // vector gets a reverse-mixed twin (v + 0.2·rev(v), float-rounded
+    // — engine-portable arithmetic, no hash function needed), giving
+    // the curve a genuine high-cosine population to price
+    "x288_cosine_threshold_curve" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val mix = lit(0.1d) * (lit(1.0d)
+        + pmod(col("vec_id"), lit(4L)).cast("double"))
+      val planted = emb
+        .filter(col("vec_id") < 64 && col("embedding").isNotNull)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (a, b) => (a.cast("double") + mix * b.cast("double"))
+              .cast("float")).as("embedding"),
+          col("label"))
+      Similarity.cosineThresholdCurve(emb.unionByName(planted),
+        sliceMod = 5L, thresholds = Seq(930L, 960L, 980L, 990L))
+    },
     // pairwise FD discovery over the nation dimension joined onto
     // customer: n_nationkey→n_name and n_name→n_nationkey read exact
     // (10^6 ppm), the demographic pairs read partial — the profiling
@@ -1296,6 +1317,47 @@ private[graft] object BoardX250 {
          CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
        FROM orders o JOIN ev ON o.o_custkey = ev.user_id
        GROUP BY 1 ORDER BY 1""",
+    // x288: the x09 double cosine spelling over the slice's a<b pairs,
+    // permille rounding, two histograms read by correlated sums
+    "x288_cosine_threshold_curve" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+       pl AS (SELECT vec_id + 1000000 AS vec_id,
+           list_transform(list_zip(embedding, list_reverse(embedding)),
+             p -> CAST(CAST(p[1] AS DOUBLE)
+               + 0.1 * (1 + vec_id % 4) * CAST(p[2] AS DOUBLE)
+               AS FLOAT)) AS embedding
+         FROM base WHERE vec_id < 64),
+       un AS (SELECT vec_id, embedding FROM base
+         UNION ALL SELECT vec_id, embedding FROM pl),
+       s AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM un WHERE vec_id % 5 = 0),
+       p AS (SELECT a.vec_id AS da, b.vec_id AS db,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(a.v, b.v), q -> q[1] * q[2])),
+             (x, y) -> x + y) AS d,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(a.v, x -> x * x)), (x, y) -> x + y)) *
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(b.v, x -> x * x)), (x, y) -> x + y)) AS n
+         FROM s a, s b WHERE a.vec_id < b.vec_id),
+       sc AS MATERIALIZED (SELECT da, db,
+           CAST(FLOOR((CASE WHEN n = 0 THEN 0.0 ELSE d / n END) * 1000
+             + 0.5) AS BIGINT) AS cp
+         FROM p),
+       ph AS (SELECT cp, CAST(COUNT(*) AS BIGINT) AS np
+         FROM sc GROUP BY 1),
+       mx AS (SELECT id, MAX(cp) AS m FROM (
+           SELECT da AS id, cp FROM sc UNION ALL SELECT db, cp FROM sc)
+         GROUP BY 1),
+       rs AS (SELECT UNNEST([930, 960, 980, 990]) AS threshold)
+       SELECT CAST(threshold AS BIGINT) AS threshold,
+         CAST(COALESCE((SELECT SUM(np) FROM ph WHERE cp >= threshold), 0)
+           AS BIGINT) AS n_pairs,
+         CAST((SELECT COUNT(*) FROM mx WHERE m >= threshold)
+           AS BIGINT) AS n_vecs_flagged
+       FROM rs ORDER BY threshold""",
     // x287: per ordered pair one (a,b) count, per-a argmax mass, one
     // fold — UNION ALL of six one-row selects
     "x287_fd_discovery" -> {

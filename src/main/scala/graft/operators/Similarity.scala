@@ -189,6 +189,67 @@ object Similarity {
     topKByScoreAgg(scored, k)
   }
 
+  /** MEASURED cosine-threshold yield curve — the semantic-dedup
+    * threshold axis of the measured-curve family ([[Dedup.dedupThresholdCurve]]
+    * is the lexical twin): per candidate cosine bar, the exact pair
+    * mass and vectors flagged (a vector counts iff its BEST pair
+    * reaches the bar) over a deterministic id-sampled slice. "At 950‰
+    * you drop 2% of vectors, at 800‰ it's 19%" is the row a SemDeDup
+    * aggressiveness decision (x73) needs BEFORE committing a
+    * clustering run. The slice is the operator's scale contract —
+    * all-pairs is the ground truth, so run it where |slice|² is
+    * affordable and apply the curve corpus-wide.
+    *
+    * Scoring runs the codegen'd `cosine_f32` kernel over a
+    * repartitioned stream side with the slice broadcast (the x215
+    * discipline — the sanctioned brute form for bounded slices); the
+    * curve itself is two bounded histograms crossed with a broadcast
+    * thresholds table, the x272 shape.
+    *
+    * @return (threshold, n_pairs, n_vecs_flagged), ordered. */
+  def cosineThresholdCurve(emb: DataFrame, sliceMod: Long = 5L,
+                           thresholds: Seq[Long] = Seq(700L, 800L, 900L, 950L),
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(sliceMod >= 1, s"sliceMod ($sliceMod) must be >= 1")
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted
+      && thresholds.distinct == thresholds,
+      s"thresholds ($thresholds) must be non-empty, sorted, distinct")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val sl = emb.filter(pmod(col(idCol), lit(sliceMod)) === 0L
+        && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val scored = Dedup.registerCache(
+      sl.select(col("__id").as("da"), col("__v").as("va"))
+        .repartition(col("da"))
+        .crossJoin(broadcast(sl.select(col("__id").as("db"),
+          col("__v").as("vb"))))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"),
+          floor(call_function("cosine_f32", col("va"), col("vb")) * 1000
+            + 0.5).cast("long").as("__cp")))
+    val pairH = scored.groupBy("__cp").agg(count(lit(1)).as("__np"))
+    val vecH = scored
+      .select(explode(array(col("da"), col("db"))).as("__id"), col("__cp"))
+      .groupBy("__id").agg(max("__cp").as("__mx"))
+      .groupBy("__mx").agg(count(lit(1)).as("__nd"))
+    val rs = emb.sparkSession.range(thresholds.size)
+      .select(element_at(array(thresholds.map(lit): _*),
+        col("id").cast("int") + 1).as("threshold"))
+    val pairs = rs.crossJoin(broadcast(pairH))
+      .filter(col("__cp") >= col("threshold"))
+      .groupBy("threshold").agg(sum("__np").as("__p"))
+    val flagged = rs.crossJoin(broadcast(vecH))
+      .filter(col("__mx") >= col("threshold"))
+      .groupBy("threshold").agg(sum("__nd").as("__d"))
+    rs.join(pairs, Seq("threshold"), "left")
+      .join(flagged, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("__p"), lit(0L)).as("n_pairs"),
+        coalesce(col("__d"), lit(0L)).as("n_vecs_flagged"))
+      .orderBy("threshold")
+  }
+
   /** Hard-negative mining for contrastive/retrieval training: for each
     * query vector, the top-k most-similar corpus vectors with a
     * DIFFERENT label — the "looks relevant but isn't" examples that

@@ -484,6 +484,22 @@ class SimilaritySpec extends SparkSpec {
     assert(b === Seq((2L, 2L, 1000L)))
   }
 
+  test("cosineThresholdCurve: hand-derived pair mass and flagged vectors") {
+    // cosines: (1,2)=1000, (1,4)=(2,4)=600, (3,4)=800, (1,3)=(2,3)=0
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineThresholdCurve(emb, sliceMod = 1L,
+        thresholds = Seq(600L, 900L))
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq((600L, 4L, 4L), (900L, 1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Similarity.cosineThresholdCurve(emb, thresholds = Seq(900L, 600L))
+    }
+  }
+
   test("gramState append law: merged per-batch states ≡ one-shot effectiveDim") {
     val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
         (3L, Seq(0.6f, 0.8f)), (4L, Seq(1.0f, 0.0f)))
