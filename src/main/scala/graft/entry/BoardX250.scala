@@ -317,6 +317,17 @@ private[graft] object BoardX250 {
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderpriority")
     },
+    // x274's incremental twin: per-batch CDC chunk states merged
+    // cell-wise, profile read from state alone — oracle is the append
+    // LAW (the one-shot x274 oracle over the whole corpus)
+    "x289_cdc_append" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = TextAnalysis.cdcChunkState(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L))
+      val b = TextAnalysis.cdcChunkState(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+      TextAnalysis.cdcProfileFromState(TextAnalysis.mergeCdcStates(a, b))
+    },
     // measured cosine-threshold yield curve over an id-sampled slice —
     // the semantic-dedup (x73) threshold axis, x272's embedding twin.
     // The raw corpus is near-orthogonal (probed: zero pairs over
@@ -1137,34 +1148,11 @@ private[graft] object BoardX250 {
     // x274: the positional-gram chain (i 1-based — a Spark cut at
     // 0-based token p is gr row i = p + 1), content-defined starts,
     // 1-based list slices, md5 chunk digests, per-source rollup
-    "x274_cdc_chunks" -> {
-      val src = "(SELECT * FROM documents WHERE text IS NOT NULL)"
-      s"""WITH ${graft.entry.EntryLib.gramCtes(3, src)},
-       cutl AS (SELECT doc_id, list(i ORDER BY i) AS cuts
-           FROM gr WHERE i > 1 AND h % 16 = 0 GROUP BY doc_id),
-       base AS (SELECT t.doc_id, d.source, t.ts,
-           list_prepend(CAST(1 AS BIGINT), COALESCE(c.cuts, [])) AS starts,
-           CAST(len(t.ts) + 1 AS BIGINT) AS fin
-         FROM toks t JOIN documents d ON t.doc_id = d.doc_id
-         LEFT JOIN cutl c ON t.doc_id = c.doc_id),
-       ex AS (SELECT doc_id, source, ts, starts, fin,
-           UNNEST(range(1, len(starts) + 1)) AS j FROM base),
-       chk AS (SELECT source,
-           (CASE WHEN j < len(starts) THEN starts[j + 1] ELSE fin END)
-             - starts[j] AS nt,
-           md5(array_to_string(ts[starts[j] :
-             (CASE WHEN j < len(starts) THEN starts[j + 1] ELSE fin END) - 1],
-             ' ')) AS fp
-         FROM ex),
-       a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           CAST(SUM(nt) AS BIGINT) AS n_chunk_tokens,
-           CAST(COUNT(DISTINCT fp) AS BIGINT) AS uniq
-         FROM chk GROUP BY source)
-       SELECT source, n_chunks, n_chunk_tokens,
-         CAST(1000 - (uniq * 1000) // n_chunks AS BIGINT) AS dup_permille,
-         CAST(n_chunk_tokens // n_chunks AS BIGINT) AS mean_chunk_tokens
-       FROM a ORDER BY source"""
-    },
+    "x274_cdc_chunks" -> cdcOracle,
+    // x289: the append LAW — the one-shot x274 oracle over the whole
+    // corpus; the incremental merge must land on the same rows
+    "x289_cdc_append" -> cdcOracle,
+  ) ++ Map(
     // x275: the x113 replay twice — prefix pass, then the identical
     // machinery on reverse(name) — union distinct (levenshtein is
     // reversal-invariant, so the verify carries over)
@@ -1451,4 +1439,36 @@ private[graft] object BoardX250 {
        SELECT node, ancestor, depth FROM anc
        ORDER BY node, depth, ancestor""",
   )
+
+  /** Shared by x274 (one-shot) and x289 (the append law: the
+    * incremental merge must land on the SAME rows this one-shot SQL
+    * computes over the whole corpus). */
+  private def cdcOracle: String = {
+    val src = "(SELECT * FROM documents WHERE text IS NOT NULL)"
+    s"""WITH ${graft.entry.EntryLib.gramCtes(3, src)},
+       cutl AS (SELECT doc_id, list(i ORDER BY i) AS cuts
+           FROM gr WHERE i > 1 AND h % 16 = 0 GROUP BY doc_id),
+       base AS (SELECT t.doc_id, d.source, t.ts,
+           list_prepend(CAST(1 AS BIGINT), COALESCE(c.cuts, [])) AS starts,
+           CAST(len(t.ts) + 1 AS BIGINT) AS fin
+         FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+         LEFT JOIN cutl c ON t.doc_id = c.doc_id),
+       ex AS (SELECT doc_id, source, ts, starts, fin,
+           UNNEST(range(1, len(starts) + 1)) AS j FROM base),
+       chk AS (SELECT source,
+           (CASE WHEN j < len(starts) THEN starts[j + 1] ELSE fin END)
+             - starts[j] AS nt,
+           md5(array_to_string(ts[starts[j] :
+             (CASE WHEN j < len(starts) THEN starts[j + 1] ELSE fin END) - 1],
+             ' ')) AS fp
+         FROM ex),
+       a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(nt) AS BIGINT) AS n_chunk_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS uniq
+         FROM chk GROUP BY source)
+       SELECT source, n_chunks, n_chunk_tokens,
+         CAST(1000 - (uniq * 1000) // n_chunks AS BIGINT) AS dup_permille,
+         CAST(n_chunk_tokens // n_chunks AS BIGINT) AS mean_chunk_tokens
+       FROM a ORDER BY source"""
+  }
 }

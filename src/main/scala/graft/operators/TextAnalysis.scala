@@ -514,7 +514,19 @@ object TextAnalysis {
     * @return (source, n_chunks, n_chunk_tokens, dup_permille,
     *         mean_chunk_tokens), ordered by source. */
   def cdcChunkProfile(docs: DataFrame, k: Int = 3,
-                      divisor: Long = 16L): DataFrame = {
+                      divisor: Long = 16L): DataFrame =
+    cdcProfileFromState(cdcChunkState(docs, k, divisor))
+
+  /** The (source, chunk-digest) row table behind [[cdcChunkProfile]] —
+    * chunks are doc-local, so the table is ADDITIVE in the documents:
+    * state per ingest batch, [[mergeCdcStates]] to combine,
+    * [[cdcProfileFromState]] to read the profile — the x254/x276
+    * incremental discipline applied to the storage-dedup index (and
+    * the state table IS that index: digest → occurrence count).
+    * Spec-pinned append law: merge(state(A), state(B)) reads the same
+    * profile as the one-shot over A ∪ B. */
+  def cdcChunkState(docs: DataFrame, k: Int = 3,
+                    divisor: Long = 16L): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     require(divisor >= 1, s"divisor ($divisor) must be >= 1")
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -535,16 +547,26 @@ object TextAnalysis {
           (s, e) -> named_struct('nt', e - s,
             'fp', md5(array_join(slice(ts, s + 1, e - s), ' '))))"""))
       .select(col("source"), explode(col("chunks")).as("c"))
-      .select(col("source"), col("c.nt").cast("long").as("__nt"),
-        col("c.fp").as("__fp"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_chunks"), sum("__nt").as("n_chunk_tokens"),
-        countDistinct(col("__fp")).as("__uniq"))
+      // a digest determines its text, hence its token count — per
+      // (source, fp) the count and token mass are the whole state
+      .groupBy(col("source"), col("c.fp").as("fp"))
+      .agg(count(lit(1)).as("n"), sum(col("c.nt").cast("long")).as("nt"))
+  }
+
+  /** Cell-wise sum of two [[cdcChunkState]] tables. */
+  def mergeCdcStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("source", "fp")
+      .agg(sum("n").as("n"), sum("nt").as("nt"))
+
+  /** Read the [[cdcChunkProfile]] row set off a state table alone. */
+  def cdcProfileFromState(state: DataFrame): DataFrame =
+    state.groupBy("source")
+      .agg(sum("n").as("n_chunks"), sum("nt").as("n_chunk_tokens"),
+        count(lit(1)).as("__uniq"))
       .select(col("source"), col("n_chunks"), col("n_chunk_tokens"),
         expr("1000 - (__uniq * 1000) div n_chunks").as("dup_permille"),
         expr("n_chunk_tokens div n_chunks").as("mean_chunk_tokens"))
       .orderBy("source")
-  }
 
   /** MEASURED vocabulary-size coverage curve — the tokenizer-budget
     * axis of the measured-curve family (x262 banding recall, x264

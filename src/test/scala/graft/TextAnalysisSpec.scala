@@ -875,6 +875,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunkState append law: merged per-batch states ≡ one-shot profile") {
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, long, "A"), (2L, long, "A"), (3L, "u v", "B"),
+      (4L, long + " extra trailer words here", "A"))
+      .toDF("doc_id", "text", "source")
+    val oneShot = TextAnalysis.cdcChunkProfile(d).collect().toSeq
+    val merged = TextAnalysis.cdcProfileFromState(
+      TextAnalysis.mergeCdcStates(
+        TextAnalysis.cdcChunkState(d.filter("doc_id % 2 = 0")),
+        TextAnalysis.cdcChunkState(d.filter("doc_id % 2 = 1"))))
+      .collect().toSeq
+    assert(merged === oneShot)
+  }
+
   test("batchPlan: bucket by width, pad to bucket max, exact pad share") {
     // width 4: docs of 1/2 tokens → bucket 0 (max 2, sum 3, pad 250‰);
     // 5-token doc → bucket 1 alone (pad 0)
