@@ -332,9 +332,11 @@ private[graft] object BoardX250 {
     // the semantic-dedup (x73) threshold axis, x272's embedding twin.
     // The raw corpus is near-orthogonal (probed: zero pairs over
     // 700‰), so near-dups are PLANTED deterministically: each id<64
-    // vector gets a reverse-mixed twin (v + 0.2·rev(v), float-rounded
-    // — engine-portable arithmetic, no hash function needed), giving
-    // the curve a genuine high-cosine population to price
+    // vector gets a reverse-mixed twin v + m·rev(v) with a GRADED mix
+    // m = 0.1·(1 + vec_id % 4) ∈ {0.1, 0.2, 0.3, 0.4} (float-rounded —
+    // engine-portable arithmetic, no hash function needed), so the
+    // threshold rungs each cut a different slice of a genuine
+    // high-cosine population instead of one degenerate cosine value
     "x288_cosine_threshold_curve" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val mix = lit(0.1d) * (lit(1.0d)
@@ -1222,7 +1224,9 @@ private[graft] object BoardX250 {
        SELECT key, n_rows, CAST((n_rows + 99) // 100 AS BIGINT) AS n_salts
        FROM a WHERE n_rows > 100 ORDER BY key""",
     // x278: (day, user) counts, the (n DESC, user ASC) rank, carry
-    // join on day+1, lag over the bounded day grid
+    // join keyed to the previous OBSERVED day (the lag day — calendar
+    // gaps compare against the last day with events, not day−1),
+    // lag over the bounded day grid
     "x278_topk_churn" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id,
            COUNT(*) AS n
@@ -1236,8 +1240,8 @@ private[graft] object BoardX250 {
        pd AS (SELECT day, n_top, LAG(day) OVER (ORDER BY day) AS prev
          FROM days),
        ov AS (SELECT b.day AS day, CAST(COUNT(*) AS BIGINT) AS c
-         FROM top a JOIN top b
-           ON a.user_id = b.user_id AND b.day = a.day + 1
+         FROM top a JOIN top b ON a.user_id = b.user_id
+           JOIN pd ON pd.day = b.day AND a.day = pd.prev
          GROUP BY 1)
        SELECT pd.day AS day, pd.n_top,
          CAST(COALESCE(ov.c, 0) AS BIGINT) AS n_carry,

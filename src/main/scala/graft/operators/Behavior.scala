@@ -1611,13 +1611,21 @@ object Behavior {
     * (per-user persistence). Ties break (count DESC, user_id ASC),
     * the replayable convention.
     *
+    * "Previous day" is the previous OBSERVED day throughout: a row is
+    * emitted when a preceding day with events exists, and carry-over
+    * compares against that same day's top k (NOT calendar adjacency —
+    * the r13 form required `datediff = 1` for carry while emitting
+    * rows off the lag, so the first day after a calendar gap read
+    * churn = 1000 even when the identical users returned).
+    *
     * One (day, user) count, a per-day rank window on that bounded
     * table, then the carry-over join is user-keyed between two ≤k·days
-    * row tables; the day grid's lag window is over the ≤days-row
-    * summary (the repo's bounded-table window discipline).
+    * row tables routed through the ≤days-row (day → prev) map; the day
+    * grid's lag window is over the ≤days-row summary (the repo's
+    * bounded-table window discipline).
     *
     * @return (day, n_top, n_carry, churn_permille), one row per day
-    *         with a preceding day present, ordered by day. */
+    *         with a preceding observed day, ordered by day. */
   def topkChurn(events: DataFrame, k: Int = 10): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     val daily = events
@@ -1632,9 +1640,11 @@ object Behavior {
     val wd = Window.orderBy("day")
     val withPrev = days.withColumn("__prev", lag("day", 1).over(wd))
       .filter(col("__prev").isNotNull)
-    val carry = top.as("a")
-      .join(top.as("b"), col("a.user_id") === col("b.user_id")
-        && expr("datediff(b.day, a.day) = 1"))
+    val prevMap = withPrev.select(col("day").as("__d"), col("__prev"))
+    val carry = top.as("b")
+      .join(prevMap, col("b.day") === col("__d"))
+      .join(top.as("a"), col("a.day") === col("__prev")
+        && col("a.user_id") === col("b.user_id"))
       .groupBy(col("b.day").as("day"))
       .agg(count(lit(1)).as("__c"))
     withPrev.join(carry, Seq("day"), "left")

@@ -518,12 +518,17 @@ object Profiling {
     * that audits edges BETWEEN tables, this audits determinism WITHIN
     * one.
     *
-    * Scale shape per rule: ONE pass — groupBy lhs with an exact
-    * countDistinct(rhs) (Spark plans the single-distinct via partial
-    * sets, no Expand), then the |lhs|-row fan-out table collapses to a
-    * 1-row summary with map-side combine. NULL lhs rows are excluded
-    * (a null key determines nothing); NULL rhs counts as a value via
-    * the grouping-set trick countDistinct + max(isnull).
+    * Scale shape: ONE scan for ALL rules (the x171 melt discipline —
+    * each row explodes into its |rules| (rule, lhs-value, rhs-value)
+    * struct rows, an Expand, row-local), then one (rule, lhs) fan-out
+    * aggregation with an exact countDistinct (single-distinct plan)
+    * and a 1-row-per-rule roll-up with map-side combine. The r13 form
+    * ran one input pass per rule. NULL lhs rows are excluded (a null
+    * key determines nothing); NULL rhs counts as a value via the
+    * grouping-set trick countDistinct + max(isnull). Values melt
+    * through a string cast (injective per column for every primitive
+    * type, so fan-outs are unchanged); rules join back onto a literal
+    * spine so an empty input still reports every rule.
     *
     * @return (rule, n_keys, n_violating, max_fanout,
     *         violation_permille) ordered by rule. */
@@ -531,18 +536,27 @@ object Profiling {
                              rules: Seq[(String, String)]): DataFrame = {
     require(rules.nonEmpty, "functionalDependencies needs at least one rule")
     require(rules.distinct.size == rules.size, "duplicate FD rules")
-    rules.map { case (lhs, rhs) =>
-      val fanout = df.filter(col(lhs).isNotNull)
-        .groupBy(col(lhs))
-        .agg((countDistinct(col(rhs)) +
-          max(when(col(rhs).isNull, 1L).otherwise(0L))).as("__fan"))
-      fanout.agg(count(lit(1)).as("n_keys"),
-          sum(when(col("__fan") > 1L, 1L).otherwise(0L)).as("n_violating"),
-          max("__fan").as("max_fanout"))
-        .select(lit(s"$lhs->$rhs").as("rule"), col("n_keys"),
-          col("n_violating"), col("max_fanout"),
-          expr("(n_violating * 1000) div n_keys").as("violation_permille"))
-    }.reduce(_.unionByName(_)).orderBy("rule")
+    val melted = df.select(explode(array(rules.map { case (lhs, rhs) =>
+        struct(lit(s"$lhs->$rhs").as("rule"),
+          col(lhs).cast("string").as("lv"), col(rhs).cast("string").as("rv"))
+      }: _*)).as("p"))
+      .select(col("p.rule").as("rule"), col("p.lv").as("__l"),
+        col("p.rv").as("__r"))
+    val folded = melted.filter(col("__l").isNotNull)
+      .groupBy("rule", "__l")
+      .agg((countDistinct(col("__r")) +
+        max(when(col("__r").isNull, 1L).otherwise(0L))).as("__fan"))
+      .groupBy("rule")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__fan") > 1L, 1L).otherwise(0L)).as("n_violating"),
+        max("__fan").as("max_fanout"))
+    import df.sparkSession.implicits._
+    rules.map { case (l, r) => s"$l->$r" }.toDF("rule")
+      .join(broadcast(folded), Seq("rule"), "left")
+      .select(col("rule"), coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        col("n_violating"), col("max_fanout"),
+        expr("(n_violating * 1000) div n_keys").as("violation_permille"))
+      .orderBy("rule")
   }
 
   /** Benford first-digit audit of a positive integer column: observed
@@ -628,27 +642,46 @@ object Profiling {
     * x141's violation listing). The Metanome-style pairwise tier, the
     * one profilers actually run at scale.
     *
-    * Per pair: ONE (a, b) count (map-side combined), a per-a max, one
-    * fold — |cols|·(|cols|−1) bounded aggregations, output that many
-    * rows. Null values group as a value (an FD must determine nulls
-    * too — both engines group nulls identically).
+    * ONE scan for ALL pairs (the x171 [[columnEntropy]] melt
+    * discipline): each row explodes into its |cols|·(|cols|−1)
+    * (lhs, rhs, a-value, b-value) struct rows — an Expand, row-local,
+    * no extra input pass — then one (pair, a, b) count with map-side
+    * combine, a per-(pair, a) max, one fold. The r13 form ran one full
+    * input scan PER PAIR (90 scans at 10 columns — column-pruned but
+    * still 90 passes); this reads the input exactly once, which a
+    * PlanSpec guard pins. Values melt through a string cast (the melt
+    * needs one uniform type); the cast is injective per column for
+    * every primitive type, so group counts are unchanged. Null values
+    * group as a value (an FD must determine nulls too — both engines
+    * group nulls identically); pairs join back onto a literal pair
+    * spine so an empty input still reports every pair (n = 0).
     *
     * @return (lhs, rhs, n_lhs_values, confidence_ppm), ordered. */
   def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2 && cols.distinct == cols,
       s"fdDiscovery needs >= 2 distinct columns, got $cols")
     val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
-    pairs.map { case (a, b) =>
-      val per = df.groupBy(col(a).as("__a"), col(b).as("__b"))
-        .agg(count(lit(1)).as("__n"))
-        .groupBy("__a")
-        .agg(max("__n").as("__best"), sum("__n").as("__tot"))
-      per.agg(count(lit(1)).as("n_lhs_values"),
-          sum("__best").as("__sb"), sum("__tot").as("__st"))
-        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs_values"),
-          expr("""case when __st = 0 then null
-               else (__sb * 1000000) div __st end""").as("confidence_ppm"))
-    }.reduce(_ unionByName _).orderBy("lhs", "rhs")
+    val melted = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("lhs"), lit(b).as("rhs"),
+          col(a).cast("string").as("av"), col(b).cast("string").as("bv"))
+      }: _*)).as("p"))
+      .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"),
+        col("p.av").as("__a"), col("p.bv").as("__b"))
+    val folded = melted
+      .groupBy("lhs", "rhs", "__a", "__b").agg(count(lit(1)).as("__n"))
+      .groupBy("lhs", "rhs", "__a")
+      .agg(max("__n").as("__best"), sum("__n").as("__tot"))
+      .groupBy("lhs", "rhs")
+      .agg(count(lit(1)).as("n_lhs_values"),
+        sum("__best").as("__sb"), sum("__tot").as("__st"))
+    import df.sparkSession.implicits._
+    pairs.toDF("lhs", "rhs")
+      .join(broadcast(folded), Seq("lhs", "rhs"), "left")
+      .select(col("lhs"), col("rhs"),
+        coalesce(col("n_lhs_values"), lit(0L)).as("n_lhs_values"),
+        expr("""case when __st is null or __st = 0 then null
+             else (__sb * 1000000) div __st end""").as("confidence_ppm"))
+      .orderBy("lhs", "rhs")
   }
 
   /** k-anonymity generalization planner — [[kAnonymity]] MEASURES the
@@ -661,8 +694,16 @@ object Profiling {
     * decision table, not just the alarm (the same measure→plan closure
     * as x277 for skew and x206/purgeApply for retention).
     *
-    * |QI|+1 map-side-combined aggregations, each collapsing to one
-    * row before the union — output |QI|+1 rows, never data-scale.
+    * ONE scan for ALL options (the x171 melt discipline): each row
+    * explodes into its |QI|+1 (dropped, class-key) struct rows — the
+    * class key is the option's value tuple as an array<string> (array
+    * grouping is exact; the string cast is injective per column for
+    * every primitive type, and NULL elements group null-safely exactly
+    * as the native groupBy did) — then one (dropped, key) count and a
+    * 1-row-per-option roll-up, both map-side combined. The r13 form
+    * ran one input pass per option; output stays |QI|+1 rows, never
+    * data-scale. Options join back onto a literal spine so an empty
+    * input still reports every option.
     *
     * @return (dropped, n_classes, min_class_size, n_rows_at_risk),
     *         dropped = "(none)" for the full set, ordered by dropped. */
@@ -672,15 +713,24 @@ object Profiling {
     require(k >= 1, s"k ($k) must be >= 1")
     val options = ("(none)", quasiCols) +:
       quasiCols.map(c => (c, quasiCols.filterNot(_ == c)))
-    options.map { case (dropped, cols) =>
-      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
-        .agg(count(lit(1)).as("n_classes"),
-          min("__n").as("min_class_size"),
-          sum(when(col("__n") < k, col("__n")).otherwise(0L))
-            .as("n_rows_at_risk"))
-        .select(lit(dropped).as("dropped"), col("n_classes"),
-          col("min_class_size"), col("n_rows_at_risk"))
-    }.reduce(_ unionByName _).orderBy("dropped")
+    val folded = df.select(explode(array(options.map { case (dropped, cs) =>
+        struct(lit(dropped).as("dropped"),
+          array(cs.map(c => col(c).cast("string")): _*).as("vals"))
+      }: _*)).as("p"))
+      .groupBy(col("p.dropped").as("dropped"), col("p.vals").as("__vals"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("dropped")
+      .agg(count(lit(1)).as("n_classes"),
+        min("__n").as("min_class_size"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("n_rows_at_risk"))
+    import df.sparkSession.implicits._
+    options.map(_._1).toDF("dropped")
+      .join(broadcast(folded), Seq("dropped"), "left")
+      .select(col("dropped"), coalesce(col("n_classes"), lit(0L)).as("n_classes"),
+        col("min_class_size"),
+        coalesce(col("n_rows_at_risk"), lit(0L)).as("n_rows_at_risk"))
+      .orderBy("dropped")
   }
 
   /** Per-group Tukey fences: exact lower-quartile Q1 and Q3 of an

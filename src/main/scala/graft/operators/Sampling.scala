@@ -548,6 +548,15 @@ object Sampling {
     * reduction, no global sort exchange; at 100 TB the sample costs
     * one scan.
     *
+    * Usable weight range: u has only 10⁶ distinct values, so
+    * |ln(u)·10⁶| ≤ ln(10⁶)·10⁶ ≈ 1.38·10⁷, and the integer priority
+    * `(ln(u)·10⁶·10⁶) div w` truncates to 0 for every row once
+    * w ≳ 1.4·10¹³ — degenerate all-zero priorities would silently
+    * collapse selection to key order. Weights are REQUIRED < 10¹²
+    * (≥ 14 distinct priority levels remain at the cap); rescale
+    * heavier weights before sampling (selection is invariant to a
+    * common positive scale factor up to the 10⁶ quantization).
+    *
     * @return the n selected rows as (key, weight, priority_micro),
     *         ordered by priority DESC then key. */
   def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
@@ -556,6 +565,12 @@ object Sampling {
     df.filter(col(keyCol).isNotNull && col(weightCol).isNotNull
         && col(weightCol) > 0)
       .select(col(keyCol).as("key"), col(weightCol).cast("long").as("weight"))
+      // fail loud inside the scan, not silently in key order: the
+      // priority quantization cannot discriminate weights >= 1e12
+      .withColumn("weight", when(col("weight") < 1000000000000L, col("weight"))
+        .otherwise(raise_error(concat(lit("weightedHashSample: weight "),
+          col("weight").cast("string"),
+          lit(" >= 1e12 exceeds the priority quantization range — rescale weights")))))
       .withColumn("__h", hashMod(col("key"), 1000000L) + 1L)
       .withColumn("priority_micro",
         // ln(u) = lnµ(h) − lnµ(10⁶): BOTH ln arguments are integers,

@@ -381,4 +381,26 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("x287/x141/x280: melted profilers read the input in ONE scan") {
+    // the r13 forms ran one full input pass per column pair / rule /
+    // leave-one-out option (90 scans at 10 profiled columns); the
+    // melt rewrite explodes each row into its per-pair struct rows —
+    // an Expand, row-local — so the whole profile is one FileScan.
+    // This guard pins the single-scan shape against a refactor
+    // re-introducing the per-pair loop.
+    import graft.operators.Profiling
+    def scans(df: DataFrame): Int =
+      "FileScan parquet".r.findAllIn(plan(df)).size
+    val cust = graft.core.Tables.customer(spark, sf)
+    assert(scans(Profiling.fdDiscovery(cust,
+      Seq("c_nationkey", "c_mktsegment", "c_acctbal"))) === 1,
+      "fdDiscovery must profile every ordered pair from one input scan")
+    assert(scans(Profiling.functionalDependencies(
+      graft.core.Tables.lineitem(spark, sf), graft.entry.EntryLib.fdRules)) === 1,
+      "functionalDependencies must audit every rule from one input scan")
+    assert(scans(Profiling.kAnonPlan(cust,
+      Seq("c_nationkey", "c_mktsegment"), k = 5L)) === 1,
+      "kAnonPlan must score every leave-one-out option from one input scan")
+  }
 }

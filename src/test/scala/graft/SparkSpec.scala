@@ -19,6 +19,11 @@ object TestSession {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the bounded-table windows (PlanSpec-audited: every un-partitioned
+    // window reads an aggregate, never raw rows) spam one WARN per
+    // plan; the bench harness already mutes them — mute the test JVM
+    // too so real warnings stay visible in `sbt test` output
+    graft.core.GraftSession.muteBoundedWindowWarning()
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
