@@ -69,20 +69,74 @@ object ScaleUp {
     }.reduce(_ unionByName _)
   }
 
-  /** Lineitem replicas: order AND part keys offset per replica —
-    * baskets and item vocabulary both ×N with per-item df preserved,
-    * so basket-pair / item-cosine join mass scales LINEARLY (offsetting
-    * only orders would instead ×N every item's df and square the
-    * inverted-index mass — the quadratically different workload the
-    * documents rotation exists to avoid). */
-  def scaleLineitem(li: DataFrame, replicas: Int): DataFrame = {
-    val r = li.agg(max("l_orderkey"), max("l_partkey")).head()
-    val (oSpan, pSpan) = (r.getLong(0) + 1L, r.getLong(1) + 1L)
+  /** Lineitem replicas: order, part AND supplier keys offset per
+    * replica — baskets, item vocabulary and supplier fan-in all ×N
+    * with per-key df preserved, so basket-pair / item-cosine /
+    * fact-join mass scales LINEARLY (offsetting only orders would
+    * instead ×N every item's df and square the inverted-index mass —
+    * the quadratically different workload the documents rotation
+    * exists to avoid). Spans are passed in so the star's foreign keys
+    * stay aligned with the scaled [[scaleOrders]]/[[scalePart]]/
+    * [[scaleSupplier]] dimensions (each span = the max key across BOTH
+    * sides of the edge + 1). */
+  def scaleLineitem(li: DataFrame, replicas: Int,
+                    oSpan: Long, pSpan: Long, sSpan: Long): DataFrame =
     (0 until replicas).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))
         .withColumn("l_partkey", col("l_partkey") + lit(i * pSpan))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * sSpan))
     }.reduce(_ unionByName _)
-  }
+
+  /** Orders replicas: order keys offset with the SAME span lineitem
+    * uses (the l_orderkey → o_orderkey edge stays total per replica,
+    * zero cross-replica matches) and customer keys with [[scaleCustomer]]'s
+    * span — every star join's per-replica structure is preserved
+    * exactly and its join mass scales linearly. Dates, prices and
+    * priorities are kept: the order-date SPAN is a property of the
+    * business calendar, not its volume — per-day/ per-tier counts ×N,
+    * a busier book on the same calendar. */
+  def scaleOrders(orders: DataFrame, replicas: Int,
+                  oSpan: Long, cSpan: Long): DataFrame =
+    (0 until replicas).map { i =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * oSpan))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * cSpan))
+    }.reduce(_ unionByName _)
+
+  /** Customer replicas: keys offset per replica and names REGENERATED
+    * from the offset key in the generator's own `Customer#%09d` format
+    * — name spaces stay disjoint across replicas (plain replication
+    * would make every name a 10-way exact duplicate: the x113/x265
+    * sorted-neighbourhood truth-pair mass would go ×N², the
+    * quadratically different workload) while the within-replica name
+    * structure the prefix blocking keys on is preserved EXACTLY
+    * (replicas occupy disjoint numeric ranges, so blocks never mix
+    * replicas and block sizes are unchanged). Nation keys, balances
+    * and segments are kept: the demographic distribution is a property
+    * of the population, not its size. */
+  def scaleCustomer(cust: DataFrame, replicas: Int, cSpan: Long): DataFrame =
+    (0 until replicas).map { i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i * cSpan))
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+    }.reduce(_ unionByName _)
+
+  /** Supplier replicas: the [[scaleCustomer]] recipe on s_suppkey /
+    * `Supplier#%09d`; nation keys kept (nations are a fixed 25-row
+    * dimension at every scale — a bigger corpus has more suppliers,
+    * not more countries). */
+  def scaleSupplier(supp: DataFrame, replicas: Int, sSpan: Long): DataFrame =
+    (0 until replicas).map { i =>
+      supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * sSpan))
+        .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
+    }.reduce(_ unionByName _)
+
+  /** Part replicas: keys offset with the SAME span lineitem's
+    * l_partkey uses; names/brands/types kept (the type vocabulary is a
+    * property of the catalog taxonomy, not its size — per-type counts
+    * ×N, which is what a bigger catalog looks like). */
+  def scalePart(part: DataFrame, replicas: Int, pSpan: Long): DataFrame =
+    (0 until replicas).map { i =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(i * pSpan))
+    }.reduce(_ unionByName _)
 
   def scaleEmbeddings(emb: DataFrame, replicas: Int): DataFrame = {
     val span = emb.agg(max("vec_id")).head().getLong(0) + 1L
@@ -113,10 +167,47 @@ object ScaleUp {
     scaleEvents(spark.read.parquet(s"$src/events.parquet"), replicas)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
-    scaleLineitem(spark.read.parquet(s"$src/lineitem.parquet"), replicas)
+    // the star tier: spans are computed from BOTH sides of each join
+    // edge so the scaled foreign keys stay aligned (lineitem and orders
+    // agree on max orderkey in this corpus, but the max() guard makes
+    // the recipe safe for corpora where childless parents push the max)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val supp = spark.read.parquet(s"$src/supplier.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val lm = li.agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey")).head()
+    val oSpan = math.max(lm.getLong(0),
+      orders.agg(max("o_orderkey")).head().getLong(0)) + 1L
+    val cSpan = math.max(orders.agg(max("o_custkey")).head().getLong(0),
+      cust.agg(max("c_custkey")).head().getLong(0)) + 1L
+    val sSpan = math.max(lm.getLong(2),
+      supp.agg(max("s_suppkey")).head().getLong(0)) + 1L
+    val pSpan = math.max(lm.getLong(1),
+      part.agg(max("p_partkey")).head().getLong(0)) + 1L
+    scaleLineitem(li, replicas, oSpan, pSpan, sSpan)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-    println(s"[scaleup] wrote ${replicas}x documents+embeddings+events+lineitem to $dst")
+    scaleOrders(orders, replicas, oSpan, cSpan)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    scaleCustomer(cust, replicas, cSpan)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    scaleSupplier(supp, replicas, sSpan)
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+    scalePart(part, replicas, pSpan)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
+    // nation/region are fixed-size dimensions at every scale — copied
+    // verbatim so the probe dir is a complete, self-contained corpus
+    for (t <- Seq("nation", "region"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    println(s"[scaleup] wrote ${replicas}x star corpus " +
+      s"(documents embeddings events lineitem orders customer supplier part" +
+      s" + nation/region verbatim) to $dst")
     spark.stop()
   }
 }
