@@ -399,6 +399,39 @@ private[graft] object BoardX250 {
           .withColumn("bal_band",
             floor(col("c_acctbal") / 1000.0).cast("long")),
         Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)),
+    // persisted pair-mining state: per-batch fingerprint states over
+    // the id-split halves, standing pairs mined from the base state,
+    // the delta's arrival mined with pairsAppend (delta-only candidate
+    // mass — the incremental path a real corpus runs per ingest batch
+    // instead of re-shingling everything) — oracle is the append LAW:
+    // standing ∪ appended ≡ the one-shot x07 mining over the whole
+    // corpus (same oracle text; the x254/x276/x289 discipline)
+    "x290_pair_state" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val baseState = Dedup.pairState(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), shingleK = 2)
+      Dedup.pairsFromState(baseState, minPermille = 300)
+        .unionByName(Dedup.pairsAppend(baseState,
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+          shingleK = 2, minPermille = 300))
+        .orderBy("da", "db", "jac_permille")
+    },
+    // cluster-label refresh over the same split: standing labels (CC
+    // over the base half's pairs) folded with the delta's newly-mined
+    // pairs — |old docs| + |new pairs| edges, never the historical
+    // pair set — oracle is the append LAW: ≡ the one-shot x34 cluster
+    // fixpoint over every pair (same oracle text)
+    "x291_cluster_refresh" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val baseState = Dedup.pairState(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), shingleK = 2)
+      Dedup.clusterLabelsRefresh(
+        graft.operators.Dedup.connectedComponents(
+          Dedup.pairsFromState(baseState, minPermille = 300)),
+        Dedup.pairsAppend(baseState,
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+          shingleK = 2, minPermille = 300))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1154,6 +1187,12 @@ private[graft] object BoardX250 {
     // x289: the append LAW — the one-shot x274 oracle over the whole
     // corpus; the incremental merge must land on the same rows
     "x289_cdc_append" -> cdcOracle,
+    // x290: the append LAW — standing pairs ∪ incremental arrival must
+    // equal the one-shot x07 mining over the whole corpus (same text)
+    "x290_pair_state" -> EntryLib.minHashLshOracle,
+    // x291: the append LAW — standing labels + new pairs must land on
+    // the one-shot x34 cluster fixpoint (same text)
+    "x291_cluster_refresh" -> EntryLib.dupClustersOracle,
   ) ++ Map(
     // x275: the x113 replay twice — prefix pass, then the identical
     // machinery on reverse(name) — union distinct (levenshtein is

@@ -1172,6 +1172,14 @@ object Dedup {
     // All intermediates < 2^62 (ANSI-safe).
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = registerCache(shingleArrays(docs, shingleK))
+    minedPairs(sh, numHashes, rowsPerBand, minPermille)
+  }
+
+  /** The mining core shared by [[minHashLshPairs]] (fresh shingling)
+    * and [[pairsFromState]] (persisted fingerprints): banding self-join
+    * + exact verification over a (doc_id, shs) shingle-array table. */
+  private def minedPairs(sh: DataFrame, numHashes: Int, rowsPerBand: Int,
+                         minPermille: Long): DataFrame = {
     // signature + size are ROW-LOCAL over the array — zero shuffles
     // where the exploded form paid a distinct and a 16-agg groupBy over
     // every (doc, shingle) row — and the whole signature bank is ONE
@@ -1188,14 +1196,19 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("da") < col("db"))
       .select("da", "db", "sa", "sb").distinct()
+    verifyCandidates(cand, sh, minPermille)
+  }
 
-    // exact shingle-Jaccard verification, candidates only: fetch both
-    // docs' compact arrays and set-intersect ROW-LOCALLY. The exploded
-    // form shuffled the full (doc, shingle) table twice and re-grouped;
-    // this shuffles array payloads for CANDIDATE docs only — bytes
-    // bounded by the S-curve's candidate mass, not the corpus. Zero-
-    // overlap candidates keep their row (common = 0), so the
-    // permille-0 "keep every candidate" contract needs no special case.
+  /** Exact shingle-Jaccard verification, candidates only: fetch both
+    * docs' compact arrays and set-intersect ROW-LOCALLY. The exploded
+    * form shuffled the full (doc, shingle) table twice and re-grouped;
+    * this shuffles array payloads for CANDIDATE docs only — bytes
+    * bounded by the S-curve's candidate mass, not the corpus. Zero-
+    * overlap candidates keep their row (common = 0), so the
+    * permille-0 "keep every candidate" contract needs no special case.
+    * `cand` must carry (da, db, sa, sb). */
+  private def verifyCandidates(cand: DataFrame, sh: DataFrame,
+                               minPermille: Long): DataFrame = {
     val scored = cand
       .join(sh.select(col("doc_id").as("da"), col("shs").as("sha")), Seq("da"))
       .join(sh.select(col("doc_id").as("db"), col("shs").as("shb")), Seq("db"))
@@ -1206,6 +1219,108 @@ object Dedup {
         expr("(common * 1000) div (sa + sb - common)").as("jac_permille"))
       .filter(col("jac_permille") >= minPermille)
   }
+
+  /** Per-document MINING STATE for the near-dup pipeline — the
+    * persisted fingerprint table a real corpus mines ONCE per document
+    * ever: (doc_id, sz, shs) with `shs` the compact hashed k-shingle
+    * array ([[graft.functions.ShingleHashes]] — the text-side md5 +
+    * rolling-hash work, the expensive scan pass, happens here and
+    * never again). Six r13 board audits each re-shingled the corpus to
+    * re-mine the same pairs; with the state persisted, every
+    * downstream read (pair mining, cluster labels, survivor picks,
+    * histograms) starts from this table. Docs shorter than k tokens
+    * have no k-shingle and are absent — exactly the one-shot
+    * [[minHashLshPairs]] doc set, which is what makes the append law
+    * below exact.
+    *
+    * State discipline (the x254/x276/x289 pattern): [[pairState]] per
+    * ingest batch, [[mergePairStates]] to combine (disjoint doc sets —
+    * the ingest-batch contract), [[pairsFromState]] to mine, with the
+    * append LAW `pairsFromState(merge(state(A), state(B))) ≡
+    * minHashLshPairs(A ∪ B)` spec-proven; [[pairsAppend]] is the
+    * incremental arrival path (delta-only candidate mass). */
+  def pairState(docs: DataFrame, shingleK: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    shingleArrays(docs, shingleK)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
+        col("shs"))
+  }
+
+  /** Union of two [[pairState]] tables over DISJOINT doc sets (the
+    * ingest-batch contract — same shingleK on both sides). */
+  def mergePairStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+
+  /** Mine verified near-dup pairs from a [[pairState]] table —
+    * identical output to [[minHashLshPairs]] over the documents the
+    * state fingerprints (the append law's one-shot side), but the scan
+    * + shingle pass is already paid: banding, the candidate self-join
+    * and exact verification all run over the compact state. */
+  def pairsFromState(state: DataFrame, numHashes: Int = 16,
+                     rowsPerBand: Int = 4, minPermille: Long = 500): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes >= rowsPerBand &&
+      numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand " +
+        s"($rowsPerBand) — otherwise bands are empty or hashes are discarded")
+    graft.functions.GraftFunctions.register(state.sparkSession)
+    minedPairs(registerCache(state.select("doc_id", "shs")),
+      numHashes, rowsPerBand, minPermille)
+  }
+
+  /** Incremental pair arrival: the NEW verified pairs a delta batch
+    * adds against a standing [[pairState]] — every new pair has ≥ 1
+    * delta member (base–base pairs are already in the standing pair
+    * table), so the candidate join is bandedDelta ⋈ bandedAll, never
+    * the full self-join: candidate mass is bounded by the delta's
+    * bucket co-occupancy, the whole point of keeping the state. The
+    * append LAW (spec-proven): standing pairs ∪ pairsAppend ≡
+    * [[minHashLshPairs]] over base ∪ delta.
+    *
+    * @return (da, db, jac_permille), da < db, ≥ 1 side in `deltaDocs`. */
+  def pairsAppend(baseState: DataFrame, deltaDocs: DataFrame,
+                  shingleK: Int = 2, numHashes: Int = 16,
+                  rowsPerBand: Int = 4, minPermille: Long = 500): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes >= rowsPerBand &&
+      numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand " +
+        s"($rowsPerBand) — otherwise bands are empty or hashes are discarded")
+    val deltaState = pairState(deltaDocs, shingleK)
+    val full = registerCache(
+      mergePairStates(baseState, deltaState).select("doc_id", "shs"))
+    val deltaSh = registerCache(deltaState.select("doc_id", "shs"))
+    val all = bandedSignatures(full, numHashes, rowsPerBand)
+    val delta = bandedSignatures(deltaSh, numHashes, rowsPerBand)
+    val cand = all
+      .select(col("doc_id").as("xa"), col("sz").as("za"),
+        col("band"), col("bucket"))
+      .join(delta.select(col("doc_id").as("xb"), col("sz").as("zb"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("xa") =!= col("xb"))
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"),
+        when(col("xa") < col("xb"), col("za")).otherwise(col("zb")).as("sa"),
+        when(col("xa") < col("xb"), col("zb")).otherwise(col("za")).as("sb"))
+      .distinct()
+    verifyCandidates(cand, full, minPermille)
+  }
+
+  /** Cluster-label REFRESH over a grown pair graph: fold the standing
+    * label table (each row doc → cluster_id, and every cluster_id is
+    * itself a member doc id — a star that preserves the old components
+    * exactly) together with the newly-arrived pairs, and re-run the
+    * fixpoint over THAT graph: |old docs| + |new pairs| edges, never
+    * the full historical pair set. New pairs can merge standing
+    * clusters; the min-id labels come out as if the fixpoint had seen
+    * every pair ever mined — the append LAW (spec-proven):
+    * `clusterLabelsRefresh(connectedComponents(P₁), P₂) ≡
+    * connectedComponents(P₁ ∪ P₂)`.
+    *
+    * @return (doc_id, cluster_id) ordered, for every doc in either
+    *         input. */
+  def clusterLabelsRefresh(oldLabels: DataFrame, newPairs: DataFrame): DataFrame =
+    connectedComponents(
+      oldLabels.select(col("doc_id").as("da"), col("cluster_id").as("db"))
+        .unionByName(newPairs.select("da", "db")))
 
   /** EXACT shingle-Jaccard sweep for LOW thresholds — where LSH is the
     * wrong tool ([[minHashLsh]]'s S-curve at low s passes huge

@@ -853,4 +853,47 @@ class DedupSpec extends SparkSpec with SlowSuite {
     assert(out === Seq(("A", "B", 2L, 1L), ("B", "C", 1L, 1L)))
   }
 
+  test("pairState append law: merged states ≡ one-shot; pairsAppend is exactly the delta-involving arrival") {
+    // base/delta split with dup structure CROSSING it: 1↔2 exact
+    // (cross-split), 1↔3 / 2↔3 near (within- and cross-split)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val oneShot = pairsOf(
+      Dedup.minHashLshPairs(corpus, shingleK = 2, minPermille = 300))
+    assert(oneShot.map(p => (p._1, p._2)).contains((1L, 2L)),
+      "fixture must plant a cross-split pair")
+    val base = corpus.filter("doc_id % 2 = 0")   // 2, 4
+    val delta = corpus.filter("doc_id % 2 = 1")  // 1, 3, 5
+    val sBase = Dedup.pairState(base, shingleK = 2)
+    val sDelta = Dedup.pairState(delta, shingleK = 2)
+    // law 1: mining the merged states ≡ the one-shot mining
+    assert(pairsOf(Dedup.pairsFromState(
+      Dedup.mergePairStates(sBase, sDelta), minPermille = 300)) === oneShot)
+    // law 2: standing pairs ∪ incremental arrival ≡ the one-shot
+    val standing = pairsOf(Dedup.pairsFromState(sBase, minPermille = 300))
+    val arrived = pairsOf(Dedup.pairsAppend(sBase, delta,
+      shingleK = 2, minPermille = 300))
+    assert((standing ++ arrived) === oneShot)
+    // arrival rows all involve a delta doc, and never duplicate standing
+    assert(arrived.forall(p => p._1 % 2 == 1 || p._2 % 2 == 1))
+    assert(standing.intersect(arrived).isEmpty)
+    Dedup.releaseCaches()
+  }
+
+  test("clusterLabelsRefresh append law: standing labels + new pairs ≡ fixpoint over all pairs") {
+    // standing graph: {1,2} and {5,6}; arrivals merge them via 2–5 and
+    // open a new cluster {8,9} — exercises cluster-merge, label
+    // carry-through and brand-new components in one refresh
+    val p1 = Seq((1L, 2L), (5L, 6L)).toDF("da", "db")
+    val p2 = Seq((2L, 5L), (8L, 9L)).toDF("da", "db")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSeq
+    val refreshed = labels(Dedup.clusterLabelsRefresh(
+      Dedup.connectedComponents(p1), p2))
+    val oneShot = labels(Dedup.connectedComponents(p1.unionByName(p2)))
+    assert(refreshed === oneShot)
+    assert(refreshed.toMap === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      8L -> 8L, 9L -> 8L))
+    Dedup.releaseCaches()
+  }
 }
