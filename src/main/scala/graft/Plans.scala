@@ -37,7 +37,7 @@ object Plans {
         "x22_range_join_banded"),
       ("x282_semi_rewrite", "InnerUniqueJoinToSemi: the plain inner filter-join plans as LeftSemi — key-only build, first-hit probe, zero row multiplication",
         "x282_semi_rewrite"),
-      ("x285_regional_revenue", "TPC-H Q5 star: nation/region broadcast (BroadcastHashJoin), fact joins shuffle on keys, region filter prunes through the broadcast side",
+      ("x285_regional_revenue", "TPC-H Q5 star, printed in its 100 TB shape: the broadcast threshold is pinned to -1 FOR THIS SECTION so the artifact shows what the narrative claims — nation/region still broadcast (explicit hints in the query), while the three un-hinted fact joins (lineitem⋈orders, ⋈customer, ⋈supplier) plan as SortMergeJoin on their keys. At toy sf AQE would re-broadcast these at runtime (correct there — the r13 artifact showed exactly that and demonstrated nothing about scale); at 100 TB the facts exceed any broadcast budget and THIS printed shape is the executed one. PlanSpec pins 3×SortMergeJoin + 2×BroadcastHashJoin under the same threshold",
         "x285_regional_revenue"),
       ("x274_cdc_chunks", "content-defined chunking: boundaries, slices and md5 digests all row-local on the codegen'd gram_hashes array — the only Exchange is the per-source digest distinct",
         "x274_cdc_chunks"),
@@ -180,10 +180,20 @@ object Plans {
     md.append("names the scale property the plan shape demonstrates; PlanSpec\n")
     md.append("asserts these properties in `sbt test` so regressions fail CI.\n")
     entries.foreach { case (name, why, key) =>
-      val df = SparkEntry.queries(key)(spark, sf)
-      md.append(s"\n## $name\n\n$why\n\n```\n")
-      md.append(df.queryExecution.executedPlan.toString.take(4000))
-      md.append("\n```\n")
+      // x285's section exists to show the at-scale join shape: pin the
+      // broadcast threshold so un-hinted fact joins print as
+      // SortMergeJoin (the hinted nation/region broadcasts survive the
+      // pin — hints outrank the threshold)
+      val pin = name == "x285_regional_revenue"
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      if (pin) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = SparkEntry.queries(key)(spark, sf)
+        md.append(s"\n## $name\n\n$why\n\n```\n")
+        md.append(df.queryExecution.executedPlan.toString.take(4000))
+        md.append("\n```\n")
+      } finally if (pin)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     }
     Files.writeString(Paths.get(out), md.toString)
     println(s"[plans] wrote $out (${entries.size} plans)")

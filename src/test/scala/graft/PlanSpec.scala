@@ -382,6 +382,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x285: un-hinted fact joins shuffle on keys; hinted nation/region broadcast through the pin") {
+    // the 100 TB claim of the Q5 star ("facts shuffle on their keys")
+    // asserted on the actual plan: with the broadcast threshold pinned
+    // to -1, only the EXPLICIT nation/region hints may broadcast — the
+    // lineitem⋈orders, ⋈customer and ⋈supplier joins must be
+    // SortMergeJoin (at toy sf the default threshold broadcasts
+    // everything and demonstrates nothing; at 100 TB this pinned shape
+    // is the executed one). PLANS.md prints the same section.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.regionalRevenue(spark, sf))
+      assert("SortMergeJoin".r.findAllIn(p).size === 3,
+        "the three un-hinted fact joins must shuffle on their keys")
+      assert("BroadcastHashJoin".r.findAllIn(p).size === 2,
+        "the nation/region hints must survive the threshold pin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("x287/x141/x280: melted profilers read the input in ONE scan") {
     // the r13 forms ran one full input pass per column pair / rule /
     // leave-one-out option (90 scans at 10 profiled columns); the
