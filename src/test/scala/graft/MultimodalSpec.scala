@@ -48,6 +48,62 @@ class MultimodalSpec extends SparkSpec {
     assert(grouped.forall(_.length <= 2))
   }
 
+  test("decodeHeader: generated PNG/BMP/GIF/WAV binaries decode their planted dims") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      b.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(26).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).position(18)
+      b.putInt(w).putInt(h); b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes("US-ASCII"))
+      b.putShort(w.toShort).putShort(h.toShort); b.array()
+    }
+    def wav(channels: Int, rate: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(20)
+      b.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(channels.toShort).putInt(rate); b.array()
+    }
+    val fixtures = Seq(
+      (1L, "image", png(640, 480), (640, 480)),
+      (2L, "image", bmp(320, 200), (320, 200)),
+      (3L, "image", gif(13, 11), (13, 11)),
+      (4L, "audio", wav(2, 44100), (2, 44100)))
+    // the pure parser, directly on the fixture bytes
+    for ((_, _, bytes, dims) <- fixtures)
+      assert(Multimodal.decodeHeader(bytes) === Some(dims))
+    assert(Multimodal.decodeHeader("not a media file".getBytes) === None)
+    assert(Multimodal.decodeHeader(Array.emptyByteArray) === None)
+    // end-to-end through the Spark path: real bytes in, planted dims out
+    val ds = fixtures.map { case (id, mod, bytes, _) =>
+      Multimodal.Media(id, mod, bytes, Map.empty)
+    }.toDS()
+    val out = Multimodal.extractFeatures(ds, dim = 8).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(out === fixtures.map(f => f._1 -> f._4).toMap)
+  }
+
+  test("byteHistogram features are a real content signal: L1-normalized, dup-invariant") {
+    val a = Multimodal.byteHistogram("aaaabbbb".getBytes("US-ASCII"), 16)
+    assert(math.abs(a.sum - 1.0f) < 1e-6)
+    // 'a'=0x61 and 'b'=0x62 share 16-bin bucket 6 — all mass lands there
+    assert(a(6) === 1.0f)
+    // identical payloads → identical histograms (what nearDupMedia keys on)
+    val b = Multimodal.byteHistogram("aaaabbbb".getBytes("US-ASCII"), 16)
+    assert(a.toSeq === b.toSeq)
+    // empty payload → uniform prior, never a zero vector
+    val e = Multimodal.byteHistogram(Array.emptyByteArray, 4)
+    assert(e.toSeq === Seq(0.25f, 0.25f, 0.25f, 0.25f))
+  }
+
   test("storageReport: exact byte totals, shares, oversize flags, null payloads") {
     val m = Seq(
       ("image", "abc".getBytes("UTF-8")),
