@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Streaming THROUGHPUT bench — the measurement the r13 verdict called
+  * the last 100 TB surface with zero numbers: every stateful
+  * EventStreams path has a ≡-batch correctness twin (StreamingSpec),
+  * but no rows/s or state-size figure existed for any of them. This
+  * main feeds the REAL corpus (events / documents at the given sf dir,
+  * or the ScaleUp 10× corpus) through each path as a genuine
+  * micro-batched file stream and reports, per path: input rows, wall
+  * seconds across all micro-batches, rows/s, and the state operator's
+  * peak row count and bytes (from StreamingQueryProgress — the numbers
+  * a capacity plan actually needs: state size decides whether the
+  * 100 TB deployment fits executor memory or needs RocksDB).
+  *
+  * Method: the corpus is staged once (untimed) as `nFiles` parquet
+  * files; each path streams it via `maxFilesPerTrigger = 2` (so state
+  * genuinely carries across micro-batches — a single mega-batch would
+  * measure the batch engine, not the streaming path), sinks to `noop`
+  * (no collect, no write amplification), and the clock covers
+  * `start → processAllAvailable`. One warm pass of the first path
+  * absorbs session/codegen startup before anything is timed.
+  *
+  * Paths (the r13 ask list): dedupWithinWatermark, dedupAgainstHistory,
+  * debounceStream, latenessStream, volumeAnomalyStream (the windowed
+  * gate). Usage:
+  * `SPARK_GRAFT_SF_DIR=… runMain graft.StreamBench`; writes
+  * `SPARK_GRAFT_OUT` (default BENCH_streaming.json) and prints the
+  * one-line JSON.
+  */
+object StreamBench {
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_sb_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** Run one streaming DataFrame to the noop sink, clock
+    * start→processAllAvailable, and pull state-operator peaks from the
+    * progress history. */
+  private def runOne(name: String, out: DataFrame,
+                     inputRows: Long): (String, Double, Long, Long, Long) = {
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation", tmpDir(s"ck_$name"))
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    val t0 = System.nanoTime()
+    try q.processAllAvailable()
+    finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+      .foldLeft(0L)(math.max)
+    val batches = progress.count(_.numInputRows > 0)
+    System.err.println(f"[streambench] $name: $inputRows rows in $wall%.2f s " +
+      f"(${inputRows / wall}%.0f rows/s, $batches batches, " +
+      f"state $stateRows rows / $stateBytes B)")
+    (name, wall, inputRows, stateRows, stateBytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_streaming.json")
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "16").toInt
+    val spark = graft.core.GraftSession.local(cpus)
+    graft.core.GraftSession.muteBoundedWindowWarning()
+    import spark.implicits._
+
+    // ---- staging (untimed): normalized corpus as nFiles parquet files
+    val evStage = tmpDir("events")
+    graft.core.Tables.events(spark, sfDir)
+      .repartition(nFiles).write.mode("overwrite").parquet(evStage)
+    val docStage = tmpDir("docs")
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      .repartition(nFiles).write.mode("overwrite").parquet(docStage)
+    // history side of the stream-static anti join: the even half's
+    // fingerprint store (static, broadcast-eligible at this size;
+    // bucketed-on-fp at corpus scale per the operator's scaladoc)
+    val historyFps = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      .select(md5(col("text")).as("fp")).distinct()
+    historyFps.persist().count()
+    val evRows = spark.read.parquet(evStage).count()
+    val docRows = spark.read.parquet(docStage).count()
+    val evSchema = spark.read.parquet(evStage).schema
+    val docSchema = spark.read.parquet(docStage).schema
+
+    def evStream: DataFrame = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "2").parquet(evStage)
+    def typedStream: Dataset[EventStreams.TypedEvent] = evStream
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ns"))
+      .as[EventStreams.TypedEvent]
+
+    // volume-gate reference from the batch side (the operator's
+    // documented batch→stream loop), bounded to |event_type| rows
+    val ref = spark.read.parquet(evStage)
+      .filter(col("event_type").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(avg("n").as("m"), coalesce(stddev_pop("n"), lit(0d)).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+
+    val paths: Seq[(String, () => DataFrame, Long)] = Seq(
+      ("dedup_within_watermark",
+        () => EventStreams.dedupWithinWatermark(evStream, "10 minutes"), evRows),
+      ("dedup_against_history",
+        () => EventStreams.dedupAgainstHistory(
+          spark.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", "2").parquet(docStage), historyFps),
+        docRows),
+      ("debounce",
+        () => EventStreams.debounceStream(typedStream,
+          gapNs = 60L * 1000000000L).toDF(), evRows),
+      ("lateness",
+        () => EventStreams.latenessStream(typedStream).toDF(), evRows),
+      ("volume_gate",
+        () => EventStreams.volumeAnomalyStream(evStream, ref), evRows))
+
+    // warm pass: session + codegen + parquet-footer startup, untimed
+    runOne("warmup", paths.head._2(), paths.head._3)
+
+    val results = paths.map { case (name, mk, rows) => runOne(name, mk(), rows) }
+    val qjson = results.map { case (n, wall, rows, srows, sbytes) =>
+      f"""    "$n":{"rows":$rows,"wall_sec":$wall%.3f,""" +
+        f""""rows_per_sec":${(rows / wall).toLong},""" +
+        f""""state_rows":$srows,"state_bytes":$sbytes}"""
+    }.mkString(",\n")
+    val total = results.map(_._2).sum
+    val json =
+      f"""{"metric":"streaming_throughput","unit":"rows_per_sec","sf":"$sfDir",
+  "method":"staged $nFiles-file parquet stream, maxFilesPerTrigger=2 (8 micro-batches), noop sink, clock start->processAllAvailable, state peaks from StreamingQueryProgress",
+  "total_wall_sec":$total%.3f,
+  "paths":{
+$qjson
+  }}
+"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(json.linesIterator.mkString(" "))
+    spark.stop()
+  }
+}
