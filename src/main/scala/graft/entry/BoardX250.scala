@@ -432,6 +432,31 @@ private[graft] object BoardX250 {
           docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
           shingleK = 2, minPermille = 300))
     },
+    // TPC-H Q3 shape: top-10 unshipped orders by revenue for one
+    // segment — every predicate on its own scan, facts shuffle on
+    // keys, the cut TakeOrderedAndProject (PlanSpec-pinned)
+    "x292_shipping_priority" -> ((s, d) =>
+      graft.queries.Relational.shippingPriority(s, d)),
+    // golden-record consolidation: deletion-join (ed ≤ 1, full recall)
+    // pairs over planted last-char typo probes close into entities via
+    // the CC fixpoint; each attribute elected per entity (most
+    // frequent non-null, ties lexicographically smallest) — the MDM
+    // survivorship tier between matching (x113/x156/x275) and
+    // publishing. Probe ids ride at +10⁶ (the derived-fixture
+    // discipline; collision-free)
+    "x293_golden_record" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val probe = cust.filter(pmod(col("c_custkey"), lit(7L)) === 3L)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 17), lit("X")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val all = cust.unionByName(probe)
+      val pairs = graft.operators.Linkage.deletionJoin(cust, probe,
+          "c_custkey", "c_name")
+        .select(col("base_id").as("da"), col("probe_id").as("db"))
+      graft.operators.Linkage.goldenRecord(all, "c_custkey", pairs,
+        Seq("c_name", "c_mktsegment"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1190,6 +1215,74 @@ private[graft] object BoardX250 {
     // x290: the append LAW — standing pairs ∪ incremental arrival must
     // equal the one-shot x07 mining over the whole corpus (same text)
     "x290_pair_state" -> EntryLib.minHashLshOracle,
+    // x292: the literal Q3 star with per-row exact cents, top-10 by
+    // (revenue DESC, orderkey)
+    "x292_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+           AS BIGINT)) AS BIGINT) AS revenue_cents
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND o_orderkey = l_orderkey
+         AND o_orderdate < TIMESTAMP '1998-06-01'
+         AND l_shipdate > TIMESTAMP '1998-06-01'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    // x293: the x156 deletion-variant join (probe ids at +10⁶), the
+    // x34 recursive closure, then per-attribute election as a
+    // (count DESC, value) row_number over the (entity, value) counts
+    "x293_golden_record" ->
+      """WITH RECURSIVE
+       b AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name
+         FROM customer WHERE c_name IS NOT NULL),
+       p AS (SELECT CAST(c_custkey + 1000000 AS BIGINT) AS id,
+           substr(c_name, 1, 17) || 'X' AS name
+         FROM customer WHERE c_custkey % 7 = 3 AND c_name IS NOT NULL),
+       bv AS (SELECT id, name, name AS v FROM b
+         UNION ALL
+         SELECT id, name, substr(name, 1, CAST(i AS INTEGER)) ||
+           substr(name, CAST(i + 2 AS INTEGER)) AS v
+         FROM (SELECT id, name, UNNEST(range(0, len(name))) AS i FROM b)),
+       pv AS (SELECT id, name, name AS v FROM p
+         UNION ALL
+         SELECT id, name, substr(name, 1, CAST(i AS INTEGER)) ||
+           substr(name, CAST(i + 2 AS INTEGER)) AS v
+         FROM (SELECT id, name, UNNEST(range(0, len(name))) AS i FROM p)),
+       cand AS (SELECT DISTINCT bv.id AS da, pv.id AS db,
+           bv.name AS na, pv.name AS nb FROM bv JOIN pv ON bv.v = pv.v),
+       pairs AS (SELECT da, db FROM cand WHERE levenshtein(na, nb) <= 1),
+       recs AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+           c_mktsegment AS seg FROM customer
+         UNION ALL
+         SELECT CAST(c_custkey + 1000000 AS BIGINT),
+           substr(c_name, 1, 17) || 'X', c_mktsegment
+         FROM customer WHERE c_custkey % 7 = 3),
+       sym AS (SELECT da AS s, db AS d FROM pairs
+               UNION SELECT db AS s, da AS d FROM pairs),
+       verts AS (SELECT DISTINCT s AS v FROM sym),
+       reach AS (SELECT v AS a, v AS b FROM verts
+                 UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+       lab AS (SELECT a AS id, CAST(MIN(b) AS BIGINT) AS cl
+         FROM reach GROUP BY a),
+       fullr AS (SELECT r.id, COALESCE(l.cl, r.id) AS cl, r.name, r.seg
+         FROM recs r LEFT JOIN lab l ON r.id = l.id),
+       cnt AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_members
+         FROM fullr GROUP BY cl),
+       nc AS (SELECT cl, name, COUNT(*) AS c FROM fullr
+         WHERE name IS NOT NULL GROUP BY 1, 2),
+       ne AS (SELECT cl, name FROM (SELECT cl, name,
+           ROW_NUMBER() OVER (PARTITION BY cl ORDER BY c DESC, name) AS rn
+         FROM nc) WHERE rn = 1),
+       sc AS (SELECT cl, seg, COUNT(*) AS c FROM fullr
+         WHERE seg IS NOT NULL GROUP BY 1, 2),
+       se AS (SELECT cl, seg FROM (SELECT cl, seg,
+           ROW_NUMBER() OVER (PARTITION BY cl ORDER BY c DESC, seg) AS rn
+         FROM sc) WHERE rn = 1)
+       SELECT cnt.cl AS entity_id, cnt.n_members, ne.name AS c_name,
+         se.seg AS c_mktsegment
+       FROM cnt LEFT JOIN ne ON cnt.cl = ne.cl
+            LEFT JOIN se ON cnt.cl = se.cl
+       ORDER BY entity_id""",
     // x291: the append LAW — standing labels + new pairs must land on
     // the one-shot x34 cluster fixpoint (same text)
     "x291_cluster_refresh" -> EntryLib.dupClustersOracle,

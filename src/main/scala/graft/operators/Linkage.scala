@@ -144,6 +144,63 @@ object Linkage {
       .orderBy("base_id", "probe_id")
   }
 
+  /** Golden-record consolidation — the step AFTER linkage finds pairs:
+    * close the pair graph into entities (the [[Dedup.connectedComponents]]
+    * fixpoint), then ELECT each attribute per entity — the most
+    * frequent non-null value, ties to the lexicographically smallest
+    * (deterministic, replayable) — and stamp the canonical entity id
+    * (the minimum member record id, which is exactly the CC label).
+    * This is the "survivorship rule" tier every MDM pipeline runs
+    * between matching and publishing; records with no pair stay
+    * singleton entities of themselves.
+    *
+    * Scale shape: labels come from the pair-graph fixpoint (pair-sized,
+    * never record-sized); records join the label table once (left —
+    * singletons keep their own id). The election melts the attribute
+    * set in ONE pass (the x171 Expand discipline — |attrs| struct rows
+    * per record, row-local), collapses to the (entity, attr, value)
+    * count table with map-side combine, and ranks inside a window
+    * PARTITIONED by (entity, attr) over that bounded table. Attribute
+    * values elect through a string cast (injective per column for
+    * every primitive type — the melt needs one uniform type), so the
+    * published golden columns are strings; cast back at the edge if a
+    * sink needs the native type.
+    *
+    * @param records one row per source record; `idCol` castable to long.
+    * @param pairs   (da, db) matched record-id pairs (any extra
+    *                columns ignored).
+    * @param attrs   attribute columns to elect.
+    * @return (entity_id, n_members, attrs…) one row per entity,
+    *         ordered by entity_id. */
+  def goldenRecord(records: DataFrame, idCol: String, pairs: DataFrame,
+                   attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty && attrs.distinct == attrs,
+      s"goldenRecord needs distinct attribute columns, got $attrs")
+    val labels = Dedup.connectedComponentsUnsorted(pairs.select("da", "db"))
+      .select(col("doc_id").as("__id"), col("cluster_id").as("__cl"))
+    val base = records
+      .select(col(idCol).cast("long").as("__id") +: attrs.map(col): _*)
+      .join(labels, Seq("__id"), "left")
+      .withColumn("__cl", coalesce(col("__cl"), col("__id")))
+    val members = base.groupBy("__cl").agg(count(lit(1)).as("n_members"))
+    val melted = base.select(col("__cl"), explode(array(attrs.map(a =>
+        struct(lit(a).as("attr"), col(a).cast("string").as("v"))): _*)).as("p"))
+      .select(col("__cl"), col("p.attr").as("attr"), col("p.v").as("v"))
+      .filter(col("v").isNotNull)
+    val w = Window.partitionBy("__cl", "attr")
+      .orderBy(col("c").desc, col("v"))
+    val elected = melted.groupBy("__cl", "attr", "v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val aggs = attrs.map(a => max(when(col("attr") === a, col("v"))).as(a))
+    val pivoted = elected.groupBy("__cl").agg(aggs.head, aggs.tail: _*)
+    members.join(pivoted, Seq("__cl"), "left")
+      .select((col("__cl").as("entity_id") +: col("n_members") +:
+        attrs.map(col)): _*)
+      .orderBy("entity_id")
+  }
+
   /** Blocking-quality audit on [[sortedNeighborhood]]'s (blockLen,
     * window) operating point — the two numbers every blocking scheme
     * is judged by, MEASURED against full-recall ground truth:

@@ -557,6 +557,32 @@ object Relational {
     * on their keys — the shape AQE re-plans at 100 TB.
     *
     * @return (n_name, revenue_cents, n_lineitems), revenue-desc. */
+  /** TPC-H Q3 shape: top-10 not-yet-shipped orders by revenue for one
+    * market segment. The three scale properties, PlanSpec-pinned: the
+    * segment / order-date / ship-date predicates each push to THEIR
+    * OWN scan (the join never sees a disqualified row), the un-hinted
+    * fact joins shuffle on their keys under a pinned broadcast
+    * threshold (the x285 discipline — at toy sf AQE re-broadcasts at
+    * runtime, at 100 TB it cannot), and the final cut is
+    * TakeOrderedAndProject — per-partition top-10 pre-reduction, never
+    * a global sort of the |qualifying orders| aggregate. Revenue in
+    * exact cents (the shared `cents` discipline). */
+  def shippingPriority(s: SparkSession, d: String,
+                       segment: String = "BUILDING",
+                       cutDate: String = "1998-06-01"): DataFrame = {
+    val cut = lit(cutDate).cast("timestamp")
+    Tables.customer(s, d).filter(col("c_mktsegment") === segment)
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   def regionalRevenue(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)

@@ -136,4 +136,21 @@ class LinkageSpec extends SparkSpec {
     val row = Linkage.blockingQuality(base, probe, "id", "name").collect()(0)
     assert(row.getLong(3) === 0L && row.isNullAt(6))
   }
+
+  test("goldenRecord: entity closure, frequency election, tie→smallest, singletons survive") {
+    // entity {1,2,10}: name "ann" wins 2-of-3; city tie (x,y) → "x";
+    // record 3 pairs with nothing → singleton of itself; NULL city on
+    // 10 is excluded from election, not elected
+    val recs = Seq(
+      (1L, "ann", "x"),
+      (2L, "ann", "y"),
+      (10L, "anne", null.asInstanceOf[String]),
+      (3L, "bob", "z")
+    ).toDF("id", "name", "city")
+    val pairs = Seq((1L, 10L), (2L, 10L)).toDF("da", "db")
+    val out = Linkage.goldenRecord(recs, "id", pairs, Seq("name", "city"))
+      .as[(Long, Long, String, String)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(out === Seq((1L, 3L, "ann", "x"), (3L, 1L, "bob", "z")))
+  }
 }

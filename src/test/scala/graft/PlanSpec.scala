@@ -401,6 +401,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("x292: Q3 pushes each predicate to its own scan; the cut is TakeOrdered") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.shippingPriority(spark, sf))
+      assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+        "segment predicate must reach the customer scan")
+      assert(p.contains("LessThan(o_orderdate"),
+        "order-date predicate must reach the orders scan")
+      assert(p.contains("GreaterThan(l_shipdate"),
+        "ship-date predicate must reach the lineitem scan")
+      assert(p.contains("TakeOrderedAndProject(limit=10"),
+        "top-10 must pre-reduce per partition, not globally sort")
+      assert("SortMergeJoin".r.findAllIn(p).size === 2,
+        "both un-hinted fact joins must shuffle on their keys under the pin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("x287/x141/x280: melted profilers read the input in ONE scan") {
     // the r13 forms ran one full input pass per column pair / rule /
     // leave-one-out option (90 scans at 10 profiled columns); the
