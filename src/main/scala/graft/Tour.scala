@@ -261,6 +261,23 @@ object Tour {
     println(s"[tour] percentile rank rows=${graft.operators.Profiling.percentileRank(docs, "lang", "n_chars").count()}")
     println(s"[tour] json keys=${graft.operators.Profiling.jsonKeyProfile(ev.select(col("props").as("j")), "j").count()}")
 
+    // round 14: persisted pair-mining state + golden-record consolidation
+    val halfA = docs.filter(col("doc_id") % 2 === 0)
+    val halfB = docs.filter(col("doc_id") % 2 === 1)
+    val pstate = Dedup.pairState(halfA, shingleK = 2)
+    val standing = Dedup.pairsFromState(pstate, minPermille = 300)
+    println(s"[tour] pair-state standing pairs=${standing.count()}")
+    println(s"[tour] pair-state arrivals=${Dedup.pairsAppend(pstate, halfB, shingleK = 2, minPermille = 300).count()}")
+    Dedup.releaseCaches()
+    val grPairs = graft.operators.Linkage.deletionJoin(
+      Tables.customer(spark, sf), Tables.customer(spark, sf)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 17), lit("X")).as("c_name")),
+      "c_custkey", "c_name")
+      .select(col("base_id").as("da"), col("probe_id").as("db"))
+    println(s"[tour] golden records=${graft.operators.Linkage.goldenRecord(Tables.customer(spark, sf), "c_custkey", grPairs, Seq("c_name", "c_mktsegment")).count()}")
+    Dedup.releaseCaches()
+
     println("[tour] ok")
     spark.stop()
   }
