@@ -437,6 +437,24 @@ private[graft] object BoardX250 {
     // keys, the cut TakeOrderedAndProject (PlanSpec-pinned)
     "x292_shipping_priority" -> ((s, d) =>
       graft.queries.Relational.shippingPriority(s, d)),
+    // bucket-checksum sync plan over a derived delta snapshot (every
+    // 97th segment shifted, every 89th key dropped, 10 adds at
+    // +2·10⁶): the anti-entropy "which buckets to re-ship" read that
+    // precedes x63's keyed diff — order-independent digest sums, zero
+    // row shuffling (two scan-side passes + a ≤32-row outer join)
+    "x294_bucket_checksum" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val newSnap = cust.filter(pmod(col("c_custkey"), lit(89L)) =!= 7L)
+        .withColumn("c_mktsegment",
+          when(pmod(col("c_custkey"), lit(97L)) === 5L, lit("SHIFTED"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(cust.filter(col("c_custkey") < 10)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment")))
+      graft.operators.Snapshot.bucketChecksumPlan(cust, newSnap,
+        "c_custkey", Seq("c_name", "c_mktsegment"), nBuckets = 32)
+    },
     // golden-record consolidation: deletion-join (ed ≤ 1, full recall)
     // pairs over planted last-char typo probes close into entities via
     // the CC fixpoint; each attribute elected per entity (most
@@ -1215,6 +1233,44 @@ private[graft] object BoardX250 {
     // x290: the append LAW — standing pairs ∪ incremental arrival must
     // equal the one-shot x07 mining over the whole corpus (same text)
     "x290_pair_state" -> EntryLib.minHashLshOracle,
+    // x294: the same 60-bit md5 digests and md5 bucket assignment,
+    // HUGEINT sums published mod 10¹⁸, full-outer bucket join
+    "x294_bucket_checksum" ->
+      """WITH oldd AS (SELECT c_custkey AS k, c_name AS v1,
+           c_mktsegment AS v2 FROM customer),
+       newd AS (SELECT c_custkey AS k, c_name AS v1,
+           CASE WHEN c_custkey % 97 = 5 THEN 'SHIFTED' ELSE c_mktsegment END AS v2
+         FROM customer WHERE c_custkey % 89 <> 7
+         UNION ALL
+         SELECT c_custkey + 2000000, c_name, c_mktsegment
+         FROM customer WHERE c_custkey < 10),
+       od AS (SELECT
+           CAST('0x' || substr(md5(k || chr(1) || v1 || chr(1) || v2), 1, 15)
+             AS BIGINT) AS d,
+           CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+             % 32 AS bucket FROM oldd),
+       nd AS (SELECT
+           CAST('0x' || substr(md5(k || chr(1) || v1 || chr(1) || v2), 1, 15)
+             AS BIGINT) AS d,
+           CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+             % 32 AS bucket FROM newd),
+       oa AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_old,
+           SUM(d) AS so FROM od GROUP BY 1),
+       na AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new,
+           SUM(d) AS sn FROM nd GROUP BY 1)
+       SELECT COALESCE(oa.bucket, na.bucket) AS bucket,
+         CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+         CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+         CAST(COALESCE(so, 0) % 1000000000000000000 AS BIGINT)
+           AS old_checksum,
+         CAST(COALESCE(sn, 0) % 1000000000000000000 AS BIGINT)
+           AS new_checksum,
+         CAST(CASE WHEN COALESCE(n_old, 0) = COALESCE(n_new, 0)
+             AND COALESCE(so, 0) % 1000000000000000000
+               = COALESCE(sn, 0) % 1000000000000000000
+           THEN 1 ELSE 0 END AS BIGINT) AS in_sync
+       FROM oa FULL OUTER JOIN na ON oa.bucket = na.bucket
+       ORDER BY bucket""",
     // x292: the literal Q3 star with per-row exact cents, top-10 by
     // (revenue DESC, orderkey)
     "x292_shipping_priority" ->

@@ -44,6 +44,58 @@ object Snapshot {
       .orderBy(keyCol, "status")
   }
 
+  /** Bucket-checksum sync plan — anti-entropy repair's first read:
+    * which of N key-buckets differ between two snapshots, WITHOUT
+    * shuffling a single row. [[diff]] answers "which keys moved" and
+    * pays a (key, fp) full-outer shuffle for it; at 100 TB the
+    * question asked first is cheaper — "is anything out of sync, and
+    * if so where do I re-ship" — and this answers it with two
+    * scan-side passes: each row contributes an order-independent
+    * 60-bit md5 digest (exact decimal SUM — commutative, so
+    * partitioning and row order cannot change the checksum) to its
+    * md5-assigned bucket, each side collapses to ≤N (bucket, count,
+    * checksum) rows with map-side combine, and the plan is the
+    * ≤N-row full-outer join of the two summaries. Re-sync exactly the
+    * buckets with `in_sync = 0` — the rsync/Merkle-tier read between
+    * "compare totals" (one bucket) and [[diff]] (every key).
+    *
+    * Checksums publish mod 10¹⁸ (BIGINT-exact in any engine; the sum
+    * itself accumulates in DECIMAL(38,0), never floats). Same
+    * fingerprint caveat as [[diff]]: concat_ws skips NULLs, so NULL
+    * and '' are indistinguishable — acceptable for sync detection.
+    * Value columns fingerprint through their string cast; keep
+    * cross-engine-stable types (string/integer) in `valCols` when the
+    * plan must be replayed by another engine.
+    *
+    * @return (bucket, n_old, n_new, old_checksum, new_checksum,
+    *         in_sync) one row per occupied bucket, ordered. */
+  def bucketChecksumPlan(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                         valCols: Seq[String], nBuckets: Int = 32): DataFrame = {
+    require(valCols.nonEmpty, "bucketChecksumPlan needs at least one value column")
+    require(nBuckets >= 1, s"nBuckets ($nBuckets) must be >= 1")
+    def side(df: DataFrame, n: String, c: String) = df.select(
+        conv(substring(md5(concat_ws("\u0001",
+          (col(keyCol) +: valCols.map(col)): _*)), 1, 15), 16, 10)
+          .cast("decimal(38,0)").as("__d"),
+        pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(n), sum("__d").as(c))
+    side(oldDf, "n_old", "__co")
+      .join(side(newDf, "n_new", "__cn"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr("CAST(coalesce(__co, 0) % 1000000000000000000 AS BIGINT)")
+          .as("old_checksum"),
+        expr("CAST(coalesce(__cn, 0) % 1000000000000000000 AS BIGINT)")
+          .as("new_checksum"))
+      .withColumn("in_sync",
+        when(col("n_old") === col("n_new")
+          && col("old_checksum") === col("new_checksum"), 1L).otherwise(0L))
+      .orderBy("bucket")
+  }
+
   /** CDC changelog apply: collapse an ordered stream of per-key
     * upsert ('U') and delete ('D') operations into the final table
     * state — last operation per key wins, and a key whose last

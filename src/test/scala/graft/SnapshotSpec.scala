@@ -76,4 +76,40 @@ class SnapshotSpec extends SparkSpec {
       .orderBy("k").as[(Long, String, Long, Long)].collect().toSeq
     assert(out === replay)
   }
+
+  test("bucketChecksumPlan: identical snapshots all in_sync; edits/drops/adds flag exactly their buckets") {
+    import org.apache.spark.sql.functions.col
+    val base = (1L to 200L).map(i => (i, s"name$i", s"seg${i % 5}"))
+      .toDF("k", "name", "seg")
+    // identical snapshots: every bucket in sync, counts equal,
+    // checksums equal — and the checksum is ORDER-INDEPENDENT
+    // (repartitioned/reversed input lands the same sums)
+    val same = Snapshot.bucketChecksumPlan(
+      base, base.repartition(7).orderBy(col("k").desc), "k", Seq("name", "seg"), 8)
+      .collect()
+    assert(same.length === 8 && same.forall(_.getLong(5) === 1L))
+    assert(same.forall(r => r.getLong(1) === r.getLong(2)
+      && r.getLong(3) === r.getLong(4)))
+    // one edit, one drop, one add → only the touched buckets differ
+    val changed = base
+      .withColumn("seg",
+        org.apache.spark.sql.functions.when(col("k") === 42L,
+          org.apache.spark.sql.functions.lit("EDITED")).otherwise(col("seg")))
+      .filter(col("k") =!= 99L)
+      .unionByName(Seq((1000L, "new", "seg0")).toDF("k", "name", "seg"))
+    val plan = Snapshot.bucketChecksumPlan(base, changed, "k",
+      Seq("name", "seg"), 8).collect()
+    val bad = plan.filter(_.getLong(5) === 0L).map(_.getLong(0)).toSet
+    // buckets of keys 42 (edit), 99 (drop), 1000 (add), md5-derived
+    def bucket(k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    assert(bad === Set(42L, 99L, 1000L).map(bucket))
+    intercept[IllegalArgumentException] {
+      Snapshot.bucketChecksumPlan(base, base, "k", Seq.empty, 8)
+    }
+  }
 }
