@@ -1251,6 +1251,42 @@ object Dedup {
   def mergePairStates(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
 
+  private val ShingleKProp = "graft.pairstate.shingleK"
+  private val StateBucketsProp = "graft.pairstate.buckets"
+
+  /** Persist a [[pairState]] as a catalog table, bucketed on doc_id
+    * (the [[AnnIndex]] discipline): shingleK travels in TABLE
+    * PROPERTIES so a later append can never silently sign a batch
+    * with an incompatible shingle size, and the bucketing makes every
+    * doc-keyed read (verification joins, survivor picks) Exchange-free
+    * on the state side. One corpus scan, one write-side shuffle,
+    * never again. */
+  def writePairState(docs: DataFrame, table: String, shingleK: Int = 2,
+                     buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    graft.core.Layout.writeBucketed(pairState(docs, shingleK), table,
+      buckets, Seq("doc_id"))
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'$ShingleKProp'='$shingleK', '$StateBucketsProp'='$buckets')")
+  }
+
+  /** INCREMENTAL maintenance of a [[writePairState]] table: fingerprint
+    * a new batch with the table's OWN pinned shingleK (read from the
+    * catalog — no job, no scan) and APPEND through the same bucketed
+    * writer. Cost is O(batch); the corpus is never re-shingled. Pair
+    * with [[pairsAppend]] (against `spark.table(t)` as the base state)
+    * to mine the arrivals in the same ingest step. */
+  def appendPairState(deltaDocs: DataFrame, table: String): Unit = {
+    val spark = deltaDocs.sparkSession
+    def prop(key: String): Int = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .collect().find(_.getString(0) == key).map(_.getString(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no '$key' property — was it built by writePairState?"))
+    graft.core.Layout.writeBucketed(pairState(deltaDocs, prop(ShingleKProp)),
+      table, prop(StateBucketsProp), Seq("doc_id"),
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Mine verified near-dup pairs from a [[pairState]] table —
     * identical output to [[minHashLshPairs]] over the documents the
     * state fingerprints (the append law's one-shot side), but the scan

@@ -880,6 +880,31 @@ class DedupSpec extends SparkSpec with SlowSuite {
     Dedup.releaseCaches()
   }
 
+  test("persisted pairState table: append signs with the pinned shingleK; mining from the table ≡ one-shot") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val tbl = "pair_state_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      Dedup.writePairState(corpus.filter("doc_id % 2 = 0"), tbl,
+        shingleK = 2, buckets = 2)
+      Dedup.appendPairState(corpus.filter("doc_id % 2 = 1"), tbl)
+      val mined = pairsOf(Dedup.pairsFromState(spark.table(tbl),
+        minPermille = 300))
+      val oneShot = pairsOf(
+        Dedup.minHashLshPairs(corpus, shingleK = 2, minPermille = 300))
+      assert(mined === oneShot)
+      // a table not built by writePairState refuses the append loudly
+      spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('graft.pairstate.shingleK')")
+      intercept[IllegalArgumentException] {
+        Dedup.appendPairState(corpus.limit(1), tbl)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      Dedup.releaseCaches()
+    }
+  }
+
   test("clusterLabelsRefresh append law: standing labels + new pairs ≡ fixpoint over all pairs") {
     // standing graph: {1,2} and {5,6}; arrivals merge them via 2–5 and
     // open a new cluster {8,9} — exercises cluster-merge, label
