@@ -437,6 +437,16 @@ private[graft] object BoardX250 {
     // keys, the cut TakeOrderedAndProject (PlanSpec-pinned)
     "x292_shipping_priority" -> ((s, d) =>
       graft.queries.Relational.shippingPriority(s, d)),
+    // split-leakage REPAIR plan: x189 audits the leaking cells, this
+    // lists the minimal doc moves that zero them — each leaking x07
+    // cluster reassigned wholly to its member-majority split (ties to
+    // the earliest-declared) — the x277/x280 measure→plan closure on
+    // the train/eval boundary
+    "x295_split_repair" -> ((s, d) =>
+      graft.operators.Sampling.splitRepairPlan(
+        Dedup.minHashLshPairs(Tables.documents(s, d), shingleK = 2,
+          minPermille = 300),
+        Seq("train" -> 900L, "val" -> 50L, "test" -> 50L))),
     // bucket-checksum sync plan over a derived delta snapshot (every
     // 97th segment shifted, every 89th key dropped, 10 adds at
     // +2·10⁶): the anti-entropy "which buckets to re-ship" read that
@@ -1233,6 +1243,34 @@ private[graft] object BoardX250 {
     // x290: the append LAW — standing pairs ∪ incremental arrival must
     // equal the one-shot x07 mining over the whole corpus (same text)
     "x290_pair_state" -> EntryLib.minHashLshOracle,
+    // x295: the x07 pair CTEs + the x34 recursive closure + the x42
+    // md5 split CASE, majority election as a (count DESC,
+    // declared-order) row_number, movers only
+    "x295_split_repair" -> {
+      def split(key: String) =
+        s"""CASE WHEN CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000 < 900 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000 < 950 THEN 'val' ELSE 'test' END"""
+      s"""WITH RECURSIVE ${EntryLib.minHashPairsCtes},
+       sym AS (SELECT da AS s, db AS d FROM pairs
+               UNION SELECT db AS s, da AS d FROM pairs),
+       verts AS (SELECT DISTINCT s AS v FROM sym),
+       reach AS (SELECT v AS a, v AS b FROM verts
+                 UNION SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s),
+       lab AS (SELECT a AS id, CAST(MIN(b) AS BIGINT) AS cl
+         FROM reach GROUP BY a),
+       ws AS (SELECT id, cl, ${split("id")} AS fs FROM lab),
+       cn AS (SELECT cl, fs, COUNT(*) AS c FROM ws GROUP BY 1, 2),
+       tg AS (SELECT cl, fs AS ts FROM (SELECT cl, fs,
+           ROW_NUMBER() OVER (PARTITION BY cl ORDER BY c DESC,
+             CASE fs WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END) AS rn
+         FROM cn) WHERE rn = 1)
+       SELECT ws.id AS doc_id, ws.cl AS cluster_id, ws.fs AS from_split,
+         tg.ts AS to_split
+       FROM ws JOIN tg ON ws.cl = tg.cl WHERE ws.fs <> tg.ts
+       ORDER BY doc_id"""
+    },
     // x294: the same 60-bit md5 digests and md5 bucket assignment,
     // HUGEINT sums published mod 10¹⁸, full-outer bucket join
     "x294_bucket_checksum" ->

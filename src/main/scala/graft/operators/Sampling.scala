@@ -415,6 +415,58 @@ object Sampling {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** Split-leakage REPAIR plan — [[splitLeakageAudit]] MEASURES the
+    * leaks (near-dup pairs straddling a train/eval boundary); this
+    * PLANS the minimal-move fix (the x277/x280 measure→plan closure):
+    * close the pair graph into clusters, compute every member's
+    * CURRENT hash split ([[splitAssign]]'s scan-side md5 rule — no
+    * assignment join), elect each cluster's TARGET split as its
+    * members' majority (ties to the earliest-DECLARED split —
+    * deterministic, and train-first under the conventional
+    * declaration order, which is where a leaked eval doc should go:
+    * removing it from eval fixes the leak, adding it to train is
+    * free), and list exactly the documents that must move. Clusters
+    * already on one side emit nothing — the plan is the move list,
+    * never a copy of the corpus. Moving every listed doc makes
+    * [[splitLeakageAudit]] read zero leak cells over the same pairs,
+    * by construction.
+    *
+    * Scale shape: the component fixpoint runs over found PAIRS only;
+    * splits are a scan-side CASE over md5; the election is a
+    * (cluster, split) count plus an argmax window over that bounded
+    * table; movers fall out of one keyed join against the
+    * ≤|clusters|-row target table.
+    *
+    * @return (doc_id, cluster_id, from_split, to_split) — movers
+    *         only, ordered by doc_id. */
+  def splitRepairPlan(pairs: DataFrame,
+                      splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum == 1000L,
+      s"split permilles must be non-negative and sum to 1000, got $splits")
+    import org.apache.spark.sql.expressions.Window
+    val labels = Dedup.connectedComponentsUnsorted(pairs)
+    val withSplit = labels.withColumn("from_split",
+      splitCase(hashPermille(col("doc_id")), splits))
+    // declared-order priority breaks count ties deterministically
+    val prio = splits.map(_._1).zipWithIndex
+      .foldRight(lit(splits.size): Column) { case ((l, i), other) =>
+        when(col("from_split") === l, lit(i)).otherwise(other)
+      }
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("__c").desc, col("__prio"))
+    val target = withSplit.groupBy("cluster_id", "from_split")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__prio", prio)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("from_split").as("to_split"))
+    withSplit.join(target, Seq("cluster_id"))
+      .filter(col("from_split") =!= col("to_split"))
+      .select("doc_id", "cluster_id", "from_split", "to_split")
+      .orderBy("doc_id")
+  }
+
   /** TOKEN-BUDGET corpus cut: keep the highest-priority documents
     * whose cumulative token count fits `budgetTokens` — the corpus-
     * assembly step after quality scoring ("we can afford B tokens;

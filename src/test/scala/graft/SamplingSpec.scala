@@ -336,6 +336,38 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall(r => (r._1 != r._2) == (r._4 == 1)))
   }
 
+  test("splitRepairPlan: majority election, declared-order ties, movers only, repair zeroes the audit") {
+    val splits = Seq("train" -> 900L, "val" -> 50L, "test" -> 50L)
+    // a cluster is a chain (i, i+20, i+40): members' splits come from
+    // the SAME assignment operator the plan uses
+    val pairRows = (1L to 20L).flatMap(i => Seq((i, i + 20L), (i + 20L, i + 40L)))
+    val pairs = pairRows.toDF("da", "db")
+    val splitOf = Sampling.splitAssign((1L to 60L).toDF("doc_id"), "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    val plan = Sampling.splitRepairPlan(pairs, splits)
+      .as[(Long, Long, String, String)].collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    // brute-force expectation: per chain {i, i+20, i+40}, majority
+    // split with (count DESC, train<val<test) tie-break; movers only
+    val order = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    val expected = (1L to 20L).flatMap { i =>
+      val members = Seq(i, i + 20L, i + 40L)
+      val tgt = members.groupBy(splitOf).toSeq
+        .sortBy { case (s, m) => (-m.size, order(s)) }.head._1
+      members.filter(splitOf(_) != tgt)
+        .map(m => (m, i, splitOf(m), tgt))
+    }.sortBy(_._1)
+    assert(plan === expected)
+    assert(plan.nonEmpty, "the fixture must exercise at least one move")
+    // the closure law: applying the moves leaves ZERO leak cells —
+    // re-audit with every mover's split overridden to its target
+    val moved = plan.map(p => p._1 -> p._4).toMap
+    val post = pairRows.map { case (a, b) =>
+      (moved.getOrElse(a, splitOf(a)), moved.getOrElse(b, splitOf(b)))
+    }
+    assert(post.forall(p => p._1 == p._2), "repair must zero every leak")
+  }
+
   test("budgetCut: full classes via threshold, boundary class prefix-fills by doc_id") {
     val docs = Seq(
       (1L, "a b c", 10L), (2L, "d e", 10L),          // class 10: 5 tokens
