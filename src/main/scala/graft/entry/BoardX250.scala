@@ -437,6 +437,16 @@ private[graft] object BoardX250 {
     // keys, the cut TakeOrderedAndProject (PlanSpec-pinned)
     "x292_shipping_priority" -> ((s, d) =>
       graft.queries.Relational.shippingPriority(s, d)),
+    // water-filling mixture allocation: the SOLVER behind x223's
+    // report — budget tokens ∝ weight, capped at availability, capped
+    // surplus redistributed across the uncapped (closed form over the
+    // bounded source table, exact decimal cross-multiplies; at sf0.01
+    // the 4000-token budget caps src0/src1 and waters src2/src3)
+    "x296_mixture_waterfill" -> ((s, d) =>
+      graft.operators.Sampling.mixtureWaterFill(Tables.documents(s, d),
+        Seq("src0" -> 700000L, "src1" -> 200000L, "src2" -> 80000L,
+          "src3" -> 20000L),
+        budgetTokens = 4000L)),
     // split-leakage REPAIR plan: x189 audits the leaking cells, this
     // lists the minimal doc moves that zero them — each leaking x07
     // cluster reassigned wholly to its member-majority split (ties to
@@ -1243,6 +1253,38 @@ private[graft] object BoardX250 {
     // x290: the append LAW — standing pairs ∪ incremental arrival must
     // equal the one-shot x07 mining over the whole corpus (same text)
     "x290_pair_state" -> EntryLib.minHashLshOracle,
+    // x296: the same closed form — exact ratio sort key
+    // (avail·10¹⁵ // w), cross-multiplied capped prefix, water level
+    // num/den off a one-row rollup, HUGEINT trunc division
+    "x296_mixture_waterfill" ->
+      """WITH wt(source, w) AS (VALUES
+           ('src0', CAST(700000 AS BIGINT)), ('src1', CAST(200000 AS BIGINT)),
+           ('src2', CAST(80000 AS BIGINT)), ('src3', CAST(20000 AS BIGINT))),
+       av AS (SELECT source,
+           SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS a
+         FROM documents GROUP BY source),
+       base AS (SELECT wt.source, wt.w,
+           CAST(COALESCE(av.a, 0) AS BIGINT) AS a
+         FROM wt LEFT JOIN av USING (source)),
+       k AS (SELECT *,
+           (CAST(a AS HUGEINT) * 1000000000000000) // w AS rk FROM base),
+       c AS (SELECT *,
+           SUM(a) OVER (ORDER BY rk, source) AS cumA,
+           SUM(w) OVER (ORDER BY rk, source) AS cumW,
+           SUM(w) OVER () AS totW FROM k),
+       f AS (SELECT *, CASE WHEN CAST(a AS HUGEINT) * (totW - cumW)
+             <= CAST(w AS HUGEINT) * (4000 - cumA) THEN 1 ELSE 0 END
+           AS capped FROM c),
+       l AS (SELECT GREATEST(4000 - COALESCE(
+             SUM(CASE WHEN capped = 1 THEN a END), 0), 0) AS num,
+           COALESCE(SUM(CASE WHEN capped = 0 THEN w END), 0) AS den FROM f)
+       SELECT f.source, CAST(f.w AS BIGINT) AS weight_ppm,
+         f.a AS available_tokens,
+         CAST(CASE WHEN f.capped = 1 THEN f.a
+           ELSE (CAST(f.w AS HUGEINT) * l.num) // l.den END AS BIGINT)
+           AS allocated_tokens,
+         CAST(f.capped AS BIGINT) AS capped
+       FROM f CROSS JOIN l ORDER BY f.source""",
     // x295: the x07 pair CTEs + the x34 recursive closure + the x42
     // md5 split CASE, majority election as a (count DESC,
     // declared-order) row_number, movers only

@@ -415,6 +415,82 @@ object Sampling {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** Water-filling mixture allocation — the SOLVER behind the mixture
+    * planners: [[mixtureEpochPlan]] reports what a weight vector
+    * demands and where it falls short; this finds the allocation a
+    * data-mixing run actually uses — give each source tokens
+    * proportional to its weight, cap at availability, and REDISTRIBUTE
+    * every capped source's surplus across the uncapped ones (the
+    * water-filling fixed point: Σ min(avail_s, λ·w_s) = budget).
+    *
+    * Solved in CLOSED FORM over the bounded source table — no
+    * iteration: sources sort by the exact ratio avail/weight (the
+    * integer key (avail·10¹⁵) div weight — resolution 10⁻¹⁵, finer
+    * than the 1/(w_i·w_j) ≥ 10⁻¹² minimum gap between distinct
+    * rationals, so the order is the true rational order), the capped
+    * prefix falls out of one cross-multiplied inequality per row
+    * (avail_s·(totW − cumW_s) ≤ w_s·(budget − cumA_s) — all exact
+    * DECIMAL(38,0), no floats), and uncapped allocations are one
+    * truncating division against the water level num/den read off a
+    * 1-row aggregate. Truncation keeps Σ allocated ≤ budget; the
+    * ≤|uncapped|-token remainder is deliberately NOT smeared (a
+    * deterministic sub-token residue, not a planning quantity).
+    *
+    * @param weights (source, weight_ppm) — relative weights, > 0;
+    *        sources absent from the corpus allocate 0 (capped).
+    * @return (source, weight_ppm, available_tokens, allocated_tokens,
+    *         capped) ordered by source. */
+  def mixtureWaterFill(docs: DataFrame, weights: Seq[(String, Long)],
+                       budgetTokens: Long,
+                       sourceCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._1).distinct.size == weights.size,
+      s"weights must be non-empty and distinct per source, got $weights")
+    require(weights.forall(_._2 > 0), s"weights must be positive, got $weights")
+    // the ppm contract also bounds every division's denominator at 10⁶,
+    // which is what keeps the scale-6 decimal divisions EXACT after
+    // FLOOR (fraction gaps ≥ 10⁻⁶ > the 5·10⁻⁷ rounding error — the
+    // cross-engine guarantee)
+    require(weights.map(_._2).sum <= 1000000L,
+      s"weights sum to ${weights.map(_._2).sum} ppm > 1e6")
+    require(budgetTokens >= 0, s"budgetTokens ($budgetTokens) must be >= 0")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val avail = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextAnalysis.tokenCountCol(col("text"))).as("__a"))
+    val base = weights.toDF("source", "weight_ppm")
+      .join(avail, Seq("source"), "left")
+      .select(col("source"), col("weight_ppm"),
+        coalesce(col("__a"), lit(0L)).as("available_tokens"))
+    val keyed = base.withColumn("__rk",
+      expr("""CAST(FLOOR((CAST(available_tokens AS DECIMAL(38,0))
+           * 1000000000000000) / weight_ppm) AS DECIMAL(38,0))"""))
+    val w = Window.orderBy(col("__rk"), col("source"))
+    val flagged = keyed
+      .withColumn("__cumA", sum("available_tokens").over(w))
+      .withColumn("__cumW", sum("weight_ppm").over(w))
+      .crossJoin(broadcast(keyed.agg(sum("weight_ppm").as("__totW"))))
+      .withColumn("capped", when(
+        expr(s"""CAST(available_tokens AS DECIMAL(38,0)) * (__totW - __cumW)
+              <= CAST(weight_ppm AS DECIMAL(38,0))
+                 * (CAST(${budgetTokens}L AS DECIMAL(38,0)) - __cumA)"""),
+        1L).otherwise(0L))
+    val level = flagged.agg(
+      greatest(lit(budgetTokens) -
+        sum(when(col("capped") === 1L, col("available_tokens"))
+          .otherwise(0L)), lit(0L)).cast("decimal(38,0)").as("__num"),
+      sum(when(col("capped") === 0L, col("weight_ppm")).otherwise(0L))
+        .cast("decimal(38,0)").as("__den"))
+    flagged.crossJoin(broadcast(level))
+      .withColumn("allocated_tokens",
+        when(col("capped") === 1L, col("available_tokens"))
+          .otherwise(expr("""CAST(FLOOR(CAST(weight_ppm AS DECIMAL(38,0))
+               * __num / __den) AS BIGINT)""")))
+      .select("source", "weight_ppm", "available_tokens",
+        "allocated_tokens", "capped")
+      .orderBy("source")
+  }
+
   /** Split-leakage REPAIR plan — [[splitLeakageAudit]] MEASURES the
     * leaks (near-dup pairs straddling a train/eval boundary); this
     * PLANS the minimal-move fix (the x277/x280 measure→plan closure):

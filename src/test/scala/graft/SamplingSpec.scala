@@ -368,6 +368,58 @@ class SamplingSpec extends SparkSpec {
     assert(post.forall(p => p._1 == p._2), "repair must zero every leak")
   }
 
+  test("mixtureWaterFill: caps redistribute, budget conserved, matches the iterative reference") {
+    // hand-checkable case: w=(700k, 200k, 80k, 20k) over avails
+    // (10, 1000, 50, 40), budget 200 — src0 caps at 10, the surplus
+    // waters the rest; src3 caps on the second "round"
+    val docs = Seq(
+      ("src0", ("x " * 10).trim), ("src1", ("x " * 1000).trim),
+      ("src2", ("x " * 50).trim), ("src3", ("x " * 40).trim)
+    ).toDF("source", "text")
+    val weights = Seq("src0" -> 700000L, "src1" -> 200000L,
+      "src2" -> 80000L, "src3" -> 20000L)
+    def run(budget: Long) =
+      Sampling.mixtureWaterFill(docs, weights, budget)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // iterative reference: repeatedly cap any source whose
+    // proportional share exceeds availability, redistribute, repeat
+    def reference(budget: Long): Map[String, Long] = {
+      val avail = Map("src0" -> 10L, "src1" -> 1000L, "src2" -> 50L,
+        "src3" -> 40L)
+      var capped = Set.empty[String]
+      var changed = true
+      while (changed) {
+        val num = budget - capped.toSeq.map(avail).sum
+        val den = weights.filterNot(w => capped(w._1)).map(_._2).sum
+        val newly = weights.filterNot(w => capped(w._1))
+          .filter { case (s, w) => avail(s) * den <= w * num }.map(_._1)
+        changed = newly.nonEmpty
+        capped ++= newly
+      }
+      val num = math.max(budget - capped.toSeq.map(avail).sum, 0L)
+      val den = weights.filterNot(w => capped(w._1)).map(_._2).sum
+      weights.map { case (s, w) =>
+        s -> (if (capped(s)) avail(s) else w * num / den)
+      }.toMap
+    }
+    for (budget <- Seq(0L, 50L, 200L, 500L, 2000L)) {
+      val out = run(budget)
+      val exp = reference(budget)
+      assert(out.map(r => r._1 -> r._4).toMap === exp,
+        s"allocation mismatch at budget=$budget")
+      assert(out.map(_._4).sum <= budget || budget >= 1100L,
+        s"over-allocated at budget=$budget")
+      // capped flag consistency: capped rows allocate exactly avail
+      assert(out.forall(r => (r._5 == 1L) == (r._4 == r._3)
+        || (r._5 == 0L && r._4 < r._3)))
+    }
+    // budget beyond total availability: everything capped at avail
+    assert(run(5000L).map(_._4).sum === 1100L)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWaterFill(docs, Seq("a" -> 600000L, "b" -> 500000L), 10L)
+    }
+  }
+
   test("budgetCut: full classes via threshold, boundary class prefix-fills by doc_id") {
     val docs = Seq(
       (1L, "a b c", 10L), (2L, "d e", 10L),          // class 10: 5 tokens
