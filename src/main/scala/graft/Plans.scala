@@ -41,6 +41,18 @@ object Plans {
         "x285_regional_revenue"),
       ("x274_cdc_chunks", "content-defined chunking: boundaries, slices and md5 digests all row-local on the codegen'd gram_hashes array — the only Exchange is the per-source digest distinct",
         "x274_cdc_chunks"),
+      ("x290_pair_state", "persisted pair-mining state: standing pairs and the delta's arrival mine from the SAME fingerprint table — the arrival's candidate join is bandedDelta ⋈ bandedAll (never the full self-join), and the text-side shingle scan happens once per doc ever",
+        "x290_pair_state"),
+      ("x292_shipping_priority", "TPC-H Q3: segment/order-date/ship-date predicates each pushed to THEIR OWN scan, top-10 as TakeOrderedAndProject — never a global sort of the qualifying aggregate",
+        "x292_shipping_priority"),
+      ("x293_golden_record", "golden-record consolidation: deletion variants are a Generate riding each scan, candidates a hash equi-join, the label fixpoint runs over found pairs, and the attribute election is ONE melted Expand pass ranked inside an (entity, attr)-keyed window over the bounded count table",
+        "x293_golden_record"),
+      ("x294_bucket_checksum", "bucket-checksum sync plan: both snapshots collapse SCAN-SIDE to ≤N (bucket, count, digest-sum) rows with map-side combine — no row ever shuffles; the plan is a ≤N-row full-outer join",
+        "x294_bucket_checksum"),
+      ("x295_split_repair", "split-leakage repair: the component fixpoint runs over found pairs only, splits are a scan-side md5 CASE (no assignment join), and the majority election is an argmax window over the bounded (cluster, split) count table",
+        "x295_split_repair"),
+      ("x296_mixture_waterfill", "water-filling mixture solver: ONE token-sum scan collapses the corpus to its source table; the ratio sort, capped-prefix inequality and water level all run over that bounded table in exact decimal arithmetic",
+        "x296_mixture_waterfill"),
       ("x13_cosine_native", "native CosineF32 expression inside WholeStageCodegen over a broadcast probe set",
         "x13_cosine_native"),
       ("x38_jaccard_sweep", "exact low-threshold sweep: inverted-index equi-join on shingle hash (no BNL/cartesian), common counts as partial-aggregated group counts — no per-pair array payloads",
