@@ -464,4 +464,50 @@ class PropertySpec extends SparkSpec with SlowSuite {
       }
     }, n = 8)
   }
+
+  test("mixtureWaterFill: never over-allocates, caps exactly at avail, exhausts when feasible") {
+    // random 3-source availabilities + budgets against the fixed-point
+    // invariants: Σ alloc ≤ min(budget, Σ avail); capped ⇔ alloc = avail;
+    // uncapped ⇔ alloc < avail; and when budget ≤ Σ avail the shortfall
+    // is only truncation residue (< |uncapped| tokens)
+    val gen = for {
+      a0 <- Gen.chooseNum(0, 40); a1 <- Gen.chooseNum(0, 40)
+      a2 <- Gen.chooseNum(0, 40); b <- Gen.chooseNum(0L, 150L)
+    } yield (a0, a1, a2, b)
+    val weights = Seq("s0" -> 500000L, "s1" -> 300000L, "s2" -> 200000L)
+    check(Prop.forAll(gen) { case (a0, a1, a2, b) =>
+      val docs = Seq("s0" -> a0, "s1" -> a1, "s2" -> a2).map { case (s, n) =>
+        (s, if (n == 0) null else ("x " * n).trim)
+      }.toDF("source", "text")
+      val out = graft.operators.Sampling.mixtureWaterFill(docs, weights, b)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      val total = out.map(_._4).sum
+      val totalAvail = out.map(_._3).sum
+      val flagsOk = out.forall(r =>
+        if (r._5 == 1L) r._4 == r._3 else r._4 < r._3)
+      val nUncapped = out.count(_._5 == 0L)
+      total <= math.min(b, totalAvail) && flagsOk &&
+        (b > totalAvail || total > b - math.max(nUncapped, 1))
+    }, n = 15)
+  }
+
+  test("bucketChecksumPlan: in_sync everywhere iff equal multisets, regardless of order") {
+    val gen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 30L), Gen.alphaStr.map(_.take(3))))
+    check(Prop.forAll(gen) { rows =>
+      rows.isEmpty || rows.map(_._1).distinct.size != rows.size || {
+        val df = rows.toDF("k", "v")
+        val same = graft.operators.Snapshot.bucketChecksumPlan(
+          df, df.orderBy(col("k").desc).repartition(3), "k", Seq("v"), 4)
+          .collect().forall(_.getLong(5) == 1L)
+        // perturb one row's value: at least one bucket must flag
+        val perturbed = df.withColumn("v",
+          when(col("k") === rows.head._1, concat(col("v"), lit("!")))
+            .otherwise(col("v")))
+        val flagged = graft.operators.Snapshot.bucketChecksumPlan(
+          df, perturbed, "k", Seq("v"), 4)
+          .collect().exists(_.getLong(5) == 0L)
+        same && flagged
+      }
+    }, n = 10)
+  }
 }
