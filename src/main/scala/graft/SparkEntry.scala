@@ -56,7 +56,7 @@ object SparkEntry {
     val segs = Seq(graft.entry.BoardQ.queries, graft.entry.BoardX000.queries,
       graft.entry.BoardX050.queries, graft.entry.BoardX100.queries,
       graft.entry.BoardX150.queries, graft.entry.BoardX200.queries,
-      graft.entry.BoardX250.queries)
+      graft.entry.BoardX250.queries, graft.entry.BoardX300.queries)
     val all = segs.reduce(_ ++ _)
     // a duplicate id across segments would silently drop a query from
     // the board — fail loudly instead (EntrySpec pins the exact count)
@@ -73,7 +73,7 @@ object SparkEntry {
     val segs = Seq(graft.entry.BoardQ.oracleSql, graft.entry.BoardX000.oracleSql,
       graft.entry.BoardX050.oracleSql, graft.entry.BoardX100.oracleSql,
       graft.entry.BoardX150.oracleSql, graft.entry.BoardX200.oracleSql,
-      graft.entry.BoardX250.oracleSql)
+      graft.entry.BoardX250.oracleSql, graft.entry.BoardX300.oracleSql)
     val all = segs.reduce(_ ++ _)
     require(all.size == segs.map(_.size).sum,
       s"duplicate oracle ids across board segments: ${

@@ -603,4 +603,165 @@ object Relational {
         count(lit(1)).as("n_lineitems"))
       .orderBy(col("revenue_cents").desc, col("n_name"))
   }
+
+  /** TPC-H Q4 shape (x297): order-priority census over orders with at
+    * least one LATE lineitem — the canonical correlated EXISTS whose
+    * subquery carries an INEQUALITY on the outer row
+    * (`l_shipdate > o_orderdate + 60 days`), not just key equality.
+    *
+    * Plan shape: the EXISTS decorrelates to a LEFT SEMI join keyed on
+    * the order key with the inequality as a residual condition — the
+    * probe early-outs on the FIRST late line, lineitem's payload
+    * columns never leave its scan (ReadSchema: 2 of 11 columns), and
+    * an order with 40 late lines still counts once without any
+    * distinct. Both sides are fact-scale at 100 TB, so no broadcast
+    * hint: the semi join shuffles on the order key and AQE may still
+    * broadcast the (date-pruned) orders side at small SF.
+    *
+    * @return (o_orderpriority, n_orders), priority-ordered. */
+  def latePriorityCensus(s: SparkSession, d: String,
+                         fromDate: String = "1997-01-01",
+                         toDate: String = "1998-01-01",
+                         graceDays: Int = 60): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp")
+        && col("o_orderdate") < lit(toDate).cast("timestamp"))
+    val late = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    o.join(late, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate")
+          + expr(s"INTERVAL $graceDays DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q13 shape (x298): the customer order-count DISTRIBUTION —
+    * how many customers placed 0, 1, 2, … qualifying orders. The
+    * classic double aggregation over a LEFT OUTER join whose predicate
+    * (`o_orderpriority <> excluded`) lives in the JOIN CONDITION, not
+    * a WHERE clause — pushing it to a filter would turn zero-order
+    * customers into dropped rows instead of the n_orders = 0 bucket,
+    * the row this query exists to surface.
+    *
+    * Plan shape: customer ⋈ filtered orders shuffle on the customer
+    * key (both fact-scale at 100 TB — no hint, AQE decides at small
+    * SF); `count(o_orderkey)` counts only matched rows so unmatched
+    * customers land in bucket 0; the second aggregation runs over the
+    * |customers|-row count table and collapses to ≤ max-orders rows
+    * before the final (bounded) sort.
+    *
+    * @return (n_orders, n_customers), customers-desc then orders-desc. */
+  def orderCountDistribution(s: SparkSession, d: String,
+                             excludePriority: String = "1-URGENT"): DataFrame = {
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_orderpriority")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey")
+        && col("o_orderpriority") =!= excludePriority, "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
+  /** TPC-H Q18 shape (x299): large-volume orders — customers whose
+    * order aggregates past a quantity bar. The HAVING-subquery form
+    * (`o_orderkey IN (SELECT l_orderkey … HAVING SUM(qty) > bar)`)
+    * expressed directly as its decorrelated plan: aggregate-then-join.
+    *
+    * Plan shape: ONE lineitem aggregation (map-side combined) builds
+    * the per-order quantity table; the HAVING bar filters it to a
+    * vanishing fraction (bar 200 ≈ p95 of per-order mass) BEFORE any
+    * join, so the orders/customer joins see only qualifying keys —
+    * at 100 TB the filtered aggregate is broadcast-able and AQE makes
+    * that call at runtime. The final cut is TakeOrderedAndProject
+    * (per-partition top-k, no global sort). Quantities are integral
+    * by data contract (spec-asserted) so the BIGINT cast is exact.
+    *
+    * @return (c_name, o_orderkey, o_orderdate, total_qty), qty-desc
+    *         top-20. */
+  def largeVolumeOrders(s: SparkSession, d: String,
+                        minQty: Long = 200L): DataFrame = {
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    perOrder
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q2 shape (x300): minimum-cost supplier per part — the
+    * correlated SCALAR subquery (`price = (SELECT MIN(price) FROM …
+    * WHERE l2.l_partkey = p_partkey)`) in its decorrelated form:
+    * groupBy-min once, join the minima back as a filter. Ties (two
+    * suppliers hitting the same minimum cents) all survive, exactly
+    * like the subquery form — hence the DISTINCT.
+    *
+    * Plan shape: the part filter (p_size ≤ bar) semi-prunes lineitem
+    * FIRST — the per-part MIN is identical whether computed before or
+    * after the part restriction (the subquery correlates only on
+    * p_partkey), so the aggregation runs over the pruned fraction, not
+    * the corpus. One lineitem scan feeds both the minima and the
+    * match-back (self-join on the 3-column projection); supplier joins
+    * un-hinted (dim-scale here, fact-scale at SF100k — AQE decides).
+    *
+    * @return distinct (p_partkey, p_name, s_suppkey, s_name,
+    *         min_price_cents), part- then supplier-ordered. */
+  def minCostSupplier(s: SparkSession, d: String,
+                      maxSize: Int = 5): DataFrame = {
+    val parts = Tables.part(s, d).filter(col("p_size") <= maxSize)
+      .select("p_partkey", "p_name")
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .join(parts.select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val minima = li.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("price_cents")).as("min_price_cents"))
+    li.join(minima, col("l_partkey") === col("m_partkey")
+        && col("price_cents") === col("min_price_cents"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("min_price_cents"))
+      .distinct()
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** TPC-H Q11 shape (x301): revenue concentration — brands whose
+    * revenue exceeds a fixed fraction of the corpus total. The
+    * uncorrelated SCALAR subquery (`rev > (SELECT SUM(rev)…) / k`)
+    * decorrelated as: aggregate once, total the bounded aggregate,
+    * broadcast the 1-row total back as a filter.
+    *
+    * Plan shape: ONE lineitem⋈part aggregation builds the |brands|-row
+    * revenue table and nothing corpus-scale runs twice — the grand
+    * total is an unpartitioned window SUM over that BOUNDED aggregate
+    * (the repo's bounded-table window discipline; a naive scalar
+    * subquery or a second `agg` branch would re-run the corpus join,
+    * which is the actual 100 TB defect here). Integer `div` keeps the
+    * bar exact.
+    *
+    * @return (p_brand, revenue_cents) above total/divisor,
+    *         revenue-desc. */
+  def revenueConcentration(s: SparkSession, d: String,
+                           divisor: Long = 30L): DataFrame = {
+    val brandRev = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+    brandRev
+      .withColumn("grand_cents",
+        sum(col("revenue_cents")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("revenue_cents") > expr(s"grand_cents div $divisor"))
+      .select(col("p_brand"), col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("p_brand"))
+  }
 }

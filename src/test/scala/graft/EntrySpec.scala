@@ -38,7 +38,9 @@ class EntrySpec extends SparkSpec with SlowSuite {
       ("BoardX200", BoardX200.queries, BoardX200.oracleSql,
         n => n.startsWith("x") && { val i = n.drop(1).takeWhile(_.isDigit).toInt; i >= 208 && i < 244 }),
       ("BoardX250", BoardX250.queries, BoardX250.oracleSql,
-        n => n.startsWith("x") && n.drop(1).takeWhile(_.isDigit).toInt >= 244))
+        n => n.startsWith("x") && { val i = n.drop(1).takeWhile(_.isDigit).toInt; i >= 244 && i < 297 }),
+      ("BoardX300", BoardX300.queries, BoardX300.oracleSql,
+        n => n.startsWith("x") && n.drop(1).takeWhile(_.isDigit).toInt >= 297))
     segs.foreach { case (tag, qs, os, inRange) =>
       assert(qs.keys.forall(inRange), s"$tag holds out-of-range query ids: ${qs.keys.filterNot(inRange)}")
       assert(os.keySet.subsetOf(qs.keySet), s"$tag oracle keys without a query: ${os.keySet -- qs.keySet}")
@@ -47,10 +49,10 @@ class EntrySpec extends SparkSpec with SlowSuite {
     // exact disjoint union (a duplicate id would silently shadow one)
     assert(SparkEntry.queries.size === segs.map(_._2.size).sum)
     assert(SparkEntry.oracleSql.size === segs.map(_._3.size).sum)
-    // the round-13 board: 273 queries, 261 oracle-compared (12 declared
+    // the round-14 board: 323 queries, 311 oracle-compared (12 declared
     // rule-6 rows-only: the r12 eleven + x230) — growing the board
     // updates these pins
-    assert(SparkEntry.queries.size >= 311)
+    assert(SparkEntry.queries.size >= 323)
     assert(SparkEntry.queries.size - SparkEntry.oracleSql.size === 12,
       "rule-6 no-oracle set changed size — update the declared list")
   }

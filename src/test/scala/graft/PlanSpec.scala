@@ -440,4 +440,35 @@ class PlanSpec extends SparkSpec {
       Seq("c_nationkey", "c_mktsegment"), k = 5L)) === 1,
       "kAnonPlan must score every leave-one-out option from one input scan")
   }
+
+  test("x297 Q4: the EXISTS runs as LeftSemi; lineitem is pruned to 2 of 11 columns") {
+    val p = plan(Relational.latePriorityCensus(spark, sf))
+    assert(p.contains("LeftSemi"),
+      "the correlated EXISTS must decorrelate to a semi join — an inner " +
+        "join would multiply multi-late orders")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>"),
+      "lineitem must be pruned to exactly the key + the inequality column")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate,"),
+      "the order-date window must push to the orders scan")
+  }
+
+  test("x299 Q18: the quantity bar filters the aggregate BEFORE any join; top-k is TakeOrdered") {
+    val p = plan(Relational.largeVolumeOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      "top-20 must pre-reduce per partition, never globally sort")
+    // the HAVING bar must sit on the aggregate output, i.e. appear as a
+    // post-agg Filter on total_qty — not as a join-side residual
+    assert(p.contains("(total_qty") && p.contains("> 200"),
+      "the quantity bar must filter the per-order aggregate before the joins")
+  }
+
+  test("x301 Q11: ONE corpus scan feeds both the brand table and its total") {
+    val p = plan(Relational.revenueConcentration(spark, sf))
+    assert("FileScan parquet".r.findAllIn(p).size === 2,
+      "exactly lineitem + part — a second lineitem scan means the scalar " +
+        "total re-ran the corpus join (the 100 TB defect this shape avoids)")
+    assert(p.contains("Window"),
+      "the grand total must be a window over the bounded brand aggregate")
+  }
 }

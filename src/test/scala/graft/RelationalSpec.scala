@@ -128,4 +128,102 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"nation/region dims must broadcast:\n$p")
   }
+
+  test("x297 Q4: semi join counts an order ONCE however many lines are late") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.latePriorityCensus(spark, sf).collect()
+    assert(out.nonEmpty)
+    // replay with an inner join + countDistinct: if the semi form
+    // multiplied rows, these two would diverge on multi-late orders
+    val o = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val expected = o.join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(expected(r.getString(0)) === r.getLong(1),
+      s"priority ${r.getString(0)} diverges from the count-distinct replay"))
+  }
+
+  test("x298 Q13: zero-order customers survive into bucket 0; buckets sum to the table") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.orderCountDistribution(spark, sf).collect()
+    val byOrders = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the LEFT OUTER form exists so unmatched customers land in bucket
+    // 0 rather than vanish — assert the bucket matches a direct
+    // anti-join count (sf0.001 happens to have zero such customers;
+    // the identity, not the presence, is the contract)
+    val zeroExpected = graft.core.Tables.customer(spark, sf)
+      .join(graft.core.Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(byOrders.getOrElse(0L, 0L) === zeroExpected,
+      "bucket 0 must equal the anti-join count of order-less customers")
+    val nCust = graft.core.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nCust,
+      "every customer must land in exactly one bucket")
+  }
+
+  test("x299 Q18: quantities are integral (the oracle cast contract); bar and order hold") {
+    import org.apache.spark.sql.functions._
+    val nonIntegral = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") =!= floor(col("l_quantity"))).count()
+    assert(nonIntegral === 0L,
+      "x299's BIGINT cast is only exact while l_quantity stays integral — " +
+        "if the generator ever ships fractions, move the cast to cents")
+    val rows = Relational.largeVolumeOrders(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val qtys = rows.map(_.getLong(3)).toSeq
+    assert(qtys === qtys.sorted.reverse)
+    assert(qtys.forall(_ > 200L))
+  }
+
+  test("x300 Q2: every surviving row is at its part's true minimum; ties all survive") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.minCostSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val trueMin = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"))
+      .agg(min(Relational.cents(col("l_extendedprice"))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) === trueMin(r.getLong(0)),
+        s"part ${r.getLong(0)}: surfaced price is not the per-part minimum")
+    }
+    // tie survival: every (part, supplier) pair achieving the minimum
+    // must be present — compare pair counts against a direct replay
+    val expectPairs = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        Relational.cents(col("l_extendedprice")).as("pc"))
+      .join(graft.core.Tables.part(spark, sf).filter(col("p_size") <= 5),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .collect()
+      .groupBy(r => r.getLong(0))
+      .map { case (pk, rs) =>
+        val m = rs.map(_.getLong(2)).min
+        pk -> rs.filter(_.getLong(2) == m).map(_.getLong(1)).distinct.size
+      }
+    assert(rows.groupBy(_.getLong(0)).map { case (pk, rs) => pk -> rs.length }
+      === expectPairs)
+  }
+
+  test("x301 Q11: every brand clears the exact total/30 bar; bar is binding") {
+    val rows = Relational.revenueConcentration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val all = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(Relational.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bar = all.values.sum / 30L
+    assert(rows.forall(r => r.getLong(1) > bar))
+    assert(rows.length === all.count(_._2 > bar),
+      "the filter must keep exactly the brands above the bar — no more, no fewer")
+  }
 }
