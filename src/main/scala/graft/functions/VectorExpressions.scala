@@ -729,6 +729,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.AntiJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RedundantLeftJoinElimination)
     ext.injectOptimizerRule(_ => graft.plans.InnerUniqueJoinToSemi)
+    ext.injectOptimizerRule(_ => graft.plans.MergeAggSelfJoin)
   }
 }
 

@@ -80,6 +80,75 @@ object Incremental {
       .orderBy(keys.map(col): _*)
   }
 
+  /** Mergeable QUANTILE state: a fixed-width integer histogram of the
+    * measure — (bin, n) with bin = floor(v / binWidth) — the third
+    * instance of the x66 refresh law after count+sum ([[aggState]])
+    * and HLL ([[distinctState]]). Exact quantiles don't merge (the
+    * p99 of two halves says nothing about the whole), but histogram
+    * COUNTS are a commutative monoid, so `merge(state(A), state(B)) ≡
+    * state(A ⊎ B)` EXACTLY and any quantile read off the merged
+    * histogram is identical to the one-shot read — the estimate's only
+    * error is the declared binWidth resolution, and maintenance never
+    * adds drift (the same contract KLL/t-digest give approximately,
+    * made exact by fixing the resolution up front).
+    *
+    * Scale shape: binning is a row-local integer projection riding the
+    * scan; the state is ≤ value-range/binWidth rows after map-side
+    * combine; refresh cost is O(|delta| + |touched bins|). The
+    * `pmod` spelling keeps the floor exact for negative measures
+    * (Spark's `div` truncates toward zero).
+    *
+    * @param valueCol integer measure (use
+    *                 [[graft.queries.Relational.cents]] for money) */
+  def quantileState(df: DataFrame, valueCol: Column, binWidth: Long): DataFrame = {
+    require(binWidth >= 1L, s"binWidth ($binWidth) must be >= 1")
+    df.filter(valueCol.isNotNull)
+      .select(valueCol.cast("long").as("__v"))
+      .select(expr(s"(__v - pmod(__v, ${binWidth}L)) div ${binWidth}L").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge [[quantileState]] tables (disjoint-row inputs): union +
+    * bin-groupBy — at most one shuffled row per (partition, bin). */
+  def mergeQuantile(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeQuantile needs at least one state table")
+    states.foreach(s => require(s.columns.sorted.sameElements(Array("bin", "n")),
+      s"quantile state must be (bin, n), got ${s.columns.mkString(",")}"))
+    states.reduce(_ unionByName _).groupBy("bin").agg(sum("n").as("n"))
+  }
+
+  /** Read quantile estimates off a [[quantileState]] histogram: for
+    * each requested permille q, the bin holding the ceil(q·N/1000)-th
+    * value (1-based, lower-bound convention) and that bin's inclusive
+    * lower edge — all integer arithmetic, engine-replayable. The
+    * cumulative window runs over the BOUNDED bin table (the repo's
+    * bounded-table window discipline), never the data.
+    *
+    * @return (permille, bin, lo_value), permille-ordered. */
+  def quantileEstimate(state: DataFrame, binWidth: Long,
+                       permilles: Seq[Int]): DataFrame = {
+    require(binWidth >= 1L, s"binWidth ($binWidth) must be >= 1")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000], got ${permilles.mkString(",")}")
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    state
+      .withColumn("cum", sum("n").over(cumW))
+      .withColumn("tot", sum("n").over(totW))
+      .withColumn("permille",
+        explode(array(permilles.distinct.sorted.map(p => lit(p.toLong)): _*)))
+      .filter(col("cum") >= greatest(lit(1L),
+        expr("(permille * tot + 999) div 1000")))
+      .groupBy("permille")
+      .agg(min(col("bin")).as("bin"))
+      .select(col("permille"), col("bin"),
+        (col("bin") * lit(binWidth)).as("lo_value"))
+      .orderBy("permille")
+  }
+
   /** RETRACTABLE refresh: apply a signed changelog — rows tagged
     * `opCol` = 'I' (insert) or 'D' (retract a previously-counted row)
     * — to an [[aggState]] table. Inserts contribute (+1, +v), deletes

@@ -483,4 +483,36 @@ object Sessions {
         "AS (delay_us, n_events, n_dropped, drop_ppm)"))
       .orderBy("delay_us")
   }
+
+  /** Per-entity ROLLING MEDIAN over the last `window` events — the
+    * robust rolling statistic ops dashboards want where a rolling MEAN
+    * is one outlier away from useless (latency p50 per user, spend per
+    * account). Median convention: the LOWER middle value of the sorted
+    * frame (element ⌈n/2⌉, 1-based) — DuckDB's `quantile_disc(0.5)`
+    * convention, so the oracle replays it natively.
+    *
+    * Scale shape: the window partitions by user (high-cardinality —
+    * never a global or low-cardinality window) with a ROWS frame
+    * bounded at `window`, so each row's collect+sort is O(window log
+    * window) row-LOCAL work and state per open frame is `window`
+    * longs; values ride the scan as exact integer cents. At 100 TB
+    * this is one user-keyed shuffle — the same shape as [[sessionize]].
+    *
+    * @return (event_id, user_id, n_window, med_cents), event-ordered. */
+  def rollingMedian(events: DataFrame, window: Int = 9): DataFrame = {
+    require(window >= 1, s"window ($window) must be >= 1")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(-(window - 1), 0)
+    events
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_ns"),
+        graft.queries.Relational.cents(col("value")).as("__v"))
+      .withColumn("__vals", collect_list("__v").over(w))
+      .select(col("event_id"), col("user_id"),
+        size(col("__vals")).cast("long").as("n_window"),
+        expr("element_at(array_sort(__vals), " +
+          "CAST((size(__vals) + 1) div 2 AS INT))").as("med_cents"))
+      .orderBy("event_id")
+  }
 }

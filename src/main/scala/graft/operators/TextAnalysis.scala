@@ -274,6 +274,55 @@ object TextAnalysis {
         col("col").as("chunk_text"))
   }
 
+  /** CCNet/RefinedWeb-style BOILERPLATE SCRUB: segment every document
+    * into fixed token windows, count each segment's corpus-wide
+    * occurrences, drop segments at or past the repetition bar, and
+    * rebuild the kept text — the line-level dedup stage web pipelines
+    * run between exact-dedup and near-dedup (navigation chrome, cookie
+    * banners, boilerplate headers repeat verbatim across documents
+    * while their hosts do not). The corpus here has no newlines, so
+    * the "line" unit is the fixed token window of [[chunkTokens]]
+    * (reference scope: Kyureeus ETL has no text ops; this extends
+    * SURVEY §2.3's text-analysis family).
+    *
+    * Scale shape: segmentation is the row-local [[chunksRaw]] map;
+    * each segment is reduced to its 16-byte md5 SCAN-SIDE, so the
+    * occurrence count shuffles fingerprints, never segment text; the
+    * flag join is fp-keyed equi (both sides data-scale — no broadcast
+    * assumption); the rebuild is one doc-keyed aggregation whose
+    * collect_list is bounded by the document's own segment count
+    * (docs are bounded; a 2 GB outlier doc would already have been
+    * length-gated upstream). NULL-skipping collect_list + sort_array
+    * on (idx, text) structs keeps the rebuild deterministic and
+    * engine-replayable.
+    *
+    * @param segTokens tokens per segment (the "line" analog)
+    * @param dfBar     drop a segment occurring >= dfBar times
+    *                  corpus-wide (>= 2; the bar counts OCCURRENCES,
+    *                  so a doc repeating its own segment contributes
+    *                  each copy)
+    * @return (doc_id, n_seg, n_dropped, kept_md5) — kept_md5 is the
+    *         md5 of the space-joined surviving segments (md5('') when
+    *         everything dropped), doc-ordered. */
+  def boilerplateScrub(docs: DataFrame, segTokens: Int = 16,
+                       dfBar: Long = 3L): DataFrame = {
+    require(segTokens >= 1, s"segTokens ($segTokens) must be >= 1")
+    require(dfBar >= 2L, s"dfBar ($dfBar) must be >= 2 — a bar of 1 drops everything")
+    val segs = chunksRaw(docs.filter(col("text").isNotNull), segTokens, 0)
+      .select(col("doc_id"), col("chunk_id").as("seg_idx"),
+        col("chunk_text").as("seg_text"), md5(col("chunk_text")).as("seg_fp"))
+    val occ = segs.groupBy("seg_fp").agg(count(lit(1)).as("seg_occ"))
+    segs.join(occ, "seg_fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("seg_occ") >= dfBar, 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(expr("transform(" +
+          "array_sort(collect_list(CASE WHEN seg_occ < " + dfBar +
+          " THEN struct(seg_idx, seg_text) END)), x -> x.seg_text)"), " "))
+          .as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-novelty score: permille of a document's DISTINCT k-grams
     * that appear in no other document (corpus document-frequency 1) —
     * high novelty marks genuinely fresh content, low novelty marks

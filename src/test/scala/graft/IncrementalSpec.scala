@@ -164,4 +164,47 @@ class IncrementalSpec extends SparkSpec {
       // edge windows: each pane feeds 4 windows minus those past max
       panes.map(p => (p + 3 - panes.max).max(0)).sum)
   }
+
+  test("quantileState: merge(splits) ≡ one-shot — estimates identical, incl. an empty split") {
+    import graft.operators.Incremental
+    import org.apache.spark.sql.functions._
+    val vals = (0L until 100L).toDF("v")
+    val oneShot = Incremental.quantileState(vals, col("v"), 10L)
+    val parts = Seq(
+      Incremental.quantileState(vals.filter(col("v") % 3 === 0), col("v"), 10L),
+      Incremental.quantileState(vals.filter(col("v") % 3 === 1), col("v"), 10L),
+      Incremental.quantileState(vals.filter(col("v") % 3 === 2), col("v"), 10L),
+      Incremental.quantileState(vals.filter(lit(false)), col("v"), 10L))
+    val merged = Incremental.mergeQuantile(parts)
+    assert(merged.orderBy("bin").collect().toSeq
+      === oneShot.orderBy("bin").collect().toSeq,
+      "histogram states must merge losslessly")
+    // associativity: merging pre-merged pairs lands on the same state
+    val paired = Incremental.mergeQuantile(Seq(
+      Incremental.mergeQuantile(parts.take(2)),
+      Incremental.mergeQuantile(parts.drop(2))))
+    assert(paired.orderBy("bin").collect().toSeq
+      === oneShot.orderBy("bin").collect().toSeq)
+    // hand-checked estimates on the uniform 0..99, width 10: rank(p500)
+    // = 50 → bin 4 (cum 50); rank(p990) = 99 → bin 9 (cum at 8 is 90)
+    val est = Incremental.quantileEstimate(merged, 10L, Seq(500, 990, 10))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(est === Seq((10L, 0L, 0L), (500L, 4L, 40L), (990L, 9L, 90L)))
+  }
+
+  test("quantileState: negative values bin by FLOOR, not truncate-toward-zero") {
+    import graft.operators.Incremental
+    import org.apache.spark.sql.functions._
+    // -15..-1: floor puts -15..-11 in bin -2 (5 values), -10..-1 in
+    // bin -1 (10 values); truncation would corrupt both
+    val vals = (-15L to -1L).toDF("v")
+    val st = Incremental.quantileState(vals, col("v"), 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(st === Map(-2L -> 5L, -1L -> 10L))
+    // p500 of 15 values: rank 8 → bin -1, lower edge -10
+    val est = Incremental.quantileEstimate(
+      Incremental.quantileState(vals, col("v"), 10L), 10L, Seq(500))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(est === Seq((500L, -1L, -10L)))
+  }
 }

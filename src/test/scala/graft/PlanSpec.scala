@@ -463,6 +463,39 @@ class PlanSpec extends SparkSpec {
       "the quantity bar must filter the per-order aggregate before the joins")
   }
 
+  test("x304: the groupBy-split self-join folds to ONE aggregation over ONE scan") {
+    import graft.core.Tables
+    import org.apache.spark.sql.functions._
+    val a = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    val b = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum(Relational.cents(col("o_totalprice"))).as("spend_cents"))
+    val p = plan(a.join(b, Seq("o_custkey")).orderBy("o_custkey"))
+    assert(!p.contains("Join"),
+      s"MergeAggSelfJoin must fold the self-join:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      "the fold must eliminate the second orders scan")
+  }
+
+  test("x305: rolling median windows are user-partitioned, never global") {
+    import graft.core.Tables
+    val p = plan(graft.operators.Sessions.rollingMedian(
+      Tables.events(spark, sf)))
+    assert(p.contains("hashpartitioning(user_id"),
+      "the window must key on the high-cardinality user, not run global")
+  }
+
+  test("x302: segment occurrence counts shuffle md5 fingerprints, not text") {
+    import graft.core.Tables
+    val p = graft.operators.TextAnalysis
+      .boilerplateScrub(Tables.documents(spark, sf))
+      .queryExecution.optimizedPlan.toString
+    // the counting aggregate must group on seg_fp (the 16-byte md5),
+    // never on the raw segment text
+    assert(p.contains("Aggregate [seg_fp"),
+      s"occurrence counting must key on the fingerprint:\n$p")
+  }
+
   test("x301 Q11: ONE corpus scan feeds both the brand table and its total") {
     val p = plan(Relational.revenueConcentration(spark, sf))
     assert("FileScan parquet".r.findAllIn(p).size === 2,

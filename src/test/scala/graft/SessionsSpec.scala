@@ -303,4 +303,24 @@ class SessionsSpec extends SparkSpec {
       (1L, 4L, 1L, 500000L, 250000L),
       (2L, 1L, 0L, 0L, 0L)))
   }
+
+  test("rollingMedian: lower-median convention over the bounded frame, nulls excluded") {
+    val events = ev(
+      (1L, 1L, 10L, "a", 1.0),   // frame [100]            → 100
+      (1L, 2L, 20L, "a", 5.0),   // frame [100,500]        → 100 (lower)
+      (1L, 3L, 30L, "a", 3.0),   // frame [100,300,500]    → 300
+      (1L, 4L, 40L, "a", 9.0),   // frame [300,500,900]    → 500 (e1 aged out)
+      (2L, 5L, 10L, "a", 2.5))   // own partition          → 250
+    val out = Sessions.rollingMedian(events, window = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 1L, 100L), (2L, 1L, 2L, 100L), (3L, 1L, 3L, 300L),
+      (4L, 1L, 3L, 500L), (5L, 2L, 1L, 250L)))
+    // a NULL value row contributes nothing — not even to n_window
+    val withNull = ev((1L, 1L, 10L, "a", 1.0))
+      .unionByName(Seq((1L, 2L, 20L, "a")).toDF("user_id", "event_id", "ts_ns", "event_type")
+        .withColumn("value", lit(null).cast("double")))
+    val n = Sessions.rollingMedian(withNull, window = 3).count()
+    assert(n === 1L)
+  }
 }

@@ -917,4 +917,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b.getString(0) === "B" && b.getLong(1) === 0L
       && b.isNullAt(2) && b.isNullAt(5))
   }
+
+  test("boilerplateScrub: the shared segment drops from every host, unique text survives") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // three docs share an exact 16-word head segment (occ = 3 >= bar),
+    // each keeps a distinct tail; a short doc is its own single segment
+    val shared = (1 to 16).map(_ => "the").mkString(" ")
+    val d = Seq(
+      (1L, s"$shared alpha beta"),
+      (2L, s"$shared gamma"),
+      (3L, s"$shared delta epsilon zeta"),
+      (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateScrub(d, segTokens = 16, dfBar = 3L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, md5hex("alpha beta")),
+      (2L, 2L, 1L, md5hex("gamma")),
+      (3L, 2L, 1L, md5hex("delta epsilon zeta")),
+      (4L, 1L, 0L, md5hex("x y z"))))
+    // below the bar nothing drops and the rebuild is the identity
+    val lax = TextAnalysis.boilerplateScrub(d, segTokens = 16, dfBar = 4L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(lax.map(_._3).sum === 0L)
+    assert(lax.head._4 === md5hex(s"$shared alpha beta"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.boilerplateScrub(d, dfBar = 1L)
+    }
+  }
 }
