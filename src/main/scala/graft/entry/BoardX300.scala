@@ -73,7 +73,25 @@ private[graft] object BoardX300 {
     // per-user rolling median spend over the last 9 events — the
     // robust rolling statistic; user-keyed window, 9-row frame
     "x305_rolling_median" -> ((s, d) =>
-      Sessions.rollingMedian(Tables.events(s, d))))
+      Sessions.rollingMedian(Tables.events(s, d))),
+    // one distributed BPE merge iteration: weighted pair census →
+    // argmax (self-pairs excluded) → corpus-wide greedy merge →
+    // post-merge census; everything after the corpus scan runs on the
+    // bounded word vocabulary
+    "x306_bpe_merge_step" -> ((s, d) =>
+      TextAnalysis.bpeMergeStep(Tables.documents(s, d))),
+    // quality-ranked per-source cap (C4/Dolma domain cap) with
+    // kept/dropped mass accounting through the native bounded top-k
+    "x307_domain_cap" -> ((s, d) =>
+      graft.operators.Sampling.domainCap(Tables.documents(s, d), cap = 10)),
+    // sliding p50/p95 of event value over a 7-day pane window — pane
+    // histograms merge losslessly into every window they feed (the
+    // x303 refresh law at window granularity)
+    "x308_pane_quantile" -> ((s, d) =>
+      Incremental.paneSlidingQuantile(Tables.events(s, d),
+        paneMicros = 86400000000L, windowPanes = 7,
+        valueCol = Relational.cents(col("value")), binWidth = 100L,
+        permilles = Seq(500, 950))))
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -198,5 +216,81 @@ private[graft] object BoardX300 {
        WHERE value IS NOT NULL AND user_id IS NOT NULL
        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
                     ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
-       ORDER BY event_id""")
+       ORDER BY event_id""",
+    // x306: the full census → argmax → two-pass separator replace →
+    // census chain replayed; replace() is left-to-right non-overlapping
+    // in BOTH engines, which is the documented merge contract
+    "x306_bpe_merge_step" ->
+      """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+                 FROM documents WHERE text IS NOT NULL)
+           WHERE len(word) >= 2 AND word NOT LIKE '%|%' GROUP BY 1),
+       cs AS (SELECT wfreq, string_split(word, '') AS cs FROM w),
+       pc AS (SELECT cs[i] AS a, cs[i + 1] AS b,
+                CAST(SUM(wfreq) AS BIGINT) AS n
+              FROM cs, UNNEST(range(1, len(cs))) AS r(i) GROUP BY 1, 2),
+       best AS (SELECT a AS best_a, b AS best_b FROM pc WHERE a <> b
+                ORDER BY n DESC, a, b LIMIT 1),
+       m AS (SELECT wfreq, best_a, best_b,
+               replace(replace(
+                 '|' || array_to_string(cs, '|') || '|',
+                 '|' || best_a || '|' || best_b || '|',
+                 '|' || best_a || best_b || '|'),
+                 '|' || best_a || '|' || best_b || '|',
+                 '|' || best_a || best_b || '|') AS s
+             FROM cs, best),
+       tk AS (SELECT wfreq, best_a, best_b,
+                list_filter(string_split(s, '|'), x -> x <> '') AS toks
+              FROM m),
+       post AS (SELECT best_a, best_b, toks[i] AS pair_a,
+                  toks[i + 1] AS pair_b, CAST(SUM(wfreq) AS BIGINT) AS n
+                FROM tk, UNNEST(range(1, len(toks))) AS r(i)
+                WHERE len(toks) >= 2 GROUP BY 1, 2, 3, 4)
+       SELECT best_a, best_b, pair_a, pair_b, n FROM post
+       ORDER BY n DESC, pair_a, pair_b LIMIT 10""",
+    // x307: the rank-window replay of the bounded-aggregate top-k —
+    // same (score DESC, doc_id) tie order, same accounting
+    "x307_domain_cap" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             AND doc_id IS NOT NULL),
+       r AS (SELECT source, n_chars, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+             FROM base),
+       t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_score
+             FROM base GROUP BY 1),
+       k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_score
+             FROM r WHERE rn <= 10 GROUP BY 1)
+       SELECT t.source AS source, n_docs, n_kept,
+         n_docs - n_kept AS n_dropped, total_score, kept_score,
+         total_score - kept_score AS dropped_score
+       FROM t JOIN k ON t.source = k.source ORDER BY source""",
+    // x308: pane histogram → window fan-out → cumulative rank pick,
+    // all exact integers; pmod-floor binning replayed with the
+    // ((v % W) + W) % W spelling (// truncates toward zero)
+    "x308_pane_quantile" ->
+      """WITH e AS (SELECT event_type AS t,
+             (epoch_ns(ts) // 1000) // 86400000000 AS pane,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+       p AS (SELECT t, pane, (v - (((v % 100) + 100) % 100)) // 100 AS bin,
+               CAST(count(*) AS BIGINT) AS n
+             FROM e GROUP BY 1, 2, 3),
+       c AS (SELECT t, pane + CAST(wo AS BIGINT) AS wend, bin,
+               CAST(SUM(n) AS BIGINT) AS n
+             FROM p, UNNEST(range(0, 7)) AS r(wo) GROUP BY 1, 2, 3),
+       cc AS (SELECT t, wend, bin, n,
+               SUM(n) OVER (PARTITION BY t, wend ORDER BY bin) AS cum,
+               SUM(n) OVER (PARTITION BY t, wend) AS tot FROM c),
+       q AS (SELECT CAST(UNNEST([500, 950]) AS BIGINT) AS permille)
+       SELECT t AS event_type, CAST(wend - 6 AS BIGINT) AS win_start_pane,
+         CAST(wend AS BIGINT) AS win_end_pane, permille,
+         CAST(MAX(tot) AS BIGINT) AS n, CAST(MIN(bin) AS BIGINT) AS bin,
+         CAST(MIN(bin) * 100 AS BIGINT) AS lo_value
+       FROM q JOIN cc ON cc.cum >= GREATEST(1, (q.permille * cc.tot + 999) // 1000)
+       GROUP BY t, wend, permille
+       ORDER BY event_type, win_end_pane, permille""")
 }

@@ -289,4 +289,69 @@ object Incremental {
         coalesce(col("est"), lit(0L)).as("n_distinct_est"))
       .orderBy(typeCol, "win_end_pane")
   }
+
+  /** Pane-decomposed SLIDING QUANTILES — [[paneSlidingCounts]] with a
+    * [[quantileState]] histogram as the pane partial: per-pane (bin,
+    * count) partials merge losslessly into each sliding window they
+    * feed, so "p95 latency over the trailing week, daily" never
+    * re-scans a week of events per day — the pane histogram is built
+    * once and ADDED seven times (the monoid the count pane uses, now
+    * carrying a distribution instead of a scalar). The third pane
+    * instance after count (x36-family) and HLL (x179), completing the
+    * refresh-law triangle at window granularity.
+    *
+    * Scale shape: the only corpus-scale work is the (type, pane, bin)
+    * aggregation with map-side combine; pane→window fan-out explodes
+    * the BOUNDED pane-histogram table ×windowPanes; the cumulative /
+    * total / rank-pick windows run per (type, window) over ≤|bins|
+    * rows each (bounded-table window discipline). Windows with no
+    * events emit nothing — an empty histogram has no quantile (the
+    * count twin reports its 0 instead).
+    *
+    * @return (event_type, win_start_pane, win_end_pane, permille, n,
+    *         bin, lo_value) ordered (type, window, permille). */
+  def paneSlidingQuantile(events: DataFrame, paneMicros: Long,
+                          windowPanes: Int, valueCol: Column,
+                          binWidth: Long, permilles: Seq[Int],
+                          typeCol: String = "event_type",
+                          tsCol: String = "ts"): DataFrame = {
+    require(paneMicros > 0, s"paneMicros ($paneMicros) must be > 0")
+    require(windowPanes >= 1 && windowPanes <= 100000,
+      s"windowPanes ($windowPanes) must be in [1, 1e5]")
+    require(binWidth >= 1L, s"binWidth ($binWidth) must be >= 1")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000], got ${permilles.mkString(",")}")
+    import org.apache.spark.sql.expressions.Window
+    val panes = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull
+        && valueCol.isNotNull)
+      .select(col(typeCol).as("t"),
+        expr(s"unix_micros($tsCol) div ${paneMicros}L").as("pane"),
+        valueCol.cast("long").as("__v"))
+      .select(col("t"), col("pane"),
+        expr(s"(__v - pmod(__v, ${binWidth}L)) div ${binWidth}L").as("bin"))
+      .groupBy("t", "pane", "bin").agg(count(lit(1)).as("n"))
+    val perWindow = panes
+      .select(col("t"), col("bin"), col("n"),
+        explode(sequence(col("pane"),
+          col("pane") + lit(windowPanes - 1L))).as("wend"))
+      .groupBy("t", "wend", "bin").agg(sum("n").as("n"))
+    val cumW = Window.partitionBy("t", "wend").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy("t", "wend")
+    perWindow
+      .withColumn("cum", sum("n").over(cumW))
+      .withColumn("tot", sum("n").over(totW))
+      .withColumn("permille",
+        explode(array(permilles.distinct.sorted.map(p => lit(p.toLong)): _*)))
+      .filter(col("cum") >= greatest(lit(1L),
+        expr("(permille * tot + 999) div 1000")))
+      .groupBy("t", "wend", "permille")
+      .agg(min("bin").as("bin"), max("tot").as("n"))
+      .select(col("t").as(typeCol),
+        (col("wend") - lit(windowPanes - 1L)).as("win_start_pane"),
+        col("wend").as("win_end_pane"), col("permille"), col("n"),
+        col("bin"), (col("bin") * lit(binWidth)).as("lo_value"))
+      .orderBy(typeCol, "win_end_pane", "permille")
+  }
 }

@@ -712,4 +712,45 @@ object Sampling {
       .orderBy(col("priority_micro").desc, col("key"))
       .limit(n)
   }
+
+  /** QUALITY-RANKED PER-SOURCE CAP — the domain-cap stage (C4 capped
+    * pages per domain; Dolma caps URLs) with the accounting a mix
+    * review needs: keep the best `cap` documents per source by
+    * (score DESC, doc_id) and report what each source keeps vs loses
+    * in documents AND character mass. [[groupSample]] is the UNIFORM
+    * per-group cut; this is the quality-ranked one — "which feed's
+    * tail are we cutting" is the question the report answers.
+    *
+    * Scale shape: the kept set comes from the native `topk_pairs`
+    * bounded aggregate ([[graft.queries.Relational.groupedTopK]]) —
+    * each task folds to a ≤cap buffer map-side, so the shuffle carries
+    * O(sources·cap) rows and a giant source never drags through one
+    * rank-window task; totals are one map-side-combined aggregation;
+    * the report join is |sources|-bounded.
+    *
+    * Docs with NULL source, score or id are excluded — no rank, no
+    * mass to account.
+    *
+    * @param scoreCol integral quality score (n_chars here; any permille
+    *                 quality column at 100 TB)
+    * @return (source, n_docs, n_kept, n_dropped, total_score,
+    *         kept_score, dropped_score), source-ordered. */
+  def domainCap(docs: DataFrame, cap: Int,
+                scoreCol: String = "n_chars"): DataFrame = {
+    require(cap >= 1, s"cap ($cap) must be >= 1")
+    val base = docs.filter(col("source").isNotNull
+      && col(scoreCol).isNotNull && col("doc_id").isNotNull)
+    val totals = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(scoreCol).as("total_score"))
+    val kept = graft.queries.Relational
+      .groupedTopK(base, "source", "doc_id", scoreCol, cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(scoreCol).as("kept_score"))
+    totals.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("total_score"), col("kept_score"),
+        (col("total_score") - col("kept_score")).as("dropped_score"))
+      .orderBy("source")
+  }
 }

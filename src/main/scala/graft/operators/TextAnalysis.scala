@@ -323,6 +323,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One DISTRIBUTED BPE MERGE iteration — the inner step of byte-pair
+    * tokenizer TRAINING (Sennrich et al.), the vocab-induction side
+    * [[bpeishTokenCount]] only consumes: count adjacent symbol pairs
+    * over the weighted word vocabulary, pick the most frequent pair,
+    * apply the merge corpus-wide, and report the post-merge pair
+    * census (the input to the NEXT iteration). A training loop is this
+    * operator iterated V times with the symbol table threaded through.
+    *
+    * Scale shape — everything after the first aggregation runs on the
+    * VOCABULARY, never the corpus: one corpus scan collapses text to
+    * (word, freq); symbol/pair derivation is row-local array work on
+    * that bounded table; pair counts weight by word frequency with
+    * map-side combine; the argmax is a 1-row broadcast.
+    *
+    * Merge semantics: greedy LEFT-TO-RIGHT non-overlapping, applied
+    * via the separator-string form ("|c|a|t|" → replace "|a|t|" with
+    * "|at|", run TWICE — pass 1 can consume the shared boundary of an
+    * adjacent occurrence, pass 2 provably catches every survivor, and
+    * with a ≠ b two passes are exact token-greedy). SELF-pairs (a = b)
+    * are excluded from the argmax: their greedy grouping on odd runs
+    * is representation-dependent ("aaaaa" → (aa)(aa)a vs (aa)a(aa)),
+    * and the dominant pair of natural text is never a self-pair —
+    * documented, not hidden. Words shorter than 2 symbols carry no
+    * pairs and are excluded; '|' is reserved as the separator (rows
+    * containing it are excluded on both engines identically).
+    *
+    * @return topK post-merge rows (best_a, best_b, pair_a, pair_b, n)
+    *         — the applied merge plus the next census, (n DESC, pair)
+    *         ordered. */
+  def bpeMergeStep(docs: DataFrame, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2 && !col("word").contains("|"))
+      .groupBy("word").agg(count(lit(1)).as("wfreq"))
+    val pairCounts = words
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select(col("wfreq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> " +
+          "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("wfreq").as("n"))
+    val best = pairCounts.filter(col("a") =!= col("b"))
+      .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      .select(col("a").as("best_a"), col("b").as("best_b"))
+    words.crossJoin(broadcast(best))
+      .withColumn("s", concat(lit("|"),
+        expr("array_join(transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)), '|')"), lit("|")))
+      .withColumn("pat",
+        concat(lit("|"), col("best_a"), lit("|"), col("best_b"), lit("|")))
+      .withColumn("rep",
+        concat(lit("|"), col("best_a"), col("best_b"), lit("|")))
+      .withColumn("toks", expr(
+        "filter(split(replace(replace(s, pat, rep), pat, rep), '\\\\|'), " +
+          "x -> x <> '')"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("wfreq"), col("best_a"), col("best_b"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .groupBy(col("best_a"), col("best_b"),
+        col("p.a").as("pair_a"), col("p.b").as("pair_b"))
+      .agg(sum("wfreq").as("n"))
+      .orderBy(col("n").desc, col("pair_a"), col("pair_b"))
+      .limit(topK)
+  }
+
   /** Corpus-novelty score: permille of a document's DISTINCT k-grams
     * that appear in no other document (corpus document-frequency 1) —
     * high novelty marks genuinely fresh content, low novelty marks

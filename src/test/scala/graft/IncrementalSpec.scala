@@ -207,4 +207,24 @@ class IncrementalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(est === Seq((500L, -1L, -10L)))
   }
+
+  test("paneSlidingQuantile: pane histograms add into every window they feed") {
+    import graft.operators.Incremental
+    import org.apache.spark.sql.functions._
+    // pane width 100 µs; X: pane 0 values 5, 15 / pane 1 value 25;
+    // W = 2 → windows ending 0 [5,15], 1 [5,15,25], 2 [25]
+    val events = Seq((50L, "X", 5L), (60L, "X", 15L), (150L, "X", 25L))
+      .toDF("us", "event_type", "v")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val out = Incremental.paneSlidingQuantile(events, paneMicros = 100L,
+        windowPanes = 2, valueCol = col("v"), binWidth = 10L,
+        permilles = Seq(500))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("X", -1L, 0L, 500L, 2L, 0L, 0L),   // rank 1 of [bin0, bin1]
+      ("X", 0L, 1L, 500L, 3L, 1L, 10L),   // rank 2 of 3 → bin 1
+      ("X", 1L, 2L, 500L, 1L, 2L, 20L)))  // rank 1 of [bin2]
+    // empty windows emit nothing (the count twin reports zeros instead)
+    assert(!out.exists(_._5 == 0L))
+  }
 }

@@ -505,4 +505,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedHashSample(df, "doc_id", "w", n = 0)
     }
   }
+
+  test("domainCap: best-N by (score DESC, id) per source, exact mass accounting, no rank window") {
+    val docs = Seq(
+      (1L, "A", 5L), (2L, "A", 3L), (3L, "A", 1L),   // cap 2 keeps 5, 3
+      (4L, "B", 7L),                                   // under cap — all kept
+      (5L, "C", 4L), (6L, "C", 4L), (7L, "C", 4L))     // tie → ids 5, 6 kept
+      .toDF("doc_id", "source", "n_chars")
+    val out = Sampling.domainCap(docs, cap = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("A", 3L, 2L, 1L, 9L, 8L, 1L),
+      ("B", 1L, 1L, 0L, 7L, 7L, 0L),
+      ("C", 3L, 2L, 1L, 12L, 8L, 4L)))
+    // the kept set must come from the bounded aggregate, never a window
+    val p = Sampling.domainCap(docs, cap = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_pairs") && !p.contains("Window"),
+      "domain cap must pre-reduce map-side (the x255 discipline)")
+  }
 }

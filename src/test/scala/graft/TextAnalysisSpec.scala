@@ -947,4 +947,31 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.boilerplateScrub(d, dfBar = 1L)
     }
   }
+
+  test("bpeMergeStep: weighted argmax, deterministic tie, exact greedy merge") {
+    // cat×2 + hat: pairs (c,a)=3, (a,t)=3, (h,a)=1 — the tie resolves
+    // (n DESC, a, b) → (a,t); merged: cat→[c,at], hat→[h,at]
+    val d = Seq((1L, "cat cat hat")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStep(d)
+      .as[(String, String, String, String, Long)].collect().toSeq
+    assert(out === Seq(("a", "t", "c", "at", 2L), ("a", "t", "h", "at", 1L)))
+  }
+
+  test("bpeMergeStep: self-pairs never win; fully-merged 2-char words leave the census") {
+    // pairs: (a,a)=2 (self — excluded), (b,b)=1 (self), (a,b)=1 → best
+    // (a,b); 'ab' merges to ONE token and exits; aa/bb keep their pairs
+    val d = Seq((1L, "aa aa bb ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStep(d)
+      .as[(String, String, String, String, Long)].collect().toSeq
+    assert(out === Seq(("a", "b", "a", "a", 2L), ("a", "b", "b", "b", 1L)))
+  }
+
+  test("bpeMergeStep: adjacent occurrences all merge (the two-pass replace contract)") {
+    // "ababab": (a,b)=3, (b,a)=2 → best (a,b); token-greedy yields
+    // [ab,ab,ab] — pass 1 alone would leave the middle pair unmerged
+    val d = Seq((1L, "ababab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStep(d)
+      .as[(String, String, String, String, Long)].collect().toSeq
+    assert(out === Seq(("a", "b", "ab", "ab", 2L)))
+  }
 }
