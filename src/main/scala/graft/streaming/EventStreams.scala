@@ -296,6 +296,93 @@ object EventStreams {
       }
   }
 
+  case class ValueEvent(user_id: Long, event_id: Long, ts_ns: Long,
+                        v_cents: Long)
+  case class RollingMedianOut(event_id: Long, user_id: Long,
+                              n_window: Long, med_cents: Long)
+
+  /** Streaming ROLLING MEDIAN — the in-flight twin of
+    * [[graft.operators.Sessions.rollingMedian]]: per user, the lower
+    * median of the last `window` values in (ts_ns, event_id) order.
+    * State per user is at most `window − 1` longs (the open frame's
+    * tail); within a micro-batch events fold in (ts_ns, event_id)
+    * order, so on IN-ORDER input the stream is row-for-row the batch
+    * window — the debounceStream equivalence contract, spec-asserted.
+    *
+    * No timeout by design at this key cardinality; the production
+    * variant adds EventTimeTimeout eviction exactly as the other
+    * per-user states do when the key space is unbounded. */
+  def rollingMedianStream(events: Dataset[ValueEvent],
+                          window: Int = 9): Dataset[RollingMedianOut] = {
+    import events.sparkSession.implicits._
+    require(window >= 1, s"window ($window) must be >= 1")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], RollingMedianOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[ValueEvent], state: GroupState[Seq[Long]]) =>
+          var tail: Seq[Long] = state.getOption.getOrElse(Seq.empty)
+          val out = batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).map { e =>
+            val frame = (tail :+ e.v_cents).takeRight(window)
+            val med = frame.sorted.apply((frame.size + 1) / 2 - 1)
+            tail = frame.takeRight(window - 1)
+            RollingMedianOut(e.event_id, user, frame.size.toLong, med)
+          }
+          state.update(tail)
+          out.iterator
+      }
+  }
+
+  /** Streaming QUANTILE GATE — the in-flight face of the x303/x308
+    * histogram-quantile family: per event-time window, a fixed-grid
+    * value histogram held as |bins| conditional counts inside ONE
+    * windowed aggregation (the [[psiDriftStream]] shape — no chained
+    * stateful operators), then the permille rank is picked ROW-LOCALLY
+    * from those counts and compared against the alert bar. "p95 spend
+    * above $X this hour" while the data is in flight; the batch twin
+    * is the same histogram read by [[graft.operators.Incremental
+    * .paneSlidingQuantile]] at windowPanes = 1. State per open window
+    * = nBins longs.
+    *
+    * Bins are floor(cents / binWidth) clamped to [0, nBins) — the top
+    * bin is open, matching the batch grid on in-range values
+    * (spec-asserted on the shared range).
+    *
+    * @return (window_start, window_end, n_events, bin, lo_value,
+    *         breach) — one row per closed window with data. */
+  def quantileGateStream(events: DataFrame, binWidth: Long, nBins: Int,
+                         permille: Int, barLoValue: Long,
+                         windowLen: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    require(binWidth >= 1L, s"binWidth ($binWidth) must be >= 1")
+    require(nBins >= 1 && nBins <= 1024, s"nBins ($nBins) must be in [1, 1024]")
+    require(permille >= 1 && permille <= 1000,
+      s"permille ($permille) must be in [1, 1000]")
+    val bin = least(greatest(
+      expr(s"CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div ${binWidth}L"),
+      lit(0L)), lit(nBins - 1L))
+    val binCounts = (0 until nBins).map(i =>
+      sum(when(bin === i.toLong, 1L).otherwise(0L)).as(s"c$i"))
+    events.withWatermark("ts", watermark)
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(binCounts.head, binCounts.tail: _*)
+      .withColumn("n_events",
+        (0 until nBins).map(i => col(s"c$i")).reduce(_ + _))
+      .withColumn("__rank", greatest(lit(1L),
+        expr(s"(n_events * ${permille}L + 999) div 1000")))
+      .withColumn("__bins", array((0 until nBins).map(i => col(s"c$i")): _*))
+      .withColumn("bin", expr(s"filter(transform(sequence(0, ${nBins - 1}), " +
+        "i -> named_struct('i', CAST(i AS BIGINT), " +
+        "'cum', aggregate(slice(__bins, 1, CAST(i + 1 AS INT)), 0L, " +
+        "(a, x) -> a + x))), s -> s.cum >= __rank)[0].i"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("bin"),
+        (col("bin") * lit(binWidth)).as("lo_value"),
+        when(col("bin") * lit(binWidth) > barLoValue, lit(1))
+          .otherwise(lit(0)).as("breach"))
+  }
+
   case class GapBucketOut(event_id: Long, user_id: Long,
                           event_type: String, bucket: Int)
 

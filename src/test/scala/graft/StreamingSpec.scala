@@ -1041,4 +1041,75 @@ class StreamingSpec extends SparkSpec with SlowSuite {
     assert(ids.toSet === (disorderedEvs.map(_.event_id).toSet + 99L),
       "an event was late-dropped despite the p1000-sized watermark")
   }
+
+  test("rollingMedianStream matches the batch rolling median across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.ValueEvent]
+    val out = EventStreams.rollingMedianStream(input.toDS(), window = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("rollmed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 opens the frame; batch 2 MUST extend it from state
+      input.addData(Seq(
+        EventStreams.ValueEvent(1L, 1L, 10L, 100L),
+        EventStreams.ValueEvent(1L, 2L, 20L, 500L),
+        EventStreams.ValueEvent(2L, 5L, 10L, 250L)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        EventStreams.ValueEvent(1L, 3L, 30L, 300L),
+        EventStreams.ValueEvent(1L, 4L, 40L, 900L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rollmed")
+      .select("event_id", "n_window", "med_cents")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // batch twin on the same rows (values chosen so cents(v) = v_cents)
+    val batch = graft.operators.Sessions.rollingMedian(
+      Seq((1L, 1L, 10L, 1.0), (1L, 2L, 20L, 5.0), (2L, 5L, 10L, 2.5),
+        (1L, 3L, 30L, 3.0), (1L, 4L, 40L, 9.0))
+        .toDF("user_id", "event_id", "ts_ns", "value"), window = 3)
+      .select("event_id", "n_window", "med_cents")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(streamed === batch)
+    assert(streamed === Seq((1L, 1L, 100L), (2L, 2L, 100L), (3L, 3L, 300L),
+      (4L, 3L, 500L), (5L, 1L, 250L)))
+  }
+
+  test("quantileGateStream ≡ paneSlidingQuantile at one-pane windows; clamp + breach") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // 1-minute windows; in-range values only for the equivalence leg
+    val gated = EventStreams.quantileGateStream(input.toDF(),
+      binWidth = 100L, nBins = 8, permille = 500, barLoValue = 200L,
+      windowLen = "1 minute", watermark = "0 seconds")
+    val rows = Seq(
+      Ev(1, ts("2024-01-01 00:00:05"), 1, "x", 1.0),
+      Ev(2, ts("2024-01-01 00:00:15"), 1, "x", 2.0),
+      Ev(3, ts("2024-01-01 00:00:25"), 1, "x", 3.0),   // win A: med bin 2
+      Ev(4, ts("2024-01-01 00:01:05"), 1, "x", 5.0),
+      Ev(5, ts("2024-01-01 00:01:15"), 1, "x", 6.0))   // win B: med bin 5 → breach
+    runBatches(input, "qgate", gated, OutputMode.Append(),
+      Seq(rows, Seq(Ev(9, ts("2024-01-01 02:00:00"), 9, "x", 0.0))))
+    val streamed = spark.table("qgate")
+      .select("window_start", "n_events", "bin", "lo_value", "breach")
+      .as[(Timestamp, Long, Long, Long, Int)].collect().toSeq
+      .sortBy(_._1.getTime).take(2)
+    assert(streamed.map(t => (t._2, t._3, t._4, t._5))
+      === Seq((3L, 2L, 200L, 0), (2L, 5L, 500L, 1)))
+    // the batch face: same histogram read at windowPanes = 1
+    val batch = graft.operators.Incremental.paneSlidingQuantile(
+      rows.map(e => (e.ts, e.event_type, e.value))
+        .toDF("ts", "event_type", "value"),
+      paneMicros = 60000000L, windowPanes = 1,
+      valueCol = graft.queries.Relational.cents(col("value")),
+      binWidth = 100L, permilles = Seq(500))
+      .select("win_end_pane", "n", "bin", "lo_value")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(batch.map(t => (t._2, t._3, t._4))
+      === streamed.map(t => (t._2, t._3, t._4)),
+      "the stream gate and the batch pane read must agree on the shared grid")
+    assert(batch.map(_._1) === streamed.map(
+      t => t._1.getTime * 1000L / 60000000L),
+      "1-pane windows must align with the epoch-aligned stream windows")
+  }
 }
