@@ -91,7 +91,19 @@ private[graft] object BoardX300 {
       Incremental.paneSlidingQuantile(Tables.events(s, d),
         paneMicros = 86400000000L, windowPanes = 7,
         valueCol = Relational.cents(col("value")), binWidth = 100L,
-        permilles = Seq(500, 950))))
+        permilles = Seq(500, 950))),
+    // TPC-H Q10: top returned-revenue customers for a quarter — each
+    // predicate on its own scan, TakeOrderedAndProject cut
+    "x309_returned_revenue" -> ((s, d) =>
+      Relational.returnedItemReport(s, d)),
+    // TPC-H Q12: conditional class census over a residual-predicate
+    // join (priority class standing in for the absent ship mode)
+    "x310_priority_class" -> ((s, d) =>
+      Relational.latePriorityClassCensus(s, d)),
+    // TPC-H Q14: promo share in exact integer micro-units — both sums
+    // ride ONE aggregation, DECIMAL cross-multiply, no float ratio
+    "x311_promo_share" -> ((s, d) =>
+      Relational.promoRevenueShare(s, d)))
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -292,5 +304,47 @@ private[graft] object BoardX300 {
          CAST(MIN(bin) * 100 AS BIGINT) AS lo_value
        FROM q JOIN cc ON cc.cum >= GREATEST(1, (q.permille * cc.tot + 999) // 1000)
        GROUP BY t, wend, permille
-       ORDER BY event_type, win_end_pane, permille""")
+       ORDER BY event_type, win_end_pane, permille""",
+    // x309: the Q10 star verbatim
+    "x309_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+           AS BIGINT)) AS BIGINT) AS revenue_cents
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1997-04-01'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue_cents DESC, c_custkey
+       LIMIT 20""",
+    // x310: the Q12 conditional census with the residual lateness join
+    "x310_priority_class" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+       FROM orders, lineitem
+       WHERE l_orderkey = o_orderkey
+         AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""",
+    // x311: the Q14 ratio in exact micro-units (HUGEINT cross-multiply;
+    // NULL on an empty month, never a divide-by-zero)
+    "x311_promo_share" ->
+      """SELECT CAST(promo_cents AS BIGINT) AS promo_cents,
+         CAST(total_cents AS BIGINT) AS total_cents,
+         CAST((promo_cents * 1000000) // NULLIF(total_cents, 0) AS BIGINT)
+           AS promo_share_micro
+       FROM (SELECT
+           SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT) ELSE 0 END) AS promo_cents,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS total_cents
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1997-09-01'
+           AND l_shipdate < TIMESTAMP '1997-10-01')""")
 }

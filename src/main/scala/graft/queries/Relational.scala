@@ -764,4 +764,92 @@ object Relational {
       .select(col("p_brand"), col("revenue_cents"))
       .orderBy(col("revenue_cents").desc, col("p_brand"))
   }
+
+  /** TPC-H Q10 shape (x309): top customers by RETURNED revenue in a
+    * quarter — the "who is sending the most value back" account-review
+    * list. Four-way star (customer ⋈ orders ⋈ lineitem ⋈ nation) with
+    * each predicate on its own scan and the cut a TakeOrderedAndProject.
+    *
+    * Plan shape: the order-date window prunes orders at the scan and
+    * the R-flag prunes lineitem at the scan BEFORE either joins; the
+    * two fact joins shuffle on their keys at 100 TB (no hints — AQE
+    * broadcasts at small SF); nation broadcasts by hint. Grouping by
+    * (custkey, name, nation) adds no extra shuffle beyond the custkey
+    * the join already established.
+    *
+    * @return (c_custkey, c_name, n_name, revenue_cents) revenue-desc
+    *         top-20. */
+  def returnedItemReport(s: SparkSession, d: String,
+                         fromDate: String = "1997-01-01",
+                         toDate: String = "1997-04-01"): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp")
+        && col("o_orderdate") < lit(toDate).cast("timestamp"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape (x310): late-shipment census split by order
+    * priority CLASS — per return flag, how many late-shipped lines
+    * belong to critical (1-URGENT/2-HIGH) vs ordinary orders. The
+    * conditional-aggregation-over-a-join shape Q12 grades (the
+    * reference keys it by ship mode, a column this corpus lacks —
+    * return flag is the stand-in axis, the class split is verbatim).
+    *
+    * Plan shape: the lateness predicate is a join residual (it
+    * correlates both sides); orders is pruned to 3 columns, lineitem
+    * to 3; one fact-fact key shuffle, then a 3-row aggregate.
+    *
+    * @return (l_returnflag, high_count, low_count), flag-ordered. */
+  def latePriorityClassCensus(s: SparkSession, d: String,
+                              graceDays: Int = 30): DataFrame = {
+    val isHigh = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate", "l_returnflag"),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate")
+            + expr(s"INTERVAL $graceDays DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q14 shape (x311): promo revenue share for one ship-month —
+    * the two-aggregates-one-scan ratio (`100 * promo / total`) Q14
+    * grades, in exact integer micro-units: both sums are cents, the
+    * share is a DECIMAL(38,0) cross-multiply + trunc division (never a
+    * float ratio — the repo's x296 discipline), NULL if the month is
+    * empty rather than a divide-by-zero.
+    *
+    * Plan shape: ONE lineitem(month-pruned) ⋈ part join; both the
+    * promo and total sums ride the SAME aggregation (conditional sum),
+    * so the ratio costs one scan, one join, one 1-row aggregate.
+    *
+    * @return one row (promo_cents, total_cents, promo_share_micro). */
+  def promoRevenueShare(s: SparkSession, d: String,
+                        monthStart: String = "1997-09-01",
+                        monthEnd: String = "1997-10-01"): DataFrame = {
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(monthStart).cast("timestamp")
+        && col("l_shipdate") < lit(monthEnd).cast("timestamp"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+        .as("promo_cents"),
+        sum(rev).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("CAST((CAST(promo_cents AS DECIMAL(38,0)) * 1000000) " +
+          "div nullif(total_cents, 0) AS BIGINT)").as("promo_share_micro"))
+  }
 }

@@ -496,6 +496,16 @@ class PlanSpec extends SparkSpec {
       s"occurrence counting must key on the fingerprint:\n$p")
   }
 
+  test("x309 Q10: both fact predicates reach their scans; the cut is TakeOrdered") {
+    val p = plan(Relational.returnedItemReport(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the quarter window must reach the orders scan")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "the return-flag predicate must reach the lineitem scan")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      "top-20 must pre-reduce per partition")
+  }
+
   test("x301 Q11: ONE corpus scan feeds both the brand table and its total") {
     val p = plan(Relational.revenueConcentration(spark, sf))
     assert("FileScan parquet".r.findAllIn(p).size === 2,

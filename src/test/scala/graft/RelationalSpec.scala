@@ -211,6 +211,34 @@ class RelationalSpec extends SparkSpec {
       === expectPairs)
   }
 
+  test("x309 Q10: returned-revenue top-20, desc order, positive revenue") {
+    val rows = Relational.returnedItemReport(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getLong(3)).toSeq
+    assert(revs === revs.sorted.reverse)
+    assert(revs.forall(_ > 0L))
+  }
+
+  test("x310 Q12: class split partitions the late-line census exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.latePriorityClassCensus(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("A", "N", "R"))
+    val totalLate = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === totalLate,
+      "high + low must partition the late lines — nothing double-counted or lost")
+  }
+
+  test("x311 Q14: share is the exact integer micro-ratio of the two sums") {
+    val r = Relational.promoRevenueShare(spark, sf).head()
+    val (promo, total, share) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(promo >= 0L && promo <= total)
+    assert(share === (BigInt(promo) * 1000000 / BigInt(total)).toLong)
+  }
+
   test("x301 Q11: every brand clears the exact total/30 bar; bar is binding") {
     val rows = Relational.revenueConcentration(spark, sf).collect()
     assert(rows.nonEmpty)
