@@ -510,4 +510,67 @@ class PropertySpec extends SparkSpec with SlowSuite {
       }
     }, n = 10)
   }
+
+  test("BPE two-pass separator replace ≡ token-greedy merge for a ≠ b (the x306 contract)") {
+    // the pure reference: scan left-to-right, merge (a, b) adjacencies
+    // non-overlapping — exactly what one BPE iteration does to a word
+    def greedy(word: String, a: Char, b: Char): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < word.length) {
+        if (word(i) == a && i + 1 < word.length && word(i + 1) == b) {
+          out += s"$a$b"; i += 2
+        } else { out += word(i).toString; i += 1 }
+      }
+      out.toList
+    }
+    def viaReplace(word: String, a: Char, b: Char): List[String] = {
+      val s = "|" + word.map(_.toString).mkString("|") + "|"
+      val pat = s"|$a|$b|"; val rep = s"|$a$b|"
+      s.replace(pat, rep).replace(pat, rep)
+        .split('|').filter(_.nonEmpty).toList
+    }
+    val gen = for {
+      word <- Gen.listOfN(12, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      a <- Gen.oneOf('a', 'b', 'c')
+      b <- Gen.oneOf('a', 'b', 'c') if a != b
+    } yield (word, a, b)
+    // pure string logic — no Spark round-trip, so the case count can be
+    // high enough to hit every adjacency/chain shape (aba, abab, aab…)
+    check(Prop.forAll(gen) { case (word, a, b) =>
+      word.length < 2 || viaReplace(word, a, b) == greedy(word, a, b)
+    }, n = 300)
+  }
+
+  test("quantileState: merge(random split) ≡ one-shot; estimates match a pure reference") {
+    import graft.operators.Incremental
+    val gen = for {
+      vals <- Gen.listOfN(40, Gen.chooseNum(-500L, 500L))
+      width <- Gen.oneOf(1L, 7L, 100L)
+      p <- Gen.chooseNum(1, 1000)
+    } yield (vals, width, p)
+    check(Prop.forAll(gen) { case (vals, width, p) =>
+      vals.isEmpty || {
+        val df = vals.toDF("v")
+        val oneShot = Incremental.quantileState(df, col("v"), width)
+        val merged = Incremental.mergeQuantile(Seq(
+          Incremental.quantileState(df.filter(col("v") % 3 === 0), col("v"), width),
+          Incremental.quantileState(df.filter(col("v") % 3 =!= 0), col("v"), width)))
+        val a = oneShot.orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val b = merged.orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // pure reference: floor-div bins, cumulative rank pick
+        val bins = vals.groupBy(v => Math.floorDiv(v, width)).view
+          .mapValues(_.size.toLong).toMap
+        val n = vals.size.toLong
+        val rank = math.max(1L, (p * n + 999L) / 1000L)
+        val expectBin = bins.keys.toSeq.sorted
+          .scanLeft((Long.MinValue, 0L)) { case ((_, c), bin) => (bin, c + bins(bin)) }
+          .drop(1).find(_._2 >= rank).get._1
+        val est = Incremental.quantileEstimate(merged, width, Seq(p))
+          .head()
+        a == b && a == bins.toSeq.sorted &&
+          est.getLong(1) == expectBin && est.getLong(2) == expectBin * width
+      }
+    }, n = 10)
+  }
 }
