@@ -21,6 +21,64 @@ import graft.queries.Relational
   * decorrelation itself, not just the arithmetic. */
 private[graft] object BoardX300 {
 
+  /** x312's oracle, GENERATED from the same loop spec as
+    * `Layout.hilbertValue` (8 unrolled xy2d rounds as chained CTEs —
+    * hand-maintaining 8 reflect/swap rounds in SQL is how the two
+    * spellings would drift apart; one generator means they can't).
+    * DuckDB notes: `xor()` is a function (its `^` is POWER), `&`/`>>`
+    * are two's-complement on BIGINT exactly like Spark's, which is
+    * what keeps the deliberately-negative reflection intermediates
+    * exact. */
+  private def hilbertOracle: String = {
+    val rounds = (7 to 0 by -1).zipWithIndex.map { case (bit, i) =>
+      val s = 1L << bit
+      val (px, py, pd) = (s"hx$i", s"hy$i", s"hd$i")
+      s"""h${i + 1} AS (SELECT qx, qy,
+         CASE WHEN ($py & $s) > 0 THEN $px
+              ELSE CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $py
+                        ELSE $py END END AS hx${i + 1},
+         CASE WHEN ($py & $s) > 0 THEN $py
+              ELSE CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $px
+                        ELSE $px END END AS hy${i + 1},
+         $pd + ${s * s} * xor(3 * (CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END),
+           CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END) AS hd${i + 1}
+       FROM h$i)"""
+    }.mkString(",\n       ")
+    val morton = (0 until 8).map(i =>
+      s"(((qx >> $i) & 1) << ${2 * i}) | (((qy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+    // tile grid: size 20, stride 24, offset 3 — de-aligned from every
+    // curve quadrant boundary; disjoint, so assignment is scan-side
+    def inTile(c: String) =
+      s"$c >= 3 AND (($c - 3) % 24) < 20 AND (($c - 3) // 24) * 24 + 23 <= 256"
+    s"""WITH base AS (SELECT DISTINCT CAST(l_partkey % 256 AS BIGINT) AS qx,
+         CAST(l_orderkey % 256 AS BIGINT) AS qy FROM lineitem
+       WHERE l_partkey IS NOT NULL AND l_orderkey IS NOT NULL),
+       h0 AS (SELECT qx, qy, qx AS hx0, qy AS hy0,
+              CAST(0 AS BIGINT) AS hd0 FROM base),
+       $rounds,
+       idx AS (SELECT 'hilbert' AS curve, hd8 AS idx, qx, qy FROM h8
+               UNION ALL
+               SELECT 'morton' AS curve, CAST($morton AS BIGINT) AS idx,
+                 qx, qy FROM base),
+       tiled AS (SELECT curve, idx, (qx - 3) // 24 AS tile_x,
+                   (qy - 3) // 24 AS tile_y
+                 FROM idx WHERE ${inTile("qx")} AND ${inTile("qy")}),
+       r AS (SELECT curve, tile_x, tile_y,
+               CASE WHEN lag(idx) OVER (PARTITION BY curve, tile_x, tile_y
+                 ORDER BY idx) IS NULL
+                 OR idx - lag(idx) OVER (PARTITION BY curve, tile_x, tile_y
+                 ORDER BY idx) > 1 THEN 1 ELSE 0 END AS run_start
+             FROM tiled),
+       t AS (SELECT curve, tile_x, tile_y,
+               CAST(SUM(run_start) AS BIGINT) AS runs
+             FROM r GROUP BY 1, 2, 3)
+       SELECT curve, CAST(count(*) AS BIGINT) AS n_tiles,
+         CAST(SUM(runs) AS BIGINT) AS total_runs,
+         CAST((SUM(runs) * 1000000) // count(*) AS BIGINT) AS mean_runs_micro
+       FROM t GROUP BY curve ORDER BY curve"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q4: correlated EXISTS w/ inequality on the outer row →
     // LEFT SEMI with a residual condition; first-hit early-out
@@ -103,7 +161,14 @@ private[graft] object BoardX300 {
     // TPC-H Q14: promo share in exact integer micro-units — both sums
     // ride ONE aggregation, DECIMAL cross-multiply, no float ratio
     "x311_promo_share" -> ((s, d) =>
-      Relational.promoRevenueShare(s, d)))
+      Relational.promoRevenueShare(s, d)),
+    // Hilbert vs Morton, MEASURED on the metric that differs (Moon et
+    // al. clustering): contiguous index runs per query tile — every
+    // run is a file-range seek; Hilbert halves the fragmentation
+    "x312_hilbert_layout" -> ((s, d) =>
+      graft.core.Layout.curveClusteringReport(Tables.lineitem(s, d),
+        pmod(col("l_partkey"), lit(256L)), pmod(col("l_orderkey"), lit(256L)),
+        bits = 8)))
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -346,5 +411,7 @@ private[graft] object BoardX300 {
          FROM lineitem, part
          WHERE l_partkey = p_partkey
            AND l_shipdate >= TIMESTAMP '1997-09-01'
-           AND l_shipdate < TIMESTAMP '1997-10-01')""")
+           AND l_shipdate < TIMESTAMP '1997-10-01')""",
+    // x312: generated above — one loop spec feeds both engines
+    "x312_hilbert_layout" -> hilbertOracle)
 }

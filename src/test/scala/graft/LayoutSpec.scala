@@ -113,4 +113,31 @@ class LayoutSpec extends SparkSpec {
       "SELECT label, vec_avg(embedding) AS c, cosine_f32(embedding, embedding) AS s FROM gs_vecs GROUP BY label, embedding")
     assert(out.count() === 1L)
   }
+
+  test("hilbertValue: bijection onto [0, 256) and grid adjacency on the full 16x16 grid") {
+    import spark.implicits._
+    val cells = for { x <- 0 until 16; y <- 0 until 16 } yield (x, y)
+    val out = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits = 4).as("d"))
+      .collect().map(r => (r.getLong(2), r.getInt(0), r.getInt(1)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === (0L until 256L),
+      "the index must be a bijection onto the grid")
+    out.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"consecutive Hilbert cells must be grid-adjacent: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("curveClusteringReport: query tiles fragment into fewer runs under Hilbert") {
+    val rep = Layout.curveClusteringReport(Tables.lineitem(spark, sf),
+        pmod(col("l_partkey"), lit(256L)), pmod(col("l_orderkey"), lit(256L)),
+        bits = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(rep("hilbert")._1 === rep("morton")._1,
+      "both curves must see the same tile population")
+    assert(rep("hilbert")._2 < rep("morton")._2,
+      s"Moon-et-al clustering must show up as fewer index runs: $rep")
+  }
 }
