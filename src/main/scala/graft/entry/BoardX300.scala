@@ -168,7 +168,18 @@ private[graft] object BoardX300 {
     "x312_hilbert_layout" -> ((s, d) =>
       graft.core.Layout.curveClusteringReport(Tables.lineitem(s, d),
         pmod(col("l_partkey"), lit(256L)), pmod(col("l_orderkey"), lit(256L)),
-        bits = 8)))
+        bits = 8)),
+    // TPC-H Q21: EXISTS + NOT EXISTS chain decorrelated to window
+    // counts over the (order, supplier) aggregate — one lineitem pass
+    "x313_sole_late_supplier" -> ((s, d) =>
+      Relational.soleLateSuppliers(s, d)),
+    // TPC-H Q20: correlated grouped-HAVING threshold (fair-share bar)
+    // as a part-keyed window over ONE (part, supplier) aggregation
+    "x314_dominant_supplier" -> ((s, d) =>
+      Relational.dominantSuppliers(s, d)),
+    // TPC-H Q22: scalar-average cross-multiply + date-pruned LEFT ANTI
+    "x315_dormant_rich" -> ((s, d) =>
+      Relational.dormantRichCustomers(s, d)))
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -413,5 +424,55 @@ private[graft] object BoardX300 {
            AND l_shipdate >= TIMESTAMP '1997-09-01'
            AND l_shipdate < TIMESTAMP '1997-10-01')""",
     // x312: generated above — one loop spec feeds both engines
-    "x312_hilbert_layout" -> hilbertOracle)
+    "x312_hilbert_layout" -> hilbertOracle,
+    // x313: the EXISTS / NOT EXISTS chain verbatim — DuckDB keeps both
+    // correlated subqueries, Spark runs the window decorrelation; the
+    // hash match certifies the chain
+    "x313_sole_late_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM supplier, lineitem l1, orders
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                     WHERE l3.l_orderkey = l1.l_orderkey
+                       AND l3.l_suppkey <> l1.l_suppkey
+                       AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 10""",
+    // x314: the correlated scalar subqueries verbatim (distinct
+    // supplier count + part total, both correlated on l_partkey)
+    "x314_dominant_supplier" ->
+      """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dominated
+       FROM supplier,
+         (SELECT l_suppkey, l_partkey,
+            SUM(CAST(l_quantity AS BIGINT)) AS sq
+          FROM lineitem GROUP BY 1, 2) ps
+       WHERE s_suppkey = ps.l_suppkey
+         AND ps.sq * (SELECT count(DISTINCT l2.l_suppkey) FROM lineitem l2
+                      WHERE l2.l_partkey = ps.l_partkey)
+             > 2 * (SELECT SUM(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+                    WHERE l3.l_partkey = ps.l_partkey)
+       GROUP BY s_suppkey, s_name
+       ORDER BY s_suppkey""",
+    // x315: scalar average as an exact cross-multiply + NOT EXISTS on
+    // date-bounded orders
+    "x315_dormant_rich" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+       FROM customer
+       WHERE c_acctbal IS NOT NULL
+         AND CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) *
+             (SELECT count(*) FROM customer WHERE c_acctbal IS NOT NULL)
+             > (SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                FROM customer WHERE c_acctbal IS NOT NULL)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY c_mktsegment
+       ORDER BY c_mktsegment""")
 }

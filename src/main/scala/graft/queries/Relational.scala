@@ -852,4 +852,104 @@ object Relational {
         expr("CAST((CAST(promo_cents AS DECIMAL(38,0)) * 1000000) " +
           "div nullif(total_cents, 0) AS BIGINT)").as("promo_share_micro"))
   }
+
+  /** TPC-H Q21 shape (x313): suppliers SOLELY to blame for late
+    * multi-supplier orders — the hardest classic decorrelation: an
+    * EXISTS (another supplier on the order) chained with a NOT EXISTS
+    * (another supplier ALSO late), both correlated on the outer line's
+    * order AND supplier. Counts late LINES per blamed supplier,
+    * exactly like the reference query.
+    *
+    * Plan shape — ONE lineitem pass: lines join orders once for the
+    * lateness flag; per-(order, supplier) aggregation collapses lines
+    * to supplier-level late flags + late-line counts; the EXISTS /
+    * NOT-EXISTS pair decorrelates to two window counts over that
+    * table partitioned by order (suppliers per order are bounded —
+    * single digits in any order-line model — so the window never sees
+    * skew); qualification is then a row-local filter (this supplier
+    * late, ≥ 2 suppliers, exactly 1 late supplier), and only
+    * qualifying (order, supplier) rows reach the supplier join.
+    *
+    * @return (s_name, numwait) — late lines on solely-blamed orders —
+    *         desc top-10. */
+  def soleLateSuppliers(s: SparkSession, d: String,
+                        graceDays: Int = 60): DataFrame = {
+    val osup = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("__late",
+        when(col("l_shipdate") > col("o_orderdate")
+          + expr(s"INTERVAL $graceDays DAYS"), 1L).otherwise(0L))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max("__late").as("sup_late"), sum("__late").as("n_late_lines"))
+    val w = Window.partitionBy("l_orderkey")
+    osup
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", sum("sup_late").over(w))
+      .filter(col("sup_late") === 1L && col("n_supp") >= 2L
+        && col("n_late_supp") === 1L)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum("n_late_lines").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** TPC-H Q20 shape (x314): DOMINANT suppliers — suppliers carrying
+    * more than twice the fair share of some part's quantity (the
+    * correlated grouped-HAVING threshold Q20 grades, with the
+    * availability bar made scale-stable: share vs the part's
+    * per-supplier average rather than an absolute).
+    *
+    * Plan shape — ONE lineitem scan: the (part, supplier) quantity
+    * aggregation, then the part totals and supplier counts come from
+    * a WINDOW over that aggregate partitioned by part (suppliers per
+    * part are bounded, and a second groupBy branch would rescan
+    * lineitem — the window form keeps it one pass); the fair-share
+    * compare is an exact integer cross-multiply; only dominant pairs
+    * reach the supplier join.
+    *
+    * @return (s_suppkey, s_name, n_dominated), supplier-ordered. */
+  def dominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+    val w = Window.partitionBy("l_partkey")
+    ps.withColumn("tq", sum("sq").over(w))
+      .withColumn("ns", count(lit(1)).over(w))
+      .filter(col("sq") * col("ns") > col("tq") * lit(2L))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q22 shape (x315): DORMANT RICH customers — above-average
+    * balance and no recent orders — the scalar-average subquery plus
+    * NOT EXISTS anti-join Q22 grades.
+    *
+    * Plan shape: the global average is a 1-row aggregate broadcast
+    * back (the compare is the exact cross-multiply cents·N > Σcents —
+    * never a float average); the NOT EXISTS decorrelates to a LEFT
+    * ANTI against date-pruned orders (the date predicate pushes to
+    * the orders scan, shrinking the anti build side); the report is a
+    * |segments|-row aggregate.
+    *
+    * @return (c_mktsegment, n_cust, bal_cents), segment-ordered. */
+  def dormantRichCustomers(s: SparkSession, d: String,
+                           sinceDate: String = "2000-01-01"): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_acctbal").isNotNull)
+      .withColumn("__bal", cents(col("c_acctbal")))
+    val totals = c.agg(count(lit(1)).as("__n"), sum("__bal").as("__sum"))
+    c.crossJoin(broadcast(totals))
+      .filter(col("__bal") * col("__n") > col("__sum"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(sinceDate).cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), sum("__bal").as("bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

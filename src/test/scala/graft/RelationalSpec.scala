@@ -239,6 +239,67 @@ class RelationalSpec extends SparkSpec {
     assert(share === (BigInt(promo) * 1000000 / BigInt(total)).toLong)
   }
 
+  test("x313 Q21: window decorrelation ≡ an independent groupBy+join replay") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.soleLateSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got.map(_._2) === got.map(_._2).sorted.reverse)
+    val lines = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("__late", col("l_shipdate") > col("o_orderdate")
+        + expr("INTERVAL 60 DAYS"))
+    val perOrder = lines.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("__late"), col("l_suppkey"))).as("nls"))
+    val expect = lines.filter(col("__late"))
+      .join(perOrder.filter(col("ns") >= 2 && col("nls") === 1),
+        col("l_orderkey") === col("ok"))
+      .join(graft.core.Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s_name")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expect,
+      "the window form and the groupBy+join form must agree line for line")
+  }
+
+  test("x314 Q20: the window fair-share filter ≡ a second-aggregation replay") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.dominantSuppliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val ps = graft.core.Tables.lineitem(spark, sf)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+    val pt = ps.groupBy(col("l_partkey").as("pk"))
+      .agg(sum("sq").as("tq"), count(lit(1)).as("ns"))
+    val expect = ps.join(pt, col("l_partkey") === col("pk"))
+      .filter(col("sq") * col("ns") > col("tq") * 2)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expect)
+  }
+
+  test("x315 Q22: the broadcast bar equals a driver-side exact average cut") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.dormantRichCustomers(spark, sf).collect()
+    val cust = graft.core.Tables.customer(spark, sf)
+      .filter(col("c_acctbal").isNotNull)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        Relational.cents(col("c_acctbal")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (n, tot) = (cust.length.toLong, cust.map(_._3).sum)
+    val active = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expect = cust.filter(c => c._3 * n > tot && !active(c._1))
+      .groupBy(_._2).map { case (seg, cs) =>
+        (seg, cs.length.toLong, cs.map(_._3).sum) }.toSeq.sortBy(_._1)
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === expect)
+  }
+
   test("x301 Q11: every brand clears the exact total/30 bar; bar is binding") {
     val rows = Relational.revenueConcentration(spark, sf).collect()
     assert(rows.nonEmpty)
