@@ -179,7 +179,36 @@ private[graft] object BoardX300 {
       Relational.dominantSuppliers(s, d)),
     // TPC-H Q22: scalar-average cross-multiply + date-pruned LEFT ANTI
     "x315_dormant_rich" -> ((s, d) =>
-      Relational.dormantRichCustomers(s, d)))
+      Relational.dormantRichCustomers(s, d)),
+    // the SQL-text surface: the same engine through spark.sql — CTE,
+    // join, rank window, subquery filter — proving a reference user
+    // can bring raw SQL, not just the DataFrame API
+    "x316_sql_surface" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""
+        WITH spend AS (SELECT o_custkey,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_cents
+          FROM v_orders GROUP BY o_custkey)
+        SELECT c_mktsegment, c_custkey, spend_cents, rnk FROM (
+          SELECT c_mktsegment, c_custkey, spend_cents,
+            RANK() OVER (PARTITION BY c_mktsegment
+              ORDER BY spend_cents DESC, c_custkey) AS rnk
+          FROM v_customer JOIN spend ON c_custkey = o_custkey)
+        WHERE rnk <= 3
+        ORDER BY c_mktsegment, rnk""")
+    },
+    // token-mass-weighted length quantiles: "the median TOKEN lives in
+    // a doc of length X" — the packer/mixing view a per-doc median
+    // misses when a few giants carry most of the mass
+    "x317_weighted_quantile" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Incremental.quantileEstimate(
+        Incremental.quantileStateWeighted(docs, col("n_chars"),
+          TextAnalysis.tokenCountCol(col("text")), 50L),
+        50L, Seq(500, 900, 990))
+    })
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -474,5 +503,36 @@ private[graft] object BoardX300 {
                          WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '2000-01-01')
        GROUP BY c_mktsegment
-       ORDER BY c_mktsegment""")
+       ORDER BY c_mktsegment""",
+    // x316: the same SQL text modulo view names — the surface proof
+    "x316_sql_surface" ->
+      """WITH spend AS (SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS spend_cents
+         FROM orders GROUP BY o_custkey)
+       SELECT c_mktsegment, c_custkey, spend_cents, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT c_mktsegment, c_custkey, spend_cents,
+               RANK() OVER (PARTITION BY c_mktsegment
+                 ORDER BY spend_cents DESC, c_custkey) AS rnk
+             FROM customer JOIN spend ON c_custkey = o_custkey)
+       WHERE rnk <= 3
+       ORDER BY c_mktsegment, rnk""",
+    // x317: one-shot weighted binning + cumulative rank pick; the
+    // x03 LENGTH-difference token identity carries the weights
+    "x317_weighted_quantile" ->
+      """WITH v AS (SELECT n_chars AS v,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+             AS w
+         FROM documents
+         WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       b AS (SELECT (v - (((v % 50) + 50) % 50)) // 50 AS bin,
+               CAST(SUM(w) AS BIGINT) AS n
+             FROM v WHERE w > 0 GROUP BY 1),
+       c AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM b) AS tot FROM b),
+       q AS (SELECT CAST(UNNEST([500, 900, 990]) AS BIGINT) AS permille)
+       SELECT permille, CAST(MIN(bin) AS BIGINT) AS bin,
+         CAST(MIN(bin) * 50 AS BIGINT) AS lo_value
+       FROM q JOIN c ON c.cum >= GREATEST(1, (permille * tot + 999) // 1000)
+       GROUP BY permille ORDER BY permille""")
 }

@@ -108,6 +108,25 @@ object Incremental {
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
+  /** WEIGHTED [[quantileState]]: bin mass is a weight sum instead of a
+    * row count — "the median TOKEN lives in a document of length X"
+    * instead of "the median DOCUMENT has length X", the distinction
+    * that matters when the consumer is a token-budgeted packer or a
+    * mixing run (a few giant docs carry most of the mass). Same
+    * (bin, n) schema, so [[mergeQuantile]] and [[quantileEstimate]]
+    * apply unchanged — the merge law and the rank read are mass-
+    * agnostic. NULL or non-positive weights are excluded (no mass to
+    * place). */
+  def quantileStateWeighted(df: DataFrame, valueCol: Column,
+                            weightCol: Column, binWidth: Long): DataFrame = {
+    require(binWidth >= 1L, s"binWidth ($binWidth) must be >= 1")
+    df.filter(valueCol.isNotNull && weightCol.isNotNull && weightCol > 0)
+      .select(valueCol.cast("long").as("__v"), weightCol.cast("long").as("__w"))
+      .select(expr(s"(__v - pmod(__v, ${binWidth}L)) div ${binWidth}L").as("bin"),
+        col("__w"))
+      .groupBy("bin").agg(sum("__w").as("n"))
+  }
+
   /** Merge [[quantileState]] tables (disjoint-row inputs): union +
     * bin-groupBy — at most one shuffled row per (partition, bin). */
   def mergeQuantile(states: Seq[DataFrame]): DataFrame = {

@@ -208,6 +208,22 @@ class IncrementalSpec extends SparkSpec {
     assert(est === Seq((500L, -1L, -10L)))
   }
 
+  test("quantileStateWeighted ≡ quantileState over weight-repeated rows") {
+    import graft.operators.Incremental
+    import org.apache.spark.sql.functions._
+    val rows = Seq((5L, 3L), (17L, 1L), (25L, 2L), (25L, 0L), (7L, -1L))
+    val weighted = Incremental.quantileStateWeighted(
+      rows.toDF("v", "w"), col("v"), col("w"), 10L)
+      .as[(Long, Long)].collect().toMap
+    val repeated = Incremental.quantileState(
+      rows.flatMap { case (v, w) => Seq.fill(math.max(w, 0L).toInt)(v) }
+        .toDF("v"), col("v"), 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(weighted === repeated,
+      "weight w must place exactly the mass of w repeated rows")
+    assert(weighted === Map(0L -> 3L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("paneSlidingQuantile: pane histograms add into every window they feed") {
     import graft.operators.Incremental
     import org.apache.spark.sql.functions._
