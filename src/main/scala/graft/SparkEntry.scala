@@ -21,7 +21,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
-    * Eleven entries are deliberately `no_oracle` (SURVEY §2.4 rule 6 —
+    * Twelve entries are deliberately `no_oracle` (SURVEY §2.4 rule 6 —
     * their outputs depend on engine-specific hash seeds, trained
     * models, or sketch internals no cross-engine SQL can replay).
     * Each one's correctness is carried by a named Spark-side spec:
@@ -51,6 +51,9 @@ object SparkEntry {
     *    quantizer); SimilaritySpec "knnLabelAuditAnn: full probe
     *    equals the exact audit" pins the nprobe = nlist row-for-row
     *    equivalence to the oracle-certified x202.
+    *  - x230_mutual_topk_ann — √n-auto-sized IVF reciprocal-NN;
+    *    SimilaritySpec pins it ≡ the oracle-certified exact x215 at
+    *    nprobe = nlist.
     */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val segs = Seq(graft.entry.BoardQ.queries, graft.entry.BoardX000.queries,
