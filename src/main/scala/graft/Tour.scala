@@ -278,6 +278,22 @@ object Tour {
     println(s"[tour] golden records=${graft.operators.Linkage.goldenRecord(Tables.customer(spark, sf), "c_custkey", grPairs, Seq("c_name", "c_mktsegment")).count()}")
     Dedup.releaseCaches()
 
+    // round 14 continuation: decorrelation tier, pipeline ops, layout
+    println(s"[tour] Q21 sole-late suppliers=${graft.queries.Relational.soleLateSuppliers(spark, sf).count()}")
+    println(s"[tour] boilerplate scrub docs=${graft.operators.TextAnalysis.boilerplateScrub(docs).count()}")
+    println(s"[tour] bpe merge census rows=${graft.operators.TextAnalysis.bpeMergeStep(docs).count()}")
+    println(s"[tour] domain cap sources=${graft.operators.Sampling.domainCap(docs, cap = 10).count()}")
+    val qs = graft.operators.Incremental.quantileEstimate(
+      graft.operators.Incremental.quantileState(
+        Tables.orders(spark, sf), graft.queries.Relational.cents(col("o_totalprice")), 100000L),
+      100000L, Seq(500)).head()
+    println(s"[tour] quantile-state p500 lo_cents=${qs.getLong(2)}")
+    println(s"[tour] rolling median rows=${graft.operators.Sessions.rollingMedian(ev).count()}")
+    val curves = graft.core.Layout.curveClusteringReport(Tables.lineitem(spark, sf),
+      pmod(col("l_partkey"), lit(256L)), pmod(col("l_orderkey"), lit(256L)), bits = 8)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(3)}").mkString(" ")
+    println(s"[tour] curve clustering mean_runs_micro: $curves")
+
     println("[tour] ok")
     spark.stop()
   }
