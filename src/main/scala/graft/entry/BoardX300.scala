@@ -208,7 +208,12 @@ private[graft] object BoardX300 {
         Incremental.quantileStateWeighted(docs, col("n_chars"),
           TextAnalysis.tokenCountCol(col("text")), 50L),
         50L, Seq(500, 900, 990))
-    })
+    },
+    // export manifest: per-shard counts + token mass + order-
+    // independent content checksum — the trainer-handoff artifact
+    "x318_export_manifest" -> ((s, d) =>
+      graft.operators.Sharding.exportManifest(Tables.documents(s, d),
+        numShards = 8)))
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -534,5 +539,19 @@ private[graft] object BoardX300 {
        SELECT permille, CAST(MIN(bin) AS BIGINT) AS bin,
          CAST(MIN(bin) * 50 AS BIGINT) AS lo_value
        FROM q JOIN c ON c.cum >= GREATEST(1, (permille * tot + 999) // 1000)
-       GROUP BY permille ORDER BY permille""")
+       GROUP BY permille ORDER BY permille""",
+    // x318: the same md5 shard assignment, the x03 token identity and
+    // the x294 60-bit digest sums mod 10^18 — HUGEINT-exact
+    "x318_export_manifest" ->
+      """SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 8 AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1
+           AS BIGINT)) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+           % 1000000000000000000 AS BIGINT) AS checksum
+       FROM documents
+       WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       GROUP BY shard
+       ORDER BY shard""")
 }

@@ -87,4 +87,36 @@ object Sharding {
       .unionByName(side("rendezvous", "rdv_b", "rdv_a"))
       .orderBy("scheme")
   }
+
+  /** EXPORT MANIFEST — the handoff artifact a training run verifies
+    * ingest against: per md5 shard, the document count, token mass
+    * and an ORDER-INDEPENDENT content checksum (sum of 60-bit md5
+    * text digests in DECIMAL(38,0), published mod 10¹⁸ — the
+    * [[graft.operators.Snapshot.bucketChecksumPlan]] discipline, so a
+    * re-export in any row order, any partitioning, any engine lands
+    * on the same manifest, and a single flipped byte in any document
+    * flips its shard's checksum). The consumer recomputes the same
+    * three numbers after transfer; [[graft.operators.Snapshot
+    * .bucketChecksumPlan]] then NAMES the differing shard if one
+    * mismatches.
+    *
+    * Scale shape: shard id, token count and digest all ride the scan
+    * row-locally; ONE map-side-combined aggregation to ≤ numShards
+    * rows. Docs with NULL id or text are excluded (nothing to ship).
+    *
+    * @return (shard, n_docs, n_tokens, checksum), shard-ordered. */
+  def exportManifest(docs: DataFrame, numShards: Int): DataFrame = {
+    require(numShards >= 1 && numShards <= 100000,
+      s"numShards ($numShards) must be in [1, 1e5]")
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(
+        Sampling.hashMod(col("doc_id"), numShards.toLong).as("shard"),
+        TextAnalysis.tokenCountCol(col("text")).as("__t"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("decimal(38,0)").as("__d"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"),
+        expr("CAST(sum(__d) % 1000000000000000000 AS BIGINT)").as("checksum"))
+      .orderBy("shard")
+  }
 }

@@ -79,4 +79,26 @@ class ShardingSpec extends SparkSpec {
     assert(joins.isEmpty, s"no join expected, found ${joins.size}")
     assert(gens.isEmpty, s"no explode expected, found ${gens.size}")
   }
+
+  test("exportManifest: order/partition-invariant; one flipped byte flips ONE shard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 60L).map(i => (i, s"doc $i words w$i")).toDF("doc_id", "text")
+    val base = Sharding.exportManifest(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val shuffled = Sharding.exportManifest(
+      docs.orderBy(col("doc_id").desc).repartition(7), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(base === shuffled,
+      "the manifest must not depend on row order or partitioning")
+    assert(base.map(_._2).sum === 60L)
+    val flipped = Sharding.exportManifest(
+      docs.withColumn("text",
+        when(col("doc_id") === 17L, concat(col("text"), lit("!")))
+          .otherwise(col("text"))), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val diffs = base.filter { case (s, _, _, c) => flipped(s) != c }
+    assert(diffs.size === 1,
+      s"exactly doc 17's shard must flip its checksum, got ${diffs.map(_._1)}")
+  }
 }
