@@ -48,6 +48,70 @@ object AnnIndex {
         s"$table has no '$key' property — was it built by AnnIndex?"))
   }
 
+  private def tombsTable(table: String) = table + "_tombs"
+
+  /** TOMBSTONE delete from a persisted index (LSH signature table or
+    * IVF assignment table) — the third leg of index maintenance after
+    * build and O(batch) append: deleted ids land in a tiny side table
+    * and BOTH prebuilt probes subtract it (broadcast anti-join on the
+    * id) before scoring, so a delete costs O(|ids|) now and O(1) per
+    * candidate at probe time — never an index rewrite on the deletion
+    * path. [[compactLshIndex]]/[[compactIvfIndex]] fold the tombstones
+    * into the index when the list outgrows its broadcast budget; the
+    * purge/governance story is the same two-phase discipline as
+    * [[graft.etl.Pipeline.purgeApply]]. Spec-proven: a probe with
+    * tombstones ≡ a probe of a fresh index built without the deleted
+    * rows (AnnIndexSpec). */
+  def deleteFromIndex(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    val rows = ids.select(col(ids.columns.head).cast("long")
+      .as("neighbor_id")).distinct()
+    val t = tombsTable(table)
+    if (spark.catalog.tableExists(t))
+      rows.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(t)
+    else rows.write.format("parquet").saveAsTable(t)
+  }
+
+  private def minusTombstones(spark: SparkSession, table: String,
+                              idx: DataFrame): DataFrame = {
+    val t = tombsTable(table)
+    if (spark.catalog.tableExists(t))
+      idx.join(broadcast(spark.table(t).distinct()), Seq("neighbor_id"),
+        "left_anti")
+    else idx
+  }
+
+  /** Fold tombstones into the LSH index: staged rewrite (write the
+    * kept rows to a side table through the SAME bucketed writer, swap
+    * by rename, drop the tombstones) — the probe-visible result is
+    * unchanged (spec-pinned), the broadcast list resets to empty.
+    * No-op without tombstones. */
+  def compactLshIndex(spark: SparkSession, table: String): Unit =
+    compactIndex(spark, table, Seq("sig"), BucketsProp,
+      PlanesProp, TablesProp)
+
+  /** [[compactLshIndex]] for the IVF assignment table. */
+  def compactIvfIndex(spark: SparkSession, assignTable: String): Unit =
+    compactIndex(spark, assignTable, Seq("cell"), IvfBucketsProp, NlistProp)
+
+  private def compactIndex(spark: SparkSession, table: String,
+                           bucketCols: Seq[String], bucketsProp: String,
+                           carryProps: String*): Unit = {
+    val t = tombsTable(table)
+    if (!spark.catalog.tableExists(t)) return
+    val buckets = getProp(spark, table, bucketsProp)
+    val props = (bucketsProp +: carryProps).map(p =>
+      p -> getProp(spark, table, p).toString)
+    val kept = minusTombstones(spark, table, spark.table(table))
+    val stage = table + "_compact"
+    graft.core.Layout.dropManagedTable(spark, stage)
+    graft.core.Layout.writeBucketed(kept, stage, buckets, bucketCols)
+    setProps(spark, stage, props: _*)
+    graft.core.Layout.dropManagedTable(spark, table)
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    graft.core.Layout.dropManagedTable(spark, t)
+  }
+
   /** Build the LSH index: one row per (table, vector) with the
     * vector's signature in that table's plane family, bucketed by
     * `sig`. One corpus scan, one write-side shuffle (the bucketing),
@@ -155,7 +219,7 @@ object AnnIndex {
     require(multiProbe >= 0 && multiProbe <= numPlanes,
       s"multiProbe ($multiProbe) must be in [0, numPlanes=$numPlanes]")
     val masks = Similarity.probeMasks(numPlanes, multiProbe)
-    val idx = spark.table(table)
+    val idx = minusTombstones(spark, table, spark.table(table))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<float>").as("qv"))
     val scored = (0 until numTables).map { t =>
@@ -233,7 +297,8 @@ object AnnIndex {
       .withColumn("rk", row_number().over(wCell))
       .filter(col("rk") <= nprobe)
       .select("query_id", "qv", "cell")
-    val scored = spark.table(assignTable).join(broadcast(probed), Seq("cell"))
+    val scored = minusTombstones(spark, assignTable, spark.table(assignTable))
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("qv"), col("cv")).as("score"))

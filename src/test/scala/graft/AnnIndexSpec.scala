@@ -108,4 +108,50 @@ class AnnIndexSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(cell"),
       s"append must not break the bucketed layout:\n$plan")
   }
+
+  test("deleteFromIndex: tombstoned LSH probe ≡ a fresh build without the rows; compact preserves it") {
+    import spark.implicits._
+    Seq("lsh_del", "lsh_del_ref", "lsh_del_tombs", "lsh_del_compact")
+      .foreach(Layout.dropManagedTable(spark, _))
+    val emb = Tables.embeddings(spark, sf)
+    val deleted = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    AnnIndex.buildLshIndex(emb, "lsh_del", numPlanes = 8, numTables = 2, buckets = 4)
+    AnnIndex.deleteFromIndex(spark, "lsh_del", deleted)
+    // reference: identical params + deterministic signatures → a fresh
+    // index over (corpus ∖ deleted) must answer identically
+    AnnIndex.buildLshIndex(emb.join(deleted, Seq("vec_id"), "left_anti"),
+      "lsh_del_ref", numPlanes = 8, numTables = 2, buckets = 4)
+    val got = AnnIndex.lshTopKPrebuilt(spark, queriesDf, "lsh_del", k = 5, multiProbe = 2)
+    val ref = AnnIndex.lshTopKPrebuilt(spark, queriesDf, "lsh_del_ref", k = 5, multiProbe = 2)
+    assert(got.collect().toSeq === ref.collect().toSeq,
+      "a tombstoned probe must equal the rebuilt-without index")
+    // and no deleted id can ever surface as a neighbor
+    val dead = deleted.as[Long].collect().toSet
+    assert(!got.collect().exists(r => dead(r.getLong(1))))
+    // compaction folds the tombstones in: same answers, list gone
+    val before = spark.table("lsh_del").count()
+    AnnIndex.compactLshIndex(spark, "lsh_del")
+    assert(!spark.catalog.tableExists("lsh_del_tombs"),
+      "compaction must drop the tombstone table")
+    assert(spark.table("lsh_del").count() < before,
+      "compaction must physically remove the tombstoned rows")
+    val after = AnnIndex.lshTopKPrebuilt(spark, queriesDf, "lsh_del", k = 5, multiProbe = 2)
+    assert(after.collect().toSeq === ref.collect().toSeq,
+      "compaction must not change a single probe answer")
+  }
+
+  test("deleteFromIndex: tombstoned IVF at nprobe=nlist ≡ brute force over the survivors") {
+    Seq("ivf_del", "ivf_del_c").foreach(Layout.dropManagedTable(spark, _))
+    val emb = Tables.embeddings(spark, sf)
+    val deleted = emb.filter(col("vec_id") % 5 === 1).select("vec_id")
+    AnnIndex.buildIvfIndex(emb, "ivf_del", "ivf_del_c",
+      nlist = 8, maxFitRows = 10000, buckets = 4)
+    AnnIndex.deleteFromIndex(spark, "ivf_del", deleted)
+    val pre = AnnIndex.ivfTopKPrebuilt(spark, queriesDf, "ivf_del", "ivf_del_c",
+      k = 5, nprobe = 8)
+    val brute = Similarity.cosineTopK(queriesDf,
+      emb.join(deleted, Seq("vec_id"), "left_anti"), k = 5)
+    assert(pre.collect().toSeq === brute.collect().toSeq,
+      "deleted index at nprobe=nlist must equal brute force over the survivors")
+  }
 }
