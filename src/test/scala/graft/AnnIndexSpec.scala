@@ -141,7 +141,8 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("deleteFromIndex: tombstoned IVF at nprobe=nlist ≡ brute force over the survivors") {
-    Seq("ivf_del", "ivf_del_c").foreach(Layout.dropManagedTable(spark, _))
+    Seq("ivf_del", "ivf_del_c", "ivf_del_tombs")
+      .foreach(Layout.dropManagedTable(spark, _))
     val emb = Tables.embeddings(spark, sf)
     val deleted = emb.filter(col("vec_id") % 5 === 1).select("vec_id")
     AnnIndex.buildIvfIndex(emb, "ivf_del", "ivf_del_c",
