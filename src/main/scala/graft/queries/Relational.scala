@@ -874,7 +874,13 @@ object Relational {
     *         desc top-10. */
   def soleLateSuppliers(s: SparkSession, d: String,
                         graceDays: Int = 60): DataFrame = {
+    // NULL supplier keys never satisfy the subquery forms' `<>`
+    // comparisons, so the decorrelation must exclude them BEFORE the
+    // aggregate — otherwise a null-supplier group would inflate the
+    // window counts the EXISTS pair decorrelates to (the corpus has no
+    // null keys; the filter keeps the equivalence unconditional)
     val osup = Tables.lineitem(s, d)
+      .filter(col("l_suppkey").isNotNull)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
@@ -912,7 +918,11 @@ object Relational {
     *
     * @return (s_suppkey, s_name, n_dominated), supplier-ordered. */
   def dominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    // the correlated subqueries never match a NULL part key (`=` is
+    // UNKNOWN), and a null-supplier pair can't reach supplier — filter
+    // both up front so the window form can't diverge on dirty keys
     val ps = Tables.lineitem(s, d)
+      .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sq"))
     val w = Window.partitionBy("l_partkey")
