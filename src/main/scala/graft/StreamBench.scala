@@ -124,7 +124,18 @@ object StreamBench {
       ("lateness",
         () => EventStreams.latenessStream(typedStream).toDF(), evRows),
       ("volume_gate",
-        () => EventStreams.volumeAnomalyStream(evStream, ref), evRows))
+        () => EventStreams.volumeAnomalyStream(evStream, ref), evRows),
+      // the round-14-continuation twins: per-user bounded-frame state
+      // and the windowed histogram gate
+      ("rolling_median",
+        () => EventStreams.rollingMedianStream(evStream
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts_ns"),
+            graft.queries.Relational.cents(col("value")).as("v_cents"))
+          .as[EventStreams.ValueEvent]).toDF(), evRows),
+      ("quantile_gate",
+        () => EventStreams.quantileGateStream(evStream, binWidth = 2048L,
+          nBins = 16, permille = 950, barLoValue = 20000L), evRows))
 
     // warm pass: session + codegen + parquet-footer startup, untimed
     runOne("warmup", paths.head._2(), paths.head._3)
