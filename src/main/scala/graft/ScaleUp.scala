@@ -34,6 +34,27 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
+  /** Replica-i substitution cipher over [a-z]: replica 0 is the
+    * identity (the original corpus stays a literal subset of the
+    * scaled one), every other replica is a seeded Fisher–Yates
+    * shuffle of the alphabet. This is the `text`-mode replacement for
+    * the Caesar rotation: a rotation family has only 26 members, so a
+    * ×100 decade built from rotations would assign ~4 replicas per
+    * rotation and make every doc a 4-way exact cross-replica
+    * duplicate — pair mass ×~4 beyond linear, a different workload.
+    * Full substitutions draw from 26! ciphers, so any replica count
+    * keeps the contract: a char bijection maps shingle sets 1:1
+    * (every within-replica Jaccard value unchanged) while distinct
+    * ciphers keep cross-replica token spaces disjoint up to the same
+    * corpus-contains-both-words coincidence the rotation family
+    * already accepted. */
+  private def substCipher(i: Int): String =
+    if (i == 0) alpha
+    else {
+      val rng = new scala.util.Random(0x5CA1EL * 31 + i)
+      rng.shuffle(alpha.toList).mkString
+    }
+
   /** One replica of the documents table: ids offset by `i * span`,
     * text letters rotated by `i` (both cases), other columns kept. */
   private def docReplica(docs: DataFrame, i: Int, span: Long): DataFrame = {
@@ -48,6 +69,24 @@ object ScaleUp {
   def scaleDocuments(docs: DataFrame, replicas: Int): DataFrame = {
     val span = docs.agg(max("doc_id")).head().getLong(0) + 1L
     (0 until replicas).map(docReplica(docs, _, span)).reduce(_ unionByName _)
+  }
+
+  /** Text-tier documents scaling valid at ANY replica count: ids
+    * offset per replica, letters mapped through [[substCipher]]. Used
+    * by the `text` mode to build the ×100 decade DIRECTLY from sf0.1
+    * — composing ×10 twice is invalid for this tier because rotations
+    * compose (rot_a ∘ rot_b = rot_{a+b}), so a ScaleUp OF a ScaleUp
+    * corpus collides replica pairs back onto shared token spaces. */
+  def scaleDocumentsText(docs: DataFrame, replicas: Int): DataFrame = {
+    val span = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    (0 until replicas).map { i =>
+      val cipher = substCipher(i)
+      docs.select(
+        (col("doc_id") + lit(i * span)).as("doc_id"),
+        translate(col("text"), alpha + alpha.toUpperCase,
+          cipher + cipher.toUpperCase).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
   }
 
   /** Events replicas: event_id and user_id offset per replica (users
@@ -150,12 +189,67 @@ object ScaleUp {
     }.reduce(_ unionByName _)
   }
 
+  /** Text-tier embeddings scaling valid at ANY replica count: ids
+    * offset per replica and the DIMENSIONS permuted by a seeded
+    * per-replica shuffle (replica 0 identity). A coordinate
+    * permutation is an isometry — every within-replica norm, cosine
+    * and near-dup pair is preserved EXACTLY — while cross-replica
+    * dot products decorrelate to chance (a permuted vector is
+    * unstructured relative to the unpermuted frame), so semantic
+    * near-dup mass scales LINEARLY. The ×10 mode's epsilon-nudge
+    * instead leaves each vector with N near-identical cross-replica
+    * copies — tolerable at small N, quadratically wrong at ×100. */
+  def scaleEmbeddingsText(emb: DataFrame, replicas: Int): DataFrame = {
+    val span = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until replicas).map { i =>
+      val perm: Seq[Int] =
+        if (i == 0) 0 until dim
+        else new scala.util.Random(0xD1AB10L * 31 + i).shuffle((0 until dim).toList)
+      emb.select(
+        (col("vec_id") + lit(i * span)).as("vec_id"),
+        array(perm.map(j => col("embedding").getItem(j)): _*).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [replicas]")
+    require(args.length >= 2,
+      "usage: ScaleUp <srcDir> <dstDir> [replicas] [text]")
     val (src, dst) = (args(0), args(1))
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val textMode = args.length > 3 && args(3) == "text"
+    if (textMode) {
+      // text-tier decade: documents + embeddings under the any-N
+      // bijections, events under the (already any-N-valid) key-offset
+      // recipe, star tables copied verbatim so the dir is a complete
+      // corpus any query can read. This is the ONLY valid way to build
+      // a ×100 text corpus — see scaleDocumentsText's scaladoc.
+      require(replicas >= 1, s"replicas ($replicas) must be >= 1")
+      val spark = graft.core.GraftSession.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      scaleDocumentsText(spark.read.parquet(s"$src/documents.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      scaleEmbeddingsText(spark.read.parquet(s"$src/embeddings.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      scaleEvents(spark.read.parquet(s"$src/events.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
+                    "nation", "region"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] wrote ${replicas}x TEXT-tier corpus " +
+        s"(documents/embeddings via substitution+dim-perm, events key-offset," +
+        s" star verbatim) to $dst")
+      spark.stop()
+      return
+    }
     require(replicas >= 1 && replicas <= 26,
-      s"replicas ($replicas) must be in [1, 26] — one Caesar rotation each")
+      s"replicas ($replicas) must be in [1, 26] — one Caesar rotation each" +
+      s" (use the `text` mode for larger text-tier decades)")
     val spark = graft.core.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), replicas)

@@ -213,7 +213,30 @@ private[graft] object BoardX300 {
     // independent content checksum — the trainer-handoff artifact
     "x318_export_manifest" -> ((s, d) =>
       graft.operators.Sharding.exportManifest(Tables.documents(s, d),
-        numShards = 8)))
+        numShards = 8)),
+    // TPC-H Q17: fractional-average threshold (0.2·avg) as the exact
+    // cross-multiply, decorrelated to a window over the brand-pruned scan
+    "x319_small_qty_revenue" -> ((s, d) =>
+      Relational.smallQuantityRevenue(s, d)),
+    // TPC-H Q15: view + MAX-of-aggregate without re-evaluating the view
+    "x320_top_supplier" -> ((s, d) =>
+      Relational.topRevenueSupplier(s, d)),
+    // TPC-H Q7: two-sided region star, disjunctive pair predicate
+    // decomposed into per-side broadcast restrictions + a residual
+    "x321_volume_shipping" -> ((s, d) =>
+      Relational.volumeShipping(s, d)),
+    // TPC-H Q8: CASE-inside-SUM market share over the 7-table star,
+    // share in exact integer micro-units
+    "x322_market_share" -> ((s, d) =>
+      Relational.marketShare(s, d)),
+    // TPC-H Q16: NOT IN blacklist with the NULL guards pinned, then
+    // decorrelated to a broadcast LEFT ANTI + count-distinct
+    "x323_supplier_variety" -> ((s, d) =>
+      Relational.supplierPartVariety(s, d)),
+    // TPC-H Q19: three-branch disjunctive join predicate — Catalyst
+    // factors the per-side unions out of the OR and pushes them
+    "x324_disjunctive_revenue" -> ((s, d) =>
+      Relational.disjunctiveRevenue(s, d)))
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -553,5 +576,114 @@ private[graft] object BoardX300 {
        FROM documents
        WHERE doc_id IS NOT NULL AND text IS NOT NULL
        GROUP BY shard
-       ORDER BY shard""")
+       ORDER BY shard""",
+    // x319: the correlated per-part scalar subqueries verbatim; the
+    // 0.2·avg bar is spelled as the exact cross-multiply 5·q·cnt < Σq
+    // in BOTH engines — the fractional form diverges on tie rows
+    // (0.2·10.0 > 2.0 in IEEE doubles)
+    "x319_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS rev_cents,
+         CAST(count(*) AS BIGINT) AS n_small
+       FROM lineitem l, part p
+       WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+         AND CAST(l.l_quantity AS BIGINT) * 5 *
+             (SELECT count(*) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey)
+           < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey)""",
+    // x320: the view + MAX-of-aggregate form verbatim — DuckDB
+    // evaluates the revenue view in the subquery, Spark runs ONE
+    // aggregation with a bounded-table window max
+    "x320_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS total_revenue_cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue_cents
+       FROM supplier, revenue
+       WHERE s_suppkey = l_suppkey
+         AND total_revenue_cents =
+             (SELECT max(total_revenue_cents) FROM revenue)
+       ORDER BY s_suppkey""",
+    // x321: the disjunctive region-pair predicate verbatim — Spark
+    // decomposes it into per-side broadcast restrictions + a residual
+    "x321_volume_shipping" ->
+      """SELECT supp_region, cust_region, l_year,
+         CAST(SUM(vol) AS BIGINT) AS revenue_cents
+       FROM (SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                 AS BIGINT) AS vol
+             FROM supplier, lineitem, orders, customer,
+               nation n1, nation n2, region r1, region r2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey
+               AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND n1.n_regionkey = r1.r_regionkey
+               AND n2.n_regionkey = r2.r_regionkey
+               AND ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+                 OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA'))
+               AND l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01')
+       GROUP BY supp_region, cust_region, l_year
+       ORDER BY supp_region, cust_region, l_year""",
+    // x322: the CASE-inside-SUM share verbatim, exact micro-units via
+    // DECIMAL cross-multiply (// and Spark's div agree: both truncate)
+    "x322_market_share" ->
+      """SELECT o_year,
+         CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
+           AS BIGINT) AS nation_cents,
+         CAST(SUM(vol) AS BIGINT) AS total_cents,
+         CAST((SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
+             * 1000000)
+           // NULLIF(SUM(vol), 0) AS BIGINT) AS share_micro
+       FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                 AS BIGINT) AS vol,
+               n2.n_name AS supp_nation
+             FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+               AND c_nationkey = n1.n_nationkey
+               AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+               AND s_nationkey = n2.n_nationkey
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+               AND p_type = 'PROMO')
+       GROUP BY o_year
+       ORDER BY o_year""",
+    // x323: NOT IN verbatim WITH the NULL guards pinned in both
+    // places — one NULL in the blacklist would make every NOT IN
+    // UNKNOWN; with the guards the LEFT ANTI decorrelation is exact
+    "x323_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND p_brand <> 'Brand#1' AND p_size <= 25
+         AND l_suppkey IS NOT NULL
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0
+                                 AND s_suppkey IS NOT NULL)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // x324: the three-branch OR verbatim — DuckDB evaluates it as
+    // written, Spark factors the per-side unions out and pushes them
+    "x324_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+             + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem, part
+       WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+              AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+          OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+              AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+          OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+              AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""")
 }

@@ -62,8 +62,19 @@ object AnnIndex {
     * [[graft.etl.Pipeline.purgeApply]]. Spec-proven: a probe with
     * tombstones ≡ a probe of a fresh index built without the deleted
     * rows (AnnIndexSpec). */
-  def deleteFromIndex(spark: SparkSession, table: String, ids: DataFrame): Unit = {
-    val rows = ids.select(col(ids.columns.head).cast("long")
+  def deleteFromIndex(spark: SparkSession, table: String, ids: DataFrame,
+                      idCol: String = "vec_id"): Unit = {
+    // resolve the delete key explicitly — silently taking columns.head
+    // of a multi-column frame would tombstone the wrong values
+    val keyCol =
+      if (ids.columns.contains(idCol)) idCol
+      else {
+        require(ids.columns.length == 1,
+          s"ids has no '$idCol' column and is not single-column " +
+          s"(${ids.columns.mkString(", ")}) — pass idCol explicitly")
+        ids.columns.head
+      }
+    val rows = ids.select(col(keyCol).cast("long")
       .as("neighbor_id")).distinct()
     val t = tombsTable(table)
     if (spark.catalog.tableExists(t))
@@ -107,8 +118,18 @@ object AnnIndex {
     graft.core.Layout.dropManagedTable(spark, stage)
     graft.core.Layout.writeBucketed(kept, stage, buckets, bucketCols)
     setProps(spark, stage, props: _*)
-    graft.core.Layout.dropManagedTable(spark, table)
+    // swap via double rename — NOT crash-atomic (the catalog has no
+    // multi-statement transaction), but ordered so the index data is
+    // never stranded without a recovery path: park the live table
+    // aside FIRST, promote the stage, then drop the parked copy. A
+    // crash inside the window leaves probes failing table-not-found
+    // (loud, retriable after re-running compact) rather than silently
+    // reading a half-swapped index, and both copies survive on disk.
+    val parked = table + "_old"
+    graft.core.Layout.dropManagedTable(spark, parked)
+    spark.sql(s"ALTER TABLE $table RENAME TO $parked")
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    graft.core.Layout.dropManagedTable(spark, parked)
     graft.core.Layout.dropManagedTable(spark, t)
   }
 

@@ -918,16 +918,22 @@ object Relational {
     *
     * @return (s_suppkey, s_name, n_dominated), supplier-ordered. */
   def dominantSuppliers(s: SparkSession, d: String): DataFrame = {
-    // the correlated subqueries never match a NULL part key (`=` is
-    // UNKNOWN), and a null-supplier pair can't reach supplier — filter
-    // both up front so the window form can't diverge on dirty keys
+    // NULL-key semantics matched to the correlated form EXACTLY: a
+    // NULL part key never matches the correlated subqueries (`=` is
+    // UNKNOWN) — filtered up front; NULL-supplier rows DO count in
+    // the per-part total (the subquery sums ALL of l3's quantity) but
+    // not in the distinct-supplier count (COUNT DISTINCT skips NULL)
+    // and can't survive the supplier join — so the null-suppkey group
+    // stays in the aggregate for tq, count(col) skips it for ns, and
+    // it is dropped before the dominance filter
     val ps = Tables.lineitem(s, d)
-      .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      .filter(col("l_partkey").isNotNull)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sq"))
     val w = Window.partitionBy("l_partkey")
     ps.withColumn("tq", sum("sq").over(w))
-      .withColumn("ns", count(lit(1)).over(w))
+      .withColumn("ns", count(col("l_suppkey")).over(w))
+      .filter(col("l_suppkey").isNotNull)
       .filter(col("sq") * col("ns") > col("tq") * lit(2L))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
@@ -961,5 +967,253 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_cust"), sum("__bal").as("bal_cents"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q17 shape (x319): small-quantity revenue for one brand —
+    * lines whose quantity falls below a FRACTION of the part's average
+    * (`l_quantity < 0.2 * (SELECT AVG(l_quantity) WHERE l2.l_partkey
+    * = p_partkey)`), the fractional-average trap: 0.2·avg computed in
+    * doubles diverges from the exact bar on tie rows (0.2 is not
+    * binary-representable — 0.2·10.0 > 2.0 in IEEE), so BOTH engines
+    * run the cross-multiply `5·q·cnt < Σq` instead, which is the same
+    * predicate in exact integers.
+    *
+    * Plan shape: the brand filter prunes part to a broadcast-able
+    * sliver and the join prunes lineitem FIRST; the correlated
+    * count/sum decorrelate to a window over that pruned scan keyed by
+    * part (per-part AVG is invariant to the brand restriction — it
+    * correlates only on p_partkey), so the whole query is ONE pruned
+    * lineitem pass, never a corpus-scale aggregate join.
+    *
+    * @return one row (rev_cents, n_small). */
+  def smallQuantityRevenue(s: SparkSession, d: String,
+                           brand: String = "Brand#12"): DataFrame = {
+    val bp = Tables.part(s, d).filter(col("p_brand") === brand)
+      .select("p_partkey")
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("tot", sum(col("l_quantity").cast("long")).over(w))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt") < col("tot"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q15 shape (x320): top supplier by windowed revenue — the
+    * view + MAX-of-aggregate form (`total_revenue = (SELECT MAX(…)
+    * FROM revenue)`), where a naive plan evaluates the revenue view
+    * TWICE (once for rows, once for the max) — the groupBy-split-
+    * self-join anti-pattern the x304 optimizer rule exists for.
+    *
+    * Plan shape: the date window prunes lineitem at the scan; ONE
+    * per-supplier aggregation; the max is an unpartitioned window MAX
+    * over that BOUNDED (|suppliers|-row) aggregate — the repo's
+    * bounded-table window discipline — so the corpus is scanned once
+    * and the view is never re-evaluated. Ties all survive, exactly
+    * like the subquery form. A NULL supplier key group keeps its
+    * revenue in the max race but can't reach the supplier join — both
+    * forms agree (the inner join drops it), no up-front filter needed.
+    *
+    * @return (s_suppkey, s_name, total_revenue_cents), supplier-
+    *         ordered. */
+  def topRevenueSupplier(s: SparkSession, d: String,
+                         fromDate: String = "1996-01-01",
+                         toDate: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp")
+        && col("l_shipdate") < lit(toDate).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_revenue_cents"))
+    rev
+      .withColumn("__max_rev",
+        max(col("total_revenue_cents")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("total_revenue_cents") === col("__max_rev"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q7 shape (x321): volume shipping between two trading
+    * regions — revenue by (supplier region, customer region, ship
+    * year) for the two cross directions of a region pair, the
+    * two-sided dimension star with the DISJUNCTIVE pair predicate
+    * (`(r1=A AND r2=B) OR (r1=B AND r2=A)`) and year split Q7 grades.
+    * (The reference keys it by nation; this corpus has 10 suppliers
+    * per 25 nations at its smallest scale, so the region axis is the
+    * stand-in that stays non-degenerate — the shape is verbatim.)
+    *
+    * Plan shape: the pair predicate is decomposed and PUSHED — each
+    * side's dimension chain (nation ⋈ region, both fixed-size) is
+    * broadcast and restricted to the two regions BEFORE touching a
+    * fact table, so supplier and customer shrink to the pair's
+    * members and the fact joins carry only qualifying rows; the
+    * `supp ≠ cust` residual then keeps exactly the two cross
+    * directions. Date window prunes lineitem at the scan. Two
+    * fact-fact shuffles (lineitem⋈orders, orders⋈customer) — the
+    * irreducible Q7 cost; everything else broadcasts.
+    *
+    * @return (supp_region, cust_region, l_year, revenue_cents),
+    *         triple-ordered. */
+  def volumeShipping(s: SparkSession, d: String,
+                     regionA: String = "AMERICA", regionB: String = "ASIA",
+                     fromDate: String = "1996-01-01",
+                     toDate: String = "1998-01-01"): DataFrame = {
+    def nationsOf(alias: String) =
+      broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name").isin(regionA, regionB)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as(s"${alias}_nationkey"),
+          col("r_name").as(alias)))
+    val supp = Tables.supplier(s, d)
+      .join(nationsOf("supp_region"),
+        col("s_nationkey") === col("supp_region_nationkey"))
+      .select("s_suppkey", "supp_region")
+    val cust = Tables.customer(s, d)
+      .join(nationsOf("cust_region"),
+        col("c_nationkey") === col("cust_region_nationkey"))
+      .select("c_custkey", "cust_region")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp")
+        && col("l_shipdate") < lit(toDate).cast("timestamp"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_region") =!= col("cust_region"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (x322): market share — the fraction of one
+    * nation's suppliers in a region's market for one part type, per
+    * order year: the CASE-inside-SUM ratio over the full seven-table
+    * star Q8 grades. Share in exact integer micro-units (DECIMAL
+    * cross-multiply + trunc division — never a float ratio), NULL on
+    * an empty year rather than divide-by-zero.
+    *
+    * Plan shape: the part-type filter prunes part to a broadcast
+    * sliver that semi-prunes lineitem FIRST (the strongest predicate
+    * in the star); the customer side's region restriction rides the
+    * broadcast nation⋈region chain; the supplier side is NOT
+    * restricted (every supplier competes in the market — only the
+    * CASE tests the nation), so its nation name broadcasts onto the
+    * fact rows. Both sums ride ONE aggregation.
+    *
+    * @return (o_year, nation_cents, total_cents, share_micro),
+    *         year-ordered. */
+  def marketShare(s: SparkSession, d: String,
+                  nation: String = "NATION_3", region: String = "EUROPE",
+                  partType: String = "PROMO",
+                  fromDate: String = "1996-01-01",
+                  toDate: String = "1998-01-01"): DataFrame = {
+    val bp = Tables.part(s, d).filter(col("p_type") === partType)
+      .select("p_partkey")
+    val custRegion = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === region),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = broadcast(Tables.supplier(s, d)
+      .join(Tables.nation(s, d),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val vol = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    Tables.lineitem(s, d)
+      .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp")
+            && col("o_orderdate") < lit(toDate).cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === nation, vol).otherwise(0L))
+          .as("nation_cents"),
+        sum(vol).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        expr("CAST((CAST(nation_cents AS DECIMAL(38,0)) * 1000000) " +
+          "div nullif(total_cents, 0) AS BIGINT)").as("share_micro"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q16 shape (x323): supplier variety per part segment —
+    * distinct suppliers offering each (brand, type, size), excluding
+    * a NOT-IN blacklist (suppliers in deficit). The NOT IN form is
+    * the classic NULL trap this query exists to grade: one NULL in
+    * the blacklist makes EVERY `NOT IN` UNKNOWN (empty result), and a
+    * NULL outer key is UNKNOWN too — so BOTH forms pin the guards
+    * explicitly (`s_suppkey IS NOT NULL` inside the subquery,
+    * `l_suppkey IS NOT NULL` outside, the defensive spelling every
+    * production warehouse uses), and with the guards pinned the
+    * decorrelation to a broadcast LEFT ANTI join is exact.
+    *
+    * Plan shape: supplier-part pairs come from lineitem (this corpus
+    * has no partsupp; df = distinct pairs, same variety semantics);
+    * the blacklist is a broadcast anti-join (deficit suppliers are a
+    * vanishing fraction); part's predicates prune at its scan; the
+    * count-distinct aggregates (partkey-pruned) pairs, an expand-free
+    * single-key distinct per group.
+    *
+    * @return (p_brand, p_type, p_size, supplier_cnt), count-desc. */
+  def supplierPartVariety(s: SparkSession, d: String,
+                          excludeBrand: String = "Brand#1",
+                          maxSize: Int = 25): DataFrame = {
+    val blacklist = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0 && col("s_suppkey").isNotNull)
+      .select("s_suppkey")
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey").isNotNull)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(blacklist),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(s, d)
+          .filter(col("p_brand") =!= excludeBrand && col("p_size") <= maxSize),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q19 shape (x324): disjunctive multi-predicate revenue —
+    * three OR'd (brand, size-range, quantity-range) branches, each
+    * referencing BOTH join sides: the disjunctive-pushdown stress Q19
+    * grades. A naive plan evaluates the OR only as a post-join
+    * residual over the full lineitem×part key join; the right plan
+    * factors what it can out of the disjunction and pushes it to the
+    * scans.
+    *
+    * Plan shape: Catalyst's common-factor extraction pushes the
+    * union of per-side disjuncts — `p_brand IN (…) AND p_size ≤ max`
+    * to the part scan (broadcast sliver), `l_quantity BETWEEN
+    * global-min AND global-max` to the lineitem scan — and keeps the
+    * exact three-way OR as the join residual; the join itself is a
+    * broadcast on the pruned part side, so the disjunction never
+    * forces a fact-fact shuffle.
+    *
+    * @return one row (revenue_cents, n_lines). */
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val b1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(1.0, 15.0)
+    val b2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+      col("l_quantity").between(10.0, 25.0)
+    val b3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+      col("l_quantity").between(20.0, 35.0)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey") && (b1 || b2 || b3))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
   }
 }

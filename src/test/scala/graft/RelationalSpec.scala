@@ -315,4 +315,122 @@ class RelationalSpec extends SparkSpec {
     assert(rows.length === all.count(_._2 > bar),
       "the filter must keep exactly the brands above the bar — no more, no fewer")
   }
+
+  test("x319 Q17: the window threshold ≡ an aggregate-join replay of 0.2·avg") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.smallQuantityRevenue(spark, sf).head()
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.part(spark, sf)
+          .filter(col("p_brand") === "Brand#12").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("tot"))
+    val expect = li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("tot"))
+      .agg(sum(Relational.cents(col("l_extendedprice"))).as("rev"),
+        count(lit(1)).as("n"))
+      .head()
+    assert(got.getLong(0) === expect.getLong(0))
+    assert(got.getLong(1) === expect.getLong(1))
+    assert(got.getLong(1) > 0L, "the bar must be binding at sf0.001")
+  }
+
+  test("x320 Q15: winners hit the driver-computed max exactly; ties all survive") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.topRevenueSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rev = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(Relational.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mx = rev.values.max
+    assert(rows.forall(_.getLong(2) === mx))
+    assert(rows.length === rev.count(_._2 == mx),
+      "every supplier at the max must surface — MAX-of-aggregate keeps ties")
+  }
+
+  test("x321 Q7: only the two cross directions appear; totals ≡ a residual-filter replay") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.volumeShipping(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("AMERICA", "ASIA"), ("ASIA", "AMERICA"))))
+    // independent replay: full dimension joins, the OR predicate as a
+    // plain post-join filter (the naive plan the pushed form must match)
+    val nr = graft.core.Tables.nation(spark, sf)
+      .join(graft.core.Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+    val sreg = nr.select(col("n_nationkey").as("snk"), col("r_name").as("sr"))
+    val creg = nr.select(col("n_nationkey").as("cnk"), col("r_name").as("cr"))
+    val expect = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(graft.core.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.core.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(graft.core.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(sreg, col("s_nationkey") === col("snk"))
+      .join(creg, col("c_nationkey") === col("cnk"))
+      .filter((col("sr") === "AMERICA" && col("cr") === "ASIA")
+        || (col("sr") === "ASIA" && col("cr") === "AMERICA"))
+      .groupBy(col("sr"), col("cr"), year(col("l_shipdate")).cast("long").as("y"))
+      .agg(sum(Relational.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap === expect)
+  }
+
+  test("x322 Q8: share_micro is the exact cross-multiply; numerator bounded by total") {
+    val rows = Relational.marketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot, share) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nat >= 0L && nat <= tot)
+      assert(share === (BigInt(nat) * 1000000 / BigInt(tot)).toLong)
+    }
+  }
+
+  test("x323 Q16: no blacklisted supplier is counted; counts ≡ a distinct-pair replay") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.supplierPartVariety(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val counts = rows.map(_.getLong(3))
+    assert(counts === counts.sorted.reverse.toSeq, "count-desc order")
+    val black = graft.core.Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") < 0).collect().map(_.getLong(0)).toSet
+    val pairs = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.part(spark, sf)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3)))
+      .filterNot(p => black(p._2))
+    val expect = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => ((r.getString(0), r.getString(1), r.getInt(2)),
+      r.getLong(3))).toMap === expect)
+  }
+
+  test("x324 Q19: pushed disjunction ≡ the naive post-join OR filter") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.disjunctiveRevenue(spark, sf).head()
+    val expect = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 10)
+          && col("l_quantity").between(1.0, 15.0))
+        || (col("p_brand") === "Brand#23" && col("p_size").between(1, 20)
+          && col("l_quantity").between(10.0, 25.0))
+        || (col("p_brand") === "Brand#3" && col("p_size").between(1, 30)
+          && col("l_quantity").between(20.0, 35.0)))
+      .agg(sum(Relational.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev"), count(lit(1)).as("n"))
+      .head()
+    assert(got.getLong(0) === expect.getLong(0))
+    assert(got.getLong(1) === expect.getLong(1))
+    assert(got.getLong(1) > 0L, "the branches must be non-degenerate at sf0.001")
+  }
 }
