@@ -146,6 +146,13 @@ object Bench {
       if (settleMs > 0) Thread.sleep(settleMs.min(150))
       timeOne(n)
     }
+    // SPARK_GRAFT_REPS shrinks the per-query repetition budget for
+    // long-horizon scale probes (a 100× query at minutes per rep does
+    // not need best-of-5 to tell sub-linear from quadratic); default 3
+    // keeps the committed protocol. Values < 3 also disable the two
+    // spaced retries.
+    val nReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(nReps >= 1, s"SPARK_GRAFT_REPS ($nReps) must be >= 1")
     val timed = names.map { n =>
       // inter-query barrier: round 10's driver run showed 24 queries
       // with >3× rep spread (vs 2 in a quiet environment) on identical
@@ -155,7 +162,7 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       if (settleMs > 0) Thread.sleep(settleMs)
-      val ts = Seq.fill(3)(rep(n))
+      val ts = Seq.fill(nReps)(rep(n))
       var best = ts.min
       var extra = Seq.empty[Double]
       // noisy-neighbor guard: a sub-second plan inflated by a bad host
@@ -164,7 +171,7 @@ object Bench {
       // number, and for genuinely slow queries cost ≤ 2 extra runs
       // a retry that itself fails transiently must not poison the min:
       // three honest primary measurements stand on their own
-      if (best > 0.75) {
+      if (best > 0.75 && nReps >= 3) {
         extra = Seq.fill(2)(rep(n)).filter(_ >= 0)
         best = (best +: extra).min
       }

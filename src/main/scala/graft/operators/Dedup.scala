@@ -1287,6 +1287,72 @@ object Dedup {
       org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** TOMBSTONE retirement from a [[writePairState]] table — the
+    * `AnnIndex.deleteFromIndex` discipline on the mining state:
+    * retired doc_ids land in a tiny side table and [[readPairState]]
+    * subtracts them (broadcast anti-join) before any consumer mines,
+    * labels or audits — so retiring a doc retires ALL its pairs (a
+    * pair needs both members in the state) for O(|ids|) now, never a
+    * state rewrite. Spec-proven: mining the tombstoned state ≡ mining
+    * a state rebuilt without the retired docs. */
+  def deleteFromPairState(spark: org.apache.spark.sql.SparkSession, table: String,
+                          ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    val keyCol =
+      if (ids.columns.contains(idCol)) idCol
+      else {
+        require(ids.columns.length == 1,
+          s"ids has no '$idCol' column and is not single-column " +
+          s"(${ids.columns.mkString(", ")}) — pass idCol explicitly")
+        ids.columns.head
+      }
+    val rows = ids.select(col(keyCol).cast("long").as("doc_id")).distinct()
+    val t = table + "_tombs"
+    if (spark.catalog.tableExists(t))
+      rows.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(t)
+    else rows.write.format("parquet").saveAsTable(t)
+  }
+
+  /** THE read gate for a persisted pair state: the table minus its
+    * tombstones. Every consumer ([[pairsFromState]], [[pairsAppend]]'s
+    * base, survivor picks, audits) goes through here so a retired doc
+    * can never leak back into a mining pass. */
+  def readPairState(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val t = table + "_tombs"
+    if (spark.catalog.tableExists(t))
+      spark.table(table).join(broadcast(spark.table(t).distinct()),
+        Seq("doc_id"), "left_anti")
+    else spark.table(table)
+  }
+
+  /** Fold the tombstones into the state table: staged bucketed rewrite
+    * + the park-promote-drop rename dance (`AnnIndex.compactIndex`'s
+    * ordering — not crash-atomic, but the state always survives under
+    * some name), properties carried, tombstone table dropped.
+    * [[readPairState]] results are unchanged (spec-pinned). No-op
+    * without tombstones. */
+  def compactPairState(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val t = table + "_tombs"
+    if (!spark.catalog.tableExists(t)) return
+    def prop(key: String): Int = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .collect().find(_.getString(0) == key).map(_.getString(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no '$key' property — was it built by writePairState?"))
+    val (k, buckets) = (prop(ShingleKProp), prop(StateBucketsProp))
+    val kept = readPairState(spark, table)
+    val stage = table + "_compact"
+    graft.core.Layout.dropManagedTable(spark, stage)
+    graft.core.Layout.writeBucketed(kept, stage, buckets, Seq("doc_id"))
+    spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES (" +
+      s"'$ShingleKProp'='$k', '$StateBucketsProp'='$buckets')")
+    val parked = table + "_old"
+    graft.core.Layout.dropManagedTable(spark, parked)
+    spark.sql(s"ALTER TABLE $table RENAME TO $parked")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    graft.core.Layout.dropManagedTable(spark, parked)
+    graft.core.Layout.dropManagedTable(spark, t)
+  }
+
   /** Mine verified near-dup pairs from a [[pairState]] table —
     * identical output to [[minHashLshPairs]] over the documents the
     * state fingerprints (the append law's one-shot side), but the scan

@@ -197,10 +197,13 @@ object Retrieval {
     * inverted index once, query it many times" shape every search
     * engine ships, and the lexical sibling of
     * `AnnIndex.buildLshIndex`/`buildIvfIndex`. One corpus scan per
-    * table; no parameters are baked in (k1/b/terms are query-time),
-    * so the index needs no pinned table properties. */
+    * table. k1/b/terms are query-time parameters; the only pinned
+    * table property is the bucket count, which [[appendToLexIndex]]
+    * and [[compactLexIndex]] must reuse so the bucketed-scan
+    * HashPartitioning guarantee survives index maintenance. */
   def buildLexIndex(docs: DataFrame, postingsTable: String,
                     lengthsTable: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
     val lengths = docs.select(col("doc_id"),
       TextAnalysis.tokenCountCol(col("text")).as("dl"))
     graft.core.Layout.writeBucketed(lengths, lengthsTable, buckets,
@@ -210,6 +213,117 @@ object Retrieval {
       .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
     graft.core.Layout.writeBucketed(postings, postingsTable, buckets,
       Seq("tok"))
+    setLexBuckets(spark, postingsTable, buckets)
+    setLexBuckets(spark, lengthsTable, buckets)
+  }
+
+  private val LexBucketsProp = "graft.lex.buckets"
+
+  private def setLexBuckets(spark: org.apache.spark.sql.SparkSession,
+                            table: String, buckets: Int): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$LexBucketsProp'='$buckets')")
+
+  private def getLexBuckets(spark: org.apache.spark.sql.SparkSession,
+                            table: String): Int = {
+    // catalog lookup only — no job, no scan
+    val rows = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+    rows.find(_.getString(0) == LexBucketsProp)
+      .map(_.getString(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no '$LexBucketsProp' property — was it built by " +
+        "buildLexIndex?"))
+  }
+
+  private def lexTombsTable(postingsTable: String) = postingsTable + "_tombs"
+
+  /** O(batch) index maintenance, ingest side: tokenize ONLY the new
+    * docs and append through the same bucketed writers (bucket count
+    * read from the catalog, so the bucket-pruned probe shape survives
+    * the append). Batches must carry doc_ids not already indexed — an
+    * id re-appended would double its postings; retire it first with
+    * [[deleteFromLexIndex]]. */
+  def appendToLexIndex(docs: DataFrame, postingsTable: String,
+                       lengthsTable: String): Unit = {
+    val spark = docs.sparkSession
+    val buckets = getLexBuckets(spark, postingsTable)
+    val lengths = docs.select(col("doc_id"),
+      TextAnalysis.tokenCountCol(col("text")).as("dl"))
+    graft.core.Layout.writeBucketed(lengths, lengthsTable, buckets,
+      Seq("doc_id"), org.apache.spark.sql.SaveMode.Append)
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    graft.core.Layout.writeBucketed(postings, postingsTable, buckets,
+      Seq("tok"), org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** TOMBSTONE delete from the persisted lexical index — the
+    * `AnnIndex.deleteFromIndex` discipline on the BM25 side: retired
+    * doc_ids land in a tiny side table next to the postings table and
+    * [[bm25TopKPrebuilt]] subtracts them from BOTH legs (postings and
+    * lengths) before scoring, so a delete is O(|ids|) now and O(1)
+    * per candidate at probe time — never a postings rewrite. Because
+    * scoreBm25's corpus statistics (N, avgdl, df) all derive from the
+    * subtracted inputs, a probe with tombstones is EXACTLY a probe of
+    * an index rebuilt without the retired docs (RetrievalSpec-pinned),
+    * idf shift and all. */
+  def deleteFromLexIndex(spark: org.apache.spark.sql.SparkSession,
+                         postingsTable: String, ids: DataFrame,
+                         idCol: String = "doc_id"): Unit = {
+    val keyCol =
+      if (ids.columns.contains(idCol)) idCol
+      else {
+        require(ids.columns.length == 1,
+          s"ids has no '$idCol' column and is not single-column " +
+          s"(${ids.columns.mkString(", ")}) — pass idCol explicitly")
+        ids.columns.head
+      }
+    val rows = ids.select(col(keyCol).cast("long").as("doc_id")).distinct()
+    val t = lexTombsTable(postingsTable)
+    if (spark.catalog.tableExists(t))
+      rows.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(t)
+    else rows.write.format("parquet").saveAsTable(t)
+  }
+
+  private def minusLexTombstones(spark: org.apache.spark.sql.SparkSession,
+                                 postingsTable: String,
+                                 df: DataFrame): DataFrame = {
+    val t = lexTombsTable(postingsTable)
+    if (spark.catalog.tableExists(t))
+      df.join(broadcast(spark.table(t).distinct()), Seq("doc_id"),
+        "left_anti")
+    else df
+  }
+
+  /** Fold the tombstones into both index tables: staged rewrite of
+    * the kept rows through the SAME bucketed writers, then the
+    * park-promote-drop rename dance (`AnnIndex.compactIndex`'s
+    * ordering — NOT crash-atomic, but the data always survives under
+    * some name and a failed swap is loud + retriable), then drop the
+    * tombstone table. Probe-visible results are unchanged
+    * (RetrievalSpec-pinned). No-op without tombstones. */
+  def compactLexIndex(spark: org.apache.spark.sql.SparkSession,
+                      postingsTable: String, lengthsTable: String): Unit = {
+    val t = lexTombsTable(postingsTable)
+    if (!spark.catalog.tableExists(t)) return
+    val buckets = getLexBuckets(spark, postingsTable)
+    def rewrite(table: String, bucketCols: Seq[String]): Unit = {
+      val kept = minusLexTombstones(spark, postingsTable, spark.table(table))
+      val stage = table + "_compact"
+      graft.core.Layout.dropManagedTable(spark, stage)
+      graft.core.Layout.writeBucketed(kept, stage, buckets, bucketCols)
+      setLexBuckets(spark, stage, buckets)
+      val parked = table + "_old"
+      graft.core.Layout.dropManagedTable(spark, parked)
+      spark.sql(s"ALTER TABLE $table RENAME TO $parked")
+      spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+      graft.core.Layout.dropManagedTable(spark, parked)
+    }
+    rewrite(postingsTable, Seq("tok"))
+    rewrite(lengthsTable, Seq("doc_id"))
+    graft.core.Layout.dropManagedTable(spark, t)
   }
 
   /** BM25 top-k over the persisted index: identical output to
@@ -227,8 +341,12 @@ object Retrieval {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k > 0, s"k ($k) must be positive")
     val termSet = terms.distinct
-    val tf = spark.table(postingsTable).filter(col("tok").isin(termSet: _*))
-    val dl = spark.table(lengthsTable)
+    // tombstones subtract from BOTH legs: tf (df shrinks per term) and
+    // dl (N and avgdl shrink) — scoreBm25 derives every corpus stat
+    // from these inputs, so the tombstoned probe ≡ a rebuilt index
+    val tf = minusLexTombstones(spark, postingsTable,
+      spark.table(postingsTable).filter(col("tok").isin(termSet: _*)))
+    val dl = minusLexTombstones(spark, postingsTable, spark.table(lengthsTable))
     scoreBm25(tf, dl, k, k1, b)
   }
 

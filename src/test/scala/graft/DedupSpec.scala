@@ -905,6 +905,42 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("pairState retirement: tombstoned state mines ≡ a rebuild without the doc; compact preserves") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val tbl = "pair_state_crud"
+    for (t <- Seq(tbl, tbl + "_tombs"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      Dedup.writePairState(corpus, tbl, shingleK = 2, buckets = 2)
+      // retire doc 2 — a member of the planted 1↔2 pair, so the pair
+      // itself must vanish from the mined set
+      Dedup.deleteFromPairState(spark, tbl, Seq(2L).toDF("doc_id"))
+      val mined = pairsOf(Dedup.pairsFromState(
+        Dedup.readPairState(spark, tbl), minPermille = 300))
+      val rebuilt = pairsOf(Dedup.minHashLshPairs(
+        corpus.filter("doc_id <> 2"), shingleK = 2, minPermille = 300))
+      assert(mined === rebuilt)
+      assert(mined.forall(p => p._1 != 2L && p._2 != 2L))
+      Dedup.compactPairState(spark, tbl)
+      assert(!spark.catalog.tableExists(tbl + "_tombs"))
+      assert(spark.table(tbl).filter("doc_id = 2").count() === 0L)
+      assert(pairsOf(Dedup.pairsFromState(
+        Dedup.readPairState(spark, tbl), minPermille = 300)) === rebuilt)
+      // the compacted table keeps its pinned shingleK/buckets: a
+      // re-ingest of the retired doc restores the one-shot mining
+      Dedup.appendPairState(corpus.filter("doc_id = 2"), tbl)
+      assert(pairsOf(Dedup.pairsFromState(
+        Dedup.readPairState(spark, tbl), minPermille = 300)) ===
+        pairsOf(Dedup.minHashLshPairs(corpus, shingleK = 2,
+          minPermille = 300)))
+    } finally {
+      for (t <- Seq(tbl, tbl + "_tombs"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      Dedup.releaseCaches()
+    }
+  }
+
   test("clusterLabelsRefresh append law: standing labels + new pairs ≡ fixpoint over all pairs") {
     // standing graph: {1,2} and {5,6}; arrivals merge them via 2–5 and
     // open a new cluster {8,9} — exercises cluster-merge, label

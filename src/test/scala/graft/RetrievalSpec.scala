@@ -115,6 +115,49 @@ class RetrievalSpec extends SparkSpec with SlowSuite {
       s"postings scan must bucket-prune the single term to one bucket:\n$plan")
   }
 
+  test("lex index CRUD: tombstoned probe ≡ a rebuild without the docs; " +
+    "append ≡ full build; compact preserves and physically removes") {
+    def collectTopk(post: String, len: String) =
+      Retrieval.bm25TopKPrebuilt(spark, post, len, Seq("cat", "fish"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (t <- Seq("lex_crud", "lex_crud_len", "lex_crud_tombs",
+                  "lex_ref", "lex_ref_len"))
+      graft.core.Layout.dropManagedTable(spark, t)
+    // append law: build on the first half, append the second —
+    // probe ≡ a one-shot build over the union
+    Retrieval.buildLexIndex(docs.filter($"doc_id" <= 2), "lex_crud",
+      "lex_crud_len", buckets = 4)
+    Retrieval.appendToLexIndex(docs.filter($"doc_id" > 2), "lex_crud",
+      "lex_crud_len")
+    Retrieval.buildLexIndex(docs, "lex_ref", "lex_ref_len", buckets = 4)
+    assert(collectTopk("lex_crud", "lex_crud_len")
+      === collectTopk("lex_ref", "lex_ref_len"))
+    // delete doc 2 (the only 'fish' doc): tombstoned probe must equal
+    // the on-the-fly bm25 over the surviving corpus — N, avgdl AND
+    // df all shift (fish's df drops to 0), which is the exactness claim
+    Retrieval.deleteFromLexIndex(spark, "lex_crud",
+      Seq(2L).toDF("doc_id"))
+    val expect = Retrieval.bm25TopK(docs.filter($"doc_id" =!= 2),
+        Seq("cat", "fish"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val tombstoned = collectTopk("lex_crud", "lex_crud_len")
+    assert(tombstoned === expect)
+    assert(!tombstoned.exists(_._1 == 2L))
+    // compact: probe unchanged, tombstone table dropped, postings
+    // physically shrunk to the survivors
+    Retrieval.compactLexIndex(spark, "lex_crud", "lex_crud_len")
+    assert(collectTopk("lex_crud", "lex_crud_len") === expect)
+    assert(!spark.catalog.tableExists("lex_crud_tombs"))
+    assert(spark.table("lex_crud").filter($"doc_id" === 2).count() === 0L)
+    assert(spark.table("lex_crud_len").filter($"doc_id" === 2).count() === 0L)
+    // the compacted index still carries its bucket pin: a further
+    // append must keep working
+    Retrieval.appendToLexIndex(docs.filter($"doc_id" === 2), "lex_crud",
+      "lex_crud_len")
+    assert(collectTopk("lex_crud", "lex_crud_len")
+      === collectTopk("lex_ref", "lex_ref_len"))
+  }
+
   test("phraseTopK: consecutive tokens only, occurrence-ranked, doc tiebreak") {
     val docs = Seq(
       (1L, "new york new york is big"),      // 2 occurrences
