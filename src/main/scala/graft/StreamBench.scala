@@ -39,11 +39,25 @@ object StreamBench {
     d.toString
   }
 
+  /** One path's measurement: wall clock, input rows, state-operator
+    * peaks and the per-micro-batch duration percentiles. */
+  private case class PathResult(name: String, wall: Double, rows: Long,
+                                stateRows: Long, stateBytes: Long,
+                                p50Ms: Long, p99Ms: Long)
+
+  /** Nearest-rank percentile over the observed batch durations — with
+    * ~8 micro-batches per run p99 is effectively the max, which is the
+    * honest spelling of "worst batch" at this sample size. */
+  private def pctile(sorted: Seq[Long], p: Int): Long =
+    if (sorted.isEmpty) -1L
+    else sorted(math.min(sorted.size - 1,
+      math.ceil(p / 100.0 * sorted.size).toInt - 1).max(0))
+
   /** Run one streaming DataFrame to the noop sink, clock
-    * start→processAllAvailable, and pull state-operator peaks from the
-    * progress history. */
+    * start→processAllAvailable, and pull state-operator peaks + batch
+    * latency percentiles from the progress history. */
   private def runOne(name: String, out: DataFrame,
-                     inputRows: Long): (String, Double, Long, Long, Long) = {
+                     inputRows: Long): PathResult = {
     val q = out.writeStream.format("noop")
       .option("checkpointLocation", tmpDir(s"ck_$name"))
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -57,11 +71,17 @@ object StreamBench {
       .foldLeft(0L)(math.max)
     val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
       .foldLeft(0L)(math.max)
-    val batches = progress.count(_.numInputRows > 0)
+    // latency percentiles over DATA batches only: the tail no-data
+    // batch the engine runs to settle watermarks measures bookkeeping,
+    // not the path
+    val durations = progress.filter(_.numInputRows > 0)
+      .map(_.batchDuration).sorted
+    val (p50, p99) = (pctile(durations, 50), pctile(durations, 99))
     System.err.println(f"[streambench] $name: $inputRows rows in $wall%.2f s " +
-      f"(${inputRows / wall}%.0f rows/s, $batches batches, " +
+      f"(${inputRows / wall}%.0f rows/s, ${durations.size} batches, " +
+      f"batch p50 $p50 ms / p99 $p99 ms, " +
       f"state $stateRows rows / $stateBytes B)")
-    (name, wall, inputRows, stateRows, stateBytes)
+    PathResult(name, wall, inputRows, stateRows, stateBytes, p50, p99)
   }
 
   def main(args: Array[String]): Unit = {
@@ -141,15 +161,16 @@ object StreamBench {
     runOne("warmup", paths.head._2(), paths.head._3)
 
     val results = paths.map { case (name, mk, rows) => runOne(name, mk(), rows) }
-    val qjson = results.map { case (n, wall, rows, srows, sbytes) =>
-      f"""    "$n":{"rows":$rows,"wall_sec":$wall%.3f,""" +
-        f""""rows_per_sec":${(rows / wall).toLong},""" +
-        f""""state_rows":$srows,"state_bytes":$sbytes}"""
+    val qjson = results.map { r =>
+      f"""    "${r.name}":{"rows":${r.rows},"wall_sec":${r.wall}%.3f,""" +
+        f""""rows_per_sec":${(r.rows / r.wall).toLong},""" +
+        f""""batch_ms_p50":${r.p50Ms},"batch_ms_p99":${r.p99Ms},""" +
+        f""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
     }.mkString(",\n")
-    val total = results.map(_._2).sum
+    val total = results.map(_.wall).sum
     val json =
       f"""{"metric":"streaming_throughput","unit":"rows_per_sec","sf":"$sfDir",
-  "method":"staged $nFiles-file parquet stream, maxFilesPerTrigger=2 (8 micro-batches), noop sink, clock start->processAllAvailable, state peaks from StreamingQueryProgress",
+  "method":"staged $nFiles-file parquet stream, maxFilesPerTrigger=2 (8 micro-batches), noop sink, clock start->processAllAvailable, state peaks + per-data-batch duration p50/p99 from StreamingQueryProgress",
   "total_wall_sec":$total%.3f,
   "paths":{
 $qjson

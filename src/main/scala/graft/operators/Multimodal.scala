@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   *
   * The decode step parses REAL container headers (PNG/BMP/GIF/WAV —
   * pure JVM byte arithmetic, no codec library, spec-covered against
-  * generated binary fixtures) and extracts REAL byte-histogram
-  * features; payloads in formats beyond those four fall back to a
-  * deterministic hash-derived shape (full pixel/sample decode needs a
-  * codec library this container doesn't ship — that one swap-in is
-  * the remaining stub, behind the same signature). Everything
-  * Spark-side is real — schema, partition-level batching, the typed
-  * Dataset plumbing.
+  * generated binary fixtures), FULLY decodes uncompressed 24bpp BMP
+  * pixel arrays ([[decodeBmpPixels]] — the one format needing zero
+  * codec dependencies, so the bytes→pixels→features path is real
+  * end-to-end for it), and extracts REAL byte-histogram features.
+  * Compressed formats (PNG/GIF/lossy audio) keep dims-only header
+  * parsing — their entropy coders need a codec library this container
+  * doesn't ship; that swap-in sits behind the same signature. Unknown
+  * formats fall back to a deterministic hash-derived shape.
+  * Everything Spark-side is real — schema, partition-level batching,
+  * the typed Dataset plumbing.
   *
   * Scale notes: media blobs are large; the operators below never
   * shuffle payload bytes — feature extraction is a narrow map, and
@@ -86,6 +89,57 @@ object Multimodal {
     else None
   }
 
+  /** FULL pixel decode for the one container that needs zero codec
+    * dependencies: an uncompressed 24-bit BI_RGB BMP is a 54-byte
+    * header plus a bare pixel array — rows padded to 4-byte
+    * boundaries, stored bottom-up (top-down when the height is
+    * negative), channels in BGR order. This retires the "full decode
+    * is a swap-in" caveat for one real format: the bytes→pixels step
+    * is genuinely performed, on the JVM, with nothing but arithmetic.
+    * Formats that DO need a codec (PNG/GIF deflate/LZW, lossy audio)
+    * remain behind [[decodeHeader]]'s dims-only parse.
+    *
+    * @return Some((width, height, rgb)) with `rgb` row-major TOP-DOWN
+    *         RGB triplets (padding stripped, BGR swapped), or None for
+    *         anything that is not a complete uncompressed 24bpp BMP. */
+  private[graft] def decodeBmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u8(i: Int) = b(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val dataOffset = le32(10)
+    val dibSize = le32(14)
+    val width = le32(18)
+    val heightRaw = le32(22) // signed: negative = top-down row order
+    val planes = le16(26)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0) return None
+    val topDown = heightRaw < 0
+    val height = math.abs(heightRaw)
+    if (width <= 0 || height <= 0) return None
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    // a truncated pixel array is a corrupt file, not a shorter image
+    if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * height > b.length)
+      return None
+    val rgb = new Array[Byte](width * height * 3)
+    var row = 0
+    while (row < height) {
+      val srcRow = if (topDown) row else height - 1 - row
+      var srcOff = dataOffset + srcRow * rowSize
+      var dst = row * width * 3
+      var x = 0
+      while (x < width) {
+        rgb(dst) = b(srcOff + 2)     // R (BMP stores BGR)
+        rgb(dst + 1) = b(srcOff + 1) // G
+        rgb(dst + 2) = b(srcOff)     // B
+        srcOff += 3; dst += 3; x += 1
+      }
+      row += 1
+    }
+    Some((width, height, rgb))
+  }
+
   /** Byte-histogram features: the 256 byte values folded into `dim`
     * equal-width bins, L1-normalized — a real (if simple) content
     * feature: near-identical payloads land on near-identical
@@ -105,11 +159,18 @@ object Multimodal {
   /** Decode + feature-extract as a partition-batched typed transform:
     * the per-partition iterator is the batch (the Scala analog of a
     * pandas-batch UDF) — a real decoder amortizes model/codec init
-    * once per partition here, not per row. Dims come from the REAL
-    * header parse ([[decodeHeader]]) when the payload is one of the
-    * four parsed formats; unknown formats keep the deterministic
-    * hash-derived fallback shape. Features are the real
-    * [[byteHistogram]] either way. */
+    * once per partition here, not per row. Three tiers, most-decoded
+    * first:
+    *
+    *  1. uncompressed 24bpp BMP: FULL pixel decode
+    *     ([[decodeBmpPixels]]) — dims from the header, features over
+    *     the DECODED RGB pixels (container header and row padding
+    *     excluded), the fully-real bytes→pixels→features path;
+    *  2. PNG/GIF/WAV (+ other BMPs): dims from the REAL header parse
+    *     ([[decodeHeader]]), features over the payload bytes (full
+    *     decode needs a codec library this container doesn't ship);
+    *  3. unknown formats: deterministic hash-derived fallback shape,
+    *     features over the payload bytes. */
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     require(dim >= 1 && dim <= 256, s"dim ($dim) must be in [1, 256]")
@@ -117,11 +178,16 @@ object Multimodal {
       // per-partition init happens HERE (decoder/model handle)
       batch.map { m =>
         val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
-        val (w, h) = decodeHeader(bytes).getOrElse {
-          val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
-          (16 + math.floorMod(h0, 64), 16 + math.floorMod(h0 >> 8, 64))
+        decodeBmpPixels(bytes) match {
+          case Some((w, h, rgb)) =>
+            MediaFeatures(m.media_id, m.modality, w, h, byteHistogram(rgb, dim))
+          case None =>
+            val (w, h) = decodeHeader(bytes).getOrElse {
+              val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+              (16 + math.floorMod(h0, 64), 16 + math.floorMod(h0 >> 8, 64))
+            }
+            MediaFeatures(m.media_id, m.modality, w, h, byteHistogram(bytes, dim))
         }
-        MediaFeatures(m.media_id, m.modality, w, h, byteHistogram(bytes, dim))
       }
     }
   }

@@ -91,6 +91,57 @@ class MultimodalSpec extends SparkSpec {
     assert(out === fixtures.map(f => f._1 -> f._4).toMap)
   }
 
+  test("decodeBmpPixels: a real 24bpp BMP round-trips its planted pixels exactly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // build a COMPLETE 3×2 uncompressed 24bpp BMP: 54-byte header +
+    // bottom-up padded pixel array (rowSize = 12: 9 pixel bytes + 3 pad)
+    def bmp24(w: Int, h: Int, rgbTopDown: Array[Byte],
+              topDown: Boolean): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowSize * h
+      val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      b.putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (row <- 0 until h) {
+        val src = if (topDown) row else h - 1 - row
+        b.position(54 + row * rowSize)
+        for (x <- 0 until w) {
+          val o = (src * w + x) * 3
+          // container stores BGR
+          b.put(rgbTopDown(o + 2)).put(rgbTopDown(o + 1)).put(rgbTopDown(o))
+        }
+      }
+      b.array()
+    }
+    // 6 distinct pixels, top-down RGB order
+    val rgb = Array[Byte](
+      10, 20, 30,   40, 50, 60,   70, 80, 90,     // row 0
+      -1, 0, 1,     100, 101, 102, 120, -128, 127) // row 1
+    for (topDown <- Seq(false, true)) {
+      val got = Multimodal.decodeBmpPixels(bmp24(3, 2, rgb, topDown))
+      assert(got.isDefined, s"topDown=$topDown must decode")
+      val (w, h, px) = got.get
+      assert((w, h) === ((3, 2)))
+      assert(px.toSeq === rgb.toSeq,
+        s"topDown=$topDown: decoded pixels must match the planted image " +
+        "byte-for-byte (padding stripped, BGR swapped, rows top-down)")
+    }
+    // the full-decode path feeds FEATURES from pixels, not container
+    // bytes: histogram(decoded rgb) — header and padding excluded
+    val file = bmp24(3, 2, rgb, topDown = false)
+    val ds = Seq(Multimodal.Media(1L, "image", file, Map.empty)).toDS()
+    val f = Multimodal.extractFeatures(ds, dim = 16).collect().head
+    assert((f.width, f.height) === ((3, 2)))
+    assert(f.features.toSeq === Multimodal.byteHistogram(rgb, 16).toSeq)
+    // non-24bpp / compressed / truncated BMPs refuse the pixel path
+    // (dims-only header tier still serves them)
+    val bad = file.clone(); bad(28) = 8 // bpp = 8
+    assert(Multimodal.decodeBmpPixels(bad).isEmpty)
+    assert(Multimodal.decodeBmpPixels(file.take(54 + 5)).isEmpty)
+  }
+
   test("byteHistogram features are a real content signal: L1-normalized, dup-invariant") {
     val a = Multimodal.byteHistogram("aaaabbbb".getBytes("US-ASCII"), 16)
     assert(math.abs(a.sum - 1.0f) < 1e-6)
