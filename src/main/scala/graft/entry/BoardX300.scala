@@ -230,7 +230,7 @@ private[graft] object BoardX300 {
     "x322_market_share" -> ((s, d) =>
       Relational.marketShare(s, d)),
     // TPC-H Q16: NOT IN blacklist with the NULL guards pinned, then
-    // decorrelated to a broadcast LEFT ANTI + count-distinct
+    // decorrelated to a LEFT ANTI + count-distinct
     "x323_supplier_variety" -> ((s, d) =>
       Relational.supplierPartVariety(s, d)),
     // TPC-H Q19: three-branch disjunctive join predicate — Catalyst

@@ -978,8 +978,9 @@ object Relational {
     * run the cross-multiply `5·q·cnt < Σq` instead, which is the same
     * predicate in exact integers.
     *
-    * Plan shape: the brand filter prunes part to a broadcast-able
-    * sliver and the join prunes lineitem FIRST; the correlated
+    * Plan shape: the brand filter prunes part to a 1/|brands| sliver
+    * and the join prunes lineitem FIRST (no broadcast hint — the
+    * sliver is SF-scaled, AQE makes the call at runtime); the correlated
     * count/sum decorrelate to a window over that pruned scan keyed by
     * part (per-part AVG is invariant to the brand restriction — it
     * correlates only on p_partkey), so the whole query is ONE pruned
@@ -993,7 +994,7 @@ object Relational {
     val w = Window.partitionBy("l_partkey")
     Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+      .join(bp, col("l_partkey") === col("p_partkey"))
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("tot", sum(col("l_quantity").cast("long")).over(w))
       .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt") < col("tot"))
@@ -1050,7 +1051,9 @@ object Relational {
     * side's dimension chain (nation ⋈ region, both fixed-size) is
     * broadcast and restricted to the two regions BEFORE touching a
     * fact table, so supplier and customer shrink to the pair's
-    * members and the fact joins carry only qualifying rows; the
+    * members and the fact joins carry only qualifying rows (the
+    * shrunken supplier/customer sides stay UN-hinted — they are
+    * SF-scaled, AQE broadcasts them only while they fit); the
     * `supp ≠ cust` residual then keeps exactly the two cross
     * directions. Date window prunes lineitem at the scan. Two
     * fact-fact shuffles (lineitem⋈orders, orders⋈customer) — the
@@ -1082,7 +1085,7 @@ object Relational {
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("supp_region") =!= col("cust_region"))
       .groupBy(col("supp_region"), col("cust_region"),
         year(col("l_shipdate")).cast("long").as("l_year"))
@@ -1098,13 +1101,14 @@ object Relational {
     * cross-multiply + trunc division — never a float ratio), NULL on
     * an empty year rather than divide-by-zero.
     *
-    * Plan shape: the part-type filter prunes part to a broadcast
-    * sliver that semi-prunes lineitem FIRST (the strongest predicate
-    * in the star); the customer side's region restriction rides the
-    * broadcast nation⋈region chain; the supplier side is NOT
-    * restricted (every supplier competes in the market — only the
-    * CASE tests the nation), so its nation name broadcasts onto the
-    * fact rows. Both sums ride ONE aggregation.
+    * Plan shape: the part-type filter prunes part to a 1/|types|
+    * sliver that prunes lineitem FIRST (the strongest predicate in
+    * the star; un-hinted — SF-scaled, AQE decides); the customer
+    * side's region restriction rides the broadcast nation⋈region
+    * chain; the supplier side is NOT restricted (every supplier
+    * competes in the market — only the CASE tests the nation), so
+    * its nation name joins onto the fact rows un-hinted. Both sums
+    * ride ONE aggregation.
     *
     * @return (o_year, nation_cents, total_cents, share_micro),
     *         year-ordered. */
@@ -1122,13 +1126,13 @@ object Relational {
           .select(col("n_nationkey"))),
         col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey")
-    val suppNation = broadcast(Tables.supplier(s, d)
-      .join(Tables.nation(s, d),
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val vol = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
     Tables.lineitem(s, d)
-      .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+      .join(bp, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp")
             && col("o_orderdate") < lit(toDate).cast("timestamp"))
@@ -1159,8 +1163,9 @@ object Relational {
     *
     * Plan shape: supplier-part pairs come from lineitem (this corpus
     * has no partsupp; df = distinct pairs, same variety semantics);
-    * the blacklist is a broadcast anti-join (deficit suppliers are a
-    * vanishing fraction); part's predicates prune at its scan; the
+    * the blacklist anti-join is un-hinted (deficit suppliers are a
+    * small but SF-scaled fraction — AQE broadcasts while they fit);
+    * part's predicates prune at its scan; the
     * count-distinct aggregates (partkey-pruned) pairs, an expand-free
     * single-key distinct per group.
     *
@@ -1174,7 +1179,7 @@ object Relational {
     Tables.lineitem(s, d)
       .filter(col("l_suppkey").isNotNull)
       .select("l_partkey", "l_suppkey")
-      .join(broadcast(blacklist),
+      .join(blacklist,
         col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(Tables.part(s, d)
           .filter(col("p_brand") =!= excludeBrand && col("p_size") <= maxSize),
@@ -1210,7 +1215,7 @@ object Relational {
     val b3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
       col("l_quantity").between(20.0, 35.0)
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)),
+      .join(Tables.part(s, d),
         col("l_partkey") === col("p_partkey") && (b1 || b2 || b3))
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue_cents"),
