@@ -236,7 +236,16 @@ private[graft] object BoardX300 {
     // TPC-H Q19: three-branch disjunctive join predicate — Catalyst
     // factors the per-side unions out of the OR and pushes them
     "x324_disjunctive_revenue" -> ((s, d) =>
-      Relational.disjunctiveRevenue(s, d)))
+      Relational.disjunctiveRevenue(s, d)),
+    // TPC-H Q9: LIKE-filtered six-table profit star (retailprice as
+    // the cost basis — no partsupp in this corpus); profit may go
+    // negative, which is Q9's semantics, not an error
+    "x325_product_profit" -> ((s, d) =>
+      Relational.productProfit(s, d)),
+    // TPC-H Q6: the pure-pushdown scan — all three range predicates
+    // ride PushedFilters into the parquet row-group stats
+    "x326_forecast_revenue" -> ((s, d) =>
+      Relational.forecastRevenue(s, d)))
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -685,5 +694,33 @@ private[graft] object BoardX300 {
           OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
               AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
           OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
-              AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""")
+              AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""",
+    // x325: Q9's star verbatim with the declared cost basis; the
+    // cents-of-retail × integral-quantity product is exact in both
+    "x325_product_profit" ->
+      """SELECT nation, o_year, CAST(SUM(profit) AS BIGINT) AS profit_cents
+       FROM (SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                 AS BIGINT)
+               - CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) AS profit
+             FROM lineitem, part, orders, supplier, nation
+             WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+               AND s_suppkey = l_suppkey AND n_nationkey = s_nationkey
+               AND p_name LIKE '%red%')
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""",
+    // x326: Q6 verbatim; the discount band brackets the generator's
+    // two-decimal grid (0.045/0.075) so the predicate is engine-exact
+    // AND stays scan-pushable
+    "x326_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+           AS BIGINT)) AS BIGINT) AS revenue_cents,
+         CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount >= 0.045 AND l_discount <= 0.075
+         AND l_quantity < 24""")
 }

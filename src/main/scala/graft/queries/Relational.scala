@@ -1221,4 +1221,72 @@ object Relational {
         .as("revenue_cents"),
         count(lit(1)).as("n_lines"))
   }
+
+  /** TPC-H Q9 shape (x325): product-type profit by (supplier nation,
+    * order year) — the LIKE-filtered six-table star that closes the
+    * classic suite. Profit per line = net revenue − cost basis
+    * (p_retailprice stands in for the absent ps_supplycost: this
+    * corpus has no partsupp — the star shape, the LIKE pushdown and
+    * the two fact-fact joins are what Q9 grades). Cost is the exact
+    * integer product `cents(p_retailprice) · qty` (quantities are
+    * integral by data contract), so profit is exact and may go
+    * negative — Q9's profit CAN, that is not an error.
+    *
+    * Plan shape: the LIKE filter prunes part at its scan
+    * (StringContains pushes to parquet) to a small sliver that prunes
+    * lineitem FIRST (un-hinted — SF-scaled, AQE decides); then the
+    * two irreducible fact-fact shuffles (lineitem⋈orders for the
+    * year, on the order key the scan already bucket-groups at real
+    * deployments) and the supplier join; nation broadcasts by hint
+    * (fixed 25 rows at every scale). One aggregation to
+    * |nations|·|years| rows.
+    *
+    * @return (nation, o_year, profit_cents), nation then year-desc. */
+  def productProfit(s: SparkSession, d: String,
+                    namePattern: String = "%red%"): DataFrame = {
+    val parts = Tables.part(s, d)
+      .filter(col("p_name").like(namePattern))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("__cost1"))
+    Tables.lineitem(s, d)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          - col("__cost1") * col("l_quantity").cast("long"))
+        .as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q6 shape (x326): the forecast-revenue-change scan — ONE
+    * lineitem pass with three range predicates (ship year, discount
+    * band, quantity cap) and `SUM(extendedprice · discount)`, the
+    * purest pushdown microbenchmark in the suite: the right plan is a
+    * scan whose PushedFilters carry ALL THREE ranges (parquet
+    * row-group min/max stats skip most of the corpus) feeding a 1-row
+    * partial-aggregated sum — no join, no shuffle beyond the final
+    * 1-row merge. The discount band is spelled in cents-scale
+    * integers (`floor(discount·100+0.5) ∈ [5,7]` would lose the
+    * pushdown — instead the raw double bounds 0.05−ε / 0.07+ε bracket
+    * the generator's two-decimal grid exactly, so the predicate stays
+    * scan-pushable AND engine-exact).
+    *
+    * @return one row (revenue_cents, n_lines). */
+  def forecastRevenue(s: SparkSession, d: String,
+                      yearStart: String = "1996-01-01",
+                      yearEnd: String = "1997-01-01",
+                      maxQty: Double = 24.0): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(yearStart).cast("timestamp")
+        && col("l_shipdate") < lit(yearEnd).cast("timestamp")
+        && col("l_discount") >= 0.045 && col("l_discount") <= 0.075
+        && col("l_quantity") < maxQty)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
 }

@@ -415,6 +415,54 @@ class RelationalSpec extends SparkSpec {
       r.getLong(3))).toMap === expect)
   }
 
+  test("x325 Q9: profit ≡ a driver-side exact replay; negative profit is semantics, not error") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.productProfit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    val lines = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.part(spark, sf).filter(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.core.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.core.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.core.Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("y"),
+        Relational.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"),
+        (Relational.cents(col("p_retailprice"))
+          * col("l_quantity").cast("long")).as("cost"))
+      .collect()
+    val expect = lines.groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.map(r => r.getLong(2) - r.getLong(3)).sum).toMap
+    assert(rows === expect)
+  }
+
+  test("x326 Q6: all three range predicates reach the scan's PushedFilters") {
+    val df = Relational.forecastRevenue(spark, sf)
+    val got = df.head()
+    assert(got.getLong(1) > 0L, "the band must be non-degenerate at sf0.001")
+    // executedPlan.toString ELIDES long PushedFilters lists ("…") — the
+    // formatted explain prints them in full, which this assertion needs
+    val scan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (colName <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scan.contains(s"GreaterThanOrEqual($colName")
+        || scan.contains(s"LessThan($colName")
+        || scan.contains(s"LessThanOrEqual($colName"),
+        s"$colName's range must push to the parquet scan:\n$scan")
+    // and the value is the filtered-sum replay
+    import org.apache.spark.sql.functions._
+    val expect = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") >= 0.045 && col("l_discount") <= 0.075
+        && col("l_quantity") < 24.0)
+      .select(Relational.cents(col("l_extendedprice") * col("l_discount")).as("c"))
+      .collect().map(_.getLong(0))
+    assert(got.getLong(0) === expect.sum)
+    assert(got.getLong(1) === expect.length.toLong)
+  }
+
   test("x324 Q19: pushed disjunction ≡ the naive post-join OR filter") {
     import org.apache.spark.sql.functions._
     val got = Relational.disjunctiveRevenue(spark, sf).head()
