@@ -31,6 +31,29 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val RepMarker = "##GRAFT_Q##"
 
+  /** The HEAVY TIER — pinned to the 22 queries the round-14 driver
+    * run measured at ≥ 1.5 s best-of. On a FULL-board shared run these
+    * are measured in fresh child JVMs instead of the shared session:
+    * the r14 round-over-round comparison drifted +14% on exactly this
+    * tier with no code change (the round-15 bisect pinned the cause to
+    * shared-JVM board-growth pressure + host-window drift), and a
+    * per-query JVM removes the first factor STRUCTURALLY — a heavy
+    * query's number can no longer depend on how many queries ran
+    * before it. Cost: ~10 s JVM spin-up × 22, paid once per full
+    * board run. The list is PINNED (not derived from a moving
+    * artifact) so the measurement protocol itself cannot drift with
+    * the numbers; additions belong here when a new query lands in the
+    * tier. SPARK_GRAFT_HEAVY_ISOLATE=0 restores the old behavior. */
+  private val HeavyTier: Set[String] = Set(
+    "x216_cluster_quality", "x291_cluster_refresh",
+    "x262_band_recall_curve", "x230_mutual_topk_ann", "x100_triangles",
+    "x55_pagerank", "x73_semantic_dedup", "x205_loss_weights",
+    "x295_split_repair", "x293_golden_record", "x89_cluster_sizes",
+    "x260_cluster_cap", "x272_dedup_threshold_curve", "x148_basket_pairs",
+    "x211_wprefix_plan", "x264_minhash_error_curve", "x182_item_cosine",
+    "x103_weighted_containment", "x162_k_core", "x106_cluster_split",
+    "x65_containment", "x146_local_cluster")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -66,8 +89,22 @@ object Bench {
     val isolate = !isChild &&
       sys.env.get("SPARK_GRAFT_ISOLATE").exists(v => v == "1" || v == "true")
 
+    // full-board shared runs isolate the pinned heavy tier (see
+    // HeavyTier's scaladoc); subset/tiered runs keep the plain shared
+    // path so quick iteration costs no JVM spin-ups
+    val heavyIsolate = !isChild && !isolate && tier == "full" &&
+      only.isEmpty &&
+      !sys.env.get("SPARK_GRAFT_HEAVY_ISOLATE").contains("0")
     val timed: Seq[(String, Double, Seq[Double])] =
       if (isolate) names.map(n => runIsolated(n, sfDir))
+      else if (heavyIsolate) {
+        val (heavy, light) = names.partition(HeavyTier)
+        System.err.println(
+          s"[bench] heavy tier: ${heavy.size} queries in fresh JVMs")
+        val byName = (runShared(light, sfDir, cpus) ++
+          heavy.map(n => runIsolated(n, sfDir))).map(t => t._1 -> t).toMap
+        names.map(byName) // original order: the artifact stays stable
+      }
       else runShared(names, sfDir, cpus)
 
     if (isChild) {
@@ -93,7 +130,8 @@ object Bench {
         System.err.println(s"[bench] subset run -> $outPath (BENCH_FULL.json untouched)")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath),
-        renderFull(results, sfDir, timed.map(t => (t._1, t._3))))
+        renderFull(results, sfDir, timed.map(t => (t._1, t._3)),
+          heavyIsolated = if (heavyIsolate) names.filter(HeavyTier) else Nil))
       println(renderLine(results, sfDir, reps = timed.map(t => (t._1, t._3))))
     }
   }
@@ -267,10 +305,18 @@ object Bench {
     * 16× spreads in round 9 (x74 3.5→57 s) and with them exactly the
     * cross-query cache/GC interference a regression bisect needs. */
   def renderFull(results: Seq[(String, Double)], sfDir: String,
-                 reps: Seq[(String, Seq[Double])] = Nil): String = {
+                 reps: Seq[(String, Seq[Double])] = Nil,
+                 heavyIsolated: Seq[String] = Nil): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
+    // protocol transparency: name the queries measured in fresh child
+    // JVMs so a round-over-round reader knows which numbers changed
+    // measurement conditions (round 15: the pinned heavy tier)
+    val iso =
+      if (heavyIsolated.isEmpty) ""
+      else heavyIsolated.sorted.mkString(
+        "\"heavy_isolated\":[\"", "\",\"", "\"],\n  ")
     val queries = results.map(e => "    " + entryJson(e)).mkString(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",%n  "queries":{%n""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",%n  $iso"queries":{%n""",
       ",\n", "\n  }")
     if (reps.isEmpty) queries + "\n}\n"
     else {
