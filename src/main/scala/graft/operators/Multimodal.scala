@@ -192,6 +192,67 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resample of a row-major RGB pixel array — the
+    * standard O(out) resize every vision pipeline starts from (source
+    * index = ⌊dst·src/out⌋ per axis, exact in integer arithmetic).
+    * Pure function, spec-covered against hand-computed samplings. */
+  private[graft] def resizeNearest(rgb: Array[Byte], w: Int, h: Int,
+                                   nw: Int, nh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nw > 0 && nh > 0,
+      s"dims ($w x $h -> $nw x $nh) must be positive")
+    require(rgb.length == w * h * 3,
+      s"pixel array (${rgb.length}) must be w*h*3 = ${w * h * 3}")
+    val out = new Array[Byte](nw * nh * 3)
+    var y = 0
+    while (y < nh) {
+      val sy = (y.toLong * h / nh).toInt
+      var x = 0
+      while (x < nw) {
+        val sx = (x.toLong * w / nw).toInt
+        val so = (sy * w + sx) * 3
+        val dof = (y * nw + x) * 3
+        out(dof) = rgb(so); out(dof + 1) = rgb(so + 1); out(dof + 2) = rgb(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class ResizedMedia(media_id: Long, modality: String,
+                                width: Int, height: Int, pixels: Array[Byte])
+
+  /** Decode + RESIZE as a partition-batched typed transform — the
+    * "resize" leg of the decode/feature/resize/frame-sample quartet,
+    * real end-to-end for the fully-decodable format: uncompressed
+    * 24bpp BMP payloads decode ([[decodeBmpPixels]]) and resample
+    * ([[resizeNearest]]) to (targetW, targetH) RGB; payloads without
+    * a decodable pixel array are DROPPED (an explicit contract — a
+    * resize of undecoded bytes would be noise pretending to be
+    * pixels; callers wanting dims-only metadata use
+    * [[extractFeatures]]).
+    *
+    * Scale shape: a narrow flatMap — blob bytes never shuffle, output
+    * rows carry exactly targetW·targetH·3 bytes each (the bounded
+    * training-input shape downstream batching wants), and per-
+    * partition init amortizes a real codec handle when one is swapped
+    * in for the compressed formats. */
+  def resizeMedia(media: Dataset[Media], targetW: Int,
+                  targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0,
+      s"target dims ($targetW x $targetH) must be positive")
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        decodeBmpPixels(bytes).map { case (w, h, rgb) =>
+          ResizedMedia(m.media_id, m.modality, targetW, targetH,
+            resizeNearest(rgb, w, h, targetW, targetH))
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: every k-th fixed-size window of
     * the byte stream becomes a "frame" payload. Pure column expressions
     * over binary — no UDF. The INDEX sequence is exploded first and the

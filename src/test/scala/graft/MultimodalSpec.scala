@@ -91,31 +91,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out === fixtures.map(f => f._1 -> f._4).toMap)
   }
 
-  test("decodeBmpPixels: a real 24bpp BMP round-trips its planted pixels exactly") {
+  /** A COMPLETE uncompressed 24bpp BMP: 54-byte header + padded pixel
+    * array (bottom-up unless topDown), built from top-down RGB. */
+  private def bmp24(w: Int, h: Int, rgbTopDown: Array[Byte],
+                    topDown: Boolean): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
-    // build a COMPLETE 3×2 uncompressed 24bpp BMP: 54-byte header +
-    // bottom-up padded pixel array (rowSize = 12: 9 pixel bytes + 3 pad)
-    def bmp24(w: Int, h: Int, rgbTopDown: Array[Byte],
-              topDown: Boolean): Array[Byte] = {
-      val rowSize = ((w * 3 + 3) / 4) * 4
-      val size = 54 + rowSize * h
-      val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
-      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
-      b.putInt(40).putInt(w).putInt(if (topDown) -h else h)
-      b.putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
-      b.putInt(2835).putInt(2835).putInt(0).putInt(0)
-      for (row <- 0 until h) {
-        val src = if (topDown) row else h - 1 - row
-        b.position(54 + row * rowSize)
-        for (x <- 0 until w) {
-          val o = (src * w + x) * 3
-          // container stores BGR
-          b.put(rgbTopDown(o + 2)).put(rgbTopDown(o + 1)).put(rgbTopDown(o))
-        }
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+    b.putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+    b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- 0 until h) {
+      val src = if (topDown) row else h - 1 - row
+      b.position(54 + row * rowSize)
+      for (x <- 0 until w) {
+        val o = (src * w + x) * 3
+        // container stores BGR
+        b.put(rgbTopDown(o + 2)).put(rgbTopDown(o + 1)).put(rgbTopDown(o))
       }
-      b.array()
     }
-    // 6 distinct pixels, top-down RGB order
+    b.array()
+  }
+
+  test("decodeBmpPixels: a real 24bpp BMP round-trips its planted pixels exactly") {
+    // 6 distinct pixels, top-down RGB order (rowSize 12 = 9 bytes + 3 pad)
     val rgb = Array[Byte](
       10, 20, 30,   40, 50, 60,   70, 80, 90,     // row 0
       -1, 0, 1,     100, 101, 102, 120, -128, 127) // row 1
@@ -140,6 +141,32 @@ class MultimodalSpec extends SparkSpec {
     val bad = file.clone(); bad(28) = 8 // bpp = 8
     assert(Multimodal.decodeBmpPixels(bad).isEmpty)
     assert(Multimodal.decodeBmpPixels(file.take(54 + 5)).isEmpty)
+  }
+
+  test("resizeMedia: nearest-neighbor resampling of real BMP pixels, exact; undecodable dropped") {
+    val rgb = Array[Byte](
+      10, 20, 30,   40, 50, 60,   70, 80, 90,
+      -1, 0, 1,     100, 101, 102, 120, -128, 127)
+    // 2× upscale: sx = x/2, sy = y/2 — every pixel becomes a 2×2 block
+    val up = Multimodal.resizeNearest(rgb, 3, 2, 6, 4)
+    def px(a: Array[Byte], w: Int, x: Int, y: Int) =
+      (a((y * w + x) * 3), a((y * w + x) * 3 + 1), a((y * w + x) * 3 + 2))
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert(px(up, 6, x, y) === px(rgb, 3, x / 2, y / 2),
+        s"upscaled ($x,$y) must sample source (${x / 2},${y / 2})")
+    // degenerate downscale to 1×1 keeps the (0,0) sample
+    assert(Multimodal.resizeNearest(rgb, 3, 2, 1, 1).toSeq
+      === Seq[Byte](10, 20, 30))
+    // the Spark path: one decodable BMP + one opaque payload — the
+    // opaque row is DROPPED, the BMP resized exactly
+    import spark.implicits._
+    val ds = Seq(
+      Multimodal.Media(1L, "image", bmp24(3, 2, rgb, topDown = false), Map.empty),
+      Multimodal.Media(2L, "image", "not a bmp".getBytes, Map.empty)).toDS()
+    val out = Multimodal.resizeMedia(ds, 6, 4).collect()
+    assert(out.map(_.media_id).toSeq === Seq(1L))
+    assert(out.head.pixels.toSeq === up.toSeq)
+    assert((out.head.width, out.head.height) === ((6, 4)))
   }
 
   test("byteHistogram features are a real content signal: L1-normalized, dup-invariant") {
