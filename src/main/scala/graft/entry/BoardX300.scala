@@ -245,7 +245,13 @@ private[graft] object BoardX300 {
     // TPC-H Q6: the pure-pushdown scan — all three range predicates
     // ride PushedFilters into the parquet row-group stats
     "x326_forecast_revenue" -> ((s, d) =>
-      Relational.forecastRevenue(s, d)))
+      Relational.forecastRevenue(s, d)),
+    // in-engine model fitting: 3 full-batch GD iterations in exact
+    // integer micro-units (hard sigmoid — no libm in the loop); the
+    // oracle replays the ENTIRE training loop as chained CTEs and
+    // must land on bit-identical weights
+    "x327_logistic_fit" -> ((s, d) =>
+      graft.operators.Learn.linearClassifierFit(Tables.documents(s, d))))
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -722,5 +728,57 @@ private[graft] object BoardX300 {
        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          AND l_shipdate < TIMESTAMP '1997-01-01'
          AND l_discount >= 0.045 AND l_discount <= 0.075
-         AND l_quantity < 24""")
+         AND l_quantity < 24""",
+    // x327: the whole 3-iteration training loop unrolled — feature
+    // table MATERIALIZED (referenced once per iteration + the accuracy
+    // pass), each gradient a 1-row aggregate carrying the previous
+    // weights via MIN (1-row cross join), every step integer-exact
+    // (// truncates toward zero exactly like Spark's div / Scala's /)
+    "x327_logistic_fit" ->
+      """WITH f AS MATERIALIZED (
+         SELECT CAST((length(text) - length(replace(text, ' the ', ''))) // 5
+                  - 2 AS BIGINT) AS f1,
+                CAST(length(text) - length(replace(text, ' ', '')) + 1 - 55
+                  AS BIGINT) AS f2,
+                CAST(1 AS BIGINT) AS f3,
+                CAST(CASE WHEN n_chars >= 300 THEN 1000000 ELSE 0 END
+                  AS BIGINT) AS y
+         FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+       g1 AS (SELECT CAST(SUM((500000 - y) * f1) AS BIGINT) AS g1,
+                     CAST(SUM((500000 - y) * f2) AS BIGINT) AS g2,
+                     CAST(SUM((500000 - y) * f3) AS BIGINT) AS g3,
+                     CAST(count(*) AS BIGINT) AS n FROM f),
+       w1 AS (SELECT 0 - (g1 // n) // 8 AS wa, 0 - (g2 // n) // 8 AS wb,
+                     0 - (g3 // n) // 8 AS wc, n FROM g1),
+       g2s AS (SELECT
+           CAST(SUM((GREATEST(0, LEAST(1000000,
+             500000 + (f1*wa + f2*wb + f3*wc) // 4)) - y) * f1) AS BIGINT) AS g1,
+           CAST(SUM((GREATEST(0, LEAST(1000000,
+             500000 + (f1*wa + f2*wb + f3*wc) // 4)) - y) * f2) AS BIGINT) AS g2,
+           CAST(SUM((GREATEST(0, LEAST(1000000,
+             500000 + (f1*wa + f2*wb + f3*wc) // 4)) - y) * f3) AS BIGINT) AS g3,
+           MIN(wa) AS pwa, MIN(wb) AS pwb, MIN(wc) AS pwc,
+           CAST(count(*) AS BIGINT) AS n
+         FROM f, w1),
+       w2 AS (SELECT pwa - (g1 // n) // 8 AS wa, pwb - (g2 // n) // 8 AS wb,
+                     pwc - (g3 // n) // 8 AS wc, n FROM g2s),
+       g3s AS (SELECT
+           CAST(SUM((GREATEST(0, LEAST(1000000,
+             500000 + (f1*wa + f2*wb + f3*wc) // 4)) - y) * f1) AS BIGINT) AS g1,
+           CAST(SUM((GREATEST(0, LEAST(1000000,
+             500000 + (f1*wa + f2*wb + f3*wc) // 4)) - y) * f2) AS BIGINT) AS g2,
+           CAST(SUM((GREATEST(0, LEAST(1000000,
+             500000 + (f1*wa + f2*wb + f3*wc) // 4)) - y) * f3) AS BIGINT) AS g3,
+           MIN(wa) AS pwa, MIN(wb) AS pwb, MIN(wc) AS pwc,
+           CAST(count(*) AS BIGINT) AS n
+         FROM f, w2),
+       w3 AS (SELECT pwa - (g1 // n) // 8 AS wa, pwb - (g2 // n) // 8 AS wb,
+                     pwc - (g3 // n) // 8 AS wc FROM g3s),
+       acc AS (SELECT
+           CAST(SUM(CASE WHEN ((f1*wa + f2*wb + f3*wc) > 0) = (y = 1000000)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(count(*) AS BIGINT) AS n_total
+         FROM f, w3)
+       SELECT wa AS w_the, wb AS w_toks, wc AS w_bias, n_correct, n_total
+       FROM w3, acc""")
 }
