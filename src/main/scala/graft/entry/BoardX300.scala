@@ -251,7 +251,20 @@ private[graft] object BoardX300 {
     // oracle replays the ENTIRE training loop as chained CTEs and
     // must land on bit-identical weights
     "x327_logistic_fit" -> ((s, d) =>
-      graft.operators.Learn.linearClassifierFit(Tables.documents(s, d))))
+      graft.operators.Learn.linearClassifierFit(Tables.documents(s, d))),
+    // the PERSISTED-INDEX face of x47: build the bucketed postings +
+    // lengths tables (one corpus scan, one write-side shuffle), then
+    // probe through the bucket-pruned path — the result must be
+    // IDENTICAL to the on-the-fly form, certified by the SAME oracle
+    // text (one spelling, two rows — the x312 one-generator rule)
+    "x328_bm25_prebuilt" -> { (s, d) =>
+      for (t <- Seq("board_lex_post", "board_lex_len", "board_lex_post_tombs"))
+        graft.core.Layout.dropManagedTable(s, t)
+      graft.operators.Retrieval.buildLexIndex(Tables.documents(s, d),
+        "board_lex_post", "board_lex_len", buckets = 8)
+      graft.operators.Retrieval.bm25TopKPrebuilt(s, "board_lex_post",
+        "board_lex_len", Seq("vector", "stream", "join"), k = 20)
+    })
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -780,5 +793,8 @@ private[graft] object BoardX300 {
            CAST(count(*) AS BIGINT) AS n_total
          FROM f, w3)
        SELECT wa AS w_the, wb AS w_toks, wc AS w_bias, n_correct, n_total
-       FROM w3, acc""")
+       FROM w3, acc""",
+    // x328: the SAME oracle string as x47 — the prebuilt probe must be
+    // row-for-row the on-the-fly BM25 (RetrievalSpec also pins it)
+    "x328_bm25_prebuilt" -> BoardX000.oracleSql("x47_bm25_topk"))
 }
