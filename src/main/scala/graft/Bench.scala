@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   *    the per-commit loop.
   *
   * Artifacts: a FULL board run writes BENCH_FULL.json; a tiered or
-  * SPARK_GRAFT_ONLY-filtered run writes BENCH_core.json instead so a
+  * SPARK_GRAFT_ONLY-filtered run writes BENCH_scratch.json instead so a
   * quick iteration can never clobber the committed full-board artifact
   * with its subset (the round-10 trap). SPARK_GRAFT_OUT overrides the
   * output path either way (the sf1 probe writes BENCH_sf1 inputs this
@@ -53,6 +53,24 @@ object Bench {
     "x211_wprefix_plan", "x264_minhash_error_curve", "x182_item_cosine",
     "x103_weighted_containment", "x162_k_core", "x106_cluster_split",
     "x65_containment", "x146_local_cluster")
+
+  /** DRIFT CONTROLS — four heavy queries whose code has not changed
+    * since round 13, with their committed round-15 best-of anchors
+    * (this repo's BENCH_FULL.json at the r15 commit, 193.7 s board).
+    * The r15 bisect measured these moving 11–39% between host windows
+    * with NO code change, so raw round-over-round totals are not
+    * comparable unnormalized. Every full-board artifact now carries a
+    * `controls` block (per-control measured/anchor ratio + geomean):
+    * divide a round's total by the controls' geomean ratio before
+    * comparing it to a prior round — a query is a code regression only
+    * if it moved well beyond that normalized envelope. The anchors are
+    * PINNED CONSTANTS, not read from a moving artifact, so the
+    * normalization basis cannot drift with the numbers. */
+  private val Controls: Map[String, Double] = Map(
+    "x55_pagerank" -> 2.381,
+    "x182_item_cosine" -> 2.464,
+    "x210_wcontain_prefix" -> 1.410,
+    "x236_pair_jac_hist" -> 1.324)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,11 +139,14 @@ object Bench {
       // repetition rides along so a plan audit can tell host jitter
       // (wide rep spread) from a real regression (tight spread at a new
       // level) without re-running the board. Subset runs are routed to
-      // BENCH_core.json so they can never overwrite the committed
-      // full-board BENCH_FULL.json.
+      // the gitignored BENCH_scratch.json so they can never overwrite
+      // the committed full-board BENCH_FULL.json (nor leave a stale
+      // committed artifact — r15's BENCH_core.json carried r13 numbers
+      // for two rounds before its retirement; scale probes live in
+      // BENCH_sf1.json).
       val fullBoard = tier == "full" && only.isEmpty
       val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT",
-        if (fullBoard) "BENCH_FULL.json" else "BENCH_core.json")
+        if (fullBoard) "BENCH_FULL.json" else "BENCH_scratch.json")
       if (!fullBoard && !sys.env.contains("SPARK_GRAFT_OUT"))
         System.err.println(s"[bench] subset run -> $outPath (BENCH_FULL.json untouched)")
       java.nio.file.Files.writeString(
@@ -318,7 +339,21 @@ object Bench {
     val queries = results.map(e => "    " + entryJson(e)).mkString(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",%n  $iso"queries":{%n""",
       ",\n", "\n  }")
-    if (reps.isEmpty) queries + "\n}\n"
+    // the drift-control block (see Controls): emitted whenever any of
+    // the four pinned controls ran, so a subset run that includes them
+    // still yields a normalization basis
+    val ctl = results.filter { case (n, v) => Controls.contains(n) && v >= 0 }
+    val ctlBlock =
+      if (ctl.isEmpty) ""
+      else {
+        val rows = ctl.sortBy(_._1).map { case (n, v) =>
+          f"""    {"query":"$n","best":$v%.3f,"anchor_r15":${Controls(n)}%.3f,"ratio":${v / Controls(n)}%.3f}"""
+        }.mkString(",\n")
+        val geo = math.exp(
+          ctl.map { case (n, v) => math.log(v / Controls(n)) }.sum / ctl.size)
+        f""",%n  "controls":{"geomean_ratio":$geo%.3f,"anchor":"r15 committed BENCH_FULL.json","rows":[%n$rows%n  ]}"""
+      }
+    if (reps.isEmpty) queries + ctlBlock + "\n}\n"
     else {
       val stats = reps.map { case (n, all) =>
         val ok = all.filter(_ >= 0)
@@ -340,7 +375,7 @@ object Bench {
           "    {\"query\":\"" + n + f"""\",\"max_over_min\":$r%.1f}"""
         }.mkString(",\n  \"high_variance\":[\n", ",\n", "\n  ]")
       val medBlock = f""",%n  "total_median":${medianTotal(reps)}%.3f"""
-      queries + repsBlock + statsBlock + varBlock + medBlock + "\n}\n"
+      queries + repsBlock + statsBlock + varBlock + ctlBlock + medBlock + "\n}\n"
     }
   }
 

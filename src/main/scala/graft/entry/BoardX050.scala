@@ -145,22 +145,8 @@ private[graft] object BoardX050 {
     // set is non-empty and every stage is still exactly replayed
     "x73_semantic_dedup"  -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      // two-step select: the output column is ALSO named vec_id, and
-      // Spark's lateral column alias resolution would silently bind
-      // the lambda's vec_id to the just-shifted value (DuckDB binds
-      // the input) — hashing from the distinctly-named orig_id keeps
-      // both engines perturbing from the SAME key
-      val planted = emb.filter(col("vec_id") < 64)
-        .select(col("vec_id").as("orig_id"), col("embedding"), col("label"))
-        .select(
-          (col("orig_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") + lit(0.02d) *
-              (conv(substring(md5(concat_ws(":", col("orig_id"), i)), 1, 15), 16, 10)
-                .cast("double") / lit(1152921504606846976.0d))).cast("float"))
-            .as("embedding"),
-          col("label"))
-      graft.operators.Clustering.semanticDedup(emb.unionByName(planted),
+      graft.operators.Clustering.semanticDedup(
+        emb.unionByName(EntryLib.plantPerturbedCopies(emb)),
         idCol = "vec_id", vecCol = "embedding", k = 16, iterations = 2,
         minPermille = 900L)
     },

@@ -264,7 +264,31 @@ private[graft] object BoardX300 {
         "board_lex_post", "board_lex_len", buckets = 8)
       graft.operators.Retrieval.bm25TopKPrebuilt(s, "board_lex_post",
         "board_lex_len", Seq("vector", "stream", "join"), k = 20)
-    })
+    },
+    // x73's AUTO-SIZED face: k ≤ 0 lets semanticDedup size k ≈ √n
+    // itself (the mutualTopKAnn nlist discipline — at fixed k the
+    // within-cluster pair mass is quadratic in the corpus). The fixed
+    // 256-vector slice (+64 planted dups = 320 rows at EVERY sf) makes
+    // the auto-k deterministic (⌊√320⌋ = 17), so the WHOLE path —
+    // count, sizing rule, k=17 kmeans trajectory, pairs, closure — is
+    // oracle-replayed, not just spec-pinned
+    "x329_semdedup_autok" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 256)
+      graft.operators.Clustering.semanticDedup(
+        emb.unionByName(EntryLib.plantPerturbedCopies(emb)),
+        idCol = "vec_id", vecCol = "embedding", k = 0, iterations = 2,
+        minPermille = 900L)
+    },
+    // x230's SAMPLED AUDIT form — the linear-cost answer where even
+    // the √n-sized n^1.5 contract is too hot: every 4th vector plus
+    // its retrieved neighbors probed, mutual pairs with a sampled
+    // endpoint reported. Rule-6 no_oracle like x230 (the KMeans
+    // quantizer is not replayable cross-engine); SimilaritySpec pins
+    // sampled ≡ full restricted to the sample at full AND partial
+    // probe, and everyN=1 ≡ the full operator
+    "x330_mutual_sampled" -> ((s, d) =>
+      graft.operators.Similarity.mutualTopKAnnSampled(
+        Tables.embeddings(s, d), k = 8, everyN = 4)))
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -796,5 +820,9 @@ private[graft] object BoardX300 {
        FROM w3, acc""",
     // x328: the SAME oracle string as x47 — the prebuilt probe must be
     // row-for-row the on-the-fly BM25 (RetrievalSpec also pins it)
-    "x328_bm25_prebuilt" -> BoardX000.oracleSql("x47_bm25_topk"))
+    "x328_bm25_prebuilt" -> BoardX000.oracleSql("x47_bm25_topk"),
+    // x329: the x73 replay on the fixed slice with the auto-sized
+    // k = ⌊√320⌋ = 17 pinned in the oracle text — a drift in the
+    // engine's sizing rule breaks the hash, not just a spec
+    "x329_semdedup_autok" -> EntryLib.semanticDedupAutoOracle)
 }

@@ -811,12 +811,42 @@ private[graft] object EntryLib {
        ${assign("afin", s"c$iters")}"""
   }
 
+  /** md5-perturbed copies of the first 64 vectors (ids shifted +1e6,
+    * ±2% per-dimension jitter) — the oracle-replayable duplicate
+    * planting shared by x73/x329: the corpus has no natural ≥900‰
+    * cosine pairs (ceiling ~0.51), so the SemDeDup drop set would be
+    * empty without it. Two-step select: the output column is ALSO
+    * named vec_id, and Spark's lateral column alias resolution would
+    * silently bind the lambda's vec_id to the just-shifted value
+    * (DuckDB binds the input) — hashing from the distinctly-named
+    * orig_id keeps both engines perturbing from the SAME key. */
+  def plantPerturbedCopies(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("orig_id"), col("embedding"), col("label"))
+      .select(
+        (col("orig_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + lit(0.02d) *
+            (conv(substring(md5(concat_ws(":", col("orig_id"), i)), 1, 15), 16, 10)
+              .cast("double") / lit(1152921504606846976.0d))).cast("float"))
+          .as("embedding"),
+        col("label"))
+
   /** x73: the x56 trajectory (k=16) composed with the x09-parity
     * cosine spelling for within-cluster pairs and the x34 recursive
     * closure for duplicate groups — three certified replays chained. */
-  def semanticDedupOracle: String =
+  def semanticDedupOracle: String = semanticDedupOracleFor(16, "")
+
+  /** x329: the SAME replay on the fixed 256-vector slice (+64 planted
+    * = 320 rows at EVERY scale factor), where the engine's k ≤ 0
+    * auto-sizing lands on ⌊√320⌋ = 17 — the oracle pins that k, so a
+    * drift in the sizing rule breaks the hash, not just a spec. */
+  def semanticDedupAutoOracle: String =
+    semanticDedupOracleFor(17, "WHERE vec_id < 256")
+
+  private def semanticDedupOracleFor(k: Int, baseWhere: String): String =
     s"""WITH RECURSIVE emb2 AS (
-         SELECT vec_id, embedding, label FROM embeddings
+         SELECT vec_id, embedding, label FROM embeddings $baseWhere
          UNION ALL
          SELECT vec_id + 1000000, list_transform(embedding, (x, i) ->
              CAST(CAST(x AS DOUBLE) + 0.02 * (CAST('0x' ||
@@ -824,7 +854,7 @@ private[graft] object EntryLib {
                AS BIGINT) / 1152921504606846976.0) AS FLOAT)),
            label
          FROM embeddings WHERE vec_id < 64),
-       ${kmeansChain(16, 2, 64, src = "emb2")},
+       ${kmeansChain(k, 2, 64, src = "emb2")},
        fv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM emb2),
        nrm AS (SELECT vec_id, v,

@@ -108,6 +108,9 @@ object AnnIndex {
   private def compactIndex(spark: SparkSession, table: String,
                            bucketCols: Seq[String], bucketsProp: String,
                            carryProps: String*): Unit = {
+    // a prior compact may have died mid-swap with the live name parked
+    // aside — repair that first or the property read below throws
+    graft.core.Layout.recoverParkedSwap(spark, table)
     val t = tombsTable(table)
     if (!spark.catalog.tableExists(t)) return
     val buckets = getProp(spark, table, bucketsProp)
@@ -123,8 +126,10 @@ object AnnIndex {
     // never stranded without a recovery path: park the live table
     // aside FIRST, promote the stage, then drop the parked copy. A
     // crash inside the window leaves probes failing table-not-found
-    // (loud, retriable after re-running compact) rather than silently
-    // reading a half-swapped index, and both copies survive on disk.
+    // (loud, retriable — re-running compact first restores the parked
+    // copy via recoverParkedSwap above, then redoes the fold) rather
+    // than silently reading a half-swapped index, and both copies
+    // survive on disk.
     val parked = table + "_old"
     graft.core.Layout.dropManagedTable(spark, parked)
     spark.sql(s"ALTER TABLE $table RENAME TO $parked")
@@ -168,14 +173,22 @@ object AnnIndex {
     * per-bucket files without touching existing ones — the standard
     * "index the delta" shape every ingest pipeline needs, paired with
     * [[graft.operators.Dedup.newAgainstBase]] upstream so only
-    * content-new documents reach the index. Callers dedupe ids across
-    * batches (an id re-appended shadows nothing — both rows surface;
-    * the top-k tie-break keeps results deterministic regardless). */
+    * content-new documents reach the index. Callers dedupe LIVE ids
+    * across batches (an id re-appended shadows nothing — both rows
+    * surface; the top-k tie-break keeps results deterministic
+    * regardless); ids retired via [[deleteFromIndex]] are safe to
+    * re-append — the overlap guard below folds the tombstones first
+    * (one index rewrite) so the old rows can't hide the new ones. */
   def appendToLshIndex(batch: DataFrame, table: String,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // retire→re-append: a batch id still tombstoned would have its new
+    // rows subtracted alongside the old — fold the tombstones first
+    if (graft.core.Layout.overlapsTombstones(spark, tombsTable(table),
+        batch.select(col(idCol).cast("long").as("neighbor_id")), "neighbor_id"))
+      compactLshIndex(spark, table)
     val numPlanes = getProp(spark, table, PlanesProp)
     val numTables = getProp(spark, table, TablesProp)
     val buckets = getProp(spark, table, BucketsProp)
@@ -209,6 +222,10 @@ object AnnIndex {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
+    // same retire→re-append guard as the LSH append path
+    if (graft.core.Layout.overlapsTombstones(spark, tombsTable(assignTable),
+        batch.select(col(idCol).cast("long").as("neighbor_id")), "neighbor_id"))
+      compactIvfIndex(spark, assignTable)
     val buckets = getProp(spark, assignTable, IvfBucketsProp)
     val centers = spark.table(centersTable)
     val c = batch.select(col(idCol).as("neighbor_id"),

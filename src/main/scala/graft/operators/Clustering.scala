@@ -185,6 +185,18 @@ object Clustering {
     * is per-cluster and the component fixpoint runs over found PAIRS
     * only (a vanishing fraction of the corpus).
     *
+    * SIZE k WITH THE CORPUS — k ≤ 0 auto-sizes k ≈ √n (floor 16), the
+    * [[Similarity.mutualTopKAnn]] nlist discipline: at a FIXED k the
+    * per-cluster populations grow linearly with the corpus, so the
+    * within-cluster pair mass n²/k grows QUADRATICALLY — the paper's
+    * bound only holds because k scales with n. Under √n sizing both
+    * the pair mass and the kmeans assignment cost are ~n^1.5 (the same
+    * declared contract as mutualTopKAnn), and cluster keys grow with
+    * the corpus instead of capping the pairwise join's parallelism at
+    * k. The one extra count() is a columnless scan. Pass an explicit
+    * k > 0 only for replay-pinned demos (the x73 board row) or when an
+    * external sizing rule applies.
+    *
     * @return (idCol, cluster, keep_id) ordered by id — keep_id == id
     *         marks survivors; rows with keep_id < id are the drop set. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
@@ -192,6 +204,15 @@ object Clustering {
                     minPermille: Long = 900L): DataFrame = {
     require(minPermille >= 1 && minPermille <= 1000,
       s"minPermille ($minPermille) must be in [1, 1000]")
+    val kk =
+      if (k > 0) k
+      else {
+        val n = df.count()
+        require(n > 0, "semanticDedup auto-k needs a non-empty corpus")
+        // floor 16 (per the paper small corpora don't need more bins),
+        // clamped to n — kmeans rejects more centroids than rows
+        math.min(n, math.max(16L, math.sqrt(n.toDouble).toLong)).toInt
+      }
     graft.functions.GraftFunctions.register(df.sparkSession)
     // cached AT THE JOIN OUTPUT: (id, cluster, vec) feeds BOTH pair
     // sides and the final projection, so the assignment⋈vector join
@@ -202,7 +223,7 @@ object Clustering {
     // kmeans lambda expressions (Spark's InferFiltersFromConstraints
     // can fail on a self-joined higher-order-function projection)
     val withVec = Dedup.registerCache(
-      kmeans(df, idCol, vecCol, k, iterations)
+      kmeans(df, idCol, vecCol, kk, iterations)
         .join(df.select(col(idCol), col(vecCol)), Seq(idCol)))
     val a = withVec.select(col("cluster"), col(idCol).as("da"), col(vecCol).as("va"))
     val b = withVec.select(col("cluster"), col(idCol).as("db"), col(vecCol).as("vb"))

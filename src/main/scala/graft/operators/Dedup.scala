@@ -1274,10 +1274,20 @@ object Dedup {
     * a new batch with the table's OWN pinned shingleK (read from the
     * catalog — no job, no scan) and APPEND through the same bucketed
     * writer. Cost is O(batch); the corpus is never re-shingled. Pair
-    * with [[pairsAppend]] (against `spark.table(t)` as the base state)
-    * to mine the arrivals in the same ingest step. */
+    * with [[pairsAppend]] against `readPairState(spark, t)` as the base
+    * state — NOT the raw `spark.table(t)`, which skips the tombstone
+    * subtraction and would mine pairs involving retired docs. A batch
+    * id still tombstoned by [[deleteFromPairState]] triggers
+    * [[compactPairState]] FIRST (folding out the old state row —
+    * otherwise the tombstone hides the re-appended row from every
+    * consumer and the next compact drops both generations); such an
+    * append pays one state rewrite, tombstone-disjoint batches stay
+    * O(batch). */
   def appendPairState(deltaDocs: DataFrame, table: String): Unit = {
     val spark = deltaDocs.sparkSession
+    if (graft.core.Layout.overlapsTombstones(spark, table + "_tombs",
+        deltaDocs.select(col("doc_id").cast("long").as("doc_id")), "doc_id"))
+      compactPairState(spark, table)
     def prop(key: String): Int = spark.sql(s"SHOW TBLPROPERTIES $table")
       .collect().find(_.getString(0) == key).map(_.getString(1).toInt)
       .getOrElse(throw new IllegalArgumentException(
@@ -1332,6 +1342,8 @@ object Dedup {
     * [[readPairState]] results are unchanged (spec-pinned). No-op
     * without tombstones. */
   def compactPairState(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    // repair a mid-swap crash from a prior compact before reading props
+    graft.core.Layout.recoverParkedSwap(spark, table)
     val t = table + "_tombs"
     if (!spark.catalog.tableExists(t)) return
     def prop(key: String): Int = spark.sql(s"SHOW TBLPROPERTIES $table")

@@ -8,18 +8,21 @@ import org.apache.spark.sql.types._
   * typed metadata, with decode / feature-extract / resize / frame-sample
   * as per-partition batch transforms.
   *
-  * The decode step parses REAL container headers (PNG/BMP/GIF/WAV —
-  * pure JVM byte arithmetic, no codec library, spec-covered against
-  * generated binary fixtures), FULLY decodes uncompressed 24bpp BMP
-  * pixel arrays ([[decodeBmpPixels]] — the one format needing zero
-  * codec dependencies, so the bytes→pixels→features path is real
-  * end-to-end for it), and extracts REAL byte-histogram features.
-  * Compressed formats (PNG/GIF/lossy audio) keep dims-only header
-  * parsing — their entropy coders need a codec library this container
-  * doesn't ship; that swap-in sits behind the same signature. Unknown
-  * formats fall back to a deterministic hash-derived shape.
-  * Everything Spark-side is real — schema, partition-level batching,
-  * the typed Dataset plumbing.
+  * The decode step FULLY decodes pixels/samples for the formats a
+  * bare JVM can carry end-to-end — uncompressed 24bpp BMP
+  * ([[decodeBmpPixels]]), 8-bit RGB/RGBA non-interlaced PNG
+  * ([[decodePngPixels]]: `java.util.zip.Inflater` + the five
+  * scanline filters), GIF ([[decodeGifPixels]]: the variable-width
+  * LZW coder in [[lzwDecode]]) and PCM WAV ([[decodeWavSamples]]) —
+  * and extracts REAL byte-histogram features over the decoded
+  * pixels/samples. Profile variants outside those slices (palette/
+  * 16-bit/interlaced images, LOSSY audio — the one tier that
+  * genuinely needs an external codec) fall to dims-only header
+  * parsing ([[decodeHeader]]); unknown formats to a deterministic
+  * hash-derived shape. Every decoder returns None on malformed or
+  * unsupported bytes — NEVER throws — so one bad blob can't fail a
+  * partition. Everything Spark-side is real — schema,
+  * partition-level batching, the typed Dataset plumbing.
   *
   * Scale notes: media blobs are large; the operators below never
   * shuffle payload bytes — feature extraction is a narrow map, and
@@ -118,15 +121,27 @@ object Multimodal {
     val topDown = heightRaw < 0
     val height = math.abs(heightRaw)
     if (width <= 0 || height <= 0) return None
-    val rowSize = ((width * 3 + 3) / 4) * 4
+    // Overflow-proof size guards: a crafted header with width near
+    // 2^31/3 wrapped `width * 3 + 3` negative in Int, slipped past the
+    // truncation guard, and the allocation below threw instead of
+    // returning None — one ~60-byte malformed blob then failed the
+    // whole partition rather than falling to the dims-only tier. The
+    // per-axis bound comes FIRST because even the Long product wraps
+    // at the extremes (IntMax² · 3 > Long.MaxValue); under 2^20 per
+    // axis every later product fits a Long with room to spare.
+    if (width > (1 << 20) || height > (1 << 20)) return None
+    val rowSize: Long = ((width.toLong * 3 + 3) / 4) * 4
+    if (width.toLong * height * 3 > Int.MaxValue) return None
     // a truncated pixel array is a corrupt file, not a shorter image
-    if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * height > b.length)
+    if (dataOffset < 54 || dataOffset.toLong + rowSize * height > b.length)
       return None
     val rgb = new Array[Byte](width * height * 3)
     var row = 0
     while (row < height) {
       val srcRow = if (topDown) row else height - 1 - row
-      var srcOff = dataOffset + srcRow * rowSize
+      // safe back in Int: the guards above bound every offset by
+      // b.length, itself an Int
+      var srcOff = dataOffset + srcRow * rowSize.toInt
       var dst = row * width * 3
       var x = 0
       while (x < width) {
@@ -139,6 +154,314 @@ object Multimodal {
     }
     Some((width, height, rgb))
   }
+
+  /** FULL pixel decode for non-interlaced 8-bit RGB/RGBA PNG — the
+    * JDK ships the one genuinely hard part (the DEFLATE entropy coder,
+    * `java.util.zip.Inflater`), so "PNG needs a codec library" was
+    * never true for this slice: chunk walk, IDAT concat, inflate, and
+    * the five per-scanline filters (None/Sub/Up/Average/Paeth,
+    * RFC 2083 §6) are pure byte arithmetic. Palette, 16-bit,
+    * grayscale and interlaced files stay on the dims-only header tier
+    * ([[decodeHeader]]) — returning None here, never throwing, is the
+    * contract that keeps one malformed blob from failing a partition.
+    *
+    * @return Some((width, height, rgb)) row-major top-down RGB
+    *         (alpha dropped for RGBA), or None when not a complete
+    *         well-formed PNG of the supported profile. */
+  private[graft] def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 57) return None // sig + IHDR + empty IDAT + IEND
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    var s = 0
+    while (s < 8) { if ((b(s) & 0xFF) != sig(s)) return None; s += 1 }
+    def be32(o: Int) = ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+    // IHDR is mandated first: 13-byte payload at offset 16
+    if (be32(8) != 13 || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return None
+    val width = be32(16); val height = be32(20)
+    val bitDepth = b(24) & 0xFF; val colorType = b(25) & 0xFF
+    // the same per-axis overflow bound as decodeBmpPixels — a crafted
+    // header must fall to the dims tier, not throw on allocation
+    if (width <= 0 || height <= 0 || width > (1 << 20) || height > (1 << 20))
+      return None
+    if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+      (b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0 || (b(28) & 0xFF) != 0)
+      return None
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = width * bpp // ≤ 4·2^20, no overflow
+    if (width.toLong * height * 3 > Int.MaxValue ||
+      (stride.toLong + 1) * height > Int.MaxValue) return None
+    // chunk walk: concatenate every IDAT payload, stop at IEND
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var sawEnd = false
+    while (!sawEnd) {
+      if (off + 8 > b.length) return None
+      val len = be32(off)
+      if (len < 0 || off + 12 + len.toLong > b.length) return None
+      if (b(off + 4) == 'I' && b(off + 5) == 'D' && b(off + 6) == 'A' &&
+        b(off + 7) == 'T') idat.write(b, off + 8, len)
+      else if (b(off + 4) == 'I' && b(off + 5) == 'E' && b(off + 6) == 'N' &&
+        b(off + 7) == 'D') sawEnd = true
+      off += 12 + len
+    }
+    if (idat.size == 0) return None
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter scanline by scanline: each reconstructed byte depends on
+    // left (a), up (b) and up-left (c) RECONSTRUCTED neighbors
+    val rgb = new Array[Byte](width * height * 3)
+    val prior = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var row = 0
+    while (row < height) {
+      val base = row * (stride + 1)
+      val f = raw(base) & 0xFF
+      if (f > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = raw(base + 1 + x) & 0xFF
+        val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+        val up = prior(x) & 0xFF
+        val c = if (x >= bpp) prior(x - bpp) & 0xFF else 0
+        val rec = f match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + up
+          case 3 => v + ((a + up) >> 1)
+          case _ => // Paeth predictor
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        cur(x) = rec.toByte
+        x += 1
+      }
+      var px = 0
+      var dst = row * width * 3
+      while (px < width) {
+        val so = px * bpp
+        rgb(dst) = cur(so); rgb(dst + 1) = cur(so + 1); rgb(dst + 2) = cur(so + 2)
+        px += 1; dst += 3
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      row += 1
+    }
+    Some((width, height, rgb))
+  }
+
+  /** GIF LZW decode (GIF87a/89a, first frame, non-interlaced): the
+    * whole entropy coder is the ~60-line variable-width LZW below —
+    * no library was ever needed. Sub-blocks concatenated, codes read
+    * LSB-first, dictionary reset on CLEAR, the KwKwK case handled,
+    * code width growing at 2^size up to 12 bits (GIF spec appendix F).
+    * Interlaced frames and files without a color table fall to the
+    * dims-only tier. Returns row-major top-down RGB via the (local,
+    * else global) color table. */
+  private[graft] def decodeGifPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u8(i: Int) = b(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (b.length < 14) return None
+    val hdr = new String(b, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val flags = u8(10)
+    var off = 13
+    var gct: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      if (off + n * 3 > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, off, off + n * 3)
+      off += n * 3
+    }
+    while (off < b.length) {
+      u8(off) match {
+        case 0x21 => // extension block: label byte + data sub-blocks
+          off += 2
+          if (off >= b.length) return None
+          var sz = u8(off)
+          while (sz != 0) {
+            off += 1 + sz
+            if (off >= b.length) return None
+            sz = u8(off)
+          }
+          off += 1
+        case 0x2C => // image descriptor — decode THIS frame and stop
+          if (off + 10 > b.length) return None
+          val iw = le16(off + 5); val ih = le16(off + 7)
+          val iflags = u8(off + 9)
+          off += 10
+          if (iw <= 0 || ih <= 0) return None
+          if ((iflags & 0x40) != 0) return None // interlaced
+          var ct = gct
+          if ((iflags & 0x80) != 0) {
+            val n = 2 << (iflags & 7)
+            if (off + n * 3 > b.length) return None
+            ct = java.util.Arrays.copyOfRange(b, off, off + n * 3)
+            off += n * 3
+          }
+          if (ct == null || iw.toLong * ih * 3 > Int.MaxValue) return None
+          if (off >= b.length) return None
+          val minCode = u8(off); off += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          if (off >= b.length) return None
+          var sz = u8(off)
+          while (sz != 0) {
+            if (off + 1 + sz > b.length) return None
+            data.write(b, off + 1, sz)
+            off += 1 + sz
+            if (off >= b.length) return None
+            sz = u8(off)
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+            .getOrElse(return None)
+          val entries = ct.length / 3
+          val rgb = new Array[Byte](iw * ih * 3)
+          var i = 0
+          while (i < iw * ih) {
+            val e = idx(i) & 0xFF
+            if (e >= entries) return None
+            rgb(i * 3) = ct(e * 3); rgb(i * 3 + 1) = ct(e * 3 + 1)
+            rgb(i * 3 + 2) = ct(e * 3 + 2)
+            i += 1
+          }
+          return Some((iw, ih, rgb))
+        case 0x3B => return None // trailer before any image frame
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF's variable-code-width LZW (appendix F of the spec): codes
+    * read LSB-first from the concatenated sub-block stream; CLEAR
+    * resets the dictionary, END terminates; each non-control code
+    * appends (prev, firstByteOf(code)) to the dictionary; the code
+    * width grows when the next free slot crosses 2^width (cap 12).
+    * Returns exactly `expected` index bytes or None — short or corrupt
+    * streams never produce a partial frame. */
+  private[graft] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                               expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val endCode = clear + 1
+    val maxCodes = 4096
+    val prefix = new Array[Int](maxCodes)
+    val suffix = new Array[Byte](maxCodes)
+    val stack = new Array[Byte](maxCodes)
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var nextCode = endCode + 1
+    var codeSize = minCodeSize + 1
+    var prev = -1
+    var bitBuf = 0; var bitCnt = 0; var pos = 0
+    def firstByteOf(code: Int): Int = {
+      var c = code
+      while (c >= endCode + 1) c = prefix(c)
+      c // a literal (< clear)
+    }
+    def emit(code: Int): Boolean = { // expansion of `code` into out
+      var sp = 0
+      var c = code
+      while (c >= endCode + 1) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      if (c >= clear) return false // corrupt chain
+      if (outPos >= expected) return false
+      out(outPos) = c.toByte; outPos += 1
+      while (sp > 0) {
+        sp -= 1
+        if (outPos >= expected) return false
+        out(outPos) = stack(sp); outPos += 1
+      }
+      true
+    }
+    while (pos < data.length) {
+      bitBuf |= (data(pos) & 0xFF) << bitCnt; bitCnt += 8; pos += 1
+      while (bitCnt >= codeSize) {
+        val code = bitBuf & ((1 << codeSize) - 1)
+        bitBuf >>>= codeSize; bitCnt -= codeSize
+        if (code == clear) {
+          nextCode = endCode + 1; codeSize = minCodeSize + 1; prev = -1
+        } else if (code == endCode) {
+          return if (outPos == expected) Some(out) else None
+        } else {
+          var first = 0
+          if (code < clear) { // literal
+            first = code
+            if (outPos >= expected) return None
+            out(outPos) = code.toByte; outPos += 1
+          } else if (code < nextCode) {
+            first = firstByteOf(code)
+            if (!emit(code)) return None
+          } else if (code == nextCode && prev >= 0) { // KwKwK
+            first = firstByteOf(prev)
+            if (!emit(prev)) return None
+            if (outPos >= expected) return None
+            out(outPos) = first.toByte; outPos += 1
+          } else return None
+          if (prev >= 0 && nextCode < maxCodes) {
+            prefix(nextCode) = prev; suffix(nextCode) = first.toByte
+            nextCode += 1
+            if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+          if (outPos == expected) return Some(out)
+        }
+      }
+    }
+    None // ran out of input before END / expected pixels
+  }
+
+  /** PCM WAV sample extraction — WAV's common case (audioFormat 1,
+    * 8/16-bit PCM) is UNCOMPRESSED: the `data` chunk's payload IS the
+    * samples, so "audio needs a codec" only holds for lossy formats.
+    * Walks the RIFF chunks to `fmt ` + `data` and returns (channels,
+    * sampleRate, sampleBytes) — the feature tier then histograms real
+    * samples, headers excluded. Lossy/float/extensible formats fall to
+    * the dims-only tier. */
+  private[graft] def decodeWavSamples(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u8(i: Int) = b(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String) = s.zipWithIndex.forall { case (c, j) => b(i + j) == c.toByte }
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val len = le32(off + 4)
+      if (len < 0 || off + 8 + len.toLong > b.length) return None
+      if (tag(off, "fmt ") && len >= 16) {
+        if (le16(off + 8) != 1) return None // PCM only
+        channels = le16(off + 10); rate = le32(off + 12)
+        bits = le16(off + 22)
+      } else if (tag(off, "data")) {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || dataOff < 0 || dataLen <= 0 ||
+      (bits != 8 && bits != 16)) return None
+    Some((channels, rate,
+      java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)))
+  }
+
+  /** One dispatcher for every fully-decodable container: BMP (bare
+    * pixel array), PNG (Inflater + unfilter), GIF (LZW). Magic bytes
+    * are disjoint, so the order is cosmetic. */
+  private[graft] def decodePixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeBmpPixels(b).orElse(decodePngPixels(b)).orElse(decodeGifPixels(b))
 
   /** Byte-histogram features: the 256 byte values folded into `dim`
     * equal-width bins, L1-normalized — a real (if simple) content
@@ -159,16 +482,17 @@ object Multimodal {
   /** Decode + feature-extract as a partition-batched typed transform:
     * the per-partition iterator is the batch (the Scala analog of a
     * pandas-batch UDF) — a real decoder amortizes model/codec init
-    * once per partition here, not per row. Three tiers, most-decoded
-    * first:
+    * once per partition here, not per row. Tiers, most-decoded first:
     *
-    *  1. uncompressed 24bpp BMP: FULL pixel decode
-    *     ([[decodeBmpPixels]]) — dims from the header, features over
-    *     the DECODED RGB pixels (container header and row padding
+    *  1. BMP (24bpp), PNG (8-bit RGB/RGBA), GIF (non-interlaced):
+    *     FULL pixel decode ([[decodePixels]]) — features over the
+    *     DECODED RGB (container bytes, filters and entropy coding
     *     excluded), the fully-real bytes→pixels→features path;
-    *  2. PNG/GIF/WAV (+ other BMPs): dims from the REAL header parse
-    *     ([[decodeHeader]]), features over the payload bytes (full
-    *     decode needs a codec library this container doesn't ship);
+    *  1b. PCM WAV: features over the REAL samples (the `data` chunk
+    *     payload, [[decodeWavSamples]]), dims = (channels, rate);
+    *  2. remaining profile variants (palette/16-bit/interlaced
+    *     images, lossy audio): dims from the REAL header parse
+    *     ([[decodeHeader]]), features over the payload bytes;
     *  3. unknown formats: deterministic hash-derived fallback shape,
     *     features over the payload bytes. */
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] = {
@@ -178,9 +502,10 @@ object Multimodal {
       // per-partition init happens HERE (decoder/model handle)
       batch.map { m =>
         val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
-        decodeBmpPixels(bytes) match {
-          case Some((w, h, rgb)) =>
-            MediaFeatures(m.media_id, m.modality, w, h, byteHistogram(rgb, dim))
+        decodePixels(bytes)
+          .orElse(decodeWavSamples(bytes)) match {
+          case Some((w, h, payload)) =>
+            MediaFeatures(m.media_id, m.modality, w, h, byteHistogram(payload, dim))
           case None =>
             val (w, h) = decodeHeader(bytes).getOrElse {
               val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
@@ -224,8 +549,8 @@ object Multimodal {
 
   /** Decode + RESIZE as a partition-batched typed transform — the
     * "resize" leg of the decode/feature/resize/frame-sample quartet,
-    * real end-to-end for the fully-decodable format: uncompressed
-    * 24bpp BMP payloads decode ([[decodeBmpPixels]]) and resample
+    * real end-to-end for the fully-decodable formats: BMP, PNG and
+    * GIF payloads decode ([[decodePixels]]) and resample
     * ([[resizeNearest]]) to (targetW, targetH) RGB; payloads without
     * a decodable pixel array are DROPPED (an explicit contract — a
     * resize of undecoded bytes would be noise pretending to be
@@ -245,7 +570,7 @@ object Multimodal {
     media.mapPartitions { batch =>
       batch.flatMap { m =>
         val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
-        decodeBmpPixels(bytes).map { case (w, h, rgb) =>
+        decodePixels(bytes).map { case (w, h, rgb) =>
           ResizedMedia(m.media_id, m.modality, targetW, targetH,
             resizeNearest(rgb, w, h, targetW, targetH))
         }

@@ -240,12 +240,22 @@ object Retrieval {
   /** O(batch) index maintenance, ingest side: tokenize ONLY the new
     * docs and append through the same bucketed writers (bucket count
     * read from the catalog, so the bucket-pruned probe shape survives
-    * the append). Batches must carry doc_ids not already indexed — an
-    * id re-appended would double its postings; retire it first with
-    * [[deleteFromLexIndex]]. */
+    * the append). Batches must carry doc_ids not already LIVE in the
+    * index — an id re-appended while live would double its postings;
+    * retire it first with [[deleteFromLexIndex]]. The retire→re-append
+    * workflow is safe: when a batch id is still tombstoned, the append
+    * runs [[compactLexIndex]] FIRST (physically folding out the old
+    * generation — without this, the tombstone would subtract the new
+    * postings too and a later compact would drop both generations), so
+    * such an append pays one index rewrite; tombstone-disjoint batches
+    * stay O(batch). */
   def appendToLexIndex(docs: DataFrame, postingsTable: String,
                        lengthsTable: String): Unit = {
     val spark = docs.sparkSession
+    if (graft.core.Layout.overlapsTombstones(spark,
+        lexTombsTable(postingsTable),
+        docs.select(col("doc_id").cast("long").as("doc_id")), "doc_id"))
+      compactLexIndex(spark, postingsTable, lengthsTable)
     val buckets = getLexBuckets(spark, postingsTable)
     val lengths = docs.select(col("doc_id"),
       TextAnalysis.tokenCountCol(col("text")).as("dl"))
@@ -306,6 +316,9 @@ object Retrieval {
     * (RetrievalSpec-pinned). No-op without tombstones. */
   def compactLexIndex(spark: org.apache.spark.sql.SparkSession,
                       postingsTable: String, lengthsTable: String): Unit = {
+    // repair a mid-swap crash from a prior compact (either table) first
+    graft.core.Layout.recoverParkedSwap(spark, postingsTable)
+    graft.core.Layout.recoverParkedSwap(spark, lengthsTable)
     val t = lexTombsTable(postingsTable)
     if (!spark.catalog.tableExists(t)) return
     val buckets = getLexBuckets(spark, postingsTable)

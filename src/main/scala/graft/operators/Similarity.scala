@@ -510,6 +510,15 @@ object Similarity {
     * corpus (the 10× probe drops to ~2× with auto-sizing). The one
     * extra count() is a columnless scan.
     *
+    * WHEN n^1.5 IS STILL TOO HOT (the ×100 probe measured 71× wall —
+    * the declared contract, not an accident): audit instead of
+    * enumerate. [[mutualTopKAnnSampled]] probes every `everyN`-th
+    * vector plus its retrieved neighbors — LINEAR in the corpus at a
+    * fixed sampling rate, reporting exactly the mutual pairs with a
+    * sampled endpoint (spec-pinned ≡ this operator filtered to the
+    * sample) — and mutual-pair density/score profiles are population
+    * estimates the sample size bounds.
+    *
     * @return (da, db, cos_permille), mutual pairs only, ordered. */
   def mutualTopKAnn(corpus: DataFrame, k: Int, nlist: Int = 0,
                     nprobe: Int = 0, idCol: String = "vec_id",
@@ -523,6 +532,60 @@ object Similarity {
       else math.max(2, nl / 8)
     mutualityTail(ivfTopK(corpus, corpus, k, nlist = nl,
       nprobe = np, idCol = idCol, vecCol = vecCol))
+  }
+
+  /** [[mutualTopKAnn]]'s SAMPLED AUDIT form — the operational answer
+    * for corpus sizes where even the √n-sized n^1.5 contract is too
+    * hot: probe only every `everyN`-th vector (deterministic
+    * `id % everyN = 0`, so reruns and engines agree on the sample)
+    * plus the vectors those probes retrieve, and report exactly the
+    * mutual pairs WITH A SAMPLED ENDPOINT. Mutuality needs both
+    * directions' top-k lists; the second pooled probe over the
+    * retrieved neighbors (≤ |S|·k vectors) supplies the reverse
+    * direction, so each reported pair is decided by the SAME evidence
+    * the full operator uses — SimilaritySpec pins sampled ≡ full
+    * filtered to sampled-endpoint pairs, at full AND partial nprobe.
+    * Cost: two pooled probes of O(n/everyN + n·k/everyN) queries
+    * against the cells — LINEAR in the corpus for a fixed sampling
+    * rate, vs the full form's n^1.5. The audit reading: mutual-pair
+    * density and its cos_permille profile are population estimates
+    * whose variance the sample size bounds (the x228 argument);
+    * everyN is the dial between cost and confidence. */
+  def mutualTopKAnnSampled(corpus: DataFrame, k: Int, everyN: Int,
+                           nlist: Int = 0, nprobe: Int = 0,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k ($k) must be in [1, 1000]")
+    require(everyN >= 1, s"everyN ($everyN) must be >= 1")
+    // size the cells from the CORPUS (not the sample): the quantizer
+    // must be the one the full operator would fit, or the pin breaks
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(16, math.sqrt(corpus.count().toDouble).toInt)
+    val np =
+      if (nprobe > 0) nprobe
+      else math.max(2, nl / 8)
+    val sampled = corpus.filter(pmod(col(idCol), lit(everyN)) === 0)
+    val r1 = ivfTopK(sampled, corpus, k, nlist = nl, nprobe = np,
+      idCol = idCol, vecCol = vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos_permille"))
+      .localCheckpoint(eager = true)
+    Dedup.registerCheckpoint(Dedup.checkpointRdd(r1))
+    // reverse-direction evidence: top-k for the retrieved non-sampled
+    // vectors only (sampled ones already carry their list in r1)
+    val probes2 = corpus.join(
+      r1.select(col("neighbor_id").as(idCol))
+        .filter(pmod(col(idCol), lit(everyN)) =!= 0).distinct(),
+      Seq(idCol), "left_semi")
+    val r2 = ivfTopK(probes2, corpus, k, nlist = nl, nprobe = np,
+      idCol = idCol, vecCol = vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos_permille"))
+    // the tail law is mutualityTail's, then restricted to pairs with a
+    // sampled endpoint (r2-only pairs have partial evidence: their
+    // OWN neighbors were never probed)
+    mutualityTail(r1.unionByName(r2))
+      .filter(pmod(col("da"), lit(everyN)) === 0 ||
+        pmod(col("db"), lit(everyN)) === 0)
   }
 
   /** QUANTIZATION-RECALL audit — does int8 break retrieval? Per probe

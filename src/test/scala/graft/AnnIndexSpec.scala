@@ -140,6 +140,44 @@ class AnnIndexSpec extends SparkSpec {
       "compaction must not change a single probe answer")
   }
 
+  test("compact recovers a crash parked mid-swap; re-appending a " +
+    "tombstoned id folds first — probe ≡ fresh build either way") {
+    import spark.implicits._
+    Seq("lsh_rec", "lsh_rec_ref", "lsh_rec_tombs", "lsh_rec_old",
+      "lsh_rec_compact").foreach(Layout.dropManagedTable(spark, _))
+    val emb = Tables.embeddings(spark, sf)
+    val deleted = emb.filter(col("vec_id") % 9 === 2).select("vec_id")
+    AnnIndex.buildLshIndex(emb, "lsh_rec", numPlanes = 8, numTables = 2,
+      buckets = 4)
+    AnnIndex.deleteFromIndex(spark, "lsh_rec", deleted)
+    // simulate the one crash point the r15 comment got wrong: after
+    // the park (live name gone, _old holds the data), before the
+    // promote — a naive compact re-run dies on SHOW TBLPROPERTIES
+    spark.sql("ALTER TABLE lsh_rec RENAME TO lsh_rec_old")
+    AnnIndex.compactLshIndex(spark, "lsh_rec")
+    assert(spark.catalog.tableExists("lsh_rec"))
+    assert(!spark.catalog.tableExists("lsh_rec_old"))
+    assert(!spark.catalog.tableExists("lsh_rec_tombs"))
+    AnnIndex.buildLshIndex(emb.join(deleted, Seq("vec_id"), "left_anti"),
+      "lsh_rec_ref", numPlanes = 8, numTables = 2, buckets = 4)
+    def probe(t: String) =
+      AnnIndex.lshTopKPrebuilt(spark, queriesDf, t, k = 5, multiProbe = 2)
+        .collect().toSeq
+    assert(probe("lsh_rec") === probe("lsh_rec_ref"),
+      "a recovered-then-compacted index must answer like a fresh build")
+    // retire→re-append: delete a batch then append it again BEFORE any
+    // manual compact — the overlap guard must fold the old generation
+    // so the new rows aren't subtracted by the stale tombstone
+    val batch = emb.filter(col("vec_id") % 9 === 2)
+    AnnIndex.deleteFromIndex(spark, "lsh_rec_ref", deleted)
+    AnnIndex.appendToLshIndex(batch, "lsh_rec_ref")
+    Layout.dropManagedTable(spark, "lsh_rec")
+    AnnIndex.buildLshIndex(emb, "lsh_rec", numPlanes = 8, numTables = 2,
+      buckets = 4) // rebuilt as the full-corpus reference
+    assert(probe("lsh_rec_ref") === probe("lsh_rec"),
+      "re-appended rows must be probe-visible, once")
+  }
+
   test("deleteFromIndex: tombstoned IVF at nprobe=nlist ≡ brute force over the survivors") {
     Seq("ivf_del", "ivf_del_c", "ivf_del_tombs")
       .foreach(Layout.dropManagedTable(spark, _))

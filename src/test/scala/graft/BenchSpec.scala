@@ -78,6 +78,29 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(full.get("value").asDouble() - rs.map(_._2).sum) < 1e-6)
   }
 
+  test("full rendering emits the pinned drift-control block with " +
+    "per-control ratios and their geomean") {
+    // controls present → a normalization basis rides in the artifact;
+    // ratios are measured/anchor against the PINNED r15 constants
+    val rs = Seq("x55_pagerank" -> 4.762, // 2x its 2.381 anchor
+      "x236_pair_jac_hist" -> 1.324,      // exactly its anchor
+      "x99_other" -> 1.0)
+    val full = mapper.readTree(Bench.renderFull(rs, "/tmp/sf"))
+    val ctl = full.get("controls")
+    assert(ctl != null, "controls block must be present when controls ran")
+    assert(ctl.get("rows").size() == 2)
+    val byQ = (0 until 2).map(i => ctl.get("rows").get(i))
+      .map(r => r.get("query").asText() -> r).toMap
+    assert(math.abs(byQ("x55_pagerank").get("ratio").asDouble() - 2.0) < 0.01)
+    assert(math.abs(byQ("x236_pair_jac_hist").get("ratio").asDouble() - 1.0) < 0.01)
+    // geomean of {2.0, 1.0} = sqrt(2)
+    assert(math.abs(ctl.get("geomean_ratio").asDouble() - math.sqrt(2.0)) < 0.01)
+    // no controls in the run → no block (a subset without them can't
+    // fabricate a basis)
+    val none = mapper.readTree(Bench.renderFull(Seq("x99_other" -> 1.0), "/tmp/sf"))
+    assert(none.get("controls") == null)
+  }
+
   test("full rendering reports min/median/max and flags >3x rep spreads") {
     // r9 finding: min-of-reps hid 16x spreads (x74 3.5->57 s) and with
     // them the cache/GC interference the bisect needed — the full file

@@ -254,6 +254,28 @@ class ClusteringSpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("semanticDedup: k ≤ 0 auto-sizes k = ⌊√n⌋ (floor 16, clamp n) — " +
+    "identical output to the explicit k at each operating point") {
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) = {
+      val out = Clustering.semanticDedup(df, "vec_id", "embedding",
+        k = k, iterations = 2, minPermille = 900L)
+        .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2))).toSeq
+      graft.operators.Dedup.releaseCaches()
+      out
+    }
+    // 320 deterministic vectors (the x329 corpus size): √320 → 17
+    val big = vecs((0L until 320L).map(i =>
+      i -> Seq((i % 7).toFloat, (i % 11).toFloat, (i % 13).toFloat)): _*)
+    assert(run(big, 0) === run(big, 17))
+    // small corpus: the floor engages (√20 = 4 → 16)
+    val small = vecs((0L until 20L).map(i =>
+      i -> Seq(i.toFloat, (i % 3).toFloat)): _*)
+    assert(run(small, 0) === run(small, 16))
+    // tiny corpus: the n-clamp keeps kmeans satisfiable (16 > n = 5)
+    val tiny = vecs((0L until 5L).map(i => i -> Seq(i.toFloat, 1.0f)): _*)
+    assert(run(tiny, 0) === run(tiny, 5))
+  }
+
   test("nearestCentroidEval: separable labels give a diagonal matrix; " +
     "a planted mislabel lands off-diagonal") {
     val df = Seq(

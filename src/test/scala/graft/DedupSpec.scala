@@ -941,6 +941,37 @@ class DedupSpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("pairState: re-appending a doc still tombstoned folds the old " +
+    "generation first — mining ≡ one-shot, state row appears once") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val tbl = "pair_state_reapp"
+    for (t <- Seq(tbl, tbl + "_tombs"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      Dedup.writePairState(corpus, tbl, shingleK = 2, buckets = 2)
+      Dedup.deleteFromPairState(spark, tbl, Seq(2L).toDF("doc_id"))
+      // the r15-ADVICE trap: re-ingest doc 2 while its tombstone is
+      // live. Without the overlap guard the tombstone hides the NEW
+      // state row from every consumer and compact drops both.
+      Dedup.appendPairState(corpus.filter("doc_id = 2"), tbl)
+      assert(spark.table(tbl).filter("doc_id = 2").count() === 1L,
+        "exactly one generation of the re-appended doc may survive")
+      val oneShot = pairsOf(Dedup.minHashLshPairs(corpus, shingleK = 2,
+        minPermille = 300))
+      assert(pairsOf(Dedup.pairsFromState(
+        Dedup.readPairState(spark, tbl), minPermille = 300)) === oneShot)
+      // and a later compact preserves it (the guard already folded)
+      Dedup.compactPairState(spark, tbl)
+      assert(pairsOf(Dedup.pairsFromState(
+        Dedup.readPairState(spark, tbl), minPermille = 300)) === oneShot)
+    } finally {
+      for (t <- Seq(tbl, tbl + "_tombs"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      Dedup.releaseCaches()
+    }
+  }
+
   test("clusterLabelsRefresh append law: standing labels + new pairs ≡ fixpoint over all pairs") {
     // standing graph: {1,2} and {5,6}; arrivals merge them via 2–5 and
     // open a new cluster {8,9} — exercises cluster-merge, label

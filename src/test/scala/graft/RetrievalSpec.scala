@@ -158,6 +158,32 @@ class RetrievalSpec extends SparkSpec with SlowSuite {
       === collectTopk("lex_ref", "lex_ref_len"))
   }
 
+  test("lex index: re-appending a doc still tombstoned folds the old " +
+    "generation first — probe ≡ fresh build, nothing hidden or doubled") {
+    def collectTopk(post: String, len: String) =
+      Retrieval.bm25TopKPrebuilt(spark, post, len, Seq("cat", "fish"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (t <- Seq("lex_re", "lex_re_len", "lex_re_tombs",
+                  "lex_re_ref", "lex_re_ref_len"))
+      graft.core.Layout.dropManagedTable(spark, t)
+    Retrieval.buildLexIndex(docs, "lex_re", "lex_re_len", buckets = 4)
+    Retrieval.deleteFromLexIndex(spark, "lex_re", Seq(2L).toDF("doc_id"))
+    // the r15-ADVICE trap: re-append doc 2 while its tombstone is live.
+    // Without the overlap guard the tombstone subtracts the NEW rows
+    // too (doc 2 vanishes) and a later compact deletes both copies.
+    Retrieval.appendToLexIndex(docs.filter($"doc_id" === 2), "lex_re",
+      "lex_re_len")
+    Retrieval.buildLexIndex(docs, "lex_re_ref", "lex_re_ref_len", buckets = 4)
+    val expect = collectTopk("lex_re_ref", "lex_re_ref_len")
+    assert(collectTopk("lex_re", "lex_re_len") === expect)
+    assert(expect.exists(_._1 == 2L)) // the fish doc is genuinely back
+    // exactly ONE generation of doc 2 survives physically
+    assert(spark.table("lex_re_len").filter($"doc_id" === 2).count() === 1L)
+    // and a later compact (no tombstones left) changes nothing
+    Retrieval.compactLexIndex(spark, "lex_re", "lex_re_len")
+    assert(collectTopk("lex_re", "lex_re_len") === expect)
+  }
+
   test("phraseTopK: consecutive tokens only, occurrence-ranked, doc tiebreak") {
     val docs = Seq(
       (1L, "new york new york is big"),      // 2 occurrences

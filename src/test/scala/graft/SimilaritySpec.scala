@@ -149,6 +149,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mutualTopKAnnSampled ≡ full mutualTopKAnn restricted to " +
+    "sampled-endpoint pairs, at full AND partial probe") {
+    val corpus = (1L to 40L).map { i =>
+      (i, Array.tabulate(16)(j => math.sin(i * 16 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    for (nprobe <- Seq(4, 2)) {
+      val full = Similarity.mutualTopKAnn(corpus, k = 3, nlist = 4,
+          nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.operators.Dedup.releaseCaches()
+      val sampled = Similarity.mutualTopKAnnSampled(corpus, k = 3,
+          everyN = 4, nlist = 4, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.operators.Dedup.releaseCaches()
+      // every pair the sampled audit reports is decided by the same
+      // two top-k lists the full operator uses — so it must be
+      // EXACTLY the full output filtered to pairs touching the sample
+      assert(sampled === full.filter(p => p._1 % 4 == 0 || p._2 % 4 == 0),
+        s"nprobe=$nprobe")
+      assert(sampled.nonEmpty)
+    }
+    // everyN = 1 degenerates to the full operator
+    val all = Similarity.mutualTopKAnnSampled(corpus, k = 3, everyN = 1,
+        nlist = 4, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.Dedup.releaseCaches()
+    val fullExact = Similarity.mutualTopKAnn(corpus, k = 3, nlist = 4,
+        nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.Dedup.releaseCaches()
+    assert(all === fullExact)
+  }
+
   test("topKByScoreAgg equals the window form row for row, ties included") {
     // adversarial scored set: duplicate scores inside a group (tie ->
     // neighbor_id order), a group smaller than k, k-boundary ties
