@@ -84,13 +84,12 @@ object StreamBench {
     PathResult(name, wall, inputRows, stateRows, stateBytes, p50, p99)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_streaming.json")
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "16").toInt
-    val spark = graft.core.GraftSession.local(cpus)
-    graft.core.GraftSession.muteBoundedWindowWarning()
+  /** Stage one corpus dir and measure every path over it. `warm`
+    * runs the untimed startup pass (first scale only — later scales
+    * reuse the hot session/codegen, which is exactly the comparable
+    * condition a per-scale ladder wants). */
+  private def runScale(spark: SparkSession, sfDir: String, nFiles: Int,
+                       warm: Boolean): Seq[PathResult] = {
     import spark.implicits._
 
     // ---- staging (untimed): normalized corpus as nFiles parquet files
@@ -158,22 +157,57 @@ object StreamBench {
           nBins = 16, permille = 950, barLoValue = 20000L), evRows))
 
     // warm pass: session + codegen + parquet-footer startup, untimed
-    runOne("warmup", paths.head._2(), paths.head._3)
+    if (warm) runOne("warmup", paths.head._2(), paths.head._3)
 
-    val results = paths.map { case (name, mk, rows) => runOne(name, mk(), rows) }
-    val qjson = results.map { r =>
-      f"""    "${r.name}":{"rows":${r.rows},"wall_sec":${r.wall}%.3f,""" +
+    val rs = paths.map { case (name, mk, rows) => runOne(name, mk(), rows) }
+    historyFps.unpersist()
+    rs
+  }
+
+  private def pathsJson(results: Seq[PathResult], indent: String): String =
+    results.map { r =>
+      f"""$indent"${r.name}":{"rows":${r.rows},"wall_sec":${r.wall}%.3f,""" +
         f""""rows_per_sec":${(r.rows / r.wall).toLong},""" +
         f""""batch_ms_p50":${r.p50Ms},"batch_ms_p99":${r.p99Ms},""" +
         f""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
     }.mkString(",\n")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_streaming.json")
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "16").toInt
+    // the scale ladder (the ×10/×100 decade evidence the batch tiers
+    // already carry): SPARK_GRAFT_STREAM_SCALES="x10=/tmp/sf1,x100=/tmp/sf10"
+    // appends a per-scale section after the base run — same paths, same
+    // protocol, one hot session
+    val scales: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_STREAM_SCALES").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val Array(label, dir) = kv.split("=", 2)
+          (label, dir)
+        }
+    val spark = graft.core.GraftSession.local(cpus)
+    graft.core.GraftSession.muteBoundedWindowWarning()
+
+    val results = runScale(spark, sfDir, nFiles, warm = true)
     val total = results.map(_.wall).sum
+    val scaleResults = scales.map { case (label, dir) =>
+      System.err.println(s"[streambench] scale $label: $dir")
+      (label, dir, runScale(spark, dir, nFiles, warm = false))
+    }
+    val scalesJson =
+      if (scaleResults.isEmpty) ""
+      else scaleResults.map { case (label, dir, rs) =>
+        f"""    "$label":{"sf":"$dir","total_wall_sec":${rs.map(_.wall).sum}%.3f,"paths":{%n${pathsJson(rs, "      ")}%n    }}"""
+      }.mkString("\n  \"scales\":{\n", ",\n", "\n  },")
     val json =
       f"""{"metric":"streaming_throughput","unit":"rows_per_sec","sf":"$sfDir",
   "method":"staged $nFiles-file parquet stream, maxFilesPerTrigger=2 (8 micro-batches), noop sink, clock start->processAllAvailable, state peaks + per-data-batch duration p50/p99 from StreamingQueryProgress",
-  "total_wall_sec":$total%.3f,
+  "total_wall_sec":$total%.3f,$scalesJson
   "paths":{
-$qjson
+${pathsJson(results, "    ")}
   }}
 """
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)

@@ -530,6 +530,180 @@ case class L2SqI64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[L2SqI64]] for `array<double>` operands — the IVF coarse-probe
+  * distance (query vector vs centroid). Bit-identical to the HOF
+  * spelling `aggregate(zip_with(a, b, (x,y) => (x−y)*(x−y)), 0d, _+_)`
+  * (same element order, same double ops), but a fused primitive loop
+  * instead of a lambda interpreter + intermediate array per pair —
+  * the probe-selection pass evaluates it |Q|·nlist times, which under
+  * √n-sized cells is n^1.5 evaluations for a self-join probe. */
+case class L2SqF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def checkDoubleArrays: TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> args, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def checkInputDataTypes(): TypeCheckResult = checkDoubleArrays
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq_f64"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0d;
+         |  int $i = 0;
+         |  boolean $anyNull = false;
+         |  while ($i < $n) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |    $i++;
+         |  }
+         |  if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Nearest-centroid assignment in ONE expression: the 0-based index of
+  * the row of `right` (the centroid matrix, `array<array<bigint>>` —
+  * a constant-folded literal in the kmeans plan) minimizing the exact
+  * integer squared L2 distance to `left` (the quantized vector). Ties
+  * break to the LOWEST index (strict `<` scan order), exactly
+  * `array_position(dists, array_min(dists)) - 1` over the per-centroid
+  * [[L2SqI64]] spelling — the DuckDB-replayable contract every kmeans
+  * oracle (x56/x73/x329) pins.
+  *
+  * Why not k separate `l2sq_i64` calls in an `array(...)`? That plan
+  * SHAPE is O(k) expression trees — at the auto-sized k ≈ √n a ×10
+  * corpus pays k = 141 generated calls per row plus a k-element array
+  * allocation, and the round-16 probe measured the assignment stage at
+  * 24 s of a 35 s SemDeDup pass. One expression with an internal loop
+  * keeps the generated code CONSTANT-SIZE in k and allocation-free —
+  * the difference between a clustering pass that scales with √n and
+  * one whose plan text does.
+  *
+  * NULL contract: null/absent inputs, an empty matrix, a null element
+  * anywhere, or a dimension mismatch between the vector and ANY
+  * centroid row → NULL (a malformed centroid is a caller bug surfaced
+  * as a null cluster, never a crash). */
+case class ArgminL2SqI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<array<bigint>>), got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmin_l2sq_i64"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val k = cs.numElements()
+    if (k == 0) return null
+    val d = q.numElements()
+    var best = -1
+    var bestDist = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      if (cs.isNullAt(c)) return null
+      val cv = cs.getArray(c)
+      if (cv.numElements() != d) return null
+      var acc = 0L
+      var i = 0
+      while (i < d) {
+        if (q.isNullAt(i) || cv.isNullAt(i)) return null
+        val t = q.getLong(i) - cv.getLong(i)
+        acc += t * t
+        i += 1
+      }
+      if (acc < bestDist) { bestDist = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestDist = ctx.freshName("bestDist")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $k = $b.numElements();
+         |int $d = $a.numElements();
+         |int $best = -1;
+         |long $bestDist = Long.MAX_VALUE;
+         |boolean $bad = ($k == 0);
+         |for (int $c = 0; !$bad && $c < $k; $c++) {
+         |  if ($b.isNullAt($c)) { $bad = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $b.getArray($c);
+         |  if ($cv.numElements() != $d) { $bad = true; break; }
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($a.isNullAt($i) || $cv.isNullAt($i)) { $bad = true; break; }
+         |    long $t = $a.getLong($i) - $cv.getLong($i);
+         |    $acc += $t * $t;
+         |  }
+         |  if ($bad) break;
+         |  if ($acc < $bestDist) { $bestDist = $acc; $best = $c; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** POSITIONAL k-gram rolling hashes — [[ShingleHashes]] without the
   * dedup: element `i` of the result is the hash of the token window
   * `[i, i+k)`, duplicates kept, order = position order. The span-level
@@ -776,6 +950,12 @@ object GraftFunctions {
     (FunctionIdentifier("l2sq_i64"),
       new ExpressionInfo(classOf[L2SqI64].getName, "l2sq_i64"),
       (args: Seq[Expression]) => L2SqI64(args(0), args(1))),
+    (FunctionIdentifier("argmin_l2sq_i64"),
+      new ExpressionInfo(classOf[ArgminL2SqI64].getName, "argmin_l2sq_i64"),
+      (args: Seq[Expression]) => ArgminL2SqI64(args(0), args(1))),
+    (FunctionIdentifier("l2sq_f64"),
+      new ExpressionInfo(classOf[L2SqF64].getName, "l2sq_f64"),
+      (args: Seq[Expression]) => L2SqF64(args(0), args(1))),
     (FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
       (args: Seq[Expression]) => {

@@ -230,15 +230,14 @@ object AnnIndex {
     val centers = spark.table(centersTable)
     val c = batch.select(col(idCol).as("neighbor_id"),
       Similarity.asDouble(col(vecCol)).as("cv"))
-    val wCell = Window.partitionBy("neighbor_id")
-      .orderBy(col("cdist").asc, col("cell"))
-    val assigned = c.crossJoin(broadcast(centers))
-      .withColumn("cdist", aggregate(
-        zip_with(col("cv"), col("center"), (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, x) => acc + x))
-      .withColumn("rk", row_number().over(wCell))
-      .filter(col("rk") === 1)
-      .select("neighbor_id", "cv", "cell")
+    // nearest existing centroid via the bounded-aggregate probe helper
+    // at nprobe = 1 — same (cdist ASC, cell ASC) selection the old
+    // rank window applied, without sorting |batch|·nlist rows
+    val assigned = Similarity.nearestCells(
+        c.select(col("neighbor_id").as("query_id"), col("cv").as("qv")),
+        centers, nprobe = 1)
+      .select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
+        col("cell"))
     graft.core.Layout.writeBucketed(assigned, assignTable, buckets, Seq("cell"),
       org.apache.spark.sql.SaveMode.Append)
   }
@@ -326,15 +325,9 @@ object AnnIndex {
     val centers = spark.table(centersTable)
     val q = queries.select(col(idCol).as("query_id"),
       Similarity.asDouble(col(vecCol)).as("qv"))
-    val wCell = Window.partitionBy("query_id")
-      .orderBy(col("cdist").asc, col("cell"))
-    val probed = q.crossJoin(broadcast(centers))
-      .withColumn("cdist", aggregate(
-        zip_with(col("qv"), col("center"), (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, x) => acc + x))
-      .withColumn("rk", row_number().over(wCell))
-      .filter(col("rk") <= nprobe)
-      .select("query_id", "qv", "cell")
+    // bounded-aggregate coarse probe (Similarity.nearestCells): the
+    // rank-window spelling shuffled |Q|·nlist distance rows per call
+    val probed = Similarity.nearestCells(q, centers, nprobe)
     val scored = minusTombstones(spark, assignTable, spark.table(assignTable))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

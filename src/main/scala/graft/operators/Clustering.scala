@@ -72,17 +72,19 @@ object Clustering {
       s"input has only ${centroids.length} rows, need at least k = $k")
 
     def assign(cs: Array[Array[Long]]): DataFrame = {
-      // one native fused loop per centroid (l2sq_i64) instead of the
-      // HOF spelling `aggregate(zip_with(qv, c, (a,b) => (a−b)²))` —
-      // same integers in the same order, but ~k·dim interpreted lambda
-      // calls per row become k primitive loops (x73's end-to-end
-      // sf0.1 time dropped ~1.4×; the assignment stage itself far more)
+      // ONE native argmin over the constant-folded centroid MATRIX —
+      // identical integers, identical lowest-index tie-break as the
+      // per-centroid `array_position(array(l2sq_i64…), array_min…)`
+      // spelling (the DuckDB-replayed contract), but the generated
+      // code is CONSTANT-SIZE in k: the k-expression array paid k
+      // generated calls + a k-array allocation per row, and at the
+      // auto-sized k ≈ √n the assignment stage alone was 24 s of a
+      // 35 s ×10 SemDeDup pass (round-16 probe) before the swap.
+      // ArgminL2SqI64's scaladoc carries the plan-shape argument
       graft.functions.GraftFunctions.register(df.sparkSession)
-      val dists = array(cs.map(cv =>
-        call_function("l2sq_i64", col("qv"), array(cv.map(lit(_)): _*))): _*)
-      // array_position finds the FIRST minimum → lowest index on ties
+      val centMatrix = array(cs.map(cv => array(cv.map(lit(_)): _*)): _*)
       quant.withColumn("cluster",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
+        call_function("argmin_l2sq_i64", col("qv"), centMatrix))
     }
 
     for (_ <- 1 to iterations) {

@@ -133,6 +133,41 @@ object Similarity {
     * window form stays as the spec-pinned reference. Requires a LONG
     * id column (every embedding id here is); NULL ids/scores are
     * excluded (the kernels never emit them for valid vectors). */
+  /** IVF coarse probe: the `nprobe` nearest cells per query, selected
+    * with the BOUNDED top-k aggregate instead of a rank window. The
+    * window spelling shuffles and sorts EVERY (query, cell) distance —
+    * |Q|·nlist rows, which under √n-sized cells is n^1.5 rows through
+    * one Exchange for a self-join probe (the dominant non-scoring cost
+    * of x230 at ×100). `topk_pairs` folds each partition to a
+    * ≤nprobe-entry buffer map-side, so the shuffle carries |Q| rows
+    * whatever nlist is. Selection is IDENTICAL to the window's
+    * (cdist ASC, cell ASC) order: topk_pairs ranks by (score DESC,
+    * id ASC) and score = −cdist; the distance itself is the native
+    * [[graft.functions.L2SqF64]] loop, bit-identical to the
+    * zip_with/aggregate fold it replaces.
+    *
+    * @param q (query_id, qv) — one row per query; qv is any numeric
+    *          array (cast to double ONLY inside the distance, so the
+    *          caller's original representation rides through to the
+    *          rescoring stage untouched)
+    * @param centers (cell: int, center: array<double>) — broadcast side
+    * @return (query_id, qv, cell), nprobe rows per query */
+  private[graft] def nearestCells(q: DataFrame, centers: DataFrame,
+                                  nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(q.sparkSession)
+    q.crossJoin(broadcast(centers))
+      .withColumn("cdist",
+        call_function("l2sq_f64", col("qv").cast("array<double>"), col("center")))
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"),
+        call_function("topk_pairs", col("cell").cast("long"),
+          -col("cdist"), lit(nprobe)).as("__cells"))
+      .select(col("query_id"), col("qv"),
+        explode(col("__cells")).as("__c"))
+      .select(col("query_id"), col("qv"),
+        col("__c.neighbor_id").cast("int").as("cell"))
+  }
+
   private[graft] def topKByScoreAgg(scored: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(scored.sparkSession)
     scored
@@ -1217,18 +1252,12 @@ object Similarity {
     import spark.implicits._
     val centers = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "center")
+    // coarse probe through the bounded-aggregate helper; qv stays
+    // float so the pool rescoring below keeps feeding the f32 kernel
+    // bit-identically (the helper casts to double only for cdist)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<float>").as("qv"))
-    val wCell = Window.partitionBy("query_id")
-      .orderBy(col("cdist").asc, col("cell"))
-    val probed = q.crossJoin(broadcast(centers))
-      .withColumn("cdist", aggregate(
-        zip_with(col("qv").cast("array<double>"), col("center"),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, x) => acc + x))
-      .withColumn("rk", row_number().over(wCell))
-      .filter(col("rk") <= nprobe)
-      .select("query_id", "qv", "cell")
+    val probed = nearestCells(q, centers, nprobe)
 
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -192,6 +192,35 @@ class FunctionsSpec extends SparkSpec {
       .filter("id = 1").collect().head
     assert(m.isNullAt(0))
   }
+  test("argmin_l2sq_i64 matches the per-centroid array_position spelling, " +
+    "ties to the lowest index, malformed matrix -> NULL") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq(0L, 0L)),        // equidistant from c0/c1 -> tie -> 0
+      (2L, Seq(9L, 9L)),        // nearest c2
+      (3L, Seq(-5L, 1L))        // nearest c0
+    ).toDF("id", "qv")
+    val cents = "array(array(-1L, 0L), array(1L, 0L), array(10L, 10L))"
+    val out = df.selectExpr("id",
+      s"argmin_l2sq_i64(qv, $cents) AS nat",
+      // the replay spelling the kmeans oracles pin
+      s"CAST(array_position(" +
+        s"array(l2sq_i64(qv, array(-1L, 0L)), l2sq_i64(qv, array(1L, 0L)), " +
+        s"l2sq_i64(qv, array(10L, 10L))), " +
+        s"array_min(array(l2sq_i64(qv, array(-1L, 0L)), l2sq_i64(qv, array(1L, 0L)), " +
+        s"l2sq_i64(qv, array(10L, 10L))))) - 1 AS INT) AS ref")
+      .collect()
+    out.foreach(r => assert(r.getInt(1) === r.getInt(2), s"id ${r.getLong(0)}"))
+    assert(out.map(r => r.getLong(0) -> r.getInt(1)).toMap ===
+      Map(1L -> 0, 2L -> 2, 3L -> 0))
+    // empty matrix and dimension mismatch -> NULL, never a throw
+    val bad = df.selectExpr(
+      "argmin_l2sq_i64(qv, CAST(array() AS ARRAY<ARRAY<BIGINT>>)) AS e",
+      "argmin_l2sq_i64(qv, array(array(1L, 2L, 3L))) AS d")
+      .collect().head
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+
   test("ngrams_gen: rows match the HOF spelling; short/empty docs emit nothing") {
     GraftFunctions.register(spark)
     val df = Seq(
