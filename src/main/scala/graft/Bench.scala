@@ -52,7 +52,9 @@ object Bench {
     "x260_cluster_cap", "x272_dedup_threshold_curve", "x148_basket_pairs",
     "x211_wprefix_plan", "x264_minhash_error_curve", "x182_item_cosine",
     "x103_weighted_containment", "x162_k_core", "x106_cluster_split",
-    "x65_containment", "x146_local_cluster")
+    "x65_containment", "x146_local_cluster",
+    // round-16 landings measured ≥1.5 s best-of in the shared tier
+    "x329_semdedup_autok", "x330_mutual_sampled")
 
   /** DRIFT CONTROLS — four heavy queries whose code has not changed
     * since round 13, with their committed round-15 best-of anchors

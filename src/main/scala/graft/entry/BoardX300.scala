@@ -288,7 +288,33 @@ private[graft] object BoardX300 {
     // probe, and everyN=1 ≡ the full operator
     "x330_mutual_sampled" -> ((s, d) =>
       graft.operators.Similarity.mutualTopKAnnSampled(
-        Tables.embeddings(s, d), k = 8, everyN = 4)))
+        Tables.embeddings(s, d), k = 8, everyN = 4)),
+    // the multimodal tier's first PIXEL-LEVEL oracle row: each doc's
+    // text bytes become the bare pixel array of a REAL 24bpp top-down
+    // BMP (width 4 → no row padding), which resizeMedia must DECODE
+    // (header walk, BGR→RGB, row order) and nearest-neighbor resample
+    // to 2×2 — and because the corpus is pure ASCII the expected
+    // output pixels are plain substr/ascii arithmetic over the text,
+    // so the whole bytes→pixels→resample path is hash-certified
+    // cross-engine, not just spec-covered
+    "x331_media_resize" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+        .filter(octet_length(col("b")) >= 12)
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) =>
+          val h = b.length / 12
+          graft.operators.Multimodal.Media(id, "image",
+            EntryLib.bmpTopDown(4, h, java.util.Arrays.copyOf(b, h * 12)),
+            Map.empty)
+        }
+      graft.operators.Multimodal.resizeMedia(media, 2, 2)
+        .flatMap(r => r.pixels.zipWithIndex.map { case (p, i) =>
+          (r.media_id, i.toLong, (p & 0xFF).toLong) })
+        .toDF("media_id", "pos", "px")
+        .orderBy("media_id", "pos")
+    })
 
   def oracleSql: Map[String, String] = Map(
     // x297: the EXISTS form verbatim — DuckDB keeps the subquery,
@@ -824,5 +850,24 @@ private[graft] object BoardX300 {
     // x329: the x73 replay on the fixed slice with the auto-sized
     // k = ⌊√320⌋ = 17 pinned in the oracle text — a drift in the
     // engine's sizing rule breaks the hash, not just a spec
-    "x329_semdedup_autok" -> EntryLib.semanticDedupAutoOracle)
+    "x329_semdedup_autok" -> EntryLib.semanticDedupAutoOracle,
+    // x331: the decoded-and-resampled pixel at output (y, x, channel)
+    // is text byte ((y*h div 2)*4 + x*2)*3 + {2,1,0} — resizeNearest's
+    // floor index arithmetic + the BMP BGR order, replayed verbatim
+    "x331_media_resize" ->
+      """WITH d AS (SELECT doc_id, text,
+           CAST(LENGTH(text) AS BIGINT) // 12 AS h
+         FROM documents WHERE LENGTH(text) >= 12),
+       p AS (SELECT doc_id, text, h, CAST(range AS BIGINT) AS pos
+         FROM d CROSS JOIN range(12)),
+       m AS (SELECT doc_id, pos, text,
+           ((pos // 6) * h) // 2 AS sy,
+           ((pos % 6) // 3) * 2 AS sx,
+           pos % 3 AS c FROM p)
+       SELECT doc_id AS media_id, pos,
+         CAST(ascii(substr(text,
+           CAST((sy * 4 + sx) * 3
+             + (CASE WHEN c = 0 THEN 2 WHEN c = 1 THEN 1 ELSE 0 END)
+             + 1 AS INTEGER), 1)) AS BIGINT) AS px
+       FROM m ORDER BY media_id, pos""")
 }

@@ -832,6 +832,24 @@ private[graft] object EntryLib {
           .as("embedding"),
         col("label"))
 
+  /** A REAL 24bpp top-down BMP wrapping `px` as its bare pixel array
+    * (w divisible by 4 → no row padding): the x331 carrier. Because
+    * the corpus text is pure ASCII, the DECODED pixel at file offset
+    * 54+j IS text byte j — which is what lets a DuckDB oracle reason
+    * about the full bytes→pixels→resample path in plain `substr`
+    * arithmetic. */
+  def bmpTopDown(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54 + px.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + px.length)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(-h).putShort(1).putShort(24)
+      .putInt(0).putInt(px.length)
+    bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put(px)
+    bb.array()
+  }
+
   /** x73: the x56 trajectory (k=16) composed with the x09-parity
     * cosine spelling for within-cluster pairs and the x34 recursive
     * closure for duplicate groups — three certified replays chained. */
